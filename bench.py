@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}. The driver records this as BENCH_r{N}.json.
+
+Each timed run executes the full plan and consumes results via count()
+(no driver-side materialization of wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from better_cdc_spark.queries import load_all
+from better_cdc_spark.session import DEFAULT_SF_DIR, get_spark
+
+# Headline set: one per operator family, heaviest variants.
+HEADLINE = [
+    "q30_grouped_agg_tpch_q1",   # scan-heavy grouped agg
+    "q20_inner_join",            # shuffle join
+    "q25_broadcast_join",        # broadcast star join
+    "q27_asof_join",             # range join + window
+    "q40_ranking_windows",       # window functions
+    "q52_topk_per_group",        # join + topk window
+    "q34_having",                # high-cardinality agg
+    "q36_stat_aggs",             # stats aggs
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm-up: JVM + parquet footer caches, one light action.
+    registry["q30_grouped_agg_tpch_q1"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

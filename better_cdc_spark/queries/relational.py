@@ -1,0 +1,1277 @@
+"""Relational operator surface (SURVEY.md §2.2 Q01–Q76), oracle-paired.
+
+Every query returns a DataFrame whose column names/types match its DuckDB
+oracle exactly. Conventions that make the hash-compare deterministic:
+
+- Money arithmetic goes through DECIMAL(18,2) casts on BOTH engines so sums
+  are exact and order-independent (double summation is order-dependent and
+  would differ between engines at the 1e-4 level on 1e8-magnitude sums).
+- Averages are computed as CAST(decimal_sum AS DOUBLE) / count so both
+  engines perform the identical double division.
+- Window orderings always carry a unique tiebreak key (row_number/ntile are
+  otherwise nondeterministic).
+- Session timezone is pinned to UTC (DuckDB timestamps are UTC-naive).
+
+Scale notes are in each docstring: these run on sf0.01 for correctness but
+are written for a 1000-executor cluster — broadcast hints on dims, no
+driver-side collects, pushdown-friendly filters.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from better_cdc_spark.io import load_table
+from better_cdc_spark.queries import query
+from better_cdc_spark.session import tune_for_oracle
+
+
+def dec(c: str | F.Column) -> F.Column:
+    """Exact money representation: DECIMAL(18,2) (matches oracle casts)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def _d(c: F.Column) -> F.Column:
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Sources / sinks (Q01–Q05)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_parquet_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_extendedprice > 50000
+    """,
+    tags=("source", "pushdown"),
+)
+def q01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection + predicate pushdown.
+
+    Plan check: PushedFilters must include the shipdate range and price
+    bound; ReadSchema must be exactly the 4 projected columns. At 100 TB
+    this is the difference between reading 4 columns of a few row groups
+    and reading everything.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_extendedprice") > 50000)
+    )
+
+
+@query(
+    "q02_csv_scan",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("source", "csv"),
+)
+def q02_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with an explicit schema (no inference), then aggregate.
+
+    Schema-on-read CSV is the untyped ingest path of the engine; explicit
+    StructType avoids the inference scan that would double I/O at scale.
+    """
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    out = f"{tempfile.gettempdir()}/bcs_q02_csv"
+    cust.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        _d(F.sum(dec("c_acctbal"))).alias("sum_acctbal"),
+    )
+
+
+@query(
+    "q03_json_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "json"),
+)
+def q03_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest: to_json → from_json with an explicit schema.
+
+    This is the CDC wire path (reference decodes wal2json JSON messages —
+    see better_cdc_spark.cdc). from_json runs JVM-side; no Python UDF.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    as_json = orders.select(F.to_json(F.struct(*orders.columns)).alias("js"))
+    parsed = as_json.select(F.from_json("js", schema).alias("o")).select("o.*")
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _d(F.sum(dec("o_totalprice"))).alias("sum_total"),
+    )
+
+
+@query(
+    "q05_partitioned_sink",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "partitioned"),
+)
+def q05_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink, read back and verified.
+
+    partitionBy maps to directory partition pruning on read — the physical
+    layout that makes per-subject CDC consumption cheap at scale (reference
+    routes by NATS subject; we route by partition directory).
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    out = f"{tempfile.gettempdir()}/bcs_q05_part"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _d(F.sum(dec("o_totalprice"))).alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter (Q10–Q12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_projection",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           c_acctbal,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 11 / 10 AS DOUBLE) AS acctbal_bumped,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+    tags=("projection",),
+)
+def q10_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection, aliasing, derived columns (narrow, no shuffle)."""
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        "c_acctbal",
+        _d(dec("c_acctbal") * 11 / 10).alias("acctbal_bumped"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "q11_predicate_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 100000 AND 300000
+      AND NOT (o_orderstatus = 'P')
+      AND o_orderpriority LIKE '%-%'
+      AND nullif(o_orderstatus, 'X') IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def q11_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL.
+
+    All conjuncts are Catalyst-pushable; `.explain` shows them in
+    PushedFilters at the parquet scan.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(100000, 300000)
+        & ~(F.col("o_orderstatus") == "P")
+        & F.col("o_orderpriority").like("%-%")
+        & F.expr("nullif(o_orderstatus, 'X')").isNotNull()
+    )
+
+
+@query(
+    "q12_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("projection", "conditional"),
+)
+def q12_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression (CASE WHEN) feeding an aggregation."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return orders.groupBy(bucket).agg(
+        F.count("*").alias("n_orders"),
+        _d(F.sum(dec("o_totalprice"))).alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (Q20–Q28)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_inner_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def q20_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi join (shuffle hash / sort-merge picked by AQE).
+
+    Scale: orders⋈customer is a key-key join; at 100 TB both sides shuffle
+    on the key unless customer is small enough to broadcast (q25) or both
+    are bucketed on the key.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _d(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q21_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def q21_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _d(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))).alias("spend"),
+        )
+    )
+
+
+@query(
+    "q21b_full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+    tags=("join", "outer"),
+)
+def q21b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with COALESCE null handling."""
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cn = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("n_cust"))
+    sn = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("n_supp"))
+    joined = cn.alias("cn").join(sn.alias("sn"), F.col("cn.nationkey") == F.col("sn.nationkey"), "full")
+    return joined.select(
+        F.coalesce(F.col("cn.nationkey"), F.col("sn.nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "q22_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join", "semi"),
+)
+def q22_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one 400k+ order."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q23_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def q23_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers without orders."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q24_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "cross"),
+)
+def q24_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (5 × 25 rows).
+
+    Cross joins are only sane when at least one side is tiny; Spark
+    broadcasts the smaller side (BroadcastNestedLoopJoin).
+    """
+    tune_for_oracle(spark)
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
+    "q25_broadcast_join",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def q25_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the dimension tables.
+
+    Plan check: both joins must be BroadcastHashJoin — zero shuffle of the
+    customer fact side. This is the canonical 100 TB pattern: fact stays
+    partitioned, dims ship to every executor.
+    """
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _d(F.sum(dec("c_acctbal"))).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "q26_theta_join",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey, COUNT(*) AS n_pairs
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_nationkey
+    """,
+    tags=("join", "theta"),
+)
+def q26_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + theta (non-equi) join condition.
+
+    The equi conjunct keeps this a hash join with a residual filter —
+    NOT a nested-loop. At scale the equi key bounds the blow-up per
+    partition; a pure theta join would be a BNLJ and is avoided.
+    """
+    tune_for_oracle(spark)
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    cond = (supp.s_nationkey == cust.c_nationkey) & (supp.s_acctbal > cust.c_acctbal)
+    return (
+        supp.join(cust, cond)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q27_asof_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ev_value
+      FROM events GROUP BY user_id, ts
+    ), ord AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT ev.user_id, ev.ts, ev.ev_value,
+           ord.o_orderdate AS asof_orderdate, ord.day_total AS asof_total
+    FROM ev ASOF JOIN ord
+      ON ev.user_id = ord.o_custkey AND ord.o_orderdate <= ev.ts
+    """,
+    tags=("join", "asof"),
+)
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order on/before the event time.
+
+    Implementation: equi join on the key + range predicate, then keep the
+    max-date match per event via row_number. Inputs are pre-aggregated to
+    unique (key, time) so the as-of winner is deterministic.
+
+    Scale: per-key fan-out is bounded by orders-per-customer; for unbounded
+    histories, bucketize time (join on key + coarse time bucket, take the
+    in-bucket max, fall back to previous bucket) to bound the intermediate.
+    """
+    tune_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = events.groupBy("user_id", "ts").agg(_d(F.sum(dec("value"))).alias("ev_value"))
+    ord_ = orders.groupBy("o_custkey", "o_orderdate").agg(
+        _d(F.sum(dec("o_totalprice"))).alias("day_total")
+    )
+    joined = ev.join(
+        ord_, (ev.user_id == ord_.o_custkey) & (ord_.o_orderdate <= ev.ts), "inner"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("o_orderdate").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            "ev_value",
+            F.col("o_orderdate").alias("asof_orderdate"),
+            F.col("day_total").alias("asof_total"),
+        )
+    )
+
+
+@query(
+    "q28_interval_join",
+    oracle="""
+    WITH pr AS (
+      SELECT o_orderpriority AS pr_key,
+             MIN(o_orderdate) AS pr_start, MAX(o_orderdate) AS pr_end
+      FROM orders WHERE o_totalprice > 450000 GROUP BY o_orderpriority
+    ), st AS (
+      SELECT o_orderstatus AS st_key,
+             MIN(o_orderdate) AS st_start, MAX(o_orderdate) AS st_end
+      FROM orders WHERE o_totalprice < 10000 GROUP BY o_orderstatus
+    )
+    SELECT pr.pr_key, st.st_key,
+           CAST(date_diff('day',
+                GREATEST(pr.pr_start, st.st_start),
+                LEAST(pr.pr_end, st.st_end)) AS INTEGER) AS overlap_days
+    FROM pr JOIN st
+      ON pr.pr_start <= st.st_end AND st.st_start <= pr.pr_end
+    """,
+    tags=("join", "interval"),
+)
+def q28_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join: [a_start,a_end] ∩ [b_start,b_end] ≠ ∅.
+
+    Scale: for large interval sets, pre-bucket intervals into fixed-width
+    time cells and equi-join on cell id to avoid the quadratic BNLJ; here
+    both sides are tiny aggregates.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    pr = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .groupBy(F.col("o_orderpriority").alias("pr_key"))
+        .agg(F.min("o_orderdate").alias("pr_start"), F.max("o_orderdate").alias("pr_end"))
+    )
+    st = (
+        orders.filter(F.col("o_totalprice") < 10000)
+        .groupBy(F.col("o_orderstatus").alias("st_key"))
+        .agg(F.min("o_orderdate").alias("st_start"), F.max("o_orderdate").alias("st_end"))
+    )
+    joined = pr.join(st, (pr.pr_start <= st.st_end) & (st.st_start <= pr.pr_end))
+    return joined.select(
+        "pr_key",
+        "st_key",
+        F.date_diff(
+            F.least("pr_end", "st_end"), F.greatest("pr_start", "st_start")
+        ).alias("overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (Q30–Q36)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_grouped_agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q30_grouped_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style grouped aggregation (partial + final agg).
+
+    Catalyst plans this as partial hash-agg (map-side combine) → shuffle on
+    the 6-value group key → final hash-agg: the minimum possible shuffle.
+    All money math in DECIMAL so the result is bit-identical to the oracle.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = disc_price * (1 + dec("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _d(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        _d(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+        _d(F.sum(disc_price)).alias("sum_disc_price"),
+        _d(F.sum(charge)).alias("sum_charge"),
+        (_d(F.sum(dec("l_quantity"))) / F.count("*")).alias("avg_qty"),
+        (_d(F.sum(dec("l_extendedprice"))) / F.count("*")).alias("avg_price"),
+        (_d(F.sum(dec("l_discount"))) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q31_distinct_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_distinct_cust,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def q31_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.sum_distinct(F.col("o_custkey")).cast("bigint").alias("sum_distinct_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("q32_approx_count_distinct", tags=("agg", "approx"))
+def q32_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only check: engine-specific sketch).
+
+    approx_count_distinct is the O(1)-memory scale path for cardinality at
+    100 TB; the exact answer (q31) needs a distinct shuffle.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q33_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with subtotal rows labeled via COALESCE."""
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), _d(F.sum(dec("l_quantity"))).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q33b_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+           COALESCE(o_orderpriority, '<all>') AS orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q33b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "q34_having",
+    oracle="""
+    SELECT l_partkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    """,
+    tags=("agg", "having"),
+)
+def q34_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"), F.sum(dec("l_quantity")).alias("_qty_dec"))
+        .filter(F.col("_qty_dec") > 150)
+        .select("l_partkey", "n_lines", _d(F.col("_qty_dec")).alias("total_qty"))
+    )
+
+
+@query(
+    "q35_collect_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "collect"),
+)
+def q35_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sort_array → array_join (array agg surface).
+
+    Output is serialized to a string so the hash-compare is
+    representation-independent.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q36_stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           stddev_samp(l_quantity) AS sd_qty,
+           var_samp(l_quantity) AS var_qty,
+           corr(l_quantity, l_extendedprice) AS corr_qty_price,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q36_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/exact percentile.
+
+    Exact `percentile` (not percentile_approx) so the oracle's
+    quantile_cont matches; fp noise in stddev/corr is orders of magnitude
+    below the compare rounding for these value ranges.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (Q40–Q42)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_ranking_windows",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w2 AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w2 AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+    """,
+    tags=("window", "ranking"),
+)
+def q40_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions with a deterministic tiebreak.
+
+    row_number/ntile use a total order (price, key); rank/dense_rank use
+    the price alone so ties are visible. One shuffle on the partition key.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w2).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w2).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q41_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER)
+             AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def q41_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag/lead/first_value + derived gap."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.date_diff("o_orderdate", F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+    )
+
+
+@query(
+    "q42_frame_agg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg3
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def q42_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window aggregates: running sum + 3-row moving average.
+
+    DECIMAL inside the frame sum keeps the running values exact so both
+    engines agree bit-for-bit at every prefix.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    moving = w.rowsBetween(-2, W.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _d(F.sum(dec("o_totalprice")).over(running)).alias("running_spend"),
+        (_d(F.sum(dec("o_totalprice")).over(moving)) / F.count("*").over(moving)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit (Q50–Q52)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority ASC,
+                                   o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+             AS global_rank
+    FROM orders
+    """,
+    tags=("sort",),
+)
+def q50_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort, materialized as a rank column.
+
+    Spark range-partitions for global sorts (sampling-based boundaries).
+    The rank column makes sortedness visible to the order-insensitive
+    hash-compare. Scale note: a global row_number is a single-partition
+    window — fine for ranked exports, otherwise prefer per-partition
+    ordinals (zipWithIndex pattern) at 100 TB.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("global_rank"),
+    )
+
+
+@query(
+    "q51_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("limit",),
+)
+def q51_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered limit → TakeOrderedAndProject (top-k without a full sort)."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "q52_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+    tags=("sort", "topk"),
+)
+def q52_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: window row_number + filter (one shuffle on group)."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (Q60–Q62)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q60_union",
+    oracle="""
+    SELECT nationkey, kind, COUNT(*) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey, 'cust' AS kind FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supp' AS kind FROM supplier
+    )
+    GROUP BY nationkey, kind
+    """,
+    tags=("setop", "union"),
+)
+def q60_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name, then aggregate (union is shuffle-free)."""
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("cust").alias("kind")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supp").alias("kind")
+    )
+    return cust.unionByName(supp).groupBy("nationkey", "kind").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q61_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    """,
+    tags=("setop", "intersect"),
+)
+def q61_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — customers that placed orders."""
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ords = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.intersect(ords)
+
+
+@query(
+    "q62_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+    tags=("setop", "except"),
+)
+def q62_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — customers without orders."""
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ords = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(ords)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (Q70–Q76)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q70_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up_name,
+           lower(c_mktsegment) AS lo_seg,
+           substring(c_name, 1, 8) AS name_prefix,
+           trim(concat(' ', c_name, ' ')) AS trimmed,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           concat_ws(':', c_name, c_mktsegment) AS joined,
+           (c_name LIKE '%1%') AS has_one,
+           CAST(length(c_name) AS INTEGER) AS name_len
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def q70_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (covers the reference's ID/subject building —
+    concat_ws + sanitization regex, transformer.go:85-106 / config.go:188-234).
+    """
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("joined"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@query(
+    "q71_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER)
+             AS days_to_2002,
+           o_orderdate + INTERVAL 7 DAY AS plus_week,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def q71_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (covers reference's multi-format timestamp parse
+    needs — wal2json.go:182-221 — via to_timestamp/date arithmetic)."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_diff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "q72_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS dist25,
+           pow(l_discount, 2) AS disc_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           ln(l_extendedprice) AS log_price,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def q72_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface: abs/pow/sqrt/ln/floor/ceil/mod."""
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("dist25"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log(F.col("l_extendedprice")).alias("log_price"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "q73_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sum_sq,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+    FROM embeddings
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def q73_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions (transform/filter/aggregate).
+
+    The fold runs left-to-right in both engines after casting each element
+    to double, so the fp result is identical. This is the JVM-side vector
+    math used by the similarity operators (no Python in the loop).
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sum_sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        sum_sq.alias("sum_sq"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@query(
+    "q74_map_functions",
+    oracle="""
+    SELECT o_orderkey, 'priority' AS key, o_orderpriority AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'status' AS key, o_orderstatus AS value FROM orders
+    """,
+    tags=("scalar", "map"),
+)
+def q74_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + explode (the dynamic before/after image model).
+
+    The CDC envelope carries row images as MAP<STRING,STRING>
+    (events.go:32-33 analog); this query builds such a map and explodes it
+    to entries — the typed↔dynamic edge conversion.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("status").alias("key"), F.col("o_orderstatus").alias("value")),
+            F.struct(F.lit("priority").alias("key"), F.col("o_orderpriority").alias("value")),
+        )
+    )
+    return orders.select("o_orderkey", F.explode(m).alias("key", "value"))
+
+
+@query(
+    "q75_json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def q75_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (get_json_object) — the wal2json decode primitive."""
+    tune_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select("event_id", k.alias("k"), (k * 2).alias("k2"))
+
+
+@query(
+    "q76_hash_functions",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS md5_name,
+           sha256(c_name) AS sha_name
+    FROM customer
+    """,
+    tags=("scalar", "hash"),
+)
+def q76_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface (deterministic IDs, dedup keys)."""
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("md5_name"),
+        F.sha2("c_name", 256).alias("sha_name"),
+    )

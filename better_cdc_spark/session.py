@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the local[32] harness.
+
+Scale notes (100 TB design): these configs are the local-mode analogs of a
+1000-executor deployment — AQE handles runtime partition coalescing and skew
+joins, shuffle partitions sized to cores locally (≈2-3× total cores on a real
+cluster), Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(app_name: str = "better_cdc_spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Pin session settings that affect oracle comparability.
+
+    Called at the top of every registered query so results are reproducible
+    even under a driver-provided session: UTC timestamps (DuckDB timestamps
+    are UTC-naive) and ANSI mode as shipped by Spark 4.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

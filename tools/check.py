@@ -1,0 +1,131 @@
+"""Self-check harness mimicking the driver's DuckDB-oracle compare.
+
+Runs every registered query at a given sf dir in Spark AND its oracle SQL in
+DuckDB, then compares row count, column names/types (loosely), and an
+order-insensitive value hash with float rounding.
+
+Usage:
+    python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(4)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            ser = pd.to_datetime(s)
+            try:
+                ser = ser.dt.tz_localize(None)
+            except TypeError:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = ser.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    csv = df.to_csv(index=False, float_format="%.4f")
+    return hashlib.md5(csv.encode()).hexdigest()
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return problems
+    a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    if value_hash(a) != value_hash(b):
+        problems.append("value-hash mismatch")
+        if len(a) == len(b):
+            for c in a.columns:
+                if not a[c].equals(b[c]):
+                    diff_idx = a.index[a[c] != b[c]][:3]
+                    examples = [(a[c].iloc[i], b[c].iloc[i]) for i in diff_idx]
+                    problems.append(f"  col {c!r} differs, e.g. spark vs duck: {examples}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else SF_DIR
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    from better_cdc_spark.queries import load_all
+    from better_cdc_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("oracle-check", cpus=8)
+    con = duck_connect(sf_dir)
+
+    names = only or list(registry)
+    failed, no_oracle = [], []
+    for name in names:
+        spec = registry[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            failed.append(name)
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            continue
+        if spec.oracle is None:
+            no_oracle.append(name)
+            print(f"ok?  {name}: rows-only, {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(spec.oracle).df()
+        except Exception:
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{len(names) - len(failed)}/{len(names)} ok "
+        f"({len(no_oracle)} rows-only), failed: {failed or 'none'}"
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
