@@ -1,0 +1,175 @@
+"""CDC-semantics tests mirroring the reference's unit/integration invariants.
+
+Golden values come from the reference's own tests:
+  - exact event-id string (transformer_test.go:174-183)
+  - value-exclusion / in-tx distinctness (transformer_test.go:185-237)
+  - empty-string column values stay '' (pgoutput_test.go:245)
+  - TRUNCATE → cdc.ddl with empty images (cdc_truncate_test.go:12-54)
+  - failure policies crash|dlq|skip (engine_failure_policy_test.go:40-293)
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from better_cdc_spark.cdc import normalize_changelog
+from better_cdc_spark.cdc.dlq import PermanentPublishError, route_failures
+from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
+
+TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def make_changelog(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_LOG_SCHEMA)
+
+
+def col_entry(name, typ, value):
+    return {"name": name, "type": typ, "value": value}
+
+
+@pytest.fixture(scope="module")
+def golden_events(spark):
+    """One tx on public.users: INSERT + UPDATE (same row) + DELETE, plus a
+    filtered table and a TRUNCATE in a second tx."""
+    rows = [
+        # tx 42: B, I, U, D on public.users + one row on an ignored table
+        (1, "0/16A1B8", "B", 42, None, None, None, None, None),
+        (2, "0/16A1B8", "I", 42, None, "public", "users", [col_entry("id", "bigint", "1"), col_entry("email", "text", "a@b.c"), col_entry("note", "text", "")], None),
+        (3, "0/16A1B8", "U", 42, None, "public", "users", [col_entry("id", "bigint", "1"), col_entry("email", "text", "x@b.c")], [col_entry("id", "bigint", "1")]),
+        (4, "0/16A1B8", "I", 42, None, "internal", "audit", [col_entry("id", "bigint", "9")], None),
+        (5, "0/16A1B8", "D", 42, None, "public", "users", None, [col_entry("id", "bigint", "1")]),
+        (6, "0/16A1B8", "C", 42, TS, None, None, None, None),
+        # tx 43: TRUNCATE
+        (7, "0/16A200", "B", 43, None, None, None, None, None),
+        (8, "0/16A200", "T", 43, None, "public", "users", None, None),
+        (9, "0/16A200", "C", 43, TS, None, None, None, None),
+    ]
+    df = normalize_changelog(
+        make_changelog(spark, rows), database="testdb", allowlist=["public.users"]
+    )
+    return {r["event_id"]: r.asDict() for r in df.collect()}
+
+
+def test_golden_event_id_format(golden_events):
+    # Exact golden string from transformer_test.go:179.
+    assert "0/16A1B8:42:INSERT:public.users:0" in golden_events
+
+
+def test_in_tx_events_distinct_and_ordered(golden_events):
+    ids = [k for k in golden_events if k.startswith("0/16A1B8:42:")]
+    assert sorted(ids) == [
+        "0/16A1B8:42:DELETE:public.users:2",
+        "0/16A1B8:42:INSERT:public.users:0",
+        "0/16A1B8:42:UPDATE:public.users:1",
+    ]
+    # seq_in_tx skips the filtered internal.audit row (filter-before-buffer, R4)
+
+
+def test_event_id_excludes_row_values(spark):
+    # Same change with different values → same id (replay collapses, R8).
+    def one(value):
+        rows = [
+            (1, "0/1", "B", 7, None, None, None, None, None),
+            (2, "0/1", "I", 7, None, "public", "users", [col_entry("v", "text", value)], None),
+            (3, "0/1", "C", 7, TS, None, None, None, None),
+        ]
+        df = normalize_changelog(make_changelog(spark, rows), allowlist=["public.users"])
+        return df.select("event_id").collect()[0][0]
+
+    assert one("alpha") == one("beta")
+
+
+def test_envelope_fields(golden_events):
+    ins = golden_events["0/16A1B8:42:INSERT:public.users:0"]
+    assert ins["event_type"] == "cdc.insert"
+    assert ins["operation"] == "INSERT"
+    assert ins["subject"] == "cdc.testdb.public.users"
+    assert ins["commit_time"] == TS
+    assert ins["txid"] == 42
+    assert ins["before"] is None
+    assert ins["after"] == {"id": "1", "email": "a@b.c", "note": ""}
+    assert ins["metadata"] == {"txid": "42"}
+
+    upd = golden_events["0/16A1B8:42:UPDATE:public.users:1"]
+    assert upd["event_type"] == "cdc.update"
+    assert upd["before"] == {"id": "1"}
+    assert upd["after"] == {"id": "1", "email": "x@b.c"}
+
+    dele = golden_events["0/16A1B8:42:DELETE:public.users:2"]
+    assert dele["event_type"] == "cdc.delete"
+    assert dele["after"] is None
+    assert dele["before"] == {"id": "1"}
+
+
+def test_empty_string_is_not_null(golden_events):
+    # pgoutput_test.go:245 — empty payload is '', not NULL.
+    ins = golden_events["0/16A1B8:42:INSERT:public.users:0"]
+    assert ins["after"]["note"] == ""
+    assert ins["after"]["note"] is not None
+
+
+def test_table_allowlist_filters(golden_events):
+    assert not any(":internal.audit:" in k for k in golden_events)
+
+
+def test_truncate_maps_to_ddl_with_empty_images(golden_events):
+    ddl = golden_events["0/16A200:43:DDL:public.users:0"]
+    assert ddl["event_type"] == "cdc.ddl"
+    assert ddl["operation"] == "DDL"
+    assert ddl["before"] == {} and ddl["after"] == {}
+
+
+def test_subject_sanitization(spark):
+    # config.go:188-234: non [A-Za-z0-9_-] chars in tokens become '_'.
+    rows = [
+        (1, "0/1", "B", 1, None, None, None, None, None),
+        (2, "0/1", "I", 1, None, "my schema", "t.v", [col_entry("id", "bigint", "1")], None),
+        (3, "0/1", "C", 1, TS, None, None, None, None),
+    ]
+    df = normalize_changelog(make_changelog(spark, rows), database="db*x")
+    subj = df.select("subject").collect()[0][0]
+    assert subj == "cdc.db_x.my_schema.t_v"
+
+
+@pytest.fixture()
+def dlq_input(spark, request):
+    rows = [
+        (1, "0/1", "B", 1, None, None, None, None, None),
+        (2, "0/1", "I", 1, None, "public", "users", [col_entry("id", "bigint", "1"), col_entry("blob", "text", "x" * 100)], None),
+        (3, "0/1", "I", 1, None, "public", "users", [col_entry("id", "bigint", "2"), col_entry("blob", "text", "ok")], None),
+        (4, "0/1", "C", 1, TS, None, None, None, None),
+    ]
+    ev = normalize_changelog(make_changelog(spark, rows), allowlist=["public.users"])
+    payload = F.element_at("after", "blob")
+    return ev, payload
+
+
+def test_dlq_policy_quarantines_with_truncation(dlq_input):
+    ev, payload = dlq_input
+    ok, dlq = route_failures(
+        ev, F.octet_length(payload) > 50, F.lit("too big"), payload, policy="dlq", prefix_cap=10
+    )
+    assert ok.count() == 1
+    rec = dlq.collect()[0].asDict()
+    assert rec["error"] == "too big"
+    assert rec["payload_size"] == 100
+    assert rec["truncated"] is True
+    assert rec["payload_prefix"] == "x" * 10
+    assert rec["subject"] == "dlq.testdb.public.users"
+
+
+def test_skip_policy_drops(dlq_input):
+    ev, payload = dlq_input
+    ok, dlq = route_failures(
+        ev, F.octet_length(payload) > 50, F.lit("e"), payload, policy="skip"
+    )
+    assert ok.count() == 1 and dlq.count() == 0
+
+
+def test_crash_policy_raises(dlq_input):
+    ev, payload = dlq_input
+    with pytest.raises(PermanentPublishError):
+        route_failures(ev, F.octet_length(payload) > 50, F.lit("e"), payload, policy="crash")
