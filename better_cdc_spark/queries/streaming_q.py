@@ -1,1 +1,336 @@
-"""Streaming queries (filled by M4)."""
+"""Streaming operator surface (SURVEY.md §2.2 Q04, Q06, Q80–Q87).
+
+Each query drives a real Structured Streaming query on the finite events
+file source synchronously (processAllAvailable), so the result is
+deterministic and oracle-checkable: complete/update-mode results over a
+finite stream equal the batch aggregation DuckDB computes.
+
+Watermark append-mode emission timing (windows held until the watermark
+passes) is covered by unit tests in tests/test_streaming.py — emission
+timing is not SQL-expressible, the final state here is.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from better_cdc_spark.io import load_table
+from better_cdc_spark.queries import query
+from better_cdc_spark.queries.relational import _d, dec
+from better_cdc_spark.session import tune_for_oracle
+from better_cdc_spark.streaming.core import events_stream, run_to_memory
+
+
+@query(
+    "q04_streaming_file_source",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "source"),
+)
+def q04_streaming_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source → grouped agg, complete mode (Q04)."""
+    tune_for_oracle(spark)
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), _d(F.sum(dec("value"))).alias("sum_value"))
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@query("q80_watermark_append", tags=("streaming", "watermark"))
+def q80_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode late-data handling (Q80, rows-only check).
+
+    Append mode only emits windows the 10-minute watermark has passed, so
+    the result is the finalized-window set — emission timing semantics
+    that no batch SQL expresses (the late-DROP path is unit-tested in
+    tests/test_streaming.py::test_watermark_drops_late_rows).
+    """
+    tune_for_oracle(spark)
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    return run_to_memory(agg, mode="append")
+
+
+@query(
+    "q81_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def q81_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time window aggregation (Q81).
+
+    Watermark bounds state at scale; complete mode on the finite stream
+    makes the result equal the batch answer.
+    """
+    tune_for_oracle(spark)
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"), _d(F.sum(dec("value"))).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "q82_sliding_window",
+    oracle="""
+    SELECT s AS window_start, event_type, COUNT(*) AS n
+    FROM events e,
+         UNNEST([time_bucket(INTERVAL '5 minutes', e.ts),
+                 time_bucket(INTERVAL '5 minutes', e.ts) - INTERVAL '5 minutes'])
+           AS t(s)
+    GROUP BY s, event_type
+    """,
+    tags=("streaming", "window"),
+)
+def q82_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute length, 5-minute slide) per event type."""
+    tune_for_oracle(spark)
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "q83_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "session"),
+)
+def q83_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user (Q83).
+
+    session_window works identically in batch and streaming; the oracle is
+    the classic gaps-and-islands formulation. Session merge rule: an event
+    at exactly prev_ts + gap starts a NEW session (window is [ts, ts+gap)).
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n_events"), _d(F.sum(dec("value"))).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q84_streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q84_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id over a duplicated stream (R14/Q84).
+
+    The stream is unioned with itself (every event arrives twice — the
+    at-least-once replay case, cdc_recovery_test.go:12-122);
+    dropDuplicates keeps exactly one copy per id — the JetStream
+    DuplicateWindow analog with an unbounded window; production bounds
+    state with dropDuplicatesWithinWatermark.
+    """
+    tune_for_oracle(spark)
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    deduped = s1.unionByName(s2).dropDuplicates(["event_id"])
+    # count(*) after dedup IS the distinct count (streaming forbids
+    # distinct aggregates; the dedup operator holds the distinct state).
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "q85_stateful_processing",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q85_stateful_processing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key stateful operator via applyInPandasWithState (Q85).
+
+    The state is a (count, decimal-cent sum) per user — the same machinery
+    that implements transaction assembly (R5) when keyed by txid. Values
+    are accumulated in integer cents so state updates are exact.
+    """
+    tune_for_oracle(spark)
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(pdf["value"].sum() * 100))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+        )
+
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="bcs_q85_")
+
+    def write_batch(df: DataFrame, _epoch: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_q85_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # Keep the final state per key (events file may span several batches).
+    res = spark.read.parquet(out_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q86_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def q86_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join (Q86, the reference's dimension-lookup
+    analog): the static side is broadcast to every task — no stream-side
+    shuffle, the canonical 100 TB enrichment pattern."""
+    tune_for_oracle(spark)
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.join(cust, stream.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), _d(F.sum(dec("value"))).alias("sum_value"))
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "q87_foreachbatch_idempotent_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def q87_foreachbatch_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent sink + checkpoint (Q06/Q87, R11/R12/R16).
+
+    The same stream is delivered TWICE into one sink; the anti-join on
+    event_id makes the second delivery a no-op (Nats-Msg-Id dedup analog).
+    The returned counts prove effectively-once delivery.
+    """
+    tune_for_oracle(spark)
+    out_dir = tempfile.mkdtemp(prefix="bcs_q87_sink_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def idempotent_write(batch_df: DataFrame, _epoch: int) -> None:
+        spark_ = batch_df.sparkSession
+        try:
+            existing = spark_.read.parquet(out_dir).select("event_id")
+        except Exception:
+            existing = batch_df.select("event_id").limit(0)
+        fresh = batch_df.join(existing, "event_id", "left_anti")
+        fresh.write.mode("append").parquet(out_dir)
+
+    for _attempt in range(2):  # second run = full replay (kill/restart case)
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(idempotent_write)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_q87_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    sunk = spark.read.parquet(out_dir)
+    return sunk.groupBy("event_type").agg(F.count("*").alias("n"))

@@ -1,0 +1,105 @@
+"""Streaming building blocks (file source, memory/parquet sinks).
+
+The reference's stream is a Go-channel pipeline (engine.go:106-121); here a
+streaming DataFrame replaces the channels, micro-batches replace the
+size/timeout batching (R10, engine.go:124-220), and Spark's checkpoint
+commit log replaces the LSN checkpoint manager (R16, checkpoint.go:17-82).
+
+Local tests drive finite file sources synchronously with
+``processAllAvailable`` — the batch/stream unification means every operator
+here is the same code that would run against Kafka at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet schema, with ts as raw nanos (see io.load_table note).
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The file-stream source requires a directory; stage a symlink to the
+    single events.parquet file in a stable per-sf temp dir."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"bcs_events_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except OSError:
+            shutil.copyfile(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table (file source, Q04).
+
+    At scale this is `readStream.format("kafka")` / a change feed; the file
+    source exercises identical semantics (offsets = file positions).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .format("parquet")
+        .load(_staged_events_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    sdf: DataFrame, *, mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a finite streaming query to completion into the memory sink and
+    return the result table (synchronous — test/bench harness only)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"bcs_ck_{name}_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_to_parquet(sdf: DataFrame, out_dir: str, *, mode: str = "append") -> None:
+    """Run a finite streaming query into a parquet dir via foreachBatch
+    (the idempotent-sink scaffold, Q06/Q87)."""
+
+    def write_batch(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_pq_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()

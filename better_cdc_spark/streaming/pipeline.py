@@ -1,0 +1,131 @@
+"""Streaming CDC pipeline: change-log stream → committed, deduped envelope.
+
+Re-expresses the reference's hot path (engine.go:124-220) with Spark
+semantics, solving the two genuinely hard gaps (SURVEY §4.3):
+
+1. **Commit-boundary atomicity** (R10/R16): the reference flushes on every
+   Commit marker and never checkpoints mid-transaction
+   (engine.go:203-208, 399-434). Spark micro-batch boundaries are
+   time/size-based, so a transaction can straddle batches. Solution:
+   `foreachBatch` with a carry-over *pending* store — rows whose txid has
+   no commit marker yet are spilled to a pending parquet dir and re-enter
+   the next batch; only complete transactions are normalized and emitted.
+   This is the Spark analog of the reference's tx buffer + spill
+   (pgoutput.go:28-111), with the spill bounded by in-flight (not total)
+   transaction size.
+
+2. **Effectively-once delivery** (R11/R14): the sink is idempotent — new
+   events are anti-joined against already-sunk event_ids, the analog of
+   JetStream's Nats-Msg-Id dedup window (jetstream.go:337-340). Combined
+   with Spark's checkpoint (no re-read after clean stop) this gives the
+   reference's contract: at-least-once upstream, effectively-once in the
+   sink, no replay after graceful shutdown (cdc_checkpoint_test.go,
+   cdc_recovery_test.go).
+
+Ordering is a data property: consumers sort by (lsn, txid, seq_in_tx) —
+strictly stronger than the reference's per-subject delivery order (R12).
+
+Scale: pending/commit stores are tiny (only in-flight transactions); the
+anti-join against the sink is the one cost that grows — at 100 TB it
+becomes a MERGE on a Delta table keyed/z-ordered by event_id, or the
+dedup window is bounded by partitioning the sink on commit date and only
+anti-joining recent partitions (the reference's 2-minute window analog).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from better_cdc_spark.cdc.normalize import normalize_changelog
+from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
+
+
+class CDCStreamPipeline:
+    """changelog JSON-lines dir → committed CDC envelope parquet sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        work_dir: str,
+        database: str = "testdb",
+        allowlist: list[str] | None = None,
+        max_files_per_trigger: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.source_dir = source_dir
+        self.database = database
+        self.allowlist = allowlist
+        self.max_files = max_files_per_trigger
+        self.sink_dir = os.path.join(work_dir, "sink")
+        self.pending_dir = os.path.join(work_dir, "pending")
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+
+    # -- state-store helpers (parquet-backed carry-over tables) ----------
+
+    def _read_or_empty(self, path: str, like: DataFrame) -> DataFrame:
+        try:
+            return self.spark.read.schema(like.schema).parquet(path)
+        except Exception:
+            return like.limit(0)
+
+    # -- the batch processor --------------------------------------------
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        spark = self.spark
+        # Carry over pending (uncommitted) rows from previous batches and
+        # materialize the combined working set once.
+        pending = self._read_or_empty(self.pending_dir, batch_df)
+        work = batch_df.unionByName(pending).localCheckpoint(eager=True)
+
+        # Commit markers visible so far (this batch + carried-over ones).
+        commits = work.filter(F.col("action") == "C").select("xid").distinct()
+        data = work.filter(F.col("action") != "C")
+
+        committed = work.join(F.broadcast(commits), "xid", "left_semi")
+        uncommitted = data.join(F.broadcast(commits), "xid", "left_anti")
+
+        # Emit only complete transactions — the commit-boundary contract.
+        envelope = normalize_changelog(
+            committed, database=self.database, allowlist=self.allowlist
+        )
+
+        # Idempotent sink: drop events already present (event_id dedup).
+        existing = self._read_or_empty(self.sink_dir, envelope).select("event_id")
+        fresh = envelope.join(existing, "event_id", "left_anti")
+        fresh.write.mode("append").parquet(self.sink_dir)
+
+        # Persist the new pending set (overwrite = replace carried state).
+        staged = uncommitted.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(self.pending_dir)
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self):
+        stream = (
+            self.spark.readStream.schema(CHANGE_LOG_SCHEMA)
+            .option("maxFilesPerTrigger", self.max_files)
+            .json(self.source_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+
+    def run_available(self) -> None:
+        q = self.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    def sink(self) -> DataFrame:
+        empty = normalize_changelog(
+            self.spark.createDataFrame([], CHANGE_LOG_SCHEMA), database=self.database
+        )
+        return self._read_or_empty(self.sink_dir, empty)

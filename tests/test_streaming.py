@@ -1,0 +1,202 @@
+"""Streaming CDC pipeline tests mirroring the reference's integration suite.
+
+  - commit-boundary atomicity across micro-batches (SURVEY §4.3.1;
+    engine.go:203-208 — flush at Commit, never checkpoint mid-tx)
+  - no replay after clean stop (cdc_checkpoint_test.go:14-105)
+  - at-least-once + dedup = effectively-once (cdc_recovery_test.go:12-122,
+    cdc_dedup_test.go:15-163)
+  - watermark drops late rows (Q80)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from better_cdc_spark.streaming.pipeline import CDCStreamPipeline
+
+TS = "2024-01-01T12:00:00.000Z"
+
+
+def _write_changelog_file(path: str, rows: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _data_row(seq, lsn, action, xid, table="users", cols=None, ident=None):
+    return {
+        "ingest_seq": seq,
+        "lsn": lsn,
+        "action": action,
+        "xid": xid,
+        "timestamp": None,
+        "schema": "public",
+        "table": table,
+        "columns": cols,
+        "identity": ident,
+    }
+
+
+def _marker(seq, lsn, action, xid, ts=None):
+    return {
+        "ingest_seq": seq,
+        "lsn": lsn,
+        "action": action,
+        "xid": xid,
+        "timestamp": ts,
+        "schema": None,
+        "table": None,
+        "columns": None,
+        "identity": None,
+    }
+
+
+def _cols(i):
+    return [{"name": "id", "type": "bigint", "value": str(i)}]
+
+
+@pytest.fixture()
+def changelog_dirs(tmp_path):
+    src = tmp_path / "src"
+    work = tmp_path / "work"
+    src.mkdir()
+    now = time.time()
+    # file 1: tx 100 complete; tx 200 begun (2 of 3 rows), no commit yet.
+    _write_changelog_file(
+        str(src / "001.json"),
+        [
+            _marker(1, "0/A0", "B", 100),
+            _data_row(2, "0/A0", "I", 100, cols=_cols(1)),
+            _data_row(3, "0/A0", "I", 100, cols=_cols(2)),
+            _marker(4, "0/A0", "C", 100, TS),
+            _marker(5, "0/B0", "B", 200),
+            _data_row(6, "0/B0", "I", 200, cols=_cols(10)),
+            _data_row(7, "0/B0", "I", 200, cols=_cols(11)),
+        ],
+        now - 20,
+    )
+    # file 2: tx 200 finishes; tx 300 never commits (in-flight forever).
+    _write_changelog_file(
+        str(src / "002.json"),
+        [
+            _data_row(8, "0/B0", "I", 200, cols=_cols(12)),
+            _marker(9, "0/B0", "C", 200, TS),
+            _marker(10, "0/C0", "B", 300),
+            _data_row(11, "0/C0", "I", 300, cols=_cols(99)),
+        ],
+        now - 10,
+    )
+    return str(src), str(work)
+
+
+def test_commit_boundary_atomicity_across_batches(spark, changelog_dirs):
+    src, work = changelog_dirs
+    pipe = CDCStreamPipeline(spark, src, work, allowlist=["public.users"])
+    pipe.run_available()
+    sink = pipe.sink()
+
+    ids = sorted(r[0] for r in sink.select("event_id").collect())
+    # tx100 fully emitted; tx200 emitted only after its commit arrived in
+    # batch 2, with seq_in_tx continuous across the batch boundary.
+    assert ids == [
+        "0/A0:100:INSERT:public.users:0",
+        "0/A0:100:INSERT:public.users:1",
+        "0/B0:200:INSERT:public.users:0",
+        "0/B0:200:INSERT:public.users:1",
+        "0/B0:200:INSERT:public.users:2",
+    ]
+    # tx300 (no commit) is held back, not dropped: it sits in pending state.
+    pending = spark.read.parquet(pipe.pending_dir)
+    assert pending.filter(F.col("xid") == 300).count() == 2  # B + I rows
+
+
+def test_no_replay_after_clean_stop(spark, changelog_dirs):
+    src, work = changelog_dirs
+    pipe = CDCStreamPipeline(spark, src, work, allowlist=["public.users"])
+    pipe.run_available()
+    n1 = pipe.sink().count()
+
+    # Restart with the same checkpoint, no new files → nothing re-emitted.
+    pipe2 = CDCStreamPipeline(spark, src, work, allowlist=["public.users"])
+    pipe2.run_available()
+    assert pipe2.sink().count() == n1
+
+
+def test_effectively_once_under_full_replay(spark, changelog_dirs, tmp_path):
+    src, work = changelog_dirs
+    pipe = CDCStreamPipeline(spark, src, work, allowlist=["public.users"])
+    pipe.run_available()
+    n1 = pipe.sink().count()
+
+    # Hard-kill analog: checkpoint lost → source replays from scratch into
+    # the SAME sink. event_id dedup collapses every duplicate.
+    pipe3 = CDCStreamPipeline(spark, src, work, allowlist=["public.users"])
+    pipe3.checkpoint_dir = str(tmp_path / "fresh_ckpt")
+    pipe3.run_available()
+    sink = pipe3.sink()
+    assert sink.count() == n1
+    assert sink.select("event_id").distinct().count() == n1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    t0 = "2024-01-01 10:{:02d}:00"
+    early = [(i, t0.format(m)) for i, m in enumerate([0, 1, 2, 3, 4])]
+    df1 = spark.createDataFrame(early, "id long, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    # f2: an on-time row; f3: a row 90 min late (08:59). Spark filters late
+    # rows against the PREVIOUS batch's watermark (so a row arriving in the
+    # same batch that advances the watermark is still admitted) — the
+    # straggler therefore arrives one batch after the advance.
+    df2 = spark.createDataFrame(
+        [(100, "2024-01-01 10:30:00")], "id long, ts_s string"
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    df3 = spark.createDataFrame(
+        [(101, "2024-01-01 08:59:00")], "id long, ts_s string"
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df3.coalesce(1).write.mode("overwrite").parquet(str(src / "f3"))
+    for i, d in enumerate(["f1", "f2", "f3"]):
+        for f in (src / d).glob("*.parquet"):
+            os.utime(f, (time.time() - 30 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").cast("string").alias("ws"), "n")
+    )
+    out_dir = str(tmp_path / "wm_out")
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: df.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    emitted = {r["ws"]: r["n"] for r in spark.read.parquet(out_dir).collect()}
+    # Windows up to 10:05 finalized once the watermark passed; the 08:59
+    # straggler arrived beneath the watermark and was DROPPED — its window
+    # never appears.
+    assert "2024-01-01 08:55:00" not in emitted
+    assert emitted.get("2024-01-01 10:00:00") == 5
