@@ -1,0 +1,394 @@
+"""LLM-training-data pipeline kernels (SURVEY.md §2.2 Q95–Q99).
+
+Reusable column-level kernels for large-scale corpus processing: exact and
+near deduplication (MinHash-LSH, SimHash, n-gram Jaccard), embedding
+similarity search (brute-force and LSH-bucketed ANN), text statistics, and
+multimodal (binary payload) plumbing.
+
+Design rules for 100 TB scale, applied throughout:
+
+- Everything is a composition of JVM-side built-in expressions (higher-order
+  array functions, hash functions) — whole-stage codegen applies; no Python
+  row loop ever touches the hot path. The only Python is (a) constant
+  generation on the driver (permutation coefficients, hyperplanes) and
+  (b) Arrow-batched pandas kernels where per-cell binary decoding is
+  genuinely not expressible (SimHash bit-majority, multimodal decode).
+- Nothing collects to the driver; every kernel is a DataFrame → DataFrame
+  transform that distributes by construction.
+- Candidate generation (LSH bands, sign buckets) turns O(n²) similarity
+  into an equi-join on a bucket key — the shuffle key is the bucket, so
+  Catalyst plans an ordinary shuffled hash join and AQE handles skewed
+  buckets (hot shingles / dense hyperplane cells).
+
+The reference system (elqsar/better-cdc) has no corpus operators — this
+module is the north-star extension mandated by SURVEY.md §2.2; its scalar
+hashing style mirrors the reference's deterministic-ID discipline
+(internal/transformer/transformer.go:75-106: stable IDs from content-free
+metadata so replays collapse; here: stable signatures from content so
+duplicates collapse).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Deterministic constants (seeded on the driver, shipped as literals)
+# ---------------------------------------------------------------------------
+
+# MinHash: 64 universal-hash permutations h_i(x) = (a_i*x + b_i) mod P over a
+# 31-bit Mersenne-prime field. Coefficients < 2^20 so a*h < 2^51 — no int64
+# overflow under Spark 4 ANSI mode.
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+MERSENNE_31 = 2_147_483_647
+
+_rng = random.Random(42)
+PERM_A = [_rng.randrange(1, 1 << 20) for _ in range(MINHASH_PERMS)]
+PERM_B = [_rng.randrange(0, 1 << 20) for _ in range(MINHASH_PERMS)]
+
+# Random-hyperplane LSH for embeddings: 6 planes → 64 sign buckets.
+ANN_PLANES = 6
+ANN_DIM = 64
+_HYPERPLANES = np.random.RandomState(7).randn(ANN_PLANES, ANN_DIM)
+
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_INIT = 7
+ROLLING_HASH_MULT = 31
+
+
+def _int_array_sql(xs: list[int]) -> str:
+    return "array(" + ",".join(f"{x}L" for x in xs) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (pure built-ins)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text_col: str = "text") -> F.Column:
+    """Whitespace tokens. `split` stays inside codegen — no UDF."""
+    return F.split(F.col(text_col), " ")
+
+
+def word_shingles(tokens_expr: str = "w", k: int = 3) -> F.Column:
+    """Distinct k-word shingles from a token-array column (SQL name).
+
+    `transform(sequence(...))` is evaluated per row inside whole-stage
+    codegen; guarded so docs shorter than k yield an empty set rather than
+    an invalid `sequence` range (ANSI mode would throw).
+    """
+    joined = " , ".join(f"{tokens_expr}[i+{j}]" for j in range(k))
+    return F.expr(
+        f"""CASE WHEN size({tokens_expr}) >= {k}
+            THEN array_distinct(transform(sequence(0, size({tokens_expr})-{k}),
+                 i -> concat_ws(' ', {joined})))
+            ELSE CAST(array() AS ARRAY<STRING>) END"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH (built-ins only: xxhash64 + higher-order array functions)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles_expr: str = "shingles") -> F.Column:
+    """64-lane MinHash signature as array<bigint>.
+
+    Each shingle is hashed once with JVM `xxhash64`, reduced into the 31-bit
+    field, then each permutation lane takes the min of (a*h+b) mod P via
+    `aggregate` — all inside codegen, zero Python. At 100 TB this is a
+    narrow map over the corpus; the only shuffle is the band join later.
+    """
+    a = _int_array_sql(PERM_A)
+    b = _int_array_sql(PERM_B)
+    return F.expr(
+        f"""transform(sequence(0, {MINHASH_PERMS - 1}), i ->
+              aggregate(
+                transform({shingles_expr}, s -> pmod(xxhash64(s), {MERSENNE_31}L)),
+                CAST({MERSENNE_31} AS BIGINT),
+                (acc, h) -> least(acc, pmod({a}[i]*h + {b}[i], {MERSENNE_31}L))))"""
+    )
+
+
+def lsh_band_keys(sig_expr: str = "sig") -> F.Column:
+    """Explodeable array of (band, key) structs — banding for the LSH join.
+
+    Docs agreeing on all rows of any band become a candidate pair. The
+    band key is the join/shuffle key: candidate generation is an equi-join,
+    never a cross join.
+    """
+    parts = ", ".join(f"{sig_expr}[{MINHASH_ROWS}*j+{r}]" for r in range(MINHASH_ROWS))
+    return F.expr(
+        f"""transform(sequence(0, {MINHASH_BANDS - 1}), j ->
+              struct(j AS band, concat_ws(':', {parts}) AS key))"""
+    )
+
+
+def shingle_postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) inverted index — the exact-verify building block."""
+    return (
+        docs.select(id_col, tokens().alias("w"))
+        .select(id_col, F.explode(word_shingles("w")).alias("shingle"))
+    )
+
+
+def exact_jaccard_pairs(
+    postings: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-shingle Jaccard over an inverted index (no cross join).
+
+    Self-join on the shingle (shuffle key = shingle) → per-pair intersection
+    counts → |A∪B| from per-doc sizes. Hot shingles are the skew risk at
+    scale — AQE skew-join splits them; a df-cap filter (drop shingles with
+    document frequency above a bound) is the standard recall-neutral
+    mitigation for pathological corpora.
+    """
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a.shingle") == F.col(f"b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b), deduplicated across bands."""
+    sigs = (
+        docs.select(id_col, tokens().alias("w"))
+        .withColumn("shingles", word_shingles("w"))
+        .withColumn("sig", minhash_signature("shingles"))
+        .select(id_col, F.explode(lsh_band_keys("sig")).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Arrow-batched pandas kernel — bit-majority isn't expressible
+# efficiently as a built-in; this is the sanctioned slow path, ~10-100×
+# faster than a row UDF)
+# ---------------------------------------------------------------------------
+
+
+def _stable_token_hash(tok: str) -> int:
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big", signed=False)
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived stable token hash).
+
+    Deterministic across executors (no PYTHONHASHSEED dependence). Returns
+    a signed int64 reinterpretation of the 64-bit fingerprint.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").split(" "):
+            h = np.uint64(_stable_token_hash(tok))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            acc += bits * 2 - 1
+        fp = int(np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0])
+        out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+    return pd.Series(out)
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with 16-bit block keying.
+
+    Pigeonhole: two fingerprints within Hamming distance d ≤ 3 share at
+    least one of four 16-bit blocks exactly; blocking on each quarter turns
+    the all-pairs scan into an equi-join. For d up to `max_hamming` the
+    block join is a high-recall prefilter (exact for d≤3), and every
+    candidate is verified with an exact popcount, so no false positives.
+    """
+    sh = docs.select(id_col, simhash64(F.col("text")).alias("sh"))
+    blocked = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), q -> "
+                "struct(q AS blk, shiftright(sh, q*16) & 65535 AS key))"
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (built-in higher-order fns; strictly sequential
+# double folds so results are bit-identical to a sequential oracle)
+# ---------------------------------------------------------------------------
+
+
+def as_double_vec(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold dot product (deterministic fp order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: F.Column) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def hyperplane_bucket(vec_expr: str = "v") -> F.Column:
+    """Sign-bucket id (0..2^planes-1) from seeded random hyperplanes.
+
+    Hyperplanes are driver-side constants baked into the plan as literals —
+    every executor computes the same bucketing with no broadcast needed.
+    """
+    bits = []
+    for p, plane in enumerate(_HYPERPLANES):
+        arr = "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
+        bits.append(
+            f"(CASE WHEN aggregate(zip_with({vec_expr}, {arr}, (x,y) -> x*y), "
+            f"0.0D, (acc,v) -> acc+v) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return F.expr(" + ".join(bits))
+
+
+def multiprobe_buckets(bucket_expr: str = "bucket") -> F.Column:
+    """The exact bucket plus every Hamming-1 neighbor (probe fan-out)."""
+    flips = ", ".join(
+        f"CAST({bucket_expr} AS INT) ^ {1 << p}" for p in range(ANN_PLANES)
+    )
+    return F.expr(f"array(CAST({bucket_expr} AS INT), {flips})")
+
+
+# ---------------------------------------------------------------------------
+# Text statistics / fingerprinting (pure built-ins)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# Explicit ASCII classes (not \w) so Spark's Java regex and an ANSI-SQL
+# oracle's RE2-style engine agree byte-for-byte.
+PUNCT_RE = "[^A-Za-z0-9_ ]"
+BPE_ISH_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"
+
+
+def rolling_fingerprint(text_col: str = "text") -> F.Column:
+    """Polynomial rolling hash over characters: fold (acc*31 + code) mod p.
+
+    A content fingerprint that any engine can recompute (sequential int64
+    fold) — the corpus analog of the reference's deterministic event IDs.
+    """
+    return F.expr(
+        f"""aggregate(
+              transform(filter(split({text_col}, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)),
+              CAST({ROLLING_HASH_INIT} AS BIGINT),
+              (acc, c) -> pmod(acc * {ROLLING_HASH_MULT} + c, {ROLLING_HASH_MOD}L))"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; decode is stubbed —
+# image/audio libs are not in this container — but the Spark plumbing is
+# real: Arrow-batched mapInPandas over BinaryType)
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+FRAME_BYTES = 256  # deterministic fake "frame" granularity for the stub
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires PIL/opencv, absent in this container."""
+    raise NotImplementedError("image decoding requires an image library at deploy time")
+
+
+def decode_audio(payload: bytes) -> "object":
+    raise NotImplementedError("audio decoding requires an audio library at deploy time")
+
+
+def decode_video_frames(payload: bytes, every_n: int = 30) -> "object":
+    raise NotImplementedError("video decoding requires a video library at deploy time")
+
+
+def extract_payload_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: deterministic features from opaque binary payloads.
+
+    Stands in for decode/resize/frame-sample; the Spark-side contract
+    (BinaryType in, typed struct out, Arrow batching, partition-parallel)
+    is exactly what a real decoder would use — only the per-payload body
+    would change.
+    """
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "mime": pdf["mime"],
+                "n_bytes": n_bytes,
+                "digest": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+                "n_frames": n_bytes // FRAME_BYTES + 1,
+            }
+        )

@@ -1,1 +1,476 @@
-"""LLM-data-pipeline queries (filled by M5)."""
+"""LLM-training-data pipeline queries (SURVEY.md §2.2 Q95–Q99), oracle-paired.
+
+Each query exercises a kernel from ``better_cdc_spark.llmops`` on the
+driver's ``documents`` / ``embeddings`` tables. Deterministic, SQL-
+expressible ops carry a DuckDB oracle (exact dedup, n-gram Jaccard, text
+stats, language-ID, fingerprints, multimodal features, brute-force cosine
+top-k). Randomized-sketch ops (MinHash-LSH, SimHash blocking, hyperplane
+ANN) are rows-only for the driver, but every emitted pair is exact-verified
+inside the query itself (precision 1 by construction) and recall is covered
+by tests/test_llmops.py against the exact queries here.
+
+Scale notes, common to all: documents/embeddings are fact-sized tables
+(100 TB target); every kernel is a narrow map plus at most one equi-join
+whose shuffle key is a content bucket (shingle, LSH band, sign bucket), so
+Catalyst plans ordinary shuffled hash joins and AQE splits skewed buckets.
+Nothing collects to the driver; the only broadcast is an intentionally tiny
+query-vector side in the top-k searches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from better_cdc_spark import llmops
+from better_cdc_spark.io import load_table
+from better_cdc_spark.queries import query
+from better_cdc_spark.session import tune_for_oracle
+
+# ---------------------------------------------------------------------------
+# Q95 — deduplication: exact (hash-groupBy) + content fingerprint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    keyed AS (SELECT doc_id, md5(text) AS content_key FROM corpus)
+    SELECT content_key,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM keyed
+    GROUP BY content_key
+    HAVING COUNT(*) > 1
+    """,
+    tags=("llm", "dedup"),
+)
+def q95_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest doc_id per group.
+
+    The test tables are fully distinct, so the query injects duplicates
+    (every 5th doc re-appended under a shifted id) and then removes them —
+    the same plan that dedups a real crawl. One hash-groupBy = one shuffle
+    on the content key; partial aggregation halves it map-side. At 100 TB
+    use xxhash64 (8-byte key) for the shuffle and keep md5 only when a
+    cryptographic digest must be stored; md5 here because the oracle
+    hash-compares the key itself.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(dupes)
+    return (
+        corpus.withColumn("content_key", F.md5("text"))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "q95_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_concat([CAST(7 AS BIGINT)],
+                           list_transform(string_split_regex(text, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "fingerprint"),
+)
+def q95_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (llmops.rolling_fingerprint).
+
+    A sequential int64 fold over character codes — any engine can recompute
+    it, which is the point: fingerprints written at ingest remain checkable
+    downstream (the corpus analog of the reference's deterministic event
+    IDs, internal/transformer/transformer.go:75-106). Pure codegen map,
+    zero shuffle.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", llmops.rolling_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Q96 — near-dup dedup: exact n-gram Jaccard (oracle) + MinHash-LSH + SimHash
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.2
+
+
+@query(
+    "q96_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def q96_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard similarity pairs (llmops.exact_jaccard_pairs).
+
+    Inverted-index self-join: the shuffle key is the shingle, so there is
+    never a doc×doc cross join. This is the exact-verification ground truth
+    that the MinHash/SimHash sketches approximate. Skew note: at 100 TB a
+    document-frequency cap on hot shingles bounds the worst join group.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = llmops.shingle_postings(docs, "doc_id")
+    return llmops.exact_jaccard_pairs(postings, "doc_id", JACCARD_THRESHOLD)
+
+
+@query("q96_minhash_lsh", tags=("llm", "dedup", "minhash"))
+def q96_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, exact-verified (llmops Q96 scale path).
+
+    shingle → 64-lane minhash (JVM-side higher-order fns, zero Python) →
+    16-band LSH keys → equi-join on (band, key) → exact Jaccard verify of
+    the candidates only. Emitted pairs are guaranteed true positives
+    (jaccard ≥ threshold); recall vs the exact query is probabilistic
+    (tested in tests/test_llmops.py). At 100 TB the exact all-pairs join
+    above is infeasible and THIS is the production plan: candidate
+    generation touches only band-colliding docs.
+
+    Rows-only for the driver: banding recall is seed-dependent, so there is
+    no SQL oracle; precision is 1 by construction.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cands = llmops.minhash_candidate_pairs(docs, "doc_id")
+    exact = q96_ngram_jaccard(spark, sf_dir)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"], "inner")
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("q96_simhash", tags=("llm", "dedup", "simhash"))
+def q96_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by 16-bit-block pigeonhole join (llmops.simhash_near_pairs).
+
+    64-bit fingerprints from an Arrow-batched pandas kernel (the sanctioned
+    slow path — bit-majority over token hashes is not expressible in
+    built-ins), then four 16-bit block keys per doc turn the Hamming search
+    into an equi-join; every candidate is verified with an exact popcount.
+    Rows-only: the fingerprint is implementation-defined, but hamming ≤ 8
+    is exact on the emitted pairs.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return llmops.simhash_near_pairs(docs, "doc_id", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Q97 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+TOPK_QUERIES = 8  # vec_id < 8 are the probe vectors
+TOPK_K = 10
+
+
+@query(
+    "q97_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {TOPK_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id AS nid,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rnk
+        FROM scored
+    )
+    SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "ann"),
+)
+def q97_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over embeddings (llmops dot/l2_norm kernels).
+
+    The probe set is tiny and explicitly broadcast — the corpus side never
+    shuffles; scoring is a narrow map (sequential-fold dot product inside
+    codegen, deterministic fp order), then a per-query top-k window.
+    Ranking is on ROUND(cosine, 6) with vec_id tiebreak so both engines
+    rank identically despite last-ulp fp differences. At 100 TB this exact
+    scan is the recall baseline; q97_ann_lsh is the scale path.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                llmops.dot(F.col("v"), F.col("qv"))
+                / (llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+@query("q97_ann_lsh", tags=("llm", "ann", "lsh"))
+def q97_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (llmops.hyperplane_bucket, multiprobe).
+
+    Corpus vectors get a 6-plane sign bucket (driver-side constant
+    hyperplanes baked into the plan — no broadcast); each probe vector
+    fans out to its bucket plus all Hamming-1 neighbors, and scoring joins
+    on the bucket key only. At 100 TB the bucket join replaces the full
+    scan with ~7/64ths of it per probe — this is the IVF-style scale path.
+    Rows-only: recall is probabilistic (checked vs q97_cosine_topk in
+    tests/test_llmops.py); every returned cosine is exact.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    corpus = emb.withColumn("bucket", llmops.hyperplane_bucket("v"))
+    probes = (
+        corpus.filter(F.col("vec_id") < TOPK_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(llmops.multiprobe_buckets("bucket")).alias("bucket"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                llmops.dot(F.col("v"), F.col("qv"))
+                / (llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q98 — text analysis: stats/quality + language-ID
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "'" + "','".join(llmops.STOPWORDS) + "'"
+
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "und", "das", "ist", "nicht"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+@query(
+    "q98_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '{llmops.BPE_ISH_RE}', 0)) AS n_tokens,
+           length(text) - length(regexp_replace(text, '{llmops.PUNCT_RE}', '', 'g')) AS n_punct,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> list_contains([{_STOP_SQL}], w))) AS n_stop,
+           ROUND(len(list_filter(string_split(lower(text), ' '),
+                                 w -> list_contains([{_STOP_SQL}], w)))
+                 * 1.0 / len(string_split(text, ' ')), 6) AS stop_ratio,
+           ROUND((length(text) - length(regexp_replace(text, '{llmops.PUNCT_RE}', '', 'g')))
+                 * 1.0 / length(text), 6) AS punct_ratio
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q98_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: chars, words, BPE-ish tokens, punctuation,
+    stopword ratio — the standard quality-filter signals for corpus curation.
+
+    Pure built-ins (split / regexp_extract_all / higher-order filter), all
+    inside whole-stage codegen; a narrow map with zero shuffle at any
+    scale. Regexes use explicit ASCII classes so Spark's Java regex and
+    DuckDB's RE2 agree byte-for-byte.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lower_words = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(s) for s in llmops.STOPWORDS])
+    n_stop = F.size(F.filter(lower_words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", llmops.PUNCT_RE, ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.size(F.expr(f"regexp_extract_all(text, '{llmops.BPE_ISH_RE}', 0)")).alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop * F.lit(1.0) / F.size(words), 6).alias("stop_ratio"),
+        F.round(n_punct * F.lit(1.0) / F.length("text"), 6).alias("punct_ratio"),
+    )
+
+
+def _lang_score_sql(words_sql: str, stops: tuple[str, ...]) -> str:
+    lst = "'" + "','".join(stops) + "'"
+    return f"len(list_filter({words_sql}, w -> list_contains([{lst}], w)))"
+
+
+@query(
+    "q98_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql("string_split(lower(text), ' ')", LANG_STOPWORDS['en'])} AS s_en,
+               {_lang_score_sql("string_split(lower(text), ' ')", LANG_STOPWORDS['de'])} AS s_de,
+               {_lang_score_sql("string_split(lower(text), ' ')", LANG_STOPWORDS['es'])} AS s_es,
+               {_lang_score_sql("string_split(lower(text), ' ')", LANG_STOPWORDS['fr'])} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS declared_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           s_en, s_de, s_es, s_fr
+    FROM scored
+    """,
+    tags=("llm", "text", "langid"),
+)
+def q98_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (n-gram heuristic family).
+
+    Scores each document against four language stopword profiles and picks
+    the argmax with a fixed priority order (en > de > es > fr) for
+    deterministic ties. The profiles are plan literals — no broadcast, no
+    shuffle, pure codegen map. A production langid swaps in char-n-gram
+    profiles; the plan shape is identical.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lower_words = F.split(F.lower(F.col("text")), " ")
+
+    def score(stops: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(s) for s in stops])
+        return F.size(F.filter(lower_words, lambda w: F.array_contains(arr, w)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        score(LANG_STOPWORDS["en"]).alias("s_en"),
+        score(LANG_STOPWORDS["de"]).alias("s_de"),
+        score(LANG_STOPWORDS["es"]).alias("s_es"),
+        score(LANG_STOPWORDS["fr"]).alias("s_fr"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), F.lit("de"))
+        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select(
+        "doc_id", "declared_lang", predicted.alias("predicted_lang"),
+        "s_en", "s_de", "s_es", "s_fr",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q99 — multimodal columns: binary payloads + typed metadata via mapInPandas
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99_multimodal",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(octet_length(CAST(text AS BLOB)) // 256 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def q99_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over opaque binary payloads.
+
+    Payloads are synthesized (utf-8 bytes of the text column — the corpus
+    is ASCII so byte length equals char length and md5 agrees with the
+    oracle's VARCHAR md5), tagged with a mime type, and pushed through the
+    Arrow-batched mapInPandas kernel llmops.extract_payload_features. The
+    decode step for real image/audio/video is stubbed (no media libs in
+    this container, llmops.decode_*), but the Spark-side contract —
+    BinaryType in, typed struct out, batch-parallel, zero driver collect —
+    is the production shape.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return payloads.mapInPandas(
+        llmops.extract_payload_features, schema=llmops.MULTIMODAL_FEATURE_SCHEMA
+    )
