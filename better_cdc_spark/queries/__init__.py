@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         cdc_queries,
         llm,
         streaming_q,
+        udf,
     )
 
     return REGISTRY

@@ -301,6 +301,43 @@ def q97_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q96_embedding_neardup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.ev, b.ev) >= 0.4
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def q96_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4).
+
+    Exact all-pairs variant — correct but quadratic, which is fine at this
+    probe size and IS the recall oracle. The 100 TB plan is the same
+    scoring kernel behind the q97_ann_lsh bucket join (prefilter on shared
+    sign-bucket, then exact cosine verify), cutting candidates to a bucket
+    fraction. Sequential-fold dot product keeps fp order deterministic.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = llmops.dot(F.col("va"), F.col("vb")) / (
+        llmops.l2_norm(F.col("va")) * llmops.l2_norm(F.col("vb"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q98 — text analysis: stats/quality + language-ID
 # ---------------------------------------------------------------------------
