@@ -24,11 +24,16 @@ HEADLINE = [
     "q30_grouped_agg_tpch_q1",   # scan-heavy grouped agg
     "q20_inner_join",            # shuffle join
     "q25_broadcast_join",        # broadcast star join
-    "q27_asof_join",             # range join + window
+    "q27_asof_join",             # union-merge as-of join
     "q40_ranking_windows",       # window functions
     "q52_topk_per_group",        # join + topk window
     "q34_having",                # high-cardinality agg
     "q36_stat_aggs",             # stats aggs
+    "qc01_cdc_normalize",        # CDC envelope pipeline (flagship CDC path)
+    "q95_exact_dedup",           # content-hash dedup shuffle
+    "q96_minhash_lsh",           # minhash sigs + LSH band join + verify
+    "q97_cosine_topk",           # embedding scoring + topk window
+    "q98_text_stats",            # regex/higher-order text kernels
 ]
 
 
