@@ -1,0 +1,173 @@
+"""Reusable composite operators the engine adds on top of Spark built-ins.
+
+These are the operators the reference ecosystem (and any 100 TB pipeline)
+needs but Spark does not ship as single calls: as-of joins, per-group top-k,
+and skew-salted joins. Each is a pure DataFrame → DataFrame transform —
+no collect, no RDDs — so Catalyst/AQE still owns physical planning.
+
+The query registry (better_cdc_spark.queries) exercises these against
+DuckDB oracles; this module is the API a user composes directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with right_ts <= left_ts.
+
+    Backward inclusive as-of join (pandas ``merge_asof`` semantics), keyed
+    by ``on``. Implemented as a union-merge: tag both sides, sort each
+    key's combined timeline once, and carry the most recent right payload
+    forward with ``last(ignorenulls=True)``. Left rows with no preceding
+    right row are dropped (inner as-of).
+
+    Scale: ONE shuffle on the key and a per-key sort — linear in
+    |left|+|right|. The naive equi-join + row_number plan materializes
+    O(left_per_key × right_per_key) rows before pruning; this never
+    exceeds its input, so hot keys cannot blow up the intermediate. Ties
+    on the timestamp resolve to the right row (inclusive bound).
+
+    If multiple right rows share (key, right_ts), the carried row is the
+    last in encounter order — deduplicate the right side first for
+    deterministic results (the registry queries pre-aggregate).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    # The matched right timestamp is carried (prefixed) like any payload
+    # column; the left timestamp becomes the merge axis and is re-emitted
+    # under its own name.
+    right_payload = [c for c in right.columns if c not in keys]
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+
+    ts_type = left.schema[left_ts].dataType.simpleString()
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).cast(ts_type).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_payload],
+    )
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *left_payload,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}")
+            for c in right_payload
+        ],
+    )
+    # Right rows sort before left rows at the same instant → inclusive <=.
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = [
+        F.last(f"{right_prefix}{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}")
+        for c in right_payload
+    ]
+    merged = r_tagged.unionByName(l_tagged).select(
+        *keys, "__t", "__is_left", *left_payload, *carried
+    )
+    anchor = f"{right_prefix}{right_payload[0]}" if right_payload else None
+    out = merged.filter(F.col("__is_left") == 1)
+    if anchor is not None:
+        out = out.filter(F.col(anchor).isNotNull())
+    return out.select(
+        *keys,
+        F.col("__t").alias(left_ts),
+        *left_payload,
+        *[f"{right_prefix}{c}" for c in right_payload],
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    order_col: str | Column,
+    k: int,
+    descending: bool = True,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group via a ranking window.
+
+    Always pass a deterministic tiebreak in ``order_col`` (e.g.
+    ``F.struct(F.col("score").desc(), F.col("id"))``-style composite)
+    or include a unique key — row_number over a non-unique ordering is
+    nondeterministic under retries.
+
+    Scale: one shuffle on the group key; Spark's window TopK pushes a
+    per-partition rank limit before the final sort when k is small.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    order = order.desc() if descending else order.asc()
+    w = W.partitionBy(*groups).orderBy(order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed left keys.
+
+    The left side gets a deterministic salt (xxhash64 of the whole row,
+    mod ``num_salts``) so a hot key's rows spread across ``num_salts``
+    shuffle partitions; the right side is replicated once per salt via
+    an exploded literal sequence. Semantically identical to
+    ``left.join(right, on, how)`` for inner/left joins.
+
+    Use when one build-side-small-enough-to-replicate table meets a
+    probe side with pathological key skew that AQE's skew-join split
+    (enabled in session.get_spark) cannot fix — e.g. a single key
+    holding >1/32 of all rows. Replication multiplies the right side
+    ×num_salts: keep the right side small or num_salts modest.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return l_salted.join(r_salted, keys + ["__salt"], how).drop("__salt")
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str | Column,
+    ascending: bool = True,
+) -> DataFrame:
+    """Keep exactly one row per key: the first by ``order_col``.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). One shuffle on the key; the per-key sort is a
+    min-heap of size 1 (row_number + filter fuses into TopK).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    order = order.asc() if ascending else order.desc()
+    w = W.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -510,52 +510,28 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-bucket max, fall back to previous bucket) to bound the intermediate.
     """
     tune_for_oracle(spark)
+    from better_cdc_spark.operators import asof_join
+
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     ev = events.groupBy("user_id", "ts").agg(_d(F.sum(dec("value"))).alias("ev_value"))
     ord_ = orders.groupBy("o_custkey", "o_orderdate").agg(
         _d(F.sum(dec("o_totalprice"))).alias("day_total")
     )
-    # Union-merge as-of: tag both sides, sort each key's timeline once, and
-    # carry the latest order forward with last(ignorenulls). One shuffle on
-    # the key, linear in |events|+|orders| — no per-key fan-out join, so the
-    # intermediate never exceeds the input even for hot keys (the join+
-    # row_number formulation is O(events_per_key × orders_per_key)).
-    ord_tagged = ord_.select(
+    # Union-merge as-of (operators.asof_join): one shuffle on the key,
+    # linear in |events|+|orders| — no per-key fan-out join.
+    right = ord_.select(
         F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("timestamp").alias("ts"),
-        F.lit(None).cast("double").alias("ev_value"),
-        F.col("o_orderdate").alias("ord_date"),
-        F.col("day_total").alias("ord_total"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.col("day_total").alias("total"),
     )
-    ev_tagged = ev.select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        "ts",
-        "ev_value",
-        F.lit(None).cast(ord_.schema["o_orderdate"].dataType.simpleString()).alias("ord_date"),
-        F.lit(None).cast("double").alias("ord_total"),
-    )
-    # Orders sort before events at the same instant (as-of is inclusive: <=).
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("t", "is_event")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    merged = ord_tagged.unionByName(ev_tagged).select(
+    return asof_join(ev, right, on="user_id", left_ts="ts", right_ts="orderdate").select(
         "user_id",
         "ts",
         "ev_value",
-        "is_event",
-        F.last("ord_date", ignorenulls=True).over(w).alias("asof_orderdate"),
-        F.last("ord_total", ignorenulls=True).over(w).alias("asof_total"),
+        F.col("asof_orderdate"),
+        F.col("asof_total").alias("asof_total"),
     )
-    return merged.filter(
-        (F.col("is_event") == 1) & F.col("asof_orderdate").isNotNull()
-    ).select("user_id", "ts", "ev_value", "asof_orderdate", "asof_total")
 
 
 @query(
