@@ -1,0 +1,111 @@
+"""Engine configuration: load from env with defaults, cross-field validation.
+
+R23 parity (internal/config/load.go:13-190, config.go:106-234): the
+reference loads ~30 env vars, applies defaults, and validates cross-field
+invariants — failure policy membership, positive sizes/intervals, subject
+token shape, and the NATS-wildcard check that the DLQ subject space is
+disjoint from the data subject space. The Spark engine keeps the same
+contract with the knobs that still exist here (several reference knobs —
+buffer sizes, async in-flight caps, retry backoff — evaporate into Spark's
+own scheduler/checkpoint machinery, SURVEY.md §4.2).
+
+Env vars use the reference's names where the semantic survives
+(DATABASE_NAME, TABLE_FILTER, BATCH_SIZE, CHECKPOINT_INTERVAL,
+DUPLICATE_WINDOW, FAILURE_POLICY, DLQ_SUBJECT_PREFIX, SUBJECT_PREFIX).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field, replace
+
+from better_cdc_spark.cdc.dlq import POLICIES
+
+_TOKEN_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+_TABLE_RE = re.compile(r"^[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+$")
+
+
+class ConfigError(ValueError):
+    """Invalid engine configuration (reference: Config.Validate errors)."""
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Validated engine settings; construct via load() or directly."""
+
+    database: str = "testdb"
+    # schema.table allowlist; empty = all tables (R4; main.go:174-183)
+    table_filter: tuple[str, ...] = field(default_factory=tuple)
+    subject_prefix: str = "cdc"
+    dlq_subject_prefix: str = "dlq"
+    failure_policy: str = "dlq"  # crash | dlq | skip (config.go:154-164)
+    batch_size: int = 500  # events per flush (config.go:82)
+    checkpoint_interval_s: float = 1.0  # (config.go:87)
+    duplicate_window_s: float = 120.0  # dedup window (config.go:100)
+    max_files_per_trigger: int = 1  # micro-batch rate limit (R19 analog)
+
+    def validate(self) -> "EngineConfig":
+        if not self.database or not _TOKEN_RE.match(self.database):
+            raise ConfigError(f"database must be a bare token, got {self.database!r}")
+        for t in self.table_filter:
+            if not _TABLE_RE.match(t):
+                raise ConfigError(f"table_filter entries must be schema.table, got {t!r}")
+        if self.failure_policy not in POLICIES:
+            raise ConfigError(
+                f"failure_policy must be one of {POLICIES}, got {self.failure_policy!r}"
+            )
+        for name, v in (("batch_size", self.batch_size),
+                        ("max_files_per_trigger", self.max_files_per_trigger)):
+            if v < 1:
+                raise ConfigError(f"{name} must be >= 1, got {v}")
+        for name, v in (("checkpoint_interval_s", self.checkpoint_interval_s),
+                        ("duplicate_window_s", self.duplicate_window_s)):
+            if v < 0:
+                raise ConfigError(f"{name} must be >= 0, got {v}")
+        for name, v in (("subject_prefix", self.subject_prefix),
+                        ("dlq_subject_prefix", self.dlq_subject_prefix)):
+            if not _TOKEN_RE.match(v):
+                raise ConfigError(f"{name} must be a bare subject token, got {v!r}")
+        # The reference validates that DLQ subjects are covered by the stream
+        # but do not collide with data subjects (config.go:188-234). With
+        # subjects "{prefix}.{db}.{schema}.{table}", disjointness reduces to
+        # distinct first tokens.
+        if self.dlq_subject_prefix == self.subject_prefix:
+            raise ConfigError(
+                "dlq_subject_prefix must differ from subject_prefix "
+                f"(both {self.subject_prefix!r}) — DLQ records would collide "
+                "with data subjects"
+            )
+        return self
+
+
+def load(env: dict[str, str] | None = None) -> EngineConfig:
+    """Build an EngineConfig from environment variables + defaults."""
+    e = os.environ if env is None else env
+
+    def get(name: str, default: str) -> str:
+        return e.get(name, default)
+
+    try:
+        cfg = EngineConfig(
+            database=get("DATABASE_NAME", "testdb"),
+            table_filter=tuple(
+                t.strip() for t in get("TABLE_FILTER", "").split(",") if t.strip()
+            ),
+            subject_prefix=get("SUBJECT_PREFIX", "cdc"),
+            dlq_subject_prefix=get("DLQ_SUBJECT_PREFIX", "dlq"),
+            failure_policy=get("FAILURE_POLICY", "dlq"),
+            batch_size=int(get("BATCH_SIZE", "500")),
+            checkpoint_interval_s=float(get("CHECKPOINT_INTERVAL", "1.0")),
+            duplicate_window_s=float(get("DUPLICATE_WINDOW", "120.0")),
+            max_files_per_trigger=int(get("MAX_FILES_PER_TRIGGER", "1")),
+        )
+    except ValueError as exc:  # int()/float() parse failures
+        raise ConfigError(f"malformed numeric env var: {exc}") from exc
+    return cfg.validate()
+
+
+def with_overrides(cfg: EngineConfig, **kwargs) -> EngineConfig:
+    """Functional update + revalidation."""
+    return replace(cfg, **kwargs).validate()

@@ -104,12 +104,16 @@ class CDCStreamPipeline:
 
     # -- lifecycle -------------------------------------------------------
 
-    def start(self):
+    def start(self, observe_metrics: bool = True):
         stream = (
             self.spark.readStream.schema(CHANGE_LOG_SCHEMA)
             .option("maxFilesPerTrigger", self.max_files)
             .json(self.source_dir)
         )
+        if observe_metrics:
+            from better_cdc_spark.metrics import with_stream_metrics
+
+            stream = with_stream_metrics(stream)
         return (
             stream.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_dir)
