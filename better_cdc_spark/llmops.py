@@ -202,6 +202,36 @@ def exact_jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    postings: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-shingle Jaccard for given (doc_a, doc_b) pairs only.
+
+    The candidate-verification kernel: intersection counts come from
+    joining each pair with its doc_a postings and matching doc_b postings
+    on the shingle — work is Σ|A| over candidate pairs, NOT quadratic in
+    the corpus. Use after LSH candidate generation; `exact_jaccard_pairs`
+    is the all-pairs oracle for recall testing only.
+    """
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
+    pa = postings.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    pb = postings.select(F.col(id_col).alias("__doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.join(pa, "doc_a")
+        .join(pb, (F.col("doc_b") == F.col("__doc_b")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
 def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b), deduplicated across bands."""
     sigs = (

@@ -166,11 +166,11 @@ def q96_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
     cands = llmops.minhash_candidate_pairs(docs, "doc_id")
-    exact = q96_ngram_jaccard(spark, sf_dir)
-    return (
-        cands.join(exact, ["doc_a", "doc_b"], "inner")
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # Verify ONLY the candidates (work ∝ Σ|shingles| over candidate pairs)
+    # — never the all-pairs oracle, which exists for recall testing.
+    postings = llmops.shingle_postings(docs, "doc_id")
+    verified = llmops.jaccard_for_pairs(postings, cands, "doc_id")
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query("q96_simhash", tags=("llm", "dedup", "simhash"))
