@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for composite operators.
+
+Goes beyond the reference's table-driven style (SURVEY §5.1 notes it has no
+property testing): random inputs against independent reference
+implementations — pandas merge_asof for the as-of join, a brute-force
+Python Jaccard for the candidate-verification kernel.
+
+Spark round-trips are expensive, so examples are few but each is a full
+randomized scenario; deadline is disabled (JVM warmup skews timing).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from better_cdc_spark import llmops
+from better_cdc_spark import operators as ops
+
+KEYS = ["a", "b", "c"]
+
+event_lists = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 50), st.integers(0, 999)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left_rows=event_lists, right_rows=event_lists)
+def test_asof_join_agrees_with_pandas_merge_asof(spark, left_rows, right_rows):
+    # de-dup (key, t) so the as-of winner is well-defined on both engines
+    left_rows = list({(k, t): (k, t, v) for k, t, v in left_rows}.values())
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+
+    left = spark.createDataFrame(left_rows, "k string, t long, lv long")
+    right = spark.createDataFrame(right_rows, "k string, t long, rv long")
+    got = {
+        (r.k, r.t, r.lv, r.asof_t, r.asof_rv)
+        for r in ops.asof_join(left, right, on="k", left_ts="t", right_ts="t").collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "lv"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "rv"]).sort_values("t")
+    rp["rt"] = rp["t"]
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    exp = exp.dropna(subset=["rv"])
+    expected = {
+        (r.k, int(r.t), int(r.lv), int(r.rt), int(r.rv)) for r in exp.itertuples()
+    }
+    assert got == expected
+
+
+def _py_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=5, max_size=40).map(
+        lambda s: " ".join(s.split()) or "a a a"
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_txt=texts)
+def test_jaccard_for_pairs_matches_python(spark, docs_txt):
+    rows = [(i, t) for i, t in enumerate(docs_txt) if len(t.split(" ")) >= 3]
+    assume(len(rows) >= 2)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = llmops.shingle_postings(docs, "doc_id")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, _ in rows for b, _ in rows if a < b], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in llmops.jaccard_for_pairs(postings, pairs, "doc_id").collect()
+    }
+    txt = dict(rows)
+    for (a, b), jac in got.items():
+        assert jac == pytest.approx(_py_jaccard(txt[a], txt[b]), abs=1e-6)
+    # pairs with zero intersection are absent from the output by design
+    for a, _ in rows:
+        for b, _ in rows:
+            if a < b and (a, b) not in got:
+                assert _py_jaccard(txt[a], txt[b]) == 0.0
