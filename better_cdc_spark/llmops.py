@@ -334,6 +334,64 @@ def simhash_near_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    cluster_id is the minimum doc id reachable through the pair graph, so
+    every duplicate cluster keeps exactly one canonical representative
+    (its smallest id) — the standard final step of corpus near-dedup.
+
+    Iterative min-label propagation: each round joins every node's current
+    label with its neighbors' and keeps the minimum, converging in
+    O(graph diameter) rounds (near-dup graphs are shallow — chains longer
+    than a few hops are rare). Each round is one shuffle join + one
+    aggregate; `localCheckpoint` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1 (the standard Spark iterative-algorithm
+    discipline). Raises if the diameter exceeds max_iterations rather
+    than returning wrong labels.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iterations} iterations")
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity (built-in higher-order fns; strictly sequential
 # double folds so results are bit-identical to a sequential oracle)

@@ -468,6 +468,143 @@ def q98_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q94 — composition: end-to-end curation pipeline + dedup clustering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_dedup_clusters",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.node
+        ) SELECT node, label FROM r
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("llm", "dedup", "clusters"),
+)
+def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs (llmops.dedup_clusters).
+
+    Iterative min-label propagation on the Jaccard pair graph — each round
+    one shuffle join + aggregate, lineage truncated per round; converges in
+    O(component diameter). The oracle recomputes the same fixpoint with a
+    recursive CTE, so the cluster labels (min reachable doc_id) are
+    hash-checked exactly. At 100 TB this is the canonical-representative
+    step after LSH dedup; rounds stay cheap because near-dup graphs are
+    shallow.
+    """
+    tune_for_oracle(spark)
+    pairs = q96_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return llmops.dedup_clusters(pairs)
+
+
+@query(
+    "q94_curation_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 5 = 0
+    ),
+    quality AS (
+        SELECT doc_id, text, lang, len(string_split(text, ' ')) AS n_words
+        FROM corpus
+        WHERE len(string_split(text, ' ')) >= 10
+    ),
+    exact_kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    kept AS (
+        SELECT q.* FROM quality q JOIN exact_kept USING (doc_id)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM kept)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near_dropped AS (
+        SELECT DISTINCT doc_b AS doc_id FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+    )
+    SELECT k.doc_id, k.lang, k.n_words
+    FROM kept k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    """,
+    tags=("llm", "pipeline"),
+)
+def q94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality filter → exact dedup → near-dedup.
+
+    The composition a training-data pipeline runs nightly, on a corpus with
+    injected duplicates: (1) drop docs under 10 words (q98-style quality
+    gate), (2) exact dedup keeping the smallest doc_id per content hash,
+    (3) near-dedup dropping the greater doc of every Jaccard ≥ 0.6 pair
+    (greedy keep-lowest). Every stage is a narrow map or a bucket-keyed
+    equi-join/agg — the composed plan has no step that breaks at 100 TB;
+    in production stage (3)'s pair source is the LSH candidates
+    (q96_minhash_lsh) instead of the exact join used here for oracle
+    checkability.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(dupes)
+
+    quality = corpus.withColumn("n_words", F.size(F.split("text", " "))).filter(
+        F.col("n_words") >= 10
+    )
+    exact_kept = quality.groupBy(F.md5("text").alias("__k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = quality.join(exact_kept.select("doc_id"), "doc_id")
+
+    postings = llmops.shingle_postings(kept, "doc_id")
+    near = llmops.exact_jaccard_pairs(postings, "doc_id", threshold=0.6)
+    dropped = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return kept.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "n_words")
+
+
+# ---------------------------------------------------------------------------
 # Q99 — multimodal columns: binary payloads + typed metadata via mapInPandas
 # ---------------------------------------------------------------------------
 

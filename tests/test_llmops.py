@@ -118,3 +118,21 @@ def test_simhash_deterministic_across_runs(spark, docs):
     a = docs.select("doc_id", llmops.simhash64(F.col("text")).alias("sh")).toPandas()
     b = docs.select("doc_id", llmops.simhash64(F.col("text")).alias("sh")).toPandas()
     assert a.sort_values("doc_id").sh.tolist() == b.sort_values("doc_id").sh.tolist()
+
+
+def test_dedup_clusters_on_known_graph(spark):
+    """Chain, triangle, isolated pair → min-label components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain: all label 1
+         (10, 11), (11, 12), (10, 12),  # triangle: label 10
+         (20, 21)],                   # pair: label 20
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in llmops.dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
