@@ -34,6 +34,7 @@ HEADLINE = [
     "q96_minhash_lsh",           # minhash sigs + LSH band join + verify
     "q97_cosine_topk",           # embedding scoring + topk window
     "q98_text_stats",            # regex/higher-order text kernels
+    "q94_curation_pipeline",     # composed quality->dedup->near-dedup flow
 ]
 
 

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from better_cdc_spark.cdc.normalize import normalize_changelog
+from better_cdc_spark.config import EngineConfig
 from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
 
 
@@ -54,7 +55,14 @@ class CDCStreamPipeline:
         database: str = "testdb",
         allowlist: list[str] | None = None,
         max_files_per_trigger: int = 1,
+        config: "EngineConfig | None" = None,
     ) -> None:
+        if config is not None:
+            # R23 integration: a validated EngineConfig supplies the knobs;
+            # explicit kwargs above win only when config is not given.
+            database = config.database
+            allowlist = list(config.table_filter) or allowlist
+            max_files_per_trigger = config.max_files_per_trigger
         self.spark = spark
         self.source_dir = source_dir
         self.database = database

@@ -55,3 +55,21 @@ def test_with_overrides_revalidates():
     assert with_overrides(cfg, batch_size=10).batch_size == 10
     with pytest.raises(ConfigError):
         with_overrides(cfg, failure_policy="nope")
+
+
+def test_pipeline_accepts_engine_config(spark, tmp_path):
+    from better_cdc_spark.streaming.pipeline import CDCStreamPipeline
+
+    cfg = load(
+        env={
+            "DATABASE_NAME": "proddb",
+            "TABLE_FILTER": "public.users",
+            "MAX_FILES_PER_TRIGGER": "3",
+        }
+    )
+    pipe = CDCStreamPipeline(
+        spark, str(tmp_path / "src"), str(tmp_path / "work"), config=cfg
+    )
+    assert pipe.database == "proddb"
+    assert pipe.allowlist == ["public.users"]
+    assert pipe.max_files == 3
