@@ -13,3 +13,4 @@ from better_cdc_spark.cdc.changelog import (  # noqa: F401
 )
 from better_cdc_spark.cdc.normalize import normalize_changelog  # noqa: F401
 from better_cdc_spark.cdc.dlq import route_failures  # noqa: F401
+from better_cdc_spark.cdc.serialize import marshal_cdc_event  # noqa: F401

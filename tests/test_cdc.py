@@ -173,3 +173,41 @@ def test_crash_policy_raises(dlq_input):
     ev, payload = dlq_input
     with pytest.raises(PermanentPublishError):
         route_failures(ev, F.octet_length(payload) > 50, F.lit("e"), payload, policy="crash")
+
+
+def test_marshal_cdc_event_reference_shape(spark):
+    """R20: publish payload matches Go json.Marshal(CDCEvent) byte layout.
+
+    Field order = events.go:104-119 declaration order; omitempty drops the
+    empty DDL maps; timestamps RFC3339 'Z'; txid is a bare number.
+    """
+    import json
+
+    from better_cdc_spark.cdc.serialize import marshal_cdc_event
+
+    rows = [
+        (1, "0/16A1B8", "B", 42, None, None, None, None, None),
+        (2, "0/16A1B8", "I", 42, None, "public", "users",
+         [col_entry("id", "bigint", "1"), col_entry("email", "text", "a@b.c")], None),
+        (3, "0/16A1B8", "T", 42, None, "public", "users", None, None),
+        (4, "0/16A1B8", "C", 42, TS, None, None, None, None),
+    ]
+    envelope = normalize_changelog(make_changelog(spark, rows), database="testdb")
+    out = marshal_cdc_event(envelope)
+    docs = [json.loads(r["value"]) for r in out.collect()]
+    assert docs, "no events serialized"
+    for doc in docs:
+        expected_keys = [
+            "event_id", "event_type", "source", "timestamp", "commit_time",
+            "lsn", "txid", "schema", "table", "operation",
+        ]
+        assert list(doc.keys())[: len(expected_keys)] == expected_keys
+        assert isinstance(doc["txid"], int)
+        if doc["operation"] == "DDL":
+            # omitempty: empty images are ABSENT, not {} (Go omits len-0 maps)
+            assert "before" not in doc and "after" not in doc
+        if doc["operation"] == "INSERT":
+            assert "after" in doc and "before" not in doc
+            assert doc["after"] == {"id": "1", "email": "a@b.c"}
+        ts = doc["commit_time"]
+        assert ts.endswith("Z") and "." not in ts  # RFC3339, whole seconds
