@@ -39,6 +39,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from better_cdc_spark.cdc.normalize import normalize_changelog
 from better_cdc_spark.config import EngineConfig
 from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
@@ -68,8 +70,12 @@ class CDCStreamPipeline:
         self.database = database
         self.allowlist = allowlist
         self.max_files = max_files_per_trigger
+        # Decode-error policy: reference default is FATAL on undecodable
+        # input (engine.go:183-200); config.failure_policy relaxes it.
+        self.decode_policy = config.failure_policy if config is not None else "crash"
         self.sink_dir = os.path.join(work_dir, "sink")
         self.pending_dir = os.path.join(work_dir, "pending")
+        self.decode_dlq_dir = os.path.join(work_dir, "decode_dlq")
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
 
     # -- state-store helpers (parquet-backed carry-over tables) ----------
@@ -84,8 +90,34 @@ class CDCStreamPipeline:
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = self.spark
-        # Carry over pending (uncommitted) rows from previous batches and
-        # materialize the combined working set once.
+        # Materialize the micro-batch ONCE before any branching — every
+        # downstream consumer reads the checkpointed data, so the observe()
+        # metrics node fires exactly once per batch and the source is never
+        # re-scanned.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # Decode-error policy (reference: decode failures are FATAL —
+        # wal2json.go:69-74, asserted by wal2json_test.go:14 — or routed to
+        # quarantine under policy=dlq). Corrupt JSON lines are captured by
+        # PERMISSIVE mode into _corrupt_record; a changelog row without a
+        # recognizable action is undecodable by definition.
+        if "_corrupt_record" in batch_df.columns:
+            corrupt = batch_df.filter(F.col("_corrupt_record").isNotNull())
+            n_bad = corrupt.limit(1).count()
+            if n_bad:
+                if self.decode_policy == "crash":
+                    bad = corrupt.select("_corrupt_record").first()[0]
+                    raise ValueError(f"undecodable changelog record: {bad[:200]!r}")
+                if self.decode_policy == "dlq":
+                    corrupt.select(
+                        F.col("_corrupt_record").alias("payload_prefix")
+                    ).withColumn("quarantined_at", F.current_timestamp()).write.mode(
+                        "append"
+                    ).parquet(self.decode_dlq_dir)
+                # dlq and skip both continue with the decodable rows
+            batch_df = batch_df.filter(F.col("_corrupt_record").isNull()).drop(
+                "_corrupt_record"
+            )
+        # Carry over pending (uncommitted) rows from previous batches.
         pending = self._read_or_empty(self.pending_dir, batch_df)
         work = batch_df.unionByName(pending).localCheckpoint(eager=True)
 
@@ -113,9 +145,14 @@ class CDCStreamPipeline:
     # -- lifecycle -------------------------------------------------------
 
     def start(self, observe_metrics: bool = True):
+        ingest_schema = T.StructType(
+            CHANGE_LOG_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+        )
         stream = (
-            self.spark.readStream.schema(CHANGE_LOG_SCHEMA)
+            self.spark.readStream.schema(ingest_schema)
             .option("maxFilesPerTrigger", self.max_files)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(self.source_dir)
         )
         if observe_metrics:

@@ -200,3 +200,53 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # never appears.
     assert "2024-01-01 08:55:00" not in emitted
     assert emitted.get("2024-01-01 10:00:00") == 5
+
+
+def _write_with_corrupt_line(tmp_path):
+    src = tmp_path / "csrc"
+    src.mkdir()
+    now = time.time()
+    rows = [
+        _marker(1, "0/A0", "B", 100),
+        _data_row(2, "0/A0", "I", 100, cols=_cols(1)),
+        _marker(3, "0/A0", "C", 100, TS),
+    ]
+    with open(src / "001.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{this is not json\n")
+    os.utime(src / "001.json", (now - 10, now - 10))
+    return str(src)
+
+
+def test_decode_error_is_fatal_by_default(spark, tmp_path):
+    """Reference parity: undecodable input kills the query (wal2json_test.go:14)."""
+    src = _write_with_corrupt_line(tmp_path)
+    pipe = CDCStreamPipeline(spark, src, str(tmp_path / "cwork"))
+    with pytest.raises(Exception, match="undecodable changelog record"):
+        pipe.run_available()
+
+
+def test_decode_error_quarantined_under_dlq_policy(spark, tmp_path):
+    from better_cdc_spark.config import load
+
+    src = _write_with_corrupt_line(tmp_path)
+    cfg = load(env={"FAILURE_POLICY": "dlq"})
+    pipe = CDCStreamPipeline(spark, src, str(tmp_path / "dwork"), config=cfg)
+    pipe.run_available()
+    # good rows still flowed to the sink; the bad line is quarantined
+    assert pipe.sink().count() == 1
+    dlq = spark.read.parquet(pipe.decode_dlq_dir)
+    assert dlq.count() == 1
+    assert "{this is not json" in dlq.first()["payload_prefix"]
+
+
+def test_decode_error_dropped_under_skip_policy(spark, tmp_path):
+    from better_cdc_spark.config import load
+
+    src = _write_with_corrupt_line(tmp_path)
+    cfg = load(env={"FAILURE_POLICY": "skip"})
+    pipe = CDCStreamPipeline(spark, src, str(tmp_path / "swork"), config=cfg)
+    pipe.run_available()
+    assert pipe.sink().count() == 1
+    assert not os.path.exists(pipe.decode_dlq_dir)
