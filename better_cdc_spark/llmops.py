@@ -430,12 +430,26 @@ def hyperplane_bucket(vec_expr: str = "v") -> F.Column:
     return F.expr(" + ".join(bits))
 
 
-def multiprobe_buckets(bucket_expr: str = "bucket") -> F.Column:
-    """The exact bucket plus every Hamming-1 neighbor (probe fan-out)."""
-    flips = ", ".join(
-        f"CAST({bucket_expr} AS INT) ^ {1 << p}" for p in range(ANN_PLANES)
-    )
-    return F.expr(f"array(CAST({bucket_expr} AS INT), {flips})")
+def multiprobe_buckets(bucket_expr: str = "bucket", radius: int = 1) -> F.Column:
+    """The exact bucket plus every neighbor within Hamming `radius`.
+
+    Probe fan-out controls the recall/cost dial: radius 1 scans
+    (1+planes)/2^planes of the corpus per probe (7/64 here), radius 2 adds
+    the C(planes,2) two-bit flips (22/64). Buckets are plan literals, so
+    widening the radius changes only the explode width — the join stays an
+    equi-join on the bucket key.
+    """
+    if radius not in (1, 2):
+        raise ValueError(f"radius must be 1 or 2, got {radius}")
+    probes = [f"CAST({bucket_expr} AS INT)"]
+    probes += [f"CAST({bucket_expr} AS INT) ^ {1 << p}" for p in range(ANN_PLANES)]
+    if radius >= 2:
+        probes += [
+            f"CAST({bucket_expr} AS INT) ^ {(1 << p) | (1 << q)}"
+            for p in range(ANN_PLANES)
+            for q in range(p + 1, ANN_PLANES)
+        ]
+    return F.expr("array(" + ", ".join(probes) + ")")
 
 
 # ---------------------------------------------------------------------------

@@ -728,6 +728,33 @@ def q33b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q33c_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+           COALESCE(o_orderpriority, '<all>') AS orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q33c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL — the third Q33 variant beside
+    rollup/cube; an arbitrary set list neither of those can express."""
+    tune_for_oracle(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bcs_q33c_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+               COALESCE(o_orderpriority, '<all>') AS orderpriority,
+               COUNT(*) AS n_orders
+        FROM bcs_q33c_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
     "q34_having",
     oracle="""
     SELECT l_partkey,

@@ -136,3 +136,25 @@ def test_dedup_clusters_on_known_graph(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_multiprobe_radius_two_improves_recall(spark):
+    """Widening the probe radius must not lose pairs and should find more."""
+    from better_cdc_spark.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    corpus = emb.withColumn("bucket", llmops.hyperplane_bucket("v"))
+
+    def probe_pairs(radius):
+        probes = corpus.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("qid"),
+            F.explode(llmops.multiprobe_buckets("bucket", radius=radius)).alias("bucket"),
+        )
+        hit = corpus.join(probes, "bucket").filter(F.col("vec_id") != F.col("qid"))
+        return {(r.qid, r.vec_id) for r in hit.select("qid", "vec_id").distinct().collect()}
+
+    r1, r2 = probe_pairs(1), probe_pairs(2)
+    assert r1 <= r2
+    assert len(r2) > len(r1)
