@@ -102,6 +102,38 @@ def q95_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", llmops.rolling_fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "q95_split_assignment",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 2) < 'c0' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < 'e0' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("llm", "sampling"),
+)
+def q95_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~75/12.5/12.5).
+
+    Splits key on a hash OF THE CONTENT, not rand() or row position, so
+    assignment is stable under re-sharding, replays, and corpus growth —
+    a document never migrates between splits, and exact duplicates land
+    in the same split (no train/test leakage through dupes). Narrow
+    codegen map, zero shuffle at any scale.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5("text"), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(prefix < "c0", "train")
+        .when(prefix < "e0", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q96 — near-dup dedup: exact n-gram Jaccard (oracle) + MinHash-LSH + SimHash
 # ---------------------------------------------------------------------------

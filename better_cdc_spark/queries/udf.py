@@ -210,6 +210,9 @@ def q93_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JVM; the point here is the Python UDTF surface itself.
     """
     tune_for_oracle(spark)
+    # Arrow-optimized UDTF evaluation (Spark 4): batches rows over Arrow
+    # instead of pickling row-at-a-time.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     from pyspark.sql.functions import udtf
 
