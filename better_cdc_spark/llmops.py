@@ -510,6 +510,52 @@ def decode_video_frames(payload: bytes, every_n: int = 30) -> "object":
     raise NotImplementedError("video decoding requires a video library at deploy time")
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def sample_frames(every_n: int = 2):
+    """mapInPandas kernel factory: payload → one row per sampled frame.
+
+    The video frame-sampling plumbing (decode_video_frames stands in for
+    the codec): each FRAME_BYTES-sized slice of the payload is a "frame";
+    every_n-th frame is emitted as its own row with a digest. One input
+    row fans out to many output rows entirely inside the executor — the
+    Python-side analog of explode, with Arrow batching both directions.
+    At 100 TB fan-out multiplies rows, not bytes read; repartition the
+    output on doc_id before shuffling wide downstream ops.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_bytes, out_dig = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = len(data) // FRAME_BYTES + 1
+                for i in range(0, n_frames, every_n):
+                    frame = data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_bytes.append(frame)
+                    out_dig.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "frame_bytes": out_bytes,
+                    "frame_digest": out_dig,
+                }
+            )
+
+    return kernel
+
+
 def extract_payload_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: deterministic features from opaque binary payloads.
 

@@ -680,3 +680,32 @@ def q99_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         llmops.extract_payload_features, schema=llmops.MULTIMODAL_FEATURE_SCHEMA
     )
+
+
+@query(
+    "q99_frame_sampling",
+    oracle="""
+    WITH payload AS (
+        SELECT doc_id, text AS p,
+               length(text) // 256 + 1 AS n_frames
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, (i - 1) * 2 AS frame_idx,
+           md5(substr(p, (i - 1) * 2 * 256 + 1, 256)) AS frame_digest
+    FROM payload, unnest(generate_series(1, (n_frames + 1) // 2)) AS t(i)
+    """,
+    tags=("llm", "multimodal", "frames"),
+)
+def q99_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one payload row fans out to every 2nd frame row.
+
+    Exercises llmops.sample_frames — the mapInPandas explode pattern a
+    video pipeline uses (decode stubbed; slicing + digesting is real).
+    The oracle recomputes the same slices with substr on the blob. Output
+    drops frame_bytes for the compare (digest proves content identity).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = payloads.mapInPandas(llmops.sample_frames(every_n=2), schema=llmops.FRAME_SCHEMA)
+    return frames.select("doc_id", "frame_idx", "frame_digest")
