@@ -453,6 +453,81 @@ def multiprobe_buckets(bucket_expr: str = "bucket", radius: int = 1) -> F.Column
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cell-bucketed search
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_TRAIN_SAMPLE = 4096
+IVF_ITERS = 10
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    n_centroids: int = IVF_CENTROIDS,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_ITERS,
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer trained on a bounded sample.
+
+    The ONE sanctioned driver-side collect in this module: a fixed-size
+    training sample (smallest ids — deterministic) is k-means'd in numpy.
+    The result is a (k, dim) float64 model a few KB large — like the
+    hyperplanes, it ships to executors as a constant; the corpus itself
+    never leaves the cluster. Init = first k sample points, fixed
+    iteration count, float64 → bit-reproducible across runs.
+    """
+    rows = emb.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    centroids = X[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_cell_assigner(centroids: np.ndarray):
+    """pandas UDF: embedding → nearest-centroid cell id (int).
+
+    Arrow-batched argmin over the broadcast-as-closure centroid matrix —
+    a narrow map over the corpus, computed once at index-build time and
+    persisted alongside the vectors in production.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_probe_cells(centroids: np.ndarray, n_probe: int = 4):
+    """pandas UDF: probe embedding → array of the n_probe nearest cell ids."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probes
+
+
+# ---------------------------------------------------------------------------
 # Text statistics / fingerprinting (pure built-ins)
 # ---------------------------------------------------------------------------
 

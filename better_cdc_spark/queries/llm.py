@@ -370,6 +370,54 @@ def q96_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q97_ann_ivf", tags=("llm", "ann", "ivf"))
+def q97_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer + cell-bucket join.
+
+    The second ANN family beside hyperplane-LSH: a 16-cell quantizer is
+    trained deterministically on a bounded driver-side sample (the model
+    is KB-sized; the corpus never collects), every corpus vector gets its
+    nearest cell (Arrow-batched argmin), and each probe fans out to its 4
+    nearest cells — scoring joins on the cell id only, scanning ~4/16 of
+    the corpus per probe. Rows-only: recall is probabilistic (tested vs
+    q97_cosine_topk); every returned cosine is exact.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    centroids = llmops.train_ivf_centroids(emb)
+    corpus = emb.withColumn("cell", llmops.ivf_cell_assigner(centroids)(F.col("v")))
+    probes = (
+        corpus.filter(F.col("vec_id") < TOPK_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(llmops.ivf_probe_cells(centroids, n_probe=4)(F.col("v"))).alias("cell"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                llmops.dot(F.col("v"), F.col("qv"))
+                / (llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q98 — text analysis: stats/quality + language-ID
 # ---------------------------------------------------------------------------

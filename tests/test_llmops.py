@@ -158,3 +158,23 @@ def test_multiprobe_radius_two_improves_recall(spark):
     r1, r2 = probe_pairs(1), probe_pairs(2)
     assert r1 <= r2
     assert len(r2) > len(r1)
+
+
+def test_ivf_recall_and_exactness_vs_brute_force(spark):
+    """IVF ANN: deterministic quantizer, exact cosines, recall >= floor.
+
+    Measured ~0.83 at sf0.001 with 4/16 cells probed (k-means cells track
+    the label clusters in the embeddings); 0.6 leaves margin.
+    """
+    bf = REGISTRY["q97_cosine_topk"].fn(spark, SF_SMOKE).toPandas()
+    ivf = REGISTRY["q97_ann_ivf"].fn(spark, SF_SMOKE).toPandas()
+    assert (ivf.rnk <= 10).all()
+    truth = set(zip(bf.qid, bf.nid))
+    got = set(zip(ivf.qid, ivf.nid))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"ivf recall {recall}"
+    merged = bf.merge(ivf, on=["qid", "nid"], suffixes=("_bf", "_ivf"))
+    assert (merged.cosine_bf == merged.cosine_ivf).all()
+    # determinism: two runs produce identical results
+    again = REGISTRY["q97_ann_ivf"].fn(spark, SF_SMOKE).toPandas()
+    assert got == set(zip(again.qid, again.nid))
