@@ -19,6 +19,8 @@ driver-side collects, pushdown-friendly filters.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -447,6 +449,64 @@ def q25_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             _d(F.sum(dec("c_acctbal"))).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "q25b_bucketed_join",
+    oracle="""
+    SELECT o.o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_custkey
+    """,
+    tags=("join", "bucketed"),
+)
+def q25b_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables.
+
+    Both sides are written `bucketBy(8, key)` into the warehouse once,
+    then joined: output partitioning of the scans already satisfies the
+    join's distribution, so the plan has NO Exchange on either side —
+    at 100 TB this converts every recurring fact-fact join on the bucket
+    key from a full shuffle into a local zip of pre-sorted buckets. The
+    one-time bucketing cost amortizes across every downstream join/agg
+    on that key. (Sort-merge join is forced here because broadcast would
+    hide the bucketing; at real scale neither side broadcasts anyway.)
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sfx = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    t_orders, t_cust = f"bcs_orders_b{sfx}", f"bcs_cust_b{sfx}"
+    for name, df, key in ((t_orders, orders, "o_custkey"), (t_cust, cust, "c_custkey")):
+        if not spark.catalog.tableExists(name):
+            # A fresh (in-memory) catalog may still find this table's
+            # directory left over from a previous session — saveAsTable
+            # refuses to reuse an existing managed location, so clear it.
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            stale = os.path.join(warehouse, name)
+            if os.path.exists(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust).filter(F.col("c_mktsegment") == "BUILDING")
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _d(F.sum(dec("o_totalprice"))).alias("sum_total"),
         )
     )
 
