@@ -1,0 +1,68 @@
+"""Physical-plan regression tests — lock in the PLANS.md claims.
+
+A plan that silently regresses (lost pushdown, a new shuffle, a join
+degenerating to a product) passes value-level tests while destroying
+100 TB viability; these assertions catch that class of regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from better_cdc_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, name):
+    # default metadata string cap (100) elides PushedFilters/ReadSchema
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_scan_pushes_filters_and_prunes_columns(spark):
+    plan = plan_of(spark, "q01_parquet_scan")
+    assert "PushedFilters: [" in plan and "GreaterThan(l_extendedprice" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema  # pruned
+    assert all(c in read_schema for c in
+               ("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"))
+
+
+def test_q25_dimensions_are_broadcast(spark):
+    plan = plan_of(spark, "q25_broadcast_join")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q25b_bucketed_join_has_no_exchange(spark):
+    plan = plan_of(spark, "q25b_bucketed_join")
+    join_subtree = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_subtree, "bucketed join must not shuffle"
+
+
+def test_q98_text_stats_is_shuffle_free(spark):
+    plan = plan_of(spark, "q98_text_stats")
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q96_minhash_lsh", "q96_simhash", "q96_ngram_jaccard", "q94_curation_pipeline"],
+)
+def test_similarity_kernels_never_plan_product_joins(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signatures_partially_aggregate(spark):
+    from better_cdc_spark import llmops
+    from better_cdc_spark.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = llmops.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    # partial_min on the map side → the shuffle carries pre-reduced rows
+    assert "partial_min" in plan
