@@ -547,6 +547,42 @@ def q98_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q95_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(text), 1, 2) <
+          CASE lang WHEN 'en' THEN '40'
+                    WHEN 'de' THEN '80'
+                    WHEN 'fr' THEN '80'
+                    WHEN 'es' THEN '80'
+                    ELSE 'c0' END
+    """,
+    tags=("llm", "sampling"),
+)
+def q95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates.
+
+    Downsamples over-represented strata (en at 25%, European languages at
+    50%, the rest at 75%) — the language-balancing step of corpus mixing.
+    Keyed on a content hash, not rand(): the sample is reproducible,
+    stable under re-sharding, and consistent for duplicate texts. The
+    rate table is a plan literal (CASE), so this stays a narrow
+    zero-shuffle map; changing the mix is a constant edit, not a reshuffle.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("lang") == "en", "40")
+        .when(F.col("lang").isin("de", "fr", "es"), "80")
+        .otherwise("c0")
+    )
+    return docs.filter(F.substring(F.md5("text"), 1, 2) < threshold).select(
+        "doc_id", "lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q94 — composition: end-to-end curation pipeline + dedup clustering
 # ---------------------------------------------------------------------------
