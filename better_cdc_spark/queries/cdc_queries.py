@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from better_cdc_spark.cdc import (
+    apply_changelog,
     normalize_changelog,
     synthesize_changelog_from_orders,
 )
@@ -205,6 +206,90 @@ def qc03_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_cap=36,
     )
     return dlq
+
+
+@query(
+    "qc05_merge_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), versions AS (
+      SELECT b.id,
+             b.status || '-' || CAST(t.v AS VARCHAR) AS status,
+             b.cents + t.v AS total_cents,
+             CASE WHEN t.v < CASE WHEN b.id % 4 = 0 THEN 2 ELSE 1 END THEN 'INSERT'
+                  WHEN b.id % 10 < 6 THEN 'INSERT'
+                  WHEN b.id % 10 < 9 THEN 'UPDATE'
+                  ELSE 'DELETE' END AS operation,
+             t.v AS commit_seq
+      FROM base b JOIN (VALUES (1), (2)) AS t(v)
+        ON t.v = 1 OR b.id % 4 = 0
+    ), latest AS (
+      SELECT id, status, total_cents, operation
+      FROM versions
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY commit_seq DESC) = 1
+    ), snapshot AS (
+      SELECT o_orderkey AS id, 'SNAP' AS status, CAST(0 AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT s.id, s.status, s.total_cents
+    FROM snapshot s LEFT JOIN latest l USING (id) WHERE l.id IS NULL
+    UNION ALL
+    SELECT id, status, total_cents FROM latest WHERE operation <> 'DELETE'
+    """,
+    tags=("cdc", "merge"),
+)
+def qc05_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side MERGE: apply a multi-version change batch to a prior
+    snapshot (cdc.apply.apply_changelog — the downstream half of the
+    reference's idempotent-sink contract, R11/R14).
+
+    The change stream carries two versions for every 4th key (the final
+    event per key wins), a 60/30/10 I/U/D operation mix, and the snapshot
+    pre-contains the even keys — so the apply exercises upsert-over-
+    existing, insert-of-new, delete-of-existing, delete-of-absent, and
+    pass-through untouched rows in one plan.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    snapshot = base.filter(F.col("id") % 2 == 0).select(
+        "id",
+        F.lit("SNAP").alias("status"),
+        F.lit(0).cast("long").alias("total_cents"),
+    )
+    two_versions = F.col("id") % 4 == 0
+    versions = base.select(
+        "*",
+        F.explode(
+            F.when(two_versions, F.array(F.lit(1), F.lit(2))).otherwise(
+                F.array(F.lit(1))
+            )
+        ).alias("v"),
+    )
+    last_v = F.when(two_versions, F.lit(2)).otherwise(F.lit(1))
+    op = (
+        F.when(F.col("v") < last_v, "INSERT")
+        .when(F.col("id") % 10 < 6, "INSERT")
+        .when(F.col("id") % 10 < 9, "UPDATE")
+        .otherwise("DELETE")
+    )
+    changes = versions.select(
+        "id",
+        F.concat_ws("-", "status", F.col("v").cast("string")).alias("status"),
+        (F.col("cents") + F.col("v")).alias("total_cents"),
+        op.alias("operation"),
+        F.col("v").alias("commit_seq"),
+    )
+    return apply_changelog(
+        snapshot, changes, keys="id", order_col="commit_seq", broadcast_changes=True
+    )
 
 
 @query(

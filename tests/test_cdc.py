@@ -211,3 +211,66 @@ def test_marshal_cdc_event_reference_shape(spark):
             assert doc["after"] == {"id": "1", "email": "a@b.c"}
         ts = doc["commit_time"]
         assert ts.endswith("Z") and "." not in ts  # RFC3339, whole seconds
+
+
+class TestApplyChangelog:
+    """MERGE-apply semantics (cdc/apply.py): the consumer-side materializer
+    implied by the reference's idempotent-sink contract (R11/R14)."""
+
+    @pytest.fixture(scope="class")
+    def applied(self, spark):
+        from better_cdc_spark.cdc import apply_changelog
+
+        snapshot = spark.createDataFrame(
+            [(1, "old-1"), (2, "old-2"), (3, "old-3")], "id long, val string"
+        )
+        changes = spark.createDataFrame(
+            [
+                # key 1: two versions, final UPDATE wins
+                (1, "v1", "UPDATE", 10),
+                (1, "v2", "UPDATE", 20),
+                # key 2: delete of existing
+                (2, None, "DELETE", 10),
+                # key 4: insert of new
+                (4, "new-4", "INSERT", 10),
+                # key 5: insert then delete -> absent
+                (5, "new-5", "INSERT", 10),
+                (5, None, "DELETE", 20),
+                # key 9: delete of absent -> no-op
+                (9, None, "DELETE", 10),
+            ],
+            "id long, val string, operation string, commit_seq long",
+        )
+        return apply_changelog(snapshot, changes, "id", "commit_seq"), snapshot, changes
+
+    def test_merge_semantics(self, applied):
+        out, _, _ = applied
+        state = {r["id"]: r["val"] for r in out.collect()}
+        assert state == {1: "v2", 3: "old-3", 4: "new-4"}
+
+    def test_reapply_is_fixpoint(self, spark, applied):
+        """Retried micro-batch re-applies idempotently (effectively-once,
+        readme.md:118): MERGE(MERGE(s, c), c) == MERGE(s, c)."""
+        from better_cdc_spark.cdc import apply_changelog
+
+        out, _, changes = applied
+        again = apply_changelog(out, changes, "id", "commit_seq")
+        assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+
+    def test_broadcast_plan_has_no_snapshot_shuffle(self, spark):
+        """broadcast_changes=True: the anti-join must be a BroadcastHashJoin
+        so a 100 TB snapshot is never shuffled for a small delta."""
+        from better_cdc_spark.cdc import apply_changelog
+
+        snapshot = spark.range(1000).select(
+            F.col("id"), F.lit("x").alias("val")
+        )
+        changes = spark.range(10).select(
+            F.col("id"),
+            F.lit("y").alias("val"),
+            F.lit("UPDATE").alias("operation"),
+            F.lit(1).alias("commit_seq"),
+        )
+        out = apply_changelog(snapshot, changes, "id", "commit_seq", broadcast_changes=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
