@@ -170,17 +170,47 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def cap_shingle_df(
+    postings: DataFrame, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_df`.
+
+    The skew mitigation for pathological corpora (boilerplate headers,
+    license blocks): a shingle shared by d documents contributes d²/2 rows
+    to the posting self-join, so one hot shingle at d=10⁶ dominates the
+    whole stage. Hot shingles carry almost no discriminative signal —
+    dropping them bounds the join at O(max_df²) per shingle while leaving
+    genuinely near-duplicate pairs (which share many LOW-df shingles)
+    intact. Plan: one extra hash-aggregate on the shingle plus a semi-join
+    keyed on the same column the downstream self-join shuffles on, so the
+    exchange is reused, not added.
+    """
+    ok = (
+        postings.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return postings.join(ok, "shingle", "left_semi").select(id_col, "shingle")
+
+
 def exact_jaccard_pairs(
-    postings: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard over an inverted index (no cross join).
 
     Self-join on the shingle (shuffle key = shingle) → per-pair intersection
     counts → |A∪B| from per-doc sizes. Hot shingles are the skew risk at
-    scale — AQE skew-join splits them; a df-cap filter (drop shingles with
-    document frequency above a bound) is the standard recall-neutral
-    mitigation for pathological corpora.
+    scale — AQE skew-join splits them; `max_df` applies the df-cap filter
+    (`cap_shingle_df`), computing Jaccard over the capped shingle sets on
+    both sides of the ratio — exact for the reduced universe, upper-bounds
+    nothing: pairs held together only by boilerplate drop out by design.
     """
+    if max_df is not None:
+        postings = cap_shingle_df(postings, max_df, id_col)
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
     a = postings.alias("a")
     b = postings.alias("b")

@@ -178,3 +178,40 @@ def test_ivf_recall_and_exactness_vs_brute_force(spark):
     # determinism: two runs produce identical results
     again = REGISTRY["q97_ann_ivf"].fn(spark, SF_SMOKE).toPandas()
     assert got == set(zip(again.qid, again.nid))
+
+
+def test_df_cap_drops_hot_shingles_keeps_true_dupes(spark):
+    # 4 docs sharing one boilerplate sentence (a hot shingle in every doc);
+    # docs 1 and 2 are otherwise near-identical, docs 3 and 4 unrelated.
+    boiler = "licensed under the apache license version two"
+    rows = [
+        (1, f"{boiler} the quick brown fox jumps over the lazy dog today"),
+        (2, f"{boiler} the quick brown fox jumps over the lazy dog tonight"),
+        (3, f"{boiler} completely different subject matter about databases"),
+        (4, f"{boiler} yet another unrelated snippet concerning compilers"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    postings = llmops.shingle_postings(docs, "doc_id")
+
+    capped = llmops.cap_shingle_df(postings, max_df=2, id_col="doc_id")
+    dfreq = {
+        r["shingle"]: r["c"]
+        for r in postings.groupBy("shingle").agg(F.count("*").alias("c")).collect()
+    }
+    kept = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
+    assert all(dfreq[s] <= 2 for s in kept)
+    assert any(c > 2 for c in dfreq.values())  # the boilerplate was hot
+
+    # Capped Jaccard still pairs the true near-dupes and ONLY them.
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in llmops.exact_jaccard_pairs(
+            postings, "doc_id", threshold=0.5, max_df=2
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+    # A generous cap is a no-op: identical pairs with and without it.
+    uncapped = llmops.exact_jaccard_pairs(postings, "doc_id", 0.1).collect()
+    roomy = llmops.exact_jaccard_pairs(postings, "doc_id", 0.1, max_df=10**6).collect()
+    assert sorted(map(tuple, roomy)) == sorted(map(tuple, uncapped))
