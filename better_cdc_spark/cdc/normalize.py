@@ -72,6 +72,8 @@ def normalize_changelog(
 
     # Commit markers → per-tx commit metadata (TransactionEndLSN semantics:
     # the commit row's own lsn is the checkpoint position, pgoutput.go:251-256).
+    # One commit row per tx even under at-least-once replay: a duplicated
+    # 'C' record must not multiply the data rows it joins onto.
     commits = (
         changelog.filter(F.col("action") == "C")
         .select(
@@ -79,6 +81,7 @@ def normalize_changelog(
             F.col("lsn").alias("commit_lsn"),
             F.col("timestamp").alias("commit_time"),
         )
+        .dropDuplicates(["xid"])
     )
 
     data = changelog.filter(F.col("action").isin(list(_OP)))

@@ -15,6 +15,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -39,6 +40,13 @@ def asof_join(
     exceeds its input, so hot keys cannot blow up the intermediate. Ties
     on the timestamp resolve to the right row (inclusive bound).
 
+    The whole right payload travels as ONE struct carried by a single
+    ``last(ignorenulls=True)`` — so every output row's right columns come
+    from the SAME matched right row even when individual payload columns
+    are null (pandas ``merge_asof`` semantics), and a row whose payload is
+    entirely null still counts as a match. One window function regardless
+    of payload width.
+
     If multiple right rows share (key, right_ts), the carried row is the
     last in encounter order — deduplicate the right side first for
     deterministic results (the registry queries pre-aggregate).
@@ -51,22 +59,29 @@ def asof_join(
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
 
     ts_type = left.schema[left_ts].dataType.simpleString()
+    # The marker field is non-null on every right row, so the struct itself
+    # is the match indicator — null payload columns cannot break anchoring.
+    payload_struct = F.struct(
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+    payload_type = T.StructType(
+        [T.StructField("__matched", T.BooleanType(), False)]
+        + [right.schema[c] for c in right_payload]
+    )
     r_tagged = right.select(
         *keys,
         F.col(right_ts).cast(ts_type).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_payload],
+        payload_struct.alias("__r"),
     )
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         *left_payload,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}")
-            for c in right_payload
-        ],
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     # Right rows sort before left rows at the same instant → inclusive <=.
     w = (
@@ -74,22 +89,21 @@ def asof_join(
         .orderBy("__t", "__is_left")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = [
-        F.last(f"{right_prefix}{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}")
-        for c in right_payload
-    ]
     merged = r_tagged.unionByName(l_tagged).select(
-        *keys, "__t", "__is_left", *left_payload, *carried
-    )
-    anchor = f"{right_prefix}{right_payload[0]}" if right_payload else None
-    out = merged.filter(F.col("__is_left") == 1)
-    if anchor is not None:
-        out = out.filter(F.col(anchor).isNotNull())
-    return out.select(
         *keys,
-        F.col("__t").alias(left_ts),
+        "__t",
+        "__is_left",
         *left_payload,
-        *[f"{right_prefix}{c}" for c in right_payload],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
+    )
+    return (
+        merged.filter((F.col("__is_left") == 1) & F.col("__r").isNotNull())
+        .select(
+            *keys,
+            F.col("__t").alias(left_ts),
+            *left_payload,
+            *[F.col("__r")[c].alias(f"{right_prefix}{c}") for c in right_payload],
+        )
     )
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,10 +82,70 @@ class CDCStreamPipeline:
     # -- state-store helpers (parquet-backed carry-over tables) ----------
 
     def _read_or_empty(self, path: str, like: DataFrame) -> DataFrame:
+        """Read a parquet state table, treating ONLY a missing path as empty.
+
+        Any other failure (corrupt files, permission, transient FS error)
+        re-raises: silently returning empty here would drop in-flight
+        transactions and disable sink dedup — invisible data loss.
+        """
         try:
             return self.spark.read.schema(like.schema).parquet(path)
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return like.limit(0)
+            raise
+
+    def _pending_epoch_dirs(self) -> list[tuple[int, str]]:
+        """(epoch, path) for every COMPLETE pending snapshot, ascending.
+
+        A snapshot is complete iff its `_SUCCESS` marker exists — a crash
+        mid-write leaves a marker-less dir that is simply ignored, so the
+        previous snapshot stays authoritative. Uses the Hadoop FileSystem
+        API so the same code runs against HDFS/object stores on a cluster.
+        """
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.pending_dir)
+        fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("epoch=")):
+                continue
+            if fs.exists(Path(st.getPath(), "_SUCCESS")):
+                out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+        out.sort()
+        return out
+
+    def _read_pending(self, like: DataFrame) -> DataFrame:
+        epochs = self._pending_epoch_dirs()
+        if not epochs:
             return like.limit(0)
+        return self.spark.read.schema(like.schema).parquet(epochs[-1][1])
+
+    def _write_pending(self, df: DataFrame, epoch_id: int) -> None:
+        """Publish the new pending snapshot, then prune superseded ones.
+
+        Write-new-then-delete-old (never overwrite-in-place): every instant
+        has at least one complete snapshot on disk. A replayed epoch whose
+        complete snapshot already exists is skipped — replay is
+        deterministic (file source + checkpoint) and the carry-over dedup
+        makes the recomputed content identical, so rewriting would only
+        reopen the delete-then-write crash window.
+        """
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.pending_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+        target = os.path.join(self.pending_dir, f"epoch={epoch_id}")
+        if not fs.exists(Path(target, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(target)
+        for epoch, path in self._pending_epoch_dirs():
+            if epoch < epoch_id:
+                fs.delete(Path(path), True)
 
     # -- the batch processor --------------------------------------------
 
@@ -118,8 +179,19 @@ class CDCStreamPipeline:
                 "_corrupt_record"
             )
         # Carry over pending (uncommitted) rows from previous batches.
-        pending = self._read_or_empty(self.pending_dir, batch_df)
-        work = batch_df.unionByName(pending).localCheckpoint(eager=True)
+        # dropDuplicates on ingest_seq (the unique ingest ordinal) makes the
+        # carry-over idempotent: if the query died after the pending store
+        # was updated but before the epoch committed, the replayed batch
+        # overlaps the carried rows — without the dedup those rows would be
+        # double-counted and row_number would mint DIFFERENT event_ids for
+        # them, defeating the sink's event_id dedup. Also hardens against
+        # at-least-once source replays.
+        pending = self._read_pending(batch_df)
+        work = (
+            batch_df.unionByName(pending)
+            .dropDuplicates(["ingest_seq"])
+            .localCheckpoint(eager=True)
+        )
 
         # Commit markers visible so far (this batch + carried-over ones).
         commits = work.filter(F.col("action") == "C").select("xid").distinct()
@@ -138,9 +210,9 @@ class CDCStreamPipeline:
         fresh = envelope.join(existing, "event_id", "left_anti")
         fresh.write.mode("append").parquet(self.sink_dir)
 
-        # Persist the new pending set (overwrite = replace carried state).
+        # Persist the new pending snapshot (epoch-versioned, crash-safe).
         staged = uncommitted.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(self.pending_dir)
+        self._write_pending(staged, epoch_id)
 
     # -- lifecycle -------------------------------------------------------
 
@@ -178,3 +250,7 @@ class CDCStreamPipeline:
             self.spark.createDataFrame([], CHANGE_LOG_SCHEMA), database=self.database
         )
         return self._read_or_empty(self.sink_dir, empty)
+
+    def pending(self) -> DataFrame:
+        """Current in-flight (uncommitted) changelog rows."""
+        return self._read_pending(self.spark.createDataFrame([], CHANGE_LOG_SCHEMA))

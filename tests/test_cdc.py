@@ -274,3 +274,21 @@ class TestApplyChangelog:
         out = apply_changelog(snapshot, changes, "id", "commit_seq", broadcast_changes=True)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_replayed_commit_record_does_not_multiply_rows(spark):
+    """At-least-once delivery can duplicate the 'C' marker; the commit join
+    must still emit each data row exactly once (ADVICE r1)."""
+    rows = [
+        (1, "0/AA00", "B", 7, None, None, None, None, None),
+        (2, "0/AA00", "I", 7, None, "public", "users", [col_entry("id", "bigint", "1")], None),
+        (3, "0/AA00", "I", 7, None, "public", "users", [col_entry("id", "bigint", "2")], None),
+        (4, "0/AA00", "C", 7, TS, None, None, None, None),
+        (5, "0/AA00", "C", 7, TS, None, None, None, None),  # replayed marker
+    ]
+    df = normalize_changelog(make_changelog(spark, rows), allowlist=["public.users"])
+    ids = [r["event_id"] for r in df.collect()]
+    assert sorted(ids) == [
+        "0/AA00:7:INSERT:public.users:0",
+        "0/AA00:7:INSERT:public.users:1",
+    ]

@@ -88,3 +88,33 @@ def test_dedup_keep_first(spark):
         for r in ops.dedup_keep_first(df, "k", "ord", ascending=False).collect()
     }
     assert out_desc == {("k1", "c"), ("k2", "z")}
+
+
+def test_asof_join_null_payloads_stay_row_consistent(spark):
+    """Null right payload cells must neither drop the match nor mix rows.
+
+    Regression (ADVICE r1): per-column last(ignorenulls) carried each
+    payload column independently, so nulls pulled values from OLDER right
+    rows, and a null in the anchor column dropped a genuinely matched left
+    row. The struct carry keeps merge_asof semantics.
+    """
+    left = spark.createDataFrame(
+        [("a", 15, 1.0), ("a", 25, 2.0)], "k string, t long, lv double"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, None, "A10"), ("a", 20, "B20", None)],
+        "k string, t long, rv1 string, rv2 string",
+    )
+    out = ops.asof_join(left, right, on="k", left_ts="t", right_ts="t")
+    got = {(r.t, r.asof_rv1, r.asof_rv2) for r in out.collect()}
+    # t=15 matches the t=10 row even though rv1 (the would-be anchor) is
+    # null; t=25 matches the t=20 row and must NOT inherit rv2 from t=10.
+    assert got == {(15, None, "A10"), (25, "B20", None)}
+
+
+def test_asof_join_all_null_payload_row_still_matches(spark):
+    left = spark.createDataFrame([("a", 15, 1.0)], "k string, t long, lv double")
+    right = spark.createDataFrame([("a", 10, None)], "k string, t long, rv string")
+    out = ops.asof_join(left, right, on="k", left_ts="t", right_ts="t").collect()
+    assert len(out) == 1
+    assert out[0].asof_t == 10 and out[0].asof_rv is None

@@ -112,7 +112,7 @@ def test_commit_boundary_atomicity_across_batches(spark, changelog_dirs):
         "0/B0:200:INSERT:public.users:2",
     ]
     # tx300 (no commit) is held back, not dropped: it sits in pending state.
-    pending = spark.read.parquet(pipe.pending_dir)
+    pending = pipe.pending()
     assert pending.filter(F.col("xid") == 300).count() == 2  # B + I rows
 
 
@@ -250,3 +250,66 @@ def test_decode_error_dropped_under_skip_policy(spark, tmp_path):
     pipe.run_available()
     assert pipe.sink().count() == 1
     assert not os.path.exists(pipe.decode_dlq_dir)
+
+
+def _batch_df(spark, rows):
+    from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (
+                r["ingest_seq"], r["lsn"], r["action"], r["xid"], None,
+                r["schema"], r["table"],
+                [(c["name"], c["type"], c["value"]) for c in r["columns"]] if r["columns"] else None,
+                None,
+            )
+            for r in rows
+        ],
+        CHANGE_LOG_SCHEMA,
+    )
+
+
+def test_pending_carryover_idempotent_under_epoch_replay(spark, tmp_path):
+    """Crash between pending-store update and checkpoint commit (ADVICE r1
+    high): the replayed batch overlaps the already-carried rows. Without
+    ingest_seq dedup the duplicates get DISTINCT seq_in_tx → distinct
+    event_ids the sink dedup cannot collapse, and later events shift."""
+    pipe = CDCStreamPipeline(spark, str(tmp_path / "nosrc"), str(tmp_path / "work"))
+    b1 = [
+        _marker(1, "0/D0", "B", 400),
+        _data_row(2, "0/D0", "I", 400, cols=_cols(1)),
+        _data_row(3, "0/D0", "I", 400, cols=_cols(2)),
+    ]
+    pipe._process_batch(_batch_df(spark, b1), epoch_id=0)
+    # simulate the post-crash replay of the SAME epoch: pending already
+    # holds b1's rows, and the batch delivers them again
+    pipe._process_batch(_batch_df(spark, b1), epoch_id=0)
+    assert pipe.pending().count() == 3  # not 6
+
+    pipe._process_batch(_batch_df(spark, [_marker(4, "0/D0", "C", 400, TS)]), epoch_id=1)
+    sink = pipe.sink()
+    ids = sorted(r[0] for r in sink.select("event_id").collect())
+    assert ids == [
+        "0/D0:400:INSERT:public.users:0",
+        "0/D0:400:INSERT:public.users:1",
+    ]
+
+
+def test_incomplete_pending_snapshot_is_ignored(spark, tmp_path):
+    """A pending epoch dir without _SUCCESS (crash mid-write) must be
+    invisible; the previous complete snapshot stays authoritative, and a
+    missing store is empty — but never silently empty on other errors."""
+    pipe = CDCStreamPipeline(spark, str(tmp_path / "nosrc"), str(tmp_path / "work"))
+    assert pipe.pending().count() == 0  # missing store → empty
+
+    b1 = [_marker(1, "0/E0", "B", 500), _data_row(2, "0/E0", "I", 500, cols=_cols(1))]
+    pipe._process_batch(_batch_df(spark, b1), epoch_id=0)
+    assert pipe.pending().count() == 2
+
+    # fake a torn write of epoch=1: dir exists, no _SUCCESS marker
+    torn = os.path.join(pipe.pending_dir, "epoch=1")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "w") as f:
+        f.write("garbage")
+    assert [e for e, _ in pipe._pending_epoch_dirs()] == [0]
+    assert pipe.pending().count() == 2
