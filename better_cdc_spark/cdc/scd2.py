@@ -1,0 +1,62 @@
+"""SCD Type-2 historization: a versioned change stream → dimension history.
+
+The reference's envelope stream is the canonical input for warehouse
+historization (its docs position consumers as MERGE/history builders,
+readme.md "Use cases"; the apply half lives in cdc.apply). This module
+derives the *history* table: one row per surviving version of each key
+with half-open validity ``[valid_from, valid_to)`` and an ``is_current``
+flag — the standard slowly-changing-dimension type 2 shape.
+
+Semantics per key, ordered by ``order_col`` (the commit order):
+  - every INSERT/UPDATE event opens a version at its own commit position;
+  - the next event for the key (any operation) closes it — ``valid_to`` =
+    that event's position, exclusive;
+  - DELETE events emit no version themselves, but close the previous one
+    (a deleted key has no current version);
+  - the last event of a key, if not a DELETE, is the open/current version.
+
+Spark-first: one hash shuffle on the key, then ``lead()`` + ``row_number``
+over the same sort — Catalyst reuses the exchange/sort for both windows,
+so the whole historization is a single-pass window stage. At 100 TB this
+partitions by key exactly like the MERGE apply; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: str | Sequence[str],
+    order_col: str | Column,
+    op_col: str = "operation",
+    delete_op: str = "DELETE",
+    version_col: str = "version",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Build the SCD2 history of a keyed change stream.
+
+    ``order_col`` is both the sort order and the validity axis: each
+    version's ``valid_from`` is its own ``order_col`` value (already a
+    column of ``changes``); ``valid_to_col`` is the next event's value
+    (null = open). ``version_col`` numbers surviving versions 1..n per
+    key. Ties in ``order_col`` within a key are nondeterministic — pass a
+    total order (e.g. ``F.struct("lsn", "seq_in_tx")`` for the engine's
+    envelope).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = W.partitionBy(*key_list).orderBy(order)
+    # lead() must see DELETE events (they close the prior version) —
+    # compute it before filtering them out.
+    closed = changes.withColumn(valid_to_col, F.lead(order).over(w))
+    versions = closed.filter(F.col(op_col) != delete_op)
+    # Renumber over the same partitioning+sort: no extra shuffle.
+    return versions.withColumn(version_col, F.row_number().over(w)).withColumn(
+        current_col, F.col(valid_to_col).isNull()
+    )

@@ -107,6 +107,80 @@ def asof_join(
     )
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: str | Sequence[str],
+    when_matched_update: "dict[str, Column] | None" = None,
+    when_matched_delete: "Column | None" = None,
+    when_not_matched_insert: "dict[str, Column] | bool" = False,
+) -> DataFrame:
+    """Delta-style ``MERGE INTO`` as a pure DataFrame transform.
+
+    Joins ``target`` and ``source`` on the key columns ``on`` and applies
+    the standard three clauses:
+
+      - ``when_matched_delete``: predicate (over ``t.*`` / ``s.*`` aliased
+        columns) — matched target rows satisfying it are removed;
+      - ``when_matched_update``: {target_col: expr} — matched rows (that
+        survived the delete clause) get these columns replaced;
+      - ``when_not_matched_insert``: ``True`` to insert source rows
+        column-by-name (missing target columns null), or {target_col:
+        expr} for explicit values; ``False`` drops unmatched source rows.
+
+    Target rows with no source match always pass through unchanged, and
+    the output schema is exactly ``target``'s — so the result is the next
+    version of the target table, same contract as ``apply_changelog`` but
+    with arbitrary clause logic instead of CDC operation codes.
+
+    Expressions reference the two sides via the ``t``/``s`` aliases
+    (``F.col("t.balance") + F.col("s.delta")``).
+
+    Scale: ONE shuffle (the outer join on the key). ``source`` should be
+    pre-collapsed to one row per key (``latest_per_key``) — multiple
+    matches multiply target rows, as in SQL MERGE, where it's an error.
+    For the 100 TB-snapshot + tiny-delta shape prefer ``apply_changelog``
+    with ``broadcast_changes=True`` (anti-join + union, no snapshot
+    shuffle); merge_into's full-outer join cannot be broadcast.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    t = target.withColumn("__te", F.lit(True)).alias("t")
+    s = source.withColumn("__se", F.lit(True)).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    how = "full_outer" if when_not_matched_insert is not False else "left_outer"
+    j = t.join(s, cond, how)
+
+    matched = F.col("t.__te").isNotNull() & F.col("s.__se").isNotNull()
+    source_only = F.col("t.__te").isNull()
+    if when_matched_delete is not None:
+        j = j.filter(~(matched & F.coalesce(when_matched_delete, F.lit(False))))
+
+    updates = when_matched_update or {}
+    inserts = when_not_matched_insert if isinstance(when_not_matched_insert, dict) else {}
+    out_cols = []
+    for c in target.columns:
+        val = F.col(f"t.{c}")
+        if c in keys:
+            if when_not_matched_insert is not False and c in source.columns:
+                val = F.coalesce(val, F.col(f"s.{c}"))
+        else:
+            if c in updates:
+                val = F.when(matched, updates[c]).otherwise(val)
+            if when_not_matched_insert is not False:
+                ins = inserts.get(
+                    c,
+                    F.col(f"s.{c}")
+                    if c in source.columns
+                    else F.lit(None).cast(target.schema[c].dataType),
+                )
+                val = F.when(source_only, ins).otherwise(val)
+        out_cols.append(val.alias(c))
+    return j.select(*out_cols)
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: str | Sequence[str],

@@ -317,3 +317,79 @@ def qc04_event_id_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("txid").alias("n_txs"),
         F.max(seq).alias("max_seq_in_tx"),
     )
+
+
+@query(
+    "qc06_scd2",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), versions AS (
+      SELECT b.id,
+             b.status || '-' || CAST(t.v AS VARCHAR) AS status,
+             b.cents + t.v AS total_cents,
+             CASE WHEN t.v < CASE WHEN b.id % 4 = 0 THEN 2 ELSE 1 END THEN 'INSERT'
+                  WHEN b.id % 10 < 6 THEN 'INSERT'
+                  WHEN b.id % 10 < 9 THEN 'UPDATE'
+                  ELSE 'DELETE' END AS operation,
+             t.v AS commit_seq
+      FROM base b JOIN (VALUES (1), (2)) AS t(v)
+        ON t.v = 1 OR b.id % 4 = 0
+    ), closed AS (
+      SELECT *,
+             LEAD(commit_seq) OVER (PARTITION BY id ORDER BY commit_seq) AS valid_to
+      FROM versions
+    ), surviving AS (
+      SELECT * FROM closed WHERE operation <> 'DELETE'
+    )
+    SELECT id, status, total_cents, operation, commit_seq, valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY commit_seq) AS INTEGER) AS version,
+           (valid_to IS NULL) AS is_current
+    FROM surviving
+    """,
+    tags=("cdc", "scd2"),
+)
+def qc06_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 historization (cdc.scd2.scd2_history): the same
+    multi-version change stream as qc05, materialized as a dimension
+    HISTORY instead of a snapshot — validity intervals on the commit axis,
+    DELETE events closing (not emitting) versions, is_current flags.
+
+    Plan: one shuffle on the key; lead() and the post-filter renumbering
+    share the exchange+sort (WindowExec x2, zero extra exchanges).
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    two_versions = F.col("id") % 4 == 0
+    versions = base.select(
+        "*",
+        F.explode(
+            F.when(two_versions, F.array(F.lit(1), F.lit(2))).otherwise(
+                F.array(F.lit(1))
+            )
+        ).alias("v"),
+    )
+    last_v = F.when(two_versions, F.lit(2)).otherwise(F.lit(1))
+    op = (
+        F.when(F.col("v") < last_v, "INSERT")
+        .when(F.col("id") % 10 < 6, "INSERT")
+        .when(F.col("id") % 10 < 9, "UPDATE")
+        .otherwise("DELETE")
+    )
+    changes = versions.select(
+        "id",
+        F.concat_ws("-", "status", F.col("v").cast("string")).alias("status"),
+        (F.col("cents") + F.col("v")).alias("total_cents"),
+        op.alias("operation"),
+        F.col("v").alias("commit_seq"),
+    )
+    from better_cdc_spark.cdc import scd2_history
+
+    return scd2_history(changes, keys="id", order_col="commit_seq")

@@ -897,6 +897,133 @@ def q36_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q37_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS status_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS status_o,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows → one column per pivot value (revenue by priority × status).
+
+    The pivot values are passed EXPLICITLY — without them Spark runs an
+    extra distinct-scan job to discover them, which at 100 TB is a full
+    pass over the table just to name the columns. With the list supplied
+    this compiles to a single groupBy with N conditional aggregates
+    (one shuffle, map-side partials, same plan as the oracle's FILTER
+    clauses).
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(_d(F.sum(dec("o_totalprice"))))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+@query(
+    "q38_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metric columns → (key, metric, value) long form.
+
+    ``DataFrame.unpivot`` is a narrow generator expression — no shuffle,
+    no UDF; each input row fans out to N rows inside the same stage.
+    Long form is the shape feature pipelines want before a groupBy(metric)
+    rollup.
+    """
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(["c_custkey"], ["acctbal", "nationkey"], "metric", "value")
+
+
+@query(
+    "qm01_merge_into",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ), merged AS (
+      SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+             CASE WHEN t.c_custkey IS NULL THEN 'NEW-' || CAST(s.n_orders AS VARCHAR)
+                  ELSE t.c_name END AS c_name,
+             CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                       THEN CAST(t.c_acctbal AS DOUBLE) + s.revenue / 1000
+                  WHEN t.c_custkey IS NULL THEN s.revenue / 1000
+                  ELSE CAST(t.c_acctbal AS DOUBLE) END AS c_acctbal,
+             t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND s.n_orders > 30 AS drop_row
+      FROM (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0) t
+      FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM merged WHERE NOT drop_row
+    """,
+    tags=("merge", "operator"),
+)
+def qm01_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic MERGE INTO (operators.merge_into): update + delete + insert
+    clauses in one pass.
+
+    Target = 2/3 of customers; source = per-customer order revenue (so a
+    third of source keys miss the target and take the insert branch,
+    heavy-order customers take the delete branch, the rest update).
+    One full-outer shuffle join; clause logic is pure column expressions
+    in the same codegen stage.
+    """
+    tune_for_oracle(spark)
+    from better_cdc_spark.operators import merge_into
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    target = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    source = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        _d(F.sum(dec("o_totalprice"))).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return merge_into(
+        target,
+        source,
+        on="c_custkey",
+        when_matched_update={
+            "c_acctbal": F.col("t.c_acctbal") + F.col("s.revenue") / 1000
+        },
+        when_matched_delete=F.col("s.n_orders") > 30,
+        when_not_matched_insert={
+            "c_name": F.concat_ws("-", F.lit("NEW"), F.col("s.n_orders")),
+            "c_acctbal": F.col("s.revenue") / 1000,
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (Q40–Q42)
 # ---------------------------------------------------------------------------

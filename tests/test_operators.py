@@ -118,3 +118,95 @@ def test_asof_join_all_null_payload_row_still_matches(spark):
     out = ops.asof_join(left, right, on="k", left_ts="t", right_ts="t").collect()
     assert len(out) == 1
     assert out[0].asof_t == 10 and out[0].asof_rv is None
+
+
+class TestMergeInto:
+    def _tables(self, spark):
+        target = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, bal double",
+        )
+        source = spark.createDataFrame(
+            [(2, 5.0, False), (3, 0.0, True), (9, 7.0, False)],
+            "id long, delta double, kill boolean",
+        )
+        return target, source
+
+    def test_all_three_clauses(self, spark):
+        target, source = self._tables(spark)
+        out = ops.merge_into(
+            target,
+            source,
+            on="id",
+            when_matched_update={"bal": F.col("t.bal") + F.col("s.delta")},
+            when_matched_delete=F.col("s.kill"),
+            when_not_matched_insert={"name": F.lit("new"), "bal": F.col("s.delta")},
+        )
+        got = {(r.id, r.name, r.bal) for r in out.collect()}
+        # 1 untouched, 2 updated, 3 deleted, 9 inserted
+        assert got == {(1, "a", 10.0), (2, "b", 25.0), (9, "new", 7.0)}
+        assert out.columns == target.columns
+
+    def test_insert_by_name_null_fills_missing(self, spark):
+        target, source = self._tables(spark)
+        out = ops.merge_into(target, source, on="id", when_not_matched_insert=True)
+        row9 = out.filter(F.col("id") == 9).collect()[0]
+        assert row9.name is None and row9.bal is None  # not in source by name
+        assert out.count() == 4
+
+    def test_no_insert_drops_unmatched_source(self, spark):
+        target, source = self._tables(spark)
+        out = ops.merge_into(
+            target, source, on="id",
+            when_matched_update={"bal": F.col("s.delta")},
+        )
+        assert {r.id for r in out.collect()} == {1, 2, 3}
+        # no insert clause → planner may use a plain left join (no full outer)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FullOuter" not in plan
+
+
+def test_scd2_history_versions_and_deletes(spark):
+    from better_cdc_spark.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            # key 1: I@1 → U@3 → D@5  (two closed versions, none current)
+            (1, "v1", "INSERT", 1),
+            (1, "v2", "UPDATE", 3),
+            (1, None, "DELETE", 5),
+            # key 2: I@2 → U@4        (one closed, one current)
+            (2, "w1", "INSERT", 2),
+            (2, "w2", "UPDATE", 4),
+            # key 3: lone DELETE      (no versions at all)
+            (3, None, "DELETE", 7),
+        ],
+        "id long, val string, operation string, seq long",
+    )
+    out = scd2_history(changes, keys="id", order_col="seq")
+    got = {
+        (r.id, r.val, r.seq, r.valid_to, r.version, r.is_current)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "v1", 1, 3, 1, False),
+        (1, "v2", 3, 5, 2, False),
+        (2, "w1", 2, 4, 1, False),
+        (2, "w2", 4, None, 2, True),
+    }
+
+
+def test_scd2_history_single_shuffle(spark):
+    from better_cdc_spark.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [(1, "a", "INSERT", 1)], "id long, val string, operation string, seq long"
+    )
+    plan = (
+        scd2_history(changes, keys="id", order_col="seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows share one exchange: the lead() and renumber sorts reuse it
+    assert plan.count("Exchange") == 1
