@@ -122,7 +122,11 @@ def minhash_signature(shingles_expr: str = "shingles") -> F.Column:
     )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
     """(id, sig array<bigint>) via explode → hash → 64 min-aggregates.
 
     The scale path: shingles explode to postings, each shingle is hashed
@@ -131,21 +135,25 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     aggregation shrinking the shuffle to one row per (doc, partition).
     ~20× faster than the nested-lambda form, and docs with no shingles
     (< k tokens) drop out instead of colliding on a sentinel signature.
+
+    Pass ``postings`` to reuse an already-built (ideally materialized)
+    inverted index — the LSH pipeline builds postings once for both
+    signatures and exact verification. Lane expressions are parsed SQL
+    strings, not Column-object trees: 64 lanes × ~8 py4j round-trips per
+    lane is half a second of pure driver overhead otherwise.
     """
-    postings = shingle_postings(docs, id_col)
+    if postings is None:
+        postings = shingle_postings(docs, id_col)
     hashed = postings.select(
-        id_col, F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_31)).alias("h")
+        id_col, F.expr(f"pmod(xxhash64(shingle), {MERSENNE_31}L) AS h")
     )
     lanes = [
-        F.min(F.pmod(F.col("h") * F.lit(PERM_A[i]) + F.lit(PERM_B[i]), F.lit(MERSENNE_31))).alias(
-            f"_s{i}"
-        )
+        F.expr(f"min(pmod(h * {PERM_A[i]}L + {PERM_B[i]}L, {MERSENNE_31}L)) AS _s{i}")
         for i in range(MINHASH_PERMS)
     ]
     mins = hashed.groupBy(id_col).agg(*lanes)
-    return mins.select(
-        id_col, F.array(*[f"_s{i}" for i in range(MINHASH_PERMS)]).alias("sig")
-    )
+    arr = ",".join(f"_s{i}" for i in range(MINHASH_PERMS))
+    return mins.select(id_col, F.expr(f"array({arr}) AS sig"))
 
 
 def lsh_band_keys(sig_expr: str = "sig") -> F.Column:
@@ -199,6 +207,7 @@ def exact_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact word-shingle Jaccard over an inverted index (no cross join).
 
@@ -211,6 +220,14 @@ def exact_jaccard_pairs(
     """
     if max_df is not None:
         postings = cap_shingle_df(postings, max_df, id_col)
+    # The posting list feeds three plan branches (both self-join sides +
+    # the size aggregate); materialize it once instead of re-running the
+    # shingle explode per branch — at corpus scale the inverted index is
+    # persisted before the self-join for exactly this reason. Eager: a lazy
+    # checkpoint lets the three branches race to compute it concurrently,
+    # tripling the explode work instead of sharing it.
+    if materialize:
+        postings = postings.localCheckpoint(eager=True)
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
     a = postings.alias("a")
     b = postings.alias("b")
@@ -236,6 +253,7 @@ def jaccard_for_pairs(
     postings: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for given (doc_a, doc_b) pairs only.
 
@@ -245,6 +263,8 @@ def jaccard_for_pairs(
     the corpus. Use after LSH candidate generation; `exact_jaccard_pairs`
     is the all-pairs oracle for recall testing only.
     """
+    if materialize:
+        postings = postings.localCheckpoint(eager=True)
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
     pa = postings.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
     pb = postings.select(F.col(id_col).alias("__doc_b"), F.col("shingle").alias("sh_b"))
@@ -262,10 +282,14 @@ def jaccard_for_pairs(
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b), deduplicated across bands."""
     sigs = (
-        minhash_signatures(docs, id_col)
+        minhash_signatures(docs, id_col, postings=postings)
         .select(id_col, F.explode(lsh_band_keys("sig")).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )

@@ -39,12 +39,36 @@ def get_spark(app_name: str = "better_cdc_spark", cpus: int | None = None) -> Sp
     return spark
 
 
+# AQE's post-shuffle coalescing targets this many bytes per partition —
+# right for byte-bound operators, far too coarse for similarity joins that
+# burn CPU per row (string compares, popcounts): a 64 MB target collapses a
+# CPU-hours join onto 2 cores. Queries flag themselves via tune_cpu_bound.
+_ADVISORY_DEFAULT = str(64 * 1024 * 1024)
+_ADVISORY_CPU_BOUND = str(1 * 1024 * 1024)
+_ADVISORY_KEY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Pin session settings that affect oracle comparability.
 
     Called at the top of every registered query so results are reproducible
     even under a driver-provided session: UTC timestamps (DuckDB timestamps
-    are UTC-naive) and ANSI mode as shipped by Spark 4.
+    are UTC-naive) and ANSI mode as shipped by Spark 4. Also resets the
+    per-query tuning knobs (tune_cpu_bound) so queries don't leak config
+    into each other.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(_ADVISORY_KEY, _ADVISORY_DEFAULT)
+    return spark
+
+
+def tune_cpu_bound(spark: SparkSession) -> SparkSession:
+    """Widen post-shuffle parallelism for CPU-per-row-heavy stages.
+
+    Similarity self-joins shuffle few bytes but do quadratic-per-bucket CPU
+    work; a small advisory size keeps AQE from coalescing them onto a
+    handful of cores. Applies to the CURRENT query only — tune_for_oracle
+    (run at every query entry) resets it.
+    """
+    spark.conf.set(_ADVISORY_KEY, _ADVISORY_CPU_BOUND)
     return spark
