@@ -178,6 +178,129 @@ def q05_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q07_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    tags=("source", "sink", "orc"),
+)
+def q07_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (the second columnar format of the engine).
+
+    ORC carries the same pushdown/pruning contract as parquet (predicate
+    pushdown into stripes, column projection); at scale it's the interchange
+    format for Hive-adjacent consumers. Round-trip then aggregate so the
+    oracle checks both the writer and the reader.
+    """
+    tune_for_oracle(spark)
+    supp = load_table(spark, sf_dir, "supplier")
+    out = f"{tempfile.gettempdir()}/bcs_q07_orc"
+    supp.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        _d(F.sum(dec("s_acctbal"))).alias("sum_acctbal"),
+    )
+
+
+@query(
+    "q08_text_source",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+    tags=("source", "text"),
+)
+def q08_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source with in-engine parsing (split + casts).
+
+    The untyped end of the ingest spectrum: one string column per line,
+    schema applied by expression (split → element_at → cast), all JVM-side
+    built-ins — the same shape as consuming a delimited log/WAL dump where
+    no reader exists. At scale the parse is codegen'd per partition; no
+    Python touches the data.
+    """
+    tune_for_oracle(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    out = f"{tempfile.gettempdir()}/bcs_q08_text"
+    nation.select(
+        F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey").alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\\|")
+    return lines.select(
+        F.element_at(parts, 1).cast("int").alias("n_nationkey"),
+        F.element_at(parts, 2).alias("n_name"),
+        F.element_at(parts, 3).cast("int").alias("n_regionkey"),
+    )
+
+
+@query(
+    "q09_csv_permissive",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '__corrupt__' AS status, 3 AS n
+    """,
+    tags=("source", "csv", "dlq"),
+)
+def q09_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV decode with corrupt-record routing (reference R15).
+
+    Malformed rows land in ``_corrupt_record`` instead of failing the job
+    (the reference's decode-error policy: route to DLQ, never crash the
+    pipeline). Three deliberately broken lines are injected next to the
+    clean export; the query splits clean rows (aggregated) from corrupt
+    ones (counted) in one pass. Mirrors qc03_dlq_routing at the file-format
+    layer rather than the CDC-envelope layer.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    out = f"{tempfile.gettempdir()}/bcs_q09_csv"
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).csv(out)
+    # Inject malformed lines as an extra file in the same directory: a
+    # non-numeric key, a quote-imbalanced line, and a float where the long
+    # belongs — each defeats the schema, none should kill the read.
+    with open(os.path.join(out, "part-corrupt.csv"), "w") as fh:
+        fh.write('not_a_number,O,1.0\n"unterminated,F,2.0\n3.14,P,xyz\n')
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        # Spark refuses filters that touch only the corrupt-record column
+        # on an un-materialized CSV scan; cache first (tiny: DLQ volume).
+        .cache()
+    )
+    clean = (
+        back.filter(F.col("_corrupt_record").isNull())
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+    corrupt = back.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("__corrupt__").alias("status"), F.count("*").alias("n")
+    )
+    return clean.unionByName(corrupt)
+
+
 # ---------------------------------------------------------------------------
 # Projection / filter (Q10–Q12)
 # ---------------------------------------------------------------------------
