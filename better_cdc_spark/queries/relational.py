@@ -767,6 +767,39 @@ def q28_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q29_skew_salted_join",
+    oracle="""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    tags=("join", "skew"),
+)
+def q29_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: result hash-identical to the plain join.
+
+    operators.salted_join spreads each hot probe key across num_salts
+    shuffle partitions (deterministic row-hash salt on the left, an
+    exploded salt sequence replicating the small right side). The oracle
+    is the UNsalted join — proving the rewrite is semantics-preserving,
+    which is the whole point of using it when a single key exceeds what
+    AQE's skew split can rebalance.
+    """
+    from better_cdc_spark.operators import salted_join
+
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, supp, "s_suppkey", num_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_lines"),
+        _d(F.sum(dec("l_extendedprice"))).alias("sum_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation (Q30–Q36)
 # ---------------------------------------------------------------------------
@@ -1255,6 +1288,68 @@ def q42_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_d(F.sum(dec("o_totalprice")).over(moving)) / F.count("*").over(moving)).alias(
             "moving_avg3"
         ),
+    )
+
+
+@query(
+    "q44_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    tags=("window", "sessionize"),
+)
+def q44_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-minute inactivity timeout).
+
+    The batch twin of Q83's session_window: flag a session start when the
+    gap to the previous event exceeds the timeout (lag), number sessions
+    with a running sum, aggregate per session. Two window stages over the
+    SAME (user_id → ts) partitioning — Spark reuses one sort+shuffle for
+    both, so at scale this costs a single exchange of the events table.
+    Gap math is in exact microseconds on both engines (unix_micros /
+    epoch_us): second-truncated arithmetic would misclassify sub-second
+    boundary gaps.
+    """
+    tune_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0).alias("new_sess"),
+        "event_id",
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
 
 
