@@ -16,17 +16,15 @@ import os
 import shutil
 import tempfile
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from better_cdc_spark.io import load_table
 from better_cdc_spark.queries import query
 from better_cdc_spark.queries.relational import _d, dec
 from better_cdc_spark.session import tune_for_oracle
 from better_cdc_spark.streaming.core import events_stream, run_to_memory
+from better_cdc_spark.streaming.stateful import HAS_TRANSFORM_WITH_STATE, stateful_user_agg
 
 
 @query(
@@ -213,31 +211,17 @@ def q85_stateful_processing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The state is a (count, decimal-cent sum) per user — the same machinery
     that implements transaction assembly (R5) when keyed by txid. Values
-    are accumulated in integer cents so state updates are exact.
+    are accumulated in integer cents so state updates are exact. The same
+    operator has a transformWithStateInPandas implementation
+    (streaming.stateful, registered as q85b when the container has
+    protobuf for its state-server protocol).
     """
     tune_for_oracle(spark)
+    return _run_stateful_agg(spark, sf_dir, engine="legacy")
 
-    def update(key, pdfs, state: GroupState):
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            cents += int(round(pdf["value"].sum() * 100))
-        state.update((n, cents))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
-        )
 
-    out = (
-        events_stream(spark, sf_dir)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            update,
-            outputStructType="user_id bigint, n_events bigint, sum_value double",
-            stateStructType="n bigint, cents bigint",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
+def _run_stateful_agg(spark: SparkSession, sf_dir: str, engine: str) -> DataFrame:
+    out = stateful_user_agg(events_stream(spark, sf_dir), engine=engine)
     out_dir = tempfile.mkdtemp(prefix="bcs_q85_")
 
     def write_batch(df: DataFrame, _epoch: int) -> None:
@@ -263,6 +247,27 @@ def q85_stateful_processing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+if HAS_TRANSFORM_WITH_STATE:
+
+    @query(
+        "q85b_transform_with_state",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY user_id
+        """,
+        tags=("streaming", "stateful", "tws"),
+    )
+    def q85b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q85 on the Spark 4 transformWithStateInPandas API (StatefulProcessor
+        + ValueState on RocksDB). Registered only when the container carries
+        google.protobuf — the API's Python↔JVM state protocol needs it; the
+        gate is HAS_TRANSFORM_WITH_STATE in streaming/stateful.py."""
+        tune_for_oracle(spark)
+        return _run_stateful_agg(spark, sf_dir, engine="tws")
 
 
 @query(
