@@ -582,6 +582,119 @@ def ivf_probe_cells(centroids: np.ndarray, n_probe: int = 4):
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace codebooks + ADC search
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim → 8 dims each)
+PQ_K = 16  # codes per subspace (4 bits)
+PQ_TRAIN_SAMPLE = 2048
+PQ_ITERS = 10
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_size: int = PQ_TRAIN_SAMPLE,
+    iters: int = PQ_ITERS,
+) -> np.ndarray:
+    """(m, k, dim/m) PQ codebooks: independent k-means per subspace.
+
+    Same driver-side training contract as train_ivf_centroids: bounded
+    deterministic sample (smallest ids), first-k init, fixed iterations,
+    float64 — the model is ~8 KB and ships to executors as a closure
+    constant; the corpus never collects. PQ compresses a 64-dim float
+    vector to m 4-bit codes (512 bits → 32 bits, 16×), which is what makes
+    a 100 TB embedding corpus scannable: ADC reads codes, not floats.
+    """
+    rows = emb.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = np.empty((m, k, d), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * d : (j + 1) * d]
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encoder(codebooks: np.ndarray):
+    """pandas UDF: embedding → array of m subspace code ids (int).
+
+    Index-build-time narrow map (Arrow-batched argmin per subspace); in
+    production the codes column is persisted next to the vectors and the
+    floats are only touched again for re-ranking.
+    """
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _, d = B.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * d : (j + 1) * d]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_adc_kernel(codebooks: np.ndarray, queries: list[tuple[int, np.ndarray]]):
+    """mapInPandas kernel: (vec_id, codes) partitions → (qid, nid, approx).
+
+    Asymmetric distance computation: each query builds one (m, k) lookup
+    table of subspace dot products against the codebooks; a corpus row's
+    approximate dot is the sum of m table gathers — no float vector is
+    read. The LUT build is O(Q·k·dim) once per task; scoring is a numpy
+    fancy-gather over the whole Arrow batch. Queries arrive as a
+    driver-side constant (same sanctioned-small-collect contract as the
+    IVF/PQ training sample).
+    """
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, k, d = B.shape
+    qids = np.asarray([q[0] for q in queries], dtype=np.int64)
+    QV = np.asarray([q[1] for q in queries], dtype=np.float64)  # (Q, dim)
+    # LUT[q, j, c] = dot(query q's j-th subvector, codebook[j][c])
+    lut = np.einsum("qjd,jcd->qjc", QV.reshape(len(qids), m, d), B)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.stack([np.asarray(c) for c in pdf["codes"].values])  # (n, m)
+            approx = np.zeros((len(qids), n))
+            for j in range(m):
+                approx += lut[:, j, :][:, codes[:, j]]
+            nid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, n),
+                    "nid": np.tile(nid, len(qids)),
+                    "approx": approx.ravel(),
+                }
+            )
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
 # Text statistics / fingerprinting (pure built-ins)
 # ---------------------------------------------------------------------------
 

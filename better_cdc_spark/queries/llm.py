@@ -19,6 +19,8 @@ query-vector side in the top-k searches.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -421,6 +423,152 @@ def q97_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK_K)
         .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+@query("q97_ann_pq", tags=("llm", "ann", "pq"))
+def q97_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4-bit/subspace codes + ADC scan + re-rank.
+
+    The third ANN family (after hyperplane-LSH and IVF), and the one that
+    changes the I/O story at 100 TB: corpus vectors compress 16× into m=8
+    4-bit codes at index-build time; the scan reads ONLY the code column
+    (asymmetric distance via per-query lookup tables inside a mapInPandas
+    kernel — a narrow map, no shuffle), keeps a per-query shortlist, and
+    re-ranks just the shortlist against the float vectors with the exact
+    cosine kernel. Rows-only: recall is probabilistic (tested vs
+    q97_cosine_topk in tests/test_llmops.py); returned cosines are exact.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    books = llmops.train_pq_codebooks(emb)
+    queries = [
+        (r["vec_id"], np.asarray(r["v"], dtype=np.float64))
+        for r in emb.filter(F.col("vec_id") < TOPK_QUERIES).collect()
+    ]
+    codes = emb.select("vec_id", llmops.pq_encoder(books)(F.col("v")).alias("codes"))
+    approx = codes.mapInPandas(
+        llmops.pq_adc_kernel(books, queries), "qid long, nid long, approx double"
+    ).filter(F.col("qid") != F.col("nid"))
+    # Shortlist 4× the final k by approximate dot, then exact re-rank.
+    ws = W.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("nid").asc())
+    shortlist = (
+        approx.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= 4 * TOPK_K)
+        .select("qid", "nid")
+    )
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    rerank = (
+        shortlist.join(emb.withColumnRenamed("vec_id", "nid"), "nid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                llmops.dot(F.col("v"), F.col("qv"))
+                / (llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+@query(
+    "q97_int8_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    m AS (SELECT vec_id, ev,
+                 list_max(list_transform(ev, x -> abs(x))) AS mx
+          FROM v)
+    SELECT vec_id,
+           list_transform(ev, x -> CAST(round(x * 127.0 / mx) AS INTEGER)) AS codes,
+           ROUND(mx / 127.0, 6) AS scale
+    FROM m
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def q97_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector max-abs scale).
+
+    4× storage cut with one pass and no model — the baseline compression
+    tier below PQ. The whole transform is higher-order built-ins
+    (array_max/transform) inside codegen; the oracle recomputes every code
+    elementwise, so the hash check covers all 64 lanes of every vector.
+    Both engines evaluate round(x*127/mx) in double with identical
+    association; Spark's HALF_UP and DuckDB's half-away-from-zero agree on
+    every representable value.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    with_m = emb.withColumn("mx", F.array_max(F.transform("v", lambda x: F.abs(x))))
+    return with_m.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(x * 127.0 / F.col("mx")).cast("int")
+        ).alias("codes"),
+        F.round(F.col("mx") / 127.0, 6).alias("scale"),
+    )
+
+
+@query(
+    "q97_mean_pool",
+    oracle="""
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    n AS (SELECT label,
+                 list_transform(ev, x -> x / sqrt(list_reduce(
+                     list_transform(ev, y -> y * y), (a, b) -> a + b))) AS nv
+          FROM v),
+    e AS (SELECT label, i, nv[i] AS val
+          FROM n, generate_series(1, 64) AS t(i)),
+    a AS (SELECT label, i,
+                 CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS mean_val
+          FROM e GROUP BY label, i)
+    SELECT label, list(ROUND(mean_val, 6) ORDER BY i) AS pooled
+    FROM a GROUP BY label
+    """,
+    tags=("llm", "embedding", "pool"),
+)
+def q97_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize then mean-pool embeddings per label (centroid build).
+
+    The aggregation primitive behind class centroids / cluster summaries.
+    Elementwise: posexplode → per-(label, lane) exact DECIMAL(18,12) sum
+    (order-independent, so the shuffle can combine partials in any order —
+    double summation would make the result partitioning-dependent) → one
+    collect_list re-assembly sorted by lane. Normalization is the same
+    sequential-fold norm as the cosine kernels, so both engines divide by
+    bit-identical norms.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", llmops.as_double_vec("embedding").alias("v")
+    )
+    nv = F.transform("v", lambda x: x / llmops.l2_norm(F.col("v")))
+    lanes = emb.select("label", F.posexplode(nv).alias("pos", "val"))
+    per_lane = lanes.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,12)")).cast("double") / F.count("*")
+        ).alias("mean_val")
+    )
+    return per_lane.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.round("mean_val", 6).alias("mv")))
+            ),
+            lambda s: s.getField("mv"),
+        ).alias("pooled")
     )
 
 
