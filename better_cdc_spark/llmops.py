@@ -286,13 +286,47 @@ def minhash_candidate_pairs(
     docs: DataFrame | None,
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b), deduplicated across bands."""
+    """LSH candidate pairs (doc_a < doc_b), deduplicated across bands.
+
+    Two independent skew dials, both off by default:
+
+    - ``max_df`` caps shingle document frequency BEFORE minhashing
+      (cap_shingle_df): boilerplate shingles stop polluting signatures, so
+      boilerplate-only overlaps stop forming candidate buckets at all.
+      This changes signatures (it's stopword removal for MinHash) — run
+      the recall property test when tuning it.
+    - ``max_bucket`` drops band buckets holding more than that many docs.
+      A bucket of d docs emits d²/2 candidate pairs; one boilerplate
+      cluster at d=10⁶ is 5·10¹¹ pairs in a single join group — the
+      classic LSH failure at corpus scale. Giant buckets are precisely the
+      non-discriminative ones (docs agreeing on a whole band of minhashes
+      en masse share boilerplate, and near-dup members still co-occur in
+      other, smaller buckets across the remaining bands). The cap bounds
+      every join group at O(max_bucket²) with one extra hash-aggregate +
+      semi-join on the (band, key) the self-join already shuffles on.
+    """
+    if max_df is not None:
+        if postings is None:
+            if docs is None:
+                raise ValueError("max_df needs docs or postings")
+            postings = shingle_postings(docs, id_col)
+        postings = cap_shingle_df(postings, max_df, id_col)
     sigs = (
         minhash_signatures(docs, id_col, postings=postings)
         .select(id_col, F.explode(lsh_band_keys("sig")).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+    if max_bucket is not None:
+        ok = (
+            sigs.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("band", "key")
+        )
+        sigs = sigs.join(ok, ["band", "key"], "left_semi")
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

@@ -62,6 +62,25 @@ def test_minhash_recall_on_high_similarity_pairs(spark, docs):
     assert recall >= 0.9, f"minhash recall {recall} over {len(truth)} pairs"
 
 
+def test_lsh_skew_caps(spark, docs):
+    """max_df / max_bucket dials: generous caps preserve candidates exactly;
+    a bucket cap of 1 removes every pair-forming bucket (no candidates)."""
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in llmops.minhash_candidate_pairs(docs, "doc_id").collect()
+    }
+    n_docs = docs.count()
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in llmops.minhash_candidate_pairs(
+            docs, "doc_id", max_df=n_docs, max_bucket=n_docs
+        ).collect()
+    }
+    assert capped == base  # caps at corpus size are no-ops
+    strangled = llmops.minhash_candidate_pairs(docs, "doc_id", max_bucket=1).count()
+    assert strangled == 0  # every candidate needs a bucket of >= 2 docs
+
+
 def test_minhash_verified_pairs_are_exact(spark):
     """q96_minhash_lsh emits only exact-verified pairs (precision 1)."""
     mh = REGISTRY["q96_minhash_lsh"].fn(spark, SF_SMOKE).toPandas()
