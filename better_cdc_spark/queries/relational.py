@@ -1502,6 +1502,67 @@ def q62_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Subqueries (Q63–Q65) — Catalyst decorrelates these into joins; the point
+# of shipping them as SQL is that the engine's declared surface includes the
+# SQL front-end, not just the DataFrame builder.
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+_SCALAR_SQL = """
+SELECT o_orderkey, o_totalprice,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+FROM orders o
+WHERE o_totalprice > 450000
+"""
+
+_IN_SQL = """
+SELECT n_nationkey, n_name
+FROM nation
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+def _sql_query(spark: SparkSession, sf_dir: str, sql: str, *tables: str) -> DataFrame:
+    from better_cdc_spark.io import register_views
+
+    tune_for_oracle(spark)
+    register_views(spark, sf_dir, *tables)
+    return spark.sql(sql)
+
+
+@query("q63_exists_subquery", oracle=_EXISTS_SQL, tags=("subquery",))
+def q63_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — identical SQL text runs on both engines.
+
+    Catalyst decorrelates to a left-semi hash join on o_custkey with the
+    price predicate pushed below the join; `.explain` shows no per-row
+    re-execution of the inner query (the naive reading of EXISTS).
+    """
+    return _sql_query(spark, sf_dir, _EXISTS_SQL, "customer", "orders")
+
+
+@query("q64_scalar_subquery", oracle=_SCALAR_SQL, tags=("subquery",))
+def q64_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery → decorrelated to an aggregate + outer
+    join (COUNT over the empty group correctly yields 0, the classic
+    COUNT-bug case Catalyst handles with a null-backfill projection)."""
+    return _sql_query(spark, sf_dir, _SCALAR_SQL, "orders", "lineitem")
+
+
+@query("q65_in_subquery", oracle=_IN_SQL, tags=("subquery",))
+def q65_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → left-semi join against the distinct inner keys."""
+    return _sql_query(spark, sf_dir, _IN_SQL, "nation", "customer")
+
+
+# ---------------------------------------------------------------------------
 # Scalar functions (Q70–Q76)
 # ---------------------------------------------------------------------------
 

@@ -339,3 +339,60 @@ def q87_foreachbatch_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFr
 
     sunk = spark.read.parquet(out_dir)
     return sunk.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q88_stream_stream_join",
+    oracle="""
+    SELECT s.user_id AS user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + time-range bound.
+
+    Signups matched to the same user's purchases within the following
+    hour. Both sides carry a watermark and the join condition bounds
+    event time on BOTH ends — exactly what lets Spark evict join state
+    (a signup older than watermark − 1 h can never match again). Without
+    the bound, state grows forever; this is the one streaming operator
+    where the 100 TB concern is state size, not shuffle width. Over the
+    finite ordered source nothing is evicted early, so the append-mode
+    result equals the batch self-join the oracle runs.
+    """
+    tune_for_oracle(spark)
+    ev = events_stream(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+    )
+    return run_to_memory(joined, mode="append")
