@@ -11,7 +11,7 @@ from better_cdc_spark.cdc.changelog import (  # noqa: F401
     read_changelog_json,
     synthesize_changelog_from_orders,
 )
-from better_cdc_spark.cdc.apply import apply_changelog, latest_per_key  # noqa: F401
+from better_cdc_spark.cdc.apply import apply_changelog, latest_per_key, snapshot_at  # noqa: F401
 from better_cdc_spark.cdc.scd2 import scd2_history  # noqa: F401
 from better_cdc_spark.cdc.normalize import normalize_changelog  # noqa: F401
 from better_cdc_spark.cdc.dlq import route_failures  # noqa: F401

@@ -47,6 +47,33 @@ def latest_per_key(
     return dedup_keep_first(changes, keys, order_col, ascending=False)
 
 
+def snapshot_at(
+    changes: DataFrame,
+    keys: str | Sequence[str],
+    order_col: str,
+    cutoff,
+    op_col: str = "operation",
+    delete_op: str = "DELETE",
+) -> DataFrame:
+    """Point-in-time reconstruction: table state as of ``order_col <= cutoff``.
+
+    CDC time travel — replay the changelog only up to a commit position
+    (LSN / commit_seq / timestamp) and materialize what the table looked
+    like then: latest surviving after-image per key, deletes removed.
+    ``apply_changelog`` is the incremental step; this is the from-scratch
+    fold the reference enables by retaining the ordered event stream.
+
+    Scale: the cutoff filter is a pushable predicate on the changelog scan
+    (partition-prune by LSN range when the log is LSN-partitioned, which
+    is how a 100 TB changelog should be laid out); reconstruction is then
+    ONE shuffle on the key for the latest-per-key window.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    hist = changes.filter(F.col(order_col) <= F.lit(cutoff))
+    latest = latest_per_key(hist, key_list, order_col)
+    return latest.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
 def apply_changelog(
     snapshot: DataFrame,
     changes: DataFrame,

@@ -238,6 +238,45 @@ def salted_join(
     return l_salted.join(r_salted, keys + ["__salt"], how).drop("__salt")
 
 
+def interval_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    dedup_keys: Sequence[str],
+    cell_seconds: int = 30 * 86400,
+) -> DataFrame:
+    """Interval-overlap join as an equi-join on fixed-width time cells.
+
+    The scalable rewrite of ``a.start <= b.end AND b.start <= a.end``:
+    each interval explodes into the cells it covers, the join runs as a
+    hash equi-join on the cell id, and the exact overlap predicate then
+    prunes false positives inside the join — so the quadratic broadcast
+    nested-loop the naive condition forces never happens. Overlapping
+    pairs that share several cells emerge once per shared cell;
+    ``dedup_keys`` names the pair identity to collapse them.
+
+    Pick ``cell_seconds`` near the typical interval length: much smaller
+    multiplies the explode fan-out, much larger degrades toward one giant
+    bucket (the BNLJ again, per-cell). Output: all columns of both inputs,
+    one row per overlapping pair.
+    """
+
+    def cells(start: str, end: str) -> Column:
+        lo = F.floor(F.unix_timestamp(F.col(start)) / cell_seconds)
+        hi = F.floor(F.unix_timestamp(F.col(end)) / cell_seconds)
+        return F.explode(F.sequence(lo, hi))
+
+    lc = left.withColumn("__cell", cells(l_start, l_end))
+    rc = right.withColumn("__cell", cells(r_start, r_end))
+    joined = lc.join(rc, ["__cell"]).filter(
+        (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    )
+    return joined.drop("__cell").dropDuplicates(list(dedup_keys))
+
+
 def dedup_keep_first(
     df: DataFrame,
     key_cols: str | Sequence[str],

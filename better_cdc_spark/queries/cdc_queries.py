@@ -393,3 +393,79 @@ def qc06_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from better_cdc_spark.cdc import scd2_history
 
     return scd2_history(changes, keys="id", order_col="commit_seq")
+
+
+@query(
+    "qc07_snapshot_at",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), versions AS (
+      SELECT b.id,
+             b.status || '-' || CAST(t.v AS VARCHAR) AS status,
+             b.cents + t.v AS total_cents,
+             CASE WHEN t.v < CASE WHEN b.id % 4 = 0 THEN 2 ELSE 1 END THEN 'INSERT'
+                  WHEN b.id % 10 < 6 THEN 'INSERT'
+                  WHEN b.id % 10 < 9 THEN 'UPDATE'
+                  ELSE 'DELETE' END AS operation,
+             t.v AS commit_seq
+      FROM base b JOIN (VALUES (1), (2)) AS t(v)
+        ON t.v = 1 OR b.id % 4 = 0
+    ), hist AS (
+      SELECT * FROM versions WHERE commit_seq <= 1
+    ), latest AS (
+      SELECT id, status, total_cents, operation
+      FROM hist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY commit_seq DESC) = 1
+    )
+    SELECT id, status, total_cents FROM latest WHERE operation <> 'DELETE'
+    """,
+    tags=("cdc", "time-travel"),
+)
+def qc07_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction (cdc.apply.snapshot_at): the table as
+    of commit_seq <= 1, replayed from the same multi-version changelog
+    qc05 applies in full.
+
+    Every 4th key's second version (and its final 60/30/10 op) must NOT
+    appear — at the cutoff those keys were plain v=1 INSERTs. The cutoff
+    predicate reaches the changelog scan (LSN-range partition pruning at
+    scale); reconstruction is one key-shuffle for latest-per-key.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    two_versions = F.col("id") % 4 == 0
+    versions = base.select(
+        "*",
+        F.explode(
+            F.when(two_versions, F.array(F.lit(1), F.lit(2))).otherwise(
+                F.array(F.lit(1))
+            )
+        ).alias("v"),
+    )
+    last_v = F.when(two_versions, F.lit(2)).otherwise(F.lit(1))
+    op = (
+        F.when(F.col("v") < last_v, "INSERT")
+        .when(F.col("id") % 10 < 6, "INSERT")
+        .when(F.col("id") % 10 < 9, "UPDATE")
+        .otherwise("DELETE")
+    )
+    changes = versions.select(
+        "id",
+        F.concat_ws("-", "status", F.col("v").cast("string")).alias("status"),
+        (F.col("cents") + F.col("v")).alias("total_cents"),
+        op.alias("operation"),
+        F.col("v").alias("commit_seq"),
+    )
+    from better_cdc_spark.cdc import snapshot_at
+
+    return snapshot_at(changes, "id", "commit_seq", cutoff=1).select(
+        "id", "status", "total_cents"
+    )

@@ -768,6 +768,63 @@ def q28_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q28b_interval_bucket_join",
+    oracle="""
+    WITH pr AS (
+        SELECT o_orderpriority AS pr_key,
+               MIN(o_orderdate) AS pr_start, MAX(o_orderdate) AS pr_end
+        FROM orders WHERE o_totalprice > 450000 GROUP BY o_orderpriority
+    ),
+    st AS (
+        SELECT o_orderstatus AS st_key,
+               MIN(o_orderdate) AS st_start, MAX(o_orderdate) AS st_end
+        FROM orders WHERE o_totalprice < 10000 GROUP BY o_orderstatus
+    )
+    SELECT pr.pr_key, st.st_key,
+           CAST(date_diff('day', GREATEST(pr.pr_start, st.st_start),
+                LEAST(pr.pr_end, st.st_end)) AS INTEGER) AS overlap_days
+    FROM pr JOIN st
+      ON pr.pr_start <= st.st_end AND st.st_start <= pr.pr_end
+    """,
+    tags=("join", "interval", "bucketed"),
+)
+def q28b_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28's overlap join via operators.interval_bucket_join — same oracle.
+
+    Proves the cell-decomposition rewrite is semantics-preserving: explode
+    intervals into 30-day cells, hash equi-join on cell id, exact overlap
+    filter inside the join, dedup pairs that share several cells. This is
+    the plan that survives 100 TB where the naive non-equi condition
+    forces a broadcast nested loop.
+    """
+    tune_for_oracle(spark)
+    from better_cdc_spark.operators import interval_bucket_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    pr = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .groupBy(F.col("o_orderpriority").alias("pr_key"))
+        .agg(F.min("o_orderdate").alias("pr_start"), F.max("o_orderdate").alias("pr_end"))
+    )
+    st = (
+        orders.filter(F.col("o_totalprice") < 10000)
+        .groupBy(F.col("o_orderstatus").alias("st_key"))
+        .agg(F.min("o_orderdate").alias("st_start"), F.max("o_orderdate").alias("st_end"))
+    )
+    joined = interval_bucket_join(
+        pr, st, "pr_start", "pr_end", "st_start", "st_end",
+        dedup_keys=("pr_key", "st_key"),
+    )
+    return joined.select(
+        "pr_key",
+        "st_key",
+        F.date_diff(
+            F.least("pr_end", "st_end"), F.greatest("pr_start", "st_start")
+        ).alias("overlap_days"),
+    )
+
+
+@query(
     "q29_skew_salted_join",
     oracle="""
     SELECT s.s_nationkey,

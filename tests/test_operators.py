@@ -210,3 +210,58 @@ def test_scd2_history_single_shuffle(spark):
     )
     # both windows share one exchange: the lead() and renumber sorts reuse it
     assert plan.count("Exchange") == 1
+
+
+def test_interval_bucket_join_matches_naive(spark):
+    """Cell decomposition == naive overlap join, incl. multi-cell spans."""
+    from better_cdc_spark.operators import interval_bucket_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-03-15"),   # spans 3 monthly cells
+         (2, "2024-06-01", "2024-06-02"),   # no partner overlaps
+         (3, "2024-02-01", "2024-02-05")],
+        "lid long, ls string, le string",
+    ).select("lid", F.col("ls").cast("timestamp").alias("ls"),
+             F.col("le").cast("timestamp").alias("le"))
+    right = spark.createDataFrame(
+        [(10, "2024-03-10", "2024-04-01"),  # overlaps 1 only
+         (11, "2024-01-20", "2024-02-02"),  # overlaps 1 and 3
+         (12, "2024-09-01", "2024-09-09")], # overlaps none
+        "rid long, rs string, re string",
+    ).select("rid", F.col("rs").cast("timestamp").alias("rs"),
+             F.col("re").cast("timestamp").alias("re"))
+    got = {
+        (r.lid, r.rid)
+        for r in interval_bucket_join(
+            left, right, "ls", "le", "rs", "re", dedup_keys=("lid", "rid")
+        ).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in left.join(
+            right, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ).collect()
+    }
+    assert got == naive == {(1, 10), (1, 11), (3, 11)}
+
+
+def test_snapshot_at_cutoffs(spark):
+    """Replay to successive cutoffs walks the table through its history."""
+    from better_cdc_spark.cdc import snapshot_at
+
+    log = spark.createDataFrame(
+        [(1, "a1", "INSERT", 1),
+         (2, "b1", "INSERT", 1),
+         (1, "a2", "UPDATE", 2),
+         (2, None, "DELETE", 3),
+         (3, "c1", "INSERT", 3)],
+        "id long, val string, operation string, seq long",
+    )
+    def state(cutoff):
+        return {
+            (r.id, r.val)
+            for r in snapshot_at(log, "id", "seq", cutoff).select("id", "val").collect()
+        }
+    assert state(1) == {(1, "a1"), (2, "b1")}
+    assert state(2) == {(1, "a2"), (2, "b1")}
+    assert state(3) == {(1, "a2"), (3, "c1")}
