@@ -179,6 +179,44 @@ def q05_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q05b_compaction",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "maintenance", "compaction"),
+)
+def q05b_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (maintenance.compact_parquet), content-checked.
+
+    A deliberately fragmented copy of orders (64 splinter files) is
+    compacted into range-clustered files on o_orderdate; the oracle
+    proves the rewrite loses and invents nothing. File-count and
+    clustering assertions live in tests/test_maintenance.py — the oracle
+    here guards the invariant that matters most: compaction is a pure
+    layout change.
+    """
+    from better_cdc_spark.maintenance import compact_parquet
+
+    tune_for_oracle(spark)
+    frag = f"{tempfile.gettempdir()}/bcs_q05b_frag"
+    compacted = f"{tempfile.gettempdir()}/bcs_q05b_compact"
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    back = compact_parquet(
+        spark, frag, compacted, target_file_bytes=256 * 1024 * 1024,
+        order_by=("o_orderdate",),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _d(F.sum(dec("o_totalprice"))).alias("sum_total"),
+    )
+
+
+@query(
     "q07_orc_roundtrip",
     oracle="""
     SELECT s_nationkey,

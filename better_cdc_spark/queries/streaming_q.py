@@ -396,3 +396,62 @@ def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
     )
     return run_to_memory(joined, mode="append")
+
+
+@query(
+    "q89_multi_sink_fanout",
+    oracle="""
+    SELECT 'clean' AS sink, COUNT(*) AS n FROM events WHERE event_type <> 'error'
+    UNION ALL
+    SELECT 'dlq' AS sink, COUNT(*) AS n FROM events WHERE event_type = 'error'
+    """,
+    tags=("streaming", "sink", "dlq"),
+)
+def q89_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, two sinks, one commit boundary (R11 + R15 composed).
+
+    foreachBatch is the only place Spark lets a stream write N sinks
+    under a single checkpointed epoch: the batch splits into clean and
+    dead-letter routes and both writes happen inside the same batch
+    function — a replayed epoch re-writes BOTH consistently, never one.
+    Splitting outside foreachBatch (two writeStreams) would double-read
+    the source and commit the routes independently, letting a crash land
+    clean and DLQ at different offsets.
+    """
+    tune_for_oracle(spark)
+    clean_dir = tempfile.mkdtemp(prefix="bcs_q89_clean_")
+    dlq_dir = tempfile.mkdtemp(prefix="bcs_q89_dlq_")
+    shutil.rmtree(clean_dir, ignore_errors=True)
+    shutil.rmtree(dlq_dir, ignore_errors=True)
+
+    def fan_out(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.filter(F.col("event_type") != "error").write.mode(
+                "append"
+            ).parquet(clean_dir)
+            batch_df.filter(F.col("event_type") == "error").write.mode(
+                "append"
+            ).parquet(dlq_dir)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_q89_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    clean_n = spark.read.parquet(clean_dir).agg(
+        F.lit("clean").alias("sink"), F.count("*").alias("n")
+    )
+    dlq_n = spark.read.parquet(dlq_dir).agg(
+        F.lit("dlq").alias("sink"), F.count("*").alias("n")
+    )
+    return clean_n.unionByName(dlq_n)
