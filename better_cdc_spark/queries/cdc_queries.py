@@ -469,3 +469,55 @@ def qc07_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_at(changes, "id", "commit_seq", cutoff=1).select(
         "id", "status", "total_cents"
     )
+
+
+@query(
+    "qc08_schema_evolution",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT event_id,
+           okey AS id,
+           status,
+           CAST(total_cents AS INTEGER) AS total_cents,
+           CASE WHEN okey % 5 = 0 THEN CAST(okey % 100 AS INTEGER) END AS discount
+    FROM envelope
+    WHERE "table" = 'orders' AND operation IN ('INSERT','UPDATE')
+    """,
+    tags=("cdc", "schema", "evolution"),
+)
+def qc08_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift: a column added mid-stream, one catalog, no reprocess.
+
+    Every 5th key's events are 'new generation' and carry a discount key
+    in the after-image map; the rest predate the DDL. Because the image
+    is dynamic (map<string,string>) and typed_projection resolves columns
+    by name, ONE evolved catalog schema projects both generations —
+    missing keys surface as NULL, exactly how the reference's relationInfo
+    registry absorbs relation-message updates (pgoutput.go:20-26) without
+    replaying history. No per-generation branching, no schema-tagged
+    unions; at 100 TB that is the difference between a metadata change
+    and a table rewrite.
+    """
+    tune_for_oracle(spark)
+    ev = _normalized(spark, sf_dir)
+    okey = F.element_at("after", "id").cast("long")
+    new_gen = F.col("after").isNotNull() & (okey % 5 == 0)
+    evolved = ev.withColumn(
+        "after",
+        F.when(
+            new_gen,
+            F.map_concat(
+                "after",
+                F.create_map(F.lit("discount"), (okey % 100).cast("string")),
+            ),
+        ).otherwise(F.col("after")),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("total_cents", T.IntegerType()),
+            T.StructField("discount", T.IntegerType()),
+        ]
+    )
+    return typed_projection(evolved, "public.orders", schema)

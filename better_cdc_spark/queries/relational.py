@@ -1149,6 +1149,90 @@ def q36_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q36b_argminmax",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(l_orderkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000000 + l_orderkey) AS top_price_order,
+           arg_min(l_orderkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000000 + l_orderkey) AS bottom_price_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "argminmax"),
+)
+def q36b_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates (max_by/min_by): which row holds the
+    extreme, not the extreme itself.
+
+    The ordering key is integer cents scaled and tie-broken by the unique
+    orderkey — max_by over ties is otherwise nondeterministic on BOTH
+    engines, and doubles would rank differently at the last ulp.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_key = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long") * 10000000
+        + F.col("l_orderkey")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", ord_key).alias("top_price_order"),
+        F.min_by("l_orderkey", ord_key).alias("bottom_price_order"),
+    )
+
+
+@query(
+    "q77b_fuzzy_blocked_match",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[2] AS block
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.block,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b
+        ON a.block = b.block AND a.p_partkey < b.p_partkey
+    )
+    SELECT block,
+           COUNT(*) AS n_pairs,
+           COUNT(*) FILTER (WHERE dist = 0) AS n_exact,
+           COUNT(*) FILTER (WHERE dist > 0 AND dist <= 3) AS n_near,
+           MAX(dist) AS max_dist
+    FROM pairs
+    GROUP BY block
+    """,
+    tags=("join", "fuzzy", "llm"),
+)
+def q77b_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching with blocking: equi-join on a cheap block key, exact
+    edit distance only within blocks.
+
+    The entity-resolution primitive (and the string cousin of LSH-then-
+    verify): blocking turns the quadratic all-pairs levenshtein into
+    per-block quadratics on a hash equi-join, and the JVM levenshtein
+    built-in scores only co-blocked pairs. At 100 TB the block key is the
+    unit of skew control — cap or split hot blocks exactly like hot LSH
+    buckets (llmops.minhash_candidate_pairs max_bucket).
+    """
+    tune_for_oracle(spark)
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("block")
+    )
+    a = p.select(F.col("block"), F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+    b = p.select(F.col("block"), F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"))
+    pairs = a.join(b, ["block"]).filter(F.col("ka") < F.col("kb")).select(
+        "block", F.levenshtein("na", "nb").alias("dist")
+    )
+    return pairs.groupBy("block").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_if(F.col("dist") == 0).alias("n_exact"),
+        F.count_if((F.col("dist") > 0) & (F.col("dist") <= 3)).alias("n_near"),
+        F.max("dist").alias("max_dist"),
+    )
+
+
+@query(
     "q37_pivot",
     oracle="""
     SELECT o_orderpriority,
