@@ -1400,6 +1400,40 @@ def q40_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q40b_distribution_windows",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           PERCENT_RANK() OVER w2 AS prnk,
+           CUME_DIST() OVER w2 AS cdist,
+           NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+    """,
+    tags=("window", "distribution"),
+)
+def q40b_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist, nth_value.
+
+    percent_rank/cume_dist are integer-ratio doubles — identical on both
+    engines with no rounding, since the rank integers match. nth_value
+    runs over the total order (price, key) with the default frame, so the
+    first two rows of each partition see NULL on both engines.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w2).alias("prnk"),
+        F.cume_dist().over(w2).alias("cdist"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
+
+
+@query(
     "q41_lag_lead",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
@@ -1845,6 +1879,38 @@ def q72_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
         F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "q73b_higher_order_predicates",
+    oracle="""
+    SELECT p_partkey,
+           len(list_filter(string_split(p_name, ' '), x -> x = 'widget')) > 0 AS has_widget,
+           len(list_filter(string_split(p_name, ' '),
+                           x -> NOT (length(x) > 2))) = 0 AS all_gt2,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_toks,
+           CAST(len(list_distinct(string_split(p_name, ' '))) AS INTEGER) AS n_distinct
+    FROM part
+    """,
+    tags=("function", "array", "higher-order"),
+)
+def q73b_higher_order_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates: exists/forall + distinct/sort.
+
+    All four run inside whole-stage codegen as SQL lambda expressions —
+    the set-membership and validation idioms of schema-free ingest, with
+    zero Python involvement.
+    """
+    tune_for_oracle(spark)
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return part.select(
+        "p_partkey",
+        F.exists(toks, lambda x: x == F.lit("widget")).alias("has_widget"),
+        F.forall(toks, lambda x: F.length(x) > 2).alias("all_gt2"),
+        F.array_join(F.sort_array(toks), ",").alias("sorted_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
     )
 
 
