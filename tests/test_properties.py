@@ -93,3 +93,47 @@ def test_jaccard_for_pairs_matches_python(spark, docs_txt):
         for b, _ in rows:
             if a < b and (a, b) not in got:
                 assert _py_jaccard(txt[a], txt[b]) == 0.0
+
+
+changelogs = st.lists(
+    st.tuples(
+        st.integers(1, 8),                      # key
+        st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+        st.integers(0, 999),                    # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log_rows=changelogs, cutoff_frac=st.floats(0.0, 1.0))
+def test_snapshot_at_agrees_with_python_fold(spark, log_rows, cutoff_frac):
+    """snapshot_at == sequential replay of the log up to the cutoff.
+
+    The reference implementation is the obvious one: fold the ordered
+    events into a dict, DELETE removing, anything else upserting.
+    """
+    from better_cdc_spark.cdc import snapshot_at
+
+    rows = [
+        (key, op, payload, seq + 1)  # seq: unique total order
+        for seq, (key, op, payload) in enumerate(log_rows)
+    ]
+    cutoff = max(1, int(round(cutoff_frac * len(rows))))
+    expected: dict[int, int] = {}
+    for key, op, payload, seq in rows:
+        if seq > cutoff:
+            break
+        if op == "DELETE":
+            expected.pop(key, None)
+        else:
+            expected[key] = payload
+    log = spark.createDataFrame(
+        rows, "id long, operation string, payload long, seq long"
+    )
+    got = {
+        (r.id, r.payload)
+        for r in snapshot_at(log, "id", "seq", cutoff).select("id", "payload").collect()
+    }
+    assert got == set(expected.items())
