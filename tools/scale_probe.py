@@ -89,6 +89,32 @@ def main() -> int:
     sh.agg(F.count_distinct("sh")).collect()
     print(f"simhash fingerprints: {n} in {time.perf_counter() - t0:.1f}s")
 
+    # PQ: encode an amplified embedding corpus, then ADC-scan codes only.
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    emb_big = emb.crossJoin(
+        spark.range(n_copies).select(F.col("id").alias("copy"))
+    ).select((F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"), "v")
+    books = llmops.train_pq_codebooks(emb)
+    t0 = time.perf_counter()
+    codes = emb_big.select("vec_id", llmops.pq_encoder(books)(F.col("v")).alias("codes"))
+    n_vec = codes.count()
+    t_enc = time.perf_counter() - t0
+    print(f"pq encode: {n_vec} vecs in {t_enc:.1f}s ({n_vec / t_enc:,.0f} vecs/s)")
+    queries = [
+        (r["vec_id"], __import__("numpy").asarray(r["v"]))
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    t0 = time.perf_counter()
+    approx = codes.mapInPandas(
+        llmops.pq_adc_kernel(books, queries), "qid long, nid long, approx double"
+    )
+    n_scored = approx.count()
+    t_adc = time.perf_counter() - t0
+    print(f"pq adc scan: {n_scored} scores in {t_adc:.1f}s "
+          f"({n_scored / t_adc:,.0f} pair-scores/s)")
+
     return 0
 
 
