@@ -1566,6 +1566,57 @@ def q44_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q45_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket, COUNT(*) AS n
+      FROM events WHERE user_id < 8 GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, g.bucket
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi, INTERVAL '1 hour')) AS bucket
+      ) g
+    )
+    SELECT g.user_id, g.bucket, COALESCE(b.n, 0) AS n
+    FROM grid g LEFT JOIN b USING (user_id, bucket)
+    """,
+    tags=("window", "timeseries", "gapfill"),
+)
+def q45_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (hypertable-style dense resample).
+
+    Hourly activity per user with silent hours materialized as zero rows:
+    per-key span → sequence() of bucket timestamps → explode → left join
+    the sparse aggregate back. The dense grid is generated, never stored,
+    and explodes AFTER the per-key span aggregate — so the expensive side
+    (raw events) is touched once and the grid costs |keys| × span/width
+    rows, the minimum possible. The per-user filter keeps the demo grid
+    small; the plan shape is scale-free.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    b = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        ).agg(F.count("*").alias("n"))
+    )
+    spans = b.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    return grid.join(b, ["user_id", "bucket"], "left").select(
+        "user_id", "bucket", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit (Q50–Q52)
 # ---------------------------------------------------------------------------

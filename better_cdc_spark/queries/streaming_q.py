@@ -455,3 +455,64 @@ def q89_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dlq").alias("sink"), F.count("*").alias("n")
     )
     return clean_n.unionByName(dlq_n)
+
+
+@query(
+    "q81b_incremental_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "rollup", "ivm"),
+)
+def q81b_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate: a rollup table maintained incrementally.
+
+    The hypertable-rollup pattern on immutable storage: the update-mode
+    windowed aggregation re-emits a window's cumulative total whenever a
+    batch touches it; foreachBatch appends those emissions (stamped with
+    the epoch) to an append-only log, and readers keep the latest emission
+    per window — merge-on-read IVM. Append-only means a replayed epoch
+    re-appends identical rows and the keep-latest read is unaffected
+    (idempotent under at-least-once). The final state must equal the
+    from-scratch batch aggregate, which is exactly what the oracle checks.
+    """
+    tune_for_oracle(spark)
+    log_dir = tempfile.mkdtemp(prefix="bcs_q81b_log_")
+    shutil.rmtree(log_dir, ignore_errors=True)
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"), _d(F.sum(dec("value"))).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+    def append_emissions(batch_df: DataFrame, epoch: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch)).write.mode("append").parquet(
+            log_dir
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(append_emissions)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_q81b_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    log = spark.read.parquet(log_dir)
+    w = W.partitionBy("window_start").orderBy(F.col("epoch").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "n", "sum_value")
+    )
