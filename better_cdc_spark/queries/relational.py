@@ -1934,6 +1934,42 @@ def q72_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q78_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS key_roundtrip,
+           CAST(o_totalprice AS DOUBLE) / CAST(o_orderkey % 3 AS DOUBLE) AS div_maybe_null,
+           string_split(o_orderpriority, '-')[3] AS third_part
+    FROM orders
+    """,
+    tags=("function", "error-handling"),
+)
+def q78_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expressions: try_cast / try_divide / try_element_at.
+
+    The engine runs ANSI mode (Spark 4 default) so bad casts and division
+    by zero FAIL jobs by design — the try_* family is the per-expression
+    opt-out, the R15 decode-error policy at expression granularity: bad
+    values become NULL instead of poisoning a 100 TB job at task 9999 of
+    10000. Both engines agree: non-numeric casts, /0, and out-of-bounds
+    element access all yield NULL.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("TRY_CAST(o_orderstatus AS INT)").alias("status_as_int"),
+        F.expr("TRY_CAST(CAST(o_orderkey AS STRING) AS INT)").alias("key_roundtrip"),
+        F.try_divide(
+            F.col("o_totalprice").cast("double"),
+            (F.col("o_orderkey") % 3).cast("double"),
+        ).alias("div_maybe_null"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias("third_part"),
+    )
+
+
+@query(
     "q73b_higher_order_predicates",
     oracle="""
     SELECT p_partkey,
