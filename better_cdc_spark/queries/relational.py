@@ -217,6 +217,43 @@ def q05b_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q05c_zorder_rewrite",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "maintenance", "zorder"),
+)
+def q05c_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite (maintenance.zorder_rewrite), content-checked.
+
+    Morton-interleaved (o_orderkey, o_custkey) — every output file covers
+    a small min/max box in BOTH dimensions, so predicates on either key
+    skip files (tests/test_maintenance.py proves the boxes shrink on both
+    dims vs round-robin). The oracle guards the layout-only invariant; the
+    key is codegen'd integer math, computed once, dropped before write.
+    """
+    from better_cdc_spark.maintenance import zorder_rewrite
+
+    tune_for_oracle(spark)
+    frag = f"{tempfile.gettempdir()}/bcs_q05c_src"
+    dst = f"{tempfile.gettempdir()}/bcs_q05c_z"
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(16).write.mode("overwrite").parquet(frag)
+    back = zorder_rewrite(
+        spark, frag, dst, ("o_orderkey", "o_custkey"),
+        target_file_bytes=64 * 1024 * 1024,
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _d(F.sum(dec("o_totalprice"))).alias("sum_total"),
+    )
+
+
+@query(
     "q07_orc_roundtrip",
     oracle="""
     SELECT s_nationkey,

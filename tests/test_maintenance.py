@@ -61,3 +61,40 @@ def _dir_size(path: str) -> int:
         for dp, _, fs in os.walk(path)
         for f in fs
     )
+
+
+def test_zorder_boxes_shrink_on_both_dims(spark):
+    """Z-order: per-file min/max boxes are small in BOTH dimensions;
+    plain round-robin files cover ~the whole range of each."""
+    from better_cdc_spark.maintenance import zorder_rewrite
+
+    src = tempfile.mkdtemp(prefix="bcs_zsrc_")
+    dst = tempfile.mkdtemp(prefix="bcs_zdst_")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.repartition(16).write.mode("overwrite").parquet(src)
+    total = _dir_size(src)
+    back = zorder_rewrite(
+        spark, src, dst, ("o_orderkey", "o_custkey"),
+        target_file_bytes=max(1, total // 16),
+    )
+    assert back.count() == orders.count()
+
+    def avg_box_frac(df, col):
+        lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
+        span = float(hi - lo) or 1.0
+        per_file = (
+            df.withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        return sum((r.hi - r.lo) / span for r in per_file) / len(per_file)
+
+    plain = spark.read.parquet(src)
+    for col in ("o_orderkey", "o_custkey"):
+        z_frac = avg_box_frac(back, col)
+        p_frac = avg_box_frac(plain, col)
+        # round-robin files span ~the full range; z-order boxes must be
+        # materially tighter on EVERY clustered dimension
+        assert p_frac > 0.9, f"{col}: plain {p_frac}"
+        assert z_frac < 0.6 * p_frac, f"{col}: z {z_frac} vs plain {p_frac}"
