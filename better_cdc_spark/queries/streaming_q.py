@@ -516,3 +516,80 @@ def q81b_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("window_start", "n", "sum_value")
     )
+
+
+@query(
+    "q88b_stream_stream_left_join",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts
+               FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT s.user_id, s.signup_id, p.purchase_id
+      FROM s JOIN p ON s.user_id = p.user_id
+       AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+      SELECT s.user_id, s.signup_id, CAST(NULL AS BIGINT) AS purchase_id
+      FROM s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = s.user_id
+          AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
+      )
+      -- Spark emits a null-matched left row only once the GLOBAL
+      -- watermark (min over both inputs of max event time, minus the 2h
+      -- delay) passes the s_ts + 1h join bound:
+      AND s.s_ts + INTERVAL 1 HOUR <
+          LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'signup'),
+                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+          - INTERVAL 2 HOUR
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def q88b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: null emission is watermark-gated.
+
+    The semantics q88 can't show: an unmatched signup emits its
+    null-purchase row only when the watermark proves no matching purchase
+    can still arrive (watermark > s_ts + 1 h join bound). Signups younger
+    than max_event_time − watermark_delay − window stay in state forever
+    on a finite stream — the oracle encodes the exact eviction frontier,
+    so the hash check verifies Spark's emission rule itself, not just the
+    matched pairs.
+    """
+    tune_for_oracle(spark)
+    signups = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+    )
+    return run_to_memory(joined, mode="append")
