@@ -319,6 +319,12 @@ def minhash_candidate_pairs(
         .select(id_col, F.explode(lsh_band_keys("sig")).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+    # Both self-join sides (and the bucket-size aggregate, when capped)
+    # consume the band keys, and Spark does NOT reuse the exchange across
+    # the alias branches — without materialization the whole
+    # explode→hash→64-lane-min pipeline runs once PER side. The band-key
+    # set is one small row per (doc, band): checkpoint it eagerly.
+    sigs = sigs.localCheckpoint(eager=True)
     if max_bucket is not None:
         ok = (
             sigs.groupBy("band", "key")

@@ -66,3 +66,47 @@ def test_minhash_signatures_partially_aggregate(spark):
     plan = llmops.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
     # partial_min on the map side → the shuffle carries pre-reduced rows
     assert "partial_min" in plan
+
+
+def test_lsh_candidates_compute_signatures_once(spark):
+    """The band self-join must read materialized band keys, not re-run the
+    explode→hash→64-lane-min signature pipeline per join side."""
+    from better_cdc_spark import llmops
+    from better_cdc_spark.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cands = llmops.minhash_candidate_pairs(docs, "doc_id")
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("xxhash64") <= 1, "signature pipeline duplicated per join side"
+
+
+def test_q28b_interval_bucket_join_avoids_nested_loop(spark):
+    plan = plan_of(spark, "q28b_interval_bucket_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q44_sessionize_single_exchange(spark):
+    plan = plan_of(spark, "q44_sessionize")
+    import re
+    n_exchange = len(re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange")
+    assert n_exchange == 1, f"expected one exchange, plan has {n_exchange}"
+
+
+def test_q05_partitioned_read_prunes_partitions(spark):
+    """Reading one o_orderstatus partition must scan only that directory."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from better_cdc_spark.io import load_table
+
+    out = tempfile.mkdtemp(prefix="bcs_prune_")
+    load_table(spark, SF_SMOKE, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters:"
+    )[1].splitlines()[0]
