@@ -179,6 +179,47 @@ def q05_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q01b_parquet_schema_merge",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS total_cents
+    FROM orders
+    """,
+    tags=("source", "schema", "evolution"),
+)
+def q01b_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution on read (mergeSchema): qc08 at the storage
+    layer.
+
+    Two generations of files share one directory — even keys written
+    before a total_cents column existed, odd keys after. mergeSchema
+    unions the footers into one schema and back-fills NULL for files that
+    predate the column; no rewrite of the old generation, same contract
+    as the dynamic-image projection. (At 100 TB, prefer declaring the
+    merged schema explicitly over paying the all-footers merge scan —
+    mergeSchema is the discovery tool, not the steady-state read path.)
+    """
+    tune_for_oracle(spark)
+    out = f"{tempfile.gettempdir()}/bcs_q01b_gen"
+    orders = load_table(spark, sf_dir, "orders")
+    old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new_gen = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_cents"),
+    )
+    old_gen.write.mode("overwrite").parquet(out)
+    new_gen.write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "o_orderkey", "o_orderstatus", "total_cents"
+    )
+
+
+@query(
     "q05b_compaction",
     oracle="""
     SELECT o_orderstatus,
