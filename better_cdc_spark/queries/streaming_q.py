@@ -593,3 +593,34 @@ def q88b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
     )
     return run_to_memory(joined, mode="append")
+
+
+@query(
+    "q04b_rate_limited_source",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "source", "rate-limit"),
+)
+def q04b_rate_limited_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited multi-batch source: maxFilesPerTrigger=1 over 4 splits.
+
+    The file-source analog of Kafka's maxOffsetsPerTrigger — the knob that
+    bounds per-batch work (and therefore end-to-end latency and state
+    churn) when a backlogged 100 TB topic would otherwise arrive as one
+    giant first batch. Four micro-batches flow through the SAME running
+    aggregation state; the final complete-mode table must equal the batch
+    answer, proving state carries correctly across epochs (single-batch
+    streams can't test that at all — tests/test_streaming.py asserts the
+    batch count).
+    """
+    tune_for_oracle(spark)
+    agg = (
+        events_stream(spark, sf_dir, max_files_per_trigger=1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), _d(F.sum(dec("value"))).alias("sum_value"))
+    )
+    return run_to_memory(agg, mode="complete")

@@ -49,18 +49,46 @@ def _staged_events_dir(sf_dir: str) -> str:
     return d
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_events_split_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Stage events as ``n_files`` parquet splits (stable per sf), so a
+    maxFilesPerTrigger source delivers a genuinely multi-batch stream."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"bcs_events_split{n_files}_{key}")
+    marker = os.path.join(d, "_SPLIT_DONE")
+    if not os.path.exists(marker):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/events.parquet").repartition(
+            n_files
+        ).write.mode("overwrite").parquet(d)
+        open(marker, "w").close()
+    return d
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    n_splits: int = 4,
+) -> DataFrame:
     """Streaming read of the events table (file source, Q04).
 
     At scale this is `readStream.format("kafka")` / a change feed; the file
     source exercises identical semantics (offsets = file positions).
+
+    ``max_files_per_trigger`` turns on rate limiting (the file-source
+    analog of Kafka's maxOffsetsPerTrigger): events are staged as
+    ``n_splits`` files and each micro-batch admits that many — the stream
+    becomes genuinely multi-batch, so stateful operators carry state
+    across epochs instead of resolving in one.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .format("parquet")
-        .load(_staged_events_dir(sf_dir))
-    )
+    reader = spark.readStream.schema(_EVENTS_RAW).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        src = _staged_events_split_dir(spark, sf_dir, n_splits)
+    else:
+        src = _staged_events_dir(sf_dir)
+    raw = reader.load(src)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -313,3 +313,35 @@ def test_incomplete_pending_snapshot_is_ignored(spark, tmp_path):
         f.write("garbage")
     assert [e for e, _ in pipe._pending_epoch_dirs()] == [0]
     assert pipe.pending().count() == 2
+
+
+def test_rate_limited_source_runs_multiple_batches(spark):
+    """maxFilesPerTrigger=1 over 4 splits must produce >= 4 micro-batches
+    (state demonstrably carried across epochs, not resolved in one)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+    from better_cdc_spark.streaming.core import events_stream
+    from tests.conftest import SF_SMOKE
+
+    agg = (
+        events_stream(spark, SF_SMOKE, max_files_per_trigger=1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_mb_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert batches >= 4, f"expected >=4 micro-batches, got {batches}"
