@@ -221,7 +221,12 @@ def q85_stateful_processing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_stateful_agg(spark: SparkSession, sf_dir: str, engine: str) -> DataFrame:
-    out = stateful_user_agg(events_stream(spark, sf_dir), engine=engine)
+    # Rate-limited source: the per-key state MUST survive four epochs for
+    # the final counts to match the batch answer — a single-batch stream
+    # would pass even with broken state handling.
+    out = stateful_user_agg(
+        events_stream(spark, sf_dir, max_files_per_trigger=1), engine=engine
+    )
     out_dir = tempfile.mkdtemp(prefix="bcs_q85_")
 
     def write_batch(df: DataFrame, _epoch: int) -> None:
