@@ -948,3 +948,79 @@ def q99_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     frames = payloads.mapInPandas(llmops.sample_frames(every_n=2), schema=llmops.FRAME_SCHEMA)
     return frames.select("doc_id", "frame_idx", "frame_digest")
+
+
+# ---------------------------------------------------------------------------
+# Q94b — composed multimodal curation: text quality + exact dedup +
+# embedding near-dedup in one flow
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94b_multimodal_curation",
+    oracle="""
+    WITH joined AS (
+      SELECT d.doc_id, d.lang, d.text, CAST(e.embedding AS DOUBLE[]) AS ev
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    quality AS (
+      SELECT * FROM joined WHERE len(string_split(text, ' ')) >= 5
+    ),
+    exact_kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    survivors AS (
+      SELECT q.* FROM quality q JOIN exact_kept USING (doc_id)
+    ),
+    kept AS (
+      SELECT s.* FROM survivors s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM survivors o
+        WHERE o.doc_id < s.doc_id
+          AND list_cosine_similarity(o.ev, s.ev) >= 0.4
+      )
+    )
+    SELECT lang, COUNT(*) AS n_docs
+    FROM kept GROUP BY lang
+    """,
+    tags=("llm", "curation", "embedding", "composed"),
+)
+def q94b_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation across modalities: text quality gate → exact text dedup →
+    embedding-cosine near-dedup (keep the lowest-id of any >=0.4 pair).
+
+    The flow a multimodal training-data pipeline runs per shard: the text
+    side gates and exact-dedups (hash groupBy — one shuffle), then the
+    vector side removes semantic near-dupes. The all-pairs cosine here is
+    the oracle-checkable form of the prefilter+verify pattern: at corpus
+    scale, swap the pair generator for the q97_ann_lsh bucket join or the
+    q97_ann_pq ADC shortlist and keep the same keep-lowest-id rule; the
+    verify kernel (sequential-fold cosine) is shared either way.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), llmops.as_double_vec("embedding").alias("ev")
+    )
+    joined = docs.join(emb, "doc_id")
+    quality = joined.filter(F.size(F.split("text", " ")) >= 5)
+    exact_kept = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    # Pre-normalize ONCE (cosine then needs 1 fold per pair, not 3 — the
+    # two norms would otherwise be recomputed per pair) and checkpoint:
+    # both self-join branches read the materialized survivor set instead
+    # of re-running the quality+dedup pipeline each.
+    survivors = (
+        quality.join(exact_kept.select("doc_id"), "doc_id")
+        .withColumn("nv", F.transform("ev", lambda x: x / llmops.l2_norm(F.col("ev"))))
+        .drop("ev")
+        .localCheckpoint(eager=True)
+    )
+    a = survivors.select(F.col("doc_id").alias("lo_id"), F.col("nv").alias("lo_nv"))
+    shadowed = (
+        survivors.join(a, F.col("lo_id") < F.col("doc_id"))
+        .filter(llmops.dot(F.col("lo_nv"), F.col("nv")) >= 0.4)
+        .select("doc_id")
+        .distinct()
+    )
+    kept = survivors.join(shadowed, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
