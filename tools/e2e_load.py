@@ -1,0 +1,138 @@
+"""End-to-end CDC load test — the reference's ops/sec rig, re-expressed.
+
+The reference's only published performance artifact is
+`scripts/e2e-load-test.sh` (/root/reference): TOTAL_OPS operations in a
+60% INSERT / 30% UPDATE / 10% DELETE mix, ~67% against `orders` and the
+rest `accounts`, pushed Postgres → CDC → NATS, reporting wall-clock
+ops/sec. This tool is the same experiment against this engine's pipeline:
+synthesize the identical op mix as wal2json-v2 JSON lines, drive
+CDCStreamPipeline (decode → allowlist → commit-boundary assembly →
+effectively-once envelope sink) to completion, report ops/sec.
+
+Usage: PYTHONPATH=/root/repo python tools/e2e_load.py [n_ops] [n_batches]
+Prints one JSON line: {"metric": "cdc_e2e_ops_per_sec", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from better_cdc_spark.session import get_spark
+from better_cdc_spark.streaming.pipeline import CDCStreamPipeline
+
+TX_MOD = 997
+LSN_BASE = 1 << 20
+
+
+def synthetic_ops(spark: SparkSession, n_ops: int):
+    """n_ops wal2json-v2 rows in the reference mix, plus B/C tx markers.
+
+    Mix per e2e-load-test.sh: 60/30/10 I/U/D, ~67% orders / 33% accounts.
+    Deterministic throughout (keys, lsns, timestamps derive from the op
+    ordinal) so reruns measure the same workload.
+    """
+    base = spark.range(n_ops).select(
+        F.col("id").alias("okey"),
+        (F.col("id") % TX_MOD).alias("xid"),
+        F.when(F.col("id") % 3 < 2, "orders").otherwise("accounts").alias("table"),
+        F.when(F.col("id") % 10 < 6, "I")
+        .when(F.col("id") % 10 < 9, "U")
+        .otherwise("D")
+        .alias("action"),
+    )
+    lsn = F.concat(F.lit("0/"), F.format_string("%x", F.col("xid") * 16 + F.lit(LSN_BASE)))
+    col_entry = lambda name, typ, val: F.struct(  # noqa: E731
+        F.lit(name).alias("name"), F.lit(typ).alias("type"), val.alias("value")
+    )
+    new_cols = F.array(
+        col_entry("id", "bigint", F.col("okey").cast("string")),
+        col_entry("balance_cents", "bigint", (F.col("okey") * 7 % 1000000).cast("string")),
+    )
+    key_cols = F.array(col_entry("id", "bigint", F.col("okey").cast("string")))
+    data_rows = base.select(
+        (F.col("okey") * 10).alias("ingest_seq"),
+        lsn.alias("lsn"),
+        F.col("action"),
+        F.col("xid"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        F.lit("public").alias("schema"),
+        F.col("table"),
+        F.when(F.col("action").isin("I", "U"), new_cols).alias("columns"),
+        F.when(F.col("action").isin("U", "D"), key_cols).alias("identity"),
+    )
+    tx = base.groupBy("xid").agg(
+        F.min("okey").alias("min_okey"), F.max("okey").alias("max_okey")
+    )
+    def marker(seq_col, act):
+        return tx.select(
+            seq_col.alias("ingest_seq"),
+            F.concat(
+                F.lit("0/"), F.format_string("%x", F.col("xid") * 16 + F.lit(LSN_BASE))
+            ).alias("lsn"),
+            F.lit(act).alias("action"),
+            F.col("xid"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("xid")).alias("timestamp"),
+            F.lit(None).cast("string").alias("schema"),
+            F.lit(None).cast("string").alias("table"),
+            F.lit(None).cast(data_rows.schema["columns"].dataType).alias("columns"),
+            F.lit(None).cast(data_rows.schema["identity"].dataType).alias("identity"),
+        )
+
+    begin = marker(F.col("min_okey") * 10 - 1, "B")
+    commit = marker(F.col("max_okey") * 10 + 1, "C")
+    return data_rows.unionByName(begin).unionByName(commit)
+
+
+def main() -> int:
+    n_ops = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark("e2e-load", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    src = tempfile.mkdtemp(prefix="bcs_e2e_src_")
+    work = tempfile.mkdtemp(prefix="bcs_e2e_work_")
+    shutil.rmtree(src, ignore_errors=True)
+    # Range-partition on the ingest ordinal: the wal2json contract is an
+    # ORDERED stream (a tx's data rows precede its commit marker), so each
+    # micro-batch file must hold a contiguous ingest_seq range — a plain
+    # repartition scatters rows and commits overtake their data.
+    synthetic_ops(spark, n_ops).repartitionByRange(
+        n_batches, "ingest_seq"
+    ).sortWithinPartitions("ingest_seq").write.json(src)
+
+    pipe = CDCStreamPipeline(
+        spark,
+        src,
+        work,
+        allowlist=["public.orders", "public.accounts"],
+        max_files_per_trigger=1,  # one file per micro-batch, like the
+        # reference's batch mode: n_batches flushes through the commit path
+    )
+    t0 = time.perf_counter()
+    pipe.run_available()
+    dt = time.perf_counter() - t0
+    n_events = pipe.sink().count()
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_e2e_ops_per_sec",
+                "value": round(n_ops / dt, 1),
+                "unit": "ops/sec",
+                "n_ops": n_ops,
+                "n_batches": n_batches,
+                "wall_sec": round(dt, 2),
+                "sink_events": n_events,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
