@@ -629,3 +629,31 @@ def q04b_rate_limited_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), _d(F.sum(dec("value"))).alias("sum_value"))
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "q84b_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def q84b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark (Q84's
+    production form — the reference's 2-minute DuplicateWindow, R14).
+
+    q84's dropDuplicates holds every seen key forever; the watermark
+    variant evicts keys older than the delay, so state is bounded by the
+    duplicate window instead of stream length — the ONLY viable shape at
+    100 TB. Replays here arrive within the window (the same finite stream
+    unioned with itself), so the result still equals the batch distinct
+    count.
+    """
+    tune_for_oracle(spark)
+    s1 = events_stream(spark, sf_dir).withWatermark("ts", "2 minutes")
+    s2 = events_stream(spark, sf_dir).withWatermark("ts", "2 minutes")
+    deduped = s1.unionByName(s2).dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_to_memory(agg, mode="complete")
