@@ -1024,3 +1024,59 @@ def q94b_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = survivors.join(shadowed, "doc_id", "left_anti")
     return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "q98b_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    total AS (SELECT SUM(c) AS t FROM freq),
+    scored AS (
+      SELECT words.doc_id,
+             CAST(log10(freq.c * 1.0 / total.t) AS DECIMAL(18,12)) AS lp
+      FROM words JOIN freq USING (w) CROSS JOIN total
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "language-model"),
+)
+def q98b_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score: per-doc mean log10 word probability.
+
+    The simplest member of the CCNet-style LM-filter family: documents of
+    improbable words (noise, boilerplate codes, wrong language) score low
+    and get culled. Corpus-wide frequencies come from one word-key
+    shuffle; the total is a broadcastable scalar; scoring joins each
+    word occurrence to its frequency (broadcast at any vocabulary that
+    fits, shuffle otherwise — Catalyst's call). Per-word log-probs are
+    cast to DECIMAL(18,12) before summing so the per-doc mean is
+    order-independent — double summation would make the result depend on
+    partial-aggregation order, i.e. flake across runs.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log10(F.col("c") * 1.0 / F.col("t")).cast("decimal(18,12)").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+    )
