@@ -802,6 +802,44 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+AUDIO_WINDOW = 1024
+AUDIO_HOP = 512
+
+
+def audio_windows(window: int = AUDIO_WINDOW, hop: int = AUDIO_HOP):
+    """mapInPandas kernel factory: waveform payload → overlapping windows.
+
+    The audio-analysis plumbing (decode_audio stands in for the codec):
+    fixed-size windows at 50% overlap, each emitting its exact integer
+    byte sum and length (mean amplitude = sum/len computed downstream in
+    one double division — keeping the kernel integer-exact makes the op
+    oracle-checkable and replay-stable). Fan-out ∝ payload bytes / hop;
+    same explode-inside-executor shape as sample_frames.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_start, out_len, out_sum = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for start in range(0, len(data), hop):
+                    w = data[start : start + window]
+                    out_doc.append(doc_id)
+                    out_start.append(start)
+                    out_len.append(len(w))
+                    out_sum.append(int(w.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "win_start": pd.Series(out_start, dtype="int64"),
+                    "win_len": pd.Series(out_len, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                }
+            )
+
+    return kernel
+
+
 def sample_frames(every_n: int = 2):
     """mapInPandas kernel factory: payload → one row per sampled frame.
 

@@ -1080,3 +1080,50 @@ def q98b_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_words"),
         F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "q99b_audio_windows",
+    oracle="""
+    WITH payload AS (
+        SELECT doc_id, text AS p FROM documents WHERE doc_id < 100
+    ),
+    wins AS (
+        SELECT doc_id,
+               (i - 1) * 512 AS win_start,
+               substr(p, (i - 1) * 512 + 1, 1024) AS w
+        FROM payload,
+             unnest(generate_series(1, (length(p) + 511) // 512)) AS t(i)
+    )
+    SELECT doc_id, win_start,
+           CAST(length(w) AS BIGINT) AS win_len,
+           ROUND(list_aggregate(list_transform(string_split_regex(w, ''),
+                                               c -> CAST(ascii(c) AS BIGINT)),
+                                'sum') * 1.0 / length(w), 6) AS mean_amp
+    FROM wins
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def q99b_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio analysis windows (llmops.audio_windows).
+
+    1024-byte windows at 50% overlap over a synthesized waveform (utf-8
+    bytes — ASCII corpus, so byte values equal the oracle's ascii codes):
+    the STFT-input plumbing of an audio pipeline with the codec stubbed.
+    The kernel emits exact integer byte sums; the single double division
+    happens once per window in the plan, so the mean is bit-identical
+    across engines and replays.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    wins = payloads.mapInPandas(
+        llmops.audio_windows(),
+        "doc_id long, win_start long, win_len long, byte_sum long",
+    )
+    return wins.select(
+        "doc_id",
+        "win_start",
+        "win_len",
+        F.round(F.col("byte_sum") * 1.0 / F.col("win_len"), 6).alias("mean_amp"),
+    )
