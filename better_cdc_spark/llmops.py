@@ -389,7 +389,10 @@ def simhash64(texts: pd.Series) -> pd.Series:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with 16-bit block keying.
 
@@ -398,6 +401,12 @@ def simhash_near_pairs(
     the all-pairs scan into an equi-join. For d up to `max_hamming` the
     block join is a high-recall prefilter (exact for d≤3), and every
     candidate is verified with an exact popcount, so no false positives.
+
+    ``max_block`` is the skew dial (same contract as
+    minhash_candidate_pairs' max_bucket): a (blk, key) bucket of d docs
+    contributes d²/2 join rows, and near-identical boilerplate floods a
+    few buckets; capping drops those groups with a semi-join on the key
+    the self-join already shuffles on. Off by default.
     """
     sh = docs.select(id_col, simhash64(F.col("text")).alias("sh"))
     blocked = sh.select(
@@ -410,6 +419,14 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    if max_block is not None:
+        ok = (
+            blocked.groupBy("blk", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= max_block)
+            .select("blk", "key")
+        )
+        blocked = blocked.join(ok, ["blk", "key"], "left_semi")
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(

@@ -269,3 +269,19 @@ def test_df_cap_drops_hot_shingles_keeps_true_dupes(spark):
     uncapped = llmops.exact_jaccard_pairs(postings, "doc_id", 0.1).collect()
     roomy = llmops.exact_jaccard_pairs(postings, "doc_id", 0.1, max_df=10**6).collect()
     assert sorted(map(tuple, roomy)) == sorted(map(tuple, uncapped))
+
+
+def test_simhash_block_cap(spark, docs):
+    """Corpus-size cap is a no-op; cap 1 kills every pair-forming block."""
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in llmops.simhash_near_pairs(docs, "doc_id").collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in llmops.simhash_near_pairs(
+            docs, "doc_id", max_block=docs.count()
+        ).collect()
+    }
+    assert capped == base
+    assert llmops.simhash_near_pairs(docs, "doc_id", max_block=1).count() == 0
