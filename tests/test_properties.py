@@ -137,3 +137,91 @@ def test_snapshot_at_agrees_with_python_fold(spark, log_rows, cutoff_frac):
         for r in snapshot_at(log, "id", "seq", cutoff).select("id", "payload").collect()
     }
     assert got == set(expected.items())
+
+
+merge_targets = st.lists(
+    st.tuples(st.integers(1, 10), st.integers(0, 99)), min_size=0, max_size=12,
+    unique_by=lambda t: t[0],
+)
+merge_sources = st.lists(
+    st.tuples(st.integers(1, 10), st.integers(0, 99), st.booleans()),
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tgt=merge_targets, src=merge_sources)
+def test_merge_into_agrees_with_python_merge(spark, tgt, src):
+    """merge_into == the obvious dict-based three-clause merge.
+
+    Source rows carry a delete flag; matched+flag → delete, matched →
+    update value, unmatched source → insert, untouched target passes.
+    """
+    target = spark.createDataFrame(tgt or [(None, None)], "id long, val long").filter(
+        F.col("id").isNotNull()
+    )
+    source = spark.createDataFrame(
+        src or [(None, None, None)], "id long, sval long, del boolean"
+    ).filter(F.col("id").isNotNull())
+    out = ops.merge_into(
+        target,
+        source,
+        on="id",
+        when_matched_update={"val": F.col("s.sval")},
+        when_matched_delete=F.col("s.del"),
+        when_not_matched_insert={"val": F.col("s.sval")},
+    )
+    got = {(r.id, r.val) for r in out.collect()}
+
+    state = dict(tgt)
+    for key, sval, is_del in src:
+        if key in state:
+            if is_del:
+                del state[key]
+            else:
+                state[key] = sval
+        else:
+            state[key] = sval
+    assert got == set(state.items())
+
+
+interval_lists = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 60)),  # (start_day, len_days)
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ls=interval_lists, rs=interval_lists)
+def test_interval_bucket_join_agrees_with_naive(spark, ls, rs):
+    """Cell decomposition finds exactly the naive overlap pairs, for any
+    interval layout (spans much longer and much shorter than the cell)."""
+    def frame(rows, pfx):
+        data = [
+            (i, f"2024-01-01 00:00:00", s, s + l)
+            for i, (s, l) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            [(i, s, e) for i, _, s, e in data], f"{pfx}id long, s long, e long"
+        )
+        day = 86400
+        return df.select(
+            f"{pfx}id",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("s") * day).alias(f"{pfx}s"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("e") * day).alias(f"{pfx}e"),
+        )
+
+    left, right = frame(ls, "l"), frame(rs, "r")
+    got = {
+        (r.lid, r.rid)
+        for r in ops.interval_bucket_join(
+            left, right, "ls", "le", "rs", "re", dedup_keys=("lid", "rid")
+        ).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in left.join(
+            right, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ).collect()
+    }
+    assert got == naive
