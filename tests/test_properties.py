@@ -225,3 +225,50 @@ def test_interval_bucket_join_agrees_with_naive(spark, ls, rs):
         ).collect()
     }
     assert got == naive
+
+
+scd2_logs = st.lists(
+    st.tuples(
+        st.integers(1, 5),                                  # key
+        st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+        st.integers(0, 99),                                 # payload
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log_rows=scd2_logs)
+def test_scd2_history_agrees_with_python_fold(spark, log_rows):
+    """scd2_history == sequential per-key versioning.
+
+    Reference fold: each non-DELETE event opens a version valid from its
+    seq until the key's next event's seq (None if last); DELETEs emit
+    nothing but close the prior version; versions number 1..n per key.
+    """
+    from better_cdc_spark.cdc import scd2_history
+
+    rows = [
+        (key, op, payload, seq + 1)
+        for seq, (key, op, payload) in enumerate(log_rows)
+    ]
+    expected = set()
+    by_key: dict[int, list] = {}
+    for key, op, payload, seq in rows:
+        by_key.setdefault(key, []).append((seq, op, payload))
+    for key, evts in by_key.items():
+        vnum = 0
+        for i, (seq, op, payload) in enumerate(evts):
+            nxt = evts[i + 1][0] if i + 1 < len(evts) else None
+            if op == "DELETE":
+                continue
+            vnum += 1
+            expected.add((key, payload, seq, nxt, vnum, nxt is None))
+    log = spark.createDataFrame(
+        rows, "id long, operation string, payload long, seq long"
+    )
+    got = {
+        (r.id, r.payload, r.seq, r.valid_to, r.version, r.is_current)
+        for r in scd2_history(log, keys="id", order_col="seq").collect()
+    }
+    assert got == expected
