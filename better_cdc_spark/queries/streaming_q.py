@@ -12,7 +12,6 @@ timing is not SQL-expressible, the final state here is.
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 

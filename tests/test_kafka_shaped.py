@@ -10,7 +10,6 @@ from __future__ import annotations
 import datetime
 
 import pytest
-from pyspark.sql import functions as F
 
 from better_cdc_spark.cdc import normalize_changelog
 from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
