@@ -1127,3 +1127,59 @@ def q99b_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "win_len",
         F.round(F.col("byte_sum") * 1.0 / F.col("win_len"), 6).alias("mean_amp"),
     )
+
+
+@query(
+    "q95b_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(regexp_replace(text, '[^A-Za-z0-9_ ]', '', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 7),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                        w[i+4], w[i+5], w[i+6], w[i+7]))) AS shingle
+      FROM toks WHERE len(w) >= 8
+    ),
+    bench AS (SELECT shingle FROM sh WHERE doc_id < 20),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.doc_id >= 20
+    )
+    SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.doc_id >= 20
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def q95b_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 8-gram with
+    the eval set (docs 0-19 stand in for the benchmark).
+
+    The train/test-leakage gate every training-data pipeline runs before
+    shipping a corpus: an 8-token shingle join against the benchmark's
+    (much smaller) shingle set — broadcast the benchmark side at any real
+    scale, so the corpus is one narrow pass + a broadcast semi-join, no
+    corpus shuffle. Tokenization strips punctuation so cosmetic edits
+    don't hide contamination.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", llmops.PUNCT_RE, "")).alias("text"),
+    )
+    sh = (
+        docs.select("doc_id", llmops.tokens().alias("w"))
+        .select("doc_id", F.explode(llmops.word_shingles("w", k=8)).alias("shingle"))
+    )
+    bench = F.broadcast(sh.filter(F.col("doc_id") < 20).select("shingle").distinct())
+    corpus_sh = sh.filter(F.col("doc_id") >= 20)
+    contaminated = corpus_sh.join(bench, "shingle", "left_semi").select("doc_id").distinct()
+    return (
+        docs.filter(F.col("doc_id") >= 20)
+        .join(contaminated.withColumn("c", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce("c", F.lit(False)).alias("contaminated"))
+    )
