@@ -1183,3 +1183,65 @@ def q95b_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated.withColumn("c", F.lit(True)), "doc_id", "left")
         .select("doc_id", F.coalesce("c", F.lit(False)).alias("contaminated"))
     )
+
+
+@query(
+    "q98c_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(w) AS word FROM toks
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_repeated,
+             MAX(c) AS top_word_count
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_words,
+           ROUND(n_repeated * 1.0 / n_words, 6) AS repeated_word_frac,
+           ROUND(top_word_count * 1.0 / n_words, 6) AS top_word_frac
+    FROM perdoc
+    """,
+    tags=("llm", "quality", "repetition"),
+)
+def q98c_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters).
+
+    repeated_word_frac = fraction of tokens belonging to a word that
+    occurs more than once in the doc; top_word_frac = share of the single
+    most frequent word. Boilerplate, keyword-stuffed, and degenerate-loop
+    documents light up on both. One explode + per-(doc, word) count —
+    the shuffle key is (doc_id, word), so the aggregate is as wide as
+    the corpus and never hot on a single key. Integer ratios divided once
+    in double: identical across engines.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    perdoc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_repeated"),
+        F.max("c").alias("top_word_count"),
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_repeated") * 1.0 / F.col("n_words"), 6).alias(
+            "repeated_word_frac"
+        ),
+        F.round(F.col("top_word_count") * 1.0 / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+    )
