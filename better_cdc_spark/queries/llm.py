@@ -1245,3 +1245,83 @@ def q98c_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_word_frac"
         ),
     )
+
+
+@query(
+    "q95c_balanced_subset",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+    tags=("llm", "sampling", "balanced"),
+)
+def q95c_balanced_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-class subset selection (balanced corpus construction).
+
+    The complement of rate-based stratified sampling: take EXACTLY 20
+    docs per language, chosen by content-hash order — deterministic,
+    shard-stable, and unbiased w.r.t. ingestion order (hash order is a
+    uniform shuffle that every engine reproduces). One window shuffle on
+    the class key; per-class TopK pushes the limit inside the sort at
+    scale (same plan family as q52).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+@query(
+    "q95d_sequence_packing",
+    oracle="""
+    WITH counted AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]', 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM counted
+    )
+    SELECT doc_id, n_tokens,
+           (cum - n_tokens) // 2048 AS bin_id
+    FROM packed
+    """,
+    tags=("llm", "packing", "tokens"),
+)
+def q95d_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign docs to 2048-token context bins.
+
+    The batching step of pretraining data prep: documents (in a stable
+    order) pack greedily into fixed-capacity token bins; a doc's bin is
+    floor(preceding-token-total / capacity), computed with one running-sum
+    window. The global window is the correctness reference — at 100 TB,
+    pack per shard instead (partition by shard id, same expression), which
+    keeps bins shard-local and the window shuffle bounded; cross-shard
+    bins don't exist by construction there.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.expr(f"regexp_extract_all(text, '{llmops.BPE_ISH_RE}', 0)")
+    ).cast("bigint")
+    counted = docs.select("doc_id", n_tok.alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = counted.withColumn("cum", F.sum("n_tokens").over(w).cast("bigint"))
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 2048).alias("bin_id"),
+    )
