@@ -31,16 +31,29 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-zone TimestampType.
+
+    The driver's events.parquet has shipped ts as TIMESTAMP(NANOS) in some
+    rounds (read as raw long under nanosAsLong, truncated to µs — lossless,
+    values are generated at µs precision) and TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ) in others; branch on what the scan actually produced.
+    """
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
-        # default; read nanos as long and truncate to microseconds (values
-        # are generated at µs precision, so this is lossless).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return events_ts_to_timestamp(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from better_cdc_spark.queries import (  # noqa: F401
         relational,
+        tpch,
         cdc_queries,
         llm,
         streaming_q,

@@ -21,24 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet schema, with ts as raw nanos (see io.load_table note).
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The schema the file-stream source must declare: whatever a batch scan
+    of events.parquet yields (ts arrives as raw nano-long or TIMESTAMP
+    depending on the driver's generator; see io.events_ts_to_timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def _src_key(sf_dir: str) -> str:
+    """Staging-dir key tied to the source file's identity, so regenerated
+    testdata invalidates previously staged copies."""
+    st = os.stat(f"{sf_dir}/events.parquet")
+    return f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{int(st.st_mtime)}"
 
 
 def _staged_events_dir(sf_dir: str) -> str:
     """The file-stream source requires a directory; stage a symlink to the
     single events.parquet file in a stable per-sf temp dir."""
-    key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"bcs_events_src_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"bcs_events_src_{_src_key(sf_dir)}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
@@ -52,14 +53,15 @@ def _staged_events_dir(sf_dir: str) -> str:
 def _staged_events_split_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     """Stage events as ``n_files`` parquet splits (stable per sf), so a
     maxFilesPerTrigger source delivers a genuinely multi-batch stream."""
-    key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"bcs_events_split{n_files}_{key}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"bcs_events_split{n_files}_{_src_key(sf_dir)}"
+    )
     marker = os.path.join(d, "_SPLIT_DONE")
     if not os.path.exists(marker):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/events.parquet").repartition(
-            n_files
-        ).write.mode("overwrite").parquet(d)
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(d)
         open(marker, "w").close()
     return d
 
@@ -81,15 +83,16 @@ def events_stream(
     becomes genuinely multi-batch, so stateful operators carry state
     across epochs instead of resolving in one.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW).format("parquet")
+    from better_cdc_spark.io import events_ts_to_timestamp
+
+    reader = spark.readStream.schema(_events_raw_schema(spark, sf_dir)).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         src = _staged_events_split_dir(spark, sf_dir, n_splits)
     else:
         src = _staged_events_dir(sf_dir)
     raw = reader.load(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events_ts_to_timestamp(raw)
 
 
 def run_to_memory(
