@@ -1325,3 +1325,197 @@ def q95d_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.col("cum") - F.col("n_tokens")) / 2048).alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 — span-level dedup, domain quotas, vocabulary, PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95e_chunk_dedup",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id, CAST(t.i AS INTEGER) AS chunk_idx,
+               array_to_string(list_slice(string_split(text, ' '),
+                                          t.i * 10 + 1, t.i * 10 + 10), ' ') AS chunk
+        FROM documents,
+             UNNEST(range(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)))
+               AS t(i)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY chunk
+                                     ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS cleaned_text,
+           COUNT(*) AS n_kept_chunks
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "chunk"),
+)
+def q95e_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (the C4/CCNet move): split every document
+    into consecutive 10-word chunks, keep only the globally-first
+    occurrence of each repeated chunk, and reassemble the surviving text.
+
+    This is the between-document boilerplate killer (headers, footers,
+    license blocks) that document-level dedup can't touch. Plan: one
+    narrow explode (chunking is per-row), ONE shuffle on the chunk text
+    for the first-occurrence window, one shuffle back on doc_id for
+    reassembly. At 100 TB, chunk the window key to a 64-bit xxhash of the
+    chunk to keep shuffle rows small; the reassembly agg is map-side
+    combinable since chunks of a doc co-locate after the second shuffle.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = W.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = chunked.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept_chunks"),
+    )
+
+
+@query(
+    "q95f_domain_cap",
+    oracle="""
+    SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS keep_rank
+    FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 5
+    """,
+    tags=("llm", "sampling", "domain"),
+)
+def q95f_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep the top-5 documents per source,
+    ranked by a quality proxy (length, deterministically tie-broken).
+
+    The anti-head-domain move of web-corpus curation — no single domain
+    may dominate the mix. One shuffle on source; rank windows never
+    materialize the full sort at scale because row_number + filter
+    becomes a per-partition TopK (same plan family as q52_topk_per_group,
+    here as the curation-facing op with the quota contract).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("keep_rank") <= 5)
+        .select("source", "doc_id", "n_chars", "keep_rank")
+    )
+
+
+@query(
+    "q98e_vocab_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT t.word AS word, COUNT(*) AS n
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+        GROUP BY t.word
+    )
+    SELECT word, CAST(n AS BIGINT) AS n
+    FROM counts ORDER BY n DESC, word LIMIT 50
+    """,
+    tags=("llm", "vocab", "agg"),
+)
+def q98e_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (tokenizer training's
+    first pass, and the input to stopword/boilerplate lists).
+
+    explode → groupBy(token) → count is the canonical map-reduce: the
+    partial aggregate collapses each partition to its distinct tokens
+    before the shuffle, so shuffle volume is bounded by vocabulary size
+    per partition, not corpus token count — the reason this works at
+    100 TB where 'ship all tokens' would not. Top-50 is a
+    TakeOrderedAndProject, never a full sort.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "[+][0-9]-555-[0-9]+"
+
+
+@query(
+    "q98d_pii_scrub",
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@mail.example.com or +1-555-' || CAST(1000 + doc_id AS VARCHAR)
+               || ' now' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}', 0)) AS n_emails,
+           len(regexp_extract_all(raw, '{_PHONE_RE}', 0)) AS n_phones
+    FROM synth
+    """,
+    tags=("llm", "pii", "scrub"),
+)
+def q98d_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email addresses and phone numbers, counting
+    redactions per document (the release-gate metric).
+
+    The synthetic corpus carries no PII, so the query deterministically
+    plants one email + one phone per document from doc_id before
+    scrubbing — the scrub expressions are the product; the planted rows
+    make the oracle assert they actually fire. Regexes stick to explicit
+    ASCII classes so Spark's Java regex and DuckDB's RE2 agree. Pure
+    narrow map — zero shuffle, whole-stage codegen, no Python.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        (F.col("doc_id") + 1000).cast("string"),
+        F.lit(" now"),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return synth.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{_EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{_PHONE_RE}', 0)")).alias("n_phones"),
+    )
