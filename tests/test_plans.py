@@ -110,3 +110,72 @@ def test_q05_partitioned_read_prunes_partitions(spark):
     assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
         "PartitionFilters:"
     )[1].splitlines()[0]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "qh03_shipping_priority",
+        "qh05_local_supplier_volume",
+        "qh07_volume_shipping",
+        "qh19_discounted_revenue",
+        "qh21_waiting_supplier",
+    ],
+)
+def test_tpch_joins_never_degenerate_to_products(spark, name):
+    """The classic TPC-H traps (Q19's OR-of-ANDs, Q7's nation-pair OR,
+    Q21's correlated anti-shape) must all stay equi-joins."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qh22_anti_join_is_hash_and_scalar_is_broadcast(spark):
+    """Q22 shape: the NOT-EXISTS is a hash LeftAnti; the AVG threshold is
+    a single-row broadcast — the only nested-loop join allowed is that
+    1-row scalar comparison (a per-row constant check, not a product)."""
+    plan = plan_of(spark, "qh22_global_sales_opportunity")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "avg_bal" in plan.split("BroadcastNestedLoopJoin")[1].splitlines()[0]
+
+
+@pytest.mark.parametrize(
+    "name", ["qh03_shipping_priority", "qh10_returned_items", "qh18_large_volume_customer"]
+)
+def test_tpch_topk_uses_bounded_sort(spark, name):
+    """Top-N after ORDER BY must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge), never a materialized global sort."""
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_qh06_all_predicates_push_to_scan(spark):
+    plan = plan_of(spark, "qh06_forecast_revenue")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_qh04_exists_is_semi_join_not_product(spark):
+    """EXISTS with a correlated interval bound: equi part must carry the
+    join, the date bound must ride as a residual condition."""
+    plan = plan_of(spark, "qh04_order_priority")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q95e_chunk_dedup_two_shuffle_families(spark):
+    """Chunk dedup needs exactly the chunk-key window shuffle and the
+    doc_id reassembly shuffle — no joins at all."""
+    plan = plan_of(spark, "q95e_chunk_dedup")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q98d_pii_scrub_is_narrow(spark):
+    plan = plan_of(spark, "q98d_pii_scrub")
+    assert "Exchange" not in plan
