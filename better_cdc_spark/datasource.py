@@ -1,0 +1,73 @@
+"""Custom Python DataSource: a deterministic changelog generator.
+
+The reference's ingest edge is a custom source — a Go goroutine speaking
+the Postgres replication protocol and emitting RawMessages on a channel
+(internal/wal/reader.go:124-178, 311-393). Spark's extension point for
+exactly that role is the DataSource API: this module implements a
+batch source that *generates* a wal2json-shaped change stream as a pure
+function of (partition, row index) — the connector plumbing is real
+(named format, options, partition planning, per-partition iterators);
+only the wire protocol is replaced by arithmetic so the driver's DuckDB
+oracle can reproduce every row with generate_series.
+
+Scale design: partitions() returns one InputPartition per requested
+split, so a 1000-executor cluster reads 1000 independent generator
+streams with zero coordination — the same contract a real replication
+source satisfies by slot-sharding. Rows never pass through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Event mix echoes the reference's load harness: 60/40 within a 5-op tx is
+# I,I,U,U,D (scripts/e2e-load-test.sh:22-27 uses 60/30/10 I/U/D with ~67%
+# of traffic on orders; g % 3 != 0 gives the same two-thirds orders skew).
+_OPS = ("I", "I", "U", "U", "D")
+
+
+def gen_row(g: int) -> tuple:
+    """The row at global index g — shared by every partition (and mirrored
+    in SQL by the oracle; see qc09's generate_series expression)."""
+    seq = g % 5
+    return (
+        g,
+        g * 16,
+        g // 5,
+        seq,
+        _OPS[seq],
+        "accounts" if g % 3 == 0 else "orders",
+        (g * 2654435761) % 1000000007,
+    )
+
+
+class ChangelogGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_parts = int(options.get("partitions", "4"))
+        self.rows_per_part = int(options.get("rowsperpartition", "1000"))
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.n_parts)]
+
+    def read(self, partition):
+        base = partition.value * self.rows_per_part
+        for i in range(self.rows_per_part):
+            yield gen_row(base + i)
+
+
+class ChangelogGenDataSource(DataSource):
+    """spark.read.format("changelog_gen").option("partitions", N)
+    .option("rowsPerPartition", M).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "changelog_gen"
+
+    def schema(self) -> str:
+        return (
+            "g bigint, lsn bigint, txid bigint, seq_in_tx int, "
+            "op string, tbl string, val bigint"
+        )
+
+    def reader(self, schema) -> ChangelogGenReader:
+        return ChangelogGenReader(self.options)

@@ -521,3 +521,53 @@ def qc08_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return typed_projection(evolved, "public.orders", schema)
+
+
+@query(
+    "qc09_python_datasource",
+    oracle="""
+    WITH gen AS (
+        SELECT g, g // 5 AS txid,
+               CASE g % 5 WHEN 0 THEN 'I' WHEN 1 THEN 'I'
+                          WHEN 2 THEN 'U' WHEN 3 THEN 'U' ELSE 'D' END AS op,
+               CASE WHEN g % 3 = 0 THEN 'accounts' ELSE 'orders' END AS tbl,
+               (g * 2654435761) % 1000000007 AS val
+        FROM generate_series(0, 15999) t(g)
+    )
+    SELECT tbl, op,
+           COUNT(*) AS n_events,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MAX(txid) AS BIGINT) AS max_txid
+    FROM gen GROUP BY tbl, op
+    """,
+    tags=("cdc", "source", "datasource"),
+)
+def qc09_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (the reference's R1 connector edge,
+    internal/wal/reader.go:124-178, re-expressed in Spark's DataSource
+    API): a registered named format with options, partition planning, and
+    per-partition generator iterators producing a wal2json-shaped change
+    stream (datasource.py).
+
+    The generated rows are a pure function of the global index, so the
+    DuckDB oracle reproduces the entire source with generate_series and
+    the hash compare verifies the connector end-to-end: partitioning
+    (8 partitions x 2000 rows must tile [0, 16000) exactly once), schema,
+    and values. At scale each executor runs its own iterator; the driver
+    only plans the partition list.
+    """
+    from better_cdc_spark.datasource import ChangelogGenDataSource
+
+    tune_for_oracle(spark)
+    spark.dataSource.register(ChangelogGenDataSource)
+    changes = (
+        spark.read.format("changelog_gen")
+        .option("partitions", 8)
+        .option("rowsPerPartition", 2000)
+        .load()
+    )
+    return changes.groupBy("tbl", "op").agg(
+        F.count("*").alias("n_events"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.max("txid").cast("bigint").alias("max_txid"),
+    )

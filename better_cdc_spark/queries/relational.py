@@ -2179,3 +2179,147 @@ def q76_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("md5_name"),
         F.sha2("c_name", 256).alias("sha_name"),
     )
+
+
+@query(
+    "q42b_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS vol_1h,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             AS n_1h
+    FROM events
+    """,
+    tags=("window", "frame", "time"),
+)
+def q42b_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-1-hour volume and count at
+    every event (the hypertable 'sliding aggregate at each row' — finer
+    than q82's fixed slide grid).
+
+    RANGE frames order by epoch seconds so Spark's numeric rangeBetween
+    and the SQL interval frame agree exactly; DECIMAL inside the frame sum
+    keeps every prefix exact. One shuffle on user_id serves both window
+    functions; frame evaluation is a per-partition two-pointer sweep, so
+    cost is O(rows), not O(rows x frame width) — the property that keeps
+    this viable on 100 TB of events.
+    """
+    tune_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts").cast("bigint"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _d(F.sum(F.col("value").cast("decimal(18,6)")).over(w)).alias("vol_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "q51b_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+    tags=("sort", "limit", "offset"),
+)
+def q51b_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: rows 100-149 of a total order.
+
+    DataFrame.offset + limit compose into a single bounded-sort plan (the
+    driver merges per-partition heaps of offset+limit rows). The docstring
+    caveat IS the scale note: OFFSET is O(offset) — page-100 works, but a
+    100 TB pager should keyset on (o_totalprice, o_orderkey) > (last seen)
+    instead, which is an indexed/pushdown-able filter (q11's shape).
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q36c_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q36c_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per group — the exact
+    counterpart of q36's percentile_approx.
+
+    Both engines linearly interpolate over the sorted group, and
+    l_quantity is integer-valued, so interpolated midpoints are exact
+    binary fractions — the cross-engine hash matches bit-for-bit. Exact
+    percentiles buffer each group (the reason percentile_approx exists for
+    the 100 TB path); grouping on a 3-value key keeps that honest here.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q75b_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 10
+    GROUP BY event_type
+    """,
+    tags=("json", "variant"),
+)
+def q75b_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): parse
+    once into the binary variant encoding, then path-extract with
+    variant_get — the open-schema analog of the reference's
+    map[string]interface{} row images (internal/model/events.go:32-33).
+
+    VARIANT beats per-access get_json_object at scale: the parse happens
+    once per row (not once per path), the encoding is binary (no re-
+    tokenizing), and shredded variant columns admit pushdown in newer
+    table formats. The filter + aggregate stay whole-stage-codegen.
+    """
+    tune_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

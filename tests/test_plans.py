@@ -179,3 +179,69 @@ def test_q95e_chunk_dedup_two_shuffle_families(spark):
 def test_q98d_pii_scrub_is_narrow(spark):
     plan = plan_of(spark, "q98d_pii_scrub")
     assert "Exchange" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark):
+    """Join-driven partition pruning (DPP): a fact partitioned on the join
+    key + a selectively-filtered dim must plan a dynamicpruning expression
+    in the fact scan's PartitionFilters — at 100 TB this is what turns
+    'scan every date partition' into 'scan the three the dim selects'."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.io import load_table
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    out = f"{tempfile.gettempdir()}/bcs_dpp_fact"
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    # dim filter is on a NON-join column: the surviving join keys are only
+    # known at runtime, so the pruning cannot be folded statically — this
+    # is the genuinely dynamic case (filter on the join key itself would be
+    # propagated as a static partition filter by constraint inference).
+    dim = spark.createDataFrame(
+        [("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "mid"),
+         ("4-NOT SPECIFIED", "low"), ("5-LOW", "low")],
+        "o_orderpriority string, priority_class string",
+    ).filter(F.col("priority_class") == "high")
+    joined = fact.join(dim, "o_orderpriority").groupBy("priority_class").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter injection: with broadcast disabled (the 100 TB
+    regime where both join sides shuffle), a selective build side must
+    inject a bloom filter onto the probe scan so non-joining fact rows die
+    before the shuffle instead of after it."""
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.io import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -90,6 +90,31 @@ def main() -> int:
 
     timed("exact dedup groups", dedup_count, unit="groups")
 
+    def chunk_dedup_count():
+        # q95e's scale form: the first-occurrence window keys on
+        # xxhash64(chunk) so shuffle rows carry 8 bytes, not chunk text.
+        from pyspark.sql import Window as W
+
+        words = F.split(F.col("text"), " ")
+        n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+        chunked = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i * 10 + 1, 10))),
+                )
+            ).alias("chunk_idx", "chunk_key"),
+        )
+        w = W.partitionBy("chunk_key").orderBy("doc_id", "chunk_idx")
+        kept = (
+            chunked.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        )
+        assert no_product_join(kept), "chunk dedup must stay join-free"
+        return kept.groupBy("doc_id").count().count()
+
+    timed("chunk dedup survivors", chunk_dedup_count, unit="docs")
+
     def simhash_all():
         sh = docs.select("doc_id", llmops.simhash64(F.col("text")).alias("sh"))
         # aggregate over sh so column pruning can't skip the UDF
