@@ -1519,3 +1519,55 @@ def q98d_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(f"regexp_extract_all(raw, '{_EMAIL_RE}', 0)")).alias("n_emails"),
         F.size(F.expr(f"regexp_extract_all(raw, '{_PHONE_RE}', 0)")).alias("n_phones"),
     )
+
+
+@query(
+    "q98g_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT w.word FROM documents,
+             UNNEST(string_split(text, ' ')) AS w(word)
+        WHERE length(w.word) >= 2
+    ),
+    pairs AS (
+        SELECT p.pair FROM words,
+             UNNEST(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS p(pair)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+    tags=("llm", "tokenizer", "agg"),
+)
+def q98g_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training's inner loop: corpus-wide adjacent-symbol
+    pair frequencies (the statistic each merge round maximizes).
+
+    Two nested explodes (words, then character bigrams) feeding one
+    map-side-combined count — shuffle volume is bounded by the distinct
+    pair vocabulary (≤ alphabet², tiny) per partition, NEVER by corpus
+    size, which is exactly why BPE training scales as map-reduce rounds.
+    A full trainer iterates: count → pick argmax pair → re-segment →
+    recount; each round is this query over the re-segmented symbol
+    stream.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # length >= 2 also guards Spark's sequence(1, 0), which counts DOWN
+    # ([1, 0]) instead of returning empty — 1-char words would fabricate
+    # pairs.
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )

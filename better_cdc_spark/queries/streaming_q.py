@@ -656,3 +656,55 @@ def q84b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = s1.unionByName(s2).dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "q88c_stream_stream_semi_join",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_id, s.ts AS s_ts
+    FROM events s
+    WHERE s.event_type = 'signup' AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+          AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    )
+    """,
+    tags=("streaming", "join", "stream-stream", "semi"),
+)
+def q88c_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream join: streaming EXISTS.
+
+    'Which signups converted within the hour' without materializing the
+    (signup x purchase) match pairs q88 produces — a signup emits once on
+    its first match and never again, so output is bounded by the left
+    stream regardless of purchase fan-in. Same two-ended time bound =>
+    same evictable state; the oracle is the batch EXISTS.
+    """
+    tune_for_oracle(spark)
+    signups = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select(F.col("s_user").alias("user_id"), "signup_id", "s_ts")
+    return run_to_memory(joined, mode="append")
