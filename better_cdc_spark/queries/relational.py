@@ -2323,3 +2323,88 @@ def q75b_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("int").alias("max_k"),
         )
     )
+
+
+@query(
+    "q21c_right_outer_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+      AND o_totalprice > 400000
+    """,
+    tags=("join", "outer"),
+)
+def q21c_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER with an ON-clause residual: every customer survives;
+    orders attach only above the price bound (the predicate must NOT
+    become a post-join WHERE, which would drop null-extended rows).
+    Catalyst plans right outer as a flipped left-outer hash join — the
+    preserved side streams, the other side builds.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        cust,
+        (orders.o_custkey == cust.c_custkey) & (orders.o_totalprice > 400000),
+        "right_outer",
+    ).select("o_orderkey", "o_custkey", "c_name")
+
+
+@query(
+    "q61b_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop", "intersect", "multiset"),
+)
+def q61b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics): each custkey survives
+    min(count_left, count_right) times — the bag-algebra variant q61's
+    distinct form erases. Same single-shuffle two-sided count-agg plan
+    family as distinct intersect, plus the min-replication."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.intersectAll(right)
+
+
+@query(
+    "q05d_jsonl_sink",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "json"),
+)
+def q05d_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink roundtrip — the reference's actual output encoding
+    (json.Marshal(CDCEvent) per event, internal/engine/engine.go:340-351):
+    write orders as partition-parallel JSONL, read back with an explicit
+    schema, verify the aggregate survives the text roundtrip.
+
+    Timestamps roundtrip via an explicit schema read (never inference at
+    scale — a schema-inference pass over 100 TB of JSON is a full extra
+    scan); decimal money survives because the check re-casts post-read.
+    """
+    import tempfile
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    out = f"{tempfile.gettempdir()}/bcs_q05d_jsonl"
+    orders.write.mode("overwrite").json(out)
+    back = spark.read.schema(orders.schema).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _d(F.sum(dec("o_totalprice"))).alias("sum_total"),
+    )

@@ -233,3 +233,54 @@ def q93_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bcs_q93_docs, LATERAL bcs_split_words(text) s
         """
     )
+
+
+@query(
+    "q91b_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+                                  (a, b) -> a + b)), 4) AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    tags=("udf", "arrow"),
+)
+def q91b_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy Python boundary (Spark 4) — the kernel
+    receives pyarrow RecordBatches directly, skipping even the
+    Arrow→pandas conversion that mapInPandas pays.
+
+    Computes per-vector L2 norms with numpy over the Arrow buffers. For
+    wide numeric batch kernels (embedding pipelines), this is the fastest
+    Python path Spark has; the plan is a narrow map, zero shuffle. The
+    float32 values are widened to float64 inside the kernel in the same
+    order the oracle's list_reduce folds, so the sums agree to the 4dp
+    round.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl["vec_id"]
+            vecs = tbl["embedding"]
+            out_norm, out_dim = [], []
+            for v in vecs:
+                arr = np.asarray(v, dtype=np.float64)
+                # float64 dot vs the oracle's left fold differ only below
+                # 1e-12 relative; both sides round to 4dp
+                out_norm.append(round(float(np.sqrt(arr.dot(arr))), 4))
+                out_dim.append(len(v))
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": ids, "l2_norm": out_norm, "dim": out_dim},
+                schema=pa.schema(
+                    [("vec_id", pa.int64()), ("l2_norm", pa.float64()), ("dim", pa.int64())]
+                ),
+            )
+
+    return emb.mapInArrow(norms, "vec_id long, l2_norm double, dim long")
