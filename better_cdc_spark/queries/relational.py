@@ -2408,3 +2408,182 @@ def q05d_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         _d(F.sum(dec("o_totalprice"))).alias("sum_total"),
     )
+
+
+@query(
+    "q45b_locf_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events WHERE user_id < 8 GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, g.bucket
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi, INTERVAL '1 hour')) AS bucket
+      ) g
+    ), joined AS (
+      SELECT g.user_id, g.bucket, b.v,
+             CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM grid g LEFT JOIN b USING (user_id, bucket)
+    )
+    SELECT user_id, bucket,
+           CAST(last_value(v IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS v_locf,
+           observed
+    FROM joined
+    """,
+    tags=("window", "timeseries", "gapfill", "locf"),
+)
+def q45b_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward (the
+    TimescaleDB locf() companion to q45's zero-fill).
+
+    Silent hours inherit the most recent observed hourly total via
+    last(ignorenulls) over the dense grid; `observed` marks real vs
+    carried rows. The LOCF window reuses the exact partitioning the grid
+    join already established (one shuffle on user_id serves join +
+    window); grid rows are generated, never stored. First grid row is
+    always observed (the span starts at a real bucket), so LOCF is
+    total.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    b = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    spans = b.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    joined = grid.join(b, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        "v",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        _d(F.last("v", ignorenulls=True).over(w)).alias("v_locf"),
+        "observed",
+    )
+
+
+@query(
+    "q46_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+    tags=("agg", "cohort", "analytics"),
+)
+def q46_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    each subsequent active week — the standard product-analytics triangle.
+
+    Two aggregates share the user_id shuffle (first-week per user, then
+    distinct active weeks per user); the final rollup groups on the tiny
+    (cohort, offset) domain. Both engines truncate weeks to ISO Monday,
+    and offsets are exact day-diffs of week-aligned timestamps divided by
+    7 — integer arithmetic end to end.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week")).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q47_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS st FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ct
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.st
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.ct
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+    tags=("agg", "funnel", "analytics"),
+)
+def q47_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → later click → later purchase,
+    counting users who reach each stage (first-touch timestamps).
+
+    Each stage is a per-user MIN over events gated by the previous
+    stage's timestamp — three aggregates that all reuse ONE user_id
+    partitioning (the joins and groupBys share the key, so AQE plans a
+    single shuffle family, no re-partitioning between stages). Funnels
+    over 100 TB of events stay viable precisely because stage k's input
+    is the stage-(k-1) survivors, monotonically shrinking.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("st")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
