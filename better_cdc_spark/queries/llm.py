@@ -1571,3 +1571,57 @@ def q98g_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
     )
+
+
+@query(
+    "q97c_matryoshka_energy",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(
+             list_reduce(list_transform(list_slice(embedding, 1, 16),
+                                        x -> CAST(x AS DOUBLE) * x),
+                         (a, b) -> a + b)
+             / list_reduce(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * x),
+                           (a, b) -> a + b), 6) AS energy_16,
+           ROUND(
+             list_reduce(list_transform(list_slice(embedding, 1, 32),
+                                        x -> CAST(x AS DOUBLE) * x),
+                         (a, b) -> a + b)
+             / list_reduce(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * x),
+                           (a, b) -> a + b), 6) AS energy_32
+    FROM embeddings
+    """,
+    tags=("llm", "embedding", "matryoshka"),
+)
+def q97c_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: the fraction of each embedding's L2
+    energy retained by its 16- and 32-dim prefixes — the measurement that
+    decides how far MRL embeddings can be truncated for a cheaper ANN
+    index (store 16 of 64 dims → 4x less vector I/O at recall cost you
+    can now quantify per corpus).
+
+    Pure higher-order functions (slice/transform/aggregate) in whole-stage
+    codegen, zero shuffle, no Python. Both engines fold left-to-right in
+    list order over float64, so the sums match exactly before the 6dp
+    round.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def energy(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    full = energy(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(energy(F.slice("embedding", 1, 16)) / full, 6).alias("energy_16"),
+        F.round(energy(F.slice("embedding", 1, 32)) / full, 6).alias("energy_32"),
+    )

@@ -2186,10 +2186,10 @@ def q76_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
            CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS vol_1h,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
              AS n_1h
     FROM events
