@@ -1625,3 +1625,118 @@ def q97c_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(energy(F.slice("embedding", 1, 16)) / full, 6).alias("energy_16"),
         F.round(energy(F.slice("embedding", 1, 32)) / full, 6).alias("energy_32"),
     )
+
+
+@query(
+    "q94c_training_export",
+    oracle="""
+    WITH quality AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) >= 10
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(t.i AS INTEGER) AS chunk_idx,
+               array_to_string(list_slice(string_split(text, ' '),
+                                          t.i * 10 + 1, t.i * 10 + 10), ' ') AS chunk
+        FROM quality,
+             UNNEST(range(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)))
+               AS t(i)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY chunk
+                                     ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    ),
+    kept AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS cleaned
+        FROM ranked WHERE rn = 1
+        GROUP BY doc_id HAVING COUNT(*) >= 3
+    ),
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(cleaned), 1, 2) < 'c0' THEN 'train'
+                    WHEN substr(md5(cleaned), 1, 2) < 'e0' THEN 'val'
+                    ELSE 'test' END AS split,
+               len(string_split(cleaned, ' ')) AS n_tokens
+        FROM kept
+    ),
+    packed AS (
+        SELECT split, doc_id, n_tokens,
+               (SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id)
+                - n_tokens) // 2048 AS bin_id
+        FROM assigned
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           COUNT(DISTINCT bin_id) AS n_bins
+    FROM packed GROUP BY split
+    """,
+    tags=("llm", "pipeline", "export"),
+)
+def q94c_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining export: quality gate → span-level dedup →
+    content-hash split assignment → per-split sequence packing — the
+    composed flow that turns a raw crawl into sharded training bins, with
+    the per-split doc/token/bin accounting a data team ships with every
+    corpus release.
+
+    Stage plumbing at scale: the chunk window shuffles on chunk text
+    (xxhash64 key at 100 TB), reassembly + packing share the doc_id/split
+    ordering, and the split assignment is a pure map — nothing in the
+    composition adds a shuffle beyond its standalone form. Packing's
+    global per-split window is the correctness reference; production
+    packs per shard (q95d's note), which this composition inherits
+    unchanged.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    quality = docs.filter(F.size(words) >= 10).select("doc_id", "text")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunked = quality.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = W.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s.chunk,
+                ),
+            ).alias("cleaned"),
+            F.count("*").alias("n_kept"),
+        )
+        .filter(F.col("n_kept") >= 3)
+    )
+    prefix = F.substring(F.md5("cleaned"), 1, 2)
+    assigned = kept.select(
+        "doc_id",
+        F.when(prefix < "c0", "train")
+        .when(prefix < "e0", "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split(F.col("cleaned"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    pw = W.partitionBy("split").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = assigned.withColumn(
+        "bin_id", F.floor((F.sum("n_tokens").over(pw) - F.col("n_tokens")) / 2048)
+    )
+    return packed.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
+    )

@@ -272,3 +272,115 @@ def test_scd2_history_agrees_with_python_fold(spark, log_rows):
         for r in scd2_history(log, keys="id", order_col="seq").collect()
     }
     assert got == expected
+
+
+words_st = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]), min_size=1, max_size=40
+)
+docs_st = st.lists(words_st, min_size=1, max_size=12)
+
+
+def _py_chunk_dedup(texts: list[str], width: int = 10):
+    """Reference fold: global first-occurrence chunk retention in
+    (doc_id, chunk_idx) order, then per-doc reassembly."""
+    seen = {}
+    for doc_id, text in enumerate(texts):
+        w = text.split(" ")
+        for ci in range((len(w) + width - 1) // width):
+            chunk = " ".join(w[ci * width : (ci + 1) * width])
+            if chunk not in seen or (doc_id, ci) < seen[chunk]:
+                seen[chunk] = (doc_id, ci)
+    kept = {}
+    for chunk, (doc_id, ci) in seen.items():
+        kept.setdefault(doc_id, []).append((ci, chunk))
+    return {
+        d: " ".join(c for _, c in sorted(pairs)) for d, pairs in kept.items()
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_words=docs_st)
+def test_chunk_dedup_agrees_with_python_fold(spark, doc_words):
+    """q95e's core: Spark chunk dedup == the sequential reference fold on
+    random corpora (including all-duplicate and single-word docs)."""
+    from pyspark.sql import Window as W
+
+    texts = [" ".join(ws) for ws in doc_words]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = W.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s.chunk,
+                ),
+            ).alias("cleaned")
+        )
+    )
+    got = {r.doc_id: r.cleaned for r in kept.collect()}
+    assert got == _py_chunk_dedup(texts)
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+        st.integers(0, 100),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=funnel_events)
+def test_funnel_stages_agree_with_python_fold(spark, rows):
+    """q47's stage gating: per-user first-touch MINs with >= gates equal a
+    sequential reference fold over random event streams."""
+    df = spark.createDataFrame(rows, "user_id long, event_type string, t long")
+    s = df.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("t").alias("st")
+    )
+    c = (
+        df.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("t") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("ct"))
+    )
+    p = (
+        df.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") >= F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("pt"))
+    )
+    got = (s.count(), c.count(), p.count())
+
+    su, cu, pu = {}, {}, {}
+    for u, e, t in rows:
+        if e == "signup" and (u not in su or t < su[u]):
+            su[u] = t
+    for u, e, t in rows:
+        if e == "click" and u in su and t >= su[u] and (u not in cu or t < cu[u]):
+            cu[u] = t
+    for u, e, t in rows:
+        if e == "purchase" and u in cu and t >= cu[u] and (u not in pu or t < pu[u]):
+            pu[u] = t
+    assert got == (len(su), len(cu), len(pu))
