@@ -2587,3 +2587,108 @@ def q47_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase")))
     )
+
+
+@query(
+    "q45c_linear_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events WHERE user_id < 8 GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, g.bucket
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi, INTERVAL '1 hour')) AS bucket
+      ) g
+    ), joined AS (
+      SELECT g.user_id, g.bucket,
+             CAST(FLOOR(epoch(g.bucket)) AS BIGINT) / 3600 AS pos,
+             CAST(b.v AS DOUBLE) AS v
+      FROM grid g LEFT JOIN b USING (user_id, bucket)
+    ), ctx AS (
+      SELECT user_id, bucket, pos, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+      FROM joined
+    )
+    SELECT user_id, bucket,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (pos - pp) / (np - pp) END, 6)
+             AS v_interp,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+    FROM ctx
+    """,
+    tags=("window", "timeseries", "gapfill", "interpolate"),
+)
+def q45c_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps (the TimescaleDB interpolate()
+    companion to q45's zero-fill and q45b's locf): silent hours get the
+    line between the surrounding observed hourly totals.
+
+    Two window passes over the same user_id partitioning (backward
+    last-observed, forward next-observed — both value and position);
+    the lerp is pure arithmetic on hour indices, identical IEEE ops on
+    both engines. Span endpoints are always observed, so prev/next are
+    total inside the grid and the CASE never divides by a null gap.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    b = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("vd")
+    )
+    spans = b.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    joined = grid.join(b, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        (F.unix_timestamp("bucket").cast("bigint") / 3600).alias("pos"),
+        F.col("vd").cast("double").alias("v"),
+    )
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_pos = F.when(F.col("v").isNotNull(), F.col("pos"))
+    ctx = joined.select(
+        "user_id",
+        "bucket",
+        "pos",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_pos, ignorenulls=True).over(back).alias("pp"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_pos, ignorenulls=True).over(fwd).alias("np"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (F.col("pos") - F.col("pp")) / (
+        F.col("np") - F.col("pp")
+    )
+    return ctx.select(
+        "user_id",
+        "bucket",
+        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(lerp), 6).alias(
+            "v_interp"
+        ),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
