@@ -2692,3 +2692,28 @@ def q45c_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
     )
+
+
+_NOT_IN_NULL_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM part
+   WHERE p_size NOT IN (SELECT NULLIF(p_size, 3) FROM part WHERE p_size <= 5))
+    AS n_with_null_inner,
+  (SELECT COUNT(*) FROM part
+   WHERE p_size NOT IN (SELECT p_size FROM part WHERE p_size <= 5 AND p_size <> 3))
+    AS n_without_null_inner
+"""
+
+
+@query("q65b_not_in_null_semantics", oracle=_NOT_IN_NULL_SQL, tags=("subquery", "anti", "null"))
+def q65b_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic — identical SQL on both engines.
+
+    The classic trap: one NULL in the inner set makes `x NOT IN (...)`
+    UNKNOWN for every x, so the first count is 0 while the NULL-free
+    variant counts normally. Spark plans this as a null-aware anti join
+    (NAAJ — broadcast-only by design: the null check needs the whole
+    build side visible); shipping it as a checked query pins the
+    semantics AND the physical strategy.
+    """
+    return _sql_query(spark, sf_dir, _NOT_IN_NULL_SQL, "part")
