@@ -1740,3 +1740,58 @@ def q94c_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.countDistinct("bin_id").alias("n_bins"),
     )
+
+
+@query(
+    "q95g_url_canonicalize",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               'https://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+               '.com/Path/' || CAST(doc_id AS VARCHAR) ||
+               '?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, 'https?://([^/?]+)', 1)) AS host,
+               regexp_replace(url, '[?].*$', '') AS no_query
+        FROM synth
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT no_query) AS n_distinct_paths
+    FROM canon GROUP BY host
+    """,
+    tags=("llm", "url", "canonicalize"),
+)
+def q95g_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup: lowercase the host,
+    strip tracking query strings, then account docs and distinct
+    canonical paths per host — the pre-step that makes URL-level dedup
+    and per-domain caps (q95f) meaningful on crawl data.
+
+    URLs are planted deterministically from doc_id (the synthetic corpus
+    has none) so the oracle asserts the canonicalization actually fires
+    across 7 hosts. Narrow regex map + one groupBy on the host key;
+    identical ASCII regexes on both engines.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    canon = docs.select(
+        "doc_id",
+        F.lower(F.regexp_extract(url, "https?://([^/?]+)", 1)).alias("host"),
+        F.regexp_replace(url, "[?].*$", "").alias("no_query"),
+    )
+    return canon.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("no_query").alias("n_distinct_paths"),
+    )

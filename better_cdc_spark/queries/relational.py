@@ -2717,3 +2717,34 @@ def q65b_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics AND the physical strategy.
     """
     return _sql_query(spark, sf_dir, _NOT_IN_NULL_SQL, "part")
+
+
+@query(
+    "q33d_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup", "grouping"),
+)
+def q33d_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators — the only way a consumer can
+    distinguish 'subtotal row' NULLs from genuine NULL group values
+    (q33's rollup without them is ambiguous the moment a grouping column
+    is nullable).
+
+    grouping()/grouping_id() are computed from the Expand node's bitmask,
+    free at runtime; the plan is the same single expand + two-phase agg
+    as plain rollup.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count("*").alias("n"),
+    )
