@@ -2748,3 +2748,35 @@ def q33d_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q36e_bitwise_bool_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_and,
+           CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_or,
+           CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_xor,
+           bool_and(l_discount <= 0.1) AS all_disc_capped,
+           bool_or(l_quantity >= 49) AS any_large_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitwise", "boolean"),
+)
+def q36e_bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregates: bit_and/or/xor over integer lanes
+    and every/any over predicates — order-independent reductions (XOR
+    folds commute), so partial aggregation distributes with zero
+    semantics risk; the mainstay of bitmap/flag-column rollups.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(q).alias("qty_bit_and"),
+        F.bit_or(q).alias("qty_bit_or"),
+        F.bit_xor(q).alias("qty_bit_xor"),
+        F.every(F.col("l_discount") <= 0.1).alias("all_disc_capped"),
+        F.some(F.col("l_quantity") >= 49).alias("any_large_qty"),
+    )
