@@ -62,11 +62,11 @@ SHOWCASE_ORDER = (
     "q22_semi_join",
     "q25_broadcast_join",
     "q25b_bucketed_join",
-    "q26_theta_join",
+    "q81_tumbling_window",
     "q27_asof_join",
     "q28b_interval_bucket_join",
     "q29_skew_salted_join",
-    "q31_distinct_agg",
+    "q87_foreachbatch_idempotent_sink",
     "q33_rollup",
     "q34_having",
     "q36c_exact_median",
@@ -83,7 +83,7 @@ SHOWCASE_ORDER = (
     "q50_global_sort",
     "q52_topk_per_group",
     "q63_exists_subquery",
-    "q70_string_functions",
+    "q94c_training_export",
     "q75b_variant_semistructured",
     "q76_hash_functions",
     "qh03_shipping_priority",
@@ -99,7 +99,7 @@ SHOWCASE_ORDER = (
     "q96_embedding_neardup",
     "q97_cosine_topk",
     "q98_text_stats",
-    "q94c_training_export",
+    "q70_string_functions",
     "q92_grouped_map",
     "q93_udtf",
 )
