@@ -23,7 +23,7 @@ from better_cdc_spark.queries import query
 from better_cdc_spark.queries.relational import _d, dec
 from better_cdc_spark.session import tune_for_oracle
 from better_cdc_spark.streaming.core import events_stream, run_to_memory
-from better_cdc_spark.streaming.stateful import HAS_TRANSFORM_WITH_STATE, stateful_user_agg
+from better_cdc_spark.streaming.stateful import stateful_user_agg
 
 
 @query(
@@ -211,9 +211,8 @@ def q85_stateful_processing(spark: SparkSession, sf_dir: str) -> DataFrame:
     The state is a (count, decimal-cent sum) per user — the same machinery
     that implements transaction assembly (R5) when keyed by txid. Values
     are accumulated in integer cents so state updates are exact. The same
-    operator has a transformWithStateInPandas implementation
-    (streaming.stateful, registered as q85b when the container has
-    protobuf for its state-server protocol).
+    operator as a Spark-4 StatefulProcessor is q85b (streaming.stateful;
+    tws engine when protobuf is present, shim engine otherwise).
     """
     tune_for_oracle(spark)
     return _run_stateful_agg(spark, sf_dir, engine="legacy")
@@ -253,25 +252,28 @@ def _run_stateful_agg(spark: SparkSession, sf_dir: str, engine: str) -> DataFram
     )
 
 
-if HAS_TRANSFORM_WITH_STATE:
+@query(
+    "q85b_transform_with_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "tws"),
+)
+def q85b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q85 as a Spark-4 StatefulProcessor (transformWithStateInPandas).
 
-    @query(
-        "q85b_transform_with_state",
-        oracle="""
-        SELECT user_id, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY user_id
-        """,
-        tags=("streaming", "stateful", "tws"),
-    )
-    def q85b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Q85 on the Spark 4 transformWithStateInPandas API (StatefulProcessor
-        + ValueState on RocksDB). Registered only when the container carries
-        google.protobuf — the API's Python↔JVM state protocol needs it; the
-        gate is HAS_TRANSFORM_WITH_STATE in streaming/stateful.py."""
-        tune_for_oracle(spark)
-        return _run_stateful_agg(spark, sf_dir, engine="tws")
+    Registered unconditionally: where the container carries google.protobuf
+    (the tws state-server wire protocol needs it) the processor runs on
+    transformWithStateInPandas + RocksDB; elsewhere the SAME
+    StatefulProcessor instance executes on the shim engine
+    (streaming/stateful.py: StatefulProcessor hosted on
+    applyInPandasWithState, ValueState backed by GroupState). Either way
+    the Spark-4 stateful code path is exercised and hash-checked."""
+    tune_for_oracle(spark)
+    return _run_stateful_agg(spark, sf_dir, engine="auto")
 
 
 @query(
@@ -333,6 +335,72 @@ def q87_foreachbatch_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFr
             events_stream(spark, sf_dir)
             .writeStream.foreachBatch(idempotent_write)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_q87_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    sunk = spark.read.parquet(out_dir)
+    return sunk.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q87b_windowed_idempotent_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink", "scale"),
+)
+def q87b_windowed_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window idempotent sink (Q87 at 100 TB; R11/R14).
+
+    The scale-safe variant of q87: the sink is hive-partitioned by
+    commit_bucket = floor(epoch(ts) / DUPLICATE_WINDOW) (the reference's
+    2-minute JetStream dedup window, config.go:100 / readme.md:118), and
+    each micro-batch anti-joins ONLY the buckets its own events fall in.
+    A replayed event carries the same deterministic timestamp as its
+    first delivery, so its earlier copy sits in exactly the buckets the
+    batch touches — partition pruning makes per-epoch dedup IO
+    O(batch-window) instead of O(sink size). The stream is delivered
+    TWICE (multi-batch via maxFilesPerTrigger); equality with the batch
+    counts proves the second delivery was a no-op while never reading
+    out-of-window partitions (each dedup read carries a commit_bucket
+    partition filter; tests/test_plans.py pins the pruning in the plan).
+    """
+    tune_for_oracle(spark)
+    window_s = 120.0
+    out_dir = tempfile.mkdtemp(prefix="bcs_q87b_sink_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def windowed_idempotent_write(batch_df: DataFrame, _epoch: int) -> None:
+        spark_ = batch_df.sparkSession
+        b = batch_df.withColumn(
+            "commit_bucket",
+            F.floor(F.unix_timestamp("ts") / F.lit(window_s)).cast("long"),
+        ).localCheckpoint(eager=True)
+        # Bounded driver collect: distinct buckets in ONE micro-batch.
+        buckets = [r[0] for r in b.select("commit_bucket").distinct().collect()]
+        try:
+            existing = (
+                spark_.read.parquet(out_dir)
+                .filter(F.col("commit_bucket").isin(buckets))
+                .select("event_id")
+            )
+        except Exception:
+            existing = b.select("event_id").limit(0)
+        fresh = b.join(existing, "event_id", "left_anti")
+        fresh.write.mode("append").partitionBy("commit_bucket").parquet(out_dir)
+
+    for _attempt in range(2):  # second run = full replay (kill/restart case)
+        q = (
+            events_stream(spark, sf_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(windowed_idempotent_write)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_q87b_"))
             .start()
         )
         try:

@@ -25,11 +25,17 @@ semantics, solving the two genuinely hard gaps (SURVEY §4.3):
 Ordering is a data property: consumers sort by (lsn, txid, seq_in_tx) —
 strictly stronger than the reference's per-subject delivery order (R12).
 
-Scale: pending/commit stores are tiny (only in-flight transactions); the
-anti-join against the sink is the one cost that grows — at 100 TB it
-becomes a MERGE on a Delta table keyed/z-ordered by event_id, or the
-dedup window is bounded by partitioning the sink on commit date and only
-anti-joining recent partitions (the reference's 2-minute window analog).
+Scale: pending/commit stores are tiny (only in-flight transactions), and
+the sink anti-join is BOUNDED: the sink is partitioned by commit-time
+bucket (bucket width = the configured duplicate window, the reference's
+DUPLICATE_WINDOW, config.go:100 / readme.md:118), and each micro-batch
+anti-joins only the buckets its own events fall in. A replayed event
+carries the same deterministic commit timestamp as its first delivery,
+so its earlier copy lives in exactly the same bucket — per-epoch dedup
+IO is O(batch's commit-time span), not O(sink size), no matter how big
+the sink grows. This is strictly stronger than JetStream's wall-clock
+window (readme.md:121 admits duplicates outside the window; here the
+bucket lookup is exact for deterministic replays).
 """
 
 from __future__ import annotations
@@ -74,6 +80,11 @@ class CDCStreamPipeline:
         # Decode-error policy: reference default is FATAL on undecodable
         # input (engine.go:183-200); config.failure_policy relaxes it.
         self.decode_policy = config.failure_policy if config is not None else "crash"
+        # Bucket width for the partitioned idempotent sink (seconds).
+        # Default mirrors the reference's DUPLICATE_WINDOW=2m (config.go:100).
+        self.duplicate_window_s = max(
+            1.0, config.duplicate_window_s if config is not None else 120.0
+        )
         self.sink_dir = os.path.join(work_dir, "sink")
         self.pending_dir = os.path.join(work_dir, "pending")
         self.decode_dlq_dir = os.path.join(work_dir, "decode_dlq")
@@ -94,6 +105,16 @@ class CDCStreamPipeline:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
                 return like.limit(0)
             raise
+
+    def _read_sink_raw(self, like: DataFrame) -> DataFrame:
+        """Sink rows including the commit_bucket partition column.
+
+        `like` must carry the envelope schema + commit_bucket; filters on
+        commit_bucket against this read are resolved at file-listing time
+        (hive partition pruning), which is what bounds the per-epoch
+        dedup IO.
+        """
+        return self._read_or_empty(self.sink_dir, like)
 
     def _pending_epoch_dirs(self) -> list[tuple[int, str]]:
         """(epoch, path) for every COMPLETE pending snapshot, ascending.
@@ -205,10 +226,37 @@ class CDCStreamPipeline:
             committed, database=self.database, allowlist=self.allowlist
         )
 
-        # Idempotent sink: drop events already present (event_id dedup).
-        existing = self._read_or_empty(self.sink_dir, envelope).select("event_id")
+        # Idempotent sink with a BOUNDED dedup scan (R11/R14, the reference's
+        # DUPLICATE_WINDOW analog): the sink is hive-partitioned by
+        # commit_bucket = floor(commit_epoch / window). A replayed event has
+        # the same deterministic commit timestamp as its first delivery, so
+        # its earlier copy sits in exactly the bucket this batch writes to —
+        # anti-joining against ONLY the batch's own buckets is exact dedup
+        # while partition pruning keeps the read O(batch window), never
+        # O(sink). Null commit times (shouldn't occur post-normalize) land
+        # in bucket -1 so the isin() filter still covers them.
+        envelope = envelope.withColumn(
+            "commit_bucket",
+            F.coalesce(
+                F.floor(
+                    F.unix_timestamp(F.col("timestamp"))
+                    / F.lit(float(self.duplicate_window_s))
+                ),
+                F.lit(-1),
+            ).cast("long"),
+        ).localCheckpoint(eager=True)
+        buckets = [
+            r[0] for r in envelope.select("commit_bucket").distinct().collect()
+        ]  # bounded: one micro-batch's commit-time span / window
+        existing = (
+            self._read_sink_raw(envelope)
+            .filter(F.col("commit_bucket").isin(buckets))
+            .select("event_id")
+            if buckets
+            else envelope.select("event_id").limit(0)
+        )
         fresh = envelope.join(existing, "event_id", "left_anti")
-        fresh.write.mode("append").parquet(self.sink_dir)
+        fresh.write.mode("append").partitionBy("commit_bucket").parquet(self.sink_dir)
 
         # Persist the new pending snapshot (epoch-versioned, crash-safe).
         staged = uncommitted.localCheckpoint(eager=True)
@@ -248,8 +296,8 @@ class CDCStreamPipeline:
     def sink(self) -> DataFrame:
         empty = normalize_changelog(
             self.spark.createDataFrame([], CHANGE_LOG_SCHEMA), database=self.database
-        )
-        return self._read_or_empty(self.sink_dir, empty)
+        ).withColumn("commit_bucket", F.lit(0).cast("long"))
+        return self._read_or_empty(self.sink_dir, empty).drop("commit_bucket")
 
     def pending(self) -> DataFrame:
         """Current in-flight (uncommitted) changelog rows."""

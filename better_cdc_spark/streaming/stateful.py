@@ -10,8 +10,14 @@ engine.go:124-220 keyed by xid; here keyed by user for oracle checking):
   variables (value/list/map state), timers, TTL, and initial-state support,
   running on the RocksDB state store. Its Python side speaks a protobuf
   protocol to the JVM state server, so it needs the ``google.protobuf``
-  package; this container ships without it, hence the capability gate
-  (HAS_TRANSFORM_WITH_STATE) rather than an unconditional registration.
+  package. Where that package is absent (this container), the SAME
+  StatefulProcessor instance runs on the **shim engine**: a compatibility
+  layer that hosts StatefulProcessor.init/handleInputRows/close on
+  applyInPandasWithState, backing its ValueState with the legacy
+  GroupState (single value-state variable, no timers/TTL — exactly the
+  subset the processor uses). The operator therefore registers and runs
+  everywhere; HAS_TRANSFORM_WITH_STATE only selects which engine executes
+  it.
 
 Both paths produce the identical (user_id, n_events, sum_value) stream, so
 whichever is available hash-checks against the same batch-SQL oracle.
@@ -80,14 +86,83 @@ def _make_processor():
     return UserAggProcessor()
 
 
+class _ShimValueState:
+    """ValueState facade over an applyInPandasWithState GroupState.
+
+    Mirrors pyspark.sql.streaming.value_state_client semantics for the
+    subset StatefulProcessors here use: exists/get/update/clear on a
+    tuple-shaped value.
+    """
+
+    def __init__(self, group_state: GroupState) -> None:
+        self._gs = group_state
+
+    def exists(self) -> bool:
+        return self._gs.exists
+
+    def get(self):
+        return self._gs.get
+
+    def update(self, value) -> None:
+        self._gs.update(tuple(value))
+
+    def clear(self) -> None:
+        self._gs.remove()
+
+
+class _ShimHandle:
+    """StatefulProcessorHandle facade for the shim engine.
+
+    Supports exactly one value-state variable (the declared schema is
+    carried by the host's stateStructType instead); timers and TTL raise,
+    matching the documented shim subset.
+    """
+
+    def __init__(self, group_state: GroupState) -> None:
+        self._gs = group_state
+
+    def getValueState(self, name: str, schema, ttl_duration_ms: int | None = None):
+        if ttl_duration_ms is not None:
+            raise NotImplementedError("shim engine does not support state TTL")
+        return _ShimValueState(self._gs)
+
+    def getListState(self, *a, **k):
+        raise NotImplementedError("shim engine supports ValueState only")
+
+    def getMapState(self, *a, **k):
+        raise NotImplementedError("shim engine supports ValueState only")
+
+    def registerTimer(self, *a, **k):
+        raise NotImplementedError("shim engine does not support timers")
+
+
+def _shim_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Host one StatefulProcessor group-invocation on the legacy engine."""
+    proc = _make_processor()
+    proc.init(_ShimHandle(state))
+    yield from proc.handleInputRows(key, pdfs, None)
+    proc.close()
+
+
 def stateful_user_agg(stream: DataFrame, engine: str = "auto") -> DataFrame:
     """Per-user running aggregate as a custom stateful streaming operator.
 
     engine: "tws" forces transformWithStateInPandas, "legacy" forces
-    applyInPandasWithState, "auto" picks tws when the container can run it.
+    applyInPandasWithState, "shim" runs the StatefulProcessor class on the
+    legacy engine, "auto" picks tws when the container can run it and the
+    shim otherwise — the Spark-4 StatefulProcessor code path executes
+    everywhere.
     """
     if engine == "auto":
-        engine = "tws" if HAS_TRANSFORM_WITH_STATE else "legacy"
+        engine = "tws" if HAS_TRANSFORM_WITH_STATE else "shim"
+    if engine == "shim":
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _shim_update,
+            outputStructType=OUTPUT_DDL,
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     grouped = stream.groupBy("user_id")
     if engine == "tws":
         spark = stream.sparkSession

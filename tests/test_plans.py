@@ -58,6 +58,30 @@ def test_similarity_kernels_never_plan_product_joins(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_windowed_sink_dedup_read_prunes_partitions(spark, tmp_path):
+    """q87b / CDCStreamPipeline bounded dedup window: the per-epoch
+    anti-join source is a commit_bucket-filtered read of the
+    bucket-partitioned sink. The filter must resolve at file-listing time
+    (hive partition pruning) — the executed scan reads ONLY the in-window
+    partitions, so dedup IO is O(batch window) regardless of sink size."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "bucketed_sink")
+    df = spark.range(60).select(
+        F.col("id").alias("event_id"), (F.col("id") % 6).alias("commit_bucket")
+    )
+    df.write.partitionBy("commit_bucket").parquet(out)
+
+    rd = spark.read.parquet(out).filter(F.col("commit_bucket").isin([2, 3]))
+    rd.collect()
+    jplan = rd._jdf.queryExecution().executedPlan()
+    assert "PartitionFilters: [commit_bucket" in jplan.toString()
+    scan = jplan.collectLeaves().apply(0)
+    assert scan.getClass().getName().endswith("FileSourceScanExec")
+    # Hard IO evidence: 2 of 6 hive partitions touched, not the whole sink.
+    assert scan.metrics().apply("numPartitions").value() == 2
+
+
 def test_minhash_signatures_partially_aggregate(spark):
     from better_cdc_spark import llmops
     from better_cdc_spark.io import load_table

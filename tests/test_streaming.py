@@ -116,6 +116,19 @@ def test_commit_boundary_atomicity_across_batches(spark, changelog_dirs):
     assert pending.filter(F.col("xid") == 300).count() == 2  # B + I rows
 
 
+def test_sink_is_commit_bucket_partitioned(spark, changelog_dirs):
+    """The idempotent sink is hive-partitioned by commit-time bucket
+    (bucket width = duplicate_window_s), which is what lets every epoch's
+    dedup anti-join prune to the batch's own buckets. The partition
+    column stays an implementation detail: sink() hides it."""
+    src, work = changelog_dirs
+    pipe = CDCStreamPipeline(spark, src, work, allowlist=["public.users"])
+    pipe.run_available()
+    parts = [d for d in os.listdir(pipe.sink_dir) if d.startswith("commit_bucket=")]
+    assert parts, "sink must be partitioned by commit_bucket"
+    assert "commit_bucket" not in pipe.sink().columns
+
+
 def test_no_replay_after_clean_stop(spark, changelog_dirs):
     src, work = changelog_dirs
     pipe = CDCStreamPipeline(spark, src, work, allowlist=["public.users"])
