@@ -875,6 +875,48 @@ def q94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "n_words")
 
 
+@query("q94d_curation_pipeline_lsh", tags=("llm", "pipeline", "scale"))
+def q94d_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q94_curation_pipeline with the PRODUCTION near-dedup stage.
+
+    Same quality gate and exact dedup as q94, but stage 3 is the 100 TB
+    code path: MinHash-LSH candidate generation (band equi-join,
+    llmops.minhash_candidate_pairs) verified by pair-bounded exact Jaccard
+    (llmops.jaccard_for_pairs) — never the quadratic posting self-join the
+    oracle-checkable q94 uses. Rows-only check: LSH recall is
+    probabilistic, so no SQL oracle; precision is exact by construction
+    (every dropped doc lost a VERIFIED jaccard >= 0.6 pair), and the
+    recall floor vs the exact composite is property-tested in
+    tests/test_llmops.py::test_q94d_matches_exact_composite.
+
+    The shared inverted index is built once and eagerly materialized; both
+    the signature aggregation and the pair verification read it instead of
+    re-running the shingle explode.
+    """
+    tune_for_oracle(spark)
+    tune_cpu_bound(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(dupes)
+
+    quality = corpus.withColumn("n_words", F.size(F.split("text", " "))).filter(
+        F.col("n_words") >= 10
+    )
+    exact_kept = quality.groupBy(F.md5("text").alias("__k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = quality.join(exact_kept.select("doc_id"), "doc_id")
+
+    postings = llmops.shingle_postings(kept, "doc_id").localCheckpoint(eager=True)
+    cands = llmops.minhash_candidate_pairs(None, "doc_id", postings=postings)
+    verified = llmops.jaccard_for_pairs(postings, cands, "doc_id", materialize=False)
+    near = verified.filter(F.col("jaccard") >= 0.6)
+    dropped = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return kept.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "n_words")
+
+
 # ---------------------------------------------------------------------------
 # Q99 — multimodal columns: binary payloads + typed metadata via mapInPandas
 # ---------------------------------------------------------------------------

@@ -285,3 +285,28 @@ def test_simhash_block_cap(spark, docs):
     }
     assert capped == base
     assert llmops.simhash_near_pairs(docs, "doc_id", max_block=1).count() == 0
+
+
+def test_q94d_matches_exact_composite(spark):
+    """q94d (LSH-driven near-dedup) vs q94 (exact all-pairs near-dedup).
+
+    Precision is exact by construction (candidates are verified with
+    pair-bounded Jaccard before any drop), so q94d can only keep MORE docs
+    than q94 — never drop a doc the exact composite keeps. Recall floor:
+    the injected exact duplicates (jaccard 1.0) collide in every LSH band,
+    so q94d must drop every one of them, and overall the kept-set excess
+    stays under 5% of q94's drops.
+    """
+    exact = REGISTRY["q94_curation_pipeline"].fn(spark, SF_SMOKE).toPandas()
+    lsh = REGISTRY["q94d_curation_pipeline_lsh"].fn(spark, SF_SMOKE).toPandas()
+    exact_kept = set(exact.doc_id)
+    lsh_kept = set(lsh.doc_id)
+    # no false drops (precision 1)
+    assert exact_kept <= lsh_kept
+    # injected duplicates (doc_id >= 1000000 copies) are jaccard-1 pairs:
+    # LSH recall for them is deterministic — all must be dropped
+    assert not {d for d in lsh_kept if d >= 1000000 and d - 1000000 in lsh_kept}
+    # overall recall floor: docs the exact composite dropped but LSH kept
+    # (missed near-dup pairs) stay a small fraction of the corpus
+    missed = lsh_kept - exact_kept
+    assert len(missed) <= max(3, round(0.05 * len(exact_kept))), sorted(missed)[:10]
