@@ -1,0 +1,541 @@
+"""Binary pgoutput decode (R3) — Postgres logical-replication wire format.
+
+Implements the message formats of the public PostgreSQL logical streaming
+replication protocol (`Relation` 'R', `Begin` 'B', `Commit` 'C', `Insert`
+'I', `Update` 'U', `Delete` 'D', `Truncate` 'T'; all integers big-endian,
+tuples as 'n'/'u'/'t' column cells) and decodes a stream of such messages
+into the engine's canonical CHANGE_LOG_SCHEMA rows — the same normalized
+shape the wal2json-v2 ingest produces, so everything downstream
+(normalize_changelog, the CDC pipeline, the sinks) is shared between the
+two source formats.
+
+Reference parity (/root/reference/internal/parser/pgoutput.go):
+  - relation registry keyed by relation OID, refreshed by every 'R'
+    message (relationInfo, pgoutput.go:20-26; lookupRelation :552)
+  - per-column decode keyed by the relation's type OIDs (decodeColumn,
+    pgoutput.go:630-642): text-format cells pass through with an
+    OID-derived type name
+  - 'u' (unchanged TOAST) cells are SKIPPED, not nulled
+    (populateTupleColumnMap, pgoutput.go:611-627)
+  - an empty 't' cell is a genuine empty string, NOT SQL NULL — NULL is
+    only the 'n' marker (decodeColumn comment, pgoutput.go:631-633;
+    pinned by pgoutput_test.go:245)
+  - data events inherit (xid, begin-LSN) from the enclosing transaction
+    (buildRelationEvent, pgoutput.go:592-609)
+
+Spark-first architecture (the reference parser is a single-threaded
+stateful loop; a translation would serialize the cluster):
+
+  1. **Relation registry = broadcast dimension.** 'R' messages are rare
+     (one per table per session + on DDL), so they are filtered JVM-side,
+     collected (bounded, documented), and broadcast as a versioned map —
+     each data message resolves the registry entry with the greatest
+     seq <= its own, so mid-stream ALTERs (re-sent 'R') decode correctly.
+  2. **Chunked kernel + parallel-scan carry.** Messages are decoded in
+     seq-ordered chunks by an Arrow-batched kernel that carries (xid,
+     begin-LSN) state WITHIN its chunk; rows before a chunk's first
+     'B' take their context from a per-chunk carry computed as a prefix
+     scan over the chunks' last-Begin summaries (one tiny row per chunk,
+     driver prefix, broadcast join back). Decode parallelism is
+     O(n_chunks) with exactly one narrow pass over the data — no global
+     sort, no single-partition window.
+
+Deviations (documented, fixture-parity over wire-canonical):
+  - LSNs render lowercase "h/l" to match this repo's synthesized
+    changelog; PostgreSQL's canonical rendering is uppercase %X/%X.
+  - A 'K'/'O' old-tuple cell that is 'n' is treated as "not part of the
+    replica identity" and omitted (the identity array carries only real
+    key values, matching the wal2json-v2 `identity` shape); the
+    reference keeps a nil map entry instead.
+  - Begin timestamp 0 (no clock) decodes to NULL rather than the PG
+    epoch 2000-01-01.
+"""
+
+from __future__ import annotations
+
+import bisect
+import struct
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
+
+PG_EPOCH_US = 946_684_800_000_000  # 2000-01-01 UTC in unix microseconds
+
+# OID → wal2json-style type name, for the column `type` field. The subset
+# the engine's fixtures and TABLE_CATALOG use, with a numeric fallback —
+# the reference falls back to raw text the same way (decodeColumn returns
+# string(data) for unknown OIDs).
+OID_TYPE_NAMES = {
+    16: "boolean",
+    20: "bigint",
+    21: "smallint",
+    23: "integer",
+    25: "text",
+    700: "real",
+    701: "double precision",
+    1043: "character varying",
+    1082: "date",
+    1114: "timestamp without time zone",
+    1184: "timestamp with time zone",
+    1700: "numeric",
+}
+TYPE_NAME_OIDS = {v: k for k, v in OID_TYPE_NAMES.items()}
+
+
+@dataclass(frozen=True)
+class RelationInfo:
+    """Decoded 'R' message (reference relationInfo, pgoutput.go:20-26)."""
+
+    relid: int
+    schema: str
+    table: str
+    columns: tuple[str, ...]
+    column_oids: tuple[int, ...]
+    key_flags: tuple[int, ...]
+
+
+# ---------------------------------------------------------------------------
+# wire-level helpers (pure python; used by the Arrow kernel AND the tests)
+# ---------------------------------------------------------------------------
+
+
+def _lsn_to_int(lsn: str) -> int:
+    hi, lo = lsn.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def _lsn_to_str(v: int) -> str:
+    return f"{v >> 32:x}/{v & 0xFFFFFFFF:x}"
+
+
+def _read_cstring(buf: bytes, off: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", off)
+    return buf[off:end].decode("utf-8"), end + 1
+
+
+def parse_relation(msg: bytes) -> RelationInfo:
+    """'R': Int32 relid, cstring namespace, cstring name, Int8 replica
+    identity, Int16 ncols, then per column Int8 flags, cstring name,
+    Int32 type OID, Int32 typmod."""
+    assert msg[0:1] == b"R"
+    relid = struct.unpack_from(">I", msg, 1)[0]
+    ns, off = _read_cstring(msg, 5)
+    name, off = _read_cstring(msg, off)
+    off += 1  # replica identity byte
+    (ncols,) = struct.unpack_from(">H", msg, off)
+    off += 2
+    cols, oids, keys = [], [], []
+    for _ in range(ncols):
+        flags = msg[off]
+        off += 1
+        cname, off = _read_cstring(msg, off)
+        oid, _typmod = struct.unpack_from(">II", msg, off)
+        off += 8
+        cols.append(cname)
+        oids.append(oid)
+        keys.append(flags)
+    return RelationInfo(relid, ns or "pg_catalog", name, tuple(cols), tuple(oids), tuple(keys))
+
+
+def _parse_tuple(msg: bytes, off: int) -> tuple[list[tuple[str, bytes | None]], int]:
+    """TupleData: Int16 ncols then per cell 'n' | 'u' | 't'(len+bytes).
+
+    Returns [(kind, payload)] — 'u' cells keep kind so callers can SKIP
+    them (TOAST parity), distinct from 'n' (SQL NULL) and 't' (text,
+    where empty payload means empty string, not NULL).
+    """
+    (ncols,) = struct.unpack_from(">H", msg, off)
+    off += 2
+    cells: list[tuple[str, bytes | None]] = []
+    for _ in range(ncols):
+        kind = chr(msg[off])
+        off += 1
+        if kind in ("n", "u"):
+            cells.append((kind, None))
+        else:  # 't' (text) / 'b' (binary) carry Int32 length + payload
+            (ln,) = struct.unpack_from(">I", msg, off)
+            off += 4
+            cells.append((kind, msg[off : off + ln]))
+            off += ln
+    return cells, off
+
+
+def encode_relation(rel: RelationInfo) -> bytes:
+    out = b"R" + struct.pack(">I", rel.relid)
+    out += rel.schema.encode() + b"\x00" + rel.table.encode() + b"\x00"
+    out += b"d"  # replica identity: default
+    out += struct.pack(">H", len(rel.columns))
+    for name, oid, flag in zip(rel.columns, rel.column_oids, rel.key_flags):
+        out += bytes([flag]) + name.encode() + b"\x00" + struct.pack(">II", oid, -1 & 0xFFFFFFFF)
+    return out
+
+
+def encode_begin(lsn: str, ts_us_pg: int, xid: int) -> bytes:
+    return b"B" + struct.pack(">QqI", _lsn_to_int(lsn), ts_us_pg, xid)
+
+
+def encode_commit(lsn: str, ts_us_pg: int) -> bytes:
+    v = _lsn_to_int(lsn)
+    return b"C" + struct.pack(">BQQq", 0, v, v, ts_us_pg)
+
+
+def _encode_tuple(cells: list[tuple[str, bytes | None]]) -> bytes:
+    out = struct.pack(">H", len(cells))
+    for kind, payload in cells:
+        if kind in ("n", "u"):
+            out += kind.encode()
+        else:
+            out += b"t" + struct.pack(">I", len(payload)) + payload
+    return out
+
+
+def encode_insert(relid: int, new_cells) -> bytes:
+    return b"I" + struct.pack(">I", relid) + b"N" + _encode_tuple(new_cells)
+
+
+def encode_update(relid: int, key_cells, new_cells) -> bytes:
+    return (
+        b"U"
+        + struct.pack(">I", relid)
+        + b"K"
+        + _encode_tuple(key_cells)
+        + b"N"
+        + _encode_tuple(new_cells)
+    )
+
+
+def encode_delete(relid: int, key_cells) -> bytes:
+    return b"D" + struct.pack(">I", relid) + b"K" + _encode_tuple(key_cells)
+
+
+def encode_truncate(relids: list[int]) -> bytes:
+    return b"T" + struct.pack(">IB", len(relids), 0) + b"".join(
+        struct.pack(">I", r) for r in relids
+    )
+
+
+def _pg_ts_to_pd(ts_us_pg: int):
+    if ts_us_pg == 0:
+        return None
+    return pd.Timestamp((ts_us_pg + PG_EPOCH_US) * 1000)
+
+
+# ---------------------------------------------------------------------------
+# the distributed decoder
+# ---------------------------------------------------------------------------
+
+_DECODE_SCHEMA = T.StructType(
+    CHANGE_LOG_SCHEMA.fields + [T.StructField("__chunk", T.LongType(), False)]
+)
+
+
+class _VersionedRegistry:
+    """relid → seq-versioned RelationInfo list; lookup = latest entry with
+    registry seq <= message seq (mid-stream ALTER = re-sent 'R')."""
+
+    def __init__(self, entries: list[tuple[int, RelationInfo]]):
+        self._by_relid: dict[int, tuple[list[int], list[RelationInfo]]] = {}
+        for seq, rel in sorted(entries, key=lambda e: e[0]):
+            seqs, rels = self._by_relid.setdefault(rel.relid, ([], []))
+            seqs.append(seq)
+            rels.append(rel)
+
+    def lookup(self, relid: int, seq: int) -> RelationInfo | None:
+        hit = self._by_relid.get(relid)
+        if not hit:
+            return None
+        seqs, rels = hit
+        i = bisect.bisect_right(seqs, seq) - 1
+        return rels[i] if i >= 0 else None
+
+
+def collect_relation_registry(msgs: DataFrame) -> _VersionedRegistry:
+    """Filter 'R' messages JVM-side and build the versioned registry.
+
+    Bounded driver collect by design: relation messages arrive once per
+    table per session plus once per DDL — a registry for a 10k-table
+    database is a few MB. Same sanctioned pattern as the IVF/PQ codebook
+    training (llmops.py): tiny model on the driver, broadcast to workers.
+    """
+    rows = (
+        msgs.filter(F.substring("msg", 1, 1) == F.lit(b"R"))
+        .select("seq", "msg")
+        .collect()
+    )
+    return _VersionedRegistry([(r["seq"], parse_relation(bytes(r["msg"]))) for r in rows])
+
+
+def _cells_to_entries(
+    cells, rel: RelationInfo, *, identity: bool
+) -> list[dict] | None:
+    """Tuple cells → wal2json-style [{name, type, value}] entries.
+
+    'u' (unchanged TOAST) cells are skipped outright (reference parity).
+    For identity ('K' replica-identity) tuples, 'n' cells are the
+    protocol's padding for non-key columns and are omitted; for new-row
+    tuples 'n' is a genuine SQL NULL and kept as a null-valued entry.
+    An empty 't' payload decodes to "" — empty string is NOT NULL.
+    """
+    out = []
+    for i, (kind, payload) in enumerate(cells):
+        if i >= len(rel.columns) or kind == "u":
+            continue
+        if kind == "n":
+            if identity:
+                continue
+            value = None
+        else:
+            value = payload.decode("utf-8")
+        oid = rel.column_oids[i] if i < len(rel.column_oids) else 0
+        out.append(
+            {
+                "name": rel.columns[i],
+                "type": OID_TYPE_NAMES.get(oid, str(oid)),
+                "value": value,
+            }
+        )
+    return out or None
+
+
+def _decode_chunk_fn(registry: _VersionedRegistry):
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        chunk = int(pdf["__chunk"].iloc[0])
+        # Transaction context within this chunk; None until the first 'B'
+        # — those head rows are filled by the cross-chunk carry join.
+        cur_xid: int | None = None
+        cur_lsn: str | None = None
+        rows: list[dict] = []
+
+        def emit(seq, action, *, lsn=None, xid=None, ts=None, schema=None,
+                 table=None, columns=None, identity=None):
+            rows.append(
+                {
+                    "ingest_seq": int(seq),
+                    "lsn": lsn,
+                    "action": action,
+                    "xid": xid,
+                    "timestamp": ts,
+                    "schema": schema,
+                    "table": table,
+                    "columns": columns,
+                    "identity": identity,
+                    "__chunk": chunk,
+                }
+            )
+
+        for seq, raw in zip(pdf["seq"], pdf["msg"]):
+            msg = bytes(raw)
+            kind = chr(msg[0])
+            if kind == "R":
+                continue  # registry pass already consumed these
+            if kind == "B":
+                final_lsn, ts_us, xid = struct.unpack_from(">QqI", msg, 1)
+                cur_xid, cur_lsn = xid, _lsn_to_str(final_lsn)
+                emit(seq, "B", lsn=cur_lsn, xid=cur_xid, ts=_pg_ts_to_pd(ts_us))
+            elif kind == "C":
+                _flags, commit_lsn, _end, ts_us = struct.unpack_from(">BQQq", msg, 1)
+                emit(seq, "C", lsn=_lsn_to_str(commit_lsn), xid=cur_xid,
+                     ts=_pg_ts_to_pd(ts_us))
+            elif kind in ("I", "U", "D"):
+                (relid,) = struct.unpack_from(">I", msg, 1)
+                rel = registry.lookup(relid, int(seq))
+                if rel is None:
+                    # Reference: unknown relation → event dropped
+                    # (buildRelationEvent returns nil for rel.ID == 0).
+                    continue
+                off = 5
+                columns = identity = None
+                while off < len(msg):
+                    tag = chr(msg[off])
+                    cells, off = _parse_tuple(msg, off + 1)
+                    if tag == "N":
+                        columns = _cells_to_entries(cells, rel, identity=False)
+                    else:  # 'K' or 'O' old tuple
+                        identity = _cells_to_entries(
+                            cells, rel, identity=(tag == "K")
+                        )
+                emit(seq, kind, lsn=cur_lsn, xid=cur_xid,
+                     schema=rel.schema, table=rel.table,
+                     columns=columns, identity=identity)
+            elif kind == "T":
+                nrel, _opts = struct.unpack_from(">IB", msg, 1)
+                off = 6
+                for _ in range(nrel):
+                    (relid,) = struct.unpack_from(">I", msg, off)
+                    off += 4
+                    rel = registry.lookup(relid, int(seq))
+                    if rel is not None:
+                        emit(seq, "T", lsn=cur_lsn, xid=cur_xid,
+                             schema=rel.schema, table=rel.table)
+            else:
+                raise ValueError(f"undecodable pgoutput message type {kind!r}")
+        out = pd.DataFrame(rows, columns=[f.name for f in _DECODE_SCHEMA.fields])
+        out["timestamp"] = pd.to_datetime(out["timestamp"])
+        return out
+
+    return decode
+
+
+def decode_pgoutput(
+    spark: SparkSession, msgs: DataFrame, chunk_rows: int = 4096
+) -> DataFrame:
+    """(seq, msg binary) stream → CHANGE_LOG_SCHEMA rows, distributed.
+
+    Three bounded steps (see module docstring): broadcast relation
+    registry, chunked Arrow kernel decode, and a prefix-scan carry that
+    gives chunk-head rows their (xid, begin-LSN) context — one tiny row
+    per chunk through the driver, broadcast-joined back. No global sort;
+    scales as O(n_messages / chunk_rows) parallel tasks.
+    """
+    registry = collect_relation_registry(msgs)
+    chunked = msgs.withColumn(
+        "__chunk", F.floor(F.col("seq") / F.lit(chunk_rows)).cast("long")
+    )
+    decoded = chunked.groupBy("__chunk").applyInPandas(
+        _decode_chunk_fn(registry), schema=_DECODE_SCHEMA
+    )
+    decoded = decoded.localCheckpoint(eager=True)
+
+    # Per-chunk last-Begin summary → prefix scan on the driver (one row
+    # per chunk) → the incoming tx context for each later chunk.
+    summaries = (
+        decoded.filter(F.col("action") == "B")
+        .groupBy("__chunk")
+        .agg(F.max_by(F.struct("xid", "lsn"), "ingest_seq").alias("s"))
+        .select("__chunk", F.col("s.xid").alias("b_xid"), F.col("s.lsn").alias("b_lsn"))
+        .collect()
+    )
+    # incoming state of chunk k = last Begin across all chunks < k;
+    # chunks with no Begin pass the running carry through unchanged
+    seen = sorted(c for (c,) in decoded.select("__chunk").distinct().collect())
+    last_begin = {r["__chunk"]: (r["b_xid"], r["b_lsn"]) for r in summaries}
+    carry_map: dict[int, tuple] = {}
+    cx, cl = None, None
+    for c in seen:
+        carry_map[c] = (cx, cl)
+        if c in last_begin:
+            cx, cl = last_begin[c]
+    carry_df = spark.createDataFrame(
+        [(c, x, l) for c, (x, l) in carry_map.items()],
+        schema=T.StructType(
+            [
+                T.StructField("__chunk", T.LongType(), False),
+                T.StructField("c_xid", T.LongType(), True),
+                T.StructField("c_lsn", T.StringType(), True),
+            ]
+        ),
+    )
+    filled = (
+        decoded.join(F.broadcast(carry_df), "__chunk", "left")
+        .withColumn("xid", F.coalesce("xid", "c_xid"))
+        .withColumn("lsn", F.coalesce("lsn", "c_lsn"))
+        .drop("__chunk", "c_xid", "c_lsn")
+    )
+    return filled
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture encoder (test/oracle apparatus, not a hot path)
+# ---------------------------------------------------------------------------
+
+
+def encode_changelog_as_pgoutput(changelog: DataFrame, base_relid: int = 16384) -> DataFrame:
+    """wal2json-shaped changelog rows → (seq, msg binary) pgoutput stream.
+
+    Fixture generator: re-orders the changelog so each transaction's
+    messages are contiguous (pgoutput streams transactions serially, in
+    commit order — interleaved data rows only occur in the wal2json-v2
+    shape where every row carries its xid), prefixes the 'R' relation
+    messages, and encodes each row with the wire-level encoders above.
+    The global row_number window is fixture-generation apparatus, not a
+    production path — the decoder never needs it.
+    """
+    spark = changelog.sparkSession
+
+    # Relation catalog: column names/types per table, from the first
+    # non-null columns array (tiny collect: one row per table).
+    tbl_rows = (
+        changelog.filter(F.col("columns").isNotNull())
+        .groupBy("schema", "table")
+        .agg(F.min_by("columns", "ingest_seq").alias("cols"))
+        .collect()
+    )
+    relids: dict[tuple[str, str], RelationInfo] = {}
+    r_msgs: list[tuple[int, bytes]] = []
+    for i, r in enumerate(sorted(tbl_rows, key=lambda r: (r["schema"], r["table"]))):
+        cols = tuple(c["name"] for c in r["cols"])
+        oids = tuple(TYPE_NAME_OIDS.get(c["type"], 25) for c in r["cols"])
+        keys = tuple(1 if j == 0 else 0 for j in range(len(cols)))
+        rel = RelationInfo(base_relid + i, r["schema"], r["table"], cols, oids, keys)
+        relids[(r["schema"], r["table"])] = rel
+        r_msgs.append((i + 1, encode_relation(rel)))
+    n_rel = len(r_msgs)
+    rel_bc = {k: v for k, v in relids.items()}
+
+    ordered = changelog.withColumn(
+        "seq",
+        F.row_number().over(W.orderBy("xid", "ingest_seq")) + F.lit(n_rel),
+    )
+
+    def encode_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_seq, out_msg = [], []
+            for row in pdf.itertuples(index=False):
+                action = row.action
+                if action == "B":
+                    msg = encode_begin(row.lsn, 0, int(row.xid))
+                elif action == "C":
+                    ts = row.timestamp
+                    ts_us = (
+                        0
+                        if ts is None or pd.isna(ts)
+                        else int(pd.Timestamp(ts).value // 1000) - PG_EPOCH_US
+                    )
+                    msg = encode_commit(row.lsn, ts_us)
+                else:
+                    rel = rel_bc[(row.schema, row.table)]
+
+                    def cells(entries):
+                        by_name = (
+                            {e["name"]: e["value"] for e in entries}
+                            if entries is not None
+                            else {}
+                        )
+                        return [
+                            ("t", by_name[c].encode())
+                            if by_name.get(c) is not None
+                            else ("n", None)
+                            for c in rel.columns
+                        ]
+
+                    if action == "I":
+                        msg = encode_insert(rel.relid, cells(row.columns))
+                    elif action == "U":
+                        msg = encode_update(
+                            rel.relid, cells(row.identity), cells(row.columns)
+                        )
+                    elif action == "D":
+                        msg = encode_delete(rel.relid, cells(row.identity))
+                    else:  # 'T'
+                        msg = encode_truncate([rel.relid])
+                out_seq.append(int(row.seq))
+                out_msg.append(msg)
+            yield pd.DataFrame({"seq": out_seq, "msg": out_msg})
+
+    msg_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("msg", T.BinaryType(), False),
+        ]
+    )
+    data_msgs = ordered.mapInPandas(encode_rows, schema=msg_schema)
+    head = spark.createDataFrame(r_msgs, schema=msg_schema)
+    return head.unionByName(data_msgs)

@@ -571,3 +571,57 @@ def qc09_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val").cast("bigint").alias("sum_val"),
         F.max("txid").cast("bigint").alias("max_txid"),
     )
+
+
+@query(
+    "qc10_pgoutput_decode",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT event_id, event_type, source, commit_time, lsn, txid,
+           "schema", "table", operation, subject,
+           n_before, n_after, after_status, before_id
+    FROM envelope
+    """,
+    tags=("cdc", "pgoutput", "source"),
+)
+def qc10_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary pgoutput decode → normalize (R3 parity with the wal2json path).
+
+    The synthesized changelog is first ENCODED as a binary pgoutput stream
+    (Relation/Begin/Commit/Insert/Update/Delete wire messages — the public
+    Postgres logical-replication format the reference's pglogrepl parser
+    consumes, internal/parser/pgoutput.go:552-642), then decoded by the
+    distributed decoder (cdc/pgoutput.py: broadcast versioned relation
+    registry, chunked Arrow kernel, prefix-scan tx-context carry) and fed
+    through the SAME normalize_changelog as qc01. The oracle is qc01's —
+    a hash match proves the binary path produces byte-identical envelopes
+    to the wal2json-v2 path on equivalent input.
+    """
+    from better_cdc_spark.cdc.pgoutput import (
+        decode_pgoutput,
+        encode_changelog_as_pgoutput,
+    )
+    from better_cdc_spark.cdc.changelog import synthesize_changelog_from_orders
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    changelog = synthesize_changelog_from_orders(orders)
+    msgs = encode_changelog_as_pgoutput(changelog)
+    decoded = decode_pgoutput(spark, msgs, chunk_rows=512)
+    ev = normalize_changelog(decoded, database="testdb", allowlist=ALLOWLIST)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "source",
+        "commit_time",
+        "lsn",
+        "txid",
+        "schema",
+        "table",
+        "operation",
+        "subject",
+        F.size("before").alias("n_before"),
+        F.size("after").alias("n_after"),
+        F.element_at("after", "status").alias("after_status"),
+        F.element_at("before", "id").alias("before_id"),
+    )
