@@ -1837,3 +1837,59 @@ def q95g_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("no_query").alias("n_distinct_paths"),
     )
+
+
+@query(
+    "q99c_container_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 3 AS m,
+             16 + doc_id % 32 AS pw, 8 + doc_id % 16 AS ph,
+             800 + (doc_id % 100) * 8 AS ns,
+             8 + doc_id % 8 AS mw, 4 + doc_id % 4 AS mh
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             ELSE 'image/ppm' END AS mime,
+      CASE WHEN m = 0 THEN pw WHEN m = 2 THEN mw END AS width,
+      CASE WHEN m = 0 THEN ph WHEN m = 2 THEN mh END AS height,
+      CASE WHEN m = 1 THEN 100 + doc_id % 100 END AS duration_ms,
+      CAST(CASE m
+        WHEN 0 THEN list_sum(list_transform(generate_series(0, pw*ph - 1),
+                             i -> (doc_id*31 + i*7) % 256))
+        WHEN 1 THEN list_sum(list_transform(generate_series(0, ns - 1),
+                             i -> (doc_id*13 + i*5) % 256))
+        ELSE list_sum(list_transform(generate_series(0, mw*mh*3 - 1),
+                      i -> (doc_id*17 + i*11) % 256))
+      END AS BIGINT) AS checksum
+    FROM p
+    """,
+    tags=("llm", "multimodal", "codec"),
+)
+def q99c_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode that actually EXECUTES: PNG/WAV/PPM round trip.
+
+    Stage 1 (llmops.synth_media_payloads) synthesizes honest container
+    bytes per doc — real PNG chunk CRCs and zlib IDAT, real RIFF/WAV
+    headers, real P6 rasters — deterministic functions of doc_id. Stage 2
+    (llmops.decode_media_features) DECODES them with the pure-stdlib
+    codecs (codecs.py: five-filter PNG scanline reconstruction, wave
+    PCM, PPM header parse) and emits width/height/duration plus an
+    integer checksum over the decoded bytes. The oracle recomputes every
+    value in closed form — a broken inflate/filter/header path cannot
+    hash-match. Both stages are Arrow-batched mapInPandas over BinaryType:
+    the identical plumbing a JPEG/MP3 decoder would use at deploy time
+    (those remain documented seams — their codec libs aren't shipped
+    here). Narrow maps end-to-end: no shuffle, embarrassingly parallel at
+    any scale.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        llmops.synth_media_payloads,
+        schema="doc_id bigint, mime string, payload binary",
+    )
+    return payloads.mapInPandas(
+        llmops.decode_media_features, schema=llmops.MEDIA_FEATURE_SCHEMA
+    )
