@@ -1,0 +1,146 @@
+"""Health/readiness/metrics HTTP surface (R22 parity).
+
+Mirrors the reference's health server contract
+(/root/reference/internal/health/server.go:29-125) with the stdlib HTTP
+server — no web framework in the container, none needed:
+
+- ``/health``  → 200 "ok" unconditionally (liveness).
+- ``/ready``   → runs the registered readiness checks; 200 "ready" when
+  all pass, 503 with "name: error; ..." when any fails (same body shape
+  as server.go:56-74).
+- ``/metrics`` → Prometheus text exposition of the CDCMetricsListener
+  snapshot plus last-progress gauges — the promhttp.Handler() analog
+  (server.go:92), scraping the R21 counters (metrics.py).
+
+The server runs on a daemon thread on the Spark DRIVER — it reports
+driver-side stream state exactly like the reference process reports its
+own; executor health is the cluster manager's concern. ``port=0`` binds
+an ephemeral port (tests); a fixed port matches HEALTH_ADDR deployments.
+
+``stream_readiness(query)`` is the canonical check: ready iff the
+StreamingQuery is active and has thrown no exception — the analog of the
+reference's publisher/replication readiness closures (main.go wiring).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+ReadinessCheck = tuple[str, Callable[[], None]]  # (name, raises-on-not-ready)
+
+
+def stream_readiness(query) -> ReadinessCheck:
+    """Readiness check for a Structured Streaming query handle."""
+
+    def check() -> None:
+        if query is None:
+            raise RuntimeError("stream not started")
+        if not query.isActive:
+            exc = query.exception()
+            raise RuntimeError(str(exc) if exc else "stream not active")
+
+    return ("stream", check)
+
+
+def _prom_escape(name: str) -> str:
+    return name.replace("-", "_")
+
+
+class HealthServer:
+    """stdlib HTTP server exposing /health, /ready, /metrics."""
+
+    def __init__(
+        self,
+        listener=None,
+        readiness: list[ReadinessCheck] | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.listener = listener
+        self.readiness: list[ReadinessCheck] = list(readiness or [])
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, body: str, ctype: str = "text/plain") -> None:
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self) -> None:  # noqa: N802
+                if self.path == "/health":
+                    self._send(200, "ok")
+                elif self.path == "/ready":
+                    failures = []
+                    for name, fn in outer.readiness:
+                        try:
+                            fn()
+                        except Exception as e:  # check failed → not ready
+                            failures.append(f"{name or 'unnamed'}: {e}")
+                    if failures:
+                        self._send(503, "; ".join(failures))
+                    else:
+                        self._send(200, "ready")
+                elif self.path == "/metrics":
+                    self._send(200, outer.render_metrics(), "text/plain; version=0.0.4")
+                else:
+                    self._send(404, "not found")
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle -------------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> "HealthServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="bcs-health", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "HealthServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- readiness wiring -------------------------------------------------
+
+    def add_readiness(self, check: ReadinessCheck) -> None:
+        self.readiness.append(check)
+
+    # -- metrics rendering -------------------------------------------------
+
+    def render_metrics(self) -> str:
+        """Prometheus text exposition from the listener snapshot."""
+        lines: list[str] = []
+        snap = self.listener.snapshot() if self.listener is not None else {}
+        for name, value in snap.items():
+            if value is None:
+                continue
+            pname = _prom_escape(name)
+            kind = "counter" if name.endswith("_total") else "gauge"
+            lines.append(f"# TYPE {pname} {kind}")
+            lines.append(f"{pname} {value}")
+        p = getattr(self.listener, "last_progress", None)
+        if p is not None:
+            lines.append("# TYPE cdc_last_batch_id gauge")
+            lines.append(f"cdc_last_batch_id {p.batchId}")
+        return "\n".join(lines) + "\n"

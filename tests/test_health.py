@@ -1,0 +1,89 @@
+"""Health surface (R22): ready/not-ready transitions around a real stream.
+
+Mirrors the reference's health server contract (server.go:29-125):
+/health always 200; /ready 200 only while every readiness check passes,
+503 with "name: error" otherwise; /metrics exposes the R21 counters.
+"""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.request
+
+import pytest
+
+from better_cdc_spark.health import HealthServer, stream_readiness
+from better_cdc_spark.metrics import CDCMetricsListener, with_stream_metrics
+
+
+def _get(port: int, path: str) -> tuple[int, str]:
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_health_always_ok_and_unknown_404():
+    with HealthServer() as srv:
+        assert _get(srv.port, "/health") == (200, "ok")
+        assert _get(srv.port, "/nope")[0] == 404
+
+
+def test_ready_with_no_checks_is_ready():
+    with HealthServer() as srv:
+        assert _get(srv.port, "/ready") == (200, "ready")
+
+
+def test_ready_transitions_around_stream(spark, tmp_path):
+    """not started → 503; active stream → 200; stopped stream → 503."""
+    listener = CDCMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        srv = HealthServer(listener=listener)
+        srv.add_readiness(stream_readiness(None))
+        with srv:
+            code, body = _get(srv.port, "/ready")
+            assert code == 503 and "stream" in body
+
+        df = with_stream_metrics(
+            spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+            .selectExpr("'I' AS action", "timestamp")
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("health_probe")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            srv2 = HealthServer(listener=listener, readiness=[stream_readiness(q)])
+            with srv2:
+                assert _get(srv2.port, "/ready") == (200, "ready")
+                q.processAllAvailable()
+                code, metrics = _get(srv2.port, "/metrics")
+                assert code == 200
+                assert "# TYPE cdc_batches_total counter" in metrics
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+        srv3 = HealthServer(listener=listener, readiness=[stream_readiness(q)])
+        with srv3:
+            code, _ = _get(srv3.port, "/ready")
+            assert code == 503
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_metrics_render_skips_none_and_names_counters():
+    class FakeListener:
+        last_progress = None
+
+        def snapshot(self):
+            return {"cdc_events_processed_total": 7, "cdc_replication_lag_ms": None}
+
+    srv = HealthServer(listener=FakeListener())
+    text = srv.render_metrics()
+    assert "cdc_events_processed_total 7" in text
+    assert "replication_lag" not in text
