@@ -2401,7 +2401,9 @@ def q05d_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     orders = load_table(spark, sf_dir, "orders")
-    out = f"{tempfile.gettempdir()}/bcs_q05d_jsonl"
+    # per-invocation dir: concurrent harness runs (check at one sf while
+    # bench runs another) must not race overwrite-against-read
+    out = tempfile.mkdtemp(prefix="bcs_q05d_jsonl_")
     orders.write.mode("overwrite").json(out)
     back = spark.read.schema(orders.schema).json(out)
     return back.groupBy("o_orderstatus").agg(

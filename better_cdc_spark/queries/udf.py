@@ -251,14 +251,17 @@ def q91b_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     receives pyarrow RecordBatches directly, skipping even the
     Arrow→pandas conversion that mapInPandas pays.
 
-    Computes per-vector L2 norms with numpy over the Arrow buffers. For
-    wide numeric batch kernels (embedding pipelines), this is the fastest
-    Python path Spark has; the plan is a narrow map, zero shuffle. The
-    float32 values are widened to float64 inside the kernel in the same
-    order the oracle's list_reduce folds, so the sums agree to the 4dp
-    round.
+    Computes per-vector L2 norms over the Arrow buffers. For wide numeric
+    batch kernels (embedding pipelines), this is the fastest Python path
+    Spark has; the plan is a narrow map, zero shuffle. Cross-engine
+    determinism: the kernel accumulates float64 in the SAME left-fold
+    order as the oracle's list_reduce (a numpy pairwise dot differs in
+    the last ulps) and rounds half-away-from-zero like DuckDB's ROUND
+    (Python round() is banker's) — bit-identical at the 4dp compare for
+    any testdata regeneration.
     """
-    import numpy as np
+    import math
+
     import pyarrow as pa
 
     tune_for_oracle(spark)
@@ -271,10 +274,12 @@ def q91b_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             vecs = tbl["embedding"]
             out_norm, out_dim = [], []
             for v in vecs:
-                arr = np.asarray(v, dtype=np.float64)
-                # float64 dot vs the oracle's left fold differ only below
-                # 1e-12 relative; both sides round to 4dp
-                out_norm.append(round(float(np.sqrt(arr.dot(arr))), 4))
+                acc = 0.0
+                for x in v:
+                    fx = float(x)
+                    acc += fx * fx
+                norm = math.sqrt(acc)
+                out_norm.append(math.floor(norm * 1e4 + 0.5) / 1e4)
                 out_dim.append(len(v))
             yield pa.RecordBatch.from_pydict(
                 {"vec_id": ids, "l2_norm": out_norm, "dim": out_dim},

@@ -33,13 +33,31 @@ def _src_key(sf_dir: str) -> str:
     """Staging-dir key tied to the source file's identity, so regenerated
     testdata invalidates previously staged copies."""
     st = os.stat(f"{sf_dir}/events.parquet")
-    return f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{int(st.st_mtime)}"
+    return f"{_sf_tag(sf_dir)}_{st.st_size}_{int(st.st_mtime)}"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return sf_dir.strip("/").replace("/", "_")
+
+
+def _prune_stale_staging(sf_dir: str, live_key: str) -> None:
+    """Remove staged dirs for this sf_dir whose (size, mtime) key no longer
+    matches — regenerated testdata would otherwise strand full staged
+    copies (including sf0.1 splits) in /tmp across rounds. live_key
+    embeds the sf tag, so "same tag, different key" = stale."""
+    tmp = tempfile.gettempdir()
+    tag = _sf_tag(sf_dir)
+    for name in os.listdir(tmp):
+        if name.startswith("bcs_events_") and tag in name and live_key not in name:
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
 
 
 def _staged_events_dir(sf_dir: str) -> str:
     """The file-stream source requires a directory; stage a symlink to the
     single events.parquet file in a stable per-sf temp dir."""
-    d = os.path.join(tempfile.gettempdir(), f"bcs_events_src_{_src_key(sf_dir)}")
+    key = _src_key(sf_dir)
+    _prune_stale_staging(sf_dir, key)
+    d = os.path.join(tempfile.gettempdir(), f"bcs_events_src_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
@@ -53,9 +71,9 @@ def _staged_events_dir(sf_dir: str) -> str:
 def _staged_events_split_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     """Stage events as ``n_files`` parquet splits (stable per sf), so a
     maxFilesPerTrigger source delivers a genuinely multi-batch stream."""
-    d = os.path.join(
-        tempfile.gettempdir(), f"bcs_events_split{n_files}_{_src_key(sf_dir)}"
-    )
+    key = _src_key(sf_dir)
+    _prune_stale_staging(sf_dir, key)
+    d = os.path.join(tempfile.gettempdir(), f"bcs_events_split{n_files}_{key}")
     marker = os.path.join(d, "_SPLIT_DONE")
     if not os.path.exists(marker):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
