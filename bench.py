@@ -25,6 +25,9 @@ HEADLINE = [
     "q20_inner_join",            # shuffle join
     "q25_broadcast_join",        # broadcast star join
     "q27_asof_join",             # union-merge as-of join
+    "qh05_local_supplier_volume",  # 6-table snowflake join chain
+    "qh08_market_share",         # 8-table join + conditional agg
+    "qh21_waiting_supplier",     # join + EXISTS + NOT EXISTS self-joins
     "q40_ranking_windows",       # window functions
     "q52_topk_per_group",        # join + topk window
     "q34_having",                # high-cardinality agg
@@ -62,6 +65,15 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+
+    # e2e CDC load rig (the reference's scripts/e2e-load-test.sh analog):
+    # full pipeline ops/sec as a sibling metric. n_ops is recorded in the
+    # row — compare ops/sec only at equal n_ops across rounds.
+    from tools.e2e_load import run_load
+
+    e2e_ops = int(os.environ.get("SPARK_GRAFT_E2E_OPS", "300000"))
+    cdc_e2e = run_load(spark, e2e_ops, n_batches=4)
+
     print(
         json.dumps(
             {
@@ -70,6 +82,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "cdc_e2e": cdc_e2e,
             }
         )
     )

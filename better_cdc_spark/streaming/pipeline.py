@@ -25,6 +25,16 @@ semantics, solving the two genuinely hard gaps (SURVEY §4.3):
 Ordering is a data property: consumers sort by (lsn, txid, seq_in_tx) —
 strictly stronger than the reference's per-subject delivery order (R12).
 
+**Ordered-delivery contract** (same as the reference's WAL socket): a
+transaction's commit marker must not arrive in an EARLIER micro-batch
+than any of that transaction's data rows — commit-boundary assembly and
+seq_in_tx ordinals are only well-defined when commits trail their data.
+Within a batch order is irrelevant (assembly is set-based; ordinals sort
+by ingest_seq). For file sources this means ordered ADMISSION: files
+must carry strictly increasing mtimes in stream order, because Spark's
+file source breaks modification-time ties arbitrarily (tools/e2e_load.py
+stamps them; the test fixtures always have).
+
 Scale: pending/commit stores are tiny (only in-flight transactions), and
 the sink anti-join is BOUNDED: the sink is partitioned by commit-time
 bucket (bucket width = the configured duplicate window, the reference's

@@ -116,6 +116,36 @@ def test_commit_boundary_atomicity_across_batches(spark, changelog_dirs):
     assert pending.filter(F.col("xid") == 300).count() == 2  # B + I rows
 
 
+def test_e2e_load_shape_lands_every_event(spark, tmp_path):
+    """The e2e rig's workload (interleaved txs, commits concentrated in
+    the tail file) through the real pipeline: every data row lands, no
+    dupes, nothing stranded pending. Guards the ordered-admission
+    contract — without strictly increasing file mtimes the commit file
+    can jump the queue and strand most of the stream (seen live at 50k
+    ops; the rig now stamps mtimes like the test fixtures always have)."""
+    from tools.e2e_load import synthetic_ops
+
+    n_ops = 2000
+    src = str(tmp_path / "e2e_src")
+    synthetic_ops(spark, n_ops).repartitionByRange(
+        4, "ingest_seq"
+    ).sortWithinPartitions("ingest_seq").write.json(src)
+    base = time.time()
+    for i, f in enumerate(sorted(os.listdir(src))):
+        if f.startswith("part-"):
+            t = base - 20 + 2 * i
+            os.utime(os.path.join(src, f), (t, t))
+    pipe = CDCStreamPipeline(
+        spark, src, str(tmp_path / "e2e_work"),
+        allowlist=["public.orders", "public.accounts"], max_files_per_trigger=1,
+    )
+    pipe.run_available()
+    sink = pipe.sink()
+    assert sink.count() == n_ops
+    assert sink.select("event_id").distinct().count() == n_ops
+    assert pipe.pending().count() == 0
+
+
 def test_sink_is_commit_bucket_partitioned(spark, changelog_dirs):
     """The idempotent sink is hive-partitioned by commit-time bucket
     (bucket width = duplicate_window_s), which is what lets every epoch's

@@ -90,11 +90,9 @@ def synthetic_ops(spark: SparkSession, n_ops: int):
     return data_rows.unionByName(begin).unionByName(commit)
 
 
-def main() -> int:
-    n_ops = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    spark = get_spark("e2e-load", cpus=32)
-    spark.sparkContext.setLogLevel("ERROR")
+def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
+    """Drive the full pipeline over the reference op mix; return the metric
+    row (shared by the CLI below and bench.py's cdc_e2e entry)."""
     src = tempfile.mkdtemp(prefix="bcs_e2e_src_")
     work = tempfile.mkdtemp(prefix="bcs_e2e_work_")
     shutil.rmtree(src, ignore_errors=True)
@@ -105,6 +103,18 @@ def main() -> int:
     synthetic_ops(spark, n_ops).repartitionByRange(
         n_batches, "ingest_seq"
     ).sortWithinPartitions("ingest_seq").write.json(src)
+    # Ordered ADMISSION, not just ordered content: the file source breaks
+    # mtime ties arbitrarily, and a fast write lands all parts in the same
+    # second — letting the commit-marker-heavy tail file jump the queue,
+    # which violates the pipeline's ordered-delivery contract (commits
+    # must not precede their data; see CDCStreamPipeline docstring).
+    # Stamp strictly increasing mtimes in range order, like the WAL would.
+    import glob
+    import os
+
+    for i, f in enumerate(sorted(glob.glob(f"{src}/part-*"))):
+        t = time.time() - 2 * (n_batches - i)
+        os.utime(f, (t, t))
 
     pipe = CDCStreamPipeline(
         spark,
@@ -118,19 +128,23 @@ def main() -> int:
     pipe.run_available()
     dt = time.perf_counter() - t0
     n_events = pipe.sink().count()
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_e2e_ops_per_sec",
-                "value": round(n_ops / dt, 1),
-                "unit": "ops/sec",
-                "n_ops": n_ops,
-                "n_batches": n_batches,
-                "wall_sec": round(dt, 2),
-                "sink_events": n_events,
-            }
-        )
-    )
+    return {
+        "metric": "cdc_e2e_ops_per_sec",
+        "value": round(n_ops / dt, 1),
+        "unit": "ops/sec",
+        "n_ops": n_ops,
+        "n_batches": n_batches,
+        "wall_sec": round(dt, 2),
+        "sink_events": n_events,
+    }
+
+
+def main() -> int:
+    n_ops = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark("e2e-load", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_load(spark, n_ops, n_batches)))
     return 0
 
 
