@@ -44,6 +44,9 @@ class EngineConfig:
     checkpoint_interval_s: float = 1.0  # (config.go:87)
     duplicate_window_s: float = 120.0  # dedup window (config.go:100)
     max_files_per_trigger: int = 1  # micro-batch rate limit (R19 analog)
+    # Transport stream subject filters (NATS wildcard grammar: '*' one
+    # token, '>' tail). Empty = "{subject_prefix}.>" (config.go:192-197).
+    stream_subjects: tuple[str, ...] = field(default_factory=tuple)
 
     def validate(self) -> "EngineConfig":
         if not self.database or not _TOKEN_RE.match(self.database):
@@ -77,7 +80,74 @@ class EngineConfig:
                 f"(both {self.subject_prefix!r}) — DLQ records would collide "
                 "with data subjects"
             )
+        # Wildcard subject covering (config.go:160-164, 188-234): under
+        # policy=dlq, the DLQ pattern "{prefix}.{db}.*.*" must be covered
+        # by the transport's stream subject filters, or quarantined
+        # records would be published into the void.
+        if self.failure_policy == "dlq" and not subject_filters_cover(
+            self.effective_stream_subjects(),
+            dlq_subject_pattern(self.dlq_subject_prefix, self.database),
+        ):
+            raise ConfigError(
+                f"DLQ subject pattern "
+                f"{dlq_subject_pattern(self.dlq_subject_prefix, self.database)!r} "
+                f"is not covered by stream_subjects "
+                f"{list(self.effective_stream_subjects())}"
+            )
         return self
+
+    def effective_stream_subjects(self) -> tuple[str, ...]:
+        """Configured filters, or catch-alls under both roots
+        (effectiveStreamSubjects, config.go:192-197 — the reference nests
+        DLQ under the data prefix, "cdc.dlq.…", so one catch-all covers
+        both; this engine keeps the prefixes disjoint, so the default
+        covers each root explicitly)."""
+        return self.stream_subjects or (
+            f"{self.subject_prefix}.>",
+            f"{self.dlq_subject_prefix}.>",
+        )
+
+
+def dlq_subject_pattern(prefix: str, database: str) -> str:
+    """The wildcard pattern DLQ publishes match: "{prefix}.{db}.*.*"
+    (schema and table vary per record) — dlqSubjectPattern, config.go:188."""
+    return ".".join((_subject_token(prefix), _subject_token(database), "*", "*"))
+
+
+def _subject_token(s: str) -> str:
+    """Sanitize one literal subject token (subjectToken, config.go:199-205)."""
+    s = s.strip()
+    if not s:
+        return "_"
+    return s.replace(" ", "_").replace("*", "_").replace(">", "_")
+
+
+def subject_filters_cover(filters: tuple[str, ...], pattern: str) -> bool:
+    """True iff any filter covers every subject matching `pattern`.
+
+    NATS wildcard grammar ('*' = exactly one token, '>' = one-or-more
+    trailing tokens); port of subjectFilterTokensCover, config.go:206-234:
+    a filter token covers a pattern '*' only if it is itself '*', and a
+    pattern '>' only if it is '>' in tail position.
+    """
+
+    def covers(f: list[str], p: list[str]) -> bool:
+        if not f:
+            return not p
+        if f[0] == ">":
+            return len(f) == 1
+        if not p:
+            return False
+        if p[0] == ">":
+            return f[0] == ">" and len(f) == 1
+        if p[0] == "*":
+            if f[0] != "*":
+                return False
+        elif f[0] != "*" and f[0] != p[0]:
+            return False
+        return covers(f[1:], p[1:])
+
+    return any(covers(f.split("."), pattern.split(".")) for f in filters)
 
 
 def load(env: dict[str, str] | None = None) -> EngineConfig:
@@ -100,6 +170,9 @@ def load(env: dict[str, str] | None = None) -> EngineConfig:
             checkpoint_interval_s=float(get("CHECKPOINT_INTERVAL", "1.0")),
             duplicate_window_s=float(get("DUPLICATE_WINDOW", "120.0")),
             max_files_per_trigger=int(get("MAX_FILES_PER_TRIGGER", "1")),
+            stream_subjects=tuple(
+                s.strip() for s in get("STREAM_SUBJECTS", "").split(",") if s.strip()
+            ),
         )
     except ValueError as exc:  # int()/float() parse failures
         raise ConfigError(f"malformed numeric env var: {exc}") from exc

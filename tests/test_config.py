@@ -73,3 +73,36 @@ def test_pipeline_accepts_engine_config(spark, tmp_path):
     assert pipe.database == "proddb"
     assert pipe.allowlist == ["public.users"]
     assert pipe.max_files == 3
+
+
+def test_subject_cover_grammar():
+    """Port-parity with subjectFilterTokensCover (config.go:206-234)."""
+    from better_cdc_spark.config import subject_filters_cover as cov
+
+    assert cov(("cdc.>",), "cdc.testdb.*.*")
+    assert cov((">",), "anything.at.all")
+    assert not cov(("cdc.>",), "dlq.testdb.*.*")
+    # '*' in the pattern needs '*' (or '>') in the filter, not a literal
+    assert not cov(("cdc.testdb.public.orders",), "cdc.testdb.*.*")
+    assert cov(("cdc.*.*.*",), "cdc.testdb.*.*")
+    # '>' in the pattern only covered by a tail '>'
+    assert not cov(("cdc.*",), "cdc.>")
+    assert cov(("cdc.>",), "cdc.>")
+    # filter '>' must be terminal
+    assert not cov(("cdc.>.x",), "cdc.testdb.*.*")
+    # length mismatches
+    assert not cov(("cdc.*.*",), "cdc.testdb.*.*")
+
+
+def test_dlq_cover_validation():
+    from better_cdc_spark.config import ConfigError, EngineConfig
+
+    # defaults: disjoint roots, both covered by the default catch-alls
+    EngineConfig().validate()
+    # explicit subjects that do not cover the DLQ pattern → rejected
+    with pytest.raises(ConfigError, match="not covered"):
+        EngineConfig(stream_subjects=("cdc.>",)).validate()
+    # covering both roots explicitly → accepted
+    EngineConfig(stream_subjects=("cdc.>", "dlq.>")).validate()
+    # policy != dlq → no DLQ covering requirement
+    EngineConfig(failure_policy="crash", stream_subjects=("cdc.>",)).validate()
