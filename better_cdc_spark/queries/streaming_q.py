@@ -316,6 +316,11 @@ def q87_foreachbatch_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFr
     The same stream is delivered TWICE into one sink; the anti-join on
     event_id makes the second delivery a no-op (Nats-Msg-Id dedup analog).
     The returned counts prove effectively-once delivery.
+
+    Deliberately the MINIMAL contract demo: the anti-join reads the whole
+    sink, which is O(sink) per epoch. The production path is the bounded
+    window — q87b and CDCStreamPipeline partition the sink by commit
+    bucket and prune the dedup read to the batch's own buckets.
     """
     tune_for_oracle(spark)
     out_dir = tempfile.mkdtemp(prefix="bcs_q87_sink_")

@@ -1,0 +1,210 @@
+"""JetStream-shaped publish transport (R11) over a file-backed stream.
+
+The reference publishes to NATS JetStream: an idempotent ensure-or-
+validate of the stream definition at startup, then per-event publishes
+carrying ``Nats-Msg-Id = event_id`` for broker-side dedup inside the
+configured duplicate window (/root/reference/internal/publisher/
+jetstream.go:190-312 ensure/validate, :99-125 publish, :337-340 msg-id).
+
+No broker ships in this container, so the transport is a directory — but
+the SEMANTICS are the deliverable and they are real:
+
+- ``ensure_stream``: create the stream manifest if absent, else validate
+  every config field against the expected definition and FAIL on drift
+  (name/subjects/retention/storage/replicas/max-age/duplicate-window —
+  the same seven checks as validateStreamConfig, jetstream.go:277-312).
+- ``publish``: rejects records whose subject no stream filter matches
+  (JetStream's no-responders analog, checked with the same NATS wildcard
+  grammar as config validation), serializes envelopes to the
+  byte-compatible CDC JSON, and applies msg-id dedup bounded by the
+  duplicate window — implemented exactly like the engine sink: the
+  stream directory is partitioned by commit-time bucket and the dedup
+  anti-join prunes to the batch's own buckets. O(batch window) per
+  publish, never O(stream).
+
+Swapping the directory for a real ``nats-py`` client at deploy time
+changes only the I/O calls; every decision this module makes (ensure
+semantics, subject routing, msg-id dedup, config drift failure) is
+already exercised here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from better_cdc_spark.cdc.serialize import marshal_cdc_event
+from better_cdc_spark.config import subject_filters_cover
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Expected stream definition (expectedStreamConfig, jetstream.go:241-275)."""
+
+    name: str = "CDC"
+    subjects: tuple[str, ...] = ("cdc.>",)
+    retention: str = "limits"
+    storage: str = "file"
+    replicas: int = 1
+    max_age_s: float = 72 * 3600.0
+    duplicate_window_s: float = 120.0
+
+    def normalized(self) -> "StreamConfig":
+        return StreamConfig(
+            name=self.name or "CDC",
+            subjects=tuple(self.subjects) or ("cdc.>",),
+            retention=self.retention,
+            storage="memory" if self.storage.lower() == "memory" else "file",
+            replicas=max(1, self.replicas),
+            max_age_s=self.max_age_s if self.max_age_s > 0 else 72 * 3600.0,
+            duplicate_window_s=(
+                self.duplicate_window_s if self.duplicate_window_s > 0 else 120.0
+            ),
+        )
+
+
+class StreamConfigMismatch(RuntimeError):
+    """Existing stream definition does not match the expected one."""
+
+
+class StreamNotFound(RuntimeError):
+    pass
+
+
+def _validate_stream_config(actual: StreamConfig, expected: StreamConfig) -> None:
+    """Field-by-field drift check (validateStreamConfig, jetstream.go:277-312)."""
+    checks = [
+        ("name", actual.name, expected.name),
+        ("subjects", sorted(actual.subjects), sorted(expected.subjects)),
+        ("retention", actual.retention, expected.retention),
+        ("storage", actual.storage, expected.storage),
+        ("replicas", actual.replicas, expected.replicas),
+        ("max age", actual.max_age_s, expected.max_age_s),
+        ("duplicate window", actual.duplicate_window_s, expected.duplicate_window_s),
+    ]
+    for label, got, want in checks:
+        if got != want:
+            raise StreamConfigMismatch(
+                f"{label} mismatch: got {got!r} want {want!r}"
+            )
+
+
+class JetStreamShapedSink:
+    """File-backed stream with JetStream ensure/publish/dedup semantics."""
+
+    def __init__(self, spark: SparkSession, root_dir: str, config: StreamConfig) -> None:
+        self.spark = spark
+        self.config = config.normalized()
+        self.stream_dir = os.path.join(root_dir, self.config.name)
+        self.manifest_path = os.path.join(self.stream_dir, "stream.json")
+        self.msgs_dir = os.path.join(self.stream_dir, "msgs")
+
+    # -- ensure / validate (startup contract) ----------------------------
+
+    def _read_manifest(self) -> StreamConfig | None:
+        try:
+            with open(self.manifest_path) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            return None
+        d["subjects"] = tuple(d["subjects"])
+        return StreamConfig(**d)
+
+    def ensure_stream(self) -> "JetStreamShapedSink":
+        """Create-if-absent, else validate — idempotent startup step
+        (ensureStream, jetstream.go:190-218)."""
+        existing = self._read_manifest()
+        if existing is not None:
+            _validate_stream_config(existing, self.config)
+            return self
+        os.makedirs(self.stream_dir, exist_ok=True)
+        # atomic publish of the manifest: tmp + rename
+        fd, tmp = tempfile.mkstemp(dir=self.stream_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(asdict(self.config), f)
+        os.replace(tmp, self.manifest_path)
+        return self
+
+    def validate_stream(self) -> None:
+        """Exists-and-matches (validateStream, jetstream.go:227-239)."""
+        existing = self._read_manifest()
+        if existing is None:
+            raise StreamNotFound(f"stream {self.config.name!r} not found")
+        _validate_stream_config(existing, self.config)
+
+    # -- publish ----------------------------------------------------------
+
+    def publish(self, envelope: DataFrame) -> int:
+        """Publish CDC envelopes; returns the number of NEW messages stored.
+
+        Subject routing is validated against the stream's filters with
+        the NATS wildcard grammar — an uncovered subject is a hard error
+        (the reference would get no JetStream ack). Msg-id dedup inside
+        the duplicate window uses the bucket-pruned anti-join: a
+        republished event (same deterministic event_id ⇒ same commit
+        timestamp ⇒ same bucket) is silently discarded, TestJetStreamDedup
+        parity (readme.md:168).
+        """
+        if self._read_manifest() is None:
+            raise StreamNotFound(f"stream {self.config.name!r} not found")
+        window_s = max(1.0, self.config.duplicate_window_s)
+        records = (
+            marshal_cdc_event(envelope, "payload")
+            .select(
+                F.col("event_id").alias("msg_id"),
+                F.col("subject"),
+                F.col("payload"),
+                F.coalesce(
+                    F.floor(
+                        F.unix_timestamp(F.col("timestamp")) / F.lit(float(window_s))
+                    ),
+                    F.lit(-1),
+                )
+                .cast("long")
+                .alias("commit_bucket"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # Subject covering: every distinct subject must match a filter.
+        # Distinct subjects ≈ table count — a bounded driver check.
+        subjects = [r[0] for r in records.select("subject").distinct().collect()]
+        uncovered = [
+            s for s in subjects
+            if not subject_filters_cover(self.config.subjects, s)
+        ]
+        if uncovered:
+            raise ValueError(
+                f"subjects {uncovered} not covered by stream filters "
+                f"{list(self.config.subjects)}"
+            )
+
+        buckets = [
+            r[0] for r in records.select("commit_bucket").distinct().collect()
+        ]
+        try:
+            existing = (
+                self.spark.read.parquet(self.msgs_dir)
+                .filter(F.col("commit_bucket").isin(buckets))
+                .select("msg_id")
+            )
+        except Exception:
+            existing = records.select("msg_id").limit(0)
+        fresh = records.join(existing, "msg_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").partitionBy("commit_bucket").parquet(
+                self.msgs_dir
+            )
+        return n
+
+    def messages(self) -> DataFrame:
+        """All stored messages (consumer-side view)."""
+        return self.spark.read.parquet(self.msgs_dir).drop("commit_bucket")

@@ -82,6 +82,35 @@ def test_windowed_sink_dedup_read_prunes_partitions(spark, tmp_path):
     assert scan.metrics().apply("numPartitions").value() == 2
 
 
+def test_pgoutput_decode_has_no_global_sort_or_window(spark):
+    """The distributed pgoutput decoder must not smuggle in a global
+    ordering: no Window operator, no single-partition Exchange, and the
+    tx-context carry joins as a broadcast (one tiny row per chunk)."""
+    from better_cdc_spark.cdc.pgoutput import (
+        RelationInfo, decode_pgoutput, encode_begin, encode_commit,
+        encode_insert, encode_relation,
+    )
+    from pyspark.sql import types as T
+
+    rel = RelationInfo(16500, "public", "t", ("id",), (20,), (1,))
+    msgs = [(1, encode_relation(rel)), (2, encode_begin("0/10", 0, 1))]
+    msgs += [(i, encode_insert(rel.relid, [("t", str(i).encode())])) for i in range(3, 40)]
+    msgs.append((40, encode_commit("0/10", 1)))
+    df = spark.createDataFrame(
+        msgs,
+        schema=T.StructType([
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("msg", T.BinaryType(), False),
+        ]),
+    )
+    out = decode_pgoutput(spark, df, chunk_rows=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # the carry fill
+    assert "SortMergeJoin" not in plan
+
+
 def test_minhash_signatures_partially_aggregate(spark):
     from better_cdc_spark import llmops
     from better_cdc_spark.io import load_table
