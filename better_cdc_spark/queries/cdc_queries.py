@@ -625,3 +625,53 @@ def qc10_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("after", "status").alias("after_status"),
         F.element_at("before", "id").alias("before_id"),
     )
+
+
+@query(
+    "qc11_jetstream_publish",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT subject, COUNT(*) AS n_msgs
+    FROM envelope
+    GROUP BY subject
+    """,
+    tags=("cdc", "sink", "transport"),
+)
+def qc11_jetstream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JetStream-shaped publish (R11): ensure → publish twice → consume.
+
+    The normalized envelope is published TWICE through the
+    JetStream-shaped transport (streaming/jetstream_shaped.py): stream
+    ensure, subject-filter routing, and msg-id dedup inside the duplicate
+    window. Per-subject message counts equal the single-delivery oracle —
+    proving the second publish was a broker-side no-op
+    (TestJetStreamDedup parity, readme.md:168) and that every event
+    routed to its cdc.{db}.{schema}.{table} subject.
+    """
+    import tempfile
+
+    from better_cdc_spark.streaming.jetstream_shaped import (
+        JetStreamShapedSink,
+        StreamConfig,
+    )
+
+    tune_for_oracle(spark)
+    # Steady-state arrival shape: the fixture's commit dates span seven
+    # YEARS of o_orderdate, which as publish time would mean thousands of
+    # history partitions — real CDC publishes cluster near now. Dedup is
+    # keyed on event_id (timestamps only drive bucketing), and this
+    # query's oracle checks subject routing + counts, so remapping commit
+    # time onto a compact recent span changes nothing it verifies.
+    ev = (
+        _normalized(spark, sf_dir)
+        .withColumn("timestamp", F.timestamp_seconds(F.lit(1700000000) + F.col("txid")))
+        .localCheckpoint(eager=True)
+    )
+    sink = JetStreamShapedSink(
+        spark,
+        tempfile.mkdtemp(prefix="bcs_qc11_"),
+        StreamConfig(subjects=("cdc.>",)),
+    ).ensure_stream()
+    sink.publish(ev)
+    sink.publish(ev)  # at-least-once upstream replay → broker no-op
+    return sink.messages().groupBy("subject").agg(F.count("*").alias("n_msgs"))

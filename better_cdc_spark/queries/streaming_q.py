@@ -365,20 +365,21 @@ def q87b_windowed_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     """Bounded-window idempotent sink (Q87 at 100 TB; R11/R14).
 
     The scale-safe variant of q87: the sink is hive-partitioned by
-    commit_bucket = floor(epoch(ts) / DUPLICATE_WINDOW) (the reference's
-    2-minute JetStream dedup window, config.go:100 / readme.md:118), and
+    commit-DATE bucket (the analog of the reference's JetStream dedup
+    window, config.go:100 / readme.md:118 — bucket width is a
+    partitioning dial, dedup stays exact at any width because a replayed
+    event carries the same deterministic timestamp ⇒ same bucket), and
     each micro-batch anti-joins ONLY the buckets its own events fall in.
-    A replayed event carries the same deterministic timestamp as its
-    first delivery, so its earlier copy sits in exactly the buckets the
-    batch touches — partition pruning makes per-epoch dedup IO
-    O(batch-window) instead of O(sink size). The stream is delivered
+    Partition pruning makes per-epoch dedup IO O(batch days) instead of
+    O(sink size), with parquet min/max row-group skipping tightening it
+    below the day via the pushed timestamp range. The stream is delivered
     TWICE (multi-batch via maxFilesPerTrigger); equality with the batch
     counts proves the second delivery was a no-op while never reading
     out-of-window partitions (each dedup read carries a commit_bucket
     partition filter; tests/test_plans.py pins the pruning in the plan).
     """
     tune_for_oracle(spark)
-    window_s = 120.0
+    window_s = 86400.0
     out_dir = tempfile.mkdtemp(prefix="bcs_q87b_sink_")
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -388,18 +389,25 @@ def q87b_windowed_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame
             "commit_bucket",
             F.floor(F.unix_timestamp("ts") / F.lit(window_s)).cast("long"),
         ).localCheckpoint(eager=True)
-        # Bounded driver collect: distinct buckets in ONE micro-batch.
-        buckets = [r[0] for r in b.select("commit_bucket").distinct().collect()]
+        # Bounded driver collect: the ONE micro-batch's day set + ts span.
+        span = b.agg(
+            F.collect_set("commit_bucket").alias("bks"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        ).first()
         try:
             existing = (
                 spark_.read.parquet(out_dir)
-                .filter(F.col("commit_bucket").isin(buckets))
+                .filter(F.col("commit_bucket").isin(span["bks"]))
+                .filter(F.col("ts").between(span["lo"], span["hi"]))
                 .select("event_id")
             )
         except Exception:
             existing = b.select("event_id").limit(0)
         fresh = b.join(existing, "event_id", "left_anti")
-        fresh.write.mode("append").partitionBy("commit_bucket").parquet(out_dir)
+        fresh.repartition("commit_bucket").write.mode("append").partitionBy(
+            "commit_bucket"
+        ).parquet(out_dir)
 
     for _attempt in range(2):  # second run = full replay (kill/restart case)
         q = (

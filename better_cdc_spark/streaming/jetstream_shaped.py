@@ -152,7 +152,9 @@ class JetStreamShapedSink:
         """
         if self._read_manifest() is None:
             raise StreamNotFound(f"stream {self.config.name!r} not found")
-        window_s = max(1.0, self.config.duplicate_window_s)
+        # Daily partitioning dial (see CDCStreamPipeline) — dedup is exact
+        # at any width; duplicate_window_s stays the SEMANTIC contract.
+        window_s = max(86400.0, self.config.duplicate_window_s)
         records = (
             marshal_cdc_event(envelope, "payload")
             .select(
@@ -200,9 +202,13 @@ class JetStreamShapedSink:
         )
         n = fresh.count()
         if n:
-            fresh.write.mode("append").partitionBy("commit_bucket").parquet(
-                self.msgs_dir
-            )
+            # One writer task per bucket set, not tasks × buckets files: a
+            # historical backfill spans MANY buckets and would otherwise
+            # spray tiny files into every partition dir (a steady-state
+            # 2-minute batch touches ~1 bucket and is unaffected).
+            fresh.repartition("commit_bucket").write.mode("append").partitionBy(
+                "commit_bucket"
+            ).parquet(self.msgs_dir)
         return n
 
     def messages(self) -> DataFrame:

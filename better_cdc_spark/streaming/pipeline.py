@@ -90,11 +90,14 @@ class CDCStreamPipeline:
         # Decode-error policy: reference default is FATAL on undecodable
         # input (engine.go:183-200); config.failure_policy relaxes it.
         self.decode_policy = config.failure_policy if config is not None else "crash"
-        # Bucket width for the partitioned idempotent sink (seconds).
-        # Default mirrors the reference's DUPLICATE_WINDOW=2m (config.go:100).
-        self.duplicate_window_s = max(
-            1.0, config.duplicate_window_s if config is not None else 120.0
-        )
+        # Partition width of the idempotent sink (seconds). A PARTITIONING
+        # dial, not the semantic dedup window: replays dedup exactly at any
+        # width (same event ⇒ same commit ts ⇒ same bucket). Daily buckets
+        # keep the partition-dir count sane over months of streaming while
+        # the per-epoch anti-join stays pruned to the batch's own days —
+        # the sub-day tightening comes free from the timestamp range
+        # predicate pushed into parquet row-group skipping.
+        self.dedup_bucket_s = 86400.0
         self.sink_dir = os.path.join(work_dir, "sink")
         self.pending_dir = os.path.join(work_dir, "pending")
         self.decode_dlq_dir = os.path.join(work_dir, "decode_dlq")
@@ -250,23 +253,34 @@ class CDCStreamPipeline:
             F.coalesce(
                 F.floor(
                     F.unix_timestamp(F.col("timestamp"))
-                    / F.lit(float(self.duplicate_window_s))
+                    / F.lit(float(self.dedup_bucket_s))
                 ),
                 F.lit(-1),
             ).cast("long"),
         ).localCheckpoint(eager=True)
-        buckets = [
-            r[0] for r in envelope.select("commit_bucket").distinct().collect()
-        ]  # bounded: one micro-batch's commit-time span / window
+        span = envelope.agg(
+            F.collect_set("commit_bucket").alias("buckets"),
+            F.min("timestamp").alias("ts_lo"),
+            F.max("timestamp").alias("ts_hi"),
+        ).first()  # bounded: one micro-batch's commit-time span
+        buckets = span["buckets"] or []
         existing = (
             self._read_sink_raw(envelope)
             .filter(F.col("commit_bucket").isin(buckets))
+            # row-group skip inside the day partitions: parquet min/max
+            # stats on timestamp bound the read to the batch's span
+            .filter(F.col("timestamp").between(span["ts_lo"], span["ts_hi"]))
             .select("event_id")
             if buckets
             else envelope.select("event_id").limit(0)
         )
         fresh = envelope.join(existing, "event_id", "left_anti")
-        fresh.write.mode("append").partitionBy("commit_bucket").parquet(self.sink_dir)
+        # repartition by bucket: a backfill batch spanning many buckets
+        # writes one file set per bucket instead of tasks × buckets tiny
+        # files; a steady-state batch (~1 bucket) is unaffected.
+        fresh.repartition("commit_bucket").write.mode("append").partitionBy(
+            "commit_bucket"
+        ).parquet(self.sink_dir)
 
         # Persist the new pending snapshot (epoch-versioned, crash-safe).
         staged = uncommitted.localCheckpoint(eager=True)
