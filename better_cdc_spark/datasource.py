@@ -18,7 +18,12 @@ source satisfies by slot-sharding. Rows never pass through the driver.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 # Event mix echoes the reference's load harness: 60/40 within a 5-op tx is
 # I,I,U,U,D (scripts/e2e-load-test.sh:22-27 uses 60/30/10 I/U/D with ~67%
@@ -71,3 +76,70 @@ class ChangelogGenDataSource(DataSource):
 
     def reader(self, schema) -> ChangelogGenReader:
         return ChangelogGenReader(self.options)
+
+    def streamReader(self, schema) -> "ChangelogGenStreamReader":
+        return ChangelogGenStreamReader(self.options)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class ChangelogGenStreamReader(DataSourceStreamReader):
+    """Streaming reader: monotonic offsets over the generated change log.
+
+    The streaming face of R1 (internal/wal/reader.go): the offset is a
+    single monotonically-increasing position — the LSN analog — up to
+    ``maxRows`` (the WAL head). Spark persists the committed offset in
+    the checkpoint exactly like the reference's acked-LSN tracking
+    (reader.go:611-637), so a restarted query resumes from the last
+    committed position, never re-emitting and never skipping. Each
+    micro-batch's [start, end) range splits into ``partitions``
+    independent generator slices — executors read in parallel, rows
+    never pass through the driver.
+
+    ``rowsPerBatch`` > 0 turns on per-trigger rate limiting (the
+    maxOffsetsPerTrigger analog) by advancing an in-memory head pointer.
+    That pointer is reader-local, so the dial is for CONTINUOUSLY
+    RUNNING queries: this API gives latestOffset() no view of the
+    committed offset, so a restarted rate-limited reader would re-admit
+    from scratch (a real source derives latestOffset from the external
+    system's head instead — Kafka end offsets, the replication slot's
+    confirmed LSN). The restart-safe default (0) exposes the true head.
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", "0"))
+        self.max_rows = int(options.get("maxrows", "10000"))
+        self.n_parts = int(options.get("partitions", "4"))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        if self.rows_per_batch <= 0:
+            return {"pos": self.max_rows}
+        self._pos = min(self._pos + self.rows_per_batch, self.max_rows)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        step = max(1, (hi - lo + self.n_parts - 1) // self.n_parts)
+        return [
+            _RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for g in range(partition.start, partition.end):
+            yield gen_row(g)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing external to ack
+
+    def stop(self) -> None:
+        pass

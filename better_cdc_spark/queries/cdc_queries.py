@@ -675,3 +675,56 @@ def qc11_jetstream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink.publish(ev)
     sink.publish(ev)  # at-least-once upstream replay → broker no-op
     return sink.messages().groupBy("subject").agg(F.count("*").alias("n_msgs"))
+
+
+@query(
+    "qc12_streaming_datasource",
+    oracle="""
+    WITH gen AS (
+        SELECT g, g // 5 AS txid,
+               CASE g % 5 WHEN 0 THEN 'I' WHEN 1 THEN 'I'
+                          WHEN 2 THEN 'U' WHEN 3 THEN 'U' ELSE 'D' END AS op,
+               CASE WHEN g % 3 = 0 THEN 'accounts' ELSE 'orders' END AS tbl,
+               (g * 2654435761) % 1000000007 AS val
+        FROM generate_series(0, 15999) t(g)
+    )
+    SELECT tbl, op,
+           COUNT(*) AS n_events,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MAX(txid) AS BIGINT) AS max_txid
+    FROM gen GROUP BY tbl, op
+    """,
+    tags=("cdc", "source", "datasource", "streaming"),
+)
+def qc12_streaming_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python DataSource (R1's streaming face).
+
+    The same registered format as qc09, read with readStream: the reader
+    exposes a monotonic position offset (the LSN analog), advances one
+    rowsPerBatch slice per trigger up to the maxRows head, and splits
+    each batch range into independent generator partitions
+    (datasource.py: ChangelogGenStreamReader). 16k rows arrive over 8
+    micro-batches through one running aggregation; the result equals the
+    batch scan's, and the offset log in Spark's checkpoint is the
+    reference's acked-LSN monotonic tracking (reader.go:611-637)
+    re-expressed. Restart-resume over this reader is pinned in
+    tests/test_cdc.py::test_streaming_datasource_resumes_from_checkpoint.
+    """
+    from better_cdc_spark.datasource import ChangelogGenDataSource
+    from better_cdc_spark.streaming.core import run_to_memory
+
+    tune_for_oracle(spark)
+    spark.dataSource.register(ChangelogGenDataSource)
+    changes = (
+        spark.readStream.format("changelog_gen")
+        .option("partitions", 8)
+        .option("rowsPerBatch", 2000)
+        .option("maxRows", 16000)
+        .load()
+    )
+    agg = changes.groupBy("tbl", "op").agg(
+        F.count("*").alias("n_events"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.max("txid").cast("bigint").alias("max_txid"),
+    )
+    return run_to_memory(agg, mode="complete")

@@ -292,3 +292,41 @@ def test_replayed_commit_record_does_not_multiply_rows(spark):
         "0/AA00:7:INSERT:public.users:0",
         "0/AA00:7:INSERT:public.users:1",
     ]
+
+
+def test_streaming_datasource_resumes_from_checkpoint(spark, tmp_path):
+    """R1 acked-LSN parity: a restarted streaming read resumes from the
+    checkpointed offset — rows [0, 4000) from run 1 are not re-emitted
+    when run 2 raises the WAL head to 8000; the sink ends with exactly
+    one copy of every row."""
+    from better_cdc_spark.datasource import ChangelogGenDataSource
+
+    spark.dataSource.register(ChangelogGenDataSource)
+    out = str(tmp_path / "ds_sink")
+    ck = str(tmp_path / "ds_ck")
+
+    def run(max_rows: int) -> None:
+        q = (
+            spark.readStream.format("changelog_gen")
+            .option("partitions", 4)
+            .option("maxRows", max_rows)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run(4000)
+    first = spark.read.parquet(out)
+    assert first.count() == 4000
+    run(8000)  # restart, same checkpoint, head advanced
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == 8000
+    assert sunk.select("g").distinct().count() == 8000  # no re-emission
+    assert sunk.agg(F.min("g"), F.max("g")).collect()[0][:] == (0, 7999)
