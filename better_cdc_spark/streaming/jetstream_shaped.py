@@ -202,13 +202,14 @@ class JetStreamShapedSink:
         )
         n = fresh.count()
         if n:
-            # One writer task per bucket set, not tasks × buckets files: a
-            # historical backfill spans MANY buckets and would otherwise
-            # spray tiny files into every partition dir (a steady-state
-            # 2-minute batch touches ~1 bucket and is unaffected).
-            fresh.repartition("commit_bucket").write.mode("append").partitionBy(
-                "commit_bucket"
-            ).parquet(self.msgs_dir)
+            # Backfills spanning many buckets: one writer set per bucket,
+            # not tasks × buckets tiny files. Steady-state publishes keep
+            # their parallelism (see CDCStreamPipeline rationale).
+            if len(buckets) > 32:
+                fresh = fresh.repartition("commit_bucket")
+            fresh.write.mode("append").partitionBy("commit_bucket").parquet(
+                self.msgs_dir
+            )
         return n
 
     def messages(self) -> DataFrame:

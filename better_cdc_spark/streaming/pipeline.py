@@ -275,12 +275,14 @@ class CDCStreamPipeline:
             else envelope.select("event_id").limit(0)
         )
         fresh = envelope.join(existing, "event_id", "left_anti")
-        # repartition by bucket: a backfill batch spanning many buckets
-        # writes one file set per bucket instead of tasks × buckets tiny
-        # files; a steady-state batch (~1 bucket) is unaffected.
-        fresh.repartition("commit_bucket").write.mode("append").partitionBy(
-            "commit_bucket"
-        ).parquet(self.sink_dir)
+        # Backfill batches spanning MANY buckets repartition by bucket so
+        # the partitioned write emits one file set per bucket instead of
+        # tasks × buckets tiny files. Steady-state batches (a handful of
+        # buckets) skip it — hashing everything into ≤ n_buckets shuffle
+        # partitions would serialize an otherwise parallel write.
+        if len(buckets) > 32:
+            fresh = fresh.repartition("commit_bucket")
+        fresh.write.mode("append").partitionBy("commit_bucket").parquet(self.sink_dir)
 
         # Persist the new pending snapshot (epoch-versioned, crash-safe).
         staged = uncommitted.localCheckpoint(eager=True)
