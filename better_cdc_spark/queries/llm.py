@@ -1893,3 +1893,103 @@ def q99c_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         llmops.decode_media_features, schema=llmops.MEDIA_FEATURE_SCHEMA
     )
+
+
+@query(
+    "q94e_pagerank",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT CAST(n AS BIGINT) FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+    ),
+    r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+    r1 AS (SELECT nd.doc_id AS node,
+                  0.15 / (SELECT n FROM cnt)
+                  + 0.85 * COALESCE(SUM(r.rank / 3), 0) AS rank
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN r0 r ON r.node = e.src
+           GROUP BY nd.doc_id),
+    r2 AS (SELECT nd.doc_id AS node,
+                  0.15 / (SELECT n FROM cnt)
+                  + 0.85 * COALESCE(SUM(r.rank / 3), 0) AS rank
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN r1 r ON r.node = e.src
+           GROUP BY nd.doc_id),
+    r3 AS (SELECT nd.doc_id AS node,
+                  0.15 / (SELECT n FROM cnt)
+                  + 0.85 * COALESCE(SUM(r.rank / 3), 0) AS rank
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN r2 r ON r.node = e.src
+           GROUP BY nd.doc_id),
+    r4 AS (SELECT nd.doc_id AS node,
+                  0.15 / (SELECT n FROM cnt)
+                  + 0.85 * COALESCE(SUM(r.rank / 3), 0) AS rank
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN r3 r ON r.node = e.src
+           GROUP BY nd.doc_id),
+    r5 AS (SELECT nd.doc_id AS node,
+                  0.15 / (SELECT n FROM cnt)
+                  + 0.85 * COALESCE(SUM(r.rank / 3), 0) AS rank
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN r4 r ON r.node = e.src
+           GROUP BY nd.doc_id)
+    SELECT node AS doc_id,
+           ROUND(rank * (SELECT n FROM cnt), 6) AS rank_scaled
+    FROM r5
+    """,
+    tags=("llm", "graph", "iterative"),
+)
+def q94e_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (5 damped iterations) — the web-graph quality
+    signal a pretraining curation pipeline weights documents by.
+
+    The link graph is deterministic (each doc links to (id*7 + k) mod N,
+    k=1..3) so the DuckDB oracle replays the exact fixpoint with five
+    unrolled CTE iterations. The Spark side is the canonical iterative
+    DataFrame loop: per iteration one shuffle (contributions grouped by
+    destination) joined back to the node set, with lineage truncated by
+    localCheckpoint so the plan stays O(1) deep instead of O(iterations)
+    — same discipline as llmops.dedup_clusters. No dangling nodes (every
+    doc has out-degree 3), so mass conservation is exact. At 100 TB the
+    loop is the standard Pregel-style shuffle: partition by node id,
+    contributions map-side combined; iterations are sequential by
+    nature, each one a single bounded shuffle. Ranks are returned scaled
+    by N (≈1.0) so the 4dp float canonicalization compares significant
+    digits, not leading zeros.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the teleport term needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[(F.col("doc_id") * 7 + F.lit(k)) % F.lit(n) for k in (1, 2, 3)])
+        ).alias("dst"),
+    )
+    ranks = docs.select(F.col("doc_id").alias("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(5):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / 3).alias("c"))
+        )
+        ranks = (
+            docs.join(contrib, docs.doc_id == contrib.dst, "left")
+            .select(
+                F.col("doc_id").alias("node"),
+                (F.lit(0.15 / n) + 0.85 * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per iteration
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * n, 6).alias("rank_scaled"),
+    )
