@@ -2782,3 +2782,36 @@ def q36e_bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("l_discount") <= 0.1).alias("all_disc_capped"),
         F.some(F.col("l_quantity") >= 49).alias("any_large_qty"),
     )
+
+
+@query("q36f_approx_quantiles", tags=("agg", "sketch"))
+def q36f_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile sketch with an in-query exact audit (Q36 family).
+
+    percentile_approx (Greenwald-Khanna style mergeable sketch — the
+    bounded-memory path for quantiles over 100 TB, one pass, map-side
+    mergeable) next to the exact interpolated percentile on the same
+    groups. Engine-specific sketch internals make a cross-engine oracle
+    meaningless (same reasoning as q32's HLL), so the check is
+    self-contained: the relative error of every group's p50/p95/p99 is
+    computed in-query and bounded; tests assert `within_bound` is
+    all-true, and the driver's rows-only check pins the shape.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = "array(0.5D, 0.95D, 0.99D)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile_approx(l_extendedprice, {qs}, 10000)").alias("approx"),
+        F.expr(f"percentile(l_extendedprice, {qs})").alias("exact"),
+    )
+    rel_err = F.expr(
+        "aggregate(zip_with(approx, exact, (a, e) -> abs(a - e) / e), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, x))"
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.element_at("approx", 1), 2).alias("approx_p50"),
+        F.round(F.element_at("exact", 1), 2).alias("exact_p50"),
+        F.round(rel_err, 6).alias("max_rel_err"),
+        (rel_err < 0.01).alias("within_bound"),
+    )

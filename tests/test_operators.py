@@ -265,3 +265,11 @@ def test_snapshot_at_cutoffs(spark):
     assert state(1) == {(1, "a1"), (2, "b1")}
     assert state(2) == {(1, "a2"), (2, "b1")}
     assert state(3) == {(1, "a2"), (3, "c1")}
+
+
+def test_q36f_approx_quantiles_within_bound(spark):
+    from better_cdc_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["q36f_approx_quantiles"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(r["within_bound"] for r in rows), rows
