@@ -298,3 +298,14 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", ["qh05_local_supplier_volume", "qh08_market_share"])
+def test_tpch_join_chains_broadcast_dims_no_products(spark, name):
+    """The bench-tracked join-heaviest TPC-H shapes: every small dimension
+    must broadcast (region/nation/part never shuffle the fact side) and
+    nothing may degenerate into a product join."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
