@@ -285,8 +285,11 @@ class CDCStreamPipeline:
         fresh.write.mode("append").partitionBy("commit_bucket").parquet(self.sink_dir)
 
         # Persist the new pending snapshot (epoch-versioned, crash-safe).
-        staged = uncommitted.localCheckpoint(eager=True)
-        self._write_pending(staged, epoch_id)
+        # No checkpoint needed: `uncommitted` derives from the already-
+        # materialized `work` via a broadcast anti-join, so the write is its
+        # single computation — an eager localCheckpoint here would only
+        # materialize the same rows twice.
+        self._write_pending(uncommitted, epoch_id)
 
     # -- lifecycle -------------------------------------------------------
 

@@ -98,10 +98,15 @@ def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
     shutil.rmtree(src, ignore_errors=True)
     # Range-partition on the ingest ordinal: the wal2json contract is an
     # ORDERED stream (a tx's data rows precede its commit marker), so each
-    # micro-batch file must hold a contiguous ingest_seq range — a plain
-    # repartition scatters rows and commits overtake their data.
+    # micro-batch's files must hold contiguous ingest_seq ranges — a plain
+    # repartition scatters rows and commits overtake their data. Each
+    # micro-batch is split across FILES_PER_TRIGGER files (the WAL arrives
+    # as many small segments, not one blob per flush) so the JSON decode
+    # inside an epoch parallelizes instead of being throttled by the
+    # openCostInBytes floor on a single 16 MB file.
+    files_per_trigger = 8
     synthetic_ops(spark, n_ops).repartitionByRange(
-        n_batches, "ingest_seq"
+        n_batches * files_per_trigger, "ingest_seq"
     ).sortWithinPartitions("ingest_seq").write.json(src)
     # Ordered ADMISSION, not just ordered content: the file source breaks
     # mtime ties arbitrarily, and a fast write lands all parts in the same
@@ -112,8 +117,9 @@ def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
     import glob
     import os
 
-    for i, f in enumerate(sorted(glob.glob(f"{src}/part-*"))):
-        t = time.time() - 2 * (n_batches - i)
+    parts = sorted(glob.glob(f"{src}/part-*"))
+    for i, f in enumerate(parts):
+        t = time.time() - 2 * (len(parts) - i)
         os.utime(f, (t, t))
 
     pipe = CDCStreamPipeline(
@@ -121,8 +127,10 @@ def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
         src,
         work,
         allowlist=["public.orders", "public.accounts"],
-        max_files_per_trigger=1,  # one file per micro-batch, like the
-        # reference's batch mode: n_batches flushes through the commit path
+        max_files_per_trigger=files_per_trigger,  # one WAL-segment group per
+        # micro-batch, like the reference's batch mode: n_batches flushes
+        # through the commit path (files admitted oldest-mtime-first, so
+        # each epoch still holds a contiguous ingest range)
     )
     t0 = time.perf_counter()
     pipe.run_available()
