@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import random
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -523,6 +523,78 @@ def dot(a: F.Column, b: F.Column) -> F.Column:
 
 def l2_norm(a: F.Column) -> F.Column:
     return F.sqrt(dot(a, a))
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means (Lloyd) — the SemDeDup clustering stage
+# ---------------------------------------------------------------------------
+
+
+def nearest_centroid(centroids: "Sequence[Sequence[float]]", vec: str | F.Column) -> F.Column:
+    """Index of the nearest centroid by squared L2, ties to the lowest index.
+
+    The centroid model is baked into the plan as literals (the same
+    ship-the-model-as-a-constant contract as hyperplane_bucket and the
+    IVF/PQ codebooks): the assignment is a narrow, whole-stage-codegen
+    projection — NO shuffle, no broadcast, the corpus never moves. argmin
+    is expressed as array_min over (d2, index) structs, whose lexicographic
+    ordering gives deterministic tie-breaks.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+    cands = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d2"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*cands))["cid"]
+
+
+def lloyd_centroids(
+    unit: DataFrame,
+    init: "list[list[float]]",
+    iters: int = 2,
+    vec_col: str = "u",
+) -> "list[list[float]]":
+    """Fixed-iteration distributed Lloyd update; returns the final model.
+
+    Per iteration: (1) assignment is the narrow literal argmin above over
+    the FULL corpus (not a driver sample — this is MLlib KMeans' shape,
+    not the IVF trainer's); (2) the update posexplodes vectors and runs a
+    map-side-combined groupBy(cluster, dim-position) average, so the
+    shuffle is k×dim partial sums per map task and the result is k×dim
+    rows; (3) those few KB collect to the driver to become the next
+    iteration's literals — the bounded per-iteration model exchange every
+    distributed k-means performs. A cluster that loses all members keeps
+    its previous centroid, so cluster ids stay stable and deterministic.
+    """
+    k, dim = len(init), len(init[0])
+    cents = [list(map(float, c)) for c in init]
+    for _ in range(iters):
+        assigned = unit.withColumn("__c", nearest_centroid(cents, vec_col))
+        rows = (
+            assigned.select("__c", F.posexplode(vec_col).alias("__i", "__x"))
+            .groupBy("__c", "__i")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(r["__c"], {})[r["__i"]] = r["__m"]
+        cents = [
+            [by_c[c][i] for i in range(dim)] if c in by_c else cents[c]
+            for c in range(k)
+        ]
+    return cents
 
 
 def hyperplane_bucket(vec_expr: str = "v") -> F.Column:

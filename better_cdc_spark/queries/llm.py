@@ -378,6 +378,132 @@ def q96_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 2
+SEMDEDUP_TAU = 0.95
+
+
+@query(
+    "q96d_semdedup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02)
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    unit AS (
+        SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+        FROM corpus
+    ),
+    seeds0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, u
+        FROM unit ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ),
+    assign1 AS (
+        SELECT t.vec_id, t.u,
+               (SELECT s.cid FROM seeds0 s
+                ORDER BY list_distance(t.u, s.u) ASC, s.cid ASC LIMIT 1) AS c
+        FROM unit t
+    ),
+    cent1 AS (
+        SELECT c AS cid, list(m ORDER BY i) AS u FROM (
+            SELECT a.c, g.i, avg(a.u[g.i]) AS m
+            FROM assign1 a, generate_series(1, 64) AS g(i)
+            GROUP BY a.c, g.i) GROUP BY c
+    ),
+    assign2 AS (
+        SELECT t.vec_id, t.u,
+               (SELECT s.cid FROM cent1 s
+                ORDER BY list_distance(t.u, s.u) ASC, s.cid ASC LIMIT 1) AS c
+        FROM unit t
+    ),
+    cent2 AS (
+        SELECT c AS cid, list(m ORDER BY i) AS u FROM (
+            SELECT a.c, g.i, avg(a.u[g.i]) AS m
+            FROM assign2 a, generate_series(1, 64) AS g(i)
+            GROUP BY a.c, g.i) GROUP BY c
+    ),
+    final AS (
+        SELECT t.vec_id, t.u,
+               (SELECT s.cid FROM cent2 s
+                ORDER BY list_distance(t.u, s.u) ASC, s.cid ASC LIMIT 1) AS c
+        FROM unit t
+    )
+    SELECT a.vec_id, a.c AS cluster,
+           NOT EXISTS (SELECT 1 FROM final b WHERE b.c = a.c AND b.vec_id < a.vec_id
+                       AND list_dot_product(a.u, b.u) >= {SEMDEDUP_TAU}) AS kept
+    FROM final a
+    """,
+    tags=("llm", "dedup", "embedding", "kmeans"),
+)
+def q96d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): spherical k-means then
+    within-cluster cosine pruning — an ITERATIVE algorithm with a full SQL
+    oracle (both engines run the same fixed-seed, fixed-iteration Lloyd).
+
+    Pipeline: inject scaled near-duplicates (×1.02 — cosine 1 after
+    normalization, so they must drop), L2-normalize, cluster with
+    K={SEMDEDUP_K} / {SEMDEDUP_ITERS} Lloyd iterations seeded by the K
+    lowest vec_ids, then keep only vectors not dominated by a lower-id
+    same-cluster vector with cosine ≥ {SEMDEDUP_TAU}.
+
+    100 TB plan: assignment is a narrow literal-argmin projection (no
+    shuffle — llmops.nearest_centroid); each Lloyd update is ONE map-side-
+    combined groupBy(cluster, dim) avg whose k×dim result is the bounded
+    per-iteration model exchange every distributed k-means performs
+    (MLlib's shape). The dedup pair join is an equi-join on cluster id —
+    clustering exists precisely to bound the quadratic comparison to
+    within-cluster blocks; skewed clusters split under AQE. Output carries
+    only ints/booleans, so float ulp differences between engines cannot
+    touch the hash (decision boundaries are the only exposure, and the
+    synthetic gaps are ~1e-2 vs ulp ~1e-15).
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(1.02)).alias("v"),
+    )
+    unit = (
+        emb.unionByName(dups)
+        .withColumn("norm", llmops.l2_norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("u"),
+        )
+        # one materialization shared by seeds, 3 assignment passes and the
+        # pair join — without it the union+normalize would recompute 6×
+        .localCheckpoint(eager=True)
+    )
+    seeds = [r["u"] for r in unit.orderBy("vec_id").limit(SEMDEDUP_K).collect()]
+    cents = llmops.lloyd_centroids(unit, seeds, iters=SEMDEDUP_ITERS, vec_col="u")
+    final = unit.withColumn(
+        "cluster", llmops.nearest_centroid(cents, "u").cast("long")
+    )
+    tune_cpu_bound(spark)
+    a = final.select(
+        F.col("vec_id"), F.col("cluster"), F.col("u").alias("ua")
+    )
+    b = final.select(
+        F.col("vec_id").alias("vec_b"), F.col("cluster"), F.col("u").alias("ub")
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_b") < F.col("vec_id"))
+        .filter(llmops.dot(F.col("ua"), F.col("ub")) >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dom", F.lit(True))
+    )
+    return (
+        final.join(dominated, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("dom").isNull().alias("kept"))
+    )
+
+
 @query("q97_ann_ivf", tags=("llm", "ann", "ivf"))
 def q97_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer + cell-bucket join.

@@ -310,3 +310,40 @@ def test_q94d_matches_exact_composite(spark):
     # (missed near-dup pairs) stay a small fraction of the corpus
     missed = lsh_kept - exact_kept
     assert len(missed) <= max(3, round(0.05 * len(exact_kept))), sorted(missed)[:10]
+
+
+def test_semdedup_drops_injected_scaled_duplicates(spark):
+    """q96d: every injected ×1.02 copy is dominated by its original.
+
+    Scaling preserves direction, so after L2-normalization the copy and
+    its original are the same unit vector (cosine 1 ≥ τ) and spherical
+    k-means MUST co-cluster them — the drop is deterministic, not a
+    probabilistic-recall property. Originals are all mutually distant
+    (max observed cosine ≈ 0.5 at this SF), so exactly the copies drop.
+    """
+    out = REGISTRY["q96d_semdedup"].fn(spark, SF_SMOKE).toPandas()
+    injected = set(out.vec_id[out.vec_id >= 1000000])
+    assert injected  # the query injects every 10th vec
+    dropped = set(out.vec_id[~out.kept])
+    assert dropped == injected
+    # cluster ids are the seed ordinals: a copy shares its original's cluster
+    by_id = dict(zip(out.vec_id, out.cluster))
+    assert all(by_id[d] == by_id[d - 1000000] for d in injected)
+
+
+def test_lloyd_centroids_empty_cluster_keeps_previous(spark):
+    """A seed with no members after assignment keeps its old centroid, so
+    cluster ids never renumber mid-run (determinism contract)."""
+    import pandas as pd
+
+    # two tight groups far apart + a third seed that captures nothing
+    vecs = [[0.0, 1.0], [0.05, 1.0], [1.0, 0.0], [1.0, 0.05], [0.9, 0.1]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(5), "u": vecs})
+    )
+    init = [[0.0, 1.0], [1.0, 0.0], [-1.0, -1.0]]  # 3rd centroid unreachable
+    cents = llmops.lloyd_centroids(df, init, iters=2, vec_col="u")
+    assert cents[2] == [-1.0, -1.0]
+    assigned = df.withColumn("c", llmops.nearest_centroid(cents, "u")).collect()
+    got = {r["vec_id"]: r["c"] for r in assigned}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 1}
