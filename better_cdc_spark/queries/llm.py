@@ -1679,6 +1679,85 @@ def q95e_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA_TARGET = 0.6  # target kept fraction of the corpus
+
+
+@query(
+    "q95j_temperature_sample",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, source, text FROM documents
+        WHERE source IN ('src0','src1','src2','src3')
+    ),
+    sizes AS (SELECT source, COUNT(*)::DOUBLE AS n_d FROM corpus GROUP BY 1),
+    tot AS (SELECT SUM(sqrt(n_d)) AS z, SUM(n_d) AS n FROM sizes),
+    rates AS (
+        SELECT s.source,
+               LEAST(1.0, {TEMP_ALPHA_TARGET} * t.n * (sqrt(s.n_d) / t.z) / s.n_d) AS r
+        FROM sizes s, tot t
+    )
+    SELECT c.doc_id, c.source
+    FROM corpus c JOIN rates r ON c.source = r.source
+    WHERE ('0x' || substr(md5(c.text || ':' || c.doc_id), 1, 8))::BIGINT
+          / 4294967296.0 < r.r
+    """,
+    tags=("llm", "sampling", "domain"),
+)
+def q95j_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain temperature sampling (α=0.5 exponential smoothing, the
+    XLM-R / multilingual-mixing recipe): domain d keeps docs at rate
+    ∝ n_d^α / n_d, flattening large domains toward small ones while
+    holding the overall kept fraction at {TEMP_ALPHA_TARGET}.
+
+    The test corpus has uniform domains, so the query first skews it
+    (src0–3 doubled under shifted ids); the α=0.5 rates then sample the
+    doubled domains at a LOWER per-doc rate than the rest — the
+    flattening this operator exists for. Selection hashes content+id
+    (never rand()), so the subset is reproducible across runs, replays,
+    and re-sharding.
+
+    100 TB plan: domain sizes are one map-side-combined count; rates are
+    a domains-sized dim BROADCAST onto the corpus; the keep decision is a
+    narrow codegen hash-compare — no corpus shuffle anywhere. Cross-engine
+    fp: sqrt is IEEE-correctly-rounded (bit-identical in both engines),
+    so rate values match to the last ulp; the uniform-vs-rate comparison
+    is the only decision boundary.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("source").isin("src0", "src1", "src2", "src3")).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+        )
+    )
+    sizes = corpus.groupBy("source").agg(F.count("*").cast("double").alias("n_d"))
+    tot = sizes.agg(
+        F.sum(F.sqrt("n_d")).alias("z"), F.sum("n_d").alias("n")
+    )
+    rates = sizes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(TEMP_ALPHA_TARGET) * F.col("n") * (F.sqrt("n_d") / F.col("z")) / F.col("n_d"),
+        ).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit(":"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        corpus.join(F.broadcast(rates), "source")
+        .filter(u < F.col("r"))
+        .select("doc_id", "source")
+    )
+
+
 @query(
     "q95f_domain_cap",
     oracle="""

@@ -377,3 +377,25 @@ def test_tfidf_prefix_filter_pairs_are_fully_verified(spark):
     na = math.sqrt(sum(x * x for x in va.values()))
     nb = math.sqrt(sum(x * x for x in vb.values()))
     assert abs(dp / (na * nb) - row.cosine) < 1e-3
+
+
+def test_temperature_sampling_flattens_skewed_domains(spark):
+    """q95j: α=0.5 keeps a LOWER per-doc fraction of the doubled domains.
+
+    src0–3 are doubled in the query's corpus; with rate ∝ sqrt(n)/n their
+    per-doc keep rate must be 1/sqrt(2) of the small domains' — so the
+    kept-count ratio big:small per doc stays well under 1, while kept
+    counts PER DOMAIN still end up larger for doubled domains (flattened,
+    not inverted).
+    """
+    out = REGISTRY["q95j_temperature_sample"].fn(spark, SF_SMOKE).toPandas()
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source").toPandas()
+    n_per = docs.groupby("source").size()
+    big = {"src0", "src1", "src2", "src3"}
+    kept = out.groupby("source").size()
+    rate_big = sum(kept.get(s, 0) for s in big) / (2 * sum(n_per[s] for s in big if s in n_per))
+    small = [s for s in n_per.index if s not in big]
+    rate_small = sum(kept.get(s, 0) for s in small) / sum(n_per[s] for s in small)
+    assert rate_big < rate_small  # flattening direction
+    # expected ratio 1/sqrt(2) ≈ 0.707 — allow sampling noise at smoke SF
+    assert 0.4 < rate_big / rate_small < 0.95
