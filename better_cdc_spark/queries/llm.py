@@ -1679,6 +1679,84 @@ def q95e_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "a", "and", "to", "of", "be", "that", "have", "with", "in")
+
+
+@query(
+    "q98h_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(words)::BIGINT AS n_words,
+               list_sum(list_transform(words, x -> length(x)))::DOUBLE AS total_len,
+               len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+               len(list_filter(words,
+                   x -> x IN {GOPHER_STOPWORDS!r}))::BIGINT AS n_stop
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           floor(total_len / n_words * 10000 + 0.5) / 10000 AS mean_word_len,
+           floor(n_alpha::DOUBLE / n_words * 10000 + 0.5) / 10000 AS alpha_frac,
+           n_stop,
+           (n_words BETWEEN 50 AND 100000
+            AND total_len / n_words BETWEEN 3 AND 10
+            AND n_alpha::DOUBLE / n_words > 0.8
+            AND n_stop >= 2) AS passes
+    FROM s
+    """,
+    tags=("llm", "quality"),
+)
+def q98h_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021, App. A): per-document
+    repetition-independent signals — word count bounds, mean word length,
+    alphabetic-word fraction, stopword presence — and the conjunctive
+    pass/fail verdict used to filter MassiveWeb.
+
+    Everything is higher-order functions on the in-row token array
+    (filter/transform/aggregate): a pure narrow projection in whole-stage
+    codegen — NO explode, NO shuffle, which is the difference between one
+    pass over 100 TB and shuffling a token-exploded corpus 30× that size.
+    Signals stay in integer space until the final division, so both
+    engines produce bit-identical doubles (single IEEE ops on
+    integer-derived values) before the shared half-up 4dp rounding.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        .cast("double")
+        .alias("total_len"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-z]"))).cast("long").alias("n_alpha"),
+        F.size(F.filter(words, lambda x: x.isin(*GOPHER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    mean_len = F.col("total_len") / F.col("n_words")
+    alpha_frac = F.col("n_alpha").cast("double") / F.col("n_words")
+    return d.select(
+        "doc_id",
+        "n_words",
+        (F.floor(mean_len * 10000 + F.lit(0.5)) / 10000).alias("mean_word_len"),
+        (F.floor(alpha_frac * 10000 + F.lit(0.5)) / 10000).alias("alpha_frac"),
+        "n_stop",
+        (
+            F.col("n_words").between(50, 100000)
+            & mean_len.between(3, 10)
+            & (alpha_frac > 0.8)
+            & (F.col("n_stop") >= 2)
+        ).alias("passes"),
+    )
+
+
 TEMP_ALPHA_TARGET = 0.6  # target kept fraction of the corpus
 
 
