@@ -62,6 +62,11 @@ SHOWCASE_ORDER = (
     "qc10_pgoutput_decode",
     "q99c_container_decode",
     "q94d_curation_pipeline_lsh",
+    # round-4 continuation additions, externally unverified by construction
+    "q96d_semdedup",
+    "q96e_tfidf_cosine",
+    "q95j_temperature_sample",
+    "q98h_gopher_rules",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",
