@@ -526,6 +526,75 @@ def l2_norm(a: F.Column) -> F.Column:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership (benchmark decontamination's 100 TB form)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 17  # bits (16 KiB bitset)
+BLOOM_K = 4  # hash functions
+
+
+def bloom_positions(shingle: F.Column, m: int = BLOOM_M, k: int = BLOOM_K) -> F.Column:
+    """array<int> of the k bit positions for a shingle (xxhash64, seeds 0..k-1)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(shingle, F.lit(s)), F.lit(m)).cast("int") for s in range(k)]
+    )
+
+
+def build_bloom_bits(
+    shingles: DataFrame, col: str = "shingle", m: int = BLOOM_M, k: int = BLOOM_K
+) -> list[int]:
+    """Driver-side bitset (m/64 signed longs) over a shingle set.
+
+    Bounded by the BENCHMARK's size, not the corpus's — decontamination
+    blooms the eval set precisely because it is the small side. The
+    resulting 16 KiB model ships to executors as plan literals (the same
+    contract as the hyperplanes and PQ codebooks); distinct-position
+    collect keeps the transfer at ≤ k·|bench| ints.
+    """
+    rows = (
+        shingles.select(F.explode(bloom_positions(F.col(col), m, k)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        p = r["p"]
+        words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe(
+    bits: list[int], shingle: F.Column, m: int = BLOOM_M, k: int = BLOOM_K
+) -> F.Column:
+    """Boolean: all k bits set — i.e. the shingle is POSSIBLY in the set.
+
+    Bloom guarantees NO false negatives (every true member probes true);
+    false positives occur at the (1-e^{-kn/m})^k rate. The probe is a
+    narrow whole-stage-codegen expression over a constant-folded literal
+    array — element_at + dynamic shiftright + bitwiseAND — so membership
+    against the benchmark costs zero joins and zero shuffle at any scale.
+    """
+    arr = F.array(*[F.lit(int(w)) for w in bits])
+
+    def bit_set(pos: F.Column) -> F.Column:
+        word = F.element_at(arr, (pos / F.lit(64)).cast("int") + F.lit(1))
+        return (
+            F.call_function(
+                "shiftright", word, F.pmod(pos, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    checks = [
+        bit_set(F.pmod(F.xxhash64(shingle, F.lit(s)), F.lit(m))) for s in range(k)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Distributed spherical k-means (Lloyd) — the SemDeDup clustering stage
 # ---------------------------------------------------------------------------
 

@@ -67,6 +67,7 @@ SHOWCASE_ORDER = (
     "q96e_tfidf_cosine",
     "q95j_temperature_sample",
     "q98h_gopher_rules",
+    "q95k_bloom_decontaminate",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

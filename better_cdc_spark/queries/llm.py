@@ -1468,6 +1468,43 @@ def q95b_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q95k_bloom_decontaminate", tags=("llm", "dedup", "decontamination", "bloom"))
+def q95k_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — q95b's 100 TB form: the benchmark's
+    8-gram set compresses into a 16 KiB bitset (m=2^17, k=4) that ships
+    as plan literals, and the corpus-side membership test is a pure
+    narrow codegen expression — NO join, NO shuffle until the per-doc
+    distinct. At n≈3k benchmark shingles the false-positive rate is
+    (1-e^{-kn/m})^k ≈ 6e-5; false negatives are impossible, so every
+    truly contaminated doc is flagged (tests pin bloom ⊇ exact).
+
+    Rows-only: the bitset derives from xxhash64, which has no DuckDB
+    equivalent — the oracle-paired sibling is q95b (exact broadcast
+    semi-join), and tests/test_llmops.py compares the two directly.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", llmops.PUNCT_RE, "")).alias("text"),
+    )
+    sh = docs.select("doc_id", llmops.tokens().alias("w")).select(
+        "doc_id", F.explode(llmops.word_shingles("w", k=8)).alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    bits = llmops.build_bloom_bits(bench)
+    flagged = (
+        sh.filter(F.col("doc_id") >= 20)
+        .filter(llmops.bloom_probe(bits, F.col("shingle")))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 20)
+        .join(flagged.withColumn("c", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce("c", F.lit(False)).alias("contaminated"))
+    )
+
+
 @query(
     "q98c_repetition",
     oracle="""

@@ -399,3 +399,17 @@ def test_temperature_sampling_flattens_skewed_domains(spark):
     assert rate_big < rate_small  # flattening direction
     # expected ratio 1/sqrt(2) ≈ 0.707 — allow sampling noise at smoke SF
     assert 0.4 < rate_big / rate_small < 0.95
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """q95k vs q95b: Bloom membership has NO false negatives, so the bloom
+    flag set must contain every exactly-contaminated doc; false positives
+    stay within the (1-e^{-kn/m})^k budget (≈6e-5 per probe)."""
+    exact = REGISTRY["q95b_decontaminate"].fn(spark, SF_SMOKE).toPandas()
+    bloom = REGISTRY["q95k_bloom_decontaminate"].fn(spark, SF_SMOKE).toPandas()
+    e = set(exact.doc_id[exact.contaminated])
+    b = set(bloom.doc_id[bloom.contaminated])
+    assert e <= b, sorted(e - b)[:10]
+    assert len(b - e) <= max(5, len(exact) // 100), sorted(b - e)[:10]
+    # same doc universe
+    assert set(exact.doc_id) == set(bloom.doc_id)
