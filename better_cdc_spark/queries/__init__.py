@@ -68,6 +68,7 @@ SHOWCASE_ORDER = (
     "q95j_temperature_sample",
     "q98h_gopher_rules",
     "q95k_bloom_decontaminate",
+    "q88d_stream_stream_full_join",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -681,6 +681,94 @@ def q88b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q88d_stream_stream_full_join",
+    oracle="""
+    WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts
+               FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'signup'),
+                        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+                  - INTERVAL 2 HOUR AS w),
+    matched AS (
+      SELECT s.user_id, s.signup_id, p.purchase_id
+      FROM s JOIN p ON s.user_id = p.user_id
+       AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
+    ),
+    unmatched_s AS (
+      SELECT s.user_id, s.signup_id, CAST(NULL AS BIGINT) AS purchase_id
+      FROM s, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = s.user_id
+          AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
+      )
+      AND s.s_ts + INTERVAL 1 HOUR < wm.w
+    ),
+    unmatched_p AS (
+      SELECT p.user_id, CAST(NULL AS BIGINT) AS signup_id, p.purchase_id
+      FROM p, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s WHERE s.user_id = p.user_id
+          AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 1 HOUR
+      )
+      AND p.p_ts < wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_s
+    UNION ALL SELECT * FROM unmatched_p
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def q88d_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join: both null frontiers, one query.
+
+    Completes the q88 family (inner/left/semi → full): unmatched signups
+    emit once the watermark passes their s_ts + 1 h join bound (same
+    frontier as q88b), and unmatched purchases emit once it passes p_ts —
+    the range condition s_ts ∈ [p_ts − 1 h, p_ts] means no admissible
+    signup can arrive after the watermark crosses p_ts itself. The oracle
+    encodes BOTH eviction frontiers, so the hash check pins Spark's
+    two-sided emission rule, not just the matched pairs. State size is the
+    same as the left join's: both sides evict on their respective
+    frontiers; a full outer join costs no extra state over left, only the
+    extra null emissions.
+    """
+    tune_for_oracle(spark)
+    signups = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("s_user"), F.col("p_user")).alias("user_id"),
+        "signup_id",
+        "purchase_id",
+    )
+    return run_to_memory(joined, mode="append")
+
+
+@query(
     "q04b_rate_limited_source",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
