@@ -69,6 +69,7 @@ SHOWCASE_ORDER = (
     "q98h_gopher_rules",
     "q95k_bloom_decontaminate",
     "q88d_stream_stream_full_join",
+    "qc13_snapshot_handoff",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

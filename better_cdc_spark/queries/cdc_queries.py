@@ -9,7 +9,7 @@ directly on `orders`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -728,3 +728,113 @@ def qc12_streaming_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("txid").cast("bigint").alias("max_txid"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "qc13_snapshot_handoff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), versions AS (
+      SELECT b.id,
+             b.status || '-' || CAST(t.v AS VARCHAR) AS status,
+             b.cents + t.v AS total_cents,
+             CASE WHEN t.v < CASE WHEN b.id % 4 = 0 THEN 4 ELSE 2 END THEN 'INSERT'
+                  WHEN b.id % 10 < 6 THEN 'INSERT'
+                  WHEN b.id % 10 < 9 THEN 'UPDATE'
+                  ELSE 'DELETE' END AS operation,
+             t.v AS commit_seq
+      FROM base b JOIN (VALUES (2), (4)) AS t(v)
+        ON t.v = 2 OR b.id % 4 = 0
+    ), snap AS (
+      SELECT id, status, total_cents, 'SNAPSHOT' AS operation, 3 AS commit_seq
+      FROM (
+        SELECT id, status, total_cents, operation,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY commit_seq DESC) AS rn
+        FROM versions WHERE commit_seq <= 3
+      ) WHERE rn = 1 AND operation <> 'DELETE'
+    ), log AS (
+      SELECT * FROM snap
+      UNION ALL
+      SELECT id, status, total_cents, operation, commit_seq FROM versions
+    ), final AS (
+      SELECT id, status, total_cents, operation,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY commit_seq DESC, operation ASC) AS rn
+      FROM log
+    )
+    SELECT id, status, total_cents FROM final WHERE rn = 1 AND operation <> 'DELETE'
+    """,
+    tags=("cdc", "bootstrap", "merge"),
+)
+def qc13_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot → stream handoff (the Debezium bootstrap pattern
+    the reference skips — it starts cold from the slot, reader.go:124-178,
+    leaving pre-slot history unrecoverable; a real migration needs both).
+
+    The hard part is the OVERLAP: the stream replays from before the
+    snapshot's consistent point, so pre-snapshot events arrive again.
+    Re-expressed Spark-first, bootstrap needs no special mode at all:
+    tag the snapshot as one versioned row per key at the consistent
+    point (commit_seq 3, between the waves at 2 and 4) and fold the
+    union with ordinary last-writer-wins — replayed wave-2 events lose
+    to the snapshot, post-snapshot wave-4 events beat it, and a key
+    deleted pre-snapshot stays deleted because its replayed DELETE is
+    its latest version. tests/test_cdc.py pins the bootstrap theorem:
+    the result equals the pure-changelog fold (the snapshot injection
+    is a no-op for a consistent snapshot).
+
+    Scale: one shuffle on the key for latest-per-key; the snapshot
+    enters the same shuffle as ordinary rows (no second pass, no
+    broadcast of a 100 TB table).
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    two_versions = F.col("id") % 4 == 0
+    versions = base.select(
+        "*",
+        F.explode(
+            F.when(two_versions, F.array(F.lit(2), F.lit(4))).otherwise(
+                F.array(F.lit(2))
+            )
+        ).alias("v"),
+    )
+    last_v = F.when(two_versions, F.lit(4)).otherwise(F.lit(2))
+    op = (
+        F.when(F.col("v") < last_v, "INSERT")
+        .when(F.col("id") % 10 < 6, "INSERT")
+        .when(F.col("id") % 10 < 9, "UPDATE")
+        .otherwise("DELETE")
+    )
+    changes = versions.select(
+        "id",
+        F.concat_ws("-", "status", F.col("v").cast("string")).alias("status"),
+        (F.col("cents") + F.col("v")).alias("total_cents"),
+        op.alias("operation"),
+        F.col("v").alias("commit_seq"),
+    )
+    from better_cdc_spark.cdc.apply import snapshot_at as snap_fold
+
+    snapshot = snap_fold(changes, keys="id", order_col="commit_seq", cutoff=3).select(
+        "id",
+        "status",
+        "total_cents",
+        F.lit("SNAPSHOT").alias("operation"),
+        F.lit(3).alias("commit_seq"),
+    )
+    log = snapshot.unionByName(changes)
+    w = W.partitionBy("id").orderBy(
+        F.col("commit_seq").desc(), F.col("operation").asc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("operation") != "DELETE"))
+        .select("id", "status", "total_cents")
+    )

@@ -330,3 +330,49 @@ def test_streaming_datasource_resumes_from_checkpoint(spark, tmp_path):
     assert sunk.count() == 8000
     assert sunk.select("g").distinct().count() == 8000  # no re-emission
     assert sunk.agg(F.min("g"), F.max("g")).collect()[0][:] == (0, 7999)
+
+
+def test_snapshot_handoff_equals_pure_changelog_fold(spark):
+    """Bootstrap theorem: injecting a CONSISTENT snapshot at seq 3 into the
+    LWW fold changes nothing — the result equals folding the changelog
+    alone. (If the snapshot were inconsistent with the ≤3 prefix, rows
+    would differ — this is the invariant a handoff must preserve.)"""
+    from better_cdc_spark.queries import load_all
+    from better_cdc_spark.cdc.apply import snapshot_at
+    from tests.conftest import SF_SMOKE
+
+    reg = load_all()
+    handoff = reg["qc13_snapshot_handoff"].fn(spark, SF_SMOKE)
+    # pure changelog fold: same synthetic stream, no snapshot injection
+    from better_cdc_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    two = F.col("id") % 4 == 0
+    versions = base.select(
+        "*",
+        F.explode(F.when(two, F.array(F.lit(2), F.lit(4))).otherwise(F.array(F.lit(2)))).alias("v"),
+    )
+    last_v = F.when(two, F.lit(4)).otherwise(F.lit(2))
+    op = (
+        F.when(F.col("v") < last_v, "INSERT")
+        .when(F.col("id") % 10 < 6, "INSERT")
+        .when(F.col("id") % 10 < 9, "UPDATE")
+        .otherwise("DELETE")
+    )
+    changes = versions.select(
+        "id",
+        F.concat_ws("-", "status", F.col("v").cast("string")).alias("status"),
+        (F.col("cents") + F.col("v")).alias("total_cents"),
+        op.alias("operation"),
+        F.col("v").alias("commit_seq"),
+    )
+    pure = snapshot_at(changes, keys="id", order_col="commit_seq", cutoff=4)
+    a = {tuple(r) for r in handoff.collect()}
+    b = {tuple(r) for r in pure.select("id", "status", "total_cents").collect()}
+    assert a == b
