@@ -38,6 +38,9 @@ HEADLINE = [
     "q97_cosine_topk",           # embedding scoring + topk window
     "q98_text_stats",            # regex/higher-order text kernels
     "q94_curation_pipeline",     # composed quality->dedup->near-dedup flow
+    "q94d_curation_pipeline_lsh",  # the production LSH-driven composite
+    "q96d_semdedup",             # distributed k-means + cluster-pruned dedup
+    "q96e_tfidf_cosine",         # prefix-filtered sparse similarity join
 ]
 
 

@@ -517,22 +517,32 @@ TFIDF_PREFIX = 2
     dft AS (SELECT term, COUNT(*)::DOUBLE AS dft FROM tf GROUP BY 1),
     w AS (SELECT tf.doc_id, tf.term, tf.tf*(ln((1+n.n)/(1+dft.dft))+1) AS w
           FROM tf, dft, n WHERE tf.term = dft.term),
-    nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+    vocab AS (SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS idx FROM dft),
+    dense AS (
+      SELECT d.doc_id,
+             list(coalesce(w.w, 0.0) ORDER BY v.idx) AS vec,
+             sqrt(sum(coalesce(w.w, 0.0) * coalesce(w.w, 0.0))) AS nrm
+      FROM (SELECT DISTINCT doc_id FROM w) d
+      CROSS JOIN vocab v
+      LEFT JOIN w ON w.doc_id = d.doc_id AND w.term = v.term
+      GROUP BY d.doc_id),
     pfx AS (SELECT doc_id, term FROM (
               SELECT doc_id, term,
                      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rk
               FROM w) WHERE rk <= {TFIDF_PREFIX}),
     cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
              FROM pfx a JOIN pfx b ON a.term = b.term AND a.doc_id < b.doc_id),
-    dp AS (SELECT c.da, c.db, sum(a.w*b.w) AS dotp, count(*) AS n_shared
-           FROM cand c
-           JOIN w a ON a.doc_id = c.da
-           JOIN w b ON b.doc_id = c.db AND b.term = a.term
-           GROUP BY 1,2)
-    SELECT dp.da AS doc_a, dp.db AS doc_b, dp.n_shared,
-           floor(dp.dotp/(x.nrm*y.nrm)*10000 + 0.5)/10000 AS cosine
-    FROM dp JOIN nrm x ON dp.da = x.doc_id JOIN nrm y ON dp.db = y.doc_id
-    WHERE dp.dotp/(x.nrm*y.nrm) >= {TFIDF_TAU}
+    scored AS (
+      SELECT c.da, c.db,
+             list_sum(list_transform(list_zip(a.vec, b.vec),
+                 p -> p[1] * p[2])) AS dotp,
+             len(list_filter(list_zip(a.vec, b.vec),
+                 p -> p[1] > 0 AND p[2] > 0))::BIGINT AS n_shared,
+             a.nrm AS na, b.nrm AS nb
+      FROM cand c JOIN dense a ON a.doc_id = c.da JOIN dense b ON b.doc_id = c.db)
+    SELECT da AS doc_a, db AS doc_b, n_shared,
+           floor(dotp/(na*nb)*10000 + 0.5)/10000 AS cosine
+    FROM scored WHERE dotp/(na*nb) >= {TFIDF_TAU}
     """,
     tags=("llm", "dedup", "similarity"),
 )
@@ -582,7 +592,31 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared by norms, prefix ranking and both verify sides
         .localCheckpoint(eager=True)
     )
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # Densify each doc over the GLOBAL vocab (31 terms): the verify then
+    # needs exactly two joins total (vector ships once per pair side) and
+    # the dot product is a dense zip_with fold — pure codegen arithmetic.
+    # A MapType probe here would be a per-term LINEAR key scan (Spark maps
+    # are unsorted kv arrays), ~31x31 string compares per pair; and the
+    # pair x term row explosion costs a 50M-row shuffle at sf0.1. Dense
+    # vectors are right while |vocab| is small; a big-vocab corpus keeps
+    # sparse (idx,w) lists and merges them in a fold instead. At 100 TB
+    # the dense table shuffles by doc key like any dim-on-fact join.
+    vocab = F.broadcast(
+        dft.select("term", (F.row_number().over(W.orderBy("term")) - 1).alias("idx"))
+    )
+    cells = (
+        w.select("doc_id")
+        .distinct()
+        .crossJoin(vocab)
+        .join(w, ["doc_id", "term"], "left")
+        .select("doc_id", "idx", F.coalesce("w", F.lit(0.0)).alias("wv"))
+    )
+    dense = cells.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("idx", "wv"))), lambda e: e["wv"]
+        ).alias("vec"),
+        F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"),
+    )
     rk = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
     )
@@ -597,25 +631,39 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    wa = w.select(F.col("doc_id").alias("da"), "term", F.col("w").alias("wa"))
-    wb = w.select(F.col("doc_id").alias("db"), "term", F.col("w").alias("wb"))
-    dp = (
-        cand.join(wa, "da")
-        .join(wb, ["db", "term"])
-        .groupBy("da", "db")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dotp"), F.count("*").alias("n_shared"))
+    da_side = dense.select(
+        F.col("doc_id").alias("da"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    db_side = dense.select(
+        F.col("doc_id").alias("db"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        cand.join(da_side, "da")
+        .join(db_side, "db")
+        .select(
+            "da",
+            "db",
+            llmops.dot(F.col("va"), F.col("vb")).alias("dotp"),
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("va"), F.col("vb"), lambda x, y: (x > 0) & (y > 0)
+                    ),
+                    lambda b: b,
+                )
+            )
+            .cast("long")
+            .alias("n_shared"),
+            "na",
+            "nb",
+        )
     )
     cos = F.col("dotp") / (F.col("na") * F.col("nb"))
-    return (
-        dp.join(nrm.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na")), "da")
-        .join(nrm.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb")), "db")
-        .filter(cos >= TFIDF_TAU)
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            "n_shared",
-            (F.floor(cos * 10000 + F.lit(0.5)) / 10000).alias("cosine"),
-        )
+    return scored.filter(cos >= TFIDF_TAU).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        "n_shared",
+        (F.floor(cos * 10000 + F.lit(0.5)) / 10000).alias("cosine"),
     )
 
 
