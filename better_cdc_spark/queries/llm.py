@@ -1764,6 +1764,89 @@ def q95e_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q94f_ccnet_buckets",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    total AS (SELECT SUM(c) AS t FROM freq),
+    scored AS (
+      SELECT words.doc_id,
+             CAST(log10(freq.c * 1.0 / total.t) AS DECIMAL(18,12)) AS lp
+      FROM words JOIN freq USING (w) CROSS JOIN total
+    ),
+    lp AS (
+      SELECT doc_id, ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    ),
+    j AS (SELECT d.doc_id, d.lang, l.avg_logprob
+          FROM documents d JOIN lp l USING (doc_id)),
+    b AS (SELECT *, NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY avg_logprob DESC, doc_id) AS t
+          FROM j)
+    SELECT doc_id, lang,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           avg_logprob,
+           (t < 3) AS kept
+    FROM b
+    """,
+    tags=("llm", "quality", "language-model", "composite"),
+)
+def q94f_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    doc with the unigram LM (q98b's kernel), split each LANGUAGE into
+    head/middle/tail terciles by score, keep head+middle — the curation
+    step that made CommonCrawl usable for LLM pretraining.
+
+    Exact NTILE per language is the oracle-checkable form used here; at
+    100 TB a per-language full sort is the wrong plan — production
+    computes approximate tercile CUTOFFS in one pass (the q36f
+    approx-quantile sketch) and buckets with a narrow comparison, same
+    output contract. Determinism: per-word log-probs sum as
+    DECIMAL(18,12) (order-independent), the per-doc mean is one double
+    division + 6dp round (bit-identical both engines), and the tercile
+    order breaks score ties by doc_id.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    lp = (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log10(F.col("c") * 1.0 / F.col("t")).cast("decimal(18,12)").alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob")
+        )
+    )
+    t = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(lp, "doc_id")
+        .withColumn("t", t)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "avg_logprob",
+            (F.col("t") < 3).alias("kept"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ("the", "a", "and", "to", "of", "be", "that", "have", "with", "in")
 
 
