@@ -12,7 +12,7 @@ from better_cdc_spark.cdc.changelog import (  # noqa: F401
     synthesize_changelog_from_orders,
 )
 from better_cdc_spark.cdc.apply import apply_changelog, latest_per_key, snapshot_at  # noqa: F401
-from better_cdc_spark.cdc.scd2 import scd2_history  # noqa: F401
+from better_cdc_spark.cdc.scd2 import scd2_apply_increment, scd2_history  # noqa: F401
 from better_cdc_spark.cdc.normalize import normalize_changelog  # noqa: F401
 from better_cdc_spark.cdc.dlq import route_failures  # noqa: F401
 from better_cdc_spark.cdc.serialize import marshal_cdc_event  # noqa: F401

@@ -71,6 +71,7 @@ SHOWCASE_ORDER = (
     "q88d_stream_stream_full_join",
     "qc13_snapshot_handoff",
     "q94f_ccnet_buckets",
+    "qc14_streaming_scd2",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -838,3 +838,134 @@ def qc13_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("operation") != "DELETE"))
         .select("id", "status", "total_cents")
     )
+
+
+@query(
+    "qc14_streaming_scd2",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), versions AS (
+      SELECT b.id,
+             b.status || '-' || CAST(t.v AS VARCHAR) AS status,
+             b.cents + t.v AS total_cents,
+             CASE WHEN t.v < CASE WHEN b.id % 4 = 0 THEN 2 ELSE 1 END THEN 'INSERT'
+                  WHEN b.id % 10 < 6 THEN 'INSERT'
+                  WHEN b.id % 10 < 9 THEN 'UPDATE'
+                  ELSE 'DELETE' END AS operation,
+             t.v AS commit_seq
+      FROM base b JOIN (VALUES (1), (2)) AS t(v)
+        ON t.v = 1 OR b.id % 4 = 0
+    ), closed AS (
+      SELECT *,
+             LEAD(commit_seq) OVER (PARTITION BY id ORDER BY commit_seq) AS valid_to
+      FROM versions
+    ), surviving AS (
+      SELECT * FROM closed WHERE operation <> 'DELETE'
+    )
+    SELECT id, status, total_cents, operation, commit_seq, valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY commit_seq) AS INTEGER) AS version,
+           (valid_to IS NULL) AS is_current
+    FROM surviving
+    """,
+    tags=("cdc", "scd2", "streaming"),
+)
+def qc14_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2: qc06's historization built incrementally in
+    foreachBatch — and the oracle is qc06's own batch SQL, so the hash
+    check proves the increment law: folding micro-batches in stream order
+    reproduces the batch fold exactly (versions, validity bounds,
+    is_current, everything).
+
+    Each micro-batch (one commit wave per trigger) closes the open
+    versions of its touched keys, chains in-batch versions via lead(),
+    and continues version numbers from the key's surviving count — see
+    cdc.scd2.scd2_apply_increment. The history lives in parquet between
+    epochs (localCheckpoint before overwrite — never read-and-overwrite
+    the same files in one plan); every step is keyed by the dimension
+    key, O(batch + touched-history), no global rewrite per epoch.
+    """
+    import tempfile as _tf
+    import os as _os
+    import shutil as _sh
+    import glob as _glob
+    import time as _time
+
+    from better_cdc_spark.cdc import scd2_apply_increment
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    two_versions = F.col("id") % 4 == 0
+    versions = base.select(
+        "*",
+        F.explode(
+            F.when(two_versions, F.array(F.lit(1), F.lit(2))).otherwise(
+                F.array(F.lit(1))
+            )
+        ).alias("v"),
+    )
+    last_v = F.when(two_versions, F.lit(2)).otherwise(F.lit(1))
+    op = (
+        F.when(F.col("v") < last_v, "INSERT")
+        .when(F.col("id") % 10 < 6, "INSERT")
+        .when(F.col("id") % 10 < 9, "UPDATE")
+        .otherwise("DELETE")
+    )
+    changes = versions.select(
+        "id",
+        F.concat_ws("-", "status", F.col("v").cast("string")).alias("status"),
+        (F.col("cents") + F.col("v")).alias("total_cents"),
+        op.alias("operation"),
+        F.col("v").alias("commit_seq"),
+    )
+
+    src = _tf.mkdtemp(prefix="bcs_qc14_src_")
+    hist_dir = _os.path.join(_tf.mkdtemp(prefix="bcs_qc14_hist_"), "hist")
+    _sh.rmtree(src, ignore_errors=True)
+    # one file per commit wave, mtimes in wave order (ordered admission)
+    for wave in (1, 2):
+        changes.filter(F.col("commit_seq") == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    parts = sorted(_glob.glob(f"{src}/part-*"), key=_os.path.getmtime)
+    for i, f in enumerate(parts):
+        t = _time.time() - 2 * (len(parts) - i)
+        _os.utime(f, (t, t))
+
+    out_schema = changes.withColumn("valid_to", F.lit(None).cast("int")).withColumn(
+        "version", F.lit(None).cast("int")
+    ).withColumn("is_current", F.lit(True)).schema
+
+    def step(batch_df: DataFrame, _epoch: int) -> None:
+        spark_ = batch_df.sparkSession
+        try:
+            hist = spark_.read.schema(out_schema).parquet(hist_dir)
+        except Exception:
+            hist = spark_.createDataFrame([], out_schema)
+        new_hist = scd2_apply_increment(
+            hist, batch_df, keys="id", order_col="commit_seq"
+        ).localCheckpoint(eager=True)
+        new_hist.write.mode("overwrite").parquet(hist_dir)
+
+    q = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="bcs_ck_qc14_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    return spark.read.schema(out_schema).parquet(hist_dir)

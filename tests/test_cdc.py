@@ -376,3 +376,45 @@ def test_snapshot_handoff_equals_pure_changelog_fold(spark):
     a = {tuple(r) for r in handoff.collect()}
     b = {tuple(r) for r in pure.select("id", "status", "total_cents").collect()}
     assert a == b
+
+
+def test_scd2_increment_matches_batch_fold_with_reinserts(spark):
+    """scd2_apply_increment: batch-by-batch fold == scd2_history, on a
+    stream with a delete-then-reinsert (absent from the qc14 fixture) and
+    a delete-only batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from better_cdc_spark.cdc import scd2_apply_increment, scd2_history
+
+    rows = [
+        # key 1: insert, update, delete, reinsert (4 waves)
+        (1, "a", 10, "INSERT", 1), (1, "b", 11, "UPDATE", 2),
+        (1, None, None, "DELETE", 3), (1, "c", 12, "INSERT", 4),
+        # key 2: insert wave 1, delete-only wave 3
+        (2, "x", 20, "INSERT", 1), (2, None, None, "DELETE", 3),
+        # key 3: two versions in ONE wave (in-batch chaining)
+        (3, "p", 30, "INSERT", 2), (3, "q", 31, "UPDATE", 2),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "status", "total_cents", "operation", "commit_seq"])
+    )
+    batch_fold = scd2_history(
+        df.withColumn("o", F.struct("commit_seq", "status")),
+        keys="id", order_col=F.struct("commit_seq", "status"),
+    ).drop("o")
+    # stream fold: one wave per batch, in order, starting from an empty
+    # history with the output schema
+    hist = (
+        df.withColumn("valid_to", F.lit(None).cast("struct<commit_seq:bigint,status:string>"))
+        .withColumn("version", F.lit(None).cast("int"))
+        .withColumn("is_current", F.lit(True))
+        .limit(0)
+    )
+    for wv in sorted({r[4] for r in rows}):
+        b = df.filter(F.col("commit_seq") == wv)
+        hist = scd2_apply_increment(
+            hist, b, keys="id", order_col=F.struct("commit_seq", "status")
+        ).localCheckpoint(eager=True)
+    got = {tuple(r) for r in hist.select("id", "status", "total_cents", "version", "is_current").collect()}
+    want = {tuple(r) for r in batch_fold.select("id", "status", "total_cents", "version", "is_current").collect()}
+    assert got == want
