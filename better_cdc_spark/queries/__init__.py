@@ -72,6 +72,7 @@ SHOWCASE_ORDER = (
     "qc13_snapshot_handoff",
     "q94f_ccnet_buckets",
     "qc14_streaming_scd2",
+    "q97f_ivf_index_persist",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -715,6 +715,75 @@ def q97_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q97f_ivf_index_persist", tags=("llm", "ann", "ivf", "index"))
+def q97f_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index LIFECYCLE: build → persist → cold-start probe with
+    partition pruning — the piece q97_ann_ivf leaves implicit.
+
+    The index is materialized as parquet PARTITIONED BY cell id (plus the
+    KB-sized centroid model re-derived deterministically); a cold session
+    then reads it back and serves the probe by filtering to the probe
+    set's cells FIRST — the filter resolves at file-listing time, so a
+    query touches n_probe/n_cells of the index files on disk, which is
+    the actual serving win of IVF at 100 TB: the ANN index IS a
+    partition layout. tests/test_llmops.py pins (a) result equality with
+    the ephemeral q97_ann_ivf and (b) PartitionFilters in the cold scan.
+
+    Rows-only like its sibling (xxhash-free but centroid-model-specific);
+    every returned cosine is exact.
+    """
+    tune_for_oracle(spark)
+    import shutil as _sh
+    import tempfile as _tf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    centroids = llmops.train_ivf_centroids(emb)
+    index_dir = _tf.mkdtemp(prefix="bcs_q97f_ivf_")
+    _sh.rmtree(index_dir, ignore_errors=True)
+    # index build: one narrow assignment pass + partitioned write
+    emb.withColumn("cell", llmops.ivf_cell_assigner(centroids)(F.col("v"))).write.partitionBy(
+        "cell"
+    ).parquet(index_dir)
+
+    # cold-start serving path: re-read from disk, prune to probed cells
+    idx = spark.read.parquet(index_dir)
+    probes = (
+        emb.filter(F.col("vec_id") < TOPK_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(
+                llmops.ivf_probe_cells(centroids, n_probe=4)(F.col("v"))
+            ).alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    pruned = idx.filter(F.col("cell").isin(probe_cells))
+    scored = (
+        pruned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                llmops.dot(F.col("v"), F.col("qv"))
+                / (llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
 @query("q97_ann_pq", tags=("llm", "ann", "pq"))
 def q97_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 4-bit/subspace codes + ADC scan + re-rank.

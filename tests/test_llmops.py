@@ -413,3 +413,17 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     assert len(b - e) <= max(5, len(exact) // 100), sorted(b - e)[:10]
     # same doc universe
     assert set(exact.doc_id) == set(bloom.doc_id)
+
+
+def test_ivf_persisted_index_serves_identically_and_prunes(spark):
+    """q97f: the cold-start probe over the persisted, cell-partitioned
+    index returns EXACTLY the ephemeral q97_ann_ivf results (same
+    deterministic centroid model), and its scan carries a cell
+    PartitionFilter — the index is a partition layout."""
+    ephem = REGISTRY["q97_ann_ivf"].fn(spark, SF_SMOKE)
+    cold = REGISTRY["q97f_ivf_index_persist"].fn(spark, SF_SMOKE)
+    a = {tuple(r) for r in ephem.collect()}
+    b = {tuple(r) for r in cold.collect()}
+    assert a == b
+    plan = cold._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "cell#" in plan.split("PartitionFilters")[1][:120]
