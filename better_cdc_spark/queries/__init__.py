@@ -73,6 +73,7 @@ SHOWCASE_ORDER = (
     "q94f_ccnet_buckets",
     "qc14_streaming_scd2",
     "q97f_ivf_index_persist",
+    "qc15_toast_fill",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

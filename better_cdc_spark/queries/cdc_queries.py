@@ -969,3 +969,79 @@ def qc14_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     return spark.read.schema(out_schema).parquet(hist_dir)
+
+
+@query(
+    "qc15_toast_fill",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), versions AS (
+      SELECT b.id, t.v AS commit_seq,
+             CASE WHEN t.v = 1 THEN b.status || '-1'
+                  WHEN b.id % 3 = 0 THEN NULL              -- unchanged TOAST
+                  ELSE b.status || '-' || CAST(t.v AS VARCHAR) END AS payload,
+             b.cents + t.v AS total_cents
+      FROM base b JOIN (VALUES (1), (2), (3)) AS t(v) ON TRUE
+    ), filled AS (
+      SELECT id, commit_seq, total_cents,
+             LAST_VALUE(payload IGNORE NULLS) OVER (
+               PARTITION BY id ORDER BY commit_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS payload
+      FROM versions
+    )
+    SELECT id, commit_seq, payload, total_cents FROM filled
+    """,
+    tags=("cdc", "toast", "locf"),
+)
+def qc15_toast_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unchanged-TOAST column fill: the reference's pgoutput decoder SKIPS
+    'u' (unchanged TOAST) columns entirely (pgoutput.go:613-614), so the
+    after-image a consumer receives is missing those values — every
+    downstream materializer must carry them forward from the key's prior
+    version. That carry IS last-observation-carried-forward per (key,
+    column) over commit order: one window pass with last(ignorenulls).
+
+    The fixture gives every key three versions and withholds the payload
+    ('u' analog → NULL) on versions 2-3 of every third key; the fill must
+    reconstruct them from version 1 while leaving real values untouched.
+
+    Scale: one hash shuffle on the key, one running window — no
+    self-join, no per-version lookup; at 100 TB this rides the same key
+    partitioning as the MERGE apply. (An UNBOUNDED PRECEDING running
+    frame, not a full-partition frame, so state per key is O(1).)
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    versions = base.select(
+        "id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("commit_seq"),
+        "status",
+        "cents",
+    ).select(
+        "id",
+        "commit_seq",
+        F.when(F.col("commit_seq") == 1, F.concat_ws("-", "status", F.lit("1")))
+        .when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("-", "status", F.col("commit_seq").cast("string")))
+        .alias("payload"),
+        (F.col("cents") + F.col("commit_seq")).alias("total_cents"),
+    )
+    w = (
+        W.partitionBy("id")
+        .orderBy("commit_seq")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return versions.select(
+        "id",
+        "commit_seq",
+        F.last("payload", ignorenulls=True).over(w).alias("payload"),
+        "total_cents",
+    )
