@@ -74,6 +74,7 @@ SHOWCASE_ORDER = (
     "qc14_streaming_scd2",
     "q97f_ivf_index_persist",
     "qc15_toast_fill",
+    "q98i_dup_ngram_chars",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

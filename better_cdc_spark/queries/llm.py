@@ -1916,6 +1916,100 @@ def q94f_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q98i_dup_ngram_chars",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, length(text)::DOUBLE AS n_chars_t,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, n_chars_t,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+        FROM w WHERE len(words) >= 3
+    ), cnt AS (
+        SELECT doc_id, n_chars_t, g, COUNT(*) AS c, length(g)::DOUBLE AS glen
+        FROM grams GROUP BY doc_id, n_chars_t, g
+    ), agg AS (
+        SELECT doc_id,
+               SUM(c)::BIGINT AS n_ngrams,
+               COALESCE(SUM(CASE WHEN c >= 2 THEN c * glen END), 0.0) / ANY_VALUE(n_chars_t) AS f
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_ngrams, 0) AS n_ngrams,
+           floor(COALESCE(a.f, 0.0) * 10000 + 0.5) / 10000 AS dup_ngram_char_frac,
+           COALESCE(a.f, 0.0) > 0.2 AS flagged
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "quality", "repetition"),
+)
+def q98i_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram character fraction (Rae et al. 2021,
+    App. A — the within-doc repetition rule q98c's word-level fractions
+    don't capture): characters belonging to 3-gram occurrences that
+    repeat inside the document, over total characters; docs above 0.2
+    get flagged, catching boilerplate loops and template spam that
+    word-frequency stats miss.
+
+    All occurrences count (no array_distinct): the gram list stays
+    positional, so a 5× repeated phrase contributes 5× its chars. One
+    explode + map-side-combined groupBy(doc, gram); shuffle volume is
+    bounded by per-doc distinct grams. Fractions are single divisions of
+    integer-derived doubles — bit-identical cross-engine before the
+    shared half-up 4dp rounding.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("n_chars_t"), "text"
+    )
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = docs.select(
+        "doc_id",
+        "n_chars_t",
+        F.explode(
+            F.when(
+                F.size(words) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(words, i),
+                        F.element_at(words, i + 1),
+                        F.element_at(words, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("doc_id", "n_chars_t", "g").agg(
+        F.count("*").alias("c"), F.length(F.col("g")).cast("double").alias("glen")
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("glen"))),
+                F.lit(0.0),
+            )
+            / F.first("n_chars_t")
+        ).alias("f"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            (F.floor(F.coalesce("f", F.lit(0.0)) * 10000 + F.lit(0.5)) / 10000).alias(
+                "dup_ngram_char_frac"
+            ),
+            (F.coalesce("f", F.lit(0.0)) > 0.2).alias("flagged"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ("the", "a", "and", "to", "of", "be", "that", "have", "with", "in")
 
 
