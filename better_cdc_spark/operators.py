@@ -25,11 +25,18 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: "Column | None" = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with right_ts <= left_ts.
+    """For each left row, attach the nearest right row on the chosen side.
 
-    Backward inclusive as-of join (pandas ``merge_asof`` semantics), keyed
-    by ``on``. Implemented as a union-merge: tag both sides, sort each
+    ``direction="backward"`` (default): latest right with right_ts <=
+    left_ts; ``"forward"``: earliest right with right_ts >= left_ts —
+    both inclusive, pandas ``merge_asof`` semantics, keyed by ``on``.
+    ``tolerance`` (a Column interval/number, e.g. ``F.expr("INTERVAL 30
+    MINUTES")``) drops matches farther than that from the left timestamp;
+    the plan cost is identical (one post-filter on the carried
+    right_ts). Implemented as a union-merge: tag both sides, sort each
     key's combined timeline once, and carry the most recent right payload
     forward with ``last(ignorenulls=True)``. Left rows with no preceding
     right row are dropped (inner as-of).
@@ -83,27 +90,47 @@ def asof_join(
         *left_payload,
         F.lit(None).cast(payload_type).alias("__r"),
     )
-    # Right rows sort before left rows at the same instant → inclusive <=.
-    w = (
-        W.partitionBy(*keys)
-        .orderBy("__t", "__is_left")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    if direction == "backward":
+        # Right rows sort before left rows at the same instant → inclusive <=,
+        # and the running frame carries the most recent right forward.
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("__t", "__is_left")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = F.last("__r", ignorenulls=True).over(w)
+    elif direction == "forward":
+        # Mirror image: at equal instants the right row must sort AFTER the
+        # left row so the forward frame (which starts at the left row) still
+        # sees it → inclusive >=; first(ignorenulls) looks ahead.
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("__t", (F.lit(1) - F.col("__is_left")))
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        carried = F.first("__r", ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     merged = r_tagged.unionByName(l_tagged).select(
         *keys,
         "__t",
         "__is_left",
         *left_payload,
-        F.last("__r", ignorenulls=True).over(w).alias("__r"),
+        carried.alias("__r"),
     )
-    return (
-        merged.filter((F.col("__is_left") == 1) & F.col("__r").isNotNull())
-        .select(
-            *keys,
-            F.col("__t").alias(left_ts),
-            *left_payload,
-            *[F.col("__r")[c].alias(f"{right_prefix}{c}") for c in right_payload],
+    out = merged.filter((F.col("__is_left") == 1) & F.col("__r").isNotNull())
+    if tolerance is not None:
+        gap = (
+            F.col("__r")[right_ts] - F.col("__t")
+            if direction == "forward"
+            else F.col("__t") - F.col("__r")[right_ts]
         )
+        out = out.filter(gap <= tolerance)
+    return out.select(
+        *keys,
+        F.col("__t").alias(left_ts),
+        *left_payload,
+        *[F.col("__r")[c].alias(f"{right_prefix}{c}") for c in right_payload],
     )
 
 

@@ -75,6 +75,7 @@ SHOWCASE_ORDER = (
     "q97f_ivf_index_persist",
     "qc15_toast_fill",
     "q98i_dup_ngram_chars",
+    "q27b_asof_forward_tolerance",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

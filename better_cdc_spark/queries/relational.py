@@ -834,6 +834,79 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q27b_asof_forward_tolerance",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, MIN(event_id) AS signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ), p AS (
+      SELECT user_id, ts, MIN(event_id) AS purchase_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), nxt AS (
+      SELECT s.user_id, s.ts, s.signup_id, MIN(p.ts) AS asof_ts
+      FROM s JOIN p ON p.user_id = s.user_id
+        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+      GROUP BY 1, 2, 3
+    )
+    SELECT n.user_id, n.ts, n.signup_id, n.asof_ts,
+           p.purchase_id AS asof_purchase_id, p.p_value AS asof_value
+    FROM nxt n JOIN p ON p.user_id = n.user_id AND p.ts = n.asof_ts
+    """,
+    tags=("join", "asof", "forward"),
+)
+def q27b_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance window (pandas merge_asof's
+    other half): for each signup, the user's FIRST purchase on/after it
+    within 2 hours — forward attribution, and the as-of complement of
+    q88's emit-all interval join (this keeps exactly one row, the
+    earliest).
+
+    Same union-merge plan as q27 mirrored: right rows sort after left at
+    equal instants (inclusive >=), first(ignorenulls) looks ahead over
+    the per-key timeline, and tolerance is ONE post-filter on the carried
+    right timestamp — still one key shuffle, linear in |left|+|right|,
+    immune to hot-key fan-out (the oracle's join+MIN formulation is the
+    quadratic-per-key plan this operator avoids).
+    """
+    tune_for_oracle(spark)
+    from better_cdc_spark.operators import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    left = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("signup_id"))
+    )
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").alias("purchase_id"),
+            _d(F.sum(dec("value"))).alias("p_value"),
+        )
+        .select(F.col("user_id"), F.col("ts").alias("pts"), "purchase_id", "p_value")
+    )
+    return asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        direction="forward",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    ).select(
+        "user_id",
+        "ts",
+        "signup_id",
+        F.col("asof_pts").alias("asof_ts"),
+        F.col("asof_purchase_id"),
+        F.col("asof_p_value").alias("asof_value"),
+    )
+
+
+@query(
     "q28_interval_join",
     oracle="""
     WITH pr AS (

@@ -273,3 +273,34 @@ def test_q36f_approx_quantiles_within_bound(spark):
 
     rows = load_all()["q36f_approx_quantiles"].fn(spark, SF_SMOKE).collect()
     assert rows and all(r["within_bound"] for r in rows), rows
+
+
+def test_asof_forward_tolerance_edges(spark):
+    """Forward as-of: equal instants match (inclusive >=), the EARLIEST
+    following right row wins, and tolerance drops matches beyond it."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from better_cdc_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2, 3], "lt": [10, 40, 10, 10], "lv": ["a", "b", "c", "d"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2, 3], "rt": [10, 20, 100, 5], "rv": ["x", "y", "z", "w"]})
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        direction="forward", tolerance=F.lit(15),
+    ).select("k", "lt", "asof_rt", "asof_rv")
+    got = {(r["k"], r["lt"]): (r["asof_rt"], r["asof_rv"]) for r in out.collect()}
+    # (1,10): rt=10 equal instant matches (not rt=20 — earliest wins)
+    # (1,40): nothing follows within 15 → dropped
+    # (2,10): rt=100 is 90 away → dropped by tolerance
+    # (3,10): rt=5 precedes → no forward match
+    assert got == {(1, 10): (10, "x")}
+    # without tolerance, (1,40)->nothing (no later row), (2,10)->100
+    out2 = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt", direction="forward"
+    ).select("k", "lt", "asof_rt")
+    got2 = {(r["k"], r["lt"]): r["asof_rt"] for r in out2.collect()}
+    assert got2 == {(1, 10): 10, (2, 10): 100}
