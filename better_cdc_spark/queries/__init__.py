@@ -76,6 +76,7 @@ SHOWCASE_ORDER = (
     "qc15_toast_fill",
     "q98i_dup_ngram_chars",
     "q27b_asof_forward_tolerance",
+    "q94g_triangle_count",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

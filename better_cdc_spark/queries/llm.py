@@ -1834,6 +1834,78 @@ def q95e_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q94g_triangle_count",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    members AS (
+      SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM members GROUP BY doc_id
+    """,
+    tags=("llm", "graph", "triangle"),
+)
+def q94g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the q94e link graph — the third
+    graph primitive (after connected components and PageRank), and the
+    backbone of clustering-coefficient / community features for
+    link-based corpus quality.
+
+    The classic two-join algorithm on CANONICALIZED edges: orienting
+    every edge low→high id means each triangle (x<y<z) is produced
+    exactly once as e1=(x,y) ⋈ e2=(y,z) ⋈ e3=(x,z) — no ÷6
+    overcounting and half the edge table before any join. Both joins
+    key on node ids (shuffled hash joins; AQE splits hub-node skew —
+    the production refinement orients edges by DEGREE instead of id,
+    which bounds the wedge fan-out by sqrt(|E|)). The oracle runs the
+    identical algorithm in SQL.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded scalar: the graph's node count
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    ).select("src", ((F.col("src") * 7 + F.col("k")) % F.lit(n)).alias("dst"))
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    members = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionAll(tri.select(F.col("y").alias("doc_id")))
+        .unionAll(tri.select(F.col("z").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+@query(
     "q94f_ccnet_buckets",
     oracle="""
     WITH words AS (
