@@ -77,6 +77,7 @@ SHOWCASE_ORDER = (
     "q98i_dup_ngram_chars",
     "q27b_asof_forward_tolerance",
     "q94g_triangle_count",
+    "q67_recursive_cte",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -2888,3 +2888,35 @@ def q36f_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rel_err, 6).alias("max_rel_err"),
         (rel_err < 0.01).alias("within_bound"),
     )
+
+
+_RECURSIVE_TREE_SQL = """
+WITH RECURSIVE tree(doc_id, depth) AS (
+  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
+  UNION ALL
+  SELECT d.doc_id, t.depth + 1
+  FROM documents d JOIN tree t
+    ON t.doc_id = CAST(FLOOR(d.doc_id / 2.0) AS BIGINT) AND d.doc_id > 0
+)
+SELECT depth, COUNT(*) AS n_nodes, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM tree GROUP BY depth
+"""
+
+
+@query("q67_recursive_cte", oracle=_RECURSIVE_TREE_SQL, tags=("subquery", "recursive"))
+def q67_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4's recursive CTE, SPARK-24497): walk the
+    implicit binary tree parent(n)=⌊n/2⌋ over doc ids from the root and
+    report per-depth node counts — hierarchy traversal without a driver
+    loop, the capability the q94/q94e iterative queries had to hand-roll
+    with lineage-truncated Python loops before Spark 4.
+
+    The SAME SQL text runs on both engines (FLOOR-division parent keeps
+    the arithmetic engine-portable). Each recursion step is one join of
+    the frontier against the node table — at scale the frontier stays
+    small relative to the corpus and the join is an ordinary keyed
+    shuffle; depth is bounded by log2(n).
+    """
+    tune_for_oracle(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_RECURSIVE_TREE_SQL)
