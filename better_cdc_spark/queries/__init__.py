@@ -78,6 +78,7 @@ SHOWCASE_ORDER = (
     "q27b_asof_forward_tolerance",
     "q94g_triangle_count",
     "q67_recursive_cte",
+    "q96f_edit_distance_dedup",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

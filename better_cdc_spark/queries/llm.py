@@ -715,6 +715,73 @@ def q97_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q96f_edit_distance_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, 'x' || substr(text, 2) FROM documents
+        WHERE doc_id % 20 = 0
+    ),
+    keyed AS (
+        SELECT doc_id,
+               substr(text, 1, 40) AS k40,
+               substr(text, 10, 24) AS blk
+        FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k40, b.k40) AS BIGINT) AS edit_dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.k40, b.k40) <= 3
+    """,
+    tags=("llm", "dedup", "fuzzy"),
+)
+def q96f_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs — the FUZZY member of the
+    dedup family (typo-level variants that n-gram Jaccard treats as
+    near-identical and exact hashing misses entirely).
+
+    Levenshtein is O(len²) per pair, so it never touches full documents
+    or a cross product: candidates block on an interior 24-char slice
+    (chars 10-33 — stable under the injected head mutation), and the
+    distance runs on 40-char PREFIX fingerprints only. Blocking is the
+    same bucket-join shape as LSH banding: one equi-join on the block
+    key, quadratic only within blocks (singletons for this word-soup
+    corpus except true variants). Injected mutants replace the first
+    character, so every (orig, mutant) pair must surface at distance 1.
+    Both engines implement classic Levenshtein — the hash compares
+    distances exactly.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("x"), F.expr("substr(text, 2)")).alias("text"),
+        )
+    )
+    keyed = corpus.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("k40"),
+        F.substring("text", 10, 24).alias("blk"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("k40").alias("ka"), "blk"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("k40").alias("kb"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("ka", "kb").cast("long"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
 @query("q97f_ivf_index_persist", tags=("llm", "ann", "ivf", "index"))
 def q97f_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index LIFECYCLE: build → persist → cold-start probe with
