@@ -79,6 +79,7 @@ SHOWCASE_ORDER = (
     "q94g_triangle_count",
     "q67_recursive_cte",
     "q96f_edit_distance_dedup",
+    "q36g_hll_sketch_union",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -1135,6 +1135,42 @@ def q32_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q36g_hll_sketch_union", tags=("agg", "approx", "sketch"))
+def q36g_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL build + MERGE (Spark 3.5 hll_sketch_agg /
+    hll_union_agg): per-group sketches union into one global estimate —
+    the property q32's scalar approx_count_distinct can't show, and the
+    reason sketches work at 100 TB: shards sketch INDEPENDENTLY (no
+    distinct shuffle), the few-KB sketches travel to one reducer, and
+    union is lossless for HLL (estimate(union) ≡ estimate of the union'd
+    set, not a sum of estimates that would double-count keys spanning
+    groups).
+
+    Rows-only (sketch internals are engine-specific); the EXACT global
+    distinct is computed in-query as the audit and the relative error is
+    emitted + bounded here and in tests (lgK=12 → ~1.6% std error; bound
+    5%). The exact side costs a distinct shuffle — affordable as an
+    audit, which is exactly why production keeps only the sketch path.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate")
+    )
+    exact = li.agg(F.count_distinct("l_orderkey").alias("exact"))
+    out = merged.crossJoin(exact)
+    rel_err = F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")
+    return out.select(
+        F.lit("global_union").alias("scope"),
+        F.col("estimate").cast("long").alias("estimate"),
+        F.col("exact").cast("long").alias("exact"),
+        (rel_err <= 0.05).alias("within_bound"),
+    )
+
+
 @query(
     "q33_rollup",
     oracle="""

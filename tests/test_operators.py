@@ -304,3 +304,14 @@ def test_asof_forward_tolerance_edges(spark):
     ).select("k", "lt", "asof_rt")
     got2 = {(r["k"], r["lt"]): r["asof_rt"] for r in out2.collect()}
     assert got2 == {(1, 10): 10, (2, 10): 100}
+
+
+def test_hll_sketch_union_within_bound(spark):
+    """q36g: the union of per-group HLL sketches estimates the global
+    distinct within the 5%% bound (lgK=12 → ~1.6%% std error)."""
+    from better_cdc_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    row = load_all()["q36g_hll_sketch_union"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["within_bound"], (row["estimate"], row["exact"])
+    assert abs(row["estimate"] - row["exact"]) / row["exact"] <= 0.05
