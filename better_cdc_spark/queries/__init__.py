@@ -80,6 +80,7 @@ SHOWCASE_ORDER = (
     "q67_recursive_cte",
     "q96f_edit_distance_dedup",
     "q36g_hll_sketch_union",
+    "q20b_null_safe_join",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -834,6 +834,60 @@ def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q20b_null_safe_join",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                  ELSE c_custkey % 50 END AS k,
+             c_custkey
+      FROM customer
+    ), o AS (
+      SELECT CASE WHEN o_custkey % 100 = 0 THEN NULL
+                  ELSE o_custkey % 50 END AS k,
+             o_orderkey
+      FROM orders
+    )
+    SELECT c.k AS join_key, COUNT(*) AS n_pairs
+    FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+    GROUP BY c.k
+    """,
+    tags=("join", "null-safe"),
+)
+def q20b_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each OTHER instead of vanishing — the semantics CDC key
+    reconciliation needs when a nullable business key is part of the
+    identity (an ordinary equi join silently drops every NULL-keyed row
+    from both sides).
+
+    Spark plans eqNullSafe as a normal hash join on a null-coalesced
+    key, so the cost model is unchanged; the caveat at scale is that ALL
+    null-keyed rows land in ONE hash bucket — a deliberate skew key —
+    which is exactly the shape AQE skew-join splitting (or pre-filtering
+    nulls into a separate union branch) exists for.
+    """
+    tune_for_oracle(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey") % 50)
+        .cast("long")
+        .alias("ck")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 50)
+        .cast("long")
+        .alias("ok")
+    )
+    return (
+        c.join(o, F.col("ck").eqNullSafe(F.col("ok")))
+        .groupBy("ck")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.col("ck").alias("join_key"), "n_pairs")
+    )
+
+
+@query(
     "q27b_asof_forward_tolerance",
     oracle="""
     WITH s AS (
