@@ -150,6 +150,58 @@ def main() -> int:
 
     timed("pq adc scan", adc_count, unit="pair-scores")
 
+    # SemDeDup assignment: the literal-argmin projection must add ZERO
+    # exchanges — the only shuffle in assign-then-count is the count's own
+    # groupBy. (The Lloyd update's kxdim model exchange is probed by the
+    # registered query; here we probe the per-vector assignment rate.)
+    unit_big = emb_big.withColumn("nrm", llmops.l2_norm(F.col("v"))).select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
+    )
+    seeds = [r["u"] for r in unit_big.orderBy("vec_id").limit(8).collect()]
+    assigned_counts = unit_big.withColumn(
+        "c", llmops.nearest_centroid(seeds, "u")
+    ).groupBy("c").count()
+    plan = assigned_counts._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange") - plan.count("AQEShuffleRead")
+    assert n_exchanges <= 2, f"assignment added exchanges:\n{plan[:2000]}"
+
+    n_vecs = emb_big.count()
+
+    def assign_all():
+        assigned_counts.collect()
+        return n_vecs
+
+    timed("semdedup k-means assignment", assign_all, unit="vecs")
+
+    # Bloom decontamination probe: 16 KiB bitset from the base benchmark,
+    # membership over the amplified corpus's shingles — must stay join-free.
+    base_docs = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.lower(F.regexp_replace("text", llmops.PUNCT_RE, "")).alias("text")
+    )
+    bench_sh = (
+        base_docs.select(llmops.tokens().alias("w"))
+        .select(F.explode(llmops.word_shingles("w", k=8)).alias("shingle"))
+        .distinct()
+    )
+    bits = llmops.build_bloom_bits(bench_sh)
+    corpus_sh = (
+        docs.select(F.lower(F.regexp_replace("text", llmops.PUNCT_RE, "")).alias("text"))
+        .select(llmops.tokens().alias("w"))
+        .select(F.explode(llmops.word_shingles("w", k=8)).alias("shingle"))
+        .localCheckpoint(eager=True)  # time the PROBE, not shingle generation
+    )
+    n_sh = corpus_sh.count()
+    flagged = corpus_sh.filter(llmops.bloom_probe(bits, F.col("shingle")))
+    assert no_product_join(flagged) and "Join" not in (
+        flagged._jdf.queryExecution().executedPlan().toString()
+    ), "bloom probe must be join-free"
+
+    def bloom_all():
+        flagged.count()
+        return n_sh
+
+    timed("bloom membership probe", bloom_all, unit="shingles")
+
     return 0
 
 
