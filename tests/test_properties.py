@@ -384,3 +384,55 @@ def test_funnel_stages_agree_with_python_fold(spark, rows):
         if e == "purchase" and u in cu and t >= cu[u] and (u not in pu or t < pu[u]):
             pu[u] = t
     assert got == (len(su), len(cu), len(pu))
+
+
+op_streams = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),                       # key
+        st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+        st.integers(0, 999),                         # payload
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(stream=op_streams, cuts=st.lists(st.integers(1, 23), max_size=4))
+def test_scd2_increment_law_random_streams(spark, stream, cuts):
+    """For ANY op stream and ANY batch partitioning of it, folding the
+    batches through scd2_apply_increment equals scd2_history of the whole
+    stream — the law qc14's oracle checks on one fixture, checked here on
+    random streams (including reinserts, delete-first keys, and empty
+    batches from duplicate cut points)."""
+    from better_cdc_spark.cdc import scd2_apply_increment, scd2_history
+
+    rows = [
+        (k, op, v, i) for i, (k, op, v) in enumerate(stream)
+    ]  # seq = arrival order, globally unique
+    df = spark.createDataFrame(rows, "id string, operation string, payload long, commit_seq long")
+
+    want = {
+        tuple(r)
+        for r in scd2_history(df, keys="id", order_col="commit_seq")
+        .select("id", "payload", "version", "is_current")
+        .collect()
+    }
+
+    bounds = sorted({0, len(rows), *[min(c, len(rows)) for c in cuts]})
+    hist = (
+        df.withColumn("valid_to", F.lit(None).cast("long"))
+        .withColumn("version", F.lit(None).cast("int"))
+        .withColumn("is_current", F.lit(True))
+        .limit(0)
+    )
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = df.filter((F.col("commit_seq") >= lo) & (F.col("commit_seq") < hi))
+        hist = scd2_apply_increment(
+            hist, batch, keys="id", order_col="commit_seq"
+        ).localCheckpoint(eager=True)
+    got = {
+        tuple(r)
+        for r in hist.select("id", "payload", "version", "is_current").collect()
+    }
+    assert got == want
