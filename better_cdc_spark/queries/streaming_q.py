@@ -681,6 +681,113 @@ def q88b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q86b_stream_static_refresh",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v FROM events
+      WHERE event_id % 2 = 0
+    ), w2 AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v FROM events
+      WHERE event_id % 2 = 1
+    ), j AS (
+      SELECT user_id % 3 AS tier, v FROM w1
+      UNION ALL
+      SELECT user_id % 3 + 10 AS tier, v FROM w2
+    )
+    SELECT tier, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM j GROUP BY tier
+    """,
+    tags=("streaming", "join", "stream-static", "refresh"),
+)
+def q86b_stream_static_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join where the static dim MUTATES between epochs —
+    the slowly-changing-reference-data pattern q86 can't show.
+
+    The gotcha this query pins: a static DataFrame created once outside
+    the stream caches its file listing (InMemoryFileIndex) at plan time,
+    so dim updates NEVER become visible to later micro-batches. The
+    production pattern — used here — re-reads the dim INSIDE foreachBatch,
+    so each epoch resolves the current dim version. Epoch 1 (even
+    event_ids) joins dim v1 (tier = user % 3); the dim is overwritten;
+    epoch 2 (odd event_ids) joins v2 (tier = user % 3 + 10). The oracle
+    encodes exactly that wave↦version pairing, so the hash check fails if
+    either epoch saw the wrong dim.
+
+    Scale: the dim re-read is one listing + broadcast per epoch — the
+    same cost Spark pays for any dim join; correctness, not cost, is why
+    the re-read must live inside the batch function.
+    """
+    tune_for_oracle(spark)
+    import glob as _glob
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from better_cdc_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    src = _tf.mkdtemp(prefix="bcs_q86b_src_")
+    _sh.rmtree(src, ignore_errors=True)
+    dim_dir = _tf.mkdtemp(prefix="bcs_q86b_dim_")
+    out_dir = _tf.mkdtemp(prefix="bcs_q86b_out_")
+    _sh.rmtree(out_dir, ignore_errors=True)
+    ck = _tf.mkdtemp(prefix="bcs_ck_q86b_")
+
+    users = events.select("user_id").distinct()
+
+    def write_dim(version: int) -> None:
+        tier = F.col("user_id") % 3 + (0 if version == 1 else 10)
+        users.select("user_id", tier.cast("long").alias("tier")).write.mode(
+            "overwrite"
+        ).parquet(dim_dir)
+
+    def stage_wave(parity: int) -> None:
+        events.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for i, f in enumerate(sorted(_glob.glob(f"{src}/part-*"), key=_os.path.getmtime)):
+            t = _time.time() - 2 * (4 - i)
+            _os.utime(f, (t, t))
+
+    def step(batch_df: DataFrame, _epoch: int) -> None:
+        spark_ = batch_df.sparkSession
+        dim = F.broadcast(spark_.read.parquet(dim_dir))  # re-read EVERY epoch
+        batch_df.join(dim, "user_id").select("tier", "v").write.mode("append").parquet(
+            out_dir
+        )
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(step)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    stage_wave(0)
+    write_dim(1)
+    run_once()
+    stage_wave(1)
+    write_dim(2)
+    run_once()
+
+    joined = spark.read.parquet(out_dir)
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n"), F.sum("v").cast("double").alias("sum_value")
+    )
+
+
+@query(
     "q88d_stream_stream_full_join",
     oracle="""
     WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts
