@@ -82,6 +82,7 @@ SHOWCASE_ORDER = (
     "q36g_hll_sketch_union",
     "q20b_null_safe_join",
     "q86b_stream_static_refresh",
+    "q04c_available_now_trigger",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -907,6 +907,48 @@ def q04b_rate_limited_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q04c_available_now_trigger",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "source", "trigger"),
+)
+def q04c_available_now_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow: drain the backlog in RATE-LIMITED batches and
+    stop on its own — the modern replacement for Trigger.Once, which
+    ignored maxFilesPerTrigger and loaded the entire backlog as one giant
+    batch (the OOM path for a 100 TB catch-up job). Four staged splits ×
+    maxFilesPerTrigger=1 must flow as ≥4 micro-batches through one
+    aggregation state, terminate without processAllAvailable, and equal
+    the batch answer.
+    """
+    tune_for_oracle(spark)
+    import tempfile as _tf
+
+    agg = (
+        events_stream(spark, sf_dir, max_files_per_trigger=1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), _d(F.sum(dec("value"))).alias("sum_value"))
+    )
+    name = "q04c_mem"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="bcs_ck_q04c_"))
+        .start()
+    )
+    q.awaitTermination()  # AvailableNow terminates by itself — no stop()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 4, f"expected >=4 rate-limited batches, got {n_batches}"
+    return spark.table(name)
+
+
+@query(
     "q84b_dedup_within_watermark",
     oracle="""
     SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
