@@ -83,6 +83,8 @@ SHOWCASE_ORDER = (
     "q20b_null_safe_join",
     "q86b_stream_static_refresh",
     "q04c_available_now_trigger",
+    "q07b_xml_roundtrip",
+    "q70b_collation",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -315,9 +315,50 @@ def q07_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_for_oracle(spark)
     supp = load_table(spark, sf_dir, "supplier")
-    out = f"{tempfile.gettempdir()}/bcs_q07_orc"
+    # per-invocation dir: a shared fixed path races overwrite-against-read
+    # when two harnesses run concurrently (same class of hazard the
+    # advisor flagged for the JSONL sink)
+    out = tempfile.mkdtemp(prefix="bcs_q07_orc_")
     supp.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        _d(F.sum(dec("s_acctbal"))).alias("sum_acctbal"),
+    )
+
+
+@query(
+    "q07b_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    tags=("source", "sink", "xml"),
+)
+def q07b_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan (Spark 4's built-in XML data source, SPARK-44265).
+
+    The interchange format for B2B/legacy feeds a CDC consumer still
+    meets; Spark 4 folds the old spark-xml package into the engine with
+    schema inference and rowTag semantics. Round-trip supplier rows
+    through XML then aggregate, so the oracle checks writer AND reader
+    (numeric fidelity through text encoding included — acctbal survives
+    as DECIMAL re-cast, not a lossy double).
+
+    Scale note: XML parse is row-wise and CPU-heavy — fine for dim-sized
+    feeds, wrong for the 100 TB fact path (parquet/ORC); that contrast is
+    the point of carrying both.
+    """
+    tune_for_oracle(spark)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.col("s_acctbal").cast("string").alias("s_acctbal")
+    )
+    out = tempfile.mkdtemp(prefix="bcs_q07b_xml_")
+    supp.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(out)
+    back = spark.read.format("xml").option("rowTag", "supplier").load(out)
     return back.groupBy("s_nationkey").agg(
         F.count("*").alias("n_suppliers"),
         _d(F.sum(dec("s_acctbal"))).alias("sum_acctbal"),
@@ -2070,6 +2111,54 @@ def q65_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Scalar functions (Q70–Q76)
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "q70b_collation",
+    oracle="""
+    WITH mut AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           COUNT(*) AS n,
+           MIN(c_custkey) AS min_key
+    FROM mut GROUP BY lower(seg)
+    """,
+    tags=("functions", "collation", "string"),
+)
+def q70b_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated strings (Spark 4, SPARK-46830): group case-mutated segment
+    names under UTF8_LCASE so 'BUILDING' and 'building' are ONE group —
+    collation-aware comparison in the engine instead of lower() scattered
+    through every predicate (and, unlike lower(), collation survives into
+    joins, ORDER BY, and GROUP BY with correct locale semantics).
+
+    The group label is emitted as lower(first(seg)): members of a
+    case-insensitive group differ only by case, so the lowercased
+    representative is deterministic even though first() isn't. The oracle
+    groups by lower(seg) — identical partitioning for ASCII data, which
+    is exactly the claim.
+    """
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    mut = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg"),
+    )
+    return (
+        mut.groupBy(F.collate("seg", "UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.lower(F.first("seg")).alias("segment"),
+            F.count("*").alias("n"),
+            F.min("c_custkey").alias("min_key"),
+        )
+        .select("segment", "n", "min_key")
+    )
 
 
 @query(
