@@ -22,7 +22,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # Event mix echoes the reference's load harness: 60/40 within a 5-op tx is
@@ -143,3 +145,77 @@ class ChangelogGenStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITE path: a JSONL transport sink with 2-phase commit
+# ---------------------------------------------------------------------------
+
+
+class _SinkCommit(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-task JSONL writer with the standard two-phase commit contract:
+    tasks stage to `<dir>/_staged/<uuid>.jsonl` and return a commit
+    message; only the DRIVER's commit() publishes staged files into the
+    final dir and stamps the `_BCS_COMMITTED` manifest — a failed or
+    speculative task's file is never visible, and abort() removes the
+    staging dir wholesale. This is the publisher-side idempotency/atomic-
+    batch contract of the reference's JetStream sink (publish-then-ack,
+    engine.go batch flush) expressed through Spark's sink API.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        staged_dir = os.path.join(self.path, "_staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        staged = os.path.join(staged_dir, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _SinkCommit(staged, n)
+
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+
+        final = []
+        for m in messages:
+            dest = os.path.join(self.path, os.path.basename(m.staged_path))
+            shutil.move(m.staged_path, dest)
+            final.append({"file": os.path.basename(dest), "rows": m.n_rows})
+        shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+        with open(os.path.join(self.path, "_BCS_COMMITTED"), "w") as f:
+            json.dump({"files": final, "total_rows": sum(x["rows"] for x in final)}, f)
+
+    def abort(self, messages):
+        import shutil
+        import os
+
+        shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+
+
+class JsonlSinkDataSource(DataSource):
+    """df.write.format("bcs_jsonl_sink").option("path", dir).mode("append")"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bcs_jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)

@@ -85,6 +85,7 @@ SHOWCASE_ORDER = (
     "q04c_available_now_trigger",
     "q07b_xml_roundtrip",
     "q70b_collation",
+    "qc16_python_datasource_sink",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

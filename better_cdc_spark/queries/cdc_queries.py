@@ -1045,3 +1045,57 @@ def qc15_toast_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("payload", ignorenulls=True).over(w).alias("payload"),
         "total_cents",
     )
+
+
+@query(
+    "qc16_python_datasource_sink",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("cdc", "sink", "datasource"),
+)
+def qc16_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource SINK (Spark 4 DataSourceWriter) — the
+    write-side twin of qc09/qc12's custom sources, completing the
+    connector extension surface (the reference's publisher seam, R11):
+    per-task staging + driver-side commit publishes files atomically
+    (`_BCS_COMMITTED` manifest), abort leaves nothing visible — the
+    publish-then-ack contract of the JetStream sink through Spark's API.
+
+    The query writes a filtered orders slice through the sink, re-reads
+    the committed JSONL with an explicit schema, and aggregates — the
+    oracle computes the same slice straight from orders, so the hash
+    check verifies the writer, the commit protocol, and the read-back
+    path end-to-end.
+    """
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    from better_cdc_spark.datasource import JsonlSinkDataSource
+
+    tune_for_oracle(spark)
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = _tf.mkdtemp(prefix="bcs_qc16_sink_")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    slice_df = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("string").alias("price"),  # lossless text
+    )
+    slice_df.write.format("bcs_jsonl_sink").option("path", out).mode("append").save()
+
+    manifest = _json.load(open(_os.path.join(out, "_BCS_COMMITTED")))
+    assert manifest["total_rows"] == slice_df.count(), manifest
+    assert not _os.path.exists(_os.path.join(out, "_staged"))
+
+    back = spark.read.schema("o_orderkey long, status string, price string").json(
+        _os.path.join(out, "*.jsonl")
+    )
+    return back.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
