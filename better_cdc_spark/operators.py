@@ -141,11 +141,15 @@ def merge_into(
     when_matched_update: "dict[str, Column] | None" = None,
     when_matched_delete: "Column | None" = None,
     when_not_matched_insert: "dict[str, Column] | bool" = False,
+    when_not_matched_by_source_update: "dict[str, Column] | None" = None,
+    when_not_matched_by_source_delete: "Column | None" = None,
 ) -> DataFrame:
     """Delta-style ``MERGE INTO`` as a pure DataFrame transform.
 
     Joins ``target`` and ``source`` on the key columns ``on`` and applies
-    the standard three clauses:
+    the standard clauses (including Delta's WHEN NOT MATCHED BY SOURCE
+    pair, which acts on target rows whose key has no source match —
+    retention/dormancy logic in one MERGE instead of a second pass):
 
       - ``when_matched_delete``: predicate (over ``t.*`` / ``s.*`` aliased
         columns) — matched target rows satisfying it are removed;
@@ -153,7 +157,11 @@ def merge_into(
         survived the delete clause) get these columns replaced;
       - ``when_not_matched_insert``: ``True`` to insert source rows
         column-by-name (missing target columns null), or {target_col:
-        expr} for explicit values; ``False`` drops unmatched source rows.
+        expr} for explicit values; ``False`` drops unmatched source rows;
+      - ``when_not_matched_by_source_delete``: predicate over ``t.*`` —
+        unmatched target rows satisfying it are removed;
+      - ``when_not_matched_by_source_update``: {target_col: expr} applied
+        to unmatched target rows that survived the delete clause.
 
     Target rows with no source match always pass through unchanged, and
     the output schema is exactly ``target``'s — so the result is the next
@@ -182,8 +190,13 @@ def merge_into(
 
     matched = F.col("t.__te").isNotNull() & F.col("s.__se").isNotNull()
     source_only = F.col("t.__te").isNull()
+    target_only = F.col("t.__te").isNotNull() & F.col("s.__se").isNull()
     if when_matched_delete is not None:
         j = j.filter(~(matched & F.coalesce(when_matched_delete, F.lit(False))))
+    if when_not_matched_by_source_delete is not None:
+        j = j.filter(
+            ~(target_only & F.coalesce(when_not_matched_by_source_delete, F.lit(False)))
+        )
 
     updates = when_matched_update or {}
     inserts = when_not_matched_insert if isinstance(when_not_matched_insert, dict) else {}
@@ -196,6 +209,10 @@ def merge_into(
         else:
             if c in updates:
                 val = F.when(matched, updates[c]).otherwise(val)
+            if when_not_matched_by_source_update and c in when_not_matched_by_source_update:
+                val = F.when(
+                    target_only, when_not_matched_by_source_update[c]
+                ).otherwise(val)
             if when_not_matched_insert is not False:
                 ins = inserts.get(
                     c,

@@ -86,6 +86,7 @@ SHOWCASE_ORDER = (
     "q07b_xml_roundtrip",
     "q70b_collation",
     "qc16_python_datasource_sink",
+    "qm02_merge_full_clauses",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

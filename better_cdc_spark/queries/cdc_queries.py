@@ -1099,3 +1099,82 @@ def qc16_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "qm02_merge_full_clauses",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey AS id, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer
+    ), latest AS (
+      SELECT o_custkey, o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ), s AS (
+      SELECT CASE WHEN o_custkey % 100 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS id,
+             o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      FROM latest WHERE rn = 1
+    ), j AS (
+      SELECT t.id AS tid, t.seg, t.bal_cents, s.id AS sid, s.status, s.price_cents
+      FROM t FULL OUTER JOIN s ON t.id = s.id
+    )
+    SELECT COALESCE(tid, sid) AS id,
+           CASE WHEN tid IS NOT NULL AND sid IS NULL THEN 'DORMANT'
+                WHEN tid IS NULL THEN 'NEW'
+                ELSE seg END AS seg,
+           CASE WHEN tid IS NULL THEN price_cents
+                WHEN sid IS NULL THEN bal_cents
+                ELSE bal_cents + price_cents END AS bal_cents
+    FROM j
+    WHERE NOT (tid IS NOT NULL AND sid IS NOT NULL AND status = 'F')
+    """,
+    tags=("cdc", "merge", "delta"),
+)
+def qm02_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-clause MERGE INTO (the full Delta clause set, including WHEN
+    NOT MATCHED BY SOURCE): matched+status='F' → DELETE, matched →
+    balance update, source-only → INSERT as 'NEW', target-only →
+    'DORMANT' re-segmentation — retention logic that otherwise needs a
+    second anti-join pass runs inside the same single full-outer join.
+
+    Source is pre-collapsed to one row per key (latest order per
+    customer); every 100th source key is shifted out of the target key
+    space to exercise the insert clause. Same one-shuffle plan as qm01 —
+    the extra clauses are pure projection/filter logic on the joined row.
+    """
+    tune_for_oracle(spark)
+    from better_cdc_spark.operators import merge_into, topk_per_group
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    target = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    latest = topk_per_group(orders, "o_custkey", F.col("o_orderkey"), 1).select(
+        F.when(F.col("o_custkey") % 100 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    return merge_into(
+        target,
+        latest,
+        on="id",
+        when_matched_delete=F.col("s.status") == "F",
+        when_matched_update={
+            "bal_cents": F.col("t.bal_cents") + F.col("s.price_cents")
+        },
+        when_not_matched_insert={
+            "seg": F.lit("NEW"),
+            "bal_cents": F.col("s.price_cents"),
+        },
+        when_not_matched_by_source_update={"seg": F.lit("DORMANT")},
+    )
