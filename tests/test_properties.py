@@ -436,3 +436,31 @@ def test_scd2_increment_law_random_streams(spark, stream, cuts):
         for r in hist.select("id", "payload", "version", "is_current").collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left_rows=event_lists, right_rows=event_lists, tol=st.integers(1, 30))
+def test_asof_forward_tolerance_agrees_with_pandas(spark, left_rows, right_rows, tol):
+    left_rows = list({(k, t): (k, t, v) for k, t, v in left_rows}.values())
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+
+    left = spark.createDataFrame(left_rows, "k string, t long, lv long")
+    right = spark.createDataFrame(right_rows, "k string, t long, rv long")
+    got = {
+        (r.k, r.t, r.lv, r.asof_t, r.asof_rv)
+        for r in ops.asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            direction="forward", tolerance=F.lit(tol),
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "lv"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "rv"]).sort_values("t")
+    rp["rt"] = rp["t"]
+    exp = pd.merge_asof(
+        lp, rp, on="t", by="k", direction="forward", tolerance=tol
+    ).dropna(subset=["rv"])
+    expected = {
+        (r.k, int(r.t), int(r.lv), int(r.rt), int(r.rv)) for r in exp.itertuples()
+    }
+    assert got == expected
