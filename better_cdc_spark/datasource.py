@@ -162,11 +162,19 @@ class JsonlSinkWriter(DataSourceWriter):
     """Per-task JSONL writer with the standard two-phase commit contract:
     tasks stage to `<dir>/_staged/<uuid>.jsonl` and return a commit
     message; only the DRIVER's commit() publishes staged files into the
-    final dir and stamps the `_BCS_COMMITTED` manifest — a failed or
+    final dir and re-stamps the `_BCS_COMMITTED` manifest (MERGING any
+    previous manifest, so append-mode batches accumulate) — a failed or
     speculative task's file is never visible, and abort() removes the
     staging dir wholesale. This is the publisher-side idempotency/atomic-
     batch contract of the reference's JetStream sink (publish-then-ack,
     engine.go batch flush) expressed through Spark's sink API.
+
+    Filesystem contract: ``path`` must be a SHARED mount visible to
+    executors and driver under the same path (NFS/FUSE-mounted object
+    store/local mode) — the same assumption every path-based file sink
+    makes; executor-local staging with driver-side rename cannot work on
+    per-node disks. One writer per path at a time (Spark's own file
+    sinks require the same); abort() cleanup is best-effort.
     """
 
     def __init__(self, options):
@@ -195,12 +203,15 @@ class JsonlSinkWriter(DataSourceWriter):
         import shutil
 
         final = []
+        manifest_path = os.path.join(self.path, "_BCS_COMMITTED")
+        if os.path.exists(manifest_path):  # append mode: extend, don't clobber
+            final = json.load(open(manifest_path))["files"]
         for m in messages:
             dest = os.path.join(self.path, os.path.basename(m.staged_path))
             shutil.move(m.staged_path, dest)
             final.append({"file": os.path.basename(dest), "rows": m.n_rows})
         shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
-        with open(os.path.join(self.path, "_BCS_COMMITTED"), "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump({"files": final, "total_rows": sum(x["rows"] for x in final)}, f)
 
     def abort(self, messages):

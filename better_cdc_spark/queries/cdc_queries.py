@@ -887,11 +887,9 @@ def qc14_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same files in one plan); every step is keyed by the dimension
     key, O(batch + touched-history), no global rewrite per epoch.
     """
-    import tempfile as _tf
     import os as _os
     import shutil as _sh
-    import glob as _glob
-    import time as _time
+    import tempfile as _tf
 
     from better_cdc_spark.cdc import scd2_apply_increment
 
@@ -934,10 +932,9 @@ def qc14_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes.filter(F.col("commit_seq") == wave).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-    parts = sorted(_glob.glob(f"{src}/part-*"), key=_os.path.getmtime)
-    for i, f in enumerate(parts):
-        t = _time.time() - 2 * (len(parts) - i)
-        _os.utime(f, (t, t))
+    from better_cdc_spark.streaming.core import stamp_ordered_mtimes
+
+    stamp_ordered_mtimes(src)
 
     out_schema = changes.withColumn("valid_to", F.lit(None).cast("int")).withColumn(
         "version", F.lit(None).cast("int")
@@ -945,9 +942,12 @@ def qc14_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def step(batch_df: DataFrame, _epoch: int) -> None:
         spark_ = batch_df.sparkSession
-        try:
+        # ONLY a missing dir means empty history — any other read failure
+        # must raise, or a transient error would silently reset the
+        # accumulated history to empty (wrong-but-plausible output).
+        if _os.path.isdir(hist_dir):
             hist = spark_.read.schema(out_schema).parquet(hist_dir)
-        except Exception:
+        else:
             hist = spark_.createDataFrame([], out_schema)
         new_hist = scd2_apply_increment(
             hist, batch_df, keys="id", order_col="commit_seq"

@@ -406,11 +406,18 @@ SEMDEDUP_TAU = 0.95
                 ORDER BY list_distance(t.u, s.u) ASC, s.cid ASC LIMIT 1) AS c
         FROM unit t
     ),
-    cent1 AS (
+    cent1_new AS (
         SELECT c AS cid, list(m ORDER BY i) AS u FROM (
             SELECT a.c, g.i, avg(a.u[g.i]) AS m
             FROM assign1 a, generate_series(1, 64) AS g(i)
             GROUP BY a.c, g.i) GROUP BY c
+    ),
+    -- a cluster that loses all members keeps its previous centroid, the
+    -- same determinism contract as lloyd_centroids (cluster ids never
+    -- renumber mid-run)
+    cent1 AS (
+        SELECT s.cid, COALESCE(n.u, s.u) AS u
+        FROM seeds0 s LEFT JOIN cent1_new n ON n.cid = s.cid
     ),
     assign2 AS (
         SELECT t.vec_id, t.u,
@@ -418,11 +425,15 @@ SEMDEDUP_TAU = 0.95
                 ORDER BY list_distance(t.u, s.u) ASC, s.cid ASC LIMIT 1) AS c
         FROM unit t
     ),
-    cent2 AS (
+    cent2_new AS (
         SELECT c AS cid, list(m ORDER BY i) AS u FROM (
             SELECT a.c, g.i, avg(a.u[g.i]) AS m
             FROM assign2 a, generate_series(1, 64) AS g(i)
             GROUP BY a.c, g.i) GROUP BY c
+    ),
+    cent2 AS (
+        SELECT p.cid, COALESCE(n.u, p.u) AS u
+        FROM cent1 p LEFT JOIN cent2_new n ON n.cid = p.cid
     ),
     final AS (
         SELECT t.vec_id, t.u,

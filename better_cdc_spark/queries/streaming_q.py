@@ -718,11 +718,8 @@ def q86b_stream_static_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the re-read must live inside the batch function.
     """
     tune_for_oracle(spark)
-    import glob as _glob
-    import os as _os
     import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from better_cdc_spark.io import load_table
 
@@ -744,13 +741,15 @@ def q86b_stream_static_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(dim_dir)
 
+    from better_cdc_spark.streaming.core import stamp_ordered_mtimes
+
     def stage_wave(parity: int) -> None:
         events.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        for i, f in enumerate(sorted(_glob.glob(f"{src}/part-*"), key=_os.path.getmtime)):
-            t = _time.time() - 2 * (4 - i)
-            _os.utime(f, (t, t))
+        # part file names sort in write order, so name-ordered stamping
+        # preserves wave order without a hardcoded file-count constant
+        stamp_ordered_mtimes(src)
 
     def step(batch_df: DataFrame, _epoch: int) -> None:
         spark_ = batch_df.sparkSession

@@ -152,3 +152,21 @@ def run_to_parquet(sdf: DataFrame, out_dir: str, *, mode: str = "append") -> Non
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def stamp_ordered_mtimes(src_dir: str, pattern: str = "part-*") -> None:
+    """Stamp strictly increasing mtimes (oldest first, name order) on the
+    part files of ``src_dir`` — ordered ADMISSION for file-source streams:
+    Spark's file source breaks modification-time ties arbitrarily, so a
+    fast multi-file write can let later waves jump the queue. One shared
+    implementation (used by q86b, qc14 and the e2e rig) instead of
+    per-site copies with divergent constants.
+    """
+    import glob
+    import time
+
+    parts = sorted(glob.glob(f"{src_dir}/{pattern}"))
+    now = time.time()
+    for i, f in enumerate(parts):
+        t = now - 2 * (len(parts) - i)
+        os.utime(f, (t, t))

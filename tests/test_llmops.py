@@ -426,4 +426,7 @@ def test_ivf_persisted_index_serves_identically_and_prunes(spark):
     b = {tuple(r) for r in cold.collect()}
     assert a == b
     plan = cold._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [cell" in plan or "cell#" in plan.split("PartitionFilters")[1][:120]
+    assert "PartitionFilters" in plan, "index scan lost its PartitionFilters section"
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:160], (
+        "cell filter missing from PartitionFilters"
+    )
