@@ -114,13 +114,9 @@ def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
     # which violates the pipeline's ordered-delivery contract (commits
     # must not precede their data; see CDCStreamPipeline docstring).
     # Stamp strictly increasing mtimes in range order, like the WAL would.
-    import glob
-    import os
+    from better_cdc_spark.streaming.core import stamp_ordered_mtimes
 
-    parts = sorted(glob.glob(f"{src}/part-*"))
-    for i, f in enumerate(parts):
-        t = time.time() - 2 * (len(parts) - i)
-        os.utime(f, (t, t))
+    stamp_ordered_mtimes(src)
 
     pipe = CDCStreamPipeline(
         spark,
