@@ -87,6 +87,7 @@ SHOWCASE_ORDER = (
     "q70b_collation",
     "qc16_python_datasource_sink",
     "qm02_merge_full_clauses",
+    "q95l_semantic_decontaminate",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -1663,6 +1663,76 @@ def q95b_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_DECON_TAU = 0.38
+
+
+@query(
+    "q95l_semantic_decontaminate",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    bench AS (SELECT vec_id, ev FROM v WHERE vec_id < 20),
+    hits AS (
+      SELECT c.vec_id AS doc_id, COUNT(*) AS n_hits
+      FROM v c JOIN bench b
+        ON c.vec_id >= 20
+       AND list_cosine_similarity(c.ev, b.ev) >= {SEMANTIC_DECON_TAU}
+      GROUP BY c.vec_id
+    )
+    SELECT v.vec_id AS doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           h.doc_id IS NOT NULL AS contaminated
+    FROM v LEFT JOIN hits h ON h.doc_id = v.vec_id
+    WHERE v.vec_id >= 20
+    """,
+    tags=("llm", "decontamination", "embedding"),
+)
+def q95l_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the third member of the family: exact
+    8-grams (q95b) catch verbatim leakage, Bloom (q95k) scales that, but
+    neither sees a PARAPHRASED benchmark item. Embedding-space screening
+    does: flag corpus docs whose embedding sits within cosine ≥
+    {SEMANTIC_DECON_TAU} of ANY benchmark doc (doc_id < 20, embeddings
+    keyed doc_id = vec_id).
+
+    Plan: the benchmark side is tiny BY DEFINITION (eval sets are
+    thousands of rows, the corpus is billions), so it broadcasts and the
+    screen is one pass over the corpus — per-row cost k·dim flops
+    against the broadcast matrix, no corpus shuffle until the per-doc
+    count. The same shape as q97_cosine_topk's probe, pointed at
+    decontamination; for huge benchmark sets the ANN index (q97f) fronts
+    the exact check.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    bench = F.broadcast(
+        emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("bid"), F.col("v").alias("bv")
+        )
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    cos = llmops.dot(F.col("v"), F.col("bv")) / (
+        llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("bv"))
+    )
+    hits = (
+        corpus.join(bench, cos >= SEMANTIC_DECON_TAU)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col("vec_id").alias("doc_id"))
+        .join(hits.select(F.col("vec_id").alias("doc_id"), "n_hits"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
+    )
+
+
 @query("q95k_bloom_decontaminate", tags=("llm", "dedup", "decontamination", "bloom"))
 def q95k_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination — q95b's 100 TB form: the benchmark's
