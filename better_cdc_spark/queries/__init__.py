@@ -88,6 +88,7 @@ SHOWCASE_ORDER = (
     "qc16_python_datasource_sink",
     "qm02_merge_full_clauses",
     "q95l_semantic_decontaminate",
+    "q95m_containment_dedup",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -183,6 +183,84 @@ def q96_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmops.exact_jaccard_pairs(postings, "doc_id", JACCARD_THRESHOLD)
 
 
+CONTAINMENT_TAU = 0.8
+
+
+@query(
+    "q95m_containment_dedup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               array_to_string(string_split(text, ' ')[1:30], ' ')
+        FROM documents WHERE doc_id % 15 = 0
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT contained_id, container_id,
+           ROUND(c * 1.0 / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.contained_id
+    WHERE c * 1.0 / sa.n >= {CONTAINMENT_TAU}
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def q95m_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: Jaccard CONTAINMENT |sh(A)∩sh(B)| / |sh(A)| —
+    the excerpt/quote detector. A 30-word excerpt of a 170-word doc has
+    Jaccard ≈ 0.17 (invisible to the symmetric q96 threshold) but
+    containment 1.0: subset duplication needs its own measure, which is
+    why dedup literature (Broder's original resemblance/containment pair)
+    carries both. Injected excerpts (first 30 words of every 15th doc)
+    must surface at containment 1.0 against their source.
+
+    Same inverted-index plan as q96_ngram_jaccard — the shuffle key is
+    the shingle, never a doc×doc product; the ordered-pair output doubles
+    the intersection rows, not the join. At 100 TB the same df-cap on hot
+    shingles bounds the worst group.
+    """
+    tune_for_oracle(spark)
+    tune_cpu_bound(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 15 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 30)).alias("text"),
+        )
+    )
+    postings = llmops.shingle_postings(corpus, "doc_id")
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = postings.select(F.col("doc_id").alias("contained_id"), "shingle")
+    b = postings.select(F.col("doc_id").alias("container_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = F.col("c") * 1.0 / F.col("n")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("contained_id"), "n"), "contained_id")
+        .filter(ratio >= CONTAINMENT_TAU)
+        .select(
+            "contained_id",
+            "container_id",
+            F.round(ratio, 6).alias("containment"),
+        )
+    )
+
+
 @query("q96_minhash_lsh", tags=("llm", "dedup", "minhash"))
 def q96_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, exact-verified (llmops Q96 scale path).
