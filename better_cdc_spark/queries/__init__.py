@@ -89,6 +89,7 @@ SHOWCASE_ORDER = (
     "qm02_merge_full_clauses",
     "q95l_semantic_decontaminate",
     "q95m_containment_dedup",
+    "q44b_time_weighted_avg",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -2114,6 +2114,59 @@ def q65_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q44b_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), weighted AS (
+      SELECT user_id, v,
+             epoch_us(nxt) - epoch_us(ts) AS dur_us
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           ROUND(CAST(SUM(v * dur_us) AS DOUBLE) / SUM(dur_us), 6) AS twap
+    FROM weighted GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "twap"),
+)
+def q44b_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) over irregular samples: each value is
+    held until the user's next event, weighted by holding duration — the
+    correct mean for unevenly-sampled series where a plain AVG
+    overweights bursts (the financial TWAP / TimescaleDB time_weight
+    shape, built from lead() + one grouped agg).
+
+    Determinism: durations are integer MICROSECONDS and values
+    DECIMAL(18,2), so the weighted sums are exact in both engines and
+    only the final division is floating point — one IEEE op, then shared
+    6dp rounding. One key shuffle; window and agg share the partitioning.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    weighted = seq.select(
+        "user_id",
+        "v",
+        (F.unix_micros("nxt") - F.unix_micros("ts")).alias("dur_us"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("v") * F.col("dur_us")).cast("double") / F.sum("dur_us"), 6
+        ).alias("twap"),
+    )
+
+
+@query(
     "q70b_collation",
     oracle="""
     WITH mut AS (
