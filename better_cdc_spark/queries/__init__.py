@@ -90,6 +90,7 @@ SHOWCASE_ORDER = (
     "q95l_semantic_decontaminate",
     "q95m_containment_dedup",
     "q44b_time_weighted_avg",
+    "q97g_range_search",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

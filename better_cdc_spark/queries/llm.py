@@ -871,6 +871,57 @@ def q96f_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_SEARCH_TAU = 0.3
+
+
+@query(
+    "q97g_range_search",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    q AS (SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id < 8)
+    SELECT q.qid, c.vec_id AS nid,
+           ROUND(list_cosine_similarity(c.ev, q.qv), 6) AS cosine
+    FROM v c JOIN q ON c.vec_id <> q.qid
+    WHERE list_cosine_similarity(c.ev, q.qv) >= {RANGE_SEARCH_TAU}
+    """,
+    tags=("llm", "search", "range"),
+)
+def q97g_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search — the other query shape beside top-k: all
+    corpus vectors within cosine ≥ {RANGE_SEARCH_TAU} of each probe
+    (radius queries back recommendation cutoffs and dedup-by-threshold,
+    where k is unknown a priori and top-k would truncate or pad).
+
+    Same plan as q97_cosine_topk minus the rank window: the 8-row probe
+    side broadcasts, the corpus never shuffles, and the threshold filter
+    replaces the per-probe TopK — output size is data-dependent, which
+    is exactly why this must stay a streaming-friendly scan + filter
+    rather than anything that materializes per-probe state.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+    )
+    cos = llmops.dot(F.col("v"), F.col("qv")) / (
+        llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))
+    )
+    return (
+        emb.join(probes, F.col("vec_id") != F.col("qid"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= RANGE_SEARCH_TAU)
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )
+
+
 @query("q97f_ivf_index_persist", tags=("llm", "ann", "ivf", "index"))
 def q97f_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index LIFECYCLE: build → persist → cold-start probe with
