@@ -239,7 +239,10 @@ def q95m_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.split("text", " "), 1, 30)).alias("text"),
         )
     )
-    postings = llmops.shingle_postings(corpus, "doc_id")
+    # postings feed three branches (both join sides + sizes): materialize
+    # once instead of re-running the union + shingle explode per branch —
+    # the same policy exact_jaccard_pairs applies
+    postings = llmops.shingle_postings(corpus, "doc_id").localCheckpoint(eager=True)
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = postings.select(F.col("doc_id").alias("contained_id"), "shingle")
     b = postings.select(F.col("doc_id").alias("container_id"), "shingle")
@@ -878,17 +881,17 @@ RANGE_SEARCH_TAU = 0.3
     "q97g_range_search",
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-    q AS (SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id < 8)
+    q AS (SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id < {TOPK_QUERIES})
     SELECT q.qid, c.vec_id AS nid,
            ROUND(list_cosine_similarity(c.ev, q.qv), 6) AS cosine
     FROM v c JOIN q ON c.vec_id <> q.qid
-    WHERE list_cosine_similarity(c.ev, q.qv) >= {RANGE_SEARCH_TAU}
+    WHERE ROUND(list_cosine_similarity(c.ev, q.qv), 6) >= {RANGE_SEARCH_TAU}
     """,
     tags=("llm", "search", "range"),
 )
 def q97g_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE similarity search — the other query shape beside top-k: all
-    corpus vectors within cosine ≥ {RANGE_SEARCH_TAU} of each probe
+    corpus vectors within cosine ≥ 0.3 of each probe
     (radius queries back recommendation cutoffs and dedup-by-threshold,
     where k is unknown a priori and top-k would truncate or pad).
 
@@ -912,13 +915,12 @@ def q97g_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         emb.join(probes, F.col("vec_id") != F.col("qid"))
-        .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= RANGE_SEARCH_TAU)
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            F.round("cosine_raw", 6).alias("cosine"),
-        )
+        # threshold on the ROUNDED value (house rule from q97_cosine_topk):
+        # the engines' fold orders differ in the last ulp, so the raw
+        # boundary would be nondeterministic cross-engine
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= RANGE_SEARCH_TAU)
+        .select("qid", F.col("vec_id").alias("nid"), "cosine")
     )
 
 
@@ -1806,7 +1808,7 @@ SEMANTIC_DECON_TAU = 0.38
       SELECT c.vec_id AS doc_id, COUNT(*) AS n_hits
       FROM v c JOIN bench b
         ON c.vec_id >= 20
-       AND list_cosine_similarity(c.ev, b.ev) >= {SEMANTIC_DECON_TAU}
+       AND ROUND(list_cosine_similarity(c.ev, b.ev), 6) >= {SEMANTIC_DECON_TAU}
       GROUP BY c.vec_id
     )
     SELECT v.vec_id AS doc_id,
@@ -1821,9 +1823,10 @@ def q95l_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC decontamination — the third member of the family: exact
     8-grams (q95b) catch verbatim leakage, Bloom (q95k) scales that, but
     neither sees a PARAPHRASED benchmark item. Embedding-space screening
-    does: flag corpus docs whose embedding sits within cosine ≥
-    {SEMANTIC_DECON_TAU} of ANY benchmark doc (doc_id < 20, embeddings
-    keyed doc_id = vec_id).
+    does: flag corpus docs whose embedding sits within cosine ≥ 0.38 of
+    ANY benchmark doc (doc_id < 20, embeddings keyed doc_id = vec_id);
+    the threshold compares the ROUNDED cosine so the boundary is
+    deterministic cross-engine.
 
     Plan: the benchmark side is tiny BY DEFINITION (eval sets are
     thousands of rows, the corpus is billions), so it broadcasts and the
@@ -1847,7 +1850,7 @@ def q95l_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("bv"))
     )
     hits = (
-        corpus.join(bench, cos >= SEMANTIC_DECON_TAU)
+        corpus.join(bench, F.round(cos, 6) >= SEMANTIC_DECON_TAU)
         .groupBy("vec_id")
         .agg(F.count("*").alias("n_hits"))
     )
