@@ -888,7 +888,6 @@ def qc14_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, O(batch + touched-history), no global rewrite per epoch.
     """
     import os as _os
-    import shutil as _sh
     import tempfile as _tf
 
     from better_cdc_spark.cdc import scd2_apply_increment
@@ -926,15 +925,14 @@ def qc14_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _tf.mkdtemp(prefix="bcs_qc14_src_")
     hist_dir = _os.path.join(_tf.mkdtemp(prefix="bcs_qc14_hist_"), "hist")
-    _sh.rmtree(src, ignore_errors=True)
-    # one file per commit wave, mtimes in wave order (ordered admission)
-    for wave in (1, 2):
-        changes.filter(F.col("commit_seq") == wave).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    from better_cdc_spark.streaming.core import stamp_ordered_mtimes
+    # one DETERMINISTICALLY-NAMED file per commit wave: appended writes
+    # carry random uuid part names, which name-ordered mtime stamping
+    # would scramble ~50% of runs (waves must admit in commit order)
+    from better_cdc_spark.streaming.core import stage_numbered_file, stamp_ordered_mtimes
 
-    stamp_ordered_mtimes(src)
+    for wave in (1, 2):
+        stage_numbered_file(changes.filter(F.col("commit_seq") == wave), src, wave)
+    stamp_ordered_mtimes(src, "wave-*")
 
     out_schema = changes.withColumn("valid_to", F.lit(None).cast("int")).withColumn(
         "version", F.lit(None).cast("int")

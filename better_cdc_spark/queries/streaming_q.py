@@ -741,15 +741,13 @@ def q86b_stream_static_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(dim_dir)
 
-    from better_cdc_spark.streaming.core import stamp_ordered_mtimes
+    from better_cdc_spark.streaming.core import stage_numbered_file, stamp_ordered_mtimes
 
     def stage_wave(parity: int) -> None:
-        events.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        # part file names sort in write order, so name-ordered stamping
-        # preserves wave order without a hardcoded file-count constant
-        stamp_ordered_mtimes(src)
+        # deterministic wave-NNNN names: appended uuid part names would
+        # make name-ordered stamping scramble the wave sequence
+        stage_numbered_file(events.filter(F.col("event_id") % 2 == parity), src, parity)
+        stamp_ordered_mtimes(src, "wave-*")
 
     def step(batch_df: DataFrame, _epoch: int) -> None:
         spark_ = batch_df.sparkSession

@@ -155,12 +155,17 @@ def run_to_parquet(sdf: DataFrame, out_dir: str, *, mode: str = "append") -> Non
 
 
 def stamp_ordered_mtimes(src_dir: str, pattern: str = "part-*") -> None:
-    """Stamp strictly increasing mtimes (oldest first, name order) on the
+    """Stamp strictly increasing mtimes (oldest first, NAME order) on the
     part files of ``src_dir`` — ordered ADMISSION for file-source streams:
     Spark's file source breaks modification-time ties arbitrarily, so a
-    fast multi-file write can let later waves jump the queue. One shared
-    implementation (used by q86b, qc14 and the e2e rig) instead of
-    per-site copies with divergent constants.
+    fast multi-file write can let later waves jump the queue.
+
+    NAME order is only meaningful when names encode the intended order:
+    part-NNNNN files from ONE write (partition order), or numbered files
+    from stage_numbered_file. Files appended across SEPARATE writes get
+    random uuid suffixes — name-sorting those scrambles wave order
+    (~50%/run), so multi-write stages must go through
+    stage_numbered_file first.
     """
     import glob
     import time
@@ -170,3 +175,24 @@ def stamp_ordered_mtimes(src_dir: str, pattern: str = "part-*") -> None:
     for i, f in enumerate(parts):
         t = now - 2 * (len(parts) - i)
         os.utime(f, (t, t))
+
+
+def stage_numbered_file(df, src_dir: str, idx: int, fmt: str = "parquet") -> str:
+    """Write ``df`` as ONE file named ``wave-{idx:04d}.{fmt}`` in src_dir.
+
+    The deterministic-name staging for multi-wave file-source fixtures:
+    each wave lands under a name that encodes its order, so
+    stamp_ordered_mtimes(src_dir, "wave-*") yields the intended admission
+    sequence regardless of writer-generated uuid part names.
+    """
+    import glob
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bcs_stage_")
+    getattr(df.coalesce(1).write.mode("overwrite"), "parquet" if fmt == "parquet" else fmt)(tmp)
+    part = sorted(glob.glob(f"{tmp}/part-*"))[0]
+    os.makedirs(src_dir, exist_ok=True)
+    dest = os.path.join(src_dir, f"wave-{idx:04d}.{fmt}")
+    shutil.move(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dest
