@@ -91,6 +91,8 @@ SHOWCASE_ORDER = (
     "q95m_containment_dedup",
     "q44b_time_weighted_avg",
     "q97g_range_search",
+    "q62b_except_all",
+    "q34b_filtered_aggregates",
     # TPC-H adaptations not yet driver-verified
     "qh02_min_cost_supplier",
     "qh04_order_priority",

@@ -2682,6 +2682,66 @@ def q61b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q62b_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop", "except", "multiset"),
+)
+def q62b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): each custkey survives
+    max(0, count_left − count_right) times — bag difference, the
+    reconciliation primitive for 'what's in feed A beyond feed B
+    INCLUDING multiplicity' that distinct EXCEPT (q62) collapses.
+    Same two-sided count-agg plan family as q61b."""
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderstatus") != "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.exceptAll(right)
+
+
+@query(
+    "q34b_filtered_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           COUNT(*) FILTER (WHERE l_discount = 0) AS n_undiscounted,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_shipdate >= DATE '1997-01-01') AS DOUBLE) AS recent_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "filter-clause"),
+)
+def q34b_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (SQL:2003): several differently-filtered
+    aggregates in ONE grouped pass — the idiomatic replacement for N
+    self-joins or CASE-WHEN pyramids. The SAME SQL text runs on both
+    engines; one map-side-combined shuffle computes all four measures.
+    """
+    tune_for_oracle(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               COUNT(*) FILTER (WHERE l_discount = 0) AS n_undiscounted,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_shipdate >= DATE '1997-01-01') AS DOUBLE) AS recent_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """)
+
+
+@query(
     "q05d_jsonl_sink",
     oracle="""
     SELECT o_orderstatus,
