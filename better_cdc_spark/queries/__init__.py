@@ -56,6 +56,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
+    # round-4 late additions, externally unverified by construction
+    "q44c_ohlc_downsample",
+    "q42c_rolling_median",
+    "q97h_bm25_topk",
+    "q95n_winnowing_fingerprints",
     # round-4 additions, externally unverified by construction
     "q85b_transform_with_state",
     "q87b_windowed_idempotent_sink",

@@ -3074,3 +3074,232 @@ def q94e_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.round(F.col("rank") * n, 6).alias("rank_scaled"),
     )
+
+
+@query(
+    "q97h_bm25_topk",
+    oracle="""
+    WITH qterms(qid, w) AS (
+      VALUES (1,'table'),(1,'scan'),(2,'join'),(2,'hash'),(3,'window'),(3,'agg')
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM words JOIN (SELECT DISTINCT w FROM qterms) USING (w)
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT q.qid, t.doc_id,
+             CAST(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * (t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               AS DECIMAL(18,10)) AS s
+      FROM tf t
+      JOIN qterms q USING (w)
+      JOIN df USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    agg AS (SELECT qid, doc_id, SUM(s) AS score FROM scored GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      FROM agg
+    )
+    SELECT qid, rnk, doc_id, ROUND(CAST(score AS DOUBLE), 6) AS bm25
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "retrieval", "bm25"),
+)
+def q97h_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Sparck-Jones; Lucene's idf
+    variant, k1=1.2 b=0.75): top-5 documents for each of three keyword
+    queries — the sparse half of a hybrid (lexical + vector, cf.
+    q97_cosine_topk) retrieval stack, and the workhorse of corpus-level
+    quality sourcing ("find documents about X" over a crawl).
+
+    Retrieval shape, not scoring-scan shape: the query side (6 terms) is
+    BROADCAST and the corpus's token stream is semi-joined to the query
+    vocabulary BEFORE the tf shuffle — postings exist only for queried
+    terms, so shuffle volume is O(matching occurrences), never O(corpus
+    tokens). df/avgdl are one tiny agg each (the 1-row stats side is a
+    broadcast cross join, the classic scalar-subquery plan). At 100 TB
+    the token explode is the scan cost and everything downstream is
+    bounded by the hit set — the same inverted-index discipline as the
+    LSH family. Per-term partial scores are cast to DECIMAL(18,10)
+    before the per-doc sum so accumulation order can't flake the hash;
+    ranking ties break on doc_id.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(1, "table"), (1, "scan"), (2, "join"), (2, "hash"),
+         (3, "window"), (3, "agg")],
+        "qid int, w string",
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        words.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            ((idf * (F.col("tf") * 2.2)) / denom).cast("decimal(18,10)").alias("s"),
+        )
+    )
+    agg = scored.groupBy("qid", "doc_id").agg(F.sum("s").alias("score"))
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    )
+    return (
+        agg.select("qid", "doc_id", "score", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "rnk", "doc_id", F.round(F.col("score").cast("double"), 6).alias("bm25"))
+    )
+
+
+@query(
+    "q95n_winnowing_fingerprints",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+      FROM documents WHERE doc_id % 7 = 0 AND strpos(text, ' ') > 0
+    ),
+    w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(words) - 2)) AS i,
+             unnest(list_transform(generate_series(1, len(words) - 2),
+                    i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS h
+      FROM w WHERE len(words) >= 3
+    ),
+    wmin AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4),
+    nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           floor(n_shared * 1.0 / nb.n_fp * 10000 + 0.5) / 10000 AS containment
+    FROM pairs JOIN nfp nb ON pairs.doc_b = nb.doc_id
+    WHERE n_shared >= 5
+    """,
+    tags=("llm", "dedup", "winnowing"),
+)
+def q95n_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash word 3-grams, slide a
+    4-gram-hash window, keep each window's MINIMUM hash, dedup — a
+    position-robust fingerprint set with a hard guarantee: any shared
+    run of ≥ w+k-1 grams yields at least one shared fingerprint (unlike
+    MinHash, whose recall is probabilistic). Candidate generation is the
+    same inverted-index equi-join as the LSH family, with the fingerprint
+    as the bucket key.
+
+    The corpus injects near-dups (every 7th doc minus its first word) —
+    an EXACT-dedup-invisible edit; winnowing still surfaces every
+    injected pair at containment 1.0 because all interior windows
+    survive the prefix shift. Plan: explode to positional grams (narrow),
+    ONE window-min sharing the per-doc partitioning, distinct, then the
+    fingerprint equi-join — shuffle keys are content hashes, so skew
+    mitigations are the usual df-cap on hot fingerprints (common
+    phrases), exactly as in llmops.minhash df-capping. The window-min
+    state is a 4-element rolling buffer: O(1) per row at any corpus
+    size. md5 hex compares lexicographically identically in both
+    engines; counts and the single division are exact.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.locate(" ", "text") > 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substr(text, locate(' ', text) + 1)").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(dups)
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    gram_hashes = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = corpus.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "h")
+    wmin = grams.select(
+        "doc_id",
+        "i",
+        F.min("h")
+        .over(W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0))
+        .alias("fp"),
+    )
+    fps = wmin.filter(F.col("i") >= 4).select("doc_id", "fp").distinct()
+    nfp = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    return pairs.join(
+        nfp.select(F.col("doc_id").alias("doc_b"), "n_fp"), "doc_b"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (
+            F.floor(F.col("n_shared") * 1.0 / F.col("n_fp") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("containment"),
+    )

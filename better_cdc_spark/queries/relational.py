@@ -3212,3 +3212,95 @@ def q67_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_RECURSIVE_TREE_SQL)
+
+
+@query(
+    "q44c_ohlc_downsample",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             date_trunc('hour', ts) AS bar_ts,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bar_ts,
+           ROUND(CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE), 2) AS open,
+           ROUND(CAST(MAX(v) AS DOUBLE), 2) AS high,
+           ROUND(CAST(MIN(v) AS DOUBLE), 2) AS low,
+           ROUND(CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE), 2) AS close,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS volume
+    FROM ranked GROUP BY user_id, bar_ts
+    """,
+    tags=("timeseries", "downsample", "ohlc"),
+)
+def q44c_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the canonical hypertable rollup (open /
+    high / low / close / volume per key per hour; TimescaleDB
+    time_bucket + first/last, kdb's xbar aggregation).
+
+    Open/close are min_by/max_by over a (ts, event_id) ordering struct —
+    ONE grouped aggregate with map-side partial combine, no window pass
+    at all (the oracle's double ROW_NUMBER formulation is the plan this
+    avoids: two full window sorts per bar). At 100 TB this is a single
+    shuffle on (user_id, bar) whose partial states are 5 scalars per
+    group; tie-breaking on event_id makes open/close deterministic under
+    any partitioning. Values are DECIMAL(18,2) (2dp doubles are exact in
+    decimal), so high/low/volume are bit-identical across engines; the
+    only doubles are the final display casts.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bar_ts"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    return ev.groupBy("user_id", "bar_ts").agg(
+        F.round(F.min_by("v", "ord").cast("double"), 2).alias("open"),
+        F.round(F.max("v").cast("double"), 2).alias("high"),
+        F.round(F.min("v").cast("double"), 2).alias("low"),
+        F.round(F.max_by("v", "ord").cast("double"), 2).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("v").cast("double"), 2).alias("volume"),
+    )
+
+
+@query(
+    "q42c_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM events
+    """,
+    tags=("timeseries", "window", "median"),
+)
+def q42c_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a 7-row trailing frame per key — the
+    robust-smoothing counterpart of q42's moving average (median filters
+    shrug off the outlier spikes that drag a mean).
+
+    percentile() runs as a true window aggregate: Spark evaluates the
+    ImperativeAggregate over each frame, and because the frame is ROWS
+    BETWEEN k PRECEDING, state is a bounded k-row buffer per partition —
+    O(k) memory regardless of key cardinality, one user_id shuffle shared
+    with any other window on the same ordering. Both engines interpolate
+    over the SAME IEEE doubles (the column's native type — DuckDB's
+    quantile_cont on DECIMAL would round the midpoint to the input
+    scale), so (x+y)/2 is bit-identical and the 4dp display round maps
+    equal doubles to equal values.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    med = F.expr(
+        "percentile(value, 0.5) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select("user_id", "event_id", F.round(med, 4).alias("med7"))
