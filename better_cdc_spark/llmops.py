@@ -1154,3 +1154,41 @@ def decode_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 "checksum": pd.Series(chk, dtype="Int64"),
             }
         )
+
+
+def resize_ppm_nearest(out_w: int, out_h: int):
+    """mapInPandas kernel factory: decode P6 PPM payloads and resize to
+    (out_w, out_h) by nearest-neighbor sampling with floor scaling
+    (sx = x*src_w // out_w) — the deterministic integer-exact resize, so
+    the resized raster (and its checksum) is reproducible in closed-form
+    SQL. The per-payload body is the only thing a PIL/libjpeg swap-in
+    would replace; the Arrow plumbing, schema, and batch shape are the
+    production path.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from better_cdc_spark import codecs
+
+        for pdf in batches:
+            doc_ids, src_ws, src_hs, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = codecs.decode_ppm(bytes(payload))
+                w, h = meta["width"], meta["height"]
+                arr = np.frombuffer(meta["pixels"], dtype=np.uint8).reshape(h, w, 3)
+                sx = (np.arange(out_w) * w) // out_w
+                sy = (np.arange(out_h) * h) // out_h
+                resized = arr[sy][:, sx, :]
+                doc_ids.append(int(doc_id))
+                src_ws.append(w)
+                src_hs.append(h)
+                sums.append(int(resized.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "src_w": pd.Series(src_ws, dtype="int64"),
+                    "src_h": pd.Series(src_hs, dtype="int64"),
+                    "resized_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return kernel

@@ -3303,3 +3303,177 @@ def q95n_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("containment"),
     )
+
+
+@query(
+    "q95o_dsir_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+                    i -> words[i] || ' ' || words[i+1])) AS g
+      FROM w WHERE len(words) >= 2
+    ),
+    bk AS (
+      SELECT doc_id, source,
+             (ascii(substr(md5(g), 1, 1)) * 16 + ascii(substr(md5(g), 2, 1))) % 64 AS b
+      FROM bg
+    ),
+    ndb AS (SELECT doc_id, b, COUNT(*) AS n FROM bk GROUP BY doc_id, b),
+    raw AS (SELECT b, COUNT(*) AS cr FROM bk GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM bk WHERE source = 'src0' GROUP BY b),
+    dist AS (
+      SELECT raw.b, raw.cr, COALESCE(tgt.ct, 0) AS ct
+      FROM raw LEFT JOIN tgt USING (b)
+    ),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM dist),
+    scored AS (
+      SELECT ndb.doc_id,
+             CAST(ndb.n * (ln((dist.ct + 1.0) / (tot.tt + 64.0))
+                           - ln((dist.cr + 1.0) / (tot.tr + 64.0)))
+               AS DECIMAL(18,12)) AS s
+      FROM ndb JOIN dist USING (b) CROSS JOIN tot
+    ),
+    agg AS (SELECT doc_id, SUM(s) AS logw FROM scored GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, logw,
+             ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n_docs
+      FROM agg
+    )
+    SELECT doc_id, ROUND(CAST(logw AS DOUBLE), 6) AS dsir_logw,
+           rnk <= CAST(FLOOR(n_docs * 0.25) AS BIGINT) AS selected
+    FROM ranked
+    """,
+    tags=("llm", "sampling", "dsir"),
+)
+def q95o_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every document by how much more likely its
+    hashed-bigram profile is under a TARGET domain (here source='src0')
+    than under the raw corpus, then keep the top quarter. The standard
+    recipe for steering a 100 TB crawl toward a quality domain without
+    training a classifier.
+
+    Features are word bigrams hashed to 64 buckets (md5-derived, so the
+    bucketing is engine-portable); both bucket distributions are
+    64-row aggregates with add-1 smoothing — broadcast dims. The per-doc
+    log importance weight sums n_b * (ln p_tgt[b] - ln p_raw[b]) as
+    DECIMAL(18,12) terms, so accumulation order can't flake the hash and
+    ranking compares exact decimals. The oracle's global ROW_NUMBER is
+    the exact selection form; at 100 TB the cutoff comes from
+    approxQuantile on the weight column (the q94f pattern) and selection
+    becomes a narrow filter — no global sort.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bk = docs.select(
+        "doc_id",
+        "source",
+        F.explode(bigrams).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            (
+                F.ascii(F.substring(F.md5("g"), 1, 1)) * 16
+                + F.ascii(F.substring(F.md5("g"), 2, 1))
+            )
+            % 64
+        ).alias("b"),
+    )
+    ndb = bk.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    raw = bk.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = bk.filter(F.col("source") == "src0").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    dist = raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    tot = dist.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    term = F.col("n") * (
+        F.log((F.col("ct") + 1.0) / (F.col("tt") + 64.0))
+        - F.log((F.col("cr") + 1.0) / (F.col("tr") + 64.0))
+    )
+    scored = (
+        ndb.join(F.broadcast(dist), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", term.cast("decimal(18,12)").alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("logw"))
+    wspec = W.orderBy(F.col("logw").desc(), "doc_id")
+    ranked = agg.select(
+        "doc_id",
+        "logw",
+        F.row_number().over(wspec).alias("rnk"),
+        F.count("*").over(W.partitionBy()).alias("n_docs"),
+    )
+    return ranked.select(
+        "doc_id",
+        F.round(F.col("logw").cast("double"), 6).alias("dsir_logw"),
+        (
+            F.col("rnk")
+            <= F.floor(F.col("n_docs") * 0.25).cast("bigint")
+        ).alias("selected"),
+    )
+
+
+@query(
+    "q99d_image_resize",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 8 AS mw, 4 + doc_id % 4 AS mh
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, mw AS src_w, mh AS src_h,
+      CAST(list_sum(list_transform(generate_series(0, 47),
+        j -> (doc_id * 17
+              + ((((j // 12) * mh // 4) * mw + ((j // 3) % 4) * mw // 4) * 3
+                 + (j % 3)) * 11) % 256)) AS BIGINT) AS resized_checksum
+    FROM p
+    """,
+    tags=("llm", "multimodal", "resize"),
+)
+def q99d_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize that EXECUTES: synthesize honest P6 PPM containers,
+    decode them, nearest-neighbor-resize every raster to 4x4 RGB, and
+    checksum the RESIZED pixels (llmops.resize_ppm_nearest) — the
+    standard image-normalization step of a multimodal training pipeline
+    (decode → resize → tensorize), with the floor-scaled integer resize
+    making the output raster closed-form recomputable by the oracle: a
+    wrong decode, a wrong sampling grid, or a channel-order bug all
+    change the checksum.
+
+    Two chained mapInPandas over BinaryType, zero shuffle,
+    embarrassingly parallel — the 100 TB cost is payload IO, and the
+    per-payload body is the only piece a libjpeg/PIL swap-in replaces
+    (q99's documented deploy seam); schema, batching, and partitioning
+    are exercised for real here.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 2
+    )
+    payloads = docs.mapInPandas(
+        llmops.synth_media_payloads,
+        schema="doc_id bigint, mime string, payload binary",
+    )
+    return payloads.mapInPandas(
+        llmops.resize_ppm_nearest(4, 4),
+        schema="doc_id bigint, src_w bigint, src_h bigint, resized_checksum bigint",
+    )

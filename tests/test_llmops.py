@@ -430,3 +430,23 @@ def test_ivf_persisted_index_serves_identically_and_prunes(spark):
     assert "cell" in plan.split("PartitionFilters", 1)[1][:160], (
         "cell filter missing from PartitionFilters"
     )
+
+
+def test_resize_ppm_nearest_upscale_duplicates_pixels():
+    """The query path only ever downscales (sources are >=4px); pin the
+    upscale semantics too: floor scaling duplicates source pixels, so a
+    2x1 image resized to 4x2 repeats each source pixel 2x in x and y."""
+    import pandas as pd
+    from better_cdc_spark import codecs
+    from better_cdc_spark.llmops import resize_ppm_nearest
+
+    rgb = bytes([10, 20, 30, 200, 210, 220])  # two pixels: A, B
+    payload = codecs.encode_ppm(2, 1, rgb)
+    pdf = pd.DataFrame({"doc_id": pd.Series([7], dtype="int64"),
+                        "payload": [payload]})
+    (out,) = list(resize_ppm_nearest(4, 2)(iter([pdf])))
+    row = out.iloc[0]
+    assert (row.src_w, row.src_h) == (2, 1)
+    # grid: sx = [0,0,1,1], sy = [0,0] -> A A B B twice
+    expect = (sum([10, 20, 30]) * 2 + sum([200, 210, 220]) * 2) * 2
+    assert row.resized_checksum == expect
