@@ -3477,3 +3477,196 @@ def q99d_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         llmops.resize_ppm_nearest(4, 4),
         schema="doc_id bigint, src_w bigint, src_h bigint, resized_checksum bigint",
     )
+
+
+@query(
+    "q36h_countmin_heavy_hitters",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    exact AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    stream AS (SELECT w, md5(w) AS h FROM words),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r,
+             (ascii(substr(h, 2*r + 1, 1)) * 256
+              + ascii(substr(h, 2*r + 2, 1))) % 128 AS b,
+             COUNT(*) AS cnt
+      FROM stream CROSS JOIN rows_
+      GROUP BY r, b
+    ),
+    est AS (
+      SELECT e.w, e.c, MIN(cells.cnt) AS cm_est
+      FROM (SELECT w, md5(w) AS h, c FROM exact) e
+      CROSS JOIN rows_ rr
+      JOIN cells ON cells.r = rr.r
+        AND cells.b = (ascii(substr(e.h, 2*rr.r + 1, 1)) * 256
+                       + ascii(substr(e.h, 2*rr.r + 2, 1))) % 128
+      GROUP BY e.w, e.c
+    )
+    SELECT w, c AS exact_count, cm_est,
+           cm_est >= c AS never_underestimates
+    FROM est
+    """,
+    tags=("agg", "sketch", "countmin"),
+)
+def q36h_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation — the streaming-friendly heavy-hitters sketch beside the
+    engine's HLL (q36g) and KLL-style quantile (q36f) members: d=4 hash
+    rows x w=128 buckets, token estimate = min over rows of its bucket
+    counts, with the one-sided guarantee (never underestimates) emitted
+    as a checked column.
+
+    The sketch build is ONE groupBy over (row, bucket) — 512 cells total
+    regardless of stream length, the mergeable O(d*w) state that makes
+    CM the right shape for per-partition partial aggregation at 100 TB
+    (each executor's sketch adds cell-wise; Spark's partial+final agg IS
+    that merge). Bucket hashes derive from md5 substrings (the DSIR
+    bucketing trick), so DuckDB reproduces the sketch bit-for-bit and
+    the oracle verifies ESTIMATES, not just plumbing. The estimate join
+    touches only DISTINCT tokens x 4 rows against the 512-cell broadcast.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    exact = words.groupBy("w").agg(F.count("*").alias("c"))
+    stream = words.select("w", F.md5("w").alias("h"))
+    rows_ = F.explode(F.array(*[F.lit(r) for r in (0, 1, 2, 3)])).alias("r")
+
+    def bucket(h, r):
+        return (
+            F.ascii(F.substring(h, 2 * r + 1, 1)) * 256
+            + F.ascii(F.substring(h, 2 * r + 2, 1))
+        ) % 128
+
+    cells = None
+    for r in (0, 1, 2, 3):
+        part = stream.select(
+            F.lit(r).alias("r"), bucket(F.col("h"), r).alias("b")
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    cells = cells.groupBy("r", "b").agg(F.count("*").alias("cnt"))
+
+    keyed = exact.select("w", "c", F.md5("w").alias("h")).select(
+        "w", "c", "h", rows_
+    )
+    est = (
+        keyed.withColumn(
+            "b",
+            F.expr(
+                "(ascii(substr(h, 2*r + 1, 1)) * 256"
+                " + ascii(substr(h, 2*r + 2, 1))) % 128"
+            ),
+        )
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("w", "c")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return est.select(
+        "w",
+        F.col("c").alias("exact_count"),
+        "cm_est",
+        (F.col("cm_est") >= F.col("c")).alias("never_underestimates"),
+    )
+
+
+@query(
+    "q98k_bigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(words) AS w1 FROM w
+    ),
+    unic AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+    tot AS (SELECT SUM(c1) AS t FROM unic),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+                    i -> words[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+                    i -> words[i+1])) AS w2
+      FROM w WHERE len(words) >= 2
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(log10(0.7 * (bgc.c12 * 1.0 / u1.c1)
+                        + 0.3 * (u2.c1 * 1.0 / tot.t))
+               AS DECIMAL(18,12)) AS lp
+      FROM bg
+      JOIN bgc USING (w1, w2)
+      JOIN unic u1 ON u1.w1 = bg.w1
+      JOIN unic u2 ON u2.w1 = bg.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "language-model"),
+)
+def q98k_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score — the next rung up from
+    q98b's unigram filter (CCNet/KenLM-style perplexity gating): per-doc
+    mean log10 of 0.7*P(w2|w1) + 0.3*P(w2), where the bigram MLE is
+    backed off onto the unigram so rare continuations don't zero out.
+    Low scores flag word-salad and wrong-language docs that unigram
+    stats alone miss (every word common, the SEQUENCE improbable).
+
+    Model tables are corpus aggregates: bigram counts (one (w1,w2)
+    shuffle, map-side combined — bounded by bigram vocabulary, not
+    corpus size), unigram counts, one scalar total. Scoring joins the
+    positional bigram stream to the model on its own keys — at 100 TB
+    the model side is dwarfed by the stream and broadcasts (or hash-joins
+    on vocabulary keys; Catalyst's call). Per-bigram log-probs go through
+    DECIMAL(18,12) so the per-doc mean is accumulation-order-independent;
+    each probability is two single divisions + one fused 0.7x+0.3y
+    expression evaluated in the same order on both engines.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    wdf = docs.select("doc_id", words.alias("words"))
+    uni = wdf.select(F.explode("words").alias("w1"))
+    unic = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    tot = unic.agg(F.sum("c1").alias("t"))
+    pairs = F.when(
+        F.size("words") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 1),
+            lambda i: F.struct(
+                F.element_at("words", i).alias("w1"),
+                F.element_at("words", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = wdf.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    u1 = unic.select(F.col("w1"), F.col("c1").alias("c1_left"))
+    u2 = unic.select(F.col("w1").alias("w2"), F.col("c1").alias("c1_right"))
+    lp = F.log10(
+        0.7 * (F.col("c12") * 1.0 / F.col("c1_left"))
+        + 0.3 * (F.col("c1_right") * 1.0 / F.col("t"))
+    ).cast("decimal(18,12)")
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "avg_bigram_logprob"
+        ),
+    )
