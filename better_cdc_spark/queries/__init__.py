@@ -58,6 +58,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 SHOWCASE_ORDER = (
     # round-4 late additions, externally unverified by construction
     "q44c_ohlc_downsample",
+    "q95p_dup_span_extract",
+    "q68_lateral_topk",
     "q36h_countmin_heavy_hitters",
     "q98k_bigram_logprob",
     "q95o_dsir_resample",

@@ -3670,3 +3670,128 @@ def q98k_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bigram_logprob"
         ),
     )
+
+
+@query(
+    "q95p_dup_span_extract",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(list_slice(list_filter(string_split(text, ' '),
+                             x -> x <> ''), 21, 60), ' ') AS text
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(words) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(words) - 7),
+                    i -> array_to_string(list_slice(words, i, i + 7), ' '))) AS g
+      FROM w WHERE len(words) >= 8
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, i AS s, i + 7 AS e FROM grams JOIN dupg USING (g)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, isl, MIN(s) AS span_start, MAX(e) AS span_end
+      FROM islands GROUP BY doc_id, isl
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_dup_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+           CAST(MAX(span_end - span_start + 1) AS BIGINT) AS max_span_tokens
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "span"),
+)
+def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN extraction (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): instead of dropping
+    whole near-dup documents, locate the exact duplicated regions —
+    stride-1 8-word grams shared across >=2 docs mark positions, and
+    overlapping/adjacent hits merge into maximal spans (gaps-and-islands
+    over token positions) whose extents are reported per doc. The
+    injected corpus plants a 40-word excerpt of every 11th doc as its
+    own document; both sides then surface one merged span covering the
+    excerpt.
+
+    Scale shape: gram duplication is ONE content-key groupBy (the exact
+    chunk-dedup shuffle of q95e — at 100 TB the key becomes xxhash64(g)
+    to shrink shuffle rows); hit positions re-use the per-doc
+    partitioning for the island windows, so span merging adds NO new
+    exchange after the dup-gram join; interval-merge state is one
+    running MAX — O(1) per row. All-integer output, nothing to flake.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wexpr = F.filter(F.split("text", " "), lambda x: x != "")
+    extract = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(wexpr, 21, 40)).alias("text"),
+    )
+    corpus = docs.unionByName(extract)
+    wdf = corpus.select("doc_id", wexpr.alias("words"))
+    gram_arr = F.when(
+        F.size("words") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 7),
+            lambda i: F.concat_ws(" ", F.slice("words", i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = wdf.select("doc_id", F.posexplode(gram_arr).alias("pos0", "g")).select(
+        "doc_id", (F.col("pos0") + 1).alias("i"), "g"
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dupg, "g").select(
+        "doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e")
+    )
+    prev_max_e = F.max("e").over(
+        W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)) + 1, 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(W.partitionBy("doc_id").orderBy("s", "e"))
+        .alias("isl"),
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(span_len).cast("long").alias("dup_tokens"),
+        F.max(span_len).cast("long").alias("max_span_tokens"),
+    )

@@ -3304,3 +3304,30 @@ def q42c_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
     )
     return ev.select("user_id", "event_id", F.round(med, 4).alias("med7"))
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query("q68_lateral_topk", oracle=_LATERAL_TOPK_SQL, tags=("subquery", "lateral"))
+def q68_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT
+    (SPARK-34382): each customer's top-2 orders by price — the SQL
+    front-end's way of writing q52's top-k-per-group, running the SAME
+    text on both engines.
+
+    Catalyst decorrelates the lateral into a ranked window over one
+    o_custkey partitioning (no per-outer-row re-scan — the plan a naive
+    nested-loop LATERAL would imply and the one thing this query must
+    not do at 100 TB); the segment filter prunes the outer side before
+    the join.
+    """
+    return _sql_query(spark, sf_dir, _LATERAL_TOPK_SQL, "customer", "orders")
