@@ -3795,3 +3795,167 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(span_len).cast("long").alias("dup_tokens"),
         F.max(span_len).cast("long").alias("max_span_tokens"),
     )
+
+
+@query(
+    "q97i_rrf_hybrid",
+    oracle="""
+    WITH qterms(qid, w) AS (
+      VALUES (1,'table'),(1,'scan'),(2,'join'),(2,'hash'),(3,'window'),(3,'agg')
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl,
+             SUM(dl) AS t FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM words JOIN (SELECT DISTINCT w FROM qterms) USING (w)
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    cf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY w),
+    cand AS (
+      SELECT DISTINCT q.qid, t.doc_id FROM tf t JOIN qterms q USING (w)
+    ),
+    scaffold AS (
+      SELECT c.qid, c.doc_id, q.w, COALESCE(t.tf, 0) AS tf
+      FROM cand c
+      JOIN qterms q ON q.qid = c.qid
+      LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.w = q.w
+    ),
+    terms AS (
+      SELECT s.qid, s.doc_id,
+             CASE WHEN s.tf > 0 THEN
+               CAST(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                    * (s.tf * 2.2)
+                    / (s.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                 AS DECIMAL(18,10))
+             ELSE CAST(0 AS DECIMAL(18,10)) END AS s_bm25,
+             CAST(ln((s.tf + 100.0 * cf.cf / stats.t) / (dl.dl + 100.0))
+               AS DECIMAL(18,10)) AS s_ql
+      FROM scaffold s
+      JOIN df USING (w)
+      JOIN cf USING (w)
+      JOIN dl ON dl.doc_id = s.doc_id
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT qid, doc_id, SUM(s_bm25) AS bm25, SUM(s_ql) AS ql
+      FROM terms GROUP BY qid, doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS r_bm25,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ql DESC, doc_id) AS r_ql
+      FROM agg
+    ),
+    fused AS (
+      SELECT qid, doc_id, r_bm25, r_ql,
+             1.0 / (60 + r_bm25) + 1.0 / (60 + r_ql) AS rrf
+      FROM ranked
+    )
+    SELECT qid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk,
+           doc_id, r_bm25, r_ql, ROUND(rrf, 6) AS rrf
+    FROM fused
+    QUALIFY rnk <= 5
+    """,
+    tags=("llm", "retrieval", "fusion"),
+)
+def q97i_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al., SIGIR 2009) of two
+    independent rankers — BM25 (q97h's scorer) and Dirichlet-smoothed
+    query likelihood (mu=100, Zhai & Lafferty) — the standard way hybrid
+    retrieval stacks (lexical + semantic, or here two lexical models)
+    combine result lists without score calibration: fused score is
+    sum of 1/(60+rank), ranks being small integers so the fusion
+    arithmetic is exactly reproducible everywhere.
+
+    One shared postings pass feeds BOTH rankers: tf/df/cf/dl/avgdl come
+    from the same query-vocabulary semi-join as q97h (shuffle bounded by
+    hit volume). QL needs absent-term smoothing, so candidates scaffold
+    against their query's full term list (a candidates x 2-terms
+    broadcast join) with tf coalesced to 0 — at 100 TB this stays
+    O(candidates), never O(corpus). The two rank windows and the fusion
+    window all share the per-qid partitioning: ONE shuffle after
+    scoring. Per-term scores go through DECIMAL(18,10) before summing.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(1, "table"), (1, "scan"), (2, "join"), (2, "hash"),
+         (3, "window"), (3, "agg")],
+        "qid int, w string",
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+        F.sum("dl").alias("t"),
+    )
+    tf = (
+        words.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    cfreq = tf.groupBy("w").agg(F.sum("tf").cast("long").alias("cf"))
+    cand = tf.join(F.broadcast(qterms), "w").select("qid", "doc_id").distinct()
+    scaffold = (
+        cand.join(F.broadcast(qterms), "qid")
+        .join(tf, ["doc_id", "w"], "left")
+        .select("qid", "doc_id", "w", F.coalesce("tf", F.lit(0)).alias("tf"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    bm25_term = F.when(
+        F.col("tf") > 0,
+        (
+            (idf * (F.col("tf") * 2.2))
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+        ).cast("decimal(18,10)"),
+    ).otherwise(F.lit(0).cast("decimal(18,10)"))
+    ql_term = F.log(
+        (F.col("tf") + 100.0 * F.col("cf") / F.col("t")) / (F.col("dl") + 100.0)
+    ).cast("decimal(18,10)")
+    terms = (
+        scaffold.join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(cfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid", "doc_id",
+            bm25_term.alias("s_bm25"), ql_term.alias("s_ql"),
+        )
+    )
+    agg = terms.groupBy("qid", "doc_id").agg(
+        F.sum("s_bm25").alias("bm25"), F.sum("s_ql").alias("ql")
+    )
+    r_bm25 = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    )
+    r_ql = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("ql").desc(), "doc_id")
+    )
+    ranked = agg.select(
+        "qid", "doc_id", r_bm25.alias("r_bm25"), r_ql.alias("r_ql")
+    )
+    fused = ranked.withColumn(
+        "rrf", 1.0 / (60 + F.col("r_bm25")) + 1.0 / (60 + F.col("r_ql"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    )
+    return (
+        fused.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "rnk", "doc_id", "r_bm25", "r_ql", F.round("rrf", 6).alias("rrf"))
+    )
