@@ -309,3 +309,40 @@ def test_tpch_join_chains_broadcast_dims_no_products(spark, name):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q44c_ohlc_is_single_agg_no_window(spark):
+    """OHLC bars must plan as ONE grouped aggregate (min_by/max_by over
+    the ordering struct) — the whole point vs the oracle's double
+    ROW_NUMBER formulation. No Window operator, exactly one exchange."""
+    import re
+
+    plan = plan_of(spark, "q44c_ohlc_downsample")
+    assert "Window" not in plan
+    n_exchange = len(re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange")
+    assert n_exchange == 1, f"expected one exchange, plan has {n_exchange}"
+
+
+def test_q95p_span_windows_share_one_doc_exchange(spark):
+    """Span merging (two island windows + two per-doc aggregates) must
+    reuse ONE doc_id partitioning after the dup-gram join — the
+    gaps-and-islands stages add no exchanges of their own."""
+    import re
+
+    plan = plan_of(spark, "q95p_dup_span_extract")
+    assert "CartesianProduct" not in plan
+    # ONE single-key doc_id exchange serves both island windows AND both
+    # grouped aggs (hashpartitioning(doc_id) satisfies
+    # ClusteredDistribution(doc_id, isl)); a second doc_id-family
+    # exchange means a stage stopped reusing the partitioning
+    doc_exchanges = re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\)", plan)
+    assert len(doc_exchanges) == 1, f"expected 1 doc_id exchange: {doc_exchanges}"
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, isl", plan)
+
+
+def test_q97h_bm25_query_side_broadcasts_corpus_never_bnlj(spark):
+    plan = plan_of(spark, "q97h_bm25_topk")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row stats scalar (a broadcast);
+    # every multi-row join is a broadcast hash join on the term key
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
