@@ -708,7 +708,12 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("idx", "wv"))), lambda e: e["wv"]
         ).alias("vec"),
         F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"),
-    )
+        # materialized once: BOTH verify sides read it (instead of
+        # re-running the vocab densification per join branch), and the
+        # exact post-materialization stats let AQE broadcast it while it
+        # fits and sort-merge it when a big-vocab corpus outgrows that —
+        # no hardcoded hint to outgrow.
+    ).localCheckpoint(eager=True)
     rk = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
     )
@@ -722,6 +727,16 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
+        # A candidate row is two longs — ~16 bytes, a few MB compressed
+        # for millions of pairs — so AQE's size-based coalescing squeezes
+        # the distinct's output into ONE partition and the CPU-bound
+        # verify below runs serially (measured 13.7s -> 3.2s at sf0.1
+        # from this line alone). Spread pairs explicitly: the reshuffle
+        # moves megabytes; the verify it parallelizes is the dominant
+        # CPU cost at every scale. Same pathology class as
+        # tune_cpu_bound's advisory note — bytes are the wrong proxy for
+        # similarity-join work.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     da_side = dense.select(
         F.col("doc_id").alias("da"), F.col("vec").alias("va"), F.col("nrm").alias("na")

@@ -202,6 +202,101 @@ def main() -> int:
 
     timed("bloom membership probe", bloom_all, unit="shingles")
 
+    # --- round-4-late kernels ---------------------------------------------
+
+    # BM25 retrieval: inverted-index scoring over the amplified corpus.
+    # The query vocabulary semi-join must bound every downstream shuffle.
+    from pyspark.sql import Window as W
+
+    qterms = spark.createDataFrame(
+        [(1, "table"), (1, "scan"), (2, "join"), (2, "hash"),
+         (3, "window"), (3, "agg")],
+        "qid int, w string",
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"))
+    tf = (words.join(F.broadcast(qterms.select("w").distinct()), "w")
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (tf.join(F.broadcast(qterms), "w").join(F.broadcast(dfreq), "w")
+              .join(dl, "doc_id").crossJoin(F.broadcast(stats))
+              .groupBy("qid", "doc_id")
+              .agg(F.sum(idf * (F.col("tf") * 2.2)
+                         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                        ).alias("s")))
+    top = scored.withColumn(
+        "rnk", F.row_number().over(W.partitionBy("qid").orderBy(F.col("s").desc(), "doc_id"))
+    ).filter(F.col("rnk") <= 10)
+    assert no_product_join(top), "bm25 must stay equi-join"
+
+    def bm25_all():
+        top.count()
+        return n
+
+    timed("bm25 retrieval (3 queries, postings-bounded)", bm25_all)
+
+    # Winnowing fingerprints at 100 TB shape: xxhash64 gram keys (the
+    # documented substitution for md5 strings), one window-min per doc.
+    wtoks = F.filter(F.split("text", " "), lambda x: x != "")
+    gram_h = F.when(
+        F.size(wtoks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wtoks) - 2),
+            lambda i: F.xxhash64(F.concat_ws(
+                " ", F.element_at(wtoks, i), F.element_at(wtoks, i + 1),
+                F.element_at(wtoks, i + 2))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = docs.select("doc_id", F.posexplode(gram_h).alias("i", "h"))
+    fps = (grams.select(
+        "doc_id", "i",
+        F.min("h").over(W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)).alias("fp"))
+        .filter(F.col("i") >= 3).select("doc_id", "fp").distinct())
+
+    def winnow_all():
+        fps.count()
+        return n
+
+    timed("winnowing fingerprints (xxhash64 keys)", winnow_all)
+
+    # Duplicate-span extraction: stride-1 8-gram hits on a ~100x
+    # self-similar corpus (EVERY gram is cross-doc duplicated — worst
+    # case), islands merged per doc.
+    gram8 = F.when(
+        F.size(wtoks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wtoks) - 7),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(wtoks, i, 8))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g8 = docs.select("doc_id", F.posexplode(gram8).alias("i", "g"))
+    dupg = (g8.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2).select("g"))
+    hits = g8.join(dupg, "g").select("doc_id", F.col("i").alias("s"),
+                                     (F.col("i") + 7).alias("e"))
+    prev = F.max("e").over(W.partitionBy("doc_id").orderBy("s", "e")
+                           .rowsBetween(W.unboundedPreceding, -1))
+    isl = (hits
+           .select("doc_id", "s", "e",
+                   F.when(F.col("s") > F.coalesce(prev, F.lit(-1)) + 1, 1)
+                   .otherwise(0).alias("ni"))
+           .select("doc_id", "s", "e",
+                   F.sum("ni").over(W.partitionBy("doc_id").orderBy("s", "e")).alias("isl"))
+           .groupBy("doc_id", "isl")
+           .agg(F.min("s").alias("a"), F.max("e").alias("b")))
+    assert no_product_join(isl), "span hits must stay an equi-join"
+
+    def span_all():
+        isl.count()
+        return n
+
+    timed("dup-span extraction (worst-case self-similar)", span_all)
+
     return 0
 
 
