@@ -41,6 +41,8 @@ HEADLINE = [
     "q94d_curation_pipeline_lsh",  # the production LSH-driven composite
     "q96d_semdedup",             # distributed k-means + cluster-pruned dedup
     "q96e_tfidf_cosine",         # prefix-filtered sparse similarity join
+    "q97h_bm25_topk",            # inverted-index lexical retrieval
+    "q95p_dup_span_extract",     # cross-doc span dedup + island merge
 ]
 
 

@@ -1192,3 +1192,40 @@ def resize_ppm_nearest(out_w: int, out_h: int):
             )
 
     return kernel
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+    for a (doc_id, text) DataFrame: md5 word-k-gram hashes, window-min
+    over every run of ``w`` consecutive gram hashes, distinct per doc.
+
+    Guarantee (the reason to prefer this over MinHash when recall must be
+    1): any shared word run of >= w+k-1 tokens contains at least one full
+    window on both sides, and equal windows select equal minima — so the
+    docs share a fingerprint deterministically. md5 hex strings compare
+    lexicographically identically everywhere; at 100 TB the key becomes
+    xxhash64 to shrink the shuffle (see tools/scale_probe.py).
+    """
+    from pyspark.sql import Window as W
+
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    gram_hashes = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "h")
+    wmin = grams.select(
+        "doc_id",
+        "i",
+        F.min("h")
+        .over(W.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0))
+        .alias("fp"),
+    )
+    return wmin.filter(F.col("i") >= w).select("doc_id", "fp").distinct()

@@ -3271,32 +3271,7 @@ def q95n_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = docs.unionByName(dups)
-    words = F.filter(F.split("text", " "), lambda x: x != "")
-    gram_hashes = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(words, i),
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = corpus.select(
-        "doc_id", F.posexplode(gram_hashes).alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "h")
-    wmin = grams.select(
-        "doc_id",
-        "i",
-        F.min("h")
-        .over(W.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0))
-        .alias("fp"),
-    )
-    fps = wmin.filter(F.col("i") >= 4).select("doc_id", "fp").distinct()
+    fps = llmops.winnowing_fingerprints(corpus, k=3, w=4)
     nfp = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")

@@ -464,3 +464,31 @@ def test_asof_forward_tolerance_agrees_with_pandas(spark, left_rows, right_rows,
         (r.k, int(r.t), int(r.lv), int(r.rt), int(r.rv)) for r in exp.itertuples()
     }
     assert got == expected
+
+
+winnow_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=0, max_size=12
+)
+
+
+@given(pre_a=winnow_words, post_a=winnow_words, pre_b=winnow_words,
+       post_b=winnow_words, run=st.integers(6, 10))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnowing_guarantee_shared_run_shares_fingerprint(
+    spark, pre_a, post_a, pre_b, post_b, run
+):
+    """The winnowing GUARANTEE (SIGMOD'03 §3): with k=3, w=4, two docs
+    sharing any word run of length >= w+k-1 = 6 MUST share at least one
+    fingerprint, regardless of what surrounds the run. (MinHash gives
+    this only probabilistically — the property that justifies q95n.)"""
+    shared = [f"s{i}x" for i in range(run)]  # tokens disjoint from padding
+    doc_a = " ".join(pre_a + shared + post_a)
+    doc_b = " ".join(pre_b + shared + post_b)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fps = llmops.winnowing_fingerprints(df, k=3, w=4).toPandas()
+    a = set(fps[fps.doc_id == 1].fp)
+    b = set(fps[fps.doc_id == 2].fp)
+    assert a & b, f"guarantee violated: run={run} doc_a={doc_a!r} doc_b={doc_b!r}"

@@ -232,7 +232,12 @@ def main() -> int:
     top = scored.withColumn(
         "rnk", F.row_number().over(W.partitionBy("qid").orderBy(F.col("s").desc(), "doc_id"))
     ).filter(F.col("rnk") <= 10)
-    assert no_product_join(top), "bm25 must stay equi-join"
+    bm25_plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in bm25_plan
+    # exactly one nested-loop is allowed: the 1-row stats scalar broadcast
+    # (the canonical scalar-subquery plan); every multi-row join must be
+    # a hash join on the term/doc key
+    assert bm25_plan.count("BroadcastNestedLoopJoin") <= 1, "bm25 grew a product join"
 
     def bm25_all():
         top.count()
