@@ -1023,3 +1023,66 @@ def q88c_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).select(F.col("s_user").alias("user_id"), "signup_id", "s_ts")
     return run_to_memory(joined, mode="append")
+
+
+@query(
+    "q81c_streaming_ohlc",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             date_trunc('hour', ts) AS bar_ts,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bar_ts,
+           ROUND(CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE), 2) AS open,
+           ROUND(CAST(MAX(v) AS DOUBLE), 2) AS high,
+           ROUND(CAST(MIN(v) AS DOUBLE), 2) AS low,
+           ROUND(CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE), 2) AS close,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS volume
+    FROM ranked GROUP BY user_id, bar_ts
+    """,
+    tags=("streaming", "window", "ohlc"),
+)
+def q81c_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC bars — q44c's hypertable rollup maintained
+    incrementally by Structured Streaming: per (user, 1-hour event-time
+    window), open/close via min_by/max_by over the (ts, event_id)
+    ordering struct INSIDE the streaming aggregation state. Each
+    micro-batch folds new events into 5-scalar-per-bar state (the
+    mergeable-partial-agg property q44c's batch plan exploits is exactly
+    what makes the operator streamable); the watermark closes bars for
+    eviction at scale. The oracle is the batch OHLC over the full
+    stream — complete mode on the finite stream must equal it, bar for
+    bar, tick for tick (tie-broken open/close, not first-arrival).
+    """
+    tune_for_oracle(spark)
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        dec("value").alias("v"),
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(
+            F.round(F.min_by("v", "ord").cast("double"), 2).alias("open"),
+            F.round(F.max("v").cast("double"), 2).alias("high"),
+            F.round(F.min("v").cast("double"), 2).alias("low"),
+            F.round(F.max_by("v", "ord").cast("double"), 2).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("v").cast("double"), 2).alias("volume"),
+        )
+        .select(
+            "user_id",
+            F.col("window.start").alias("bar_ts"),
+            "open", "high", "low", "close", "n_events", "volume",
+        )
+    )
+    return run_to_memory(agg, mode="complete")
