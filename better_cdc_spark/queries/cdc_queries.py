@@ -1176,3 +1176,69 @@ def qm02_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         when_not_matched_by_source_update={"seg": F.lit("DORMANT")},
     )
+
+
+@query(
+    "qc17_dlq_replay",
+    oracle=_ORACLE_BASE
+    + """
+    , payloads AS (
+      SELECT event_id, "table", operation,
+             concat_ws('|', event_id, COALESCE(after_status, '')) AS payload
+      FROM envelope
+    )
+    SELECT event_id, "table", operation,
+           CASE WHEN length(payload) > 38 THEN substr(payload, 1, 36)
+                ELSE payload END AS payload_out,
+           (length(payload) > 38) AS replayed
+    FROM payloads
+    """,
+    tags=("cdc", "dlq", "replay"),
+)
+def qc17_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ REPLAY — the second half of the dead-letter story qc03 starts
+    (quarantine): remediate quarantined events and merge them back so the
+    sink converges to exactly-once over ALL events. Reference analog: a
+    NATS consumer re-publishing dlq.> subjects after an operator fix —
+    the workflow `internal/publisher/dlq.go` exists to enable.
+
+    Flow: route_failures splits on the payload cap (qc03's policy) →
+    publishable rows keep their payload → DLQ rows are remediated with
+    the fix the DLQ record makes possible (here: the capped prefix IS
+    the remediation, truncation-at-source) and re-enter flagged
+    replayed=true → unionByName. The oracle recomputes both branches
+    closed-form, so a dropped, duplicated, or mis-flagged replay row
+    fails the hash. Both branches derive from ONE normalize pass
+    (no second decode of the stream) and the union is
+    partition-preserving — replay costs the DLQ's own size, not a
+    re-scan of the corpus.
+    """
+    tune_for_oracle(spark)
+    ev = _normalized(spark, sf_dir)
+    payload = F.concat_ws(
+        "|", F.col("event_id"), F.coalesce(F.element_at("after", "status"), F.lit(""))
+    )
+    ev = ev.withColumn("payload", payload)
+    ok, dlq = route_failures(
+        ev,
+        error_pred=F.octet_length("payload") > 38,
+        error_msg=F.lit("max payload exceeded"),
+        payload=F.col("payload"),
+        policy="dlq",
+        prefix_cap=36,
+    )
+    published = ok.select(
+        "event_id",
+        "table",
+        "operation",
+        F.col("payload").alias("payload_out"),
+        F.lit(False).alias("replayed"),
+    )
+    replayed = dlq.select(
+        "event_id",
+        "table",
+        "operation",
+        F.col("payload_prefix").alias("payload_out"),
+        F.lit(True).alias("replayed"),
+    )
+    return published.unionByName(replayed)
