@@ -3949,3 +3949,113 @@ def q97i_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("qid", "rnk", "doc_id", "r_bm25", "r_ql", F.round("rrf", 6).alias("rrf"))
     )
+
+
+@query(
+    "q97j_mmr_rerank",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+    rel AS (
+      SELECT v.vec_id, ROUND(list_cosine_similarity(v.ev, q.qv), 6) AS rel, v.ev
+      FROM v, q WHERE v.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, rel, ev FROM (
+        SELECT vec_id, rel, ev,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rk
+        FROM rel) t WHERE rk <= 12
+    ),
+    p1 AS (SELECT vec_id, rel, ev FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    s2 AS (
+      SELECT c.vec_id, c.rel, c.ev,
+             ROUND(0.7 * c.rel
+                   - 0.3 * ROUND(list_cosine_similarity(c.ev, p1.ev), 6), 6) AS mmr
+      FROM cand c, p1 WHERE c.vec_id <> p1.vec_id
+    ),
+    p2 AS (SELECT vec_id, rel, ev, mmr FROM s2 ORDER BY mmr DESC, vec_id LIMIT 1),
+    s3 AS (
+      SELECT c.vec_id, c.rel,
+             ROUND(0.7 * c.rel
+                   - 0.3 * GREATEST(
+                       ROUND(list_cosine_similarity(c.ev, p1.ev), 6),
+                       ROUND(list_cosine_similarity(c.ev, p2.ev), 6)), 6) AS mmr
+      FROM cand c, p1, p2
+      WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+    ),
+    p3 AS (SELECT vec_id, rel, mmr FROM s3 ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT 1 AS pick, vec_id, rel, rel AS mmr FROM p1
+    UNION ALL SELECT 2 AS pick, vec_id, rel, mmr FROM p2
+    UNION ALL SELECT 3 AS pick, vec_id, rel, mmr FROM p3
+    """,
+    tags=("llm", "retrieval", "mmr"),
+)
+def q97j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): after retrieval, greedily pick results balancing
+    relevance against redundancy with what's already picked —
+    mmr = 0.7*rel - 0.3*max_sim_to_selected. The anti-redundancy step
+    every RAG retrieval stack bolts onto its top-k, here as 3 unrolled
+    greedy rounds (the q96d unrolled-Lloyd pattern) so the ORACLE runs
+    the same greedy exactly.
+
+    Plan shape: relevance is one narrow scan against the broadcast query
+    vector (q97_cosine_topk's shape); the candidate pool is top-12, so
+    every greedy round is arithmetic over a 12-row set against 1-row
+    broadcast picks — at scale the pool stays k-bounded no matter the
+    corpus, which is the entire point of rerank-after-retrieve. All
+    cosines are rounded to 6dp BEFORE each argmax on both engines, so
+    selection compares identical values; ties break on vec_id.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("ev")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("ev").alias("qv"))
+
+    def cos(a, b):
+        return F.round(
+            llmops.dot(F.col(a), F.col(b))
+            / (llmops.l2_norm(F.col(a)) * llmops.l2_norm(F.col(b))),
+            6,
+        )
+
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cos("ev", "qv").alias("rel"), "ev")
+    )
+    rk = F.row_number().over(W.orderBy(F.col("rel").desc(), "vec_id"))
+    cand = rel.withColumn("rk", rk).filter(F.col("rk") <= 12).drop("rk")
+    cand = cand.localCheckpoint(eager=True)  # 12 rows; reread by every round
+    p1 = cand.orderBy(F.col("rel").desc(), "vec_id").limit(1)
+    p1b = F.broadcast(p1.select(F.col("vec_id").alias("p1_id"), F.col("ev").alias("p1_ev")))
+    s2 = (
+        cand.crossJoin(p1b)
+        .filter(F.col("vec_id") != F.col("p1_id"))
+        .select(
+            "vec_id", "rel", "ev", "p1_id", "p1_ev",
+            F.round(0.7 * F.col("rel") - 0.3 * cos("ev", "p1_ev"), 6).alias("mmr"),
+        )
+    )
+    p2 = s2.orderBy(F.col("mmr").desc(), "vec_id").limit(1)
+    p2b = F.broadcast(p2.select(F.col("vec_id").alias("p2_id"), F.col("ev").alias("p2_ev")))
+    s3 = (
+        cand.crossJoin(p1b)
+        .crossJoin(p2b)
+        .filter((F.col("vec_id") != F.col("p1_id")) & (F.col("vec_id") != F.col("p2_id")))
+        .select(
+            "vec_id", "rel",
+            F.round(
+                0.7 * F.col("rel")
+                - 0.3 * F.greatest(cos("ev", "p1_ev"), cos("ev", "p2_ev")),
+                6,
+            ).alias("mmr"),
+        )
+    )
+    p3 = s3.orderBy(F.col("mmr").desc(), "vec_id").limit(1)
+    return (
+        p1.select(F.lit(1).alias("pick"), "vec_id", "rel", F.col("rel").alias("mmr"))
+        .unionByName(p2.select(F.lit(2).alias("pick"), "vec_id", "rel", "mmr"))
+        .unionByName(p3.select(F.lit(3).alias("pick"), "vec_id", "rel", "mmr"))
+    )
