@@ -4059,3 +4059,88 @@ def q97j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(p2.select(F.lit(2).alias("pick"), "vec_id", "rel", "mmr"))
         .unionByName(p3.select(F.lit(3).alias("pick"), "vec_id", "rel", "mmr"))
     )
+
+
+@query(
+    "q95r_classifier_filter",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(words)::BIGINT AS n_words,
+               list_sum(list_transform(words, x -> length(x)))::DOUBLE AS total_len,
+               len(list_filter(words, x -> regexp_matches(x, '^[a-z]+$')))::BIGINT AS n_alpha,
+               len(list_filter(words,
+                   x -> x IN {GOPHER_STOPWORDS!r}))::BIGINT AS n_stop
+        FROM w WHERE len(words) > 0
+    ), z AS (
+        SELECT doc_id, n_words,
+               -2.0
+               + 3.5 * (n_stop::DOUBLE / n_words)
+               + 0.2 * (total_len / n_words)
+               + 1.0 * (n_alpha::DOUBLE / n_words)
+               + 0.3 * log10(n_words::DOUBLE) AS z
+        FROM s
+    )
+    SELECT doc_id, n_words,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+           (1.0 / (1.0 + exp(-z)) >= 0.5) AS kept
+    FROM z
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def q95r_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-apply quality filtering — the DCLM / FineWeb-Edu pattern
+    where a trained classifier (fasttext or a small LR head), not a rule
+    set, gates the corpus: logistic score over interpretable features
+    (stopword ratio, mean word length, alpha fraction, log doc length)
+    with the model's weights shipped as plan literals, keep at p >= 0.5.
+
+    The weights here are fixed (a stand-in for the trained artifact —
+    swapping in real coefficients changes only the literals); what the
+    query proves is the SHAPE: model application is a pure narrow
+    projection over in-row token arrays — no explode, no shuffle, no
+    Python — so classifier filtering costs one codegen pass over 100 TB
+    exactly like q98h's rule gate. Features stay integer-derived until
+    single IEEE divisions; exp/log10 are the same correctly-rounded-class
+    calls both engines make (the q98b exposure), behind 6dp rounding.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    wdf = docs.select("doc_id", words.alias("words")).filter(F.size("words") > 0)
+    n_words = F.size("words").cast("long")
+    total_len = F.aggregate(
+        F.transform("words", lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, x: a + x,
+    ).cast("double")
+    n_alpha = F.size(F.filter("words", lambda x: x.rlike("^[a-z]+$"))).cast("long")
+    n_stop = F.size(
+        F.filter("words", lambda x: x.isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    s = wdf.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        total_len.alias("total_len"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    z = (
+        F.lit(-2.0)
+        + 3.5 * (F.col("n_stop").cast("double") / F.col("n_words"))
+        + 0.2 * (F.col("total_len") / F.col("n_words"))
+        + 1.0 * (F.col("n_alpha").cast("double") / F.col("n_words"))
+        + 0.3 * F.log10(F.col("n_words").cast("double"))
+    )
+    scored = s.select("doc_id", "n_words", z.alias("z"))
+    p = 1.0 / (1.0 + F.exp(-F.col("z")))
+    return scored.select(
+        "doc_id",
+        "n_words",
+        F.round(p, 6).alias("quality_score"),
+        (p >= 0.5).alias("kept"),
+    )

@@ -3331,3 +3331,40 @@ def q68_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join.
     """
     return _sql_query(spark, sf_dir, _LATERAL_TOPK_SQL, "customer", "orders")
+
+
+@query(
+    "q36i_mode_agg",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type) AS rk
+      FROM cnt
+    )
+    SELECT user_id, event_type AS mode_type, c AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("agg", "mode"),
+)
+def q36i_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: each user's most frequent event type.
+
+    Spark's mode() (and DuckDB's) picks an ARBITRARY value on ties —
+    useless under a hash gate and a replay hazard in production. The
+    engine's form pins the tie: min_by over a (-count, value) ordering
+    struct — one grouped agg per level, both map-side combined, no window
+    pass (the oracle's ROW_NUMBER formulation is the avoided plan).
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    return cnt.groupBy("user_id").agg(
+        F.min_by(
+            "event_type", F.struct((-F.col("c")).alias("nc"), "event_type")
+        ).alias("mode_type"),
+        F.max("c").alias("mode_count"),
+    )
