@@ -3368,3 +3368,62 @@ def q36i_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mode_type"),
         F.max("c").alias("mode_count"),
     )
+
+
+@query(
+    "q46b_rolling_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, date_trunc('day', ts) AS d FROM events
+    ), contrib AS (
+      SELECT DISTINCT user_id, d + to_days(CAST(t.k AS INTEGER)) AS win_end
+      FROM days CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) t
+    ), bounds AS (
+      SELECT MIN(date_trunc('day', ts)) AS lo, MAX(date_trunc('day', ts)) AS hi
+      FROM events
+    )
+    SELECT win_end, COUNT(*) AS active_users_7d
+    FROM contrib, bounds
+    WHERE win_end BETWEEN lo AND hi
+    GROUP BY win_end
+    """,
+    tags=("timeseries", "window", "distinct"),
+)
+def q46b_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (WAU) — the product
+    metric a naive window can't produce: COUNT(DISTINCT) over a sliding
+    frame isn't a mergeable window aggregate, and per-day distinct counts
+    don't sum. The scalable rewrite: each (user, day) observation
+    CONTRIBUTES to the 7 window-ends it falls inside (a bounded 7x
+    explode of the already-day-deduped pairs), then one exact
+    distinct + count per window end — turning an unmergeable sliding
+    distinct into two ordinary keyed aggregates.
+
+    Shuffle volume is 7 x |distinct user-days| (not 7 x |events| — the
+    day dedup happens first), and at 100 TB the same shape carries HLL
+    sketches instead of exact pairs when approximate WAU suffices
+    (q36g's mergeable-union path). Window ends clamp to the observed day
+    span so every reported day has a full data domain behind it.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "d",
+    ).select(
+        "user_id", (F.col("d") + F.make_dt_interval(days=F.col("k"))).alias("win_end")
+    ).distinct()
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("lo"),
+        F.max(F.date_trunc("day", "ts")).alias("hi"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_end").between(F.col("lo"), F.col("hi")))
+        .groupBy("win_end")
+        .agg(F.count("*").alias("active_users_7d"))
+    )
