@@ -50,9 +50,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # to that gate forever (the full sweep in tools/check.py covers everything,
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified —
-# round 4 leads with every operator added this round (q85b…qm02, two
-# batches), followed by queries absent from CORRECTNESS_r01–r03, spanning
-# TPC-H / CDC / subquery / function / LLM / streaming / UDF families.
+# the prefix leads with every operator added this round (the late batch
+# q44c…q46b, then q85b…qm02), followed by queries absent from
+# CORRECTNESS_r01–r03, spanning TPC-H / CDC / subquery / function / LLM /
+# streaming / UDF families.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
