@@ -1229,3 +1229,53 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame
         .alias("fp"),
     )
     return wmin.filter(F.col("i") >= w).select("doc_id", "fp").distinct()
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_postings(docs: DataFrame, qterms: DataFrame):
+    """Shared postings pass for query-vocabulary-bounded lexical scoring
+    (q97h BM25, q97i RRF, tools/scale_probe.py): returns
+    (dl, stats, tf, dfreq) where
+
+    - dl:    per-doc token count,
+    - stats: ONE row (n_docs, avgdl, t=total tokens) — the broadcastable
+             scalar side,
+    - tf:    per-(doc, term) counts restricted to the query vocabulary —
+             the semi-join BEFORE the tf shuffle is the retrieval-shape
+             invariant: every downstream cost is bounded by hit volume,
+             never corpus tokens,
+    - dfreq: per-term document frequency over tf.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+        F.sum("dl").alias("t"),
+    )
+    tf = (
+        words.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    return dl, stats, tf, dfreq
+
+
+def bm25_term_score() -> F.Column:
+    """Per-(doc, term) BM25 contribution (Lucene idf, k1/b above) over
+    columns tf/df/dl/n_docs/avgdl — written with the exact literal
+    arithmetic order the SQL oracles use, so doubles match cross-engine.
+    """
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (idf * (F.col("tf") * (BM25_K1 + 1.0))) / (
+        F.col("tf")
+        + BM25_K1 * ((1.0 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl"))
+    )

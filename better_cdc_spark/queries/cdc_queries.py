@@ -199,7 +199,11 @@ def qc03_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ok, dlq = route_failures(
         ev,
-        error_pred=F.octet_length(payload) > 38,
+        # char-based cap to match the oracle's length() exactly (the
+        # reference's production cap is BYTES, dlq.go:36 — identical for
+        # this ASCII generator; route on octet_length when payloads can
+        # carry multi-byte text AND the gate compares in bytes too)
+        error_pred=F.length(payload) > 38,
         error_msg=F.lit("max payload exceeded"),
         payload=payload,
         policy="dlq",
@@ -1221,7 +1225,8 @@ def qc17_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn("payload", payload)
     ok, dlq = route_failures(
         ev,
-        error_pred=F.octet_length("payload") > 38,
+        # char-based cap matching the oracle (see qc03's note)
+        error_pred=F.length("payload") > 38,
         error_msg=F.lit("max payload exceeded"),
         payload=F.col("payload"),
         policy="dlq",

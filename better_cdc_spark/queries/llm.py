@@ -3159,24 +3159,7 @@ def q97h_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          (3, "window"), (3, "agg")],
         "qid int, w string",
     )
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    )
-    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        words.join(F.broadcast(qterms.select("w").distinct()), "w")
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    dl, stats, tf, dfreq = llmops.bm25_postings(docs, qterms)
     scored = (
         tf.join(F.broadcast(qterms), "w")
         .join(F.broadcast(dfreq), "w")
@@ -3185,7 +3168,7 @@ def q97h_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "doc_id",
-            ((idf * (F.col("tf") * 2.2)) / denom).cast("decimal(18,10)").alias("s"),
+            llmops.bm25_term_score().cast("decimal(18,10)").alias("s"),
         )
     )
     agg = scored.groupBy("qid", "doc_id").agg(F.sum("s").alias("score"))
@@ -3525,19 +3508,20 @@ def q36h_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = words.select("w", F.md5("w").alias("h"))
     rows_ = F.explode(F.array(*[F.lit(r) for r in (0, 1, 2, 3)])).alias("r")
 
-    def bucket(h, r):
-        return (
-            F.ascii(F.substring(h, 2 * r + 1, 1)) * 256
-            + F.ascii(F.substring(h, 2 * r + 2, 1))
-        ) % 128
-
-    cells = None
-    for r in (0, 1, 2, 3):
-        part = stream.select(
-            F.lit(r).alias("r"), bucket(F.col("h"), r).alias("b")
+    # ONE corpus pass: fan each token out to its 4 sketch rows with an
+    # explode (a 4-way union of the stream would re-tokenize and re-hash
+    # the whole corpus once per row)
+    cells = (
+        stream.select(
+            "h", F.explode(F.array(*[F.lit(r) for r in (0, 1, 2, 3)])).alias("r")
         )
-        cells = part if cells is None else cells.unionByName(part)
-    cells = cells.groupBy("r", "b").agg(F.count("*").alias("cnt"))
+        .select("r", F.expr(
+            "(ascii(substr(h, 2*r + 1, 1)) * 256"
+            " + ascii(substr(h, 2*r + 2, 1))) % 128"
+        ).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
 
     keyed = exact.select("w", "c", F.md5("w").alias("h")).select(
         "w", "c", "h", rows_
@@ -3881,21 +3865,7 @@ def q97i_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
          (3, "window"), (3, "agg")],
         "qid int, w string",
     )
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    )
-    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
-        F.sum("dl").alias("t"),
-    )
-    tf = (
-        words.join(F.broadcast(qterms.select("w").distinct()), "w")
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    dl, stats, tf, dfreq = llmops.bm25_postings(docs, qterms)
     cfreq = tf.groupBy("w").agg(F.sum("tf").cast("long").alias("cf"))
     cand = tf.join(F.broadcast(qterms), "w").select("qid", "doc_id").distinct()
     scaffold = (
@@ -3903,15 +3873,9 @@ def q97i_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tf, ["doc_id", "w"], "left")
         .select("qid", "doc_id", "w", F.coalesce("tf", F.lit(0)).alias("tf"))
     )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
     bm25_term = F.when(
         F.col("tf") > 0,
-        (
-            (idf * (F.col("tf") * 2.2))
-            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-        ).cast("decimal(18,10)"),
+        llmops.bm25_term_score().cast("decimal(18,10)"),
     ).otherwise(F.lit(0).cast("decimal(18,10)"))
     ql_term = F.log(
         (F.col("tf") + 100.0 * F.col("cf") / F.col("t")) / (F.col("dl") + 100.0)

@@ -3214,9 +3214,9 @@ def q67_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
-@query(
-    "q44c_ohlc_downsample",
-    oracle="""
+# Shared by q44c (batch) and q81c (streaming): the "streaming equals
+# batch" contract is only meaningful if both check against the SAME SQL.
+OHLC_ORACLE_SQL = """
     WITH ranked AS (
       SELECT user_id,
              date_trunc('hour', ts) AS bar_ts,
@@ -3235,7 +3235,12 @@ def q67_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            ROUND(CAST(SUM(v) AS DOUBLE), 2) AS volume
     FROM ranked GROUP BY user_id, bar_ts
-    """,
+    """
+
+
+@query(
+    "q44c_ohlc_downsample",
+    oracle=OHLC_ORACLE_SQL,
     tags=("timeseries", "downsample", "ohlc"),
 )
 def q44c_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:

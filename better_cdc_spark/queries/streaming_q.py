@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from better_cdc_spark.io import load_table
 from better_cdc_spark.queries import query
+from better_cdc_spark.queries import relational
 from better_cdc_spark.queries.relational import _d, dec
 from better_cdc_spark.session import tune_for_oracle
 from better_cdc_spark.streaming.core import events_stream, run_to_memory
@@ -1027,26 +1028,7 @@ def q88c_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q81c_streaming_ohlc",
-    oracle="""
-    WITH ranked AS (
-      SELECT user_id,
-             date_trunc('hour', ts) AS bar_ts,
-             CAST(value AS DECIMAL(18,2)) AS v,
-             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                                ORDER BY ts, event_id) AS rn_a,
-             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                                ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events
-    )
-    SELECT user_id, bar_ts,
-           ROUND(CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE), 2) AS open,
-           ROUND(CAST(MAX(v) AS DOUBLE), 2) AS high,
-           ROUND(CAST(MIN(v) AS DOUBLE), 2) AS low,
-           ROUND(CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE), 2) AS close,
-           COUNT(*) AS n_events,
-           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS volume
-    FROM ranked GROUP BY user_id, bar_ts
-    """,
+    oracle=relational.OHLC_ORACLE_SQL,
     tags=("streaming", "window", "ohlc"),
 )
 def q81c_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -213,22 +213,11 @@ def main() -> int:
          (3, "window"), (3, "agg")],
         "qid int, w string",
     )
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    )
-    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"),
-                   (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"))
-    tf = (words.join(F.broadcast(qterms.select("w").distinct()), "w")
-          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    dl, stats, tf, dfreq = llmops.bm25_postings(docs, qterms)
     scored = (tf.join(F.broadcast(qterms), "w").join(F.broadcast(dfreq), "w")
               .join(dl, "doc_id").crossJoin(F.broadcast(stats))
               .groupBy("qid", "doc_id")
-              .agg(F.sum(idf * (F.col("tf") * 2.2)
-                         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-                        ).alias("s")))
+              .agg(F.sum(llmops.bm25_term_score()).alias("s")))
     top = scored.withColumn(
         "rnk", F.row_number().over(W.partitionBy("qid").orderBy(F.col("s").desc(), "doc_id"))
     ).filter(F.col("rnk") <= 10)
