@@ -59,6 +59,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 SHOWCASE_ORDER = (
     # round-4 late additions, externally unverified by construction
     "q44c_ohlc_downsample",
+    "q95s_token_budget_mix",
+    "q42d_ewma",
     "q46b_rolling_active_users",
     "q95r_classifier_filter",
     "q36i_mode_agg",

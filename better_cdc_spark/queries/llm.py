@@ -4108,3 +4108,73 @@ def q95r_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("quality_score"),
         (p >= 0.5).alias("kept"),
     )
+
+
+@query(
+    "q95s_token_budget_mix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    ),
+    budgets(source, budget) AS (
+      VALUES ('src0', 4000), ('src1', 2500), ('src2', 1500), ('src3', 1000),
+             ('src4', 1000), ('src5', 500), ('src6', 500)
+    ),
+    cum AS (
+      SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+             CAST(SUM(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM toks t JOIN budgets b USING (source)
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           (cum_tokens <= budget) AS kept
+    FROM cum
+    """,
+    tags=("llm", "sampling", "mixing"),
+)
+def q95s_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget data mixing — the unit that actually matters for a
+    training run: each domain contributes documents, in deterministic
+    content-hash order, until its TOKEN budget is exhausted (q95f caps
+    doc COUNTS by quality rank; mixture specs like the Pile's or
+    Dolma's are written in tokens). A doc is kept iff the running token
+    sum through it stays inside its domain's budget — the greedy
+    prefix-by-hash rule, reproducible on any engine and any partitioning.
+
+    Plan: one narrow pass computes per-doc token counts; budgets are a
+    7-row broadcast dim; the running sum is ONE window per domain
+    keyed on the mixture's own partitioning (at 100 TB domains are the
+    natural partition key, so the window shuffle is the mixture shuffle).
+    All-integer arithmetic — nothing to flake.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    budgets = spark.createDataFrame(
+        [("src0", 4000), ("src1", 2500), ("src2", 1500), ("src3", 1000),
+         ("src4", 1000), ("src5", 500), ("src6", 500)],
+        "source string, budget int",
+    )
+    cum = F.sum("n_tokens").over(
+        W.partitionBy("source").orderBy("h", "doc_id").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(budgets), "source")
+        .withColumn("cum_tokens", cum)
+        .select(
+            "doc_id", "source", "n_tokens", "cum_tokens",
+            (F.col("cum_tokens") <= F.col("budget")).alias("kept"),
+        )
+    )

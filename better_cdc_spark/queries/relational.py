@@ -3432,3 +3432,68 @@ def q46b_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_end")
         .agg(F.count("*").alias("active_users_7d"))
     )
+
+
+@query(
+    "q42d_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value AS v,
+             LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2,
+             LAG(value, 3) OVER w AS v3, LAG(value, 4) OVER w AS v4,
+             LAG(value, 5) OVER w AS v5, LAG(value, 6) OVER w AS v6,
+             LAG(value, 7) OVER w AS v7
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           ROUND((v + COALESCE(v1,0)*0.75 + COALESCE(v2,0)*0.5625
+                    + COALESCE(v3,0)*0.421875 + COALESCE(v4,0)*0.31640625
+                    + COALESCE(v5,0)*0.2373046875 + COALESCE(v6,0)*0.177978515625
+                    + COALESCE(v7,0)*0.13348388671875)
+                 / (1.0 + CASE WHEN v1 IS NULL THEN 0 ELSE 0.75 END
+                        + CASE WHEN v2 IS NULL THEN 0 ELSE 0.5625 END
+                        + CASE WHEN v3 IS NULL THEN 0 ELSE 0.421875 END
+                        + CASE WHEN v4 IS NULL THEN 0 ELSE 0.31640625 END
+                        + CASE WHEN v5 IS NULL THEN 0 ELSE 0.2373046875 END
+                        + CASE WHEN v6 IS NULL THEN 0 ELSE 0.177978515625 END
+                        + CASE WHEN v7 IS NULL THEN 0 ELSE 0.13348388671875 END),
+                 6) AS ewma8
+    FROM seq
+    """,
+    tags=("timeseries", "window", "ewma"),
+)
+def q42d_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (alpha=0.25,
+    8-tap) per key — the smoothing filter between q42's flat moving
+    average and q42c's robust median: recent samples dominate but noise
+    still cancels. True EWMA is a recursion no frame aggregate can
+    express; the 8-tap truncation (weights 0.75^j, residual mass
+    0.75^8 = 10%) makes it a bounded-window LINEAR filter — 8 LAGs over
+    ONE (user_id, ts) window partitioning, normalized over the weights
+    actually present so series heads aren't biased toward zero.
+
+    Weights 0.75^j are exact dyadic doubles (3^j/4^j, j<=7), the taps
+    are 2dp values, and both engines evaluate the identical left-to-right
+    sum — bit-identical before the shared 6dp round. At 100 TB this is
+    the same single window shuffle as any lag feature; 8 taps cost one
+    buffered pass, not 8.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = [0.75 ** j for j in range(8)]
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("v"),
+        *[F.lag("value", j).over(w).alias(f"v{j}") for j in range(1, 8)],
+    )
+    num = F.col("v")
+    den = F.lit(1.0)
+    for j in range(1, 8):
+        num = num + F.coalesce(F.col(f"v{j}"), F.lit(0)) * weights[j]
+        den = den + F.when(F.col(f"v{j}").isNull(), 0.0).otherwise(weights[j])
+    return seq.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma8")
+    )
