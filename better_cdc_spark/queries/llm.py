@@ -4178,3 +4178,114 @@ def q95s_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_tokens") <= F.col("budget")).alias("kept"),
         )
     )
+
+
+@query(
+    "q94h_filter_ablation",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS words,
+               length(text)::DOUBLE AS n_chars
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_chars,
+               len(words)::BIGINT AS n_words,
+               list_sum(list_transform(words, x -> length(x)))::DOUBLE AS total_len,
+               len(list_filter(words,
+                   x -> x IN {GOPHER_STOPWORDS!r}))::BIGINT AS n_stop,
+               len(list_filter(list_transform(generate_series(1, len(words) - 2),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]),
+                   g -> len(list_filter(list_transform(generate_series(1, len(words) - 2),
+                        j -> words[j] || ' ' || words[j+1] || ' ' || words[j+2]),
+                        h -> h = g)) >= 2))::BIGINT AS n_dup_grams
+        FROM w WHERE len(words) >= 3
+    ), gates AS (
+        SELECT doc_id,
+               (n_words BETWEEN 50 AND 100000
+                AND total_len / n_words BETWEEN 3 AND 10
+                AND n_stop >= 2) AS g_gopher,
+               (1.0 / (1.0 + exp(-(-2.0 + 3.5 * (n_stop::DOUBLE / n_words)
+                                 + 0.2 * (total_len / n_words)
+                                 + 0.3 * log10(n_words::DOUBLE)))) >= 0.5) AS g_clf,
+               (n_dup_grams::DOUBLE / (n_words - 2) <= 0.6) AS g_rep
+        FROM s
+    )
+    SELECT g_gopher, g_clf, g_rep,
+           COUNT(*) AS n_docs
+    FROM gates GROUP BY g_gopher, g_clf, g_rep
+    """,
+    tags=("llm", "quality", "ablation"),
+)
+def q94h_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter ABLATION report — before committing a quality pipeline you
+    need the overlap matrix: how many documents does each gate
+    combination keep/kill, and which gates are redundant? One narrow
+    pass computes three independent gates per doc (a Gopher-style rule
+    subset, a logistic classifier score, a repeated-3-gram ratio) and
+    one 8-row aggregate reports the full contingency table — the
+    standard curation-design artifact (e.g. RefinedWeb/FineWeb ablation
+    tables), produced in a single corpus scan instead of one scan per
+    gate combination.
+
+    All three gates are higher-order-function signals on the in-row
+    token array (zero explode, zero pre-agg shuffle); the only exchange
+    is the 8-row contingency groupBy. The repetition gate's in-row
+    nested filter is O(grams^2) PER DOC — right for short web docs
+    (10^4 compares at 100 words); book-length docs swap in q98i's
+    explode+groupBy form for that one signal. Gate thresholds sit far
+    from their signals' values on this corpus, so the booleans are
+    ulp-robust; counts are exact.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    wdf = docs.select("doc_id", words.alias("words")).filter(F.size("words") >= 3)
+    n_words = F.size("words").cast("long")
+    total_len = F.aggregate(
+        F.transform("words", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+    n_stop = F.size(
+        F.filter("words", lambda x: x.isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("words") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("words", i),
+            F.element_at("words", i + 1),
+            F.element_at("words", i + 2),
+        ),
+    )
+    s = wdf.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        total_len.alias("total_len"),
+        n_stop.alias("n_stop"),
+        F.size(
+            F.filter(
+                grams,
+                lambda g: F.size(F.filter(grams, lambda h: h == g)) >= 2,
+            )
+        ).cast("long").alias("n_dup_grams"),
+    )
+    g_gopher = (
+        F.col("n_words").between(50, 100000)
+        & (F.col("total_len") / F.col("n_words")).between(3, 10)
+        & (F.col("n_stop") >= 2)
+    )
+    z = (
+        F.lit(-2.0)
+        + 3.5 * (F.col("n_stop").cast("double") / F.col("n_words"))
+        + 0.2 * (F.col("total_len") / F.col("n_words"))
+        + 0.3 * F.log10(F.col("n_words").cast("double"))
+    )
+    g_clf = (1.0 / (1.0 + F.exp(-z))) >= 0.5
+    g_rep = (F.col("n_dup_grams").cast("double") / (F.col("n_words") - 2)) <= 0.6
+    return (
+        s.select(
+            g_gopher.alias("g_gopher"), g_clf.alias("g_clf"), g_rep.alias("g_rep")
+        )
+        .groupBy("g_gopher", "g_clf", "g_rep")
+        .agg(F.count("*").alias("n_docs"))
+    )
