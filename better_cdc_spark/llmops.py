@@ -1279,3 +1279,43 @@ def bm25_term_score() -> F.Column:
         F.col("tf")
         + BM25_K1 * ((1.0 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl"))
     )
+
+
+def audio_window_features(win: int = 1024, hop: int = 512):
+    """mapInPandas kernel factory: decode WAV payloads (stdlib codec) and
+    emit per-window zero-crossing counts and integer energy — the
+    deterministic core of an audio feature-extraction stage (the VAD /
+    silence-trim signals of a speech pipeline), closed-form recomputable
+    because both features stay in integer space: samples are unsigned
+    bytes, sign = (b >= 128), zcr = sum |sign_j - sign_{j-1}|,
+    energy = sum (b-128)^2. A torchaudio/librosa swap-in replaces only
+    the per-payload body; schema and batching are the production path.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from better_cdc_spark import codecs
+
+        for pdf in batches:
+            doc_ids, starts, lens, zcrs, energies = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = codecs.decode_wav(bytes(payload))
+                pcm = np.frombuffer(meta["frames"], dtype=np.uint8)
+                for s in range(0, len(pcm), hop):
+                    w = pcm[s : s + win]
+                    sign = (w >= 128).astype(np.int8)
+                    doc_ids.append(int(doc_id))
+                    starts.append(s)
+                    lens.append(len(w))
+                    zcrs.append(int(np.abs(np.diff(sign)).sum()))
+                    energies.append(int(((w.astype(np.int64) - 128) ** 2).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "win_start": pd.Series(starts, dtype="int64"),
+                    "win_len": pd.Series(lens, dtype="int64"),
+                    "zcr": pd.Series(zcrs, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return kernel

@@ -4289,3 +4289,59 @@ def q94h_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g_gopher", "g_clf", "g_rep")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "q99e_audio_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 800 + (doc_id % 100) * 8 AS ns
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    wins AS (
+      SELECT doc_id, ns, unnest(generate_series(0, (ns - 1) // 512)) AS wi
+      FROM p
+    )
+    SELECT doc_id,
+           wi * 512 AS win_start,
+           LEAST(1024, ns - wi * 512) AS win_len,
+           CAST(COALESCE(list_sum(list_transform(
+                 generate_series(wi*512 + 1, LEAST(wi*512 + 1024, ns) - 1),
+                 j -> abs(CASE WHEN (doc_id*13 + j*5) % 256 >= 128 THEN 1 ELSE 0 END
+                        - CASE WHEN (doc_id*13 + (j-1)*5) % 256 >= 128 THEN 1 ELSE 0 END))),
+               0) AS BIGINT) AS zcr,
+           CAST(list_sum(list_transform(
+                 generate_series(wi*512, LEAST(wi*512 + 1024, ns) - 1),
+                 j -> ((doc_id*13 + j*5) % 256 - 128)
+                      * ((doc_id*13 + j*5) % 256 - 128))) AS BIGINT) AS energy
+    FROM wins
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def q99e_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction that EXECUTES: honest RIFF/WAV containers
+    are synthesized per doc, DECODED with the stdlib codec, and windowed
+    into per-frame zero-crossing counts and integer energy
+    (llmops.audio_window_features) — the VAD/silence-trim signals of a
+    speech-data pipeline, completing the executing-decode trio (PNG/PPM
+    q99c, resize q99d, WAV features here). Both features are closed-form
+    functions of the synthetic PCM, so the oracle recomputes every
+    window: a broken RIFF parse, a wrong hop, or an off-by-one in the
+    diff all change the integers.
+
+    Two chained mapInPandas over BinaryType — zero shuffle,
+    embarrassingly parallel; a torchaudio/librosa swap-in replaces only
+    the per-payload body (q99's documented deploy seam).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    payloads = docs.mapInPandas(
+        llmops.synth_media_payloads,
+        schema="doc_id bigint, mime string, payload binary",
+    )
+    return payloads.mapInPandas(
+        llmops.audio_window_features(1024, 512),
+        schema="doc_id bigint, win_start bigint, win_len bigint, zcr bigint, energy bigint",
+    )
