@@ -81,8 +81,25 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else SF_DIR
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    """Usage: check.py [sf_dir] [query ...] [--sample N [--seed S]]
+
+    --sample N draws a seeded-random subset of the registry — the
+    unbiased alternative to prefix sampling (a fixed prefix can be
+    curated; a seeded draw over the whole registry cannot), per the
+    round-4 advisory on SHOWCASE_ORDER. Default seed: 0.
+    """
+    args = sys.argv[1:]
+    sample_n = seed = None
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args and "/" in args[0] else SF_DIR
+    only = [a for a in args if "/" not in a]
 
     from better_cdc_spark.queries import load_all
     from better_cdc_spark.session import get_spark
@@ -92,6 +109,12 @@ def main() -> int:
     con = duck_connect(sf_dir)
 
     names = only or list(registry)
+    if sample_n:
+        import random
+
+        rng = random.Random(seed or 0)
+        names = sorted(rng.sample(sorted(names), min(sample_n, len(names))))
+        print(f"seeded sample: {len(names)} of {len(registry)} (seed={seed or 0})")
     failed, no_oracle = [], []
     for name in names:
         spec = registry[name]
