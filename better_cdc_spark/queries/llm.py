@@ -4345,3 +4345,118 @@ def q99e_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         llmops.audio_window_features(1024, 512),
         schema="doc_id bigint, win_start bigint, win_len bigint, zcr bigint, energy bigint",
     )
+
+
+@query(
+    "q97k_bm25_index_persist",
+    oracle="""
+    WITH qterms(qid, w) AS (
+      VALUES (1,'table'),(1,'scan'),(2,'join'),(2,'hash'),(3,'window'),(3,'agg')
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM words JOIN (SELECT DISTINCT w FROM qterms) USING (w)
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT q.qid, t.doc_id,
+             CAST(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * (t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               AS DECIMAL(18,10)) AS s
+      FROM tf t
+      JOIN qterms q USING (w)
+      JOIN df USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    agg AS (SELECT qid, doc_id, SUM(s) AS score FROM scored GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      FROM agg
+    )
+    SELECT qid, rnk, doc_id, ROUND(CAST(score AS DOUBLE), 6) AS bm25
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "retrieval", "bm25", "index"),
+)
+def q97k_bm25_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index LIFECYCLE — the piece q97h leaves implicit, and the
+    lexical twin of q97f's IVF persistence: the inverted index (per-term
+    postings with tf, plus doc lengths and collection stats) is
+    materialized as parquet PARTITIONED BY TERM; a cold session serves a
+    query by reading ONLY its query terms' partitions — the filter
+    resolves at file-listing time, so serving cost is O(postings of the
+    queried terms), the actual win of an inverted index on object
+    storage: the index IS a partition layout. Scoring over the re-read
+    postings is identical to q97h (same helpers), so the oracle is the
+    same SQL and the hash also proves the round trip lost nothing.
+
+    Production notes in-plan: a real deployment hashes terms into ~4k
+    buckets instead of raw-term directories (bounded partition count,
+    same pruning) and appends per-segment; both change only the
+    partition expression. tests/test_plans.py pins PartitionFilters on
+    the cold scan.
+    """
+    tune_for_oracle(spark)
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(1, "table"), (1, "scan"), (2, "join"), (2, "hash"),
+         (3, "window"), (3, "agg")],
+        "qid int, w string",
+    )
+    dl, stats, tf, dfreq = llmops.bm25_postings(docs, qterms)
+
+    index_dir = _tf.mkdtemp(prefix="bcs_q97k_bm25_")
+    _sh.rmtree(index_dir, ignore_errors=True)
+    # index build: postings partitioned by term; sidecar doc-length and
+    # per-term df tables; 1-row collection stats
+    tf.write.partitionBy("w").parquet(_os.path.join(index_dir, "postings"))
+    dl.write.parquet(_os.path.join(index_dir, "doclen"))
+    dfreq.write.parquet(_os.path.join(index_dir, "df"))
+    stats.write.parquet(_os.path.join(index_dir, "stats"))
+
+    # cold-start serving: prune the postings scan to the query vocabulary
+    terms = [r["w"] for r in qterms.select("w").distinct().collect()]
+    postings = spark.read.parquet(_os.path.join(index_dir, "postings")).filter(
+        F.col("w").isin(terms)
+    )
+    dl_c = spark.read.parquet(_os.path.join(index_dir, "doclen"))
+    df_c = spark.read.parquet(_os.path.join(index_dir, "df"))
+    stats_c = spark.read.parquet(_os.path.join(index_dir, "stats"))
+    scored = (
+        postings.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(df_c), "w")
+        .join(dl_c, "doc_id")
+        .crossJoin(F.broadcast(stats_c))
+        .select(
+            "qid",
+            "doc_id",
+            llmops.bm25_term_score().cast("decimal(18,10)").alias("s"),
+        )
+    )
+    agg = scored.groupBy("qid", "doc_id").agg(F.sum("s").alias("score"))
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    )
+    return (
+        agg.select("qid", "doc_id", "score", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "qid", "rnk", "doc_id",
+            F.round(F.col("score").cast("double"), 6).alias("bm25"),
+        )
+    )

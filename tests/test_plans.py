@@ -353,3 +353,15 @@ def test_q97h_bm25_query_side_broadcasts_corpus_never_bnlj(spark):
     # stats/threshold regression
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q97k_bm25_cold_scan_prunes_term_partitions(spark):
+    """q97k's serving path must resolve the query-vocabulary filter at
+    file-listing time: the postings scan shows PartitionFilters on the
+    term (w) partition column, not a post-scan Filter over all terms —
+    the inverted index IS a partition layout."""
+    plan = plan_of(spark, "q97k_bm25_index_persist")
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*w#\d+", plan)
+    assert m, "postings scan lost its term-partition pruning"
