@@ -1247,3 +1247,95 @@ def qc17_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("replayed"),
     )
     return published.unionByName(replayed)
+
+
+@query(
+    "qc18_data_quality_audit",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'event_id_unique',
+           (SELECT COUNT(*) FROM events),
+           (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+             (SELECT COUNT(*) AS n FROM events GROUP BY event_id HAVING COUNT(*) > 1) t)
+    UNION ALL
+    SELECT 'orderstatus_accepted_values',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O'))
+    UNION ALL
+    SELECT 'discount_in_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'totalprice_not_null_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+    """,
+    tags=("cdc", "quality", "audit"),
+)
+def qc18_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the dbt-test / Deequ layer as engine-native
+    checks over the warehouse tables: referential integrity (anti-join),
+    key uniqueness (grouped dup count), accepted values, range, and
+    not-null/positivity — one (check_name, n_checked, n_violations) row
+    each. The accepted-values check FIRES on this data ('P' status rows),
+    so the report proves violations are counted, not just zeros echoed.
+
+    Check shapes are exactly the engine's primitives: the FK check is a
+    LEFT ANTI join (broadcast dim at any realistic customer size — never
+    a per-row lookup), uniqueness is one map-side-combined groupBy,
+    everything else is a narrow filter-count fused into the scan. At
+    100 TB each check is one pass — and the five checks share table
+    scans where Catalyst can (orders feeds three checks).
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def row(name, n_checked_df, viol_df):
+        return (
+            n_checked_df.agg(F.count("*").alias("n_checked"))
+            .crossJoin(viol_df)
+            .select(
+                F.lit(name).alias("check_name"), "n_checked", "n_violations"
+            )
+        )
+
+    fk_viol = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count("*").alias("n_violations"))
+    )
+    dup_viol = (
+        events.groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("n_violations"))
+    )
+    status_viol = orders.filter(~F.col("o_orderstatus").isin("F", "O")).agg(
+        F.count("*").alias("n_violations")
+    )
+    disc_viol = lineitem.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+    ).agg(F.count("*").alias("n_violations"))
+    price_viol = orders.filter(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    ).agg(F.count("*").alias("n_violations"))
+
+    return (
+        row("orders_custkey_fk", orders, fk_viol)
+        .unionByName(row("event_id_unique", events, dup_viol))
+        .unionByName(row("orderstatus_accepted_values", orders, status_viol))
+        .unionByName(row("discount_in_range", lineitem, disc_viol))
+        .unionByName(row("totalprice_not_null_positive", orders, price_viol))
+    )
