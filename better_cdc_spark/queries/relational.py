@@ -3497,3 +3497,61 @@ def q42d_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id", "event_id", F.round(num / den, 6).alias("ewma8")
     )
+
+
+@query("q46c_rolling_wau_hll", tags=("timeseries", "window", "sketch"))
+def q46c_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q46b's documented 100 TB path made real: rolling 7-day active
+    users from MERGED per-day HLL sketches instead of exact user-day
+    pairs. Each day aggregates ONE sketch (hll_sketch_agg, bytes not
+    user sets); each window-end unions its 7 daily sketches
+    (hll_union_agg) — the mergeability q46b's exact explode can't have,
+    shrinking shuffle volume from |user-days| rows to |days| sketches.
+
+    Rows-only (HLL++ estimates are engine-specific, the q32 pattern),
+    but the audit is IN the output: the exact WAU is computed alongside
+    (q46b's contribution explode) and every window asserts relative
+    error within 5% (HLL++ default precision is ~1.6% rse) — a false
+    estimate fails the in-query bound, not just a test.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("d")
+    daily_sk = ev.select("user_id", day).groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    contrib_sk = daily_sk.select("d", "sk", k).select(
+        (F.col("d") + F.make_dt_interval(days=F.col("k"))).alias("win_end"), "sk"
+    )
+    approx = contrib_sk.groupBy("win_end").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_7d")
+    )
+    exact = (
+        ev.select("user_id", day)
+        .distinct()
+        .select("user_id", k, "d")
+        .select(
+            "user_id", (F.col("d") + F.make_dt_interval(days=F.col("k"))).alias("win_end")
+        )
+        .distinct()
+        .groupBy("win_end")
+        .agg(F.count("*").alias("exact_7d"))
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("lo"),
+        F.max(F.date_trunc("day", "ts")).alias("hi"),
+    )
+    rel_err = F.abs(F.col("approx_7d") - F.col("exact_7d")) / F.col("exact_7d")
+    return (
+        approx.join(exact, "win_end")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_end").between(F.col("lo"), F.col("hi")))
+        .select(
+            "win_end",
+            "exact_7d",
+            "approx_7d",
+            F.round(rel_err, 4).alias("rel_err"),
+            (rel_err < 0.05).alias("within_bound"),
+        )
+    )
