@@ -59,6 +59,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 SHOWCASE_ORDER = (
     # round-4 late additions, externally unverified by construction
     "q44c_ohlc_downsample",
+    "q95t_incremental_dedup",
     "q46c_rolling_wau_hll",
     "qc18_data_quality_audit",
     "q97k_bm25_index_persist",

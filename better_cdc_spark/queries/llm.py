@@ -4460,3 +4460,80 @@ def q97k_bm25_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score").cast("double"), 6).alias("bm25"),
         )
     )
+
+
+@query(
+    "q95t_incremental_dedup",
+    oracle="""
+    WITH snapshot AS (SELECT doc_id, md5(text) AS h FROM documents),
+    batch AS (
+      SELECT doc_id + 3000000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id,
+             md5('fresh ' || text) AS h
+      FROM documents WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    first_in_batch AS (
+      SELECT h, MIN(doc_id) AS keeper FROM batch GROUP BY h
+    )
+    SELECT b.doc_id,
+           CASE WHEN s.h IS NOT NULL THEN 'dup_of_snapshot'
+                WHEN b.doc_id <> f.keeper THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch b
+    LEFT JOIN (SELECT DISTINCT h FROM snapshot) s ON s.h = b.h
+    JOIN first_in_batch f ON f.h = b.h
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def q95t_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (onion-layer) dedup — the continuous-crawl flow q95's
+    one-shot dedup doesn't cover: a NEW batch is deduplicated first
+    against the EXISTING corpus snapshot (content-hash anti-membership),
+    then within itself (first-occurrence wins), and every batch doc gets
+    a disposition: dup_of_snapshot / dup_in_batch / new. The synthetic
+    batch plants all three: re-crawls of every 4th doc (snapshot dups),
+    prefix-edited docs (genuinely new to the exact layer), and a slice
+    that re-appears twice across the batch unions (in-batch dups).
+
+    Scale shape: the snapshot side is a hash INDEX (one content-hash
+    column, not text) — at 100 TB it's the bucketed dedup index every
+    crawl pipeline maintains, joined on its own key; the batch-side
+    first-wins is one keyed MIN. Incremental cost is O(batch + index
+    probe), never a re-scan of the accumulated corpus text.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snapshot = docs.select(F.md5("text").alias("h")).distinct()
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 3000000).alias("doc_id"), F.md5("text").alias("h"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("fresh "), F.col("text"))).alias("h"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), F.md5("text").alias("h")
+            )
+        )
+    )
+    first = batch.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    in_snap = snapshot.withColumn("in_snapshot", F.lit(True))
+    return (
+        batch.join(in_snap, "h", "left")
+        .join(first, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("in_snapshot"), "dup_of_snapshot")
+            .when(F.col("doc_id") != F.col("keeper"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
