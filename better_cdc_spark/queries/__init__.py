@@ -59,6 +59,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 SHOWCASE_ORDER = (
     # round-4 late additions, externally unverified by construction
     "q44c_ohlc_downsample",
+    "q36j_welch_t_test",
+    "q53_ratio_to_report",
     "q95t_incremental_dedup",
     "q46c_rolling_wau_hll",
     "qc18_data_quality_audit",

@@ -3555,3 +3555,153 @@ def q46c_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rel_err < 0.05).alias("within_bound"),
         )
     )
+
+
+@query(
+    "q36j_welch_t_test",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1) AS var
+      FROM g
+    ), ab AS (
+      SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+             b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+      FROM m a, m b
+      WHERE a.event_type = 'click' AND b.event_type = 'view'
+    )
+    SELECT n_a, n_b,
+           ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+                 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS dof
+    FROM ab
+    """,
+    tags=("agg", "statistics", "ttest"),
+)
+def q36j_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations
+    (click vs view values) — the A/B-evaluation aggregate: means,
+    Welch t statistic, and Welch–Satterthwaite degrees of freedom, all
+    from ONE grouped pass of mergeable moments (n, Σx, Σx²) per arm.
+
+    The moment sums are exact DECIMALS (2dp inputs), so the only
+    doubles are the final closed-form arithmetic — the same expression
+    tree on both engines, then 6dp rounding. At 100 TB this is the
+    canonical map-side-combined two-arm reduction: per-partition
+    moments merge associatively; nothing resembles a sort or a second
+    pass. (p-values need the t CDF — an incomplete-beta numeric, shipped
+    at deploy as a 1-row UDF over these exact inputs.)
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    t_stat = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b)
+    dof = ((se2_a + se2_b) * (se2_a + se2_b)) / (
+        se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1)
+    )
+    return ab.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )
+
+
+@query(
+    "q53_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           ROUND(CAST(nation_rev AS DOUBLE), 2) AS nation_rev,
+           ROUND(CAST(nation_rev AS DOUBLE)
+                 / CAST(SUM(nation_rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS region_share,
+           RANK() OVER (PARTITION BY region ORDER BY nation_rev DESC, nation)
+             AS rank_in_region
+    FROM rev
+    """,
+    tags=("window", "ratio", "bi"),
+)
+def q53_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — the BI staple (Oracle's RATIO_TO_REPORT,
+    share-of-total dashboards): each nation's revenue share of its
+    region, plus in-region rank, in one pass. The share window and the
+    rank window BOTH partition on region, so one exchange serves the
+    aggregate and both windows; the denominator sums exact decimals
+    (order-independent) and only the final share divides in doubles.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("nation_rev"))
+    )
+    share = F.col("nation_rev").cast("double") / F.sum("nation_rev").over(
+        W.partitionBy("region")
+    ).cast("double")
+    rk = F.rank().over(
+        W.partitionBy("region").orderBy(F.col("nation_rev").desc(), "nation")
+    )
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("nation_rev").cast("double"), 2).alias("nation_rev"),
+        F.round(share, 6).alias("region_share"),
+        rk.alias("rank_in_region"),
+    )
