@@ -3705,3 +3705,23 @@ def q53_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("region_share"),
         rk.alias("rank_in_region"),
     )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY ALL
+"""
+
+
+@query("q33e_group_by_all", oracle=_GROUP_BY_ALL_SQL, tags=("agg", "sql"))
+def q33e_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (SPARK-41631; DuckDB's original sugar): group by
+    every non-aggregate select item — the SAME SQL text runs on both
+    engines, pinning that the engine's resolver infers the grouping set
+    identically. Plans as an ordinary partial+final hash aggregate.
+    """
+    return _sql_query(spark, sf_dir, _GROUP_BY_ALL_SQL, "orders")
