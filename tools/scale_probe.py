@@ -204,6 +204,15 @@ def main() -> int:
 
     # --- round-4-late kernels ---------------------------------------------
 
+    # Release earlier kernels' pinned state (localCheckpoint RDDs survive
+    # while their DataFrames are referenced; accumulated executor memory
+    # pressure inflated the late kernels' wall by ~7x in one run —
+    # winnowing measured 51 s here vs 6.7 s standalone at the same scale).
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
+
     # BM25 retrieval: inverted-index scoring over the amplified corpus.
     # The query vocabulary semi-join must bound every downstream shuffle.
     from pyspark.sql import Window as W
