@@ -31,8 +31,10 @@ def asof_join(
     """For each left row, attach the nearest right row on the chosen side.
 
     ``direction="backward"`` (default): latest right with right_ts <=
-    left_ts; ``"forward"``: earliest right with right_ts >= left_ts —
-    both inclusive, pandas ``merge_asof`` semantics, keyed by ``on``.
+    left_ts; ``"forward"``: earliest right with right_ts >= left_ts;
+    ``"nearest"``: whichever of those two candidates is closer, distance
+    ties keeping the earlier row — all inclusive, pandas ``merge_asof``
+    semantics, keyed by ``on``.
     ``tolerance`` (a Column interval/number, e.g. ``F.expr("INTERVAL 30
     MINUTES")``) drops matches farther than that from the left timestamp;
     the plan cost is identical (one post-filter on the carried
@@ -109,8 +111,39 @@ def asof_join(
             .rowsBetween(W.currentRow, W.unboundedFollowing)
         )
         carried = F.first("__r", ignorenulls=True).over(w)
+    elif direction == "nearest":
+        # ONE partitioning + ONE ordering serves both candidate windows
+        # (no second exchange or sort). Right rows sort before left rows
+        # at equal instants, so the backward frame sees a same-ts right at
+        # distance 0 — which beats any forward candidate — making the
+        # right-first ordering correct for BOTH sides: the forward frame
+        # only needs strictly-later rights. Distance ties prefer the
+        # backward match (pandas merge_asof keeps the earlier row).
+        ordering = ["__t", "__is_left"]
+        w_back = (
+            W.partitionBy(*keys)
+            .orderBy(*ordering)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        w_fwd = (
+            W.partitionBy(*keys)
+            .orderBy(*ordering)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        prev = F.last("__r", ignorenulls=True).over(w_back)
+        nxt = F.first("__r", ignorenulls=True).over(w_fwd)
+        gap_prev = F.col("__t") - prev[right_ts]
+        gap_next = nxt[right_ts] - F.col("__t")
+        carried = (
+            F.when(prev.isNull(), nxt)
+            .when(nxt.isNull(), prev)
+            .when(gap_next < gap_prev, nxt)
+            .otherwise(prev)
+        )
     else:
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     merged = r_tagged.unionByName(l_tagged).select(
         *keys,
         "__t",
@@ -120,11 +153,15 @@ def asof_join(
     )
     out = merged.filter((F.col("__is_left") == 1) & F.col("__r").isNotNull())
     if tolerance is not None:
-        gap = (
-            F.col("__r")[right_ts] - F.col("__t")
-            if direction == "forward"
-            else F.col("__t") - F.col("__r")[right_ts]
-        )
+        if direction == "forward":
+            gap = F.col("__r")[right_ts] - F.col("__t")
+        elif direction == "nearest":
+            gap = F.greatest(
+                F.col("__t") - F.col("__r")[right_ts],
+                F.col("__r")[right_ts] - F.col("__t"),
+            )
+        else:
+            gap = F.col("__t") - F.col("__r")[right_ts]
         out = out.filter(gap <= tolerance)
     return out.select(
         *keys,

@@ -59,6 +59,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 SHOWCASE_ORDER = (
     # round-4 late additions, externally unverified by construction
     "q44c_ohlc_downsample",
+    "q27c_asof_nearest",
     "q33e_group_by_all",
     "q36j_welch_t_test",
     "q53_ratio_to_report",

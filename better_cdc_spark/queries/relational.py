@@ -3725,3 +3725,72 @@ def q33e_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically. Plans as an ordinary partial+final hash aggregate.
     """
     return _sql_query(spark, sf_dir, _GROUP_BY_ALL_SQL, "orders")
+
+
+@query(
+    "q27c_asof_nearest",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, MIN(event_id) AS signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ), p AS (
+      SELECT user_id, ts, MIN(event_id) AS purchase_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS p_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), cand AS (
+      SELECT s.user_id, s.ts, s.signup_id,
+             p.ts AS asof_ts, p.purchase_id, p.p_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.user_id, s.ts, s.signup_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)), p.ts) AS rk
+      FROM s JOIN p ON p.user_id = s.user_id
+    )
+    SELECT user_id, ts, signup_id, asof_ts,
+           purchase_id AS asof_purchase_id, p_value AS asof_value
+    FROM cand WHERE rk = 1
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def q27c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third pandas merge_asof direction: each
+    signup attaches the purchase closest in time on EITHER side,
+    distance ties preferring the earlier row. Completes the
+    backward/forward/nearest trio on operators.asof_join.
+
+    Plan: the nearest variant still costs ONE key shuffle and ONE
+    per-key sort — both candidate windows (running last for the
+    backward side, leading first for the forward side) share the same
+    ordering, and the choice is a per-row CASE on the two carried
+    structs. The oracle's join + ROW_NUMBER over every (signup,
+    purchase) pair is the per-key-quadratic plan the operator avoids.
+    """
+    tune_for_oracle(spark)
+    from better_cdc_spark.operators import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    left = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("signup_id"))
+    )
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").alias("purchase_id"),
+            _d(F.sum(dec("value"))).alias("p_value"),
+        )
+        .select(F.col("user_id"), F.col("ts").alias("pts"), "purchase_id", "p_value")
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="pts",
+        direction="nearest",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "signup_id",
+        F.col("asof_pts").alias("asof_ts"),
+        "asof_purchase_id",
+        F.col("asof_p_value").alias("asof_value"),
+    )

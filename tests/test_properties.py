@@ -492,3 +492,34 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(
     a = set(fps[fps.doc_id == 1].fp)
     b = set(fps[fps.doc_id == 2].fp)
     assert a & b, f"guarantee violated: run={run} doc_a={doc_a!r} doc_b={doc_b!r}"
+
+
+@given(left_rows=event_lists, right_rows=event_lists)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_nearest_agrees_with_pandas(spark, left_rows, right_rows):
+    """direction='nearest' must match pandas merge_asof row for row —
+    including distance TIES (integer timestamps make exact ties common),
+    where both implementations keep the earlier (backward) row."""
+    left_rows = list({(k, t): (k, t, v) for k, t, v in left_rows}.values())
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+
+    left = spark.createDataFrame(left_rows, "k string, t long, lv long")
+    right = spark.createDataFrame(right_rows, "k string, t long, rv long")
+    got = {
+        (r.k, r.t, r.lv, r.asof_t, r.asof_rv)
+        for r in ops.asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", direction="nearest"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "lv"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "rv"]).sort_values("t")
+    rp["rt"] = rp["t"]
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="nearest").dropna(
+        subset=["rv"]
+    )
+    expected = {
+        (r.k, int(r.t), int(r.lv), int(r.rt), int(r.rv)) for r in exp.itertuples()
+    }
+    assert got == expected
