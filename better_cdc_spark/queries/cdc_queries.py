@@ -180,11 +180,11 @@ def qc02_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
            'dlq.testdb.public.' || "table" AS subject,
            'testdb' AS database, "schema", "table", operation, lsn, txid,
            'max payload exceeded' AS error,
-           CAST(length(payload) AS BIGINT) AS payload_size,
-           (length(payload) > 36) AS truncated,
+           CAST(strlen(payload) AS BIGINT) AS payload_size,
+           (strlen(payload) > 36) AS truncated,
            substr(payload, 1, 36) AS payload_prefix
     FROM payloads
-    WHERE length(payload) > 38
+    WHERE strlen(payload) > 38
     """,
     tags=("cdc", "dlq"),
 )
@@ -199,11 +199,10 @@ def qc03_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ok, dlq = route_failures(
         ev,
-        # char-based cap to match the oracle's length() exactly (the
-        # reference's production cap is BYTES, dlq.go:36 — identical for
-        # this ASCII generator; route on octet_length when payloads can
-        # carry multi-byte text AND the gate compares in bytes too)
-        error_pred=F.length(payload) > 38,
+        # byte-based cap matching the reference (dlq.go:36 caps BYTES);
+        # the oracle routes on DuckDB strlen() = bytes, so the two sides
+        # agree even for multi-byte payloads
+        error_pred=F.octet_length(payload) > 38,
         error_msg=F.lit("max payload exceeded"),
         payload=payload,
         policy="dlq",
@@ -1192,9 +1191,9 @@ def qm02_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM envelope
     )
     SELECT event_id, "table", operation,
-           CASE WHEN length(payload) > 38 THEN substr(payload, 1, 36)
+           CASE WHEN strlen(payload) > 38 THEN substr(payload, 1, 36)
                 ELSE payload END AS payload_out,
-           (length(payload) > 38) AS replayed
+           (strlen(payload) > 38) AS replayed
     FROM payloads
     """,
     tags=("cdc", "dlq", "replay"),
@@ -1225,8 +1224,8 @@ def qc17_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn("payload", payload)
     ok, dlq = route_failures(
         ev,
-        # char-based cap matching the oracle (see qc03's note)
-        error_pred=F.length("payload") > 38,
+        # byte-based cap matching the reference (see qc03's note)
+        error_pred=F.octet_length("payload") > 38,
         error_msg=F.lit("max payload exceeded"),
         payload=F.col("payload"),
         policy="dlq",

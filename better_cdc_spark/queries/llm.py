@@ -957,15 +957,13 @@ def q97f_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     every returned cosine is exact.
     """
     tune_for_oracle(spark)
-    import shutil as _sh
-    import tempfile as _tf
+    from better_cdc_spark.scratch import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", llmops.as_double_vec("embedding").alias("v")
     )
     centroids = llmops.train_ivf_centroids(emb)
-    index_dir = _tf.mkdtemp(prefix="bcs_q97f_ivf_")
-    _sh.rmtree(index_dir, ignore_errors=True)
+    index_dir = scratch_dir("q97f_ivf")
     # index build: one narrow assignment pass + partitioned write
     emb.withColumn("cell", llmops.ivf_cell_assigner(centroids)(F.col("v"))).write.partitionBy(
         "cell"
@@ -4409,8 +4407,8 @@ def q97k_bm25_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_for_oracle(spark)
     import os as _os
-    import shutil as _sh
-    import tempfile as _tf
+
+    from better_cdc_spark.scratch import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     qterms = spark.createDataFrame(
@@ -4420,8 +4418,7 @@ def q97k_bm25_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dl, stats, tf, dfreq = llmops.bm25_postings(docs, qterms)
 
-    index_dir = _tf.mkdtemp(prefix="bcs_q97k_bm25_")
-    _sh.rmtree(index_dir, ignore_errors=True)
+    index_dir = scratch_dir("q97k_bm25")
     # index build: postings partitioned by term; sidecar doc-length and
     # per-term df tables; 1-row collection stats
     tf.write.partitionBy("w").parquet(_os.path.join(index_dir, "postings"))
@@ -4474,8 +4471,9 @@ def q97k_bm25_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5('fresh ' || text) AS h
       FROM documents WHERE doc_id % 9 = 0
       UNION ALL
-      SELECT doc_id + 5000000 AS doc_id, md5(text) AS h
-      FROM documents WHERE doc_id % 20 = 0
+      SELECT doc_id + 5000000 AS doc_id,
+             md5('fresh ' || text) AS h
+      FROM documents WHERE doc_id % 18 = 0
     ),
     first_in_batch AS (
       SELECT h, MIN(doc_id) AS keeper FROM batch GROUP BY h
@@ -4497,8 +4495,11 @@ def q95t_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then within itself (first-occurrence wins), and every batch doc gets
     a disposition: dup_of_snapshot / dup_in_batch / new. The synthetic
     batch plants all three: re-crawls of every 4th doc (snapshot dups),
-    prefix-edited docs (genuinely new to the exact layer), and a slice
-    that re-appears twice across the batch unions (in-batch dups).
+    prefix-edited docs (genuinely new to the exact layer), and a second
+    copy of the prefix-edited %18 slice at a higher id offset — those
+    hashes exist nowhere in the snapshot but DO collide with the %9
+    slice, so the dup_in_batch disposition is deterministically
+    exercised (first-occurrence keeper = the lower-offset copy).
 
     Scale shape: the snapshot side is a hash INDEX (one content-hash
     column, not text) — at 100 TB it's the bucketed dedup index every
@@ -4519,8 +4520,9 @@ def q95t_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            docs.filter(F.col("doc_id") % 20 == 0).select(
-                (F.col("doc_id") + 5000000).alias("doc_id"), F.md5("text").alias("h")
+            docs.filter(F.col("doc_id") % 18 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("fresh "), F.col("text"))).alias("h"),
             )
         )
     )

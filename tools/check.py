@@ -88,18 +88,18 @@ def main() -> int:
     curated; a seeded draw over the whole registry cannot), per the
     round-4 advisory on SHOWCASE_ORDER. Default seed: 0.
     """
-    args = sys.argv[1:]
-    sample_n = seed = None
-    if "--sample" in args:
-        i = args.index("--sample")
-        sample_n = int(args[i + 1])
-        args = args[:i] + args[i + 2:]
-    if "--seed" in args:
-        i = args.index("--seed")
-        seed = int(args[i + 1])
-        args = args[:i] + args[i + 2:]
-    sf_dir = args[0] if args and "/" in args[0] else SF_DIR
-    only = [a for a in args if "/" not in a]
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("positional", nargs="*", help="[sf_dir] [query_name ...]")
+    p.add_argument("--sample", type=int, default=None, metavar="N")
+    p.add_argument("--seed", type=int, default=0, metavar="S")
+    ns = p.parse_args()
+    if ns.sample is not None and ns.sample <= 0:
+        p.error("--sample must be a positive integer")
+    sample_n, seed = ns.sample, ns.seed
+    sf_dir = ns.positional[0] if ns.positional and "/" in ns.positional[0] else SF_DIR
+    only = [a for a in ns.positional if "/" not in a]
 
     from better_cdc_spark.queries import load_all
     from better_cdc_spark.session import get_spark
@@ -109,12 +109,12 @@ def main() -> int:
     con = duck_connect(sf_dir)
 
     names = only or list(registry)
-    if sample_n:
+    if sample_n is not None:
         import random
 
-        rng = random.Random(seed or 0)
+        rng = random.Random(seed)
         names = sorted(rng.sample(sorted(names), min(sample_n, len(names))))
-        print(f"seeded sample: {len(names)} of {len(registry)} (seed={seed or 0})")
+        print(f"seeded sample: {len(names)} of {len(registry)} (seed={seed})")
     failed, no_oracle = [], []
     for name in names:
         spec = registry[name]
