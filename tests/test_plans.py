@@ -58,6 +58,18 @@ def test_similarity_kernels_never_plan_product_joins(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q96e_tfidf_verify_is_sparse(spark):
+    """The round-4 form densified docs x vocab via crossJoin — a
+    scale-killer at web-corpus vocabulary sizes. The sparse verify must
+    keep the whole plan free of product joins (the corpus-size scalar is
+    folded in as a literal, so there is no 1-row BNLJ either); the
+    per-doc collect_list aggregates are sized by each doc's own terms,
+    not the vocabulary, so they are allowed."""
+    plan = plan_of(spark, "q96e_tfidf_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_windowed_sink_dedup_read_prunes_partitions(spark, tmp_path):
     """q87b / CDCStreamPipeline bounded dedup window: the per-epoch
     anti-join source is a commit_bucket-filtered read of the
