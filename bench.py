@@ -43,7 +43,28 @@ HEADLINE = [
     "q96e_tfidf_cosine",         # prefix-filtered sparse similarity join
     "q97h_bm25_topk",            # inverted-index lexical retrieval
     "q95p_dup_span_extract",     # cross-doc span dedup + island merge
+    "q95u_dup_span_extract_hashed",  # same, xxhash64 gram keys (2.7x fewer shuffle bytes)
 ]
+
+# r1 per-query baseline (BENCH_r01.json, sf0.1) — the reference point for
+# the 2x regression envelope. Queries added after r1 have no baseline row;
+# their first bench appearance becomes the cross-round reference instead.
+R1_BASELINE = {
+    "q30_grouped_agg_tpch_q1": 0.835,
+    "q20_inner_join": 0.699,
+    "q25_broadcast_join": 0.72,
+    "q27_asof_join": 1.294,
+    "q40_ranking_windows": 0.26,
+    "q52_topk_per_group": 0.709,
+    "q34_having": 0.668,
+    "q36_stat_aggs": 0.268,
+    "qc01_cdc_normalize": 1.165,
+    "q95_exact_dedup": 0.452,
+    "q96_minhash_lsh": 3.315,
+    "q97_cosine_topk": 0.863,
+    "q98_text_stats": 0.235,
+    "q94_curation_pipeline": 2.862,
+}
 
 
 def main() -> None:
@@ -79,6 +100,29 @@ def main() -> None:
     e2e_ops = int(os.environ.get("SPARK_GRAFT_E2E_OPS", "300000"))
     cdc_e2e = run_load(spark, e2e_ops, n_batches=4)
 
+    # Structured Streaming wall metric (q81c incremental OHLC): drive the
+    # finite event stream to completion and report source events/sec so
+    # streaming-path regressions show up in BENCH deltas. Same VM-variance
+    # caveat as every wall number here (PLANS.md documents ±3-8x swings);
+    # min-of-2 keeps the cost of the extra streaming runs bounded.
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    stream_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        registry["q81c_streaming_ohlc"].fn(spark, sf_dir).count()
+        stream_best = min(stream_best, time.perf_counter() - t0)
+    streaming = {
+        "metric": "q81c_streaming_ohlc_events_per_sec",
+        "value": round(n_events / stream_best, 1),
+        "unit": "events/sec",
+        "n_events": n_events,
+        "wall_sec": round(stream_best, 3),
+    }
+
+    # mechanical 2x-envelope check vs the r1 baseline (shared queries only)
+    vs_baseline = {
+        n: round(times[n] / R1_BASELINE[n], 3) for n in times if n in R1_BASELINE
+    }
     print(
         json.dumps(
             {
@@ -88,6 +132,9 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "cdc_e2e": cdc_e2e,
+                "streaming": streaming,
+                "vs_baseline": vs_baseline,
+                "envelope_ok": all(r <= 2.0 for r in vs_baseline.values()),
             }
         )
     )

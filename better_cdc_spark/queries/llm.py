@@ -4537,3 +4537,145 @@ def q95t_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-keyed gram shuffles — the 100 TB form of q95p/q95e, registered
+# ---------------------------------------------------------------------------
+
+from better_cdc_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@query(
+    "q95u_dup_span_extract_hashed",
+    # byte-identical output to q95p — the hash only changes the shuffle
+    # payload, so the string-keyed oracle re-verifies the hashed plan
+    oracle=_REGISTRY["q95p_dup_span_extract"].oracle,
+    tags=("llm", "dedup", "span", "hashed"),
+)
+def q95u_dup_span_extract_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q95p's duplicate-SPAN extraction with the shuffle key its docstring
+    promises at 100 TB: grams are collapsed to xxhash64(g) the moment they
+    are generated, so the dup-gram groupBy and the hit join shuffle 8-byte
+    longs instead of ~50-byte 8-word strings (~6× fewer shuffle bytes on
+    the gram stage; the island/span stages are unchanged and already
+    integer-keyed).
+
+    Collision note: two distinct grams sharing an xxhash64 value would
+    merge their duplicate sets. With G distinct grams the expected number
+    of colliding pairs is G²/2⁶⁵ (~5e-9 at 100M grams, ~0.05 even at 1e13
+    grams at full corpus scale); a pipeline that cannot tolerate that
+    carries a second independent hash lane (xxhash64(g, seed=1)) in the
+    key — same plan, 16-byte key. The oracle computes the same spans from
+    the gram STRINGS, so any collision at test scale would hash-mismatch
+    and fail the gate rather than pass silently.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wexpr = F.filter(F.split("text", " "), lambda x: x != "")
+    extract = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(wexpr, 21, 40)).alias("text"),
+    )
+    corpus = docs.unionByName(extract)
+    wdf = corpus.select("doc_id", wexpr.alias("words"))
+    gram_arr = F.when(
+        F.size("words") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 7),
+            lambda i: F.concat_ws(" ", F.slice("words", i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # collapse to the 8-byte key IN the narrow stage — the gram string
+    # never leaves the mapper; posexplode emits (doc_id, i, hash) rows
+    grams = wdf.select(
+        "doc_id",
+        F.posexplode(F.transform(gram_arr, lambda g: F.xxhash64(g))).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
+    dupg = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dupg, "gh").select(
+        "doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e")
+    )
+    prev_max_e = F.max("e").over(
+        W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)) + 1, 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(W.partitionBy("doc_id").orderBy("s", "e"))
+        .alias("isl"),
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(span_len).cast("long").alias("dup_tokens"),
+        F.max(span_len).cast("long").alias("max_span_tokens"),
+    )
+
+
+@query(
+    "q95v_chunk_dedup_hashed",
+    oracle=_REGISTRY["q95e_chunk_dedup"].oracle,
+    tags=("llm", "dedup", "chunk", "hashed"),
+)
+def q95v_chunk_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q95e's span-level chunk dedup with the hashed window key its
+    docstring promises at 100 TB. The first-occurrence window shuffles
+    (xxhash64(chunk), doc_id, chunk_idx) — 8-byte keys, never chunk
+    text — and the surviving (doc_id, chunk_idx) ids join back to the
+    chunk table, which is RE-DERIVED narrowly from the parquet scan (a
+    per-row transform, no shuffle), so chunk text crosses the wire
+    exactly once: keyed by doc_id for reassembly, and only for KEPT
+    chunks. Same collision math as q95u; the string-keyed oracle
+    re-verifies the full reassembled text, so a collision cannot pass
+    silently.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunk_expr = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+        )
+    )
+    chunked = docs.select("doc_id", chunk_expr.alias("chunk_idx", "chunk"))
+    hashed = chunked.select("doc_id", "chunk_idx", F.xxhash64("chunk").alias("ch"))
+    w = W.partitionBy("ch").orderBy("doc_id", "chunk_idx")
+    kept_ids = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_idx")
+    )
+    # second scan is the same narrow derivation — Catalyst reuses the
+    # parquet scan; the join shuffles text once, for kept chunks only
+    kept = chunked.join(kept_ids, ["doc_id", "chunk_idx"])
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept_chunks"),
+    )
