@@ -1338,3 +1338,99 @@ def qc18_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("discount_in_range", lineitem, disc_viol))
         .unionByName(row("totalprice_not_null_positive", orders, price_viol))
     )
+
+
+@query(
+    "qc19_xlogdata_framed_source",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT event_id, event_type, source, commit_time, lsn, txid,
+           "schema", "table", operation, subject,
+           n_before, n_after, after_status, before_id
+    FROM envelope
+    """,
+    tags=("cdc", "source", "replication", "framing"),
+)
+def qc19_xlogdata_framed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingest over XLogData-FRAMED records (R1's wire format,
+    reader.go:311-393): the same change stream qc01 normalizes, but
+    transported as binary replication frames — each record wrapped in an
+    'w' XLogData frame (walStart = its LSN, payload = the wal2json line),
+    with 'k' PrimaryKeepalive frames interleaved one per Arrow batch
+    exactly as a live server interleaves them. The consumer decodes the
+    frames, SKIPS keepalives/empty frames (frame dispatch parity), and
+    feeds surviving payloads to the shared normalize pipeline — the
+    oracle is qc01's, so a dropped frame, a mis-sliced payload offset, or
+    a keepalive leaking through all hash-mismatch.
+
+    Both codec passes run INSIDE executors over Arrow batches
+    (mapInPandas; framing is embarrassingly parallel — the wire protocol
+    is serial only at the single replication socket, which is the
+    driver-side ReplicationSession tested in tests/test_replication.py
+    with resume-from-LSN and idle-advance heartbeats). Scale shape: two
+    narrow binary passes + qc01's plan; no extra shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.cdc.replication import (
+        PG_EPOCH_US,
+        decode_frame,
+        encode_keepalive,
+        encode_xlog_data,
+        lsn_to_int,
+        XLogData,
+    )
+    from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    changelog = synthesize_changelog_from_orders(orders)
+    lines = changelog.select(
+        F.col("lsn"),
+        F.to_json(F.struct(*changelog.columns)).alias("line"),
+    )
+
+    def frame_batches(batches):
+        for pdf in batches:
+            frames = [
+                encode_keepalive(0, PG_EPOCH_US, False)  # server chatter
+            ]
+            frames += [
+                encode_xlog_data(lsn_to_int(lsn), 0, PG_EPOCH_US, line.encode())
+                for lsn, line in zip(pdf["lsn"], pdf["line"])
+            ]
+            frames.append(b"")  # empty CopyData — must be skipped too
+            yield pd.DataFrame({"frame": frames})
+
+    framed = lines.mapInPandas(frame_batches, "frame binary")
+
+    def deframe_batches(batches):
+        for pdf in batches:
+            out = []
+            for buf in pdf["frame"]:
+                f = decode_frame(bytes(buf))
+                if isinstance(f, XLogData):
+                    out.append(f.payload.decode())
+            yield pd.DataFrame({"line": out})
+
+    lines_back = framed.mapInPandas(deframe_batches, "line string")
+    decoded = lines_back.select(
+        F.from_json("line", CHANGE_LOG_SCHEMA).alias("r")
+    ).select("r.*")
+    ev = normalize_changelog(decoded, database="testdb", allowlist=ALLOWLIST)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "source",
+        "commit_time",
+        "lsn",
+        "txid",
+        "schema",
+        "table",
+        "operation",
+        "subject",
+        F.size("before").alias("n_before"),
+        F.size("after").alias("n_after"),
+        F.element_at("after", "status").alias("after_status"),
+        F.element_at("before", "id").alias("before_id"),
+    )

@@ -1,0 +1,212 @@
+"""Replication wire framing + session loop vs a scripted wire.
+
+Mirrors /root/reference/internal/wal/reader.go:311-393 (frame dispatch),
+:594-637 (standby status + monotone ack), and the idle-heartbeat
+integration test (tests/integration/cdc_idle_heartbeat_test.go:12-41):
+confirmed_flush must advance while the stream is idle. Pure byte/logic
+tests — no Spark session.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from better_cdc_spark.cdc.replication import (
+    Keepalive,
+    ReplicationError,
+    ReplicationSession,
+    StandbyStatus,
+    WireTimeout,
+    XLogData,
+    decode_frame,
+    encode_keepalive,
+    encode_standby_status,
+    encode_xlog_data,
+    lsn_to_int,
+    lsn_to_str,
+)
+
+T0 = 1_700_000_000_000_000  # some unix µs
+
+
+class ScriptedWire:
+    """Script: list of frames (bytes), WireTimeout instances, or
+    ReplicationError instances; recv pops in order, returns None when
+    exhausted. send() captures everything the client transmits."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.sent: list[bytes] = []
+
+    def recv(self, timeout_s):
+        if not self.script:
+            return None
+        item = self.script.pop(0)
+        if isinstance(item, (WireTimeout, ReplicationError)):
+            raise item
+        return item
+
+    def send(self, frame: bytes) -> None:
+        self.sent.append(frame)
+
+
+def sent_statuses(wire) -> list[StandbyStatus]:
+    return [decode_frame(b) for b in wire.sent]
+
+
+# -- codecs -------------------------------------------------------------------
+
+
+def test_lsn_roundtrip():
+    for s in ("0/0", "0/100010", "16/B374D848", "FFFFFFFF/FFFFFFFF"):
+        assert lsn_to_str(lsn_to_int(s)) == s
+
+
+def test_xlog_data_roundtrip():
+    f = decode_frame(encode_xlog_data(1000, 2000, T0, b'{"action":"I"}'))
+    assert isinstance(f, XLogData)
+    assert (f.wal_start, f.wal_end, f.server_time_us) == (1000, 2000, T0)
+    assert f.payload == b'{"action":"I"}'
+
+
+def test_keepalive_roundtrip():
+    f = decode_frame(encode_keepalive(5000, T0, True))
+    assert isinstance(f, Keepalive)
+    assert f.server_wal_end == 5000 and f.reply_requested
+
+
+def test_standby_status_roundtrip():
+    f = decode_frame(encode_standby_status(7, 8, 9, T0, False))
+    assert isinstance(f, StandbyStatus)
+    assert (f.write_lsn, f.flush_lsn, f.apply_lsn) == (7, 8, 9)
+    assert f.client_time_us == T0 and not f.reply_requested
+
+
+def test_empty_and_unknown_frames_are_skipped():
+    assert decode_frame(b"") is None
+    assert decode_frame(b"z" + b"\x00" * 24) is None  # unknown id byte
+
+
+# -- session dispatch ---------------------------------------------------------
+
+
+def payload_frames(session) -> list[bytes]:
+    return [x.payload for x in session.poll()]
+
+
+def test_xlog_frames_yield_payloads_and_ack_after_processing():
+    wire = ScriptedWire(
+        [
+            encode_xlog_data(lsn_to_int("0/10"), 0, T0, b"line-1"),
+            encode_xlog_data(lsn_to_int("0/20"), 0, T0, b"line-2"),
+        ]
+    )
+    s = ReplicationSession(wire, clock_us=lambda: T0)
+    got = []
+    for frame in s.poll():
+        got.append(frame.payload)
+        s.set_acked_position(lsn_to_str(frame.wal_start))
+    assert got == [b"line-1", b"line-2"]
+    # one standby status after each data frame, carrying the acked LSN
+    st = sent_statuses(wire)
+    assert len(st) == 2
+    assert st[-1].flush_lsn == lsn_to_int("0/20")
+    assert s.acked_lsn == "0/20"
+
+
+def test_keepalive_reply_requested_forces_status_even_with_nothing_acked():
+    wire = ScriptedWire([encode_keepalive(0, T0, True)])
+    s = ReplicationSession(wire, clock_us=lambda: T0)
+    assert payload_frames(s) == []
+    st = sent_statuses(wire)
+    assert len(st) == 1 and st[0].reply_requested
+    assert s.stats.keepalives == 1
+
+
+def test_keepalive_without_reply_request_is_silent_before_first_ack():
+    # sendStandbyStatus suppresses a zero-LSN unforced status
+    # (reader.go:595-598)
+    wire = ScriptedWire([encode_keepalive(0, T0, False)])
+    s = ReplicationSession(wire, clock_us=lambda: T0)
+    assert payload_frames(s) == []
+    assert wire.sent == []
+
+
+def test_unknown_and_empty_frames_increment_skip_count_only():
+    wire = ScriptedWire([b"", b"z12345678901234567890123456789"])
+    s = ReplicationSession(wire, clock_us=lambda: T0)
+    assert payload_frames(s) == []
+    assert s.stats.skipped == 2
+    assert wire.sent == []
+
+
+def test_error_response_is_fatal():
+    wire = ScriptedWire(
+        [encode_xlog_data(16, 0, T0, b"ok"), ReplicationError("slot dropped")]
+    )
+    s = ReplicationSession(wire, clock_us=lambda: T0)
+    it = s.poll()
+    assert next(it).payload == b"ok"
+    with pytest.raises(ReplicationError):
+        next(it)
+
+
+# -- idle-advance heartbeat ---------------------------------------------------
+
+
+def test_idle_timeout_advances_confirmed_flush():
+    # the integration-test contract: process one event, then an idle
+    # stream; the forced heartbeat must carry the acked LSN so the
+    # server's confirmed_flush advances past the initial position
+    wire = ScriptedWire(
+        [
+            encode_xlog_data(lsn_to_int("0/100"), 0, T0, b"evt"),
+            WireTimeout(),
+            WireTimeout(),
+        ]
+    )
+    s = ReplicationSession(wire, clock_us=lambda: T0)
+    for frame in s.poll():
+        s.set_acked_position(lsn_to_str(frame.wal_start))
+    st = sent_statuses(wire)
+    # 1 post-data status + 2 idle heartbeats, all at the acked LSN
+    assert len(st) == 3 and s.stats.heartbeats == 2
+    assert all(x.flush_lsn == lsn_to_int("0/100") for x in st)
+
+
+def test_idle_timeout_before_any_ack_sends_keepalive_ping():
+    wire = ScriptedWire([WireTimeout()])
+    s = ReplicationSession(wire, clock_us=lambda: T0)
+    assert payload_frames(s) == []
+    st = sent_statuses(wire)
+    assert len(st) == 1 and st[0].reply_requested and st[0].flush_lsn == 0
+
+
+# -- resume-from-LSN + monotone ack ------------------------------------------
+
+
+def test_resume_from_lsn_initializes_ack_floor():
+    # START_REPLICATION at the checkpointed LSN: statuses never regress
+    # below it, and stale acks (out-of-order batch completions) are
+    # ignored by the monotone max (reader.go:627-637)
+    wire = ScriptedWire(
+        [
+            encode_xlog_data(lsn_to_int("0/400"), 0, T0, b"new"),
+            WireTimeout(),
+        ]
+    )
+    s = ReplicationSession(wire, start_lsn="0/300", clock_us=lambda: T0)
+    assert s.acked_lsn == "0/300"
+    for frame in s.poll():
+        s.set_acked_position(lsn_to_str(frame.wal_start))
+        s.set_acked_position("0/250")  # stale ack must not regress
+    assert s.acked_lsn == "0/400"
+    assert sent_statuses(wire)[-1].flush_lsn == lsn_to_int("0/400")
+
+
+def test_monotone_ack_keeps_max():
+    wire = ScriptedWire([])
+    s = ReplicationSession(wire)
+    for lsn in ("0/10", "0/30", "0/20"):
+        s.set_acked_position(lsn)
+    assert s.acked_lsn == "0/30"
