@@ -197,3 +197,305 @@ def decode_ppm(payload: bytes) -> dict:
     if len(pixels) != w * h * 3:
         raise ValueError("truncated PPM raster")
     return {"width": w, "height": h, "maxval": maxval, "pixels": pixels}
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF, grayscale) — pure Python/numpy, no C codec libs
+# ---------------------------------------------------------------------------
+#
+# Closes the round-4 "compressed codec" seam for the one compressed image
+# format a pure-Python decoder can own end-to-end: baseline sequential
+# DCT, 8-bit, single component. The DECODER is general (parses DQT/SOF0/
+# DHT/SOS from the stream, huffman-decodes any baseline grayscale scan,
+# byte-unstuffing, DC prediction, zigzag, dequant, float IDCT); the
+# ENCODER exists to synthesize real fixtures and for round-trip property
+# tests. Color (YCbCr 4:2:0) remains a deploy-time seam — subsampled
+# chroma adds MCU interleaving but no new decode machinery.
+#
+# Exact-oracle trick used by q99f: an 8x8 block with ONE constant value c
+# has a single nonzero DCT coefficient, DC = 8*(c-128); with the DC quant
+# step set to 8 the quantized DC is exactly c-128, so decode returns c
+# EXACTLY — lossy JPEG becomes lossless on blockwise-constant images and
+# the decoded raster is closed-form computable in SQL. The entropy coding
+# exercised (huffman tables, DC difference categories incl. negatives,
+# EOB, byte stuffing) is the same machinery any baseline scan uses.
+
+import numpy as np
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: default quant table: DC step 8 (exact for blockwise-constant rasters,
+#: see module note), AC step 16 everywhere (any nonzero AC quantizes
+#: normally; the table is carried in DQT so the decoder never assumes it)
+DEFAULT_QUANT = np.full(64, 16, dtype=np.int64)
+DEFAULT_QUANT[0] = 8
+
+# custom canonical huffman tables, carried in DHT (a decoder must build
+# from the stream, which keeps it honest for any table): DC = 12 category
+# symbols at code length 4; AC = EOB + ZRL + 160 run/size symbols at code
+# length 8. Single-length canonical tables are valid JPEG (no code is the
+# all-ones pattern: 11 < 15 and 161 < 255).
+DC_BITS = [0] * 16
+DC_BITS[3] = 12  # 12 codes of length 4 (bits list is 1-indexed lengths)
+DC_VALS = list(range(12))
+AC_BITS = [0] * 16
+AC_BITS[7] = 162  # 162 codes of length 8
+AC_VALS = [0x00, 0xF0] + [r * 16 + s for r in range(16) for s in range(1, 11)]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman assignment (JPEG Annex C): symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for i, n in enumerate(bits):
+        length = i + 1
+        for _ in range(n):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DCT_BASIS = None
+
+
+def _dct_basis() -> np.ndarray:
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        x = np.arange(8)
+        u = x.reshape(-1, 1)
+        m = np.cos((2 * x + 1) * u * np.pi / 16) * 0.5
+        m[0] *= 1 / np.sqrt(2)
+        _DCT_BASIS = m
+    return _DCT_BASIS
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes,
+                     quant: np.ndarray = DEFAULT_QUANT) -> bytes:
+    """Baseline JFIF grayscale encoder (dimensions must be multiples of 8)."""
+    if width % 8 or height % 8:
+        raise ValueError("encoder fixture requires multiple-of-8 dimensions")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width).astype(np.float64)
+    q2d = quant[ZIGZAG.argsort()].reshape(8, 8)  # natural order (quant is zigzag)
+    m = _dct_basis()
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = img[by:by + 8, bx:bx + 8] - 128.0
+            coef = m @ block @ m.T
+            qz = np.round(coef / q2d).astype(np.int64).reshape(64)[ZIGZAG]
+            diff = int(qz[0]) - prev_dc
+            prev_dc = int(qz[0])
+            s = _category(diff)
+            w.put(*dc_codes[s])
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            nz = np.nonzero(qz[1:])[0]
+            for i in nz:
+                run = int(i) - (int(nz[nz < i][-1]) + 1 if (nz < i).any() else 0)
+                while run >= 16:
+                    w.put(*ac_codes[0xF0])
+                    run -= 16
+                v = int(qz[1 + i])
+                s = _category(v)
+                w.put(*ac_codes[run * 16 + s])
+                w.put(v if v >= 0 else v + (1 << s) - 1, s)
+            if len(nz) == 0 or nz[-1] != 62:
+                w.put(*ac_codes[0x00])  # EOB
+    ecs = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, b"\x00" + bytes(int(v) for v in quant))  # DQT, table 0
+    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")  # SOF0
+    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC 0
+    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC 0
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += ecs
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                # 0xFF00 is a stuffed literal; any other marker ends the scan
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    self.pos = len(self.data)
+                    break
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            raise ValueError("truncated entropy-coded segment")
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huffman(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Sign-extend an s-bit JPEG magnitude value (spec F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """Baseline JFIF grayscale decoder: full marker parse, stream-defined
+    huffman/quant tables, DC prediction, zigzag, dequant, float IDCT.
+
+    Returns {width, height, pixels: bytes}. Raises on progressive,
+    multi-component, or non-8-bit streams (honest capability boundary)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = 0
+    dc_id = ac_id = 0
+    ecs_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tq] = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8).astype(np.int64)
+                off += 65
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC0:  # SOF0
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled components unsupported")
+            sof_quant_id = body[8]
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                codes = _build_codes(bits, vals)
+                huff[(tc, th)] = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
+                off += 17 + nvals
+        elif marker == 0xDA:  # SOS
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ecs_start = pos
+            break
+    if ecs_start is None:
+        raise ValueError("no scan found")
+    eoi = payload.rfind(b"\xff\xd9")
+    r = _BitReader(payload[ecs_start : eoi if eoi > 0 else len(payload)])
+    q2d = quant[sof_quant_id][ZIGZAG.argsort()].reshape(8, 8).astype(np.float64)
+    m = _dct_basis()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
+    for by in range(bh):
+        for bx in range(bw):
+            qz = np.zeros(64, dtype=np.int64)
+            s = r.huffman(dct)
+            diff = _extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            qz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = r.huffman(act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                qz[k] = _extend(r.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[ZIGZAG] = qz
+            block = m.T @ (coef.reshape(8, 8) * q2d) @ m
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "pixels": out[:height, :width].tobytes(),
+    }

@@ -938,8 +938,19 @@ FRAME_BYTES = 256  # deterministic fake "frame" granularity for the stub
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires PIL/opencv, absent in this container."""
-    raise NotImplementedError("image decoding requires an image library at deploy time")
+    """General image decode seam. PNG/PPM (codecs.decode_png/decode_ppm)
+    and baseline grayscale JPEG (codecs.decode_jpeg_gray, q99f) decode
+    here in pure Python; the seam remains only for what genuinely needs
+    a codec library at deploy time (color-subsampled JPEG, WebP, ...)."""
+    from better_cdc_spark import codecs
+
+    if payload[:8] == codecs.PNG_SIG:
+        return codecs.decode_png(payload)
+    if payload[:2] == b"P6":
+        return codecs.decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        return codecs.decode_jpeg_gray(payload)
+    raise NotImplementedError("unrecognized image format: deploy-time codec seam")
 
 
 def decode_audio(payload: bytes) -> "object":

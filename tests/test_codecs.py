@@ -100,3 +100,87 @@ def test_ppm_roundtrip_and_comment_header():
 def test_ppm_truncated_raster_raises():
     with pytest.raises(ValueError, match="truncated"):
         codecs.decode_ppm(b"P6\n4 3\n255\n" + b"\x00" * 5)
+
+
+# -- JPEG (baseline grayscale) ------------------------------------------------
+
+
+def _dct_reference(img, quant):
+    """Independent fdct->quant->dequant->idct reconstruction in numpy —
+    a separate code path from the decoder's huffman walk, so a marker /
+    entropy-coding bug cannot cancel out."""
+    import numpy as np
+
+    h, w = img.shape
+    x = np.arange(8)
+    m = np.cos((2 * x + 1) * x.reshape(-1, 1) * np.pi / 16) * 0.5
+    m[0] *= 1 / np.sqrt(2)
+    q2d = quant[codecs.ZIGZAG.argsort()].reshape(8, 8)
+    ref = np.zeros_like(img, dtype=np.float64)
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            b = img[by:by + 8, bx:bx + 8].astype(np.float64) - 128
+            qc = np.round((m @ b @ m.T) / q2d) * q2d
+            ref[by:by + 8, bx:bx + 8] = m.T @ qc @ m
+    return np.clip(np.round(ref + 128), 0, 255).astype("uint8")
+
+
+def test_jpeg_constant_blocks_decode_exactly():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        bw, bh = int(rng.randint(1, 5)), int(rng.randint(1, 4))
+        vals = rng.randint(0, 256, (bh, bw))
+        img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        d = codecs.decode_jpeg_gray(
+            codecs.encode_jpeg_gray(bw * 8, bh * 8, img.tobytes())
+        )
+        assert (d["width"], d["height"]) == (bw * 8, bh * 8)
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(bh * 8, bw * 8)
+        assert (got == img).all()
+
+
+def test_jpeg_general_image_matches_quantized_reconstruction():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    d = codecs.decode_jpeg_gray(codecs.encode_jpeg_gray(32, 24, img.tobytes()))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(24, 32)
+    assert (got == _dct_reference(img, codecs.DEFAULT_QUANT)).all()
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    import numpy as np
+
+    # gradient images reliably produce 0xFF bytes in the entropy stream
+    # across seeds; assert stuffing occurred AND decodes transparently
+    img = (np.arange(64 * 64) * 7 % 256).reshape(64, 64).astype(np.uint8)
+    payload = codecs.encode_jpeg_gray(64, 64, img.tobytes())
+    d = codecs.decode_jpeg_gray(payload)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(64, 64)
+    assert (got == _dct_reference(img, codecs.DEFAULT_QUANT)).all()
+
+
+def test_jpeg_rejects_non_baseline_and_garbage():
+    import numpy as np
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    payload = bytearray(codecs.encode_jpeg_gray(8, 8, img.tobytes()))
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg_gray(b"\x00\x01\x02")
+    # flip SOF0 -> SOF2 (progressive): honest capability boundary
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg_gray(bytes(payload))
+
+
+def test_jpeg_truncated_scan_raises():
+    import numpy as np
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    payload = codecs.encode_jpeg_gray(8, 8, img.tobytes())
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg_gray(payload[: len(payload) - 4] )

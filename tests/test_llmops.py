@@ -162,10 +162,20 @@ def test_pq_codes_compress_and_roundtrip(spark):
 
 
 def test_multimodal_decode_stubs_raise(spark):
-    """Real decoders are explicitly stubbed — media libs absent here."""
-    for fn in (llmops.decode_image, llmops.decode_audio, llmops.decode_video_frames):
+    """Remaining seams are explicit: audio/video decode and unrecognized
+    image formats raise; recognized formats dispatch to the executing
+    pure-Python codecs (PNG/PPM/baseline-grayscale JPEG, q99c/q99f)."""
+    for fn in (llmops.decode_audio, llmops.decode_video_frames):
         with pytest.raises(NotImplementedError):
             fn(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        llmops.decode_image(b"RIFF....WEBP")  # format without a codec here
+    from better_cdc_spark import codecs
+
+    png = codecs.encode_png(4, 2, bytes(range(8)))
+    assert llmops.decode_image(png)["width"] == 4
+    jpg = codecs.encode_jpeg_gray(8, 8, bytes([50]) * 64)
+    assert llmops.decode_image(jpg)["height"] == 8
 
 
 def test_simhash_deterministic_across_runs(spark, docs):
