@@ -49,135 +49,74 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the first ~50 entries, so a static prefix would leave the tail invisible
 # to that gate forever (the full sweep in tools/check.py covers everything,
 # but only the prefix gets an external green row). The prefix therefore
-# ROTATES each round to entries the external gate has not yet verified —
-# the prefix leads with every operator added this round (the late batch
-# q44c…q46b, then q85b…qm02), followed by queries absent from
-# CORRECTNESS_r01–r03, spanning TPC-H / CDC / subquery / function / LLM /
-# streaming / UDF families.
+# ROTATES each round to entries the external gate has not yet verified.
+#
+# Round-5 prefix: the queries added this round (q95u/q95v/qc19/q99f) plus
+# q96e whose verify path was rewritten (sparse), then the 18 entries of
+# the 12 operator families that had ZERO driver-green rows across r1–r4
+# (Q04 streaming sources, Q64/Q65 subqueries, Q80–Q86 streaming windows/
+# dedup/join, Q90–Q93 UDF surface), the remaining streaming tail
+# (q85/q88*/q89/q81b), and never-verified CDC/function/LLM entries.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # round-4 late additions, externally unverified by construction
-    "q44c_ohlc_downsample",
-    "q27c_asof_nearest",
-    "q33e_group_by_all",
-    "q36j_welch_t_test",
-    "q53_ratio_to_report",
-    "q95t_incremental_dedup",
-    "q46c_rolling_wau_hll",
-    "qc18_data_quality_audit",
-    "q97k_bm25_index_persist",
-    "q99e_audio_features",
-    "q94h_filter_ablation",
-    "q95s_token_budget_mix",
-    "q42d_ewma",
-    "q46b_rolling_active_users",
-    "q95r_classifier_filter",
-    "q36i_mode_agg",
-    "q97j_mmr_rerank",
-    "qc17_dlq_replay",
-    "q81c_streaming_ohlc",
-    "q97i_rrf_hybrid",
-    "q95p_dup_span_extract",
-    "q68_lateral_topk",
-    "q36h_countmin_heavy_hitters",
-    "q98k_bigram_logprob",
-    "q95o_dsir_resample",
-    "q99d_image_resize",
-    "q42c_rolling_median",
-    "q97h_bm25_topk",
-    "q95n_winnowing_fingerprints",
-    # round-4 additions, externally unverified by construction
-    "q85b_transform_with_state",
-    "q87b_windowed_idempotent_sink",
-    "qc10_pgoutput_decode",
-    "q99c_container_decode",
-    "q94d_curation_pipeline_lsh",
-    # round-4 continuation additions, externally unverified by construction
-    "q96d_semdedup",
+    # round-5 additions + the rewritten q96e, externally unverified
+    "q95u_dup_span_extract_hashed",
+    "q95v_chunk_dedup_hashed",
+    "qc19_xlogdata_framed_source",
+    "q99f_jpeg_decode",
     "q96e_tfidf_cosine",
-    "q95j_temperature_sample",
-    "q98h_gopher_rules",
-    "q95k_bloom_decontaminate",
-    "q88d_stream_stream_full_join",
-    "qc13_snapshot_handoff",
-    "q94f_ccnet_buckets",
-    "qc14_streaming_scd2",
-    "q97f_ivf_index_persist",
-    "qc15_toast_fill",
-    "q98i_dup_ngram_chars",
-    "q27b_asof_forward_tolerance",
-    "q94g_triangle_count",
-    "q67_recursive_cte",
-    "q96f_edit_distance_dedup",
-    "q36g_hll_sketch_union",
-    "q20b_null_safe_join",
-    "q86b_stream_static_refresh",
+    # the 12 §2.2 families with no driver-green row in r1-r4
+    "q04_streaming_file_source",
+    "q04b_rate_limited_source",
     "q04c_available_now_trigger",
-    "q07b_xml_roundtrip",
-    "q70b_collation",
-    "qc16_python_datasource_sink",
-    "qm02_merge_full_clauses",
-    "q95l_semantic_decontaminate",
-    "q95m_containment_dedup",
-    "q44b_time_weighted_avg",
-    "q97g_range_search",
-    "q62b_except_all",
-    "q34b_filtered_aggregates",
-    # TPC-H adaptations not yet driver-verified
-    "qh02_min_cost_supplier",
-    "qh04_order_priority",
-    "qh06_forecast_revenue",
-    "qh07_volume_shipping",
-    "qh08_market_share",
-    "qh09_product_profit",
-    "qh10_returned_items",
-    "qh11_important_stock",
-    "qh12_priority_classes",
-    "qh13_customer_distribution",
-    "qh14_promo_effect",
-    "qh15_top_supplier",
-    "qh16_supplier_diversity",
-    "qh18_large_volume_customer",
-    "qh20_part_promotion",
-    "qh22_global_sales_opportunity",
-    # CDC
-    "qc06_scd2",
-    "qc08_schema_evolution",
-    # subqueries / set ops
     "q64_scalar_subquery",
     "q65_in_subquery",
     "q65b_not_in_null_semantics",
+    "q80_watermark_append",
+    "q82_sliding_window",
+    "q83_session_window",
+    "q84_streaming_dedup",
+    "q84b_dedup_within_watermark",
+    "q86_stream_static_join",
+    "q86b_stream_static_refresh",
+    "q90_python_udf",
+    "q91_pandas_udf",
+    "q91b_map_in_arrow",
+    "q92_grouped_map",
+    "q93_udtf",
+    # streaming tail, never driver-verified
+    "q85_stateful_processing",
+    "q88_stream_stream_join",
+    "q88b_stream_stream_left_join",
+    "q88c_stream_stream_semi_join",
+    "q89_multi_sink_fanout",
+    "q81b_incremental_rollup",
+    # CDC / sink / merge, never driver-verified
+    "qc06_scd2",
+    "qc08_schema_evolution",
+    "qc11_jetstream_publish",
+    "qc12_streaming_datasource",
+    "qc16_python_datasource_sink",
+    "qm02_merge_full_clauses",
+    # relational / function surface, never driver-verified
+    "q36g_hll_sketch_union",
+    "q20b_null_safe_join",
+    "q07b_xml_roundtrip",
+    "q70b_collation",
+    "q44b_time_weighted_avg",
+    "q62b_except_all",
+    "q34b_filtered_aggregates",
     "q61b_intersect_all",
-    # functions / pagination / grouping
     "q78_try_functions",
     "q73b_higher_order_predicates",
     "q51b_offset_pagination",
     "q45b_locf_interpolate",
-    "q33d_grouping_id",
-    "q36e_bitwise_bool_aggs",
-    # LLM pipeline
-    "q95_fingerprint",
-    "q95_split_assignment",
-    "q96_ngram_jaccard",
-    "q97_int8_quantize",
-    "q98_langid",
-    "q94_dedup_clusters",
-    "q95b_decontaminate",
-    "q95d_sequence_packing",
-    "q98d_pii_scrub",
-    "q95g_url_canonicalize",
-    # streaming
-    "q04_streaming_file_source",
-    "q82_sliding_window",
-    "q83_session_window",
-    "q84_streaming_dedup",
-    "q86_stream_static_join",
-    # UDF surface
-    "q90_python_udf",
-    "q91_pandas_udf",
+    # LLM surface, never driver-verified
+    "q95l_semantic_decontaminate",
+    "q95m_containment_dedup",
+    "q97g_range_search",
 )
-
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY); returns the

@@ -152,15 +152,29 @@ class JetStreamShapedSink:
         """
         if self._read_manifest() is None:
             raise StreamNotFound(f"stream {self.config.name!r} not found")
+        return self.publish_records(
+            marshal_cdc_event(envelope, "payload").select(
+                F.col("event_id").alias("msg_id"),
+                F.col("subject"),
+                F.col("payload"),
+                F.col("timestamp"),
+            )
+        )
+
+    def publish_records(self, records: DataFrame) -> int:
+        """Publish pre-serialized (msg_id, subject, payload, timestamp)
+        records — the seam the ordered-publish transport uses; `publish`
+        is marshal + this."""
+        if self._read_manifest() is None:
+            raise StreamNotFound(f"stream {self.config.name!r} not found")
         # Daily partitioning dial (see CDCStreamPipeline) — dedup is exact
         # at any width; duplicate_window_s stays the SEMANTIC contract.
         window_s = max(86400.0, self.config.duplicate_window_s)
         records = (
-            marshal_cdc_event(envelope, "payload")
-            .select(
-                F.col("event_id").alias("msg_id"),
-                F.col("subject"),
-                F.col("payload"),
+            records.select(
+                "msg_id",
+                "subject",
+                "payload",
                 F.coalesce(
                     F.floor(
                         F.unix_timestamp(F.col("timestamp")) / F.lit(float(window_s))
@@ -215,3 +229,47 @@ class JetStreamShapedSink:
     def messages(self) -> DataFrame:
         """All stored messages (consumer-side view)."""
         return self.spark.read.parquet(self.msgs_dir).drop("commit_bucket")
+
+
+class SinkTransport:
+    """Adapts the stream sink to the OrderedPublishEngine Transport
+    protocol (streaming/publish_retry.py): ``publish_batch_async`` stores
+    the items' serialized payloads through the SAME publish path as the
+    DataFrame sink — subject-filter covering, msg-id dedup in the
+    duplicate window, bucket-partitioned storage — and returns resolved
+    acks. Broker parity: a retried or replayed item whose msg-id is
+    already stored is a NO-OP ACK (JetStream duplicate-window behavior),
+    which is exactly what makes at-least-once upstream + this sink
+    effectively-once.
+
+    Driver-side by design: the engine's ordered publish loop runs over
+    the COLLECTED micro-batch (bounded by the batch-size dial), the same
+    model as the reference's per-event loop; executors never see this
+    class. ``fail_injector`` is the test seam: called with each item
+    batch before the write, it may raise to simulate broker faults.
+    """
+
+    def __init__(self, sink: JetStreamShapedSink, publish_time=None, fail_injector=None):
+        import datetime as _dt
+
+        self.sink = sink
+        self.publish_time = publish_time or _dt.datetime(2024, 1, 1)
+        self.fail_injector = fail_injector
+
+    def publish_batch_async(self, items):
+        from better_cdc_spark.streaming.publish_retry import PendingAck
+
+        if self.fail_injector is not None:
+            self.fail_injector(items)
+        rows = [
+            (i.event_id, i.subject, bytes(i.payload), self.publish_time)
+            for i in items
+        ]
+        df = self.sink.spark.createDataFrame(
+            rows, "msg_id string, subject string, payload binary, timestamp timestamp"
+        )
+        self.sink.publish_records(df)  # dup msg-ids are broker no-op acks
+        return [
+            PendingAck(subject=i.subject, event_id=i.event_id, acked=True, resolved=True)
+            for i in items
+        ]

@@ -78,3 +78,65 @@ def test_publish_rejects_uncovered_subject(spark, tmp_path, envelope):
     sink = JetStreamShapedSink(spark, str(tmp_path), narrow).ensure_stream()
     with pytest.raises(ValueError, match="not covered"):
         sink.publish(envelope)  # accounts subject has no matching filter
+
+
+def test_ordered_engine_over_sink_transport_is_effectively_once(spark, tmp_path):
+    """Integration: OrderedPublishEngine driving the REAL sink publish
+    path through SinkTransport, with an injected transient fault on the
+    second item's first attempt. The retry republishes it; msg-id dedup
+    absorbs any replay; the stored stream holds each event exactly once,
+    in a state identical to a fault-free run."""
+    from better_cdc_spark.streaming.jetstream_shaped import (
+        JetStreamShapedSink,
+        SinkTransport,
+        StreamConfig,
+    )
+    from better_cdc_spark.streaming.publish_retry import (
+        OrderedPublishEngine,
+        PublishItem,
+        publish_and_checkpoint,
+    )
+
+    sink = JetStreamShapedSink(
+        spark, str(tmp_path), StreamConfig(subjects=("cdc.>",))
+    ).ensure_stream()
+
+    items = [
+        PublishItem(
+            subject="cdc.testdb.public.orders",
+            event_id=f"evt-{i}",
+            payload=f'{{"n":{i}}}'.encode(),
+            position=f"0/{i}",
+        )
+        for i in range(4)
+    ]
+
+    calls = {"n": 0}
+
+    def flaky(batch):
+        calls["n"] += 1
+        # second publish call (= item 1, ordered single-item batches)
+        # dies AFTER the broker stored the message on a previous run?
+        # No — simulate the classic ack-lost case: raise on first touch
+        # of evt-1 only, so the engine retries an item the broker may
+        # or may not have stored; dedup makes both worlds identical.
+        if batch[0].event_id == "evt-1" and calls["n"] == 2:
+            raise ConnectionError("broker hiccup")
+
+    transport = SinkTransport(sink, fail_injector=flaky)
+    engine = OrderedPublishEngine(max_publish_retries=2, sleep=lambda s: None)
+    acked = []
+    result = publish_and_checkpoint(
+        engine, transport, items, commit_position="0/99", checkpoint_cb=acked.append
+    )
+    assert result.is_complete()
+    assert acked == ["0/99"]
+    assert engine.retry_count == 1
+
+    # at-least-once upstream replay of the whole batch: broker no-op
+    engine2 = OrderedPublishEngine(max_publish_retries=0, sleep=lambda s: None)
+    engine2.publish_with_retry(SinkTransport(sink), items)
+
+    stored = sink.messages().toPandas()
+    assert sorted(stored.msg_id) == [f"evt-{i}" for i in range(4)]
+    assert set(stored.subject) == {"cdc.testdb.public.orders"}
