@@ -61,6 +61,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
     # round-5 additions + the rewritten q96e, externally unverified
+    "qm03_txlog_acid",
     "q95u_dup_span_extract_hashed",
     "q95v_chunk_dedup_hashed",
     "qc19_xlogdata_framed_source",
@@ -115,7 +116,6 @@ SHOWCASE_ORDER = (
     # LLM surface, never driver-verified
     "q95l_semantic_decontaminate",
     "q95m_containment_dedup",
-    "q97g_range_search",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1434,3 +1434,76 @@ def qc19_xlogdata_framed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("after", "status").alias("after_status"),
         F.element_at("before", "id").alias("before_id"),
     )
+
+
+@query(
+    "qm03_txlog_acid",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    final AS (
+      SELECT id, status,
+             cents + CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END AS cents
+      FROM base
+    )
+    SELECT 'v1' AS snap, status,
+           COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base GROUP BY status
+    UNION ALL
+    SELECT 'final' AS snap, status,
+           COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY status
+    """,
+    tags=("merge", "acid", "txlog"),
+)
+def qm03_txlog_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID table lifecycle on the transactional commit log (txlog.py) —
+    the table-format move that retires the sink's hand-rolled
+    delete-then-write idempotency (streaming/pipeline.py note):
+
+      v0  append  okey%3=0 rows
+      v1  append  okey%3=1 rows (with a writer txn token)
+      --  REPLAY  the v1 commit (same app_id/txn_version) → no-op ack;
+                  a double-applied epoch would inflate every v1+final
+                  count and fail the hash
+      v2  replace ENTIRE live file set with the upserted state
+          (cents+1 for okey%5=0) in ONE atomic commit — delete+write
+          with no observable intermediate state
+
+    The result unions the FINAL snapshot aggregate with the TIME-TRAVEL
+    read at v1, so the oracle verifies both the current state and that
+    history survives the replace. Snapshot reads are ordinary parquet
+    scans (pushdown pinned in tests/test_txlog.py); the log itself is
+    bounded by commit count, not data size.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    t = TxLogTable(spark, scratch_dir("qm03_txlog"))
+    t.append(base.filter(F.col("id") % 3 == 0))
+    wave1 = base.filter(F.col("id") % 3 == 1)
+    v1 = t.append(wave1, app_id="qm03", txn_version=1)
+    t.append(wave1, app_id="qm03", txn_version=1)  # replayed epoch: no-op
+    upserted = t.read().withColumn(
+        "cents",
+        F.col("cents") + F.when(F.col("id") % 5 == 0, 1).otherwise(0),
+    )
+    # one atomic commit replaces every live file with the upserted state
+    t.replace(upserted.localCheckpoint(eager=True), remove_pred=lambda p: True)
+
+    def agg(df, tag):
+        return df.groupBy("status").agg(
+            F.count("*").alias("n"), F.sum("cents").cast("long").alias("sum_cents")
+        ).select(F.lit(tag).alias("snap"), "status", "n", "sum_cents")
+
+    return agg(t.read(version=v1), "v1").unionByName(agg(t.read(), "final"))

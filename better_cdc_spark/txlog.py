@@ -1,0 +1,238 @@
+"""Transactional commit log for parquet tables — ACID sink without a
+table-format dependency.
+
+The round-4 audit noted the one engine-grade gap in the sink story:
+idempotency and MERGE are correct but hand-rolled on raw parquet
+directories, with a documented (bounded) delete-then-write window
+(streaming/pipeline.py). This module closes it with the minimal
+log-structured design the real table formats (Delta, Iceberg) share:
+
+- A table is `data/` (immutable parquet files, never mutated or
+  overwritten) plus `_txlog/` (numbered JSON commit files).
+- A commit is ONE atomically-created file `_txlog/{version:020d}.json`
+  holding the version's actions: `add` / `remove` data files and
+  optional `txn` writer tokens. Readers replay the log; a data file
+  not reachable from the log DOES NOT EXIST, so a crash between data
+  write and commit leaves garbage, never a torn table.
+- Atomicity primitive: create-if-absent (`open(..., 'x')`). On a local
+  or HDFS-like FS that is atomic; on S3-era object stores it maps to
+  put-if-absent / a commit service — the same seam Delta uses. Losers
+  of a version race get FileExistsError and RETRY with optimistic
+  conflict validation: appends always merge; a replace commit aborts
+  if a file it removes was already removed by a concurrent winner.
+- Writer idempotence: a commit may carry `txn: {app_id, version}`; a
+  replayed commit whose (app_id, version) token is already in the log
+  is acknowledged as a no-op. This is exactly the foreachBatch replay
+  contract — epoch id as txn version makes any sink effectively-once
+  with NO delete-then-write window at all.
+- Time travel: snapshot(version=v) replays the log prefix ≤ v.
+
+Scale notes (100 TB): the log is bounded by commit count, not data
+size — actions are file-level. Snapshot resolution is a driver-side
+read of small JSON files (real formats add checkpoints; `compact_log`
+here is that move). Data reads are ordinary parquet scans — pushdown,
+pruning, and distributed IO are untouched because the log only decides
+WHICH files participate. No reference analog (the reference sinks to
+NATS); cited gap: streaming/pipeline.py delete-then-write note.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit invalidated this transaction (removed file
+    already gone); the caller must re-derive and retry."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    files: tuple[str, ...]
+    txns: dict[str, int]
+
+
+class TxLogTable:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, "_txlog")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- log primitives --------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Replay the log (prefix ≤ version for time travel)."""
+        live: dict[str, bool] = {}
+        txns: dict[str, int] = {}
+        vs = self._versions()
+        if version is not None:
+            vs = [v for v in vs if v <= version]
+        for v in vs:
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "add" in action:
+                        live[action["add"]["path"]] = True
+                    elif "remove" in action:
+                        live.pop(action["remove"]["path"], None)
+                    elif "txn" in action:
+                        t = action["txn"]
+                        txns[t["app_id"]] = max(
+                            txns.get(t["app_id"], -1), int(t["version"])
+                        )
+        return Snapshot(
+            version=vs[-1] if vs else -1,
+            files=tuple(p for p in live),
+            txns=txns,
+        )
+
+    def _try_commit(self, version: int, actions: list[dict]) -> bool:
+        target = os.path.join(self.log_dir, f"{version:020d}.json")
+        try:
+            with open(target, "x") as f:  # atomic create-if-absent
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+            return True
+        except FileExistsError:
+            return False
+
+    # -- data-file staging ----------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write df as new immutable data files; returns their paths.
+        Invisible until a commit references them (crash ⇒ garbage, not
+        corruption); `vacuum` collects orphans."""
+        stage_id = uuid.uuid4().hex
+        out = os.path.join(self.data_dir, stage_id)
+        df.write.parquet(out)
+        return [
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+
+    # -- public ops ------------------------------------------------------
+
+    def append(
+        self, df: DataFrame, app_id: str | None = None, txn_version: int | None = None
+    ) -> int:
+        """ACID append. With (app_id, txn_version), replays are no-ops —
+        the foreachBatch effectively-once contract."""
+        staged: list[str] | None = None
+        while True:
+            snap = self.snapshot()
+            if app_id is not None and snap.txns.get(app_id, -1) >= (txn_version or 0):
+                return snap.version  # replayed commit: acknowledged no-op
+            if staged is None:
+                staged = self._stage(df)
+            actions = [{"add": {"path": p}} for p in staged]
+            if app_id is not None:
+                actions.append({"txn": {"app_id": app_id, "version": txn_version or 0}})
+            v = snap.version + 1
+            if self._try_commit(v, actions):
+                return v
+            # lost the race — appends never conflict semantically; retry
+
+    def replace(
+        self,
+        df: DataFrame,
+        remove_pred,
+        app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Atomic delete+write: remove every live file whose ROWS ALL
+        match nothing the new state needs (caller passes a predicate on
+        file paths chosen at planning time) and add the new files in the
+        SAME commit — the operation the windowed idempotent sink
+        performs, with no observable intermediate state.
+
+        remove_pred: Callable[[str], bool] over live file paths.
+        Conflict rule: if a file this transaction removes is no longer
+        live at commit time, a concurrent writer touched the same
+        region → CommitConflict (caller re-derives)."""
+        staged = self._stage(df)
+        while True:
+            snap = self.snapshot()
+            if app_id is not None and snap.txns.get(app_id, -1) >= (txn_version or 0):
+                return snap.version
+            removes = [p for p in snap.files if remove_pred(p)]
+            actions = (
+                [{"remove": {"path": p}} for p in removes]
+                + [{"add": {"path": p}} for p in staged]
+            )
+            if app_id is not None:
+                actions.append({"txn": {"app_id": app_id, "version": txn_version or 0}})
+            v = snap.version + 1
+            if self._try_commit(v, actions):
+                return v
+            later = self.snapshot()
+            if any(p not in later.files for p in removes):
+                raise CommitConflict(
+                    "concurrent commit removed files this replace targets"
+                )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (optionally time travel). Ordinary parquet scan
+        over the snapshot's file list — pushdown/pruning intact."""
+        snap = self.snapshot(version)
+        if not snap.files:
+            raise ValueError(f"table {self.path} is empty at version {version}")
+        return self.spark.read.parquet(*snap.files)
+
+    def vacuum(self) -> int:
+        """Delete data files unreachable from ANY log version (crash
+        garbage). Returns the number removed. Real formats add a
+        retention horizon so time travel survives; orphans here were
+        never visible at all."""
+        referenced: set[str] = set()
+        for v in self._versions():
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "add" in action:
+                        referenced.add(action["add"]["path"])
+        n = 0
+        for stage in os.listdir(self.data_dir):
+            sdir = os.path.join(self.data_dir, stage)
+            for f in os.listdir(sdir):
+                p = os.path.join(sdir, f)
+                if f.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    n += 1
+        return n
+
+    def compact_log(self) -> None:
+        """Rewrite the log prefix as one checkpoint commit (the Delta
+        checkpoint move): replaces N version files with a single file
+        whose actions reproduce the current snapshot. Time travel before
+        the checkpoint is forfeited — same trade the real formats make
+        at their retention horizon."""
+        snap = self.snapshot()
+        if snap.version < 0:
+            return
+        actions = [{"add": {"path": p}} for p in snap.files] + [
+            {"txn": {"app_id": a, "version": v}} for a, v in snap.txns.items()
+        ]
+        tmp = os.path.join(self.log_dir, f".ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        for v in self._versions()[:-1]:
+            os.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
+        os.replace(tmp, os.path.join(self.log_dir, f"{snap.version:020d}.json"))
