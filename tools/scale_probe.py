@@ -300,6 +300,33 @@ def main() -> int:
 
     timed("dup-span extraction (worst-case self-similar)", span_all)
 
+    # hashed-gram variant (q95u): identical span pipeline but the grams
+    # collapse to xxhash64 in the narrow stage — the dup-gram shuffle
+    # carries 8-byte longs instead of 8-word strings
+    g8h = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(gram8, lambda g: F.xxhash64(g))).alias("i", "gh"),
+    )
+    dupgh = (g8h.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+             .filter(F.col("nd") >= 2).select("gh"))
+    hitsh = g8h.join(dupgh, "gh").select("doc_id", F.col("i").alias("s"),
+                                         (F.col("i") + 7).alias("e"))
+    islh = (hitsh
+            .select("doc_id", "s", "e",
+                    F.when(F.col("s") > F.coalesce(prev, F.lit(-1)) + 1, 1)
+                    .otherwise(0).alias("ni"))
+            .select("doc_id", "s", "e",
+                    F.sum("ni").over(W.partitionBy("doc_id").orderBy("s", "e")).alias("isl"))
+            .groupBy("doc_id", "isl")
+            .agg(F.min("s").alias("a"), F.max("e").alias("b")))
+    assert no_product_join(islh), "hashed span hits must stay an equi-join"
+
+    def span_hashed_all():
+        islh.count()
+        return n
+
+    timed("dup-span extraction (hashed gram keys)", span_hashed_all)
+
     return 0
 
 
