@@ -61,6 +61,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
     # round-5 additions + the rewritten q96e, externally unverified
+    "q95w_doremi_reweight",
+    "q97l_maxsim_late_interaction",
     "qm03_txlog_acid",
     "q95u_dup_span_extract_hashed",
     "q95v_chunk_dedup_hashed",
@@ -113,9 +115,6 @@ SHOWCASE_ORDER = (
     "q73b_higher_order_predicates",
     "q51b_offset_pagination",
     "q45b_locf_interpolate",
-    # LLM surface, never driver-verified
-    "q95l_semantic_decontaminate",
-    "q95m_containment_dedup",
 )
 
 def load_all() -> dict[str, QuerySpec]:

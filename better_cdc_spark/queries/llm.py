@@ -4761,3 +4761,199 @@ def q99f_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode, "doc_id bigint, width int, height int, checksum bigint"
     )
+
+
+@query(
+    "q95w_doremi_reweight",
+    oracle="""
+    WITH dom AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CAST(round(ln(1 + n_chars) * 1e9, 0) AS BIGINT)) AS DOUBLE)
+               / 1e9 / COUNT(*) AS loss
+      FROM documents GROUP BY source
+    ),
+    w0 AS (SELECT *, 1.0 / (COUNT(*) OVER ()) AS w FROM dom),
+    s1 AS (SELECT *, w * exp(0.5 * (loss - SUM(w * loss) OVER ())) AS u FROM w0),
+    w1 AS (SELECT source, n_docs, loss, u / SUM(u) OVER () AS w FROM s1),
+    s2 AS (SELECT *, w * exp(0.5 * (loss - SUM(w * loss) OVER ())) AS u FROM w1),
+    w2 AS (SELECT source, n_docs, loss, u / SUM(u) OVER () AS w FROM s2),
+    s3 AS (SELECT *, w * exp(0.5 * (loss - SUM(w * loss) OVER ())) AS u FROM w2),
+    w3 AS (SELECT source, n_docs, loss, u / SUM(u) OVER () AS w FROM s3)
+    SELECT source, n_docs,
+           ROUND(loss, 6) AS mean_loss,
+           ROUND(w, 6) AS weight,
+           CAST(floor(w * 1000000) AS BIGINT) AS token_budget
+    FROM w3
+    """,
+    tags=("llm", "mixing", "doremi"),
+)
+def q95w_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, 'DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining') —
+    the missing piece between the static mixers (q95_stratified, q95c,
+    q95f, q95j temperature): domain weights LEARNED by exponentiated-
+    gradient ascent on per-domain excess loss. Three unrolled steps of
+      w ← normalize(w · exp(η · (L_d − E_w[L])))
+    with η = 0.5 over a deterministic per-doc loss proxy (ln(1+n_chars);
+    a deployment plugs proxy-model log-loss into the same plan), then a
+    token-budget allocation from the final mixture.
+
+    Scale shape — the DoReMi loop's data/model split, Spark-first: the
+    CORPUS is touched exactly once (one map-side-combined groupBy for
+    per-domain doc counts and summed loss); the iteration runs over the
+    DOMAIN DIMENSION only (tens of rows), as three unrolled stages of
+    pure column arithmetic with global-window sums — no corpus re-scan,
+    no driver collect, no iteration-count × corpus cost. At 100 TB the
+    domain dim is still KB-sized; only η·T changes the arithmetic.
+
+    Cross-engine fp: per-doc losses are rounded to integer nano-units
+    before summation (exact integer sums both sides → identical doubles
+    after division); the remaining unordered sums run over the ~20-row
+    domain dim (~1e-16 exposure, far below the 6dp round).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dom = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(
+                    F.round(F.log(F.lit(1.0) + F.col("n_chars")) * 1e9, 0).cast("long")
+                ).cast("double")
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("loss"),
+        )
+        .localCheckpoint(eager=True)  # corpus pass happens exactly once
+    )
+    every = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cur = dom.withColumn("w", F.lit(1.0) / F.count("*").over(every))
+    for _ in range(3):
+        u = F.col("w") * F.exp(
+            F.lit(0.5) * (F.col("loss") - F.sum(F.col("w") * F.col("loss")).over(every))
+        )
+        cur = cur.withColumn("u", u).withColumn(
+            "w", F.col("u") / F.sum("u").over(every)
+        ).drop("u")
+    return cur.select(
+        "source",
+        "n_docs",
+        F.round("loss", 6).alias("mean_loss"),
+        F.round("w", 6).alias("weight"),
+        F.floor(F.col("w") * 1000000).cast("long").alias("token_budget"),
+    )
+
+
+@query(
+    "q97l_maxsim_late_interaction",
+    oracle="""
+    WITH qt(qid, qterm) AS (
+      VALUES (1,'table'),(1,'scan'),(1,'hash'),(2,'join'),(2,'window'),(2,'agg')
+    ),
+    dtok AS (
+      SELECT doc_id,
+             unnest(list_slice(list_filter(string_split(text, ' '),
+                                           x -> x <> ''), 1, 6)) AS dterm
+      FROM documents
+    ),
+    pair AS (
+      SELECT q.qid, q.qterm, d.doc_id,
+             (((strlen(q.qterm) * 1 + 0) % 7) - 3)::DOUBLE AS q0,
+             (((strlen(q.qterm) * 2 + 1) % 7) - 3)::DOUBLE AS q1,
+             (((strlen(q.qterm) * 3 + 2) % 7) - 3)::DOUBLE AS q2,
+             (((strlen(q.qterm) * 4 + 3) % 7) - 3)::DOUBLE AS q3,
+             (((strlen(d.dterm) * 1 + 0) % 7) - 3)::DOUBLE AS d0,
+             (((strlen(d.dterm) * 2 + 1) % 7) - 3)::DOUBLE AS d1,
+             (((strlen(d.dterm) * 3 + 2) % 7) - 3)::DOUBLE AS d2,
+             (((strlen(d.dterm) * 4 + 3) % 7) - 3)::DOUBLE AS d3
+      FROM qt q CROSS JOIN dtok d
+    ),
+    ms AS (
+      SELECT qid, qterm, doc_id,
+             MAX((q0*d0 + q1*d1 + q2*d2 + q3*d3)
+                 / (sqrt(q0*q0 + q1*q1 + q2*q2 + q3*q3)
+                    * sqrt(d0*d0 + d1*d1 + d2*d2 + d3*d3))) AS maxcos
+      FROM pair GROUP BY qid, qterm, doc_id
+    ),
+    score AS (
+      SELECT qid, doc_id,
+             ROUND(CAST(SUM(CAST(round(maxcos, 9) AS DECIMAL(18,12))) AS DOUBLE),
+                   6) AS maxsim
+      FROM ms GROUP BY qid, doc_id
+    )
+    SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, maxsim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY maxsim DESC, doc_id) AS rnk
+      FROM score
+    ) WHERE rnk <= 3
+    """,
+    tags=("llm", "retrieval", "late-interaction"),
+)
+def q97l_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring (Khattab & Zaharia 2020):
+    MaxSim — per query term, the max cosine against the document's TOKEN
+    vectors, summed over query terms. The retrieval family's missing
+    granularity: q97* scores one vector per doc; late interaction keeps
+    per-token vectors and rewards partial term-level matches.
+
+    Token vectors here are deterministic 4-dim arithmetic functions of
+    token length, so the oracle replays the exact computation; a real
+    deployment swaps in encoder outputs — the PLAN is the deliverable:
+    token explode (bounded per doc), a TINY broadcast of the query-term
+    vectors, per-(query-term, doc) max, decimal-summed per-doc MaxSim,
+    top-k rank window. This is the RE-SCORER of the ColBERT
+    architecture: at 100 TB the candidate set comes from the ANN/BM25
+    first stage (q97d/q97f/q97h) and this plan scores candidates only —
+    cost O(candidates × doc_tokens × query_terms), never corpus-wide.
+    Per-term maxcos rounds to 9dp and sums as DECIMAL (order-free both
+    engines); ranking uses the rounded score so rank ties break on
+    doc_id identically.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dtok = docs.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.filter(F.split("text", " "), lambda x: x != ""), 1, 6)
+        ).alias("dterm"),
+    )
+    qt = spark.createDataFrame(
+        [(1, "table"), (1, "scan"), (1, "hash"), (2, "join"), (2, "window"), (2, "agg")],
+        "qid int, qterm string",
+    )
+
+    def vec(col, prefix):
+        ln = F.length(col)
+        return [
+            (((ln * (c + 1) + c) % 7) - 3).cast("double").alias(f"{prefix}{c}")
+            for c in range(4)
+        ]
+
+    pair = dtok.crossJoin(F.broadcast(qt)).select(
+        "qid", "qterm", "doc_id", *vec(F.col("qterm"), "q"), *vec(F.col("dterm"), "d")
+    )
+    dot = sum(F.col(f"q{c}") * F.col(f"d{c}") for c in range(4))
+    nq = F.sqrt(sum(F.col(f"q{c}") * F.col(f"q{c}") for c in range(4)))
+    nd = F.sqrt(sum(F.col(f"d{c}") * F.col(f"d{c}") for c in range(4)))
+    ms = pair.groupBy("qid", "qterm", "doc_id").agg(
+        F.max(dot / (nq * nd)).alias("maxcos")
+    )
+    score = ms.groupBy("qid", "doc_id").agg(
+        F.round(
+            F.sum(F.round(F.col("maxcos"), 9).cast("decimal(18,12)")).cast("double"),
+            6,
+        ).alias("maxsim")
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("maxsim").desc(), "doc_id")
+    )
+    return (
+        score.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "rnk", "doc_id", "maxsim")
+    )
