@@ -222,3 +222,114 @@ class ReplicationSession:
             elif isinstance(frame, Keepalive):
                 self.stats.keepalives += 1
                 self._send_standby_status(frame.reply_requested)
+
+
+# -- startup commands & reconnect orchestration ------------------------------
+
+
+def start_replication_command(
+    slot: str,
+    start_lsn: str = "0/0",
+    plugin: str = "wal2json",
+    publications: tuple[str, ...] = (),
+) -> str:
+    """The START_REPLICATION wire command for the supported plugins,
+    with the reference's exact plugin arguments (startWal2JSON
+    reader.go:295-309: pretty-print/include-xids/include-timestamp/
+    format-version '2'; startPGOutput reader.go:594-607: proto_version
+    '1' + publication_names). Unsupported plugins are a hard error
+    (replicationHandlers, reader.go:222-230)."""
+    if plugin in ("", "wal2json"):
+        args = [
+            "\"pretty-print\" 'false'",
+            "\"include-xids\" 'true'",
+            "\"include-timestamp\" 'true'",
+            "\"format-version\" '2'",
+        ]
+    elif plugin == "pgoutput":
+        args = ["proto_version '1'"]
+        if publications:
+            args.append(f"publication_names '{','.join(publications)}'")
+    else:
+        raise ValueError(f"unsupported plugin: {plugin}")
+    return (
+        f'START_REPLICATION SLOT "{slot}" LOGICAL {start_lsn} '
+        f"({', '.join(args)})"
+    )
+
+
+BASE_RECONNECT_BACKOFF_S = 1.0
+MAX_RECONNECT_BACKOFF_S = 30.0  # reader.go:24
+
+
+class ReplicationLoop:
+    """Reconnect orchestration (runReplicationLoop, reader.go:233-293):
+    connect → start → poll; a transient failure resets the connection,
+    sleeps with doubling backoff (1 s → 30 s cap), and RESUMES FROM THE
+    LAST ACKED LSN — never the original start position, so a reconnect
+    replays only unacked WAL. Backoff resets to the base after a
+    successful start. Fatal errors (server ErrorResponse: dropped slot,
+    wrong wal_level) stop the loop instead of retrying forever.
+
+    `connect` returns a wire (or raises); `sleep` is injectable for
+    deterministic tests.
+    """
+
+    def __init__(
+        self,
+        connect: Callable[[], object],
+        start_lsn: str = "0/0",
+        standby_timeout_s: float = 10.0,
+        sleep: Callable[[float], None] = None,
+        clock_us: Callable[[], int] = lambda: PG_EPOCH_US,
+    ) -> None:
+        import time as _t
+
+        self.connect = connect
+        self.start_lsn = start_lsn
+        self.standby_timeout_s = standby_timeout_s
+        self.sleep = sleep if sleep is not None else _t.sleep
+        self.clock_us = clock_us
+        self.reconnects = 0
+        self.fatal: BaseException | None = None
+
+    def run(self, on_payload: Callable[[XLogData], str | None], max_attempts: int = 100):
+        """Drive sessions until a wire ends cleanly (recv → None) or a
+        fatal error. on_payload processes one XLogData and returns the
+        LSN to ack (or None). Returns the final acked LSN."""
+        resume = self.start_lsn
+        backoff = BASE_RECONNECT_BACKOFF_S
+        for _ in range(max_attempts):
+            try:
+                wire = self.connect()
+            except ReplicationError as exc:
+                self.fatal = exc
+                raise
+            except Exception:
+                self.reconnects += 1
+                self.sleep(backoff)
+                backoff = min(backoff * 2, MAX_RECONNECT_BACKOFF_S)
+                continue
+            session = ReplicationSession(
+                wire,
+                start_lsn=resume,
+                standby_timeout_s=self.standby_timeout_s,
+                clock_us=self.clock_us,
+            )
+            backoff = BASE_RECONNECT_BACKOFF_S  # successful start
+            try:
+                for frame in session.poll():
+                    acked = on_payload(frame)
+                    if acked is not None:
+                        session.set_acked_position(acked)
+                return session.acked_lsn  # clean end of stream
+            except ReplicationError as exc:
+                self.fatal = exc
+                raise
+            except Exception:
+                # transient loop error: resume from the last ACKED lsn
+                resume = session.acked_lsn
+                self.reconnects += 1
+                self.sleep(backoff)
+                backoff = min(backoff * 2, MAX_RECONNECT_BACKOFF_S)
+        raise RuntimeError("replication loop exhausted max_attempts")

@@ -210,3 +210,106 @@ def test_monotone_ack_keeps_max():
     for lsn in ("0/10", "0/30", "0/20"):
         s.set_acked_position(lsn)
     assert s.acked_lsn == "0/30"
+
+
+# -- startup commands ---------------------------------------------------------
+
+
+def test_start_replication_command_wal2json_args():
+    from better_cdc_spark.cdc.replication import start_replication_command
+
+    cmd = start_replication_command("cdc_slot", "0/1A2B3C", "wal2json")
+    assert cmd.startswith('START_REPLICATION SLOT "cdc_slot" LOGICAL 0/1A2B3C (')
+    for arg in ('"pretty-print" \'false\'', '"include-xids" \'true\'',
+                '"include-timestamp" \'true\'', '"format-version" \'2\''):
+        assert arg in cmd
+
+
+def test_start_replication_command_pgoutput_publications():
+    from better_cdc_spark.cdc.replication import start_replication_command
+
+    cmd = start_replication_command(
+        "s", "0/0", "pgoutput", publications=("pub_a", "pub_b")
+    )
+    assert "proto_version '1'" in cmd
+    assert "publication_names 'pub_a,pub_b'" in cmd
+    with pytest.raises(ValueError, match="unsupported plugin"):
+        start_replication_command("s", plugin="test_decoding")
+
+
+# -- reconnect loop -----------------------------------------------------------
+
+
+def test_reconnect_resumes_from_last_acked_lsn():
+    from better_cdc_spark.cdc.replication import ReplicationLoop
+
+    slept = []
+    sessions = []
+
+    class DroppyWire(ScriptedWire):
+        pass
+
+    def connect():
+        k = len(sessions)
+        if k == 0:
+            w = DroppyWire(
+                [
+                    encode_xlog_data(lsn_to_int("0/100"), 0, T0, b"a"),
+                    encode_xlog_data(lsn_to_int("0/200"), 0, T0, b"b"),
+                    OSError("connection reset"),  # transient drop
+                ]
+            )
+        else:
+            w = DroppyWire([encode_xlog_data(lsn_to_int("0/300"), 0, T0, b"c")])
+        sessions.append(w)
+        return w
+
+    # ScriptedWire.recv raises non-Replication errors too
+    def recv(self, timeout_s):
+        if not self.script:
+            return None
+        item = self.script.pop(0)
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    DroppyWire.recv = recv
+
+    got = []
+    loop = ReplicationLoop(connect, start_lsn="0/50", sleep=slept.append)
+    final = loop.run(lambda f: (got.append(f.payload), lsn_to_str(f.wal_start))[1])
+    assert got == [b"a", b"b", b"c"]
+    assert loop.reconnects == 1 and slept == [1.0]
+    # the second session started from the acked 0/200, not 0/50
+    assert final == "0/300"
+
+
+def test_reconnect_backoff_doubles_to_cap_and_resets():
+    from better_cdc_spark.cdc.replication import ReplicationLoop
+
+    slept = []
+    attempts = {"n": 0}
+
+    def connect():
+        attempts["n"] += 1
+        if attempts["n"] <= 7:
+            raise OSError("refused")
+        return ScriptedWire([encode_xlog_data(16, 0, T0, b"ok")])
+
+    loop = ReplicationLoop(connect, sleep=slept.append)
+    loop.run(lambda f: None)
+    assert slept == [1.0, 2.0, 4.0, 8.0, 16.0, 30.0, 30.0]
+    assert loop.reconnects == 7
+
+
+def test_fatal_error_stops_reconnect_loop():
+    from better_cdc_spark.cdc.replication import ReplicationLoop
+
+    def connect():
+        return ScriptedWire([ReplicationError("slot does not exist")])
+
+    loop = ReplicationLoop(connect, sleep=lambda s: None)
+    with pytest.raises(ReplicationError):
+        loop.run(lambda f: None)
+    assert loop.fatal is not None
+    assert loop.reconnects == 0
