@@ -105,7 +105,9 @@ def main() -> None:
     # streaming-path regressions show up in BENCH deltas. Same VM-variance
     # caveat as every wall number here (PLANS.md documents ±3-8x swings);
     # min-of-2 keeps the cost of the extra streaming runs bounded.
-    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    from better_cdc_spark.io import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
     stream_best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()

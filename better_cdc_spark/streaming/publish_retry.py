@@ -246,13 +246,18 @@ class OrderedPublishEngine:
                     permanent = True
                     break
             if not succeeded[idx]:
+                # dlq/skip resolve PERMANENT failures only (the
+                # reference's quarantinesPoison covers both policies,
+                # engine.go:228-232); transient exhaustion crashes under
+                # every policy — infrastructure failures must not
+                # silently drop data
                 if permanent and self.failure_policy == "dlq":
                     if self.quarantine_cb is not None:
                         self.quarantine_cb(item, last_error)
                     result.quarantined.append(item)
                     succeeded[idx] = True  # quarantine resolves the item
                     continue
-                if self.failure_policy == "skip":
+                if permanent and self.failure_policy == "skip":
                     result.skipped.append(item)
                     continue
                 return self._finalize(result, items, succeeded, last_error)

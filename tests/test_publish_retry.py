@@ -242,6 +242,19 @@ def test_skip_policy_counts_and_continues():
     assert t.batches == [["0"], ["1"], ["2"]]
 
 
+def test_skip_policy_does_not_cover_transient_exhaustion():
+    # quarantinesPoison covers dlq AND skip, but only for PERMANENT
+    # classifications — a transiently failing broker still crashes the
+    # batch under skip (engine.go:228-232 + errors.go:16-18)
+    clock = FakeClock()
+    t = ScriptedTransport(clock)
+    t.failures_per_attempt = [[0], [0]]
+    e = make_engine(clock, max_publish_retries=1, failure_policy="skip")
+    result = e.publish_with_retry(t, make_items(1))
+    assert not result.is_resolved()
+    assert result.skipped == []
+
+
 def test_unknown_policy_rejected():
     with pytest.raises(ValueError):
         OrderedPublishEngine(failure_policy="yolo")
