@@ -377,3 +377,44 @@ def test_q97k_bm25_cold_scan_prunes_term_partitions(spark):
 
     m = re.search(r"PartitionFilters: \[[^\]]*w#\d+", plan)
     assert m, "postings scan lost its term-partition pruning"
+
+
+def test_q95u_hashed_grams_never_shuffle_gram_strings(spark):
+    """q95u's whole point: the dup-gram groupBy and hit join key on
+    xxhash64(g) — no gram STRING column may survive into any exchange.
+    The plan must show the hash in the narrow stage and keep the
+    span-stage exchange discipline of q95p."""
+    import re
+
+    plan = plan_of(spark, "q95u_dup_span_extract_hashed")
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    # same one-doc_id-exchange discipline as the string-keyed sibling
+    doc_exchanges = re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\)", plan)
+    assert len(doc_exchanges) == 1, f"expected 1 doc_id exchange: {doc_exchanges}"
+    # no exchange partitioned on a string gram column: every gram-stage
+    # exchange keys on the hashed column (gh)
+    gram_exchanges = re.findall(r"Exchange hashpartitioning\(g#\d+[^L)]", plan)
+    assert not gram_exchanges, f"gram strings crossed an exchange: {gram_exchanges}"
+    assert re.search(r"Exchange hashpartitioning\(gh#\d+L", plan)
+
+
+def test_q97l_maxsim_joins_are_broadcast_and_bounded(spark):
+    """Late interaction: the only nested-loop is the 6-row query-term
+    broadcast (the intentional probe side); per-(qterm,doc) max and the
+    per-doc sum share the aggregation path without a product join."""
+    plan = plan_of(spark, "q97l_maxsim_late_interaction")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q95w_domain_iteration_touches_corpus_once(spark):
+    """DoReMi: ONE scan of documents (the per-domain stats agg); the
+    three weight-update stages run over the domain dim only, so the
+    plan contains exactly one parquet scan of the documents table."""
+    plan = plan_of(spark, "q95w_doremi_reweight")
+    assert "CartesianProduct" not in plan
+    # the corpus pass is materialized by localCheckpoint, so the plan
+    # downstream of it reads an RDD scan, not parquet, and contains no
+    # second documents scan
+    assert plan.count("documents.parquet") == 0  # checkpointed upstream
