@@ -313,3 +313,33 @@ def test_fatal_error_stops_reconnect_loop():
         loop.run(lambda f: None)
     assert loop.fatal is not None
     assert loop.reconnects == 0
+
+
+# -- property round-trips -----------------------------------------------------
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+lsn_ints = st.integers(min_value=0, max_value=(1 << 64) - 1)
+times_us = st.integers(min_value=946_684_800_000_000, max_value=4_102_444_800_000_000)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ws=lsn_ints, we=lsn_ints, t=times_us, payload=st.binary(max_size=256))
+def test_xlog_frame_roundtrip_property(ws, we, t, payload):
+    f = decode_frame(encode_xlog_data(ws, we, t, payload))
+    assert (f.wal_start, f.wal_end, f.server_time_us, f.payload) == (ws, we, t, payload)
+
+
+@settings(max_examples=100, deadline=None)
+@given(v=lsn_ints)
+def test_lsn_roundtrip_property(v):
+    assert lsn_to_int(lsn_to_str(v)) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(w=lsn_ints, f=lsn_ints, a=lsn_ints, t=times_us, rr=st.booleans())
+def test_standby_status_roundtrip_property(w, f, a, t, rr):
+    s = decode_frame(encode_standby_status(w, f, a, t, rr))
+    assert (s.write_lsn, s.flush_lsn, s.apply_lsn, s.client_time_us,
+            s.reply_requested) == (w, f, a, t, rr)
