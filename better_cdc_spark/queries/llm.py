@@ -4957,3 +4957,74 @@ def q97l_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("qid", "rnk", "doc_id", "maxsim")
     )
+
+
+@query(
+    "q95x_cross_corpus_priority_dedup",
+    oracle="""
+    WITH corpora AS (
+      SELECT 'curated' AS corpus, 1 AS priority, doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'web_2024', 2, doc_id + 1000000, md5(text)
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'web_2023', 3, doc_id + 2000000, md5(text)
+      FROM documents WHERE doc_id % 5 <> 4
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                                   ORDER BY priority, doc_id) AS rn
+      FROM corpora
+    )
+    SELECT corpus,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_yielded
+    FROM ranked GROUP BY corpus
+    """,
+    tags=("llm", "dedup", "multi-corpus"),
+)
+def q95x_cross_corpus_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus PRIORITY dedup — the merge-multiple-sources move
+    (The Pile / RefinedWeb / Dolma all do this): when the same content
+    appears in several corpora, keep the copy from the HIGHEST-priority
+    source (curated beats fresh crawl beats old crawl) and drop the
+    rest, reporting per-corpus kept/yielded counts so the mixture
+    accounting stays auditable. Differs from q95_exact_dedup (first-id
+    wins within ONE corpus) and q95t (batch-vs-snapshot dispositions):
+    here the keep rule is a cross-source POLICY, the exact rule a
+    curation pipeline encodes when merging crawls.
+
+    Plan: corpora union column-wise (no shuffle), ONE content-hash
+    shuffle for the priority window — at 100 TB identical to the q95
+    dedup shuffle; priorities ride as plan literals. The synthetic
+    corpora overlap by construction (doc_id slices of the same
+    documents), so every disposition is exercised.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def corpus(tag, priority, pred, offset):
+        return docs.filter(pred).select(
+            F.lit(tag).alias("corpus"),
+            F.lit(priority).alias("priority"),
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.md5("text").alias("h"),
+        )
+
+    corpora = (
+        corpus("curated", 1, F.col("doc_id") % 3 == 0, 0)
+        .unionByName(corpus("web_2024", 2, F.col("doc_id") % 2 == 0, 1000000))
+        .unionByName(corpus("web_2023", 3, F.col("doc_id") % 5 != 4, 2000000))
+    )
+    rn = F.row_number().over(W.partitionBy("h").orderBy("priority", "doc_id"))
+    return (
+        corpora.withColumn("rn", rn)
+        .groupBy("corpus")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_yielded"),
+        )
+    )
