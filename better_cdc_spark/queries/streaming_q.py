@@ -1068,3 +1068,63 @@ def q81c_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "qm04_txlog_streaming_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink", "acid", "txlog"),
+)
+def qm04_txlog_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → ACID commit log: the effectively-once sink with NO
+    dedup read at all. Each micro-batch appends to a TxLogTable carrying
+    the writer token (app_id='events_sink', txn_version=epoch_id); the
+    commit and the token land in ONE atomic log entry, so a replayed
+    epoch — here a FULL second run of the stream from a fresh checkpoint
+    replaying every epoch — is acknowledged as a no-op without reading a
+    single stored row. Contrast with q87/q87b, which implement the same
+    contract by anti-joining the sink (bounded by partition pruning):
+    the commit-log token turns per-epoch dedup IO from O(batch window)
+    into O(1), which is why real table formats carry txn actions.
+
+    Crash-safety inherited from txlog.py: data files are invisible until
+    their commit, so a crash between write and commit re-runs the epoch
+    cleanly instead of double-counting (tests/test_txlog.py pins the
+    torn-state and race cases). The multi-batch stream (rate-limited
+    file source) produces several epochs, so the token floor is
+    exercised across distinct versions, not just one. Token dedup
+    presumes DETERMINISTIC epoch replay (same offsets ⇒ same rows) —
+    exactly Spark's replayable-source contract; a source that can't
+    promise it needs the content-keyed anti-join (q87b) instead.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    table = TxLogTable(spark, scratch_dir("qm04_txlog_sink"))
+
+    def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        table.append(
+            batch_df.select("event_id", "event_type"),
+            app_id="events_sink",
+            txn_version=int(epoch_id),
+        )
+
+    for _attempt in range(2):  # second run = full replay (kill/restart case)
+        q = (
+            events_stream(spark, sf_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(commit_epoch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm04_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    return table.read().groupBy("event_type").agg(F.count("*").alias("n"))
