@@ -189,11 +189,25 @@ class TxLogTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (optionally time travel). Ordinary parquet scan
-        over the snapshot's file list — pushdown/pruning intact."""
+        over the snapshot's file list — pushdown/pruning intact.
+        mergeSchema unions file schemas, so an append that ADDED columns
+        evolves the table in place: old files surface the new columns as
+        nulls (parquet's schema-merge semantics — the additive half of
+        schema evolution; renames/drops need a rewrite commit)."""
         snap = self.snapshot(version)
         if not snap.files:
             raise ValueError(f"table {self.path} is empty at version {version}")
-        return self.spark.read.parquet(*snap.files)
+        return self.spark.read.option("mergeSchema", "true").parquet(*snap.files)
+
+    def optimize(self, target_files: int = 1) -> int:
+        """Transactional compaction (the OPTIMIZE move): rewrite the
+        current snapshot's files into `target_files` larger ones and
+        swap them in ONE commit (remove all + add compacted). Readers
+        never see a torn state; time travel to pre-optimize versions
+        still resolves because vacuum only collects files unreachable
+        from EVERY log version. Returns the new version."""
+        current = self.read().coalesce(target_files)
+        return self.replace(current.localCheckpoint(eager=True), remove_pred=lambda p: True)
 
     def vacuum(self) -> int:
         """Delete data files unreachable from ANY log version (crash

@@ -134,3 +134,31 @@ def test_predicate_pushdown_reaches_snapshot_scan(spark, table):
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(id" in plan
+
+
+def test_additive_schema_evolution_via_merge(spark, table):
+    table.append(df_of(spark, 1, 2))
+    wide = spark.createDataFrame([(3, "s3", 0.5)], "id long, s string, score double")
+    table.append(wide)
+    out = table.read().orderBy("id").collect()
+    assert [r.id for r in out] == [1, 2, 3]
+    # old files surface the evolved column as nulls
+    assert [r.score for r in out] == [None, None, 0.5]
+
+
+def test_optimize_compacts_in_one_commit_and_preserves_history(spark, table):
+    for i in range(4):
+        table.append(df_of(spark, i))
+    pre = table.snapshot()
+    assert len(pre.files) >= 4
+    v = table.optimize(target_files=1)
+    post = table.snapshot()
+    assert len(post.files) == 1
+    assert ids(table.read()) == [0, 1, 2, 3]
+    # time travel to before the compaction still resolves
+    assert ids(table.read(version=pre.version)) == [0, 1, 2, 3]
+    # vacuum must NOT collect the pre-optimize files (still referenced
+    # by earlier log versions)
+    table.vacuum()
+    assert ids(table.read(version=pre.version)) == [0, 1, 2, 3]
+    assert v == pre.version + 1
