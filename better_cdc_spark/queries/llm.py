@@ -5028,3 +5028,111 @@ def q95x_cross_corpus_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_yielded"),
         )
     )
+
+
+@query(
+    "q95y_logreg_train",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             n_chars / 500.0 AS x1,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) / 100.0 AS x2,
+             CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM feat),
+    g1 AS (
+      SELECT
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(0.0*x1 + 0.0*x2 + 0.0))) - y) * x1 * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d1,
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(0.0*x1 + 0.0*x2 + 0.0))) - y) * x2 * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d2,
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(0.0*x1 + 0.0*x2 + 0.0))) - y) * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d3
+      FROM feat
+    ),
+    w1 AS (SELECT 0.0 - 1.0*d1 AS w1, 0.0 - 1.0*d2 AS w2, 0.0 - 1.0*d3 AS w3 FROM g1),
+    g2 AS (
+      SELECT
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.w3))) - y) * x1 * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d1,
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.w3))) - y) * x2 * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d2,
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.w3))) - y) * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d3
+      FROM feat, w1 w
+    ),
+    w2 AS (SELECT w.w1 - 1.0*g.d1 AS w1, w.w2 - 1.0*g.d2 AS w2, w.w3 - 1.0*g.d3 AS w3
+           FROM w1 w, g2 g),
+    g3 AS (
+      SELECT
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.w3))) - y) * x1 * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d1,
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.w3))) - y) * x2 * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d2,
+        CAST(SUM(CAST(round((1.0/(1.0+exp(-(w.w1*x1 + w.w2*x2 + w.w3))) - y) * 1e9, 0) AS BIGINT)) AS DOUBLE)/1e9/(SELECT n FROM n) AS d3
+      FROM feat, w2 w
+    ),
+    w3 AS (SELECT w.w1 - 1.0*g.d1 AS w1, w.w2 - 1.0*g.d2 AS w2, w.w3 - 1.0*g.d3 AS w3
+           FROM w2 w, g3 g)
+    SELECT 1 AS step, ROUND(w1, 6) AS w_len, ROUND(w2, 6) AS w_tok, ROUND(w3, 6) AS bias FROM w1
+    UNION ALL
+    SELECT 2, ROUND(w1, 6), ROUND(w2, 6), ROUND(w3, 6) FROM w2
+    UNION ALL
+    SELECT 3, ROUND(w1, 6), ROUND(w2, 6), ROUND(w3, 6) FROM w3
+    """,
+    tags=("llm", "classifier", "training"),
+)
+def q95y_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier distributed — the missing half of
+    q95r (which applies plan-literal weights): full-batch logistic
+    regression by gradient descent, three steps, over deterministic
+    per-doc features (scaled length, scaled token count, bias) with a
+    separable-ish label (long-doc indicator). The weight trajectory
+    after each step is the output, so the oracle (three unrolled
+    gradient CTEs) verifies every pass, not just the final model.
+
+    Scale shape — MLlib's data/model split: features derive in one
+    narrow pass and localCheckpoint; each GD step is ONE map-side-
+    combined corpus aggregation producing a 3-scalar gradient collected
+    to the driver (bounded: 3 doubles — the model-on-driver pattern of
+    SemDeDup seeds / IVF codebooks, documented with its bound), and the
+    next step's sigmoid folds the updated weights back in as literals.
+    Cost is iterations × one-shuffle-less-scan; at 100 TB this is
+    exactly distributed full-batch GD (or one epoch of L-BFGS's gradient
+    oracle).
+
+    Cross-engine fp: per-doc gradient contributions round to integer
+    nano-units before the sum (order-free, exact), so both engines
+    derive bit-identical weights at every step; a 1-ulp exp() divergence
+    can flip a nano-rounding only for contributions within ~1e-16 of a
+    boundary, perturbing weights at 1e-12 — invisible at the 6dp round.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    feat = (
+        docs.select(
+            (F.col("n_chars") / 500.0).alias("x1"),
+            (
+                F.size(F.filter(F.split("text", " "), lambda t: t != "")) / 100.0
+            ).alias("x2"),
+            F.when(F.col("n_chars") > 300, 1.0).otherwise(0.0).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # features derive once
+    )
+    n = float(feat.count())
+    w = (0.0, 0.0, 0.0)
+    rows = []
+    for step in (1, 2, 3):
+        z = F.lit(w[0]) * F.col("x1") + F.lit(w[1]) * F.col("x2") + F.lit(w[2])
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+
+        def nano_mean(expr):
+            return (
+                F.sum(F.round(expr * 1e9, 0).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.lit(n)
+            )
+
+        g = feat.agg(
+            nano_mean(resid * F.col("x1")).alias("d1"),
+            nano_mean(resid * F.col("x2")).alias("d2"),
+            nano_mean(resid).alias("d3"),
+        ).first()  # bounded model collect: 3 scalars per step
+        w = (w[0] - 1.0 * g["d1"], w[1] - 1.0 * g["d2"], w[2] - 1.0 * g["d3"])
+        rows.append((step, round(w[0], 6), round(w[1], 6), round(w[2], 6)))
+    return spark.createDataFrame(
+        rows, "step int, w_len double, w_tok double, bias double"
+    )
