@@ -166,11 +166,13 @@ class TxLogTable:
         Conflict rule: if a file this transaction removes is no longer
         live at commit time, a concurrent writer touched the same
         region → CommitConflict (caller re-derives)."""
-        staged = self._stage(df)
+        staged: list[str] | None = None
         while True:
             snap = self.snapshot()
             if app_id is not None and snap.txns.get(app_id, -1) >= (txn_version or 0):
-                return snap.version
+                return snap.version  # replayed commit: no-op, nothing staged
+            if staged is None:
+                staged = self._stage(df)
             removes = [p for p in snap.files if remove_pred(p)]
             actions = (
                 [{"remove": {"path": p}} for p in removes]

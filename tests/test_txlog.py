@@ -162,3 +162,16 @@ def test_optimize_compacts_in_one_commit_and_preserves_history(spark, table):
     table.vacuum()
     assert ids(table.read(version=pre.version)) == [0, 1, 2, 3]
     assert v == pre.version + 1
+
+
+def test_replayed_replace_stages_nothing(spark, table):
+    table.append(df_of(spark, 1))
+    table.replace(df_of(spark, 2), remove_pred=lambda p: True,
+                  app_id="w", txn_version=5)
+    # replay of the same replace epoch: no-op AND no orphan data files
+    table.replace(df_of(spark, 99), remove_pred=lambda p: True,
+                  app_id="w", txn_version=5)
+    assert ids(table.read()) == [2]
+    # zero orphans: replaced files stay log-referenced (time travel),
+    # and the replayed call staged nothing at all
+    assert table.vacuum() == 0
