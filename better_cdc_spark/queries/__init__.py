@@ -61,6 +61,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
     # round-5 additions + the rewritten q96e, externally unverified
+    "q95z_warc_ingest",
     "q95y_logreg_train",
     "qm04_txlog_streaming_sink",
     "q95x_cross_corpus_priority_dedup",
@@ -114,7 +115,6 @@ SHOWCASE_ORDER = (
     "q62b_except_all",
     "q34b_filtered_aggregates",
     "q61b_intersect_all",
-    "q78_try_functions",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -5136,3 +5136,98 @@ def q95y_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, w_len double, w_tok double, bias double"
     )
+
+
+@query(
+    "q95z_warc_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS content_length,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+    tags=("llm", "ingest", "warc"),
+)
+def q95z_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-shaped web-archive ingestion — the CommonCrawl stage every
+    pretraining pipeline starts with: archive files are CONCATENATED
+    PER-RECORD GZIP MEMBERS (each record its own gzip stream so readers
+    can split without decompressing the whole file), each member holding
+    a WARC/1.0 header block + payload. Stage 1 synthesizes real archive
+    bytes from the documents table (one record per doc, ~32 records per
+    archive file, headers carrying WARC-Record-ID/Content-Length); stage
+    2 ingests them: walks the member boundaries with a streaming
+    decompressor (zlib wbits=31, unused_data chaining), parses the
+    header block, validates Content-Length, and emits (doc_id, length,
+    text md5). The oracle recomputes all three from the source table, so
+    a mis-split member, a truncated payload, or a header-offset bug
+    cannot hash-match.
+
+    Scale shape: both stages are Arrow-batched mapInPandas — archives
+    are embarrassingly parallel units exactly as CommonCrawl shards are;
+    no shuffle anywhere. The decompressor never materializes an archive
+    twice: each member inflates once, O(archive bytes) per task. This is
+    the plumbing a 100 TB crawl ingest runs per WARC shard, with the
+    HTTP-response envelope (status line, response headers) as the only
+    deploy-time addition — it changes the header parse, not the split.
+    """
+    import gzip
+    import hashlib
+    import zlib
+
+    import pandas as pd
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_archives(batches):
+        for pdf in batches:
+            records = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode()
+                header = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:doc:{int(d)}>\r\n".encode()
+                    + f"Content-Length: {len(payload)}\r\n".encode()
+                    + b"\r\n"
+                )
+                records.append(gzip.compress(header + payload + b"\r\n\r\n"))
+            # ~32 records per archive file, like real WARC shards
+            files = [
+                b"".join(records[i : i + 32]) for i in range(0, len(records), 32)
+            ]
+            yield pd.DataFrame({"archive": files})
+
+    archives = docs.mapInPandas(build_archives, "archive binary")
+
+    def ingest(batches):
+        for pdf in batches:
+            rows = []
+            for buf in pdf["archive"]:
+                data = bytes(buf)
+                while data:
+                    z = zlib.decompressobj(wbits=31)
+                    record = z.decompress(data)
+                    data = z.unused_data  # next gzip member starts here
+                    head, _, body = record.partition(b"\r\n\r\n")
+                    fields = dict(
+                        line.split(": ", 1)
+                        for line in head.decode().split("\r\n")[1:]
+                        if ": " in line
+                    )
+                    n = int(fields["Content-Length"])
+                    payload = body[:n]
+                    if body[n : n + 4] != b"\r\n\r\n":
+                        raise ValueError("record not terminated after payload")
+                    doc_id = int(fields["WARC-Record-ID"][len("<urn:doc:"):-1])
+                    rows.append(
+                        (doc_id, n, hashlib.md5(payload).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content_length", "text_md5"]
+            )
+
+    return archives.mapInPandas(
+        ingest, "doc_id bigint, content_length bigint, text_md5 string"
+    )
