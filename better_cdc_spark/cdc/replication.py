@@ -112,13 +112,16 @@ def decode_frame(buf: bytes):
     if not buf:
         return None
     kind = buf[:1]
-    if kind == XLOG_DATA:
+    # a frame shorter than its fixed header is malformed — skip, never
+    # raise (struct errors out of here would crash the session loop the
+    # docstring promises is skip-tolerant)
+    if kind == XLOG_DATA and len(buf) >= 25:
         ws, we, t = struct.unpack_from(">QQQ", buf, 1)
         return XLogData(ws, we, t + PG_EPOCH_US, buf[25:])
-    if kind == PRIMARY_KEEPALIVE:
+    if kind == PRIMARY_KEEPALIVE and len(buf) >= 18:
         we, t, rr = struct.unpack_from(">QQB", buf, 1)
         return Keepalive(we, t + PG_EPOCH_US, bool(rr))
-    if kind == STANDBY_STATUS:
+    if kind == STANDBY_STATUS and len(buf) >= 34:
         w, f, a, t, rr = struct.unpack_from(">QQQQB", buf, 1)
         return StandbyStatus(w, f, a, t + PG_EPOCH_US, bool(rr))
     return None
@@ -166,6 +169,10 @@ class ReplicationSession:
         self.clock_us = clock_us
         self._acked = lsn_to_int(start_lsn)
         self.stats = _SessionStats()
+        #: True once recv() returned None — the server closed cleanly.
+        #: poll() can ALSO end by exhausting max_frames; callers use this
+        #: flag to tell the two apart (a budget end must resume, not stop)
+        self.ended = False
 
     # acked-LSN tracking: monotone max (reader.go:627-637)
     def set_acked_position(self, lsn: str) -> None:
@@ -210,6 +217,7 @@ class ReplicationSession:
                     )
                 continue
             if buf is None:
+                self.ended = True
                 return
             frame = decode_frame(buf)
             if frame is None:
@@ -322,7 +330,13 @@ class ReplicationLoop:
                     acked = on_payload(frame)
                     if acked is not None:
                         session.set_acked_position(acked)
-                return session.acked_lsn  # clean end of stream
+                if session.ended:
+                    return session.acked_lsn  # clean end of stream
+                # poll() exhausted its frame budget mid-stream — NOT a
+                # server close; resume a fresh session from the acked
+                # LSN without sleeping (nothing failed)
+                resume = session.acked_lsn
+                continue
             except ReplicationError as exc:
                 self.fatal = exc
                 raise

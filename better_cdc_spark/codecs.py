@@ -417,6 +417,7 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = 0
     dc_id = ac_id = 0
+    sof_quant_id = None
     ecs_start = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -460,6 +461,8 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             break
     if ecs_start is None:
         raise ValueError("no scan found")
+    if sof_quant_id is None:
+        raise ValueError("SOS without a preceding SOF0 frame header")
     eoi = payload.rfind(b"\xff\xd9")
     r = _BitReader(payload[ecs_start : eoi if eoi > 0 else len(payload)])
     q2d = quant[sof_quant_id][ZIGZAG.argsort()].reshape(8, 8).astype(np.float64)

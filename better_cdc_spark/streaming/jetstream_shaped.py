@@ -150,8 +150,6 @@ class JetStreamShapedSink:
         timestamp ⇒ same bucket) is silently discarded, TestJetStreamDedup
         parity (readme.md:168).
         """
-        if self._read_manifest() is None:
-            raise StreamNotFound(f"stream {self.config.name!r} not found")
         return self.publish_records(
             marshal_cdc_event(envelope, "payload").select(
                 F.col("event_id").alias("msg_id"),

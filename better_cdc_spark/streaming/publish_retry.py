@@ -106,8 +106,13 @@ class PendingAck:
     event_id: str
     acked: bool = False
     err: BaseException | None = None
+    #: terminal-state flag — a transport returning an already-complete
+    #: ack MUST set resolved=True; an ack with resolved=False and no
+    #: resolve_at stays outstanding until something external resolves it
+    #: (the stuck-ack case), and times out
     resolved: bool = False
-    #: monotonic deadline after which the fake/real ack resolves; None = now
+    #: optional monotonic deadline at which the ack self-resolves
+    #: (scheduled resolution for fakes / polled transports)
     resolve_at: float | None = None
 
 
@@ -285,7 +290,9 @@ class OrderedPublishEngine:
                 if is_permanent_publish_error(exc):
                     break
                 continue
-            self.wait_for_acks(pending, self.publish_timeout_s)
+            _ok, _resolved, wait_err = self.wait_for_acks(
+                pending, self.publish_timeout_s
+            )
             still_failed = []
             for i, p in zip(remaining, pending):
                 if p.resolved and p.acked and p.err is None:
@@ -294,6 +301,11 @@ class OrderedPublishEngine:
                     still_failed.append(i)
                     if p.err is not None:
                         last_error = p.err
+            if still_failed and last_error is None:
+                # pure timeout failures carry no per-ack err; surface the
+                # synthesized wait error so the result never reports
+                # failed items with first_error=None
+                last_error = wait_err
             remaining = still_failed
         return self._finalize(
             result, items, succeeded, last_error if remaining else None

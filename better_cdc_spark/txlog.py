@@ -77,7 +77,10 @@ class TxLogTable:
         )
 
     def snapshot(self, version: int | None = None) -> Snapshot:
-        """Replay the log (prefix ≤ version for time travel)."""
+        """Replay the log (prefix ≤ version for time travel). A version
+        whose first action is the checkpoint marker RESETS accumulated
+        state before applying — so stale pre-checkpoint version files
+        (e.g. left by a crash mid-compact_log) are harmlessly ignored."""
         live: dict[str, bool] = {}
         txns: dict[str, int] = {}
         vs = self._versions()
@@ -85,8 +88,12 @@ class TxLogTable:
             vs = [v for v in vs if v <= version]
         for v in vs:
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
-                for line in f:
+                for i, line in enumerate(f):
                     action = json.loads(line)
+                    if i == 0 and action.get("meta", {}).get("checkpoint"):
+                        live.clear()
+                        txns.clear()
+                        continue
                     if "add" in action:
                         live[action["add"]["path"]] = True
                     elif "remove" in action:
@@ -162,18 +169,38 @@ class TxLogTable:
         SAME commit — the operation the windowed idempotent sink
         performs, with no observable intermediate state.
 
-        remove_pred: Callable[[str], bool] over live file paths.
-        Conflict rule: if a file this transaction removes is no longer
-        live at commit time, a concurrent writer touched the same
-        region → CommitConflict (caller re-derives)."""
+        remove_pred: Callable[[str], bool] over live file paths. The
+        remove set is fixed at the BASIS snapshot (the state `df` was
+        derived from); a retry after losing a version race validates
+        against the newer snapshot and aborts with CommitConflict when
+        (a) a basis file this transaction removes is no longer live
+        (concurrent remove of the same region), or (b) a concurrent
+        commit added NEW files the predicate matches — removing those
+        would silently destroy rows `df` never saw (the add-vs-rewrite
+        conflict real formats detect). The caller re-derives and
+        retries."""
+        basis = self.snapshot()
+        if app_id is not None and basis.txns.get(app_id, -1) >= (txn_version or 0):
+            return basis.version  # replayed commit: no-op, nothing staged
+        removes = [p for p in basis.files if remove_pred(p)]
         staged: list[str] | None = None
         while True:
             snap = self.snapshot()
             if app_id is not None and snap.txns.get(app_id, -1) >= (txn_version or 0):
-                return snap.version  # replayed commit: no-op, nothing staged
+                return snap.version
+            if any(p not in snap.files for p in removes):
+                raise CommitConflict(
+                    "concurrent commit removed files this replace targets"
+                )
+            newly_matching = [
+                p for p in snap.files if p not in basis.files and remove_pred(p)
+            ]
+            if newly_matching:
+                raise CommitConflict(
+                    "concurrent commit added files this rewrite would drop"
+                )
             if staged is None:
                 staged = self._stage(df)
-            removes = [p for p in snap.files if remove_pred(p)]
             actions = (
                 [{"remove": {"path": p}} for p in removes]
                 + [{"add": {"path": p}} for p in staged]
@@ -183,11 +210,6 @@ class TxLogTable:
             v = snap.version + 1
             if self._try_commit(v, actions):
                 return v
-            later = self.snapshot()
-            if any(p not in later.files for p in removes):
-                raise CommitConflict(
-                    "concurrent commit removed files this replace targets"
-                )
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (optionally time travel). Ordinary parquet scan
@@ -211,11 +233,16 @@ class TxLogTable:
         current = self.read().coalesce(target_files)
         return self.replace(current.localCheckpoint(eager=True), remove_pred=lambda p: True)
 
-    def vacuum(self) -> int:
+    def vacuum(self, min_age_s: float = 3600.0) -> int:
         """Delete data files unreachable from ANY log version (crash
-        garbage). Returns the number removed. Real formats add a
-        retention horizon so time travel survives; orphans here were
-        never visible at all."""
+        garbage). Returns the number removed. `min_age_s` is the safety
+        horizon: a file younger than it is spared because it may belong
+        to an IN-FLIGHT commit (staged, log entry not yet written) —
+        deleting it would let that commit succeed while referencing a
+        missing file. Same reason real formats gate VACUUM on retention.
+        Tests pass 0 to collect immediately."""
+        import time as _t
+
         referenced: set[str] = set()
         for v in self._versions():
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
@@ -224,31 +251,44 @@ class TxLogTable:
                     if "add" in action:
                         referenced.add(action["add"]["path"])
         n = 0
+        horizon = _t.time() - min_age_s
         for stage in os.listdir(self.data_dir):
             sdir = os.path.join(self.data_dir, stage)
             for f in os.listdir(sdir):
                 p = os.path.join(sdir, f)
-                if f.endswith(".parquet") and p not in referenced:
+                if (
+                    f.endswith(".parquet")
+                    and p not in referenced
+                    and os.path.getmtime(p) <= horizon
+                ):
                     os.remove(p)
                     n += 1
         return n
 
     def compact_log(self) -> None:
         """Rewrite the log prefix as one checkpoint commit (the Delta
-        checkpoint move): replaces N version files with a single file
-        whose actions reproduce the current snapshot. Time travel before
-        the checkpoint is forfeited — same trade the real formats make
-        at their retention horizon."""
+        checkpoint move): the latest version file becomes a
+        self-contained snapshot (marker + adds + txns), installed with
+        ONE atomic os.replace BEFORE any old version is deleted — a
+        crash at any point leaves either the original log or the
+        checkpoint plus stale older files, which snapshot() ignores via
+        the reset marker. Never a torn table. Time travel before the
+        checkpoint is forfeited — same trade the real formats make at
+        their retention horizon."""
         snap = self.snapshot()
         if snap.version < 0:
             return
-        actions = [{"add": {"path": p}} for p in snap.files] + [
-            {"txn": {"app_id": a, "version": v}} for a, v in snap.txns.items()
-        ]
+        actions = (
+            [{"meta": {"checkpoint": True}}]
+            + [{"add": {"path": p}} for p in snap.files]
+            + [{"txn": {"app_id": a, "version": v}} for a, v in snap.txns.items()]
+        )
         tmp = os.path.join(self.log_dir, f".ckpt-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
-        for v in self._versions()[:-1]:
-            os.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
+        # install first (atomic), THEN clean up superseded versions
         os.replace(tmp, os.path.join(self.log_dir, f"{snap.version:020d}.json"))
+        for v in self._versions():
+            if v < snap.version:
+                os.remove(os.path.join(self.log_dir, f"{v:020d}.json"))

@@ -184,3 +184,15 @@ def test_jpeg_truncated_scan_raises():
     payload = codecs.encode_jpeg_gray(8, 8, img.tobytes())
     with pytest.raises(ValueError):
         codecs.decode_jpeg_gray(payload[: len(payload) - 4] )
+
+
+def test_jpeg_sos_without_sof_raises_valueerror():
+    import numpy as np
+
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    payload = codecs.encode_jpeg_gray(8, 8, img.tobytes())
+    sof = payload.find(b"\xff\xc0")
+    ln = int.from_bytes(payload[sof + 2 : sof + 4], "big")
+    gutted = payload[:sof] + payload[sof + 2 + ln :]  # drop the SOF0 segment
+    with pytest.raises(ValueError, match="SOF0"):
+        codecs.decode_jpeg_gray(gutted)

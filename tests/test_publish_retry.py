@@ -356,3 +356,17 @@ def test_build_final_result_contiguous_prefix():
     )
     assert result.succeeded == 2 and result.failed == 2
     assert result.last_success_position == "0/0"
+
+
+def test_unordered_timeout_failures_carry_first_error():
+    # acks that never resolve and carry no err: the batch must still
+    # report WHY it failed (the synthesized timeout), never
+    # failed>0 with first_error=None
+    clock = FakeClock()
+    t = ScriptedTransport(clock)
+    t.slow_ack_after = [1e9, 1e9]  # far past every timeout
+    e = make_engine(clock, max_publish_retries=1, unsafe_unordered=True,
+                    publish_timeout_s=0.5)
+    result = e.publish_with_retry(t, make_items(2))
+    assert result.failed == 2
+    assert isinstance(result.first_error, TimeoutError)

@@ -343,3 +343,34 @@ def test_standby_status_roundtrip_property(w, f, a, t, rr):
     s = decode_frame(encode_standby_status(w, f, a, t, rr))
     assert (s.write_lsn, s.flush_lsn, s.apply_lsn, s.client_time_us,
             s.reply_requested) == (w, f, a, t, rr)
+
+
+def test_truncated_frames_are_skipped_not_fatal():
+    # shorter than the fixed header for each kind: skip-with-count
+    wire = ScriptedWire([b"w\x00\x01", b"k\x00", b"r" + b"\x00" * 10,
+                         encode_xlog_data(16, 0, T0, b"ok")])
+    s = ReplicationSession(wire, clock_us=lambda: T0)
+    assert payload_frames(s) == [b"ok"]
+    assert s.stats.skipped == 3
+
+
+def test_frame_budget_exhaustion_resumes_instead_of_stopping():
+    # a session ending because poll() exhausted max_frames is NOT a
+    # server close (session.ended stays False); the caller must roll a
+    # fresh session from the acked LSN so consumption never silently
+    # stops mid-stream
+    got = []
+    resume = "0/0"
+    scripts = [
+        [encode_xlog_data(0x100 + i, 0, T0, b"x") for i in range(3)],  # budget-cut
+        [encode_xlog_data(0x200 + i, 0, T0, b"y") for i in range(2)],  # clean end
+    ]
+    for script in scripts:
+        s = ReplicationSession(ScriptedWire(script), start_lsn=resume,
+                               clock_us=lambda: T0)
+        for frame in s.poll(max_frames=3):
+            got.append(frame.wal_start)
+            s.set_acked_position(lsn_to_str(frame.wal_start))
+        resume = s.acked_lsn
+    assert len(got) == 5  # nothing lost across the roll
+    assert resume == lsn_to_str(0x201)
