@@ -56,12 +56,20 @@ class Snapshot:
     version: int
     files: tuple[str, ...]
     txns: dict[str, int]
+    #: per-file column min/max from the add actions ({} when the table
+    #: tracks no stats columns) — the file-skipping index
+    file_stats: dict = None
 
 
 class TxLogTable:
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, stats_cols: tuple[str, ...] = ()
+    ) -> None:
         self.spark = spark
         self.path = path
+        #: columns whose per-file min/max ride in add actions for
+        #: data skipping (footer-derived, no data read at commit time)
+        self.stats_cols = tuple(stats_cols)
         self.log_dir = os.path.join(path, "_txlog")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -81,7 +89,7 @@ class TxLogTable:
         whose first action is the checkpoint marker RESETS accumulated
         state before applying — so stale pre-checkpoint version files
         (e.g. left by a crash mid-compact_log) are harmlessly ignored."""
-        live: dict[str, bool] = {}
+        live: dict[str, dict] = {}
         txns: dict[str, int] = {}
         vs = self._versions()
         if version is not None:
@@ -95,7 +103,7 @@ class TxLogTable:
                         txns.clear()
                         continue
                     if "add" in action:
-                        live[action["add"]["path"]] = True
+                        live[action["add"]["path"]] = action["add"].get("stats", {})
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
                     elif "txn" in action:
@@ -107,6 +115,7 @@ class TxLogTable:
             version=vs[-1] if vs else -1,
             files=tuple(p for p in live),
             txns=txns,
+            file_stats=live,
         )
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
@@ -134,6 +143,33 @@ class TxLogTable:
             if f.endswith(".parquet")
         ]
 
+    @staticmethod
+    def _file_stats(path: str, cols: tuple[str, ...]) -> dict:
+        """Per-file min/max for `cols` from the parquet FOOTER (pyarrow
+        metadata — no data read). These ride in the add action, so a
+        snapshot can skip files before any scan: planning IO becomes
+        O(matching files), the data-skipping move real table formats
+        make and the reason their logs carry stats."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            else:
+                if mins:
+                    stats[c] = [min(mins), max(maxs)]
+        return stats
+
     # -- public ops ------------------------------------------------------
 
     def append(
@@ -148,7 +184,7 @@ class TxLogTable:
                 return snap.version  # replayed commit: acknowledged no-op
             if staged is None:
                 staged = self._stage(df)
-            actions = [{"add": {"path": p}} for p in staged]
+            actions = [{"add": self._add_action(p)} for p in staged]
             if app_id is not None:
                 actions.append({"txn": {"app_id": app_id, "version": txn_version or 0}})
             v = snap.version + 1
@@ -203,7 +239,7 @@ class TxLogTable:
                 staged = self._stage(df)
             actions = (
                 [{"remove": {"path": p}} for p in removes]
-                + [{"add": {"path": p}} for p in staged]
+                + [{"add": self._add_action(p)} for p in staged]
             )
             if app_id is not None:
                 actions.append({"txn": {"app_id": app_id, "version": txn_version or 0}})
@@ -211,17 +247,54 @@ class TxLogTable:
             if self._try_commit(v, actions):
                 return v
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def _add_action(self, path: str) -> dict:
+        a = {"path": path}
+        if self.stats_cols:
+            a["stats"] = self._file_stats(path, self.stats_cols)
+        return a
+
+    def read(
+        self,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
         """Snapshot read (optionally time travel). Ordinary parquet scan
         over the snapshot's file list — pushdown/pruning intact.
         mergeSchema unions file schemas, so an append that ADDED columns
         evolves the table in place: old files surface the new columns as
         nulls (parquet's schema-merge semantics — the additive half of
-        schema evolution; renames/drops need a rewrite commit)."""
+        schema evolution; renames/drops need a rewrite commit).
+
+        `where=(col, lo, hi)` enables DATA SKIPPING: files whose logged
+        [min, max] for col does not intersect [lo, hi] are dropped from
+        the scan BEFORE Spark plans it — log-resident stats, no file
+        listing, no footer reads at query time. Files without stats for
+        the column are kept (conservative). The equivalent row filter is
+        also applied so results are exact."""
         snap = self.snapshot(version)
         if not snap.files:
             raise ValueError(f"table {self.path} is empty at version {version}")
-        return self.spark.read.option("mergeSchema", "true").parquet(*snap.files)
+        files = list(snap.files)
+        if where is not None:
+            col, lo, hi = where
+            kept = []
+            for p in files:
+                s = (snap.file_stats or {}).get(p, {}).get(col)
+                if s is None or not (s[1] < lo or s[0] > hi):
+                    kept.append(p)
+            files = kept
+            if not files:
+                return (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*snap.files)
+                    .limit(0)
+                )
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        if where is not None:
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col(where[0]).between(where[1], where[2]))
+        return df
 
     def optimize(self, target_files: int = 1) -> int:
         """Transactional compaction (the OPTIMIZE move): rewrite the
@@ -280,7 +353,10 @@ class TxLogTable:
             return
         actions = (
             [{"meta": {"checkpoint": True}}]
-            + [{"add": {"path": p}} for p in snap.files]
+            + [
+                {"add": {"path": p, "stats": snap.file_stats.get(p, {})}}
+                for p in snap.files
+            ]
             + [{"txn": {"app_id": a, "version": v}} for a, v in snap.txns.items()]
         )
         tmp = os.path.join(self.log_dir, f".ckpt-{uuid.uuid4().hex}")

@@ -235,3 +235,34 @@ def test_vacuum_spares_young_inflight_files(spark, table):
     table._stage(df_of(spark, 777))  # in-flight writer, commit pending
     assert table.vacuum() == 0       # default horizon spares young files
     assert table.vacuum(min_age_s=0) >= 1  # explicit zero collects them
+
+
+def test_stats_based_file_skipping(spark, tmp_path):
+    """Data skipping: per-file min/max ride in the add actions
+    (footer-derived at commit); read(where=...) drops non-overlapping
+    files from the scan BEFORE Spark plans it, so planning IO is
+    O(matching files) — verified by the scan's actual inputFiles."""
+    t = TxLogTable(spark, str(tmp_path / "t"), stats_cols=("id",))
+    # three appends with disjoint id ranges -> three file sets
+    t.append(spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                                   "id long, s string").coalesce(1))
+    t.append(spark.createDataFrame([(i, f"s{i}") for i in range(100, 110)],
+                                   "id long, s string").coalesce(1))
+    t.append(spark.createDataFrame([(i, f"s{i}") for i in range(200, 210)],
+                                   "id long, s string").coalesce(1))
+    snap = t.snapshot()
+    assert all(snap.file_stats[p].get("id") for p in snap.files)
+
+    pruned = t.read(where=("id", 100, 150))
+    assert len(pruned.inputFiles()) == 1  # two of three files skipped
+    assert ids(pruned) == list(range(100, 110))
+
+    # no overlap at all -> empty result, zero-row plan
+    assert t.read(where=("id", 500, 600)).count() == 0
+
+    # exactness: the residual row filter still applies inside the file
+    assert ids(t.read(where=("id", 105, 300))) == list(range(105, 110)) + list(range(200, 210))
+
+    # stats survive log compaction
+    t.compact_log()
+    assert len(t.read(where=("id", 0, 50)).inputFiles()) == 1
