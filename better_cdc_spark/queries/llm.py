@@ -5231,3 +5231,179 @@ def q95z_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archives.mapInPandas(
         ingest, "doc_id bigint, content_length bigint, text_md5 string"
     )
+
+
+@query(
+    "q94i_end_to_end_pretrain",
+    oracle="""
+    WITH ingested AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 9000000, text, source FROM documents WHERE doc_id % 7 = 0
+    ),
+    feat AS (
+      SELECT *,
+             list_filter(string_split(text, ' '), t -> t <> '') AS words
+      FROM ingested
+    ),
+    gated AS (
+      SELECT doc_id, text, source, len(words) AS n_tokens
+      FROM feat
+      WHERE len(words) BETWEEN 20 AND 1000
+        AND len(list_filter(words, t -> list_contains(
+              ['the','and','of','to','a'], lower(t)))) >= 2
+        AND strlen(array_to_string(words, '')) <= 12 * len(words)
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY strlen(text) DESC, doc_id) AS cap_rn
+        FROM deduped
+      ) WHERE cap_rn <= 20
+    ),
+    per_src AS (
+      SELECT i.source,
+             COUNT(*) AS n_ingested,
+             COALESCE(MAX(g.n_gated), 0) AS n_gated,
+             COALESCE(MAX(d.n_deduped), 0) AS n_deduped,
+             COALESCE(MAX(c.n_kept), 0) AS n_kept,
+             COALESCE(MAX(c.tokens_kept), 0) AS tokens_kept
+      FROM ingested i
+      LEFT JOIN (SELECT source, COUNT(*) AS n_gated FROM gated GROUP BY source) g
+        USING (source)
+      LEFT JOIN (SELECT source, COUNT(*) AS n_deduped FROM deduped GROUP BY source) d
+        USING (source)
+      LEFT JOIN (SELECT source, COUNT(*) AS n_kept,
+                        CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+                 FROM capped GROUP BY source) c
+        USING (source)
+      GROUP BY i.source
+    ),
+    weighted AS (
+      SELECT *, sqrt(CAST(tokens_kept AS DOUBLE)) AS w_raw FROM per_src
+    )
+    SELECT source, n_ingested, n_gated, n_deduped, n_kept, tokens_kept,
+           CAST(floor(w_raw / SUM(w_raw) OVER () * 50000) AS BIGINT)
+             AS token_budget
+    FROM weighted
+    """,
+    tags=("llm", "composite", "pipeline"),
+)
+def q94i_end_to_end_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining corpus build — the round-5 primitives
+    composed into one DAG with a per-source FUNNEL REPORT (the
+    accounting artifact a curation run actually ships): WARC-shaped
+    archive bytes → executing multi-member-gzip ingest (q95z's real
+    codec path, run inside this plan) → quality gates (token-count
+    band, stopword floor, mean-word-length cap — all in-row
+    higher-order functions, no explode) → exact dedup with injected
+    re-crawls (every 7th doc re-ingested at a shifted id; originals
+    win) → per-source domain cap (top-20 by length) → temperature
+    mixing (sqrt token mass) allocating a 50k token budget.
+
+    Plan shape: ONE narrow Arrow pass for ingest, in-row gates, one
+    content-hash shuffle (dedup), one source shuffle (cap + funnel
+    aggregates share it), and a 20-row window for the mixture — the
+    same shuffle budget as q94's curation composite with ingest now
+    included. The oracle replays every stage closed-form, so a gate
+    off-by-one, a dedup that drops the wrong copy, or a budget rounding
+    drift all hash-mismatch.
+    """
+    import gzip
+    import zlib
+
+    import pandas as pd
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dup_wave = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 9000000).alias("doc_id"), "text", "source"
+    )
+    crawl = docs.unionByName(dup_wave)
+
+    # real archive round trip (the q95z codec path, in-plan): text
+    # travels as WARC-framed gzip members and comes back out via the
+    # streaming decompressor — source rides alongside for the funnel
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for d, text, src in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                payload = text.encode()
+                member = gzip.compress(
+                    b"WARC/1.0\r\n"
+                    + f"WARC-Record-ID: <urn:doc:{int(d)}>\r\n".encode()
+                    + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                    + payload
+                    + b"\r\n\r\n"
+                )
+                z = zlib.decompressobj(wbits=31)
+                record = z.decompress(member)
+                head, _, body = record.partition(b"\r\n\r\n")
+                n = int(
+                    dict(
+                        line.split(": ", 1)
+                        for line in head.decode().split("\r\n")[1:]
+                        if ": " in line
+                    )["Content-Length"]
+                )
+                rows.append((int(d), body[:n].decode(), src))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+
+    ingested = crawl.mapInPandas(roundtrip, "doc_id bigint, text string, source string")
+
+    words = F.filter(F.split("text", " "), lambda t: t != "")
+    stopwords = F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "a")])
+    n_stop = F.size(
+        F.filter(words, lambda t: F.array_contains(stopwords, F.lower(t)))
+    )
+    joined_len = F.length(F.concat_ws("", words))
+    gated = (
+        ingested.withColumn("n_tokens", F.size(words))
+        .filter(F.col("n_tokens").between(20, 1000))
+        .filter(n_stop >= 2)
+        .filter(joined_len <= 12 * F.col("n_tokens"))
+    )
+    dedup_rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    deduped = gated.withColumn("rn", dedup_rn).filter(F.col("rn") == 1)
+    cap_rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.length("text").desc(), "doc_id")
+    )
+    capped = deduped.withColumn("cap_rn", cap_rn).filter(F.col("cap_rn") <= 20)
+
+    per_src = (
+        ingested.groupBy("source")
+        .agg(F.count("*").alias("n_ingested"))
+        .join(gated.groupBy("source").agg(F.count("*").alias("n_gated")), "source", "left")
+        .join(deduped.groupBy("source").agg(F.count("*").alias("n_deduped")), "source", "left")
+        .join(
+            capped.groupBy("source").agg(
+                F.count("*").alias("n_kept"),
+                F.sum("n_tokens").cast("long").alias("tokens_kept"),
+            ),
+            "source",
+            "left",
+        )
+        .fillna(0, ["n_gated", "n_deduped", "n_kept", "tokens_kept"])
+    )
+    every = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    w_raw = F.sqrt(F.col("tokens_kept").cast("double"))
+    return per_src.select(
+        "source",
+        "n_ingested",
+        "n_gated",
+        "n_deduped",
+        "n_kept",
+        "tokens_kept",
+        F.floor(w_raw / F.sum(w_raw).over(every) * 50000)
+        .cast("long")
+        .alias("token_budget"),
+    )
