@@ -1507,3 +1507,181 @@ def qm03_txlog_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("snap"), "status", "n", "sum_cents")
 
     return agg(t.read(version=v1), "v1").unionByName(agg(t.read(), "final"))
+
+
+@query(
+    "qc20_incremental_snapshot",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    keyed AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY id) - 1 AS key_pos FROM base
+    ),
+    chunked AS (
+      SELECT *, key_pos // 500 AS chunk FROM keyed
+    ),
+    events AS (
+      SELECT id, id % 89 AS seq,
+             'U' AS op, status || '-v2' AS status2, cents + 7 AS cents2
+      FROM base WHERE id % 4 = 1
+    ),
+    win AS (
+      SELECT chunk, chunk * 10 AS w_lo, chunk * 10 + 45 AS w_hi
+      FROM (SELECT DISTINCT chunk FROM chunked)
+    ),
+    snap_read AS (
+      -- chunk read at its LOW watermark: base + events with seq <= w_lo
+      SELECT c.chunk, c.id,
+             COALESCE(CASE WHEN e.seq <= w.w_lo THEN e.status2 END, c.status)
+               AS status,
+             COALESCE(CASE WHEN e.seq <= w.w_lo THEN e.cents2 END, c.cents)
+               AS cents,
+             (e.id IS NOT NULL AND e.seq > w.w_lo AND e.seq <= w.w_hi)
+               AS superseded
+      FROM chunked c
+      JOIN win w USING (chunk)
+      LEFT JOIN events e USING (id)
+    ),
+    emitted AS (SELECT * FROM snap_read WHERE NOT superseded),
+    -- reconstruction: emitted snapshot reads overlaid by ALL stream
+    -- events (stream is authoritative); equals direct-apply iff the
+    -- watermark supersede rule is correct
+    recon AS (
+      SELECT c.id,
+             COALESCE(e.status2, s.status) AS status,
+             COALESCE(e.cents2, s.cents) AS cents
+      FROM chunked c
+      LEFT JOIN emitted s ON s.id = c.id
+      LEFT JOIN events e ON e.id = c.id
+    ),
+    direct AS (
+      SELECT b.id, COALESCE(e.status2, b.status) AS status,
+             COALESCE(e.cents2, b.cents) AS cents
+      FROM base b LEFT JOIN events e USING (id)
+    )
+    SELECT sr.chunk,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN NOT sr.superseded THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_snapshot_emitted,
+           CAST(SUM(CASE WHEN sr.superseded THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_superseded,
+           CAST(SUM(CASE WHEN r.status <> d.status OR r.cents <> d.cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM snap_read sr
+    JOIN chunked c2 ON c2.id = sr.id
+    JOIN recon r ON r.id = sr.id
+    JOIN direct d ON d.id = sr.id
+    GROUP BY sr.chunk
+    """,
+    tags=("cdc", "snapshot", "incremental"),
+)
+def qc20_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL (chunked) snapshot with watermark supersede — the
+    DBLog / Debezium-incremental-snapshot algorithm (Andreakis &
+    Papapanagiotou 2020; Debezium 'read-only incremental snapshots'):
+    bootstrap a table WHILE its change stream flows, in key-ordered
+    chunks, without ever locking the table or pausing the stream. Per
+    chunk: mark a low watermark in the stream, read the chunk, mark the
+    high watermark; a chunk row whose key saw a change event INSIDE the
+    watermark window is SUPERSEDED (dropped — the stream is
+    authoritative for it), every other row is emitted as a READ event.
+    qc13 covers the one-shot consistent-point handoff; this is the
+    production variant for tables too large to snapshot in one pass.
+
+    The fixture interleaves deterministically (chunk k's window covers
+    seq (10k, 10k+45]; every 4th key gets an update at seq = id mod 89),
+    so the oracle replays the algorithm AND the correctness theorem:
+    per chunk it also counts mismatches between (emitted reads overlaid
+    by the stream) and the direct final state — n_mismatch is COMPUTED
+    to be zero by both engines, not asserted, so a supersede-rule bug
+    surfaces as a nonzero column that hash-mismatches.
+
+    Scale shape: chunk assignment is one key-order window (at 100 TB:
+    range-partitioned key windows, one per executor wave); the
+    supersede decision and reconstruction are equi-joins on the key —
+    no locks, no stream pause, chunk reads proceed embarrassingly
+    parallel exactly as DBLog's chunk scheduler intends.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    key_pos = F.row_number().over(W.orderBy("id")) - 1
+    chunked = base.withColumn("chunk", (key_pos / 500).cast("long")).localCheckpoint(
+        eager=True
+    )
+    events = base.filter(F.col("id") % 4 == 1).select(
+        "id",
+        (F.col("id") % 89).alias("seq"),
+        F.concat(F.col("status"), F.lit("-v2")).alias("status2"),
+        (F.col("cents") + 7).alias("cents2"),
+    )
+    w_lo = F.col("chunk") * 10
+    w_hi = F.col("chunk") * 10 + 45
+    snap_read = (
+        chunked.join(events, "id", "left")
+        .select(
+            "chunk",
+            "id",
+            F.coalesce(
+                F.when(F.col("seq") <= w_lo, F.col("status2")), F.col("status")
+            ).alias("status"),
+            F.coalesce(
+                F.when(F.col("seq") <= w_lo, F.col("cents2")), F.col("cents")
+            ).alias("cents"),
+            (
+                F.col("seq").isNotNull()
+                & (F.col("seq") > w_lo)
+                & (F.col("seq") <= w_hi)
+            ).alias("superseded"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    emitted = snap_read.filter(~F.col("superseded")).select(
+        "id", F.col("status").alias("s_status"), F.col("cents").alias("s_cents")
+    )
+    recon = (
+        chunked.select("id")
+        .join(emitted, "id", "left")
+        .join(
+            events.select("id", "status2", "cents2"), "id", "left"
+        )
+        .select(
+            "id",
+            F.coalesce("status2", "s_status").alias("r_status"),
+            F.coalesce("cents2", "s_cents").alias("r_cents"),
+        )
+    )
+    direct = (
+        base.join(events.select("id", "status2", "cents2"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("status2", "status").alias("d_status"),
+            F.coalesce("cents2", "cents").alias("d_cents"),
+        )
+    )
+    mismatch = (
+        (F.col("r_status") != F.col("d_status"))
+        | (F.col("r_cents") != F.col("d_cents"))
+    ).cast("int")
+    return (
+        snap_read.join(recon, "id")
+        .join(direct, "id")
+        .groupBy("chunk")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(~F.col("superseded"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_snapshot_emitted"),
+            F.sum(F.when(F.col("superseded"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_superseded"),
+            F.sum(mismatch).cast("long").alias("n_mismatch"),
+        )
+    )
