@@ -502,3 +502,183 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         "height": int(height),
         "pixels": out[:height, :width].tobytes(),
     }
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, single frame) — pure Python, LZW dictionary coding
+# ---------------------------------------------------------------------------
+#
+# Third compression family beside DEFLATE (PNG) and DCT+Huffman (JPEG):
+# dictionary coding. The DECODER implements full GIF-LZW — variable code
+# width (mcs+1 → 12 bits), clear/EOI codes, dictionary growth with the
+# cScSc special case, little-endian bit packing, sub-block framing — so
+# it reads real single-frame GIFs. The ENCODER uses the spec-unambiguous
+# "uncompressed GIF" technique: literal codes only, with a CLEAR emitted
+# before the dictionary would ever grow, so the stream's meaning never
+# depends on the early-vs-deferred code-width-change ambiguity that
+# plagued historical encoders; every conformant decoder (including ours)
+# reads it identically. GIF is lossless, so decode oracles are exact.
+
+GIF_HEADER = b"GIF89a"
+
+
+class _LSBBitWriter:
+    """GIF packs code bits least-significant-bit first."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: list) -> bytes:
+    """Single-frame GIF89a with a global color table.
+
+    `indices` are palette indexes (one byte per pixel, row-major);
+    `palette` is a list of (r, g, b) tuples, max 256."""
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    if not 0 < len(palette) <= 256:
+        raise ValueError("palette must hold 1..256 entries")
+    nbits = max(1, (len(palette) - 1).bit_length())
+    table_size = 1 << nbits
+    mcs = max(2, nbits)  # LZW min code size (>= 2 per spec)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    code_width = mcs + 1
+    max_literals = (1 << code_width) - eoi - 2  # growth headroom per CLEAR
+
+    w = _LSBBitWriter()
+    w.put(clear, code_width)
+    run = 0
+    for px in indices:
+        if px >= len(palette):
+            raise ValueError(f"index {px} outside palette")
+        if run == max_literals:
+            w.put(clear, code_width)  # reset before the table could grow
+            run = 0
+        w.put(px, code_width)
+        run += 1
+    w.put(eoi, code_width)
+    lzw = w.flush()
+
+    out = bytearray(GIF_HEADER)
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((nbits - 1) & 7), 0, 0)
+    for i in range(table_size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Full GIF-LZW decode of the first image in an 87a/89a stream.
+
+    Skips extension blocks; rejects interlace and local color tables
+    (honest capability boundary — both are plumbing, not new decode
+    machinery). Returns {width, height, indices, palette}."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    try:
+        return _decode_gif_body(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or malformed GIF: {exc}") from exc
+
+
+def _decode_gif_body(payload: bytes) -> dict:
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        for i in range(n):
+            palette.append(tuple(payload[pos + 3 * i : pos + 3 * i + 3]))
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            break
+        elif b == 0x3B:
+            raise ValueError("no image data before trailer")
+        else:
+            raise ValueError(f"unexpected block 0x{b:02x}")
+    _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIFs unsupported")
+    if ipacked & 0x80:
+        raise ValueError("local color tables unsupported")
+    pos += 10
+    mcs = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos] != 0:
+        n = payload[pos]
+        data += payload[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = {i: bytes([i]) for i in range(1 << mcs)}
+    table = dict(base)
+    next_code = eoi + 1
+    code_width = mcs + 1
+    acc = nbits = idx = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < code_width:
+            if idx >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[idx] << nbits
+            nbits += 8
+            idx += 1
+        code = acc & ((1 << code_width) - 1)
+        acc >>= code_width
+        nbits -= code_width
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            code_width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_width) and code_width < 12:
+                code_width += 1
+        prev = entry
+    if len(out) != iw * ih:
+        raise ValueError(f"decoded {len(out)} pixels, expected {iw * ih}")
+    return {"width": int(iw), "height": int(ih), "indices": bytes(out),
+            "palette": palette}

@@ -950,6 +950,8 @@ def decode_image(payload: bytes) -> "object":
         return codecs.decode_ppm(payload)
     if payload[:2] == b"\xff\xd8":
         return codecs.decode_jpeg_gray(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return codecs.decode_gif(payload)
     raise NotImplementedError("unrecognized image format: deploy-time codec seam")
 
 

@@ -61,6 +61,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
     # round-5 additions + the rewritten q96e, externally unverified
+    "q99g_gif_decode",
     "qc20_incremental_snapshot",
     "q94i_end_to_end_pretrain",
     "q95z_warc_ingest",
@@ -114,7 +115,6 @@ SHOWCASE_ORDER = (
     "q07b_xml_roundtrip",
     "q70b_collation",
     "q44b_time_weighted_avg",
-    "q62b_except_all",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -5407,3 +5407,74 @@ def q94i_end_to_end_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("token_budget"),
     )
+
+
+@query(
+    "q99g_gif_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, 8 + (doc_id % 3) * 4 AS w FROM documents),
+    px AS (
+      SELECT doc_id, w, t.y, s.x,
+             ((doc_id + s.x * 3 + t.y * 5) % 16) AS idx
+      FROM d,
+           UNNEST(range(6)) AS t(y),
+           UNNEST(range(w)) AS s(x)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(6 AS INTEGER) AS height,
+           CAST(SUM(idx * ((y * w + x) % 97 + 1)) AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "gif"),
+)
+def q99g_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING GIF decode — the fourth compression family in the
+    multimodal codec set (DEFLATE/PNG, DCT+Huffman/JPEG, PCM/WAV, now
+    LZW/GIF). Stage 1 synthesizes a real single-frame GIF89a per doc
+    (16-color global table, index (doc_id + 3x + 5y) mod 16 on a
+    (8 + doc_id mod 3 ·4) × 6 raster); stage 2 decodes with
+    codecs.decode_gif — sub-block reassembly, little-endian variable-
+    width LZW with clear/EOI handling — and checksums the decoded
+    indices. GIF is LOSSLESS, so unlike q99f no fixture restriction is
+    needed: the oracle recomputes every index closed-form for arbitrary
+    rasters. Dictionary-growth and cScSc decode paths (which the
+    spec-unambiguous uncompressed encoder never emits) are pinned by a
+    hand-built stream in tests/test_codecs.py. Narrow Arrow passes
+    end-to-end; no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import decode_gif, encode_gif
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    palette = [(i * 16, 255 - i * 16, (i * 37) % 256) for i in range(16)]
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 + (d % 3) * 4
+                idx = bytes(
+                    (d + x * 3 + y * 5) % 16 for y in range(6) for x in range(w)
+                )
+                payloads.append(encode_gif(w, 6, idx, palette))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_gif(bytes(payload))
+                px = np.frombuffer(meta["indices"], dtype=np.uint8).astype(np.int64)
+                weights = np.arange(px.size, dtype=np.int64) % 97 + 1
+                rows.append((int(d), meta["width"], meta["height"], int(px @ weights)))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "checksum"])
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode, "doc_id bigint, width int, height int, checksum bigint"
+    )

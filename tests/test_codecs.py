@@ -196,3 +196,58 @@ def test_jpeg_sos_without_sof_raises_valueerror():
     gutted = payload[:sof] + payload[sof + 2 + ln :]  # drop the SOF0 segment
     with pytest.raises(ValueError, match="SOF0"):
         codecs.decode_jpeg_gray(gutted)
+
+
+# -- GIF (LZW) ----------------------------------------------------------------
+
+
+def test_gif_roundtrip_various_palettes():
+    import random
+
+    rng = random.Random(5)
+    for _ in range(6):
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        npal = rng.choice([2, 4, 16, 256])
+        pal = [(i % 256, (i * 7) % 256, (i * 13) % 256) for i in range(npal)]
+        px = bytes(rng.randrange(npal) for _ in range(w * h))
+        d = codecs.decode_gif(codecs.encode_gif(w, h, px, pal))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["indices"] == px
+        assert d["palette"][:npal] == pal
+
+
+def test_gif_decoder_handles_dictionary_growth_and_cscsc():
+    """Hand-built LZW stream with dictionary growth the uncompressed
+    encoder never emits: codes [CLEAR,1,1,6,2,EOI] at mcs=2 must decode
+    to pixels [1,1,1,1,2], with the width bump to 4 bits after code 7 is
+    added, and code 6 arriving one step after its own definition."""
+    import struct
+
+    mcs = 2
+    w = codecs._LSBBitWriter()
+    for code, width in [(4, 3), (1, 3), (1, 3), (6, 3), (2, 4), (5, 4)]:
+        w.put(code, width)
+    lzw = w.flush()
+    pal = [(0, 0, 0), (1, 1, 1), (2, 2, 2), (3, 3, 3)]
+    out = bytearray(b"GIF89a") + struct.pack("<HHBBB", 5, 1, 0x80 | 1, 0, 0)
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 5, 1, 0) + bytes([mcs])
+    out += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    d = codecs.decode_gif(bytes(out))
+    assert d["indices"] == bytes([1, 1, 1, 1, 2])
+
+
+def test_gif_skips_extensions_and_rejects_garbage():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    payload = bytearray(codecs.encode_gif(3, 2, bytes([0, 1, 0, 1, 1, 0]), pal))
+    # splice a graphic-control extension before the image descriptor
+    img_at = payload.index(0x2C, 13)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(payload[:img_at]) + gce + bytes(payload[img_at:])
+    d = codecs.decode_gif(patched)
+    assert d["indices"] == bytes([0, 1, 0, 1, 1, 0])
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        codecs.decode_gif(patched[:20])  # truncated
