@@ -418,3 +418,27 @@ def test_q95w_domain_iteration_touches_corpus_once(spark):
     # downstream of it reads an RDD scan, not parquet, and contains no
     # second documents scan
     assert plan.count("documents.parquet") == 0  # checkpointed upstream
+
+
+@pytest.mark.parametrize("name", ["q95z_warc_ingest", "q99f_jpeg_decode",
+                                  "q99g_gif_decode"])
+def test_codec_queries_are_shuffle_free(spark, name):
+    """Ingest/decode pipelines are narrow Arrow passes end-to-end: any
+    Exchange here means a codec stage accidentally keyed a shuffle."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan
+
+
+def test_qc20_incremental_snapshot_has_no_product_joins(spark):
+    """Chunk supersede + reconstruction + direct-apply are equi-joins on
+    the key; DBLog's whole point is lock-free chunk parallelism, which a
+    product join would destroy."""
+    plan = plan_of(spark, "qc20_incremental_snapshot")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q94i_composite_has_no_product_joins(spark):
+    plan = plan_of(spark, "q94i_end_to_end_pretrain")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
