@@ -81,12 +81,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    """Usage: check.py [sf_dir] [query ...] [--sample N [--seed S]]
+    """Usage: check.py [sf_dir] [query ...] [--sample N [--seed S] | --prefix [N]]
 
     --sample N draws a seeded-random subset of the registry — the
     unbiased alternative to prefix sampling (a fixed prefix can be
     curated; a seeded draw over the whole registry cannot), per the
     round-4 advisory on SHOWCASE_ORDER. Default seed: 0.
+    --prefix [N] checks the first N entries of SHOWCASE_ORDER (default:
+    all of it) — exactly the slice the external driver gate hashes.
     """
     import argparse
 
@@ -94,17 +96,25 @@ def main() -> int:
     p.add_argument("positional", nargs="*", help="[sf_dir] [query_name ...]")
     p.add_argument("--sample", type=int, default=None, metavar="N")
     p.add_argument("--seed", type=int, default=0, metavar="S")
+    p.add_argument("--prefix", type=int, nargs="?", const=-1, default=None,
+                   metavar="N")
     ns = p.parse_args()
     if ns.sample is not None and ns.sample <= 0:
         p.error("--sample must be a positive integer")
+    if ns.sample is not None and ns.prefix is not None:
+        p.error("--sample and --prefix are mutually exclusive")
     sample_n, seed = ns.sample, ns.seed
     sf_dir = ns.positional[0] if ns.positional and "/" in ns.positional[0] else SF_DIR
     only = [a for a in ns.positional if "/" not in a]
 
-    from better_cdc_spark.queries import load_all
+    from better_cdc_spark.queries import SHOWCASE_ORDER, load_all
     from better_cdc_spark.session import get_spark
 
     registry = load_all()
+    if ns.prefix is not None:
+        n = len(SHOWCASE_ORDER) if ns.prefix == -1 else ns.prefix
+        only = list(SHOWCASE_ORDER[:n])
+        print(f"showcase prefix: first {len(only)} of {len(SHOWCASE_ORDER)}")
     spark = get_spark("oracle-check", cpus=8)
     con = duck_connect(sf_dir)
 
