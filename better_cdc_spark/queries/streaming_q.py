@@ -1127,4 +1127,16 @@ def qm04_txlog_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             q.awaitTermination()
 
+    # Token dedup across a FRESH-checkpoint replay presumes the file
+    # source batches files into identical epochs both runs. That holds
+    # here (mtime+path-ordered listing, one file per trigger), but a
+    # differently-broken tie would silently drop or double-count — so
+    # assert the invariant post-hoc and fail LOUDLY instead.
+    sink_rows = table.read().count()
+    src_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    if sink_rows != src_rows:
+        raise AssertionError(
+            f"qm04 replay nondeterminism: sink={sink_rows} source={src_rows}"
+        )
+
     return table.read().groupBy("event_type").agg(F.count("*").alias("n"))

@@ -200,7 +200,11 @@ class OrderedPublishEngine:
                 [p.resolve_at for p in pending if not p.resolved and p.resolve_at is not None],
                 default=deadline,
             )
-            self.sleep(max(0.0, min(nxt, deadline) - now))
+            # Cap each sleep at a small poll interval: a transport that
+            # resolves acks from another thread (resolved flag set
+            # externally, no resolve_at) must be observed promptly, not
+            # after the full publish timeout.
+            self.sleep(max(0.0, min(nxt, deadline, now + 0.05) - now))
         succeeded = sum(1 for p in pending if p.resolved and p.acked and p.err is None)
         resolved = sum(1 for p in pending if p.resolved)
         for p in pending:

@@ -88,7 +88,18 @@ class TxLogTable:
         """Replay the log (prefix ≤ version for time travel). A version
         whose first action is the checkpoint marker RESETS accumulated
         state before applying — so stale pre-checkpoint version files
-        (e.g. left by a crash mid-compact_log) are harmlessly ignored."""
+        (e.g. left by a crash mid-compact_log) are harmlessly ignored.
+
+        A concurrent `compact_log` may delete a version file between our
+        listing and our open; the checkpoint reset marker makes a fresh
+        re-read consistent, so tolerate FileNotFoundError by re-listing."""
+        while True:
+            try:
+                return self._snapshot_once(version)
+            except FileNotFoundError:
+                continue  # compact_log won a race; re-list and replay
+
+    def _snapshot_once(self, version: int | None = None) -> Snapshot:
         live: dict[str, dict] = {}
         txns: dict[str, int] = {}
         vs = self._versions()
@@ -136,7 +147,21 @@ class TxLogTable:
         corruption); `vacuum` collects orphans."""
         stage_id = uuid.uuid4().hex
         out = os.path.join(self.data_dir, stage_id)
-        df.write.parquet(out)
+        # Spark's default INT96 timestamps carry NO parquet footer stats
+        # (pyarrow returns None) — write INT64 micros while staging so
+        # timestamp stats_cols actually skip files. Session-conf
+        # save/restore; decimals remain stats-less (pyarrow cannot
+        # extract decimal stats) and are kept conservatively.
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.parquet(out)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
         return [
             os.path.join(out, f)
             for f in os.listdir(out)
@@ -160,15 +185,62 @@ class TxLogTable:
                 continue
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
-                s = md.row_group(rg).column(idx[c]).statistics
-                if s is None or not s.has_min_max:
-                    break
-                mins.append(s.min)
-                maxs.append(s.max)
+                try:  # pyarrow can't extract stats for every physical type
+                    s = md.row_group(rg).column(idx[c]).statistics
+                    if s is None or not s.has_min_max:
+                        break
+                    mn, mx = s.min, s.max
+                except Exception:
+                    break  # no stats for this column: kept conservatively
+                mins.append(mn)
+                maxs.append(mx)
             else:
                 if mins:
-                    stats[c] = [min(mins), max(maxs)]
+                    stats[c] = [
+                        TxLogTable._stat_to_json(min(mins)),
+                        TxLogTable._stat_to_json(max(maxs)),
+                    ]
         return stats
+
+    # Footer min/max for timestamp/date/binary/decimal columns are
+    # datetime/bytes/Decimal objects — json.dumps would crash the commit.
+    # Serialize through a tagged converter; read()'s skip predicate
+    # decodes back to comparable native values.
+    @staticmethod
+    def _stat_to_json(v):
+        import datetime
+        import decimal
+
+        if isinstance(v, bytes):
+            return {"$bin": v.hex()}
+        if isinstance(v, datetime.datetime):
+            return {"$ts": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"$date": v.isoformat()}
+        if isinstance(v, decimal.Decimal):
+            return {"$dec": str(v)}
+        return v  # int / float / str / bool / None pass through
+
+    @staticmethod
+    def _stat_from_json(v):
+        import datetime
+        import decimal
+
+        if isinstance(v, dict):
+            if "$bin" in v:
+                return bytes.fromhex(v["$bin"])
+            if "$ts" in v:
+                ts = datetime.datetime.fromisoformat(v["$ts"])
+                if ts.tzinfo is not None:
+                    # footer stats of UTC-adjusted int64 timestamps come
+                    # back aware; where-bounds are naive UTC — normalize
+                    ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                return ts
+            if "$date" in v:
+                return datetime.date.fromisoformat(v["$date"])
+            if "$dec" in v:
+                return decimal.Decimal(v["$dec"])
+        return v
 
     # -- public ops ------------------------------------------------------
 
@@ -280,6 +352,8 @@ class TxLogTable:
             kept = []
             for p in files:
                 s = (snap.file_stats or {}).get(p, {}).get(col)
+                if s is not None:
+                    s = [self._stat_from_json(s[0]), self._stat_from_json(s[1])]
                 if s is None or not (s[1] < lo or s[0] > hi):
                     kept.append(p)
             files = kept
@@ -316,13 +390,21 @@ class TxLogTable:
         Tests pass 0 to collect immediately."""
         import time as _t
 
-        referenced: set[str] = set()
-        for v in self._versions():
-            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
-                for line in f:
-                    action = json.loads(line)
-                    if "add" in action:
-                        referenced.add(action["add"]["path"])
+        # tolerate a concurrent compact_log deleting a listed version
+        # file mid-scan (same contract as snapshot(): re-list and retry;
+        # the checkpoint commit keeps every live file reachable)
+        while True:
+            referenced: set[str] = set()
+            try:
+                for v in self._versions():
+                    with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                        for line in f:
+                            action = json.loads(line)
+                            if "add" in action:
+                                referenced.add(action["add"]["path"])
+                break
+            except FileNotFoundError:
+                continue
         n = 0
         horizon = _t.time() - min_age_s
         for stage in os.listdir(self.data_dir):

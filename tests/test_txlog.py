@@ -266,3 +266,70 @@ def test_stats_based_file_skipping(spark, tmp_path):
     # stats survive log compaction
     t.compact_log()
     assert len(t.read(where=("id", 0, 50)).inputFiles()) == 1
+
+
+def test_stats_on_timestamp_date_decimal_binary_cols(spark, tmp_path):
+    """Footer min/max for timestamp/date/decimal/binary columns are
+    datetime/Decimal/bytes objects — the commit must serialize them
+    (tagged JSON) rather than crash in json.dumps, and read()'s skip
+    predicate must decode them back to comparable values."""
+    import datetime
+    from decimal import Decimal
+
+    t = TxLogTable(spark, str(tmp_path / "t"),
+                   stats_cols=("ts", "d", "amt", "blob"))
+    rows = [
+        (i,
+         datetime.datetime(2024, 1, 1 + i, 12, 0, 0),
+         datetime.date(2024, 1, 1 + i),
+         Decimal(f"{i}.50"),
+         bytes([i, i + 1]))
+        for i in range(5)
+    ]
+    schema = "id long, ts timestamp, d date, amt decimal(10,2), blob binary"
+    t.append(spark.createDataFrame(rows[:3], schema).coalesce(1))
+    t.append(spark.createDataFrame(rows[3:], schema).coalesce(1))
+
+    # commit survived; stats present for the typed columns
+    snap = t.snapshot()
+    assert all("ts" in snap.file_stats[p] for p in snap.files)
+
+    # skipping on the timestamp column prunes the non-overlapping file
+    lo = datetime.datetime(2024, 1, 4)
+    hi = datetime.datetime(2024, 1, 10)
+    pruned = t.read(where=("ts", lo, hi))
+    assert len(pruned.inputFiles()) == 1
+    assert ids(pruned) == [3, 4]
+
+    # decimal columns have NO extractable footer stats (pyarrow limit):
+    # files are kept conservatively, the residual row filter keeps the
+    # result exact
+    assert ids(t.read(where=("amt", Decimal("3.50"), Decimal("9.99")))) == [3, 4]
+
+    # stats survive compaction with the tagged encoding intact
+    t.compact_log()
+    assert len(t.read(where=("ts", lo, hi)).inputFiles()) == 1
+
+
+def test_snapshot_tolerates_concurrent_compact(spark, table, monkeypatch):
+    """A compact_log racing a snapshot(): the reader lists versions,
+    compact deletes one, the open raises FileNotFoundError — snapshot
+    must re-list and succeed (checkpoint marker keeps it consistent)."""
+    table.append(df_of(spark, 1))
+    table.append(df_of(spark, 2))
+
+    real = TxLogTable._snapshot_once
+    calls = {"n": 0}
+
+    def racing(self, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate: compact ran between our listing and our open
+            table.compact_log()
+            raise FileNotFoundError("version file deleted by compact")
+        return real(self, version)
+
+    monkeypatch.setattr(TxLogTable, "_snapshot_once", racing)
+    snap = table.snapshot()
+    assert calls["n"] >= 2
+    assert ids(table.read()) == [1, 2]

@@ -106,6 +106,8 @@ def main() -> int:
     sample_n, seed = ns.sample, ns.seed
     sf_dir = ns.positional[0] if ns.positional and "/" in ns.positional[0] else SF_DIR
     only = [a for a in ns.positional if "/" not in a]
+    if only and ns.prefix is not None:
+        p.error("--prefix and positional query names are mutually exclusive")
 
     from better_cdc_spark.queries import SHOWCASE_ORDER, load_all
     from better_cdc_spark.session import get_spark
