@@ -280,7 +280,11 @@ class ReplicationLoop:
     wrong wal_level) stop the loop instead of retrying forever.
 
     `connect` returns a wire (or raises); `sleep` is injectable for
-    deterministic tests.
+    deterministic tests. A `connect` accepting one positional parameter
+    is called with the RESUME LSN string — a socket transport needs it
+    to issue START_REPLICATION at the right position (the server
+    replays from there, reader.go:124-178); a zero-arg `connect` keeps
+    the original contract for wires that track position themselves.
     """
 
     def __init__(
@@ -293,7 +297,15 @@ class ReplicationLoop:
     ) -> None:
         import time as _t
 
+        import inspect
+
         self.connect = connect
+        try:
+            self._connect_wants_lsn = (
+                len(inspect.signature(connect).parameters) >= 1
+            )
+        except (TypeError, ValueError):
+            self._connect_wants_lsn = False
         self.start_lsn = start_lsn
         self.standby_timeout_s = standby_timeout_s
         self.sleep = sleep if sleep is not None else _t.sleep
@@ -309,7 +321,10 @@ class ReplicationLoop:
         backoff = BASE_RECONNECT_BACKOFF_S
         for _ in range(max_attempts):
             try:
-                wire = self.connect()
+                wire = (
+                    self.connect(resume) if self._connect_wants_lsn
+                    else self.connect()
+                )
             except ReplicationError as exc:
                 self.fatal = exc
                 raise

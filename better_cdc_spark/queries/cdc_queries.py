@@ -1685,3 +1685,105 @@ def qc20_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(mismatch).cast("long").alias("n_mismatch"),
         )
     )
+
+
+@query(
+    "qc21_socket_replication_source",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT event_id, event_type, source, commit_time, lsn, txid,
+           "schema", "table", operation, subject,
+           n_before, n_after, after_status, before_id
+    FROM envelope
+    """,
+    tags=("cdc", "source", "replication", "socket", "network"),
+)
+def qc21_socket_replication_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingest over a REAL TCP replication socket (R1, network-proven).
+
+    The same change stream qc01 normalizes, but delivered end-to-end the
+    way a live server delivers it: an in-process FakeWalServer listens
+    on a real socket and streams PG-wire-framed CopyData/XLogData
+    messages (keepalives interleaved every 50 frames); the driver-side
+    ReplicationLoop connects with START_REPLICATION, consumes frames,
+    acks positions via standby statuses — and survives a SCRIPTED
+    MID-STREAM DISCONNECT halfway through, reconnecting and resuming
+    from the acked LSN (reader.go:233-293). The recovered payload lines
+    then feed the shared normalize pipeline; the oracle is qc01's, so a
+    dropped, duplicated, or replayed frame across the reconnect
+    hash-mismatches. This closes the round-5 "no code opens a socket"
+    gap as a registry entry, not just a unit test.
+
+    Wire positions are the change log's unique ingest_seq (every real
+    WAL record has a distinct LSN; the tx-level lsn column rides INSIDE
+    the payload). Scale shape: the socket leg is driver-side serial BY
+    PROTOCOL — one replication socket per engine, same as the reference
+    — and bounded here by the synthesized batch (~17k frames at
+    sf0.01); the distributed decode path for executor-parallel framing
+    is qc19. Normalize runs distributed after a repartition.
+    """
+    from better_cdc_spark.cdc.replication import (
+        ReplicationLoop,
+        lsn_to_str,
+        start_replication_command,
+    )
+    from better_cdc_spark.cdc.socket_wire import FakeWalServer, connect_wire
+    from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    changelog = synthesize_changelog_from_orders(orders)
+    wal = [
+        (int(r["ingest_seq"]), r["line"].encode())
+        for r in changelog.select(
+            "ingest_seq", F.to_json(F.struct(*changelog.columns)).alias("line")
+        ).collect()  # bounded: one synthesized envelope batch feeds the wire
+    ]
+    # resume-from-LSN is strict-greater: positions must be unique or a
+    # reconnect could silently skip a same-position sibling
+    assert len({p for p, _ in wal}) == len(wal), "wire positions not unique"
+
+    recovered: list[str] = []
+
+    def on_payload(frame):
+        recovered.append(frame.payload.decode())
+        return lsn_to_str(frame.wal_start)
+
+    with FakeWalServer(
+        wal, keepalive_every=50, disconnect_after={0: len(wal) // 2}
+    ) as srv:
+        loop = ReplicationLoop(
+            connect=lambda resume: connect_wire(
+                "127.0.0.1",
+                srv.port,
+                start_replication_command("bcs_slot", resume),
+            ),
+            sleep=lambda s: None,  # deterministic: skip reconnect backoff
+            standby_timeout_s=5.0,
+        )
+        loop.run(on_payload)
+        assert loop.reconnects >= 1, "disconnect script did not fire"
+
+    lines_back = spark.createDataFrame(
+        [(l,) for l in recovered], "line string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    decoded = lines_back.select(
+        F.from_json("line", CHANGE_LOG_SCHEMA).alias("r")
+    ).select("r.*")
+    ev = normalize_changelog(decoded, database="testdb", allowlist=ALLOWLIST)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "source",
+        "commit_time",
+        "lsn",
+        "txid",
+        "schema",
+        "table",
+        "operation",
+        "subject",
+        F.size("before").alias("n_before"),
+        F.size("after").alias("n_after"),
+        F.element_at("after", "status").alias("after_status"),
+        F.element_at("before", "id").alias("before_id"),
+    )
