@@ -305,6 +305,41 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+def _encode_block(
+    w: "_BitWriter",
+    block: np.ndarray,
+    q2d: np.ndarray,
+    m: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """Forward-DCT, quantize, and entropy-code one level-shifted 8×8
+    block; returns the new DC predictor. Shared by the grayscale and
+    4:2:0 color encoders (identical per-data-unit coding, spec F.1.2)."""
+    coef = m @ block @ m.T
+    qz = np.round(coef / q2d).astype(np.int64).reshape(64)[ZIGZAG]
+    diff = int(qz[0]) - prev_dc
+    new_dc = int(qz[0])
+    s = _category(diff)
+    w.put(*dc_codes[s])
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    nz = np.nonzero(qz[1:])[0]
+    for i in nz:
+        run = int(i) - (int(nz[nz < i][-1]) + 1 if (nz < i).any() else 0)
+        while run >= 16:
+            w.put(*ac_codes[0xF0])
+            run -= 16
+        v = int(qz[1 + i])
+        s = _category(v)
+        w.put(*ac_codes[run * 16 + s])
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+    if len(nz) == 0 or nz[-1] != 62:
+        w.put(*ac_codes[0x00])  # EOB
+    return new_dc
+
+
 def encode_jpeg_gray(width: int, height: int, pixels: bytes,
                      quant: np.ndarray = DEFAULT_QUANT) -> bytes:
     """Baseline JFIF grayscale encoder (dimensions must be multiples of 8)."""
@@ -319,28 +354,10 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     prev_dc = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
-            block = img[by:by + 8, bx:bx + 8] - 128.0
-            coef = m @ block @ m.T
-            qz = np.round(coef / q2d).astype(np.int64).reshape(64)[ZIGZAG]
-            diff = int(qz[0]) - prev_dc
-            prev_dc = int(qz[0])
-            s = _category(diff)
-            w.put(*dc_codes[s])
-            if s:
-                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            nz = np.nonzero(qz[1:])[0]
-            for i in nz:
-                run = int(i) - (int(nz[nz < i][-1]) + 1 if (nz < i).any() else 0)
-                while run >= 16:
-                    w.put(*ac_codes[0xF0])
-                    run -= 16
-                v = int(qz[1 + i])
-                s = _category(v)
-                w.put(*ac_codes[run * 16 + s])
-                w.put(v if v >= 0 else v + (1 << s) - 1, s)
-            if len(nz) == 0 or nz[-1] != 62:
-                w.put(*ac_codes[0x00])  # EOB
+            prev_dc = _encode_block(
+                w, img[by:by + 8, bx:bx + 8] - 128.0, q2d, m,
+                dc_codes, ac_codes, prev_dc,
+            )
     ecs = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -402,6 +419,35 @@ class _BitReader:
 def _extend(v: int, s: int) -> int:
     """Sign-extend an s-bit JPEG magnitude value (spec F.2.2.1 EXTEND)."""
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_data_unit(
+    r: "_BitReader", dct: dict, act: dict, prev_dc: int
+) -> tuple[np.ndarray, int]:
+    """Huffman-decode one data unit: returns (zigzag-order int64
+    coefficients, new DC predictor). Shared by the grayscale and color
+    decoders — per-data-unit decoding is component-independent; only
+    the table/predictor SELECTION differs (spec F.2.2)."""
+    qz = np.zeros(64, dtype=np.int64)
+    s = r.huffman(dct)
+    diff = _extend(r.bits(s), s) if s else 0
+    prev_dc += diff
+    qz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = r.huffman(act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        qz[k] = _extend(r.bits(size), size)
+        k += 1
+    return qz, prev_dc
 
 
 def decode_jpeg_gray(payload: bytes) -> dict:
@@ -473,25 +519,7 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
     for by in range(bh):
         for bx in range(bw):
-            qz = np.zeros(64, dtype=np.int64)
-            s = r.huffman(dct)
-            diff = _extend(r.bits(s), s) if s else 0
-            prev_dc += diff
-            qz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = r.huffman(act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                qz[k] = _extend(r.bits(size), size)
-                k += 1
+            qz, prev_dc = _decode_data_unit(r, dct, act, prev_dc)
             coef = np.zeros(64, dtype=np.float64)
             coef[ZIGZAG] = qz
             block = m.T @ (coef.reshape(8, 8) * q2d) @ m
@@ -501,6 +529,277 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         "width": int(width),
         "height": int(height),
         "pixels": out[:height, :width].tobytes(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# JPEG color — YCbCr 4:2:0 chroma subsampling (what real web images are)
+# ---------------------------------------------------------------------------
+#
+# Extends the baseline machinery with the two things color adds and
+# nothing else reuses: MCU-interleaved scans (per 16×16 MCU: four Y data
+# units then Cb then Cr, each component with its OWN quant table and DC
+# predictor) and chroma upsampling + YCbCr→RGB at the end. Per-data-unit
+# coding is the shared _encode_block/_decode_data_unit.
+#
+# Rounding discipline (cross-engine determinism): every plane is
+# quantized to INTEGER uint8 (floor(x+0.5), the half-up convention this
+# repo standardizes on — Python round() is banker's, DuckDB ROUND is
+# half-away) BEFORE color conversion, and the RGB conversion itself is
+# floor(x+0.5). Integer plane inputs make 1.402*(cr-128) etc. the SAME
+# IEEE double in numpy and any SQL engine, so a closed-form oracle can
+# reproduce decoded pixels bit-for-bit (q99h); fp noise from the float
+# IDCT (~1e-13) is absorbed by the plane quantization, never reaching a
+# floor() boundary.
+#
+# Exact-oracle trick, color edition: a 16×16 MCU with CONSTANT INTEGER
+# (Y, Cb, Cr) survives the whole pipeline exactly — 2×2 chroma averaging
+# of a constant is that constant, each plane block has only a DC
+# coefficient, and the DC quant step of 8 makes quantization lossless
+# (see grayscale note) — so upsampling and the color transform are the
+# only remaining arithmetic, both closed-form.
+
+#: ITU-R BT.601 / JFIF full-range color transform coefficients
+_YCBCR_FROM_RGB = (
+    (0.299, 0.587, 0.114),
+    (-0.168736, -0.331264, 0.5),
+    (0.5, -0.418688, -0.081312),
+)
+
+
+def _half_up_u8(x: np.ndarray) -> np.ndarray:
+    """floor(x+0.5) clipped to uint8 — the deterministic half-up round."""
+    return np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h, w, 3) uint8 RGB → integer uint8 Y, Cb, Cr planes (JFIF)."""
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    (ky, kcb, kcr) = _YCBCR_FROM_RGB
+    y = ky[0] * r + ky[1] * g + ky[2] * b
+    cb = 128.0 + kcb[0] * r + kcb[1] * g + kcb[2] * b
+    cr = 128.0 + kcr[0] * r + kcr[1] * g + kcr[2] * b
+    return _half_up_u8(y), _half_up_u8(cb), _half_up_u8(cr)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Integer planes → (h, w, 3) uint8 RGB, floor(x+0.5) per channel."""
+    yf = y.astype(np.float64)
+    d_b = cb.astype(np.float64) - 128.0
+    d_r = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * d_r
+    g = yf - 0.344136 * d_b - 0.714136 * d_r
+    b = yf + 1.772 * d_b
+    return np.stack([_half_up_u8(r), _half_up_u8(g), _half_up_u8(b)], axis=-1)
+
+
+def encode_jpeg_ycbcr_420(
+    width: int,
+    height: int,
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    quant_luma: np.ndarray = DEFAULT_QUANT,
+    quant_chroma: np.ndarray = DEFAULT_QUANT,
+) -> bytes:
+    """Baseline JFIF 4:2:0 color encoder from ALREADY-SUBSAMPLED planes:
+    y is (height, width), cb/cr are (height/2, width/2); dimensions must
+    be multiples of 16 (fixture constraint, like the grayscale encoder).
+    Components: Y id 1 sampling 2×2 quant 0 tables (0,0); Cb/Cr ids 2/3
+    sampling 1×1 quant 1 tables (1,1) — the ubiquitous web-JPEG layout."""
+    if width % 16 or height % 16:
+        raise ValueError("encoder fixture requires multiple-of-16 dimensions")
+    half = (height // 2, width // 2)
+    if y.shape != (height, width) or cb.shape != half or cr.shape != half:
+        raise ValueError("plane shapes do not match 4:2:0 layout")
+    qly = quant_luma[ZIGZAG.argsort()].reshape(8, 8)
+    qlc = quant_chroma[ZIGZAG.argsort()].reshape(8, 8)
+    m = _dct_basis()
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    yf = y.astype(np.float64) - 128.0
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(0, height, 16):
+        for mx in range(0, width, 16):
+            for dy in (0, 8):  # four Y data units, left-to-right top-to-bottom
+                for dx in (0, 8):
+                    dc["y"] = _encode_block(
+                        w, yf[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
+                        qly, m, dc_codes, ac_codes, dc["y"],
+                    )
+            cy, cx = my // 2, mx // 2
+            dc["cb"] = _encode_block(
+                w, cbf[cy : cy + 8, cx : cx + 8], qlc, m, dc_codes, ac_codes, dc["cb"]
+            )
+            dc["cr"] = _encode_block(
+                w, crf[cy : cy + 8, cx : cx + 8], qlc, m, dc_codes, ac_codes, dc["cr"]
+            )
+    ecs = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(v) for v in quant_luma))
+    out += seg(0xDB, b"\x01" + bytes(int(v) for v in quant_chroma))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00"  # Y: 2x2, quant 0
+        + b"\x02\x11\x01"  # Cb: 1x1, quant 1
+        + b"\x03\x11\x01",  # Cr: 1x1, quant 1
+    )
+    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))  # DC 0
+    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # AC 0
+    out += seg(0xC4, b"\x01" + bytes(DC_BITS) + bytes(DC_VALS))  # DC 1
+    out += seg(0xC4, b"\x11" + bytes(AC_BITS) + bytes(AC_VALS))  # AC 1
+    out += seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += ecs
+    out += b"\xff\xd9"
+    return out
+
+
+def encode_jpeg_color_420(width: int, height: int, rgb: bytes) -> bytes:
+    """RGB → 4:2:0 JFIF: color transform, integer plane quantization,
+    2×2 chroma box-average, then encode_jpeg_ycbcr_420."""
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    y, cb, cr = rgb_to_ycbcr(img)
+
+    def box2(p: np.ndarray) -> np.ndarray:
+        f = p.astype(np.float64)
+        avg = (f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2] + f[1::2, 1::2]) / 4.0
+        return _half_up_u8(avg)
+
+    return encode_jpeg_ycbcr_420(width, height, y, box2(cb), box2(cr))
+
+
+def decode_jpeg_color(payload: bytes) -> dict:
+    """Baseline JFIF 4:2:0 color decoder: full marker parse, per-
+    component quant/huffman table selection, MCU-interleaved huffman
+    decode with per-component DC prediction, dequant + float IDCT per
+    plane, integer plane quantization, 2× nearest-neighbor chroma
+    upsampling, YCbCr→RGB.
+
+    Returns {width, height, pixels: interleaved RGB bytes}. Raises on
+    progressive, restart intervals, or sampling layouts other than
+    2×2/1×1/1×1 (honest capability boundary — 4:2:2 and 4:4:4 change
+    only the MCU geometry; adding them is plumbing, not new machinery).
+    Closes the round-5 seam note "4:2:0 chroma-subsampled JPEG (what
+    real web images are)" (llmops deploy-seam list)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = 0
+    comps: list[tuple[int, int, int]] = []  # (component id, hv, quant id)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc id, ac id)
+    ecs_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tq] = np.frombuffer(
+                    body[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int64)
+                off += 65
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xC0:
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 3:
+                raise ValueError("color decoder expects 8-bit 3-component")
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
+                for i in range(3)
+            ]
+            if [hv for _, hv, _ in comps] != [0x22, 0x11, 0x11]:
+                raise ValueError("only 4:2:0 (2x2/1x1/1x1) supported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                codes = _build_codes(bits, vals)
+                huff[(tc, th)] = {(l_, c): s for s, (c, l_) in codes.items()}
+                off += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise ValueError("expected a 3-component interleaved scan")
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                scan_tables[cid] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+            ecs_start = pos
+            break
+    if ecs_start is None:
+        raise ValueError("no scan found")
+    if not comps:
+        raise ValueError("SOS without a preceding SOF0 frame header")
+    eoi = payload.rfind(b"\xff\xd9")
+    r = _BitReader(payload[ecs_start : eoi if eoi > 0 else len(payload)])
+    m = _dct_basis()
+    mcx, mcy = (width + 15) // 16, (height + 15) // 16
+    planes = {
+        "y": np.zeros((mcy * 16, mcx * 16), dtype=np.float64),
+        "cb": np.zeros((mcy * 8, mcx * 8), dtype=np.float64),
+        "cr": np.zeros((mcy * 8, mcx * 8), dtype=np.float64),
+    }
+    names = ["y", "cb", "cr"]
+    q2d = {}
+    tables = {}
+    prev = {"y": 0, "cb": 0, "cr": 0}
+    for name, (cid, _hv, tq) in zip(names, comps):
+        q2d[name] = quant[tq][ZIGZAG.argsort()].reshape(8, 8).astype(np.float64)
+        dc_id, ac_id = scan_tables[cid]
+        tables[name] = (huff[(0, dc_id)], huff[(1, ac_id)])
+
+    def one_block(name: str, py: int, px: int) -> None:
+        dct, act = tables[name]
+        qz, prev[name] = _decode_data_unit(r, dct, act, prev[name])
+        coef = np.zeros(64, dtype=np.float64)
+        coef[ZIGZAG] = qz
+        planes[name][py : py + 8, px : px + 8] = m.T @ (
+            coef.reshape(8, 8) * q2d[name]
+        ) @ m
+
+    for my in range(mcy):
+        for mx in range(mcx):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    one_block("y", my * 16 + dy, mx * 16 + dx)
+            one_block("cb", my * 8, mx * 8)
+            one_block("cr", my * 8, mx * 8)
+    # integer plane quantization BEFORE color conversion (see module
+    # note — absorbs IDCT fp noise, makes the color math bit-exact)
+    y8 = _half_up_u8(planes["y"] + 128.0)[:height, :width]
+    cb8 = _half_up_u8(planes["cb"] + 128.0)
+    cr8 = _half_up_u8(planes["cr"] + 128.0)
+    up = lambda p: np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)  # noqa: E731
+    rgb = ycbcr_to_rgb(y8, up(cb8)[:height, :width], up(cr8)[:height, :width])
+    return {
+        "width": int(width),
+        "height": int(height),
+        "pixels": rgb.tobytes(),
     }
 
 

@@ -938,10 +938,13 @@ FRAME_BYTES = 256  # deterministic fake "frame" granularity for the stub
 
 
 def decode_image(payload: bytes) -> "object":
-    """General image decode seam. PNG/PPM (codecs.decode_png/decode_ppm)
-    and baseline grayscale JPEG (codecs.decode_jpeg_gray, q99f) decode
-    here in pure Python; the seam remains only for what genuinely needs
-    a codec library at deploy time (color-subsampled JPEG, WebP, ...)."""
+    """General image decode seam. PNG/PPM (codecs.decode_png/decode_ppm),
+    baseline grayscale JPEG (codecs.decode_jpeg_gray, q99f), 4:2:0
+    chroma-subsampled color JPEG (codecs.decode_jpeg_color, q99h), and
+    GIF decode here in pure Python; the seam remains only for what
+    genuinely needs a codec library at deploy time (progressive JPEG,
+    WebP, ...). JPEG dispatch: the SOF0 component count picks the
+    grayscale vs color path."""
     from better_cdc_spark import codecs
 
     if payload[:8] == codecs.PNG_SIG:
@@ -949,7 +952,12 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] == b"P6":
         return codecs.decode_ppm(payload)
     if payload[:2] == b"\xff\xd8":
-        return codecs.decode_jpeg_gray(payload)
+        try:
+            return codecs.decode_jpeg_gray(payload)
+        except ValueError as exc:
+            if "single-component" not in str(exc):
+                raise
+            return codecs.decode_jpeg_color(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return codecs.decode_gif(payload)
     raise NotImplementedError("unrecognized image format: deploy-time codec seam")

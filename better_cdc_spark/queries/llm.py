@@ -5478,3 +5478,110 @@ def q99g_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode, "doc_id bigint, width int, height int, checksum bigint"
     )
+
+
+@query(
+    "q99h_jpeg_420_color_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 2 AS wb FROM documents),
+    px AS (
+      SELECT doc_id, 16 * wb AS width, t.y, s.x,
+             (doc_id * 37 + ((t.y // 16) * wb + (s.x // 16)) * 59) % 256 AS yv,
+             (doc_id * 11 + ((t.y // 16) * wb + (s.x // 16)) * 23) % 256 AS cbv,
+             (doc_id * 5  + ((t.y // 16) * wb + (s.x // 16)) * 41) % 256 AS crv
+      FROM d,
+           UNNEST(range(32)) AS t(y),
+           UNNEST(range(16 * wb)) AS s(x)
+    ),
+    rgb AS (
+      SELECT doc_id, width, y, x,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.402 * (crv - 128) + 0.5) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cbv - 128) + 0.5) AS BIGINT))) AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(width) AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(SUM(  r * ((3 * (y * width + x))     % 97 + 1)
+                    + g * ((3 * (y * width + x) + 1) % 97 + 1)
+                    + b * ((3 * (y * width + x) + 2) % 97 + 1)) AS BIGINT) AS checksum
+    FROM rgb GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "jpeg", "color"),
+)
+def q99h_jpeg_420_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING 4:2:0 chroma-subsampled COLOR JPEG decode — what real
+    web images are; closes the round-5 seam list's first codec entry
+    (llmops deploy-seam note "4:2:0 chroma-subsampled JPEG").
+
+    Stage 1 synthesizes a real baseline 4:2:0 JFIF per doc — three
+    components, MCU-interleaved scan (4 Y + Cb + Cr per 16×16 MCU),
+    separate luma/chroma quant + huffman table ids, per-component DC
+    prediction — from MCU-constant integer YCbCr planes (per MCU i on a
+    (2 + doc_id mod 2) × 2 grid: Y=(37d+59i), Cb=(11d+23i),
+    Cr=(5d+41i), all mod 256). Stage 2 DECODES with
+    codecs.decode_jpeg_color: marker parse, per-component table
+    selection, interleaved huffman walk, dequant + IDCT per plane,
+    integer plane quantization, 2× chroma upsampling, YCbCr→RGB.
+
+    MCU-constant integer planes survive the lossy pipeline EXACTLY
+    (constant chroma → box-average and upsample lossless; DC quant step
+    8 → quantization lossless), so the only arithmetic left is the
+    color transform — computed in the oracle with the identical
+    floor(x+0.5) half-up convention on identical IEEE doubles, making
+    every decoded RGB byte closed-form reproducible. A broken MCU
+    geometry, component table mix-up, chroma upsample off-by-one, or
+    color matrix error cannot hash-match. General images (nonzero AC,
+    fractional chroma averages) are property-tested against an
+    independent numpy reconstruction in tests/test_codecs.py.
+
+    Both stages are Arrow-batched mapInPandas over BinaryType — narrow
+    maps, no shuffle, embarrassingly parallel at any scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import (
+        decode_jpeg_color,
+        encode_jpeg_ycbcr_420,
+        ycbcr_to_rgb,  # noqa: F401  (documented independent check lives in tests)
+    )
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                wb = 2 + d % 2
+                i = np.arange(wb * 2, dtype=np.int64).reshape(2, wb)
+                yv = (d * 37 + i * 59) % 256
+                cbv = (d * 11 + i * 23) % 256
+                crv = (d * 5 + i * 41) % 256
+                y = np.kron(yv, np.ones((16, 16), np.int64)).astype(np.uint8)
+                cb = np.kron(cbv, np.ones((8, 8), np.int64)).astype(np.uint8)
+                cr = np.kron(crv, np.ones((8, 8), np.int64)).astype(np.uint8)
+                payloads.append(encode_jpeg_ycbcr_420(wb * 16, 32, y, cb, cr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_jpeg_color(bytes(payload))
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8).astype(np.int64)
+                weights = np.arange(px.size, dtype=np.int64) % 97 + 1
+                rows.append(
+                    (int(d), meta["width"], meta["height"], int(px @ weights))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "checksum"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode, "doc_id bigint, width int, height int, checksum bigint"
+    )

@@ -251,3 +251,116 @@ def test_gif_skips_extensions_and_rejects_garbage():
         codecs.decode_gif(b"NOTAGIF")
     with pytest.raises(ValueError):
         codecs.decode_gif(patched[:20])  # truncated
+
+
+def _color_recon(img, quant):
+    """Independent numpy reconstruction of the full 4:2:0 pipeline:
+    color transform, integer planes, 2x2 box average, per-block
+    quantized DCT roundtrip, plane re-quantization, 2x nearest
+    upsample, YCbCr->RGB — shares NO code with decode_jpeg_color's
+    marker/huffman/MCU path."""
+    import numpy as np
+
+    y, cb, cr = codecs.rgb_to_ycbcr(img)
+
+    def box2(p):
+        f = p.astype(np.float64)
+        return codecs._half_up_u8(
+            (f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2] + f[1::2, 1::2]) / 4.0
+        )
+
+    m = codecs._dct_basis()
+
+    def plane_roundtrip(plane):
+        q2d = quant[codecs.ZIGZAG.argsort()].reshape(8, 8)
+        out = np.zeros(plane.shape)
+        for by in range(0, plane.shape[0], 8):
+            for bx in range(0, plane.shape[1], 8):
+                b = plane[by:by + 8, bx:bx + 8].astype(np.float64) - 128
+                qc = np.round((m @ b @ m.T) / q2d) * q2d
+                out[by:by + 8, bx:bx + 8] = m.T @ qc @ m
+        return codecs._half_up_u8(out + 128)
+
+    up = lambda p: np.repeat(np.repeat(p, 2, 0), 2, 1)  # noqa: E731
+    return codecs.ycbcr_to_rgb(
+        plane_roundtrip(y),
+        up(plane_roundtrip(box2(cb))),
+        up(plane_roundtrip(box2(cr))),
+    )
+
+
+def test_jpeg_420_constant_mcus_roundtrip_exactly():
+    """A 16x16 MCU with constant integer (Y, Cb, Cr) survives encode ->
+    decode exactly: constant chroma makes 2x2 averaging and upsampling
+    lossless, and the DC quant step of 8 makes quantization exact — the
+    q99h closed-form-oracle contract."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for _ in range(3):
+        wb, hb = int(rng.randint(1, 4)), int(rng.randint(1, 3))
+        yv = rng.randint(0, 256, (hb, wb))
+        cbv = rng.randint(0, 256, (hb, wb))
+        crv = rng.randint(0, 256, (hb, wb))
+        y = np.kron(yv, np.ones((16, 16), dtype=np.int64)).astype(np.uint8)
+        cb = np.kron(cbv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        cr = np.kron(crv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        d = codecs.decode_jpeg_color(
+            codecs.encode_jpeg_ycbcr_420(wb * 16, hb * 16, y, cb, cr)
+        )
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(hb * 16, wb * 16, 3)
+        up = lambda p: np.repeat(np.repeat(p, 2, 0), 2, 1)  # noqa: E731
+        assert (got == codecs.ycbcr_to_rgb(y, up(cb), up(cr))).all()
+
+
+def test_jpeg_420_general_image_matches_independent_reconstruction():
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    for shape in ((32, 48), (16, 16), (48, 32)):
+        img = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        d = codecs.decode_jpeg_color(
+            codecs.encode_jpeg_color_420(shape[1], shape[0], img.tobytes())
+        )
+        assert (d["width"], d["height"]) == (shape[1], shape[0])
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(*shape, 3)
+        assert (got == _color_recon(img, codecs.DEFAULT_QUANT)).all()
+
+
+def test_jpeg_420_gradient_exercises_byte_stuffing_and_ac():
+    import numpy as np
+
+    # smooth gradients produce nonzero AC coefficients and 0xFF bytes
+    h, w = 32, 64
+    gy, gx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(gx * 7) % 256, (gy * 11) % 256, ((gx + gy) * 5) % 256], axis=-1
+    ).astype(np.uint8)
+    payload = codecs.encode_jpeg_color_420(w, h, img.tobytes())
+    d = codecs.decode_jpeg_color(payload)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert (got == _color_recon(img, codecs.DEFAULT_QUANT)).all()
+
+
+def test_jpeg_420_rejects_other_layouts_and_features():
+    import numpy as np
+
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    payload = bytearray(codecs.encode_jpeg_color_420(16, 16, img.tobytes()))
+    # grayscale decoder refuses color streams, color refuses grayscale
+    with pytest.raises(ValueError, match="single-component"):
+        codecs.decode_jpeg_gray(bytes(payload))
+    gray = codecs.encode_jpeg_gray(8, 8, np.full((8, 8), 5, np.uint8).tobytes())
+    with pytest.raises(ValueError, match="3-component"):
+        codecs.decode_jpeg_color(gray)
+    # flip Y sampling 2x2 -> 1x1 (4:4:4): honest capability boundary
+    sof = payload.find(b"\xff\xc0")
+    p444 = bytearray(payload)
+    p444[sof + 4 + 7] = 0x11  # comp 0 hv byte inside SOF0 body
+    with pytest.raises(ValueError, match="4:2:0"):
+        codecs.decode_jpeg_color(bytes(p444))
+    # progressive flip
+    pprog = bytearray(payload)
+    pprog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg_color(bytes(pprog))

@@ -176,6 +176,11 @@ def test_multimodal_decode_stubs_raise(spark):
     assert llmops.decode_image(png)["width"] == 4
     jpg = codecs.encode_jpeg_gray(8, 8, bytes([50]) * 64)
     assert llmops.decode_image(jpg)["height"] == 8
+    # JPEG dispatch: a 3-component 4:2:0 stream routes to the color path
+    color = codecs.encode_jpeg_color_420(16, 16, bytes([10, 200, 60]) * 256)
+    d = llmops.decode_image(color)
+    assert (d["width"], d["height"]) == (16, 16)
+    assert len(d["pixels"]) == 16 * 16 * 3
 
 
 def test_simhash_deterministic_across_runs(spark, docs):
