@@ -347,6 +347,36 @@ def minhash_candidate_pairs(
     )
 
 
+#: partition buckets per band for the PERSISTED LSH index — the band key
+#: space is unbounded, so the index partitions on pb = band*B + hash(key)
+#: mod B, giving a fixed 16×B partition layout that a probe can prune at
+#: file-listing time (the q97f IVF move applied to LSH bands)
+LSH_INDEX_BUCKETS = 8
+
+
+def lsh_band_rows(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, key, pb) — banded signature rows carrying the persisted
+    index's partition-bucket column. The unit of both index APPEND and
+    index PROBE for incremental MinHash-LSH dedup: a new batch's rows
+    equi-join the stored corpus rows on (band, key), restricted to the
+    pb partitions the batch's own keys hash into — O(batch + probed
+    files), never a corpus re-scan."""
+    sigs = minhash_signatures(docs, id_col, postings=postings)
+    rows = sigs.select(
+        id_col, F.explode(lsh_band_keys("sig")).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return rows.withColumn(
+        "pb",
+        F.expr(
+            f"band * {LSH_INDEX_BUCKETS} + pmod(xxhash64(key), {LSH_INDEX_BUCKETS})"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (Arrow-batched pandas kernel — bit-majority isn't expressible
 # efficiently as a built-in; this is the sanctioned slow path, ~10-100×

@@ -5585,3 +5585,124 @@ def q99h_jpeg_420_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode, "doc_id bigint, width int, height int, checksum bigint"
     )
+
+
+@query(
+    "q95aa_incremental_minhash_lsh",
+    tags=("llm", "dedup", "minhash", "incremental", "index"),
+)
+def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dup dedup — the form a continuously
+    crawling pipeline actually runs (round-5 'What's missing #3'; no
+    reference analog — reference R14 is id-dedup only, config.go:100).
+
+    The corpus arrives in batches. Each batch: (1) computes banded
+    signature rows once (llmops.lsh_band_rows); (2) PROBES the persisted
+    band index — parquet PARTITIONED BY pb = band·B + hash(key) mod B,
+    the q97f cell-partition move applied to LSH bands — restricted to
+    the ≤ 16·B partitions the batch's own keys hash into, so the probe
+    resolves at FILE-LISTING time and reads O(batch-relevant) index
+    files, never the corpus (plan-pinned PartitionFilters,
+    tests/test_plans.py); (3) adds within-batch candidates from the
+    band self-join; (4) APPENDS its rows to the index. Per-step cost is
+    O(batch + probed files + candidates); the corpus is never
+    re-scanned or re-signed.
+
+    Every unordered near-dup pair has exactly ONE discovery event (the
+    later doc's batch probes an index already holding the earlier doc;
+    same-batch pairs come from the self-join), so across all batches the
+    candidate set EQUALS the one-shot q96_minhash_lsh candidate set —
+    pinned as set equality, not a recall bound, in tests/test_llmops.py.
+    Candidates are exact-Jaccard verified over postings built for the
+    INVOLVED docs only (verification ∝ candidates, not corpus).
+
+    Rows-only like q96_minhash_lsh (banding is engine-seeded); emitted
+    pairs are guaranteed true positives (jaccard ≥ threshold in-query).
+    Bounded collects: the probe partition list (≤ 16·B = 128 ints per
+    batch). Each batch's candidates are eagerly materialized BEFORE the
+    index append so the lazy plan can never see its own batch's rows in
+    the probe.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    index_dir = scratch_dir("q95aa_lsh_band_index")
+    n_batches = 3
+    discovered = []
+    # Test-scale guard: the default 4 MiB file open cost makes every
+    # tiny index partition file its own split (128 near-empty tasks per
+    # probe). At corpus scale partition files are real and the default
+    # is right — save/restore around the incremental run.
+    _open_cost_key = "spark.sql.files.openCostInBytes"
+    _prev_open_cost = spark.conf.get(_open_cost_key, None)
+    spark.conf.set(_open_cost_key, str(64 * 1024))
+    for b in range(n_batches):
+        batch_docs = docs.filter(F.col("doc_id") % n_batches == b)
+        rows = llmops.lsh_band_rows(batch_docs).localCheckpoint(eager=True)
+        cands = None
+        if b > 0:
+            # bounded collect: ≤ 16 bands × LSH_INDEX_BUCKETS values
+            probe_pbs = [r["pb"] for r in rows.select("pb").distinct().collect()]
+            idx = spark.read.parquet(index_dir).filter(F.col("pb").isin(probe_pbs))
+            cands = (
+                idx.select(F.col("doc_id").alias("doc_a"), "band", "key")
+                .join(
+                    rows.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+                    ["band", "key"],
+                )
+                .select("doc_a", "doc_b")
+            )
+        a, bb = rows.alias("a"), rows.alias("b")
+        within = a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        cands = within if cands is None else cands.unionByName(within)
+        cands = (
+            cands.select(
+                F.least("doc_a", "doc_b").alias("lo"),
+                F.greatest("doc_a", "doc_b").alias("hi"),
+            )
+            .select(F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"))
+            .distinct()  # a pair may collide on several bands WITHIN the step
+            .withColumn("found_in_batch", F.lit(b))
+            .localCheckpoint(eager=True)  # pin BEFORE the index grows
+        )
+        discovered.append(cands)
+        # one file per (batch, pb) partition dir — at corpus scale the
+        # append stays parallel per partition; coalesce(1) is the small-
+        # batch file-count guard (each batch's rows are KBs here)
+        rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(index_dir)
+
+    if _prev_open_cost is None:
+        spark.conf.unset(_open_cost_key)
+    else:
+        spark.conf.set(_open_cost_key, _prev_open_cost)
+    # cross-step discovery events are disjoint by construction (each
+    # unordered pair is found exactly once) — plain union, no re-dedup
+    all_cands = discovered[0]
+    for c in discovered[1:]:
+        all_cands = all_cands.unionByName(c)
+    all_cands = all_cands.localCheckpoint(eager=True)
+    involved = (
+        all_cands.select(F.col("doc_a").alias("doc_id"))
+        .union(all_cands.select("doc_b"))
+        .distinct()
+    )
+    # verification postings: INVOLVED docs only — O(candidates)
+    postings = llmops.shingle_postings(
+        docs.join(involved, "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
+    verified = llmops.jaccard_for_pairs(
+        postings, all_cands.select("doc_a", "doc_b"), materialize=False
+    )
+    return (
+        verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .join(all_cands, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard", "found_in_batch")
+    )

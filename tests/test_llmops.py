@@ -465,3 +465,40 @@ def test_resize_ppm_nearest_upscale_duplicates_pixels():
     # grid: sx = [0,0,1,1], sy = [0,0] -> A A B B twice
     expect = (sum([10, 20, 30]) * 2 + sum([200, 210, 220]) * 2) * 2
     assert row.resized_checksum == expect
+
+
+def test_incremental_lsh_equals_one_shot_candidates(spark, docs):
+    """q95aa's across-batches discovery: every unordered pair has exactly
+    one discovery event (later batch probes an index holding the earlier
+    doc, same-batch pairs come from the self-join), so the union over
+    batches must EQUAL the one-shot candidate set — set equality, not a
+    recall bound. Signature scheme is shared, so this pins the probe
+    join, the partition bucketing, and the append lifecycle at once."""
+    incr = REGISTRY["q95aa_incremental_minhash_lsh"].fn(spark, SF_SMOKE).toPandas()
+    one_shot = REGISTRY["q96_minhash_lsh"].fn(spark, SF_SMOKE).toPandas()
+    assert set(zip(incr.doc_a, incr.doc_b)) == set(
+        zip(one_shot.doc_a, one_shot.doc_b)
+    )
+    # verified values agree pairwise too
+    a = incr.set_index(["doc_a", "doc_b"]).jaccard.sort_index()
+    b = one_shot.set_index(["doc_a", "doc_b"]).jaccard.sort_index()
+    assert (a == b).all()
+    # discovery events happen exactly when the LATER-ARRIVING doc's
+    # batch runs: found_in_batch == max of the two docs' batch ids
+    n_batches = 3
+    later = (incr.doc_a % n_batches).combine(incr.doc_b % n_batches, max)
+    assert (incr.found_in_batch == later).all()
+
+
+def test_incremental_lsh_probe_is_partition_pruned(spark, docs, tmp_path):
+    """The band-index probe must resolve to PartitionFilters on pb — the
+    file-listing-time pruning that makes the probe O(batch-relevant
+    files) instead of an index scan (q97f's contract, LSH edition)."""
+    rows = llmops.lsh_band_rows(docs.limit(60))
+    idx_dir = str(tmp_path / "band_index")
+    rows.coalesce(1).write.partitionBy("pb").parquet(idx_dir)
+    probe = spark.read.parquet(idx_dir).filter(F.col("pb").isin([1, 5, 9]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "pb" in plan.split("PartitionFilters", 1)[1][:160]
+    assert probe.select("pb").distinct().count() <= 3
