@@ -51,70 +51,69 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified.
 #
-# Round-5 prefix: the queries added this round (q95u/q95v/qc19/q99f) plus
-# q96e whose verify path was rewritten (sparse), then the 18 entries of
-# the 12 operator families that had ZERO driver-green rows across r1–r4
-# (Q04 streaming sources, Q64/Q65 subqueries, Q80–Q86 streaming windows/
-# dedup/join, Q90–Q93 UDF surface), the remaining streaming tail
-# (q85/q88*/q89/q81b), and never-verified CDC/function/LLM entries.
+# Round-6 prefix (generated with tools/rotation.py): the three queries
+# added this round, then the never-driver-verified remainder of the
+# registry, prioritized per the round-5 verdict — relational/function
+# tail, the TPC-H suite, then the q94–q99 extras in registration order.
+# 50 slots; the 13 entries that don't fit (q99b/q95b/q95l/q98c/q95c/
+# q95d/q95f/q98e/q98d/q98g/q97c/q95g/q94e) finish in round 7's prefix.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # round-5 additions + the rewritten q96e, externally unverified
-    "q99g_gif_decode",
-    "qc20_incremental_snapshot",
-    "q94i_end_to_end_pretrain",
-    "q95z_warc_ingest",
-    "q95y_logreg_train",
-    "qm04_txlog_streaming_sink",
-    "q95x_cross_corpus_priority_dedup",
-    "q95w_doremi_reweight",
-    "q97l_maxsim_late_interaction",
-    "qm03_txlog_acid",
-    "q95u_dup_span_extract_hashed",
-    "q95v_chunk_dedup_hashed",
-    "qc19_xlogdata_framed_source",
-    "q99f_jpeg_decode",
-    "q96e_tfidf_cosine",
-    # the 12 §2.2 families with no driver-green row in r1-r4
-    "q04_streaming_file_source",
-    "q04b_rate_limited_source",
-    "q04c_available_now_trigger",
-    "q64_scalar_subquery",
-    "q65_in_subquery",
-    "q65b_not_in_null_semantics",
-    "q80_watermark_append",
-    "q82_sliding_window",
-    "q83_session_window",
-    "q84_streaming_dedup",
-    "q84b_dedup_within_watermark",
-    "q86_stream_static_join",
-    "q86b_stream_static_refresh",
-    "q90_python_udf",
-    "q91_pandas_udf",
-    "q91b_map_in_arrow",
-    "q92_grouped_map",
-    "q93_udtf",
-    # streaming tail, never driver-verified
-    "q85_stateful_processing",
-    "q88_stream_stream_join",
-    "q88b_stream_stream_left_join",
-    "q88c_stream_stream_semi_join",
-    "q89_multi_sink_fanout",
-    "q81b_incremental_rollup",
-    # CDC / sink / merge, never driver-verified
-    "qc06_scd2",
-    "qc08_schema_evolution",
-    "qc11_jetstream_publish",
-    "qc12_streaming_datasource",
-    "qc16_python_datasource_sink",
-    "qm02_merge_full_clauses",
-    # relational / function surface, never driver-verified
-    "q36g_hll_sketch_union",
-    "q20b_null_safe_join",
-    "q07b_xml_roundtrip",
-    "q70b_collation",
-    "q44b_time_weighted_avg",
+    # round-6 additions, externally unverified
+    "qc21_socket_replication_source",
+    "q99h_jpeg_420_color_decode",
+    "q95aa_incremental_minhash_lsh",
+    # relational / function tail, never driver-verified
+    "q78_try_functions",
+    "q73b_higher_order_predicates",
+    "q51b_offset_pagination",
+    "q61b_intersect_all",
+    "q62b_except_all",
+    "q34b_filtered_aggregates",
+    "q45b_locf_interpolate",
+    "q33d_grouping_id",
+    "q36e_bitwise_bool_aggs",
+    "q36f_approx_quantiles",
+    # the TPC-H suite, never driver-verified
+    "qh02_min_cost_supplier",
+    "qh04_order_priority",
+    "qh06_forecast_revenue",
+    "qh07_volume_shipping",
+    "qh08_market_share",
+    "qh09_product_profit",
+    "qh10_returned_items",
+    "qh11_important_stock",
+    "qh12_priority_classes",
+    "qh13_customer_distribution",
+    "qh14_promo_effect",
+    "qh15_top_supplier",
+    "qh16_supplier_diversity",
+    "qh18_large_volume_customer",
+    "qh20_part_promotion",
+    "qh22_global_sales_opportunity",
+    # q94–q99 extras, never driver-verified (registration order)
+    "q95_fingerprint",
+    "q95_split_assignment",
+    "q96_ngram_jaccard",
+    "q95m_containment_dedup",
+    "q96_minhash_lsh",
+    "q96_simhash",
+    "q97_ann_lsh",
+    "q97_ann_ivf",
+    "q97g_range_search",
+    "q97_ann_pq",
+    "q97_int8_quantize",
+    "q97_mean_pool",
+    "q98_text_stats",
+    "q98_langid",
+    "q95_stratified_sample",
+    "q94_dedup_clusters",
+    "q94_curation_pipeline",
+    "q99_multimodal",
+    "q99_frame_sampling",
+    "q94b_multimodal_curation",
+    "q98b_unigram_logprob",
 )
 
 def load_all() -> dict[str, QuerySpec]:
