@@ -981,3 +981,138 @@ def _decode_gif_body(payload: bytes) -> dict:
         raise ValueError(f"decoded {len(out)} pixels, expected {iw * ih}")
     return {"width": int(iw), "height": int(ih), "indices": bytes(out),
             "palette": palette}
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) container with MJPEG frames — the video seam, closed
+# ---------------------------------------------------------------------------
+#
+# Motion-JPEG is the one video format a pure-Python stack can own end to
+# end now that the 4:2:0 color JPEG decoder exists: an AVI is a RIFF
+# chunk tree (fourcc + u32 size + payload, word-aligned) whose 'movi'
+# list carries one '00dc' chunk per frame, each holding a complete JPEG.
+# "Decode video" therefore decomposes into real container machinery
+# (fourcc walk, LIST recursion, even-byte padding, avih/strh/strf stream
+# headers, idx1 index) plus the per-frame JPEG path already proven by
+# q99f/q99h. Inter-frame-predicted codecs (H.264 etc.) remain the
+# deploy-time seam — they need bitstream machinery of a different order.
+#
+# The ENCODER emits a minimal spec-valid single-stream AVI (RIFF/AVI,
+# hdrl with avih + one vids/MJPG strl, movi, idx1); the DECODER is
+# general for single-video-stream MJPEG AVIs from any muxer: it walks
+# the chunk tree, validates the MJPG fourcc, and extracts '00dc'/'00db'
+# frame payloads in stream order.
+
+AVI_US_PER_FRAME_DEFAULT = 33_333  # ~30 fps
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""  # chunks are word-aligned
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    us_per_frame: int = AVI_US_PER_FRAME_DEFAULT,
+) -> bytes:
+    """Single-stream MJPEG AVI from per-frame JPEG payloads."""
+    if not frames:
+        raise ValueError("an AVI needs at least one frame")
+    max_frame = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, max_frame * 1_000_000 // max(us_per_frame, 1), 0,
+        0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_frame, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, us_per_frame, 1_000_000,
+                      0, len(frames), max_frame, 0xFFFFFFFF, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    movi = _riff_list(b"movi", movi_payload)
+    # idx1: one entry per frame — offset is from the start of 'movi'+4
+    idx_entries = []
+    off = 4
+    for f in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return _riff_chunk(b"RIFF", riff_payload)
+
+
+def decode_avi_mjpeg(payload: bytes) -> dict:
+    """Walk the RIFF tree of a single-video-stream MJPEG AVI.
+
+    Returns {width, height, n_frames, frames: [jpeg bytes, ...]} with
+    frames still JPEG-encoded (sampling decides which to decode — the
+    point of frame sampling is NOT paying decode for dropped frames).
+    Raises on non-AVI RIFF, non-MJPG video streams, and truncated
+    chunks (honest boundaries)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF signature)")
+    width = height = 0
+    handler_ok = False
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, handler_ok
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError(f"truncated chunk {fourcc!r}")
+            if fourcc == b"LIST":
+                walk(buf, body_start + 4, body_end)
+            elif fourcc == b"strh":
+                if buf[body_start : body_start + 4] == b"vids":
+                    handler = buf[body_start + 4 : body_start + 8]
+                    if handler not in (b"MJPG", b"mjpg"):
+                        raise ValueError(f"unsupported video codec {handler!r}")
+                    handler_ok = True
+            elif fourcc == b"avih":
+                width, height = struct.unpack_from("<II", buf, body_start + 32)
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(buf[body_start:body_end])
+            pos = body_end + (size % 2)  # word alignment
+
+    walk(payload, 12, len(payload))
+    if not handler_ok:
+        raise ValueError("no MJPG video stream header found")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def sample_avi_frames(payload: bytes, every_n: int = 2) -> list[dict]:
+    """Container walk + decode every Nth frame (JPEG decode only for
+    sampled frames). Returns [{frame_idx, width, height, pixels}]."""
+    avi = decode_avi_mjpeg(payload)
+    out = []
+    for i in range(0, avi["n_frames"], max(every_n, 1)):
+        d = decode_jpeg_color(avi["frames"][i])
+        out.append({"frame_idx": i, **d})
+    return out

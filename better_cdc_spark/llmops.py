@@ -998,6 +998,14 @@ def decode_audio(payload: bytes) -> "object":
 
 
 def decode_video_frames(payload: bytes, every_n: int = 30) -> "object":
+    """Video frame-sampling seam. MJPEG-in-AVI decodes here in pure
+    Python (RIFF container walk + the q99h color-JPEG path per SAMPLED
+    frame — dropped frames never pay decode); inter-frame-predicted
+    codecs (H.264, VP9, ...) remain the deploy-time seam."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from better_cdc_spark import codecs
+
+        return codecs.sample_avi_frames(payload, every_n=every_n)
     raise NotImplementedError("video decoding requires a video library at deploy time")
 
 

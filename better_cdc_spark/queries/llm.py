@@ -5706,3 +5706,110 @@ def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(all_cands, ["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "jaccard", "found_in_batch")
     )
+
+
+@query(
+    "q99i_mjpeg_video_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, t.i * 2 AS frame_idx,
+             (doc_id * 13 + t.i * 2 * 31) % 256 AS yv,
+             (doc_id * 7  + t.i * 2 * 17) % 256 AS cbv,
+             (doc_id * 3  + t.i * 2 * 43) % 256 AS crv
+      FROM documents, UNNEST(range(2)) AS t(i)
+    ),
+    rgb AS (
+      SELECT doc_id, frame_idx,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.402 * (crv - 128) + 0.5) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cbv - 128) + 0.5) AS BIGINT))) AS b
+      FROM f
+    ),
+    wsum AS (
+      SELECT CAST(SUM(CASE WHEN p.p % 3 = 0 THEN p.p % 97 + 1 END) AS BIGINT) AS wr,
+             CAST(SUM(CASE WHEN p.p % 3 = 1 THEN p.p % 97 + 1 END) AS BIGINT) AS wg,
+             CAST(SUM(CASE WHEN p.p % 3 = 2 THEN p.p % 97 + 1 END) AS BIGINT) AS wb
+      FROM UNNEST(range(16 * 32 * 3)) AS p(p)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(r * wr + g * wg + b * wb AS BIGINT) AS checksum
+    FROM rgb, wsum
+    """,
+    tags=("llm", "multimodal", "video", "mjpeg"),
+)
+def q99i_mjpeg_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING video frame sampling — MJPEG-in-AVI decode, closing the
+    video seam for the one video format a pure-Python stack can own
+    (round-5 'What's missing #2'; inter-frame codecs stay the honest
+    deploy seam, llmops.decode_video_frames).
+
+    Stage 1 synthesizes a real single-stream MJPEG AVI per doc: RIFF
+    chunk tree (hdrl with avih + vids/MJPG strh/strf, word-aligned
+    movi '00dc' chunks, idx1 index) wrapping FOUR 4:2:0 color JPEG
+    frames (frame i constant at YCbCr = ((13d+31i), (7d+17i), (3d+43i))
+    mod 256, 32×16). Stage 2 walks the container and decodes EVERY 2ND
+    frame through codecs.decode_jpeg_color — dropped frames never pay
+    JPEG decode, which is the point of sampling — then checksums the
+    decoded RGB. Constant integer YCbCr frames survive the lossy path
+    exactly (q99h's contract), so the oracle reproduces both sampled
+    frames' pixels in closed form; a container mis-walk, off-by-one
+    frame index, padding bug, or any color-path regression
+    hash-mismatches.
+
+    Both stages are Arrow-batched mapInPandas over BinaryType — narrow
+    maps, no shuffle; per-payload work is inherently per-payload.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_avi_mjpeg, encode_jpeg_ycbcr_420
+    from better_cdc_spark.llmops import decode_video_frames
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for i in range(4):
+                    yv, cbv, crv = (
+                        (d * 13 + i * 31) % 256,
+                        (d * 7 + i * 17) % 256,
+                        (d * 3 + i * 43) % 256,
+                    )
+                    frames.append(
+                        encode_jpeg_ycbcr_420(
+                            32, 16,
+                            np.full((16, 32), yv, np.uint8),
+                            np.full((8, 16), cbv, np.uint8),
+                            np.full((8, 16), crv, np.uint8),
+                        )
+                    )
+                payloads.append(encode_avi_mjpeg(32, 16, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f in decode_video_frames(bytes(payload), every_n=2):
+                    px = np.frombuffer(f["pixels"], dtype=np.uint8).astype(np.int64)
+                    weights = np.arange(px.size, dtype=np.int64) % 97 + 1
+                    rows.append(
+                        (int(d), f["frame_idx"], f["width"], f["height"],
+                         int(px @ weights))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "checksum"],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        sample,
+        "doc_id bigint, frame_idx bigint, width int, height int, checksum bigint",
+    )

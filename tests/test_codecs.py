@@ -364,3 +364,54 @@ def test_jpeg_420_rejects_other_layouts_and_features():
     pprog[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         codecs.decode_jpeg_color(bytes(pprog))
+
+
+def _const_420_frame(yv, cbv, crv, wb=2, hb=1):
+    import numpy as np
+
+    y = np.full((hb * 16, wb * 16), yv, np.uint8)
+    cb = np.full((hb * 8, wb * 8), cbv, np.uint8)
+    cr = np.full((hb * 8, wb * 8), crv, np.uint8)
+    return codecs.encode_jpeg_ycbcr_420(wb * 16, hb * 16, y, cb, cr)
+
+
+def test_avi_mjpeg_container_roundtrip_bytes_exact():
+    frames = [_const_420_frame(40 + 7 * i, 90, 180) for i in range(6)]
+    avi = codecs.encode_avi_mjpeg(32, 16, frames)
+    d = codecs.decode_avi_mjpeg(avi)
+    assert (d["width"], d["height"], d["n_frames"]) == (32, 16, 6)
+    assert d["frames"] == frames  # frame payloads survive byte-exactly
+    # odd-sized frame exercises the word-alignment padding path
+    odd = frames[0] + b"\x00" if len(frames[0]) % 2 == 0 else frames[0]
+    avi2 = codecs.encode_avi_mjpeg(32, 16, [odd, frames[1]])
+    assert codecs.decode_avi_mjpeg(avi2)["frames"] == [odd, frames[1]]
+
+
+def test_avi_frame_sampling_decodes_only_sampled_frames():
+    import numpy as np
+
+    frames = [_const_420_frame(20 * i, 100, 200) for i in range(5)]
+    out = codecs.sample_avi_frames(codecs.encode_avi_mjpeg(32, 16, frames), every_n=2)
+    assert [f["frame_idx"] for f in out] == [0, 2, 4]
+    for f in out:
+        got = np.frombuffer(f["pixels"], dtype=np.uint8).reshape(16, 32, 3)
+        yv = np.full((16, 32), 20 * f["frame_idx"], np.uint8)
+        up = lambda p: np.repeat(np.repeat(p, 2, 0), 2, 1)  # noqa: E731
+        exp = codecs.ycbcr_to_rgb(
+            yv, up(np.full((8, 16), 100, np.uint8)), up(np.full((8, 16), 200, np.uint8))
+        )
+        assert (got == exp).all()
+
+
+def test_avi_rejects_non_mjpeg_and_truncation():
+    frames = [_const_420_frame(99, 128, 128)]
+    avi = bytearray(codecs.encode_avi_mjpeg(32, 16, frames))
+    with pytest.raises(ValueError, match="RIFF"):
+        codecs.decode_avi_mjpeg(b"RIFX" + bytes(avi[4:]))
+    h = avi.find(b"vids") + 4
+    other = bytearray(avi)
+    other[h : h + 4] = b"H264"  # inter-frame codec: honest boundary
+    with pytest.raises(ValueError, match="unsupported video codec"):
+        codecs.decode_avi_mjpeg(bytes(other))
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_avi_mjpeg(bytes(avi[:-10]))
