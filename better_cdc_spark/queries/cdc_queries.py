@@ -1733,15 +1733,19 @@ def qc21_socket_replication_source(spark: SparkSession, sf_dir: str) -> DataFram
     tune_for_oracle(spark)
     orders = load_table(spark, sf_dir, "orders")
     changelog = synthesize_changelog_from_orders(orders)
-    wal = [
-        (int(r["ingest_seq"]), r["line"].encode())
-        for r in changelog.select(
-            "ingest_seq", F.to_json(F.struct(*changelog.columns)).alias("line")
-        ).collect()  # bounded: one synthesized envelope batch feeds the wire
-    ]
-    # resume-from-LSN is strict-greater: positions must be unique or a
-    # reconnect could silently skip a same-position sibling
-    assert len({p for p, _ in wal}) == len(wal), "wire positions not unique"
+    rows = changelog.select(
+        "ingest_seq", "action",
+        F.to_json(F.struct(*changelog.columns)).alias("line"),
+    ).collect()  # bounded: one synthesized envelope batch feeds the wire
+    # Wire positions are SERVER-assigned stream offsets: enumerate the
+    # rows in deterministic (ingest_seq, action) order — a total order
+    # here, since only a B and a C marker of different txs can share an
+    # ingest_seq (min_okey*10-5 == max_okey'*10+5) and action breaks the
+    # tie. Unique positions matter because resume-from-LSN is
+    # strict-greater: a duplicated position would skip its sibling on
+    # reconnect.
+    rows.sort(key=lambda r: (int(r["ingest_seq"]), r["action"]))
+    wal = [(1000 + i, r["line"].encode()) for i, r in enumerate(rows)]
 
     recovered: list[str] = []
 

@@ -442,3 +442,21 @@ def test_q94i_composite_has_no_product_joins(spark):
     plan = plan_of(spark, "q94i_end_to_end_pretrain")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["q99h_jpeg_420_color_decode",
+                                  "q99i_mjpeg_video_frames"])
+def test_round6_codec_queries_are_shuffle_free(spark, name):
+    """Color-JPEG decode and MJPEG frame sampling are narrow Arrow
+    passes end-to-end — an Exchange means a codec stage grew a shuffle."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan
+
+
+def test_qc21_socket_source_has_no_product_joins(spark):
+    """The socket-recovered lines feed the same normalize plan as qc01:
+    equi-joins on txid only. (The socket leg itself is driver-side and
+    invisible to the plan — this pins the distributed half.)"""
+    plan = plan_of(spark, "qc21_socket_replication_source")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
