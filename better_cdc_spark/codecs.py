@@ -1116,3 +1116,170 @@ def sample_avi_frames(payload: bytes, every_n: int = 2) -> list[dict]:
         d = decode_jpeg_color(avi["frames"][i])
         out.append({"frame_idx": i, **d})
     return out
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM in WAV (format tag 0x11) — compressed audio, executing
+# ---------------------------------------------------------------------------
+#
+# Fourth compression family (after DEFLATE, DCT+Huffman, LZW):
+# differential PCM with adaptive quantization. The DECODER implements
+# the full IMA/DVI spec — per-block headers (initial predictor + step
+# index), low-nibble-first 4-bit packing, the 89-entry step table,
+# sign-magnitude diff reconstruction, predictor clamping, step-index
+# adaptation — so it reads any mono IMA-WAV. The ENCODER mirrors the
+# decoder's state transition exactly (the standard ADPCM property:
+# encoder tracks its own reconstruction), which gives the roundtrip
+# test its exact-equality form.
+#
+# Exact-oracle trick, ADPCM edition: at step index 0 (step = 7) the
+# representable diffs are exactly {0, ±1, ±3, ±4} (nibbles 0-3/8-11,
+# whose index adjustments are all -1 → index stays clamped at 0), so a
+# waveform whose per-sample deltas stay in that set reconstructs
+# EXACTLY and its decode is a closed-form cumulative sum — SQL-checkable
+# (q99j). General signals (index motion, clamping) are property-tested
+# via encoder-reconstruction equality. MP3 and other perceptual codecs
+# remain the deploy-time seam — different machinery entirely.
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_reconstruct(predictor: int, step: int, nibble: int) -> int:
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    return max(-32768, min(32767, predictor))
+
+
+def ima_adpcm_encode_block(samples: list[int], index: int = 0) -> tuple[bytes, int]:
+    """One mono IMA block: 4-byte header (predictor, index) + packed
+    nibbles for samples[1:]. Returns (block bytes, final index). The
+    encoder follows ITS OWN reconstruction, never the input, so decode
+    reproduces the encoder's tracked signal exactly."""
+    clamp16 = lambda v: max(-32768, min(32767, int(v)))  # noqa: E731
+    predictor = clamp16(samples[0])
+    out = bytearray(struct.pack("<hBB", predictor, index, 0))
+    nibbles = []
+    for s in samples[1:]:
+        step = IMA_STEP_TABLE[index]
+        diff = clamp16(s) - predictor
+        nibble = 0
+        if diff < 0:
+            nibble = 8
+            diff = -diff
+        if diff >= step:
+            nibble |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nibble |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nibble |= 1
+        predictor = _ima_reconstruct(predictor, step, nibble)
+        index = max(0, min(88, index + IMA_INDEX_TABLE[nibble]))
+        nibbles.append(nibble)
+    for i in range(0, len(nibbles), 2):
+        lo = nibbles[i]
+        hi = nibbles[i + 1] if i + 1 < len(nibbles) else 0
+        out.append(lo | (hi << 4))  # low nibble first
+    return bytes(out), index
+
+
+def encode_wav_ima_adpcm(
+    samples, framerate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Mono IMA-ADPCM WAV (format 0x11): fmt with wSamplesPerBlock,
+    fact with the sample count, data as fixed-size blocks (each with a
+    fresh header carrying the running predictor; index restarts at 0
+    per block — legal, slightly suboptimal, exactness-friendly)."""
+    samples = [int(s) for s in samples]
+    spb = 1 + (block_align - 4) * 2  # samples per block
+    blocks = []
+    for off in range(0, len(samples), spb):
+        chunk = samples[off : off + spb]
+        if len(chunk) < spb:  # pad the tail block by holding the last value
+            chunk = chunk + [chunk[-1]] * (spb - len(chunk))
+        blk, _ = ima_adpcm_encode_block(chunk, index=0)
+        blocks.append(blk)
+    data = b"".join(blocks)
+    n_blocks = len(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, framerate,
+        framerate * block_align // spb, block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n_blocks * spb)
+    riff = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", fact)
+        + _riff_chunk(b"data", data)
+    )
+    return _riff_chunk(b"RIFF", riff)
+
+
+def decode_wav_ima_adpcm(payload: bytes) -> dict:
+    """Mono IMA-ADPCM WAV → {framerate, n_samples, samples: list[int]}.
+
+    Full spec decode: block headers re-seed predictor AND step index,
+    low-nibble-first unpacking, adaptive step walk, int16 clamping.
+    Raises on stereo, non-0x11 formats, and truncated blocks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF signature)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"fmt ":
+            fmt = body
+        elif fourcc == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, framerate, _abps, block_align = struct.unpack_from("<HHIIH", fmt, 0)
+    if tag != 0x11:
+        raise ValueError(f"not IMA ADPCM (format tag 0x{tag:x})")
+    if channels != 1:
+        raise ValueError("only mono IMA ADPCM supported")
+    spb = struct.unpack_from("<H", fmt, 18)[0] if len(fmt) >= 20 else (
+        1 + (block_align - 4) * 2
+    )
+    samples: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block")
+        predictor, index, _rsv = struct.unpack_from("<hBB", block, 0)
+        index = max(0, min(88, index))
+        samples.append(predictor)
+        produced = 1
+        for byte in block[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):  # low nibble first
+                if produced >= spb:
+                    break
+                step = IMA_STEP_TABLE[index]
+                predictor = _ima_reconstruct(predictor, step, nibble)
+                index = max(0, min(88, index + IMA_INDEX_TABLE[nibble]))
+                samples.append(predictor)
+                produced += 1
+    return {"framerate": int(framerate), "n_samples": len(samples), "samples": samples}

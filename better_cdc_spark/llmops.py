@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+import struct
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -994,6 +995,18 @@ def decode_image(payload: bytes) -> "object":
 
 
 def decode_audio(payload: bytes) -> "object":
+    """Audio decode seam. PCM WAV (codecs.decode_wav) and 4-bit IMA
+    ADPCM WAV (codecs.decode_wav_ima_adpcm, q99j) decode here in pure
+    Python — dispatch on the fmt chunk's format tag; perceptual codecs
+    (MP3, AAC, Opus) remain the deploy-time seam."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from better_cdc_spark import codecs
+
+        idx = payload.find(b"fmt ")
+        tag = struct.unpack_from("<H", payload, idx + 8)[0] if idx >= 0 else 1
+        if tag == 0x11:
+            return codecs.decode_wav_ima_adpcm(payload)
+        return codecs.decode_wav(payload)
     raise NotImplementedError("audio decoding requires an audio library at deploy time")
 
 

@@ -5813,3 +5813,92 @@ def q99i_mjpeg_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         "doc_id bigint, frame_idx bigint, width int, height int, checksum bigint",
     )
+
+
+@query(
+    "q99j_adpcm_audio_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    j AS (SELECT doc_id, t.j FROM d, UNNEST(range(1, 1010)) AS t(j)),
+    deltas AS (
+      SELECT doc_id, j,
+             list_extract([0, 1, -1, 3, -3, 4, -4],
+                          CAST((doc_id * 11 + j * 13) % 7 AS INTEGER) + 1) AS dl
+      FROM j
+    ),
+    s AS (
+      SELECT doc_id, j AS k,
+             doc_id % 101 + SUM(dl) OVER (PARTITION BY doc_id ORDER BY j) AS v
+      FROM deltas
+      UNION ALL
+      SELECT doc_id, 0 AS k, doc_id % 101 AS v FROM d
+    )
+    SELECT doc_id,
+           CAST(1010 AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS framerate,
+           CAST(SUM(v * (k % 97 + 1)) AS BIGINT) AS checksum
+    FROM s GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "adpcm"),
+)
+def q99j_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING compressed-audio decode — 4-bit IMA ADPCM in WAV, the
+    fourth compression family (differential PCM with adaptive
+    quantization) after DEFLATE/DCT+Huffman/LZW. Perceptual codecs
+    (MP3/AAC) remain the honest deploy seam (llmops.decode_audio).
+
+    Stage 1 synthesizes a real mono IMA-WAV per doc (fmt 0x11 with
+    wSamplesPerBlock, fact, two 256-byte blocks, per-block headers,
+    low-nibble-first packing): 1010 samples starting at doc_id mod 101
+    whose per-sample deltas are drawn from {0, ±1, ±3, ±4} — exactly
+    the diffs representable at step index 0, whose index adjustments
+    keep the index clamped there, so the LOSSY codec reconstructs this
+    signal class EXACTLY (tests pin the class boundary and the general
+    encoder-reconstruction equality). Stage 2 decodes through
+    llmops.decode_audio's format-tag dispatch and checksums the
+    samples; the oracle rebuilds the signal as a windowed cumulative
+    sum — a wrong step-table walk, nibble order, header parse, or
+    block-boundary re-seed hash-mismatches.
+
+    Both stages are Arrow-batched mapInPandas over BinaryType — narrow
+    maps, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_wav_ima_adpcm
+    from better_cdc_spark.llmops import decode_audio
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    choices = np.array([0, 1, -1, 3, -3, 4, -4], dtype=np.int64)
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                jj = np.arange(1, 1010, dtype=np.int64)
+                deltas = choices[(d * 11 + jj * 13) % 7]
+                sig = np.concatenate([[d % 101], d % 101 + np.cumsum(deltas)])
+                payloads.append(encode_wav_ima_adpcm(sig.tolist(), framerate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_audio(bytes(payload))
+                s = np.asarray(meta["samples"], dtype=np.int64)
+                weights = np.arange(s.size, dtype=np.int64) % 97 + 1
+                rows.append(
+                    (int(d), int(s.size), meta["framerate"], int(s @ weights))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "framerate", "checksum"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode, "doc_id bigint, n_samples bigint, framerate int, checksum bigint"
+    )

@@ -415,3 +415,90 @@ def test_avi_rejects_non_mjpeg_and_truncation():
         codecs.decode_avi_mjpeg(bytes(other))
     with pytest.raises(ValueError, match="truncated"):
         codecs.decode_avi_mjpeg(bytes(avi[:-10]))
+
+
+def test_ima_adpcm_exact_on_representable_delta_class():
+    """At step index 0 the representable diffs are exactly {0, ±1, ±3,
+    ±4} and their index adjustments keep the index clamped at 0, so a
+    waveform restricted to those deltas reconstructs EXACTLY — the q99j
+    closed-form-oracle contract."""
+    choices = [0, 1, -1, 3, -3, 4, -4]
+    deltas = [choices[(11 * j) % 7] for j in range(1009)]
+    sig = [0]
+    for d in deltas:
+        sig.append(sig[-1] + d)
+    wav = codecs.encode_wav_ima_adpcm(sig, block_align=256)
+    d = codecs.decode_wav_ima_adpcm(wav)
+    assert d["samples"][: len(sig)] == sig
+    # tail padding holds the last value (encoder pads the final block)
+    assert set(d["samples"][len(sig):]) <= {sig[-1]}
+
+
+def test_ima_adpcm_decode_equals_encoder_reconstruction():
+    """The fundamental ADPCM property: the decoder reproduces the
+    ENCODER'S tracked reconstruction bit-for-bit on arbitrary signals —
+    including step-index motion up and down the full table and int16
+    clamping at the rails."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    sig = np.clip(
+        np.cumsum(rng.randint(-9000, 9000, 2000)), -40000, 40000
+    ).tolist()  # forces clamping and wide index swings
+    wav = codecs.encode_wav_ima_adpcm(sig, block_align=128)
+    got = codecs.decode_wav_ima_adpcm(wav)["samples"]
+
+    spb = 1 + (128 - 4) * 2
+    recon = []
+    for off in range(0, len(sig), spb):
+        chunk = sig[off : off + spb]
+        if len(chunk) < spb:
+            chunk = chunk + [chunk[-1]] * (spb - len(chunk))
+        c16 = lambda v: max(-32768, min(32767, int(v)))  # noqa: E731
+        pred, idx = c16(chunk[0]), 0
+        recon.append(pred)
+        for s in chunk[1:]:
+            step = codecs.IMA_STEP_TABLE[idx]
+            diff = c16(s) - pred
+            nib = 0
+            if diff < 0:
+                nib, diff = 8, -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred = codecs._ima_reconstruct(pred, step, nib)
+            idx = max(0, min(88, idx + codecs.IMA_INDEX_TABLE[nib]))
+            recon.append(pred)
+    assert got == recon
+
+
+def test_ima_adpcm_rejects_stereo_pcm_and_truncation():
+    sig = list(range(0, 500, 1))
+    wav = bytearray(codecs.encode_wav_ima_adpcm(sig))
+    with pytest.raises(ValueError, match="RIFF"):
+        codecs.decode_wav_ima_adpcm(b"RIFX" + bytes(wav[4:]))
+    fmt_off = bytes(wav).find(b"fmt ") + 8
+    pcm = bytearray(wav)
+    pcm[fmt_off] = 0x01  # PCM tag
+    with pytest.raises(ValueError, match="format tag"):
+        codecs.decode_wav_ima_adpcm(bytes(pcm))
+    stereo = bytearray(wav)
+    stereo[fmt_off + 2] = 2
+    with pytest.raises(ValueError, match="mono"):
+        codecs.decode_wav_ima_adpcm(bytes(stereo))
+
+
+def test_decode_audio_dispatches_pcm_and_adpcm():
+    from better_cdc_spark import llmops
+
+    pcm = codecs.encode_wav(bytes(range(64)), framerate=8000)
+    assert llmops.decode_audio(pcm)["n_frames"] == 64
+    adpcm = codecs.encode_wav_ima_adpcm([0, 1, 2, 3] * 200)
+    assert llmops.decode_audio(adpcm)["n_samples"] >= 800
+    with pytest.raises(NotImplementedError):
+        llmops.decode_audio(b"ID3\x04mp3data")
