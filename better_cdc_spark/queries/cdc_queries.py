@@ -1791,3 +1791,97 @@ def qc21_socket_replication_source(spark: SparkSession, sf_dir: str) -> DataFram
         F.element_at("after", "status").alias("after_status"),
         F.element_at("before", "id").alias("before_id"),
     )
+
+
+@query(
+    "qc22_socket_publish_sink",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT event_id, subject
+    FROM envelope
+    WHERE txid % 20 = 0
+    """,
+    tags=("cdc", "sink", "publish", "socket", "network"),
+)
+def qc22_socket_publish_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC publish over a REAL TCP broker socket (R11, network-proven) —
+    the sink-side sibling of qc21: the reference's main loop (normalize
+    → ordered ack-gated publish → checkpoint on full resolution,
+    engine.go:447-534) driven end-to-end over an actual network link.
+
+    The qc01 envelope slice (every 20th transaction, ~600 events at
+    sf0.01 — the engine is per-item ordered, so the slice keeps the
+    serial leg honest but bounded) is batched on COMMIT BOUNDARIES
+    (one batch per txid, the reference's batching model) and published
+    through OrderedPublishEngine + SocketPublishTransport against an
+    in-process FakeBrokerServer scripted to fail every 13th event once
+    with a transient error — the engine must retry over the wire and
+    still deliver IN ORDER. Every batch must fully resolve and
+    checkpoint its commit position; the returned DataFrame is the
+    DISTINCT (event_id, subject) set the broker actually received,
+    compared against qc01's envelope derivation — a dropped event, a
+    poison misclassification, or a subject mis-route hash-mismatches,
+    and a duplicate DELIVERY would too (retries of un-acked publishes
+    are legal at-least-once wire traffic; the distinct is the broker's
+    msg-id dedup, qc11's contract).
+
+    Scale shape: the publish loop is driver-side over the COLLECTED
+    bounded batch exactly like the reference (batch dial 500,
+    config.go); normalize and the result compare stay distributed.
+    """
+    import time as _time
+
+    from better_cdc_spark.streaming.publish_retry import (
+        OrderedPublishEngine,
+        PublishItem,
+        publish_and_checkpoint,
+    )
+    from better_cdc_spark.streaming.socket_broker import (
+        BrokerScript,
+        FakeBrokerServer,
+        SocketPublishTransport,
+    )
+
+    tune_for_oracle(spark)
+    ev = _normalized(spark, sf_dir).filter(F.col("txid") % 20 == 0)
+    rows = (
+        ev.select("event_id", "subject", "lsn", "txid")
+        .collect()  # bounded: the reference's per-batch publish model
+    )
+    rows.sort(key=lambda r: (int(r["txid"]), r["event_id"]))
+    # one publish batch per commit (txid), in commit order
+    batches: dict[int, list[PublishItem]] = {}
+    for r in rows:
+        batches.setdefault(int(r["txid"]), []).append(
+            PublishItem(
+                subject=r["subject"],
+                event_id=r["event_id"],
+                payload=r["event_id"].encode(),
+                position=r["lsn"],
+            )
+        )
+    script = BrokerScript(
+        fail_first={r["event_id"]: 1 for i, r in enumerate(rows) if i % 13 == 0}
+    )
+    checkpoints: list[str] = []
+    engine = OrderedPublishEngine(
+        max_publish_retries=3,
+        publish_timeout_s=10.0,
+        sleep=lambda s: _time.sleep(min(s, 0.002)),  # compress backoff
+    )
+    with FakeBrokerServer(script) as srv:
+        with SocketPublishTransport("127.0.0.1", srv.port) as tp:
+            for txid in sorted(batches):
+                items = batches[txid]
+                result = publish_and_checkpoint(
+                    engine, tp, items,
+                    commit_position=items[-1].position,
+                    checkpoint_cb=checkpoints.append,
+                )
+                assert result.is_complete(), f"tx {txid} failed: {result.first_error}"
+        delivered = list(dict.fromkeys(srv.received))  # broker msg-id dedup
+    assert len(checkpoints) == len(batches), "a resolved batch must checkpoint"
+    assert engine.retry_count >= len(script.fail_first), "fail-nth never fired"
+    return spark.createDataFrame(
+        [(e, s) for s, e in delivered], "event_id string, subject string"
+    ).repartition(spark.sparkContext.defaultParallelism)
