@@ -1140,3 +1140,127 @@ def qm04_txlog_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return table.read().groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "qm05_streaming_lsh_dedup",
+    tags=("streaming", "llm", "dedup", "minhash", "incremental"),
+)
+def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental MinHash-LSH near-dup dedup — q95aa's
+    batch-incremental algorithm in its production harness: a Structured
+    Streaming file source delivers document batches (maxFilesPerTrigger
+    = 1 → one micro-batch per arrival file) and foreachBatch runs the
+    per-batch step — sign the batch once, PROBE the persisted
+    pb-partitioned band index (file-listing-time pruning), union
+    within-batch candidates from the band self-join, append discovered
+    pairs to a result sink, append the batch's rows to the index. The
+    corpus is never re-scanned; per-epoch cost is O(batch + probed
+    files + candidates) — the continuously-crawling 100 TB form.
+
+    The correctness theorem rides IN-QUERY: every unordered pair has
+    exactly one discovery event regardless of epoch order, so the union
+    over epochs must EQUAL the one-shot candidate set over the whole
+    corpus — asserted here against llmops.minhash_candidate_pairs
+    before returning, then exact-Jaccard verified over involved docs
+    only. Rows-only for the driver (banding is engine-seeded; emitted
+    pairs are guaranteed true positives); the batch-side equality and
+    pruning plans are pinned by q95aa's tests.
+    """
+    from better_cdc_spark import llmops
+    from better_cdc_spark.queries.llm import JACCARD_THRESHOLD
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    arrivals = scratch_dir("qm05_arrivals")
+    for b in range(3):  # three arrival files = three micro-batches
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    index_dir = scratch_dir("qm05_band_index")
+    cand_dir = scratch_dir("qm05_candidates")
+    _open_cost_key = "spark.sql.files.openCostInBytes"
+    _prev = spark.conf.get(_open_cost_key, None)
+    spark.conf.set(_open_cost_key, str(64 * 1024))
+    import os
+
+    def lsh_step(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = llmops.lsh_band_rows(batch_df).localCheckpoint(eager=True)
+        cands = None
+        if os.path.isdir(index_dir) and any(
+            f for f in os.listdir(index_dir) if not f.startswith("_")
+        ):
+            probe_pbs = [r["pb"] for r in rows.select("pb").distinct().collect()]
+            idx = spark.read.parquet(index_dir).filter(F.col("pb").isin(probe_pbs))
+            cands = (
+                idx.select(F.col("doc_id").alias("doc_a"), "band", "key")
+                .join(
+                    rows.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+                    ["band", "key"],
+                )
+                .select("doc_a", "doc_b")
+            )
+        a, bb = rows.alias("a"), rows.alias("b")
+        within = a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        cands = within if cands is None else cands.unionByName(within)
+        (
+            cands.select(
+                F.least("doc_a", "doc_b").alias("lo"),
+                F.greatest("doc_a", "doc_b").alias("hi"),
+            )
+            .select(F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"))
+            .distinct()
+            .write.mode("append").parquet(cand_dir)  # sink BEFORE index grows
+        )
+        rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(index_dir)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(lsh_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm05_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    if _prev is None:
+        spark.conf.unset(_open_cost_key)
+    else:
+        spark.conf.set(_open_cost_key, _prev)
+
+    streamed = spark.read.parquet(cand_dir).localCheckpoint(eager=True)
+    # the theorem, asserted: streamed discovery == one-shot candidates
+    one_shot = llmops.minhash_candidate_pairs(docs, "doc_id").localCheckpoint(
+        eager=True
+    )
+    n_stream, n_one = streamed.count(), one_shot.count()
+    n_common = streamed.join(one_shot, ["doc_a", "doc_b"]).count()
+    if not (n_stream == n_one == n_common):
+        raise AssertionError(
+            f"streamed candidates diverged: {n_stream} vs one-shot {n_one},"
+            f" common {n_common}"
+        )
+    involved = (
+        streamed.select(F.col("doc_a").alias("doc_id"))
+        .union(streamed.select("doc_b"))
+        .distinct()
+    )
+    postings = llmops.shingle_postings(
+        docs.join(involved, "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
+    verified = llmops.jaccard_for_pairs(postings, streamed, materialize=False)
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
