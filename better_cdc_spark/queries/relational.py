@@ -3794,3 +3794,59 @@ def q27c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_purchase_id",
         F.col("asof_p_value").alias("asof_value"),
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk(ckey, cur, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 256
+  UNION ALL
+  SELECT ckey, CAST(floor(cur / 2.0) AS BIGINT), depth + 1 FROM walk WHERE cur > 1
+)
+SELECT ckey, MAX(depth) AS depth_to_root, COUNT(*) AS n_nodes
+FROM walk GROUP BY ckey
+"""
+
+
+@query("q79_recursive_cte", oracle=_RECURSIVE_SQL, tags=("sql", "recursive"))
+def q79_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (SPARK-24497, new in Spark 4.x) — iterative
+    hierarchy walk as a first-class SQL construct: each customer key
+    ascends its binary ancestor chain (parent = floor(k/2)) to the
+    root, producing depth and visited-node counts. The SAME SQL text
+    runs on both engines, pinning UNION ALL recursion semantics,
+    per-iteration column typing (the floor/CAST keeps the division
+    integral and engine-agnostic), and termination via the recursive
+    branch's predicate.
+
+    Scale shape: Spark executes recursion as iterated unions with the
+    anchor distributed — each step is an ordinary narrow map over the
+    frontier (no joins here), state bounded by the frontier size; depth
+    is logarithmic in the key domain. The reference has no recursion
+    anywhere — this is north-star SQL surface.
+    """
+    return _sql_query(spark, sf_dir, _RECURSIVE_SQL, "customer")
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.total_cents
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+  FROM orders WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 200
+"""
+
+
+@query("q26c_lateral_topk", oracle=_LATERAL_SQL, tags=("join", "lateral", "sql"))
+def q26c_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT (SPARK-34382)
+    — per-row top-k as a join-shaped SQL construct, the declarative twin
+    of q52's window-rank formulation. Identical SQL text on both
+    engines pins Catalyst's decorrelation of a LIMIT-bearing lateral
+    (rewritten to a ranked window under the hood) against DuckDB's
+    native lateral execution; the deterministic (price, key) tie-break
+    makes the hash compare exact.
+    """
+    return _sql_query(spark, sf_dir, _LATERAL_SQL, "customer", "orders")
