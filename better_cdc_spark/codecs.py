@@ -593,25 +593,33 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.stack([_half_up_u8(r), _half_up_u8(g), _half_up_u8(b)], axis=-1)
 
 
-def encode_jpeg_ycbcr_420(
+def encode_jpeg_ycbcr(
     width: int,
     height: int,
     y: np.ndarray,
     cb: np.ndarray,
     cr: np.ndarray,
+    h: int = 2,
+    v: int = 2,
     quant_luma: np.ndarray = DEFAULT_QUANT,
     quant_chroma: np.ndarray = DEFAULT_QUANT,
 ) -> bytes:
-    """Baseline JFIF 4:2:0 color encoder from ALREADY-SUBSAMPLED planes:
-    y is (height, width), cb/cr are (height/2, width/2); dimensions must
-    be multiples of 16 (fixture constraint, like the grayscale encoder).
-    Components: Y id 1 sampling 2×2 quant 0 tables (0,0); Cb/Cr ids 2/3
-    sampling 1×1 quant 1 tables (1,1) — the ubiquitous web-JPEG layout."""
-    if width % 16 or height % 16:
-        raise ValueError("encoder fixture requires multiple-of-16 dimensions")
-    half = (height // 2, width // 2)
-    if y.shape != (height, width) or cb.shape != half or cr.shape != half:
-        raise ValueError("plane shapes do not match 4:2:0 layout")
+    """Baseline JFIF color encoder from ALREADY-SUBSAMPLED planes, with
+    configurable luma sampling (h, v) ∈ {1, 2}²: (2,2) is 4:2:0, (2,1)
+    is 4:2:2, (1,2) is 4:4:0, (1,1) is 4:4:4. Chroma is always one 8×8
+    data unit per MCU; plane shapes are y (height, width) and cb/cr
+    (height/v, width/h); dimensions must be multiples of the MCU size
+    (8h × 8v — fixture constraint, like the grayscale encoder).
+    Components: Y id 1 quant 0 tables (0,0); Cb/Cr ids 2/3 quant 1
+    tables (1,1) — the ubiquitous web-JPEG layout."""
+    if h not in (1, 2) or v not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    mcu_w, mcu_h = 8 * h, 8 * v
+    if width % mcu_w or height % mcu_h:
+        raise ValueError(f"encoder fixture requires multiple-of-{mcu_w}x{mcu_h} dimensions")
+    sub = (height // v, width // h)
+    if y.shape != (height, width) or cb.shape != sub or cr.shape != sub:
+        raise ValueError("plane shapes do not match the sampling layout")
     qly = quant_luma[ZIGZAG.argsort()].reshape(8, 8)
     qlc = quant_chroma[ZIGZAG.argsort()].reshape(8, 8)
     m = _dct_basis()
@@ -622,15 +630,15 @@ def encode_jpeg_ycbcr_420(
     cbf = cb.astype(np.float64) - 128.0
     crf = cr.astype(np.float64) - 128.0
     dc = {"y": 0, "cb": 0, "cr": 0}
-    for my in range(0, height, 16):
-        for mx in range(0, width, 16):
-            for dy in (0, 8):  # four Y data units, left-to-right top-to-bottom
-                for dx in (0, 8):
+    for my in range(0, height, mcu_h):
+        for mx in range(0, width, mcu_w):
+            for dy in range(0, mcu_h, 8):  # v×h Y data units, raster order
+                for dx in range(0, mcu_w, 8):
                     dc["y"] = _encode_block(
                         w, yf[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
                         qly, m, dc_codes, ac_codes, dc["y"],
                     )
-            cy, cx = my // 2, mx // 2
+            cy, cx = my // v, mx // h
             dc["cb"] = _encode_block(
                 w, cbf[cy : cy + 8, cx : cx + 8], qlc, m, dc_codes, ac_codes, dc["cb"]
             )
@@ -644,12 +652,12 @@ def encode_jpeg_ycbcr_420(
 
     out = b"\xff\xd8"
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(int(v) for v in quant_luma))
-    out += seg(0xDB, b"\x01" + bytes(int(v) for v in quant_chroma))
+    out += seg(0xDB, b"\x00" + bytes(int(v_) for v_ in quant_luma))
+    out += seg(0xDB, b"\x01" + bytes(int(v_) for v_ in quant_chroma))
     out += seg(
         0xC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + b"\x01\x22\x00"  # Y: 2x2, quant 0
+        + bytes((0x01, (h << 4) | v, 0x00))  # Y: h×v, quant 0
         + b"\x02\x11\x01"  # Cb: 1x1, quant 1
         + b"\x03\x11\x01",  # Cr: 1x1, quant 1
     )
@@ -661,6 +669,22 @@ def encode_jpeg_ycbcr_420(
     out += ecs
     out += b"\xff\xd9"
     return out
+
+
+def encode_jpeg_ycbcr_420(
+    width: int,
+    height: int,
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    quant_luma: np.ndarray = DEFAULT_QUANT,
+    quant_chroma: np.ndarray = DEFAULT_QUANT,
+) -> bytes:
+    """4:2:0 convenience wrapper over encode_jpeg_ycbcr (h=2, v=2)."""
+    return encode_jpeg_ycbcr(
+        width, height, y, cb, cr, h=2, v=2,
+        quant_luma=quant_luma, quant_chroma=quant_chroma,
+    )
 
 
 def encode_jpeg_color_420(width: int, height: int, rgb: bytes) -> bytes:
@@ -678,18 +702,20 @@ def encode_jpeg_color_420(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def decode_jpeg_color(payload: bytes) -> dict:
-    """Baseline JFIF 4:2:0 color decoder: full marker parse, per-
+    """Baseline JFIF color decoder: full marker parse, per-
     component quant/huffman table selection, MCU-interleaved huffman
     decode with per-component DC prediction, dequant + float IDCT per
     plane, integer plane quantization, 2× nearest-neighbor chroma
     upsampling, YCbCr→RGB.
 
-    Returns {width, height, pixels: interleaved RGB bytes}. Raises on
-    progressive, restart intervals, or sampling layouts other than
-    2×2/1×1/1×1 (honest capability boundary — 4:2:2 and 4:4:4 change
-    only the MCU geometry; adding them is plumbing, not new machinery).
-    Closes the round-5 seam note "4:2:0 chroma-subsampled JPEG (what
-    real web images are)" (llmops deploy-seam list)."""
+    Returns {width, height, pixels: interleaved RGB bytes}. Handles any
+    per-component sampling factors in {1, 2} — 4:2:0 (2×2/1×1/1×1),
+    4:2:2 (2×1), 4:4:0 (1×2), 4:4:4 (1×1) — with spec A.2.3 MCU
+    geometry (v_i × h_i data units per component per MCU, raster order)
+    and per-component nearest-neighbor upsampling to the luma grid.
+    Raises on progressive, restart intervals, and factors > 2 (honest
+    capability boundary). Closes the round-5 seam note "4:2:0
+    chroma-subsampled JPEG (what real web images are)"."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -730,8 +756,12 @@ def decode_jpeg_color(payload: bytes) -> dict:
                 (body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
                 for i in range(3)
             ]
-            if [hv for _, hv, _ in comps] != [0x22, 0x11, 0x11]:
-                raise ValueError("only 4:2:0 (2x2/1x1/1x1) supported")
+            for _cid, hv, _tq in comps:
+                if (hv >> 4) not in (1, 2) or (hv & 0x0F) not in (1, 2):
+                    raise ValueError(
+                        f"sampling factor {hv >> 4}x{hv & 0x0F} unsupported"
+                        " (1 or 2 per axis)"
+                    )
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -758,13 +788,17 @@ def decode_jpeg_color(payload: bytes) -> dict:
     eoi = payload.rfind(b"\xff\xd9")
     r = _BitReader(payload[ecs_start : eoi if eoi > 0 else len(payload)])
     m = _dct_basis()
-    mcx, mcy = (width + 15) // 16, (height + 15) // 16
-    planes = {
-        "y": np.zeros((mcy * 16, mcx * 16), dtype=np.float64),
-        "cb": np.zeros((mcy * 8, mcx * 8), dtype=np.float64),
-        "cr": np.zeros((mcy * 8, mcx * 8), dtype=np.float64),
-    }
     names = ["y", "cb", "cr"]
+    hs = {n: (hv >> 4) for n, (_c, hv, _t) in zip(names, comps)}
+    vs = {n: (hv & 0x0F) for n, (_c, hv, _t) in zip(names, comps)}
+    hmax, vmax = max(hs.values()), max(vs.values())
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcx = (width + mcu_w - 1) // mcu_w
+    mcy = (height + mcu_h - 1) // mcu_h
+    planes = {
+        n: np.zeros((mcy * 8 * vs[n], mcx * 8 * hs[n]), dtype=np.float64)
+        for n in names
+    }
     q2d = {}
     tables = {}
     prev = {"y": 0, "cb": 0, "cr": 0}
@@ -782,20 +816,29 @@ def decode_jpeg_color(payload: bytes) -> dict:
             coef.reshape(8, 8) * q2d[name]
         ) @ m
 
+    # MCU geometry per spec A.2.3: each component contributes v_i × h_i
+    # data units per MCU, raster order, components in scan order
     for my in range(mcy):
         for mx in range(mcx):
-            for dy in (0, 8):
-                for dx in (0, 8):
-                    one_block("y", my * 16 + dy, mx * 16 + dx)
-            one_block("cb", my * 8, mx * 8)
-            one_block("cr", my * 8, mx * 8)
+            for n in names:
+                for dy in range(vs[n]):
+                    for dx in range(hs[n]):
+                        one_block(
+                            n, (my * vs[n] + dy) * 8, (mx * hs[n] + dx) * 8
+                        )
     # integer plane quantization BEFORE color conversion (see module
-    # note — absorbs IDCT fp noise, makes the color math bit-exact)
-    y8 = _half_up_u8(planes["y"] + 128.0)[:height, :width]
-    cb8 = _half_up_u8(planes["cb"] + 128.0)
-    cr8 = _half_up_u8(planes["cr"] + 128.0)
-    up = lambda p: np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)  # noqa: E731
-    rgb = ycbcr_to_rgb(y8, up(cb8)[:height, :width], up(cr8)[:height, :width])
+    # note — absorbs IDCT fp noise, makes the color math bit-exact),
+    # then per-component nearest-neighbor upsampling to the luma grid
+    def up_to_full(name: str) -> np.ndarray:
+        p = _half_up_u8(planes[name] + 128.0)
+        ry, rx = vmax // vs[name], hmax // hs[name]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        return p[:height, :width]
+
+    rgb = ycbcr_to_rgb(up_to_full("y"), up_to_full("cb"), up_to_full("cr"))
     return {
         "width": int(width),
         "height": int(height),

@@ -5902,3 +5902,92 @@ def q99j_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode, "doc_id bigint, n_samples bigint, framerate int, checksum bigint"
     )
+
+
+@query(
+    "q99k_jpeg_422_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 2 AS wb FROM documents),
+    px AS (
+      SELECT doc_id, 16 * wb AS width, t.y, s.x,
+             (doc_id * 29 + ((t.y // 8) * wb + (s.x // 16)) * 53) % 256 AS yv,
+             (doc_id * 19 + ((t.y // 8) * wb + (s.x // 16)) * 37) % 256 AS cbv,
+             (doc_id * 23 + ((t.y // 8) * wb + (s.x // 16)) * 47) % 256 AS crv
+      FROM d,
+           UNNEST(range(16)) AS t(y),
+           UNNEST(range(16 * wb)) AS s(x)
+    ),
+    rgb AS (
+      SELECT doc_id, width, y, x,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.402 * (crv - 128) + 0.5) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cbv - 128) + 0.5) AS BIGINT))) AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(width) AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(SUM(  r * ((3 * (y * width + x))     % 97 + 1)
+                    + g * ((3 * (y * width + x) + 1) % 97 + 1)
+                    + b * ((3 * (y * width + x) + 2) % 97 + 1)) AS BIGINT) AS checksum
+    FROM rgb GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "jpeg", "color", "422"),
+)
+def q99k_jpeg_422_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING 4:2:2 chroma-subsampled JPEG decode — the generalized
+    MCU geometry (spec A.2.3) as driver-verified surface: Y at 2×1
+    sampling (two data units per 16×8 MCU), chroma horizontally
+    subsampled only. Same exactness contract as q99h (MCU-constant
+    integer YCbCr survives the lossy path; horizontal upsample of a
+    constant is exact) with a DIFFERENT interleave order and upsample
+    axis, so an MCU-walk or axis mix-up that happens to pass 4:2:0
+    cannot pass here. Closed-form RGB oracle; 4:4:0/4:4:4 variants are
+    property-tested in tests/test_codecs.py.
+
+    Narrow Arrow maps end-to-end, no shuffle (plan pinned with q99h).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import decode_jpeg_color, encode_jpeg_ycbcr
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                wb = 2 + d % 2
+                i = np.arange(wb * 2, dtype=np.int64).reshape(2, wb)
+                yv = (d * 29 + i * 53) % 256
+                cbv = (d * 19 + i * 37) % 256
+                crv = (d * 23 + i * 47) % 256
+                y = np.kron(yv, np.ones((8, 16), np.int64)).astype(np.uint8)
+                cb = np.kron(cbv, np.ones((8, 8), np.int64)).astype(np.uint8)
+                cr = np.kron(crv, np.ones((8, 8), np.int64)).astype(np.uint8)
+                payloads.append(
+                    encode_jpeg_ycbcr(wb * 16, 16, y, cb, cr, h=2, v=1)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_jpeg_color(bytes(payload))
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8).astype(np.int64)
+                weights = np.arange(px.size, dtype=np.int64) % 97 + 1
+                rows.append(
+                    (int(d), meta["width"], meta["height"], int(px @ weights))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "checksum"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode, "doc_id bigint, width int, height int, checksum bigint"
+    )

@@ -353,12 +353,12 @@ def test_jpeg_420_rejects_other_layouts_and_features():
     gray = codecs.encode_jpeg_gray(8, 8, np.full((8, 8), 5, np.uint8).tobytes())
     with pytest.raises(ValueError, match="3-component"):
         codecs.decode_jpeg_color(gray)
-    # flip Y sampling 2x2 -> 1x1 (4:4:4): honest capability boundary
+    # sampling factors above 2: honest capability boundary
     sof = payload.find(b"\xff\xc0")
-    p444 = bytearray(payload)
-    p444[sof + 4 + 7] = 0x11  # comp 0 hv byte inside SOF0 body
-    with pytest.raises(ValueError, match="4:2:0"):
-        codecs.decode_jpeg_color(bytes(p444))
+    p4x = bytearray(payload)
+    p4x[sof + 4 + 7] = 0x41  # comp 0 h=4
+    with pytest.raises(ValueError, match="sampling factor"):
+        codecs.decode_jpeg_color(bytes(p4x))
     # progressive flip
     pprog = bytearray(payload)
     pprog[sof + 1] = 0xC2
@@ -502,3 +502,69 @@ def test_decode_audio_dispatches_pcm_and_adpcm():
     assert llmops.decode_audio(adpcm)["n_samples"] >= 800
     with pytest.raises(NotImplementedError):
         llmops.decode_audio(b"ID3\x04mp3data")
+
+
+@pytest.mark.parametrize("h,v", [(2, 1), (1, 2), (1, 1)])
+def test_jpeg_422_440_444_constant_mcus_roundtrip_exactly(h, v):
+    """The generic MCU geometry (spec A.2.3): 4:2:2 (2x1), 4:4:0 (1x2)
+    and 4:4:4 (1x1) layouts all decode MCU-constant integer YCbCr
+    exactly, with per-component upsampling to the luma grid."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    mcu_w, mcu_h = 8 * h, 8 * v
+    wb, hb = 3, 2  # 3x2 MCUs
+    W_, H_ = wb * mcu_w, hb * mcu_h
+    yv = rng.randint(0, 256, (hb, wb))
+    cbv = rng.randint(0, 256, (hb, wb))
+    crv = rng.randint(0, 256, (hb, wb))
+    y = np.kron(yv, np.ones((mcu_h, mcu_w), np.int64)).astype(np.uint8)
+    cb = np.kron(cbv, np.ones((8, 8), np.int64)).astype(np.uint8)
+    cr = np.kron(crv, np.ones((8, 8), np.int64)).astype(np.uint8)
+    payload = codecs.encode_jpeg_ycbcr(W_, H_, y, cb, cr, h=h, v=v)
+    d = codecs.decode_jpeg_color(payload)
+    assert (d["width"], d["height"]) == (W_, H_)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(H_, W_, 3)
+    up = lambda p: np.repeat(np.repeat(p, v, 0), h, 1)  # noqa: E731
+    exp = codecs.ycbcr_to_rgb(y, up(cb), up(cr))
+    assert (got == exp).all()
+
+
+def test_jpeg_422_general_image_matches_independent_reconstruction():
+    """4:2:2 with nonzero AC: decode equals an independent numpy
+    reconstruction (per-plane quantized DCT roundtrip + horizontal-only
+    chroma upsample + the shared color transform)."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    H_, W_ = 16, 48
+    img = rng.randint(0, 256, (H_, W_, 3)).astype(np.uint8)
+    y, cb, cr = codecs.rgb_to_ycbcr(img)
+    # horizontal 2:1 box average for 4:2:2 chroma
+    box_h = lambda p: codecs._half_up_u8(  # noqa: E731
+        (p[:, 0::2].astype(np.float64) + p[:, 1::2].astype(np.float64)) / 2.0
+    )
+    cb2, cr2 = box_h(cb), box_h(cr)
+    payload = codecs.encode_jpeg_ycbcr(W_, H_, y, cb2, cr2, h=2, v=1)
+    got = np.frombuffer(
+        codecs.decode_jpeg_color(payload)["pixels"], dtype=np.uint8
+    ).reshape(H_, W_, 3)
+
+    m = codecs._dct_basis()
+
+    def plane_roundtrip(plane):
+        q2d = codecs.DEFAULT_QUANT[codecs.ZIGZAG.argsort()].reshape(8, 8)
+        out = np.zeros(plane.shape)
+        for by in range(0, plane.shape[0], 8):
+            for bx in range(0, plane.shape[1], 8):
+                b = plane[by:by + 8, bx:bx + 8].astype(np.float64) - 128
+                qc = np.round((m @ b @ m.T) / q2d) * q2d
+                out[by:by + 8, bx:bx + 8] = m.T @ qc @ m
+        return codecs._half_up_u8(out + 128)
+
+    exp = codecs.ycbcr_to_rgb(
+        plane_roundtrip(y),
+        np.repeat(plane_roundtrip(cb2), 2, axis=1),
+        np.repeat(plane_roundtrip(cr2), 2, axis=1),
+    )
+    assert (got == exp).all()
