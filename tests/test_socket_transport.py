@@ -267,3 +267,72 @@ def test_partial_failure_does_not_checkpoint_over_socket():
             )
     assert result.is_complete()
     assert ckpts == ["0/FF"]
+
+
+def test_end_to_end_wal_to_broker_relay_with_ack_gated_checkpoint():
+    """The reference's main loop over TWO real sockets (engine.go's
+    read→publish→ack→checkpoint cycle): frames stream from the WAL
+    socket, batches publish through the ordered engine to the broker
+    socket (one scripted transient failure → retry over the wire), and
+    the replication ack advances ONLY after the batch fully resolves —
+    so the WAL server's confirmed_flush can never pass an unpublished
+    position."""
+    wal = [(2000 + i, f"ev-{i}".encode()) for i in range(12)]
+    broker_script = BrokerScript(fail_first={"ev-5": 1})
+    with FakeWalServer(wal, keepalive_every=5) as wsrv:
+        with FakeBrokerServer(broker_script) as bsrv:
+            with SocketPublishTransport("127.0.0.1", bsrv.port) as tp:
+                wire = connect_wire(
+                    "127.0.0.1", wsrv.port,
+                    start_replication_command("slot1", "0/0"),
+                )
+                session = ReplicationSession(wire, standby_timeout_s=5.0)
+                engine = fast_engine(max_publish_retries=2, publish_timeout_s=2.0)
+                batch, published_hwm = [], []
+
+                def flush_batch():
+                    result = engine.publish_with_retry(tp, batch)
+                    assert result.is_complete(), result.first_error
+                    # checkpoint gate: ack the batch's LAST position only
+                    # now that every item resolved
+                    session.set_acked_position(batch[-1].position)
+                    published_hwm.append(batch[-1].position)
+                    batch.clear()
+
+                for frame in session.poll():
+                    batch.append(
+                        PublishItem(
+                            subject="cdc.testdb.public.orders",
+                            event_id=frame.payload.decode(),
+                            payload=frame.payload,
+                            position=lsn_to_str(frame.wal_start),
+                        )
+                    )
+                    if len(batch) == 4:
+                        flush_batch()
+                if batch:
+                    flush_batch()
+                assert session.ended
+                wire.close()
+
+            # broker saw every event, in order, with exactly one retry
+            eids = [e for _, e in bsrv.received]
+            assert [e for e in eids if eids.count(e) == 1 or e != "ev-5"]
+            assert [e for e in dict.fromkeys(eids)] == [f"ev-{i}" for i in range(12)]
+            assert bsrv.attempts("ev-5") == 2
+
+        # the WAL server's acked positions never outran publishing:
+        # every standby status carries a batch-boundary LSN
+        statuses = [
+            s.flush_lsn
+            for rec in wsrv.connections
+            for s in rec.standby_statuses
+            if s.flush_lsn
+        ]
+        from better_cdc_spark.cdc.replication import lsn_to_int
+
+        boundaries = {lsn_to_int(p) for p in published_hwm} | {0}
+        assert set(statuses) <= boundaries
+        assert wait_until(
+            lambda: wsrv.confirmed_flush() == lsn_to_str(wal[-1][0])
+        ) or wsrv.confirmed_flush() == lsn_to_str(wal[-1][0])
