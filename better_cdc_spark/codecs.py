@@ -300,6 +300,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.buf)
 
+    def restart_marker(self, counter: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTn — raw, never
+        byte-stuffed (markers are the one legal unstuffed 0xFF)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (counter % 8)])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
@@ -387,14 +395,36 @@ class _BitReader:
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
-                # 0xFF00 is a stuffed literal; any other marker ends the scan
+                # 0xFF00 is a stuffed literal; any other marker pauses the
+                # bit stream NON-destructively (restart markers resume it
+                # via sync_restart; anything else ends the scan)
                 if self.pos < len(self.data) and self.data[self.pos] == 0x00:
                     self.pos += 1
                 else:
-                    self.pos = len(self.data)
+                    self.pos -= 1  # leave the marker in place
                     break
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+
+    def sync_restart(self, counter: int) -> None:
+        """Byte-align and consume the expected RSTn marker (spec E.2.4):
+        discard the previous interval's padding bits, require the marker
+        sequence number to match counter mod 8 (a mismatch means a
+        corrupted or mis-counted stream)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            if (self.data[self.pos + 1] & 7) != counter % 8:
+                raise ValueError(
+                    f"restart marker out of sequence at byte {self.pos}"
+                )
+            self.pos += 2
+            return
+        raise ValueError(f"missing restart marker at byte {self.pos}")
 
     def bits(self, n: int) -> int:
         if n == 0:
@@ -603,6 +633,7 @@ def encode_jpeg_ycbcr(
     v: int = 2,
     quant_luma: np.ndarray = DEFAULT_QUANT,
     quant_chroma: np.ndarray = DEFAULT_QUANT,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF color encoder from ALREADY-SUBSAMPLED planes, with
     configurable luma sampling (h, v) ∈ {1, 2}²: (2,2) is 4:2:0, (2,1)
@@ -630,8 +661,15 @@ def encode_jpeg_ycbcr(
     cbf = cb.astype(np.float64) - 128.0
     crf = cr.astype(np.float64) - 128.0
     dc = {"y": 0, "cb": 0, "cr": 0}
+    mcu_n = rst = 0
     for my in range(0, height, mcu_h):
         for mx in range(0, width, mcu_w):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # byte-align + RSTn, then reset every DC predictor (E.2.4)
+                w.restart_marker(rst)
+                rst += 1
+                dc = {"y": 0, "cb": 0, "cr": 0}
+            mcu_n += 1
             for dy in range(0, mcu_h, 8):  # v×h Y data units, raster order
                 for dx in range(0, mcu_w, 8):
                     dc["y"] = _encode_block(
@@ -654,6 +692,8 @@ def encode_jpeg_ycbcr(
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, b"\x00" + bytes(int(v_) for v_ in quant_luma))
     out += seg(0xDB, b"\x01" + bytes(int(v_) for v_ in quant_chroma))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(
         0xC0,
         struct.pack(">BHHB", 8, height, width, 3)
@@ -722,6 +762,7 @@ def decode_jpeg_color(payload: bytes) -> dict:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (component id, hv, quant id)
     scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc id, ac id)
     ecs_start = None
@@ -747,7 +788,7 @@ def decode_jpeg_color(payload: bytes) -> dict:
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xC0:
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or ncomp != 3:
@@ -817,9 +858,18 @@ def decode_jpeg_color(payload: bytes) -> dict:
         ) @ m
 
     # MCU geometry per spec A.2.3: each component contributes v_i × h_i
-    # data units per MCU, raster order, components in scan order
+    # data units per MCU, raster order, components in scan order; with a
+    # DRI interval, every boundary consumes an RSTn and resets the DC
+    # predictors (what real encoders emit for error resilience)
+    mcu_n = rst = 0
     for my in range(mcy):
         for mx in range(mcx):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                r.sync_restart(rst)
+                rst += 1
+                for n in names:
+                    prev[n] = 0
+            mcu_n += 1
             for n in names:
                 for dy in range(vs[n]):
                     for dx in range(hs[n]):

@@ -568,3 +568,38 @@ def test_jpeg_422_general_image_matches_independent_reconstruction():
         np.repeat(plane_roundtrip(cr2), 2, axis=1),
     )
     assert (got == exp).all()
+
+
+def test_jpeg_restart_intervals_decode_identically_and_out_of_sync_raises():
+    """DRI/RSTn (spec E.2.4) — what real encoders emit for error
+    resilience: byte-aligned restart markers every N MCUs with DC
+    predictor resets. A restart stream must decode bit-identically to
+    its marker-free sibling; a marker out of sequence must raise."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    H_, W_ = 32, 64
+    img = rng.randint(0, 256, (H_, W_, 3)).astype(np.uint8)
+    y, cb, cr = codecs.rgb_to_ycbcr(img)
+
+    def box2(p):
+        f = p.astype(np.float64)
+        return codecs._half_up_u8(
+            (f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2] + f[1::2, 1::2]) / 4.0
+        )
+
+    plain = codecs.encode_jpeg_ycbcr(W_, H_, y, box2(cb), box2(cr))
+    rst = codecs.encode_jpeg_ycbcr(
+        W_, H_, y, box2(cb), box2(cr), restart_interval=2
+    )
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    assert (
+        codecs.decode_jpeg_color(rst)["pixels"]
+        == codecs.decode_jpeg_color(plain)["pixels"]
+    )
+    # corrupt the first restart marker's sequence number
+    bad = bytearray(rst)
+    i = bad.index(b"\xff\xd0", bad.index(b"\xff\xda"))
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker"):
+        codecs.decode_jpeg_color(bytes(bad))
