@@ -239,13 +239,20 @@ DEFAULT_QUANT[0] = 8
 # from the stream, which keeps it honest for any table): DC = 12 category
 # symbols at code length 4; AC = EOB + ZRL + 160 run/size symbols at code
 # length 8. Single-length canonical tables are valid JPEG (no code is the
-# all-ones pattern: 11 < 15 and 161 < 255).
+# all-ones pattern: 11 < 15 and 175 < 255).
 DC_BITS = [0] * 16
 DC_BITS[3] = 12  # 12 codes of length 4 (bits list is 1-indexed lengths)
 DC_VALS = list(range(12))
 AC_BITS = [0] * 16
-AC_BITS[7] = 162  # 162 codes of length 8
-AC_VALS = [0x00, 0xF0] + [r * 16 + s for r in range(16) for s in range(1, 11)]
+AC_BITS[7] = 176  # 176 codes of length 8 (appending keeps prior codes)
+AC_VALS = (
+    [0x00, 0xF0]
+    + [r * 16 + s for r in range(16) for s in range(1, 11)]
+    # EOBn symbols (r<<4, r=1..14) — progressive AC scans' EOB runs;
+    # appended LAST so canonical assignment of the baseline symbols
+    # (and therefore every baseline stream) is unchanged
+    + [r << 4 for r in range(1, 15)]
+)
 
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -785,7 +792,9 @@ def decode_jpeg_color(payload: bytes) -> dict:
                     body[off + 1 : off + 65], dtype=np.uint8
                 ).astype(np.int64)
                 off += 65
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker == 0xC2:
+            return decode_jpeg_progressive(payload)  # SOF2 → multi-scan path
+        elif marker in (0xC1, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -1376,3 +1385,534 @@ def decode_wav_ima_adpcm(payload: bytes) -> dict:
                 samples.append(predictor)
                 produced += 1
     return {"framerate": int(framerate), "n_samples": len(samples), "samples": samples}
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+#
+# The most common web-JPEG variant after baseline. A progressive stream
+# carries the SAME quantized DCT coefficients as a sequential one, split
+# across multiple scans: DC first (interleaved, optionally bit-truncated
+# by the point transform Al) then refined one bit at a time; AC bands
+# (non-interleaved, one component per scan) first-passed at precision Al
+# with EOB-run coding, then refined via the G.1.2.3 correction-bit
+# algorithm. Decode = accumulate coefficients scan by scan, IDCT once at
+# the end — so a progressive stream must decode BIT-IDENTICALLY to the
+# baseline stream carrying the same coefficients, which is exactly what
+# the tests pin (same fixtures, two codings, equal pixels).
+#
+# The WRITER emits a libjpeg-style scan script (DC w/ successive
+# approximation + per-component AC bands + refinement passes) from the
+# coefficient planes the sequential encoder computes — real multi-scan
+# streams, not a toy single-scan reshuffle. Point-transform semantics
+# follow the spec/libjpeg: DC uses arithmetic shifts (floor), AC uses
+# sign-magnitude truncation toward zero.
+
+def _plane_coefs(plane: np.ndarray, q2d: np.ndarray) -> np.ndarray:
+    """(h/8, w/8, 64) quantized coefficients in ZIGZAG order."""
+    m = _dct_basis()
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((by, bx, 64), dtype=np.int64)
+    f = plane.astype(np.float64) - 128.0
+    for y in range(by):
+        for x in range(bx):
+            coef = m @ f[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] @ m.T
+            out[y, x] = np.round(coef / q2d).astype(np.int64).reshape(64)[ZIGZAG]
+    return out
+
+
+DEFAULT_PROGRESSIVE_SCRIPT = (
+    # (component indices, Ss, Se, Ah, Al) — libjpeg's default shape
+    ((0, 1, 2), 0, 0, 0, 1),   # DC first, approx bit 1
+    ((0,), 1, 5, 0, 2),        # luma low band
+    ((1,), 1, 63, 0, 1),       # chroma full band
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),       # luma high band
+    ((0,), 1, 63, 2, 1),       # luma AC refinement 2→1
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refinement
+    ((0,), 1, 63, 1, 0),       # final AC refinements
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+
+
+def _ac_point(v: int, al: int) -> int:
+    """AC point transform: sign-magnitude truncation toward zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _write_dc_scan(w, comps, coefs, al: int, first: bool, dc_codes, mcu_order):
+    prev = {c: 0 for c in comps}
+    for ci, by, bx in mcu_order:
+        if ci not in prev:
+            continue
+        full = int(coefs[ci][by, bx, 0])
+        if first:
+            val = full >> al  # arithmetic shift (floor), spec G.1.2.1
+            diff = val - prev[ci]
+            prev[ci] = val
+            s = _category(diff)
+            w.put(*dc_codes[s])
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        else:
+            w.put((full >> al) & 1, 1)  # one refinement bit per block
+
+
+def _write_ac_first(w, blocks, ss, se, al, ac_codes):
+    """AC first scan for one component's block list, EOB-run coded."""
+    eobrun = 0
+
+    def flush_eob():
+        # one EOBn symbol encodes the whole run: EOBn covers lengths
+        # [2^r, 2^(r+1)-1] via r extra bits; eobrun is capped at 0x7FFF
+        # (r <= 14) by the callers
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            w.put(*ac_codes[r << 4])
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        band = [(k, _ac_point(int(blk[k]), al)) for k in range(ss, se + 1)]
+        nz = [(k, v) for k, v in band if v != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last_k = ss - 1
+        for k, v in nz:
+            run = k - last_k - 1
+            while run >= 16:
+                w.put(*ac_codes[0xF0])
+                run -= 16
+            s = _category(v)
+            w.put(*ac_codes[run * 16 + s])
+            w.put(v if v >= 0 else v + (1 << s) - 1, s)
+            last_k = k
+        if last_k < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _write_ac_refine(w, blocks, ss, se, al, ac_codes):
+    """AC refinement scan (G.1.2.3 mirror): newly-significant coefs are
+    run-length coded over ZERO-HISTORY positions only; every already-
+    nonzero position passed over emits one correction bit."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed once a symbol is emitted
+
+    def emit_pending():
+        for b in pending:
+            w.put(b, 1)
+        pending.clear()
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = min(eobrun.bit_length() - 1, 14)
+            n = 1 << r
+            w.put(*ac_codes[r << 4])
+            if r:
+                w.put(eobrun - n, r)
+            emit_pending()
+            eobrun = 0
+
+    for blk in blocks:
+        newly = []
+        for k in range(ss, se + 1):
+            full = int(blk[k])
+            now = _ac_point(full, al)
+            before = _ac_point(full, al + 1)
+            if before == 0 and now != 0:
+                newly.append((k, now))  # becomes significant this pass
+        corr = {
+            k: (abs(_ac_point(int(blk[k]), al)) & 1)
+            for k in range(ss, se + 1)
+            if _ac_point(int(blk[k]), al + 1) != 0
+        }
+        if not newly:
+            # block contributes only correction bits → extend the EOB run
+            eobrun += 1
+            pending.extend(corr[k] for k in sorted(corr))
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        last_k = ss - 1
+        for k, now in newly:
+            # POSITION-ORDERED walk mirroring the decoder: the zero-run
+            # counts only zero-HISTORY positions; a history position's
+            # correction bit rides with the symbol whose run it falls
+            # inside (a ZRL's bits are exactly those passed before its
+            # 16th zero-history position — G.1.2.3)
+            run = 0
+            bits_buf = []
+            for j in range(last_k + 1, k):
+                if j in corr:
+                    bits_buf.append(corr[j])
+                else:
+                    run += 1
+                    if run == 16:
+                        w.put(*ac_codes[0xF0])
+                        for b in bits_buf:
+                            w.put(b, 1)
+                        bits_buf = []
+                        run = 0
+            assert now in (-1, 1)  # newly significant at this precision
+            w.put(*ac_codes[run * 16 + 1])
+            w.put(1 if now > 0 else 0, 1)
+            for b in bits_buf:
+                w.put(b, 1)
+            last_k = k
+        # tail: remaining history corrections to Se ride the next symbol
+        tail = [corr[j] for j in range(last_k + 1, se + 1) if j in corr]
+        if any(j not in corr and _ac_point(int(blk[j]), al) != 0
+               for j in range(last_k + 1, se + 1)):
+            raise AssertionError("unreached: nonzero zero-history past last")
+        if tail or last_k < se:
+            eobrun += 1
+            pending.extend(tail)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    h: int = 2,
+    v: int = 2,
+    quant_luma: np.ndarray = DEFAULT_QUANT,
+    quant_chroma: np.ndarray = DEFAULT_QUANT,
+    script=DEFAULT_PROGRESSIVE_SCRIPT,
+) -> bytes:
+    """Progressive JFIF (SOF2) from already-subsampled planes, same
+    layout contract as encode_jpeg_ycbcr; coefficients identical to the
+    sequential encoding, split across `script`'s scans."""
+    if h not in (1, 2) or v not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    mcu_w, mcu_h = 8 * h, 8 * v
+    if width % mcu_w or height % mcu_h:
+        raise ValueError(f"encoder fixture requires multiple-of-{mcu_w}x{mcu_h} dimensions")
+    qly = quant_luma[ZIGZAG.argsort()].reshape(8, 8)
+    qlc = quant_chroma[ZIGZAG.argsort()].reshape(8, 8)
+    coefs = [
+        _plane_coefs(y, qly),
+        _plane_coefs(cb, qlc),
+        _plane_coefs(cr, qlc),
+    ]
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+
+    # interleaved MCU order for DC scans: v×h luma units then chroma
+    mcu_order = []
+    for my in range(height // mcu_h):
+        for mx in range(width // mcu_w):
+            for dy in range(v):
+                for dx in range(h):
+                    mcu_order.append((0, my * v + dy, mx * h + dx))
+            mcu_order.append((1, my, mx))
+            mcu_order.append((2, my, mx))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(q) for q in quant_luma))
+    out += seg(0xDB, b"\x01" + bytes(int(q) for q in quant_chroma))
+    out += seg(
+        0xC2,  # SOF2: progressive DCT
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes((0x01, (h << 4) | v, 0x00))
+        + b"\x02\x11\x01"
+        + b"\x03\x11\x01",
+    )
+    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xC4, b"\x01" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, b"\x11" + bytes(AC_BITS) + bytes(AC_VALS))
+
+    comp_ids = (1, 2, 3)
+    for comps, ss, se, ah, al in script:
+        w = _BitWriter()
+        if ss == 0:  # DC scan (interleaved over all listed components)
+            if se != 0:
+                raise ValueError("DC scans must have Se=0")
+            _write_dc_scan(w, set(comps), coefs, al, ah == 0, dc_codes, mcu_order)
+        else:
+            if len(comps) != 1:
+                raise ValueError("AC scans are single-component")
+            ci = comps[0]
+            blocks = [
+                coefs[ci][by, bx]
+                for by in range(coefs[ci].shape[0])
+                for bx in range(coefs[ci].shape[1])
+            ]
+            if ah == 0:
+                _write_ac_first(w, blocks, ss, se, al, ac_codes)
+            else:
+                if ah != al + 1:
+                    raise ValueError("refinement must step one bit (Ah=Al+1)")
+                _write_ac_refine(w, blocks, ss, se, al, ac_codes)
+        hdr = bytes([len(comps)])
+        for ci in comps:
+            table = 0 if ci == 0 else 1
+            hdr += bytes([comp_ids[ci], (table << 4) | table])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, hdr)
+        out += w.flush()
+    out += b"\xff\xd9"
+    return out
+
+
+def decode_jpeg_progressive(payload: bytes) -> dict:
+    """Progressive JFIF (SOF2) color decoder: multi-scan coefficient
+    accumulation — interleaved/non-interleaved DC first + refinement,
+    AC band first scans with EOB-run decoding, AC refinement via the
+    G.1.2.3 correction-bit walk — then one dequant + IDCT per plane and
+    the shared color path (integer plane quantization, upsampling,
+    YCbCr→RGB). Same sampling-factor support as decode_jpeg_color
+    ({1,2} per axis); returns the same dict. A progressive stream
+    carrying baseline-equal coefficients decodes bit-identically to the
+    baseline stream (pinned in tests)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = 0
+    comps: list[tuple[int, int, int]] = []
+    coefs: dict[int, np.ndarray] = {}  # comp index -> (by, bx, 64) zigzag
+    names_by_cid: dict[int, int] = {}
+    hs: list[int] = []
+    vs: list[int] = []
+    mcx = mcy = 0
+
+    def next_marker_pos(p: int) -> int:
+        """First true marker at/after p (skips entropy bytes, stuffed
+        FF00 and restart markers)."""
+        while p + 1 < len(payload):
+            if payload[p] == 0xFF and payload[p + 1] not in (0x00,) and not (
+                0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                return p
+            p += 1
+        return len(payload)
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tq] = np.frombuffer(
+                    body[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int64)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                codes = _build_codes(bits, vals)
+                huff[(tc, th)] = {(l_, c): s for s, (c, l_) in codes.items()}
+                off += 17 + nvals
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError("decode_jpeg_progressive expects SOF2")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", body, 0)[0]:
+                raise ValueError("restart intervals unsupported in progressive")
+        elif marker == 0xC2:
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 3:
+                raise ValueError("progressive decoder expects 8-bit 3-component")
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
+                for i in range(3)
+            ]
+            for i, (cid, hv, _tq) in enumerate(comps):
+                names_by_cid[cid] = i
+                if (hv >> 4) not in (1, 2) or (hv & 0x0F) not in (1, 2):
+                    raise ValueError("sampling factors must be 1 or 2")
+                hs.append(hv >> 4)
+                vs.append(hv & 0x0F)
+            hmax, vmax = max(hs), max(vs)
+            mcx = (width + 8 * hmax - 1) // (8 * hmax)
+            mcy = (height + 8 * vmax - 1) // (8 * vmax)
+            for i in range(3):
+                coefs[i] = np.zeros(
+                    (mcy * vs[i], mcx * hs[i], 64), dtype=np.int64
+                )
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scomps = []  # (comp index, dc table id, ac table id)
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                scomps.append(
+                    (names_by_cid[cid], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            end = next_marker_pos(pos)
+            r = _BitReader(payload[pos:end])
+            _decode_progressive_scan(
+                r, coefs, scomps, ss, se, ah, al, huff, hs, vs, mcx, mcy
+            )
+            pos = end
+    if not comps:
+        raise ValueError("no SOF2 frame found")
+    # reconstruct planes: dequant + IDCT per block, then the shared path
+    m = _dct_basis()
+    planes = []
+    for i, (_cid, _hv, tq) in enumerate(comps):
+        q2d = quant[tq][ZIGZAG.argsort()].reshape(8, 8).astype(np.float64)
+        by, bx, _ = coefs[i].shape
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        for yy in range(by):
+            for xx in range(bx):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = coefs[i][yy, xx]
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = (
+                    m.T @ (coef.reshape(8, 8) * q2d) @ m
+                )
+        planes.append(_half_up_u8(plane + 128.0))
+    hmax, vmax = max(hs), max(vs)
+
+    def up_to_full(i: int) -> np.ndarray:
+        p = planes[i]
+        ry, rx = vmax // vs[i], hmax // hs[i]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        return p[:height, :width]
+
+    rgb = ycbcr_to_rgb(up_to_full(0), up_to_full(1), up_to_full(2))
+    return {"width": int(width), "height": int(height), "pixels": rgb.tobytes()}
+
+
+def _decode_progressive_scan(
+    r, coefs, scomps, ss, se, ah, al, huff, hs, vs, mcx, mcy
+) -> None:
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        prev = {ci: 0 for ci, _d, _a in scomps}
+        tables = {ci: huff[(0, d)] for ci, d, _a in scomps}
+        if len(scomps) > 1:  # interleaved MCU order
+            order = []
+            for my in range(mcy):
+                for mx in range(mcx):
+                    for ci, _d, _a in scomps:
+                        for dy in range(vs[ci]):
+                            for dx in range(hs[ci]):
+                                order.append((ci, my * vs[ci] + dy, mx * hs[ci] + dx))
+        else:
+            ci = scomps[0][0]
+            by, bx, _ = coefs[ci].shape
+            order = [(ci, yy, xx) for yy in range(by) for xx in range(bx)]
+        for ci, yy, xx in order:
+            if ah == 0:
+                s = r.huffman(tables[ci])
+                diff = _extend(r.bits(s), s) if s else 0
+                prev[ci] += diff
+                coefs[ci][yy, xx, 0] = prev[ci] << al
+            else:
+                if r.bits(1):
+                    coefs[ci][yy, xx, 0] |= 1 << al
+        return
+    # AC scan: single component, raster block order
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    ci, _dcid, acid = scomps[0]
+    act = huff[(1, acid)]
+    by, bx, _ = coefs[ci].shape
+    eobrun = 0
+    for yy in range(by):
+        for xx in range(bx):
+            blk = coefs[ci][yy, xx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = r.huffman(act)
+                    rr, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if rr < 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(r.bits(s), s) << al
+                    k += 1
+            else:  # refinement (G.1.2.3)
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = r.huffman(act)
+                        rr, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if rr < 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.bits(rr)
+                                break
+                            val = 0  # ZRL: rr = 15 → skip 16 zero-history
+                        else:
+                            if s != 1:
+                                raise ValueError("refinement size must be 1")
+                            val = p1 if r.bits(1) else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                if r.bits(1):
+                                    blk[k] += p1 if blk[k] > 0 else m1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if r.bits(1):
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1

@@ -970,12 +970,13 @@ FRAME_BYTES = 256  # deterministic fake "frame" granularity for the stub
 
 def decode_image(payload: bytes) -> "object":
     """General image decode seam. PNG/PPM (codecs.decode_png/decode_ppm),
-    baseline grayscale JPEG (codecs.decode_jpeg_gray, q99f), 4:2:0
-    chroma-subsampled color JPEG (codecs.decode_jpeg_color, q99h), and
-    GIF decode here in pure Python; the seam remains only for what
-    genuinely needs a codec library at deploy time (progressive JPEG,
-    WebP, ...). JPEG dispatch: the SOF0 component count picks the
-    grayscale vs color path."""
+    baseline grayscale JPEG (codecs.decode_jpeg_gray, q99f),
+    chroma-subsampled color JPEG in every {1,2}-factor layout
+    (codecs.decode_jpeg_color, q99h/q99k), PROGRESSIVE JPEG
+    (codecs.decode_jpeg_progressive, q99l), and GIF decode here in pure
+    Python; the seam remains only for what genuinely needs a codec
+    library at deploy time (WebP, AVIF, ...). JPEG dispatch: SOF
+    markers route grayscale vs color vs progressive."""
     from better_cdc_spark import codecs
 
     if payload[:8] == codecs.PNG_SIG:
@@ -986,8 +987,10 @@ def decode_image(payload: bytes) -> "object":
         try:
             return codecs.decode_jpeg_gray(payload)
         except ValueError as exc:
-            if "single-component" not in str(exc):
+            if "single-component" not in str(exc) and "SOF0" not in str(exc):
                 raise
+            # 3-component or progressive: the color path (which itself
+            # routes SOF2 to the progressive decoder)
             return codecs.decode_jpeg_color(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return codecs.decode_gif(payload)

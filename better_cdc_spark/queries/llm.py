@@ -5991,3 +5991,105 @@ def q99k_jpeg_422_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode, "doc_id bigint, width int, height int, checksum bigint"
     )
+
+
+@query(
+    "q99l_progressive_jpeg_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 2 AS wb FROM documents),
+    px AS (
+      SELECT doc_id, 16 * wb AS width, t.y, s.x,
+             (doc_id * 31 + ((t.y // 16) * wb + (s.x // 16)) * 61) % 256 AS yv,
+             (doc_id * 13 + ((t.y // 16) * wb + (s.x // 16)) * 29) % 256 AS cbv,
+             (doc_id * 17 + ((t.y // 16) * wb + (s.x // 16)) * 43) % 256 AS crv
+      FROM d,
+           UNNEST(range(32)) AS t(y),
+           UNNEST(range(16 * wb)) AS s(x)
+    ),
+    rgb AS (
+      SELECT doc_id, width, y, x,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.402 * (crv - 128) + 0.5) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cbv - 128) + 0.5) AS BIGINT))) AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(width) AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(10 AS INTEGER) AS n_scans,
+           CAST(SUM(  r * ((3 * (y * width + x))     % 97 + 1)
+                    + g * ((3 * (y * width + x) + 1) % 97 + 1)
+                    + b * ((3 * (y * width + x) + 2) % 97 + 1)) AS BIGINT) AS checksum
+    FROM rgb GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "jpeg", "progressive"),
+)
+def q99l_progressive_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING progressive-JPEG decode (SOF2) — the most common
+    web-JPEG variant after baseline leaves the seam list: multi-scan
+    coefficient accumulation with DC successive approximation +
+    refinement, AC band scans with EOB-run decoding, and the G.1.2.3
+    AC-refinement correction-bit walk.
+
+    Stage 1 synthesizes a REAL 10-scan progressive stream per doc
+    (libjpeg's default scan-script shape: approximated DC, split luma
+    bands, chroma bands, three refinement passes) from MCU-constant
+    integer YCbCr planes; stage 2 decodes via llmops.decode_image's
+    dispatch (gray → color → progressive routing on SOF2). Constant
+    MCUs make the lossy pipeline exact, so the oracle reproduces every
+    decoded RGB byte in closed form — and because the stream is
+    genuinely multi-scan, a broken EOB run, mis-ordered refinement bit,
+    or DC approximation error hash-mismatches. General images (nonzero
+    AC through every script shape) are pinned equal to BASELINE decode
+    in tests/test_codecs.py — the two codings must carry identical
+    coefficients. The n_scans column rides from the actual marker count
+    so a silently-collapsed single-scan stream cannot pass.
+
+    Narrow Arrow maps end-to-end, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_jpeg_progressive
+    from better_cdc_spark.llmops import decode_image
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                wb = 2 + d % 2
+                i = np.arange(wb * 2, dtype=np.int64).reshape(2, wb)
+                yv = (d * 31 + i * 61) % 256
+                cbv = (d * 13 + i * 29) % 256
+                crv = (d * 17 + i * 43) % 256
+                y = np.kron(yv, np.ones((16, 16), np.int64)).astype(np.uint8)
+                cb = np.kron(cbv, np.ones((8, 8), np.int64)).astype(np.uint8)
+                cr = np.kron(crv, np.ones((8, 8), np.int64)).astype(np.uint8)
+                payloads.append(encode_jpeg_progressive(wb * 16, 32, y, cb, cr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = decode_image(payload)
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8).astype(np.int64)
+                weights = np.arange(px.size, dtype=np.int64) % 97 + 1
+                rows.append(
+                    (int(d), meta["width"], meta["height"],
+                     payload.count(b"\xff\xda"), int(px @ weights))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_scans", "checksum"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id bigint, width int, height int, n_scans int, checksum bigint",
+    )
