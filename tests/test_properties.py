@@ -523,3 +523,111 @@ def test_asof_nearest_agrees_with_pandas(spark, left_rows, right_rows):
         (r.k, int(r.t), int(r.lv), int(r.rt), int(r.rv)) for r in exp.itertuples()
     }
     assert got == expected
+
+
+# --- round-6 codec properties (no Spark needed; pure kernels) ---------------
+
+rgb_images = st.tuples(
+    st.integers(1, 3), st.integers(1, 2), st.integers(0, 2**32 - 1)
+).map(
+    lambda t: (t[0] * 16, t[1] * 16, t[2])  # (width, height, seed), MCU-aligned
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(spec=rgb_images, h=st.sampled_from([1, 2]), v=st.sampled_from([1, 2]))
+def test_progressive_equals_baseline_on_random_images(spec, h, v):
+    """Progressive and sequential codings of the same image must decode
+    to identical pixels for ANY image and sampling layout — the
+    multi-scan split is presentation order, never information."""
+    import numpy as np
+
+    from better_cdc_spark import codecs
+
+    W_, H_, seed = spec
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, (H_, W_, 3)).astype(np.uint8)
+    y, cb, cr = codecs.rgb_to_ycbcr(img)
+    f = lambda p: p.astype(np.float64)  # noqa: E731
+    sub = codecs._half_up_u8(
+        f(cb).reshape(H_ // v, v, W_ // h, h).mean(axis=(1, 3))
+    ), codecs._half_up_u8(
+        f(cr).reshape(H_ // v, v, W_ // h, h).mean(axis=(1, 3))
+    )
+    base = codecs.decode_jpeg_color(
+        codecs.encode_jpeg_ycbcr(W_, H_, y, sub[0], sub[1], h=h, v=v)
+    )["pixels"]
+    prog = codecs.decode_jpeg_progressive(
+        codecs.encode_jpeg_progressive(W_, H_, y, sub[0], sub[1], h=h, v=v)
+    )["pixels"]
+    assert prog == base
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sig=st.lists(st.integers(-32768, 32767), min_size=2, max_size=600),
+    block_align=st.sampled_from([64, 128, 256]),
+)
+def test_adpcm_decode_equals_encoder_reconstruction_property(sig, block_align):
+    """For ANY int16 signal and block size, the decoder reproduces the
+    encoder's tracked reconstruction exactly (the fundamental ADPCM
+    property) — independently refolded here."""
+    from better_cdc_spark import codecs
+
+    wav = codecs.encode_wav_ima_adpcm(sig, block_align=block_align)
+    got = codecs.decode_wav_ima_adpcm(wav)["samples"]
+    spb = 1 + (block_align - 4) * 2
+    recon = []
+    for off in range(0, len(sig), spb):
+        chunk = sig[off : off + spb]
+        if len(chunk) < spb:
+            chunk = chunk + [chunk[-1]] * (spb - len(chunk))
+        pred, idx = int(chunk[0]), 0
+        recon.append(pred)
+        for s in chunk[1:]:
+            step = codecs.IMA_STEP_TABLE[idx]
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib, diff = 8, -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred = codecs._ima_reconstruct(pred, step, nib)
+            idx = max(0, min(88, idx + codecs.IMA_INDEX_TABLE[nib]))
+            recon.append(pred)
+    assert got == recon
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_frames=st.integers(1, 8),
+    every_n=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_frame_sampling_selects_exactly_every_nth(n_frames, every_n, seed):
+    import numpy as np
+
+    from better_cdc_spark import codecs
+
+    rng = np.random.RandomState(seed)
+    frames = []
+    for _ in range(n_frames):
+        yv, cbv, crv = rng.randint(0, 256, 3)
+        frames.append(
+            codecs.encode_jpeg_ycbcr_420(
+                16, 16,
+                np.full((16, 16), yv, np.uint8),
+                np.full((8, 8), cbv, np.uint8),
+                np.full((8, 8), crv, np.uint8),
+            )
+        )
+    avi = codecs.encode_avi_mjpeg(16, 16, frames)
+    out = codecs.sample_avi_frames(avi, every_n=every_n)
+    assert [f["frame_idx"] for f in out] == list(range(0, n_frames, every_n))
+    assert codecs.decode_avi_mjpeg(avi)["frames"] == frames
