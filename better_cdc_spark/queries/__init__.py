@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # added this round, then the never-driver-verified remainder of the
 # registry, prioritized per the round-5 verdict — relational/function
 # tail, the TPC-H suite, then the q94–q99 extras in registration order.
-# 50 slots; the entries that don't fit (q98_langid/q95_stratified_sample/q94_dedup_clusters/q94_curation_pipeline/q99_multimodal/q99_frame_sampling/q94b/q98b/q99b/q95b/q95l/q98c/q95c/
+# 50 slots; the entries that don't fit (q98_text_stats/q98_langid/q95_stratified_sample/q94_dedup_clusters/q94_curation_pipeline/q99_multimodal/q99_frame_sampling/q94b/q98b/q99b/q95b/q95l/q98c/q95c/
 # q95d/q95f/q98e/q98d/q98g/q97c/q95g/q94e) finish in round 7's prefix.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
@@ -113,7 +113,7 @@ SHOWCASE_ORDER = (
     "q97_ann_pq",
     "q97_int8_quantize",
     "q97_mean_pool",
-    "q98_text_stats",
+    "q97m_binary_quantize_ann",
 )
 
 def load_all() -> dict[str, QuerySpec]:

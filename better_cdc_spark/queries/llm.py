@@ -6093,3 +6093,87 @@ def q99l_progressive_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id bigint, width int, height int, n_scans int, checksum bigint",
     )
+
+
+@query(
+    "q97m_binary_quantize_ann",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(32),
+               i -> CASE WHEN CAST(embedding[i+1] AS DOUBLE) > 0
+                         THEN (1::BIGINT << i) ELSE 0 END)) AS lo,
+             list_sum(list_transform(range(32),
+               i -> CASE WHEN CAST(embedding[i+33] AS DOUBLE) > 0
+                         THEN (1::BIGINT << i) ELSE 0 END)) AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM sig
+          WHERE vec_id < {TOPK_QUERIES}),
+    scored AS (
+      SELECT q.qid, s.vec_id AS nid,
+             CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))
+                  AS INTEGER) AS hamming
+      FROM sig s CROSS JOIN q WHERE s.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, hamming,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rnk
+      FROM scored
+    )
+    SELECT qid, nid, hamming, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "ann", "binary", "quantization"),
+)
+def q97m_binary_quantize_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the memory-bandwidth-optimal first
+    stage of modern vector search (Yandex/HNSWlib/usearch lineage): a
+    64-dim float vector compresses 32× into its 64 SIGN BITS; candidate
+    scoring is hamming distance, a single XOR + POPCOUNT per pair.
+    Completes the quantization family (hyperplane-LSH buckets q97_ann_
+    lsh, int8 q97_int8, PQ-ADC q97_ann_pq) with the cheapest and most
+    cache-friendly member.
+
+    FULLY deterministic, so unlike the other ANN entries this carries a
+    complete SQL oracle: sign bits are exact (no fp arithmetic beyond
+    the > 0 test on identical doubles), hamming is integer, ranking
+    ties break on nid. Fingerprints are two bigints (lo/hi 32 bits
+    each) so neither engine touches the 1<<63 overflow corner. Scale
+    shape: the fingerprint scan reads 16 bytes/vector instead of 512 —
+    at 100 TB the scan is I/O-bound and this is a 32× bandwidth cut;
+    probes broadcast; the corpus never shuffles. A deployment reranks
+    the hamming shortlist with exact cosine exactly like q97_ann_pq's
+    re-rank stage (recall-vs-exact measured in tests/test_llmops.py).
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    lo = F.expr(
+        "aggregate(sequence(0, 31), 0L,"
+        " (acc, i) -> acc + IF(v[i] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L))"
+    )
+    hi = F.expr(
+        "aggregate(sequence(0, 31), 0L,"
+        " (acc, i) -> acc + IF(v[i + 32] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L))"
+    )
+    sig = emb.select("vec_id", lo.alias("lo"), hi.alias("hi")).localCheckpoint(
+        eager=True
+    )
+    q = sig.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    hamming = (
+        F.bit_count(F.expr("lo ^ qlo")) + F.bit_count(F.expr("hi ^ qhi"))
+    ).cast("int")
+    scored = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), hamming.alias("hamming"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "hamming", "rnk")
+    )

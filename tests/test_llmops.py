@@ -502,3 +502,19 @@ def test_incremental_lsh_probe_is_partition_pruned(spark, docs, tmp_path):
     assert "PartitionFilters" in plan
     assert "pb" in plan.split("PartitionFilters", 1)[1][:160]
     assert probe.select("pb").distinct().count() <= 3
+
+
+def test_binary_quantization_recall_vs_brute_force(spark):
+    """64-bit sign fingerprints: hamming top-10 must recover a usable
+    fraction of the exact cosine top-10 (the rerank-stage contract).
+    The 0.15 floor mirrors the hyperplane-LSH test's on these
+    weakly-clustered synthetic embeddings (measured ~0.25 at sf0.001 —
+    1 bit/dim on near-isotropic data is the hard regime; real embedding
+    corpora cluster far more)."""
+    bf = REGISTRY["q97_cosine_topk"].fn(spark, SF_SMOKE).toPandas()
+    bq = REGISTRY["q97m_binary_quantize_ann"].fn(spark, SF_SMOKE).toPandas()
+    assert (bq.rnk <= 10).all() and (bq.hamming >= 0).all() and (bq.hamming <= 64).all()
+    truth = set(zip(bf.qid, bf.nid))
+    got = set(zip(bq.qid, bq.nid))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.15, f"binary-quantization recall {recall}"
