@@ -1916,3 +1916,114 @@ def _decode_progressive_scan(
                                 blk[k] += p1 if blk[k] > 0 else m1
                         k += 1
                     eobrun -= 1
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (μ-law / A-law) — telephony PCM, exactly invertible
+# ---------------------------------------------------------------------------
+#
+# The logarithmic 8-bit companding codecs every PSTN/VoIP stack speaks.
+# Unlike the DCT/LZW families these are closed-form per-sample integer
+# maps, so decode is oracle-checkable on ARBITRARY audio: the μ-law
+# expansion is ((2m+33) << e) - 33 over the 4-bit mantissa/3-bit
+# exponent split (sign-magnitude, bits stored inverted on the wire),
+# A-law the piecewise-linear variant with even-bit inversion (0x55).
+# Encoders implement the standard segment search; encode∘decode is
+# pinned idempotent (companding is a projection onto 256 levels).
+
+MULAW_BIAS = 33  # 0x21, the spec's linearization bias
+
+
+def mulaw_encode(sample: int) -> int:
+    """int16 → 8-bit μ-law byte (G.711, bit-inverted on the wire)."""
+    s = max(-32768, min(32767, int(sample)))
+    sign = 0x80 if s >= 0 else 0x00  # μ-law: sign bit SET for positive
+    mag = min((s if s >= 0 else -s - 1) // 4 + MULAW_BIAS, 0x1FFF)  # 13-bit domain
+    exp = mag.bit_length() - 6  # segment: highest set bit above the mantissa
+    exp = max(0, min(7, exp))
+    mant = (mag >> (exp + 1)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def mulaw_decode(byte: int) -> int:
+    """8-bit μ-law byte → int16 (exact closed-form expansion)."""
+    b = (~int(byte)) & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = (((2 * mant + MULAW_BIAS) << exp) - MULAW_BIAS) * 4
+    return -mag if sign == 0 else mag
+
+
+def alaw_encode(sample: int) -> int:
+    """int16 → 8-bit A-law byte (G.711, even bits inverted: XOR 0x55)."""
+    s = max(-32768, min(32767, int(sample)))
+    sign = 0x80 if s >= 0 else 0x00
+    mag = (s if s >= 0 else -s - 1) >> 3  # 13-bit A-law domain
+    if mag < 32:  # segment 0: linear, step 2 in the 13-bit domain
+        exp, mant = 0, mag >> 1
+    else:  # segment exp covers [2^(exp+4), 2^(exp+5))
+        exp = min(7, mag.bit_length() - 5)
+        mant = (mag >> exp) & 0x0F
+    return (sign | (exp << 4) | mant) ^ 0x55
+
+
+def alaw_decode(byte: int) -> int:
+    """8-bit A-law byte → int16 (exact closed-form expansion)."""
+    b = int(byte) ^ 0x55
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    if exp == 0:
+        mag = (mant * 2 + 1) * 8
+    else:
+        mag = ((mant * 2 + 33) << (exp - 1)) * 8
+    return mag if sign else -mag
+
+
+def g711_decode_block(data: bytes, law: str = "mulaw") -> list[int]:
+    fn = mulaw_decode if law == "mulaw" else alaw_decode
+    return [fn(b) for b in data]
+
+
+def encode_wav_g711(data: bytes, law: str = "mulaw", framerate: int = 8000) -> bytes:
+    """Mono G.711 WAV: format tag 7 (μ-law) / 6 (A-law), 8 bits/sample."""
+    tag = 7 if law == "mulaw" else 6
+    fmt = struct.pack("<HHIIHHH", tag, 1, framerate, framerate, 1, 8, 0)
+    riff = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", struct.pack("<I", len(data)))
+        + _riff_chunk(b"data", data)
+    )
+    return _riff_chunk(b"RIFF", riff)
+
+
+def decode_wav_g711(payload: bytes) -> dict:
+    """Mono G.711 WAV → {framerate, law, n_samples, samples}."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF signature)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"fmt ":
+            fmt = body
+        elif fourcc == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, framerate = struct.unpack_from("<HHI", fmt, 0)
+    if tag not in (6, 7):
+        raise ValueError(f"not G.711 (format tag 0x{tag:x})")
+    if channels != 1:
+        raise ValueError("only mono G.711 supported")
+    law = "mulaw" if tag == 7 else "alaw"
+    return {
+        "framerate": int(framerate),
+        "law": law,
+        "n_samples": len(data),
+        "samples": g711_decode_block(data, law),
+    }

@@ -1009,6 +1009,8 @@ def decode_audio(payload: bytes) -> "object":
         tag = struct.unpack_from("<H", payload, idx + 8)[0] if idx >= 0 else 1
         if tag == 0x11:
             return codecs.decode_wav_ima_adpcm(payload)
+        if tag in (6, 7):  # G.711 A-law / mu-law companded telephony PCM
+            return codecs.decode_wav_g711(payload)
         return codecs.decode_wav(payload)
     raise NotImplementedError("audio decoding requires an audio library at deploy time")
 

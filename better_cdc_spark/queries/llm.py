@@ -6177,3 +6177,97 @@ def q97m_binary_quantize_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK_K)
         .select("qid", "nid", "hamming", "rnk")
     )
+
+
+@query(
+    "q99m_g711_companding",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, t.k, (doc_id * 7 + t.k) % 256 AS byte
+      FROM documents, UNNEST(range(256)) AS t(k)
+    ),
+    mu AS (
+      SELECT doc_id, k,
+             CASE WHEN (255 - byte) >= 128 THEN 1 ELSE -1 END
+             * (((2 * ((255 - byte) % 16) + 33) * (1 << (((255 - byte) // 16) % 8)) - 33) * 4)
+               AS v
+      FROM b
+    ),
+    al AS (
+      SELECT doc_id, k,
+             CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END
+             * (CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
+                     THEN (2 * (xor(byte, 85) % 16) + 1) * 8
+                     ELSE ((2 * (xor(byte, 85) % 16) + 33)
+                           * (1 << (((xor(byte, 85) // 16) % 8) - 1))) * 8
+                END) AS v
+      FROM b
+    ),
+    laws AS (
+      SELECT doc_id, 'mulaw' AS law, k, v FROM mu
+      UNION ALL
+      SELECT doc_id, 'alaw' AS law, k, v FROM al
+    )
+    SELECT doc_id, law,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(SUM(v * (k % 97 + 1)) AS BIGINT) AS checksum
+    FROM laws GROUP BY doc_id, law
+    """,
+    tags=("llm", "multimodal", "audio", "g711"),
+)
+def q99m_g711_companding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING G.711 companded-telephony decode (μ-law AND A-law) —
+    the logarithmic 8-bit PCM every PSTN/VoIP trunk speaks, and the one
+    audio codec whose decode is a CLOSED-FORM per-sample integer map,
+    so the oracle verifies arbitrary content (every doc's byte stream
+    is a rotation of the FULL 256-byte code space — all segments, both
+    signs, both zero codes exercised for every document).
+
+    Stage 1 wraps the bytes in real G.711 WAVs (format tags 7/6);
+    stage 2 decodes through llmops.decode_audio's format-tag dispatch
+    (PCM 1 / ADPCM 0x11 / G.711 6-7). The oracle reproduces the
+    expansion formulas — mantissa/exponent split, μ-law bias-33
+    inversion, A-law 0x55 even-bit inversion — in pure SQL arithmetic;
+    a segment-boundary or sign-convention error in either law
+    hash-mismatches on some of the 256 codes. Encoders are pinned as
+    projections in tests (A-law byte-level; μ-law value-level with the
+    spec's two zero codes).
+
+    Narrow Arrow maps end-to-end, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_wav_g711
+    from better_cdc_spark.llmops import decode_audio
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                data = bytes((d * 7 + k) % 256 for k in range(256))
+                rows.append((d, "mulaw", encode_wav_g711(data, "mulaw")))
+                rows.append((d, "alaw", encode_wav_g711(data, "alaw")))
+            yield pd.DataFrame(rows, columns=["doc_id", "law", "payload"])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, law, payload in zip(pdf["doc_id"], pdf["law"], pdf["payload"]):
+                meta = decode_audio(bytes(payload))
+                assert meta["law"] == law
+                s = np.asarray(meta["samples"], dtype=np.int64)
+                weights = np.arange(s.size, dtype=np.int64) % 97 + 1
+                rows.append((int(d), law, int(s.size), int(s @ weights)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "law", "n_samples", "checksum"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, law string, payload binary")
+    return payloads.mapInPandas(
+        decode, "doc_id bigint, law string, n_samples bigint, checksum bigint"
+    )

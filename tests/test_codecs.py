@@ -686,3 +686,42 @@ def test_progressive_eob_run_and_gradient_stress():
     assert codecs.decode_jpeg_progressive(
         codecs.encode_jpeg_progressive(64, 64, y, cb2, cr2)
     )["pixels"] == base
+
+
+def test_g711_value_level_projection_and_known_points():
+    """Companding is a projection onto 256 levels: decode∘encode∘decode
+    == decode for EVERY byte (value-level — μ-law's two zero codes 0x7F
+    and 0xFF both decode to 0, so byte-level idempotence holds for all
+    of A-law and all μ-law bytes except the negative zero)."""
+    for b in range(256):
+        v = codecs.mulaw_decode(b)
+        assert codecs.mulaw_decode(codecs.mulaw_encode(v)) == v
+        v = codecs.alaw_decode(b)
+        assert codecs.alaw_encode(v) == b  # A-law: byte-level projection
+    assert codecs.mulaw_decode(0x7F) == 0 and codecs.mulaw_decode(0xFF) == 0
+    assert codecs.alaw_decode(0x55) == -8 and codecs.alaw_decode(0xD5) == 8
+    # quantization error is bounded by the segment step everywhere
+    import numpy as np
+
+    xs = np.random.RandomState(5).randint(-32768, 32768, 20000)
+    for enc, dec in (
+        (codecs.mulaw_encode, codecs.mulaw_decode),
+        (codecs.alaw_encode, codecs.alaw_decode),
+    ):
+        for x in xs[:2000]:
+            y = dec(enc(int(x)))
+            assert abs(y - int(x)) <= max(64, abs(int(x)) / 16 + 64)
+
+
+def test_g711_wav_roundtrip_and_dispatch():
+    from better_cdc_spark import llmops
+
+    data = bytes((i * 7 + 3) % 256 for i in range(512))
+    for law in ("mulaw", "alaw"):
+        wav = codecs.encode_wav_g711(data, law=law)
+        d = llmops.decode_audio(wav)
+        assert d["law"] == law and d["n_samples"] == 512
+        fn = codecs.mulaw_decode if law == "mulaw" else codecs.alaw_decode
+        assert d["samples"] == [fn(b) for b in data]
+    with pytest.raises(ValueError, match="G.711"):
+        codecs.decode_wav_g711(codecs.encode_wav(bytes(64)))

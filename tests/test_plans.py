@@ -448,7 +448,8 @@ def test_q94i_composite_has_no_product_joins(spark):
                                   "q99i_mjpeg_video_frames",
                                   "q99j_adpcm_audio_decode",
                                   "q99k_jpeg_422_decode",
-                                  "q99l_progressive_jpeg_decode"])
+                                  "q99l_progressive_jpeg_decode",
+                                  "q99m_g711_companding"])
 def test_round6_codec_queries_are_shuffle_free(spark, name):
     """Color-JPEG decode and MJPEG frame sampling are narrow Arrow
     passes end-to-end — an Exchange means a codec stage grew a shuffle."""
