@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # added this round, then the never-driver-verified remainder of the
 # registry, prioritized per the round-5 verdict — relational/function
 # tail, the TPC-H suite, then the q94–q99 extras in registration order.
-# 50 slots; the entries that don't fit (q95m_containment_dedup/q98_text_stats/q98_langid/q95_stratified_sample/q94_dedup_clusters/q94_curation_pipeline/q99_multimodal/q99_frame_sampling/q94b/q98b/q99b/q95b/q95l/q98c/q95c/
+# 50 slots; the entries that don't fit (q95_split_assignment/q95m_containment_dedup/q98_text_stats/q98_langid/q95_stratified_sample/q94_dedup_clusters/q94_curation_pipeline/q99_multimodal/q99_frame_sampling/q94b/q98b/q99b/q95b/q95l/q98c/q95c/
 # q95d/q95f/q98e/q98d/q98g/q97c/q95g/q94e) finish in round 7's prefix.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
@@ -73,6 +73,7 @@ SHOWCASE_ORDER = (
     "qm05_streaming_lsh_dedup",
     "q79_recursive_cte",
     "q26c_lateral_topk",
+    "q35b_listagg",
     # relational / function tail, never driver-verified
     "q78_try_functions",
     "q73b_higher_order_predicates",
@@ -103,7 +104,6 @@ SHOWCASE_ORDER = (
     "qh22_global_sales_opportunity",
     # q94–q99 extras, never driver-verified (registration order)
     "q95_fingerprint",
-    "q95_split_assignment",
     "q96_ngram_jaccard",
     "q96_minhash_lsh",
     "q96_simhash",

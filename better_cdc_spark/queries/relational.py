@@ -3850,3 +3850,39 @@ def q26c_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the hash compare exact.
     """
     return _sql_query(spark, sf_dir, _LATERAL_SQL, "customer", "orders")
+
+
+@query(
+    "q35b_listagg",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           string_agg(o_orderstatus, '' ORDER BY o_orderkey) AS status_seq,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_totalprice DESC, o_orderkey) AS keys_by_price
+    FROM orders
+    WHERE o_custkey < 200
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "string", "sql"),
+)
+def q35b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — LISTAGG ... WITHIN GROUP (SPARK-
+    42746, new in Spark 4.x) against DuckDB's string_agg(… ORDER BY …):
+    the deterministic-concatenation contract (explicit intra-group
+    order, multi-key with tie-break) that makes a string agg
+    hash-comparable at all. Plans as an ordinary sort-based aggregate;
+    the per-group sort is bounded by group size, no global sort.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "listagg(o_orderstatus, '') WITHIN GROUP (ORDER BY o_orderkey)"
+        ).alias("status_seq"),
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',')"
+            " WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
+        ).alias("keys_by_price"),
+    )
