@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # added this round, then the never-driver-verified remainder of the
 # registry, prioritized per the round-5 verdict — relational/function
 # tail, the TPC-H suite, then the q94–q99 extras in registration order.
-# 50 slots; the entries that don't fit (q95_split_assignment/q95m_containment_dedup/q98_text_stats/q98_langid/q95_stratified_sample/q94_dedup_clusters/q94_curation_pipeline/q99_multimodal/q99_frame_sampling/q94b/q98b/q99b/q95b/q95l/q98c/q95c/
+# 50 slots; the entries that don't fit (q96_ngram_jaccard/q95_split_assignment/q95m_containment_dedup/q98_text_stats/q98_langid/q95_stratified_sample/q94_dedup_clusters/q94_curation_pipeline/q99_multimodal/q99_frame_sampling/q94b/q98b/q99b/q95b/q95l/q98c/q95c/
 # q95d/q95f/q98e/q98d/q98g/q97c/q95g/q94e) finish in round 7's prefix.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
@@ -66,6 +66,7 @@ SHOWCASE_ORDER = (
     "q99k_jpeg_422_decode",
     "q99l_progressive_jpeg_decode",
     "q99m_g711_companding",
+    "q94j_mixed_format_ingest",
     "qc21_socket_replication_source",
     "qc22_socket_publish_sink",
     "q99h_jpeg_420_color_decode",
@@ -104,7 +105,6 @@ SHOWCASE_ORDER = (
     "qh22_global_sales_opportunity",
     # q94–q99 extras, never driver-verified (registration order)
     "q95_fingerprint",
-    "q96_ngram_jaccard",
     "q96_minhash_lsh",
     "q96_simhash",
     "q97_ann_lsh",

@@ -6271,3 +6271,157 @@ def q99m_g711_companding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode, "doc_id bigint, law string, n_samples bigint, checksum bigint"
     )
+
+
+@query(
+    "q94j_mixed_format_ingest",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 5 AS fmt, doc_id % 97 AS cid FROM documents),
+    png AS (  -- fmt 0: lossless grayscale, pixel = (cid*7 + p) mod 256
+      SELECT doc_id, 0 AS fmt,
+             CAST(SUM(((cid * 7 + t.p) % 256) * (t.p % 97 + 1)) AS BIGINT) AS checksum
+      FROM d, UNNEST(range(256)) AS t(p) WHERE fmt = 0 GROUP BY doc_id
+    ),
+    gjpg AS (  -- fmt 1: blockwise-constant gray JPEG (exact roundtrip)
+      SELECT doc_id, 1 AS fmt,
+             CAST(SUM(((cid * 37 + ((t.p // 16 // 8) * 2 + (t.p % 16) // 8) * 59) % 256)
+                      * (t.p % 97 + 1)) AS BIGINT) AS checksum
+      FROM d, UNNEST(range(256)) AS t(p) WHERE fmt = 1 GROUP BY doc_id
+    ),
+    cvals AS (  -- fmt 2/3: one constant-MCU color image; 3 = progressive coding
+      SELECT doc_id, fmt, cid,
+             CASE fmt WHEN 2 THEN (cid * 13) % 256 ELSE (cid * 17) % 256 END AS yv,
+             CASE fmt WHEN 2 THEN (cid * 29) % 256 ELSE (cid * 23) % 256 END AS cbv,
+             CASE fmt WHEN 2 THEN (cid * 31) % 256 ELSE (cid * 41) % 256 END AS crv
+      FROM d WHERE fmt IN (2, 3)
+    ),
+    crgb AS (
+      SELECT doc_id, fmt,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.402 * (crv - 128) + 0.5) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cbv - 128) + 0.5) AS BIGINT))) AS b
+      FROM cvals
+    ),
+    col AS (
+      SELECT doc_id, fmt,
+             CAST(SUM(CASE t.p % 3 WHEN 0 THEN r WHEN 1 THEN g ELSE b END
+                      * (t.p % 97 + 1)) AS BIGINT) AS checksum
+      FROM crgb, UNNEST(range(768)) AS t(p) GROUP BY doc_id, fmt
+    ),
+    gif AS (  -- fmt 4: lossless palette indices
+      SELECT doc_id, 4 AS fmt,
+             CAST(SUM(((cid + (t.p % 16) * 3 + (t.p // 16) * 5) % 16)
+                      * (t.p % 97 + 1)) AS BIGINT) AS checksum
+      FROM d, UNNEST(range(256)) AS t(p) WHERE fmt = 4 GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT * FROM png UNION ALL SELECT * FROM gjpg
+      UNION ALL SELECT * FROM col UNION ALL SELECT * FROM gif
+    ),
+    keyed AS (
+      SELECT doc_id, fmt, checksum,
+             MIN(doc_id) OVER (PARTITION BY fmt, checksum) AS keeper
+      FROM feats
+    )
+    SELECT doc_id, CAST(fmt AS INTEGER) AS fmt,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           checksum,
+           CAST(doc_id = keeper AS BOOLEAN) AS is_keeper
+    FROM keyed
+    """,
+    tags=("llm", "multimodal", "composite", "dedup"),
+)
+def q94j_mixed_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone multimodal-ingest composite: a corpus whose payload
+    column mixes FIVE real container formats — PNG, baseline grayscale
+    JPEG, 4:2:0 color JPEG, PROGRESSIVE color JPEG, and GIF — decoded
+    through ONE dispatch (llmops.decode_image routes on magic bytes and
+    SOF markers), feature-extracted uniformly, and content-hash DEDUPED
+    on the DECODED bytes: two docs whose payloads differ byte-wise
+    (different coding of the same pixels would too) but decode to
+    identical content collapse to one keeper — dedup on content, not
+    on container bytes, which is the entire point of decoding before
+    deduplication in a multimodal pipeline. Duplicates exist by
+    construction (content is keyed on doc_id mod 97, format on mod 5 —
+    docs 485 apart collide).
+
+    Every format's decoded bytes have a closed form (PNG/GIF lossless;
+    constant-block/MCU JPEG exact; progressive carries the same
+    coefficients as sequential), so the oracle reproduces checksum,
+    grouping, and keeper flags end-to-end — a dispatch mis-route, any
+    single codec regression, or a dedup-key slip hash-mismatches.
+
+    Plan: one narrow Arrow synth pass, one narrow decode pass, a
+    content-key window for keepers — a single shuffle on the content
+    key, exactly like q95's exact dedup.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark import codecs
+    from better_cdc_spark.llmops import decode_image
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fmt, cid = d % 5, d % 97
+                if fmt == 0:
+                    px = bytes((cid * 7 + p) % 256 for p in range(256))
+                    payloads.append(codecs.encode_png(16, 16, px))
+                elif fmt == 1:
+                    vals = np.array(
+                        [(cid * 37 + b * 59) % 256 for b in range(4)], np.int64
+                    ).reshape(2, 2)
+                    img = np.kron(vals, np.ones((8, 8), np.int64)).astype(np.uint8)
+                    payloads.append(codecs.encode_jpeg_gray(16, 16, img.tobytes()))
+                elif fmt in (2, 3):
+                    if fmt == 2:
+                        yv, cbv, crv = (cid * 13) % 256, (cid * 29) % 256, (cid * 31) % 256
+                    else:
+                        yv, cbv, crv = (cid * 17) % 256, (cid * 23) % 256, (cid * 41) % 256
+                    y = np.full((16, 16), yv, np.uint8)
+                    cb = np.full((8, 8), cbv, np.uint8)
+                    cr = np.full((8, 8), crv, np.uint8)
+                    enc = (
+                        codecs.encode_jpeg_ycbcr_420
+                        if fmt == 2
+                        else codecs.encode_jpeg_progressive
+                    )
+                    payloads.append(enc(16, 16, y, cb, cr))
+                else:
+                    idx = bytes(
+                        (cid + x * 3 + y * 5) % 16
+                        for y in range(16)
+                        for x in range(16)
+                    )
+                    palette = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+                    payloads.append(codecs.encode_gif(16, 16, idx, palette))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                meta = decode_image(bytes(payload))
+                content = meta.get("pixels") or meta["indices"]
+                s = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+                weights = np.arange(s.size, dtype=np.int64) % 97 + 1
+                rows.append(
+                    (d, d % 5, meta["width"], meta["height"], int(s @ weights))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "width", "height", "checksum"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    feats = payloads.mapInPandas(
+        decode, "doc_id bigint, fmt int, width int, height int, checksum bigint"
+    )
+    keeper = F.min("doc_id").over(W.partitionBy("fmt", "checksum"))
+    return feats.withColumn("is_keeper", (F.col("doc_id") == keeper))

@@ -457,6 +457,15 @@ def test_round6_codec_queries_are_shuffle_free(spark, name):
     assert "Exchange" not in plan
 
 
+def test_q94j_single_content_key_shuffle(spark):
+    """The mixed-format composite is two narrow Arrow passes plus ONE
+    shuffle (the content-key window for keepers) — a codec stage that
+    grew a shuffle or a second exchange family would show here."""
+    plan = plan_of(spark, "q94j_mixed_format_ingest")
+    n_exchanges = plan.count("Exchange") - plan.count("AQEShuffleRead")
+    assert n_exchanges <= 1, plan[:1500]
+
+
 def test_qc21_socket_source_has_no_product_joins(spark):
     """The socket-recovered lines feed the same normalize plan as qc01:
     equi-joins on txid only. (The socket leg itself is driver-side and
