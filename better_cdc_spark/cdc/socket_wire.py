@@ -118,6 +118,11 @@ class SocketWire:
 
     def __init__(self, sock: socket.socket, start_command: str) -> None:
         self.sock = sock
+        #: partial-message accumulator — persists across recv() calls so a
+        #: standby timeout that strikes after part of a frame was consumed
+        #: (a large XLogData spanning TCP segments) resumes mid-message
+        #: instead of desyncing the stream on the next read
+        self._buf = b""
         self.sock.sendall(_pack_msg(MSG_QUERY, start_command.encode() + b"\x00"))
         msg = read_message(self.sock)
         if msg is None:
@@ -128,11 +133,32 @@ class SocketWire:
         if kind != MSG_COPY_BOTH_RESPONSE:
             raise ConnectionError(f"unexpected startup message {kind!r}")
 
+    def _read_message_buffered(self) -> tuple[bytes, bytes] | None:
+        """read_message over the persistent accumulator: the socket
+        timeout bounds each recv() slice, not the whole message, and
+        bytes already buffered survive a WireTimeout."""
+        while True:
+            if len(self._buf) >= 5:
+                kind = self._buf[:1]
+                length = struct.unpack(">I", self._buf[1:5])[0]
+                total = 1 + length  # type byte + length (incl. itself)
+                if len(self._buf) >= total:
+                    body = self._buf[5:total]
+                    self._buf = self._buf[total:]
+                    return kind, body
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                if self._buf:
+                    raise ConnectionError("connection closed mid-message")
+                return None
+            self._buf += chunk
+
     def recv(self, timeout_s: float) -> bytes | None:
         self.sock.settimeout(timeout_s)
         try:
-            msg = read_message(self.sock)
+            msg = self._read_message_buffered()
         except socket.timeout as exc:  # standby deadline → heartbeat
+            # buffered partial bytes stay in self._buf for the next call
             raise WireTimeout() from exc
         if msg is None:
             return None

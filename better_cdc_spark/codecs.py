@@ -1937,7 +1937,9 @@ MULAW_BIAS = 33  # 0x21, the spec's linearization bias
 def mulaw_encode(sample: int) -> int:
     """int16 → 8-bit μ-law byte (G.711, bit-inverted on the wire)."""
     s = max(-32768, min(32767, int(sample)))
-    sign = 0x80 if s >= 0 else 0x00  # μ-law: sign bit SET for positive
+    # G.711: sign bit (after the trailing ~inversion) SET means NEGATIVE —
+    # Sun g711.c pins mulaw_encode(0)==0xFF and mulaw_decode(0x00)==-32124.
+    sign = 0x00 if s >= 0 else 0x80
     mag = min((s if s >= 0 else -s - 1) // 4 + MULAW_BIAS, 0x1FFF)  # 13-bit domain
     exp = mag.bit_length() - 6  # segment: highest set bit above the mantissa
     exp = max(0, min(7, exp))
@@ -1952,7 +1954,7 @@ def mulaw_decode(byte: int) -> int:
     exp = (b >> 4) & 0x07
     mant = b & 0x0F
     mag = (((2 * mant + MULAW_BIAS) << exp) - MULAW_BIAS) * 4
-    return -mag if sign == 0 else mag
+    return mag if sign == 0 else -mag
 
 
 def alaw_encode(sample: int) -> int:

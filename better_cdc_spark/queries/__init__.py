@@ -51,69 +51,46 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified.
 #
-# Round-6 prefix (generated with tools/rotation.py): the queries
-# added this round, then the never-driver-verified remainder of the
-# registry, prioritized per the round-5 verdict — relational/function
-# tail, the TPC-H suite, then the q94–q99 extras in registration order.
-# 50 slots; the entries that don't fit (q96_ngram_jaccard/q95_split_assignment/q95m_containment_dedup/q98_text_stats/q98_langid/q95_stratified_sample/q94_dedup_clusters/q94_curation_pipeline/q99_multimodal/q99_frame_sampling/q94b/q98b/q99b/q95b/q95l/q98c/q95c/
-# q95d/q95f/q98e/q98d/q98g/q97c/q95g/q94e) finish in round 7's prefix.
+# Round-7 prefix (generated with tools/rotation.py): round-7 additions
+# first, then the two round-6 FAILED rows (q97_int8_quantize /
+# q97_mean_pool crashed the driver's pandas canonicalizer on raw list
+# columns — both now ship lossless CSV serializations and need a fresh
+# external row), q99m (μ-law sign convention fixed this round, oracle
+# changed), then the last 25 never-driver-verified entries — after which
+# every registry entry has an external driver-green row.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # round-6 additions, externally unverified
-    "q99i_mjpeg_video_frames",
-    "q99j_adpcm_audio_decode",
-    "q99k_jpeg_422_decode",
-    "q99l_progressive_jpeg_decode",
-    "q99m_g711_companding",
-    "q94j_mixed_format_ingest",
-    "qc21_socket_replication_source",
-    "qc22_socket_publish_sink",
-    "q99h_jpeg_420_color_decode",
-    "q95aa_incremental_minhash_lsh",
-    "qm05_streaming_lsh_dedup",
-    "q79_recursive_cte",
-    "q26c_lateral_topk",
-    "q35b_listagg",
-    # relational / function tail, never driver-verified
-    "q78_try_functions",
-    "q73b_higher_order_predicates",
-    "q51b_offset_pagination",
-    "q61b_intersect_all",
-    "q62b_except_all",
-    "q34b_filtered_aggregates",
-    "q45b_locf_interpolate",
-    "q33d_grouping_id",
-    "q36e_bitwise_bool_aggs",
-    "q36f_approx_quantiles",
-    # the TPC-H suite, never driver-verified
-    "qh02_min_cost_supplier",
-    "qh04_order_priority",
-    "qh06_forecast_revenue",
-    "qh07_volume_shipping",
-    "qh08_market_share",
-    "qh09_product_profit",
-    "qh10_returned_items",
-    "qh11_important_stock",
-    "qh12_priority_classes",
-    "qh13_customer_distribution",
-    "qh14_promo_effect",
-    "qh15_top_supplier",
-    "qh16_supplier_diversity",
-    "qh18_large_volume_customer",
-    "qh20_part_promotion",
-    "qh22_global_sales_opportunity",
-    # q94–q99 extras, never driver-verified (registration order)
-    "q95_fingerprint",
-    "q96_minhash_lsh",
-    "q96_simhash",
-    "q97_ann_lsh",
-    "q97_ann_ivf",
-    "q97g_range_search",
-    "q97_ann_pq",
+    # round-7 re-verifications (output/codec fixes this round)
     "q97_int8_quantize",
     "q97_mean_pool",
-    "q97m_binary_quantize_ann",
+    "q99m_g711_companding",
+    # never-driver-verified remainder (registration order)
+    "q95_split_assignment",
+    "q96_ngram_jaccard",
+    "q95m_containment_dedup",
+    "q98_text_stats",
+    "q98_langid",
+    "q95_stratified_sample",
+    "q94_dedup_clusters",
+    "q94_curation_pipeline",
+    "q99_multimodal",
+    "q99_frame_sampling",
+    "q94b_multimodal_curation",
+    "q98b_unigram_logprob",
+    "q99b_audio_windows",
+    "q95b_decontaminate",
+    "q95l_semantic_decontaminate",
+    "q98c_repetition",
+    "q95c_balanced_subset",
+    "q95d_sequence_packing",
+    "q95f_domain_cap",
+    "q98e_vocab_topk",
+    "q98d_pii_scrub",
+    "q98g_bpe_pair_counts",
+    "q97c_matryoshka_energy",
+    "q95g_url_canonicalize",
+    "q94e_pagerank",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1069,7 +1069,9 @@ def q97_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_max(list_transform(ev, x -> abs(x))) AS mx
           FROM v)
     SELECT vec_id,
-           list_transform(ev, x -> CAST(round(x * 127.0 / mx) AS INTEGER)) AS codes,
+           array_to_string(list_transform(ev,
+               x -> CAST(CAST(round(x * 127.0 / mx) AS INTEGER) AS VARCHAR)),
+               ',') AS codes_csv,
            ROUND(mx / 127.0, 6) AS scale
     FROM m
     """,
@@ -1084,7 +1086,10 @@ def q97_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     elementwise, so the hash check covers all 64 lanes of every vector.
     Both engines evaluate round(x*127/mx) in double with identical
     association; Spark's HALF_UP and DuckDB's half-away-from-zero agree on
-    every representable value.
+    every representable value. The code vector ships as a lossless CSV
+    string (int formatting is engine-independent): the external driver's
+    canonicalizer sorts rows with pandas, which cannot hash raw list
+    cells — all 64 lanes still participate in the value hash.
     """
     tune_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1093,9 +1098,15 @@ def q97_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_m = emb.withColumn("mx", F.array_max(F.transform("v", lambda x: F.abs(x))))
     return with_m.select(
         "vec_id",
-        F.transform(
-            "v", lambda x: F.round(x * 127.0 / F.col("mx")).cast("int")
-        ).alias("codes"),
+        F.array_join(
+            F.transform(
+                "v",
+                lambda x: F.round(x * 127.0 / F.col("mx"))
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("codes_csv"),
         F.round(F.col("mx") / 127.0, 6).alias("scale"),
     )
 
@@ -1113,7 +1124,9 @@ def q97_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT label, i,
                  CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS mean_val
           FROM e GROUP BY label, i)
-    SELECT label, list(ROUND(mean_val, 6) ORDER BY i) AS pooled
+    SELECT label,
+           array_to_string(list(CAST(CAST(round(mean_val * 1000000) AS BIGINT)
+                                     AS VARCHAR) ORDER BY i), ',') AS pooled_csv
     FROM a GROUP BY label
     """,
     tags=("llm", "embedding", "pool"),
@@ -1127,7 +1140,9 @@ def q97_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     double summation would make the result partitioning-dependent) → one
     collect_list re-assembly sorted by lane. Normalization is the same
     sequential-fold norm as the cosine kernels, so both engines divide by
-    bit-identical norms.
+    bit-identical norms. The pooled vector ships as integer micro-units
+    CSV (round(mean*1e6), lossless int formatting) because the external
+    driver's pandas canonicalizer cannot hash raw list cells.
     """
     tune_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1141,12 +1156,22 @@ def q97_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_val")
     )
     return per_lane.groupBy("label").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.round("mean_val", 6).alias("mv")))
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.round(F.col("mean_val") * 1e6)
+                            .cast("long")
+                            .alias("mv"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("mv").cast("string"),
             ),
-            lambda s: s.getField("mv"),
-        ).alias("pooled")
+            ",",
+        ).alias("pooled_csv")
     )
 
 
@@ -5637,52 +5662,61 @@ def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     _open_cost_key = "spark.sql.files.openCostInBytes"
     _prev_open_cost = spark.conf.get(_open_cost_key, None)
     spark.conf.set(_open_cost_key, str(64 * 1024))
-    for b in range(n_batches):
-        batch_docs = docs.filter(F.col("doc_id") % n_batches == b)
-        rows = llmops.lsh_band_rows(batch_docs).localCheckpoint(eager=True)
-        cands = None
-        if b > 0:
-            # bounded collect: ≤ 16 bands × LSH_INDEX_BUCKETS values
-            probe_pbs = [r["pb"] for r in rows.select("pb").distinct().collect()]
-            idx = spark.read.parquet(index_dir).filter(F.col("pb").isin(probe_pbs))
-            cands = (
-                idx.select(F.col("doc_id").alias("doc_a"), "band", "key")
-                .join(
-                    rows.select(F.col("doc_id").alias("doc_b"), "band", "key"),
-                    ["band", "key"],
+    try:
+        for b in range(n_batches):
+            batch_docs = docs.filter(F.col("doc_id") % n_batches == b)
+            rows = llmops.lsh_band_rows(batch_docs).localCheckpoint(eager=True)
+            cands = None
+            if b > 0:
+                # bounded collect: ≤ 16 bands × LSH_INDEX_BUCKETS values
+                probe_pbs = [
+                    r["pb"] for r in rows.select("pb").distinct().collect()
+                ]
+                idx = spark.read.parquet(index_dir).filter(
+                    F.col("pb").isin(probe_pbs)
                 )
-                .select("doc_a", "doc_b")
+                cands = (
+                    idx.select(F.col("doc_id").alias("doc_a"), "band", "key")
+                    .join(
+                        rows.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+                        ["band", "key"],
+                    )
+                    .select("doc_a", "doc_b")
+                )
+            a, bb = rows.alias("a"), rows.alias("b")
+            within = a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
             )
-        a, bb = rows.alias("a"), rows.alias("b")
-        within = a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        cands = within if cands is None else cands.unionByName(within)
-        cands = (
-            cands.select(
-                F.least("doc_a", "doc_b").alias("lo"),
-                F.greatest("doc_a", "doc_b").alias("hi"),
+            cands = within if cands is None else cands.unionByName(within)
+            cands = (
+                cands.select(
+                    F.least("doc_a", "doc_b").alias("lo"),
+                    F.greatest("doc_a", "doc_b").alias("hi"),
+                )
+                .select(F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"))
+                .distinct()  # a pair may collide on several bands WITHIN the step
+                .withColumn("found_in_batch", F.lit(b))
+                .localCheckpoint(eager=True)  # pin BEFORE the index grows
             )
-            .select(F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"))
-            .distinct()  # a pair may collide on several bands WITHIN the step
-            .withColumn("found_in_batch", F.lit(b))
-            .localCheckpoint(eager=True)  # pin BEFORE the index grows
-        )
-        discovered.append(cands)
-        # one file per (batch, pb) partition dir — at corpus scale the
-        # append stays parallel per partition; coalesce(1) is the small-
-        # batch file-count guard (each batch's rows are KBs here)
-        rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(index_dir)
-
-    if _prev_open_cost is None:
-        spark.conf.unset(_open_cost_key)
-    else:
-        spark.conf.set(_open_cost_key, _prev_open_cost)
+            discovered.append(cands)
+            # one file per (batch, pb) partition dir — at corpus scale the
+            # append stays parallel per partition; coalesce(1) is the small-
+            # batch file-count guard (each batch's rows are KBs here)
+            rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
+                index_dir
+            )
+    finally:
+        # restore even on failure — leaking the 64 KiB override would skew
+        # every later query's split planning in the shared session
+        if _prev_open_cost is None:
+            spark.conf.unset(_open_cost_key)
+        else:
+            spark.conf.set(_open_cost_key, _prev_open_cost)
     # cross-step discovery events are disjoint by construction (each
     # unordered pair is found exactly once) — plain union, no re-dedup
     all_cands = discovered[0]
@@ -6188,7 +6222,7 @@ def q97m_binary_quantize_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mu AS (
       SELECT doc_id, k,
-             CASE WHEN (255 - byte) >= 128 THEN 1 ELSE -1 END
+             CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END
              * (((2 * ((255 - byte) % 16) + 33) * (1 << (((255 - byte) // 16) % 8)) - 33) * 4)
                AS v
       FROM b

@@ -1224,23 +1224,27 @@ def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(index_dir)
 
-    q = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(arrivals)
-        .writeStream.foreachBatch(lsh_step)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm05_"))
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals)
+            .writeStream.foreachBatch(lsh_step)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm05_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
-    if _prev is None:
-        spark.conf.unset(_open_cost_key)
-    else:
-        spark.conf.set(_open_cost_key, _prev)
+        # restore even on failure — leaking the 64 KiB override would
+        # skew every later query's split planning in the shared session
+        if _prev is None:
+            spark.conf.unset(_open_cost_key)
+        else:
+            spark.conf.set(_open_cost_key, _prev)
 
     streamed = spark.read.parquet(cand_dir).localCheckpoint(eager=True)
     # the theorem, asserted: streamed discovery == one-shot candidates

@@ -92,12 +92,19 @@ class TxLogTable:
 
         A concurrent `compact_log` may delete a version file between our
         listing and our open; the checkpoint reset marker makes a fresh
-        re-read consistent, so tolerate FileNotFoundError by re-listing."""
-        while True:
+        re-read consistent, so tolerate FileNotFoundError by re-listing.
+        Bounded retries: a handful outlasts any compact race; a missing
+        LOG DIRECTORY (table deleted) is a real error, re-raised at once."""
+        last_exc: FileNotFoundError | None = None
+        for _ in range(8):
             try:
                 return self._snapshot_once(version)
-            except FileNotFoundError:
+            except FileNotFoundError as exc:
+                if exc.filename == self.log_dir:
+                    raise  # the table itself is gone, not a compact race
+                last_exc = exc
                 continue  # compact_log won a race; re-list and replay
+        raise last_exc
 
     def _snapshot_once(self, version: int | None = None) -> Snapshot:
         live: dict[str, dict] = {}
@@ -391,9 +398,9 @@ class TxLogTable:
         import time as _t
 
         # tolerate a concurrent compact_log deleting a listed version
-        # file mid-scan (same contract as snapshot(): re-list and retry;
-        # the checkpoint commit keeps every live file reachable)
-        while True:
+        # file mid-scan (same contract as snapshot(): bounded re-list +
+        # retry; a missing log DIRECTORY is a real error, re-raised)
+        for attempt in range(8):
             referenced: set[str] = set()
             try:
                 for v in self._versions():
@@ -403,7 +410,9 @@ class TxLogTable:
                             if "add" in action:
                                 referenced.add(action["add"]["path"])
                 break
-            except FileNotFoundError:
+            except FileNotFoundError as exc:
+                if exc.filename == self.log_dir or attempt == 7:
+                    raise
                 continue
         n = 0
         horizon = _t.time() - min_age_s

@@ -699,6 +699,11 @@ def test_g711_value_level_projection_and_known_points():
         v = codecs.alaw_decode(b)
         assert codecs.alaw_encode(v) == b  # A-law: byte-level projection
     assert codecs.mulaw_decode(0x7F) == 0 and codecs.mulaw_decode(0xFF) == 0
+    # spec known points (Sun g711.c): 0xFF is positive zero, 0x00 is the
+    # largest-magnitude NEGATIVE sample; sign bit set (post-inversion) = neg
+    assert codecs.mulaw_encode(0) == 0xFF and codecs.mulaw_encode(-1) == 0x7F
+    assert codecs.mulaw_decode(0x00) == -32124 and codecs.mulaw_decode(0x80) == 32124
+    assert codecs.mulaw_encode(-32768) == 0x00 and codecs.mulaw_encode(32767) == 0x80
     assert codecs.alaw_decode(0x55) == -8 and codecs.alaw_decode(0xD5) == 8
     # quantization error is bounded by the segment step everywhere
     import numpy as np

@@ -149,6 +149,64 @@ def test_idle_stream_heartbeats_over_socket():
         wire.close()
 
 
+def test_partial_frame_across_standby_timeout_resyncs():
+    """A large XLogData spanning TCP segments with the standby timeout
+    striking between them: the timeout must surface as WireTimeout (a
+    routine heartbeat signal) WITHOUT discarding the partial bytes, and
+    the next recv must return the complete frame — no stream desync."""
+    import socket as socklib
+    import threading
+
+    from better_cdc_spark.cdc import socket_wire as sw
+    from better_cdc_spark.cdc.replication import (
+        PG_EPOCH_US,
+        WireTimeout,
+        decode_frame,
+        encode_xlog_data,
+    )
+
+    payload = b"x" * 4096
+    msg = sw._pack_msg(
+        sw.MSG_COPY_DATA, encode_xlog_data(1234, 1234, PG_EPOCH_US, payload)
+    )
+    half = len(msg) // 2
+    srv = socklib.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.setsockopt(socklib.IPPROTO_TCP, socklib.TCP_NODELAY, 1)
+        sw.read_message(conn)  # the START_REPLICATION Query
+        conn.sendall(sw._pack_msg(sw.MSG_COPY_BOTH_RESPONSE, b"\x00\x00\x00"))
+        conn.sendall(msg[:half])
+        time.sleep(0.5)  # > the client's 0.1 s standby timeout
+        conn.sendall(msg[half:])
+        conn.sendall(sw._pack_msg(sw.MSG_COPY_DONE, b""))
+        time.sleep(0.3)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    wire = connect_wire(
+        "127.0.0.1", port, start_replication_command("slot1", "0/0")
+    )
+    timeouts = 0
+    while True:
+        try:
+            body = wire.recv(0.1)
+            break
+        except WireTimeout:
+            timeouts += 1
+            assert timeouts < 50, "never completed the split frame"
+    assert timeouts >= 1  # the deadline really struck mid-message
+    frame = decode_frame(body)
+    assert frame.payload == payload and frame.wal_start == 1234
+    assert wire.recv(2.0) is None  # CopyDone still parses → no desync
+    wire.close()
+    srv.close()
+    t.join(timeout=3)
+
+
 # -- publish engine over TCP -------------------------------------------------
 
 
