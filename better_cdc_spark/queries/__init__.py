@@ -61,6 +61,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
+    # round-7 additions, externally unverified
+    "q95ab_conversation_assembly",
+    "q95ac_preference_pairs",
+    "q95ad_chat_template_render",
+    "q99n_shot_boundary_detect",
+    "q99o_video_frame_dedup",
     # round-7 re-verifications (output/codec fixes this round)
     "q97_int8_quantize",
     "q97_mean_pool",

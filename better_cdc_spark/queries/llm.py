@@ -6459,3 +6459,506 @@ def q94j_mixed_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keeper = F.min("doc_id").over(W.partitionBy("fmt", "checksum"))
     return feats.withColumn("is_keeper", (F.col("doc_id") == keeper))
+
+
+# ---------------------------------------------------------------------------
+# Post-training data preparation (SFT / preference tuning) — the pipeline
+# stage AFTER pretraining curation: conversation assembly, preference-pair
+# construction, chat-template rendering with context-window truncation.
+# The reference has no analog (it stops at change capture); these are the
+# north-star ops a training-data platform runs daily.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95ab_conversation_assembly",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 61 AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 61 ORDER BY doc_id) - 1
+               AS turn_idx,
+             CAST(len(regexp_extract_all(text, '{llmops.BPE_ISH_RE}', 0))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT *, CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS role
+      FROM t
+    )
+    SELECT conv_id, doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+           CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS loss_mask,
+           n_tokens,
+           CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_turns,
+           CASE WHEN MAX(turn_idx) OVER (PARTITION BY conv_id) % 2 = 1
+                THEN 1 ELSE 0 END AS ends_with_assistant,
+           CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN n_tokens END)
+                         OVER (PARTITION BY conv_id), 0) AS BIGINT)
+             AS trainable_tokens
+    FROM r
+    """,
+    tags=("llm", "posttraining", "sft"),
+)
+def q95ab_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation assembly: group documents into multi-turn
+    conversations, assign alternating user/assistant roles, and emit the
+    flattened per-turn training rows with loss masks — the shape every
+    supervised-fine-tuning loader consumes (loss on assistant turns only),
+    plus the conversation-level invariants trainers filter on
+    (ends_with_assistant, trainable token budget).
+
+    Scale: ONE shuffle on conv_id serves every window (ordinal, count,
+    max, masked sum share the partition key); token counting is an in-row
+    regexp inside codegen. At 100 TB conv_id is the natural partition key
+    and nothing here is quadratic or driver-side.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    conv = docs.withColumn("conv_id", F.col("doc_id") % 61)
+    wo = W.partitionBy("conv_id").orderBy("doc_id")
+    wc = W.partitionBy("conv_id")
+    n_tok = F.size(
+        F.expr(f"regexp_extract_all(text, '{llmops.BPE_ISH_RE}', 0)")
+    ).cast("long")
+    turns = (
+        conv.withColumn("turn_idx", (F.row_number().over(wo) - 1).cast("long"))
+        .withColumn(
+            "role",
+            F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+                F.lit("assistant")
+            ),
+        )
+        .withColumn("n_tokens", n_tok)
+    )
+    return turns.select(
+        "conv_id",
+        "doc_id",
+        "turn_idx",
+        "role",
+        (F.col("role") == "assistant").cast("int").alias("loss_mask"),
+        "n_tokens",
+        F.count("*").over(wc).alias("n_turns"),
+        (F.max("turn_idx").over(wc) % 2 == 1)
+        .cast("int")
+        .alias("ends_with_assistant"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("role") == "assistant", F.col("n_tokens"))
+            ).over(wc),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("trainable_tokens"),
+    )
+
+
+@query(
+    "q95ac_preference_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, doc_id % 127 AS prompt_id,
+             CAST(len(string_split(text, ' '))
+                  + 2 * len(list_distinct(string_split(lower(text), ' ')))
+                  AS BIGINT) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                ORDER BY score DESC, doc_id ASC) AS r_top,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                ORDER BY score ASC, doc_id ASC) AS r_bot
+      FROM scored
+    )
+    SELECT c.prompt_id,
+           c.doc_id AS chosen_doc, j.doc_id AS rejected_doc,
+           c.score AS chosen_score, j.score AS rejected_score,
+           c.score - j.score AS margin
+    FROM ranked c JOIN ranked j USING (prompt_id)
+    WHERE c.r_top = 1 AND j.r_bot = 1 AND c.doc_id <> j.doc_id
+    """,
+    tags=("llm", "posttraining", "preference"),
+)
+def q95ac_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF reward data): per prompt
+    group, pair the highest-scoring response (chosen) with the
+    lowest-scoring one (rejected) under a deterministic quality score
+    with doc-id tie-breaks, dropping degenerate groups where both ranks
+    land on the same document (single-response or all-tied prompts).
+
+    The score here is the curation baseline (length + lexical diversity,
+    exact integers so both engines rank identically); a production run
+    swaps in the trained classifier gate (q95r) without changing the
+    pairing plan. Scale: both rankings window over the SAME prompt_id
+    partitioning — one shuffle, then a prompt_id equi-join of two 1-row-
+    per-group streams. No quadratics, no driver loops.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 127).alias("prompt_id"),
+        (
+            F.size(F.split(F.col("text"), " "))
+            + 2 * F.size(F.array_distinct(F.split(F.lower(F.col("text")), " ")))
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    w_top = W.partitionBy("prompt_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_bot = W.partitionBy("prompt_id").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("r_top", F.row_number().over(w_top)).withColumn(
+        "r_bot", F.row_number().over(w_bot)
+    )
+    chosen = ranked.filter(F.col("r_top") == 1).select(
+        "prompt_id",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("r_bot") == 1).select(
+        "prompt_id",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, "prompt_id")
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "prompt_id",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )
+
+
+CHAT_BUDGET_TOKENS = 200  # context window for q95ad's suffix truncation
+CHAT_TURN_OVERHEAD = 4  # special tokens per rendered turn
+
+
+@query(
+    "q95ad_chat_template_render",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, doc_id % 61 AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 61 ORDER BY doc_id) - 1
+               AS turn_idx,
+             CAST(len(regexp_extract_all(text, '{llmops.BPE_ISH_RE}', 0))
+                  + {CHAT_TURN_OVERHEAD} AS BIGINT) AS turn_cost
+      FROM documents
+    ), r AS (
+      SELECT *,
+             CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             SUM(turn_cost) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                                  ROWS UNBOUNDED PRECEDING) AS suffix_cost
+      FROM t
+    ), kept AS (
+      SELECT * FROM r WHERE suffix_cost <= {CHAT_BUDGET_TOKENS}
+    )
+    SELECT k.conv_id,
+           CAST(a.n_turns AS BIGINT) AS n_turns,
+           CAST(COUNT(*) AS BIGINT) AS kept_turns,
+           CAST(a.n_turns - COUNT(*) AS BIGINT) AS dropped_turns,
+           CAST(SUM(k.turn_cost) AS BIGINT) AS total_tokens,
+           string_agg('<|im_start|>' || k.role || chr(10) || k.text
+                      || '<|im_end|>', chr(10) ORDER BY k.turn_idx) AS rendered
+    FROM kept k
+    JOIN (SELECT conv_id, COUNT(*) AS n_turns FROM t GROUP BY conv_id) a
+      USING (conv_id)
+    GROUP BY k.conv_id, a.n_turns
+    """,
+    tags=("llm", "posttraining", "template"),
+)
+def q95ad_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering with context-window truncation: keep the
+    longest SUFFIX of turns whose summed cost (tokens + per-turn special-
+    token overhead) fits the budget — the recency-keeping truncation chat
+    serving and SFT packing actually use — then render the kept turns
+    with <|im_start|>/<|im_end|> markers in turn order.
+
+    The reverse running sum (ORDER BY turn_idx DESC) makes "longest
+    fitting suffix" a single window expression: a turn survives iff the
+    total cost from it to the end fits. The hash check covers the full
+    rendered string byte-for-byte, so role assignment, ordering, marker
+    placement, and the truncation boundary are all pinned. Scale: one
+    shuffle on conv_id shared by the window and the re-assembly groupBy;
+    rendering is per-conversation string concat, never driver-side.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    conv = docs.withColumn("conv_id", F.col("doc_id") % 61)
+    wo = W.partitionBy("conv_id").orderBy("doc_id")
+    turn_cost = (
+        F.size(F.expr(f"regexp_extract_all(text, '{llmops.BPE_ISH_RE}', 0)"))
+        + CHAT_TURN_OVERHEAD
+    ).cast("long")
+    t = conv.withColumn(
+        "turn_idx", (F.row_number().over(wo) - 1).cast("long")
+    ).withColumn("turn_cost", turn_cost)
+    w_suffix = (
+        W.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = t.withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    ).withColumn("suffix_cost", F.sum("turn_cost").over(w_suffix))
+    totals = t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    kept = r.filter(F.col("suffix_cost") <= CHAT_BUDGET_TOKENS)
+    part = F.concat(
+        F.lit("<|im_start|>"),
+        F.col("role"),
+        F.lit("\n"),
+        F.col("text"),
+        F.lit("<|im_end|>"),
+    )
+    agg = kept.withColumn("part", part).groupBy("conv_id").agg(
+        F.count("*").alias("kept_turns"),
+        F.sum("turn_cost").cast("long").alias("total_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("turn_idx"), F.col("part")))
+                ),
+                lambda s: s.getField("part"),
+            ),
+            "\n",
+        ).alias("rendered"),
+    )
+    return agg.join(totals, "conv_id").select(
+        "conv_id",
+        "n_turns",
+        "kept_turns",
+        (F.col("n_turns") - F.col("kept_turns")).alias("dropped_turns"),
+        "total_tokens",
+        "rendered",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video curation — shot-boundary detection and cross-video frame dedup over
+# the EXECUTING MJPEG-AVI decode path (q99i's container + q99h's color
+# JPEG). Fixtures are MCU-constant YCbCr frames in clamp-free bands, so
+# the lossy path is exact and the oracle closes over integer arithmetic.
+# ---------------------------------------------------------------------------
+
+# shared closed-form fixture: 8 frames, 3 shots with doc-dependent
+# boundaries b1 = 2 + d%3, b2 = 5 + d%2; per-shot constant YCbCr with
+# luma in [40, 215] and chroma in [112, 143] so no RGB channel clamps
+# and frame differences are exact integers.
+_VIDEO_FIXTURE_SQL = """
+      SELECT doc_id, t.i AS frame_idx,
+             (CASE WHEN t.i >= 2 + doc_id % 3 THEN 1 ELSE 0 END
+              + CASE WHEN t.i >= 5 + doc_id % 2 THEN 1 ELSE 0 END) AS shot,
+             112 + (doc_id * 7) % 32 AS cbv,
+             112 + (doc_id * 3) % 32 AS crv
+      FROM documents, UNNEST(range(8)) AS t(i)
+"""
+_VIDEO_RGB_SQL = """
+      SELECT doc_id, frame_idx, shot,
+             40 + ((doc_id * 13 + shot * 57) % 176)
+               + CAST(floor(1.402 * (crv - 128) + 0.5) AS BIGINT) AS r,
+             40 + ((doc_id * 13 + shot * 57) % 176)
+               + CAST(floor(-0.344136 * (cbv - 128)
+                            - 0.714136 * (crv - 128) + 0.5) AS BIGINT) AS g,
+             40 + ((doc_id * 13 + shot * 57) % 176)
+               + CAST(floor(1.772 * (cbv - 128) + 0.5) AS BIGINT) AS b
+      FROM fx
+"""
+
+
+def _synth_shot_videos(batches):
+    """8-frame MJPEG-AVI per doc following the shared closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_avi_mjpeg, encode_jpeg_ycbcr_420
+
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            b1, b2 = 2 + d % 3, 5 + d % 2
+            cbv, crv = 112 + (d * 7) % 32, 112 + (d * 3) % 32
+            frames = []
+            for i in range(8):
+                s = (i >= b1) + (i >= b2)
+                yv = 40 + ((d * 13 + s * 57) % 176)
+                frames.append(
+                    encode_jpeg_ycbcr_420(
+                        32, 16,
+                        np.full((16, 32), yv, np.uint8),
+                        np.full((8, 16), cbv, np.uint8),
+                        np.full((8, 16), crv, np.uint8),
+                    )
+                )
+            payloads.append(encode_avi_mjpeg(32, 16, frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@query(
+    "q99n_shot_boundary_detect",
+    oracle=f"""
+    WITH fx AS ({_VIDEO_FIXTURE_SQL}
+    ), rgb AS ({_VIDEO_RGB_SQL}
+    ), sad AS (
+      SELECT doc_id, frame_idx,
+             512 * (abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w)
+                    + abs(b - lag(b) OVER w)) AS sad
+      FROM rgb
+      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(1 + COUNT(*) FILTER (WHERE sad > 0) AS BIGINT) AS n_shots,
+           string_agg(CAST(frame_idx AS VARCHAR), ',' ORDER BY frame_idx)
+             FILTER (WHERE sad > 0) AS boundaries_csv,
+           '0,' || string_agg(CAST(frame_idx AS VARCHAR), ','
+                              ORDER BY frame_idx)
+             FILTER (WHERE sad > 0) AS keyframes_csv
+    FROM sad GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "video", "curation"),
+)
+def q99n_shot_boundary_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection — the first step of every video-curation
+    pipeline (per-shot sampling, captioning, and dedup all key on shot
+    structure). Decodes EVERY frame of an 8-frame MJPEG-AVI through the
+    executing container + color-JPEG path, computes the sum-of-absolute-
+    differences (SAD) between consecutive decoded RGB frames, and emits
+    a boundary wherever SAD clears the threshold, plus the keyframe list
+    (first frame of each shot) a downstream sampler would decode.
+
+    The fixture's constant-YCbCr shots make the lossy path exact, so the
+    oracle reproduces per-frame RGB in closed form and the SAD values
+    EXACTLY — a container mis-walk, frame reorder, or color regression
+    shifts a boundary and hash-mismatches. Scale: per-video work is one
+    narrow Arrow pass (SAD needs only pairwise-consecutive frames, state
+    is one previous frame per stream — O(frame) memory); the output is
+    one row per video. No shuffle at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.llmops import decode_video_frames
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def detect(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_video_frames(bytes(payload), every_n=1)
+                pix = [
+                    np.frombuffer(f["pixels"], dtype=np.uint8).astype(np.int64)
+                    for f in frames
+                ]
+                bounds = [
+                    i
+                    for i in range(1, len(pix))
+                    if int(np.abs(pix[i] - pix[i - 1]).sum()) > 0
+                ]
+                rows.append(
+                    (
+                        int(d),
+                        len(pix),
+                        1 + len(bounds),
+                        ",".join(str(i) for i in bounds),
+                        ",".join(["0"] + [str(i) for i in bounds]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_shots",
+                    "boundaries_csv", "keyframes_csv",
+                ],
+            )
+
+    payloads = docs.mapInPandas(_synth_shot_videos, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        detect,
+        "doc_id bigint, n_frames bigint, n_shots bigint,"
+        " boundaries_csv string, keyframes_csv string",
+    )
+
+
+@query(
+    "q99o_video_frame_dedup",
+    oracle=f"""
+    WITH fx AS ({_VIDEO_FIXTURE_SQL}
+    ), rgb AS ({_VIDEO_RGB_SQL}
+    ), sig AS (
+      SELECT doc_id, frame_idx,
+             CAST(r AS VARCHAR) || '-' || CAST(g AS VARCHAR) || '-'
+               || CAST(b AS VARCHAR) AS sig
+      FROM rgb
+    )
+    SELECT sig,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id * 8 + frame_idx) // 8 AS BIGINT) AS first_doc,
+           CAST(MIN(doc_id * 8 + frame_idx) % 8 AS BIGINT) AS first_frame
+    FROM sig GROUP BY sig HAVING COUNT(*) > 1
+    """,
+    tags=("llm", "multimodal", "video", "dedup"),
+)
+def q99o_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video frame-level dedup: decode every frame of every video,
+    fingerprint the decoded content, and group identical frames ACROSS
+    the whole corpus — the dedup a video-pretraining pipeline runs so a
+    clip syndicated into a thousand videos trains once. Emits one row per
+    duplicated fingerprint with its population and the canonical keeper
+    (lexicographically first (doc, frame), packed as doc*8+idx so both
+    engines take one MIN over exact integers).
+
+    The kernel fingerprints from DECODED pixels (asserting the fixture's
+    constancy, so the triple IS the content signature) — any decode
+    regression changes or breaks the signature. At production scale the
+    signature is the decoded frame's content hash and the plan is
+    identical: narrow decode pass, then ONE shuffle on the signature —
+    exactly the exact-dedup shape (q95), reused at frame granularity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.llmops import decode_video_frames
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def fingerprint(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f in decode_video_frames(bytes(payload), every_n=1):
+                    px = np.frombuffer(f["pixels"], dtype=np.uint8)
+                    rgb = px.reshape(-1, 3)
+                    assert (rgb == rgb[0]).all(), "fixture frame not constant"
+                    r, g, b = (int(v) for v in rgb[0])
+                    rows.append((int(d), f["frame_idx"], f"{r}-{g}-{b}"))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "sig"])
+
+    payloads = docs.mapInPandas(_synth_shot_videos, "doc_id bigint, payload binary")
+    frames = payloads.mapInPandas(
+        fingerprint, "doc_id bigint, frame_idx bigint, sig string"
+    )
+    packed = F.col("doc_id") * 8 + F.col("frame_idx")
+    return (
+        frames.groupBy("sig")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.floor(F.min(packed) / 8).cast("long").alias("first_doc"),
+            (F.min(packed) % 8).cast("long").alias("first_frame"),
+        )
+        .filter(F.col("n_frames") > 1)
+    )

@@ -473,3 +473,58 @@ def test_qc21_socket_source_has_no_product_joins(spark):
     plan = plan_of(spark, "qc21_socket_replication_source")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q95ab_conversation_assembly_single_exchange(spark):
+    """All four conversation-level windows (ordinal, count, max, masked
+    sum) must share the ONE conv_id exchange — a second shuffle means a
+    window spec stopped aligning with the partition key."""
+    import re
+
+    plan = plan_of(spark, "q95ab_conversation_assembly")
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "Exchange rangepartitioning" not in plan  # never a global sort
+
+
+def test_q95ac_preference_pairs_broadcast_no_products(spark):
+    """Both rankings window over the same prompt_id partitioning and the
+    chosen/rejected join is a 1-row-per-group equi-join — it must stay
+    hash/broadcast (never a product) with at most one exchange per side."""
+    import re
+
+    plan = plan_of(spark, "q95ac_preference_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2
+
+
+def test_q95ad_chat_template_render_two_exchange_families(spark):
+    """The suffix-cost window, the kept-turn re-assembly groupBy, and the
+    per-conversation totals all key on conv_id: two exchange subtrees
+    (the kept side reuses the window's), joined broadcast."""
+    import re
+
+    plan = plan_of(spark, "q95ad_chat_template_render")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2
+
+
+def test_q99n_shot_boundary_is_shuffle_free(spark):
+    """Shot detection is two narrow Arrow passes (synth, decode+SAD) —
+    an Exchange means per-video work leaked into a shuffle."""
+    plan = plan_of(spark, "q99n_shot_boundary_detect")
+    assert "Exchange" not in plan
+
+
+def test_q99o_frame_dedup_single_shuffle_family(spark):
+    """Frame dedup is the exact-dedup shape at frame granularity: narrow
+    decode, then the signature groupBy. countDistinct's two-phase
+    expansion is the only extra exchange allowed."""
+    import re
+
+    plan = plan_of(spark, "q99o_video_frame_dedup")
+    assert "CartesianProduct" not in plan
+    n = len(re.findall(r"\bExchange\b", plan))
+    assert n <= 2, f"signature agg grew extra shuffles: {n}"
+    assert plan.count("hashpartitioning(sig") >= 1
