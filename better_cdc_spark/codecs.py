@@ -2029,3 +2029,500 @@ def decode_wav_g711(payload: bytes) -> dict:
         "n_samples": len(data),
         "samples": g711_decode_block(data, law),
     }
+
+
+# ---------------------------------------------------------------------------
+# FLAC — free lossless audio codec (subset: 16-bit, fixed-prediction
+# subframes). Lossless means the oracle is exact on ARBITRARY signals —
+# no fixture class needed, unlike the DCT family. Implements the real
+# stream format: fLaC marker + STREAMINFO, frame headers with sync code,
+# UTF-8-coded frame numbers and CRC-8, constant/verbatim/fixed(0-4)
+# subframes, Rice-coded residuals with 4- and 5-bit parameters and
+# partition orders, and the frame-footer CRC-16.
+# ---------------------------------------------------------------------------
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005, init 0 — FLAC frame-footer CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _MSBBitWriter:
+    """Plain MSB-first bit writer (no JPEG byte stuffing)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zero bits then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _MSBBitReader:
+    """Plain MSB-first bit reader over a byte window."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte_pos = pos
+        self.bit_pos = 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.byte_pos >= len(self.data):
+                raise ValueError("FLAC: bitstream truncated")
+            bit = (self.data[self.byte_pos] >> (7 - self.bit_pos)) & 1
+            v = (v << 1) | bit
+            self.bit_pos += 1
+            if self.bit_pos == 8:
+                self.bit_pos = 0
+                self.byte_pos += 1
+        return v
+
+    def signed_bits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit_pos:
+            self.bit_pos = 0
+            self.byte_pos += 1
+
+
+#: fixed-predictor residual rules, order -> coefficients on s[i-1..i-order]
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _utf8_coded_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (RFC 2279 pattern)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits_left = n.bit_length()
+    n_bytes = 2
+    while bits_left > 1 + 5 * (n_bytes - 1) + (7 - n_bytes):
+        n_bytes += 1
+    lead_mask = (0xFF << (8 - n_bytes)) & 0xFF
+    shift = 6 * (n_bytes - 1)
+    out.append(lead_mask | (n >> shift))
+    for i in range(n_bytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_coded_number(r: _MSBBitReader) -> int:
+    b0 = r.bits(8)
+    if b0 < 0x80:
+        return b0
+    n_bytes = 0
+    mask = 0x80
+    while b0 & mask:
+        n_bytes += 1
+        mask >>= 1
+    v = b0 & (mask - 1)
+    for _ in range(n_bytes - 1):
+        cont = r.bits(8)
+        if cont & 0xC0 != 0x80:
+            raise ValueError("FLAC: bad coded-number continuation byte")
+        v = (v << 6) | (cont & 0x3F)
+    return v
+
+
+def _best_rice_param(resid: list[int]) -> int:
+    us = [2 * x if x >= 0 else -2 * x - 1 for x in resid]
+    best_k, best_cost = 0, None
+    for k in range(15):
+        cost = sum((u >> k) + 1 + k for u in us)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def _write_residual(
+    w: _MSBBitWriter, resid: list[int], block_size: int, order: int,
+    partition_order: int,
+) -> None:
+    w.put(0, 2)  # residual method 0: 4-bit rice params
+    w.put(partition_order, 4)
+    n_part = 1 << partition_order
+    assert block_size % n_part == 0
+    idx = 0
+    for p in range(n_part):
+        count = block_size // n_part - (order if p == 0 else 0)
+        chunk = resid[idx : idx + count]
+        idx += count
+        k = _best_rice_param(chunk)
+        w.put(k, 4)
+        for x in chunk:
+            u = 2 * x if x >= 0 else -2 * x - 1
+            w.put_unary(u >> k)
+            if k:
+                w.put(u & ((1 << k) - 1), k)
+
+
+def _read_residual(
+    r: _MSBBitReader, block_size: int, order: int
+) -> list[int]:
+    method = r.bits(2)
+    if method not in (0, 1):
+        raise ValueError(f"FLAC: reserved residual method {method}")
+    param_bits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    partition_order = r.bits(4)
+    n_part = 1 << partition_order
+    if block_size % n_part:
+        raise ValueError("FLAC: partition count does not divide block size")
+    out = []
+    for p in range(n_part):
+        count = block_size // n_part - (order if p == 0 else 0)
+        k = r.bits(param_bits)
+        if k == escape:  # raw residuals, fixed bit width
+            width = r.bits(5)
+            out.extend(r.signed_bits(width) for _ in range(count))
+            continue
+        for _ in range(count):
+            u = (r.unary() << k) | (r.bits(k) if k else 0)
+            out.append(u >> 1 if u % 2 == 0 else -(u >> 1) - 1)
+    return out
+
+
+def _encode_subframe(
+    w: _MSBBitWriter, samples: list[int], bps: int, order: int,
+    partition_order: int,
+) -> None:
+    n = len(samples)
+    w.put(0, 1)  # pad
+    if all(s == samples[0] for s in samples):
+        w.put(0b000000, 6)
+        w.put(0, 1)  # no wasted bits
+        w.put(samples[0] & ((1 << bps) - 1), bps)
+        return
+    w.put(0b001000 | order, 6)  # FIXED, given order
+    w.put(0, 1)
+    for s in samples[:order]:  # warmup, raw
+        w.put(s & ((1 << bps) - 1), bps)
+    coefs = _FLAC_FIXED_COEFS[order]
+    resid = [
+        samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        for i in range(order, n)
+    ]
+    _write_residual(w, resid, n, order, partition_order)
+
+
+def encode_flac(
+    samples: list[int] | list[list[int]],
+    sample_rate: int = 8000,
+    bps: int = 16,
+    block_size: int = 256,
+    order: int = 2,
+    partition_order: int = 0,
+) -> bytes:
+    """Mono or independent-stereo FLAC with FIXED-prediction subframes.
+
+    Lossless by construction: decode_flac(encode_flac(s)) == s for any
+    int16 signal — the property the oracle exactness rests on."""
+    chans = samples if isinstance(samples[0], list) else [samples]
+    n_samples = len(chans[0])
+    assert all(len(c) == n_samples for c in chans)
+    n_ch = len(chans)
+    # STREAMINFO (34 bytes)
+    si = _MSBBitWriter()
+    si.put(block_size, 16)
+    si.put(block_size, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(sample_rate, 20)
+    si.put(n_ch - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(n_samples, 36)
+    for _ in range(16):
+        si.put(0, 8)  # md5 unset
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + (34).to_bytes(3, "big") + si.bytes()  # last block
+    for frame_no, start in enumerate(range(0, n_samples, block_size)):
+        blk = [c[start : start + block_size] for c in chans]
+        bs = len(blk[0])
+        h = _MSBBitWriter()
+        h.put(0b11111111111110, 14)
+        h.put(0, 1)
+        h.put(0, 1)  # fixed blocking
+        h.put(0b0111, 4)  # blocksize-1 follows as 16 bits
+        h.put(0b0000, 4)  # sample rate from STREAMINFO
+        h.put(n_ch - 1, 4)  # independent channels
+        h.put(0b100, 3)  # 16 bits per sample
+        h.put(0, 1)
+        header = h.bytes() + _utf8_coded_number(frame_no) + (bs - 1).to_bytes(2, "big")
+        header += bytes([_crc8(header)])
+        body = _MSBBitWriter()
+        for c in blk:
+            eff_order = min(order, max(0, len(c) - 1))
+            _encode_subframe(body, c, bps, eff_order,
+                             partition_order if len(c) == block_size else 0)
+        body.align()
+        frame = header + body.bytes()
+        out += frame + _crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def decode_flac(payload: bytes) -> dict:
+    """FLAC → {sample_rate, bps, channels, n_samples, samples} with both
+    CRCs verified. Supports constant/verbatim/fixed subframes, 4- and
+    5-bit Rice methods, any partition order, mono/independent stereo."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (bad marker)")
+    pos = 4
+    info = None
+    while True:  # metadata blocks
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            r = _MSBBitReader(payload, pos + 4)
+            r.bits(16), r.bits(16), r.bits(24), r.bits(24)
+            info = {
+                "sample_rate": r.bits(20),
+                "channels": r.bits(3) + 1,
+                "bps": r.bits(5) + 1,
+                "n_samples": r.bits(36),
+            }
+        pos += 4 + length
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC: missing STREAMINFO")
+    chans = [[] for _ in range(info["channels"])]
+    while pos < len(payload):
+        r = _MSBBitReader(payload, pos)
+        if r.bits(14) != 0b11111111111110:
+            raise ValueError("FLAC: lost frame sync")
+        r.bits(1)
+        r.bits(1)
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        ch_assign = r.bits(4)
+        ss_code = r.bits(3)
+        r.bits(1)
+        _read_coded_number(r)
+        if bs_code == 0b0110:
+            bs = r.bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.bits(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("FLAC: reserved blocksize code")
+        if sr_code in (0b1100, 0b1101, 0b1110):  # explicit rates in header
+            r.bits(8 if sr_code == 0b1100 else 16)
+        bps = {0b100: 16, 0b001: 8, 0b010: 12, 0b101: 20, 0b110: 24}.get(
+            ss_code, info["bps"]
+        )
+        if ch_assign > 1:
+            raise ValueError("FLAC: only independent channels supported")
+        r.align()
+        header_len = r.byte_pos - pos  # CRC-8 byte itself not yet consumed
+        if _crc8(payload[pos : pos + header_len]) != payload[pos + header_len]:
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
+        r.byte_pos += 1  # consume the CRC-8 byte
+        for ch in range(ch_assign + 1 if ch_assign <= 1 else 2):
+            if r.bits(1):
+                raise ValueError("FLAC: bad subframe padding bit")
+            stype = r.bits(6)
+            wasted = 0
+            if r.bits(1):  # wasted-bits flag: unary count - 1 follows
+                wasted = r.unary() + 1
+            eff_bps = bps - wasted
+            if stype == 0:
+                v = r.signed_bits(eff_bps)
+                vals = [v] * bs
+            elif stype == 1:
+                vals = [r.signed_bits(eff_bps) for _ in range(bs)]
+            elif 0b001000 <= stype <= 0b001100:
+                o = stype & 0x7
+                vals = [r.signed_bits(eff_bps) for _ in range(o)]
+                resid = _read_residual(r, bs, o)
+                coefs = _FLAC_FIXED_COEFS[o]
+                for x in resid:
+                    vals.append(
+                        x + sum(c * vals[len(vals) - 1 - j]
+                                for j, c in enumerate(coefs))
+                    )
+            else:
+                raise ValueError(f"FLAC: unsupported subframe type {stype:06b}")
+            chans[ch].extend(v << wasted for v in vals)
+        r.align()
+        frame_len = r.byte_pos - pos
+        footer = int.from_bytes(payload[r.byte_pos : r.byte_pos + 2], "big")
+        if _crc16(payload[pos : pos + frame_len]) != footer:
+            raise ValueError("FLAC: frame footer CRC-16 mismatch")
+        pos = r.byte_pos + 2
+    n = info["n_samples"] or len(chans[0])
+    return {
+        "sample_rate": info["sample_rate"],
+        "bps": info["bps"],
+        "channels": info["channels"],
+        "n_samples": n,
+        "samples": chans[0][:n] if info["channels"] == 1
+        else [c[:n] for c in chans],
+    }
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame-header scan. Full Layer III *decode* (hybrid
+# filterbank + Huffman) stays a deploy-time seam (llmops.decode_audio),
+# but the header walk is pure table lookups — and it is what a 100 TB
+# audio-curation pass actually needs first: duration/bitrate/samplerate
+# stats and corrupt-stream detection WITHOUT paying for decode.
+# Reference parity: the reference treats media payloads as opaque bytes
+# with typed metadata; this extracts that metadata from the real
+# container framing (ISO/IEC 11172-3 frame headers, ID3v2.3 prefix).
+# ---------------------------------------------------------------------------
+
+_MPEG1_L3_BITRATES = (  # kbps, index 1..14 (0=free, 15=bad)
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None,
+)
+_MPEG1_SAMPLE_RATES = (44100, 48000, 32000, None)
+
+
+def _syncsafe(n: int) -> bytes:
+    """ID3v2 syncsafe 28-bit size: 4 bytes, 7 bits each, MSB clear."""
+    return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def build_mp3_stream(
+    n_frames: int,
+    bitrate_idx: int,
+    sr_idx: int,
+    pad_phase: int = 0,
+    id3_payload: int = 0,
+) -> bytes:
+    """Spec-correct CBR MPEG-1 Layer III stream: optional ID3v2.3 tag,
+    then `n_frames` frames with real 4-byte headers and filler bodies
+    (0xAA — never a false 0xFF sync). Frame i's padding bit is
+    (pad_phase + i) % 2, exercising the +1-byte padded frame length."""
+    out = bytearray()
+    if id3_payload > 0:
+        out += b"ID3" + bytes((3, 0, 0)) + _syncsafe(id3_payload)
+        out += b"\x00" * id3_payload
+    bitrate = _MPEG1_L3_BITRATES[bitrate_idx]
+    sr = _MPEG1_SAMPLE_RATES[sr_idx]
+    for i in range(n_frames):
+        padding = (pad_phase + i) & 1
+        # sync=0x7FF, MPEG1 (11), Layer III (01), no CRC (1) -> 0xFF 0xFB
+        hdr = bytes(
+            (0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1), 0xC0)
+        )
+        frame_len = 144_000 * bitrate // sr + padding
+        out += hdr + b"\xaa" * (frame_len - 4)
+    return bytes(out)
+
+
+def scan_mpeg_frames(payload: bytes) -> dict:
+    """Walk an MPEG-1 Layer III stream by frame headers only (no decode).
+
+    Skips an ID3v2 prefix via its syncsafe size, then validates each
+    frame's 11-bit sync / version / layer bits, resolves bitrate and
+    sample rate through the ISO tables, and advances by the computed
+    frame length (144 * bitrate / sample_rate + padding). Returns
+    per-stream metadata: frame count, CBR bitrate (kbps), sample rate,
+    exact duration in microseconds (1152 samples per Layer III frame,
+    floor division), audio byte span, and ID3 bytes skipped. Raises
+    ValueError on sync loss, reserved table indexes, a bitrate change
+    mid-stream (VBR is out of scope for the CBR scanner), or a
+    truncated trailing frame — corrupt streams fail loudly rather than
+    yield silently wrong durations.
+    """
+    pos, id3_bytes = 0, 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("ID3v2 size byte has MSB set (not syncsafe)")
+            size = (size << 7) | b
+        id3_bytes = 10 + size
+        pos = id3_bytes
+    n_frames, bitrate_kbps, sample_rate, audio_bytes = 0, None, None, 0
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError(f"truncated frame header at byte {pos}")
+        b0, b1, b2, _ = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (b1 >> 3) & 0x03 != 0x03 or (b1 >> 1) & 0x03 != 0x01:
+            raise ValueError("not MPEG-1 Layer III")
+        br = _MPEG1_L3_BITRATES[b2 >> 4]
+        sr = _MPEG1_SAMPLE_RATES[(b2 >> 2) & 0x03]
+        if br is None or sr is None:
+            raise ValueError("reserved bitrate/samplerate index")
+        if bitrate_kbps is None:
+            bitrate_kbps, sample_rate = br, sr
+        elif br != bitrate_kbps:
+            raise ValueError("bitrate change mid-stream (VBR not supported)")
+        frame_len = 144_000 * br // sr + ((b2 >> 1) & 1)
+        if pos + frame_len > len(payload):
+            raise ValueError(f"truncated frame at byte {pos}")
+        pos += frame_len
+        audio_bytes += frame_len
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no MPEG frames found")
+    return {
+        "n_frames": n_frames,
+        "bitrate_kbps": bitrate_kbps,
+        "sample_rate": sample_rate,
+        "duration_us": n_frames * 1152 * 1_000_000 // sample_rate,
+        "audio_bytes": audio_bytes,
+        "id3_bytes": id3_bytes,
+    }

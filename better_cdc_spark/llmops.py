@@ -998,10 +998,16 @@ def decode_image(payload: bytes) -> "object":
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Audio decode seam. PCM WAV (codecs.decode_wav) and 4-bit IMA
-    ADPCM WAV (codecs.decode_wav_ima_adpcm, q99j) decode here in pure
-    Python — dispatch on the fmt chunk's format tag; perceptual codecs
-    (MP3, AAC, Opus) remain the deploy-time seam."""
+    """Audio decode seam. PCM WAV (codecs.decode_wav), 4-bit IMA ADPCM
+    WAV (codecs.decode_wav_ima_adpcm, q99j), G.711 WAV (q99m), and FLAC
+    (codecs.decode_flac, q99p — fixed-prediction subset, CRC-verified)
+    decode here in pure Python — dispatch on container magic + the fmt
+    chunk's format tag; perceptual codecs (MP3, AAC, Opus) remain the
+    deploy-time seam."""
+    if payload[:4] == b"fLaC":
+        from better_cdc_spark import codecs
+
+        return codecs.decode_flac(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from better_cdc_spark import codecs
 

@@ -62,6 +62,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
     # round-7 additions, externally unverified
+    "q99p_flac_decode",
+    "q98l_bpe_train_apply",
+    "q99r_mp3_frame_scan",
     "q95ab_conversation_assembly",
     "q95ac_preference_pairs",
     "q95ad_chat_template_render",

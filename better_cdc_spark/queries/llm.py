@@ -6962,3 +6962,330 @@ def q99o_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_frames") > 1)
     )
+
+
+@query(
+    "q99p_flac_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    j AS (SELECT doc_id, t.j FROM d, UNNEST(range(1, 777)) AS t(j)),
+    deltas AS (
+      SELECT doc_id, j,
+             list_extract([0, 2, -2, 5, -5, 9, -9],
+                          CAST((doc_id * 17 + j * 7) % 7 AS INTEGER) + 1) AS dl
+      FROM j
+    ),
+    s AS (
+      SELECT doc_id, j AS k,
+             doc_id % 211 - 105
+               + SUM(dl) OVER (PARTITION BY doc_id ORDER BY j) AS v
+      FROM deltas
+      UNION ALL
+      SELECT doc_id, 0 AS k, doc_id % 211 - 105 AS v FROM d
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(777 AS BIGINT) AS n_samples,
+           CAST(SUM(v * (k % 97 + 1)) AS BIGINT) AS checksum
+    FROM s GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "flac"),
+)
+def q99p_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING FLAC decode — the lossless audio codec speech/music
+    datasets actually ship in (LibriSpeech, MLS). Real stream format:
+    fLaC marker + STREAMINFO, sync-coded frame headers with UTF-8 frame
+    numbers and CRC-8, FIXED-prediction subframes (order-2 here), Rice-
+    coded residuals with partition order 2, frame-footer CRC-16 — all
+    verified per frame (codecs.decode_flac).
+
+    LOSSLESS is the oracle superpower: unlike the DCT family there is no
+    fixture class — ANY signal decodes exactly, so the fixture is an
+    arbitrary delta walk and the oracle just replays it as a running sum.
+    777 samples per doc exercise multi-block streams (3×256 + a partial
+    final block with its own blocksize header). A desync in Rice
+    parameters, partition geometry, warmup handling, UTF-8 numbers, or
+    either CRC fails loudly or hash-mismatches.
+
+    Narrow Arrow maps end-to-end, no shuffle; per-payload decode is
+    inherently per-payload work.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_flac
+    from better_cdc_spark.llmops import decode_audio
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n, deltas = 777, [0, 2, -2, 5, -5, 9, -9]
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = [d % 211 - 105]
+                for j in range(1, n):
+                    s.append(s[-1] + deltas[(d * 17 + j * 7) % 7])
+                payloads.append(
+                    encode_flac(s, sample_rate=8000, order=2, partition_order=2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_audio(bytes(payload))
+                s = np.asarray(meta["samples"], dtype=np.int64)
+                weights = np.arange(s.size, dtype=np.int64) % 97 + 1
+                rows.append(
+                    (int(d), meta["sample_rate"], int(s.size), int(s @ weights))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "checksum"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id bigint, sample_rate bigint, n_samples bigint, checksum bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE training + application (q98l). q98g delivered the
+# pair-frequency pass; this runs the full Sennrich loop — count pairs,
+# take the global argmax, merge, repeat — and applies the learned merges
+# back to the corpus. The segmentation string uses ||-doubled delimiters
+# so a merge is ONE literal replace that cannot cross token boundaries:
+# pattern '|a||b|' only matches where a is a whole token followed by the
+# whole token b, and the replacement '|ab|' preserves the doubled-
+# delimiter invariant (outer delimiters untouched). Both engines apply
+# the same leftmost non-overlapping replace, so greedy merge semantics
+# match exactly.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    parts = [
+        """
+    WITH words AS (
+      SELECT t.w AS word, COUNT(*) AS freq
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+      GROUP BY t.w
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, freq,
+             '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS w
+      FROM words
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    , p{i} AS MATERIALIZED (
+      SELECT l[j + 1] AS a, l[j + 2] AS b, SUM(freq) AS cnt
+      FROM (SELECT freq, string_split(trim(w, '|'), '||') AS l FROM s{i - 1}),
+           UNNEST(range(len(l) - 1)) AS t(j)
+      GROUP BY 1, 2
+    ), m{i} AS MATERIALIZED (
+      SELECT a, b FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ), s{i} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(w,
+                     '|' || (SELECT a FROM m{i}) || '||'
+                         || (SELECT b FROM m{i}) || '|',
+                     '|' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || '|')
+               AS w
+      FROM s{i - 1}
+    )""")
+    parts.append(f"""
+    SELECT word, freq,
+           array_to_string(string_split(trim(w, '|'), '||'), ',') AS tokens_csv,
+           CAST(len(string_split(trim(w, '|'), '||')) AS BIGINT) AS n_pieces
+    FROM s{k}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q98l_bpe_train_apply",
+    oracle=_bpe_oracle_sql(BPE_MERGES),
+    tags=("llm", "text", "tokenizer"),
+)
+def q98l_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) plus
+    application: starting from characters, run the full merge loop —
+    count adjacent-pair frequencies over the current segmentation, take
+    the global argmax (count desc, pair-lexicographic tie-break), merge
+    every occurrence, repeat — then emit each distinct word's final
+    segmentation. The oracle replays the IDENTICAL loop in SQL, so the
+    hash check pins the whole merge trajectory: one wrong count, tie-
+    break, or a merge that crosses a token boundary diverges everything
+    downstream.
+
+    Scale: the working set is the DISTINCT-word table (corpus-frequency
+    weighted — the standard trick that makes BPE training corpus-size-
+    independent). Each round is one pair-count shuffle bounded by the
+    PAIR VOCABULARY plus a 1-row argmax driver exchange (bounded model
+    exchange, same contract as the k-means/PQ codebooks); merge
+    application is an in-row literal replace. localCheckpoint per round
+    truncates the 6-round lineage.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    state = words.withColumn(
+        "w", F.concat(F.lit("||"), F.expr("regexp_replace(word, '(.)', '$1||')"))
+    ).localCheckpoint(eager=True)
+    toks = "split(btrim(w, '|'), '\\\\|\\\\|')"
+    for _ in range(BPE_MERGES):
+        pairs = (
+            state.filter(F.expr(f"size({toks}) >= 2"))
+            .select("freq", F.expr(toks).alias("l"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(l) - 2),"
+                        " j -> struct(l[j] AS a, l[j + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()  # bounded exchange: exactly one (a, b) row per round
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        state = state.withColumn(
+            "w", F.expr(f"replace(w, '|{a}||{b}|', '|{a}{b}|')")
+        ).localCheckpoint(eager=True)
+    return state.select(
+        "word",
+        "freq",
+        F.array_join(F.expr(toks), ",").alias("tokens_csv"),
+        F.size(F.expr(toks)).cast("long").alias("n_pieces"),
+    )
+
+
+@query(
+    "q99r_mp3_frame_scan",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 0
+                  ELSE 10 + (doc_id % 5) * 17 END AS id3_bytes,
+             list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                          CAST(1 + doc_id % 14 AS INTEGER)) AS bitrate_kbps,
+             list_extract([44100, 48000, 32000],
+                          CAST(1 + doc_id % 3 AS INTEGER)) AS sample_rate,
+             20 + doc_id % 30 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(bitrate_kbps AS BIGINT) AS bitrate_kbps,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           (CAST(n_frames AS BIGINT) * 1152 * 1000000) // sample_rate
+             AS duration_us,
+           CAST(n_frames * ((144000 * bitrate_kbps) // sample_rate)
+                + (n_frames + doc_id % 2) // 2 AS BIGINT) AS audio_bytes,
+           CAST(id3_bytes AS BIGINT) AS id3_bytes
+    FROM p
+    """,
+    tags=("llm", "multimodal", "audio", "metadata"),
+)
+def q99r_mp3_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata extraction WITHOUT decode — the first pass a 100 TB
+    audio-curation pipeline runs: per-file duration / bitrate / sample
+    rate / corruption stats straight from ISO 11172-3 frame headers
+    (codecs.scan_mpeg_frames walks real sync words, bitrate/samplerate
+    tables, padded frame lengths, and an ID3v2.3 syncsafe prefix).
+    Layer III *decode* stays the documented perceptual-codec seam; the
+    header walk is what duration-budgeted sampling and corrupt-file
+    quarantine actually need, at ~0.1% of the bytes-touched of decode.
+
+    Fixtures are spec-correct CBR streams built per doc
+    (codecs.build_mp3_stream) with varied bitrate index (1-14), sample
+    rate (44.1/48/32 kHz), alternating padding bits, and optional ID3
+    tags; the oracle recomputes every field closed-form from the ISO
+    frame-length formula. A scanner that mis-tables a bitrate, drops a
+    padding byte, or mis-parses syncsafe sizes cannot hash-match.
+
+    Narrow Arrow maps end-to-end, no shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import build_mp3_stream, scan_mpeg_frames
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                build_mp3_stream(
+                    20 + d % 30,
+                    1 + d % 14,
+                    d % 3,
+                    pad_phase=d % 2,
+                    id3_payload=(d % 5) * 17 if d % 5 else 0,
+                )
+                for d in (int(x) for x in pdf["doc_id"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = scan_mpeg_frames(bytes(payload))
+                rows.append(
+                    (
+                        int(d),
+                        m["n_frames"],
+                        m["bitrate_kbps"],
+                        m["sample_rate"],
+                        m["duration_us"],
+                        m["audio_bytes"],
+                        m["id3_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "bitrate_kbps",
+                    "sample_rate",
+                    "duration_us",
+                    "audio_bytes",
+                    "id3_bytes",
+                ],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        scan,
+        "doc_id bigint, n_frames bigint, bitrate_kbps bigint,"
+        " sample_rate bigint, duration_us bigint, audio_bytes bigint,"
+        " id3_bytes bigint",
+    )

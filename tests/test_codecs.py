@@ -730,3 +730,46 @@ def test_g711_wav_roundtrip_and_dispatch():
         assert d["samples"] == [fn(b) for b in data]
     with pytest.raises(ValueError, match="G.711"):
         codecs.decode_wav_g711(codecs.encode_wav(bytes(64)))
+
+
+class TestMpegFrameScan:
+    def test_scan_matches_build_parameters(self):
+        for d in range(23):
+            n, br_idx, sr_idx = 20 + d % 30, 1 + d % 14, d % 3
+            payload = codecs.build_mp3_stream(
+                n, br_idx, sr_idx, pad_phase=d % 2,
+                id3_payload=(d % 5) * 17 if d % 5 else 0,
+            )
+            m = codecs.scan_mpeg_frames(payload)
+            assert m["n_frames"] == n
+            assert m["bitrate_kbps"] == codecs._MPEG1_L3_BITRATES[br_idx]
+            assert m["sample_rate"] == codecs._MPEG1_SAMPLE_RATES[sr_idx]
+            # scanner accounts for every byte in the stream
+            assert m["audio_bytes"] + m["id3_bytes"] == len(payload)
+            assert m["duration_us"] == n * 1152 * 1_000_000 // m["sample_rate"]
+
+    def test_padding_bit_changes_frame_length(self):
+        a = codecs.scan_mpeg_frames(codecs.build_mp3_stream(10, 9, 0, pad_phase=0))
+        b = codecs.scan_mpeg_frames(codecs.build_mp3_stream(10, 9, 0, pad_phase=1))
+        assert a["audio_bytes"] == b["audio_bytes"]  # 5 padded frames each
+        c = codecs.scan_mpeg_frames(codecs.build_mp3_stream(11, 9, 0, pad_phase=1))
+        assert c["audio_bytes"] == a["audio_bytes"] + (a["audio_bytes"] // 10) + 1
+
+    @pytest.mark.parametrize(
+        "mutate,msg",
+        [
+            (lambda b: b"\x00" + b[1:], "lost frame sync"),
+            (lambda b: b[:-3], "truncated frame"),
+            (lambda b: b[:2] + bytes([0xF0 | b[2] & 0x0F]) + b[3:], "reserved"),
+        ],
+    )
+    def test_corruption_raises(self, mutate, msg):
+        payload = codecs.build_mp3_stream(5, 9, 0)
+        with pytest.raises(ValueError, match=msg):
+            codecs.scan_mpeg_frames(mutate(payload))
+
+    def test_id3_skip_and_empty_stream(self):
+        with_tag = codecs.build_mp3_stream(3, 5, 1, id3_payload=99)
+        assert codecs.scan_mpeg_frames(with_tag)["id3_bytes"] == 109
+        with pytest.raises(ValueError, match="no MPEG frames"):
+            codecs.scan_mpeg_frames(b"ID3" + bytes((3, 0, 0)) + codecs._syncsafe(0))

@@ -631,3 +631,61 @@ def test_avi_frame_sampling_selects_exactly_every_nth(n_frames, every_n, seed):
     out = codecs.sample_avi_frames(avi, every_n=every_n)
     assert [f["frame_idx"] for f in out] == list(range(0, n_frames, every_n))
     assert codecs.decode_avi_mjpeg(avi)["frames"] == frames
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sig=st.lists(st.integers(-32768, 32767), min_size=1, max_size=700),
+    order=st.integers(0, 4),
+    partition_order=st.integers(0, 3),
+    block_size=st.sampled_from([64, 256, 333]),
+)
+def test_flac_roundtrip_is_lossless_property(sig, order, partition_order, block_size):
+    """decode(encode(s)) == s for ARBITRARY int16 signals across every
+    fixed-prediction order, partition order, and blocksize — lossless is
+    the whole contract (and what q99p's exact oracle rests on)."""
+    from better_cdc_spark import codecs
+
+    if block_size % (1 << partition_order):
+        partition_order = 0
+    enc = codecs.encode_flac(
+        sig, order=order, partition_order=partition_order, block_size=block_size
+    )
+    d = codecs.decode_flac(enc)
+    assert d["samples"] == sig
+    assert d["n_samples"] == len(sig) and d["channels"] == 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sig=st.lists(st.integers(-32768, 32767), min_size=8, max_size=300),
+    flip_byte=st.integers(50, 80),
+    flip_bit=st.integers(0, 7),
+)
+def test_flac_crc_detects_any_single_bit_corruption(sig, flip_byte, flip_bit):
+    """Any bit flip in frame bytes must fail a CRC (or frame parse) —
+    never decode silently to wrong samples."""
+    import pytest
+
+    from better_cdc_spark import codecs
+
+    enc = bytearray(codecs.encode_flac(sig, block_size=64))
+    if flip_byte >= len(enc):
+        flip_byte = len(enc) - 1
+    if flip_byte < 42:  # keep the corruption inside frame bytes, not metadata
+        flip_byte = 42
+    enc[flip_byte] ^= 1 << flip_bit
+    with pytest.raises(ValueError):
+        codecs.decode_flac(bytes(enc))
+
+
+def test_flac_stereo_and_audio_dispatch():
+    from better_cdc_spark import codecs, llmops
+
+    left = [(i * 37) % 4001 - 2000 for i in range(500)]
+    right = [(i * 53) % 3001 - 1500 for i in range(500)]
+    d = codecs.decode_flac(codecs.encode_flac([left, right]))
+    assert d["channels"] == 2 and d["samples"] == [left, right]
+    # llmops seam dispatches on the fLaC magic
+    mono = llmops.decode_audio(codecs.encode_flac(left, sample_rate=16000))
+    assert mono["sample_rate"] == 16000 and mono["samples"] == left
