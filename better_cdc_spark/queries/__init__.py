@@ -65,6 +65,9 @@ SHOWCASE_ORDER = (
     "q99p_flac_decode",
     "q98l_bpe_train_apply",
     "q99r_mp3_frame_scan",
+    "q99q_ahash_near_dup",
+    "q98m_rag_chunking",
+    "q98n_unicode_normalize",
     "q95ab_conversation_assembly",
     "q95ac_preference_pairs",
     "q95ad_chat_template_render",

@@ -7289,3 +7289,272 @@ def q99r_mp3_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " sample_rate bigint, duration_us bigint, audio_bytes bigint,"
         " id3_bytes bigint",
     )
+
+
+@query(
+    "q99q_ahash_near_dup",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT doc_id, t.j,
+             (doc_id % 40) * 13 + ((t.j * t.j * 7) % 64) * 3 AS base,
+             ((doc_id % 40) * 13 + ((t.j * t.j * 7) % 64) * 3) % 200 + 28
+             + CASE WHEN (doc_id // 40) % 4 > 0
+                     AND t.j = (doc_id % 40 + (doc_id // 40) % 4) % 64
+                    THEN 1 ELSE 0 END AS val
+      FROM documents, UNNEST(range(64)) AS t(j)
+    ),
+    s AS (SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT v.doc_id, v.j // 16 AS k,
+             CAST(SUM(CASE WHEN v.val * 64 > s.total
+                           THEN 1 << CAST(v.j % 16 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS bv
+      FROM v JOIN s ON v.doc_id = s.doc_id
+      GROUP BY v.doc_id, v.j // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2,
+           CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands x ON x.doc_id = c.d1
+    JOIN bands y ON y.doc_id = c.d2 AND y.k = x.k
+    GROUP BY c.d1, c.d2
+    HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 3
+    """,
+    tags=("llm", "multimodal", "dedup", "image"),
+)
+def q99q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual average-hash (aHash)
+    with a banded hamming join — the image-side twin of MinHash-LSH text
+    dedup, and the standard first-pass visual dedup in multimodal
+    curation (resized thumbnails hash to 64 bits; near-dups differ in a
+    few bits).
+
+    The hash is computed from DECODED pixels: fixtures are real P6 PPM
+    rasters of 8x8-constant blocks (encode_ppm/decode_ppm round trip in
+    Arrow-batched mapInPandas), downsampled 64x64 -> 8x8 by exact
+    integer block means, bit_j = 64*v_j > sum(v) (division-free, exact
+    in both engines). The 64-bit hash is carried as FOUR 16-bit bands —
+    which is also the join key: hamming <= 3 over 4 bands pigeonholes
+    at least one band equal, so the banded equi-join finds EVERY
+    qualifying pair (exact, not probabilistic). Fixture groups (doc_id
+    % 40) share a base image with variants perturbing one block by +1,
+    so cross-variant pairs land at hamming 0-2 and cross-group pairs
+    are far.
+
+    Scale: the self-join shuffles on (band_idx, band_value) — bucket
+    size is bounded by the near-dup cluster size exactly like LSH band
+    buckets; no all-pairs anywhere. The distinct collapses multi-band
+    matches before the (cheap) hamming verify on carried bands.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import decode_ppm, encode_ppm
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                g, t = d % 40, (d // 40) % 4
+                j = np.arange(64, dtype=np.int64)
+                val = (g * 13 + ((j * j * 7) % 64) * 3) % 200 + 28
+                if t > 0:
+                    val[(g + t) % 64] += 1
+                raster = np.kron(
+                    val.reshape(8, 8), np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                rgb = np.repeat(raster[:, :, None], 3, axis=2)
+                payloads.append(encode_ppm(64, 64, rgb.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def ahash(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                gray = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+                    64, 64, 3
+                )[:, :, 0].astype(np.int64)
+                blocks = gray.reshape(8, 8, 8, 8).sum(axis=(1, 3)) // 64
+                flat = blocks.reshape(64)
+                bits = flat * 64 > flat.sum()
+                bands = [
+                    int((bits[k * 16 : k * 16 + 16] << np.arange(16)).sum())
+                    for k in range(4)
+                ]
+                rows.append((int(d), *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    hashes = payloads.mapInPandas(
+        ahash, "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+    )
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    return (
+        left.join(
+            right,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+@query(
+    "q98m_rag_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n, t.k AS chunk_idx, t.k * 48 AS chunk_start
+      FROM toks,
+           UNNEST(range(GREATEST(1, CAST(ceil((n - 16) / 48.0) AS BIGINT))))
+             AS t(k)
+    )
+    SELECT c.doc_id, c.chunk_idx, CAST(c.chunk_start AS BIGINT) AS chunk_start,
+           CAST(LEAST(64, c.n - c.chunk_start) AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+                 l[c.chunk_start + 1 : c.chunk_start + 64], ' ')) AS chunk_md5
+    FROM chunks c JOIN toks t ON c.doc_id = t.doc_id
+    """,
+    tags=("llm", "text", "rag"),
+)
+def q98m_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining prep step
+    that splits long documents into overlapping retrieval units: 64-token
+    windows on a 48-token stride (16-token overlap), with a trailing-
+    chunk rule that emits a window only if it contributes tokens beyond
+    the previous window's coverage (k >= 1 valid iff 48k + 16 < n, so
+    n_chunks = max(1, ceil((n-16)/48))). Each chunk carries its token
+    span and an md5 content fingerprint — the id downstream embedding
+    and chunk-level dedup (q95 span family) key on.
+
+    All in-row: whitespace tokenization, a posexploded chunk-start
+    sequence, array slices and one md5 per chunk — no shuffle at all,
+    embarrassingly parallel over documents at any corpus size. Identical
+    ASCII regex tokenization both engines (the q98 family's proven
+    split).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), "\\s+").alias("l"),
+    ).select("doc_id", "l", F.size("l").alias("n"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("n") - 16) / F.lit(48.0)).cast("long")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "l",
+            "n",
+            F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_idx", "_"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * 48).cast("long").alias("chunk_start"),
+            F.least(F.lit(64), F.col("n") - F.col("chunk_idx") * 48)
+            .cast("long")
+            .alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("l"), F.col("chunk_idx") * 48 + 1, 64), " "
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "q98n_unicode_normalize",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g')
+               || repeat('e' || chr(769) || 'A' || chr(778),
+                         CAST(doc_id % 4 AS INTEGER)) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS raw_cp,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_cp,
+           CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
+             AS n_composed,
+           CASE WHEN raw <> nfc_normalize(raw) THEN 1 ELSE 0 END AS changed
+    FROM base
+    """,
+    tags=("llm", "text", "unicode"),
+)
+def q98n_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization pass web-crawl
+    text needs before ANY hash-keyed dedup: visually identical strings
+    with decomposed combining marks ('e' + U+0301 vs precomposed U+00E9)
+    hash differently and silently defeat exact/span dedup. Spark has no
+    built-in normalizer, so this is an honest Arrow-batched pandas UDF
+    over Python's unicodedata (UCD composition tables); DuckDB's
+    utf8proc-backed nfc_normalize provides the independent oracle — two
+    unrelated UCD implementations must agree codepoint-for-codepoint.
+
+    Fixtures plant decomposed sequences per doc on an ASCII-sanitized
+    base (NFC is identity on ASCII, so engine text handling stays out of
+    the comparison). Emits codepoint counts before/after and a changed
+    flag — the funnel stats a curation report tracks. Narrow map, no
+    shuffle; the UDF is the declared slow path and the only correct one
+    (normalization is inherently per-string table-driven work).
+    """
+    import pandas as pd
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    tune_for_oracle(spark)
+
+    def _nfc(s):
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    nfc = pandas_udf(_nfc, "string")  # no hints: nested-scope 'pd' unresolvable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.concat(
+        F.regexp_replace(F.col("text"), "[^ -~]", ""),
+        F.repeat(F.lit("e\u0301A\u030a"), (F.col("doc_id") % 4).cast("int")),
+    )
+    base = docs.select("doc_id", raw.alias("raw")).withColumn("n", nfc(F.col("raw")))
+    return base.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("raw_cp"),
+        F.length("n").cast("long").alias("nfc_cp"),
+        (F.length("raw") - F.length("n")).cast("long").alias("n_composed"),
+        F.when(F.col("raw") != F.col("n"), 1).otherwise(0).alias("changed"),
+    )

@@ -528,3 +528,30 @@ def test_q99o_frame_dedup_single_shuffle_family(spark):
     n = len(re.findall(r"\bExchange\b", plan))
     assert n <= 2, f"signature agg grew extra shuffles: {n}"
     assert plan.count("hashpartitioning(sig") >= 1
+
+
+def test_q99q_ahash_band_join_is_product_free(spark):
+    """The banded hamming join must stay an equi-join on (band_idx,
+    band_value) — a CartesianProduct or BroadcastNestedLoopJoin here is
+    the all-pairs image comparison the banding exists to avoid."""
+    plan = plan_of(spark, "q99q_ahash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_q98m_rag_chunking_is_shuffle_free(spark):
+    """Chunking is in-row (tokenize, posexplode chunk starts, slice,
+    md5) — any Exchange means per-doc work leaked into a shuffle."""
+    plan = plan_of(spark, "q98m_rag_chunking")
+    assert "Exchange" not in plan
+
+
+def test_q98l_bpe_rounds_are_pair_bounded(spark):
+    """Each BPE training round's pair count groups on (a, b) — the
+    shuffle key must be the pair vocabulary, never the word table
+    exploded by position; and merge application is in-row (no join)."""
+    plan = plan_of(spark, "q98l_bpe_train_apply")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # merges are literal replaces, not joins
