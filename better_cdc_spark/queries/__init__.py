@@ -68,6 +68,9 @@ SHOWCASE_ORDER = (
     "q99q_ahash_near_dup",
     "q98m_rag_chunking",
     "q98n_unicode_normalize",
+    "q94k_webdataset_ingest",
+    "q99s_srt_shot_align",
+    "q95ae_best_of_n_sampling",
     "q95ab_conversation_assembly",
     "q95ac_preference_pairs",
     "q95ad_chat_template_render",

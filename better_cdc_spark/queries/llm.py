@@ -7558,3 +7558,296 @@ def q98n_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("raw") - F.length("n")).cast("long").alias("n_composed"),
         F.when(F.col("raw") != F.col("n"), 1).otherwise(0).alias("changed"),
     )
+
+
+@query(
+    "q94k_webdataset_ingest",
+    oracle="""
+    SELECT doc_id AS sample_key,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST((8 + length(CAST(doc_id AS VARCHAR)))
+                * (1 + doc_id % 7) AS BIGINT) AS txt_len,
+           CAST(doc_id % 10 AS BIGINT) AS label,
+           CAST(list_sum(list_transform(range(48),
+                         i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT)
+             AS img_checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "ingest", "webdataset"),
+)
+def q94k_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingest — the de-facto storage format for large
+    multimodal training sets: POSIX tar shards whose members group into
+    samples by basename ({key}.txt / {key}.json / {key}.ppm), streamed
+    sequentially so a 100 TB corpus reads at wire speed with no
+    per-sample seeks. This builds REAL ustar shards (8 samples x 3
+    modality members each, stdlib tarfile), parses them back member by
+    member, regroups members into samples on ONE shuffle keyed by
+    sample key, and validates modality completeness — emitting the
+    text length, JSON label, and image byte checksum per sample.
+
+    The oracle recomputes every field closed-form from the fixture
+    formulas, so a tar header mis-parse (size field, 512-byte padding,
+    member ordering) or a lost member cannot hash-match. Scale: shards
+    are the parallelism unit (one task per shard at deploy scale); the
+    single groupBy(sample_key) shuffle is bounded by members-per-sample,
+    and member payloads never leave the narrow stage — only extracted
+    features shuffle.
+    """
+    import io
+    import json as _json
+    import tarfile
+
+    import pandas as pd
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = docs.select((F.col("doc_id") / 8).cast("long").alias("shard_id")) \
+        .distinct()
+    all_keys = docs  # oracle domain: every doc_id is a sample key
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for sid in (int(x) for x in pdf["shard_id"]):
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tar:
+                    for key in range(sid * 8, sid * 8 + 8):
+                        members = {
+                            f"{key}.txt": (f"sample {key} " * (1 + key % 7))
+                            .encode(),
+                            f"{key}.json": _json.dumps(
+                                {"label": key % 10, "src": f"cc-{key % 5}"}
+                            ).encode(),
+                            f"{key}.ppm": bytes(
+                                (key * 7 + i * 13) % 256 for i in range(48)
+                            ),
+                        }
+                        for name, payload in members.items():
+                            info = tarfile.TarInfo(name)
+                            info.size = len(payload)
+                            tar.addfile(info, io.BytesIO(payload))
+                rows.append((sid, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["shard_id", "payload"])
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(payload))) as tar:
+                    for m in tar:
+                        key_s, ext = m.name.rsplit(".", 1)
+                        data = tar.extractfile(m).read()
+                        if ext == "txt":
+                            txt_len, label, cksum = len(data), None, None
+                        elif ext == "json":
+                            txt_len, cksum = None, None
+                            label = _json.loads(data)["label"]
+                        else:
+                            txt_len, label = None, None
+                            cksum = sum(data)
+                        rows.append(
+                            (int(key_s), ext, txt_len, label, cksum)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["sample_key", "ext", "txt_len", "label", "cksum"],
+            )
+
+    members = shards.mapInPandas(
+        synth, "shard_id bigint, payload binary"
+    ).mapInPandas(
+        parse,
+        "sample_key bigint, ext string, txt_len bigint, label bigint,"
+        " cksum bigint",
+    )
+    samples = members.groupBy("sample_key").agg(
+        F.count("*").alias("n_members"),
+        F.max("txt_len").alias("txt_len"),
+        F.max("label").alias("label"),
+        F.max("cksum").alias("img_checksum"),
+    )
+    # keep only complete samples whose key is in the corpus domain —
+    # tail shards synthesize keys past max(doc_id); drop them like a
+    # real ingest drops orphan members. Semi-join on sample_key reuses
+    # the aggregation's hash partitioning (no extra exchange on the
+    # aggregated side; never broadcasts the corpus key set).
+    return samples.filter(F.col("n_members") == 3).join(
+        all_keys.withColumnRenamed("doc_id", "sample_key"),
+        "sample_key",
+        "left_semi",
+    )
+
+
+@query(
+    "q99s_srt_shot_align",
+    oracle="""
+    WITH cues AS (
+      SELECT doc_id, t.i,
+             t.i * 2000 + doc_id % 500 AS s_ms,
+             t.i * 2000 + doc_id % 500 + 1500 AS e_ms
+      FROM documents, UNNEST(range(3 + doc_id % 5)) AS t(i)
+    ),
+    hits AS (
+      SELECT doc_id, k.k AS shot_idx, s_ms, e_ms
+      FROM cues, UNNEST(range(s_ms // 4000, (e_ms - 1) // 4000 + 1)) AS k(k)
+    )
+    SELECT doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_cues,
+           CAST(SUM(LEAST(e_ms, (shot_idx + 1) * 4000)
+                    - GREATEST(s_ms, shot_idx * 4000)) AS BIGINT)
+             AS overlap_ms
+    FROM hits GROUP BY doc_id, shot_idx
+    """,
+    tags=("llm", "multimodal", "video", "alignment"),
+)
+def q99s_srt_shot_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle-to-shot temporal alignment — the step that turns raw
+    video + caption files into (clip, text) training pairs: render real
+    SRT cue blocks ("1\\n00:00:02,340 --> 00:00:03,840\\ntext"), parse
+    the HH:MM:SS,mmm timestamps back out with regexes, and align each
+    cue to every 4-second shot it overlaps, accumulating per-shot cue
+    counts and overlap milliseconds.
+
+    The interval join uses the bucketed rewrite (q28's scale pattern):
+    a cue explodes to exactly the shot buckets it spans (<= 2 here), so
+    alignment is an equi-group on (doc, shot) — never a range join, and
+    the shuffle is bounded by cue-shot incidences. Render AND parse both
+    run in-plan (format/lpad out, regexp_extract_all back), so a
+    timestamp arithmetic bug on either side breaks the round trip; the
+    oracle recomputes alignment closed-form from the cue formulas.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # render a real SRT document per doc_id, in-plan
+    srt = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            array_join(transform(sequence(0, 2 + CAST(doc_id % 5 AS INT)),
+              i -> concat(
+                CAST(i + 1 AS STRING), '\n',
+                '00:00:', lpad(CAST((i * 2000 + doc_id % 500) div 1000
+                               AS STRING), 2, '0'),
+                ',', lpad(CAST((i * 2000 + doc_id % 500) % 1000
+                          AS STRING), 3, '0'),
+                ' --> ',
+                '00:00:', lpad(CAST((i * 2000 + doc_id % 500 + 1500) div 1000
+                               AS STRING), 2, '0'),
+                ',', lpad(CAST((i * 2000 + doc_id % 500 + 1500) % 1000
+                          AS STRING), 3, '0'),
+                '\n', 'cue ', CAST(i AS STRING), ' of doc ',
+                CAST(doc_id AS STRING))), '\n\n')
+            """
+        ).alias("srt"),
+    )
+    # \\d doubled: Spark SQL string literals eat single backslashes
+    ts_pat = (
+        "(\\\\d{2}):(\\\\d{2}):(\\\\d{2}),(\\\\d{3}) --> "
+        "(\\\\d{2}):(\\\\d{2}):(\\\\d{2}),(\\\\d{3})"
+    )
+    to_ms = (
+        "CAST(split(ts, '[:,]')[0] AS BIGINT) * 3600000"
+        " + CAST(split(ts, '[:,]')[1] AS BIGINT) * 60000"
+        " + CAST(split(ts, '[:,]')[2] AS BIGINT) * 1000"
+        " + CAST(split(ts, '[:,]')[3] AS BIGINT)"
+    )
+    cues = (
+        srt.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(srt, '{ts_pat}', 0)")
+            ).alias("pair"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(split(pair, ' --> '), ts -> " + to_ms + ")"
+            ).alias("ms"),
+        )
+        .select("doc_id", F.col("ms")[0].alias("s_ms"), F.col("ms")[1].alias("e_ms"))
+    )
+    hits = cues.select(
+        "doc_id",
+        "s_ms",
+        "e_ms",
+        F.explode(
+            F.sequence(
+                (F.col("s_ms") / 4000).cast("long"),
+                ((F.col("e_ms") - 1) / 4000).cast("long"),
+            )
+        ).alias("shot_idx"),
+    )
+    return hits.groupBy("doc_id", "shot_idx").agg(
+        F.count("*").alias("n_cues"),
+        F.sum(
+            F.least(F.col("e_ms"), (F.col("shot_idx") + 1) * 4000)
+            - F.greatest(F.col("s_ms"), F.col("shot_idx") * 4000)
+        ).alias("overlap_ms"),
+    )
+
+
+@query(
+    "q95ae_best_of_n_sampling",
+    oracle="""
+    WITH cand AS (
+      SELECT doc_id, t.k, (doc_id * 31 + t.k * t.k * 17) % 1000 AS reward
+      FROM documents, UNNEST(range(8)) AS t(k)
+    ),
+    ranked AS (
+      SELECT doc_id, k, reward,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY reward DESC, k ASC) AS rn,
+             lead(reward) OVER (PARTITION BY doc_id
+                                ORDER BY reward DESC, k ASC) AS next_reward
+      FROM cand
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS best_k,
+           CAST(reward AS BIGINT) AS best_reward,
+           CAST(reward - next_reward AS BIGINT) AS margin,
+           CASE WHEN reward >= 500 THEN 1 ELSE 0 END AS accepted
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("llm", "posttraining", "rlhf"),
+)
+def q95ae_best_of_n_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling — the RLHF data-generation step:
+    per prompt, n=8 candidate completions carry reward-model scores;
+    select the argmax (deterministic tie-break on candidate index),
+    record the margin over the runner-up (the confidence signal DPO-
+    style pipelines threshold on), and gate acceptance on a reward
+    floor. Integer rewards keep the selection bit-reproducible
+    cross-engine.
+
+    One window shuffle partitioned by prompt — the same per-key
+    parallelism as q52's top-k; candidate fan-out is a literal in-row
+    sequence, so the shuffle carries n rows per prompt, nothing more.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cand = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    ).select(
+        "doc_id",
+        "k",
+        ((F.col("doc_id") * 31 + F.col("k") * F.col("k") * 17) % 1000).alias(
+            "reward"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("reward").desc(), F.col("k").asc()
+    )
+    ranked = cand.select(
+        "doc_id",
+        "k",
+        "reward",
+        F.row_number().over(w).alias("rn"),
+        F.lead("reward").over(w).alias("next_reward"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("k").cast("long").alias("best_k"),
+        F.col("reward").cast("long").alias("best_reward"),
+        (F.col("reward") - F.col("next_reward")).cast("long").alias("margin"),
+        F.when(F.col("reward") >= 500, 1).otherwise(0).alias("accepted"),
+    )

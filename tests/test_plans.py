@@ -555,3 +555,24 @@ def test_q98l_bpe_rounds_are_pair_bounded(spark):
     plan = plan_of(spark, "q98l_bpe_train_apply")
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # merges are literal replaces, not joins
+
+
+def test_q94k_webdataset_single_sample_key_shuffle(spark):
+    """Shard parse is narrow; the only exchanges allowed are the
+    sample-key aggregation (+ its semi-join reusing the same key) and
+    the shard-id distinct. Member payloads must never shuffle."""
+    plan = plan_of(spark, "q94k_webdataset_ingest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("hashpartitioning(sample_key") >= 1
+    for line in plan.splitlines():  # no payload bytes through any shuffle
+        if "Exchange" in line:
+            assert "payload" not in line
+
+
+def test_q99s_srt_align_is_bucketed_not_range_join(spark):
+    """Cue-shot alignment must be the exploded-bucket equi-group — a
+    Join node here means it degenerated to a range join."""
+    plan = plan_of(spark, "q99s_srt_shot_align")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
