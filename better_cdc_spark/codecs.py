@@ -2526,3 +2526,137 @@ def scan_mpeg_frames(payload: bytes) -> dict:
         "audio_bytes": audio_bytes,
         "id3_bytes": id3_bytes,
     }
+
+
+# ---------------------------------------------------------------------------
+# Ogg container page scan (Opus streams). Like the MP3 header walk:
+# full Opus *decode* (CELT/SILK) stays a deploy-time seam, but the Ogg
+# page layer — magic, lacing, granule positions, and the spec's own
+# non-reflected CRC-32 — is exactly what duration/integrity stats need,
+# reading headers instead of decoding audio. RFC 3533 (Ogg) + RFC 7845
+# (Opus-in-Ogg: OpusHead, 48 kHz granules, pre-skip).
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7 if _r & 0x80000000 else _r << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg's CRC-32: polynomial 0x04C11DB7, NOT bit-reflected, init 0,
+    no final xor — deliberately different from zlib.crc32."""
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def _ogg_page(
+    serial: int, seq: int, granule: int, payload: bytes, header_type: int = 0
+) -> bytes:
+    import struct
+
+    segs = []
+    n = len(payload)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)  # final short (possibly 0) lacing value
+    hdr = struct.pack(
+        "<4sBBqIIIB",
+        b"OggS", 0, header_type, granule, serial, seq, 0, len(segs),
+    ) + bytes(segs)
+    page = hdr + payload
+    crc = _ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+def encode_ogg_opus(
+    serial: int, pre_skip: int, packet_sizes: list, samples_per_packet: int = 960
+) -> bytes:
+    """Minimal Ogg-Opus stream: BOS page with a real OpusHead (RFC
+    7845), an OpusTags comment page, then one audio page per packet
+    with 48 kHz granule positions accumulating samples_per_packet,
+    EOS flag on the last."""
+    import struct
+
+    head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, pre_skip, 48000, 0, 0)
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"test" + struct.pack("<I", 0)
+    out = bytearray()
+    out += _ogg_page(serial, 0, 0, head, header_type=0x02)  # BOS
+    out += _ogg_page(serial, 1, 0, tags)
+    granule = pre_skip
+    for i, size in enumerate(packet_sizes):
+        granule += samples_per_packet
+        eos = 0x04 if i == len(packet_sizes) - 1 else 0
+        payload = bytes((serial * 11 + i * 7 + j * 3) % 256 for j in range(size))
+        out += _ogg_page(serial, 2 + i, granule, payload, header_type=eos)
+    return bytes(out)
+
+
+def scan_ogg_opus(payload: bytes) -> dict:
+    """Walk Ogg pages verifying magic, version, and the spec CRC-32 of
+    every page; parse OpusHead off the BOS page; track granule
+    positions and page sequence continuity. Returns stream metadata:
+    page/packet-page counts, pre-skip, exact duration in microseconds
+    ((last_granule - pre_skip) * 1e6 // 48000 per RFC 7845), and audio
+    payload bytes. Raises ValueError on bad magic, CRC mismatch, a
+    sequence gap, a missing OpusHead, or a stream without EOS —
+    truncated or corrupt files fail loudly.
+    """
+    import struct
+
+    pos, n_pages, n_audio_pages, audio_bytes = 0, 0, 0, 0
+    pre_skip = serial0 = None
+    last_granule, expect_seq, saw_eos = 0, 0, False
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"bad page magic at byte {pos}")
+        if pos + 27 > len(payload):
+            raise ValueError("truncated page header")
+        (version, htype, granule, serial, seq, crc, nsegs) = struct.unpack(
+            "<BBqIIIB", payload[pos + 4 : pos + 27]
+        )
+        if version != 0:
+            raise ValueError(f"unsupported Ogg version {version}")
+        seg_table = payload[pos + 27 : pos + 27 + nsegs]
+        body_len = sum(seg_table)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > len(payload):
+            raise ValueError(f"truncated page body at byte {pos}")
+        page = bytearray(payload[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"CRC mismatch on page {seq}")
+        if seq != expect_seq:
+            raise ValueError(f"page sequence gap: got {seq}, want {expect_seq}")
+        expect_seq += 1
+        body = payload[pos + 27 + nsegs : page_end]
+        if htype & 0x02:  # BOS
+            if body[:8] != b"OpusHead":
+                raise ValueError("BOS page is not OpusHead")
+            pre_skip = struct.unpack("<H", body[10:12])[0]
+            serial0 = serial
+        elif not body.startswith(b"OpusTags"):
+            n_audio_pages += 1
+            audio_bytes += body_len
+            last_granule = granule
+        if htype & 0x04:
+            saw_eos = True
+        n_pages += 1
+        pos = page_end
+    if pre_skip is None:
+        raise ValueError("no OpusHead found")
+    if not saw_eos:
+        raise ValueError("stream has no EOS page")
+    return {
+        "n_pages": n_pages,
+        "n_audio_pages": n_audio_pages,
+        "serial": serial0,
+        "pre_skip": pre_skip,
+        "duration_us": (last_granule - pre_skip) * 1_000_000 // 48000,
+        "audio_bytes": audio_bytes,
+    }

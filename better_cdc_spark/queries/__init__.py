@@ -71,6 +71,8 @@ SHOWCASE_ORDER = (
     "q94k_webdataset_ingest",
     "q99s_srt_shot_align",
     "q95ae_best_of_n_sampling",
+    "q99t_ogg_opus_scan",
+    "q95af_curriculum_shards",
     "q95ab_conversation_assembly",
     "q95ac_preference_pairs",
     "q95ad_chat_template_render",

@@ -7851,3 +7851,145 @@ def q95ae_best_of_n_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("reward") - F.col("next_reward")).cast("long").alias("margin"),
         F.when(F.col("reward") >= 500, 1).otherwise(0).alias("accepted"),
     )
+
+
+@query(
+    "q99t_ogg_opus_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 4 AS BIGINT) AS n_pages,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_audio_pages,
+           doc_id AS serial,
+           CAST(312 + doc_id % 100 AS BIGINT) AS pre_skip,
+           CAST((2 + doc_id % 4) * 20000 AS BIGINT) AS duration_us,
+           CAST(list_sum(list_transform(range(2 + doc_id % 4),
+                         i -> 40 + (doc_id + i) % 300)) AS BIGINT)
+             AS audio_bytes
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "audio", "metadata"),
+)
+def q99t_ogg_opus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-Opus container scan — duration and integrity metadata for
+    the codec modern speech corpora actually ship in (Common Voice,
+    podcast crawls), WITHOUT touching CELT/SILK decode (the declared
+    perceptual seam). codecs.scan_ogg_opus walks real RFC 3533 pages —
+    magic, lacing segments, granule positions, sequence continuity —
+    verifying every page with Ogg's own non-reflected CRC-32 (poly
+    0x04C11DB7, deliberately not zlib's), parses OpusHead off the BOS
+    page, and derives exact duration from the 48 kHz granule clock
+    minus pre-skip (RFC 7845). Fixtures are spec-correct streams built
+    per doc; the oracle recomputes all fields closed-form, so a lacing,
+    granule, or CRC bug cannot hash-match. Narrow Arrow maps, no
+    shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_ogg_opus, scan_ogg_opus
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                n = 2 + d % 4
+                sizes = [40 + (d + i) % 300 for i in range(n)]
+                payloads.append(encode_ogg_opus(d, 312 + d % 100, sizes))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = scan_ogg_opus(bytes(payload))
+                rows.append(
+                    (
+                        int(d),
+                        m["n_pages"],
+                        m["n_audio_pages"],
+                        m["serial"],
+                        m["pre_skip"],
+                        m["duration_us"],
+                        m["audio_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_pages", "n_audio_pages", "serial",
+                    "pre_skip", "duration_us", "audio_bytes",
+                ],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        scan,
+        "doc_id bigint, n_pages bigint, n_audio_pages bigint, serial bigint,"
+        " pre_skip bigint, duration_us bigint, audio_bytes bigint",
+    )
+
+
+@query(
+    "q95af_curriculum_shards",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) * 1000
+                  + doc_id % 997 AS BIGINT) AS difficulty,
+             doc_id % 64 AS shard_idx
+      FROM documents
+    )
+    SELECT doc_id, difficulty, CAST(shard_idx AS BIGINT) AS shard_idx,
+           CAST(row_number() OVER (PARTITION BY shard_idx
+                                   ORDER BY difficulty, doc_id) AS BIGINT)
+             AS pos_in_shard,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard_idx
+                                    ORDER BY difficulty, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+    FROM d
+    """,
+    tags=("llm", "posttraining", "curriculum"),
+)
+def q95af_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered shard export — the layout step between
+    curation and the trainer: documents hash-assign to 64 data-parallel
+    shards (IID across workers), and WITHIN each shard are ordered
+    easy-to-hard by a deterministic difficulty score (token count with
+    a doc-id tie-break), carrying the running token budget each
+    worker's packer consumes to cut optimizer-step boundaries.
+
+    Scale: shard count is the parallelism unit — the per-shard window
+    is one sorted partition per shard (at deploy scale the same plan is
+    a repartition(shard) + sortWithinPartitions write, thousands of
+    shards wide); there is deliberately NO global window — a total
+    order over the corpus is the single-partition pathology this
+    layout exists to avoid. Integer difficulty and token counts keep
+    rank and running sums bit-reproducible cross-engine.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens").cast("long") * 1000 + F.col("doc_id") % 997).alias(
+            "difficulty"
+        ),
+        (F.col("doc_id") % 64).cast("long").alias("shard_idx"),
+    )
+    w = W.partitionBy("shard_idx").orderBy("difficulty", "doc_id")
+    return d.select(
+        "doc_id",
+        "difficulty",
+        "shard_idx",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_tokens"),
+    )

@@ -773,3 +773,47 @@ class TestMpegFrameScan:
         assert codecs.scan_mpeg_frames(with_tag)["id3_bytes"] == 109
         with pytest.raises(ValueError, match="no MPEG frames"):
             codecs.scan_mpeg_frames(b"ID3" + bytes((3, 0, 0)) + codecs._syncsafe(0))
+
+
+class TestOggOpusScan:
+    def test_scan_matches_build_parameters(self):
+        for d in range(17):
+            n = 2 + d % 4
+            sizes = [40 + (d + i) % 300 for i in range(n)]
+            m = codecs.scan_ogg_opus(codecs.encode_ogg_opus(d, 312 + d % 100, sizes))
+            assert m["n_audio_pages"] == n and m["serial"] == d
+            assert m["pre_skip"] == 312 + d % 100
+            assert m["duration_us"] == n * 960 * 1_000_000 // 48000
+            assert m["audio_bytes"] == sum(sizes)
+
+    def test_ogg_crc_is_not_zlib(self):
+        import zlib
+
+        blob = bytes(range(256))
+        assert codecs._ogg_crc(blob) != zlib.crc32(blob)
+        assert codecs._ogg_crc(b"") == 0
+
+    def test_long_packet_uses_255_lacing(self):
+        # a 600-byte packet needs lacing [255, 255, 90]
+        m = codecs.scan_ogg_opus(codecs.encode_ogg_opus(3, 312, [600]))
+        assert m["audio_bytes"] == 600
+
+    @pytest.mark.parametrize(
+        "mutate,msg",
+        [
+            (lambda b: b[:80] + bytes([b[80] ^ 1]) + b[81:], "CRC mismatch"),
+            (lambda b: b[:-4], "truncated"),
+            (lambda b: b"XggS" + b[4:], "bad page magic"),
+        ],
+    )
+    def test_corruption_raises(self, mutate, msg):
+        payload = codecs.encode_ogg_opus(5, 400, [100, 120, 140])
+        with pytest.raises(ValueError, match=msg):
+            codecs.scan_ogg_opus(mutate(payload))
+
+    def test_missing_eos_raises(self):
+        # drop the final page: stream ends without EOS
+        payload = codecs.encode_ogg_opus(5, 400, [100, 120])
+        last_page = payload.rfind(b"OggS")
+        with pytest.raises(ValueError, match="EOS"):
+            codecs.scan_ogg_opus(payload[:last_page])
