@@ -73,6 +73,7 @@ SHOWCASE_ORDER = (
     "q95ae_best_of_n_sampling",
     "q99t_ogg_opus_scan",
     "q95af_curriculum_shards",
+    "q98o_bpe_apply_fixed",
     "q95ab_conversation_assembly",
     "q95ac_preference_pairs",
     "q95ad_chat_template_render",

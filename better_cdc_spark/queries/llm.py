@@ -7993,3 +7993,95 @@ def q95af_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_tokens"),
     )
+
+
+# Fixed merge table for q98o (an offline-trained tokenizer's first
+# ranks, applied in rank order). Same doubled-delimiter encoding as
+# q98l so a merge is one boundary-safe literal replace.
+BPE_APPLY_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"),
+)
+
+
+def _bpe_apply_expr(col: str) -> str:
+    expr = f"'||' || regexp_replace({col}, '(.)', '$1||')"
+    for a, b in BPE_APPLY_MERGES:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return expr
+
+
+def _bpe_apply_sql(col: str) -> str:
+    expr = f"'||' || regexp_replace({col}, '(.)', '\\1||', 'g')"
+    for a, b in BPE_APPLY_MERGES:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return expr
+
+
+@query(
+    "q98o_bpe_apply_fixed",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, t.w AS word
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+    ),
+    vocab AS MATERIALIZED (
+      SELECT word,
+             len(string_split(trim({_bpe_apply_sql('word')}, '|'), '||'))
+               AS n_pieces,
+             length(word) AS n_chars
+      FROM (SELECT DISTINCT word FROM words)
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_pieces) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(v.n_chars) AS BIGINT) AS n_chars
+    FROM words w JOIN vocab v ON w.word = v.word
+    GROUP BY w.doc_id
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def q98o_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION with a fixed merge table — the
+    inference half of q98l, and the half that actually runs at 100 TB
+    (training sees the corpus once; application meters every token
+    budget, mixing weight, and packing decision downstream). Merges
+    apply in rank order as boundary-safe doubled-delimiter literal
+    replaces — plan literals, no UDF, whole-stage-codegen string ops.
+
+    The scale pattern is DICTIONARY-ENCODED application: segmentation
+    runs once per DISTINCT word (the vocabulary, ~sqrt of corpus scale
+    by Heaps' law), then a broadcast join maps per-doc word occurrences
+    through the vocabulary — per-token work never touches the corpus-
+    sized side. Emits per-doc word/BPE-token/char counts, the numbers
+    token-budget mixing (q95 family) consumes.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.expr(
+                f"size(split(btrim({_bpe_apply_expr('word')}, '|'),"
+                " '\\\\|\\\\|'))"
+            ).alias("n_pieces"),
+            F.length("word").alias("n_chars"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
