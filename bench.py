@@ -44,6 +44,10 @@ HEADLINE = [
     "q97h_bm25_topk",            # inverted-index lexical retrieval
     "q95p_dup_span_extract",     # cross-doc span dedup + island merge
     "q95u_dup_span_extract_hashed",  # same, xxhash64 gram keys (2.7x fewer shuffle bytes)
+    # round-7 additions: first appearance is the cross-round reference
+    "q98l_bpe_train_apply",      # iterative pair-count shuffles + bounded argmax
+    "q99q_ahash_near_dup",       # image decode + banded hamming self-join
+    "q94k_webdataset_ingest",    # tar shard parse + sample-key regroup
 ]
 
 # r1 per-query baseline (BENCH_r01.json, sf0.1) — the reference point for
