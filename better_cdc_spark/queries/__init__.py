@@ -74,6 +74,7 @@ SHOWCASE_ORDER = (
     "q99t_ogg_opus_scan",
     "q95af_curriculum_shards",
     "q98o_bpe_apply_fixed",
+    "q99u_incremental_ahash_index",
     "q95ab_conversation_assembly",
     "q95ac_preference_pairs",
     "q95ad_chat_template_render",

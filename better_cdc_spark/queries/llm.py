@@ -7291,6 +7291,65 @@ def q99r_mp3_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ahash_band_hashes(docs: DataFrame) -> DataFrame:
+    """Shared by q99q (one-shot) and q99u (incremental index): synthesize
+    the deterministic 8x8-block PPM fixture per doc, DECODE it, and
+    compute the 64-bit average-hash as four 16-bit bands (b0..b3).
+    Division-free bit rule (64*v_j > sum v) keeps it integer-exact in
+    both engines. Two narrow Arrow maps; payload bytes never escape."""
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from better_cdc_spark.codecs import encode_ppm
+
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                g, t = d % 40, (d // 40) % 4
+                j = np.arange(64, dtype=np.int64)
+                val = (g * 13 + ((j * j * 7) % 64) * 3) % 200 + 28
+                if t > 0:
+                    val[(g + t) % 64] += 1
+                raster = np.kron(
+                    val.reshape(8, 8), np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                rgb = np.repeat(raster[:, :, None], 3, axis=2)
+                payloads.append(encode_ppm(64, 64, rgb.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def ahash(batches):
+        import numpy as np
+        import pandas as pd
+
+        from better_cdc_spark.codecs import decode_ppm
+
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                gray = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+                    64, 64, 3
+                )[:, :, 0].astype(np.int64)
+                blocks = gray.reshape(8, 8, 8, 8).sum(axis=(1, 3)) // 64
+                flat = blocks.reshape(64)
+                bits = flat * 64 > flat.sum()
+                bands = [
+                    int((bits[k * 16 : k * 16 + 16] << np.arange(16)).sum())
+                    for k in range(4)
+                ]
+                rows.append((int(d), *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        ahash, "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+    )
+
+
 @query(
     "q99q_ahash_near_dup",
     oracle="""
@@ -7351,54 +7410,9 @@ def q99q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets; no all-pairs anywhere. The distinct collapses multi-band
     matches before the (cheap) hamming verify on carried bands.
     """
-    import numpy as np
-    import pandas as pd
-
-    from better_cdc_spark.codecs import decode_ppm, encode_ppm
-
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches):
-        for pdf in batches:
-            payloads = []
-            for d in (int(x) for x in pdf["doc_id"]):
-                g, t = d % 40, (d // 40) % 4
-                j = np.arange(64, dtype=np.int64)
-                val = (g * 13 + ((j * j * 7) % 64) * 3) % 200 + 28
-                if t > 0:
-                    val[(g + t) % 64] += 1
-                raster = np.kron(
-                    val.reshape(8, 8), np.ones((8, 8), dtype=np.int64)
-                ).astype(np.uint8)
-                rgb = np.repeat(raster[:, :, None], 3, axis=2)
-                payloads.append(encode_ppm(64, 64, rgb.tobytes()))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    def ahash(batches):
-        for pdf in batches:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_ppm(bytes(payload))
-                gray = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
-                    64, 64, 3
-                )[:, :, 0].astype(np.int64)
-                blocks = gray.reshape(8, 8, 8, 8).sum(axis=(1, 3)) // 64
-                flat = blocks.reshape(64)
-                bits = flat * 64 > flat.sum()
-                bands = [
-                    int((bits[k * 16 : k * 16 + 16] << np.arange(16)).sum())
-                    for k in range(4)
-                ]
-                rows.append((int(d), *bands))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
-            )
-
-    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
-    hashes = payloads.mapInPandas(
-        ahash, "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
-    )
+    hashes = _ahash_band_hashes(docs)
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
@@ -8085,3 +8099,141 @@ def q98o_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+@query(
+    "q99u_incremental_ahash_index",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT doc_id, t.j,
+             ((doc_id % 40) * 13 + ((t.j * t.j * 7) % 64) * 3) % 200 + 28
+             + CASE WHEN (doc_id // 40) % 4 > 0
+                     AND t.j = (doc_id % 40 + (doc_id // 40) % 4) % 64
+                    THEN 1 ELSE 0 END AS val
+      FROM documents, UNNEST(range(64)) AS t(j)
+    ),
+    s AS (SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT v.doc_id, v.j // 16 AS k,
+             CAST(SUM(CASE WHEN v.val * 64 > s.total
+                           THEN 1 << CAST(v.j % 16 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS bv
+      FROM v JOIN s ON v.doc_id = s.doc_id
+      GROUP BY v.doc_id, v.j // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2,
+           CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming,
+           GREATEST(c.d1 % 3, c.d2 % 3) AS found_in_batch
+    FROM cand c
+    JOIN bands x ON x.doc_id = c.d1
+    JOIN bands y ON y.doc_id = c.d2 AND y.k = x.k
+    GROUP BY c.d1, c.d2
+    HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 3
+    """,
+    tags=("llm", "multimodal", "dedup", "image", "incremental", "index"),
+)
+def q99u_incremental_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL image near-dup — q95aa's persisted-band-index flow
+    applied to the visual domain, and unlike MinHash it carries a FULL
+    hash oracle: aHash is deterministic, so cross-batch discovery is
+    closed-form (a pair is found when its LATER batch probes the index,
+    found_in_batch = max of the two doc batches) and the union of
+    per-batch discovery events provably EQUALS the one-shot q99q pair
+    set — checked by value hash, not a recall bound.
+
+    Images arrive in 3 batches (doc_id % 3). Each batch: decode + hash
+    (the shared q99q stages), PROBE the parquet index PARTITIONED BY
+    pb = k*32 + bv%32 restricted to the batch's own <=128 partition
+    values (file-listing-time pruning, q97f's move), self-join within
+    the batch, canonicalize + hamming-verify on carried bands, pin
+    eagerly BEFORE appending the batch's rows to the index. Per-step
+    cost is O(batch + probed files + candidates) — the corpus of images
+    is never re-decoded, re-hashed, or re-scanned.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    index_dir = scratch_dir("q99u_ahash_band_index")
+    n_batches, n_buckets = 3, 32
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    discovered = []
+    _open_cost_key = "spark.sql.files.openCostInBytes"
+    _prev_open_cost = spark.conf.get(_open_cost_key, None)
+    spark.conf.set(_open_cost_key, str(64 * 1024))  # tiny-file test-scale guard
+    try:
+        for b in range(n_batches):
+            batch = docs.filter(F.col("doc_id") % n_batches == b)
+            rows = (
+                _ahash_band_hashes(batch)
+                .select(
+                    "doc_id", "b0", "b1", "b2", "b3",
+                    F.posexplode(F.array("b0", "b1", "b2", "b3"))
+                    .alias("k", "bv"),
+                )
+                .withColumn(
+                    "pb", F.col("k") * n_buckets + F.pmod(F.col("bv"), n_buckets)
+                )
+                .localCheckpoint(eager=True)
+            )
+            def canon(joined):
+                return joined.select(
+                    F.least("a.doc_id", "b.doc_id").alias("d1"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("d2"),
+                    hamming.cast("long").alias("hamming"),
+                )
+
+            pairs = None
+            if b > 0:
+                # bounded collect: <= 4 * n_buckets = 128 partition values
+                probe_pbs = [
+                    r["pb"] for r in rows.select("pb").distinct().collect()
+                ]
+                idx = spark.read.parquet(index_dir).filter(
+                    F.col("pb").isin(probe_pbs)
+                )
+                pairs = canon(
+                    idx.alias("a").join(
+                        rows.alias("b"),
+                        (F.col("a.k") == F.col("b.k"))
+                        & (F.col("a.bv") == F.col("b.bv")),
+                    )
+                )
+            within = canon(
+                rows.alias("a").join(
+                    rows.alias("b"),
+                    (F.col("a.k") == F.col("b.k"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+            )
+            pairs = within if pairs is None else pairs.unionByName(within)
+            cands = (
+                pairs.filter(F.col("hamming") <= 3)
+                .distinct()  # multi-band collisions within the step
+                .withColumn("found_in_batch", F.lit(b).cast("long"))
+                .localCheckpoint(eager=True)  # pin BEFORE the index grows
+            )
+            discovered.append(cands)
+            rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
+                index_dir
+            )
+    finally:
+        if _prev_open_cost is None:
+            spark.conf.unset(_open_cost_key)
+        else:
+            spark.conf.set(_open_cost_key, _prev_open_cost)
+    # each unordered pair has exactly one discovery event (later batch
+    # probes an index already holding the earlier doc) — plain union
+    out = discovered[0]
+    for c in discovered[1:]:
+        out = out.unionByName(c)
+    return out

@@ -518,3 +518,17 @@ def test_binary_quantization_recall_vs_brute_force(spark):
     got = set(zip(bq.qid, bq.nid))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.15, f"binary-quantization recall {recall}"
+
+
+def test_incremental_ahash_equals_one_shot(spark):
+    """q99u's across-batch discovery must EQUAL the one-shot q99q pair
+    set (exact equality — aHash banding is deterministic, so this is a
+    theorem, not a recall bound), with each pair discovered exactly once
+    in the later doc's batch."""
+    incr = REGISTRY["q99u_incremental_ahash_index"].fn(spark, SF_SMOKE).toPandas()
+    ones = REGISTRY["q99q_ahash_near_dup"].fn(spark, SF_SMOKE).toPandas()
+    key = lambda df: set(zip(df.d1, df.d2, df.hamming))  # noqa: E731
+    assert key(incr) == key(ones)
+    assert len(incr) == len(ones)  # one discovery event per pair
+    later = (incr.d1 % 3).combine(incr.d2 % 3, max)
+    assert (incr.found_in_batch == later).all()
