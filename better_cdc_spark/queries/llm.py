@@ -8237,3 +8237,110 @@ def q99u_incremental_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in discovered[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "q95ag_robots_gating",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, doc_id % 7 AS host,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/public/' || CAST(doc_id AS VARCHAR)
+               ELSE '/tmp/' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents
+    ),
+    hosts AS (SELECT t.h AS host FROM UNNEST(range(7)) AS t(h)),
+    rules AS (
+      SELECT host, '/private' AS rule_path, 0 AS allow FROM hosts
+      UNION ALL
+      SELECT host, '/tmp/', 0 FROM hosts WHERE host % 2 = 1
+      UNION ALL
+      SELECT host, '/private/ok', 1 FROM hosts WHERE host % 3 = 0
+    ),
+    matched AS (
+      SELECT u.doc_id, u.host, u.path, r.rule_path, r.allow,
+             row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY length(r.rule_path) DESC, r.allow DESC) AS rn
+      FROM urls u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.rule_path)
+    )
+    SELECT u.doc_id, CAST(u.host AS BIGINT) AS host, u.path,
+           m.rule_path AS matched_rule,
+           CAST(COALESCE(m.allow, 1) AS BIGINT) AS allowed
+    FROM urls u LEFT JOIN matched m ON m.doc_id = u.doc_id AND m.rn = 1
+    """,
+    tags=("llm", "text", "crawl", "compliance"),
+)
+def q95ag_robots_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion crawl gating (RFC 9309 core semantics) — the
+    compliance gate a web-scale corpus runs before anything else:
+    per-host rule sets, LONGEST-path-match wins between Allow and
+    Disallow, Allow wins length ties, no match means allowed. Unlike a
+    closed-form gate this is DATA-DRIVEN on both sides: URLs broadcast-
+    join the (small) per-host rule table on host with a startswith
+    residual, and the winner is one max_by over (match length, allow) —
+    so the tested machinery is the actual longest-match join any rule
+    table would use, not a baked-in decision.
+
+    Scale: the rule table is per-host-bounded (real robots files are
+    KBs) — broadcast is the right call at any corpus size; the residual
+    prefix predicate evaluates in the broadcast hash probe, never a
+    product. One narrow groupBy(doc) collapses multi-rule matches.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("host"),
+        F.expr(
+            """
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN concat('/private/ok/p', CAST(doc_id AS STRING))
+              WHEN 1 THEN concat('/private/x', CAST(doc_id AS STRING))
+              WHEN 2 THEN concat('/public/', CAST(doc_id AS STRING))
+              ELSE concat('/tmp/', CAST(doc_id AS STRING)) END
+            """
+        ).alias("path"),
+    )
+    hosts = spark.range(7).select(F.col("id").alias("host"))
+    rules = (
+        hosts.select("host", F.lit("/private").alias("rule_path"),
+                     F.lit(0).alias("allow"))
+        .unionByName(
+            hosts.filter(F.col("host") % 2 == 1).select(
+                "host", F.lit("/tmp/").alias("rule_path"),
+                F.lit(0).alias("allow"))
+        )
+        .unionByName(
+            hosts.filter(F.col("host") % 3 == 0).select(
+                "host", F.lit("/private/ok").alias("rule_path"),
+                F.lit(1).alias("allow"))
+        )
+    )
+    matched = urls.join(
+        F.broadcast(rules),
+        (urls.host == rules.host) & F.expr("startswith(path, rule_path)"),
+        "left",
+    ).select(
+        "doc_id",
+        urls.host.alias("host"),
+        "path",
+        "rule_path",
+        "allow",
+    )
+    return matched.groupBy("doc_id", "host", "path").agg(
+        F.max_by(
+            "rule_path", F.struct(F.length("rule_path"), F.col("allow"))
+        ).alias("matched_rule"),
+        F.coalesce(
+            F.max_by(
+                "allow", F.struct(F.length("rule_path"), F.col("allow"))
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("allowed"),
+    )

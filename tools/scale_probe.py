@@ -327,6 +327,66 @@ def main() -> int:
 
     timed("dup-span extraction (hashed gram keys)", span_hashed_all)
 
+    # --- q99q/q99u banded-hamming image near-dup, hash-level ---------
+    # The decode stages are embarrassingly parallel narrow maps; the
+    # scale risk is the band self-join. Probe it at n_copies*5k hashes
+    # with q99q's cluster structure (groups of ~5 near-identical 64-bit
+    # hashes as four 16-bit bands, variants flipping 1-2 bits).
+    n_hashes = n_copies * 5000
+    groups = n_hashes // 5
+    h = spark.range(n_hashes).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % groups).alias("g"),
+        (F.col("id") / groups).cast("long").alias("t"),
+    )
+    hashes = h.select(
+        "doc_id",
+        *[
+            (
+                F.xxhash64(F.col("g") + k).bitwiseAND(F.lit(0xFFFF))
+                # variant t flips bit (t+k) of band (t % 4): 1-bit drift
+                .bitwiseXOR(
+                    F.when(
+                        (F.col("t") > 0) & (F.col("t") % 4 == k),
+                        F.shiftleft(F.lit(1), 3 + k),
+                    ).otherwise(F.lit(0))
+                )
+            ).alias(f"b{k}")
+            for k in range(4)
+        ],
+    )
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{kk}").bitwiseXOR(F.col(f"b.b{kk}")))
+        for kk in range(4)
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    assert no_product_join(pairs), "banded hamming join degenerated to a product"
+
+    def ahash_pairs():
+        pairs.count()
+        return n_hashes
+
+    timed("ahash banded hamming join (hash-level)", ahash_pairs, unit="hashes")
+
     return 0
 
 
