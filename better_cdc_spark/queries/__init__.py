@@ -76,6 +76,7 @@ SHOWCASE_ORDER = (
     "q98o_bpe_apply_fixed",
     "q99u_incremental_ahash_index",
     "q95ag_robots_gating",
+    "qm06_streaming_ahash_dedup",
     "q95ab_conversation_assembly",
     "q95ac_preference_pairs",
     "q95ad_chat_template_render",

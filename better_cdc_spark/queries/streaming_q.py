@@ -1268,3 +1268,154 @@ def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     verified = llmops.jaccard_for_pairs(postings, streamed, materialize=False)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query(
+    "qm06_streaming_ahash_dedup",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT doc_id, t.j,
+             ((doc_id % 40) * 13 + ((t.j * t.j * 7) % 64) * 3) % 200 + 28
+             + CASE WHEN (doc_id // 40) % 4 > 0
+                     AND t.j = (doc_id % 40 + (doc_id // 40) % 4) % 64
+                    THEN 1 ELSE 0 END AS val
+      FROM documents, UNNEST(range(64)) AS t(j)
+    ),
+    s AS (SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT v.doc_id, v.j // 16 AS k,
+             CAST(SUM(CASE WHEN v.val * 64 > s.total
+                           THEN 1 << CAST(v.j % 16 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS bv
+      FROM v JOIN s ON v.doc_id = s.doc_id
+      GROUP BY v.doc_id, v.j // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2,
+           CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands x ON x.doc_id = c.d1
+    JOIN bands y ON y.doc_id = c.d2 AND y.k = x.k
+    GROUP BY c.d1, c.d2
+    HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 3
+    """,
+    tags=("streaming", "llm", "multimodal", "dedup", "incremental"),
+)
+def qm06_streaming_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental image near-dup — q99u's per-batch aHash
+    step in its production harness (a Structured Streaming file source,
+    one micro-batch per arrival file, foreachBatch running
+    decode→hash→probe→append against the persisted pb-partitioned band
+    index). The image corpus is never re-decoded or re-scanned;
+    per-epoch cost is O(batch + probed files + candidates).
+
+    First streaming entry with a FULL value-hash oracle: aHash banding
+    is deterministic and every unordered pair has exactly one discovery
+    event in WHATEVER order epochs arrive, so the union over epochs is
+    set-equal to the one-shot q99q result — the oracle checks the
+    actual pairs and hamming distances, not just row counts.
+    """
+    import os
+
+    from better_cdc_spark.queries.llm import _ahash_band_hashes
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    arrivals = scratch_dir("qm06_arrivals")
+    for b in range(3):  # three arrival files = three micro-batches
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    index_dir = scratch_dir("qm06_band_index")
+    cand_dir = scratch_dir("qm06_candidates")
+    n_buckets = 32
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    _open_cost_key = "spark.sql.files.openCostInBytes"
+    _prev = spark.conf.get(_open_cost_key, None)
+    spark.conf.set(_open_cost_key, str(64 * 1024))
+
+    def ahash_step(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            _ahash_band_hashes(batch_df)
+            .select(
+                "doc_id", "b0", "b1", "b2", "b3",
+                F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+            )
+            .withColumn(
+                "pb", F.col("k") * n_buckets + F.pmod(F.col("bv"), n_buckets)
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def canon(joined):
+            return joined.select(
+                F.least("a.doc_id", "b.doc_id").alias("d1"),
+                F.greatest("a.doc_id", "b.doc_id").alias("d2"),
+                hamming.cast("long").alias("hamming"),
+            )
+
+        pairs = None
+        if os.path.isdir(index_dir) and any(
+            f for f in os.listdir(index_dir) if not f.startswith("_")
+        ):
+            probe_pbs = [r["pb"] for r in rows.select("pb").distinct().collect()]
+            idx = spark.read.parquet(index_dir).filter(
+                F.col("pb").isin(probe_pbs)
+            )
+            pairs = canon(
+                idx.alias("a").join(
+                    rows.alias("b"),
+                    (F.col("a.k") == F.col("b.k"))
+                    & (F.col("a.bv") == F.col("b.bv")),
+                )
+            )
+        within = canon(
+            rows.alias("a").join(
+                rows.alias("b"),
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+        )
+        pairs = within if pairs is None else pairs.unionByName(within)
+        (
+            pairs.filter(F.col("hamming") <= 3)
+            .distinct()
+            .write.mode("append")
+            .parquet(cand_dir)  # sink BEFORE the index grows
+        )
+        rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
+            index_dir
+        )
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals)
+            .writeStream.foreachBatch(ahash_step)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm06_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        if _prev is None:
+            spark.conf.unset(_open_cost_key)
+        else:
+            spark.conf.set(_open_cost_key, _prev)
+
+    return spark.read.parquet(cand_dir)
