@@ -8344,3 +8344,103 @@ def q95ag_robots_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allowed"),
     )
+
+
+@query(
+    "q94l_contamination_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(lower(regexp_replace(text, '[^A-Za-z0-9_ ]', '', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT source,
+             unnest(list_transform(generate_series(1, len(w) - 7),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                        w[i+4], w[i+5], w[i+6], w[i+7]))) AS shingle
+      FROM toks WHERE len(w) >= 8
+    ),
+    per_src AS MATERIALIZED (
+      SELECT source, COUNT(*) AS n_grams FROM sh GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_grams
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, CAST(s.shared_grams AS BIGINT) AS shared_grams,
+           CAST(pa.n_grams AS BIGINT) AS grams_a,
+           CAST(pb.n_grams AS BIGINT) AS grams_b
+    FROM shared s
+    JOIN per_src pa ON pa.source = s.source_a
+    JOIN per_src pb ON pb.source = s.source_b
+    """,
+    tags=("llm", "dedup", "decontamination", "report"),
+)
+def q94l_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — the corpus-governance report
+    behind mixing decisions: for every pair of ingest sources, how many
+    distinct 8-gram shingles they share (plus each side's shingle
+    volume, so downstream can compute containment either direction).
+    High overlap between a crawl slice and a curated source means the
+    mixing weights (q95 family) are double-counting content; overlap
+    with a benchmark source is a leakage alarm (q95b's gate, source-
+    granular).
+
+    Scale: the matrix join is keyed on the shingle — per-shingle
+    fan-out is bounded by the SOURCE count (<= S^2/2 pairs per shingle,
+    S small by construction), never by corpus size; (source, shingle)
+    is deduped in one pass before the pair join. String gram keys keep
+    the oracle exact; the q95u xxhash64 swap applies verbatim when gram
+    bytes dominate shuffle traffic at deploy scale.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.lower(F.regexp_replace("text", llmops.PUNCT_RE, "")).alias("text"),
+    )
+    sh = (
+        docs.select("source", llmops.tokens().alias("w"))
+        .select(
+            "source", F.explode(llmops.word_shingles("w", k=8)).alias("shingle")
+        )
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(F.count("*").alias("n_grams"))
+    shared = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_grams").cast("long").alias("grams_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_grams").cast("long").alias("grams_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select("source_a", "source_b", "shared_grams", "grams_a", "grams_b")
+    )
