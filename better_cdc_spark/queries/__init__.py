@@ -78,6 +78,7 @@ SHOWCASE_ORDER = (
     "q95ag_robots_gating",
     "qm06_streaming_ahash_dedup",
     "q94l_contamination_matrix",
+    "q99v_cross_modal_dedup",
     "q95ab_conversation_assembly",
     "q95ac_preference_pairs",
     "q95ad_chat_template_render",

@@ -8444,3 +8444,162 @@ def q94l_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source_a", "source_b", "shared_grams", "grams_a", "grams_b")
     )
+
+
+@query(
+    "q99v_cross_modal_dedup",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT doc_id, t.j,
+             ((doc_id % 40) * 13 + ((t.j * t.j * 7) % 64) * 3) % 200 + 28
+             + CASE WHEN (doc_id // 40) % 4 > 0
+                     AND t.j = (doc_id % 40 + (doc_id // 40) % 4) % 64
+                    THEN 1 ELSE 0 END AS val
+      FROM documents, UNNEST(range(64)) AS t(j)
+    ),
+    s AS (SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT v.doc_id, v.j // 16 AS k,
+             CAST(SUM(CASE WHEN v.val * 64 > s.total
+                           THEN 1 << CAST(v.j % 16 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS bv
+      FROM v JOIN s ON v.doc_id = s.doc_id
+      GROUP BY v.doc_id, v.j // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.d1, c.d2,
+             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN bands x ON x.doc_id = c.d1
+      JOIN bands y ON y.doc_id = c.d2 AND y.k = x.k
+      GROUP BY c.d1, c.d2
+      HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 3
+    ),
+    involved AS (SELECT DISTINCT d1 AS doc_id FROM pairs
+                 UNION SELECT DISTINCT d2 FROM pairs),
+    toks AS (
+      SELECT d.doc_id,
+             string_split(lower(regexp_replace(d.text, '[^A-Za-z0-9_ ]', '', 'g')), ' ') AS w
+      FROM documents d JOIN involved USING (doc_id)
+    ),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+      FROM toks WHERE len(w) >= 3
+    ),
+    gn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT p.d1, p.d2, COUNT(*) AS shared
+      FROM pairs p
+      JOIN grams ga ON ga.doc_id = p.d1
+      JOIN grams gb ON gb.doc_id = p.d2 AND gb.g = ga.g
+      GROUP BY p.d1, p.d2
+    )
+    SELECT p.d1, p.d2, p.hamming,
+           CAST(COALESCE(i.shared, 0) AS BIGINT) AS shared_grams,
+           CAST(na.n + nb.n - COALESCE(i.shared, 0) AS BIGINT) AS union_grams,
+           CASE WHEN COALESCE(i.shared, 0) * 10
+                     >= (na.n + nb.n - COALESCE(i.shared, 0)) * 6
+                THEN 'dup' ELSE 'recaptioned' END AS dup_class
+    FROM pairs p
+    JOIN gn na ON na.doc_id = p.d1
+    JOIN gn nb ON nb.doc_id = p.d2
+    LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
+    """,
+    tags=("llm", "multimodal", "dedup", "cross-modal"),
+)
+def q99v_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate classification — the curation decision
+    AFTER visual near-dup detection: an image pair that also shares its
+    caption is a true duplicate (drop one); a near-identical image with
+    a DIFFERENT caption is a re-captioned asset (keep both — captions
+    are the training signal in image-text corpora). Visual candidates
+    come from the q99q banded-hamming join over DECODED fixtures;
+    caption agreement is 3-gram Jaccard computed ONLY for involved
+    docs (semi-join) and ONLY for candidate pairs — verification cost
+    is O(candidates), never O(corpus^2). The 0.6 threshold compares as
+    shared*10 >= union*6, integer-exact in both engines.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _ahash_band_hashes(docs.select("doc_id"))
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    involved = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .union(pairs.select("d2"))
+        .distinct()
+    )
+    grams = (
+        docs.join(involved, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.lower(F.regexp_replace("text", llmops.PUNCT_RE, "")).alias("text"),
+        )
+        .select("doc_id", llmops.tokens().alias("w"))
+        .select("doc_id", F.explode(llmops.word_shingles("w", k=3)).alias("g"))
+        .distinct()
+    )
+    gn = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(
+            grams.select(F.col("doc_id").alias("d1"), "g"), "d1"
+        )
+        .join(grams.select(F.col("doc_id").alias("d2"), "g"), ["d2", "g"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        pairs.join(gn.select(F.col("doc_id").alias("d1"),
+                             F.col("n").alias("na")), "d1")
+        .join(gn.select(F.col("doc_id").alias("d2"),
+                        F.col("n").alias("nb")), "d2")
+        .join(inter, ["d1", "d2"], "left")
+        .select(
+            "d1",
+            "d2",
+            "hamming",
+            F.coalesce("shared", F.lit(0)).cast("long").alias("shared_grams"),
+            (F.col("na") + F.col("nb") - F.coalesce("shared", F.lit(0)))
+            .cast("long")
+            .alias("union_grams"),
+            F.when(
+                F.coalesce("shared", F.lit(0)) * 10
+                >= (F.col("na") + F.col("nb") - F.coalesce("shared", F.lit(0)))
+                * 6,
+                F.lit("dup"),
+            )
+            .otherwise(F.lit("recaptioned"))
+            .alias("dup_class"),
+        )
+    )
+    return out
