@@ -8603,3 +8603,155 @@ def q99v_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "q95ai_index_with_deletes",
+    oracle="""
+    WITH alive AS (
+      SELECT doc_id FROM documents
+      WHERE NOT (doc_id % 7 = 3 AND doc_id % 3 < 2)
+    ),
+    v AS MATERIALIZED (
+      SELECT a.doc_id, t.j,
+             ((a.doc_id % 40) * 13 + ((t.j * t.j * 7) % 64) * 3) % 200 + 28
+             + CASE WHEN (a.doc_id // 40) % 4 > 0
+                     AND t.j = (a.doc_id % 40 + (a.doc_id // 40) % 4) % 64
+                    THEN 1 ELSE 0 END AS val
+      FROM alive a, UNNEST(range(64)) AS t(j)
+    ),
+    s AS (SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT v.doc_id, v.j // 16 AS k,
+             CAST(SUM(CASE WHEN v.val * 64 > s.total
+                           THEN 1 << CAST(v.j % 16 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS bv
+      FROM v JOIN s ON v.doc_id = s.doc_id
+      GROUP BY v.doc_id, v.j // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2,
+           CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands x ON x.doc_id = c.d1
+    JOIN bands y ON y.doc_id = c.d2 AND y.k = x.k
+    GROUP BY c.d1, c.d2
+    HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 3
+    """,
+    tags=("llm", "multimodal", "dedup", "incremental", "index", "deletes"),
+)
+def q95ai_index_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup index under DELETIONS — the compliance case
+    every production index eventually meets (takedowns, GDPR erasure):
+    tombstones must stop a deleted document from matching FUTURE
+    arrivals immediately, and already-emitted pairs touching it must be
+    retracted. Batch 2 deletes every earlier-arrived doc with
+    doc_id % 7 == 3; each batch's probe anti-joins the index against
+    the tombstone set (O(tombstones) on the same doc_id key), deletes
+    append tombstones rather than rewriting index files (the
+    merge-on-read move), and the final read subtracts pairs touching
+    any tombstoned doc.
+
+    Correctness is a set theorem the FULL oracle checks by value hash:
+    alive-pair discovery is unaffected by deletions of other docs (an
+    alive doc's rows are never filtered), so emitted-minus-retracted
+    EQUALS the one-shot q99q result over the alive corpus exactly.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    index_dir = scratch_dir("q95ai_band_index")
+    n_batches, n_buckets = 3, 32
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    # deletions arriving at the START of batch 2: every earlier-arrived
+    # doc with doc_id % 7 == 3 (arrival batch = doc_id % 3)
+    tombstones = docs.filter(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 3 < 2)
+    ).localCheckpoint(eager=True)
+    discovered = []
+    _open_cost_key = "spark.sql.files.openCostInBytes"
+    _prev = spark.conf.get(_open_cost_key, None)
+    spark.conf.set(_open_cost_key, str(64 * 1024))
+    try:
+        for b in range(n_batches):
+            batch = docs.filter(F.col("doc_id") % n_batches == b)
+            rows = (
+                _ahash_band_hashes(batch)
+                .select(
+                    "doc_id", "b0", "b1", "b2", "b3",
+                    F.posexplode(F.array("b0", "b1", "b2", "b3"))
+                    .alias("k", "bv"),
+                )
+                .withColumn(
+                    "pb", F.col("k") * n_buckets + F.pmod(F.col("bv"), n_buckets)
+                )
+                .localCheckpoint(eager=True)
+            )
+
+            def canon(joined):
+                return joined.select(
+                    F.least("a.doc_id", "b.doc_id").alias("d1"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("d2"),
+                    hamming.cast("long").alias("hamming"),
+                )
+
+            pairs = None
+            if b > 0:
+                probe_pbs = [
+                    r["pb"] for r in rows.select("pb").distinct().collect()
+                ]
+                idx = spark.read.parquet(index_dir).filter(
+                    F.col("pb").isin(probe_pbs)
+                )
+                if b >= 2:  # tombstones are live from batch 2 onward
+                    idx = idx.join(tombstones, "doc_id", "left_anti")
+                pairs = canon(
+                    idx.alias("a").join(
+                        rows.alias("b"),
+                        (F.col("a.k") == F.col("b.k"))
+                        & (F.col("a.bv") == F.col("b.bv")),
+                    )
+                )
+            within = canon(
+                rows.alias("a").join(
+                    rows.alias("b"),
+                    (F.col("a.k") == F.col("b.k"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+            )
+            pairs = within if pairs is None else pairs.unionByName(within)
+            discovered.append(
+                pairs.filter(F.col("hamming") <= 3)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
+                index_dir
+            )
+    finally:
+        if _prev is None:
+            spark.conf.unset(_open_cost_key)
+        else:
+            spark.conf.set(_open_cost_key, _prev)
+    out = discovered[0]
+    for c in discovered[1:]:
+        out = out.unionByName(c)
+    # retraction: subtract pairs touching any tombstoned doc (covers
+    # pairs emitted BEFORE the deletion arrived)
+    return (
+        out.join(
+            tombstones.withColumnRenamed("doc_id", "d1"), "d1", "left_anti"
+        ).join(
+            tombstones.withColumnRenamed("doc_id", "d2"), "d2", "left_anti"
+        )
+        .select("d1", "d2", "hamming")
+    )
