@@ -8755,3 +8755,81 @@ def q95ai_index_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d1", "d2", "hamming")
     )
+
+
+@query(
+    "q97o_filtered_vector_search",
+    oracle=f"""
+    WITH meta AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, d.source
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, source AS qsource
+          FROM meta WHERE vec_id < {TOPK_QUERIES}),
+    scored AS (
+      SELECT q.qid, m.vec_id AS nid,
+             ROUND(list_cosine_similarity(m.v, q.qv), 6) AS cosine
+      FROM meta m JOIN q
+        ON m.source = q.qsource AND m.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "ann", "filtered"),
+)
+def q97o_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k under a per-query metadata
+    predicate (here: same ingest source as the query doc, the "search
+    within my collection" shape). This is the PRE-filter formulation:
+    the predicate joins into the scoring scan itself, so every query
+    gets k true neighbors from its filtered subset — unlike
+    post-filtering a global top-k, which silently returns FEWER than k
+    (or none) for selective predicates; that recall cliff is why
+    filtered search is its own operator in every production vector
+    system, not a WHERE clause on q97_cosine_topk's output.
+
+    Scale: metadata joins the corpus once (vec_id-keyed, co-partitioned
+    with any bucketed embedding layout); probes stay broadcast with the
+    predicate evaluated in the hash probe — the corpus side still never
+    shuffles, and selectivity PRUNES scoring work instead of wasting
+    it. Ranking on ROUND(cosine, 6) with id tie-break (the q97
+    cross-engine convention).
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    meta = emb.join(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("vec_id"), "source"
+        ),
+        "vec_id",
+    )
+    q = meta.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("source").alias("qsource"),
+    )
+    scored = meta.join(
+        F.broadcast(q),
+        (F.col("source") == F.col("qsource")) & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            llmops.dot(F.col("v"), F.col("qv"))
+            / (llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "cosine", "rnk")
+    )
