@@ -7292,11 +7292,19 @@ def q99r_mp3_frame_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ahash_band_hashes(docs: DataFrame) -> DataFrame:
-    """Shared by q99q (one-shot) and q99u (incremental index): synthesize
-    the deterministic 8x8-block PPM fixture per doc, DECODE it, and
-    compute the 64-bit average-hash as four 16-bit bands (b0..b3).
-    Division-free bit rule (64*v_j > sum v) keeps it integer-exact in
-    both engines. Two narrow Arrow maps; payload bytes never escape."""
+    """Shared by q99q (one-shot), q99u/q95ai (incremental index), and
+    qc23 (CDC maintenance): synthesize the deterministic 8x8-block PPM
+    fixture per doc, DECODE it, and compute the 64-bit average-hash as
+    four 16-bit bands (b0..b3). Division-free bit rule (64*v_j > sum v)
+    keeps it integer-exact in both engines. Two narrow Arrow maps;
+    payload bytes never escape.
+
+    An optional ``eff`` column substitutes the CONTENT identity (which
+    image the doc carries) while doc_id stays the row identity — how
+    qc23 models an UPDATE changing a document's payload."""
+    eff_in = "eff" in docs.columns
+    if not eff_in:
+        docs = docs.withColumn("eff", F.col("doc_id"))
 
     def synth(batches):
         import numpy as np
@@ -7306,7 +7314,7 @@ def _ahash_band_hashes(docs: DataFrame) -> DataFrame:
 
         for pdf in batches:
             payloads = []
-            for d in (int(x) for x in pdf["doc_id"]):
+            for d in (int(x) for x in pdf["eff"]):
                 g, t = d % 40, (d // 40) % 4
                 j = np.arange(64, dtype=np.int64)
                 val = (g * 13 + ((j * j * 7) % 64) * 3) % 200 + 28
@@ -7344,7 +7352,9 @@ def _ahash_band_hashes(docs: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )
 
-    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    payloads = docs.select("doc_id", "eff").mapInPandas(
+        synth, "doc_id bigint, payload binary"
+    )
     return payloads.mapInPandas(
         ahash, "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
     )
@@ -8832,4 +8842,201 @@ def q97o_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK_K)
         .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+@query(
+    "qc23_cdc_index_maintenance",
+    oracle="""
+    WITH state AS (
+      SELECT doc_id,
+             (doc_id % 7 = 3 AND doc_id % 3 < 2) AS deleted,
+             (doc_id % 5 = 1 AND doc_id % 3 < 2
+              AND NOT (doc_id % 7 = 3 AND doc_id % 3 < 2)) AS updated
+      FROM documents
+    ),
+    alive AS (
+      SELECT doc_id,
+             doc_id + CASE WHEN updated THEN 1 ELSE 0 END AS eff
+      FROM state WHERE NOT deleted
+    ),
+    v AS MATERIALIZED (
+      SELECT a.doc_id, t.j,
+             ((a.eff % 40) * 13 + ((t.j * t.j * 7) % 64) * 3) % 200 + 28
+             + CASE WHEN (a.eff // 40) % 4 > 0
+                     AND t.j = (a.eff % 40 + (a.eff // 40) % 4) % 64
+                    THEN 1 ELSE 0 END AS val
+      FROM alive a, UNNEST(range(64)) AS t(j)
+    ),
+    s AS (SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT v.doc_id, v.j // 16 AS k,
+             CAST(SUM(CASE WHEN v.val * 64 > s.total
+                           THEN 1 << CAST(v.j % 16 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS bv
+      FROM v JOIN s ON v.doc_id = s.doc_id
+      GROUP BY v.doc_id, v.j // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2,
+           CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands x ON x.doc_id = c.d1
+    JOIN bands y ON y.doc_id = c.d2 AND y.k = x.k
+    GROUP BY c.d1, c.d2
+    HAVING SUM(bit_count(xor(x.bv, y.bv))) <= 3
+    """,
+    tags=("cdc", "llm", "multimodal", "dedup", "incremental", "index"),
+)
+def qc23_cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven index maintenance — the bridge between this repo's two
+    halves: a change stream (INSERT / UPDATE / DELETE epochs, the
+    reference's R2-R5 event model) maintains the near-dup band index
+    that the curation half queries. Inserts arrive over three epochs;
+    epoch 2 additionally UPDATES every earlier doc with doc_id%5==1
+    (its payload is REPLACED — modeled as a new content identity, so
+    the old hash rows must stop matching) and DELETES every earlier doc
+    with doc_id%7==3.
+
+    Mechanics: index rows are versioned; an update tombstones (doc,v1)
+    and inserts (doc,v2) rows hashed from the NEW payload in the same
+    arrival set as the epoch's inserts; a delete tombstones the current
+    version. Probes anti-join live tombstones BEFORE matching, and the
+    final read retracts any emitted pair whose endpoint version was
+    later tombstoned. The FULL oracle hash-checks the set theorem:
+    emitted-minus-retracted equals the one-shot pair set over the FINAL
+    corpus state (alive docs, current payloads) exactly — re-discovery
+    of updated content against the standing index included.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    index_dir = scratch_dir("qc23_band_index")
+    n_buckets = 32
+    deleted = (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 3 < 2)
+    updated = (
+        (F.col("doc_id") % 5 == 1) & (F.col("doc_id") % 3 < 2) & ~deleted
+    )
+    # tombstones live from epoch 2: v1 of every updated OR deleted doc
+    tombstones = (
+        docs.filter(updated | deleted)
+        .select("doc_id", F.lit(1).alias("ver"))
+        .localCheckpoint(eager=True)
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+
+    def band_rows(arrivals):  # arrivals: (doc_id, eff, ver)
+        return (
+            _ahash_band_hashes(arrivals.select("doc_id", "eff"))
+            .join(arrivals.select("doc_id", "ver"), "doc_id")
+            .select(
+                "doc_id", "ver", "b0", "b1", "b2", "b3",
+                F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+            )
+            .withColumn(
+                "pb", F.col("k") * n_buckets + F.pmod(F.col("bv"), n_buckets)
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def canon(joined):
+        return joined.select(
+            F.least("a.doc_id", "b.doc_id").alias("d1"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.ver"))
+            .otherwise(F.col("b.ver"))
+            .alias("v1"),
+            F.greatest("a.doc_id", "b.doc_id").alias("d2"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.ver"))
+            .otherwise(F.col("a.ver"))
+            .alias("v2"),
+            hamming.cast("long").alias("hamming"),
+        )
+
+    discovered = []
+    _open_cost_key = "spark.sql.files.openCostInBytes"
+    _prev = spark.conf.get(_open_cost_key, None)
+    spark.conf.set(_open_cost_key, str(64 * 1024))
+    try:
+        for b in range(3):
+            inserts = docs.filter(F.col("doc_id") % 3 == b).select(
+                "doc_id",
+                F.col("doc_id").alias("eff"),
+                F.lit(1).alias("ver"),
+            )
+            if b == 2:  # the update wave arrives with epoch 2's inserts
+                inserts = inserts.unionByName(
+                    docs.filter(updated).select(
+                        "doc_id",
+                        (F.col("doc_id") + 1).alias("eff"),
+                        F.lit(2).alias("ver"),
+                    )
+                )
+            rows = band_rows(inserts)
+            pairs = None
+            if b > 0:
+                probe_pbs = [
+                    r["pb"] for r in rows.select("pb").distinct().collect()
+                ]
+                idx = spark.read.parquet(index_dir).filter(
+                    F.col("pb").isin(probe_pbs)
+                )
+                if b >= 2:  # updates/deletes are effective from epoch 2
+                    idx = idx.join(tombstones, ["doc_id", "ver"], "left_anti")
+                pairs = canon(
+                    idx.alias("a").join(
+                        rows.alias("b"),
+                        (F.col("a.k") == F.col("b.k"))
+                        & (F.col("a.bv") == F.col("b.bv")),
+                    )
+                )
+            within = canon(
+                rows.alias("a").join(
+                    rows.alias("b"),
+                    (F.col("a.k") == F.col("b.k"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+            )
+            pairs = within if pairs is None else pairs.unionByName(within)
+            discovered.append(
+                pairs.filter(F.col("hamming") <= 3)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
+                index_dir
+            )
+    finally:
+        if _prev is None:
+            spark.conf.unset(_open_cost_key)
+        else:
+            spark.conf.set(_open_cost_key, _prev)
+    out = discovered[0]
+    for c in discovered[1:]:
+        out = out.unionByName(c)
+    # retraction: drop any pair whose endpoint VERSION was tombstoned
+    return (
+        out.join(
+            tombstones.select(
+                F.col("doc_id").alias("d1"), F.col("ver").alias("v1")
+            ),
+            ["d1", "v1"],
+            "left_anti",
+        )
+        .join(
+            tombstones.select(
+                F.col("doc_id").alias("d2"), F.col("ver").alias("v2")
+            ),
+            ["d2", "v2"],
+            "left_anti",
+        )
+        .select("d1", "d2", "hamming")
     )
