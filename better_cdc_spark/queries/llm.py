@@ -9040,3 +9040,118 @@ def qc23_cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d1", "d2", "hamming")
     )
+
+
+@query(
+    "q99w_speech_segments",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, t.r,
+             CASE WHEN (doc_id + t.r) % 3 <> 0 THEN 1 ELSE 0 END AS sp
+      FROM documents, UNNEST(range(16)) AS t(r)
+    ),
+    sw AS (
+      SELECT doc_id, r,
+             r - row_number() OVER (PARTITION BY doc_id ORDER BY r) AS isl
+      FROM w WHERE sp = 1
+    ),
+    seg AS (
+      SELECT doc_id, isl, MIN(r) AS start_win, MAX(r) AS end_win,
+             COUNT(*) AS n_windows
+      FROM sw GROUP BY doc_id, isl
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win)
+                AS BIGINT) AS seg_idx,
+           CAST(start_win AS BIGINT) AS start_win,
+           CAST(end_win AS BIGINT) AS end_win,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_windows * 50 AS BIGINT) AS duration_ms
+    FROM seg
+    """,
+    tags=("llm", "multimodal", "audio", "vad", "segmentation"),
+)
+def q99w_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech segment extraction — VAD islands over DECODED audio: the
+    step that turns raw recordings into the utterance clips ASR/TTS
+    training actually consumes. Real 16-bit PCM WAVs are synthesized
+    and decoded per doc (codecs.encode_wav/decode_wav, Arrow-batched);
+    50 ms windows classify speech by exact integer energy (silence is
+    digital zero in the fixture, so the threshold is closed-form), and
+    consecutive speech windows merge into segments by the gaps-and-
+    islands pattern (q44's sessionize applied to decoded media) —
+    emitting per-segment window spans and durations.
+
+    Scale: decode + windowing are narrow maps; the island merge is one
+    per-doc window partition (bounded by windows-per-recording, never
+    corpus-wide). The same plan handles hour-long recordings by
+    chunking the decode map — segment state never leaves the doc key.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import decode_wav, encode_wav
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_win, win_len = 16, 400  # 50 ms windows at 8 kHz
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                sig = np.zeros(n_win * win_len, dtype=np.int16)
+                for r in range(n_win):
+                    if (d + r) % 3 != 0:
+                        a = 600 + 10 * r
+                        seg = np.full(win_len, a, dtype=np.int16)
+                        seg[1::2] = -a
+                        sig[r * win_len : (r + 1) * win_len] = seg
+                payloads.append(
+                    encode_wav(sig.tobytes(), framerate=8000, sampwidth=2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def windows(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_wav(bytes(payload))
+                sig = np.frombuffer(meta["frames"], dtype="<i2").astype(
+                    np.int64
+                )
+                energy = np.abs(sig).reshape(n_win, win_len).sum(axis=1)
+                rows.extend(
+                    (int(d), r, int(e)) for r, e in enumerate(energy)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "r", "energy"])
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    wins = payloads.mapInPandas(windows, "doc_id bigint, r bigint, energy bigint")
+    speech = wins.filter(F.col("energy") > 0)
+    w_doc = W.partitionBy("doc_id").orderBy("r")
+    seg = (
+        speech.withColumn(
+            "isl", F.col("r") - F.row_number().over(w_doc)
+        )
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("r").alias("start_win"),
+            F.max("r").alias("end_win"),
+            F.count("*").alias("n_windows"),
+        )
+    )
+    return seg.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("start_win"))
+        .cast("long")
+        .alias("seg_idx"),
+        F.col("start_win").cast("long"),
+        F.col("end_win").cast("long"),
+        F.col("n_windows").cast("long"),
+        (F.col("n_windows") * 50).cast("long").alias("duration_ms"),
+    )
