@@ -1402,3 +1402,69 @@ def audio_window_features(win: int = 1024, hop: int = 512):
             )
 
     return kernel
+
+
+def sniff_media(payload: bytes) -> dict:
+    """Magic-byte dispatch over every container this engine decodes or
+    scans — the `file(1)` of the media pipeline, and the first pass a
+    mixed crawl runs before routing payloads to typed decode stages.
+    Returns {mime, width, height, duration_us, detail} where detail is
+    a format-specific integrity number (pixel/sample checksum for
+    decoded formats, audio byte span for metadata-scanned ones).
+    Unknown magics raise — an unroutable payload is a quarantine event,
+    never a silent skip."""
+    from better_cdc_spark import codecs
+
+    if payload[:8] == codecs.PNG_SIG:
+        m = codecs.decode_png(payload)
+        return {
+            "mime": "image/png", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["pixels"]),
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        m = codecs.decode_wav(payload)
+        return {
+            "mime": "audio/wav", "width": None, "height": None,
+            "duration_us": m["duration_us"], "detail": sum(m["frames"]),
+        }
+    if payload[:2] == b"P6":
+        m = codecs.decode_ppm(payload)
+        return {
+            "mime": "image/ppm", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["pixels"]),
+        }
+    if payload[:2] == b"\xff\xd8":
+        m = codecs.decode_jpeg_gray(payload)
+        return {
+            "mime": "image/jpeg", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["pixels"]),
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        m = codecs.decode_gif(payload)
+        return {
+            "mime": "image/gif", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["indices"]),
+        }
+    if payload[:4] == b"fLaC":
+        m = codecs.decode_flac(payload)
+        samples = m["samples"] if m["channels"] == 1 else m["samples"][0]
+        return {
+            "mime": "audio/flac", "width": None, "height": None,
+            "duration_us": m["n_samples"] * 1_000_000 // m["sample_rate"],
+            "detail": sum(samples),
+        }
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
+    ):
+        m = codecs.scan_mpeg_frames(payload)
+        return {
+            "mime": "audio/mpeg", "width": None, "height": None,
+            "duration_us": m["duration_us"], "detail": m["audio_bytes"],
+        }
+    if payload[:4] == b"OggS":
+        m = codecs.scan_ogg_opus(payload)
+        return {
+            "mime": "audio/ogg", "width": None, "height": None,
+            "duration_us": m["duration_us"], "detail": m["audio_bytes"],
+        }
+    raise ValueError(f"unroutable payload (magic {payload[:8]!r})")

@@ -9155,3 +9155,137 @@ def q99w_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_windows").cast("long"),
         (F.col("n_windows") * 50).cast("long").alias("duration_ms"),
     )
+
+
+@query(
+    "q99x_media_sniff_dispatch",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS m,
+             8 + doc_id % 8 AS iw, 4 + doc_id % 4 AS ih,
+             800 + doc_id % 100 AS ns,
+             10 + doc_id % 10 AS nf,
+             list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                          CAST(1 + doc_id % 14 AS INTEGER)) AS br,
+             list_extract([44100, 48000, 32000],
+                          CAST(1 + doc_id % 3 AS INTEGER)) AS sr,
+             2 + doc_id % 3 AS np,
+             4 + doc_id % 4 AS gw, 2 + doc_id % 2 AS gh
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             WHEN 2 THEN 'image/ppm' WHEN 3 THEN 'image/jpeg'
+             WHEN 4 THEN 'image/gif' WHEN 5 THEN 'audio/flac'
+             WHEN 6 THEN 'audio/mpeg' ELSE 'audio/ogg' END AS mime,
+      CAST(CASE m WHEN 0 THEN iw WHEN 2 THEN iw WHEN 3 THEN 8
+                  WHEN 4 THEN gw END AS BIGINT) AS width,
+      CAST(CASE m WHEN 0 THEN ih WHEN 2 THEN ih WHEN 3 THEN 8
+                  WHEN 4 THEN gh END AS BIGINT) AS height,
+      CAST(CASE m WHEN 1 THEN ns * 125
+                  WHEN 5 THEN 12500
+                  WHEN 6 THEN (CAST(nf AS BIGINT) * 1152 * 1000000) // sr
+                  WHEN 7 THEN np * 20000 END AS BIGINT) AS duration_us,
+      CAST(CASE m
+        WHEN 0 THEN list_sum(list_transform(range(iw * ih),
+                             i -> (doc_id * 31 + i * 7) % 256))
+        WHEN 1 THEN list_sum(list_transform(range(ns),
+                             i -> (doc_id * 13 + i * 5) % 256))
+        WHEN 2 THEN list_sum(list_transform(range(iw * ih * 3),
+                             i -> (doc_id * 17 + i * 11) % 256))
+        WHEN 3 THEN 64 * ((doc_id * 7) % 256)
+        WHEN 4 THEN list_sum(list_transform(range(gw * gh),
+                             i -> (doc_id + i) % 4))
+        WHEN 5 THEN 100 * (doc_id % 97)
+                    + list_sum(list_transform(range(1, 100),
+                      j -> (100 - j) * list_extract([0, 2, -2, 5, -5, 9, -9],
+                             CAST((doc_id * 17 + j * 7) % 7 AS INTEGER) + 1)))
+        WHEN 6 THEN nf * ((144000 * br) // sr) + (nf + doc_id % 2) // 2
+        ELSE list_sum(list_transform(range(np), i -> 30 + (doc_id + i) % 50))
+      END AS BIGINT) AS detail
+    FROM p
+    """,
+    tags=("llm", "multimodal", "codec", "dispatch"),
+)
+def q99x_media_sniff_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified media sniffing — the `file(1)` pass of a mixed crawl:
+    ONE magic-byte dispatch (llmops.sniff_media) routes every payload
+    to its typed decode or metadata-scan stage. Eight container
+    formats cycle through the corpus — PNG, PCM WAV, P6 PPM, baseline
+    JPEG, GIF, FLAC (all DECODED with pixel/sample checksums) and MP3 /
+    Ogg-Opus (metadata-scanned with frame/granule durations). An
+    unroutable payload raises — quarantine, never a silent skip.
+
+    The oracle recomputes every mime, dimension, duration, and
+    checksum closed-form, so a mis-sniff (wrong branch), a decoder
+    regression in ANY of the eight paths, or a duration table slip
+    fails the hash. One narrow Arrow map per stage, no shuffle —
+    the dispatch composes every codec this engine ships into a single
+    in-plan surface.
+    """
+    import pandas as pd
+
+    from better_cdc_spark import codecs
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                m = d % 8
+                if m == 0:
+                    w, h = 8 + d % 8, 4 + d % 4
+                    payloads.append(codecs.encode_png(
+                        w, h, bytes((d * 31 + i * 7) % 256 for i in range(w * h))))
+                elif m == 1:
+                    ns = 800 + d % 100
+                    payloads.append(codecs.encode_wav(
+                        bytes((d * 13 + i * 5) % 256 for i in range(ns))))
+                elif m == 2:
+                    w, h = 8 + d % 8, 4 + d % 4
+                    payloads.append(codecs.encode_ppm(
+                        w, h, bytes((d * 17 + i * 11) % 256 for i in range(w * h * 3))))
+                elif m == 3:
+                    payloads.append(codecs.encode_jpeg_gray(
+                        8, 8, bytes([(d * 7) % 256] * 64)))
+                elif m == 4:
+                    w, h = 4 + d % 4, 2 + d % 2
+                    payloads.append(codecs.encode_gif(
+                        w, h, bytes((d + i) % 4 for i in range(w * h)),
+                        [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]))
+                elif m == 5:
+                    s = [d % 97]
+                    for j in range(1, 100):
+                        s.append(s[-1] + [0, 2, -2, 5, -5, 9, -9][(d * 17 + j * 7) % 7])
+                    payloads.append(codecs.encode_flac(s, sample_rate=8000))
+                elif m == 6:
+                    payloads.append(codecs.build_mp3_stream(
+                        10 + d % 10, 1 + d % 14, d % 3, pad_phase=d % 2))
+                else:
+                    np_ = 2 + d % 3
+                    payloads.append(codecs.encode_ogg_opus(
+                        d, 312, [30 + (d + i) % 50 for i in range(np_)]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def sniff(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = llmops.sniff_media(bytes(payload))
+                rows.append((int(d), m["mime"], m["width"], m["height"],
+                             m["duration_us"], m["detail"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height",
+                         "duration_us", "detail"],
+            ).astype({"width": "Int64", "height": "Int64",
+                      "duration_us": "Int64"})
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        sniff,
+        "doc_id bigint, mime string, width bigint, height bigint,"
+        " duration_us bigint, detail bigint",
+    )

@@ -817,3 +817,31 @@ class TestOggOpusScan:
         last_page = payload.rfind(b"OggS")
         with pytest.raises(ValueError, match="EOS"):
             codecs.scan_ogg_opus(payload[:last_page])
+
+
+class TestMediaSniff:
+    def test_sniffs_every_container(self):
+        from better_cdc_spark import llmops
+
+        cases = [
+            (codecs.encode_png(4, 2, bytes(8)), "image/png"),
+            (codecs.encode_wav(bytes(80)), "audio/wav"),
+            (codecs.encode_ppm(2, 2, bytes(12)), "image/ppm"),
+            (codecs.encode_jpeg_gray(8, 8, bytes([77] * 64)), "image/jpeg"),
+            (
+                codecs.encode_gif(2, 2, bytes(4), [(i, i, i) for i in range(4)]),
+                "image/gif",
+            ),
+            (codecs.encode_flac([1, 2, 3, 4] * 30), "audio/flac"),
+            (codecs.build_mp3_stream(5, 9, 0), "audio/mpeg"),
+            (codecs.build_mp3_stream(5, 9, 0, id3_payload=20), "audio/mpeg"),
+            (codecs.encode_ogg_opus(1, 312, [40]), "audio/ogg"),
+        ]
+        for payload, mime in cases:
+            assert llmops.sniff_media(payload)["mime"] == mime
+
+    def test_unroutable_raises(self):
+        from better_cdc_spark import llmops
+
+        with pytest.raises(ValueError, match="unroutable"):
+            llmops.sniff_media(b"\x00\x01\x02garbage")
