@@ -2660,3 +2660,314 @@ def scan_ogg_opus(payload: bytes) -> dict:
         "duration_us": (last_granule - pre_skip) * 1_000_000 // 48000,
         "audio_bytes": audio_bytes,
     }
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — subset. Real bitstream machinery per the public
+# VP8L specification: RIFF/WEBP/VP8L container, LSB-first bit packing,
+# 14-bit dimensions, canonical prefix codes (DEFLATE-style assignment)
+# transmitted via the 19-symbol code-length code in kCodeLengthOrder,
+# simple (1-2 symbol) code variant, and per-pixel G-R-B-A literal
+# decoding. Subset boundaries (honest seams, raised loudly): no
+# transforms, no color cache, no meta-prefix groups, and LZ77 backrefs
+# are decoded as NotImplementedError (the encoder emits literals only).
+# Lossless ⇒ decode(encode(x)) == x for ARBITRARY rasters, which is the
+# oracle contract; there is no reference libwebp in this container, so
+# (like GIF) validation is structural + round-trip, not cross-decoder.
+# ---------------------------------------------------------------------------
+
+_VP8L_CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8,
+                           9, 10, 11, 12, 13, 14, 15, 16)
+_VP8L_GREEN_ALPHABET = 256 + 24  # literals + length codes (no color cache)
+
+
+class _VP8LBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, nbits: int) -> None:
+        """Prefix codes pack MSB-of-code first (DEFLATE convention)."""
+        for i in range(nbits - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+class _VP8LBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for i in range(nbits):
+            if self.pos >= len(self.data):
+                raise ValueError("VP8L bitstream truncated")
+            v |= ((self.data[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+def _canonical_codes(lengths: list) -> dict:
+    """DEFLATE/VP8L canonical assignment: increasing length, then symbol."""
+    pairs = sorted(
+        (ln, sym) for sym, ln in enumerate(lengths) if ln > 0
+    )
+    codes, code, prev_len = {}, 0, 0
+    for ln, sym in pairs:
+        code <<= ln - prev_len
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+class _PrefixDecoder:
+    def __init__(self, lengths: list):
+        self.by_code = {
+            (ln, code): sym for sym, (code, ln) in _canonical_codes(lengths).items()
+        }
+        used = [ln for ln in lengths if ln > 0]
+        self.max_len = max(used) if used else 0
+        if len(used) == 1:  # degenerate: zero bits per symbol
+            self.single = next(s for s, l in enumerate(lengths) if l > 0)
+        else:
+            self.single = None
+
+    def decode(self, r: _VP8LBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= self.max_len:
+            code = (code << 1) | r.read(1)
+            ln += 1
+            sym = self.by_code.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _build_lengths(freqs: dict, alphabet: int, max_len: int = 15) -> list:
+    """Heap Huffman over observed symbols, depth-limited by rebalancing
+    (halve frequency spread until the tree fits max_len)."""
+    import heapq
+    import itertools
+
+    if not freqs:
+        return [0] * alphabet
+    if len(freqs) == 1:
+        lengths = [0] * alphabet
+        lengths[next(iter(freqs))] = 1
+        return lengths
+    f = dict(freqs)
+    counter = itertools.count()
+    while True:
+        heap = [(w, next(counter), sym, None, None) for sym, w in f.items()]
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            a = heapq.heappop(heap)
+            b = heapq.heappop(heap)
+            heapq.heappush(heap, (a[0] + b[0], next(counter), None, a, b))
+        lengths = [0] * alphabet
+
+        def walk(node, depth):
+            if node[2] is not None:
+                lengths[node[2]] = max(depth, 1)
+                return depth
+            return max(walk(node[3], depth + 1), walk(node[4], depth + 1))
+
+        if walk(heap[0], 0) <= max_len:
+            return lengths
+        f = {s: max(1, w // 2) for s, w in f.items()}  # flatten and retry
+
+
+def _write_prefix_code(w: _VP8LBitWriter, lengths: list) -> None:
+    used = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+    if 1 <= len(used) <= 2 and all(s < 256 for s, _ in used):
+        w.write(1, 1)  # simple code
+        w.write(len(used) - 1, 1)
+        first = used[0][0]
+        if first <= 1:
+            w.write(0, 1)  # first symbol in 1 bit
+            w.write(first, 1)
+        else:
+            w.write(1, 1)
+            w.write(first, 8)
+        if len(used) == 2:
+            w.write(used[1][0], 8)
+        return
+    w.write(0, 1)  # normal code
+    # code-length code: huffman over the length symbols (0..15 only)
+    clc_freqs: dict = {}
+    for ln in lengths:
+        clc_freqs[ln] = clc_freqs.get(ln, 0) + 1
+    clc_lengths = _build_lengths(clc_freqs, 19, max_len=7)
+    w.write(19 - 4, 4)  # transmit all 19 slots
+    for sym in _VP8L_CODE_LENGTH_ORDER:
+        w.write(clc_lengths[sym], 3)
+    w.write(0, 1)  # no explicit max_symbol
+    clc = _canonical_codes(clc_lengths)
+    single = len([l for l in clc_lengths if l > 0]) == 1
+    for ln in lengths:
+        if not single:
+            code, nb = clc[ln]
+            w.write_code(code, nb)
+        # degenerate single-symbol code-length code: zero bits per symbol
+
+
+def _read_prefix_code(r: _VP8LBitReader, alphabet: int) -> _PrefixDecoder:
+    if r.read(1):  # simple
+        nsym = r.read(1) + 1
+        lengths = [0] * alphabet
+        if r.read(1):
+            first = r.read(8)
+        else:
+            first = r.read(1)
+        lengths[first] = 1
+        if nsym == 2:
+            lengths[r.read(8)] = 1
+        return _PrefixDecoder(lengths)
+    num_cl = r.read(4) + 4
+    clc_lengths = [0] * 19
+    for i in range(num_cl):
+        clc_lengths[_VP8L_CODE_LENGTH_ORDER[i]] = r.read(3)
+    if r.read(1):  # explicit max_symbol
+        bits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(bits)
+    else:
+        max_symbol = alphabet
+    clc = _PrefixDecoder(clc_lengths)
+    lengths = [0] * alphabet
+    sym, prev = 0, 8
+    while sym < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.decode(r)
+        if s < 16:
+            lengths[sym] = s
+            sym += 1
+            if s:
+                prev = s
+        elif s == 16:
+            for _ in range(3 + r.read(2)):
+                lengths[sym] = prev
+                sym += 1
+        elif s == 17:
+            sym += 3 + r.read(3)
+        else:
+            sym += 11 + r.read(7)
+    return _PrefixDecoder(lengths)
+
+
+def encode_webp_lossless(width: int, height: int, argb: bytes) -> bytes:
+    """VP8L-subset encoder: no transforms / cache / backrefs — per-pixel
+    G,R,B,A literals under canonical per-channel prefix codes."""
+    if len(argb) != width * height * 4:
+        raise ValueError("argb must be width*height*4 bytes (A,R,G,B order)")
+    w = _VP8LBitWriter()
+    w.write(width - 1, 14)
+    w.write(height - 1, 14)
+    w.write(0, 1)  # alpha hint
+    w.write(0, 3)  # version
+    w.write(0, 1)  # no transforms
+    w.write(0, 1)  # no color cache
+    w.write(0, 1)  # no meta prefix groups
+    px = [
+        (argb[i], argb[i + 1], argb[i + 2], argb[i + 3])
+        for i in range(0, len(argb), 4)
+    ]
+    chans = {  # green first per spec, then red, blue, alpha, distance
+        "g": [p[2] for p in px], "r": [p[1] for p in px],
+        "b": [p[3] for p in px], "a": [p[0] for p in px],
+    }
+
+    def hist(vals):
+        h: dict = {}
+        for v in vals:
+            h[v] = h.get(v, 0) + 1
+        return h
+
+    lg = _build_lengths(hist(chans["g"]), _VP8L_GREEN_ALPHABET)
+    lr = _build_lengths(hist(chans["r"]), 256)
+    lb = _build_lengths(hist(chans["b"]), 256)
+    la = _build_lengths(hist(chans["a"]), 256)
+    ld = _build_lengths({0: 1}, 40)  # distance code: unused single symbol
+    for lengths in (lg, lr, lb, la, ld):
+        _write_prefix_code(w, lengths)
+    cg, cr, cb, ca = (_canonical_codes(x) for x in (lg, lr, lb, la))
+
+    def emit(codes, sym):
+        if len(codes) == 1:
+            return  # zero-bit degenerate code
+        code, nb = codes[sym]
+        w.write_code(code, nb)
+
+    for a, r_, g, b in px:
+        emit(cg, g)
+        emit(cr, r_)
+        emit(cb, b)
+        emit(ca, a)
+    payload = b"\x2f" + w.done()
+    if len(payload) % 2:
+        payload += b"\x00"
+    vp8l = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    riff = b"WEBP" + vp8l
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def decode_webp_lossless(payload: bytes) -> dict:
+    """VP8L-subset decoder → {width, height, argb}. Handles simple and
+    normal prefix codes (incl. 16/17/18 repeats and explicit
+    max_symbol); transforms, color cache, meta groups, and LZ77
+    backrefs raise (subset seams)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    if payload[12:16] != b"VP8L":
+        raise ValueError("not a lossless WebP (no VP8L chunk)")
+    size = int.from_bytes(payload[16:20], "little")
+    data = payload[20 : 20 + size]
+    if data[:1] != b"\x2f":
+        raise ValueError("bad VP8L signature byte")
+    r = _VP8LBitReader(data[1:])
+    width = r.read(14) + 1
+    height = r.read(14) + 1
+    r.read(1)  # alpha hint
+    if r.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    if r.read(1):
+        raise ValueError("VP8L transforms not supported (subset)")
+    if r.read(1):
+        raise ValueError("VP8L color cache not supported (subset)")
+    if r.read(1):
+        raise ValueError("VP8L meta prefix groups not supported (subset)")
+    dg = _read_prefix_code(r, _VP8L_GREEN_ALPHABET)
+    dr = _read_prefix_code(r, 256)
+    db = _read_prefix_code(r, 256)
+    da = _read_prefix_code(r, 256)
+    _read_prefix_code(r, 40)  # distance code (unused by literals)
+    out = bytearray()
+    for _ in range(width * height):
+        g = dg.decode(r)
+        if g >= 256:
+            raise NotImplementedError("VP8L backreferences not supported (subset)")
+        red = dr.decode(r)
+        blue = db.decode(r)
+        alpha = da.decode(r)
+        out += bytes((alpha, red, g, blue))
+    return {"width": width, "height": height, "argb": bytes(out)}

@@ -973,14 +973,18 @@ def decode_image(payload: bytes) -> "object":
     baseline grayscale JPEG (codecs.decode_jpeg_gray, q99f),
     chroma-subsampled color JPEG in every {1,2}-factor layout
     (codecs.decode_jpeg_color, q99h/q99k), PROGRESSIVE JPEG
-    (codecs.decode_jpeg_progressive, q99l), and GIF decode here in pure
-    Python; the seam remains only for what genuinely needs a codec
-    library at deploy time (WebP, AVIF, ...). JPEG dispatch: SOF
-    markers route grayscale vs color vs progressive."""
+    (codecs.decode_jpeg_progressive, q99l), GIF, and WebP-lossless
+    VP8L (codecs.decode_webp_lossless, q99y — literal subset; its
+    transform/cache/backref seams raise inside the decoder) decode
+    here in pure Python; the deploy-time codec-library seam remains
+    only for AVIF and lossy VP8. JPEG dispatch: SOF markers route
+    grayscale vs color vs progressive."""
     from better_cdc_spark import codecs
 
     if payload[:8] == codecs.PNG_SIG:
         return codecs.decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return codecs.decode_webp_lossless(payload)
     if payload[:2] == b"P6":
         return codecs.decode_ppm(payload)
     if payload[:2] == b"\xff\xd8":
@@ -1426,6 +1430,12 @@ def sniff_media(payload: bytes) -> dict:
         return {
             "mime": "audio/wav", "width": None, "height": None,
             "duration_us": m["duration_us"], "detail": sum(m["frames"]),
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        m = codecs.decode_webp_lossless(payload)
+        return {
+            "mime": "image/webp", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["argb"]),
         }
     if payload[:2] == b"P6":
         m = codecs.decode_ppm(payload)

@@ -9289,3 +9289,82 @@ def q99x_media_sniff_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, mime string, width bigint, height bigint,"
         " duration_us bigint, detail bigint",
     )
+
+
+@query(
+    "q99y_webp_lossless_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(range(w * h * 4),
+                         i -> (doc_id * 19 + i * 23) % 256)) AS BIGINT)
+             AS checksum
+    FROM p
+    """,
+    tags=("llm", "multimodal", "image", "webp"),
+)
+def q99y_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING WebP-lossless (VP8L) decode — the format that closes
+    the round-5 'image seams' list down to AVIF and lossy-VP8: real
+    RIFF/WEBP/VP8L container, LSB-first bitstream, canonical prefix
+    codes transmitted through the 19-symbol code-length code (simple
+    and normal variants, zero-run/repeat symbols handled), per-pixel
+    G-R-B-A literal decoding. Subset seams raise loudly: transforms,
+    color cache, meta groups, LZ77 backrefs (codecs.py provenance
+    comments cite the public VP8L spec sections).
+
+    Like FLAC and GIF, LOSSLESS is the oracle superpower: ARBITRARY
+    ARGB rasters round-trip exactly, so the fixture is a plain modular
+    fill and the oracle a closed-form byte sum — any prefix-code,
+    bit-order, or canonical-assignment bug hash-mismatches. Narrow
+    Arrow maps end-to-end, no shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_webp_lossless
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                w, h = 4 + d % 5, 3 + d % 4
+                argb = bytes(
+                    (d * 19 + i * 23) % 256 for i in range(w * h * 4)
+                )
+                payloads.append(encode_webp_lossless(w, h, argb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = llmops.sniff_media(bytes(payload))
+                assert m["mime"] == "image/webp"
+                rows.append(
+                    (
+                        int(d),
+                        m["width"],
+                        m["height"],
+                        m["width"] * m["height"],
+                        m["detail"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "checksum"],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " checksum bigint",
+    )

@@ -833,6 +833,7 @@ class TestMediaSniff:
                 "image/gif",
             ),
             (codecs.encode_flac([1, 2, 3, 4] * 30), "audio/flac"),
+            (codecs.encode_webp_lossless(2, 2, bytes(range(16))), "image/webp"),
             (codecs.build_mp3_stream(5, 9, 0), "audio/mpeg"),
             (codecs.build_mp3_stream(5, 9, 0, id3_payload=20), "audio/mpeg"),
             (codecs.encode_ogg_opus(1, 312, [40]), "audio/ogg"),

@@ -689,3 +689,82 @@ def test_flac_stereo_and_audio_dispatch():
     # llmops seam dispatches on the fLaC magic
     mono = llmops.decode_audio(codecs.encode_flac(left, sample_rate=16000))
     assert mono["sample_rate"] == 16000 and mono["samples"] == left
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 10**6),
+    skew=st.sampled_from([1, 4, 256]),
+)
+def test_vp8l_roundtrip_is_lossless_property(w, h, seed, skew):
+    """decode(encode(x)) == x for ARBITRARY ARGB rasters across entropy
+    regimes (skew=1 near-constant -> simple codes; 256 uniform -> full
+    canonical prefix codes) — lossless is the whole contract."""
+    import random
+
+    from better_cdc_spark import codecs
+
+    rng = random.Random(seed)
+    argb = bytes(rng.randrange(skew) for _ in range(w * h * 4))
+    d = codecs.decode_webp_lossless(codecs.encode_webp_lossless(w, h, argb))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["argb"] == argb
+
+
+def test_vp8l_decoder_handles_repeat_codes_and_seams():
+    """The decoder is broader than the encoder: zero-run (17/18) and
+    repeat (16) code-length symbols — which our encoder never emits —
+    must reconstruct the same lengths table; subset boundaries raise."""
+    import pytest
+
+    from better_cdc_spark import codecs
+
+    # target: alphabet 300, syms 0/1 len 1,2... then 280 zeros via 18+17,
+    # then sym 295 len 2 via repeat-16 of... craft lengths explicitly:
+    target = [0] * 300
+    target[0], target[1], target[295], target[296], target[297] = 1, 2, 2, 2, 2
+    # code-length code over symbols {0,1,2,16,17,18}
+    clc_lengths = [0] * 19
+    for s, ln in ((0, 3), (1, 3), (2, 3), (16, 3), (17, 3), (18, 3)):
+        clc_lengths[s] = ln
+    clc = codecs._canonical_codes(clc_lengths)
+    w = codecs._VP8LBitWriter()
+    w.write(0, 1)  # normal code
+    w.write(19 - 4, 4)
+    for sym in codecs._VP8L_CODE_LENGTH_ORDER:
+        w.write(clc_lengths[sym], 3)
+    w.write(0, 1)  # no explicit max_symbol
+
+    def emit(sym):
+        code, nb = clc[sym]
+        w.write_code(code, nb)
+
+    emit(1)            # sym0 -> len 1
+    emit(2)            # sym1 -> len 2
+    emit(18); w.write(127, 7)   # 138 zeros
+    emit(18); w.write(124, 7)   # 135 zeros  (total 273 zeros -> sym 275)
+    emit(17); w.write(7, 3)     # 10 zeros -> sym 285
+    emit(17); w.write(7, 3)     # 10 zeros -> sym 295
+    emit(2)            # sym 295 -> len 2
+    emit(16); w.write(0, 2)     # repeat len-2 x3 -> syms 296-298
+    emit(0)            # sym 299 -> absent
+    r = codecs._VP8LBitReader(w.done())
+    dec = codecs._read_prefix_code(r, 300)
+    rebuilt = [0] * 300
+    for (ln, code), sym in dec.by_code.items():
+        rebuilt[sym] = ln
+    expect = list(target)
+    expect[298] = 2  # repeat covered 296-298
+    assert rebuilt == expect
+    # subset seams raise loudly
+    good = codecs.encode_webp_lossless(2, 2, bytes(16))
+    with pytest.raises(ValueError, match="RIFF"):
+        codecs.decode_webp_lossless(b"nope" + good[4:])
+    mutated = bytearray(good)
+    # set the transform-present bit (first bit after the 33 header bits)
+    # header: 14+14+1+3 = 32 bits -> transform bit is bit 32 (byte 4 bit 0)
+    mutated[20 + 1 + 4] |= 0x01
+    with pytest.raises(ValueError, match="transform"):
+        codecs.decode_webp_lossless(bytes(mutated))
