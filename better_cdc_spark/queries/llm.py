@@ -9368,3 +9368,187 @@ def q99y_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
         " checksum bigint",
     )
+
+
+@query(
+    "q97q_matryoshka_search",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+             CAST(embedding[1:16] AS DOUBLE[]) AS pv
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, fv AS qfv, pv AS qpv
+          FROM v WHERE vec_id < {TOPK_QUERIES}),
+    stage1 AS (
+      SELECT q.qid, v.vec_id AS nid, v.fv, q.qfv,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(list_cosine_similarity(v.pv, q.qpv), 6) DESC,
+                        v.vec_id ASC) AS prank
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+    ),
+    rerank AS (
+      SELECT qid, nid,
+             ROUND(list_cosine_similarity(fv, qfv), 6) AS cosine
+      FROM stage1 WHERE prank <= 30
+    ),
+    ranked AS (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid ASC) AS rnk
+      FROM rerank
+    )
+    SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "ann", "matryoshka"),
+)
+def q97q_matryoshka_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval — the adaptive-retrieval pattern
+    MRL embeddings exist for: stage 1 ranks on the 16-dim PREFIX of the
+    64-dim embedding (4x cheaper per comparison, and at deploy scale
+    the short vectors are a quarter of the scan bytes), keeping top-30
+    candidates per query; stage 2 reranks only those candidates at full
+    dimension for the final top-10. Complements q97c (which measures
+    the prefix-energy property making this sound).
+
+    Scale: stage 1 is the q97 broadcast-probe scan shape on 25% of the
+    bytes; stage 2 touches 30 rows per query — candidate-bounded, like
+    every verify stage in this repo. Both stages rank on ROUND(cos, 6)
+    with id tie-breaks (the cross-engine convention).
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        llmops.as_double_vec("embedding").alias("fv"),
+    ).withColumn("pv", F.slice("fv", 1, 16))
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("fv").alias("qfv"),
+        F.col("pv").alias("qpv"),
+    )
+    w1 = W.partitionBy("qid").orderBy(F.col("pcos").desc(), F.col("nid").asc())
+    stage1 = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            "fv",
+            "qfv",
+            F.round(
+                llmops.dot(F.col("pv"), F.col("qpv"))
+                / (llmops.l2_norm(F.col("pv")) * llmops.l2_norm(F.col("qpv"))),
+                6,
+            ).alias("pcos"),
+        )
+        .withColumn("prank", F.row_number().over(w1))
+        .filter(F.col("prank") <= 30)
+    )
+    rerank = stage1.select(
+        "qid",
+        "nid",
+        F.round(
+            llmops.dot(F.col("fv"), F.col("qfv"))
+            / (llmops.l2_norm(F.col("fv")) * llmops.l2_norm(F.col("qfv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w2 = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+@query(
+    "q95al_corpus_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 2 AS snap,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    binned AS (
+      SELECT snap, LEAST(n // 20, 9) AS bin, COUNT(*) AS c
+      FROM toks GROUP BY snap, LEAST(n // 20, 9)
+    ),
+    bins AS (SELECT t.b AS bin FROM UNNEST(range(10)) AS t(b)),
+    sm AS (
+      SELECT b.bin,
+             1 + COALESCE(MAX(CASE WHEN snap = 0 THEN c END), 0) AS ca,
+             1 + COALESCE(MAX(CASE WHEN snap = 1 THEN c END), 0) AS cb
+      FROM bins b LEFT JOIN binned x ON x.bin = b.bin
+      GROUP BY b.bin
+    ),
+    tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM sm)
+    SELECT CAST(sm.bin AS BIGINT) AS bin,
+           CAST(sm.ca - 1 AS BIGINT) AS n_a,
+           CAST(sm.cb - 1 AS BIGINT) AS n_b,
+           ROUND((sm.ca / t.ta - sm.cb / t.tb)
+                 * ln((sm.ca / t.ta) / (sm.cb / t.tb)), 6) AS psi_term
+    FROM sm, tot t
+    """,
+    tags=("llm", "report", "drift"),
+)
+def q95al_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report — PSI (population stability index) between
+    two corpus snapshots over a token-count histogram: the monitoring
+    number a continuously-refreshed training corpus alarms on (a new
+    crawl slice shifting the length distribution silently shifts every
+    length-sensitive gate downstream). Integer bin counts are exact;
+    each bin's PSI term (pa-pb)*ln(pa/pb) is Laplace-smoothed and
+    emitted per-bin ROUNDed to 6dp (the established cross-engine fp
+    convention — ln agrees across engines behind a 6dp round), so the
+    report is hash-checkable while the total PSI is one trivial sum
+    away for the consumer.
+
+    Scale: one narrow pass + a 10-bin aggregation — the shuffle carries
+    20 rows. Snapshots at deploy scale are partition predicates, not
+    doc_id parity.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    binned = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("snap"),
+            F.least(
+                (F.size(F.split(F.trim(F.col("text")), "\\s+")) / 20)
+                .cast("long"),
+                F.lit(9),
+            ).alias("bin"),
+        )
+        .groupBy("snap", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    sm = (
+        bins.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.max(F.when(F.col("snap") == 0, F.col("c"))), F.lit(0)
+                )
+            ).alias("ca"),
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.max(F.when(F.col("snap") == 1, F.col("c"))), F.lit(0)
+                )
+            ).alias("cb"),
+        )
+    )
+    tot = sm.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    ).collect()[0]  # bounded exchange: two scalars
+    ta, tb = float(tot["ta"]), float(tot["tb"])
+    pa = F.col("ca") / F.lit(ta)
+    pb = F.col("cb") / F.lit(tb)
+    return sm.select(
+        F.col("bin").cast("long"),
+        (F.col("ca") - 1).cast("long").alias("n_a"),
+        (F.col("cb") - 1).cast("long").alias("n_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
