@@ -9552,3 +9552,108 @@ def q95al_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cb") - 1).cast("long").alias("n_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+import os as _os
+import tempfile as _tempfile
+
+# Fixed (pid-free) scratch path: the oracle SQL string is static, and the
+# driver may run DuckDB in another process — both engines must resolve
+# the SAME file. The query wipes and rewrites it on every invocation.
+_Q01C_PATH = _os.path.join(_tempfile.gettempdir(), "bcs_q01c_stats.parquet")
+
+
+@query(
+    "q01c_parquet_stats_report",
+    oracle=f"""
+    SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+           path_in_schema AS column_name,
+           CAST(num_values AS BIGINT) AS num_values,
+           CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+           CAST(stats_min_value AS BIGINT) AS min_val,
+           CAST(stats_max_value AS BIGINT) AS max_val,
+           CAST(stats_null_count AS BIGINT) AS null_count
+    FROM parquet_metadata('{_Q01C_PATH}')
+    """,
+    tags=("storage", "metadata", "report"),
+)
+def q01c_parquet_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer statistics report — the metadata that powers
+    stats-based file skipping (txlog's data-skipping claims, Spark's
+    own row-group pruning): per row group and column, value counts,
+    compressed bytes, null counts, and min/max bounds read STRAIGHT
+    FROM FOOTERS (pyarrow's C++ reader in a map over the file list —
+    bytes touched are footers only, never data pages). The oracle is
+    DuckDB's INDEPENDENT footer parser (parquet_metadata) over the
+    same physical file, so two unrelated parquet implementations must
+    agree field-for-field — a stats bug in either surfaces as a hash
+    mismatch.
+
+    The fixture file (1000 rows, 4 row groups, a null-bearing column)
+    is rewritten deterministically per run at a fixed path because the
+    static oracle SQL cannot parameterize sf paths. Scale: the file
+    list is the parallelism unit (a 100 TB table is ~100k files;
+    footer reads are KBs each) — this is how a planner builds its
+    pruning index in one narrow pass.
+    """
+    import pandas as pd
+
+    tune_for_oracle(spark)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1000
+    ids = list(range(n))
+    table = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "grp": pa.array([i % 7 for i in ids], pa.int64()),
+            "val": pa.array(
+                [(i * 37) % 1000 if i % 11 else None for i in ids], pa.int64()
+            ),
+        }
+    )
+    if _os.path.exists(_Q01C_PATH):
+        _os.unlink(_Q01C_PATH)
+    pq.write_table(table, _Q01C_PATH, row_group_size=250)
+
+    files = spark.createDataFrame(pd.DataFrame({"path": [_Q01C_PATH]}))
+
+    def footers(batches):
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                meta = _pq.ParquetFile(p).metadata
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st = col.statistics
+                        rows.append(
+                            (
+                                rg,
+                                col.path_in_schema,
+                                col.num_values,
+                                col.total_compressed_size,
+                                int(st.min),
+                                int(st.max),
+                                st.null_count,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "row_group_id", "column_name", "num_values",
+                    "compressed_bytes", "min_val", "max_val", "null_count",
+                ],
+            )
+
+    return files.mapInPandas(
+        footers,
+        "row_group_id bigint, column_name string, num_values bigint,"
+        " compressed_bytes bigint, min_val bigint, max_val bigint,"
+        " null_count bigint",
+    )
