@@ -2971,3 +2971,122 @@ def decode_webp_lossless(payload: bytes) -> dict:
         alpha = da.decode(r)
         out += bytes((alpha, red, g, blue))
     return {"width": width, "height": height, "argb": bytes(out)}
+
+
+def build_animated_gif(
+    width: int,
+    height: int,
+    frames: list,
+    palette: list,
+    loop_count: int = 0,
+) -> bytes:
+    """Animated GIF89a: NETSCAPE2.0 loop extension, then per frame a
+    graphic-control extension (delay in centiseconds) + image descriptor
+    + literal-LZW data. `frames` is a list of (indices, delay_cs)."""
+    nbits = max(1, (len(palette) - 1).bit_length())
+    table_size = 1 << nbits
+    mcs = max(2, nbits)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    code_width = mcs + 1
+    max_literals = (1 << code_width) - eoi - 2
+
+    out = bytearray(GIF_HEADER)
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((nbits - 1) & 7), 0, 0)
+    for i in range(table_size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    # NETSCAPE2.0 application extension: animation loop count
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+    out += struct.pack("<H", loop_count) + b"\x00"
+    for indices, delay_cs in frames:
+        if len(indices) != width * height:
+            raise ValueError("frame size mismatch")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        w = _LSBBitWriter()
+        w.put(clear, code_width)
+        run = 0
+        for px in indices:
+            if run == max_literals:
+                w.put(clear, code_width)
+                run = 0
+            w.put(px, code_width)
+            run += 1
+        w.put(eoi, code_width)
+        lzw = w.flush()
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def scan_gif_animation(payload: bytes) -> dict:
+    """Animation metadata WITHOUT decoding pixels: walks the block
+    structure (extensions, image descriptors, LZW data sub-blocks
+    skipped by their length prefixes), collecting frame count, per-GCE
+    delays (centiseconds -> total duration ms), NETSCAPE loop count,
+    and pixel-data byte volume. Raises on truncation, a missing
+    trailer, or an unknown block introducer — corrupt animations fail
+    loudly. The q99_frame_sampling economics at container level: a
+    sampler decides WHICH frames to decode from this walk alone."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height, flags, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (1 << ((flags & 7) + 1))
+    n_frames, duration_cs, loop_count, data_bytes = 0, 0, None, 0
+    pending_delay = 0
+
+    def skip_subblocks(p):
+        nonlocal data_bytes
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated sub-block chain")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            data_bytes += n
+            p += n
+
+    while pos < len(payload):
+        introducer = payload[pos]
+        if introducer == 0x3B:  # trailer
+            return {
+                "width": width,
+                "height": height,
+                "n_frames": n_frames,
+                "duration_ms": duration_cs * 10,
+                "loop_count": loop_count,
+                "data_bytes": data_bytes,
+            }
+        if introducer == 0x21:  # extension
+            label = payload[pos + 1]
+            if label == 0xF9:  # graphic control
+                pending_delay = struct.unpack_from("<H", payload, pos + 4)[0]
+                pos = skip_subblocks(pos + 2)
+            elif label == 0xFF and payload[pos + 3 : pos + 14] == b"NETSCAPE2.0":
+                loop_count = struct.unpack_from("<H", payload, pos + 16)[0]
+                pos = skip_subblocks(pos + 2)
+            else:
+                pos = skip_subblocks(pos + 2)
+        elif introducer == 0x2C:  # image descriptor
+            lflags = payload[pos + 9]
+            pos += 10
+            if lflags & 0x80:
+                pos += 3 * (1 << ((lflags & 7) + 1))
+            pos += 1  # LZW min code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+            duration_cs += pending_delay
+            pending_delay = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{introducer:02x} at {pos}")
+    raise ValueError("GIF stream ended without trailer")

@@ -9657,3 +9657,147 @@ def q01c_parquet_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " compressed_bytes bigint, min_val bigint, max_val bigint,"
         " null_count bigint",
     )
+
+
+@query(
+    "q99z_gif_animation_scan",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents
+    )
+    SELECT doc_id, CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(range(nf),
+                         f -> 10 * (5 + (doc_id + f) % 10))) AS BIGINT)
+             AS duration_ms,
+           CAST(doc_id % 3 AS BIGINT) AS loop_count
+    FROM p
+    """,
+    tags=("llm", "multimodal", "video", "metadata"),
+)
+def q99z_gif_animation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF metadata scan — frame counts, per-frame delays
+    (graphic-control extensions), and NETSCAPE loop counts read from
+    the block structure alone: LZW data sub-blocks are SKIPPED by their
+    length prefixes, never decoded. This is q99_frame_sampling's
+    economics applied at container level — a sampler decides which
+    frames to pay decode for from this walk. Fixtures are real
+    multi-frame GIF89a streams (codecs.build_animated_gif); the oracle
+    recomputes every field closed-form; truncation or unknown blocks
+    raise. Narrow Arrow maps, no shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import build_animated_gif, scan_gif_animation
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pal = [(i * 85, i * 85, i * 85) for i in range(4)]
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                nf = 2 + d % 4
+                frames = [
+                    (
+                        bytes((d + f + i) % 4 for i in range(24)),
+                        5 + (d + f) % 10,
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(
+                    build_animated_gif(6, 4, frames, pal, loop_count=d % 3)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = scan_gif_animation(bytes(payload))
+                rows.append(
+                    (int(d), m["width"], m["height"], m["n_frames"],
+                     m["duration_ms"], m["loop_count"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_frames",
+                         "duration_ms", "loop_count"],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        scan,
+        "doc_id bigint, width bigint, height bigint, n_frames bigint,"
+        " duration_ms bigint, loop_count bigint",
+    )
+
+
+@query(
+    "q44d_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts
+      GROUP BY cohort_week
+    )
+    SELECT a.cohort_week,
+           CAST(date_diff('day', a.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size
+    FROM activity a JOIN sizes s ON s.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, date_diff('day', a.cohort_week, a.act_week) // 7,
+             s.cohort_size
+    """,
+    tags=("events", "analytics", "retention"),
+)
+def q44d_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis — the classic product-analytics matrix
+    (users cohorted by first-seen week x activity-week offset) that any
+    OLAP engine replacement must serve. Two aggregations over one
+    events scan: per-user first week, then distinct (user, week)
+    activity joined back to cohorts — both shuffles keyed on user_id
+    (co-partitioned; the second reuses the first's exchange), with the
+    final cohort matrix tiny (weeks x offsets). ISO week truncation and
+    integer day-diff arithmetic match across engines.
+    """
+    tune_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("act_week"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.withColumn(
+            "week_offset",
+            (F.datediff("act_week", "cohort_week") / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_users",
+            F.col("cohort_size").cast("long"),
+        )
+    )

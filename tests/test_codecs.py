@@ -846,3 +846,36 @@ class TestMediaSniff:
 
         with pytest.raises(ValueError, match="unroutable"):
             llmops.sniff_media(b"\x00\x01\x02garbage")
+
+
+class TestGifAnimation:
+    def test_scan_matches_build(self):
+        pal = [(i, i, i) for i in range(4)]
+        for d in range(9):
+            nf = 2 + d % 4
+            frames = [
+                (bytes((d + f + i) % 4 for i in range(24)), 5 + (d + f) % 10)
+                for f in range(nf)
+            ]
+            m = codecs.scan_gif_animation(
+                codecs.build_animated_gif(6, 4, frames, pal, loop_count=d % 3)
+            )
+            assert m["n_frames"] == nf and m["loop_count"] == d % 3
+            assert m["duration_ms"] == sum(
+                10 * (5 + (d + f) % 10) for f in range(nf)
+            )
+
+    def test_static_gif_scans_as_single_frame_no_loop(self):
+        pal = [(i, i, i) for i in range(4)]
+        gif = codecs.encode_gif(4, 2, bytes(8), pal)
+        m = codecs.scan_gif_animation(gif)
+        assert m["n_frames"] == 1 and m["loop_count"] is None
+        assert m["duration_ms"] == 0
+
+    def test_truncation_and_unknown_block_raise(self):
+        pal = [(i, i, i) for i in range(4)]
+        gif = codecs.build_animated_gif(4, 2, [(bytes(8), 5)], pal)
+        with pytest.raises(ValueError, match="without trailer"):
+            codecs.scan_gif_animation(gif[:-1])
+        with pytest.raises(ValueError, match="unknown GIF block"):
+            codecs.scan_gif_animation(gif[:13] + b"\x12" + gif[13:])
