@@ -984,7 +984,10 @@ def decode_image(payload: bytes) -> "object":
     if payload[:8] == codecs.PNG_SIG:
         return codecs.decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        return codecs.decode_webp_lossless(payload)
+        if payload[12:16] == b"VP8L":
+            return codecs.decode_webp_lossless(payload)
+        # lossy VP8 / extended VP8X: the declared deploy-time codec seam
+        raise NotImplementedError("lossy/extended WebP: deploy-time codec seam")
     if payload[:2] == b"P6":
         return codecs.decode_ppm(payload)
     if payload[:2] == b"\xff\xd8":
