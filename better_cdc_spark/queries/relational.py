@@ -3886,3 +3886,221 @@ def q35b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
         ).alias("keys_by_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 tail: histogram, bitmap overlap, weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36k_histogram",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ), stats AS (
+      SELECT MIN(c) AS lo, ((MAX(c) - MIN(c)) // 20) + 1 AS w FROM cents
+    )
+    SELECT (c - lo) // w AS bin,
+           MIN(lo + ((c - lo) // w) * w) AS lo_cents,
+           MIN(lo + ((c - lo) // w + 1) * w - 1) AS hi_cents,
+           COUNT(*) AS n,
+           CAST(SUM(c) AS BIGINT) AS sum_cents
+    FROM cents, stats
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def q36k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with exact integer binning (profiling / data-
+    quality primitive; reference analog: the stat-agg family around
+    internal/transform — binning itself has no reference twin, it is the
+    OLAP-standard formulation).
+
+    All arithmetic is integer: prices become cents (round() fixes the
+    double representation error identically on both engines), the bin
+    width is the integer ``(max-min)//nbins + 1`` so the max value lands
+    in bin <= nbins-1, and bin edges come back as MIN() of closed-form
+    expressions — no doubles anywhere, so the cross-engine hash is exact.
+
+    Scale: one scalar min/max agg (map-side partial, 1-row exchange)
+    broadcast into a single groupBy — two narrow passes over the fact
+    table, shuffle bounded by nbins rows. The 1-row stats join is the
+    declared bounded-BNLJ pattern (see test_plans.py); at 100 TB the
+    scan dominates and both passes are column-pruned to one column.
+    """
+    tune_for_oracle(spark)
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    stats = cents.agg(
+        F.min("c").alias("lo"),
+        (((F.max("c") - F.min("c")) / F.lit(20)).cast("long") + 1).alias("w"),
+    )
+    binned = cents.crossJoin(F.broadcast(stats)).withColumn(
+        "bin", F.expr("(c - lo) div w")
+    )
+    return binned.groupBy("bin").agg(
+        F.min(F.expr("lo + bin * w")).alias("lo_cents"),
+        F.min(F.expr("lo + (bin + 1) * w - 1")).alias("hi_cents"),
+        F.count("*").alias("n"),
+        F.sum("c").alias("sum_cents"),
+    )
+
+
+@query(
+    "q48_bitmap_overlap",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), bm AS (
+      SELECT event_type, user_id // 63 AS chunk,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS mask
+      FROM members GROUP BY 1, 2
+    ), sizes AS (
+      SELECT event_type, CAST(SUM(bit_count(mask)) AS BIGINT) AS sz
+      FROM bm GROUP BY 1
+    ), ov AS (
+      SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+             CAST(SUM(bit_count(a.mask & b.mask)) AS BIGINT) AS n_common
+      FROM bm a JOIN bm b
+        ON a.chunk = b.chunk AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT seg_a, seg_b, n_common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           sa.sz + sb.sz - n_common AS n_union
+    FROM ov
+    JOIN sizes sa ON sa.event_type = seg_a
+    JOIN sizes sb ON sb.event_type = seg_b
+    """,
+    tags=("agg", "bitmap", "join"),
+)
+def q48_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via chunked bitmap aggregates (roaring-
+    bitmap-style segment intersection, the OLAP formulation of
+    COUNT(DISTINCT) over every segment pair at once).
+
+    Member ids are packed 63 per BIGINT word (bit 62 is the highest used
+    — DuckDB raises on a 63-position shift, Spark wraps; 63-bit words
+    keep both engines in defined territory with identical two's-
+    complement results). Per (segment, chunk) a single bit_or aggregate
+    builds the word; pairwise intersection is then an equi-join on chunk
+    + popcount — never a row-level self-join of the membership table.
+
+    Scale: the membership table (|segments| x |users| rows) collapses to
+    |segments| x |users|/63 words before any pairwise work, a 63x
+    shuffle reduction; the pair join is chunk-co-partitioned and emits
+    |segments|^2 x chunks/63 rows max. This is how production systems
+    compute S^2 overlap matrices without S^2 scans — and why bitmap
+    indexes beat HLL when exactness is required.
+    """
+    tune_for_oracle(spark)
+    members = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    bm = members.select(
+        "event_type",
+        F.expr("user_id div 63").alias("chunk"),
+        F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("bit"),
+    ).groupBy("event_type", "chunk").agg(F.expr("bit_or(bit)").alias("mask"))
+    sizes = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("sz")
+    )
+    a = bm.alias("a")
+    b = bm.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("seg_a"),
+            F.col("b.event_type").alias("seg_b"),
+            F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask"))).alias("pc"),
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(F.sum("pc").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("seg_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("event_type").alias("seg_b"), F.col("sz").alias("size_b"))
+    return (
+        ov.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a", "seg_b", "n_common", "size_a", "size_b",
+            (F.col("size_a") + F.col("size_b") - F.col("n_common")).alias("n_union"),
+        )
+    )
+
+
+@query(
+    "q52b_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT c.c_mktsegment, o.o_orderkey,
+             round(
+               ln(((o.o_orderkey * 48271) % 2147483647 + 0.5) / 2147483647.0)
+                 / o.o_totalprice,
+               12) AS score
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+      SELECT c_mktsegment, o_orderkey, score,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY score DESC, o_orderkey) AS rk
+      FROM scored
+    )
+    SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey, score
+    FROM ranked WHERE rk <= 10
+    """,
+    tags=("sample", "window"),
+)
+def q52b_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k per stratum (Efraimidis-
+    Spiliotis A-ES: draw u~U(0,1) per row, keep the top-k by u^(1/w)).
+    The curation analog of q95_stratified_sample with per-row weights
+    (sample orders proportional to price within each market segment).
+
+    Determinism: u comes from a MINSTD Lehmer step on the row key
+    ((key*48271) mod 2^31-1, +0.5 to stay strictly inside (0,1)) — pure
+    BIGINT arithmetic that cannot overflow below key ~1.9e14, identical
+    on both engines; rank on ln(u)/w (a monotone transform of u^(1/w))
+    ROUNDED to 12 decimals with the key as tie-break, the established
+    cross-engine double discipline (PLANS.md oracle notes).
+
+    Scale: one hash join orders-customer (both sides shuffle on custkey;
+    at TPC-H ratios customer is 1/10 of orders — broadcast only if the
+    dim genuinely fits), then a single window shuffle on the stratum
+    key. A-ES is THE distributed weighted-sample algorithm precisely
+    because it needs no global state: top-k per partition would bound
+    the exchange further via partial aggregation if k*strata blew up.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    scored = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round(
+                F.log(
+                    ((F.col("o_orderkey") * 48271) % 2147483647 + 0.5)
+                    / 2147483647.0
+                )
+                / F.col("o_totalprice"),
+                12,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("score").desc(), F.col("o_orderkey")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("c_mktsegment", "rk", "o_orderkey", "score")
+    )

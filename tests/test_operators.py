@@ -315,3 +315,47 @@ def test_hll_sketch_union_within_bound(spark):
     row = load_all()["q36g_hll_sketch_union"].fn(spark, SF_SMOKE).collect()[0]
     assert row["within_bound"], (row["estimate"], row["exact"])
     assert abs(row["estimate"] - row["exact"]) / row["exact"] <= 0.05
+
+
+def test_bitmap_overlap_matches_bruteforce(spark):
+    """q48's chunked-bitmap intersection equals the set-intersection it
+    encodes, including ids on 63-bit word boundaries (62, 63, 126)."""
+    from better_cdc_spark.queries.relational import q48_bitmap_overlap
+    import itertools
+
+    rows = [("s1", i) for i in [0, 5, 62, 63, 126, 200]] + [
+        ("s2", i) for i in [5, 62, 64, 126, 300]
+    ] + [("s3", i) for i in [0, 300]]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, None, uid, seg, None, None) for i, (seg, uid) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.seg_a, r.seg_b): (r.n_common, r.size_a, r.size_b, r.n_union)
+            for r in q48_bitmap_overlap(spark, d).collect()
+        }
+    sets = {}
+    for seg, uid in rows:
+        sets.setdefault(seg, set()).add(uid)
+    for a, b in itertools.combinations(sorted(sets), 2):
+        exp = (
+            len(sets[a] & sets[b]), len(sets[a]), len(sets[b]),
+            len(sets[a] | sets[b]),
+        )
+        assert got[(a, b)] == exp, (a, b, got[(a, b)], exp)
+
+
+def test_weighted_sample_is_deterministic_and_k_per_stratum(spark):
+    from better_cdc_spark.queries.relational import q52b_weighted_sample
+    from tests.conftest import SF_SMOKE
+
+    a = q52b_weighted_sample(spark, SF_SMOKE).toPandas()
+    b = q52b_weighted_sample(spark, SF_SMOKE).toPandas()
+    key = lambda p: sorted(map(tuple, p[["c_mktsegment", "rk", "o_orderkey"]].values.tolist()))
+    assert key(a) == key(b)
+    per = a.groupby("c_mktsegment").rk.agg(["min", "max", "count"])
+    assert (per["min"] == 1).all() and (per["max"] == per["count"]).all()
+    assert (per["count"] <= 10).all()
