@@ -9801,3 +9801,73 @@ def q44d_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cohort_size").cast("long"),
         )
     )
+
+
+@query(
+    "q94m_shortest_paths",
+    oracle="""
+    WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+    ),
+    walk(node, d) AS (
+      SELECT doc_id, 0 FROM nodes WHERE doc_id % 97 = 0
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 4
+    )
+    SELECT node AS doc_id, CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+    tags=("llm", "graph", "iterative"),
+)
+def q94m_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest paths, bounded depth 4 — the link-
+    distance signal (hops from a trusted seed set) that web-curation
+    pipelines use for harvest prioritization and spam demotion, over the
+    same deterministic link graph as q94e_pagerank.
+
+    Spark side is frontier-style BFS: the settled set starts at the
+    seeds (doc_id % 97 == 0, distance 0); each round expands the
+    frontier one hop through an equi-join on src, anti-joins out
+    already-settled nodes (so each node is settled exactly once, at its
+    first = minimal depth), and truncates lineage with localCheckpoint.
+    The DuckDB oracle replays it as a recursive CTE with UNION dedup and
+    a MIN(d) collapse — same bounded-depth contract on both engines.
+
+    Scale: per round ONE shuffle join frontier-edges (both sides
+    partitioned by node id) plus one anti-join against the settled set —
+    the Pregel pattern. The frontier, not the graph, bounds each round's
+    exchange; settled-set joins stay co-partitioned on the same key so
+    no re-shuffle. Depth is a constant, so the plan is 4 bounded rounds,
+    never a transitive closure.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar (graph modulus)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[(F.col("doc_id") * 7 + F.lit(k)) % F.lit(n) for k in (1, 2, 3)])
+        ).alias("dst"),
+    )
+    settled = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    frontier = settled.select("node")
+    for depth in range(1, 5):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.union(
+            frontier.select("node", F.lit(depth).cast("long").alias("dist"))
+        ).localCheckpoint(eager=True)
+    return settled.select(F.col("node").alias("doc_id"), "dist")
