@@ -3090,3 +3090,69 @@ def scan_gif_animation(payload: bytes) -> dict:
         else:
             raise ValueError(f"unknown GIF block 0x{introducer:02x} at {pos}")
     raise ValueError("GIF stream ended without trailer")
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB, 24bpp BI_RGB)
+# ---------------------------------------------------------------------------
+# Provenance: public BITMAPFILEHEADER/BITMAPINFOHEADER layout (Windows GDI
+# documentation). 24bpp uncompressed only; rows are BGR, padded to 4-byte
+# stride, stored bottom-up when biHeight > 0 and top-down when negative.
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB raster → 24bpp bottom-up BI_RGB BMP."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
+    stride = (width * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            r, g, b = rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
+        2835, 2835, 0, 0,
+    )
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 54)
+    return file_header + info + bytes(raster)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """24bpp BI_RGB BMP → {width, height, pixels} (top-down RGB bytes).
+
+    Handles both bottom-up (biHeight > 0) and top-down (negative) row
+    order. Palettized/compressed/other-depth DIBs raise: this engine's
+    honest-seam convention (like the VP8L subset) — an unsupported
+    variant is a loud error, never a garbage raster.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (no BM magic)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    (
+        bi_size, width, height, _planes, bitcount, compression,
+    ) = struct.unpack_from("<IiiHHI", payload, 14)
+    if bi_size < 40:
+        raise ValueError(f"unsupported DIB header size {bi_size}")
+    if bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bitcount={bitcount},"
+            f" compression={compression}): 24bpp BI_RGB only"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        y = row if top_down else height - 1 - row
+        base = data_off + row * stride
+        line = payload[base : base + width * 3]
+        if len(line) != width * 3:
+            raise ValueError("truncated BMP raster")
+        for x in range(width):
+            b, g, r = line[x * 3 : x * 3 + 3]
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
+    return {"width": width, "height": height, "pixels": bytes(out)}

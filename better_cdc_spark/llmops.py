@@ -990,6 +990,8 @@ def decode_image(payload: bytes) -> "object":
         raise NotImplementedError("lossy/extended WebP: deploy-time codec seam")
     if payload[:2] == b"P6":
         return codecs.decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return codecs.decode_bmp(payload)
     if payload[:2] == b"\xff\xd8":
         try:
             return codecs.decode_jpeg_gray(payload)
@@ -1444,6 +1446,12 @@ def sniff_media(payload: bytes) -> dict:
         m = codecs.decode_ppm(payload)
         return {
             "mime": "image/ppm", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["pixels"]),
+        }
+    if payload[:2] == b"BM":
+        m = codecs.decode_bmp(payload)
+        return {
+            "mime": "image/bmp", "width": m["width"], "height": m["height"],
             "duration_us": None, "detail": sum(m["pixels"]),
         }
     if payload[:2] == b"\xff\xd8":

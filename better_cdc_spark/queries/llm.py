@@ -9871,3 +9871,72 @@ def q94m_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier.select("node", F.lit(depth).cast("long").alias("dist"))
         ).localCheckpoint(eager=True)
     return settled.select(F.col("node").alias("doc_id"), "dist")
+
+
+@query(
+    "q99aa_bmp_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(range(w * h * 3),
+                         i -> (doc_id * 31 + i * 11) % 256)) AS BIGINT)
+             AS checksum
+    FROM p
+    """,
+    tags=("llm", "multimodal", "image", "bmp"),
+)
+def q99aa_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING BMP decode — 24bpp BI_RGB Windows DIB: BGR byte order,
+    4-byte row stride padding, bottom-up row storage (codecs.encode_bmp
+    / decode_bmp). BMP is what screenshot corpora and legacy web crawls
+    carry; it joins the sniff_media dispatch as the ninth container.
+
+    Lossless, so the oracle is the usual closed-form byte sum over the
+    deterministic modular fill — any BGR-swap, stride, or row-order bug
+    hash-mismatches (width 3+d%6 exercises both padded and unpadded
+    strides; the decoder's top-down branch is covered by unit tests).
+    Narrow Arrow maps end-to-end, no shuffle; at 100 TB this is a
+    per-payload map stage like every other decode kernel.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_bmp
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                w, h = 3 + d % 6, 2 + d % 5
+                rgb = bytes((d * 31 + i * 11) % 256 for i in range(w * h * 3))
+                payloads.append(encode_bmp(w, h, rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = llmops.sniff_media(bytes(payload))
+                assert m["mime"] == "image/bmp"
+                rows.append(
+                    (int(d), m["width"], m["height"],
+                     m["width"] * m["height"], m["detail"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "checksum"],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " checksum bigint",
+    )

@@ -879,3 +879,36 @@ class TestGifAnimation:
             codecs.scan_gif_animation(gif[:-1])
         with pytest.raises(ValueError, match="unknown GIF block"):
             codecs.scan_gif_animation(gif[:13] + b"\x12" + gif[13:])
+
+
+class TestBmp:
+    def test_roundtrip_padded_and_unpadded_strides(self):
+        for w, h in [(3, 2), (4, 3), (5, 1), (1, 4)]:
+            rgb = bytes((i * 13 + 7) % 256 for i in range(w * h * 3))
+            d = codecs.decode_bmp(codecs.encode_bmp(w, h, rgb))
+            assert (d["width"], d["height"], d["pixels"]) == (w, h, rgb)
+
+    def test_topdown_negative_height_decodes(self):
+        rgb = bytes(range(4 * 2 * 3))
+        p = bytearray(codecs.encode_bmp(4, 2, rgb))
+        import struct as _s
+        # flip to top-down: negate biHeight and reverse stored row order
+        _s.pack_into("<i", p, 22, -2)
+        stride = 12
+        rows = [bytes(p[54 + i * stride : 54 + (i + 1) * stride]) for i in range(2)]
+        p[54:] = rows[1] + rows[0]
+        assert codecs.decode_bmp(bytes(p))["pixels"] == rgb
+
+    def test_unsupported_variants_raise(self):
+        p = bytearray(codecs.encode_bmp(2, 2, bytes(12)))
+        import struct as _s
+        bad_depth = bytearray(p); _s.pack_into("<H", bad_depth, 28, 8)
+        with pytest.raises(ValueError, match="24bpp BI_RGB only"):
+            codecs.decode_bmp(bytes(bad_depth))
+        bad_comp = bytearray(p); _s.pack_into("<I", bad_comp, 30, 1)
+        with pytest.raises(ValueError, match="24bpp BI_RGB only"):
+            codecs.decode_bmp(bytes(bad_comp))
+        with pytest.raises(ValueError, match="no BM magic"):
+            codecs.decode_bmp(b"XX" + bytes(p[2:]))
+        with pytest.raises(ValueError, match="truncated"):
+            codecs.decode_bmp(bytes(p[:-8]))
