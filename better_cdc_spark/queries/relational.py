@@ -4104,3 +4104,112 @@ def q52b_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("c_mktsegment", "rk", "o_orderkey", "score")
     )
+
+
+@query(
+    "q49_kmv_sketch_overlap",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT event_type, user_id,
+             (user_id * 48271) % 2147483647 AS h
+      FROM events
+    ), kmv AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id)
+               AS rk
+      FROM members
+    ), sk AS (SELECT event_type, h FROM kmv WHERE rk <= 64),
+    kth AS (
+      -- theta-sketch convention: a non-full sketch (k < 64) is EXACT,
+      -- so its theta is the whole hash space, not its largest value
+      SELECT event_type,
+             CASE WHEN COUNT(*) < 64 THEN 2147483647 ELSE MAX(h) END AS theta_1
+      FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+             CASE WHEN a.theta_1 < b.theta_1 THEN a.theta_1 ELSE b.theta_1 END
+               AS theta
+      FROM kth a JOIN kth b ON a.event_type < b.event_type
+    ),
+    inter AS (
+      SELECT p.seg_a, p.seg_b, p.theta,
+             COUNT(sb.h) AS n_inter
+      FROM pairs p
+      LEFT JOIN sk sa ON sa.event_type = p.seg_a AND sa.h < p.theta
+      LEFT JOIN sk sb ON sb.event_type = p.seg_b AND sb.h = sa.h
+      GROUP BY 1, 2, 3
+    )
+    SELECT seg_a, seg_b, CAST(n_inter AS BIGINT) AS n_sample_inter,
+           round(n_inter * (2147483647.0 / theta), 2) AS est_common
+    FROM inter
+    """,
+    tags=("agg", "sketch", "approx"),
+)
+def q49_kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch segment-intersection estimate — the mergeable-
+    sketch sibling of q48_bitmap_overlap: where the bitmap is exact and
+    O(|universe|/63) words, the k-minimum-values sketch is O(k) per
+    segment and supports the set operation HLL cannot express —
+    INTERSECTION (Dasgupta et al., "Theta Sketch Framework", 2016).
+
+    Each segment keeps its k=64 smallest member hashes; a pair's common-
+    member estimate is |{h in A_sk ∩ B_sk : h < θ}| * M/θ with θ the min
+    of the per-sketch thetas (kth-min when full; the WHOLE hash space M
+    when a sketch holds its entire set, where it degrades gracefully to
+    the exact count). Hashes come from the same overflow-safe MINSTD step as
+    q52b, so the sketch content — and therefore the ESTIMATE itself —
+    is bit-identical cross-engine and the oracle hashes exactly: this
+    is a full-oracle entry for an approximate operator, because the
+    approximation is deterministic given the hash.
+
+    Scale: per-segment top-k is a partial-aggregable window (map-side
+    top-64 per partition, then a k-row-per-segment exchange — at 100 TB
+    the shuffle is |segments| x 64 rows regardless of member count);
+    the pair join touches only sketches. Skew-free by construction.
+    """
+    tune_for_oracle(spark)
+    members = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", (F.col("user_id") * 48271) % 2147483647)
+    )
+    wk = W.partitionBy("event_type").orderBy("h", "user_id")
+    sk = (
+        members.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 64)
+        .select("event_type", "h")
+    )
+    kth = sk.groupBy("event_type").agg(
+        F.when(F.count("*") < 64, F.lit(2147483647))
+        .otherwise(F.max("h"))
+        .alias("theta_1")
+    )
+    a = kth.alias("a")
+    b = kth.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("seg_a"),
+        F.col("b.event_type").alias("seg_b"),
+        F.least("a.theta_1", "b.theta_1").alias("theta"),
+    )
+    sa = sk.select(F.col("event_type").alias("seg_a"), F.col("h").alias("ha"))
+    sb = sk.select(F.col("event_type").alias("sb_seg"), F.col("h").alias("hb"))
+    inter = (
+        pairs.join(F.broadcast(sa), "seg_a")
+        .filter(F.col("ha") < F.col("theta"))
+        .join(
+            F.broadcast(sb),
+            (F.col("sb_seg") == F.col("seg_b")) & (F.col("hb") == F.col("ha")),
+            "left",
+        )
+        .groupBy("seg_a", "seg_b", "theta")
+        .agg(F.count("hb").alias("n_inter"))
+    )
+    return inter.select(
+        "seg_a", "seg_b",
+        F.col("n_inter").cast("long").alias("n_sample_inter"),
+        F.round(F.col("n_inter") * (2147483647.0 / F.col("theta")), 2).alias(
+            "est_common"
+        ),
+    )

@@ -359,3 +359,26 @@ def test_weighted_sample_is_deterministic_and_k_per_stratum(spark):
     per = a.groupby("c_mktsegment").rk.agg(["min", "max", "count"])
     assert (per["min"] == 1).all() and (per["max"] == per["count"]).all()
     assert (per["count"] <= 10).all()
+
+
+def test_kmv_sketch_estimates_track_exact_bitmap_counts(spark):
+    """q49's KMV intersection estimate stays within sketch error of the
+    exact q48 bitmap counts (k=64 -> ~12.5% std error; assert 3 sigma)."""
+    from better_cdc_spark.queries.relational import (
+        q48_bitmap_overlap,
+        q49_kmv_sketch_overlap,
+    )
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        (r.seg_a, r.seg_b): r.n_common
+        for r in q48_bitmap_overlap(spark, SF_SMOKE).collect()
+    }
+    est = {
+        (r.seg_a, r.seg_b): r.est_common
+        for r in q49_kmv_sketch_overlap(spark, SF_SMOKE).collect()
+    }
+    assert set(est) == set(exact)
+    for pair, e in est.items():
+        n = exact[pair]
+        assert abs(e - n) <= max(0.375 * n, 8), (pair, e, n)
