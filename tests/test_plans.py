@@ -576,3 +576,42 @@ def test_q99s_srt_align_is_bucketed_not_range_join(spark):
     plan = plan_of(spark, "q99s_srt_shot_align")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q48_bitmap_overlap_pair_join_is_hash_not_product(spark):
+    """The S^2 overlap matrix must come from a chunk equi-join over the
+    compressed bitmap words — never a product or row-level self-join."""
+    plan = plan_of(spark, "q48_bitmap_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q49_kmv_bnlj_is_bounded_to_sketch_pairs(spark):
+    """q49's only BNLJ is the |segments|x|segments| theta pairing over
+    k-row sketches (a declared bounded exception, like q97h's scalar);
+    sketch membership probes must stay hash joins."""
+    plan = plan_of(spark, "q49_kmv_sketch_overlap")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q36k_histogram_stats_join_is_single_row_broadcast(spark):
+    """The min/max scalar reaches the binning pass as a 1-row broadcast
+    (bounded BNLJ), and the final agg is bounded by nbins."""
+    plan = plan_of(spark, "q36k_histogram")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q52b_weighted_sample_is_one_window_exchange(spark):
+    """A-ES = scoring (narrow) + ONE stratum window; no products, and
+    the scoring join stays a hash join."""
+    plan = plan_of(spark, "q52b_weighted_sample")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one ranking window, with rank<=k pushed below the exchange
+    # as a partial WindowGroupLimit (map-side top-k pruning: each
+    # partition ships at most k rows per stratum)
+    assert plan.count("Window [row_number()") == 1
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
