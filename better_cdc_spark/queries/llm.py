@@ -9940,3 +9940,158 @@ def q99aa_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
         " checksum bigint",
     )
+
+
+@query(
+    "q97r_embedding_dim_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT label, i AS dim,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e9) AS BIGINT)
+               AS v_nano,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE)
+                        * CAST(embedding[i + 1] AS DOUBLE) * 1e9) AS BIGINT)
+               AS v2_nano
+      FROM embeddings, (SELECT unnest(range(64)) AS i)
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+           CAST(SUM(v_nano) AS BIGINT) AS sum_nano,
+           CAST(SUM(v2_nano) AS BIGINT) AS sumsq_nano
+    FROM dims GROUP BY label, dim
+    """,
+    tags=("llm", "embedding", "agg"),
+)
+def q97r_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution report — the feature-QA pass
+    an embedding pipeline runs before indexing (dead dimensions, scale
+    drift between encoder versions, label-conditioned shift). Mean and
+    variance per (label, dim) derive from the returned exact integer
+    moments.
+
+    Cross-engine determinism: float32 lanes widen to float64 bit-
+    exactly on both engines, so round(v*1e9) / round(v*v*1e9) are
+    identical BIGINTs and the SUMs are order-independent integer
+    arithmetic — the q95w nano-unit discipline applied to vector
+    moments. posexplode's 0-based pos matches DuckDB's embedding[i+1].
+
+    Scale: one posexplode (rows x dims — narrow, no payload
+    duplication: only the float lane and two ints leave the row) into
+    one (label, dim)-keyed agg, partial-aggregated map-side to
+    |labels| x dims rows total. At 100 TB this is the cheapest full
+    pass you can make over a vector column.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 1e9).cast("long").alias("v_nano"),
+        F.round(F.col("v").cast("double") * F.col("v").cast("double") * 1e9)
+        .cast("long")
+        .alias("v2_nano"),
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v_nano").alias("sum_nano"),
+        F.sum("v2_nano").alias("sumsq_nano"),
+    )
+
+
+@query(
+    "q98q_zipf_vocab",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, w, COUNT(*) AS f FROM words GROUP BY source, w
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+             COUNT(*) AS vocab
+      FROM freq GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, f,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY f DESC, w) AS rk
+      FROM freq
+    ),
+    pts AS (
+      SELECT source,
+             CAST(round(ln(rk) * 1e6) AS BIGINT) AS x,
+             CAST(round(ln(f) * 1e6) AS BIGINT) AS y
+      FROM ranked WHERE rk <= 50
+    ),
+    fit AS (
+      SELECT source, COUNT(*) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT t.source, t.n_tokens, t.vocab,
+           round(t.vocab * 1.0 / t.n_tokens, 6) AS ttr,
+           round((f.m * f.sxy - f.sx * f.sy) * 1.0
+                 / (f.m * f.sxx - f.sx * f.sx), 6) AS zipf_slope
+    FROM totals t JOIN fit f ON t.source = f.source
+    """,
+    tags=("llm", "text", "agg"),
+)
+def q98q_zipf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary/Zipf corpus report per source — type-token ratio and
+    the fitted Zipf exponent (least-squares slope of log-freq vs
+    log-rank over the top 50 types). Natural corpora fit slope ≈ -1;
+    boilerplate-heavy or template-generated sources deviate hard, which
+    makes this a one-pass generator fingerprint for mixture debugging
+    (complements q98c repetition and q95al drift).
+
+    Determinism: the regression runs on INTEGER micro-log points
+    (round(ln(rank)*1e6)) with integer sum-of-products — the closed-form
+    slope is one exact division, rounded to 6dp, instead of engine-
+    internal regr_slope double accumulation whose summation order
+    differs. Σxy stays < 1e16, well inside BIGINT.
+
+    Scale: token explode → (source, word) count (the q97h tf shape,
+    map-side combined), then a per-source top-50 window — WindowGroup-
+    Limit prunes to 50 rows per partition before the exchange — and a
+    |sources|-row fit. Nothing after the first agg scales with corpus.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = words.groupBy("source", "w").agg(F.count("*").alias("f"))
+    totals = freq.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+    )
+    wk = W.partitionBy("source").orderBy(F.col("f").desc(), "w")
+    pts = (
+        freq.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 50)
+        .select(
+            "source",
+            F.round(F.log("rk") * 1e6).cast("long").alias("x"),
+            F.round(F.log("f") * 1e6).cast("long").alias("y"),
+        )
+    )
+    fit = pts.groupBy("source").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return totals.join(fit, "source").select(
+        "source", "n_tokens", "vocab",
+        F.round(F.col("vocab") * 1.0 / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -4213,3 +4213,45 @@ def q49_kmv_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_common"
         ),
     )
+
+
+@query(
+    "q01d_row_provenance",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name, o_orderstatus AS status,
+           COUNT(*) AS n, CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "provenance"),
+)
+def q01d_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance via the hidden `_metadata` column
+    (SPARK-37273) — the lineage primitive a curation pipeline uses to
+    trace any emitted document back to its source shard for takedown,
+    re-crawl, or contamination forensics, without materializing a path
+    column in storage.
+
+    `_metadata.file_name` resolves at scan time from the file split —
+    zero storage and zero extra IO (no column read; it's split
+    metadata). The report aggregates per (file, status) with key ranges
+    — the per-shard accounting a 100 TB ingest writes alongside its
+    manifest. The test corpus is one file per table, so the oracle pins
+    the basename as a literal and the driver-varied sf_dir never leaks
+    into the hash; at scale the same plan yields one row per shard
+    automatically. DuckDB's filename=true is the cross-engine twin but
+    cannot be expressed over the driver's pre-registered views, hence
+    the literal (the COUNT/range checks are the real content).
+    """
+    tune_for_oracle(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("o_orderstatus").alias("status"),
+        "o_orderkey",
+    )
+    return orders.groupBy("file_name", "status").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
