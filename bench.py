@@ -48,6 +48,10 @@ HEADLINE = [
     "q98l_bpe_train_apply",      # iterative pair-count shuffles + bounded argmax
     "q99q_ahash_near_dup",       # image decode + banded hamming self-join
     "q94k_webdataset_ingest",    # tar shard parse + sample-key regroup
+    # round-7 continuation additions
+    "q48_bitmap_overlap",        # chunked-bitmap segment intersection matrix
+    "q94m_shortest_paths",       # multi-source BFS, 4 frontier rounds
+    "q98q_zipf_vocab",           # token explode + topk window + integer fit
 ]
 
 # r1 per-query baseline (BENCH_r01.json, sf0.1) — the reference point for
