@@ -387,6 +387,52 @@ def main() -> int:
 
     timed("ahash banded hamming join (hash-level)", ahash_pairs, unit="hashes")
 
+    # --- chunked-bitmap overlap matrix (q48 kernel): S=20 segments over
+    # U users (U scales with n_copies); each user joins a segment iff
+    # hash(user, seg) % 3 == 0 (~1/3 density). The membership table
+    # (S x U x 1/3 rows) must collapse to S x U/63 words BEFORE pairwise
+    # work, and the pair join must stay a chunk equi-join.
+    n_users = 10_000 * n_copies
+    members = (
+        spark.range(n_users * 20)  # narrow fixture: no join in the lineage
+        .select(
+            F.expr("id div 20").alias("user_id"),
+            (F.col("id") % 20).alias("seg"),
+        )
+        .filter(F.xxhash64("user_id", "seg") % 3 == 0)
+    )
+    words = (
+        members.select(
+            "seg",
+            F.expr("user_id div 63").alias("chunk"),
+            F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("bit"),
+        )
+        .groupBy("seg", "chunk")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    overlap = (
+        words.alias("a")
+        .join(
+            words.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.seg") < F.col("b.seg")),
+        )
+        .select(
+            F.col("a.seg").alias("sa"), F.col("b.seg").alias("sb"),
+            F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask"))).alias("pc"),
+        )
+        .groupBy("sa", "sb")
+        .agg(F.sum("pc").alias("n_common"))
+    )
+    assert no_product_join(overlap), "bitmap pair join degenerated to a product"
+
+    def bitmap_overlap():
+        assert overlap.count() == 190  # 20 choose 2 pairs
+        return n_users * 20 // 3  # approx membership rows folded
+
+    timed("bitmap overlap matrix (190 segment pairs)", bitmap_overlap,
+          unit="memberships")
+
     return 0
 
 
