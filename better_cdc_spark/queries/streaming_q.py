@@ -1419,3 +1419,127 @@ def qm06_streaming_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(_open_cost_key, _prev)
 
     return spark.read.parquet(cand_dir)
+
+
+@query(
+    "qm08_streaming_bitmap_index",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), bm AS (
+      SELECT event_type, user_id // 63 AS chunk,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS mask
+      FROM members GROUP BY 1, 2
+    ), sizes AS (
+      SELECT event_type, CAST(SUM(bit_count(mask)) AS BIGINT) AS sz
+      FROM bm GROUP BY 1
+    ), ov AS (
+      SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+             CAST(SUM(bit_count(a.mask & b.mask)) AS BIGINT) AS n_common
+      FROM bm a JOIN bm b
+        ON a.chunk = b.chunk AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT seg_a, seg_b, n_common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           sa.sz + sb.sz - n_common AS n_union
+    FROM ov
+    JOIN sizes sa ON sa.event_type = seg_a
+    JOIN sizes sb ON sb.event_type = seg_b
+    """,
+    tags=("streaming", "bitmap", "incremental"),
+)
+def qm08_streaming_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental audience bitmaps — q48's overlap matrix
+    maintained under event arrival instead of recomputed: each micro-
+    batch folds its members into per-(segment, chunk) 63-bit words and
+    APPENDS the partial words; the read side OR-merges partials per
+    (segment, chunk) before the popcount pair join.
+
+    bit_or is commutative, associative, and idempotent, so the merged
+    index is EXACTLY the one-shot bitmap in any arrival order and under
+    duplicate membership events — which is why this streaming entry
+    carries q48's FULL value-hash oracle verbatim (the qm06 discipline:
+    incremental == one-shot as a hash check, not a row count).
+
+    Scale: per-epoch cost is O(batch) — one narrow map + one
+    (segment, chunk)-keyed partial agg, no read-modify-write of the
+    index and no scan of prior epochs at write time; the OR-collapse at
+    read is bounded by index words x epochs, and a periodic compaction
+    (re-append the OR-merge, drop old partials) keeps that factor O(1)
+    — same shape as q87b's commit-bucket sink maintenance.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+
+    arrivals = scratch_dir("qm08_arrivals")
+    for b in range(3):  # three arrival files = three micro-batches
+        events.filter(F.col("user_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    index_dir = scratch_dir("qm08_words")
+
+    def bitmap_step(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.distinct()
+            .select(
+                "event_type",
+                F.expr("user_id div 63").alias("chunk"),
+                F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("bit"),
+            )
+            .groupBy("event_type", "chunk")
+            .agg(F.expr("bit_or(bit)").alias("mask"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(bitmap_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm08_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    bm = (
+        spark.read.parquet(index_dir)
+        .groupBy("event_type", "chunk")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+    )
+    sizes = bm.groupBy("event_type").agg(F.sum(F.bit_count("mask")).alias("sz"))
+    a = bm.alias("a")
+    b = bm.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("seg_a"),
+            F.col("b.event_type").alias("seg_b"),
+            F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask"))).alias("pc"),
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(F.sum("pc").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("seg_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("event_type").alias("seg_b"), F.col("sz").alias("size_b"))
+    return (
+        ov.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a", "seg_b", "n_common", "size_a", "size_b",
+            (F.col("size_a") + F.col("size_b") - F.col("n_common")).alias("n_union"),
+        )
+    )
