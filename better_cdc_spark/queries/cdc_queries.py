@@ -1885,3 +1885,101 @@ def qc22_socket_publish_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(e, s) for s, e in delivered], "event_id string, subject string"
     ).repartition(spark.sparkContext.defaultParallelism)
+
+
+@query(
+    "qc24_snapshot_diff_cdc",
+    oracle="""
+    WITH new_snap AS (
+      SELECT o_orderkey AS okey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE o_orderkey % 10 <> 5          -- rows deleted since the old snap
+    ), old_snap AS (
+      SELECT o_orderkey AS okey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               - CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS total_cents
+      FROM orders
+      WHERE o_orderkey % 10 <> 0          -- rows inserted since the old snap
+    )
+    SELECT COALESCE(n.okey, o.okey) AS okey,
+           CASE WHEN o.okey IS NULL THEN 'INSERT'
+                WHEN n.okey IS NULL THEN 'DELETE'
+                ELSE 'UPDATE' END AS op,
+           o.status AS old_status, n.status AS new_status,
+           o.total_cents AS old_total_cents, n.total_cents AS new_total_cents
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.okey = n.okey
+    WHERE o.okey IS NULL OR n.okey IS NULL
+       OR o.status <> n.status OR o.total_cents <> n.total_cents
+    """,
+    tags=("cdc", "snapshot", "diff", "join"),
+)
+def qc24_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based CDC — derive the change stream by DIFFING two full
+    table snapshots (the fallback CDC mode for sources with no WAL
+    access, e.g. a nightly warehouse export; the log-based pipeline in
+    qc01/qc19 is the primary mode, reference internal/wal/reader.go).
+
+    Two snapshots are synthesized deterministically from `orders`: the
+    old snapshot is missing keys ending in 0 (inserted since), carries
+    stale values for keys divisible by 7 (price updated) or 13 (status
+    updated), and the new snapshot is missing keys ending in 5 (deleted
+    since). A FULL OUTER JOIN on the primary key classifies each key
+    into INSERT / UPDATE / DELETE, suppressing unchanged rows — exactly
+    the event set a log-based reader would have produced, minus
+    intra-interval churn (a row updated twice between snapshots shows
+    once: the documented fidelity loss of snapshot diffing).
+
+    Scale: the diff is one PK equi-join — with both snapshots bucketed
+    by PK (the natural layout for successive exports) it is a
+    zero-shuffle sort-merge join; unchanged-row suppression is a narrow
+    post-join filter. For wide tables, production diffing compares a
+    per-side content hash (xxhash64 over the value columns) instead of
+    column-by-column predicates so the join payload stays 2 columns —
+    here the table is narrow enough to compare values directly, which
+    also keeps the oracle exact rather than hash-collision-probable.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    new_snap = (
+        orders.filter(F.col("o_orderkey") % 10 != 5)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+            cents.alias("total_cents"),
+        )
+    )
+    old_snap = (
+        orders.filter(F.col("o_orderkey") % 10 != 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            (
+                cents
+                - F.when(F.col("o_orderkey") % 7 == 0, F.lit(500)).otherwise(0)
+            ).alias("total_cents"),
+        )
+    )
+    o, n = old_snap.alias("o"), new_snap.alias("n")
+    joined = o.join(n, F.col("o.okey") == F.col("n.okey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("n.okey"), F.col("o.okey")).alias("okey"),
+        F.when(F.col("o.okey").isNull(), "INSERT")
+        .when(F.col("n.okey").isNull(), "DELETE")
+        .otherwise("UPDATE")
+        .alias("op"),
+        F.col("o.status").alias("old_status"),
+        F.col("n.status").alias("new_status"),
+        F.col("o.total_cents").alias("old_total_cents"),
+        F.col("n.total_cents").alias("new_total_cents"),
+    ).filter(
+        F.col("o.okey").isNull()
+        | F.col("n.okey").isNull()
+        | (F.col("o.status") != F.col("n.status"))
+        | (F.col("o.total_cents") != F.col("n.total_cents"))
+    )

@@ -1543,3 +1543,147 @@ def qm08_streaming_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("size_a") + F.col("size_b") - F.col("n_common")).alias("n_union"),
         )
     )
+
+
+@query(
+    "qm07_incremental_matview",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 7 THEN 'R'
+                  ELSE o_orderstatus END AS grp,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 6 THEN 250 ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderkey % 10 <> 9          -- deleted rows
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final_state GROUP BY grp
+    """,
+    tags=("streaming", "cdc", "incremental", "matview"),
+)
+def qm07_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (IVM) from a CDC change
+    stream — the canonical CONSUMER of a CDC engine's output: a grouped
+    aggregate view (COUNT + SUM per status) kept current by folding
+    insert/update/delete DELTAS, never re-scanning the base table.
+
+    A deterministic changelog is synthesized from `orders`: every key
+    INSERTs; keys ending in 6 then UPDATE the price (+250 cents), keys
+    ending in 7 UPDATE the status to 'R' (a GROUP-CHANGING update —
+    the case that breaks naive "update in place" maintenance), keys
+    ending in 9 DELETE. Each event is expanded to retraction algebra:
+    INSERT -> (+1, +v) at the new group; DELETE -> (-1, -v) at the old
+    group; UPDATE -> both, possibly at different groups. foreachBatch
+    appends per-batch PARTIAL (grp, dn, dsum) aggregates; the read side
+    sums partials and drops groups whose count retracted to zero.
+
+    Deltas commute, so the merged view equals the batch aggregate of
+    the final state in ANY micro-batch arrival order — which is why
+    this streaming entry carries a FULL value-hash oracle (the qm08
+    discipline) computing the view directly from the final state.
+
+    Scale: per-epoch cost is O(batch) — a narrow delta expansion plus a
+    |groups|-bounded partial agg, no read-modify-write of the view and
+    no base-table scan; read-side merge is bounded by groups x epochs
+    with the same periodic-compaction story as qm08. This is how
+    SUM/COUNT/AVG views stay fresh under 100 TB of base data: deltas
+    are self-maintainable. MIN/MAX under deletes are NOT (a retracted
+    max needs a per-group rescan) — that variant needs the qc20-style
+    chunk recompute instead, deliberately out of scope here.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    last = F.col("o_orderkey") % 10
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+        last.alias("last"),
+    )
+    inserts = base.select(
+        "okey",
+        F.lit("INSERT").alias("op"),
+        F.lit(None).cast("string").alias("g_old"),
+        F.lit(None).cast("long").alias("v_old"),
+        F.col("status").alias("g_new"),
+        F.col("cents").alias("v_new"),
+    )
+    upd_price = base.filter(F.col("last") == 6).select(
+        "okey",
+        F.lit("UPDATE").alias("op"),
+        F.col("status").alias("g_old"),
+        F.col("cents").alias("v_old"),
+        F.col("status").alias("g_new"),
+        (F.col("cents") + 250).alias("v_new"),
+    )
+    upd_group = base.filter(F.col("last") == 7).select(
+        "okey",
+        F.lit("UPDATE").alias("op"),
+        F.col("status").alias("g_old"),
+        F.col("cents").alias("v_old"),
+        F.lit("R").alias("g_new"),
+        F.col("cents").alias("v_new"),
+    )
+    deletes = base.filter(F.col("last") == 9).select(
+        "okey",
+        F.lit("DELETE").alias("op"),
+        F.col("status").alias("g_old"),
+        F.col("cents").alias("v_old"),
+        F.lit(None).cast("string").alias("g_new"),
+        F.lit(None).cast("long").alias("v_new"),
+    )
+    changelog = inserts.unionByName(upd_price).unionByName(upd_group).unionByName(deletes)
+
+    arrivals = scratch_dir("qm07_changelog")
+    for b in range(3):  # three arrival files = three micro-batches
+        changelog.filter(F.col("okey") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    partials = scratch_dir("qm07_partials")
+
+    def ivm_step(batch_df: DataFrame, epoch_id: int) -> None:
+        retract = batch_df.filter(F.col("g_old").isNotNull()).select(
+            F.col("g_old").alias("grp"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("v_old")).alias("dsum"),
+        )
+        assert_ = batch_df.filter(F.col("g_new").isNotNull()).select(
+            F.col("g_new").alias("grp"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col("v_new").alias("dsum"),
+        )
+        (
+            retract.unionByName(assert_)
+            .groupBy("grp")
+            .agg(F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(ivm_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm07_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(partials)
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("n_rows"), F.sum("dsum").alias("sum_cents"))
+        .filter(F.col("n_rows") > 0)
+    )
