@@ -1983,3 +1983,59 @@ def qc24_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("o.status") != F.col("n.status"))
         | (F.col("o.total_cents") != F.col("n.total_cents"))
     )
+
+
+@query(
+    "qc25_replication_lag_report",
+    oracle=_ORACLE_BASE
+    + """
+    , lag AS (
+      SELECT "table" AS tbl, operation,
+             (txid * 131 + seq * 17) % 5000 AS lag_ms
+      FROM envelope
+    )
+    SELECT tbl, operation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(lag_ms) AS BIGINT) AS sum_lag_ms,
+           CAST(SUM(lag_ms) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_lag_ms,
+           quantile_cont(lag_ms, 0.95) AS p95_lag_ms,
+           CAST(MAX(lag_ms) AS BIGINT) AS max_lag_ms
+    FROM lag GROUP BY tbl, operation
+    """,
+    tags=("cdc", "monitoring", "percentile"),
+)
+def qc25_replication_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-lag SLO report over the normalized change stream —
+    the operational dashboard a CDC deployment watches: per
+    (table, operation) event counts and commit-to-delivery lag
+    avg/p95/max (the reference exposes the same health through its
+    metrics listener, internal/metrics; here it is a query over the
+    envelope so it back-fills over history, not just current gauges).
+
+    Delivery timestamps are synthesized as a deterministic per-event
+    skew (a txid/seq hash mod 5 s) so the lag distribution is exactly
+    reproducible in both engines: integer-millisecond lags make the
+    SUM exact in BIGINT, the single sum/count division bit-identical
+    in DOUBLE, and the interpolated p95 an exact binary fraction
+    (q36c's argument).
+
+    Scale: one narrow projection (seq parsed from the event id — no
+    second source scan) and one hash agg on a (tables x 3)-bounded
+    key; the exact p95 buffers per group, and the 100 TB swap is
+    percentile_approx, everything else unchanged.
+    """
+    tune_for_oracle(spark)
+    ev = _normalized(spark, sf_dir)
+    seq = F.element_at(F.split(F.col("event_id"), ":"), -1).cast("long")
+    lag = ev.select(
+        F.col("table").alias("tbl"),
+        "operation",
+        ((F.col("txid") * 131 + seq * 17) % 5000).alias("lag_ms"),
+    )
+    return lag.groupBy("tbl", "operation").agg(
+        F.count("*").alias("n"),
+        F.sum("lag_ms").alias("sum_lag_ms"),
+        (F.sum("lag_ms") / F.count("*")).alias("avg_lag_ms"),
+        F.percentile("lag_ms", 0.95).alias("p95_lag_ms"),
+        F.max("lag_ms").alias("max_lag_ms"),
+    )

@@ -10095,3 +10095,59 @@ def q98q_zipf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "q98s_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer
+    ), grouped AS (
+      SELECT segment, nation, bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM qi GROUP BY segment, nation, bal_bucket
+    ), k AS (
+      SELECT CAST(MIN(group_size) AS BIGINT) AS k_anonymity FROM grouped
+    )
+    SELECT g.segment, g.nation, g.bal_bucket, g.group_size,
+           g.group_size < 5 AS at_risk, k.k_anonymity
+    FROM grouped g CROSS JOIN k
+    """,
+    tags=("privacy", "agg", "governance"),
+)
+def q98s_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release pipeline runs AFTER PII scrubbing (q98d):
+    direct identifiers are gone, but the COMBINATION of quasi-
+    identifiers (segment, nation, balance bucket) can still single a
+    record out. The table's k-anonymity is the smallest equivalence-
+    class size; groups under the policy threshold (k<5) are flagged
+    for suppression or further generalization.
+
+    The balance bucket IS the generalization step (raw acctbal would
+    make nearly every record unique, k=1); bucketing to 1000s is one
+    ladder rung, and re-running with coarser rungs until k clears the
+    threshold is the standard Samarati loop — each rung is this same
+    one-pass query.
+
+    Scale: one hash agg on the QI key; the global k is a scalar agg
+    CROSS-JOINED back (broadcast of one row), never a global window —
+    the per-group report stays fully parallel at any table size.
+    """
+    tune_for_oracle(spark)
+    qi = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    )
+    grouped = qi.groupBy("segment", "nation", "bal_bucket").agg(
+        F.count("*").alias("group_size")
+    )
+    k = grouped.agg(F.min("group_size").alias("k_anonymity"))
+    return grouped.crossJoin(F.broadcast(k)).select(
+        "segment", "nation", "bal_bucket", "group_size",
+        (F.col("group_size") < 5).alias("at_risk"),
+        "k_anonymity",
+    )

@@ -4255,3 +4255,161 @@ def q01d_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "q42f_cusum_changepoints",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 1000, 0) AS BIGINT) AS vm
+      FROM events
+    ), pre AS (
+      SELECT event_type, ts, event_id,
+             SUM(vm) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s_i,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS i
+      FROM v
+    ), tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vm) AS BIGINT) AS s_n
+      FROM v GROUP BY event_type
+    ), stat AS (
+      SELECT p.event_type, p.ts, p.i, t.n,
+             abs(t.n * p.s_i - p.i * t.s_n) AS d
+      FROM pre p JOIN tot t USING (event_type)
+    ), best AS (
+      SELECT event_type, ts, i, n, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d DESC, i) AS rk
+      FROM stat
+    )
+    SELECT event_type, n, CAST(i AS BIGINT) AS cp_index, ts AS cp_ts,
+           CAST(d AS BIGINT) AS max_stat
+    FROM best WHERE rk = 1
+    """,
+    tags=("window", "timeseries", "changepoint"),
+)
+def q42f_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series — the binary-segmentation
+    statistic: with prefix sums S_i over the time-ordered values, the
+    split point is argmax_i |n*S_i - i*S_n| (the scaled deviation of
+    the cumulative sum from the straight line between 0 and S_n), the
+    classic test for a mean shift in a metric stream.
+
+    Exactness: values are scaled to integer milli-units so prefix sums
+    and the cross-term n*S_i - i*S_n stay in BIGINT (|n*S| < 2^63 up
+    to ~sf10 at this value range; the production form keeps the
+    statistic in DOUBLE and loses only oracle bit-exactness). Ordering
+    ties break on the unique event_id, argmax ties on the earliest
+    index — deterministic in both engines.
+
+    Scale: one hash shuffle on the series key, then a single window
+    pass (prefix sum + row_number share one sort), a |series|-bounded
+    total agg broadcast back, and an argmax window over the same
+    partitioning — Catalyst reuses the exchange, so it's one sort +
+    one broadcast regardless of rows per series.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("vm"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    pre = ev.select(
+        "event_type", "ts",
+        F.sum("vm").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("s_i"),
+        F.row_number().over(w).alias("i"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("vm").alias("s_n")
+    )
+    stat = pre.join(F.broadcast(tot), "event_type").select(
+        "event_type", "ts", "i", "n",
+        F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")).alias("d"),
+    )
+    wb = W.partitionBy("event_type").orderBy(F.col("d").desc(), F.col("i"))
+    return (
+        stat.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", "n",
+            F.col("i").cast("long").alias("cp_index"),
+            F.col("ts").alias("cp_ts"),
+            F.col("d").alias("max_stat"),
+        )
+    )
+
+
+@query(
+    "q36l_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS vm
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(vm, 0.5) AS med_milli
+      FROM v GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, v.vm, abs(v.vm - m.med_milli) AS d
+      FROM v JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad_milli
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(m2.med_milli) AS med_milli,
+           MAX(m2.mad_milli) AS mad_milli,
+           CAST(SUM(CASE WHEN d.d > 3 * m2.mad_milli THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           MAX(d.d) AS max_dev_milli
+    FROM dev d
+    JOIN (SELECT med.event_type, med.med_milli, mad.mad_milli
+          FROM med JOIN mad USING (event_type)) m2
+      ON d.event_type = m2.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("agg", "robust", "outlier"),
+)
+def q36l_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report via median absolute deviation — the
+    outlier test that survives the outliers themselves (mean/stddev
+    z-scores are dragged by the very points they should flag; the
+    median/MAD breakdown point is 50%).
+
+    Two exact-median passes (value median, then deviation median) over
+    integer milli-units: integer inputs interpolate to exact binary
+    fractions (q36c's argument), deviations are exact 0.5-multiples,
+    the second interpolation exact 0.25-multiples — bit-identical
+    DOUBLEs in both engines, so `d > 3*mad` cuts identically.
+
+    Scale: each pass is one shuffle on the series key with the
+    |series|-bounded median dim broadcast back — never a sort of the
+    full table. Exact per-group medians buffer each group (the q36c
+    caveat); the 100 TB path swaps percentile() for percentile_approx
+    with everything else unchanged.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000, 0).cast("long").alias("vm")
+    )
+    med = v.groupBy("event_type").agg(F.percentile("vm", 0.5).alias("med_milli"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_milli", F.abs(F.col("vm") - F.col("med_milli")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad_milli"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med_milli").alias("med_milli"),
+            F.max("mad_milli").alias("mad_milli"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_milli"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.max("d").alias("max_dev_milli"),
+        )
+    )
