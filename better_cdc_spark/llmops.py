@@ -157,6 +157,53 @@ def minhash_signatures(
     return mins.select(id_col, F.expr(f"array({arr}) AS sig"))
 
 
+def oph_signatures(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Densified one-permutation MinHash signatures (Li/Owen/Zhang 2012;
+    Shrivastava & Li 2014) — the ONE-PASS signature path.
+
+    Classic k-lane MinHash evaluates k affine transforms per posting row
+    (minhash_signatures runs 64 pmod-multiply lanes inside its
+    aggregate). OPH hashes each shingle ONCE, scatters it into
+    bin = h mod 64, and takes a plain per-bin min — the per-posting cost
+    drops from 64 arithmetic lanes to 1 hash + 1 min, the asymptotic
+    win at corpus scale where signature computation dominates LSH cost.
+
+    Empty bins (docs with < ~64 distinct shingles) are densified by
+    borrowing the nearest non-empty bin to the right (circular), offset
+    by t*2654435761 so borrowing distance decorrelates the copies —
+    Shrivastava's "optimal densification" rotation. Densified OPH is an
+    unbiased Jaccard estimator, so the downstream banding/verify
+    machinery (lsh_band_keys, jaccard_for_pairs) is unchanged.
+
+    Plan shape: one hash-aggregate on (doc, bin) with map-side partial
+    min, then a per-doc map fold — both whole-stage-codegen except the
+    bounded 64-entry map collect; no per-lane expressions anywhere.
+    """
+    if postings is None:
+        postings = shingle_postings(docs, id_col)
+    hashed = postings.select(
+        id_col, F.expr(f"pmod(xxhash64(shingle), {MERSENNE_31}L) AS h")
+    )
+    bins = hashed.groupBy(
+        id_col, F.expr(f"CAST(h % {MINHASH_PERMS} AS INT)").alias("bin")
+    ).agg(F.min("h").alias("mh"))
+    m = bins.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "mh"))).alias("m")
+    )
+    k = MINHASH_PERMS
+    dens = F.expr(
+        f"""transform(sequence(0, {k - 1}), j ->
+              aggregate(sequence(0, {k - 1}), CAST(NULL AS BIGINT), (acc, t) ->
+                coalesce(acc,
+                  element_at(m, CAST((j + t) % {k} AS INT)) + t * 2654435761L)))"""
+    )
+    return m.select(id_col, dens.alias("sig"))
+
+
 def lsh_band_keys(sig_expr: str = "sig") -> F.Column:
     """Explodeable array of (band, key) structs — banding for the LSH join.
 

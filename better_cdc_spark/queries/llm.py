@@ -10151,3 +10151,169 @@ def q98s_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_size") < 5).alias("at_risk"),
         "k_anonymity",
     )
+
+
+@query(
+    "q97s_random_projection_search",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, j,
+             SUM(CASE WHEN ((i * 2654435761 + (j + 1) * 40503) % 65521) % 2 = 0
+                      THEN qv[i + 1] ELSE -qv[i + 1] END) AS p
+      FROM q, generate_series(0, 63) AS gi(i), generate_series(0, 15) AS gj(j)
+      GROUP BY vec_id, j
+    ), qids AS (
+      SELECT vec_id AS query_id FROM q WHERE vec_id % 100 = 0
+    ), approx AS (
+      SELECT a.query_id, b.vec_id,
+             SUM((pa.p - pb.p) * (pa.p - pb.p)) AS d_approx
+      FROM qids a
+      JOIN q b ON b.vec_id <> a.query_id
+      JOIN proj pa ON pa.vec_id = a.query_id
+      JOIN proj pb ON pb.vec_id = b.vec_id AND pb.j = pa.j
+      GROUP BY a.query_id, b.vec_id
+    ), short AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d_approx, vec_id) AS rs
+      FROM approx
+    ), rerank AS (
+      SELECT s.query_id, s.vec_id,
+             SUM((qa.qv[i + 1] - qb.qv[i + 1]) * (qa.qv[i + 1] - qb.qv[i + 1]))
+               AS d_exact
+      FROM short s
+      JOIN q qa ON qa.vec_id = s.query_id
+      JOIN q qb ON qb.vec_id = s.vec_id,
+      generate_series(0, 63) AS gi(i)
+      WHERE s.rs <= 50
+      GROUP BY s.query_id, s.vec_id
+    ), final AS (
+      SELECT query_id, vec_id, d_exact,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d_exact, vec_id) AS rank
+      FROM rerank
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+           CAST(d_exact AS BIGINT) AS d_exact
+    FROM final WHERE rank <= 10
+    """,
+    tags=("vector", "ann", "projection"),
+)
+def q97s_random_projection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via Johnson-Lindenstrauss random projection — 64-dim vectors
+    sketched to 16 dims with a deterministic ±1 matrix (Achlioptas
+    2001: Rademacher entries preserve pairwise L2 within (1±eps) at
+    k=O(log n / eps^2)); candidates are shortlisted on the CHEAP
+    16-dim distance, then the top 50 are reranked with the exact
+    64-dim distance. The complement of the IVF/PQ entries (q97_ann_*):
+    projection needs no training pass, no codebook state, and the
+    sketch is a narrow per-row map — the right ANN when the corpus
+    churns faster than a clustering can be refit.
+
+    Exactness: components quantize to integer milli-units; the ±1
+    fold, squared distances, and ranks are then pure BIGINT — the
+    oracle matches bit-for-bit, with ties broken on (distance,
+    vec_id) in both engines. The sign matrix derives from an integer
+    hash mod an odd prime, computed inline in both engines (no
+    shipped codebook — the matrix IS the formula).
+
+    Scale: the projection is an in-row transform/aggregate fold (no
+    explode — payload per row is 16 longs, vocabulary-independent);
+    queries broadcast against the corpus, so the only wide ops are the
+    two per-query top-k windows. At 100 TB the shortlist join swaps to
+    an LSH/IVF bucket probe (q97f) — the sketch+rerank shape is
+    unchanged.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
+        ).alias("qv"),
+    )
+    proj = q.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            """
+            transform(sequence(0, 15), j ->
+              aggregate(sequence(0, 63), 0L, (acc, i) ->
+                acc + (case when ((i * 2654435761 + (j + 1) * 40503) % 65521) % 2 = 0
+                            then qv[i] else -qv[i] end)))
+            """
+        ).alias("p"),
+    )
+    queries = proj.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_a"),
+        F.col("p").alias("p_a"),
+    )
+    cands = proj.select(
+        F.col("vec_id"), F.col("qv").alias("qv_b"), F.col("p").alias("p_b")
+    )
+    pairs = F.broadcast(queries).join(
+        cands, F.col("vec_id") != F.col("query_id")
+    )
+    approx = pairs.withColumn(
+        "d_approx",
+        F.expr("aggregate(zip_with(p_a, p_b, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"),
+    )
+    ws = W.partitionBy("query_id").orderBy("d_approx", "vec_id")
+    short = approx.withColumn("rs", F.row_number().over(ws)).filter(F.col("rs") <= 50)
+    rerank = short.withColumn(
+        "d_exact",
+        F.expr("aggregate(zip_with(qv_a, qv_b, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"),
+    )
+    wf = W.partitionBy("query_id").orderBy("d_exact", "vec_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "d_exact")
+    )
+
+
+@query("q96g_one_perm_minhash", tags=("llm", "dedup", "minhash", "oph"))
+def q96g_one_perm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via DENSIFIED ONE-PERMUTATION MinHash — the
+    fast-signature sibling of q96_minhash_lsh: one xxhash64 + one
+    per-bin min per shingle instead of 64 affine lanes, cutting the
+    signature stage's per-posting arithmetic ~64x (llmops.
+    oph_signatures has the densification details and citations).
+    Banding, candidate join, and exact-Jaccard verification are the
+    SAME machinery as q96 — only the sketch generator changes, which
+    is the point: at 100 TB signature computation is the dominant cost
+    of LSH dedup, and OPH attacks exactly that stage.
+
+    Rows-only like q96: banding recall is sketch-dependent (property-
+    tested vs the exact all-pairs truth in tests/test_llmops.py);
+    precision is 1 by construction — every emitted pair carries its
+    exact verified Jaccard.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = llmops.shingle_postings(docs, "doc_id").localCheckpoint(eager=True)
+    sigs = (
+        llmops.oph_signatures(None, "doc_id", postings=postings)
+        .select("doc_id", F.explode(llmops.lsh_band_keys("sig")).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .localCheckpoint(eager=True)  # both self-join sides reuse it
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = llmops.jaccard_for_pairs(postings, cands, "doc_id", materialize=False)
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)

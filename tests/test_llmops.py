@@ -532,3 +532,67 @@ def test_incremental_ahash_equals_one_shot(spark):
     assert len(incr) == len(ones)  # one discovery event per pair
     later = (incr.d1 % 3).combine(incr.d2 % 3, max)
     assert (incr.found_in_batch == later).all()
+
+
+def test_oph_identical_docs_always_candidates(spark, docs):
+    """Jaccard-1 pairs have identical shingle sets → identical OPH bins,
+    mins, and empty-bin pattern → identical densified signatures →
+    every band collides. Deterministic, like the classic-MinHash case."""
+    dupes = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(dupes)
+    sigs = (
+        llmops.oph_signatures(corpus, "doc_id")
+        .select("doc_id", F.explode(llmops.lsh_band_keys("sig")).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") + 1000000 == F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert {(i, i + 1000000) for i in range(50)} <= found
+
+
+def test_oph_recall_and_precision(spark, docs):
+    """Densified OPH candidates cover the high-Jaccard truth set, and the
+    verified output of q96g is a subset of the exact pair set (precision
+    1 with exact jaccard values)."""
+    postings = llmops.shingle_postings(docs, "doc_id")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in llmops.exact_jaccard_pairs(postings, "doc_id", 0.8).collect()
+    }
+    if not truth:
+        pytest.skip("no j>=0.8 pairs at this SF")
+    got = REGISTRY["q96g_one_perm_minhash"].fn(spark, SF_SMOKE).toPandas()
+    pairs = set(zip(got.doc_a, got.doc_b))
+    recall = len(truth & pairs) / len(truth)
+    assert recall >= 0.9, f"OPH recall {recall} over {len(truth)} pairs"
+    ex = REGISTRY["q96_ngram_jaccard"].fn(spark, SF_SMOKE).toPandas()
+    assert pairs <= set(zip(ex.doc_a, ex.doc_b))
+    assert (got.jaccard >= 0.2).all()
+
+
+def test_oph_signature_shape_and_densification(spark, docs):
+    """Signatures are 64 non-null lanes even for tiny docs (the
+    densification contract): a 3-shingle doc fills at most 3 bins, so
+    ≥61 lanes are borrowed — all must be non-null and deterministic."""
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    sig = llmops.oph_signatures(tiny, "doc_id").collect()[0]["sig"]
+    assert len(sig) == 64 and all(v is not None for v in sig)
+    sig2 = llmops.oph_signatures(tiny, "doc_id").collect()[0]["sig"]
+    assert sig == sig2
