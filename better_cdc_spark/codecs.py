@@ -3156,3 +3156,132 @@ def decode_bmp(payload: bytes) -> dict:
             b, g, r = line[x * 3 : x * 3 + 3]
             out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
     return {"width": width, "height": height, "pixels": bytes(out)}
+
+
+# ---------------------------------------------------------------------------
+# QOI — the "Quite OK Image" format (qoiformat.org, public domain spec).
+# Byte-oriented run/index/diff coding: the simplest real lossless image
+# codec, and a good stress of stateful per-pixel decode (running index
+# array + previous-pixel state) that can't be expressed relationally.
+# ---------------------------------------------------------------------------
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """RGB(A) raster → QOI. Greedy reference-encoder op choice: RUN while
+    the pixel repeats, else INDEX on a seen-table hit, else DIFF/LUMA
+    when the delta fits, else a literal RGB/RGBA chunk."""
+    if channels not in (3, 4):
+        raise ValueError("QOI channels must be 3 or 4")
+    if len(pixels) != width * height * channels:
+        raise ValueError("raster size mismatch")
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", width, height, channels, 0)
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for p in range(width * height):
+        off = p * channels
+        r, g, b = pixels[off], pixels[off + 1], pixels[off + 2]
+        a = pixels[off + 3] if channels == 4 else pa
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            h = _qoi_hash(r, g, b, a)
+            if index[h] == (r, g, b, a):
+                out.append(h)
+            else:
+                index[h] = (r, g, b, a)
+                if a == pa:
+                    dr = (r - pr + 128) % 256 - 128
+                    dg = (g - pg + 128) % 256 - 128
+                    db = (b - pb + 128) % 256 - 128
+                    if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                        out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                    elif (
+                        -32 <= dg <= 31
+                        and -8 <= dr - dg <= 7
+                        and -8 <= db - dg <= 7
+                    ):
+                        out.append(0x80 | (dg + 32))
+                        out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                    else:
+                        out += bytes((0xFE, r, g, b))
+                else:
+                    out += bytes((0xFF, r, g, b, a))
+        pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes) -> dict:
+    """QOI → {width, height, channels, pixels} (pixels = RGB or RGBA bytes
+    per the header's channel count). Full op set: RGB, RGBA, INDEX,
+    DIFF, LUMA, RUN, with the 64-slot running index and wraparound
+    deltas; the end marker is verified."""
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    width, height, channels, _cs = struct.unpack(">IIBB", payload[4:14])
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels {channels} unsupported")
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    out = bytearray()
+    pos = 14
+    npx = width * height
+    emitted = 0
+    while emitted < npx:
+        if pos >= len(payload) - 8:
+            raise ValueError("truncated QOI stream")
+        byte = payload[pos]
+        pos += 1
+        if byte == 0xFE:  # QOI_OP_RGB
+            r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = payload[pos], payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            pos += 4
+        elif byte >> 6 == 0:  # QOI_OP_INDEX
+            r, g, b, a = index[byte]
+        elif byte >> 6 == 1:  # QOI_OP_DIFF (bias 2, wraparound)
+            r = (r + ((byte >> 4) & 3) - 2) % 256
+            g = (g + ((byte >> 2) & 3) - 2) % 256
+            b = (b + (byte & 3) - 2) % 256
+        elif byte >> 6 == 2:  # QOI_OP_LUMA (dg bias 32; dr/db rel. dg, bias 8)
+            dg = (byte & 0x3F) - 32
+            nxt = payload[pos]
+            pos += 1
+            r = (r + dg + ((nxt >> 4) & 0x0F) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (nxt & 0x0F) - 8) % 256
+        else:  # QOI_OP_RUN (bias -1; 63/64 are the RGB/RGBA tags above)
+            run = (byte & 0x3F) + 1
+            px = bytes((r, g, b, a)[:channels])
+            out += px * run
+            emitted += run
+            index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+            continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        out += bytes((r, g, b, a)[:channels])
+        emitted += 1
+    if emitted != npx:
+        raise ValueError("QOI run overshoots the raster")
+    if payload[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }

@@ -1039,6 +1039,8 @@ def decode_image(payload: bytes) -> "object":
         return codecs.decode_ppm(payload)
     if payload[:2] == b"BM":
         return codecs.decode_bmp(payload)
+    if payload[:4] == b"qoif":
+        return codecs.decode_qoi(payload)
     if payload[:2] == b"\xff\xd8":
         try:
             return codecs.decode_jpeg_gray(payload)
@@ -1499,6 +1501,12 @@ def sniff_media(payload: bytes) -> dict:
         m = codecs.decode_bmp(payload)
         return {
             "mime": "image/bmp", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["pixels"]),
+        }
+    if payload[:4] == b"qoif":
+        m = codecs.decode_qoi(payload)
+        return {
+            "mime": "image/qoi", "width": m["width"], "height": m["height"],
             "duration_us": None, "detail": sum(m["pixels"]),
         }
     if payload[:2] == b"\xff\xd8":

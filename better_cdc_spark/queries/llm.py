@@ -10317,3 +10317,190 @@ def q96g_one_perm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = llmops.jaccard_for_pairs(postings, cands, "doc_id", materialize=False)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query(
+    "q99ad_audio_resample",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    vin AS (
+      SELECT doc_id, t.i, (doc_id * 7 + t.i * t.i * 13) % 3000 AS v
+      FROM d, UNNEST(range(0, 400)) AS t(i)
+    ),
+    grid AS (
+      SELECT doc_id, t.j, (2 * t.j) // 3 AS x0, (2 * t.j) % 3 AS fr
+      FROM d, UNNEST(range(0, 598)) AS t(j)
+    ),
+    r AS (
+      SELECT g.doc_id, g.j,
+             (2 * (a.v * (3 - g.fr) + b.v * g.fr) + 3) // 6 AS vo
+      FROM grid g
+      JOIN vin a ON a.doc_id = g.doc_id AND a.i = g.x0
+      JOIN vin b ON b.doc_id = g.doc_id AND b.i = g.x0 + 1
+    )
+    SELECT doc_id, CAST(400 AS BIGINT) AS n_in, CAST(598 AS BIGINT) AS n_out,
+           CAST(12000 AS INTEGER) AS framerate_out,
+           CAST(SUM(vo * (j % 89 + 1)) AS BIGINT) AS checksum
+    FROM r GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "resample"),
+)
+def q99ad_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate conversion (8 kHz → 12 kHz linear interpolation) as a
+    JVM-SIDE in-row kernel over decoded PCM — the standard-rate
+    normalization every speech corpus runs before featurization (q99e)
+    or VAD (q99w). The container legs are Arrow-batched mapInPandas
+    (synthesize a real PCM16 WAV per doc, decode through
+    llmops.decode_audio's dispatch); the RESAMPLE itself is a
+    higher-order transform in whole-stage codegen — no Python in the
+    DSP hot path, the division of labor this engine's multimodal layer
+    is built on.
+
+    Exactness: with a 2/3 rational ratio the interpolation weights are
+    thirds, so out_j = floor((v0*(3-fr) + v1*fr)/3 + 0.5) is the pure
+    integer form (2*num+3) div 6 — bit-identical in Spark and the
+    oracle's relational reconstruction (the codec floor(x+0.5)
+    convention; samples stay non-negative so the div is a floor).
+
+    Scale: narrow maps end to end — synth, decode, resample, checksum
+    agg; no shuffle except the final per-doc agg, payload ∝ audio
+    length, never materialized driver-side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_wav
+    from better_cdc_spark.llmops import decode_audio
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(400, dtype=np.int64)
+                v = (d * 7 + i * i * 13) % 3000
+                payloads.append(
+                    encode_wav(
+                        v.astype("<i2").tobytes(), framerate=8000, sampwidth=2
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_audio(bytes(payload))
+                assert meta["framerate"] == 8000 and meta["sampwidth"] == 2
+                s = np.frombuffer(meta["frames"], dtype="<i2").astype(np.int64)
+                rows.append((int(d), s.tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "samples"])
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    decoded = payloads.mapInPandas(decode, "doc_id bigint, samples array<bigint>")
+    out = decoded.select(
+        "doc_id",
+        F.expr(
+            """
+            transform(sequence(0, 597), j ->
+              (2 * (element_at(samples, CAST((2*j) div 3 + 1 AS INT)) * (3 - (2*j) % 3)
+                  + element_at(samples, CAST((2*j) div 3 + 2 AS INT)) * ((2*j) % 3)) + 3) div 6)
+            """
+        ).alias("res"),
+    )
+    return out.select(
+        "doc_id",
+        F.lit(400).cast("long").alias("n_in"),
+        F.lit(598).cast("long").alias("n_out"),
+        F.lit(12000).cast("int").alias("framerate_out"),
+        F.expr(
+            "aggregate(zip_with(res, sequence(0, 597), (v, j) -> v * (j % 89 + 1)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("checksum"),
+    )
+
+
+@query(
+    "q99ab_qoi_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    px AS (
+      SELECT doc_id, t.y, s.x, t.y * 16 + s.x AS p,
+             (doc_id * 7 + t.y * 31) % 256 AS r,
+             (doc_id * 11 + t.y * 17) % 256 AS g,
+             (doc_id * 13 + t.y * 23) % 256 AS b
+      FROM d, UNNEST(range(0, 8)) AS t(y), UNNEST(range(0, 16)) AS s(x)
+    )
+    SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(SUM(r * (p % 97 + 1) + g * (p % 89 + 1) + b * (p % 83 + 1))
+                AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "image", "qoi"),
+)
+def q99ab_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING QOI decode — the 'Quite OK Image' format (public-domain
+    spec, qoiformat.org), the eleventh sniffed container and the fifth
+    compression family in-plan: byte-oriented run/index/diff coding
+    with per-pixel decoder STATE (a 64-slot running index + previous
+    pixel), the class of codec that is inherently sequential per
+    payload and therefore belongs in an Arrow-batched narrow map, with
+    the parallelism coming from payload count, never from within one
+    stream.
+
+    Per doc a 16x8 row-banded RGB raster is QOI-encoded with the
+    GENERAL greedy encoder (runs, index hits, DIFF/LUMA deltas and
+    literal chunks all occur across the corpus as the row formulas
+    cycle); decode goes through llmops.decode_image's magic dispatch.
+    QOI is lossless, so the oracle reconstructs the raster
+    relationally and checksums it — any op mis-decode, index-table
+    drift, or wraparound error hash-mismatches. The full op set
+    (incl. RGBA and 62-px run splitting) is pinned by round-trip fuzz
+    in tests/test_codecs.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_qoi
+    from better_cdc_spark.llmops import decode_image
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                y = np.arange(8, dtype=np.int64)
+                rows = np.stack(
+                    [(d * 7 + y * 31) % 256, (d * 11 + y * 17) % 256,
+                     (d * 13 + y * 23) % 256], axis=1
+                ).astype(np.uint8)
+                raster = np.repeat(rows, 16, axis=0).reshape(-1)
+                payloads.append(encode_qoi(raster.tobytes(), 16, 8, 3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_image(bytes(payload))
+                px = np.frombuffer(m["pixels"], dtype=np.uint8).astype(np.int64)
+                px = px.reshape(-1, 3)
+                p = np.arange(px.shape[0], dtype=np.int64)
+                checksum = int(
+                    (px[:, 0] * (p % 97 + 1)).sum()
+                    + (px[:, 1] * (p % 89 + 1)).sum()
+                    + (px[:, 2] * (p % 83 + 1)).sum()
+                )
+                rows.append((int(d), m["width"], m["height"], checksum))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "checksum"])
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode, "doc_id bigint, width int, height int, checksum bigint"
+    )

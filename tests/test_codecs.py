@@ -912,3 +912,86 @@ class TestBmp:
             codecs.decode_bmp(b"XX" + bytes(p[2:]))
         with pytest.raises(ValueError, match="truncated"):
             codecs.decode_bmp(bytes(p[:-8]))
+
+
+# ---------------------------------------------------------------------------
+# QOI (q99ab)
+# ---------------------------------------------------------------------------
+
+
+def test_qoi_roundtrip_all_op_classes():
+    """Encoder/decoder round-trip over rasters engineered to exercise
+    every op: noise (literal RGB/RGBA), flat (RUN incl. 62-px split),
+    gradients (DIFF/LUMA), small palettes (INDEX)."""
+    import numpy as np
+
+    from better_cdc_spark.codecs import decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(7)
+    for ch in (3, 4):
+        for trial in range(16):
+            w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+            kind = trial % 4
+            if kind == 0:
+                px = rng.integers(0, 256, size=w * h * ch)
+            elif kind == 1:
+                px = np.tile(rng.integers(0, 256, size=ch), w * h)
+            elif kind == 2:
+                px = np.arange(w * h * ch) // ch % 256
+            else:
+                pal = rng.integers(0, 256, size=(4, ch))
+                px = pal[rng.integers(0, 4, size=w * h)].ravel()
+            px = px.astype(np.uint8).tobytes()
+            dec = decode_qoi(encode_qoi(px, w, h, ch))
+            assert dec["pixels"] == px
+            assert (dec["width"], dec["height"], dec["channels"]) == (w, h, ch)
+
+
+def test_qoi_long_run_and_known_stream():
+    """A 200-px flat raster must split runs at 62 (0xC0|61 chunks), and a
+    hand-assembled spec stream (RGB + RUN + INDEX + DIFF + LUMA) decodes
+    to the exact pixel list."""
+    from better_cdc_spark.codecs import decode_qoi, encode_qoi
+
+    flat = bytes([10, 20, 30]) * 200
+    enc = encode_qoi(flat, 200, 1, 3)
+    # literal first pixel, then runs of 62+62+62+13
+    assert enc.count(bytes([0xC0 | 61])) == 3
+    assert decode_qoi(enc)["pixels"] == flat
+
+    import struct
+
+    stream = bytearray(b"qoif" + struct.pack(">IIBB", 6, 1, 3, 0))
+    stream += bytes((0xFE, 100, 150, 200))       # RGB literal
+    stream += bytes((0xC0 | 0,))                 # RUN 1 -> repeat
+    stream += bytes((0x40 | (3 << 4) | (2 << 2) | 1,))  # DIFF +1,0,-1
+    h = (100 * 3 + 150 * 5 + 200 * 7 + 255 * 11) % 64
+    stream += bytes((h,))                        # INDEX back to first color
+    stream += bytes((0x80 | (10 + 32), ((3 + 8) << 4) | (0 + 8)))  # LUMA dg=10,dr=13,db=10
+    stream += bytes((0xC0 | 0,))                 # RUN 1
+    stream += b"\x00" * 7 + b"\x01"
+    px = decode_qoi(bytes(stream))["pixels"]
+    expect = [
+        (100, 150, 200), (100, 150, 200), (101, 150, 199),
+        (100, 150, 200), (113, 160, 210), (113, 160, 210),
+    ]
+    assert px == b"".join(bytes(t) for t in expect)
+
+
+def test_qoi_error_paths_and_sniff():
+    """Bad magic / truncation / missing end marker raise; sniff_media
+    routes qoif and reports dimensions."""
+    import pytest as _pytest
+
+    from better_cdc_spark.codecs import decode_qoi, encode_qoi
+    from better_cdc_spark.llmops import sniff_media
+
+    enc = encode_qoi(bytes([1, 2, 3] * 4), 4, 1, 3)
+    with _pytest.raises(ValueError):
+        decode_qoi(b"nope" + enc[4:])
+    with _pytest.raises(ValueError):
+        decode_qoi(enc[:-9])  # truncated before the last op
+    with _pytest.raises(ValueError):
+        decode_qoi(enc[:-8] + b"\x00" * 7 + b"\x02")  # bad end marker
+    m = sniff_media(enc)
+    assert m["mime"] == "image/qoi" and (m["width"], m["height"]) == (4, 1)
