@@ -10283,12 +10283,19 @@ def q96g_one_perm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via DENSIFIED ONE-PERMUTATION MinHash — the
     fast-signature sibling of q96_minhash_lsh: one xxhash64 + one
     per-bin min per shingle instead of 64 affine lanes, cutting the
-    signature stage's per-posting arithmetic ~64x (llmops.
+    signature stage's per-posting ARITHMETIC ~64x (llmops.
     oph_signatures has the densification details and citations).
     Banding, candidate join, and exact-Jaccard verification are the
-    SAME machinery as q96 — only the sketch generator changes, which
-    is the point: at 100 TB signature computation is the dominant cost
-    of LSH dedup, and OPH attacks exactly that stage.
+    SAME machinery as q96 — only the sketch generator changes.
+
+    Measured honestly (tools/scale_probe.py, 2M docs, local[32]):
+    end-to-end signature wall 9.3s classic vs 8.4s OPH (1.11x) —
+    the posting explode + scan dominate at k=64, so the arithmetic
+    win is real but secondary HERE. OPH's edge compounds where it
+    matters at scale: wider sketches (k=256 doubles classic lane
+    cost, leaves OPH's one hash unchanged), re-signed churning
+    corpora with materialized postings, and CPU-bound executors
+    where the 64 pmod-multiplies per posting are the hot loop.
 
     Rows-only like q96: banding recall is sketch-dependent (property-
     tested vs the exact all-pairs truth in tests/test_llmops.py);

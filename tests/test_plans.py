@@ -615,3 +615,31 @@ def test_q52b_weighted_sample_is_one_window_exchange(spark):
     # partition ships at most k rows per stratum)
     assert plan.count("Window [row_number()") == 1
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+
+
+def test_qc24_snapshot_diff_is_one_pk_join(spark):
+    """Snapshot diffing must be exactly one PK equi-join (sort-merge at
+    this size, zero-shuffle with bucketed snapshots) — a second join or
+    a product would break the 100 TB diff story."""
+    plan = plan_of(spark, "qc24_snapshot_diff_cdc")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q97s_projection_search_bnlj_is_bounded(spark):
+    """The query-side inequality join broadcasts the ~|corpus|/100 query
+    rows (the declared bounded BNLJ); nothing else may plan nested-loop
+    or product, and the projection must not explode (no Generate)."""
+    plan = plan_of(spark, "q97s_random_projection_search")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # in-row fold, never posexplode
+
+
+def test_q42f_cusum_single_series_sort(spark):
+    """Prefix sum and row_number must share one series-keyed sort; the
+    totals join must be broadcast (series-bounded dim)."""
+    plan = plan_of(spark, "q42f_cusum_changepoints")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -74,6 +74,15 @@ def main() -> int:
 
     timed("minhash signatures", lambda: llmops.minhash_signatures(docs).count())
 
+    # q96g's bet: one xxhash64 + per-bin min per posting vs 64 affine
+    # lanes — the signature stage should win big while banding/verify
+    # stay identical. Timed on the same corpus right after the classic
+    # path so the ratio is apples-to-apples.
+    timed(
+        "oph signatures (one-permutation, densified)",
+        lambda: llmops.oph_signatures(docs).count(),
+    )
+
     cands = llmops.minhash_candidate_pairs(docs)
     assert no_product_join(cands), "candidate join degenerated to a product join"
     timed("lsh candidate pairs (equi-join verified)",
