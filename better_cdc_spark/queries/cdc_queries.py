@@ -2039,3 +2039,78 @@ def qc25_replication_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("lag_ms", 0.95).alias("p95_lag_ms"),
         F.max("lag_ms").alias("max_lag_ms"),
     )
+
+
+@query(
+    "qm10_change_data_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    v0 AS (SELECT id, status, cents, 'insert' AS change_type,
+                  CAST(0 AS BIGINT) AS commit_version
+           FROM base WHERE id % 3 = 0),
+    v1 AS (SELECT id, status, cents, 'insert', 1 FROM base WHERE id % 3 = 1),
+    v3d AS (SELECT id, status, cents, 'delete', 3 FROM base WHERE id % 3 < 2),
+    v3i AS (SELECT id, status,
+                   cents + CASE WHEN id % 5 = 0 THEN 100 ELSE 0 END,
+                   'insert', 3
+            FROM base WHERE id % 3 < 2),
+    v4 AS (SELECT id, status, cents, 'insert', 4 FROM base WHERE id % 3 = 2)
+    SELECT * FROM v0
+    UNION ALL SELECT * FROM v1
+    UNION ALL SELECT * FROM v3d
+    UNION ALL SELECT * FROM v3i
+    UNION ALL SELECT * FROM v4
+    """,
+    tags=("cdc", "txlog", "change-feed", "acid"),
+)
+def qm10_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED from the transactional log (the Delta
+    CDF / table_changes() move, txlog.change_feed) — the lakehouse side
+    of the CDC loop: qc-family queries turn upstream WAL into events;
+    this turns the SINK TABLE's own commit history back into events, so
+    downstream consumers (qm07's IVM, replication fan-out) sync from
+    the table without touching the source.
+
+      v0 append   id%3=0          -> inserts @0
+      v1 append   id%3=1          -> inserts @1
+      v2 OPTIMIZE (compaction)    -> dataChange=false, SKIPPED: rows
+                                     moved files but nothing changed
+      v3 replace  (+100 cents on id%5=0) -> delete(old state) +
+                                     insert(new state) @3 — the
+                                     update-as-delete+insert contract
+      v4 append   id%3=2          -> inserts @4
+
+    An optimize leaking into the feed, a wrong version stamp, or a
+    missed delete hash-mismatches. Planning walks only the requested
+    log tail (O(commits)); every row read is a distributed scan of
+    files the vacuum horizon provably retains.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    t = TxLogTable(spark, scratch_dir("qm10_txlog"))
+    t.append(base.filter(F.col("id") % 3 == 0))            # v0
+    t.append(base.filter(F.col("id") % 3 == 1))            # v1
+    t.optimize()                                           # v2: dataChange=false
+    updated = t.read().withColumn(
+        "cents",
+        F.col("cents") + F.when(F.col("id") % 5 == 0, 100).otherwise(0),
+    )
+    t.replace(updated.localCheckpoint(eager=True), remove_pred=lambda p: True)  # v3
+    t.append(base.filter(F.col("id") % 3 == 2))            # v4
+    return t.change_feed(v_from=-1).select(
+        "id", "status", "cents",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )

@@ -10511,3 +10511,81 @@ def q99ab_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode, "doc_id bigint, width int, height int, checksum bigint"
     )
+
+
+@query(
+    "q98t_tokenizer_fertility",
+    oracle=f"""
+    WITH words AS (
+      SELECT d.source, d.lang, t.w AS word
+      FROM documents d, UNNEST(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+    ),
+    vocab AS MATERIALIZED (
+      SELECT word,
+             len(string_split(trim({_bpe_apply_sql('word')}, '|'), '||'))
+               AS n_pieces,
+             length(word) AS n_chars
+      FROM (SELECT DISTINCT word FROM words)
+    )
+    SELECT w.source, w.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_pieces) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(v.n_pieces) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+             AS fertility,
+           CAST(SUM(v.n_chars) AS BIGINT)
+             / CAST(CAST(SUM(v.n_pieces) AS BIGINT) AS DOUBLE)
+             AS chars_per_token
+    FROM words w JOIN vocab v ON w.word = v.word
+    GROUP BY w.source, w.lang
+    """,
+    tags=("llm", "text", "tokenizer", "governance"),
+)
+def q98t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per (source, language) — the metric a
+    tokenizer CHOICE is made on: subword pieces per word (fertility)
+    and characters per token, stratified the way pretraining mixtures
+    are. High-fertility strata burn sequence length on fragmentation
+    (the multilingual-tokenizer tax); this report is the evidence
+    behind re-training a tokenizer or re-weighting a source, and the
+    denominator feeding token-budget mixing (q95s).
+
+    Same dictionary-encoded application discipline as q98o: the fixed
+    merge table segments each DISTINCT word once, a broadcast join
+    fans counts back over occurrences, and the final agg is bounded by
+    |sources| x |langs|. Exact integer sums; the two ratios are each
+    ONE division of exact BIGINTs — bit-identical cross-engine.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang", "text")
+    words = docs.select(
+        "source", "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.expr(
+                f"size(split(btrim({_bpe_apply_expr('word')}, '|'),"
+                " '\\\\|\\\\|'))"
+            ).alias("n_pieces"),
+            F.length("word").alias("n_chars"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            (F.sum("n_pieces").cast("long") / F.count("*")).alias("fertility"),
+            (
+                F.sum("n_chars").cast("long") / F.sum("n_pieces").cast("long")
+            ).alias("chars_per_token"),
+        )
+    )

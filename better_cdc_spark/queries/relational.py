@@ -4413,3 +4413,87 @@ def q36l_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_dev_milli"),
         )
     )
+
+
+@query(
+    "q36m_scalable_median",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS vm
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(vm, 0.5) AS median_milli
+    FROM v GROUP BY event_type
+    """,
+    tags=("agg", "percentile", "scale"),
+)
+def q36m_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated median WITHOUT per-group buffering — the
+    two-pass histogram-refinement algorithm that replaces q36c's
+    percentile() when groups no longer fit an executor: pass 1 bins
+    values (4096-wide buckets) and locates, per group, the bucket(s)
+    holding order statistics floor(p) and ceil(p) at p=(n-1)/2; pass 2
+    re-scans ONLY rows in those buckets (a pushdown-able predicate on
+    a narrow candidate dim), ranks them with the pre-bucket cumulative
+    count as offset, and interpolates the two order statistics.
+
+    The result is BIT-IDENTICAL to the buffering form (oracle =
+    quantile_cont): integer inputs make the midpoint an exact binary
+    fraction. Each pass is one hash agg / one bounded window; memory
+    per task is O(distinct buckets per group), never O(rows per
+    group). This is the production shape for exact per-key medians
+    over 100 TB — the refinement can recurse for pathological buckets
+    (one level suffices at any realistic value range: bucket
+    population shrinks by the bucket count each level).
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000, 0).cast("long").alias("vm")
+    )
+    # pass 1: per-(group, bucket) counts + per-group totals
+    hist = v.groupBy("event_type", F.expr("vm div 4096").alias("bkt")).agg(
+        F.count("*").alias("c")
+    )
+    wcum = W.partitionBy("event_type").orderBy("bkt")
+    cum = hist.select(
+        "event_type", "bkt", "c",
+        (F.sum("c").over(wcum.rowsBetween(W.unboundedPreceding, W.currentRow)) - F.col("c")).alias("before"),
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+    # target 1-based ranks of the two order statistics at p = (n-1)/2
+    ranks = tot.select(
+        "event_type", "n",
+        (F.expr("(n - 1) div 2") + 1).alias("r_lo"),
+        (F.expr("n div 2") + 1).alias("r_hi"),
+    )
+    # buckets containing either order statistic — the candidate dim
+    cand = (
+        cum.join(F.broadcast(ranks), "event_type")
+        .filter(
+            ((F.col("before") < F.col("r_lo")) & (F.col("before") + F.col("c") >= F.col("r_lo")))
+            | ((F.col("before") < F.col("r_hi")) & (F.col("before") + F.col("c") >= F.col("r_hi")))
+        )
+        .select(
+            F.col("event_type").alias("et"),
+            F.col("bkt").alias("cbkt"),
+            "before",
+        )
+    )
+    # pass 2: rank only the rows inside candidate buckets
+    sub = v.join(
+        F.broadcast(cand),
+        (F.col("event_type") == F.col("et")) & (F.expr("vm div 4096") == F.col("cbkt")),
+    ).select("event_type", "vm", "before")
+    wr = W.partitionBy("event_type", F.expr("vm div 4096")).orderBy("vm")
+    ranked = sub.withColumn("r", F.row_number().over(wr) + F.col("before"))
+    stats = (
+        ranked.join(F.broadcast(ranks), "event_type")
+        .filter((F.col("r") == F.col("r_lo")) | (F.col("r") == F.col("r_hi")))
+        .groupBy("event_type", "n")
+        .agg(F.min("vm").alias("lo"), F.max("vm").alias("hi"))
+    )
+    return stats.select(
+        "event_type", "n",
+        ((F.col("lo") + F.col("hi")) / 2.0).alias("median_milli"),
+    )

@@ -277,6 +277,7 @@ class TxLogTable:
         remove_pred,
         app_id: str | None = None,
         txn_version: int | None = None,
+        data_change: bool = True,
     ) -> int:
         """Atomic delete+write: remove every live file whose ROWS ALL
         match nothing the new state needs (caller passes a predicate on
@@ -320,6 +321,12 @@ class TxLogTable:
                 [{"remove": {"path": p}} for p in removes]
                 + [{"add": self._add_action(p)} for p in staged]
             )
+            if not data_change:
+                # Delta's dataChange=false: a pure reorganization (e.g.
+                # OPTIMIZE) — same logical rows before and after, so the
+                # change feed must skip this commit entirely.
+                for a in actions:
+                    a["dataChange"] = False
             if app_id is not None:
                 actions.append({"txn": {"app_id": app_id, "version": txn_version or 0}})
             v = snap.version + 1
@@ -377,6 +384,63 @@ class TxLogTable:
             df = df.filter(F.col(where[0]).between(where[1], where[2]))
         return df
 
+    def change_feed(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level change feed for versions in (v_from, v_to] — the
+        Delta CDF / table_changes() move: every add-file in a
+        data-changing commit yields its rows as inserts, every
+        remove-file yields its rows (still on disk: vacuum spares
+        files referenced by ANY version) as deletes, each stamped with
+        the commit version. An update rewritten through replace()
+        appears as delete+insert — the contract CDF consumers (qm07's
+        IVM, downstream sync) are built on. Commits whose actions carry
+        dataChange=false (optimize/compaction) are pure reorganizations
+        and are SKIPPED — their files move, their rows don't.
+
+        Planning walks only the (v_from, v_to] log tail driver-side —
+        O(commits in range), the same bound as snapshot resolution —
+        while every data read is a distributed parquet scan. Emits
+        (row columns..., _change_type, _commit_version).
+        """
+        from pyspark.sql import functions as F
+
+        if v_to is None:
+            v_to = self.snapshot().version
+        parts: list[DataFrame] = []
+        for v in self._versions():
+            if not (v_from < v <= v_to):
+                continue
+            adds: list[str] = []
+            removes: list[str] = []
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                for i, line in enumerate(f):
+                    action = json.loads(line)
+                    if i == 0 and action.get("meta", {}).get("checkpoint"):
+                        raise ValueError(
+                            f"change feed from v{v_from} crosses the "
+                            f"compacted-log horizon at v{v} — per-commit "
+                            "changes before a checkpoint are forfeited "
+                            "(the compact_log trade)"
+                        )
+                    if action.get("dataChange") is False:
+                        continue
+                    if "add" in action:
+                        adds.append(action["add"]["path"])
+                    elif "remove" in action:
+                        removes.append(action["remove"]["path"])
+            for paths, kind in ((removes, "delete"), (adds, "insert")):
+                if paths:
+                    parts.append(
+                        self.spark.read.parquet(*paths)
+                        .withColumn("_change_type", F.lit(kind))
+                        .withColumn("_commit_version", F.lit(v).cast("long"))
+                    )
+        if not parts:
+            raise ValueError(f"no data-changing commits in ({v_from}, {v_to}]")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def optimize(self, target_files: int = 1) -> int:
         """Transactional compaction (the OPTIMIZE move): rewrite the
         current snapshot's files into `target_files` larger ones and
@@ -385,7 +449,11 @@ class TxLogTable:
         still resolves because vacuum only collects files unreachable
         from EVERY log version. Returns the new version."""
         current = self.read().coalesce(target_files)
-        return self.replace(current.localCheckpoint(eager=True), remove_pred=lambda p: True)
+        return self.replace(
+            current.localCheckpoint(eager=True),
+            remove_pred=lambda p: True,
+            data_change=False,
+        )
 
     def vacuum(self, min_age_s: float = 3600.0) -> int:
         """Delete data files unreachable from ANY log version (crash

@@ -410,3 +410,58 @@ def test_snapshot_resolution_at_10k_commits_and_compaction_io(spark, tmp_path):
     assert post.file_stats["data/f42.parquet"]["id"] == [42, 42]
     # post-compact resolution is materially cheaper than the 10k replay
     assert post_s < pre_s, (post_s, pre_s)
+
+
+# ---------------------------------------------------------------------------
+# change feed (qm10)
+# ---------------------------------------------------------------------------
+
+
+def feed_rows(df):
+    return sorted(
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in df.select("id", "_change_type", "_commit_version").collect()
+    )
+
+
+def test_change_feed_basic_and_version_range(spark, table):
+    table.append(df_of(spark, 1, 2))      # v0
+    table.append(df_of(spark, 3))         # v1
+    full = feed_rows(table.change_feed(v_from=-1))
+    assert full == [(1, "insert", 0), (2, "insert", 0), (3, "insert", 1)]
+    tail = feed_rows(table.change_feed(v_from=0))
+    assert tail == [(3, "insert", 1)]
+
+
+def test_change_feed_skips_optimize_and_shows_replace(spark, table):
+    table.append(df_of(spark, 1, 2))      # v0
+    table.append(df_of(spark, 3))         # v1
+    table.optimize()                      # v2: dataChange=false
+    new_state = table.read().withColumn("s", F.concat(F.col("s"), F.lit("!")))
+    table.replace(new_state.localCheckpoint(eager=True), remove_pred=lambda p: True)  # v3
+    feed = feed_rows(table.change_feed(v_from=1))
+    # no v2 rows at all; v3 is delete(old)+insert(new) for every row
+    assert all(v == 3 for _, _, v in feed)
+    assert feed == sorted(
+        [(i, "delete", 3) for i in (1, 2, 3)] + [(i, "insert", 3) for i in (1, 2, 3)]
+    )
+    # and the replace rows really are the rewritten values
+    ins = table.change_feed(v_from=2).filter(F.col("_change_type") == "insert")
+    assert {r["s"] for r in ins.collect()} == {"s1!", "s2!", "s3!"}
+
+
+def test_change_feed_refuses_to_cross_checkpoint(spark, table):
+    table.append(df_of(spark, 1))         # v0
+    table.append(df_of(spark, 2))         # v1
+    table.compact_log()                   # v1 becomes a checkpoint
+    with pytest.raises(ValueError, match="compacted-log horizon"):
+        table.change_feed(v_from=-1)
+    # feeds strictly after the checkpoint still work
+    table.append(df_of(spark, 3))         # v2
+    assert feed_rows(table.change_feed(v_from=1)) == [(3, "insert", 2)]
+
+
+def test_change_feed_empty_range_raises(spark, table):
+    table.append(df_of(spark, 1))
+    with pytest.raises(ValueError, match="no data-changing commits"):
+        table.change_feed(v_from=0)
