@@ -10589,3 +10589,75 @@ def q98t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+@query(
+    "q95am_classifier_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label,
+             least(999999, greatest(0,
+               500000 + 800 * (n_chars - 200)
+               + (doc_id * 48271 % 1000003) % 200000 - 100000)) AS score_micro
+      FROM documents
+    )
+    SELECT score_micro // 100000 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(label) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+           CAST(SUM(score_micro) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) / 1e6
+             AS mean_score,
+           abs(CAST(SUM(label) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+               - CAST(SUM(score_micro) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) / 1e6)
+             AS gap
+    FROM scored GROUP BY 1
+    """,
+    tags=("llm", "classifier", "calibration", "governance"),
+)
+def q95am_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION report (reliability diagram) — the audit a
+    model-based quality gate (q95r) needs before its scores become
+    keep/drop thresholds or mixing weights: per score decile, predicted
+    confidence vs observed positive rate and their gap (the per-bin
+    term of expected calibration error). A well-calibrated gate has
+    gap≈0 everywhere; a miscalibrated one silently reweights the
+    corpus wherever the threshold cuts.
+
+    The classifier here is a deterministic integer surrogate (a
+    label-correlated score with hash noise, micro-units end to end) so
+    the report itself is FULL-oracle hash-checkable — the mechanics
+    (decile binning, exact per-bin counts, one division per ratio) are
+    exactly what runs against real logits at 100 TB: one narrow map +
+    one 10-row hash agg, nothing scales with anything but the corpus
+    scan.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = docs.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("label"),
+        F.least(
+            F.lit(999999),
+            F.greatest(
+                F.lit(0),
+                F.lit(500000)
+                + 800 * (F.col("n_chars") - 200)
+                + (F.col("doc_id") * 48271 % 1000003) % 200000
+                - 100000,
+            ),
+        ).alias("score_micro"),
+    )
+    frac_pos = F.sum("label").cast("long") / F.count("*").cast("double")
+    mean_score = (
+        F.sum("score_micro").cast("long") / F.count("*").cast("double") / 1e6
+    )
+    return (
+        scored.groupBy(F.expr("score_micro div 100000").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            frac_pos.alias("frac_pos"),
+            mean_score.alias("mean_score"),
+            F.abs(frac_pos - mean_score).alias("gap"),
+        )
+    )

@@ -4497,3 +4497,228 @@ def q36m_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         ((F.col("lo") + F.col("hi")) / 2.0).alias("median_milli"),
     )
+
+
+@query(
+    "q36n_winsorize",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS vm
+      FROM events
+    ), ranked AS (
+      SELECT event_type, vm,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), cuts AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN r = greatest(1, CAST(ceil(n * 0.01) AS BIGINT))
+                           THEN vm END) AS BIGINT) AS p01,
+             CAST(MAX(CASE WHEN r = CAST(ceil(n * 0.99) AS BIGINT)
+                           THEN vm END) AS BIGINT) AS p99
+      FROM ranked GROUP BY event_type
+    ), clipped AS (
+      SELECT v.event_type, v.vm,
+             least(greatest(v.vm, c.p01), c.p99) AS wm, c.n, c.p01, c.p99
+      FROM v JOIN cuts c USING (event_type)
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN wm <> vm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           MAX(p01) AS p01, MAX(p99) AS p99,
+           CAST(SUM(vm) AS BIGINT) / CAST(MAX(n) AS DOUBLE) AS mean_raw,
+           CAST(SUM(wm) AS BIGINT) / CAST(MAX(n) AS DOUBLE) AS mean_winsorized
+    FROM clipped GROUP BY event_type
+    """,
+    tags=("agg", "robust", "feature-eng"),
+)
+def q36n_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report — the tail-clipping normalization a feature
+    pipeline applies before training on heavy-tailed metrics: clip each
+    series at its own p01/p99 and report how many rows were clipped
+    plus the mean before/after (the robustness delta).
+
+    The cuts are DISCRETE order statistics (value at rank ceil(q*n)) —
+    not interpolated quantiles, whose 0.01 lerp weight is not a binary
+    fraction and therefore not bit-stable across engines (the lesson
+    this query's first draft learned); rank ties share the same value,
+    so any tie-break picks the identical cut. Everything downstream is
+    pure BIGINT: clip in integers, one exact sum, one division.
+
+    Scale: the rank pass is one window per series (q36m's histogram
+    refinement replaces it when groups outgrow a sort); the clip pass
+    re-joins the |series|-row cut dim broadcast.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000, 0).cast("long").alias("vm")
+    )
+    wr = W.partitionBy("event_type").orderBy("vm")
+    ranked = v.select(
+        "event_type", "vm",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(
+                F.col("r") == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.01)),
+                F.col("vm"),
+            )
+        ).cast("long").alias("p01"),
+        F.max(
+            F.when(F.col("r") == F.ceil(F.col("n") * 0.99), F.col("vm"))
+        ).cast("long").alias("p99"),
+    )
+    clipped = v.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "vm", "n", "p01", "p99",
+        F.least(F.greatest(F.col("vm"), F.col("p01")), F.col("p99")).alias("wm"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.when(F.col("wm") != F.col("vm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped"),
+        F.max("p01").alias("p01"),
+        F.max("p99").alias("p99"),
+        (F.sum("vm").cast("long") / F.max("n").cast("double")).alias("mean_raw"),
+        (F.sum("wm").cast("long") / F.max("n").cast("double")).alias(
+            "mean_winsorized"
+        ),
+    )
+
+
+@query(
+    "q47b_path_mining",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    ), ranked AS (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rank
+      FROM paths
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, path, n
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("window", "clickstream", "path"),
+)
+def q47b_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining — the top event-type TRIGRAMS across all
+    user journeys (the table behind a Sankey/flow diagram, and the
+    exploratory sibling of q47's fixed-order funnel: the funnel asks
+    'how many took THE path', this asks 'which paths exist').
+
+    One per-user window sort produces both LEADs, the path count is a
+    hash agg on the trigram string, and only the top-20 selection is a
+    global (single-partition) window over the |distinct paths|-bounded
+    aggregate — never over events. Ordering ties break on the unique
+    event_id in both engines.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = W.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("rank").cast("long").alias("rank"), "path", "n")
+    )
+
+
+@query(
+    "q47c_last_touch_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                         THEN touch_type END, 'organic') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("window", "attribution", "clickstream"),
+)
+def q47c_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — every purchase is credited to
+    the user's most recent preceding NON-purchase event within a 7-day
+    lookback, falling back to 'organic' (no touch, or the touch aged
+    out). The marketing-analytics query every event pipeline grows, and
+    a second consumer of q27's as-of machinery expressed as a running
+    IGNORE-NULLS last over the per-user stream — one window sort, no
+    join at all.
+
+    The aligned CASE columns (type and ts null out together) make the
+    two last_value picks come from the same touch row without shipping
+    a struct; the 7-day check then applies the lookback AFTER the
+    carry, which is what makes 'touch exists but expired' distinct
+    from 'no touch ever'. Revenue sums as DECIMAL (order-independent)
+    and casts once — the cross-engine sum convention.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "ts", "event_type", "value",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"),
+                    F.col("touch_type"),
+                ),
+                F.lit("organic"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(dec(F.col("value"))).cast("double").alias("revenue"),
+        )
+    )
