@@ -2114,3 +2114,164 @@ def qm10_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     )
+
+
+@query(
+    "qc26_scd2_temporal_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1990-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1995-06-01' END
+               AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MOVED-' || c_mktsegment,
+             TIMESTAMP '1995-06-01', NULL
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.segment AS segment_at_order_time,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.segment
+    """,
+    tags=("cdc", "scd2", "temporal", "join"),
+)
+def qc26_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact-to-dimension join — the canonical CONSUMPTION of an
+    SCD2 dimension (qc06/qc14 build them; this is why): each order
+    joins the customer VERSION that was valid at order time, so
+    revenue rolls up under the segment the customer belonged to THEN,
+    not now. The dimension here is a deterministic two-version history
+    (every third customer re-segmented mid-1995) so the
+    as-of-attribution is fully oracle-checkable.
+
+    Scale shape: the join is an EQUI-join on the natural key with the
+    validity interval as a residual filter evaluated in the hash probe
+    — never a range-only join; fan-out is bounded by versions-per-key
+    (the SCD2 invariant that intervals partition the timeline per key
+    guarantees exactly one surviving match). The dim broadcasts while
+    it fits; at warehouse scale both sides co-bucket on the key and
+    the residual still rides the probe.
+    """
+    tune_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1995-06-01").cast("timestamp")
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 3 == 0, cutoff).alias("valid_to"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("MOVED-"), F.col("c_mktsegment")).alias("segment"),
+        cutoff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(dim),
+        (orders.o_custkey == dim.c_custkey)
+        & (orders.o_orderdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (orders.o_orderdate < dim.valid_to)),
+    )
+    return joined.groupBy(
+        F.col("segment").alias("segment_at_order_time")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "qm11_cdf_downstream_sync",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cents
+      FROM orders
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final_state GROUP BY status
+    """,
+    tags=("cdc", "txlog", "change-feed", "incremental", "matview"),
+)
+def qm11_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop CLOSED inside the lakehouse: a downstream aggregate
+    view synced purely from the upstream table's CHANGE FEED (qm10's
+    txlog CDF) using qm07's retraction algebra — the downstream never
+    reads the source table, never re-scans history, and never sees the
+    optimize commit (dataChange=false rows would double-count every row
+    the compaction moved; the feed's job is to hide them).
+
+    Upstream commits: three appends covering all orders, an OPTIMIZE,
+    then a replace applying +100 cents to id%5=0 (the update arrives
+    downstream as delete+insert, exercising retraction). Each commit's
+    feed slice is consumed EXACTLY once, folded to |groups|-bounded
+    (grp, dn, dsum) partials; deltas commute, so the synced view must
+    hash-equal the direct aggregate of the FINAL upstream state — the
+    full oracle.
+
+    Scale: per-commit sync cost is O(rows changed in that commit); the
+    version walk is O(commits) driver-side planning, identical to
+    snapshot resolution. This pattern is why a table format carries a
+    CDF at all.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    t = TxLogTable(spark, scratch_dir("qm11_txlog"))
+    for b in range(3):
+        t.append(base.filter(F.col("id") % 3 == b))        # v0..v2
+    t.optimize()                                           # v3: not a change
+    updated = t.read().withColumn(
+        "cents",
+        F.col("cents") + F.when(F.col("id") % 5 == 0, 100).otherwise(0),
+    )
+    t.replace(updated.localCheckpoint(eager=True), remove_pred=lambda p: True)  # v4
+
+    partials = scratch_dir("qm11_partials")
+    synced_from = -1
+    for v in range(0, t.snapshot().version + 1):
+        try:
+            feed = t.change_feed(v_from=v - 1, v_to=v)
+        except ValueError:
+            continue  # dataChange=false commit: nothing to sync
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        (
+            feed.select(
+                "status",
+                sign.alias("sgn"),
+                (sign * F.col("cents")).alias("dcents"),
+            )
+            .groupBy("status")
+            .agg(F.sum("sgn").alias("dn"), F.sum("dcents").alias("dsum"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(partials)
+        )
+        synced_from = v
+    assert synced_from == t.snapshot().version, "sync fell behind the log"
+    return (
+        spark.read.parquet(partials)
+        .groupBy("status")
+        .agg(F.sum("dn").alias("n_rows"), F.sum("dsum").alias("sum_cents"))
+        .filter(F.col("n_rows") > 0)
+    )
