@@ -10661,3 +10661,188 @@ def q95am_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(frac_pos - mean_score).alias("gap"),
         )
     )
+
+
+@query(
+    "q98u_readability",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+             (SELECT COALESCE(SUM(greatest(1,
+                       len(regexp_extract_all(t.w, '[aeiouy]+')))), 0)
+              FROM UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w))
+               AS n_syll
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             CAST(round((206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+               - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)) * 1e6, 0)
+               AS BIGINT) AS flesch_micro
+      FROM feats WHERE n_words > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(flesch_micro) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE) / 1e6 AS avg_flesch,
+           CAST(SUM(CASE WHEN flesch_micro < 30000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_college,
+           CAST(SUM(CASE WHEN flesch_micro >= 70000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_easy
+    FROM scored GROUP BY source
+    """,
+    tags=("llm", "text", "quality", "readability"),
+)
+def q98u_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — the readability axis of a
+    quality-gating stack (education-style curation scores correlate
+    strongly with it): 206.835 − 1.015·(words/sentence) −
+    84.6·(syllables/word), with syllables as vowel-group runs (the
+    standard heuristic, ±1 on silent-e words — fine for corpus-level
+    gating, and DETERMINISTIC, which an external syllable dict is
+    not across versions).
+
+    Everything stays in-row higher-order functions (no explode for the
+    syllable fold — Spark aggregates the token array in place; the
+    oracle's correlated UNNEST is DuckDB's spelling of the same fold);
+    per-doc scores round to integer micro-units before the
+    order-independent SUM, the cross-engine mean convention. One
+    narrow pass + a |sources|-bounded agg.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    feats = docs.select(
+        "source",
+        F.size(words).alias("n_words"),
+        F.greatest(
+            F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+        ).alias("n_sents"),
+        F.expr(
+            "aggregate(regexp_extract_all(lower(text), '[a-z]+', 0), 0L,"
+            " (acc, w) -> acc + greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0))))"
+        ).alias("n_syll"),
+    )
+    scored = feats.filter(F.col("n_words") > 0).select(
+        "source",
+        F.round(
+            (
+                F.lit(206.835)
+                - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+                - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words"))
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("flesch_micro"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("flesch_micro").cast("long") / F.count("*").cast("double") / 1e6).alias("avg_flesch"),
+        F.sum(F.when(F.col("flesch_micro") < 30_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_college"),
+        F.sum(F.when(F.col("flesch_micro") >= 70_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_easy"),
+    )
+
+
+@query(
+    "q95an_cluster_canonicalize",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN r ON e.dst = r.node
+        ) SELECT node, label FROM r
+    ),
+    clustered AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d
+        LEFT JOIN (SELECT node AS doc_id, MIN(label) AS cluster_id
+                   FROM reach GROUP BY node) c USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, cluster_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM clustered
+    )
+    SELECT c.doc_id, c.cluster_id, r.doc_id AS canonical_id,
+           c.doc_id = r.doc_id AS kept
+    FROM clustered c
+    JOIN ranked r ON r.cluster_id = c.cluster_id AND r.rk = 1
+    """,
+    tags=("llm", "dedup", "clusters", "canonicalize"),
+)
+def q95an_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster CANONICALIZATION — the decision step after
+    clustering (q94_dedup_clusters tells you which docs are the same
+    content; this picks WHICH copy survives): per connected component
+    the highest-quality member (longest text, doc_id tie-break) becomes
+    canonical, every member maps to it, and the doc→canonical table is
+    what downstream dedup actually applies (and what lineage audits
+    read back). Singletons are their own canonical — the mapping covers
+    the WHOLE corpus, not just the clustered tail.
+
+    Quality-argmax beats q95's min-id keeper when copies differ (the
+    truncated mirror loses to the full original); swapping the ORDER BY
+    for a model score (q95r) is a one-line change. Plan: exact-Jaccard
+    pairs → iterative min-label components (lineage-truncated) → one
+    per-cluster top-1 window over the |docs| mapping — the window input
+    is one row per doc, never per pair.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = llmops.shingle_postings(docs, "doc_id").localCheckpoint(eager=True)
+    pairs = llmops.exact_jaccard_pairs(postings, "doc_id", JACCARD_THRESHOLD)
+    clusters = llmops.dedup_clusters(pairs.select("doc_a", "doc_b"))
+    clustered = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    wr = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    canon = (
+        clustered.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(F.col("cluster_id"), F.col("doc_id").alias("canonical_id"))
+    )
+    return clustered.join(F.broadcast(canon), "cluster_id").select(
+        "doc_id", "cluster_id", "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
+    )

@@ -4722,3 +4722,84 @@ def q47c_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.col("value"))).cast("double").alias("revenue"),
         )
     )
+
+
+#: Benford first-digit expectations log10(1 + 1/d), d = 1..9 — plan
+#: literals (NOT computed per engine: ln/log10 are the one function
+#: family whose last-ulp behavior differs across engines, so the
+#: constants are pinned to 12dp once and shared by query and oracle).
+_BENFORD = [
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561,
+]
+
+
+@query(
+    "q36o_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders
+      WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS observed FROM digits GROUP BY d
+    ), tot AS (
+      SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts
+    ), expect AS (
+      SELECT t.d, e.p FROM (VALUES {", ".join(f"({i+1}, {p})" for i, p in enumerate(_BENFORD))}) AS e(i, p)
+      JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(d) ON e.i = t.d
+    )
+    SELECT e.d, COALESCE(c.observed, 0) AS observed,
+           tot.n * e.p AS expected,
+           (COALESCE(c.observed, 0) - tot.n * e.p)
+             * (COALESCE(c.observed, 0) - tot.n * e.p) / (tot.n * e.p)
+             AS chi2_term
+    FROM expect e
+    LEFT JOIN counts c ON c.d = e.d
+    CROSS JOIN tot
+    """,
+    tags=("agg", "quality", "audit"),
+)
+def q36o_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit on monetary amounts — the
+    data-quality screen for fabricated or truncated numeric columns:
+    naturally-occurring multi-magnitude amounts follow
+    P(d) = log10(1+1/d); a synthetic generator, unit mixup, or
+    systematic rounding shows up as fat chi-square terms long before
+    anyone eyeballs a histogram. Emits the per-digit observed count,
+    Benford expectation, and chi² term (sum them for the statistic;
+    per-digit terms localize WHICH digit drifted).
+
+    The nine expectations are 12dp plan literals shared verbatim by
+    query and oracle — log10 is the one function family whose last
+    ulp differs across engines, so it is evaluated zero times. One
+    narrow first-digit map + a 9-row agg; the digit extraction is a
+    string head on the integer cents, exact at any magnitude.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("observed"))
+    expect = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD)], "d long, p double"
+    )
+    tot = counts.agg(F.sum("observed").cast("long").alias("n"))
+    joined = (
+        expect.join(counts, "d", "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.col("observed") - F.col("n") * F.col("p")
+    return joined.select(
+        "d", "observed",
+        (F.col("n") * F.col("p")).alias("expected"),
+        (diff * diff / (F.col("n") * F.col("p"))).alias("chi2_term"),
+    )
