@@ -4803,3 +4803,63 @@ def q36o_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("p")).alias("expected"),
         (diff * diff / (F.col("n") * F.col("p"))).alias("chi2_term"),
     )
+
+
+@query(
+    "q47d_sequence_pattern_match",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    ), hits AS (
+      SELECT p.pattern, j.user_id,
+             len(regexp_extract_all(j.journey, p.pattern)) AS n
+      FROM j CROSS JOIN (VALUES ('v+cp'), ('sv*p'), ('e{2,}')) AS p(pattern)
+    )
+    SELECT pattern,
+           CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY pattern
+    """,
+    tags=("window", "pattern", "clickstream"),
+)
+def q47d_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern detection over per-user event
+    SEQUENCES — funnels with quantifiers ('one or more views, then a
+    click, then a purchase'), which q47's fixed-order funnel can't
+    express. Each user's journey folds to a string of event initials
+    (one ordered string-agg — the same machinery as q35b), and the
+    pattern library is then ordinary non-overlapping regex counting:
+    'v+cp' (browse-to-buy), 'sv*p' (signup-to-first-purchase), 'e{2,}'
+    (error storms).
+
+    Both engines scan greedy non-overlapping matches identically on
+    these quantifier-only patterns (no backrefs, no lookaround — the
+    dialect-safe subset). Scale: one shuffle on user_id for the fold;
+    journey strings are events-per-user long, the pattern pass is a
+    narrow map over |users| rows, and the result agg is
+    |patterns|-bounded. The relational MATCH_RECOGNIZE alternative is
+    a windowed state machine — this form trades per-row state for a
+    per-key string, the right trade while journeys fit a page.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id").agg(
+        F.expr(
+            "listagg(substring(event_type, 1, 1), '')"
+            " within group (order by ts, event_id)"
+        ).alias("journey")
+    )
+    patterns = spark.createDataFrame(
+        [("v+cp",), ("sv*p",), ("e{2,}",)], "pattern string"
+    )
+    hits = j.crossJoin(F.broadcast(patterns)).select(
+        "pattern",
+        F.size(F.expr("regexp_extract_all(journey, pattern, 0)")).alias("n"),
+    )
+    return hits.groupBy("pattern").agg(
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+    )

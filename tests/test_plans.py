@@ -643,3 +643,24 @@ def test_q42f_cusum_single_series_sort(spark):
     plan = plan_of(spark, "q42f_cusum_changepoints")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_q36m_pass2_never_sorts_full_data(spark):
+    """The two-pass median's only row-level window runs over candidate
+    buckets (post broadcast-join filter); the full input is touched by
+    hash aggregates only — no global or per-group full sort."""
+    plan = plan_of(spark, "q36m_scalable_median")
+    assert "CartesianProduct" not in plan
+    # every join in the pipeline is a broadcast of a bounded dim
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_qc26_temporal_join_is_broadcast_equi(spark):
+    """The SCD2 consumption join must be a hash join on the natural key
+    (interval residual in the probe) — never a nested loop over the
+    range condition."""
+    plan = plan_of(spark, "qc26_scd2_temporal_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
