@@ -3285,3 +3285,177 @@ def decode_qoi(payload: bytes) -> dict:
         "channels": channels,
         "pixels": bytes(out),
     }
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files (the public Avro 1.x spec) — the row-major
+# sibling of parquet and the wire format of half the Kafka world. Subset:
+# record schemas over {long, int, string, double, boolean, bytes} with
+# null/deflate block codecs — enough to ingest real data files; unions,
+# nesting, and other codecs raise (the honest-seam convention).
+# ---------------------------------------------------------------------------
+
+_AVRO_MAGIC = b"Obj\x01"
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _avro_write_value(v, typ: str) -> bytes:
+    if typ in ("long", "int"):
+        return _zigzag_encode(int(v))
+    if typ == "string":
+        raw = str(v).encode("utf-8")
+        return _zigzag_encode(len(raw)) + raw
+    if typ == "bytes":
+        return _zigzag_encode(len(v)) + bytes(v)
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"unsupported Avro type {typ!r}")
+
+
+def _avro_read_value(buf: bytes, pos: int, typ: str):
+    if typ in ("long", "int"):
+        return _zigzag_decode(buf, pos)
+    if typ == "string":
+        n, pos = _zigzag_decode(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if typ == "bytes":
+        n, pos = _zigzag_decode(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "boolean":
+        return buf[pos] == 1, pos + 1
+    raise ValueError(f"unsupported Avro type {typ!r}")
+
+
+def encode_avro(
+    records: list[dict],
+    fields: list[tuple[str, str]],
+    codec: str = "deflate",
+    rows_per_block: int = 1000,
+    name: str = "row",
+) -> bytes:
+    """Records → Avro Object Container File (header, metadata map,
+    deflate/null-coded blocks, 16-byte sync markers). Deterministic:
+    the sync marker derives from the schema so identical inputs give
+    identical bytes."""
+    import hashlib
+    import json as _json
+
+    schema = {
+        "type": "record",
+        "name": name,
+        "fields": [{"name": n, "type": t} for n, t in fields],
+    }
+    schema_json = _json.dumps(schema, separators=(",", ":")).encode()
+    sync = hashlib.md5(b"bcs-avro:" + schema_json).digest()
+    meta = {"avro.schema": schema_json, "avro.codec": codec.encode()}
+    out = bytearray(_AVRO_MAGIC)
+    out += _zigzag_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        kk = k.encode()
+        out += _zigzag_encode(len(kk)) + kk + _zigzag_encode(len(v)) + v
+    out += _zigzag_encode(0)  # end of metadata map
+    out += sync
+    for i in range(0, len(records), rows_per_block):
+        block = records[i : i + rows_per_block]
+        body = bytearray()
+        for r in block:
+            for n, t in fields:
+                body += _avro_write_value(r[n], t)
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate per spec
+            body = comp.compress(bytes(body)) + comp.flush()
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        out += _zigzag_encode(len(block))
+        out += _zigzag_encode(len(body))
+        out += body
+        out += sync
+    return bytes(out)
+
+
+def decode_avro(payload: bytes) -> dict:
+    """Avro OCF → {fields, codec, records}. Validates magic, per-block
+    sync markers, and exact block row counts; unsupported schema shapes
+    or codecs raise."""
+    import json as _json
+
+    if payload[:4] != _AVRO_MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _zigzag_decode(payload, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a byte size
+            n = -n
+            _, pos = _zigzag_decode(payload, pos)
+        for _ in range(n):
+            kl, pos = _zigzag_decode(payload, pos)
+            k = payload[pos : pos + kl].decode()
+            pos += kl
+            vl, pos = _zigzag_decode(payload, pos)
+            meta[k] = payload[pos : pos + vl]
+            pos += vl
+    schema = _json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if schema.get("type") != "record":
+        raise ValueError("only record schemas supported")
+    fields = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if not isinstance(t, str):
+            raise ValueError("unions/nested Avro types unsupported")
+        fields.append((f["name"], t))
+    sync = payload[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(payload):
+        nrec, pos = _zigzag_decode(payload, pos)
+        blen, pos = _zigzag_decode(payload, pos)
+        body = payload[pos : pos + blen]
+        pos += blen
+        if codec == "deflate":
+            body = zlib.decompress(body, wbits=-15)
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        bpos = 0
+        for _ in range(nrec):
+            rec = {}
+            for n, t in fields:
+                rec[n], bpos = _avro_read_value(body, bpos, t)
+            records.append(rec)
+        if bpos != len(body):
+            raise ValueError("Avro block row count does not exhaust block")
+        if payload[pos : pos + 16] != sync:
+            raise ValueError("Avro sync marker mismatch (torn block)")
+        pos += 16
+    return {"fields": fields, "codec": codec, "records": records}

@@ -10846,3 +10846,102 @@ def q95an_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster_id", "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
     )
+
+
+@query(
+    "q01e_avro_ingest",
+    oracle="""
+    SELECT o_orderkey % 16 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(length(o_orderstatus)) AS BIGINT) AS sum_status_chars
+    FROM orders GROUP BY 1
+    """,
+    tags=("source", "avro", "ingest", "codec"),
+)
+def q01e_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING Avro ingestion — the row-major container this Spark
+    build cannot read natively (the spark-avro module is an external
+    jar; with no network, `format("avro")` is a hard failure), turned
+    from deploy seam into a working path by a pure-Python Object
+    Container File codec (codecs.encode_avro/decode_avro: zigzag
+    varints, string/double/bytes/bool primitives, deflate and null
+    block codecs, per-block sync-marker verification).
+
+    Stage 1 shards orders 16 ways and writes REAL deflate-coded Avro
+    container bytes per shard in-plan; stage 2 ingests them — walks
+    blocks, inflates, decodes records, checks sync markers — and
+    aggregates per shard. The oracle recomputes from the source table,
+    so a zigzag sign bug, block mis-split, or torn-sync acceptance
+    hash-mismatches. Round-trip fuzz incl. negative longs, unicode,
+    and both codecs lives in tests/test_codecs.py.
+
+    Scale shape: the q95z WARC discipline — container files are
+    embarrassingly parallel ingest units, both stages Arrow-batched
+    narrow maps, one final 16-row agg. A real deployment points stage 2
+    at `binaryFile`-listed shards; everything downstream is identical.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import decode_avro, encode_avro
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 16).alias("shard"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    ).repartition("shard")
+
+    fields = [("okey", "long"), ("status", "string"), ("cents", "long")]
+
+    def synth(batches):
+        from collections import defaultdict
+
+        rows = defaultdict(list)
+        for pdf in batches:
+            for shard, okey, status, cents in zip(
+                pdf["shard"], pdf["okey"], pdf["status"], pdf["cents"]
+            ):
+                rows[int(shard)].append(
+                    {"okey": int(okey), "status": str(status), "cents": int(cents)}
+                )
+        out = []
+        for shard, recs in rows.items():
+            recs.sort(key=lambda r: r["okey"])  # deterministic shard bytes
+            out.append((shard, encode_avro(recs, fields, codec="deflate",
+                                           rows_per_block=250)))
+        yield pd.DataFrame(out, columns=["shard", "payload"])
+
+    def ingest(batches):
+        for pdf in batches:
+            rows = []
+            for shard, payload in zip(pdf["shard"], pdf["payload"]):
+                m = decode_avro(bytes(payload))
+                assert m["codec"] == "deflate" and m["fields"] == fields
+                n = len(m["records"])
+                rows.append(
+                    (
+                        int(shard),
+                        n,
+                        sum(r["cents"] for r in m["records"]),
+                        sum(len(r["status"]) for r in m["records"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["shard", "n_rows", "sum_cents", "sum_status_chars"]
+            )
+
+    payloads = orders.mapInPandas(synth, "shard long, payload binary")
+    per_file = payloads.mapInPandas(
+        ingest,
+        "shard long, n_rows bigint, sum_cents bigint, sum_status_chars bigint",
+    )
+    # a shard's rows may span tasks -> multiple container files per shard;
+    # the ingest side merges them like any sharded lake layout
+    return per_file.groupBy("shard").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.sum("sum_status_chars").alias("sum_status_chars"),
+    )

@@ -995,3 +995,63 @@ def test_qoi_error_paths_and_sniff():
         decode_qoi(enc[:-8] + b"\x00" * 7 + b"\x02")  # bad end marker
     m = sniff_media(enc)
     assert m["mime"] == "image/qoi" and (m["width"], m["height"]) == (4, 1)
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files (q01e)
+# ---------------------------------------------------------------------------
+
+
+def test_avro_roundtrip_both_codecs():
+    """All supported primitives round-trip under deflate and null block
+    codecs, across block boundaries, incl. negative longs (zigzag sign),
+    unicode strings, and raw bytes."""
+    from better_cdc_spark.codecs import decode_avro, encode_avro
+
+    recs = [
+        {"id": i, "neg": -i * 7919, "name": f"row-{i}-é", "score": i / 3.0,
+         "ok": i % 2 == 0, "blob": bytes([i % 256, (i * 3) % 256])}
+        for i in range(2500)
+    ]
+    fields = [("id", "long"), ("neg", "long"), ("name", "string"),
+              ("score", "double"), ("ok", "boolean"), ("blob", "bytes")]
+    for codec in ("deflate", "null"):
+        dec = decode_avro(encode_avro(recs, fields, codec=codec, rows_per_block=700))
+        assert dec["codec"] == codec
+        assert dec["fields"] == fields
+        assert dec["records"] == recs
+
+
+def test_avro_zigzag_edge_values():
+    """Zigzag varint boundaries: 0, ±1, ±2^31, ±(2^63-1)."""
+    from better_cdc_spark.codecs import decode_avro, encode_avro
+
+    vals = [0, 1, -1, 2**31, -(2**31), 2**63 - 1, -(2**63 - 1)]
+    recs = [{"v": v} for v in vals]
+    dec = decode_avro(encode_avro(recs, [("v", "long")], codec="null"))
+    assert [r["v"] for r in dec["records"]] == vals
+
+
+def test_avro_error_paths():
+    """Bad magic, torn sync marker, unsupported codec/schema all raise."""
+    import json
+    import pytest as _pytest
+
+    from better_cdc_spark.codecs import decode_avro, encode_avro
+
+    enc = encode_avro([{"v": 1}], [("v", "long")])
+    with _pytest.raises(ValueError, match="not an Avro"):
+        decode_avro(b"Obj\x02" + enc[4:])
+    torn = bytearray(enc)
+    torn[-1] ^= 0xFF  # corrupt the final sync marker
+    with _pytest.raises(ValueError, match="sync marker"):
+        decode_avro(bytes(torn))
+    with _pytest.raises(ValueError, match="codec"):
+        encode_avro([{"v": 1}], [("v", "long")], codec="snappy")
+    # a non-record schema must be refused, not garbled (same-length byte
+    # patch so the metadata length prefixes stay valid)
+    del json  # patch is byte-level; json import kept the intent visible
+    bad = encode_avro([{"v": 1}], [("v", "long")])
+    nonrec = bad.replace(b'"type":"record"', b'"type":"recorx"', 1)
+    with _pytest.raises(ValueError, match="record schemas"):
+        decode_avro(nonrec)
