@@ -3459,3 +3459,114 @@ def decode_avro(payload: bytes) -> dict:
             raise ValueError("Avro sync marker mismatch (torn block)")
         pos += 16
     return {"fields": fields, "codec": codec, "records": records}
+
+
+# ---------------------------------------------------------------------------
+# Protocol Buffers wire format (the public proto3 encoding spec) — the
+# other serialization half of the Kafka/CDC world next to Avro. Schema-
+# driven flat-message subset: varint (incl. zigzag sint), fixed64/32,
+# and length-delimited string/bytes fields; nested messages, packed
+# repeats, and groups raise (honest-seam convention).
+# ---------------------------------------------------------------------------
+
+
+def _pb_varint_encode(u: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_varint_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return u, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint exceeds 64 bits")
+
+
+#: field type -> (wire type, encoder, decoder)
+_PB_TYPES = {
+    "uint64": (0, lambda v: _pb_varint_encode(int(v)),
+               lambda b, p: _pb_varint_decode(b, p)),
+    "sint64": (0, lambda v: _pb_varint_encode((int(v) << 1) ^ (int(v) >> 63)),
+               lambda b, p: (lambda u, q: ((u >> 1) ^ -(u & 1), q))(*_pb_varint_decode(b, p))),
+    "bool":   (0, lambda v: b"\x01" if v else b"\x00",
+               lambda b, p: (b[p] == 1, p + 1)),
+    "fixed64": (1, lambda v: struct.pack("<Q", int(v)),
+                lambda b, p: (struct.unpack_from("<Q", b, p)[0], p + 8)),
+    "double": (1, lambda v: struct.pack("<d", float(v)),
+               lambda b, p: (struct.unpack_from("<d", b, p)[0], p + 8)),
+    "string": (2, lambda v: (lambda r: _pb_varint_encode(len(r)) + r)(str(v).encode()),
+               None),
+    "bytes":  (2, lambda v: _pb_varint_encode(len(v)) + bytes(v),
+               None),
+    "fixed32": (5, lambda v: struct.pack("<I", int(v)),
+                lambda b, p: (struct.unpack_from("<I", b, p)[0], p + 4)),
+}
+
+
+def encode_protobuf(msg: dict, schema: list[tuple[int, str, str]]) -> bytes:
+    """Message dict → proto3 wire bytes. schema = [(field_no, name, type)].
+    proto3 default-value elision: zero/empty values are NOT written."""
+    out = bytearray()
+    for fno, name, typ in schema:
+        v = msg.get(name)
+        if v in (None, 0, 0.0, "", b"", False):
+            continue  # proto3: defaults are absent on the wire
+        wt, enc, _ = _PB_TYPES[typ]
+        out += _pb_varint_encode((fno << 3) | wt)
+        out += enc(v)
+    return bytes(out)
+
+
+def decode_protobuf(payload: bytes, schema: list[tuple[int, str, str]]) -> dict:
+    """proto3 wire bytes → dict with every schema field present (absent
+    fields take proto3 defaults). Unknown fields are SKIPPED by wire
+    type — the forward-compatibility rule the spec mandates; a wire
+    type that contradicts the schema raises."""
+    by_no = {fno: (name, typ) for fno, name, typ in schema}
+    defaults = {"uint64": 0, "sint64": 0, "bool": False, "fixed64": 0,
+                "double": 0.0, "string": "", "bytes": b"", "fixed32": 0}
+    out = {name: defaults[typ] for _, name, typ in schema}
+    pos = 0
+    while pos < len(payload):
+        key, pos = _pb_varint_decode(payload, pos)
+        fno, wt = key >> 3, key & 7
+        if fno in by_no:
+            name, typ = by_no[fno]
+            expect_wt, _, dec = _PB_TYPES[typ]
+            if wt != expect_wt:
+                raise ValueError(
+                    f"field {fno} ({name}): wire type {wt}, schema says {expect_wt}"
+                )
+            if wt == 2:
+                n, pos = _pb_varint_decode(payload, pos)
+                raw = payload[pos : pos + n]
+                pos += n
+                out[name] = raw.decode("utf-8") if typ == "string" else bytes(raw)
+            else:
+                out[name], pos = dec(payload, pos)
+        else:  # unknown field: skip by wire type (forward compatibility)
+            if wt == 0:
+                _, pos = _pb_varint_decode(payload, pos)
+            elif wt == 1:
+                pos += 8
+            elif wt == 2:
+                n, pos = _pb_varint_decode(payload, pos)
+                pos += n
+            elif wt == 5:
+                pos += 4
+            else:
+                raise ValueError(f"unsupported wire type {wt} (groups/reserved)")
+    return out

@@ -2275,3 +2275,87 @@ def qm11_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("dn").alias("n_rows"), F.sum("dsum").alias("sum_cents"))
         .filter(F.col("n_rows") > 0)
     )
+
+
+@query(
+    "qc27_protobuf_decode",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT "table" AS tbl, operation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN operation = 'DELETE' THEN 0
+                          ELSE CAST(total_cents AS BIGINT) END) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(txid) AS BIGINT) AS sum_txid
+    FROM envelope
+    GROUP BY tbl, operation
+    """,
+    tags=("cdc", "protobuf", "decode", "codec"),
+)
+def qc27_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING protobuf-payload CDC decode — the binary-envelope
+    sibling of qc10's pgoutput and q01e's Avro: half the Kafka CDC
+    world ships proto3 messages, and `from_protobuf` is an external
+    module this offline build cannot load, so codecs.encode_protobuf/
+    decode_protobuf make the seam a working path (varint/zigzag/
+    fixed/length-delimited wire walk, proto3 default elision).
+
+    Stage 1 serializes each normalized envelope event as wire bytes
+    under a WRITER schema that includes a field the reader does not
+    know (field 15, a tracing blob); stage 2 decodes with the READER
+    schema — the unknown field must be SKIPPED by wire type, proto3's
+    forward-compatibility rule, exercised on every row in-plan. The
+    oracle recomputes the per-(table, operation) counts, cent sums and
+    txid sums from the source derivation: a varint mis-split, zigzag
+    sign error, or botched unknown-field skip shifts every downstream
+    byte and hash-mismatches.
+
+    Both stages Arrow-batched narrow maps; one bounded-key agg.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import decode_protobuf, encode_protobuf
+
+    tune_for_oracle(spark)
+    ev = _normalized(spark, sf_dir).select(
+        F.col("table").alias("tbl"),
+        "operation",
+        F.col("txid"),
+        F.element_at(F.col("after"), "total_cents")
+        .cast("long")
+        .alias("cents_after"),
+    ).withColumn("cents", F.coalesce("cents_after", F.lit(0)))
+
+    writer = [(1, "tbl", "string"), (2, "operation", "string"),
+              (3, "txid", "uint64"), (4, "cents", "sint64"),
+              (15, "trace", "bytes")]
+    reader = writer[:4]
+
+    def serialize(batches):
+        for pdf in batches:
+            payloads = [
+                encode_protobuf(
+                    {"tbl": t, "operation": o, "txid": int(x), "cents": int(c),
+                     "trace": bytes([int(x) % 256]) * 3},
+                    writer,
+                )
+                for t, o, x, c in zip(
+                    pdf["tbl"], pdf["operation"], pdf["txid"], pdf["cents"]
+                )
+            ]
+            yield pd.DataFrame({"payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = [decode_protobuf(bytes(p), reader) for p in pdf["payload"]]
+            yield pd.DataFrame(rows, columns=["tbl", "operation", "txid", "cents"])
+
+    wire = ev.mapInPandas(serialize, "payload binary")
+    decoded = wire.mapInPandas(
+        decode, "tbl string, operation string, txid long, cents long"
+    )
+    return decoded.groupBy("tbl", "operation").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("txid").alias("sum_txid"),
+    )

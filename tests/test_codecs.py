@@ -1055,3 +1055,51 @@ def test_avro_error_paths():
     nonrec = bad.replace(b'"type":"record"', b'"type":"recorx"', 1)
     with _pytest.raises(ValueError, match="record schemas"):
         decode_avro(nonrec)
+
+
+# ---------------------------------------------------------------------------
+# Protocol Buffers wire format (qc27)
+# ---------------------------------------------------------------------------
+
+
+def test_protobuf_roundtrip_all_types_and_defaults():
+    """All eight wire-typed primitives round-trip; proto3 default-valued
+    fields are elided on the wire and restored on decode."""
+    from better_cdc_spark.codecs import decode_protobuf, encode_protobuf
+
+    schema = [(1, "id", "uint64"), (2, "delta", "sint64"), (3, "name", "string"),
+              (4, "score", "double"), (5, "ok", "bool"), (6, "raw", "bytes"),
+              (7, "ts32", "fixed32"), (8, "ts64", "fixed64")]
+    for i in range(500):
+        msg = {"id": i, "delta": (-1) ** i * i * 7919,
+               "name": f"m{i}-é" if i % 3 else "", "score": i / 7.0,
+               "ok": i % 2 == 0, "raw": bytes([i % 256]) if i % 5 else b"",
+               "ts32": i * 13 % 2**32, "ts64": i * 10**15}
+        enc = encode_protobuf(msg, schema)
+        assert decode_protobuf(enc, schema) == msg
+    # a fully-default message is zero bytes on the wire
+    zero = {"id": 0, "delta": 0, "name": "", "score": 0.0, "ok": False,
+            "raw": b"", "ts32": 0, "ts64": 0}
+    assert encode_protobuf(zero, schema) == b""
+    assert decode_protobuf(b"", schema) == zero
+
+
+def test_protobuf_unknown_field_skipping_and_errors():
+    """A reader with a reduced schema skips unknown fields by wire type
+    (forward compatibility); a wire-type/schema contradiction raises."""
+    import pytest as _pytest
+
+    from better_cdc_spark.codecs import decode_protobuf, encode_protobuf
+
+    writer = [(1, "id", "uint64"), (2, "name", "string"),
+              (3, "score", "double"), (9, "blob", "bytes")]
+    enc = encode_protobuf(
+        {"id": 7, "name": "x", "score": 2.5, "blob": b"zz"}, writer
+    )
+    reader = [(1, "id", "uint64")]
+    assert decode_protobuf(enc, reader) == {"id": 7}
+    # declare field 2 as uint64 (wire type 0) though the wire says 2
+    with _pytest.raises(ValueError, match="wire type"):
+        decode_protobuf(enc, [(2, "name", "uint64")])
+    with _pytest.raises(ValueError, match="varint exceeds"):
+        decode_protobuf(b"\x08" + b"\xff" * 10 + b"\x01", [(1, "id", "uint64")])
