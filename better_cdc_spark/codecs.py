@@ -3570,3 +3570,153 @@ def decode_protobuf(payload: bytes, schema: list[tuple[int, str, str]]) -> dict:
             else:
                 raise ValueError(f"unsupported wire type {wt} (groups/reserved)")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gorilla time-series compression (Pelkonen et al., VLDB 2015 — the public
+# Facebook paper behind every modern TSDB block format). Timestamps as
+# delta-of-delta prefix codes, values as XOR with leading/trailing-zero
+# windows. Lossless over (int64 ms, int64 milli-value) points.
+# ---------------------------------------------------------------------------
+
+
+class _GorillaBitWriter:
+    """MSB-first bit writer (distinct from the GIF-LZW and VP8L bit IO —
+    same-name shadowing broke GIF once; see the codec-history note)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            return bytes(self.buf) + bytes([(self.acc << pad) & 0xFF])
+        return bytes(self.buf)
+
+
+class _GorillaBitReader:
+    def __init__(self, payload: bytes) -> None:
+        self.buf = payload
+        self.pos = 0  # bit position
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        for _ in range(nbits):
+            byte = self.buf[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+def _signed(u: int, nbits: int) -> int:
+    return u - (1 << nbits) if u >= 1 << (nbits - 1) else u
+
+
+def encode_gorilla(points: list[tuple[int, int]]) -> bytes:
+    """[(ts_ms, value_int)] → Gorilla block. Header: n (u32), first ts
+    (i64), first value (i64). Then per point: delta-of-delta prefix
+    codes ('0' | '10'+7 | '110'+9 | '1110'+12 | '1111'+64) and
+    XOR-coded values ('0' identical | '10' reuse window | '11' + 6-bit
+    leading + 6-bit length + meaningful bits)."""
+    if not points:
+        return struct.pack(">I", 0)
+    w = _GorillaBitWriter()
+    t0, v0 = points[0]
+    out = struct.pack(">Iqq", len(points), t0, v0)
+    prev_t, prev_v = t0, v0
+    prev_delta = 0
+    prev_lead, prev_len = -1, 0
+    for t, v in points[1:]:
+        # -- timestamp: delta of delta
+        delta = t - prev_t
+        dod = delta - prev_delta
+        if dod == 0:
+            w.write(0, 1)
+        elif -64 <= dod <= 63:
+            w.write(0b10, 2)
+            w.write(dod & 0x7F, 7)
+        elif -256 <= dod <= 255:
+            w.write(0b110, 3)
+            w.write(dod & 0x1FF, 9)
+        elif -2048 <= dod <= 2047:
+            w.write(0b1110, 4)
+            w.write(dod & 0xFFF, 12)
+        else:
+            w.write(0b1111, 4)
+            w.write(dod & ((1 << 64) - 1), 64)
+        prev_delta, prev_t = delta, t
+        # -- value: XOR against previous
+        x = (v ^ prev_v) & ((1 << 64) - 1)
+        if x == 0:
+            w.write(0, 1)
+        else:
+            lead = 64 - x.bit_length()
+            trail = (x & -x).bit_length() - 1
+            if (
+                prev_lead >= 0
+                and lead >= prev_lead
+                and trail >= 64 - prev_lead - prev_len
+            ):
+                w.write(0b10, 2)
+                w.write(x >> (64 - prev_lead - prev_len), prev_len)
+            else:
+                lead = min(lead, 63)
+                mlen = 64 - lead - trail
+                w.write(0b11, 2)
+                w.write(lead, 6)
+                w.write(mlen & 0x3F, 6)  # 64 encodes as 0
+                w.write(x >> trail, mlen)
+                prev_lead, prev_len = lead, mlen
+        prev_v = v
+    return out + w.bytes()
+
+
+def decode_gorilla(payload: bytes) -> list[tuple[int, int]]:
+    """Gorilla block → [(ts_ms, value_int)] — exact inverse of
+    encode_gorilla."""
+    (n,) = struct.unpack_from(">I", payload, 0)
+    if n == 0:
+        return []
+    t, v = struct.unpack_from(">qq", payload, 4)
+    points = [(t, v)]
+    r = _GorillaBitReader(payload[20:])
+    delta = 0
+    lead, mlen = -1, 0
+    for _ in range(n - 1):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = _signed(r.read(7), 7)
+        elif r.read(1) == 0:
+            dod = _signed(r.read(9), 9)
+        elif r.read(1) == 0:
+            dod = _signed(r.read(12), 12)
+        else:
+            dod = _signed(r.read(64), 64)
+        delta += dod
+        t += delta
+        if r.read(1) == 1:
+            if r.read(1) == 0:  # reuse window
+                if lead < 0:
+                    raise ValueError("window reuse before any window was set")
+                x = r.read(mlen) << (64 - lead - mlen)
+            else:
+                lead = r.read(6)
+                mlen = r.read(6) or 64
+                trail = 64 - lead - mlen
+                x = r.read(mlen) << trail
+            v = (v ^ x) - (1 << 64) if (v ^ x) >= 1 << 63 else v ^ x
+            v &= (1 << 64) - 1
+            v = v - (1 << 64) if v >= 1 << 63 else v
+        points.append((t, v))
+    return points

@@ -1103,3 +1103,61 @@ def test_protobuf_unknown_field_skipping_and_errors():
         decode_protobuf(enc, [(2, "name", "uint64")])
     with _pytest.raises(ValueError, match="varint exceeds"):
         decode_protobuf(b"\x08" + b"\xff" * 10 + b"\x01", [(1, "id", "uint64")])
+
+
+# ---------------------------------------------------------------------------
+# Gorilla time-series blocks (q42g)
+# ---------------------------------------------------------------------------
+
+
+def test_gorilla_roundtrip_fuzz():
+    """Lossless over irregular deltas, constant runs, window reuse, sign
+    flips, 64-bit dod escapes, and empty/singleton series."""
+    import random
+
+    from better_cdc_spark.codecs import decode_gorilla, encode_gorilla
+
+    rng = random.Random(9)
+    assert decode_gorilla(encode_gorilla([])) == []
+    assert decode_gorilla(encode_gorilla([(5, -7)])) == [(5, -7)]
+    for trial in range(25):
+        n = rng.randint(2, 400)
+        t = rng.randint(-10**12, 10**12)
+        v = rng.randint(-10**9, 10**9)
+        pts = []
+        for _ in range(n):
+            kind = rng.random()
+            t += 1000 if kind < 0.6 else rng.randint(-5000, 500000)
+            if kind >= 0.2:
+                v = v + rng.randint(-100, 100) if kind < 0.8 else rng.randint(
+                    -10**12, 10**12
+                )
+            pts.append((t, v))
+        assert decode_gorilla(encode_gorilla(pts)) == pts, trial
+
+
+def test_gorilla_compression_ratio_on_regular_series():
+    """Regular 1s cadence + small value jitter — the telemetry shape the
+    format was designed for — must compress at least 10x (measured ~21x);
+    a prefix-code regression shows up as a ratio collapse."""
+    from better_cdc_spark.codecs import decode_gorilla, encode_gorilla
+
+    pts = [(1000 * i, 500000 + (i % 7)) for i in range(10000)]
+    enc = encode_gorilla(pts)
+    assert decode_gorilla(enc) == pts
+    assert 16 * len(pts) / len(enc) > 10, f"ratio {16 * len(pts) / len(enc):.1f}"
+
+
+def test_gorilla_window_reuse_and_escape_paths():
+    """Force each value branch: identical (bit '0'), in-window reuse
+    ('10'), new window ('11'), and the 64-bit dod escape."""
+    from better_cdc_spark.codecs import decode_gorilla, encode_gorilla
+
+    pts = [
+        (0, 100), (1000, 100),            # identical value
+        (2000, 101), (3000, 102),         # new window then reuse
+        (4000, 1 << 40),                  # window change (big jump)
+        (4001 + (1 << 40), 1 << 40),      # huge dod -> 64-bit escape
+        (4002 + (1 << 40), -5),           # sign flip through XOR
+    ]
+    assert decode_gorilla(encode_gorilla(pts)) == pts
