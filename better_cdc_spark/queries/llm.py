@@ -10945,3 +10945,87 @@ def q01e_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_cents").alias("sum_cents"),
         F.sum("sum_status_chars").alias("sum_status_chars"),
     )
+
+
+@query(
+    "q94o_dataset_card",
+    oracle="""
+    WITH tok AS (
+      SELECT source, lang, doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    ), per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+             CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+      FROM tok GROUP BY source
+    ), lang_counts AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, lang
+    ), top_lang AS (
+      SELECT source, lang AS top_lang, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, lang) AS rk
+      FROM lang_counts
+    )
+    SELECT p.source, p.n_docs, p.n_chars, p.n_tokens, p.n_langs,
+           t.top_lang,
+           t.c / CAST(p.n_docs AS DOUBLE) AS top_lang_share,
+           p.n_exact_dups,
+           p.n_exact_dups / CAST(p.n_docs AS DOUBLE) AS dup_frac,
+           p.n_short
+    FROM per_source p JOIN top_lang t ON t.source = p.source AND t.rk = 1
+    """,
+    tags=("llm", "governance", "report", "composite"),
+)
+def q94o_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD — the one-page per-source factsheet a dataset
+    release ships (sizes, token counts, language mix, duplication,
+    short-doc fraction): the governance composite that makes the rest
+    of the q94/q95/q98 machinery legible to a human reviewer, and the
+    table mixing decisions get justified against.
+
+    One corpus scan feeds everything: per-source exact counts and sums,
+    exact-duplicate rate via a content-hash distinct (the q95 keeper
+    discipline as a RATE), language mode with deterministic tie-break,
+    and the short-doc gate fraction. All ratios are one division of
+    exact BIGINTs. Scale: two hash aggs on (source) and (source, lang)
+    plus a |sources x langs|-bounded top-1 window — report cost is
+    independent of document size, linear in the scan.
+    """
+    tune_for_oracle(spark)
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    per_source = tok.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("n_exact_dups"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short"),
+    )
+    lang_counts = tok.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    wt = W.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang"))
+    top = (
+        lang_counts.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    return per_source.join(F.broadcast(top), "source").select(
+        "source", "n_docs", "n_chars", "n_tokens", "n_langs", "top_lang",
+        (F.col("c") / F.col("n_docs").cast("double")).alias("top_lang_share"),
+        "n_exact_dups",
+        (F.col("n_exact_dups") / F.col("n_docs").cast("double")).alias("dup_frac"),
+        "n_short",
+    )

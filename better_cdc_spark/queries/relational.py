@@ -4939,3 +4939,103 @@ def q42g_gorilla_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "event_type string, n_points bigint, ts_checksum bigint, val_checksum bigint",
     )
+
+
+@query(
+    "q44e_max_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no,
+             ts
+      FROM flagged
+    ), intervals AS (
+      SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, session_no
+    ), deltas AS (
+      SELECT CAST(date_trunc('day', s) AS DATE) AS day, s AS t, 1 AS d
+      FROM intervals
+      UNION ALL
+      SELECT CAST(date_trunc('day', s) AS DATE), e, -1 FROM intervals
+    ), swept AS (
+      SELECT day, t, d,
+             SUM(d) OVER (PARTITION BY day ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    ), peak AS (
+      SELECT day, t, conc,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY conc DESC, t, d) AS rk
+      FROM swept
+    )
+    SELECT day, CAST(conc AS BIGINT) AS peak_concurrency, t AS peak_time
+    FROM peak WHERE rk = 1
+    """,
+    tags=("window", "interval", "sweep"),
+)
+def q44e_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap SWEEP: each
+    session becomes a +1 at its start and a −1 at its end, a running sum
+    over the ordered deltas is the live concurrency, and its argmax is
+    the capacity-planning number ('how many simultaneous users must we
+    hold'). The op relational engines struggle to express at scale —
+    here it is two window families: q44's sessionization (one user_id
+    sort, reused by lag + running sum) and a per-DAY sweep, so the
+    global ordered scan the naive form needs never exists; each day's
+    sweep is an independent partition.
+
+    Tie conventions pinned identically in both engines: at equal
+    timestamps ends sort before starts (d ascending — a session ending
+    exactly when another starts never double-counts), and the peak
+    reports its earliest attaining instant. Sessions are assigned to
+    the day they START (the boundary convention documented rather than
+    split — splitting at midnight is one extra explode if required).
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id", "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    intervals = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    day = F.to_date(F.date_trunc("day", F.col("s")))
+    deltas = intervals.select(
+        day.alias("day"), F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        intervals.select(day.alias("day"), F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    ws = W.partitionBy("day").orderBy("t", "d")
+    swept = deltas.withColumn(
+        "conc", F.sum("d").over(ws.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    wp = W.partitionBy("day").orderBy(F.col("conc").desc(), F.col("t"), F.col("d"))
+    return (
+        swept.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "day",
+            F.col("conc").cast("long").alias("peak_concurrency"),
+            F.col("t").alias("peak_time"),
+        )
+    )
