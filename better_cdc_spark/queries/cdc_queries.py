@@ -2359,3 +2359,91 @@ def qc27_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sum_cents"),
         F.sum("txid").alias("sum_txid"),
     )
+
+
+@query(
+    "qc28_delivery_order_audit",
+    oracle=_ORACLE_BASE
+    + """
+    , feed AS (
+      -- at-least-once delivery simulation, derived from (txid, seq) only:
+      -- every event whose (txid*31+seq) % 17 = 0 is delivered twice, and
+      -- arrival order scrambles commit order via a deterministic jitter
+      SELECT "table" AS tbl, seq, txid,
+             txid * 1000 + seq * 10 + (txid + seq) % 7 AS arrival
+      FROM envelope
+      UNION ALL
+      SELECT "table", seq, txid,
+             txid * 1000 + seq * 10 + (txid + seq) % 7 + 100000000
+      FROM envelope WHERE (txid * 31 + seq) % 17 = 0
+    ), ordered AS (
+      SELECT tbl, seq, txid, arrival,
+             LAG(txid * 1000000 + seq) OVER w AS prev_pos,
+             txid * 1000000 + seq AS pos,
+             CASE WHEN COUNT(*) OVER (PARTITION BY tbl, txid, seq) > 1
+                  THEN 1 ELSE 0 END AS dup_flag
+      FROM feed
+      WINDOW w AS (PARTITION BY tbl ORDER BY arrival, txid, seq)
+    )
+    SELECT tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_delivered,
+           CAST(SUM(CASE WHEN prev_pos IS NOT NULL AND pos < prev_pos
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_regressions,
+           CAST(SUM(dup_flag) / 2 AS BIGINT) AS n_duplicated_events,
+           CAST(MAX(pos) AS BIGINT) AS high_watermark
+    FROM ordered GROUP BY tbl
+    """,
+    tags=("cdc", "monitoring", "ordering", "audit"),
+)
+def qc28_delivery_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side DELIVERY-ORDER audit — the monitor a CDC consumer
+    runs against an at-least-once feed before trusting it: per table,
+    how many deliveries arrived, how many POSITION REGRESSIONS occurred
+    (an event with a lower (txid, seq) landing after a higher one —
+    exactly what the reference's ordered publisher exists to prevent,
+    publish_retry.py / waitforacks_test.go), how many events were
+    delivered more than once (legal at-least-once redundancy that
+    idempotent sinks absorb, qc11/qm04), and the high watermark.
+
+    The feed is a deterministic simulation over the envelope keyed
+    ONLY on (txid, seq) — every 17th event by a txid/seq hash doubles,
+    arrival order jitters commit order within a table — so expected
+    regression and duplicate counts are exact in both engines. One
+    arrival-ordered window per table plus a dup-count window over the
+    same partitioning; the report is |tables|-bounded. In production
+    this alert feeds qc25's lag dashboard.
+    """
+    tune_for_oracle(spark)
+    ev = _normalized(spark, sf_dir)
+    parts = F.split(F.col("event_id"), ":")
+    base = ev.select(
+        F.col("table").alias("tbl"),
+        F.col("txid"),
+        F.element_at(parts, -1).cast("long").alias("seq"),
+    )
+    arrival = F.col("txid") * 1000 + F.col("seq") * 10 + (F.col("txid") + F.col("seq")) % 7
+    once = base.select("tbl", "txid", "seq", arrival.alias("arrival"))
+    dups = base.filter((F.col("txid") * 31 + F.col("seq")) % 17 == 0).select(
+        "tbl", "txid", "seq", (arrival + 100000000).alias("arrival")
+    )
+    feed = once.unionByName(dups)
+    wo = W.partitionBy("tbl").orderBy("arrival", "txid", "seq")
+    pos = F.col("txid") * 1000000 + F.col("seq")
+    ordered = feed.select(
+        "tbl", "arrival", "txid", "seq",
+        pos.alias("pos"),
+        F.lag(pos).over(wo).alias("prev_pos"),
+        F.when(
+            F.count("*").over(W.partitionBy("tbl", "txid", "seq")) > 1, 1
+        ).otherwise(0).alias("dup_flag"),
+    )
+    return ordered.groupBy("tbl").agg(
+        F.count("*").alias("n_delivered"),
+        F.sum(
+            F.when(
+                F.col("prev_pos").isNotNull() & (F.col("pos") < F.col("prev_pos")), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_regressions"),
+        (F.sum("dup_flag") / 2).cast("long").alias("n_duplicated_events"),
+        F.max("pos").alias("high_watermark"),
+    )
