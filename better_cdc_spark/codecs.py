@@ -3715,8 +3715,7 @@ def decode_gorilla(payload: bytes) -> list[tuple[int, int]]:
                 mlen = r.read(6) or 64
                 trail = 64 - lead - mlen
                 x = r.read(mlen) << trail
-            v = (v ^ x) - (1 << 64) if (v ^ x) >= 1 << 63 else v ^ x
-            v &= (1 << 64) - 1
-            v = v - (1 << 64) if v >= 1 << 63 else v
+            u = (v ^ x) & ((1 << 64) - 1)  # XOR in the 64-bit pattern domain
+            v = u - (1 << 64) if u >= 1 << 63 else u  # back to signed
         points.append((t, v))
     return points
