@@ -664,3 +664,29 @@ def test_qc26_temporal_join_is_broadcast_equi(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q44e_sweep_reuses_session_sort_and_partitions_by_day(spark):
+    """The concurrency sweep must not plan a global ordered scan: the
+    session windows share one user_id sort, and every sweep window is
+    day-partitioned."""
+    plan = plan_of(spark, "q44e_max_concurrency")
+    assert "CartesianProduct" not in plan
+    # no single-partition exchange: all windows are keyed
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q94o_dataset_card_two_aggs_one_scan(spark):
+    """The card is two keyed hash-agg families + a bounded top-1 window;
+    joins broadcast; no products."""
+    plan = plan_of(spark, "q94o_dataset_card")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q47c_attribution_is_joinless(spark):
+    """Last-touch attribution is one per-user window family — any join in
+    the plan means the as-of shortcut regressed to an as-of join."""
+    plan = plan_of(spark, "q47c_last_touch_attribution")
+    assert "Join" not in plan, plan[:1500]
