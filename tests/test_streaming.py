@@ -388,3 +388,63 @@ def test_rate_limited_source_runs_multiple_batches(spark):
         q.stop()
         q.awaitTermination()
     assert batches >= 4, f"expected >=4 micro-batches, got {batches}"
+
+
+def test_qm07_ivm_is_arrival_order_independent(spark):
+    """The IVM theorem qm07's oracle rests on, pinned directly: folding
+    the SAME delta set in a different micro-batch decomposition (and
+    reversed arrival order) produces the identical view. Runs the
+    retraction algebra on two hand-built decompositions of one
+    changelog and hash-compares the merged views."""
+    rows = []
+    for k in range(300):
+        rows.append((k, "INSERT", None, None, str(k % 5), k * 10))
+        if k % 10 == 6:
+            rows.append((k, "UPDATE", str(k % 5), k * 10, str(k % 5), k * 10 + 250))
+        if k % 10 == 7:
+            rows.append((k, "UPDATE", str(k % 5), k * 10, "R", k * 10))
+        if k % 10 == 9:
+            rows.append((k, "DELETE", str(k % 5), k * 10, None, None))
+    schema = "okey long, op string, g_old string, v_old long, g_new string, v_new long"
+    changelog = spark.createDataFrame(rows, schema)
+
+    def fold(batches):
+        from pyspark.sql import functions as F
+
+        partials = []
+        for b in batches:
+            retract = b.filter(F.col("g_old").isNotNull()).select(
+                F.col("g_old").alias("grp"),
+                F.lit(-1).cast("long").alias("dn"),
+                (-F.col("v_old")).alias("dsum"),
+            )
+            assert_ = b.filter(F.col("g_new").isNotNull()).select(
+                F.col("g_new").alias("grp"),
+                F.lit(1).cast("long").alias("dn"),
+                F.col("v_new").alias("dsum"),
+            )
+            partials.append(
+                retract.unionByName(assert_)
+                .groupBy("grp")
+                .agg(F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum"))
+            )
+        merged = partials[0]
+        for p in partials[1:]:
+            merged = merged.unionByName(p)
+        view = (
+            merged.groupBy("grp")
+            .agg(F.sum("dn").alias("n_rows"), F.sum("dsum").alias("sum_cents"))
+            .filter(F.col("n_rows") > 0)
+        )
+        return sorted(map(tuple, view.collect()))
+
+    three_fwd = fold([changelog.filter(F.col("okey") % 3 == b) for b in range(3)])
+    five_rev = fold(
+        [changelog.filter(F.col("okey") % 5 == b) for b in reversed(range(5))]
+    )
+    one_shot = fold([changelog])
+    assert three_fwd == five_rev == one_shot
+    # and the view matches the directly-computed final state
+    assert ("R", 30, sum(k * 10 for k in range(300) if k % 10 == 7)) in {
+        (g, n, s) for g, n, s in one_shot
+    }
