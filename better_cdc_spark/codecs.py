@@ -3392,6 +3392,11 @@ def encode_avro(
         if codec == "deflate":
             comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate per spec
             body = comp.compress(bytes(body)) + comp.flush()
+        elif codec == "snappy":
+            # Avro snappy blocks append a big-endian CRC32 of the
+            # UNCOMPRESSED data (the one codec with an integrity suffix)
+            crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
+            body = snappy_compress(bytes(body)) + struct.pack(">I", crc)
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec {codec!r}")
         out += _zigzag_encode(len(block))
@@ -3445,6 +3450,11 @@ def decode_avro(payload: bytes) -> dict:
         pos += blen
         if codec == "deflate":
             body = zlib.decompress(body, wbits=-15)
+        elif codec == "snappy":
+            (crc,) = struct.unpack(">I", body[-4:])
+            body = snappy_decompress(body[:-4])
+            if zlib.crc32(body) & 0xFFFFFFFF != crc:
+                raise ValueError("Avro snappy block CRC mismatch")
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec {codec!r}")
         bpos = 0
@@ -3719,3 +3729,100 @@ def decode_gorilla(payload: bytes) -> list[tuple[int, int]]:
             v = u - (1 << 64) if u >= 1 << 63 else u  # back to signed
         points.append((t, v))
     return points
+
+
+# ---------------------------------------------------------------------------
+# Snappy block format (the public google/snappy format description) —
+# the default block codec of half the Avro/Kafka/parquet world. Decoder
+# covers the full tag set (literals + copies with 1/2/4-byte offsets);
+# the encoder emits greedy hash-match copies like the reference C++
+# (correctness does not depend on match quality — any tag stream that
+# decodes to the input is valid snappy).
+# ---------------------------------------------------------------------------
+
+
+def snappy_decompress(payload: bytes) -> bytes:
+    ulen, pos = _pb_varint_decode(payload, 0)  # same varint as protobuf
+    out = bytearray()
+    while pos < len(payload):
+        tag = payload[pos]
+        pos += 1
+        t = tag & 3
+        if t == 0:  # literal
+            n = tag >> 2
+            if n >= 60:
+                nb = n - 59
+                n = int.from_bytes(payload[pos : pos + nb], "little")
+                pos += nb
+            n += 1
+            out += payload[pos : pos + n]
+            pos += n
+            continue
+        if t == 1:  # copy, 1-byte offset, len 4..11
+            length = ((tag >> 2) & 7) + 4
+            offset = ((tag >> 5) << 8) | payload[pos]
+            pos += 1
+        elif t == 2:  # copy, 2-byte offset
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(payload[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(payload[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy copy offset out of range")
+        # overlapping copies are legal and REQUIRED (RLE spelled as
+        # offset < length): copy byte-at-a-time semantics
+        start = len(out) - offset
+        for i in range(length):
+            out.append(out[start + i])
+    if len(out) != ulen:
+        raise ValueError(f"snappy length mismatch: {len(out)} != {ulen}")
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Greedy 4-byte hash matcher — small but real compression; any
+    output is checked only by decoding back to the input."""
+    out = bytearray(_pb_varint_encode(len(data)))
+
+    def emit_literal(chunk: bytes) -> None:
+        i = 0
+        while i < len(chunk):
+            part = chunk[i : i + 65536]
+            n = len(part) - 1
+            if n < 60:
+                out.append(n << 2)
+            else:
+                nb = (n.bit_length() + 7) // 8
+                out.append((59 + nb) << 2)
+                out.extend(n.to_bytes(nb, "little"))
+            out.extend(part)
+            i += len(part)
+
+    table: dict[bytes, int] = {}
+    i = lit_start = 0
+    n = len(data)
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 65535:
+            length = 4
+            while i + length < n and length < 64 and data[j + length] == data[i + length]:
+                length += 1
+            emit_literal(data[lit_start:i])
+            offset = i - j
+            if 4 <= length <= 11 and offset < 2048:
+                out.append(1 | ((length - 4) << 2) | ((offset >> 8) << 5))
+                out.append(offset & 0xFF)
+            else:
+                out.append(2 | ((length - 1) << 2))
+                out += offset.to_bytes(2, "little")
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(data[lit_start:])
+    return bytes(out)

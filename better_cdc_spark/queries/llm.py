@@ -10869,9 +10869,13 @@ def q01e_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     varints, string/double/bytes/bool primitives, deflate and null
     block codecs, per-block sync-marker verification).
 
-    Stage 1 shards orders 16 ways and writes REAL deflate-coded Avro
-    container bytes per shard in-plan; stage 2 ingests them — walks
-    blocks, inflates, decodes records, checks sync markers — and
+    Stage 1 shards orders 16 ways and writes REAL Avro container bytes
+    per shard in-plan, alternating the two compressed block codecs by
+    shard parity (even: deflate; odd: snappy with the spec's big-endian
+    CRC32-of-uncompressed suffix — codecs.snappy_compress/decompress is
+    its own pure-Python block codec); stage 2 ingests them — walks
+    blocks, decompresses, verifies CRCs, decodes records, checks sync
+    markers — and
     aggregates per shard. The oracle recomputes from the source table,
     so a zigzag sign bug, block mis-split, or torn-sync acceptance
     hash-mismatches. Round-trip fuzz incl. negative longs, unicode,
@@ -10910,7 +10914,8 @@ def q01e_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for shard, recs in rows.items():
             recs.sort(key=lambda r: r["okey"])  # deterministic shard bytes
-            out.append((shard, encode_avro(recs, fields, codec="deflate",
+            codec = "deflate" if shard % 2 == 0 else "snappy"
+            out.append((shard, encode_avro(recs, fields, codec=codec,
                                            rows_per_block=250)))
         yield pd.DataFrame(out, columns=["shard", "payload"])
 
@@ -10919,7 +10924,8 @@ def q01e_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for shard, payload in zip(pdf["shard"], pdf["payload"]):
                 m = decode_avro(bytes(payload))
-                assert m["codec"] == "deflate" and m["fields"] == fields
+                expect = "deflate" if int(shard) % 2 == 0 else "snappy"
+                assert m["codec"] == expect and m["fields"] == fields
                 n = len(m["records"])
                 rows.append(
                     (
