@@ -2447,3 +2447,183 @@ def qc28_delivery_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dup_flag") / 2).cast("long").alias("n_duplicated_events"),
         F.max("pos").alias("high_watermark"),
     )
+
+
+@query(
+    "qc29_wire_e2e_pipeline",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT "table" AS tbl, operation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN operation = 'DELETE' THEN 0
+                         ELSE CAST(total_cents AS BIGINT) END) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(txid) AS BIGINT) AS sum_txid
+    FROM envelope
+    WHERE txid % 7 = 0
+    GROUP BY tbl, operation
+    """,
+    tags=("cdc", "e2e", "socket", "protobuf", "network"),
+)
+def qc29_wire_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE job, wire-real at BOTH ends with binary
+    payloads: PG-framed XLogData over a real TCP replication socket
+    (with a scripted mid-stream disconnect + resume-from-acked-LSN) →
+    distributed normalize → proto3-serialized envelopes published
+    through the ordered ack-gated engine over a real TCP broker socket
+    (with scripted transient failures forcing in-order retries) →
+    consumer-side protobuf decode under a REDUCED reader schema
+    (unknown-field skip per row) → aggregate. One query, every leg of
+    internal/{wal,engine,publisher} composed: qc21 proves the source
+    leg, qc22 the sink leg, qc27 the payload codec — this is the
+    integration of all three, hash-checked against the source
+    derivation. At-least-once broker redundancy is absorbed by msg-id
+    (event_id) dedup, qc11's contract.
+
+    The stream is sliced to txid % 7 = 0 (~2.4k events at sf0.01) —
+    both socket legs are serial BY PROTOCOL (one replication socket,
+    per-item ordered publish), exactly like the reference process; the
+    slice keeps the serial legs honest but bounded while normalize,
+    decode, and aggregation stay distributed.
+    """
+    import time as _time
+
+    import pandas as pd
+
+    from better_cdc_spark.cdc.replication import (
+        ReplicationLoop,
+        lsn_to_str,
+        start_replication_command,
+    )
+    from better_cdc_spark.cdc.socket_wire import FakeWalServer, connect_wire
+    from better_cdc_spark.codecs import decode_protobuf, encode_protobuf
+    from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
+    from better_cdc_spark.streaming.publish_retry import (
+        OrderedPublishEngine,
+        PublishItem,
+        publish_and_checkpoint,
+    )
+    from better_cdc_spark.streaming.socket_broker import (
+        BrokerScript,
+        FakeBrokerServer,
+        SocketPublishTransport,
+    )
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    changelog = synthesize_changelog_from_orders(orders).filter(
+        F.col("xid") % 7 == 0
+    )
+
+    # -- leg 1: replication socket with disconnect + resume ------------
+    rows = changelog.select(
+        "ingest_seq", "action",
+        F.to_json(F.struct(*changelog.columns)).alias("line"),
+    ).collect()  # bounded slice feeds the serial wire
+    rows.sort(key=lambda r: (int(r["ingest_seq"]), r["action"]))
+    wal = [(1000 + i, r["line"].encode()) for i, r in enumerate(rows)]
+    recovered: list[str] = []
+
+    def on_payload(frame):
+        recovered.append(frame.payload.decode())
+        return lsn_to_str(frame.wal_start)
+
+    with FakeWalServer(
+        wal, keepalive_every=50, disconnect_after={0: len(wal) // 2}
+    ) as srv:
+        loop = ReplicationLoop(
+            connect=lambda resume: connect_wire(
+                "127.0.0.1", srv.port,
+                start_replication_command("bcs_slot", resume),
+            ),
+            sleep=lambda s: None,
+            standby_timeout_s=5.0,
+        )
+        loop.run(on_payload)
+        assert loop.reconnects >= 1, "disconnect script did not fire"
+
+    # -- distributed normalize -----------------------------------------
+    lines_back = spark.createDataFrame(
+        [(l,) for l in recovered], "line string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    ev = normalize_changelog(
+        lines_back.select(F.from_json("line", CHANGE_LOG_SCHEMA).alias("r")).select("r.*"),
+        database="testdb",
+        allowlist=ALLOWLIST,
+    ).select(
+        "event_id", "subject", "lsn", "txid",
+        F.col("table").alias("tbl"), "operation",
+        F.coalesce(
+            F.element_at(F.col("after"), "total_cents").cast("long"), F.lit(0)
+        ).alias("cents"),
+    )
+
+    # -- leg 2: proto3 payloads over the broker socket ------------------
+    writer = [(1, "event_id", "string"), (2, "tbl", "string"),
+              (3, "operation", "string"), (4, "txid", "uint64"),
+              (5, "cents", "sint64"), (15, "trace", "bytes")]
+    reader = writer[:5]
+    pub_rows = ev.collect()  # bounded: the reference's per-batch publish model
+    pub_rows.sort(key=lambda r: (int(r["txid"]), r["event_id"]))
+    batches: dict[int, list[PublishItem]] = {}
+    for r in pub_rows:
+        payload = encode_protobuf(
+            {"event_id": r["event_id"], "tbl": r["tbl"],
+             "operation": r["operation"], "txid": int(r["txid"]),
+             "cents": int(r["cents"]), "trace": b"\x07\x07"},
+            writer,
+        )
+        batches.setdefault(int(r["txid"]), []).append(
+            PublishItem(
+                subject=r["subject"], event_id=r["event_id"],
+                payload=payload, position=r["lsn"],
+            )
+        )
+    script = BrokerScript(
+        fail_first={r["event_id"]: 1 for i, r in enumerate(pub_rows) if i % 13 == 0},
+        # sparse drop_acks: each one costs a full publish timeout while
+        # the client waits for the lost ack, so keep the set small and
+        # the timeout tight — the duplication SEMANTICS need one firing
+        drop_ack={r["event_id"] for i, r in enumerate(pub_rows) if i % 499 == 1},
+    )
+    engine = OrderedPublishEngine(
+        max_publish_retries=3, publish_timeout_s=0.25,
+        sleep=lambda s: _time.sleep(min(s, 0.002)),
+    )
+    with FakeBrokerServer(script) as srv:
+        with SocketPublishTransport("127.0.0.1", srv.port) as tp:
+            for txid in sorted(batches):
+                items = batches[txid]
+                result = publish_and_checkpoint(
+                    engine, tp, items,
+                    commit_position=items[-1].position,
+                    checkpoint_cb=lambda pos: None,
+                )
+                assert result.is_complete(), f"tx {txid}: {result.first_error}"
+        received = list(srv.received_payloads)
+    assert engine.retry_count >= 1, "fail-nth never fired"
+    assert len(received) > len({r["event_id"] for r in pub_rows} & {
+        decode_protobuf(bytes(p), reader)["event_id"] for p in received
+    }), "drop-ack duplication never fired"
+
+    # -- leg 3: consumer-side decode (reduced schema) + dedup + agg -----
+    wire = spark.createDataFrame(
+        [(bytes(p),) for p in received], "payload binary"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def decode(batch_iter):
+        for pdf in batch_iter:
+            recs = [decode_protobuf(bytes(p), reader) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                recs, columns=["event_id", "tbl", "operation", "txid", "cents"]
+            )
+
+    decoded = wire.mapInPandas(
+        decode,
+        "event_id string, tbl string, operation string, txid long, cents long",
+    ).dropDuplicates(["event_id"])  # broker msg-id dedup (qc11 contract)
+    return decoded.groupBy("tbl", "operation").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("txid").alias("sum_txid"),
+    )

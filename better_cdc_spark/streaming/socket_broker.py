@@ -187,6 +187,11 @@ class FakeBrokerServer:
     def __init__(self, script: BrokerScript | None = None) -> None:
         self.script = script or BrokerScript()
         self.received: list[tuple[str, str]] = []  # (subject, event_id)
+        #: payload bytes of every PERSISTED publish, in storage order —
+        #: a drop_ack message is persisted with its ack lost, so its
+        #: retry persists AGAIN: the at-least-once duplication consumers
+        #: must dedup by msg id (qc11/qc29)
+        self.received_payloads: list[bytes] = []
         self._attempts: dict[str, int] = defaultdict(int)
         self._dropped_once: set = set()
         self._lock = threading.Lock()
@@ -240,6 +245,7 @@ class FakeBrokerServer:
             s = self.script
             if eid in s.drop_ack and eid not in self._dropped_once:
                 self._dropped_once.add(eid)
+                self.received_payloads.append(payload)  # persisted, ack lost
                 return  # lost response; the retry will be answered
         if s.max_payload is not None and len(payload) > s.max_payload:
             reply = {"req": req, "event_id": eid, "err": "maxpayload"}
@@ -247,6 +253,8 @@ class FakeBrokerServer:
             reply = {"req": req, "event_id": eid, "err": "transient"}
         else:
             reply = {"req": req, "event_id": eid, "ok": True}
+            with self._lock:
+                self.received_payloads.append(payload)
         delay = s.ack_delay_s.get(eid)
         if delay:
             time.sleep(delay)
