@@ -3826,3 +3826,134 @@ def snappy_compress(data: bytes) -> bytes:
             i += 1
     emit_literal(data[lit_start:])
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (TIFF-IFD) metadata — the public TIFF 6.0 / EXIF structure every
+# camera writes into JPEG APP1: byte-order header, 12-byte IFD entries
+# (tag, type, count, value-or-offset), a pointer tag to the Exif sub-IFD.
+# Orientation is the tag that silently transposes a training corpus.
+# ---------------------------------------------------------------------------
+
+_EXIF_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # type -> byte size per item
+
+
+def encode_exif_app1(
+    tags: dict[int, object], exif_tags: dict[int, object] | None = None,
+    byte_order: str = "<",
+) -> bytes:
+    """Build a real APP1 EXIF segment (for fixtures and tests). Values:
+    int -> SHORT/LONG, str -> ASCII, (num, den) -> RATIONAL."""
+    bo = byte_order
+    mark = b"II" if bo == "<" else b"MM"
+
+    def entry_and_extra(tag, val, extra_base):
+        extra = b""
+        if isinstance(val, str):
+            raw = val.encode() + b"\x00"
+            typ, cnt = 2, len(raw)
+            if cnt <= 4:
+                payload = raw.ljust(4, b"\x00")
+            else:
+                payload = struct.pack(bo + "I", extra_base)
+                extra = raw
+        elif isinstance(val, tuple):
+            typ, cnt = 5, 1
+            payload = struct.pack(bo + "I", extra_base)
+            extra = struct.pack(bo + "II", val[0], val[1])
+        elif isinstance(val, int) and val <= 0xFFFF:
+            typ, cnt = 3, 1
+            payload = struct.pack(bo + "H", val) + b"\x00\x00"
+        else:
+            typ, cnt = 4, 1
+            payload = struct.pack(bo + "I", val)
+        return struct.pack(bo + "HHI", tag, typ, cnt) + payload, extra
+
+    def build_ifd(entries: dict[int, object], base: int, next_off: int = 0):
+        n = len(entries)
+        extra_base = base + 2 + 12 * n + 4
+        body, extras = b"", b""
+        for tag in sorted(entries):
+            e, x = entry_and_extra(tag, entries[tag], extra_base + len(extras))
+            body += e
+            extras += x
+        return (
+            struct.pack(bo + "H", n) + body + struct.pack(bo + "I", next_off)
+            + extras
+        )
+
+    tiff_tags = dict(tags)
+    ifd0_base = 8
+    if exif_tags:
+        # reserve the pointer entry; the sub-IFD lands after IFD0
+        probe = build_ifd({**tiff_tags, 0x8769: 0}, ifd0_base)
+        sub_base = ifd0_base + len(probe)
+        tiff_tags[0x8769] = sub_base
+    tiff = mark + struct.pack(bo + "HI", 42, ifd0_base)
+    tiff += build_ifd(tiff_tags, ifd0_base)
+    if exif_tags:
+        tiff += build_ifd(exif_tags, len(tiff))
+    seg = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+
+
+def decode_exif(payload: bytes) -> dict:
+    """JPEG APP1 EXIF (or bare TIFF) → {tag: value} with Exif sub-IFD
+    tags merged in. Handles both byte orders, inline and offset values,
+    ASCII / SHORT / LONG / RATIONAL types. Missing EXIF raises."""
+    if payload[:2] == b"\xff\xd8":  # walk JPEG markers for APP1
+        pos = 2
+        tiff = None
+        while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            marker, ln = payload[pos + 1], int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = payload[pos + 10 : pos + 2 + ln]
+                break
+            if marker == 0xDA:  # start of scan: no APP1 came
+                break
+            pos += 2 + ln
+        if tiff is None:
+            raise ValueError("no EXIF APP1 segment")
+    else:
+        tiff = payload
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    magic, ifd_off = struct.unpack_from(bo + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+
+    out: dict[int, object] = {}
+
+    def read_ifd(off: int) -> None:
+        (n,) = struct.unpack_from(bo + "H", tiff, off)
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", tiff, off + 2 + 12 * i)
+            vpos = off + 2 + 12 * i + 8
+            size = _EXIF_TYPES.get(typ)
+            if size is None:
+                continue  # unknown type: skip, per TIFF reader rules
+            total = size * cnt
+            if total > 4:
+                (vpos,) = struct.unpack_from(bo + "I", tiff, vpos)
+            if typ == 2:
+                val = tiff[vpos : vpos + cnt].split(b"\x00")[0].decode("ascii")
+            elif typ == 5:
+                num, den = struct.unpack_from(bo + "II", tiff, vpos)
+                val = (num, den)
+            elif typ == 3:
+                val = struct.unpack_from(bo + "H", tiff, vpos)[0]
+            elif typ == 4:
+                val = struct.unpack_from(bo + "I", tiff, vpos)[0]
+            else:
+                val = tiff[vpos]
+            if tag == 0x8769:  # Exif sub-IFD pointer
+                read_ifd(val)
+            else:
+                out[tag] = val
+
+    read_ifd(ifd_off)
+    return out

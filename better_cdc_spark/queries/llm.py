@@ -11035,3 +11035,98 @@ def q94o_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_exact_dups") / F.col("n_docs").cast("double")).alias("dup_frac"),
         "n_short",
     )
+
+
+@query(
+    "q99ae_exif_metadata",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 + 1 AS orientation,
+             64 + (doc_id % 5) * 16 AS w,
+             48 + (doc_id % 3) * 16 AS h
+      FROM documents
+    )
+    SELECT orientation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN orientation >= 5 THEN h ELSE w END) AS BIGINT)
+             AS sum_eff_width,
+           CAST(SUM(CASE WHEN orientation >= 5 THEN w ELSE h END) AS BIGINT)
+             AS sum_eff_height
+    FROM d GROUP BY orientation
+    """,
+    tags=("llm", "multimodal", "image", "exif", "metadata"),
+)
+def q99ae_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation audit — the metadata bug that silently transposes
+    an image corpus: cameras store the raster unrotated and an
+    Orientation tag (5–8 = transposed forms), so a pipeline that
+    ignores APP1 trains on sideways images. This op walks the real
+    TIFF-IFD structure (codecs.decode_exif: both byte orders, inline
+    and offset values, ASCII/SHORT/LONG/RATIONAL, Exif sub-IFD chase)
+    inside JPEG APP1 segments synthesized onto real JPEG payloads, and
+    reports per-orientation counts and EFFECTIVE (display) dimensions —
+    the numbers a resize stage (q99d) must use instead of the raster's.
+
+    Fixture: per doc a deterministic orientation/dims/timestamp/exposure
+    tag set, alternating little/big-endian TIFF by doc parity so both
+    byte orders execute on every run; hand-assembled spec streams and
+    both-order round trips are pinned in tests/test_codecs.py. Both
+    stages Arrow-batched narrow maps + an 8-row agg.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from better_cdc_spark.codecs import (
+        decode_exif,
+        encode_exif_app1,
+        encode_jpeg_gray,
+    )
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        base = encode_jpeg_gray(8, 8, bytes([99] * 64))
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                app1 = encode_exif_app1(
+                    {
+                        0x0112: d % 8 + 1,
+                        0x0100: 64 + (d % 5) * 16,
+                        0x0101: 48 + (d % 3) * 16,
+                        0x010F: f"bcs-cam-{d % 4}",
+                    },
+                    {
+                        0x9003: f"2024:0{d % 9 + 1}:01 12:00:00",
+                        0x829A: (1, 2 ** (d % 6 + 4)),
+                    },
+                    byte_order="<" if d % 2 == 0 else ">",
+                )
+                payloads.append(base[:2] + app1 + base[2:])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                t = decode_exif(bytes(payload))
+                o = int(t[0x0112])
+                w, h = int(t[0x0100]), int(t[0x0101])
+                assert t[0x9003].startswith("2024:")  # sub-IFD chased
+                eff_w, eff_h = (h, w) if o >= 5 else (w, h)
+                rows.append((int(d), o, eff_w, eff_h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "orientation", "eff_w", "eff_h"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    meta = payloads.mapInPandas(
+        extract, "doc_id bigint, orientation int, eff_w int, eff_h int"
+    )
+    return meta.groupBy("orientation").agg(
+        F.count("*").alias("n"),
+        F.sum("eff_w").cast("long").alias("sum_eff_width"),
+        F.sum("eff_h").cast("long").alias("sum_eff_height"),
+    )

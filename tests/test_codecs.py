@@ -1217,3 +1217,56 @@ def test_avro_snappy_codec_and_crc():
     bad[len(enc) // 2] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_avro(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# EXIF / TIFF-IFD (q99ae)
+# ---------------------------------------------------------------------------
+
+
+def test_exif_roundtrip_both_byte_orders_and_in_jpeg():
+    import numpy as np
+
+    from better_cdc_spark.codecs import (
+        decode_exif, encode_exif_app1, encode_jpeg_gray,
+    )
+
+    for bo in ("<", ">"):
+        app1 = encode_exif_app1(
+            {0x0112: 6, 0x0100: 640, 0x0101: 480, 0x010F: "bcs-camera"},
+            {0x9003: "2024:05:01 12:00:00", 0x829A: (1, 125)},
+            byte_order=bo,
+        )
+        tags = decode_exif(app1[10:])  # bare TIFF
+        assert tags[0x0112] == 6 and (tags[0x0100], tags[0x0101]) == (640, 480)
+        assert tags[0x010F] == "bcs-camera"
+        assert tags[0x9003] == "2024:05:01 12:00:00"
+        assert tags[0x829A] == (1, 125)
+        img = np.full((8, 8), 99, dtype=np.uint8)
+        jpg = encode_jpeg_gray(8, 8, img.tobytes())
+        assert decode_exif(jpg[:2] + app1 + jpg[2:]) == tags
+
+
+def test_exif_hand_assembled_spec_stream_and_errors():
+    """A byte-literal big-endian TIFF (not produced by our encoder) with
+    one SHORT inline and one ASCII via offset; plus error paths."""
+    import struct
+
+    import pytest as _pytest
+
+    from better_cdc_spark.codecs import decode_exif
+
+    # header: MM, 42, IFD at 8; 2 entries; ASCII 'abcde\0' (6 bytes) at offset
+    ifd_entries = (
+        struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">H", 8) + b"\x00\x00"
+        + struct.pack(">HHI", 0x010F, 2, 6) + struct.pack(">I", 38)
+    )
+    tiff = (b"MM" + struct.pack(">HI", 42, 8)
+            + struct.pack(">H", 2) + ifd_entries + struct.pack(">I", 0)
+            + b"abcde\x00")
+    tags = decode_exif(tiff)
+    assert tags == {0x0112: 8, 0x010F: "abcde"}
+    with _pytest.raises(ValueError, match="byte-order"):
+        decode_exif(b"XX" + tiff[2:])
+    with _pytest.raises(ValueError, match="no EXIF"):
+        decode_exif(b"\xff\xd8\xff\xda\x00\x02")
