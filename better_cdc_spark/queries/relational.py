@@ -5039,3 +5039,67 @@ def q44e_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("peak_time"),
         )
     )
+
+
+@query(
+    "q29b_skew_advisor",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_custkey AS k, COUNT(*) AS c
+      FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM keyed
+    ), top AS (
+      SELECT k, CAST(c AS BIGINT) AS c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rk
+      FROM keyed
+    )
+    SELECT t.rk AS rank, t.k AS hot_key, t.c AS key_rows,
+           s.n_keys, s.n_rows,
+           t.c * CAST(s.n_keys AS DOUBLE) / s.n_rows AS skew_factor,
+           CAST(ceil(t.c * CAST(s.n_keys AS DOUBLE) / s.n_rows) AS BIGINT)
+             AS suggested_salt
+    FROM top t CROSS JOIN stats s
+    WHERE t.rk <= 10
+    """,
+    tags=("join", "skew", "advisor", "ops"),
+)
+def q29b_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-SKEW ADVISOR — the measurement behind q29's salted join:
+    per join key, its row count against the mean; the skew factor
+    (key rows ÷ mean rows/key) IS the salt fan-out that equalizes the
+    hot key's partitions, so the top-10 report's `suggested_salt`
+    column feeds q29 directly. Run this before any big keyed join —
+    a skew factor near 1 means AQE alone is enough; 50 means one task
+    runs 50x longer than the median until salted.
+
+    One hash agg on the key, a 1-row stats scalar cross-joined back
+    (broadcast), and a top-10 window over the |keys|-bounded aggregate
+    — the advisory never touches row-level data twice. All ratios are
+    single divisions of exact BIGINTs.
+    """
+    tune_for_oracle(spark)
+    keyed = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("c"))
+    )
+    stats = keyed.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+    )
+    wr = W.orderBy(F.col("c").desc(), F.col("k"))
+    top = keyed.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= 10)
+    skew = F.col("c") * F.col("n_keys").cast("double") / F.col("n_rows")
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col("rk").cast("long").alias("rank"),
+        F.col("k").alias("hot_key"),
+        F.col("c").cast("long").alias("key_rows"),
+        "n_keys", "n_rows",
+        skew.alias("skew_factor"),
+        F.ceil(skew).cast("long").alias("suggested_salt"),
+    )

@@ -1687,3 +1687,89 @@ def qm07_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("dn").alias("n_rows"), F.sum("dsum").alias("sum_cents"))
         .filter(F.col("n_rows") > 0)
     )
+
+
+@query(
+    "q80b_watermark_advisor",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             epoch_ms(ts) + (event_id * 48271) % 30000 AS arrival_ms
+      FROM events
+    ), late AS (
+      SELECT event_type,
+             MAX(epoch_ms(ts)) OVER (PARTITION BY event_type
+                                     ORDER BY arrival_ms, ts
+                                     ROWS UNBOUNDED PRECEDING)
+               - epoch_ms(ts) AS lateness_ms
+      FROM arr
+    ), ranked AS (
+      SELECT event_type, lateness_ms,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY lateness_ms) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM late
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lateness_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(CASE WHEN r = CAST(ceil(n * 0.99) AS BIGINT)
+                         THEN lateness_ms END) AS BIGINT) AS p99_lateness_ms,
+           CAST(MAX(lateness_ms) AS BIGINT) AS max_lateness_ms
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("streaming", "watermark", "advisor", "ops"),
+)
+def q80b_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK ADVISOR — the measurement a streaming deployment makes
+    BEFORE choosing Q80's delay: per series, the out-of-orderness
+    profile of the feed. Lateness of an event is how far the maximum
+    event time seen so far (in ARRIVAL order) has already passed it —
+    exactly the quantity a watermark must exceed for the event to
+    survive. The p99/max lateness columns are the evidence behind
+    'withWatermark(…, 30 seconds)': a delay at p99 drops 1% of late
+    rows, at max drops none (at the cost of state).
+
+    Arrival order is synthesized as a deterministic per-event jitter
+    over commit time (the qc25 convention) so the profile is exactly
+    reproducible; the p99 is a DISCRETE rank statistic (the q36n
+    lesson). One arrival-ordered window per series (running max + the
+    lateness subtraction in the same pass) and one rank pass — at
+    100 TB both stay series-partitioned; the advisory runs over a
+    sampled day, not the corpus.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        (F.unix_millis("ts") + (F.col("event_id") * 48271) % 30000).alias(
+            "arrival_ms"
+        ),
+    )
+    wa = W.partitionBy("event_type").orderBy("arrival_ms", "ts_ms")
+    late = arr.select(
+        "event_type",
+        (
+            F.max("ts_ms").over(wa.rowsBetween(W.unboundedPreceding, W.currentRow))
+            - F.col("ts_ms")
+        ).alias("lateness_ms"),
+    )
+    wr = W.partitionBy("event_type").orderBy("lateness_ms")
+    ranked = late.select(
+        "event_type", "lateness_ms",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.when(F.col("lateness_ms") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(F.col("n") * 0.99), F.col("lateness_ms")
+            )
+        ).cast("long").alias("p99_lateness_ms"),
+        F.max("lateness_ms").cast("long").alias("max_lateness_ms"),
+    )

@@ -1047,7 +1047,7 @@ def test_avro_error_paths():
     with _pytest.raises(ValueError, match="sync marker"):
         decode_avro(bytes(torn))
     with _pytest.raises(ValueError, match="codec"):
-        encode_avro([{"v": 1}], [("v", "long")], codec="snappy")
+        encode_avro([{"v": 1}], [("v", "long")], codec="zstandard")
     # a non-record schema must be refused, not garbled (same-length byte
     # patch so the metadata length prefixes stay valid)
     del json  # patch is byte-level; json import kept the intent visible
