@@ -2627,3 +2627,112 @@ def qc29_wire_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sum_cents"),
         F.sum("txid").alias("sum_txid"),
     )
+
+
+#: (version, field, type, has_default) — six schema generations of one
+#: subject, exercising add-with-default, add-without-default, drop,
+#: promotion (int->long, float->double), and an incompatible retype.
+_SCHEMA_VERSIONS = [
+    (1, "id", "int", False), (1, "name", "string", False),
+    (2, "id", "long", False), (2, "name", "string", False),      # promote id
+    (3, "id", "long", False), (3, "name", "string", False),
+    (3, "region", "string", True),                               # add w/ default
+    (4, "id", "long", False), (4, "region", "string", True),     # drop name
+    (5, "id", "long", False), (5, "region", "string", True),
+    (5, "score", "double", False),                               # add w/o default
+    (6, "id", "string", False), (6, "region", "string", True),   # retype id: BREAKS
+    (6, "score", "double", False),
+]
+
+_PROMOTABLE = [("int", "long"), ("int", "double"), ("long", "double"),
+               ("float", "double")]
+
+
+@query(
+    "qc30_schema_compat_matrix",
+    oracle=f"""
+    WITH fields(v, f, t, has_default) AS (
+      VALUES {", ".join(f"({v}, '{f}', '{t}', {str(d).upper()})" for v, f, t, d in _SCHEMA_VERSIONS)}
+    ), promotable(wt, rt) AS (
+      VALUES {", ".join(f"('{a}', '{b}')" for a, b in _PROMOTABLE)}
+    ), pairs AS (
+      SELECT r.v AS reader_v, w.v AS writer_v
+      FROM (SELECT DISTINCT v FROM fields) r
+      JOIN (SELECT DISTINCT v FROM fields) w ON w.v = r.v - 1
+    ), viol AS (
+      SELECT p.reader_v, p.writer_v, rf.f,
+             CASE WHEN wf.f IS NULL AND NOT rf.has_default THEN 1
+                  WHEN wf.f IS NOT NULL AND wf.t <> rf.t
+                       AND NOT EXISTS (SELECT 1 FROM promotable pr
+                                       WHERE pr.wt = wf.t AND pr.rt = rf.t)
+                  THEN 1 ELSE 0 END AS bad
+      FROM pairs p
+      JOIN fields rf ON rf.v = p.reader_v
+      LEFT JOIN fields wf ON wf.v = p.writer_v AND wf.f = rf.f
+    )
+    SELECT reader_v, writer_v,
+           CAST(SUM(bad) AS BIGINT) AS n_violations,
+           SUM(bad) = 0 AS backward_compatible
+    FROM viol GROUP BY reader_v, writer_v
+    """,
+    tags=("cdc", "schema", "governance", "compat"),
+)
+def qc30_schema_compat_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry BACKWARD-compatibility matrix — the gate a CDC
+    platform runs before accepting a producer's new schema (the Kafka
+    schema-registry rule set): a reader at version N must decode data
+    written at N−1, which holds iff every reader field is either
+    present in the writer with the same or a promotable type
+    (int→long, int/long/float→double — Avro's resolution rules,
+    matching the codec in q01e) or carries a default. The fixture's
+    six generations exercise promotion, add-with-default, drop,
+    add-WITHOUT-default (breaks v4→v5), and a retype (breaks v5→v6) —
+    so both failure modes appear in the matrix with exact violation
+    counts, not just booleans.
+
+    Schemas are plan-literal field tables in BOTH engines; the check is
+    a reader-fields left-join writer-fields with an anti-semi on the
+    promotion table — |fields|-scale work, trivially parallel over
+    thousands of subjects in a real registry sweep.
+    """
+    tune_for_oracle(spark)
+    fields = spark.createDataFrame(
+        _SCHEMA_VERSIONS, "v int, f string, t string, has_default boolean"
+    )
+    promotable = spark.createDataFrame(_PROMOTABLE, "wt string, rt string")
+    versions = fields.select("v").distinct()
+    pairs = versions.alias("r").join(
+        versions.alias("w"), F.expr("w.v = r.v - 1")
+    ).select(F.col("r.v").alias("reader_v"), F.col("w.v").alias("writer_v"))
+    rf = fields.select(
+        F.col("v").alias("reader_v"), F.col("f"),
+        F.col("t").alias("rt2"), "has_default",
+    )
+    wf = fields.select(
+        F.col("v").alias("wv"), F.col("f").alias("wf"),
+        F.col("t").alias("wt2"),
+    )
+    promo = promotable.select(
+        F.col("wt").alias("wt2"), F.col("rt").alias("rt2"),
+        F.lit(True).alias("promotable"),
+    )
+    joined = (
+        pairs.join(rf, "reader_v")
+        .join(wf, (F.col("writer_v") == F.col("wv")) & (F.col("f") == F.col("wf")), "left")
+        .drop("wv")
+        .join(F.broadcast(promo), ["wt2", "rt2"], "left")
+    )
+    bad = F.when(F.col("wf").isNull() & ~F.col("has_default"), 1).when(
+        F.col("wf").isNotNull()
+        & (F.col("wt2") != F.col("rt2"))
+        & F.col("promotable").isNull(),
+        1,
+    ).otherwise(0)
+    return (
+        joined.select("reader_v", "writer_v", bad.alias("bad"))
+        .groupBy("reader_v", "writer_v")
+        .agg(
+            F.sum("bad").cast("long").alias("n_violations"),
+            (F.sum("bad") == 0).alias("backward_compatible"),
+        )
+    )
