@@ -11130,3 +11130,94 @@ def q99ae_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("eff_w").cast("long").alias("sum_eff_width"),
         F.sum("eff_h").cast("long").alias("sum_eff_height"),
     )
+
+
+@query(
+    "q94q_release_diff",
+    oracle="""
+    WITH cur AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE doc_id % 11 <> 3            -- docs removed since last release
+    ), prev AS (
+      SELECT doc_id, source,
+             n_chars - CASE WHEN doc_id % 7 = 0 THEN 40 ELSE 0 END AS n_chars,
+             len(string_split(text, ' '))
+               - CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END AS n_tokens
+      FROM documents
+      WHERE doc_id % 13 <> 5            -- docs added since last release
+    ), diff AS (
+      SELECT COALESCE(c.source, p.source) AS source,
+             CASE WHEN p.doc_id IS NULL THEN 'added'
+                  WHEN c.doc_id IS NULL THEN 'removed'
+                  WHEN c.n_chars <> p.n_chars THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(c.n_tokens, 0) - COALESCE(p.n_tokens, 0) AS tok_delta
+      FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+    FROM diff GROUP BY source
+    """,
+    tags=("llm", "governance", "release", "diff"),
+)
+def q94q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus RELEASE CHANGELOG — qc24's snapshot-diff discipline applied
+    to the dataset itself: between two releases, per source, how many
+    documents were added, removed, or edited, and the net token budget
+    delta (the number that moves every mixing weight downstream, q95s).
+    The companion a dataset card (q94o) ships with: the card says what
+    a release IS, this says what CHANGED.
+
+    Releases are synthesized deterministically (removed: doc_id%11=3;
+    added since previous: doc_id%13=5; edited: doc_id%7=0 grew 40 chars
+    / 8 tokens) so every diff class appears with exact counts. One PK
+    full-outer join — bucketed releases make it zero-shuffle, the qc24
+    scale note verbatim; token deltas are exact BIGINT sums.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    cur = docs.filter(F.col("doc_id") % 11 != 3)
+    prev = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id", "source",
+        (
+            F.col("n_chars")
+            - F.when(F.col("doc_id") % 7 == 0, 40).otherwise(0)
+        ).alias("n_chars"),
+        (
+            F.col("n_tokens")
+            - F.when(F.col("doc_id") % 7 == 0, 8).otherwise(0)
+        ).alias("n_tokens"),
+    )
+    c, p = cur.alias("c"), prev.alias("p")
+    diff = c.join(p, F.col("c.doc_id") == F.col("p.doc_id"), "full_outer").select(
+        F.coalesce(F.col("c.source"), F.col("p.source")).alias("source"),
+        F.when(F.col("p.doc_id").isNull(), "added")
+        .when(F.col("c.doc_id").isNull(), "removed")
+        .when(F.col("c.n_chars") != F.col("p.n_chars"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce(F.col("c.n_tokens"), F.lit(0))
+            - F.coalesce(F.col("p.n_tokens"), F.lit(0))
+        ).alias("tok_delta"),
+    )
+    return diff.groupBy("source").agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+        .cast("long").alias("n_added"),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+        .cast("long").alias("n_changed"),
+        F.sum("tok_delta").cast("long").alias("token_delta"),
+    )
