@@ -7423,10 +7423,14 @@ def q99q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hashes = _ahash_band_hashes(docs)
+    # both self-join sides consume the banded hashes, and Spark does not
+    # reuse the two chained Arrow stages across alias branches — without
+    # materialization the synth+decode pipeline runs once PER SIDE (the
+    # minhash_candidate_pairs lesson; measured 5.4s -> see PLANS.md)
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
-    )
+    ).localCheckpoint(eager=True)
     left = bands.alias("a")
     right = bands.alias("b")
     hamming = sum(
@@ -8542,7 +8546,7 @@ def q99v_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
-    )
+    ).localCheckpoint(eager=True)  # both self-join sides (q99q lesson)
     hamming = sum(
         F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
         for k in range(4)
