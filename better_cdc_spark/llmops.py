@@ -487,6 +487,10 @@ def simhash_near_pairs(
     the self-join already shuffles on. Off by default.
     """
     sh = docs.select(id_col, simhash64(F.col("text")).alias("sh"))
+    # both self-join sides (and the bucket-size agg when capped) consume
+    # the fingerprints; without materialization the Arrow simhash kernel
+    # runs once per branch (the q99q/minhash lesson — measured in PLANS.md)
+    sh = sh.localCheckpoint(eager=True)
     blocked = sh.select(
         id_col,
         "sh",
