@@ -8422,6 +8422,11 @@ def q94l_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.explode(llmops.word_shingles("w", k=8)).alias("shingle")
         )
         .distinct()
+        # three consumers (per-source sizes + both matrix-join sides):
+        # unmaterialized, the explode+distinct shuffle runs once each
+        # (measured 2.1s -> 1.9s warm at sf0.1 — modest, the join
+        # dominates here; the checkpoint also bounds lineage)
+        .localCheckpoint(eager=True)
     )
     per_src = sh.groupBy("source").agg(F.count("*").alias("n_grams"))
     shared = (
