@@ -5103,3 +5103,71 @@ def q29b_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skew_factor"),
         F.ceil(skew).cast("long").alias("suggested_salt"),
     )
+
+
+@query(
+    "q36p_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et, user_id % 7 AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT c.et, c.cohort, c.o,
+             SUM(c.o) OVER (PARTITION BY c.et) AS row_tot,
+             SUM(c.o) OVER (PARTITION BY c.cohort) AS col_tot,
+             SUM(c.o) OVER () AS n
+      FROM cells c
+    )
+    SELECT et, CAST(cohort AS BIGINT) AS cohort, o,
+           CAST(row_tot AS BIGINT) * col_tot / CAST(n AS DOUBLE) AS expected,
+           (o - CAST(row_tot AS BIGINT) * col_tot / CAST(n AS DOUBLE))
+             * (o - CAST(row_tot AS BIGINT) * col_tot / CAST(n AS DOUBLE))
+             / (CAST(row_tot AS BIGINT) * col_tot / CAST(n AS DOUBLE))
+             AS chi2_term
+    FROM margins
+    """,
+    tags=("agg", "stats", "independence"),
+)
+def q36p_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categoricals (event
+    type × user cohort) — the per-cell contingency table with expected
+    counts under independence and the chi² contribution of each cell
+    (sum for the statistic; the per-cell terms localize WHICH
+    combination drives the dependence — q36o's per-digit discipline
+    applied to two-way contingency). The completion of the inferential
+    family next to Welch's t (q36j).
+
+    One hash agg builds the contingency; margins are windows over the
+    |cells|-bounded aggregate (never over events); expected counts are
+    products of exact BIGINT margins with a single double division —
+    bit-identical cross-engine. At 100 TB the only corpus-scale work
+    is the first agg, bounded by |types| × |cohorts| output cells.
+    """
+    tune_for_oracle(spark)
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            (F.col("user_id") % 7).alias("cohort"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    margins = cells.select(
+        "et", "cohort", "o",
+        F.sum("o").over(W.partitionBy("et")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("cohort")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    expected = (
+        F.col("row_tot").cast("long") * F.col("col_tot") / F.col("n").cast("double")
+    )
+    return margins.select(
+        "et",
+        F.col("cohort").cast("long").alias("cohort"),
+        "o",
+        expected.alias("expected"),
+        ((F.col("o") - expected) * (F.col("o") - expected) / expected).alias(
+            "chi2_term"
+        ),
+    )
