@@ -5171,3 +5171,145 @@ def q36p_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@query(
+    "q44f_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_et,
+             LEAD(event_type) OVER w AS to_et,
+             epoch_ms(LEAD(ts) OVER w) - epoch_ms(ts) AS gap_ms
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), trans AS (
+      SELECT from_et, to_et, gap_ms FROM seq WHERE to_et IS NOT NULL
+    ), counted AS (
+      SELECT from_et, to_et,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_ms) AS BIGINT) AS sum_gap_ms
+      FROM trans GROUP BY from_et, to_et
+    )
+    SELECT from_et, to_et, n,
+           n / CAST(SUM(n) OVER (PARTITION BY from_et) AS DOUBLE) AS p,
+           sum_gap_ms / CAST(n AS DOUBLE) AS mean_gap_ms
+    FROM counted
+    """,
+    tags=("window", "markov", "clickstream"),
+)
+def q44f_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys — for
+    every (from, to) event pair: the transition count, its probability
+    conditioned on the source state, and the mean dwell time between
+    the two events. The model behind next-action prediction baselines
+    and the dwell-time table capacity planning reads; q47b mines the
+    popular PATHS, this gives the full conditional structure.
+
+    One per-user window sort yields both the successor and the gap;
+    the normalization is a window over the |types|²-bounded count
+    table, never over events. Probabilities and means are single
+    divisions of exact BIGINTs — bit-identical cross-engine.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_et"),
+        F.lead("event_type").over(w).alias("to_et"),
+        (F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")).alias("gap_ms"),
+    ).filter(F.col("to_et").isNotNull())
+    counted = seq.groupBy("from_et", "to_et").agg(
+        F.count("*").alias("n"), F.sum("gap_ms").cast("long").alias("sum_gap_ms")
+    )
+    return counted.select(
+        "from_et", "to_et", "n",
+        (F.col("n") / F.sum("n").over(W.partitionBy("from_et")).cast("double")).alias("p"),
+        (F.col("sum_gap_ms") / F.col("n").cast("double")).alias("mean_gap_ms"),
+    )
+
+
+@query(
+    "q53c_pareto_report",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             SUM(cents) OVER () AS total,
+             COUNT(*) OVER () AS n_cust
+    FROM per_cust
+    ), marked AS (
+      SELECT rk, n_cust, cum_cents, total,
+             CASE WHEN cum_cents * 100 >= total * 80
+                   AND (cum_cents - cents) * 100 < total * 80
+                  THEN 1 ELSE 0 END AS crosses_80
+      FROM ranked
+    )
+    SELECT CAST(MAX(CASE WHEN crosses_80 = 1 THEN rk END) AS BIGINT)
+             AS customers_to_80pct,
+           CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           MAX(CASE WHEN crosses_80 = 1 THEN rk END)
+             / CAST(MAX(n_cust) AS DOUBLE) AS share_of_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents
+    FROM marked
+    """,
+    tags=("window", "pareto", "report"),
+)
+def q53c_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 report): how many top customers
+    carry 80% of revenue — the crossing rank on the descending
+    cumulative-share curve, found with integer cross-multiplication
+    (cum*100 >= total*80, its predecessor strictly below) so no
+    floating threshold can straddle engines differently. q53's
+    ratio-to-report gives each member's share; this gives the
+    concentration summary leadership actually asks for.
+
+    The ranking window runs over the per-customer AGGREGATE (|keys|
+    rows), not orders; the single-partition window is bounded by
+    customer count — at true scale the same crossing rank comes from
+    q36m-style cumulative histogram refinement instead of a global
+    sort, same answer.
+    """
+    tune_for_oracle(spark)
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = W.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("cents").over(wr.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_cents"),
+        F.sum("cents").over(W.partitionBy()).alias("total"),
+        F.count("*").over(W.partitionBy()).alias("n_cust"),
+    )
+    marked = ranked.select(
+        "rk", "n_cust", "total",
+        F.when(
+            (F.col("cum_cents") * 100 >= F.col("total") * 80)
+            & ((F.col("cum_cents") - F.col("cents")) * 100 < F.col("total") * 80),
+            1,
+        ).otherwise(0).alias("crosses_80"),
+    )
+    return marked.agg(
+        F.max(F.when(F.col("crosses_80") == 1, F.col("rk")))
+        .cast("long")
+        .alias("customers_to_80pct"),
+        F.max("n_cust").cast("long").alias("n_customers"),
+        (
+            F.max(F.when(F.col("crosses_80") == 1, F.col("rk")))
+            / F.max("n_cust").cast("double")
+        ).alias("share_of_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+    )
