@@ -5313,3 +5313,101 @@ def q53c_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_customers"),
         F.max("total").cast("long").alias("total_cents"),
     )
+
+
+@query(
+    "q76b_consistent_hash_ring",
+    oracle="""
+    WITH vnodes AS (
+      SELECT n.node, v.vn,
+             ((n.node * 16 + v.vn + 1) * 2654435761) % 2147483647 AS pos
+      FROM (SELECT UNNEST(range(0, 8)) AS node) n,
+           (SELECT UNNEST(range(0, 16)) AS vn) v
+    ), keys AS (
+      SELECT user_id, (user_id * 2654435761 + 40503) % 2147483647 AS kpos
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), best AS (
+      SELECT k.user_id, v.node,
+             ROW_NUMBER() OVER (
+               PARTITION BY k.user_id
+               ORDER BY (v.pos - k.kpos + 2147483647) % 2147483647, v.node
+             ) AS rk
+      FROM keys k CROSS JOIN vnodes v
+    ), best7 AS (
+      SELECT k.user_id, v.node,
+             ROW_NUMBER() OVER (
+               PARTITION BY k.user_id
+               ORDER BY (v.pos - k.kpos + 2147483647) % 2147483647, v.node
+             ) AS rk
+      FROM keys k CROSS JOIN vnodes v
+      WHERE v.node <> 7
+    )
+    SELECT a.node,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN b.node <> a.node THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_if_7_leaves
+    FROM (SELECT user_id, node FROM best WHERE rk = 1) a
+    JOIN (SELECT user_id, node FROM best7 WHERE rk = 1) b USING (user_id)
+    GROUP BY a.node
+    """,
+    tags=("hash", "sharding", "systems"),
+)
+def q76b_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring assignment — the shard-placement primitive
+    under every distributed cache/stream partitioner: 8 nodes × 16
+    virtual nodes on a 2^31-1 ring, each key owned by the first vnode
+    clockwise from its hash. The report pairs each node's load with
+    the MOVEMENT if node 7 leaves — the consistent-hashing guarantee
+    made measurable: only keys owned by the departing node move
+    (every n_moved row for surviving nodes must be 0, and is), versus
+    mod-N hashing where nearly everything reshuffles.
+
+    Ring positions and key hashes are MULTIPLICATIVE integer mixes
+    (id * 2654435761 mod 2^31-1 — a plain id*small-step progression
+    clusters the ring and one node owns nearly every key; this query's
+    first draft demonstrated exactly that failure), inline in both
+    engines (the q97s discipline — no engine-specific hash); clockwise
+    distance is a modular subtraction, ties break on node id. The
+    key × vnode scan is |keys| × 128 narrow rows with a per-key top-1
+    window — at real scale the 128-row vnode table broadcasts and the
+    argmin folds in-row (F.aggregate over a literal array), shuffle-
+    free; the windowed form here keeps the oracle one-to-one.
+    """
+    tune_for_oracle(spark)
+    nodes = spark.range(8).select(F.col("id").alias("node"))
+    vns = spark.range(16).select(F.col("id").alias("vn"))
+    vnodes = nodes.crossJoin(vns).select(
+        "node", "vn",
+        (((F.col("node") * 16 + F.col("vn") + 1) * 2654435761) % 2147483647).alias("pos"),
+    )
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") * 2654435761 + 40503) % 2147483647).alias("kpos"),
+        )
+    )
+
+    def owner(vn_df, name):
+        dist = (F.col("pos") - F.col("kpos") + 2147483647) % 2147483647
+        w = W.partitionBy("user_id").orderBy(dist, F.col("node"))
+        return (
+            keys.crossJoin(F.broadcast(vn_df))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", F.col("node").alias(name))
+        )
+
+    full = owner(vnodes, "node")
+    without7 = owner(vnodes.filter(F.col("node") != 7), "node7")
+    return (
+        full.join(without7, "user_id")
+        .groupBy("node")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("node7") != F.col("node"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved_if_7_leaves"),
+        )
+    )
