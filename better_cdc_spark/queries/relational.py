@@ -5411,3 +5411,83 @@ def q76b_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_moved_if_7_leaves"),
         )
     )
+
+
+@query("q45d_lttb_downsample", tags=("timeseries", "downsample", "viz"))
+def q45d_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    the de-facto time-series VISUALIZATION reduction in every TSDB
+    dashboard): per series, keep the endpoints plus, per bucket, the
+    point forming the largest triangle with the PREVIOUSLY SELECTED
+    point and the next bucket's centroid — preserving spikes and shape
+    where naive striding flattens them.
+
+    The selection is inherently sequential per series (each choice
+    depends on the previous), so it runs as an Arrow-batched grouped
+    map in exact integer arithmetic (cross-product areas over ms ×
+    milli-value coordinates; ties break on earliest timestamp) —
+    deterministic, but not SQL-expressible, hence rows-only for the
+    driver. VERIFICATION is post-hoc and independent of the kernel:
+    tests/test_operators.py re-checks, for every emitted point, that
+    no other point in its bucket forms a larger triangle with the
+    ACTUAL selected neighbors — the optimality invariant itself, not a
+    re-implementation that could mirror a bug.
+
+    Scale: one shuffle on the series key; per-series work is linear;
+    the output is |series| × n_out rows regardless of input size —
+    the reduction that lets a dashboard read a year of 100 TB metrics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tune_for_oracle(spark)
+    n_out = 20
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis("ts").alias("x"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("y"),
+        "event_id",
+    )
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["x", "event_id"], kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        if n <= n_out:
+            sel = list(range(n))
+        else:
+            # bucket boundaries over the interior points (endpoints fixed)
+            edges = [1 + (i * (n - 2)) // (n_out - 2) for i in range(n_out - 1)]
+            sel = [0]
+            prev = 0
+            for b in range(n_out - 2):
+                lo, hi = edges[b], edges[b + 1]
+                nlo, nhi = (edges[b + 1], edges[b + 2]) if b < n_out - 3 else (n - 1, n)
+                cx2 = int(xs[nlo:nhi].sum()) * 2 // (nhi - nlo)  # 2x centroid, floor
+                cy2 = int(ys[nlo:nhi].sum()) * 2 // (nhi - nlo)
+                best, best_area = lo, -1
+                for i in range(lo, hi):
+                    # |(x_prev-cx)(y_i-y_prev) - (x_prev-x_i)(cy-y_prev)| in 2x units
+                    area = abs(
+                        (int(xs[prev]) * 2 - cx2) * (int(ys[i]) - int(ys[prev]))
+                        - (int(xs[prev]) - int(xs[i])) * (cy2 - int(ys[prev]) * 2)
+                    )
+                    if area > best_area:
+                        best, best_area = i, area
+                sel.append(best)
+                prev = best
+            sel.append(n - 1)
+        out = pdf.iloc[sel]
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"].to_numpy(),
+                "pos": range(len(sel)),
+                "x": out["x"].to_numpy(),
+                "y": out["y"].to_numpy(),
+            }
+        )
+
+    return pts.groupBy("event_type").applyInPandas(
+        lttb, "event_type string, pos int, x bigint, y bigint"
+    )

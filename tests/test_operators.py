@@ -382,3 +382,68 @@ def test_kmv_sketch_estimates_track_exact_bitmap_counts(spark):
     for pair, e in est.items():
         n = exact[pair]
         assert abs(e - n) <= max(0.375 * n, 8), (pair, e, n)
+
+
+def test_lttb_downsample_optimality_invariant(spark):
+    """Post-hoc verification of q45d: endpoints preserved, points
+    monotonic in time, one per bucket, and — the LTTB contract — each
+    interior selection maximizes triangle area against the ACTUAL
+    previous selection and next-bucket centroid, re-checked directly
+    over the raw series (an independent scan of the candidate bucket,
+    not a second run of the kernel)."""
+    import numpy as np
+
+    from better_cdc_spark.io import load_table
+    from better_cdc_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    out = (
+        load_all()["q45d_lttb_downsample"].fn(spark, SF_SMOKE).toPandas()
+        .sort_values(["event_type", "pos"])
+    )
+    raw = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.unix_millis("ts").alias("x"),
+            F.round(F.col("value") * 1000, 0).cast("long").alias("y"),
+            "event_id",
+        )
+        .toPandas()
+        .sort_values(["event_type", "x", "event_id"], kind="mergesort")
+    )
+    n_out = 20
+    for et, sel in out.groupby("event_type"):
+        series = raw[raw.event_type == et].reset_index(drop=True)
+        n = len(series)
+        xs, ys = series["x"].to_numpy(), series["y"].to_numpy()
+        sx, sy = sel["x"].to_numpy(), sel["y"].to_numpy()
+        assert (np.diff(sx) >= 0).all()
+        assert (sx[0], sy[0]) == (xs[0], ys[0])
+        assert (sx[-1], sy[-1]) == (xs[-1], ys[-1])
+        if n <= n_out:
+            assert len(sel) == n
+            continue
+        assert len(sel) == n_out
+        edges = [1 + (i * (n - 2)) // (n_out - 2) for i in range(n_out - 1)]
+        # map each interior selection back to its raw index
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            cand = np.where(
+                (xs[lo:hi] == sx[b + 1]) & (ys[lo:hi] == sy[b + 1])
+            )[0]
+            assert cand.size >= 1, f"selection {b+1} not inside its bucket"
+            nlo, nhi = (edges[b + 1], edges[b + 2]) if b < n_out - 3 else (n - 1, n)
+            cx2 = int(xs[nlo:nhi].sum()) * 2 // (nhi - nlo)
+            cy2 = int(ys[nlo:nhi].sum()) * 2 // (nhi - nlo)
+            px, py = int(sx[b]), int(sy[b])
+            areas = [
+                abs((px * 2 - cx2) * (int(ys[i]) - py) - (px - int(xs[i])) * (cy2 - py * 2))
+                for i in range(lo, hi)
+            ]
+            got = abs(
+                (px * 2 - cx2) * (int(sy[b + 1]) - py)
+                - (px - int(sx[b + 1])) * (cy2 - py * 2)
+            )
+            assert got == max(areas), f"bucket {b}: {got} < {max(areas)}"
