@@ -11230,3 +11230,71 @@ def q94q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_changed"),
         F.sum("tok_delta").cast("long").alias("token_delta"),
     )
+
+
+@query(
+    "q98v_mojibake_audit",
+    oracle="""
+    WITH marked AS (
+      SELECT source,
+             CASE WHEN doc_id % 23 = 1 THEN text || ' cafÃ© naÃ¯ve'
+                  WHEN doc_id % 23 = 2 THEN text || ' bad�byte�'
+                  ELSE text END AS text
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             len(regexp_extract_all(text, 'Ã[©¯«¨ª±³¼½¶]')) AS n_double_enc,
+             len(regexp_extract_all(text, '�')) AS n_replacement
+      FROM marked
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_double_enc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_double_encoded,
+           CAST(SUM(CASE WHEN n_replacement > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_replacement_char,
+           CAST(SUM(n_double_enc) AS BIGINT) AS total_double_enc_hits,
+           CAST(SUM(n_replacement) AS BIGINT) AS total_replacement_chars
+    FROM scored GROUP BY source
+    """,
+    tags=("llm", "text", "quality", "encoding"),
+)
+def q98v_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage (mojibake) audit — the ingestion QA gate that
+    catches the two classic failure signatures before they poison a
+    tokenizer: DOUBLE-ENCODED UTF-8 (Latin-1-decoded bytes re-encoded:
+    'café' becomes 'cafÃ©' — detected as Ã followed by the telltale
+    continuation characters) and U+FFFD REPLACEMENT characters (a
+    lossy decode already happened upstream; the byte is gone forever).
+    Both classes are seeded deterministically into the corpus so every
+    counter is exercised; per-source rates are what an ingestion
+    dashboard alerts on (one bad crawl segment shows as a source-level
+    spike, the q94o card's encoding row).
+
+    One narrow regex pass (identical pattern text in both engines —
+    the patterns are unicode-literal, no escaping divergence) + a
+    |sources|-bounded agg.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    marked = docs.select(
+        "source",
+        F.when(F.col("doc_id") % 23 == 1, F.concat(F.col("text"), F.lit(" cafÃ© naÃ¯ve")))
+        .when(F.col("doc_id") % 23 == 2, F.concat(F.col("text"), F.lit(" bad�byte�")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scored = marked.select(
+        "source",
+        F.size(F.expr("regexp_extract_all(text, 'Ã[©¯«¨ª±³¼½¶]', 0)")).alias("n_double_enc"),
+        F.size(F.expr("regexp_extract_all(text, '�', 0)")).alias("n_replacement"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_double_enc") > 0, 1).otherwise(0))
+        .cast("long").alias("n_double_encoded"),
+        F.sum(F.when(F.col("n_replacement") > 0, 1).otherwise(0))
+        .cast("long").alias("n_with_replacement_char"),
+        F.sum("n_double_enc").cast("long").alias("total_double_enc_hits"),
+        F.sum("n_replacement").cast("long").alias("total_replacement_chars"),
+    )
