@@ -5491,3 +5491,92 @@ def q45d_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("event_type").applyInPandas(
         lttb, "event_type string, pos int, x bigint, y bigint"
     )
+
+
+@query(
+    "q36q_ks_two_sample",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS grp,
+             CAST(round(value * 1000, 0) AS BIGINT) AS vm,
+             event_id
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), sizes AS (
+      SELECT CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM v
+    ), walk AS (
+      SELECT vm, grp,
+             SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+               OVER (ORDER BY vm, event_id ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+               OVER (ORDER BY vm, event_id ROWS UNBOUNDED PRECEDING) AS cb
+      FROM v
+    ), steps AS (
+      -- evaluate the ECDF gap only at the LAST row of each tied value,
+      -- where both step functions have fully stepped
+      SELECT vm, ca, cb,
+             ROW_NUMBER() OVER (PARTITION BY vm ORDER BY ca + cb DESC) AS rk
+      FROM walk
+    )
+    SELECT s.na, s.nb,
+           CAST(MAX(abs(t.ca * s.nb - t.cb * s.na)) AS BIGINT) AS d_scaled,
+           MAX(abs(t.ca * s.nb - t.cb * s.na))
+             / CAST(s.na * s.nb AS DOUBLE) AS ks_d
+    FROM steps t CROSS JOIN sizes s
+    WHERE t.rk = 1
+    GROUP BY s.na, s.nb
+    """,
+    tags=("agg", "stats", "distribution"),
+)
+def q36q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — THE distribution-shift
+    test for continuous metrics (chi² q36p needs bins; KS doesn't):
+    D = sup |F_a(x) − F_b(x)| over the merged sample walk. Completes
+    the inferential trio (Welch t for means, chi² for categoricals,
+    KS for whole distributions) — the drift alarm between a metric's
+    'purchase' and 'view' populations.
+
+    Exactness: the supremum is computed in INTEGER cross-multiplied
+    form |ca·nb − cb·na| (never a float ECDF), evaluated only at the
+    last row of each tied value where both step functions have fully
+    stepped — the tie convention that makes D well-defined and
+    engine-independent; one division at the end. One global ordered
+    walk — fine for a two-group test (the walk is the algorithm); a
+    per-key variant partitions it like q42f.
+    """
+    tune_for_oracle(spark)
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.when(F.col("event_type") == "purchase", "a").otherwise("b").alias("grp"),
+            F.round(F.col("value") * 1000, 0).cast("long").alias("vm"),
+            "event_id",
+        )
+    )
+    sizes = v.agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    ww = W.orderBy("vm", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    walk = v.select(
+        "vm",
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).over(ww).alias("ca"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).over(ww).alias("cb"),
+    )
+    steps = walk.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("vm").orderBy((F.col("ca") + F.col("cb")).desc())
+        ),
+    ).filter(F.col("rk") == 1)
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return (
+        steps.crossJoin(F.broadcast(sizes))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(gap).cast("long").alias("d_scaled"),
+            (F.max(gap) / (F.col("na") * F.col("nb")).cast("double")).alias("ks_d"),
+        )
+    )
