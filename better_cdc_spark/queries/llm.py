@@ -11298,3 +11298,94 @@ def q98v_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_double_enc").cast("long").alias("total_double_enc_hits"),
         F.sum("n_replacement").cast("long").alias("total_replacement_chars"),
     )
+
+
+def _coreset_oracle_sql(k: int = 8) -> str:
+    """Programmatically chained MATERIALIZED CTEs deriving the same
+    greedy k-center selections the Spark loop makes."""
+    dist = (
+        "(SELECT SUM((b.qv[g.i+1] - s.qv[g.i+1]) * (b.qv[g.i+1] - s.qv[g.i+1]))"
+        " FROM generate_series(0, 63) AS g(i))"
+    )
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv"
+        " FROM embeddings)",
+        f"d0 AS MATERIALIZED (SELECT b.vec_id, {dist} AS md"
+        " FROM q b, (SELECT qv FROM q WHERE vec_id = 0) s)",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT vec_id, md FROM d{r-1}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS MATERIALIZED (SELECT b.vec_id,"
+                f" least(d.md, {dist}) AS md"
+                f" FROM q b JOIN d{r-1} d ON d.vec_id = b.vec_id,"
+                f" (SELECT q.qv FROM q JOIN s{r} ON q.vec_id = s{r}.vec_id) s)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS round, vec_id, CAST(md AS BIGINT) AS d_scaled FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects
+
+
+@query(
+    "q95ap_coreset_selection",
+    oracle=_coreset_oracle_sql(8),
+    tags=("llm", "selection", "coreset", "embedding"),
+)
+def q95ap_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-CENTER coreset selection over embeddings (farthest-point
+    sampling — the active-learning / data-selection kernel of Sener &
+    Savarese '18): starting from a fixed seed, each round adds the
+    point FARTHEST from the selected set, maximizing coverage with
+    every pick. The diversity-first complement to SemDeDup (q96d
+    removes redundancy; this CHOOSES the spanning subset), and the
+    d_scaled column is the coverage-radius curve a labeling budget is
+    planned against.
+
+    Exactness: milli-unit BIGINT distances, argmax ties on vec_id; the
+    oracle DERIVES the same selections through programmatically
+    chained MATERIALIZED CTEs (one per round) rather than trusting the
+    kernel's picks. Scale: each round is one distributed min-update
+    (the new center's 64 ints ship as plan literals — the SemDeDup
+    bounded-model-exchange shape) + a 1-row argmax; the running
+    min-distance column is checkpointed per round so lineage stays
+    flat. k rounds = k bounded exchanges, never a pairwise matrix.
+    """
+    tune_for_oracle(spark)
+    k = 8
+    q = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    def dist_to(vec: list[int]):
+        lits = ", ".join(f"{int(v)}L" for v in vec)
+        return F.expr(
+            f"aggregate(zip_with(qv, array({lits}), (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, x) -> acc + x)"
+        )
+
+    seed = q.filter(F.col("vec_id") == 0).collect()[0]["qv"]  # fixed seed
+    d = q.select("vec_id", "qv", dist_to(seed).alias("md")).localCheckpoint(
+        eager=True
+    )
+    out = []
+    for r in range(1, k + 1):
+        best = d.orderBy(F.col("md").desc(), F.col("vec_id")).limit(1).collect()[0]
+        out.append((r, int(best["vec_id"]), int(best["md"])))
+        if r < k:
+            d = d.select(
+                "vec_id", "qv",
+                F.least(F.col("md"), dist_to(best["qv"])).alias("md"),
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "round int, vec_id bigint, d_scaled bigint"
+    ).repartition(1)
