@@ -2736,3 +2736,84 @@ def qc30_schema_compat_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bad") == 0).alias("backward_compatible"),
         )
     )
+
+
+@query(
+    "qc31_crdt_counter_merge",
+    oracle="""
+    WITH contrib AS (
+      -- per (counter, node): cumulative inc/dec counters, monotone in seq
+      SELECT o_orderkey % 50 AS counter, o_orderkey % 5 AS node,
+             o_orderkey AS seq,
+             SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+               OVER w AS inc_c,
+             SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+               OVER w AS dec_c
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderkey % 50, o_orderkey % 5
+                   ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+    ), feed AS (
+      -- at-least-once, out-of-order delivery: every 4th state doubles
+      SELECT * FROM contrib
+      UNION ALL
+      SELECT * FROM contrib WHERE seq % 4 = 0
+    ), merged AS (
+      -- the CRDT join semantics: per node take the MAX observed counters
+      SELECT counter, node,
+             CAST(MAX(inc_c) AS BIGINT) AS inc_c,
+             CAST(MAX(dec_c) AS BIGINT) AS dec_c
+      FROM feed GROUP BY counter, node
+    )
+    SELECT counter,
+           CAST(SUM(inc_c) AS BIGINT) AS total_inc,
+           CAST(SUM(dec_c) AS BIGINT) AS total_dec,
+           CAST(SUM(inc_c) - SUM(dec_c) AS BIGINT) AS value
+    FROM merged GROUP BY counter
+    """,
+    tags=("cdc", "crdt", "merge", "distributed"),
+)
+def qc31_crdt_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PN-counter CRDT merge — the conflict-free convergence story for
+    MULTI-master change capture (the reference is single-master WAL;
+    multi-region counters are the canonical first CRDT): each node
+    publishes its own monotone cumulative (increments, decrements)
+    pair, and merge is per-node MAX — idempotent, commutative,
+    associative, so an at-least-once, out-of-order feed (every 4th
+    state update deliberately delivered twice here) converges to
+    EXACTLY the true value, the qm08 bit_or discipline with MAX as
+    the semilattice join. A non-CRDT sum over the same feed would
+    double-count every duplicated delivery; the hash-checked value
+    column is the proof it doesn't.
+
+    Scale: per-(counter, node) MAX is one hash agg with map-side
+    combine; state is |counters| × |nodes| regardless of update
+    volume — why PN-counters are THE design for planet-scale counters.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy(F.col("o_orderkey") % 50, F.col("o_orderkey") % 5)
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    contrib = orders.select(
+        (F.col("o_orderkey") % 50).alias("counter"),
+        (F.col("o_orderkey") % 5).alias("node"),
+        F.col("o_orderkey").alias("seq"),
+        F.sum(F.when(F.col("o_orderkey") % 3 != 0, 1).otherwise(0))
+        .over(w)
+        .alias("inc_c"),
+        F.sum(F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0))
+        .over(w)
+        .alias("dec_c"),
+    )
+    feed = contrib.unionByName(contrib.filter(F.col("seq") % 4 == 0))
+    merged = feed.groupBy("counter", "node").agg(
+        F.max("inc_c").cast("long").alias("inc_c"),
+        F.max("dec_c").cast("long").alias("dec_c"),
+    )
+    return merged.groupBy("counter").agg(
+        F.sum("inc_c").cast("long").alias("total_inc"),
+        F.sum("dec_c").cast("long").alias("total_dec"),
+        (F.sum("inc_c") - F.sum("dec_c")).cast("long").alias("value"),
+    )
