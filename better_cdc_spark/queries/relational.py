@@ -4893,7 +4893,10 @@ def q42g_gorilla_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codecs.encode_gorilla), decoded back, and checksummed — ~21x on
     regular telemetry (measured, tests/test_codecs.py), which is the
     difference between 100 TB of raw events and 5 TB of blocks on the
-    wire and at rest.
+    wire and at rest. Measured honestly on THIS table's synthetic
+    random-walk values: 1.47x (probe in PLANS.md) — XOR coding needs
+    value locality, and noise has none; the dial that matters is the
+    signal's, not the codec's.
 
     The kernel is an Arrow-batched grouped map (per-series sequential
     state — exactly the class that belongs in applyInPandas); the
