@@ -11389,3 +11389,75 @@ def q95ap_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, vec_id bigint, d_scaled bigint"
     ).repartition(1)
+
+
+@query(
+    "q95aq_boilerplate_line_removal",
+    oracle="""
+    WITH lines AS (
+      SELECT d.doc_id, d.source, t.line
+      FROM documents d,
+           UNNEST(string_split(d.text, '. ')) AS t(line)
+      WHERE length(t.line) > 0
+    ), freq AS (
+      SELECT source, line, COUNT(DISTINCT doc_id) AS df
+      FROM lines GROUP BY source, line
+    ), marked AS (
+      SELECT l.doc_id, l.source, l.line, f.df,
+             CASE WHEN f.df >= 3 THEN 1 ELSE 0 END AS is_boiler
+      FROM lines l JOIN freq f ON f.source = l.source AND f.line = l.line
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(is_boiler) AS BIGINT) AS n_boiler_lines,
+           CAST(SUM(CASE WHEN is_boiler = 1 THEN length(line) ELSE 0 END)
+                AS BIGINT) AS boiler_chars,
+           CAST(SUM(is_boiler) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+             AS boiler_frac
+    FROM marked GROUP BY source
+    """,
+    tags=("llm", "dedup", "boilerplate", "curation"),
+)
+def q95aq_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style BOILERPLATE line removal accounting — the curation
+    step BETWEEN document dedup and span dedup: a line (here, sentence)
+    repeated across >= 3 documents of the same source is navigation,
+    legalese, or a template — removing it cuts tokens without touching
+    content, and the repeated-line fraction per source is itself a
+    crawl-quality signal (high boiler_frac = template farm). Distinct
+    from q95e/q95p: those dedup against OTHER documents pair-wise;
+    this filters by corpus-level LINE FREQUENCY — the CCNet paragraph
+    discipline at line granularity.
+
+    Plan: one explode → (source, line)-keyed distinct-doc count → a
+    semi-join-shaped re-join on the same key (exchange reused), report
+    bounded by |sources|. At 100 TB the line key becomes xxhash64 (the
+    q95u move — string oracle verifies the full output here so a
+    collision cannot pass silently); frequency thresholds scale with
+    corpus as df >= max(3, 1e-4 * docs_in_source).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lines = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.col("text"), "\\. ")).alias("line"),
+    ).filter(F.length("line") > 0)
+    freq = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    marked = lines.join(freq, ["source", "line"]).select(
+        "doc_id", "source", "line",
+        F.when(F.col("df") >= 3, 1).otherwise(0).alias("is_boiler"),
+    )
+    return marked.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").alias("n_lines"),
+        F.sum("is_boiler").cast("long").alias("n_boiler_lines"),
+        F.sum(F.when(F.col("is_boiler") == 1, F.length("line")).otherwise(0))
+        .cast("long")
+        .alias("boiler_chars"),
+        (F.sum("is_boiler").cast("long") / F.count("*").cast("double")).alias(
+            "boiler_frac"
+        ),
+    )
