@@ -11431,8 +11431,9 @@ def q95aq_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFram
     discipline at line granularity.
 
     Plan: one explode → (source, line)-keyed distinct-doc count → a
-    semi-join-shaped re-join on the same key (exchange reused), report
-    bounded by |sources|. At 100 TB the line key becomes xxhash64 (the
+    re-join on the same key (AQE broadcasts the aggregated freq side at
+    this size; at corpus scale both sides hash-partition on the shared
+    key), report bounded by |sources|. At 100 TB the line key becomes xxhash64 (the
     q95u move — string oracle verifies the full output here so a
     collision cannot pass silently); frequency thresholds scale with
     corpus as df >= max(3, 1e-4 * docs_in_source).

@@ -690,3 +690,32 @@ def test_q47c_attribution_is_joinless(spark):
     the plan means the as-of shortcut regressed to an as-of join."""
     plan = plan_of(spark, "q47c_last_touch_attribution")
     assert "Join" not in plan, plan[:1500]
+
+
+def test_q95aq_boilerplate_join_is_hash_no_products(spark):
+    """The frequency re-join must stay a hash join (AQE broadcasts the
+    |distinct lines|-bounded freq side at this size; at corpus scale
+    both sides hash on the same (source, line) key) — never a product
+    or nested loop."""
+    plan = plan_of(spark, "q95aq_boilerplate_line_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q36q_ks_walk_is_single_ordered_pass(spark):
+    """The KS statistic's merged walk is ONE ordered pass plus the
+    tie-collapse window and a 1-row broadcast — no join of the two
+    samples against each other."""
+    plan = plan_of(spark, "q36q_ks_two_sample")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row sizes scalar
+
+
+def test_q76b_ring_vnodes_broadcast(spark):
+    """The 128-row vnode dim must broadcast into the key scan."""
+    plan = plan_of(spark, "q76b_consistent_hash_ring")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast cross join
+    assert "SortMergeJoin" not in plan
