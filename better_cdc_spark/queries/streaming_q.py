@@ -1773,3 +1773,117 @@ def q80b_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("p99_lateness_ms"),
         F.max("lateness_ms").cast("long").alias("max_lateness_ms"),
     )
+
+
+@query(
+    "qm13_streaming_crdt_counters",
+    oracle="""
+    WITH contrib AS (
+      SELECT o_orderkey % 50 AS counter, o_orderkey % 5 AS node,
+             o_orderkey AS seq,
+             SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+               OVER w AS inc_c,
+             SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+               OVER w AS dec_c
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderkey % 50, o_orderkey % 5
+                   ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+    ), merged AS (
+      SELECT counter, node,
+             CAST(MAX(inc_c) AS BIGINT) AS inc_c,
+             CAST(MAX(dec_c) AS BIGINT) AS dec_c
+      FROM contrib GROUP BY counter, node
+    )
+    SELECT counter,
+           CAST(SUM(inc_c) AS BIGINT) AS total_inc,
+           CAST(SUM(dec_c) AS BIGINT) AS total_dec,
+           CAST(SUM(inc_c) - SUM(dec_c) AS BIGINT) AS value
+    FROM merged GROUP BY counter
+    """,
+    tags=("streaming", "crdt", "incremental", "merge"),
+)
+def qm13_streaming_crdt_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PN-counter convergence — qc31's CRDT merge in its
+    production harness: per-node cumulative counter states arrive in
+    micro-batches (out of order ACROSS batches, with every 4th state
+    re-delivered in a later batch — at-least-once made concrete);
+    foreachBatch appends per-batch per-(counter, node) MAX partials,
+    and the read side MAX-merges partials. MAX is idempotent,
+    commutative, associative — the merged value equals the one-shot
+    truth in ANY arrival order, so this streaming entry carries the
+    FULL value-hash oracle computing the truth directly (the
+    qm06/qm07/qm08 discipline; the semilattice family is now bit_or,
+    SUM-retraction, and MAX).
+
+    Per-epoch cost is O(batch) with |counters|x|nodes|-bounded
+    partials; read-side merge is partials x epochs with the usual
+    compaction story.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy(F.col("o_orderkey") % 50, F.col("o_orderkey") % 5)
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    contrib = orders.select(
+        (F.col("o_orderkey") % 50).alias("counter"),
+        (F.col("o_orderkey") % 5).alias("node"),
+        F.col("o_orderkey").alias("seq"),
+        F.sum(F.when(F.col("o_orderkey") % 3 != 0, 1).otherwise(0))
+        .over(w).alias("inc_c"),
+        F.sum(F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0))
+        .over(w).alias("dec_c"),
+    )
+
+    arrivals = scratch_dir("qm13_states")
+    # three arrival files: states scrambled across batches by a hash,
+    # plus every 4th state RE-DELIVERED in the final batch
+    for b in range(2):
+        contrib.filter((F.col("seq") * 7919) % 2 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+    contrib.filter(F.col("seq") % 4 == 0).coalesce(1).write.mode("append").parquet(
+        arrivals
+    )
+
+    partials = scratch_dir("qm13_partials")
+
+    def merge_step(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("counter", "node")
+            .agg(F.max("inc_c").alias("inc_c"), F.max("dec_c").alias("dec_c"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        spark.readStream.schema(contrib.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(merge_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm13_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(partials)
+        .groupBy("counter", "node")
+        .agg(
+            F.max("inc_c").cast("long").alias("inc_c"),
+            F.max("dec_c").cast("long").alias("dec_c"),
+        )
+    )
+    return merged.groupBy("counter").agg(
+        F.sum("inc_c").cast("long").alias("total_inc"),
+        F.sum("dec_c").cast("long").alias("total_dec"),
+        (F.sum("inc_c") - F.sum("dec_c")).cast("long").alias("value"),
+    )
