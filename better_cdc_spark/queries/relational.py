@@ -5583,3 +5583,69 @@ def q36q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(gap) / (F.col("na") * F.col("nb")).cast("double")).alias("ks_d"),
         )
     )
+
+
+@query(
+    "q53d_gini_coefficient",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS total
+      FROM per_cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(SUM(i * cents) AS BIGINT) AS weighted_sum,
+           2.0 * CAST(SUM(i * cents) AS BIGINT)
+             / (CAST(MAX(n) AS BIGINT) * CAST(MAX(total) AS BIGINT))
+             - (CAST(MAX(n) AS BIGINT) + 1.0) / MAX(n) AS gini
+    FROM ranked
+    """,
+    tags=("window", "inequality", "report"),
+)
+def q53d_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the concentration INDEX
+    next to q53c's crossing rank: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-ranked values, the closed rank form that needs no Lorenz
+    integration. 0 = perfectly even, →1 = one customer is the revenue.
+    The same statistic audits token-share across corpus sources (swap
+    the table) — how concentrated a mixture actually is.
+
+    The rank weighting Σ(i·xᵢ) is an exact BIGINT (i ≤ |customers|,
+    cents sums bounded), so the two divisions produce bit-identical
+    doubles; ties rank deterministically by key. The window runs over
+    the |customers|-bounded per-key aggregate — never over orders.
+    """
+    tune_for_oracle(spark)
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = W.orderBy(F.col("cents"), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("cents").over(W.partitionBy()).alias("total"),
+    )
+    n = F.max("n").cast("long")
+    total = F.max("total").cast("long")
+    wsum = F.sum(F.col("i") * F.col("cents")).cast("long")
+    return ranked.agg(
+        n.alias("n_customers"),
+        total.alias("total_cents"),
+        wsum.alias("weighted_sum"),
+        (2.0 * wsum / (n * total) - (n + 1.0) / F.max("n")).alias("gini"),
+    )
