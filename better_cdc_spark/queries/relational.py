@@ -5649,3 +5649,73 @@ def q53d_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsum.alias("weighted_sum"),
         (2.0 * wsum / (n * total) - (n + 1.0) / F.max("n")).alias("gini"),
     )
+
+
+@query(
+    "q46e_stickiness",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM days GROUP BY d
+    ), contrib AS (
+      SELECT DISTINCT user_id, d + to_days(CAST(t.k AS INTEGER)) AS win_end
+      FROM days CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) t
+    ), bounds AS (
+      SELECT MIN(date_trunc('day', ts)) AS lo, MAX(date_trunc('day', ts)) AS hi
+      FROM events
+    ), wau AS (
+      SELECT win_end AS d, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM contrib, bounds
+      WHERE win_end BETWEEN lo AND hi
+      GROUP BY win_end
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           dau.dau / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    tags=("timeseries", "engagement", "distinct"),
+)
+def q46e_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — THE engagement ratio every product dashboard
+    leads with: of the users active in the trailing week, what fraction
+    showed up today (1/7 ≈ 0.14 means weekly visitors; 1.0 means daily
+    habit). Exact distinct counts on both sides via q46b's
+    contribution-expansion trick (each user-day contributes to the 7
+    window ends it falls in, so the rolling DISTINCT becomes a plain
+    hash agg — no windowed count-distinct, which Spark cannot do
+    exactly), then one exact-int division per day.
+
+    Scale: the user-day dedup is one hash agg; the 7× expansion is a
+    narrow generator bounded by the window length; both counts and the
+    join are day-keyed. HLL sketches (q46c) replace the exact counts
+    when the audience outgrows exactness — the ratio machinery is
+    unchanged.
+    """
+    tune_for_oracle(spark)
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+    )
+    dau = days.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.expr("transform(sequence(0, 6), k -> d + make_interval(0,0,0,k))")
+            ).alias("win_end"),
+        )
+        .distinct()
+    )
+    bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_end").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("win_end").alias("d"))
+        .agg(F.count("*").alias("wau"))
+    )
+    return dau.join(wau, "d").select(
+        F.col("d").alias("day"), "dau", "wau",
+        (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
+    )
