@@ -11462,3 +11462,85 @@ def q95aq_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFram
             "boiler_frac"
         ),
     )
+
+
+@query(
+    "q98w_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {_lang_score_sql("string_split(lower(text), ' ')", LANG_STOPWORDS['en'])} AS s_en,
+               {_lang_score_sql("string_split(lower(text), ' ')", LANG_STOPWORDS['de'])} AS s_de,
+               {_lang_score_sql("string_split(lower(text), ' ')", LANG_STOPWORDS['es'])} AS s_es,
+               {_lang_score_sql("string_split(lower(text), ' ')", LANG_STOPWORDS['fr'])} AS s_fr
+        FROM documents
+    ), pred AS (
+        SELECT lang AS declared,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS predicted
+        FROM scored
+    ), cm AS (
+        SELECT declared, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY declared, predicted
+    )
+    SELECT declared, predicted, n,
+           n / CAST(SUM(n) OVER (PARTITION BY declared) AS DOUBLE) AS recall_frac
+    FROM cm
+    """,
+    tags=("llm", "text", "langid", "evaluation"),
+)
+def q98w_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — evaluation-as-data for the q98
+    classifier: declared label × predicted label with per-declared-
+    language recall fractions. The diagonal is langid accuracy; the
+    off-diagonal cells say WHICH language pairs the stopword heuristic
+    confuses (es↔fr share Romance stopwords — the cell to watch), which
+    is what decides whether a 100 TB corpus routes through this cheap
+    gate or pays for fastText. Every model gate in the q95 family
+    deserves this table; q95am audits calibration, this audits the
+    CLASSES.
+
+    The predictor is the exact q98_langid expression (deterministic SQL
+    in both engines, same tie order en>de>es>fr); the matrix is one
+    |langs|²-bounded agg + a margin window over it, and the recall
+    fractions are single divisions of exact counts.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lower_words = F.split(F.lower(F.col("text")), " ")
+
+    def score(stops: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(s) for s in stops])
+        return F.size(F.filter(lower_words, lambda w: F.array_contains(arr, w)))
+
+    scored = docs.select(
+        F.col("lang").alias("declared"),
+        score(LANG_STOPWORDS["en"]).alias("s_en"),
+        score(LANG_STOPWORDS["de"]).alias("s_de"),
+        score(LANG_STOPWORDS["es"]).alias("s_es"),
+        score(LANG_STOPWORDS["fr"]).alias("s_fr"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    cm = (
+        scored.select("declared", predicted.alias("predicted"))
+        .groupBy("declared", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    return cm.select(
+        "declared", "predicted", "n",
+        (F.col("n") / F.sum("n").over(W.partitionBy("declared")).cast("double")).alias(
+            "recall_frac"
+        ),
+    )
