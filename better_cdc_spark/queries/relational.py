@@ -5719,3 +5719,75 @@ def q46e_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("day"), "dau", "wau",
         (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
     )
+
+
+@query(
+    "q42h_seasonality_strength",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS h,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc
+      FROM events
+    ), per_hour AS (
+      SELECT event_type, h,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(vc) AS BIGINT) AS sh
+      FROM v GROUP BY event_type, h
+    ), tot AS (
+      SELECT event_type,
+             CAST(SUM(nh) AS BIGINT) AS n,
+             CAST(SUM(sh) AS BIGINT) AS s,
+             CAST((SELECT SUM(vc * vc) FROM v v2
+                   WHERE v2.event_type = per_hour.event_type) AS BIGINT) AS ss,
+             SUM(CAST(sh AS DOUBLE) * sh / nh) AS between_raw
+      FROM per_hour GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (between_raw - CAST(s AS DOUBLE) * s / n)
+             / (ss - CAST(s AS DOUBLE) * s / n) AS seasonality_strength
+    FROM tot
+    """,
+    tags=("timeseries", "seasonality", "variance"),
+)
+def q42h_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength by hour-of-day — the one-number answer to
+    'does this metric have a daily cycle': the fraction of total
+    variance explained by hour-of-day groups (the ANOVA between/total
+    ratio, which is also the eta² of hour as a factor). Near 0 = no
+    daily pattern (don't bother with seasonal models or hourly
+    autoscaling); near 1 = the hour IS the signal.
+
+    Exactness: centi-unit integers keep every sum (Σx, Σx², per-hour
+    Σ) an exact BIGINT through sf1 at this value range (the docstring
+    bound convention of q42f); the two SS terms are then identical
+    double expressions of exact ints with one division each — the
+    computational ANOVA form, no mean subtraction per row. One hash
+    agg on (series, hour), one on the series; the hour table is
+    24-bounded.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    per_hour = v.groupBy("event_type", "h").agg(
+        F.count("*").alias("nh"),
+        F.sum("vc").cast("long").alias("sh"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("ssh"),
+    )
+    tot = per_hour.groupBy("event_type").agg(
+        F.sum("nh").cast("long").alias("n"),
+        F.sum("sh").cast("long").alias("s"),
+        F.sum("ssh").cast("long").alias("ss"),
+        F.sum(F.col("sh").cast("double") * F.col("sh") / F.col("nh")).alias(
+            "between_raw"
+        ),
+    )
+    correction = F.col("s").cast("double") * F.col("s") / F.col("n")
+    return tot.select(
+        "event_type", "n",
+        ((F.col("between_raw") - correction) / (F.col("ss") - correction)).alias(
+            "seasonality_strength"
+        ),
+    )
