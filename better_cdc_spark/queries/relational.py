@@ -5791,3 +5791,75 @@ def q42h_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_strength"
         ),
     )
+
+
+@query(
+    "q36r_lag1_autocorrelation",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS x,
+             LEAD(CAST(round(value * 100, 0) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+      FROM events
+    ), pairs AS (
+      SELECT event_type, x, y FROM v WHERE y IS NOT NULL
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS lag1_autocorr
+    FROM sums
+    """,
+    tags=("timeseries", "stats", "autocorrelation"),
+)
+def q36r_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series — q42h's companion diagnostic:
+    eta² asks 'is there a daily CYCLE', this asks 'does the last value
+    PREDICT the next' (near 0 = white noise, forecast nothing; near 1 =
+    random walk, naive-last-value is the baseline to beat). Together
+    they are the two numbers looked at before fitting any time-series
+    model.
+
+    Pearson r over (x_t, x_{t+1}) pairs in the computational form: one
+    per-series window for the lead, then SIX exact BIGINT sums and one
+    closed expression — IEEE sqrt is correctly rounded, so identical
+    double inputs give identical outputs cross-engine. Centi-unit
+    bounds hold through ~sf0.1 at this value range (nΣxy ~ 1.3e18; the
+    q42f overflow-note convention — nano/micro scaling trades headroom
+    for precision as needed).
+    """
+    tune_for_oracle(spark)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    x = F.round(F.col("value") * 100, 0).cast("long")
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", x.alias("x"), F.lead(x).over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    sums = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return sums.select(
+        "event_type", "n",
+        (
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            )
+        ).alias("lag1_autocorr"),
+    )
