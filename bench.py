@@ -1,7 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}. The driver records this as BENCH_r{N}.json.
+The FINAL stdout line is ONE compact JSON object {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "sf": sf, ...} sized to
+fit the driver's 2000-byte tail-capture window. The full diagnostics
+(per-query baseline ratios, CDC/streaming/replay rigs) are printed on an
+earlier line AND written to bench_full_latest.json.
 
 Each timed run executes the full plan and consumes results via count()
 (no driver-side materialization of wide rows).
@@ -250,23 +253,60 @@ def main() -> None:
         for n in times
         if n in R4_REFERENCE and n not in R1_BASELINE
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cdc_e2e": cdc_e2e,
-                "streaming": streaming,
-                "replay_sink": replay_sink,
-                "vs_baseline": vs_baseline,
-                "vs_r4": vs_r4,
-                "envelope_ok": all(r <= 2.0 for r in vs_baseline.values()),
-            }
-        )
+    # VM-drift normalization: this rig's wall clock shifts 1.2-3x between
+    # rounds on identical plans (r6->r7 slowed every zero-shuffle narrow map
+    # uniformly). The median vs_baseline ratio across the 14 r1 queries IS
+    # that round's VM shift estimate — dividing the r4-referenced ratios by
+    # it makes the envelope track plan regressions, not host noise, and
+    # stops drift from masking (or faking) a real 3x regression in the
+    # post-r1 queries that the raw gate never covered.
+    med = sorted(vs_baseline.values())[len(vs_baseline) // 2] if vs_baseline else 1.0
+    vs_r4_norm = {n: round(r / max(med, 1e-9), 3) for n, r in vs_r4.items()}
+    envelope_ok = all(r <= 2.0 for r in vs_baseline.values()) and all(
+        r <= 2.0 for r in vs_r4_norm.values()
     )
+
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cdc_e2e": cdc_e2e,
+        "streaming": streaming,
+        "replay_sink": replay_sink,
+        "vs_baseline": vs_baseline,
+        "vs_r4": vs_r4,
+        "vm_shift_median": round(med, 3),
+        "vs_r4_norm": vs_r4_norm,
+        "envelope_ok": envelope_ok,
+    }
+    # Full diagnostics go to a file + an early stdout line; the FINAL stdout
+    # line is a compact subset guaranteed to fit the driver's 2000-byte tail
+    # window (r7's 2.5 KB line got its head clipped -> parsed: null).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full_latest.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "envelope_ok": envelope_ok,
+        "vm_shift_median": round(med, 3),
+        "cdc_e2e_ops_per_sec": cdc_e2e.get("value"),
+        "streaming_events_per_sec": streaming.get("value"),
+        "txlog_replay_ms_per_epoch": replay_sink.get("txlog_replay_ms_per_epoch"),
+        "vs_baseline_max": max(vs_baseline.values(), default=None),
+        "vs_r4_norm_max": max(vs_r4_norm.values(), default=None),
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: drop per-query detail before clipping
+        compact["queries"] = {"_see": "bench_full_latest.json"}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -141,6 +141,14 @@ class SocketWire:
             if len(self._buf) >= 5:
                 kind = self._buf[:1]
                 length = struct.unpack(">I", self._buf[1:5])[0]
+                if length < 4:
+                    # PostgreSQL framing invariant: the length field counts
+                    # itself, so < 4 is malformed. Slicing with it would
+                    # leave part of the 5 header bytes in the accumulator
+                    # and silently desync every later frame — fail loudly.
+                    raise ConnectionError(
+                        f"malformed frame: length {length} < 4 (kind {kind!r})"
+                    )
                 total = 1 + length  # type byte + length (incl. itself)
                 if len(self._buf) >= total:
                     body = self._buf[5:total]

@@ -2146,8 +2146,12 @@ def _utf8_coded_number(n: int) -> bytes:
         return bytes([n])
     out = []
     bits_left = n.bit_length()
+    # capacity of an n_bytes coding = (7 - n_bytes) lead bits +
+    # 6*(n_bytes - 1) continuation bits = 5*n_bytes + 1; grow only past
+    # that so boundary values (e.g. 16-bit frame numbers at n_bytes=3)
+    # stay minimal — strict decoders reject overlong codings
     n_bytes = 2
-    while bits_left > 1 + 5 * (n_bytes - 1) + (7 - n_bytes):
+    while bits_left > 5 * n_bytes + 1:
         n_bytes += 1
     lead_mask = (0xFF << (8 - n_bytes)) & 0xFF
     shift = 6 * (n_bytes - 1)

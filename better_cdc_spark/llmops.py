@@ -1514,7 +1514,16 @@ def sniff_media(payload: bytes) -> dict:
             "duration_us": None, "detail": sum(m["pixels"]),
         }
     if payload[:2] == b"\xff\xd8":
-        m = codecs.decode_jpeg_gray(payload)
+        # same dispatch as decode_image: gray -> color (which itself routes
+        # SOF2 progressive) — sniff_media is the file(1) of the pipeline and
+        # must classify every JPEG decode_image can decode, not just the
+        # flat grayscale subset the fixtures happen to feed it
+        try:
+            m = codecs.decode_jpeg_gray(payload)
+        except ValueError as exc:
+            if "single-component" not in str(exc) and "SOF0" not in str(exc):
+                raise
+            m = codecs.decode_jpeg_color(payload)
         return {
             "mime": "image/jpeg", "width": m["width"], "height": m["height"],
             "duration_us": None, "detail": sum(m["pixels"]),

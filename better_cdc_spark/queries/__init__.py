@@ -51,69 +51,63 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified.
 #
-# Round-7 prefix (generated with tools/rotation.py): round-7 additions
-# first, then the two round-6 FAILED rows (q97_int8_quantize /
-# q97_mean_pool crashed the driver's pandas canonicalizer on raw list
-# columns — both now ship lossless CSV serializations and need a fresh
-# external row), q99m (μ-law sign convention fixed this round, oracle
-# changed), then the last 25 never-driver-verified entries — after which
-# every registry entry has an external driver-green row.
+# Round-8 prefix (generated with tools/rotation.py): the first 50 of the 72
+# registry entries no CORRECTNESS_r*.json has ever recorded — all r7-late
+# additions. After this round the never-verified backlog is <=22; the round-9
+# rotation finishes it.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # round-7 additions, externally unverified
-    "q99p_flac_decode",
-    "q98l_bpe_train_apply",
-    "q99r_mp3_frame_scan",
-    "q99q_ahash_near_dup",
-    "q98m_rag_chunking",
-    "q98n_unicode_normalize",
-    "q94k_webdataset_ingest",
-    "q99s_srt_shot_align",
-    "q95ae_best_of_n_sampling",
-    "q99t_ogg_opus_scan",
-    "q95af_curriculum_shards",
-    "q98o_bpe_apply_fixed",
-    "q99u_incremental_ahash_index",
-    "q95ag_robots_gating",
-    "qm06_streaming_ahash_dedup",
-    "q94l_contamination_matrix",
-    "q99v_cross_modal_dedup",
-    "q95ab_conversation_assembly",
-    "q95ac_preference_pairs",
-    "q95ad_chat_template_render",
-    "q99n_shot_boundary_detect",
-    "q99o_video_frame_dedup",
-    # round-7 re-verifications (output/codec fixes this round)
-    "q97_int8_quantize",
-    "q97_mean_pool",
-    "q99m_g711_companding",
-    # never-driver-verified remainder (registration order)
-    "q95_split_assignment",
-    "q96_ngram_jaccard",
-    "q95m_containment_dedup",
-    "q98_text_stats",
-    "q98_langid",
-    "q95_stratified_sample",
-    "q94_dedup_clusters",
-    "q94_curation_pipeline",
-    "q99_multimodal",
-    "q99_frame_sampling",
-    "q94b_multimodal_curation",
-    "q98b_unigram_logprob",
-    "q99b_audio_windows",
-    "q95b_decontaminate",
-    "q95l_semantic_decontaminate",
-    "q98c_repetition",
-    "q95c_balanced_subset",
-    "q95d_sequence_packing",
-    "q95f_domain_cap",
-    "q98e_vocab_topk",
-    "q98d_pii_scrub",
-    "q98g_bpe_pair_counts",
-    "q97c_matryoshka_energy",
-    "q95g_url_canonicalize",
-    "q94e_pagerank",
+    "q36k_histogram",
+    "q48_bitmap_overlap",
+    "q52b_weighted_sample",
+    "q49_kmv_sketch_overlap",
+    "q01d_row_provenance",
+    "q42f_cusum_changepoints",
+    "q36l_mad_outliers",
+    "q36m_scalable_median",
+    "q36n_winsorize",
+    "q47b_path_mining",
+    "q47c_last_touch_attribution",
+    "q36o_benford_audit",
+    "q47d_sequence_pattern_match",
+    "q42g_gorilla_timeseries",
+    "q44e_max_concurrency",
+    "q29b_skew_advisor",
+    "q36p_chi_square_independence",
+    "q44f_transition_matrix",
+    "q53c_pareto_report",
+    "q76b_consistent_hash_ring",
+    "q45d_lttb_downsample",
+    "q36q_ks_two_sample",
+    "q53d_gini_coefficient",
+    "q46e_stickiness",
+    "q42h_seasonality_strength",
+    "q36r_lag1_autocorrelation",
+    "qc24_snapshot_diff_cdc",
+    "qc25_replication_lag_report",
+    "qm10_change_data_feed",
+    "qc26_scd2_temporal_join",
+    "qm11_cdf_downstream_sync",
+    "qc27_protobuf_decode",
+    "qc28_delivery_order_audit",
+    "qc29_wire_e2e_pipeline",
+    "qc30_schema_compat_matrix",
+    "qc31_crdt_counter_merge",
+    "q95ai_index_with_deletes",
+    "q97o_filtered_vector_search",
+    "qc23_cdc_index_maintenance",
+    "q99w_speech_segments",
+    "q99x_media_sniff_dispatch",
+    "q99y_webp_lossless_decode",
+    "q97q_matryoshka_search",
+    "q95al_corpus_drift",
+    "q01c_parquet_stats_report",
+    "q99z_gif_animation_scan",
+    "q44d_retention_cohorts",
+    "q94m_shortest_paths",
+    "q99aa_bmp_decode",
+    "q97r_embedding_dim_stats",
 )
 
 def load_all() -> dict[str, QuerySpec]:

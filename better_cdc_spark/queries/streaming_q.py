@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from better_cdc_spark.io import load_table
 from better_cdc_spark.queries import query
 from better_cdc_spark.queries import relational
+from better_cdc_spark.queries.llm import _append_index_rows
 from better_cdc_spark.queries.relational import _d, dec
 from better_cdc_spark.session import tune_for_oracle
 from better_cdc_spark.streaming.core import events_stream, run_to_memory
@@ -1222,7 +1223,7 @@ def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .write.mode("append").parquet(cand_dir)  # sink BEFORE index grows
         )
-        rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(index_dir)
+        _append_index_rows(rows, index_dir, rows.count())
 
     try:
         q = (
@@ -1394,9 +1395,7 @@ def qm06_streaming_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append")
             .parquet(cand_dir)  # sink BEFORE the index grows
         )
-        rows.coalesce(1).write.partitionBy("pb").mode("append").parquet(
-            index_dir
-        )
+        _append_index_rows(rows, index_dir, rows.count())
 
     try:
         q = (

@@ -245,7 +245,12 @@ class FakeBrokerServer:
             s = self.script
             if eid in s.drop_ack and eid not in self._dropped_once:
                 self._dropped_once.add(eid)
-                self.received_payloads.append(payload)  # persisted, ack lost
+                # max_payload gates persistence even when the ack is lost:
+                # a real broker rejects an oversized message BEFORE storing
+                # it, so a drop_ack'ed oversized publish must not appear
+                # persisted while its retry gets 'maxpayload'
+                if s.max_payload is None or len(payload) <= s.max_payload:
+                    self.received_payloads.append(payload)  # persisted, ack lost
                 return  # lost response; the retry will be answered
         if s.max_payload is not None and len(payload) > s.max_payload:
             reply = {"req": req, "event_id": eid, "err": "maxpayload"}

@@ -257,7 +257,7 @@ class TxLogTable:
         """ACID append. With (app_id, txn_version), replays are no-ops —
         the foreachBatch effectively-once contract."""
         staged: list[str] | None = None
-        while True:
+        for attempt in range(self.MAX_COMMIT_ATTEMPTS):
             snap = self.snapshot()
             if app_id is not None and snap.txns.get(app_id, -1) >= (txn_version or 0):
                 return snap.version  # replayed commit: acknowledged no-op
@@ -270,6 +270,12 @@ class TxLogTable:
             if self._try_commit(v, actions):
                 return v
             # lost the race — appends never conflict semantically; retry
+            # with jittered backoff so N contending writers interleave
+            # instead of livelocking in version-race lockstep
+            self._backoff(attempt)
+        raise CommitConflict(
+            f"append lost {self.MAX_COMMIT_ATTEMPTS} consecutive version races"
+        )
 
     def replace(
         self,
@@ -300,7 +306,7 @@ class TxLogTable:
             return basis.version  # replayed commit: no-op, nothing staged
         removes = [p for p in basis.files if remove_pred(p)]
         staged: list[str] | None = None
-        while True:
+        for attempt in range(self.MAX_COMMIT_ATTEMPTS):
             snap = self.snapshot()
             if app_id is not None and snap.txns.get(app_id, -1) >= (txn_version or 0):
                 return snap.version
@@ -332,6 +338,29 @@ class TxLogTable:
             v = snap.version + 1
             if self._try_commit(v, actions):
                 return v
+            self._backoff(attempt)
+        raise CommitConflict(
+            f"replace lost {self.MAX_COMMIT_ATTEMPTS} consecutive version races"
+        )
+
+    #: CAS-retry cap. Generous: each lost race means ANOTHER writer
+    #: committed, so 64 losses ⇒ 64 successful commits elsewhere — a
+    #: contention level no single-table workload reaches; hitting the cap
+    #: signals a stuck/looping writer, which deserves an error, not a
+    #: silent livelock.
+    MAX_COMMIT_ATTEMPTS = 64
+
+    @staticmethod
+    def _backoff(attempt: int) -> None:
+        """Exponential backoff with full jitter (capped ~100 ms) between
+        optimistic-commit retries; attempt 0 retries immediately since a
+        single lost race is the common benign case."""
+        if attempt == 0:
+            return
+        import random
+        import time as _time
+
+        _time.sleep(random.uniform(0, min(0.1, 0.001 * (2 ** min(attempt, 7)))))
 
     def _add_action(self, path: str) -> dict:
         a = {"path": path}

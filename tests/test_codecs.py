@@ -1270,3 +1270,47 @@ def test_exif_hand_assembled_spec_stream_and_errors():
         decode_exif(b"XX" + tiff[2:])
     with _pytest.raises(ValueError, match="no EXIF"):
         decode_exif(b"\xff\xd8\xff\xda\x00\x02")
+
+
+class TestAdviceR7Regressions:
+    """Round-7 advice items: sniff_media JPEG dispatch parity and FLAC
+    coded-number minimality."""
+
+    def test_sniff_media_routes_color_and_progressive_jpeg(self):
+        import numpy as np
+
+        from better_cdc_spark import llmops
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        color = codecs.encode_jpeg_color_420(16, 16, img.tobytes())
+        m = llmops.sniff_media(color)
+        assert (m["mime"], m["width"], m["height"]) == ("image/jpeg", 16, 16)
+        # cross-check against decode_image's dispatch (the contract: sniff
+        # classifies everything decode_image decodes)
+        d = llmops.decode_image(color)
+        assert m["detail"] == sum(d["pixels"])
+
+        y = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+        cb = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+        cr = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+        prog = codecs.encode_jpeg_progressive(16, 16, y, cb, cr)
+        m = llmops.sniff_media(prog)
+        assert (m["mime"], m["width"], m["height"]) == ("image/jpeg", 16, 16)
+        assert m["detail"] == sum(llmops.decode_image(prog)["pixels"])
+
+    def test_flac_coded_number_is_minimal_at_capacity_boundaries(self):
+        # capacity of an n-byte coding is 5n+1 bits; values at exact
+        # capacity must NOT spill into an overlong (n+1)-byte coding
+        assert len(codecs._utf8_coded_number(0x7F)) == 1
+        assert len(codecs._utf8_coded_number(0x80)) == 2
+        assert len(codecs._utf8_coded_number(0x7FF)) == 2      # 11 bits
+        assert len(codecs._utf8_coded_number(0x800)) == 3
+        assert len(codecs._utf8_coded_number(0xFFFF)) == 3     # 16 bits
+        assert len(codecs._utf8_coded_number(0x10000)) == 4
+        assert len(codecs._utf8_coded_number((1 << 21) - 1)) == 4  # 21 bits
+        # round-trip through the reader at every boundary
+        for n in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000,
+                  (1 << 21) - 1, 1 << 21):
+            r = codecs._MSBBitReader(codecs._utf8_coded_number(n))
+            assert codecs._read_coded_number(r) == n

@@ -394,3 +394,63 @@ def test_end_to_end_wal_to_broker_relay_with_ack_gated_checkpoint():
         assert wait_until(
             lambda: wsrv.confirmed_flush() == lsn_to_str(wal[-1][0])
         ) or wsrv.confirmed_flush() == lsn_to_str(wal[-1][0])
+
+
+def test_malformed_frame_length_raises_not_desyncs():
+    """A frame header whose length field is < 4 violates PostgreSQL
+    framing (the length counts itself): the wire must raise
+    ConnectionError immediately rather than slice part of the 5 header
+    bytes back into the accumulator and silently desync every later
+    frame (round-7 advice, socket_wire.py:143)."""
+    import socket as socklib
+    import struct
+    import threading
+
+    from better_cdc_spark.cdc import socket_wire as sw
+
+    srv = socklib.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        sw.read_message(conn)  # the START_REPLICATION Query
+        conn.sendall(sw._pack_msg(sw.MSG_COPY_BOTH_RESPONSE, b"\x00\x00\x00"))
+        # kind 'd' with length=2 (< 4, impossible) then trailing garbage
+        conn.sendall(b"d" + struct.pack(">I", 2) + b"\xde\xad\xbe\xef")
+        time.sleep(0.5)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    wire = connect_wire(
+        "127.0.0.1", port, start_replication_command("slot1", "0/0")
+    )
+    with pytest.raises(ConnectionError, match="malformed frame"):
+        wire.recv(2.0)
+    wire.close()
+    srv.close()
+    t.join(timeout=3)
+
+
+def test_oversized_drop_ack_is_not_marked_persisted():
+    """drop_ack swallows the broker's response, but max_payload gates
+    persistence FIRST: an oversized message whose ack is dropped must
+    not appear in received_payloads while its retry gets 'maxpayload'
+    (round-7 advice, socket_broker.py:248)."""
+    script = BrokerScript(max_payload=16, drop_ack={"e1"})
+    quarantined = []
+    with FakeBrokerServer(script) as srv:
+        with SocketPublishTransport("127.0.0.1", srv.port) as tp:
+            items = items_of(3)
+            items[1].payload = b"x" * 64  # poison AND first ack dropped
+            engine = fast_engine(
+                max_publish_retries=3,
+                publish_timeout_s=0.4,
+                failure_policy="dlq",
+                quarantine_cb=lambda item, err: quarantined.append(item.event_id),
+            )
+            result = engine.publish_with_retry(tp, items)
+        assert result.is_resolved()
+        assert quarantined == ["e1"]
+        # broker state is consistent: the oversized payload was never stored
+        assert b"x" * 64 not in srv.received_payloads

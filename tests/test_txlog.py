@@ -465,3 +465,30 @@ def test_change_feed_empty_range_raises(spark, table):
     table.append(df_of(spark, 1))
     with pytest.raises(ValueError, match="no data-changing commits"):
         table.change_feed(v_from=0)
+
+
+def test_commit_loop_bounded_under_perpetual_races(spark, table, monkeypatch):
+    """A writer that loses EVERY version race must surface CommitConflict
+    after MAX_COMMIT_ATTEMPTS, never livelock (round-7 verdict: the
+    append/replace CAS loops were unbounded ``while True``)."""
+    monkeypatch.setattr(TxLogTable, "MAX_COMMIT_ATTEMPTS", 5)
+    monkeypatch.setattr(TxLogTable, "_backoff", staticmethod(lambda attempt: None))
+    table.append(df_of(spark, 1))
+    real_try = table._try_commit
+    attempts = {"n": 0}
+
+    def always_lose(version, actions):
+        # a rival writer takes every version number first, forever
+        attempts["n"] += 1
+        assert real_try(version, [{"add": {"path": f"/ghost/{version}"}}])
+        return real_try(version, actions)
+
+    table._try_commit = always_lose
+    with pytest.raises(CommitConflict, match="append lost 5"):
+        table.append(df_of(spark, 2))
+    assert attempts["n"] == 5
+
+    attempts["n"] = 0
+    with pytest.raises(CommitConflict, match="replace lost 5"):
+        table.replace(df_of(spark, 3), remove_pred=lambda p: False)
+    assert attempts["n"] == 5
