@@ -131,7 +131,15 @@ def run_to_memory(
     finally:
         q.stop()
         q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    # Materialize and DROP the sink table: the memory sink holds its rows
+    # via a catalog strong reference forever, so a long session running
+    # many streaming queries (full sweep ≈ 30+) accumulates every result
+    # table. localCheckpoint blocks, by contrast, are released by the
+    # ContextCleaner once the returned frame is garbage collected.
+    spark = sdf.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def run_to_parquet(sdf: DataFrame, out_dir: str, *, mode: str = "append") -> None:

@@ -60,11 +60,13 @@ def test_similarity_kernels_never_plan_product_joins(spark, name):
 
 def test_q96e_tfidf_verify_is_sparse(spark):
     """The round-4 form densified docs x vocab via crossJoin — a
-    scale-killer at web-corpus vocabulary sizes. The sparse verify must
-    keep the whole plan free of product joins (the corpus-size scalar is
-    folded in as a literal, so there is no 1-row BNLJ either); the
-    per-doc collect_list aggregates are sized by each doc's own terms,
-    not the vocabulary, so they are allowed."""
+    scale-killer at web-corpus vocabulary sizes. The verify must keep
+    the whole plan free of product joins (the corpus-size scalar is
+    folded in as a literal, so there is no 1-row BNLJ either). The r8
+    dense FAST PATH carries a |vocab|-length in-row vector per doc, but
+    only below the TFIDF_DENSE_VOCAB_MAX gate (≤4096 terms, ≤32 KB/row)
+    — above it the per-doc aggregates are sized by each doc's own
+    terms; neither representation introduces a product join."""
     plan = plan_of(spark, "q96e_tfidf_cosine")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
