@@ -11982,3 +11982,169 @@ def q98y_quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+@query(
+    "q97u_rrf_fusion",
+    oracle="""
+    WITH qterms(qid, w) AS (
+      VALUES (1,'table'),(1,'scan'),(2,'join'),(2,'hash'),(3,'window'),(3,'agg')
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM words JOIN (SELECT DISTINCT w FROM qterms) USING (w)
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    bm25s AS (
+      SELECT q.qid, t.doc_id,
+             CAST(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * (t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               AS DECIMAL(18,10)) AS s
+      FROM tf t
+      JOIN qterms q USING (w)
+      JOIN df USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    bm25agg AS (SELECT qid, doc_id, SUM(s) AS score FROM bm25s GROUP BY qid, doc_id),
+    lex AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+        FROM bm25agg
+      ) WHERE rnk <= 20
+    ),
+    probes AS (SELECT vec_id + 1 AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    cscored AS (
+      SELECT p.qid, e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.qv), 6) AS c
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.qid - 1
+    ),
+    vec AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, doc_id) AS rnk
+        FROM cscored
+      ) WHERE rnk <= 20
+    ),
+    pool AS (
+      SELECT COALESCE(l.qid, v.qid) AS qid,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.rnk AS lex_rnk, v.rnk AS vec_rnk
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.qid = v.qid AND l.doc_id = v.doc_id
+    ),
+    fused AS (
+      SELECT qid, doc_id, lex_rnk, vec_rnk,
+             COALESCE(1.0 / (60 + lex_rnk), 0.0)
+             + COALESCE(1.0 / (60 + vec_rnk), 0.0) AS rrf
+      FROM pool
+    )
+    SELECT qid, frnk, doc_id,
+           CAST(lex_rnk AS BIGINT) AS lex_rnk,
+           CAST(vec_rnk AS BIGINT) AS vec_rnk,
+           ROUND(rrf, 6) AS rrf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY rrf DESC, doc_id) AS frnk
+      FROM fused
+    ) WHERE frnk <= 10
+    """,
+    tags=("llm", "retrieval", "hybrid", "fusion"),
+)
+def q97u_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
+    k=60: the fusion every lexical+vector production stack runs) of the
+    BM25 ranking (q97h) and the exact-cosine vector ranking
+    (q97_cosine_topk), top-20 from each system, fused top-10 out. Query
+    pairing is by construction (keyword query qid ↔ probe embedding
+    vec_id = qid-1 — the synthetic corpus has no shared id space, and
+    RRF is id-space-agnostic by design: it consumes only RANKS).
+
+    Plan: both input rankings keep their own optimal shapes (BM25's
+    query-vocabulary semi-join; the broadcast-probe brute scan), each
+    truncated to top-20 BEFORE the fusion join — the fused frame is
+    |queries| × ≤40 rows regardless of corpus size, so fusion cost is
+    noise at any scale. RRF scores are 1/(60+r) sums over ≤2 integer
+    ranks evaluated in one fixed expression — bit-identical cross-engine;
+    final ranking ties break on doc_id.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(1, "table"), (1, "scan"), (2, "join"), (2, "hash"),
+         (3, "window"), (3, "agg")],
+        "qid int, w string",
+    )
+    dl, stats, tf, dfreq = llmops.bm25_postings(docs, qterms)
+    bm25 = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid", "doc_id",
+            llmops.bm25_term_score().cast("decimal(18,10)").alias("s"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    wl = W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        bm25.select("qid", "doc_id", F.row_number().over(wl).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1).cast("int").alias("qid"), F.col("v").alias("qv")
+    )
+    cscored = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("qid") - 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                llmops.dot(F.col("v"), F.col("qv"))
+                / (llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))),
+                6,
+            ).alias("c"),
+        )
+    )
+    wv = W.partitionBy("qid").orderBy(F.col("c").desc(), "doc_id")
+    vec = (
+        cscored.select("qid", "doc_id", F.row_number().over(wv).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+    )
+    pool = lex.select("qid", "doc_id", F.col("rnk").alias("lex_rnk")).join(
+        vec.select("qid", "doc_id", F.col("rnk").alias("vec_rnk")),
+        ["qid", "doc_id"],
+        "full_outer",
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rnk")), F.lit(0.0)) + \
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rnk")), F.lit(0.0))
+    wf = W.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        pool.select("qid", "doc_id", "lex_rnk", "vec_rnk", rrf.alias("rrf"))
+        .select("qid", "doc_id", "lex_rnk", "vec_rnk", "rrf",
+                F.row_number().over(wf).alias("frnk"))
+        .filter(F.col("frnk") <= 10)
+        .select(
+            "qid", "frnk", "doc_id",
+            F.col("lex_rnk").cast("long").alias("lex_rnk"),
+            F.col("vec_rnk").cast("long").alias("vec_rnk"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )
