@@ -126,10 +126,19 @@ def parse_wal2json_frames(
         [(int(s), l, p) for s, l, p in frames],
         "ingest_seq long, lsn string, payload string",
     )
+    # FAILFAST: an UNDECODABLE payload is fatal, exactly like the
+    # reference's decode loop (wal2json.go:70-74 sets a fatal error and
+    # stops the parser — malformed WAL output means the slot/plugin
+    # config is wrong, and silently dropping it would corrupt the
+    # stream's transaction structure). An unknown ACTION in well-formed
+    # JSON stays a non-fatal skip (wal2json.go:164-166), handled by the
+    # action filter below.
     m = raw.select(
         "ingest_seq",
         "lsn",
-        F.from_json("payload", WAL2JSON_V2_SCHEMA).alias("m"),
+        F.from_json(
+            "payload", WAL2JSON_V2_SCHEMA, {"mode": "FAILFAST"}
+        ).alias("m"),
     ).filter(F.col("m.action").isin("B", "C", "I", "U", "D", "T"))
     return m.select(
         "ingest_seq",

@@ -12148,3 +12148,74 @@ def q97u_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf"),
         )
     )
+
+
+@query(
+    "q98z_token_entropy",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    tc AS (SELECT doc_id, t, COUNT(*) AS c FROM w GROUP BY doc_id, t),
+    tct AS (
+      SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS tot FROM tc
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(MAX(tot) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             -SUM((c * 1.0 / tot) * (ln(c * 1.0 / tot) / ln(2))) AS h
+      FROM tct GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, n_types,
+           ROUND(n_types * 1.0 / n_tok, 6) AS ttr,
+           ROUND(h, 6) AS entropy,
+           CASE WHEN n_types > 1
+                THEN ROUND(h / (ln(n_types) / ln(2)), 6) END AS norm_entropy
+    FROM perdoc
+    """,
+    tags=("llm", "quality", "entropy"),
+)
+def q98z_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy + type-token ratio per document — the
+    information-theoretic quality signals beside q98c's repetition
+    ratios: low entropy/TTR flags template spam and degenerate loops
+    that length and stopword gates miss; norm_entropy (H / log2(types))
+    is the scale-free form comparable across document lengths.
+
+    One explode → (doc, token) count → per-doc agg; the entropy is a
+    SUM over the doc's own token types (map-side combinable after the
+    (doc, token) shuffle — the same two-exchange shape as every per-doc
+    text stat here). Cross-engine fp: terms are p·log2(p) doubles from
+    identical integer ratios; the unordered SUM's last-ulp wobble sits
+    far below the 6 dp round, the accepted exposure class (q98c).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tc = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    n_tok_w = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c") * F.lit(1.0) / n_tok_w
+    perdoc = (
+        tc.withColumn("term_h", -(p * log2(p)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tok"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("term_h").alias("h"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tok",
+        "n_types",
+        F.round(F.col("n_types") * F.lit(1.0) / F.col("n_tok"), 6).alias("ttr"),
+        F.round("h", 6).alias("entropy"),
+        F.when(
+            F.col("n_types") > 1, F.round(F.col("h") / log2(F.col("n_types")), 6)
+        ).alias("norm_entropy"),
+    )

@@ -1886,3 +1886,164 @@ def qm13_streaming_crdt_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dec_c").cast("long").alias("total_dec"),
         (F.sum("inc_c") - F.sum("dec_c")).cast("long").alias("value"),
     )
+
+
+@query(
+    "qm14_delta_join_ivm",
+    oracle="""
+    WITH a_final AS (
+      SELECT o_orderkey AS okey, o_custkey AS custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 7 <> 3              -- deleted order rows
+    ),
+    b_final AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 5 = 2 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM a_final JOIN b_final USING (custkey)
+    GROUP BY seg
+    """,
+    tags=("streaming", "cdc", "incremental", "matview", "join"),
+)
+def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta-join with
+    retractions (the Differential-Dataflow / Materialize core move,
+    and the piece qm07's aggregate-IVM deliberately left out): keep
+    V = orders ⋈ customer current under inserts, deletes, AND
+    dimension updates on BOTH sides, never re-joining the base tables.
+
+    Per micro-batch of signed deltas (dm = ±1):
+
+        dV  =  dA ⋈ B_prev  ∪  A_prev ⋈ dB  ∪  dA ⋈ dB
+
+    with multiplicities MULTIPLYING across the join — the three terms
+    telescope across batches to exactly A_final ⋈ B_final regardless of
+    how events split into batches OR their order (a delete arriving
+    before its insert makes a transient −1 that the later insert
+    cancels; commutativity is why this streaming entry carries a FULL
+    value-hash oracle, the qm07/qm08 discipline). The synthesized
+    changelog exercises every term: all orders INSERT, okey%7==3 orders
+    DELETE, all customers INSERT, custkey%5==2 customers UPDATE their
+    segment (retract old row + assert new row — the group-changing
+    case), interleaved across 3 micro-batches by a key hash so
+    customers routinely arrive AFTER orders that reference them.
+
+    Scale: per-epoch cost is O(dA·|B-match| + dB·|A-match| + dA·dB) —
+    the state sides are READ (join-pruned), never rewritten; V is an
+    append-only signed log compacted on read (sum dm, keep > 0), the
+    same periodic-compaction story as qm07/qm08. At 100 TB the state
+    dirs are bucketed by join key so each batch's probe reads only
+    matching buckets (the q95aa index discipline); MIN/MAX-style
+    non-self-maintainable aggregates on top of V still need rescans —
+    out of scope exactly as in qm07.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    a_ins = orders.select(
+        F.lit("A").alias("side"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(1).cast("long").alias("dm"),
+    )
+    a_del = a_ins.filter(F.col("okey") % 7 == 3).withColumn(
+        "dm", F.lit(-1).cast("long")
+    )
+    b_ins = customer.select(
+        F.lit("B").alias("side"),
+        F.lit(None).cast("long").alias("okey"),
+        F.col("c_custkey").alias("custkey"),
+        F.lit(None).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).cast("long").alias("dm"),
+    )
+    b_move = customer.filter(F.col("c_custkey") % 5 == 2)
+    b_retract = b_ins.join(
+        b_move.select(F.col("c_custkey").alias("custkey")), "custkey"
+    ).select(*b_ins.columns).withColumn("dm", F.lit(-1).cast("long"))
+    b_assert = b_retract.withColumn("seg", F.lit("MOVED")).withColumn(
+        "dm", F.lit(1).cast("long")
+    )
+    changelog = (
+        a_ins.unionByName(a_del)
+        .unionByName(b_ins)
+        .unionByName(b_retract)
+        .unionByName(b_assert)
+    )
+
+    arrivals = scratch_dir("qm14_changelog")
+    mix = F.coalesce(F.col("okey") * 13, F.col("custkey") * 31)
+    for b in range(3):
+        changelog.filter(F.pmod(mix, F.lit(3)) == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    a_dir = scratch_dir("qm14_state_a")
+    b_dir = scratch_dir("qm14_state_b")
+    v_dir = scratch_dir("qm14_view_log")
+
+    def read_or_empty(path: str, like: DataFrame) -> DataFrame:
+        try:
+            return spark.read.schema(like.schema).parquet(path)
+        except Exception:  # first batch: state dir does not exist yet
+            return spark.createDataFrame([], like.schema)
+
+    def delta_join_step(batch_df: DataFrame, epoch_id: int) -> None:
+        da = batch_df.filter(F.col("side") == "A").select(
+            "okey", "custkey", "cents", F.col("dm").alias("dma")
+        ).localCheckpoint(eager=True)
+        db = batch_df.filter(F.col("side") == "B").select(
+            "custkey", "seg", F.col("dm").alias("dmb")
+        ).localCheckpoint(eager=True)
+        prev_a = read_or_empty(a_dir, da)
+        prev_b = read_or_empty(b_dir, db)
+        # the three delta-join terms; signs multiply across the join
+        terms = (
+            da.join(prev_b, "custkey")
+            .unionByName(prev_a.join(db, "custkey"))
+            .unionByName(da.join(db, "custkey"))
+        )
+        dv = terms.select(
+            "custkey", "okey", "cents", "seg",
+            (F.col("dma") * F.col("dmb")).cast("long").alias("dm"),
+        )
+        dv.write.mode("append").parquet(v_dir)
+        # advance state AFTER dV so prev_* excludes the current batch
+        da.write.mode("append").parquet(a_dir)
+        db.write.mode("append").parquet(b_dir)
+
+    q = (
+        spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(delta_join_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm14_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    live = (
+        spark.read.parquet(v_dir)
+        .groupBy("custkey", "okey", "cents", "seg")
+        .agg(F.sum("dm").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    return live.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

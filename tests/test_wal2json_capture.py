@@ -206,3 +206,18 @@ def test_wal2json_parse_drops_unknown_and_keeps_frame_lsn(spark):
     assert rows[1]["lsn"] == lsn_to_str(44)  # LSN comes from the FRAME
     assert rows[1]["columns"][0]["value"] == "5"
     assert str(rows[1]["timestamp"]).startswith("2024-01-01 00:00:00.5")
+
+
+def test_wal2json_malformed_payload_is_fatal(spark):
+    """An undecodable payload must FAIL the parse, not silently drop —
+    the reference's decode loop sets a fatal error and stops
+    (wal2json.go:70-74); losing a malformed message would silently
+    corrupt the stream's transaction structure."""
+    import pytest as _pytest
+
+    frames = [
+        (0, lsn_to_str(1), json.dumps({"action": "B", "xid": 1})),
+        (1, lsn_to_str(2), '{"action": "I", "xid": '),  # truncated JSON
+    ]
+    with _pytest.raises(Exception, match="(?i)malformed|failfast|corrupt"):
+        parse_wal2json_frames(spark, frames).collect()
