@@ -1519,7 +1519,7 @@ def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q94_curation_pipeline",
-    oracle=f"""
+    oracle=(_Q94_CURATION_ORACLE := f"""
     WITH corpus AS (
         SELECT doc_id, text, lang FROM documents
         UNION ALL
@@ -1558,7 +1558,7 @@ def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k.doc_id, k.lang, k.n_words
     FROM kept k
     WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
-    """,
+    """),
     tags=("llm", "pipeline"),
 )
 def q94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1596,7 +1596,11 @@ def q94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "n_words")
 
 
-@query("q94d_curation_pipeline_lsh", tags=("llm", "pipeline", "scale"))
+@query(
+    "q94d_curation_pipeline_lsh",
+    oracle=_Q94_CURATION_ORACLE,
+    tags=("llm", "pipeline", "scale"),
+)
 def q94d_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q94_curation_pipeline with the PRODUCTION near-dedup stage.
 
@@ -1604,11 +1608,14 @@ def q94d_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     code path: MinHash-LSH candidate generation (band equi-join,
     llmops.minhash_candidate_pairs) verified by pair-bounded exact Jaccard
     (llmops.jaccard_for_pairs) — never the quadratic posting self-join the
-    oracle-checkable q94 uses. Rows-only check: LSH recall is
-    probabilistic, so no SQL oracle; precision is exact by construction
-    (every dropped doc lost a VERIFIED jaccard >= 0.6 pair), and the
-    recall floor vs the exact composite is property-tested in
-    tests/test_llmops.py::test_q94d_matches_exact_composite.
+    oracle-checkable q94 uses. Full value-hash oracle since r8 (was
+    rows-only): the LSH stage is a pure function of the input and its
+    banding recall is exactly 1.0 on this corpus at the driver scales
+    (probed sf0.001 + sf0.01; _EXACT_JACCARD_ORACLE's note), so q94's
+    exact-composite SQL doubles as q94d's oracle; precision is exact by
+    construction (every dropped doc lost a VERIFIED jaccard >= 0.6
+    pair), and the recall floor vs the exact composite remains
+    property-tested in tests/test_llmops.py.
 
     The shared inverted index is built once and eagerly materialized; both
     the signature aggregation and the pair verification read it instead of
@@ -5903,6 +5910,15 @@ def q99h_jpeg_420_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q95aa_incremental_minhash_lsh",
+    # exact near-dup truth + the discovery-batch invariant: a pair is
+    # found when its LATER batch runs (batches slice by doc_id % 3), so
+    # found_in_batch = greatest(doc_a % 3, doc_b % 3) — SQL-derivable
+    # because discovery-once is a structural property, not a trace
+    oracle=f"""
+    SELECT doc_a, doc_b, jaccard,
+           CAST(greatest(doc_a % 3, doc_b % 3) AS INTEGER) AS found_in_batch
+    FROM ({_EXACT_JACCARD_ORACLE})
+    """,
     tags=("llm", "dedup", "minhash", "incremental", "index"),
 )
 def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5930,12 +5946,15 @@ def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     Candidates are exact-Jaccard verified over postings built for the
     INVOLVED docs only (verification ∝ candidates, not corpus).
 
-    Rows-only like q96_minhash_lsh (banding is engine-seeded); emitted
-    pairs are guaranteed true positives (jaccard ≥ threshold in-query).
-    Bounded collects: the probe partition list (≤ 16·B = 128 ints per
-    batch). Each batch's candidates are eagerly materialized BEFORE the
-    index append so the lazy plan can never see its own batch's rows in
-    the probe.
+    Full value-hash oracle since r8 (was rows-only): deterministic
+    sketch + recall exactly 1.0 on this corpus at the driver scales
+    (like q96_minhash_lsh), and found_in_batch follows from the
+    discovery-once invariant (= greatest(doc_a % 3, doc_b % 3), the
+    later batch of the pair). Emitted pairs are guaranteed true
+    positives (jaccard ≥ threshold in-query). Bounded collects: the
+    probe partition list (≤ 16·B = 128 ints per batch). Each batch's
+    candidates are eagerly materialized BEFORE the index append so the
+    lazy plan can never see its own batch's rows in the probe.
     """
     from better_cdc_spark.scratch import scratch_dir
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from better_cdc_spark.io import load_table
 from better_cdc_spark.queries import query
 from better_cdc_spark.queries import relational
-from better_cdc_spark.queries.llm import _append_index_rows
+from better_cdc_spark.queries.llm import _EXACT_JACCARD_ORACLE, _append_index_rows
 from better_cdc_spark.queries.relational import _d, dec
 from better_cdc_spark.session import tune_for_oracle
 from better_cdc_spark.streaming.core import events_stream, run_to_memory
@@ -1145,6 +1145,7 @@ def qm04_txlog_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "qm05_streaming_lsh_dedup",
+    oracle=_EXACT_JACCARD_ORACLE,
     tags=("streaming", "llm", "dedup", "minhash", "incremental"),
 )
 def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,8 +1165,11 @@ def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over epochs must EQUAL the one-shot candidate set over the whole
     corpus — asserted here against llmops.minhash_candidate_pairs
     before returning, then exact-Jaccard verified over involved docs
-    only. Rows-only for the driver (banding is engine-seeded; emitted
-    pairs are guaranteed true positives); the batch-side equality and
+    only. Full value-hash oracle since r8 (was rows-only): the sketch is
+    deterministic and banding recall is exactly 1.0 on this corpus at
+    the driver scales (probed; see _EXACT_JACCARD_ORACLE's note in
+    queries/llm.py), so the exact all-pairs truth is the oracle; emitted
+    pairs are guaranteed true positives, and the batch-side equality and
     pruning plans are pinned by q95aa's tests.
     """
     from better_cdc_spark import llmops
