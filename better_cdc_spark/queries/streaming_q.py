@@ -1939,13 +1939,14 @@ def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers routinely arrive AFTER orders that reference them.
 
     Scale: per-epoch cost is O(dA·|B-match| + dB·|A-match| + dA·dB) —
-    the state sides are READ (join-pruned), never rewritten; V is an
-    append-only signed log compacted on read (sum dm, keep > 0), the
-    same periodic-compaction story as qm07/qm08. At 100 TB the state
-    dirs are bucketed by join key so each batch's probe reads only
-    matching buckets (the q95aa index discipline); MIN/MAX-style
-    non-self-maintainable aggregates on top of V still need rescans —
-    out of scope exactly as in qm07.
+    the state sides are READ, never rewritten, and they are PARTITIONED
+    BY kb = hash(join key) mod 16 (the q95aa band-index discipline), so
+    each batch's probe filters to its own bounded kb set and partition
+    pruning resolves at file-listing time: epoch IO is O(matching state
+    buckets), not O(accumulated state). V is an append-only signed log
+    compacted on read (sum dm, keep > 0), the same periodic-compaction
+    story as qm07/qm08. MIN/MAX-style non-self-maintainable aggregates
+    on top of V still need rescans — out of scope exactly as in qm07.
     """
     from better_cdc_spark.scratch import scratch_dir
 
@@ -1997,26 +1998,48 @@ def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_dir = scratch_dir("qm14_state_b")
     v_dir = scratch_dir("qm14_view_log")
 
-    def read_or_empty(path: str, like: DataFrame) -> DataFrame:
+    # Test-scale guard (the q95aa move): tiny per-kb partition files
+    # would each get their own split under the default 4 MiB open cost;
+    # at real scale buckets are real files and the default is right.
+    _open_cost_key = "spark.sql.files.openCostInBytes"
+    _prev_open_cost = spark.conf.get(_open_cost_key, None)
+    spark.conf.set(_open_cost_key, str(64 * 1024))
+
+    # State dirs are PARTITIONED BY kb = hash(join key) mod NB — the
+    # q95aa band-index discipline applied to join state: each batch
+    # collects its own bounded kb set (≤ NB ints) and the state probe
+    # filters on it, so partition pruning resolves at FILE-LISTING time
+    # and each epoch reads only state buckets its keys can match.
+    NB = 16
+    kb = F.pmod(F.xxhash64("custkey"), F.lit(NB))
+
+    def read_state(path: str, like: DataFrame, kbs: list[int]) -> DataFrame:
         try:
-            return spark.read.schema(like.schema).parquet(path)
+            return (
+                spark.read.schema(like.schema).parquet(path)
+                .filter(F.col("kb").isin(kbs))
+            )
         except Exception:  # first batch: state dir does not exist yet
             return spark.createDataFrame([], like.schema)
 
     def delta_join_step(batch_df: DataFrame, epoch_id: int) -> None:
         da = batch_df.filter(F.col("side") == "A").select(
-            "okey", "custkey", "cents", F.col("dm").alias("dma")
+            "okey", "custkey", "cents", F.col("dm").alias("dma"),
+            kb.alias("kb"),
         ).localCheckpoint(eager=True)
         db = batch_df.filter(F.col("side") == "B").select(
-            "custkey", "seg", F.col("dm").alias("dmb")
+            "custkey", "seg", F.col("dm").alias("dmb"), kb.alias("kb"),
         ).localCheckpoint(eager=True)
-        prev_a = read_or_empty(a_dir, da)
-        prev_b = read_or_empty(b_dir, db)
+        # bounded collect: ≤ NB bucket ids per side per batch
+        a_kbs = [r["kb"] for r in da.select("kb").distinct().collect()]
+        b_kbs = [r["kb"] for r in db.select("kb").distinct().collect()]
+        prev_a = read_state(a_dir, da, b_kbs).drop("kb")
+        prev_b = read_state(b_dir, db, a_kbs).drop("kb")
         # the three delta-join terms; signs multiply across the join
         terms = (
-            da.join(prev_b, "custkey")
-            .unionByName(prev_a.join(db, "custkey"))
-            .unionByName(da.join(db, "custkey"))
+            da.drop("kb").join(prev_b, "custkey")
+            .unionByName(prev_a.join(db.drop("kb"), "custkey"))
+            .unionByName(da.drop("kb").join(db.drop("kb"), "custkey"))
         )
         dv = terms.select(
             "custkey", "okey", "cents", "seg",
@@ -2024,8 +2047,8 @@ def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dv.write.mode("append").parquet(v_dir)
         # advance state AFTER dV so prev_* excludes the current batch
-        da.write.mode("append").parquet(a_dir)
-        db.write.mode("append").parquet(b_dir)
+        da.write.partitionBy("kb").mode("append").parquet(a_dir)
+        db.write.partitionBy("kb").mode("append").parquet(b_dir)
 
     q = (
         spark.readStream.schema(changelog.schema)
@@ -2040,6 +2063,10 @@ def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+        if _prev_open_cost is None:
+            spark.conf.unset(_open_cost_key)
+        else:
+            spark.conf.set(_open_cost_key, _prev_open_cost)
 
     live = (
         spark.read.parquet(v_dir)

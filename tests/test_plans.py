@@ -50,12 +50,24 @@ def test_q98_text_stats_is_shuffle_free(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q96_minhash_lsh", "q96_simhash", "q96_ngram_jaccard", "q94_curation_pipeline"],
+    ["q96_minhash_lsh", "q96_simhash", "q96_ngram_jaccard", "q94_curation_pipeline",
+     "q98y_quality_gate_kappa"],
 )
 def test_similarity_kernels_never_plan_product_joins(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["q97t_retrieval_eval", "q97u_rrf_fusion"])
+def test_retrieval_eval_bnlj_only_on_bounded_broadcast_sides(spark, name):
+    """The retrieval-eval/fusion plans inherit q97h's 1-row stats
+    cross-join and the cosine leg's tiny-probe broadcast scan — both
+    DOCUMENTED bounded-broadcast BNLJs (the scalar-subquery plan). The
+    pin here: no CartesianProduct ever, and every BNLJ is the broadcast
+    flavor (a bounded side), never an unbroadcast product."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
 
 
 def test_q96e_tfidf_verify_is_sparse(spark):
@@ -721,3 +733,80 @@ def test_q76b_ring_vnodes_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the broadcast cross join
     assert "SortMergeJoin" not in plan
+
+
+def test_qm14_state_probe_prunes_partitions(spark, tmp_path):
+    """qm14's delta-join state dirs are partitioned by kb = hash(key)
+    mod 16; a batch's probe filters on its own bounded kb set, so the
+    read must resolve as hive partition pruning (file-listing-time) —
+    epoch IO is O(matching state buckets), never O(accumulated state)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "qm14_state")
+    df = spark.range(200).select(
+        F.col("id").alias("custkey"),
+        F.lit(1).cast("long").alias("dma"),
+        F.pmod(F.xxhash64("id"), F.lit(16)).alias("kb"),
+    )
+    df.write.partitionBy("kb").parquet(out)
+    rd = spark.read.parquet(out).filter(F.col("kb").isin([1, 5, 9]))
+    rd.collect()
+    jplan = rd._jdf.queryExecution().executedPlan()
+    assert "PartitionFilters: [kb" in jplan.toString()
+    scan = jplan.collectLeaves().apply(0)
+    assert scan.metrics().apply("numPartitions").value() == 3
+
+
+def test_delta_join_retraction_algebra_any_batch_order(spark):
+    """The delta-join terms telescope to A_final x B_final in ANY batch
+    split/order — including a DELETE arriving BEFORE its INSERT (the
+    transient -1 the later insert cancels). Exercised directly on the
+    algebra with a 2-batch adversarial split, independent of the qm14
+    streaming harness."""
+    from pyspark.sql import functions as F
+
+    # A: key k gets rows r1(+), r1(-) out of order across batches;
+    # B: key k dimension row, updated (retract+assert) in batch 2
+    a1 = spark.createDataFrame(
+        [(10, 1, 100, -1)], "okey long, custkey long, cents long, dma long"
+    )  # delete FIRST
+    b1 = spark.createDataFrame([(1, "OLD", 1)], "custkey long, seg string, dmb long")
+    a2 = spark.createDataFrame(
+        [(10, 1, 100, 1), (11, 1, 50, 1)],
+        "okey long, custkey long, cents long, dma long",
+    )  # the matching insert arrives later, plus a live row
+    b2 = spark.createDataFrame(
+        [(1, "OLD", -1), (1, "NEW", 1)], "custkey long, seg string, dmb long"
+    )
+
+    def dv(da, db, pa, pb):
+        t = (
+            da.join(pb, "custkey")
+            .unionByName(pa.join(db, "custkey"))
+            .unionByName(da.join(db, "custkey"))
+        )
+        return t.select(
+            "custkey", "okey", "cents", "seg",
+            (F.col("dma") * F.col("dmb")).cast("long").alias("dm"),
+        )
+
+    empty_a = spark.createDataFrame([], a1.schema)
+    empty_b = spark.createDataFrame([], b1.schema)
+    v = dv(a1, b1, empty_a, empty_b).unionByName(
+        dv(a2, b2, a1, b1)
+    )
+    compacted = (
+        v.groupBy("custkey", "okey", "cents", "seg")
+        .agg(F.sum("dm").alias("m"))
+        .collect()
+    )
+    # order 10: one insert + one delete -> net multiplicity 0 (dead), but
+    # the out-of-order delivery must have flowed TRANSIENT negative rows
+    # through the log that the later insert exactly cancelled
+    raw = v.collect()
+    assert any(r["okey"] == 10 and r["dm"] < 0 for r in raw), \
+        "the early delete never produced a retraction row"
+    assert all(r["m"] == 0 for r in compacted if r["okey"] == 10)
+    # order 11 live, joined to the moved dimension exactly once
+    live = [(r["okey"], r["seg"], r["m"]) for r in compacted if r["m"] > 0]
+    assert live == [(11, "NEW", 1)]
