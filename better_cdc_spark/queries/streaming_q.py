@@ -1945,8 +1945,8 @@ def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning resolves at file-listing time: epoch IO is O(matching state
     buckets), not O(accumulated state). V is an append-only signed log
     compacted on read (sum dm, keep > 0), the same periodic-compaction
-    story as qm07/qm08. MIN/MAX-style non-self-maintainable aggregates
-    on top of V still need rescans — out of scope exactly as in qm07.
+    story as qm07/qm08. MIN/MAX-style aggregates on top of V need the
+    qm15 multiset-state treatment, not aggregate-only state.
     """
     from better_cdc_spark.scratch import scratch_dir
 
@@ -2077,4 +2077,119 @@ def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.groupBy("seg").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@query(
+    "qm15_minmax_ivm_multiset",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderkey,
+             o_orderstatus AS grp,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 6 THEN 250 ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderkey % 10 <> 9            -- deleted rows
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM final_state GROUP BY grp
+    """,
+    tags=("streaming", "cdc", "incremental", "matview", "minmax"),
+)
+def qm15_minmax_ivm_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized views under DELETES — the case qm07 and
+    qm14 explicitly declared not self-maintainable from aggregate-only
+    state (a retracted max needs to know the runner-up), closed here
+    with the standard production answer (Materialize's reduction
+    strategy): keep a (group, value) MULTISET with signed
+    multiplicities instead of the bare aggregate. Inserts assert
+    (+1), deletes retract (−1), updates do both; the read side nets
+    multiplicities, drops ≤0 rows, and takes MIN/MAX over what
+    survives — every retraction is answered from state, no base-table
+    rescan ever.
+
+    The structural cost hierarchy this query demonstrates: SUM/COUNT
+    views need O(|groups|) state (qm07); MIN/MAX under deletes needs
+    O(|groups| × |distinct values per group|) state — irreducible,
+    because any smaller state forgets a potential runner-up. Per-batch
+    work stays O(batch): foreachBatch appends per-batch PARTIAL
+    (grp, cents, dm) aggregates (map-side combined), so the multiset
+    log grows with distinct touched values per epoch, with the same
+    compact-on-read + periodic-rewrite story as qm07/qm08/qm14.
+    Deltas commute ⇒ any micro-batch split yields the same net
+    multiset ⇒ FULL value-hash oracle from the final state.
+
+    Changelog reuses qm07's shape: every order INSERTs; keys ending in
+    6 UPDATE price +250 (retract old value, assert new); keys ending
+    in 9 DELETE — so retractions hit group maxima and minima for real.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    last = F.col("o_orderkey") % 10
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("grp"),
+        cents.alias("cents"),
+        last.alias("last"),
+    )
+    ins = base.select("okey", "grp", "cents", F.lit(1).cast("long").alias("dm"))
+    upd_out = base.filter(F.col("last") == 6).select(
+        "okey", "grp", "cents", F.lit(-1).cast("long").alias("dm")
+    )
+    upd_in = base.filter(F.col("last") == 6).select(
+        "okey", "grp", (F.col("cents") + 250).alias("cents"),
+        F.lit(1).cast("long").alias("dm"),
+    )
+    dele = base.filter(F.col("last") == 9).select(
+        "okey", "grp", "cents", F.lit(-1).cast("long").alias("dm")
+    )
+    changelog = ins.unionByName(upd_out).unionByName(upd_in).unionByName(dele)
+
+    arrivals = scratch_dir("qm15_changelog")
+    for b in range(3):
+        changelog.filter(F.col("okey") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    multiset = scratch_dir("qm15_multiset")
+
+    def minmax_step(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("grp", "cents")
+            .agg(F.sum("dm").alias("dm"))      # per-batch partial
+            .coalesce(1)                        # small-batch file guard
+            .write.mode("append")
+            .parquet(multiset)
+        )
+
+    q = (
+        spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(minmax_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm15_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    live = (
+        spark.read.parquet(multiset)
+        .groupBy("grp", "cents")
+        .agg(F.sum("dm").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    return live.groupBy("grp").agg(
+        F.sum("m").cast("long").alias("n_rows"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
     )
