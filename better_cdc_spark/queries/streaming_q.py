@@ -2193,3 +2193,133 @@ def qm15_minmax_ivm_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("long").alias("min_cents"),
         F.max("cents").cast("long").alias("max_cents"),
     )
+
+
+@query(
+    "qm16_ivm_avg_var_moments",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderkey,
+             o_orderstatus AS grp,
+             CAST(round(o_totalprice, 0) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 6 THEN 3 ELSE 0 END AS dollars
+      FROM orders
+      WHERE o_orderkey % 10 <> 9
+    ),
+    m AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dollars) AS BIGINT) AS s1,
+             CAST(SUM(dollars * dollars) AS BIGINT) AS s2
+      FROM final_state GROUP BY grp
+    )
+    SELECT grp, n,
+           ROUND(s1 * 1.0 / n, 6) AS avg_dollars,
+           ROUND((s2 - s1 * 1.0 * s1 / n) / (n - 1), 6) AS var_dollars
+    FROM m
+    """,
+    tags=("streaming", "cdc", "incremental", "matview", "moments"),
+)
+def qm16_ivm_avg_var_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG/VARIANCE materialized views under inserts/updates/deletes —
+    the ALGEBRAIC tier of the IVM taxonomy (Gray et al.'s cube
+    classification applied to view maintenance), completing the family:
+    DISTRIBUTIVE aggregates keep O(|groups|) running totals (qm07
+    SUM/COUNT), ALGEBRAIC aggregates keep a bounded MOMENT VECTOR per
+    group — (n, Σx, Σx²) here — from which the view derives in closed
+    form, and HOLISTIC-under-retraction aggregates need the qm15
+    multiset. Moments are signed like any distributive state: an insert
+    adds (+1, +x, +x²), a delete adds (−1, −x, −x²), an update does
+    both — retractions are EXACT because the moments live in integer
+    units (whole dollars), so no floating drift accumulates across
+    epochs (the real-world failure mode of double-typed running
+    moments; the one-pass finish is the q36j Welch-test discipline).
+
+    Per-epoch cost O(batch): foreachBatch appends per-batch partial
+    moment rows; read side sums moments per group and finishes
+    avg = Σx/n, var = (Σx² − (Σx)²/n)/(n−1) in one double expression
+    identical to the oracle's. Deltas commute ⇒ full value-hash oracle
+    from the final state, any micro-batch split.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    dollars = F.round(F.col("o_totalprice"), 0).cast("long")
+    last = F.col("o_orderkey") % 10
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("grp"),
+        dollars.alias("x"),
+        last.alias("last"),
+    )
+
+    def signed(df: DataFrame, xcol, sign: int) -> DataFrame:
+        return df.select(
+            "okey", "grp",
+            F.lit(sign).cast("long").alias("dn"),
+            (F.lit(sign) * xcol).cast("long").alias("ds1"),
+            (F.lit(sign) * xcol * xcol).cast("long").alias("ds2"),
+        )
+
+    ins = signed(base, F.col("x"), 1)
+    upd_out = signed(base.filter(F.col("last") == 6), F.col("x"), -1)
+    upd_in = signed(base.filter(F.col("last") == 6), F.col("x") + 3, 1)
+    dele = signed(base.filter(F.col("last") == 9), F.col("x"), -1)
+    changelog = ins.unionByName(upd_out).unionByName(upd_in).unionByName(dele)
+
+    arrivals = scratch_dir("qm16_changelog")
+    for b in range(3):
+        changelog.filter(F.col("okey") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    moments = scratch_dir("qm16_moments")
+
+    def moment_step(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("grp")
+            .agg(
+                F.sum("dn").alias("dn"),
+                F.sum("ds1").alias("ds1"),
+                F.sum("ds2").alias("ds2"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(moments)
+        )
+
+    q = (
+        spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(moment_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm16_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    m = (
+        spark.read.parquet(moments)
+        .groupBy("grp")
+        .agg(
+            F.sum("dn").cast("long").alias("n"),
+            F.sum("ds1").cast("long").alias("s1"),
+            F.sum("ds2").cast("long").alias("s2"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return m.select(
+        "grp",
+        "n",
+        F.round(F.col("s1") * F.lit(1.0) / F.col("n"), 6).alias("avg_dollars"),
+        F.round(
+            (F.col("s2") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("var_dollars"),
+    )
