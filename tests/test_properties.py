@@ -768,3 +768,81 @@ def test_vp8l_decoder_handles_repeat_codes_and_seams():
     mutated[20 + 1 + 4] |= 0x01
     with pytest.raises(ValueError, match="transform"):
         codecs.decode_webp_lossless(bytes(mutated))
+
+
+# -- IVM retraction algebra (qm07/qm14/qm15/qm16 family) ----------------------
+#
+# The engine-side implementations run these algebras through Structured
+# Streaming harnesses (oracle-checked per query); the property here pins the
+# ALGEBRA itself with plain Python folds: for ANY event sequence (inserts,
+# group/value-changing updates, deletes — including deletes of never-inserted
+# rows making transient negatives) and ANY split into batches, the merged
+# signed state must equal the one-shot recompute over the net-final rows.
+
+@st.composite
+def _ivm_history(draw):
+    n_keys = draw(st.integers(2, 12))
+    events = []  # (key, grp, value, dm)
+    alive = {}
+    for _ in range(draw(st.integers(1, 40))):
+        k = draw(st.integers(0, n_keys - 1))
+        if k in alive and draw(st.booleans()):
+            g, v = alive.pop(k)
+            events.append((k, g, v, -1))       # delete current row
+        else:
+            g = draw(st.sampled_from("AB"))
+            v = draw(st.integers(-50, 50))
+            if k in alive:                      # update = retract + assert
+                og, ov = alive[k]
+                events.append((k, og, ov, -1))
+            alive[k] = (g, v)
+            events.append((k, g, v, 1))
+    # scramble delivery order: the algebra is commutative, so deletes may
+    # arrive before their inserts (transient negative multiplicities)
+    events = draw(st.permutations(events))
+    cuts = sorted(draw(st.lists(st.integers(0, len(events)), max_size=4)))
+    return events, cuts, alive
+
+
+@given(_ivm_history())
+@settings(max_examples=60, deadline=None)
+def test_ivm_signed_state_equals_recompute_any_batch_split(history):
+    events, cuts, alive = history
+    batches, prev = [], 0
+    for c in cuts + [len(events)]:
+        batches.append(events[prev:c])
+        prev = c
+
+    # distributive (qm07): per-batch partial (grp -> dn, dsum), merged
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0])
+    # holistic-under-retraction (qm15): (grp, value) multiset
+    multiset = defaultdict(int)
+    # algebraic (qm16): (grp -> n, s1, s2) moments
+    moments = defaultdict(lambda: [0, 0, 0])
+    for batch in batches:
+        part = defaultdict(lambda: [0, 0])
+        for _, g, v, dm in batch:
+            part[g][0] += dm
+            part[g][1] += dm * v
+            multiset[(g, v)] += dm
+            moments[g][0] += dm
+            moments[g][1] += dm * v
+            moments[g][2] += dm * v * v
+        for g, (dn, dsum) in part.items():
+            agg[g][0] += dn
+            agg[g][1] += dsum
+
+    # one-shot recompute from the net-final rows
+    final = list(alive.values())
+    for g in "AB":
+        rows = [v for (gg, v) in final if gg == g]
+        assert agg[g][0] == len(rows)
+        assert agg[g][1] == sum(rows)
+        assert moments[g] == [len(rows), sum(rows), sum(v * v for v in rows)]
+        live_vals = [v for (gg, v), m in multiset.items() if gg == g and m > 0]
+        for (gg, v), m in multiset.items():
+            if gg == g:
+                assert m == sum(1 for (g2, v2) in final if (g2, v2) == (gg, v))
+        if rows:
+            assert max(live_vals) == max(rows) and min(live_vals) == min(rows)
