@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import statistics
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -271,7 +272,7 @@ def main() -> None:
     # regression no amount of host drift explains. (A strict both-sided
     # gate would need per-query VM characterization; min() never fakes a
     # regression and still catches every real >2x one.)
-    med = sorted(vs_baseline.values())[len(vs_baseline) // 2] if vs_baseline else 1.0
+    med = statistics.median(vs_baseline.values()) if vs_baseline else 1.0
     vs_r4_norm = {n: round(r / max(med, 1e-9), 3) for n, r in vs_r4.items()}
     envelope_ok = all(
         min(r, r / max(med, 1e-9)) <= 2.0 for r in vs_baseline.values()

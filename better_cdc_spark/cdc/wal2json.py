@@ -89,7 +89,10 @@ WAL2JSON_V2_SCHEMA = T.StructType(
 
 # PostgreSQL timestamp formats wal2json emits (space separator; offset
 # with or without minutes) — the same ladder the reference tries
-# (wal2json.go:201-209). Tried in order; first success wins.
+# (wal2json.go:201-209), plus the RFC3339 'Z'-suffixed UTC forms the
+# reference parser also accepts ('X'-class patterns match a literal Z
+# as zero offset; 'x'-class patterns do not). Tried in order; first
+# success wins.
 _PG_TS_FORMATS = (
     "yyyy-MM-dd HH:mm:ss.SSSSSSxxx",
     "yyyy-MM-dd HH:mm:ss.SSSSSSx",
@@ -97,6 +100,10 @@ _PG_TS_FORMATS = (
     "yyyy-MM-dd HH:mm:ssx",
     "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx",
     "yyyy-MM-dd'T'HH:mm:ssxxx",
+    "yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
 )
 
 
@@ -104,7 +111,20 @@ def _pg_timestamp(col: F.Column) -> F.Column:
     out = F.lit(None).cast("timestamp")
     for fmt in _PG_TS_FORMATS:
         out = F.coalesce(out, F.try_to_timestamp(col, F.lit(fmt)))
-    return out
+    # FAILFAST parity for timestamps: a present-but-unparseable value
+    # means the slot/plugin emits a format we do not know — fail loud
+    # like the reference's fatal timestamp-parse path, never a silent
+    # NULL that would corrupt commit ordering downstream.
+    return (
+        F.when(col.isNull(), F.lit(None).cast("timestamp"))
+        .when(
+            out.isNull(),
+            F.raise_error(
+                F.concat(F.lit("unparseable wal2json timestamp: "), col)
+            ).cast("timestamp"),
+        )
+        .otherwise(out)
+    )
 
 
 def parse_wal2json_frames(

@@ -26,18 +26,33 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Scales (sf strings, e.g. "0.001") where the oracle is known-exact.
+    # None = scale-independent (the normal case). Set for sketch queries
+    # whose full value-hash oracle rests on a PROBED recall of exactly
+    # 1.0 at specific corpus scales: at any other sf, LSH recall < 1 is
+    # expected behavior, so a hash mismatch there must fail loud as a
+    # scale-coupling note, never as a spurious correctness diff.
+    oracle_scales: tuple[str, ...] | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    oracle_scales: tuple[str, ...] | None = None,
+):
     """Decorator registering a query (and optional DuckDB oracle SQL)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags,
+            oracle_scales=oracle_scales,
+        )
         return fn
 
     return deco
@@ -51,63 +66,63 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified.
 #
-# Round-8 prefix (generated with tools/rotation.py): the first 50 of the 72
-# registry entries no CORRECTNESS_r*.json has ever recorded — all r7-late
-# additions. After this round the never-verified backlog is <=22; the round-9
-# rotation finishes it.
+# Round-9 prefix (generated with tools/rotation.py): the 29 remaining
+# never-driver-verified entries (finishing the backlog -> 0), padded to 50
+# with the 21 LONGEST-unverified entries (last green row r1/r2) so the gate
+# also re-confirms the oldest rows against today's code.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    "q36k_histogram",
-    "q48_bitmap_overlap",
-    "q52b_weighted_sample",
-    "q49_kmv_sketch_overlap",
-    "q01d_row_provenance",
-    "q42f_cusum_changepoints",
-    "q36l_mad_outliers",
-    "q36m_scalable_median",
-    "q36n_winsorize",
-    "q47b_path_mining",
-    "q47c_last_touch_attribution",
-    "q36o_benford_audit",
-    "q47d_sequence_pattern_match",
-    "q42g_gorilla_timeseries",
-    "q44e_max_concurrency",
-    "q29b_skew_advisor",
-    "q36p_chi_square_independence",
-    "q44f_transition_matrix",
-    "q53c_pareto_report",
-    "q76b_consistent_hash_ring",
-    "q45d_lttb_downsample",
-    "q36q_ks_two_sample",
-    "q53d_gini_coefficient",
-    "q46e_stickiness",
-    "q42h_seasonality_strength",
-    "q36r_lag1_autocorrelation",
-    "qc24_snapshot_diff_cdc",
-    "qc25_replication_lag_report",
-    "qm10_change_data_feed",
-    "qc26_scd2_temporal_join",
-    "qm11_cdf_downstream_sync",
-    "qc27_protobuf_decode",
-    "qc28_delivery_order_audit",
-    "qc29_wire_e2e_pipeline",
-    "qc30_schema_compat_matrix",
-    "qc31_crdt_counter_merge",
-    "q95ai_index_with_deletes",
-    "q97o_filtered_vector_search",
-    "qc23_cdc_index_maintenance",
-    "q99w_speech_segments",
-    "q99x_media_sniff_dispatch",
-    "q99y_webp_lossless_decode",
-    "q97q_matryoshka_search",
-    "q95al_corpus_drift",
-    "q01c_parquet_stats_report",
-    "q99z_gif_animation_scan",
-    "q44d_retention_cohorts",
-    "q94m_shortest_paths",
-    "q99aa_bmp_decode",
-    "q97r_embedding_dim_stats",
+    "q97t_retrieval_eval",
+    "q98q_zipf_vocab",
+    "q98s_k_anonymity",
+    "q97s_random_projection_search",
+    "q96g_one_perm_minhash",
+    "q99ad_audio_resample",
+    "q99ab_qoi_decode",
+    "q98t_tokenizer_fertility",
+    "q95am_classifier_calibration",
+    "q98u_readability",
+    "q95an_cluster_canonicalize",
+    "q01e_avro_ingest",
+    "q94o_dataset_card",
+    "q99ae_exif_metadata",
+    "q94q_release_diff",
+    "q98v_mojibake_audit",
+    "q95ap_coreset_selection",
+    "q95aq_boilerplate_line_removal",
+    "q98w_langid_confusion",
+    "q98y_quality_gate_kappa",
+    "q97u_rrf_fusion",
+    "q98z_token_entropy",
+    "qm08_streaming_bitmap_index",
+    "qm07_incremental_matview",
+    "q80b_watermark_advisor",
+    "qm13_streaming_crdt_counters",
+    "qm14_delta_join_ivm",
+    "qm15_minmax_ivm_multiset",
+    "qm16_ivm_avg_var_moments",
+    "q61_intersect",
+    "q62_except",
+    "q70_string_functions",
+    "q71_datetime_functions",
+    "q72_math_functions",
+    "q73_array_functions",
+    "q74_map_functions",
+    "q75_json_functions",
+    "qc02_typed_projection",
+    "qc03_dlq_routing",
+    "qc05_merge_apply",
+    "qc04_event_id_invariants",
+    "q01b_parquet_schema_merge",
+    "q05b_compaction",
+    "q05c_zorder_rewrite",
+    "q07_orc_roundtrip",
+    "q08_text_source",
+    "q09_csv_permissive",
+    "q10_projection",
+    "q12_case_when",
+    "q21b_full_outer_join",
 )
 
 def load_all() -> dict[str, QuerySpec]:

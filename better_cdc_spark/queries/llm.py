@@ -301,6 +301,7 @@ def q95m_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q96_minhash_lsh",
     oracle=_EXACT_JACCARD_ORACLE,
     tags=("llm", "dedup", "minhash"),
+    oracle_scales=("0.001", "0.01", "0.1"),  # probed recall == 1.0 only at these sfs
 )
 def q96_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, exact-verified (llmops Q96 scale path).
@@ -1600,6 +1601,7 @@ def q94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q94d_curation_pipeline_lsh",
     oracle=_Q94_CURATION_ORACLE,
     tags=("llm", "pipeline", "scale"),
+    oracle_scales=("0.001", "0.01", "0.1"),  # probed recall == 1.0 only at these sfs
 )
 def q94d_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q94_curation_pipeline with the PRODUCTION near-dedup stage.
@@ -5920,6 +5922,7 @@ def q99h_jpeg_420_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_EXACT_JACCARD_ORACLE})
     """,
     tags=("llm", "dedup", "minhash", "incremental", "index"),
+    oracle_scales=("0.001", "0.01", "0.1"),  # probed recall == 1.0 only at these sfs
 )
 def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL MinHash-LSH near-dup dedup — the form a continuously
@@ -10588,6 +10591,7 @@ def q97s_random_projection_search(spark: SparkSession, sf_dir: str) -> DataFrame
     "q96g_one_perm_minhash",
     oracle=_EXACT_JACCARD_ORACLE,
     tags=("llm", "dedup", "minhash", "oph"),
+    oracle_scales=("0.001", "0.01", "0.1"),  # probed recall == 1.0 only at these sfs
 )
 def q96g_one_perm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via DENSIFIED ONE-PERMUTATION MinHash — the

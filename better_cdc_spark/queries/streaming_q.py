@@ -12,6 +12,7 @@ timing is not SQL-expressible, the final state here is.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -1147,6 +1148,7 @@ def qm04_txlog_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qm05_streaming_lsh_dedup",
     oracle=_EXACT_JACCARD_ORACLE,
     tags=("streaming", "llm", "dedup", "minhash", "incremental"),
+    oracle_scales=("0.001", "0.01", "0.1"),  # probed recall == 1.0 only at these sfs
 )
 def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental MinHash-LSH near-dup dedup — q95aa's
@@ -2014,13 +2016,16 @@ def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     kb = F.pmod(F.xxhash64("custkey"), F.lit(NB))
 
     def read_state(path: str, like: DataFrame, kbs: list[int]) -> DataFrame:
-        try:
-            return (
-                spark.read.schema(like.schema).parquet(path)
-                .filter(F.col("kb").isin(kbs))
-            )
-        except Exception:  # first batch: state dir does not exist yet
+        # Probe existence explicitly rather than catching Exception: a
+        # genuine read failure (corrupt/partial parquet, transient FS
+        # error) must surface as an error, not silently become empty
+        # state and a wrong view.
+        if not os.path.isdir(path):  # first batch: state dir not created yet
             return spark.createDataFrame([], like.schema)
+        return (
+            spark.read.schema(like.schema).parquet(path)
+            .filter(F.col("kb").isin(kbs))
+        )
 
     def delta_join_step(batch_df: DataFrame, epoch_id: int) -> None:
         da = batch_df.filter(F.col("side") == "A").select(

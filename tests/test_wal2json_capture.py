@@ -221,3 +221,51 @@ def test_wal2json_malformed_payload_is_fatal(spark):
     ]
     with _pytest.raises(Exception, match="(?i)malformed|failfast|corrupt"):
         parse_wal2json_frames(spark, frames).collect()
+
+
+def test_wal2json_z_suffixed_utc_timestamps_parse(spark):
+    """RFC3339 'Z'-suffixed UTC timestamps are valid wal2json output the
+    reference parser accepts; the parse ladder must handle them rather
+    than yielding NULL (round-8 advice: 'X'-class patterns match Z,
+    'x'-class do not)."""
+    frames = [
+        (0, lsn_to_str(10), json.dumps({
+            "action": "I", "xid": 7, "schema": "s", "table": "t",
+            "timestamp": "2024-03-01T12:30:45.250000Z",
+            "columns": [{"name": "k", "type": "integer", "value": 1}]})),
+        (1, lsn_to_str(11), json.dumps({
+            "action": "I", "xid": 7, "schema": "s", "table": "t",
+            "timestamp": "2024-03-01 12:30:46Z",
+            "columns": [{"name": "k", "type": "integer", "value": 2}]})),
+    ]
+    rows = parse_wal2json_frames(spark, frames).orderBy("ingest_seq").collect()
+    assert str(rows[0]["timestamp"]).startswith("2024-03-01 12:30:45.25")
+    assert str(rows[1]["timestamp"]).startswith("2024-03-01 12:30:46")
+
+
+def test_wal2json_unparseable_timestamp_is_fatal(spark):
+    """A present-but-unparseable timestamp must raise, not silently
+    become NULL — the module is FAILFAST on undecodable payloads and a
+    NULL commit timestamp would corrupt ordering downstream."""
+    import pytest as _pytest
+
+    frames = [
+        (0, lsn_to_str(12), json.dumps({
+            "action": "I", "xid": 8, "schema": "s", "table": "t",
+            "timestamp": "01/02/2024 09:00:00",  # not a wal2json format
+            "columns": [{"name": "k", "type": "integer", "value": 3}]})),
+    ]
+    with _pytest.raises(Exception, match="unparseable wal2json timestamp"):
+        parse_wal2json_frames(spark, frames).collect()
+
+
+def test_wal2json_null_timestamp_stays_null(spark):
+    """Actions without a timestamp field (NULL) stay NULL — only a
+    PRESENT unparseable value is fatal."""
+    frames = [
+        (0, lsn_to_str(13), json.dumps({
+            "action": "I", "xid": 9, "schema": "s", "table": "t",
+            "columns": [{"name": "k", "type": "integer", "value": 4}]})),
+    ]
+    rows = parse_wal2json_frames(spark, frames).collect()
+    assert rows[0]["timestamp"] is None
