@@ -67,9 +67,10 @@ def query(
 # ROTATES each round to entries the external gate has not yet verified.
 #
 # Round-9 prefix (generated with tools/rotation.py): the 29 remaining
-# never-driver-verified entries (finishing the backlog -> 0), padded to 50
-# with the 21 LONGEST-unverified entries (last green row r1/r2) so the gate
-# also re-confirms the oldest rows against today's code.
+# never-driver-verified entries (finishing the backlog -> 0), plus this
+# round's 3 additions, padded to 50 with the 18 LONGEST-unverified entries
+# (last green row r1/r2) so the gate also re-confirms the oldest rows
+# against today's code.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
@@ -102,6 +103,10 @@ SHOWCASE_ORDER = (
     "qm14_delta_join_ivm",
     "qm15_minmax_ivm_multiset",
     "qm16_ivm_avg_var_moments",
+    # round-9 additions (full-oracle, pre-verified at sf0.01)
+    "q98ab_luhn_card_redaction",
+    "q98ac_html_extract",
+    "qm17_streaming_reservoir",
     "q61_intersect",
     "q62_except",
     "q70_string_functions",
@@ -120,9 +125,6 @@ SHOWCASE_ORDER = (
     "q07_orc_roundtrip",
     "q08_text_source",
     "q09_csv_permissive",
-    "q10_projection",
-    "q12_case_when",
-    "q21b_full_outer_join",
 )
 
 def load_all() -> dict[str, QuerySpec]:

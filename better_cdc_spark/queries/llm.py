@@ -12242,3 +12242,249 @@ def q98z_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_types") > 1, F.round(F.col("h") / log2(F.col("n_types")), 6)
         ).alias("norm_entropy"),
     )
+
+
+@query(
+    "q98ab_luhn_card_redaction",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ||
+             lpad(CAST((doc_id * 7) % 1000000 AS VARCHAR), 6, '0') AS c15
+      FROM documents
+    ), withcheck AS (
+      SELECT doc_id, source, c15,
+             (SELECT CAST(SUM(CASE WHEN g.i % 2 = 1 THEN
+                        CASE WHEN 2 * CAST(substring(c15, g.i, 1) AS INTEGER) > 9
+                             THEN 2 * CAST(substring(c15, g.i, 1) AS INTEGER) - 9
+                             ELSE 2 * CAST(substring(c15, g.i, 1) AS INTEGER) END
+                      ELSE CAST(substring(c15, g.i, 1) AS INTEGER) END) AS BIGINT)
+              FROM generate_series(1, 15) AS g(i)) AS sum15
+      FROM seeded
+    ), carded AS (
+      SELECT doc_id, source,
+             c15 || CAST(CASE WHEN doc_id % 3 = 0
+                              THEN (10 - sum15 % 10) % 10
+                              ELSE ((10 - sum15 % 10) % 10 + 5) % 10
+                         END AS VARCHAR) AS card
+      FROM withcheck
+    ), texted AS (
+      SELECT doc_id, source, card,
+             'pay with card ' || card || ' today' AS text
+      FROM carded
+    ), validated AS (
+      SELECT doc_id, source, text,
+             regexp_extract(text, '[0-9]{16}') AS cand,
+             (SELECT CAST(SUM(CASE WHEN g.i % 2 = 1 THEN
+                        CASE WHEN 2 * CAST(substring(regexp_extract(text, '[0-9]{16}'), g.i, 1) AS INTEGER) > 9
+                             THEN 2 * CAST(substring(regexp_extract(text, '[0-9]{16}'), g.i, 1) AS INTEGER) - 9
+                             ELSE 2 * CAST(substring(regexp_extract(text, '[0-9]{16}'), g.i, 1) AS INTEGER) END
+                      ELSE CAST(substring(regexp_extract(text, '[0-9]{16}'), g.i, 1) AS INTEGER) END) AS BIGINT)
+              FROM generate_series(1, 16) AS g(i)) % 10 = 0 AS luhn_ok
+      FROM texted
+    ), redacted AS (
+      SELECT doc_id, source, text, luhn_ok,
+             CASE WHEN luhn_ok THEN replace(text, cand, '[CARD]')
+                  ELSE text END AS out_text
+      FROM validated
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN luhn_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS cards_redacted,
+           CAST(SUM(CASE WHEN NOT luhn_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS lookalikes_kept,
+           CAST(SUM(len(text) - len(out_text)) AS BIGINT) AS chars_removed
+    FROM redacted GROUP BY source
+    """,
+    tags=("llm", "text", "privacy", "redaction", "checksum"),
+)
+def q98ab_luhn_card_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKSUM-VALIDATED PII redaction — the semantic step plain regex
+    scrubbing (q98d) cannot express: 16-digit candidates are located by
+    regex, then VALIDATED with the Luhn mod-10 checksum, and only
+    checksum-passing numbers are redacted. Production scrubbing needs
+    exactly this composition — order ids, tracking numbers, and hash
+    fragments are 16-digit LOOKALIKES whose wholesale redaction
+    destroys non-PII data, while every real card number Luhn-validates.
+
+    Deterministic fixture: each doc carries one card-shaped number
+    built from doc_id; every third doc gets the CORRECT Luhn check
+    digit (must be redacted), the rest get a check digit shifted +5
+    (a lookalike that must survive). Both engines compute the check
+    digit AND the validation from the digit STRING — the operator is
+    honest string-level validation, not an arithmetic shortcut.
+
+    Scale shape: narrow map only (regexp_extract + a 16-step in-row
+    digit fold + conditional replace), |sources|-bounded agg, zero
+    joins/explode — the q98ab family all runs inside the corpus scan
+    at 100 TB. In-row fold = F.aggregate over a literal sequence
+    (JVM codegen); DuckDB mirrors it with a generate_series scalar
+    subquery (the q95ap pattern).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    c15 = F.concat(
+        F.lit("4"),
+        F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+        F.lpad(((F.col("doc_id") * 7) % 1000000).cast("string"), 6, "0"),
+    )
+
+    def luhn_sum(col: F.Column, n: int) -> F.Column:
+        """Luhn digit fold over the first n chars of a digit string
+        (1-based odd positions doubled — the 16-length orientation)."""
+        digit = lambda i: F.substring(col, i, 1).cast("int")  # noqa: E731
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(n)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 1,
+                F.when(
+                    2 * F.substring(col, i, 1).cast("int") > 9,
+                    2 * F.substring(col, i, 1).cast("int") - 9,
+                ).otherwise(2 * F.substring(col, i, 1).cast("int")),
+            ).otherwise(F.substring(col, i, 1).cast("int")).cast("long"),
+        )
+
+    seeded = docs.select("doc_id", "source", c15.alias("c15"))
+    withcheck = seeded.withColumn("sum15", luhn_sum(F.col("c15"), 15))
+    check = (10 - F.col("sum15") % 10) % 10
+    carded = withcheck.select(
+        "doc_id",
+        "source",
+        F.concat(
+            "c15",
+            F.when(F.col("doc_id") % 3 == 0, check)
+            .otherwise((check + 5) % 10)
+            .cast("string"),
+        ).alias("card"),
+    )
+    texted = carded.select(
+        "doc_id", "source",
+        F.concat(F.lit("pay with card "), F.col("card"), F.lit(" today")).alias("text"),
+    )
+    validated = texted.select(
+        "source",
+        "text",
+        F.regexp_extract("text", "[0-9]{16}", 0).alias("cand"),
+    ).withColumn("luhn_ok", luhn_sum(F.col("cand"), 16) % 10 == 0)
+    redacted = validated.withColumn(
+        "out_text",
+        F.when(
+            F.col("luhn_ok"), F.replace(F.col("text"), F.col("cand"), F.lit("[CARD]"))
+        ).otherwise(F.col("text")),
+    )
+    return redacted.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("luhn_ok"), 1).otherwise(0))
+        .cast("long").alias("cards_redacted"),
+        F.sum(F.when(~F.col("luhn_ok"), 1).otherwise(0))
+        .cast("long").alias("lookalikes_kept"),
+        F.sum(F.length("text") - F.length("out_text"))
+        .cast("long").alias("chars_removed"),
+    )
+
+
+@query(
+    "q98ac_html_extract",
+    oracle="""
+    WITH page AS (
+      SELECT doc_id, source,
+             '<html><body><h1>' || source || '</h1>' ||
+             CASE WHEN doc_id % 5 = 0 THEN
+               '<div class="nav"><a href="/">home</a>' ||
+               '<a href="/about">about us</a><a href="/login">login</a></div>'
+             ELSE '' END ||
+             '<p>' || text || '</p><a href="http://example.com/' ||
+             CAST(doc_id AS VARCHAR) || '">read more here</a></body></html>'
+               AS html
+      FROM documents
+    ), extracted AS (
+      SELECT doc_id, source,
+             len(regexp_replace(html, '<[^>]*>', '', 'g')) AS visible_chars,
+             (SELECT COALESCE(CAST(SUM(len(t)) AS BIGINT), 0) FROM unnest(
+                regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1)) AS u(t))
+               AS anchor_chars,
+             len(regexp_extract_all(html, '<a [^>]*>')) AS n_links
+      FROM page
+    ), scored AS (
+      SELECT doc_id, source, visible_chars, anchor_chars, n_links,
+             1000 * anchor_chars // visible_chars AS link_density_milli
+      FROM extracted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(visible_chars) AS BIGINT) AS total_visible_chars,
+           CAST(SUM(anchor_chars) AS BIGINT) AS total_anchor_chars,
+           CAST(SUM(n_links) AS BIGINT) AS total_links,
+           CAST(SUM(CASE WHEN link_density_milli > 80 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_failing_gate
+    FROM scored GROUP BY source
+    """,
+    tags=("llm", "text", "extraction", "quality"),
+)
+def q98ac_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML MAIN-CONTENT EXTRACTION gate — the trafilatura/jusText move
+    a crawl pipeline runs before any text-quality scoring: strip
+    markup, measure LINK DENSITY (anchor-text chars / visible chars),
+    and fail boilerplate-heavy pages. Deterministic HTML is
+    constructed in-plan around each document (every 5th page gets a
+    nav-bar boilerplate block, every page gets a trailing content
+    link) so the gate fires on a known subset — the codec-fixture
+    discipline applied to markup.
+
+    Scale shape: pure narrow regex kernels (tag strip, anchor-text
+    group extraction) in whole-stage codegen + a |sources|-bounded
+    agg; link density stays in exact integer milli-units via shared
+    floor division (Spark `div` == DuckDB `//` for non-negative
+    operands — never CAST(double), whose rounding diverges
+    cross-engine). At 100 TB this is the same map-only pass as q98ab,
+    run at WARC-ingest time.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    page = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("<html><body><h1>"), F.col("source"), F.lit("</h1>"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(
+                    '<div class="nav"><a href="/">home</a>'
+                    '<a href="/about">about us</a><a href="/login">login</a></div>'
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("<p>"), F.col("text"),
+            F.lit('</p><a href="http://example.com/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">read more here</a></body></html>'),
+        ).alias("html"),
+    )
+    extracted = page.select(
+        "source",
+        F.length(F.regexp_replace("html", "<[^>]*>", "")).alias("visible_chars"),
+        F.aggregate(
+            F.transform(
+                F.regexp_extract_all("html", F.lit("<a [^>]*>([^<]*)</a>"), F.lit(1)),
+                lambda t: F.length(t).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("anchor_chars"),
+        F.size(F.regexp_extract_all("html", F.lit("<a [^>]*>"), F.lit(0)))
+        .alias("n_links"),
+    )
+    scored = extracted.withColumn(
+        "link_density_milli",
+        F.expr("div(1000 * anchor_chars, visible_chars)"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("visible_chars").cast("long").alias("total_visible_chars"),
+        F.sum("anchor_chars").cast("long").alias("total_anchor_chars"),
+        F.sum("n_links").cast("long").alias("total_links"),
+        F.sum(F.when(F.col("link_density_milli") > 80, 1).otherwise(0))
+        .cast("long").alias("docs_failing_gate"),
+    )

@@ -2328,3 +2328,102 @@ def qm16_ivm_avg_var_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_dollars"),
     )
+
+
+@query(
+    "qm17_streaming_reservoir",
+    # bottom-k by a shared deterministic MINSTD rank == a fixed uniform
+    # k-sample of the full stream; the truth is directly SQL-computable
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           (event_id * 48271) % 2147483647 AS rank
+    FROM events
+    ORDER BY rank, event_id
+    LIMIT 100
+    """,
+    tags=("streaming", "sampling", "incremental", "merge"),
+)
+def qm17_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING UNIFORM k-SAMPLE via bottom-k order statistics — the
+    reservoir-sampling job a pipeline runs to keep a fixed-size
+    uniform sample of an unbounded stream (eval panels, drift probes,
+    manual QA draws) without ever holding more than k rows of state.
+
+    The classic algorithm-R reservoir is ORDER-DEPENDENT (replacement
+    draws depend on arrival position), so it could never carry a
+    value-hash oracle. The bottom-k formulation is the distributed
+    fix: rank every event by a deterministic uniform hash and keep the
+    k SMALLEST ranks. Bottom-k is a semilattice (merge = union then
+    take-k-smallest, idempotent/commutative/associative), so per-epoch
+    k-row partials merged at read time equal the one-shot truth in ANY
+    arrival order and under re-delivery — the qm13 MAX / qm08 bit_or
+    discipline extended to a bounded ORDER STATISTIC, and the sample
+    it yields is exactly uniform because ranks are exchangeable.
+
+    Rank = MINSTD (event_id * 48271) % 2147483647 — shared exact
+    BIGINT arithmetic both engines compute bit-identically (the
+    q52b/q49 pattern), injective for event_id < 2^31-1 (prime modulus,
+    48271 invertible) so ties cannot occur at any driver scale.
+
+    Scale shape: per epoch, a batch-local sort-limit (k rows out, map
+    partial per task — Spark's TakeOrdered is a partial top-k, never a
+    full sort); state is epochs x k rows compacted on read by one
+    k-bounded merge. At 100 TB: k rows per micro-batch cross the wire,
+    the sample never re-reads the corpus, and the same partials give
+    per-window samples for free by bucketing epochs.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    K = 100
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        ((F.col("event_id") * 48271) % 2147483647).alias("rank"),
+    )
+
+    arrivals = scratch_dir("qm17_arrivals")
+    # three arrival files: events scrambled across batches by a hash
+    # (NOT by rank), plus every 9th event RE-DELIVERED in the final
+    # batch — at-least-once made concrete; idempotence must absorb it
+    for b in range(2):
+        ev.filter((F.col("event_id") * 7919) % 2 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+    ev.filter(F.col("event_id") % 9 == 0).coalesce(1).write.mode("append").parquet(
+        arrivals
+    )
+
+    partials = scratch_dir("qm17_partials")
+
+    def sample_step(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.orderBy("rank", "event_id").limit(K)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(sample_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm17_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # read-side merge: union of k-row partials -> k smallest ranks;
+    # re-delivered events collapse because the merge is a SET take-k
+    # (distinct on the full row — every column is a function of
+    # event_id, so duplicates are exact row copies)
+    return (
+        spark.read.parquet(partials)
+        .distinct()
+        .orderBy("rank", "event_id")
+        .limit(K)
+    )

@@ -810,3 +810,43 @@ def test_delta_join_retraction_algebra_any_batch_order(spark):
     # order 11 live, joined to the moved dimension exactly once
     live = [(r["okey"], r["seg"], r["m"]) for r in compacted if r["m"] > 0]
     assert live == [(11, "NEW", 1)]
+
+
+@pytest.mark.parametrize("name", ["q98ab_luhn_card_redaction", "q98ac_html_extract"])
+def test_r9_text_gates_are_single_agg_narrow_maps(spark, name):
+    """The round-9 scrub/extract gates are map-only passes over the
+    corpus scan + one |sources|-bounded agg: exactly ONE Exchange (the
+    final groupBy), no joins, and the regex/digit-fold kernels stay in
+    JVM codegen — no Python eval on the hot path."""
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange") <= 2  # partial/final agg pair shares one shuffle
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_qm17_reservoir_merge_is_bounded_topk(spark):
+    """qm17's read-side merge must plan a TakeOrdered (partial per-task
+    top-k), never a global Sort — the k-bounded merge is the entire
+    scale argument for the streaming sample."""
+    df = REGISTRY["qm17_streaming_reservoir"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    # re-delivered events (every 9th) must collapse: sample is distinct
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    # ranks really are the k smallest of the full stream (semilattice
+    # merge == one-shot): spot-check max sampled rank < min unsampled
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", ((F.col("event_id") * 48271) % 2147483647).alias("rank")
+    )
+    unsampled_min = (
+        ev.join(spark.createDataFrame([(i,) for i in ids], "event_id long"),
+                "event_id", "left_anti")
+        .agg(F.min("rank")).first()[0]
+    )
+    assert max(r["rank"] for r in rows) < unsampled_min

