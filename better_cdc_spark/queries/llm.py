@@ -12488,3 +12488,193 @@ def q98ac_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("link_density_milli") > 80, 1).otherwise(0))
         .cast("long").alias("docs_failing_gate"),
     )
+
+
+@query(
+    "q95ar_unimax_mixing",
+    oracle="""
+    WITH counts AS (
+      SELECT lang,
+             CAST(SUM(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT)
+               AS toks
+      FROM documents GROUP BY lang
+    ), ranked AS (
+      SELECT lang, toks,
+             CAST(ROW_NUMBER() OVER (ORDER BY toks, lang) AS BIGINT) AS k,
+             CAST(SUM(toks * 2) OVER (ORDER BY toks, lang
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_k,
+             CAST(SUM(toks) OVER () AS BIGINT) AS total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM counts
+    ), flagged AS (
+      SELECT *, (total * 3) // 2 AS budget,
+             toks * 2 * (n - k + 1) <= (total * 3) // 2 - (s_k - toks * 2)
+               AS fits
+      FROM ranked
+    ), solved AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN fits THEN 1 ELSE 0 END) OVER () AS BIGINT)
+               AS k_star,
+             CAST(MAX(CASE WHEN fits THEN s_k ELSE 0 END) OVER () AS BIGINT)
+               AS s_star
+      FROM flagged
+    )
+    SELECT lang, toks,
+           k <= k_star AS capped,
+           CAST(CASE WHEN k <= k_star THEN toks * 2
+                     ELSE (budget - s_star) // (n - k_star) END AS BIGINT)
+             AS alloc,
+           CAST(CASE WHEN k <= k_star THEN 2000
+                     ELSE ((budget - s_star) // (n - k_star)) * 1000 // toks
+                END AS BIGINT) AS epochs_milli
+    FROM solved
+    """,
+    tags=("llm", "mixing", "sampling", "unimax"),
+)
+def q95ar_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023) — the fairness-first
+    mixing rule next to temperature (q95_temperature) and DoReMi
+    (q95w): given a token budget B and an epoch cap E, small languages
+    are repeated up to E epochs IN FULL and the remaining budget is
+    split uniformly over the rest, found by exact WATERFILLING. The
+    closed form: sort languages by token count ascending; k* = the
+    longest prefix where c_k·E·(n−k+1) ≤ B − S_{k−1} (each still fits
+    its full E epochs under an even split of what remains); prefix
+    languages get c·E, the rest get (B − S_{k*}) // (n − k*).
+
+    Everything is exact BIGINT — the feasibility predicate is the
+    division-free cross-multiplied form, allocations use shared floor
+    division — so the mixing TABLE itself carries the value-hash
+    oracle. Fixture: B = 1.5x corpus tokens, E = 2 puts four languages
+    under the cap and truncates the dominant one below a single epoch
+    (epochs_milli < 1000) — both branches fire.
+
+    Scale shape: one corpus-scan token count into a |langs|-bounded
+    aggregate; the waterfilling windows run over ≤ |langs| rows (the
+    empty-partition window is bounded BY CONSTRUCTION, the q98s
+    pattern). At 100 TB the output is a broadcast-size rate table the
+    sampler joins back to the corpus — the expensive pass is the token
+    count it shares with every other corpus statistic.
+    """
+    tune_for_oracle(spark)
+    E = 2
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    counts = docs.select(
+        "lang",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("t"),
+    ).groupBy("lang").agg(F.sum("t").cast("long").alias("toks"))
+
+    w_ord = W.partitionBy().orderBy("toks", "lang")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    ranked = counts.select(
+        "lang",
+        "toks",
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum(F.col("toks") * E).over(w_cum).cast("long").alias("s_k"),
+        F.sum("toks").over(w_all).cast("long").alias("total"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    flagged = ranked.withColumn(
+        "budget", F.expr("div(total * 3, 2)")
+    ).withColumn(
+        "fits",
+        F.col("toks") * E * (F.col("n") - F.col("k") + 1)
+        <= F.col("budget") - (F.col("s_k") - F.col("toks") * E),
+    )
+    solved = flagged.select(
+        "*",
+        F.sum(F.when(F.col("fits"), 1).otherwise(0)).over(w_all)
+        .cast("long").alias("k_star"),
+        F.max(F.when(F.col("fits"), F.col("s_k")).otherwise(0)).over(w_all)
+        .cast("long").alias("s_star"),
+    )
+    u = F.expr("div(budget - s_star, n - k_star)")
+    return solved.select(
+        "lang",
+        "toks",
+        (F.col("k") <= F.col("k_star")).alias("capped"),
+        F.when(F.col("k") <= F.col("k_star"), F.col("toks") * E)
+        .otherwise(u).cast("long").alias("alloc"),
+        F.when(F.col("k") <= F.col("k_star"), F.lit(1000 * E))
+        .otherwise(F.expr("div(div(budget - s_star, n - k_star) * 1000, toks)"))
+        .cast("long").alias("epochs_milli"),
+    )
+
+
+@query(
+    "q94r_shard_manifest",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             (doc_id * 48271) % 2147483647 % 16 AS shard,
+             CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) AS fp,
+             md5(text) AS h
+      FROM documents
+    ), shards AS (
+      SELECT source, shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(CAST(SUM(fp) AS BIGINT) % 2147483647 AS BIGINT)
+               AS shard_digest,
+             MIN(h) AS min_fingerprint,
+             MAX(h) AS max_fingerprint
+      FROM fp GROUP BY source, shard
+    )
+    SELECT source, shard, n_docs, shard_digest, min_fingerprint,
+           max_fingerprint,
+           CAST(SUM(shard_digest) OVER (PARTITION BY source) AS BIGINT)
+             AS source_root
+    FROM shards
+    """,
+    tags=("llm", "release", "integrity", "manifest"),
+)
+def q94r_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE ATTESTATION manifest — the integrity artifact next to the
+    dataset card (q94o) and release diff (q94q): per-(source, shard)
+    doc counts, an ORDER-INSENSITIVE content digest, min/max
+    fingerprints (the shard's content range), and a per-source merkle
+    root folding the shard digests. A consumer re-runs this query over
+    a delivered copy and compares roots — any dropped, duplicated, or
+    altered document changes a shard digest and therefore its root.
+
+    The digest is a HOMOMORPHIC modular checksum: SUM of 48-bit
+    md5-prefix integers mod 2^31−1. Homomorphism is the operational
+    point — add/remove a doc and the new digest is one addition away,
+    so the release-diff pipeline (q94q) maintains manifests
+    incrementally without re-hashing the corpus; order-insensitivity
+    means no sort and no collect_list anywhere (a cryptographic chain
+    digest would force per-shard ordered folds — the scale trade
+    documented in the PLANS row). Hex→int is conv(·,16,10) in Spark
+    and CAST('0x'||· AS BIGINT) in DuckDB — same 48-bit value.
+
+    Scale shape: one corpus scan → map-side-combinable agg keyed
+    (source, shard) → |sources|×16-bounded window for the roots.
+    Shard id is a MINSTD key spread here (cross-engine exact); in
+    production it is the content-hash split already materialized by
+    the export (q94c), and the per-partial mod keeps the running sum
+    in 63 bits at any corpus size.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fp = docs.select(
+        "source",
+        ((F.col("doc_id") * 48271) % 2147483647 % 16).alias("shard"),
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+        .cast("long").alias("fp"),
+        F.md5("text").alias("h"),
+    )
+    shards = fp.groupBy("source", "shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("fp") % 2147483647).cast("long").alias("shard_digest"),
+        F.min("h").alias("min_fingerprint"),
+        F.max("h").alias("max_fingerprint"),
+    )
+    return shards.select(
+        "*",
+        F.sum("shard_digest").over(W.partitionBy("source"))
+        .cast("long").alias("source_root"),
+    )

@@ -2427,3 +2427,138 @@ def qm17_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank", "event_id")
         .limit(K)
     )
+
+
+@query(
+    "qm18_streaming_quantile_histogram",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(floor(value * 10) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT bucket, n,
+             CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM hist
+    ), hit AS (
+      SELECT q.q_milli, c.bucket, c.cum, c.total,
+             ROW_NUMBER() OVER (PARTITION BY q.q_milli ORDER BY c.bucket)
+               AS rn
+      FROM cum c
+      JOIN (VALUES (500), (900), (990)) AS q(q_milli)
+        ON c.cum >= (c.total * q.q_milli + 999) // 1000
+    )
+    SELECT CAST(q_milli AS BIGINT) AS q_milli, bucket,
+           round(bucket / 10.0, 4) AS lower_bound,
+           cum AS n_at_or_below, total
+    FROM hit WHERE rn = 1
+    """,
+    tags=("streaming", "quantile", "histogram", "incremental", "txlog"),
+)
+def qm18_streaming_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING QUANTILES from a fixed-boundary histogram maintained
+    through the ACID idempotent sink — the monitoring-percentile job
+    (latency p99, value drift) run the only way additive state can be
+    exactly-once: histogram COUNTS are a SUM-monoid, NOT idempotent,
+    so unlike qm13's MAX or qm17's bottom-k a re-delivered batch
+    would silently double-count. That is precisely the job of the
+    commit-token sink: each epoch's partial counts append to a
+    TxLogTable under (app_id, txn_version=epoch), and a restart-replay
+    of a COMPLETED epoch — re-delivered here verbatim after the stream
+    drains, the foreachBatch checkpoint-recovery contract made
+    concrete — short-circuits on the token as a no-op. The streaming
+    semilattice family (bit_or/MAX/bottom-k) thus gets its additive
+    sibling with the exactly-once mechanism it actually requires.
+
+    Quantile read: smallest bucket whose cumulative count reaches
+    ceil(q·total) — pure integer arithmetic over the bucket-bounded
+    merged histogram, so the full value-hash oracle computes the same
+    bucketed quantile directly. floor(value·10) is the same IEEE
+    double op in both engines (bit-identical), and ceil(a/b) is the
+    shared division-free (a·q+999)//1000 form.
+
+    Scale shape: per epoch one |buckets|-bounded partial (map-side
+    combined) appended O(1); merge cost is buckets x epochs with the
+    txlog compaction story; quantile windows run over ≤ |buckets|
+    rows. At 100 TB the histogram IS the state — no raw value is ever
+    retained, which is why fixed-boundary histograms (not exact
+    medians) are the production percentile path (q36m documents the
+    exact-refinement alternative for batch).
+    """
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bucketed = ev.select(
+        "event_id", F.floor(F.col("value") * 10).cast("long").alias("bucket")
+    )
+
+    arrivals = scratch_dir("qm18_arrivals")
+    for b in range(3):
+        bucketed.filter((F.col("event_id") * 7919) % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    t = TxLogTable(spark, scratch_dir("qm18_txlog"))
+    epoch_files: dict[int, list[str]] = {}
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        # bounded collect: ≤ maxFilesPerTrigger paths, recorded so the
+        # replay below re-delivers a completed epoch VERBATIM
+        epoch_files[int(epoch_id)] = [
+            r[0] for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        partial = batch_df.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        t.append(partial, app_id="qm18", txn_version=int(epoch_id))
+
+    q = (
+        spark.readStream.schema(bucketed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm18_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # checkpoint-recovery replay: epoch 0 re-delivered verbatim with its
+    # original txn_version — the token makes the double-append a no-op
+    # (a SUM merge without the token would inflate every epoch-0 bucket)
+    replayed = spark.read.schema(bucketed.schema).parquet(*epoch_files[0])
+    step(replayed, 0)
+
+    hist = t.read().groupBy("bucket").agg(F.sum("n").cast("long").alias("n"))
+    w_cum = W.partitionBy().orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w_cum).cast("long").alias("cum"),
+        F.sum("n").over(w_all).cast("long").alias("total"),
+    )
+    qdf = spark.createDataFrame([(500,), (900,), (990,)], "q_milli long")
+    hit = cum.join(
+        F.broadcast(qdf),
+        F.col("cum") >= F.expr("div(total * q_milli + 999, 1000)"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("q_milli").orderBy("bucket")),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "q_milli",
+        "bucket",
+        F.round(F.col("bucket") / 10.0, 4).alias("lower_bound"),
+        F.col("cum").alias("n_at_or_below"),
+        "total",
+    )

@@ -850,3 +850,14 @@ def test_qm17_reservoir_merge_is_bounded_topk(spark):
         .agg(F.min("rank")).first()[0]
     )
     assert max(r["rank"] for r in rows) < unsampled_min
+
+
+@pytest.mark.parametrize("name", ["q95ar_unimax_mixing", "q94r_shard_manifest"])
+def test_r9_release_ops_stay_jvm_side_and_joinless(spark, name):
+    """UniMax waterfilling and the shard manifest are corpus-scan →
+    bounded-agg → bounded-window shapes: no joins, no Python eval;
+    every window runs over a |langs|- or |sources|x16-bounded frame
+    by construction."""
+    plan = plan_of(spark, name)
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

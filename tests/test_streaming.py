@@ -448,3 +448,31 @@ def test_qm07_ivm_is_arrival_order_independent(spark):
     assert ("R", 30, sum(k * 10 for k in range(300) if k % 10 == 7)) in {
         (g, n, s) for g, n, s in one_shot
     }
+
+
+def test_qm18_sum_state_needs_the_commit_token(spark):
+    """Negative control for qm18's exactly-once claim: histogram counts
+    are a SUM-monoid, so the SAME double-append WITHOUT the
+    (app_id, txn_version) token must inflate the merged counts — i.e.
+    the token, not luck, is what absorbs the checkpoint-recovery
+    replay."""
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    part = spark.createDataFrame([(1, 10), (2, 5)], "bucket long, n long")
+
+    guarded = TxLogTable(spark, scratch_dir("qm18_neg_guarded"))
+    guarded.append(part, app_id="t", txn_version=0)
+    guarded.append(part, app_id="t", txn_version=0)  # replay: no-op
+    ok = {r["bucket"]: r["s"] for r in
+          guarded.read().groupBy("bucket").agg(F.sum("n").alias("s")).collect()}
+    assert ok == {1: 10, 2: 5}
+
+    naked = TxLogTable(spark, scratch_dir("qm18_neg_naked"))
+    naked.append(part)
+    naked.append(part)  # no token: the replay double-counts
+    bad = {r["bucket"]: r["s"] for r in
+           naked.read().groupBy("bucket").agg(F.sum("n").alias("s")).collect()}
+    assert bad == {1: 20, 2: 10}
