@@ -861,3 +861,46 @@ def test_r9_release_ops_stay_jvm_side_and_joinless(spark, name):
     plan = plan_of(spark, name)
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side_of_selective_join(spark):
+    """Runtime bloom-filter join pruning — the 100 TB semi-join
+    reduction: a selectively-filtered dim side builds a bloom filter at
+    runtime that is pushed into the fact side's scan filter, so the
+    shuffle carries only might-match rows. Local thresholds default to
+    cluster scale (10 GB application side), so the test pins the
+    MECHANISM with thresholds lowered; production relies on the same
+    injection at its default thresholds."""
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_totalprice") < 1000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus").count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom build on the dim side"
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan, (
+            "bloom probe not pushed into the fact side"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
