@@ -12678,3 +12678,110 @@ def q94r_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("shard_digest").over(W.partitionBy("source"))
         .cast("long").alias("source_root"),
     )
+
+
+@query(
+    "q94s_license_filter",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 11 = 0
+                    THEN 'SPDX-License-Identifier: MIT ' || text
+                  WHEN doc_id % 11 = 1
+                    THEN 'SPDX-License-Identifier: Apache-2.0 ' || text
+                  WHEN doc_id % 11 = 2
+                    THEN 'SPDX-License-Identifier: GPL-3.0-only ' || text
+                  WHEN doc_id % 11 = 3
+                    THEN 'SPDX-License-Identifier: LGPL-2.1-or-later ' || text
+                  WHEN doc_id % 11 = 4
+                    THEN 'Copyright (c) 2021 Example Corp ' || text
+                  ELSE text END AS text
+      FROM documents
+    ), classified AS (
+      SELECT source, text,
+             regexp_extract(text,
+               'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) AS spdx,
+             CASE
+               WHEN regexp_extract(text,
+                 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+                 IN ('MIT', 'Apache-2.0', 'BSD-3-Clause') THEN 'permissive'
+               WHEN regexp_extract(text,
+                 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+                 LIKE '%GPL%' THEN 'copyleft'
+               WHEN regexp_extract(text,
+                 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) <> ''
+                 THEN 'other_spdx'
+               WHEN text LIKE '%Copyright (c)%' THEN 'needs_review'
+               ELSE 'unlicensed' END AS license_class
+      FROM seeded
+    )
+    SELECT source, license_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT)
+             AS n_tokens,
+           license_class IN ('permissive', 'unlicensed') AS kept
+    FROM classified GROUP BY source, license_class
+    """,
+    tags=("llm", "compliance", "license", "filter"),
+)
+def q94s_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LICENSE COMPLIANCE gate — the Stack/StarCoder-style filtering
+    stage between crawl and training mix: SPDX identifiers are
+    extracted from document headers, classified
+    permissive / copyleft / other-SPDX / needs-review (copyright
+    notice without a machine-readable id) / unlicensed, and the keep
+    decision plus per-class token volumes are reported per source —
+    the table legal review signs and the mixing step consumes
+    (copyleft is EXCLUDED from the kept set; needs_review is the
+    human-escalation queue). Headers are seeded by doc_id residue so
+    all five classes fire deterministically.
+
+    Scale shape: one regexp_extract + CASE classification inside the
+    corpus scan, |sources|x|classes|-bounded agg — the same map-only
+    family as q98ab/q98ac; LIKE-on-extracted-id is a residual on a
+    short string, never a second corpus pass. At 100 TB per-repo
+    license files (LICENSE, package metadata) join in as a broadcast
+    dim keyed by repo — the header path here is the in-content half
+    of that detector.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    seeded = docs.select(
+        "source",
+        F.concat(
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("SPDX-License-Identifier: MIT "))
+            .when(F.col("doc_id") % 11 == 1,
+                  F.lit("SPDX-License-Identifier: Apache-2.0 "))
+            .when(F.col("doc_id") % 11 == 2,
+                  F.lit("SPDX-License-Identifier: GPL-3.0-only "))
+            .when(F.col("doc_id") % 11 == 3,
+                  F.lit("SPDX-License-Identifier: LGPL-2.1-or-later "))
+            .when(F.col("doc_id") % 11 == 4,
+                  F.lit("Copyright (c) 2021 Example Corp "))
+            .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    spdx = F.regexp_extract("text", r"SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1)
+    classified = seeded.select(
+        "source",
+        "text",
+        F.when(spdx.isin("MIT", "Apache-2.0", "BSD-3-Clause"), "permissive")
+        .when(spdx.like("%GPL%"), "copyleft")
+        .when(spdx != "", "other_spdx")
+        .when(F.col("text").like("%Copyright (c)%"), "needs_review")
+        .otherwise("unlicensed")
+        .alias("license_class"),
+    )
+    return classified.groupBy("source", "license_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("n_tokens"),
+        F.first(
+            F.col("license_class").isin("permissive", "unlicensed")
+        ).alias("kept"),
+    )
