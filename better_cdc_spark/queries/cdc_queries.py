@@ -2817,3 +2817,105 @@ def qc31_crdt_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dec_c").cast("long").alias("total_dec"),
         (F.sum("inc_c") - F.sum("dec_c")).cast("long").alias("value"),
     )
+
+
+@query(
+    "qc32_transactional_outbox",
+    oracle="""
+    WITH business AS (
+      SELECT o_orderkey AS okey,
+             o_orderkey % 499 AS xid,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'orders' ELSE 'accounts' END
+               AS tbl
+      FROM orders
+    ), outbox AS (
+      -- the app writes one outbox event per business change IN THE SAME
+      -- tx ... except the seeded dual-write bug (%13=5 forgets the
+      -- event) and the seeded orphan (%17=3 emits a second event whose
+      -- aggregate no longer exists)
+      SELECT okey, xid, tbl FROM business WHERE okey % 13 <> 5
+      UNION ALL
+      SELECT okey + 1000000000, xid, tbl FROM business WHERE okey % 17 = 3
+    ), joined AS (
+      SELECT COALESCE(b.tbl, o.tbl) AS tbl,
+             COALESCE(b.xid, o.xid) AS xid,
+             CASE WHEN b.okey IS NOT NULL AND o.okey IS NOT NULL
+                    THEN 'atomic'
+                  WHEN b.okey IS NOT NULL THEN 'missed_event'
+                  ELSE 'orphan_event' END AS status
+      FROM business b
+      FULL OUTER JOIN outbox o ON b.okey = o.okey AND b.xid = o.xid
+    )
+    SELECT tbl,
+           CAST(SUM(CASE WHEN status = 'atomic' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_atomic,
+           CAST(SUM(CASE WHEN status = 'missed_event' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed_events,
+           CAST(SUM(CASE WHEN status = 'orphan_event' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_events,
+           CAST(COUNT(DISTINCT CASE WHEN status <> 'atomic' THEN xid END)
+                AS BIGINT) AS n_dirty_tx
+    FROM joined GROUP BY tbl
+    """,
+    tags=("cdc", "outbox", "audit", "integrity"),
+)
+def qc32_transactional_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTIONAL-OUTBOX consistency audit — the integration pattern
+    a CDC feed exists to enable: the application writes an outbox
+    event in the SAME database transaction as the business change, the
+    CDC stream of the outbox table becomes the event feed, and
+    dual-write bugs become IMPOSSIBLE — *if* the invariant actually
+    holds. This query is the audit that proves it from the changelog:
+    FULL OUTER JOIN business changes against outbox events on
+    (tx, aggregate key), classifying atomic / missed_event (a business
+    change whose tx wrote no event — the dual-write bug the pattern
+    prevents) / orphan_event (an event referencing no business change
+    — a leaked retry or manual insert). Both failure classes are
+    seeded deterministically so every counter is exercised; n_dirty_tx
+    is the per-table blast radius legal/ops actually asks for.
+
+    Scale shape: one equi-key FULL OUTER JOIN on (okey, xid) — both
+    sides shuffle once on the same key, no residuals — and a
+    |tables|-bounded agg; at 100 TB the join co-locates if business
+    and outbox extracts share PK bucketing (the qc24 note applies
+    verbatim). Reference anchor: the ordered ack-gated publisher
+    (publish_retry.py) delivers the outbox rows; this is the
+    consumer-side proof the contract held end to end.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    business = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_orderkey") % 499).alias("xid"),
+        F.when(F.col("o_orderkey") % 3 == 0, "orders")
+        .otherwise("accounts").alias("tbl"),
+    )
+    outbox = business.filter(F.col("okey") % 13 != 5).unionByName(
+        business.filter(F.col("okey") % 17 == 3).select(
+            (F.col("okey") + 1000000000).alias("okey"), "xid", "tbl"
+        )
+    )
+    b = business.alias("b")
+    o = outbox.alias("o")
+    joined = b.join(
+        o, (F.col("b.okey") == F.col("o.okey")) & (F.col("b.xid") == F.col("o.xid")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.tbl"), F.col("o.tbl")).alias("tbl"),
+        F.coalesce(F.col("b.xid"), F.col("o.xid")).alias("xid"),
+        F.when(F.col("b.okey").isNotNull() & F.col("o.okey").isNotNull(), "atomic")
+        .when(F.col("b.okey").isNotNull(), "missed_event")
+        .otherwise("orphan_event")
+        .alias("status"),
+    )
+    return joined.groupBy("tbl").agg(
+        F.sum(F.when(F.col("status") == "atomic", 1).otherwise(0))
+        .cast("long").alias("n_atomic"),
+        F.sum(F.when(F.col("status") == "missed_event", 1).otherwise(0))
+        .cast("long").alias("n_missed_events"),
+        F.sum(F.when(F.col("status") == "orphan_event", 1).otherwise(0))
+        .cast("long").alias("n_orphan_events"),
+        F.countDistinct(
+            F.when(F.col("status") != "atomic", F.col("xid"))
+        ).cast("long").alias("n_dirty_tx"),
+    )
