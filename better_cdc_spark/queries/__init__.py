@@ -68,7 +68,7 @@ def query(
 #
 # Round-9 prefix (generated with tools/rotation.py): the 29 remaining
 # never-driver-verified entries (finishing the backlog -> 0), plus this
-# round's 8 additions, padded to 50 with the 13 LONGEST-unverified entries
+# round's 9 additions, padded to 50 with the 12 LONGEST-unverified entries
 # (last green row r1/r2) so the gate also re-confirms the oldest rows
 # against today's code.
 # Everything else follows in registration order. NOTE: a prefix-sampled
@@ -112,6 +112,7 @@ SHOWCASE_ORDER = (
     "qm18_streaming_quantile_histogram",
     "q94s_license_filter",
     "qc32_transactional_outbox",
+    "q36s_poisson_bootstrap_ci",
     "q61_intersect",
     "q62_except",
     "q70_string_functions",
@@ -124,7 +125,6 @@ SHOWCASE_ORDER = (
     "qc03_dlq_routing",
     "qc05_merge_apply",
     "qc04_event_id_invariants",
-    "q01b_parquet_schema_merge",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -5966,3 +5966,120 @@ def q36r_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lag1_autocorr"),
     )
+
+
+@query(
+    "q36s_poisson_bootstrap_ci",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, event_id,
+             CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v_milli
+      FROM events
+    ), weighted AS (
+      SELECT event_type, b.b, v_milli,
+             CAST(((event_id * 64 + b.b) * 48271) % 2147483647 AS DOUBLE)
+               / 2147483647 AS u
+      FROM ev, generate_series(1, 64) AS b(b)
+    ), w AS (
+      SELECT event_type, b, v_milli,
+             CASE WHEN u < 0.367879441 THEN 0
+                  WHEN u < 0.735758882 THEN 1
+                  WHEN u < 0.919698603 THEN 2
+                  WHEN u < 0.981011843 THEN 3
+                  WHEN u < 0.996340153 THEN 4
+                  ELSE 5 END AS wt
+      FROM weighted
+    ), reps AS (
+      SELECT event_type, b,
+             CAST(SUM(wt * v_milli) AS BIGINT) AS s_wv,
+             CAST(SUM(wt) AS BIGINT) AS s_w
+      FROM w GROUP BY event_type, b
+    ), means AS (
+      SELECT event_type, b,
+             round(CAST(s_wv AS DOUBLE) / s_w / 1000, 6) AS rep_mean
+      FROM reps
+    ), ranked AS (
+      SELECT event_type, rep_mean,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rep_mean, b)
+               AS rk
+      FROM means
+    )
+    SELECT e.event_type,
+           round(CAST(SUM(e.v_milli) AS DOUBLE) / COUNT(*) / 1000, 6)
+             AS mean_value,
+           MAX(CASE WHEN r.rk = 2 THEN r.rep_mean END) AS ci_lo,
+           MAX(CASE WHEN r.rk = 63 THEN r.rep_mean END) AS ci_hi
+    FROM ev e JOIN ranked r USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("agg", "statistics", "bootstrap", "resampling"),
+)
+def q36s_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence interval for per-group means — the
+    resampling form that actually runs at 100 TB: classic bootstrap
+    draws n-with-replacement per replicate (B full passes, or a B×
+    explode); the Poisson approximation gives every row an independent
+    Poisson(1) weight PER REPLICATE, so all B=64 replicates compute in
+    ONE corpus pass with |groups|×B aggregation state. The Spark plan
+    realizes exactly that: per-row in-row weight ladder (deterministic
+    MINSTD uniform → inverse-CDF over the Poisson(1) thresholds,
+    pinned as shared 9dp literals — the q36o discipline), then 2×B
+    conditional SUM aggregates per group, then discrete rank order
+    statistics (ranks 2 and 63 of 64, the q36n convention) for the
+    2.5/97.5 band. NO row explosion anywhere on the Spark side; the
+    DuckDB oracle is free to unnest because oracle cost is not plan
+    cost.
+
+    Determinism: weights derive from ((event_id·64+b)·48271) mod
+    2^31−1 — exact BIGINT cross-engine; replicate means divide two
+    BIGINTs in one double op, tie-broken by b. At 100 TB the weighted
+    partials map-side combine and the per-group state is 128 longs —
+    the same footprint as q36's moment sums.
+    """
+    tune_for_oracle(spark)
+    B = 64
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value").cast("double") * 1000, 0)
+        .cast("long").alias("v_milli"),
+    )
+    thresholds = (0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153)
+
+    def wt(b: int) -> F.Column:
+        u = (
+            ((F.col("event_id") * B + F.lit(b)) * 48271) % 2147483647
+        ).cast("double") / F.lit(2147483647)
+        w = F.lit(5)
+        for k in range(len(thresholds) - 1, -1, -1):
+            w = F.when(u < thresholds[k], k).otherwise(w)
+        return w.cast("long")
+
+    # 2*B conditional aggregates: per-replicate weighted sum + weight sum
+    aggs = []
+    for b in range(1, B + 1):
+        w = wt(b)
+        aggs.append(F.sum(w * F.col("v_milli")).cast("long").alias(f"s_wv_{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"s_w_{b}"))
+    reps = ev.groupBy("event_type").agg(
+        F.sum("v_milli").cast("long").alias("s_v"),
+        F.count("*").cast("long").alias("n"),
+        *aggs,
+    )
+    rep_means = F.array_sort(
+        F.array(
+            *[
+                F.round(
+                    F.col(f"s_wv_{b}").cast("double") / F.col(f"s_w_{b}") / 1000, 6
+                )
+                for b in range(1, B + 1)
+            ]
+        )
+    )
+    return reps.select(
+        "event_type",
+        F.round(F.col("s_v").cast("double") / F.col("n") / 1000, 6)
+        .alias("mean_value"),
+        rep_means.getItem(1).alias("ci_lo"),
+        rep_means.getItem(62).alias("ci_hi"),
+    )
