@@ -26,3 +26,32 @@ def test_query_matches_oracle(name, spark, duck):
     duck_pdf = duck.execute(spec.oracle).df()
     problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_lsh_recall_coupled_oracles_declare_their_probed_scales():
+    """Every full-oracle query whose exactness rests on LSH banding
+    recall == 1.0 (a SCALE-COUPLED property, probed not proven) must
+    declare oracle_scales so harnesses report mismatches at unprobed
+    scales as expected recall<1, never as a spurious correctness diff
+    (round-8 advice). Guards future sketch additions from forgetting."""
+    from better_cdc_spark.queries import load_all
+
+    reg = load_all()
+    coupled = [
+        "q96_minhash_lsh",
+        "q96g_one_perm_minhash",
+        "q94d_curation_pipeline_lsh",
+        "q95aa_incremental_minhash_lsh",
+        "qm05_streaming_lsh_dedup",
+    ]
+    for name in coupled:
+        spec = reg[name]
+        assert spec.oracle is not None, name
+        assert spec.oracle_scales, f"{name} lacks oracle_scales"
+        assert set(spec.oracle_scales) == {"0.001", "0.01", "0.1"}, name
+    # and nothing else declares scales it doesn't need
+    others = [
+        n for n, s in reg.items()
+        if s.oracle_scales is not None and n not in coupled
+    ]
+    assert others == [], f"unexpected scale-coupled oracles: {others}"
