@@ -29,17 +29,29 @@ def main() -> int:
     from better_cdc_spark.queries import load_all
 
     reg = list(load_all())
-    seen: set[str] = set()
+    last_seen: dict[str, int] = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        seen |= set(json.load(open(path)))
-    never = [q for q in reg if q not in seen]
-    print(f"# registry={len(reg)} driver-verified={len(seen & set(reg))} "
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for q in json.load(open(path)):
+            last_seen[q] = max(last_seen.get(q, 0), rnd)
+    never = [q for q in reg if q not in last_seen]
+    print(f"# registry={len(reg)} driver-verified={len(set(last_seen) & set(reg))} "
           f"never-verified={len(never)}")
     print(f"# suggested next prefix (first {min(n, len(never))}):")
     for q in never[:n]:
         print(f'    "{q}",')
     if len(never) > n:
         print(f"# ... and {len(never) - n} more for the round after")
+    if len(never) < n:
+        # backlog (nearly) clear: pad with the LONGEST-unverified entries so
+        # the gate keeps re-confirming the oldest rows against current code
+        pads = sorted(
+            (q for q in reg if q in last_seen),
+            key=lambda q: (last_seen[q], reg.index(q)),
+        )[: n - len(never)]
+        print(f"# pads (oldest driver rows first, {len(pads)}):")
+        for q in pads:
+            print(f'    "{q}",  # last green r{last_seen[q]}')
     return 0
 
 
