@@ -12785,3 +12785,196 @@ def q94s_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("license_class").isin("permissive", "unlicensed")
         ).alias("kept"),
     )
+
+
+@query(
+    "q96h_lsh_tuning_curve",
+    oracle="""
+    WITH half AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 15 = 1 AND len(string_split(text, ' ')) >= 12
+    ),
+    nearmiss AS (
+      -- companion docs sharing the first half of their words: lands the
+      -- pair in the 0.3-0.5 near-miss band the raw corpus lacks
+      SELECT doc_id + 2000000 AS doc_id,
+             concat_ws(' ',
+               array_to_string(list_slice(w, 1, len(w) // 2), ' '),
+               array_to_string(list_transform(
+                 generate_series(1, len(w) - len(w) // 2),
+                 i -> 'nm' || CAST(doc_id AS VARCHAR) || 'x' ||
+                      CAST(i AS VARCHAR)), ' ')) AS text
+      FROM half
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM nearmiss
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT 1000000 * c // (sa.n + sb.n - c) AS j_micro
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE 1000000 * c // (sa.n + sb.n - c) >= 300000
+    ),
+    cfg AS (SELECT * FROM (VALUES (2, 32), (4, 16), (8, 8), (16, 4))
+            AS t(r, b)),
+    scored AS (
+        SELECT cfg.r, cfg.b, p.j_micro,
+               1000000 - list_reduce(
+                 list_transform(generate_series(0, cfg.b), i ->
+                   CASE WHEN i = 0 THEN 1000000::BIGINT
+                        ELSE 1000000::BIGINT - list_reduce(
+                          list_transform(generate_series(0, cfg.r), k ->
+                            CASE WHEN k = 0 THEN 1000000::BIGINT
+                                 ELSE p.j_micro::BIGINT END),
+                          (acc, x) -> acc * x // 1000000) END),
+                 (acc, x) -> acc * x // 1000000) AS p_micro
+        FROM pairs p, cfg
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN j_micro >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(SUM(CASE WHEN j_micro < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near,
+           CAST(CASE WHEN SUM(CASE WHEN j_micro >= 500000 THEN 1 ELSE 0 END) = 0
+                THEN NULL ELSE
+                SUM(CASE WHEN j_micro >= 500000 THEN p_micro ELSE 0 END)
+                // SUM(CASE WHEN j_micro >= 500000 THEN 1 ELSE 0 END) END
+                AS BIGINT) AS mean_p_true_micro,
+           CAST(CASE WHEN SUM(CASE WHEN j_micro < 500000 THEN 1 ELSE 0 END) = 0
+                THEN NULL ELSE
+                SUM(CASE WHEN j_micro < 500000 THEN p_micro ELSE 0 END)
+                // SUM(CASE WHEN j_micro < 500000 THEN 1 ELSE 0 END) END
+                AS BIGINT) AS mean_p_near_micro
+    FROM scored GROUP BY r, b
+    """,
+    tags=("llm", "dedup", "minhash", "tuning"),
+)
+def q96h_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING TUNING CURVE — the design artifact behind every
+    (bands, rows) choice in the q96 family (the q94h ablation-table
+    move applied to sketch configuration): for each banding of the
+    64-lane signature ((r,b) ∈ 2x32, 4x16, 8x8, 16x4), the S-curve
+    collision probability P = 1−(1−j^r)^b evaluated against the
+    corpus's OWN similarity distribution — mean P over true pairs
+    (j ≥ 0.5, the recall the config buys) vs mean P over the
+    near-miss band (0.3 ≤ j < 0.5, the false-candidate pressure it
+    pays). Engineers read the row where recall saturates and pressure
+    collapses; on this corpus that is exactly why the production
+    queries run 16 bands x 4 rows. The raw corpus has NO near-miss
+    pairs (dups are exact-ish), so companion docs sharing the first
+    half of their words are seeded per residue class — the q98v
+    fixture discipline — landing pairs in the 0.3-0.5 band.
+
+    Exactness: j and P stay in integer MICRO-units throughout — j^r
+    and (1−j^r)^b are per-step-truncated multiply folds (seeded
+    list_reduce in DuckDB, F.aggregate in Spark; Spark's floor
+    division is the subtract-mod form because `/` on longs returns
+    double), so both engines run the identical integer recurrence —
+    pow() never appears (libm last-ulp divergence, the q36o
+    transcendental rule). Empty bands yield NULL means (guarded in
+    both engines), so the query stays total at any scale.
+
+    Scale shape: the pair set is the exact-Jaccard equi-join bounded
+    at tau ≥ 0.3 (never all-pairs); configs are a 4-row broadcast;
+    the fold is ≤ 48 integer multiplies per (pair, config). At 100 TB
+    you run this on a SAMPLE of pairs — the curve is a distribution
+    estimate, and the sampling note is the only thing that changes.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    half = docs.filter((F.col("doc_id") % 15 == 1) & (F.size(w) >= 12)).select(
+        "doc_id", w.alias("w")
+    )
+    nearmiss = half.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(F.col("w"), 1, F.floor(F.size("w") / 2).cast("int")), " "),
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        (F.size("w") - F.floor(F.size("w") / 2)).cast("int"),
+                    ),
+                    lambda i: F.concat(
+                        F.lit("nm"), F.col("doc_id").cast("string"),
+                        F.lit("x"), i.cast("string"),
+                    ),
+                ),
+                " ",
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(nearmiss)
+    postings = llmops.shingle_postings(corpus, "doc_id").localCheckpoint(eager=True)
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(F.expr("div(1000000 * c, na + nb - c)").alias("j_micro"))
+        .filter(F.col("j_micro") >= 300000)
+    )
+    cfg = spark.createDataFrame([(2, 32), (4, 16), (8, 8), (16, 4)], "r int, b int")
+
+    M = F.lit(1000000).cast("long")
+
+    def truncmul(acc: F.Column, factor: F.Column) -> F.Column:
+        prod = acc * factor
+        return ((prod - prod % M) / M).cast("long")
+
+    x = F.aggregate(  # j^r in micro-units, per-step truncation
+        F.sequence(F.lit(1), F.col("r")), M,
+        lambda acc, _i: truncmul(acc, F.col("j_micro")),
+    )
+    scored = pairs.crossJoin(F.broadcast(cfg)).withColumn("x", x).withColumn(
+        "p_micro",
+        M - F.aggregate(
+            F.sequence(F.lit(1), F.col("b")), M,
+            lambda acc, _i: truncmul(acc, M - F.col("x")),
+        ),
+    )
+    true_p = F.col("j_micro") >= 500000
+    grouped = scored.groupBy("r", "b").agg(
+        F.sum(F.when(true_p, 1).otherwise(0)).cast("long").alias("n_true"),
+        F.sum(F.when(~true_p, 1).otherwise(0)).cast("long").alias("n_near"),
+        F.sum(F.when(true_p, F.col("p_micro")).otherwise(0))
+        .cast("long").alias("s_true"),
+        F.sum(F.when(~true_p, F.col("p_micro")).otherwise(0))
+        .cast("long").alias("s_near"),
+    )
+    return grouped.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("b").cast("long").alias("b"),
+        "n_true",
+        "n_near",
+        F.when(F.col("n_true") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("div(s_true, n_true)")).alias("mean_p_true_micro"),
+        F.when(F.col("n_near") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("div(s_near, n_near)")).alias("mean_p_near_micro"),
+    )
