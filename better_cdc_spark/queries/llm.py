@@ -12978,3 +12978,137 @@ def q96h_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_near") == 0, F.lit(None).cast("long"))
         .otherwise(F.expr("div(s_near, n_near)")).alias("mean_p_near_micro"),
     )
+
+
+@query(
+    "q94u_packing_efficiency",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id % 8 AS shard, doc_id,
+             len(text) - len(replace(text, ' ', '')) + 1 AS t
+      FROM documents
+    ),
+    cfg AS (SELECT * FROM (VALUES (512), (1024), (2048), (4096)) AS c(L)),
+    fitted AS (
+      SELECT cfg.L, toks.source, toks.shard, toks.doc_id, toks.t
+      FROM toks, cfg
+    ),
+    folded AS (
+      -- next-fit no-split packing as a single-BIGINT fold:
+      -- state = open_bins * 100000 + current_fill  (fill < 100000)
+      SELECT L, source, shard,
+             COUNT(*) AS n_docs_packed,
+             CAST(SUM(t) AS BIGINT) AS packed_tokens,
+             list_reduce(
+               list_prepend(100000::BIGINT, list(t::BIGINT ORDER BY doc_id)),
+               (s, t) -> CASE WHEN s % 100000 + t <= L THEN s + t
+                              ELSE s - (s % 100000) + 100000 + t END
+             ) // 100000 AS n_bins
+      FROM fitted WHERE t <= L
+      GROUP BY L, source, shard
+    ),
+    oversize AS (
+      SELECT L, CAST(COUNT(*) AS BIGINT) AS n_oversize
+      FROM fitted WHERE t > L GROUP BY L
+    )
+    SELECT CAST(f.L AS BIGINT) AS context_len,
+           CAST(SUM(f.n_bins) AS BIGINT) AS n_bins,
+           CAST(SUM(f.n_docs_packed) AS BIGINT) AS n_docs_packed,
+           CAST(SUM(f.packed_tokens) AS BIGINT) AS packed_tokens,
+           CAST((SUM(f.n_bins) * f.L - SUM(f.packed_tokens)) * 1000000
+                // (SUM(f.n_bins) * f.L) AS BIGINT) AS waste_micro,
+           COALESCE(MAX(o.n_oversize), 0) AS n_oversize
+    FROM folded f LEFT JOIN oversize o ON o.L = f.L
+    GROUP BY f.L
+    """,
+    tags=("llm", "packing", "export", "tuning"),
+)
+def q94u_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PACKING EFFICIENCY report — the context-length selection
+    artifact next to q95d (which ASSIGNS bins at a fixed length): for
+    each candidate context length (512/1024/2048/4096), run NO-SPLIT
+    next-fit packing and report bins, packed tokens, waste fraction,
+    and oversize-document counts — the table that decides an SFT
+    export's context length (pretraining splits documents, SFT must
+    not; waste is the price and this measures it).
+
+    The next-fit recurrence (cumsum-with-reset) is NOT window-
+    expressible, and that is the honest scale story: packing is
+    SHARD-LOCAL by design (q95d's note) — each (source, doc_id%8)
+    shard folds its own ordered token list in-row, state packed into
+    ONE BIGINT (open_bins·10^5 + current_fill), so the fold is a
+    list_reduce in DuckDB and the same seeded F.aggregate in Spark
+    over an order-pinned array (sort_array of (doc_id, t) structs —
+    collect_list alone has NO ordering guarantee). Group state is
+    shard-bounded, never corpus-bounded.
+
+    Scale shape: one corpus-scan token count, a 4-row broadcast config,
+    per-shard in-row folds, |L|x|source|x8-bounded aggs. At 100 TB the
+    shards are the export's real shards and the fold runs where the
+    data already sits — packing NEVER shuffles tokens, only counts.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "source",
+        (F.col("doc_id") % 8).alias("shard"),
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("t"),
+    )
+    cfg = spark.createDataFrame([(512,), (1024,), (2048,), (4096,)], "L long")
+    fitted = toks.crossJoin(F.broadcast(cfg))
+
+    K = F.lit(100000).cast("long")
+    folded = (
+        fitted.filter(F.col("t") <= F.col("L"))
+        .groupBy("L", "source", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_packed"),
+            F.sum("t").cast("long").alias("packed_tokens"),
+            F.sort_array(F.collect_list(F.struct("doc_id", "t"))).alias("seq"),
+            F.first("L").alias("_L"),
+        )
+        .withColumn(
+            "pack_state",
+            F.aggregate(
+                F.col("seq"),
+                K,  # one open empty bin
+                lambda s, d: F.when(
+                    s % K + d["t"] <= F.col("L"), s + d["t"]
+                ).otherwise(s - (s % K) + K + d["t"]),
+            ),
+        )
+        .withColumn(
+            "n_bins",
+            ((F.col("pack_state") - F.col("pack_state") % K) / K).cast("long"),
+        )
+    )
+    oversize = (
+        fitted.filter(F.col("t") > F.col("L"))
+        .groupBy("L")
+        .agg(F.count("*").cast("long").alias("n_oversize"))
+    )
+    agg = folded.groupBy("L").agg(
+        F.sum("n_bins").cast("long").alias("n_bins"),
+        F.sum("n_docs_packed").cast("long").alias("n_docs_packed"),
+        F.sum("packed_tokens").cast("long").alias("packed_tokens"),
+    )
+    return (
+        agg.join(oversize, "L", "left")
+        .select(
+            F.col("L").alias("context_len"),
+            "n_bins",
+            "n_docs_packed",
+            "packed_tokens",
+            F.expr(
+                "CAST(div((n_bins * L - packed_tokens) * 1000000,"
+                " n_bins * L) AS BIGINT)"
+            ).alias("waste_micro"),
+            F.coalesce(F.col("n_oversize"), F.lit(0).cast("long"))
+            .alias("n_oversize"),
+        )
+    )
