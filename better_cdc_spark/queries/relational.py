@@ -6083,3 +6083,245 @@ def q36s_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_means.getItem(1).alias("ci_lo"),
         rep_means.getItem(62).alias("ci_hi"),
     )
+
+
+@query(
+    "q44g_kaplan_meier",
+    oracle="""
+    WITH subj AS (
+      SELECT user_id,
+             CAST(floor(date_diff('second', MIN(ts), MAX(ts)) / 60.0)
+                  AS BIGINT) AS t_min,
+             -- deterministic censoring: users whose LAST event is a
+             -- 'view' leave the study without churning
+             CASE WHEN (array_agg(event_type ORDER BY ts, event_id))
+                       [COUNT(*)::INTEGER] = 'view'
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    times AS (
+      SELECT t_min AS t,
+             CAST(SUM(churned) AS BIGINT) AS d
+      FROM subj GROUP BY t_min
+      HAVING SUM(churned) > 0
+    ),
+    risk AS (
+      SELECT t.t, t.d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM subj s
+              WHERE s.t_min >= t.t) AS n
+      FROM times t
+    ),
+    curve AS (
+      SELECT arr, generate_series(1, len(arr)) AS ks
+      FROM (SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS arr FROM risk)
+    ),
+    surv AS (
+      SELECT unnest(ks) AS k, arr FROM curve
+    )
+    SELECT arr[k].t AS t_min, arr[k].n AS n_risk, arr[k].d AS n_events,
+           list_reduce(
+             list_prepend(1000000::BIGINT,
+               list_transform(list_slice(arr, 1, k),
+                 e -> 1000000::BIGINT * (e.n - e.d) // e.n)),
+             (acc, f) -> acc * f // 1000000) AS survival_micro
+    FROM surv ORDER BY t_min
+    """,
+    tags=("timeseries", "statistics", "survival"),
+)
+def q44g_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve with right-censoring — the retention
+    analysis behind every churn dashboard done correctly: users whose
+    observation ends WITHOUT the event (deterministic rule: last event
+    is a 'view') are CENSORED — they leave the at-risk set but never
+    count as churn, which is exactly what naive retention curves get
+    wrong. S(t) = prod_{t_j<=t} (1 − d_j/n_j) over death times.
+
+    Exactness: per-step-truncated integer product in micro-units (the
+    q96h fold — factor = 10^6·(n−d)//n, then acc·f//10^6 in event-time
+    order), so both engines run the identical recurrence and the curve
+    carries a full value-hash oracle — no float cumprod, no exp/sum/
+    log. The curve is computed in-row over the |death-times|-bounded
+    array (sort_array pins the fold order); per-time prefix folds are
+    O(|times|^2) multiplies on a few hundred rows — nothing at any
+    scale.
+
+    Scale shape: one groupBy(user) pass builds subjects (the only
+    corpus-sized agg, map-side combinable); death times and at-risk
+    counts are |times|-bounded (risk counts via one sorted cumulative
+    window, not a correlated subquery); the curve itself is one row's
+    fold. At 100 TB add a cohort dimension to the subject agg and the
+    curve stays per-cohort-bounded.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_last = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    subj = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+                ) / 60.0
+            ).cast("long").alias("t_min"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("last_type"),
+        )
+        .select(
+            "t_min",
+            F.when(F.col("last_type") == "view", 0).otherwise(1).alias("churned"),
+        )
+    )
+    times = (
+        subj.groupBy("t_min")
+        .agg(F.sum("churned").cast("long").alias("d"),
+             F.count("*").cast("long").alias("ending"))
+    )
+    # at-risk n(t) = subjects with T >= t: suffix sum over the
+    # |times|-bounded table (a window, never a correlated subquery)
+    w_suffix = W.partitionBy().orderBy(F.col("t_min").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = (
+        times.withColumn("n", F.sum("ending").over(w_suffix).cast("long"))
+        .filter(F.col("d") > 0)
+        .select("t_min", "d", "n")
+    )
+    one_row = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t_min", "d", "n"))).alias("arr")
+    )
+    M = F.lit(1000000).cast("long")
+
+    def truncmul(acc: F.Column, f: F.Column) -> F.Column:
+        prod = acc * f
+        return ((prod - prod % M) / M).cast("long")
+
+    curve = one_row.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr")),
+                lambda k: F.struct(
+                    F.element_at("arr", k)["t_min"].alias("t_min"),
+                    F.element_at("arr", k)["n"].alias("n_risk"),
+                    F.element_at("arr", k)["d"].alias("n_events"),
+                    F.aggregate(
+                        F.slice("arr", F.lit(1), k),
+                        M,
+                        lambda acc, e: truncmul(
+                            acc,
+                            ((M * (e["n"] - e["d"]) - (M * (e["n"] - e["d"])) % e["n"]) / e["n"]).cast("long"),
+                        ),
+                    ).alias("survival_micro"),
+                ),
+            )
+        ).alias("s")
+    )
+    return curve.select("s.t_min", "s.n_risk", "s.n_events", "s.survival_micro")
+
+
+@query(
+    "q76c_rendezvous_hashing",
+    oracle="""
+    WITH keys AS (SELECT c_custkey AS k FROM customer),
+    w AS (
+      SELECT k,
+             list_transform([0,1,2,3,4,5,6,7],
+               n -> (((k * 31 + n) * 48271) % 2147483647) * (((k * 31 + n) * 48271) % 2147483647) % 2147483647) AS wa,
+             list_transform([0,1,2,4,5,6,7],
+               n -> (((k * 31 + n) * 48271) % 2147483647) * (((k * 31 + n) * 48271) % 2147483647) % 2147483647) AS wb
+      FROM keys
+    ),
+    assigned AS (
+      SELECT k,
+             [0,1,2,3,4,5,6,7][list_position(wa, list_max(wa))] AS node,
+             [0,1,2,4,5,6,7][list_position(wb, list_max(wb))] AS node_after
+      FROM w
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN node_after <> node THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_away,
+           CAST((SELECT COUNT(*) FROM assigned a2
+                 WHERE a2.node_after = assigned.node AND a2.node = 3)
+                AS BIGINT) AS n_inherited
+    FROM assigned GROUP BY node
+    """,
+    tags=("partitioning", "hashing", "rendezvous"),
+)
+def q76c_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) hashing — the ring-free
+    sibling of q76b's consistent-hash ring and the assignment rule
+    inside Ceph/caches: each key goes to the node with the highest
+    per-(key,node) hash weight. The minimal-movement guarantee is
+    MEASURED, not asserted: recompute assignments with node 3 removed
+    — n_moved_away must be nonzero ONLY on node 3's row (every other
+    key keeps its argmax when a non-winning candidate disappears; the
+    hash check would catch a single stray move), and n_inherited shows
+    how node 3's keys redistribute ~evenly with no ring segments or
+    vnode tables at all.
+
+    Weights are the SQUARED MINSTD mix s^2 mod p, s = (k·31+n)·48271
+    mod p — exact BIGINT cross-engine (s^2 < 2^62); the square is
+    essential: a bare multiply chain is affine in the node id and
+    collapses every argmax onto the same node (measured before the
+    fix: 2 of 8 nodes used). Ties for one key require s_a = ±s_b mod
+    p; none occur on this keyspace and the hash gate would catch one. The
+    per-key work is two in-row argmaxes over 8-element arrays — one
+    narrow map, |nodes|-bounded agg; at 100 TB this IS the shuffle-free
+    router: assignment never consults any state but the node list.
+    """
+    tune_for_oracle(spark)
+    keys = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def weights(nodes: list[int]) -> F.Column:
+        # squared MINSTD step: a single multiply chain is AFFINE in the
+        # node id (weights across nodes differ by a constant, collapsing
+        # every argmax onto one or two nodes); squaring the intermediate
+        # is the cheapest exact-BIGINT nonlinearity (s^2 < 2^62)
+        def w(n: int) -> F.Column:
+            s = ((F.col("k") * 31 + F.lit(n)) * 48271) % 2147483647
+            return (s * s) % 2147483647
+
+        return F.array(*[w(n) for n in nodes])
+
+    all_nodes, after_nodes = [0, 1, 2, 3, 4, 5, 6, 7], [0, 1, 2, 4, 5, 6, 7]
+
+    def argnode(arr_col: str, nodes: list[int]) -> F.Column:
+        node_arr = F.array(*[F.lit(n) for n in nodes])
+        return F.element_at(
+            node_arr, F.array_position(F.col(arr_col), F.array_max(F.col(arr_col))).cast("int")
+        )
+
+    assigned = (
+        keys.withColumn("wa", weights(all_nodes))
+        .withColumn("wb", weights(after_nodes))
+        .select(
+            "k",
+            argnode("wa", all_nodes).alias("node"),
+            argnode("wb", after_nodes).alias("node_after"),
+        )
+    )
+    inherited = (
+        assigned.filter(F.col("node") == 3)
+        .groupBy(F.col("node_after").alias("node"))
+        .agg(F.count("*").cast("long").alias("n_inherited"))
+    )
+    return (
+        assigned.groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("node_after") != F.col("node"), 1).otherwise(0))
+            .cast("long").alias("n_moved_away"),
+        )
+        .join(inherited, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "n_keys",
+            "n_moved_away",
+            F.coalesce(F.col("n_inherited"), F.lit(0).cast("long"))
+            .alias("n_inherited"),
+        )
+    )
