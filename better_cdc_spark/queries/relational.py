@@ -6325,3 +6325,148 @@ def q76c_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_inherited"),
         )
     )
+
+
+@query(
+    "q42i_ewma_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS m_milli
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(m_milli) // COUNT(*) AS BIGINT) AS target,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    vars AS (
+      SELECT d.event_type,
+             CAST(SUM((d.m_milli - s.target) * (d.m_milli - s.target))
+                  // s.n_days AS BIGINT) AS var_milli2
+      FROM daily d JOIN stats s USING (event_type)
+      GROUP BY d.event_type, s.n_days
+    ),
+    series AS (
+      SELECT d.event_type, s.target, v.var_milli2,
+             list(struct_pack(day := d.day, m := d.m_milli)
+                  ORDER BY d.day) AS arr
+      FROM daily d
+      JOIN stats s USING (event_type)
+      JOIN vars v ON v.event_type = d.event_type
+      GROUP BY d.event_type, s.target, v.var_milli2
+    ),
+    idx AS (
+      SELECT event_type, target, var_milli2, arr,
+             unnest(generate_series(1, len(arr))) AS k
+      FROM series
+    )
+    SELECT event_type, arr[k].day AS day, arr[k].m AS day_mean_milli,
+           list_reduce(
+             list_prepend(target,
+               list_transform(list_slice(arr, 1, k), e -> e.m)),
+             (z, x) -> (200000 * x + 800000 * z) // 1000000) AS ewma_milli,
+           (list_reduce(
+              list_prepend(target,
+                list_transform(list_slice(arr, 1, k), e -> e.m)),
+              (z, x) -> (200000 * x + 800000 * z) // 1000000) - target)
+           * (list_reduce(
+                list_prepend(target,
+                  list_transform(list_slice(arr, 1, k), e -> e.m)),
+                (z, x) -> (200000 * x + 800000 * z) // 1000000) - target)
+             > var_milli2 AS out_of_control
+    FROM idx ORDER BY event_type, day
+    """,
+    tags=("timeseries", "monitoring", "ewma", "control"),
+)
+def q42i_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA CONTROL CHART — the drift-sensitive monitoring chart next
+    to q42f's CUSUM (CUSUM localizes a single mean shift; EWMA flags
+    sustained small drifts online): z_t = λ·x_t + (1−λ)·z_{t−1} over
+    per-(event_type, day) means, flagged when z escapes the 3σ_z band.
+    λ = 0.2 is chosen to make the chart TRANSCENDENTAL-FREE: the EWMA
+    asymptotic variance is σ²·λ/(2−λ) = σ²/9 exactly, so the 3σ_z
+    limit is ±σ and the flag is the pure integer comparison
+    (z − target)² > σ² — no sqrt ever (the q36o rule).
+
+    The recurrence is the q44g prefix-fold: per-series ordered day
+    arrays (|days|-bounded), z in milli-units with shared truncated
+    integer steps (200000·x + 800000·z)//10^6, re-derived per point —
+    O(|days|²) integer ops on bounded rows. One corpus pass builds the
+    daily means (map-side combinable); targets/variances are
+    |series|-bounded joins.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(div(sum(CAST(round(CAST(value AS DOUBLE) * 1000, 0)"
+                " AS BIGINT)), count(*)) AS BIGINT)"
+            ).alias("m_milli")
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("CAST(div(sum(m_milli), count(*)) AS BIGINT)").alias("target"),
+        F.count("*").alias("n_days"),
+    )
+    vars_ = (
+        daily.join(stats, "event_type")
+        .groupBy("event_type", "n_days")
+        .agg(
+            F.expr(
+                "CAST(div(sum((m_milli - target) * (m_milli - target)),"
+                " n_days) AS BIGINT)"
+            ).alias("var_milli2")
+        )
+        .drop("n_days")
+    )
+    series = (
+        daily.join(stats.select("event_type", "target"), "event_type")
+        .join(vars_, "event_type")
+        .groupBy("event_type", "target", "var_milli2")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "m_milli"))).alias("arr"))
+    )
+
+    def ewma_at(k: F.Column) -> F.Column:
+        return F.aggregate(
+            F.slice("arr", F.lit(1), k),
+            F.col("target"),
+            lambda z, e: (
+                (
+                    (200000 * e["m_milli"] + 800000 * z)
+                    - (200000 * e["m_milli"] + 800000 * z) % F.lit(1000000)
+                )
+                / 1000000
+            ).cast("long"),
+        )
+
+    curve = series.select(
+        "event_type",
+        "target",
+        "var_milli2",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr")),
+                lambda k: F.struct(
+                    F.element_at("arr", k)["day"].alias("day"),
+                    F.element_at("arr", k)["m_milli"].alias("day_mean_milli"),
+                    ewma_at(k).alias("ewma_milli"),
+                ),
+            )
+        ).alias("s"),
+    )
+    return curve.select(
+        "event_type",
+        "s.day",
+        "s.day_mean_milli",
+        "s.ewma_milli",
+        (
+            (F.col("s.ewma_milli") - F.col("target"))
+            * (F.col("s.ewma_milli") - F.col("target"))
+            > F.col("var_milli2")
+        ).alias("out_of_control"),
+    )
