@@ -113,6 +113,11 @@ SHOWCASE_ORDER = (
     "q94s_license_filter",
     "qc32_transactional_outbox",
     "q36s_poisson_bootstrap_ci",
+    "q44g_kaplan_meier",
+    "q76c_rendezvous_hashing",
+    "q42i_ewma_control_chart",
+    "q96h_lsh_tuning_curve",
+    "q94u_packing_efficiency",
     "q61_intersect",
     "q62_except",
     "q70_string_functions",
@@ -120,11 +125,6 @@ SHOWCASE_ORDER = (
     "q72_math_functions",
     "q73_array_functions",
     "q74_map_functions",
-    "q75_json_functions",
-    "qc02_typed_projection",
-    "qc03_dlq_routing",
-    "qc05_merge_apply",
-    "qc04_event_id_invariants",
 )
 
 def load_all() -> dict[str, QuerySpec]:
