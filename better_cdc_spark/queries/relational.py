@@ -6470,3 +6470,187 @@ def q42i_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("var_milli2")
         ).alias("out_of_control"),
     )
+
+
+@query(
+    "q46f_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT monetary_cents,
+             NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(monetary_cents) AS DOUBLE) / COUNT(*) / 100, 6)
+             AS avg_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "segmentation", "window"),
+)
+def q46f_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic recency/frequency/monetary customer
+    scoring (quintile rank each axis, report the 125-cell segment grid).
+    Complements the cohort/stickiness family (q46*): those measure
+    engagement over time, RFM ranks the CURRENT customer base for
+    activation targeting.
+
+    Determinism: monetary folds to integer CENTS before summing
+    (order-independent BIGINT), and every NTILE carries the
+    o_custkey tiebreak (the module-header window rule) — both engines
+    fill remainder buckets front-first, so quintile edges agree
+    exactly. Global-max recency anchor is a 1-row broadcast, never a
+    driver collect.
+
+    Scale shape: the windows run over the CUSTOMER AGGREGATE, not the
+    order fact — at 100 TB the fact table folds map-side to one row
+    per customer first, and the three partition-free NTILEs sort the
+    dim (1500 rows at sf0.01; ~10M at production — a single-stage
+    sort on a dim, not a fact shuffle). If even the dim outgrows one
+    stage, the rank-based bucketing swaps for approx-quantile edges;
+    the exact-NTILE form here is the oracle-checkable contract.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    cust = cust.join(F.broadcast(gmax)).withColumn(
+        "recency_days", F.datediff("gmax", "last_order")
+    )
+    scored = cust.select(
+        "monetary_cents",
+        F.ntile(5)
+        .over(W.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(
+            F.sum("monetary_cents").cast("double") / F.count("*") / 100, 6
+        ).alias("avg_monetary"),
+    ).select(
+        F.col("r_score").cast("long"),
+        F.col("f_score").cast("long"),
+        F.col("m_score").cast("long"),
+        "n_customers",
+        "avg_monetary",
+    )
+
+
+@query(
+    "q47e_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+    brand_cnt AS (SELECT brand, COUNT(*) AS cnt FROM baskets GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS co_cnt
+      FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(co_cnt AS BIGINT) AS co_cnt,
+           round(CAST(co_cnt AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(co_cnt AS DOUBLE) / ca.cnt, 6) AS confidence_a_to_b,
+           round(CAST(co_cnt AS DOUBLE) * n.n_orders
+                 / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 6) AS lift
+    FROM pairs
+    JOIN brand_cnt ca ON ca.brand = brand_a
+    JOIN brand_cnt cb ON cb.brand = brand_b, n
+    WHERE co_cnt >= 5
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+    """,
+    tags=("analytics", "association", "join"),
+)
+def q47e_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET ASSOCIATION RULES — support / confidence / lift over
+    brand co-occurrence within an order (Apriori's scoring layer at the
+    pair level). The path/funnel family (q47*) mines event SEQUENCES;
+    this mines unordered co-purchase structure.
+
+    Determinism: every ratio divides BIGINT-derived doubles in a fixed
+    order (CAST each factor before multiplying — the DuckDB
+    FLOAT*FLOAT trap), ranking is on the rounded lift with the
+    (brand_a, brand_b) lexical tiebreak, so the top-20 cut is
+    identical cross-engine.
+
+    Scale shape: pair generation is a SELF-JOIN ON THE ORDER KEY —
+    both sides shuffle-partition by okey, so co-candidates meet
+    co-located and the fanout per order is bounded by basket size
+    (choose-2 of ~4 brands/order), never all-brand-pairs x orders.
+    The brand dim (25 rows) and the n_orders scalar broadcast. At
+    100 TB this is one fact shuffle + two broadcast joins; a min-
+    support pre-filter on brand_cnt would prune the candidate space
+    further (Apriori's monotonicity), noted but unnecessary at 25
+    brands.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = baskets.select(F.countDistinct("okey").alias("n_orders"))
+    brand_cnt = baskets.groupBy("brand").agg(F.count("*").alias("cnt"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("co_cnt"))
+        .filter(F.col("co_cnt") >= 5)
+    )
+    ca = brand_cnt.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    cb = brand_cnt.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("co_cnt").cast("long").alias("co_cnt"),
+            F.round(F.col("co_cnt").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("co_cnt").cast("double") / F.col("cnt_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("co_cnt").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "brand_a", "brand_b").limit(20)
