@@ -6654,3 +6654,226 @@ def q47e_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), "brand_a", "brand_b").limit(20)
+
+
+@query(
+    "q36t_mann_whitney_u",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+             CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), pv AS (
+      SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cb
+      FROM ev GROUP BY v
+    ), cum AS (
+      SELECT ca, cb,
+             CAST(COALESCE(SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cb_below
+      FROM pv
+    ), s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2,
+             CAST(SUM(ca * (2 * cb_below + cb)) AS BIGINT) AS u2,
+             CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+               AS tsum
+      FROM cum
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           CAST(u2 AS DOUBLE) / 2 AS u_stat,
+           CAST(n1 * n2 AS DOUBLE) / 2 AS mu,
+           round(sqrt(CAST(n1 * n2 AS DOUBLE)
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(tsum AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) / 12), 6)
+             AS sigma,
+           round((CAST(u2 AS DOUBLE) / 2 - CAST(n1 * n2 AS DOUBLE) / 2)
+                 / sqrt(CAST(n1 * n2 AS DOUBLE)
+                   * (CAST(n1 + n2 + 1 AS DOUBLE)
+                      - CAST(tsum AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) / 12), 6)
+             AS z_score
+    FROM s
+    """,
+    tags=("agg", "statistics", "hypothesis-test"),
+)
+def q36t_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test (purchase vs view event values) — the
+    nonparametric complement to q36j's Welch t-test: no normality
+    assumption, tie-corrected normal approximation.
+
+    The textbook form ranks ALL N rows — a total sort. This plan uses
+    the value-aggregated identity instead: U_A counts pairs (a, b)
+    with a > b plus half the ties, so after grouping to per-distinct-
+    value counts (ca, cb), U_A = sum(ca * (cb_below + cb_at/2)) — kept
+    in HALF-UNITS (u2 = 2U) so every term is exact BIGINT. The tie
+    correction sum((t^3 - t)) falls out of the same aggregate. The
+    only window runs over the DISTINCT-VALUE frame (3.3k rows here;
+    bounded by value cardinality, not corpus size at 100 TB), then one
+    global fold. Variance assembles from BIGINT pieces in one pinned
+    double expression (products cast-before-multiply to dodge both
+    engines' 64-bit overflow); sqrt is IEEE-exact, z rounded at 6dp.
+    """
+    tune_for_oracle(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+            F.round(F.col("value").cast("double") * 1000, 0).cast("long").alias("v"),
+        )
+    )
+    pv = ev.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = pv.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("long").alias("cb_below"),
+    )
+    t = F.col("ca") + F.col("cb")
+    s = cum.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("cb").cast("long").alias("n2"),
+        F.sum(F.col("ca") * (2 * F.col("cb_below") + F.col("cb")))
+        .cast("long")
+        .alias("u2"),
+        F.sum(t * t * t - t).cast("long").alias("tsum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    var = (
+        (F.col("n1") * F.col("n2")).cast("double")
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("tsum").cast("double") / (nd * (F.col("n1") + F.col("n2") - 1))
+        )
+        / 12
+    )
+    u = F.col("u2").cast("double") / 2
+    mu = (F.col("n1") * F.col("n2")).cast("double") / 2
+    return s.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        u.alias("u_stat"),
+        mu.alias("mu"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round((u - mu) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+@query(
+    "q36u_spearman_rho",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ), xr AS (
+      SELECT rf, x, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COALESCE(SUM(COUNT(*)) OVER (PARTITION BY rf ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS below
+      FROM li GROUP BY rf, x
+    ), yr AS (
+      SELECT rf, y, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COALESCE(SUM(COUNT(*)) OVER (PARTITION BY rf ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS below
+      FROM li GROUP BY rf, y
+    ), ranked AS (
+      SELECT li.rf,
+             2 * xr.below + xr.c + 1 AS rx2,
+             2 * yr.below + yr.c + 1 AS ry2
+      FROM li
+      JOIN xr ON xr.rf = li.rf AND xr.x = li.x
+      JOIN yr ON yr.rf = li.rf AND yr.y = li.y
+    ), m AS (
+      SELECT rf, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+             CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+             CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+      FROM ranked GROUP BY rf
+    )
+    SELECT rf AS returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM m ORDER BY returnflag
+    """,
+    tags=("agg", "statistics", "correlation"),
+)
+def q36u_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION per return flag (quantity vs extended
+    price) — the rank-based robust counterpart to Pearson, computed as
+    Pearson on tie-averaged ranks.
+
+    Ranks never sort the fact table: a row's tie-averaged rank depends
+    only on its VALUE, so ranks compute on the per-(group, value)
+    aggregate (cumsum window over the distinct-value frame) and JOIN
+    BACK to rows — the q36t move, applied twice. Ranks are carried in
+    DOUBLED units (2*avg_rank = 2*cnt_below + cnt_at + 1) so every
+    moment (sum, sum of squares, cross product) is exact BIGINT — a
+    per-row product tops out at 4n^2 ~ 1.6e11 at sf0.1, far inside
+    64-bit. The rho assembly casts each factor to DOUBLE before
+    multiplying (n*sxy overflows BIGINT at sf0.1) in one pinned
+    expression order, so both engines round identically; Pearson-on-
+    ranks is invariant under the x -> 2x rank transform.
+
+    100 TB: the value-frame windows are per-group single-stage scans —
+    fine while distinct values per group stay in the millions; past
+    that the cumsum swaps for the two-level partial+offset scan. The
+    join-back shuffles on (group, value), co-partitioned with the
+    aggregate that produced the frame.
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+
+    def rank_frame(col: str):
+        w = W.partitionBy("rf").orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return (
+            li.groupBy("rf", col)
+            .agg(F.count("*").cast("long").alias("c"))
+            .select(
+                "rf",
+                col,
+                "c",
+                F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("below"),
+            )
+            .select(
+                "rf", col, (2 * F.col("below") + F.col("c") + 1).alias(f"r{col}2")
+            )
+        )
+
+    ranked = li.join(rank_frame("x"), ["rf", "x"]).join(rank_frame("y"), ["rf", "y"])
+    m = ranked.groupBy("rf").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return m.select(
+        F.col("rf").alias("returnflag"), "n", F.round(num / den, 6).alias("spearman_rho")
+    ).orderBy("returnflag")
