@@ -6877,3 +6877,214 @@ def q36u_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("rf").alias("returnflag"), "n", F.round(num / den, 6).alias("spearman_rho")
     ).orderBy("returnflag")
+
+
+@query(
+    "q53e_theil_sen_slope",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ), p AS (
+      SELECT a.mi AS i, b.mi AS j,
+             (CAST(b.rev AS DOUBLE) - a.rev) / (b.mi - a.mi) AS slope
+      FROM m a JOIN m b ON b.mi > a.mi
+    ), r AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rk,
+             COUNT(*) OVER () AS cnt
+      FROM p
+    ), ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(mi) AS BIGINT) AS sm,
+             CAST(SUM(rev) AS BIGINT) AS sr,
+             CAST(SUM(mi * rev) AS BIGINT) AS smr,
+             CAST(SUM(mi * mi) AS BIGINT) AS smm
+      FROM m
+    )
+    SELECT ols.n AS n_months,
+           CAST(MAX(r.cnt) AS BIGINT) AS n_pairs,
+           round((MAX(CASE WHEN rk = (cnt + 1) // 2 THEN slope END)
+                  + MAX(CASE WHEN rk = (cnt + 2) // 2 THEN slope END)) / 2, 6)
+             AS theil_sen_slope,
+           round((CAST(ols.n AS DOUBLE) * ols.smr
+                  - CAST(ols.sm AS DOUBLE) * ols.sr)
+                 / (CAST(ols.n AS DOUBLE) * ols.smm
+                    - CAST(ols.sm AS DOUBLE) * ols.sm), 6) AS ols_slope
+    FROM r, ols GROUP BY ols.n, ols.sm, ols.sr, ols.smr, ols.smm
+    """,
+    tags=("agg", "statistics", "robust", "timeseries"),
+)
+def q53e_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST SLOPE of the monthly revenue trend — median of all
+    pairwise slopes (breakdown point 29%), reported next to the OLS
+    slope so the gap reads as outlier pressure.
+
+    The O(n^2) pair join runs on the MONTH AGGREGATE (80 points ->
+    3160 pairs), never the order fact: at 100 TB the fact folds
+    map-side to one BIGINT cents row per month first, and the pair
+    frame stays tiny for any calendar-bounded series. Slopes divide
+    exact BIGINTs (deterministic doubles); the median is explicit
+    discrete order statistics (ranks (n+1)//2 and (n+2)//2, slope +
+    (i, j) tiebreak — the q36n convention, never interpolated
+    quantiles). OLS assembles from exact BIGINT moments in one pinned
+    double expression.
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    p = a.join(F.broadcast(b), F.col("b.mi") > F.col("a.mi")).select(
+        F.col("a.mi").alias("i"),
+        F.col("b.mi").alias("j"),
+        (
+            (F.col("b.rev").cast("double") - F.col("a.rev"))
+            / (F.col("b.mi") - F.col("a.mi"))
+        ).alias("slope"),
+    )
+    r = p.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope", "i", "j")).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("cnt"),
+    )
+    ols = m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mi").cast("long").alias("sm"),
+        F.sum("rev").cast("long").alias("sr"),
+        F.sum(F.col("mi") * F.col("rev")).cast("long").alias("smr"),
+        F.sum(F.col("mi") * F.col("mi")).cast("long").alias("smm"),
+    )
+    lo = F.expr("(cnt + 1) div 2")
+    hi = F.expr("(cnt + 2) div 2")
+    med = r.agg(
+        F.max(F.col("cnt")).cast("long").alias("n_pairs"),
+        F.round(
+            (
+                F.max(F.when(F.col("rk") == lo, F.col("slope")))
+                + F.max(F.when(F.col("rk") == hi, F.col("slope")))
+            )
+            / 2,
+            6,
+        ).alias("theil_sen_slope"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return med.join(F.broadcast(ols)).select(
+        F.col("n").alias("n_months"),
+        "n_pairs",
+        "theil_sen_slope",
+        F.round(
+            (d("n") * F.col("smr") - d("sm") * F.col("sr"))
+            / (d("n") * F.col("smm") - d("sm") * F.col("sm")),
+            6,
+        ).alias("ols_slope"),
+    )
+
+
+@query(
+    "q42j_holt_linear_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 1000 AS y
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, array_agg(y ORDER BY day) AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ), folded AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_concat([[ys[1], ys[2] - ys[1]]],
+                           list_transform(list_slice(ys, 2, length(ys)),
+                                          t -> [t, 0.0])),
+               (acc, x) -> [(x[1] + acc[1] + acc[2]) / 2,
+                            ((x[1] + acc[1] + acc[2]) / 2 - acc[1]
+                             + 3 * acc[2]) / 4]) AS st
+      FROM series
+    )
+    SELECT event_type, n_days,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_next
+    FROM folded ORDER BY event_type
+    """,
+    tags=("timeseries", "smoothing", "fold"),
+)
+def q42j_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND double exponential smoothing per event type
+    (alpha=1/2, beta=1/4) over the daily mean-value series — the trend-
+    aware upgrade of q42d's EWMA; forecast_next = level + trend is the
+    one-step-ahead prediction a capacity planner reads.
+
+    The recurrence is inherently sequential PER KEY, so it runs as an
+    in-row fold over the collected per-key day series (F.aggregate /
+    seeded list_reduce — the q96h/q42g integer-recurrence discipline,
+    here on doubles): both engines execute the IDENTICAL left-fold op
+    sequence on identical inputs (daily means divide a BIGINT milli
+    sum by a count), so every IEEE intermediate matches bit-for-bit —
+    alpha/beta are dyadic so each step is two exact halvings plus one
+    quartering. Seed (l, b) = (y_1, y_2 - y_1) rides as the fold's
+    first element (DuckDB's list_reduce has no init parameter).
+
+    100 TB: state is 2 doubles per key and the series collects AFTER
+    a (key, day) pre-aggregation — array length is calendar-bounded
+    (365/yr), not row-bounded; keys distribute freely. The streaming
+    twin would carry (l, b) in applyInPandasWithState; this batch form
+    is the oracle-checkable contract.
+    """
+    tune_for_oracle(spark)
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("value").cast("double") * 1000, 0).cast("long")
+                ).cast("double")
+                / F.count("*")
+                / 1000
+            ).alias("y")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    init = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+    )
+    folded = series.select(
+        "event_type",
+        "n_days",
+        F.aggregate(
+            F.slice(F.col("ys"), 2, F.size("ys") - 1),
+            init,
+            lambda acc, x: F.struct(
+                ((x + acc["l"] + acc["b"]) / 2).alias("l"),
+                (((x + acc["l"] + acc["b"]) / 2 - acc["l"] + 3 * acc["b"]) / 4).alias(
+                    "b"
+                ),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_next"),
+    ).orderBy("event_type")
