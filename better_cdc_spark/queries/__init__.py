@@ -118,13 +118,13 @@ SHOWCASE_ORDER = (
     "q42i_ewma_control_chart",
     "q96h_lsh_tuning_curve",
     "q94u_packing_efficiency",
+    "q46f_rfm_segmentation",
+    "q47e_market_basket",
+    "q36t_mann_whitney_u",
+    "q36u_spearman_rho",
+    "q53e_theil_sen_slope",
+    "q42j_holt_linear_trend",
     "q61_intersect",
-    "q62_except",
-    "q70_string_functions",
-    "q71_datetime_functions",
-    "q72_math_functions",
-    "q73_array_functions",
-    "q74_map_functions",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -904,3 +904,46 @@ def test_runtime_bloom_filter_prunes_fact_side_of_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_r9_stats_additions_stay_jvm_side(spark):
+    """The six round-9 closing additions (RFM, basket rules, MW-U,
+    Spearman, Theil-Sen, Holt) are pure built-in-function plans: no
+    Python eval anywhere, and no cartesian product — every unkeyed
+    join is a bounded broadcast (1-row scalar or the month/brand
+    aggregate)."""
+    for name in (
+        "q46f_rfm_segmentation",
+        "q47e_market_basket",
+        "q36t_mann_whitney_u",
+        "q36u_spearman_rho",
+        "q53e_theil_sen_slope",
+        "q42j_holt_linear_trend",
+    ):
+        plan = plan_of(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q47e_pair_join_is_keyed_on_order(spark):
+    """Market-basket pair generation must be an equi-join on the order
+    key (co-partitioned at scale; AQE broadcasts it at sf0.001 —
+    either way a KEYED hash/merge join) — never an all-brand-pairs
+    product. The only unkeyed join allowed is the 1-row n_orders
+    scalar broadcast."""
+    plan = plan_of(spark, "q47e_market_basket")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # n_orders scalar only
+    assert plan.count("Join") - plan.count("BroadcastNestedLoopJoin") >= 4
+    # keyed joins: part dim + pair self-join + ca + cb
+
+
+def test_q36u_ranks_join_back_not_fact_sort(spark):
+    """Spearman's ranks come from the distinct-value frame joined back
+    to rows — the plan must contain keyed join-backs only (no unkeyed
+    join at all) and the value-frame cumsum windows."""
+    plan = plan_of(spark, "q36u_spearman_rho")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") >= 2  # x-rank and y-rank join-backs
+    assert "Window" in plan  # the value-frame cumsums

