@@ -124,7 +124,7 @@ SHOWCASE_ORDER = (
     "q36u_spearman_rho",
     "q53e_theil_sen_slope",
     "q42j_holt_linear_trend",
-    "q61_intersect",
+    "q44h_nelson_aalen",
 )
 
 def load_all() -> dict[str, QuerySpec]:

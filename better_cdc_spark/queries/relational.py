@@ -7088,3 +7088,170 @@ def q42j_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.b"), 6).alias("trend"),
         F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+@query(
+    "q44h_nelson_aalen",
+    oracle="""
+    WITH subj AS (
+      SELECT CAST(floor(date_diff('second', MIN(ts), MAX(ts)) / 60.0)
+                  AS BIGINT) AS t_min,
+             CASE WHEN (array_agg(event_type ORDER BY ts, event_id))
+                       [COUNT(*)::INTEGER] = 'view'
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    times AS (
+      SELECT t_min AS t, CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS ending
+      FROM subj GROUP BY t_min
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(ending) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n
+      FROM times
+    )
+    SELECT t AS t_min, n AS n_risk, d AS n_events,
+           CAST(SUM(1000000 * d // n) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS hazard_micro
+    FROM risk WHERE d > 0 ORDER BY t_min
+    """,
+    tags=("timeseries", "statistics", "survival"),
+)
+def q44h_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard — the additive companion to
+    q44g's Kaplan-Meier product curve, on the SAME right-censored
+    cohort (identical subject/censoring derivation): H(t) =
+    sum_{t_j <= t} d_j / n_j. Where KM answers "what fraction
+    survives", the hazard slope answers "is churn risk accelerating",
+    and because it is a SUM, no fold is needed at all.
+
+    Exactness: each increment is the truncated integer 10^6*d // n;
+    the curve is one ordered cumsum window over the |death-times|-
+    bounded risk frame — additivity makes this strictly simpler than
+    KM's per-step-truncated product. At-risk counts come from the
+    suffix-sum window (never a correlated subquery). Same 100 TB
+    shape as q44g: one map-side-combinable groupBy(user), then
+    everything is |times|-bounded.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_last = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    subj = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+                / 60.0
+            ).cast("long").alias("t_min"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("last_type"),
+        )
+        .select(
+            "t_min",
+            F.when(F.col("last_type") == "view", 0).otherwise(1).alias("churned"),
+        )
+    )
+    times = subj.groupBy("t_min").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count("*").cast("long").alias("ending"),
+    )
+    w_suffix = W.partitionBy().orderBy(F.col("t_min").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_cum = W.partitionBy().orderBy("t_min").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    term = F.expr("1000000 * d div n")
+    return (
+        times.withColumn("n", F.sum("ending").over(w_suffix).cast("long"))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t_min"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.sum(term).over(w_cum).cast("long").alias("hazard_micro"),
+        )
+        .orderBy("t_min")
+    )
+
+
+@query(
+    "q53f_lorenz_curve",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM cust
+    ), dec AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS dc
+      FROM scored GROUP BY decile
+    ), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM cust)
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+           round(CAST(dc AS DOUBLE) / t, 6) AS decile_share,
+           round(CAST(SUM(dc) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / t, 6) AS cum_share
+    FROM dec, tot ORDER BY decile
+    """,
+    tags=("analytics", "inequality", "window"),
+)
+def q53f_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE by customer revenue decile — the distribution
+    behind q53d's Gini scalar: cumulative revenue share of the
+    poorest k/10 of customers. The pair reads together (Gini = 1 -
+    2*area under this curve); reporting the 10 curve points is what
+    lets a revenue team SEE the concentration, not just score it.
+
+    Determinism: integer-cents sums, custkey-tiebroken NTILE (the
+    q46f discipline), each share one pinned double division of exact
+    BIGINTs. Scale: the only fact-sized op is the per-customer cents
+    fold (map-side combinable); the NTILE sorts the customer DIM and
+    the curve is a 10-row window.
+    """
+    tune_for_oracle(spark)
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    scored = cust.select(
+        "cents",
+        F.ntile(10).over(W.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    dec = scored.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("dc"),
+    )
+    tot = cust.agg(F.sum("cents").cast("long").alias("t"))
+    w_cum = W.partitionBy().orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        dec.join(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            F.round(F.col("dc").cast("double") / F.col("t"), 6).alias(
+                "decile_share"
+            ),
+            F.round(
+                F.sum("dc").over(w_cum).cast("double") / F.col("t"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
