@@ -7255,3 +7255,162 @@ def q53f_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q47f_markov_stationary",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), types AS (
+      SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type AS t FROM events)
+    ), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY src),
+    probs_f AS (
+      SELECT si.idx * kk.k + di.idx AS f, 1000000 * c // rt.tot AS p
+      FROM cnt
+      JOIN types si ON si.t = cnt.src
+      JOIN types di ON di.t = cnt.dst
+      JOIN rt ON rt.src = cnt.src, kk
+    ), grid AS (
+      SELECT unnest(range((SELECT k * k FROM kk))) AS f
+    ), mat AS (
+      SELECT array_agg(COALESCE(pf.p, 0)::BIGINT ORDER BY grid.f) AS m
+      FROM grid LEFT JOIN probs_f pf ON pf.f = grid.f
+    ), folded AS (
+      SELECT kk.k,
+             list_reduce(
+               list_concat(
+                 [list_transform(range(kk.k), x -> 1000000 // kk.k)],
+                 list_transform(range(30),
+                                x -> list_transform(range(kk.k),
+                                                    y -> 0::BIGINT))),
+               (acc, x) -> list_transform(range(kk.k), j ->
+                 list_reduce(
+                   list_transform(range(kk.k),
+                                  i -> acc[(i + 1)::INTEGER]
+                                       * m[(i * kk.k + j + 1)::INTEGER]
+                                       // 1000000),
+                   (a, b) -> a + b))) AS v
+      FROM mat, kk
+    )
+    SELECT types.t AS event_type, folded.k AS n_states,
+           v[(types.idx + 1)::INTEGER] AS stationary_micro
+    FROM folded, types ORDER BY event_type
+    """,
+    tags=("analytics", "markov", "iterative", "fold"),
+)
+def q47f_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV STATIONARY DISTRIBUTION of the event-transition chain —
+    the long-run fraction of time a user's journey spends in each
+    state, i.e. where q44f's transition matrix CONVERGES. Computed by
+    30 power-iteration steps v <- vP executed ENTIRELY IN-PLAN as a
+    nested higher-order fold over the collected micro-unit matrix —
+    an iterative algorithm with zero driver-side looping and zero
+    Python: the |states|^2 matrix is one row, each iteration is K^2
+    truncated integer multiplies inside F.aggregate (seeded
+    list_reduce in DuckDB, state = LIST(BIGINT) riding as the fold's
+    first element).
+
+    Exactness: row-stochastic probabilities are truncated micro-units
+    (10^6*c // rowtotal); each step's terms are (v_i * P_ij -
+    mod)/10^6 in fixed i-order — the q44g truncmul discipline — so
+    both engines run the identical integer recurrence and the result
+    carries a full value-hash oracle. Truncation bleeds ~K ulps of
+    mass per step (sum < 10^6, monotone), which is the defined
+    contract, not drift.
+
+    Scale: the only fact-sized stages are the per-user lead() window
+    (partitioned by user — distributes freely) and the (src, dst)
+    count; everything after is |states|^2-bounded. State spaces in
+    the thousands would move the fold to a GraphX-style distributed
+    multiply; at event-taxonomy scale (5-500 states) in-row is
+    optimal — no shuffle per iteration, 30 iterations in one stage.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w_user).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cnt = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("long").alias("c"))
+    types = (
+        ev.select(F.col("event_type").alias("t"))
+        .distinct()
+        .select(
+            "t", (F.row_number().over(W.orderBy("t")) - 1).cast("long").alias("idx")
+        )
+    )
+    kk = types.agg(F.count("*").cast("long").alias("k"))
+    rt = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    si = types.select(F.col("t").alias("src"), F.col("idx").alias("i"))
+    di = types.select(F.col("t").alias("dst"), F.col("idx").alias("j"))
+    probs_f = (
+        cnt.join(F.broadcast(si), "src")
+        .join(F.broadcast(di), "dst")
+        .join(F.broadcast(rt), "src")
+        .join(F.broadcast(kk))
+        .select(
+            (F.col("i") * F.col("k") + F.col("j")).alias("f"),
+            F.expr("1000000 * c div tot").alias("p"),
+        )
+    )
+    mat = probs_f.join(F.broadcast(kk)).agg(
+        F.map_from_entries(F.collect_list(F.struct("f", "p"))).alias("mp"),
+        F.max("k").alias("k"),
+    )
+    M = F.lit(1000000).cast("long")
+    kcol = F.col("k").cast("int")
+
+    def trunc_div(prod: F.Column) -> F.Column:
+        return ((prod - prod % M) / M).cast("long")
+
+    m = F.transform(
+        F.sequence(F.lit(0), (kcol * kcol - 1)),
+        lambda f: F.coalesce(
+            F.element_at(F.col("mp"), f.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    v0 = F.transform(
+        F.sequence(F.lit(0), kcol - 1),
+        lambda _: F.expr("1000000 div k"),
+    )
+    folded = mat.select(
+        F.col("k").alias("n_states"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(30)),
+            v0,
+            lambda acc, _: F.transform(
+                F.sequence(F.lit(0), kcol - 1),
+                lambda j: F.aggregate(
+                    F.sequence(F.lit(0), kcol - 1),
+                    F.lit(0).cast("long"),
+                    lambda s, i: s
+                    + trunc_div(
+                        F.element_at(acc, i + 1)
+                        * F.element_at(m, (i * kcol + j + 1))
+                    ),
+                ),
+            ),
+        ).alias("v"),
+    )
+    return (
+        folded.join(F.broadcast(types))
+        .select(
+            F.col("t").alias("event_type"),
+            "n_states",
+            F.element_at("v", F.col("idx").cast("int") + 1).alias(
+                "stationary_micro"
+            ),
+        )
+        .orderBy("event_type")
+    )

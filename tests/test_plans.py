@@ -919,6 +919,9 @@ def test_r9_stats_additions_stay_jvm_side(spark):
         "q36u_spearman_rho",
         "q53e_theil_sen_slope",
         "q42j_holt_linear_trend",
+        "q44h_nelson_aalen",
+        "q53f_lorenz_curve",
+        "q47f_markov_stationary",
     ):
         plan = plan_of(spark, name)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name

@@ -1143,3 +1143,36 @@ def test_theil_sen_rank_median_matches_statistics_median(revs):
     lo, hi = (n + 1) // 2, (n + 2) // 2
     med_rank = (ordered[lo - 1][0] + ordered[hi - 1][0]) / 2
     assert med_rank == statistics.median(slopes)
+
+
+@given(
+    st.integers(2, 6).flatmap(
+        lambda k: st.lists(
+            st.lists(st.integers(1, 20), min_size=k, max_size=k),
+            min_size=k, max_size=k,
+        )
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_markov_micro_iteration_tracks_float_recurrence(counts):
+    """q47f's truncated micro-unit power iteration must track the float
+    recurrence run from the same start for the same 30 steps: per-step
+    truncation bleeds at most ~K micro-units of mass, so after 30
+    steps the two stay within 1e-3 per component and total mass stays
+    within 30*(K^2 + K) micro-units of 1e6 (per step: up to K^2 term
+    truncations plus a ~(K-1)-micro row-stochastic deficit)."""
+    k = len(counts)
+    M = 10**6
+    tots = [sum(row) for row in counts]
+    pm = [[M * c // tot for c in row] for row, tot in zip(counts, tots)]
+    pf = [[c / tot for c in row] for row, tot in zip(counts, tots)]
+
+    v = [M // k] * k
+    vf = [(M // k) / M] * k
+    for _ in range(30):
+        v = [sum((v[i] * pm[i][j]) // M for i in range(k)) for j in range(k)]
+        vf = [sum(vf[i] * pf[i][j] for i in range(k)) for j in range(k)]
+
+    assert all(abs(v[j] / M - vf[j]) < 1e-3 for j in range(k))
+    assert M - 30 * (k * k + k) <= sum(v) <= M
+    assert all(x >= 0 for x in v)
