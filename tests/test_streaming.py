@@ -476,3 +476,47 @@ def test_qm18_sum_state_needs_the_commit_token(spark):
     bad = {r["bucket"]: r["s"] for r in
            naked.read().groupBy("bucket").agg(F.sum("n").alias("s")).collect()}
     assert bad == {1: 20, 2: 10}
+
+
+def test_qm19_recurrence_state_is_order_sensitive_and_token_guarded(spark):
+    """Negative controls for qm19's recurrence-state claims:
+    (1) unlike a sum, applying the SAME batches in a different ORDER
+    yields a different (l, b) — recurrence state cannot absorb
+    out-of-order delivery even in principle; (2) a token-guarded
+    re-append of a completed epoch's state is a no-op, while the naked
+    double-append leaves two state rows for the epoch (ambiguous
+    state)."""
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    def fold(ys, state=None):
+        if state is None:
+            l, b = ys[0], ys[1] - ys[0]
+            ys = ys[1:]
+        else:
+            l, b = state
+        for y in ys:
+            l_new = (y + l + b) / 2
+            b = (l_new - l + 3 * b) / 4
+            l = l_new
+        return l, b
+
+    batch0, batch1 = [1.0, 4.0, 2.0], [8.0, 3.0, 5.0]
+    in_order = fold(batch1, fold(batch0))
+    swapped = fold(batch0, fold(batch1))
+    assert in_order != swapped  # order sensitivity: not a commutative merge
+
+    row = [("click", 1.5, 0.25, 10, 9, 0)]
+    schema = "event_type string, l double, b double, n_days long, last_day long, epoch long"
+
+    guarded = TxLogTable(spark, scratch_dir("qm19_neg_guarded"))
+    guarded.append(spark.createDataFrame(row, schema), app_id="t", txn_version=0)
+    guarded.append(spark.createDataFrame(row, schema), app_id="t", txn_version=0)
+    assert guarded.read().count() == 1  # replay no-op: one state row
+
+    naked = TxLogTable(spark, scratch_dir("qm19_neg_naked"))
+    naked.append(spark.createDataFrame(row, schema))
+    naked.append(spark.createDataFrame(row, schema))
+    assert naked.read().count() == 2  # untokened replay: ambiguous state
