@@ -7414,3 +7414,96 @@ def q47f_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q36v_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et, user_id % 7 AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), marg_r AS (
+      SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY et
+    ), marg_c AS (
+      SELECT cohort, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY cohort
+    ), tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT et) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT cohort) AS BIGINT) AS nc
+      FROM cells
+    ), s AS (
+      SELECT CAST(SUM(o * o * 1000000 // (r * c)) AS BIGINT) AS s_micro
+      FROM cells JOIN marg_r USING (et) JOIN marg_c USING (cohort)
+    )
+    SELECT n, nr AS n_rows, nc AS n_cols,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           round(CAST(n * (s_micro - 1000000) AS DOUBLE) / 1000000, 6)
+             AS chi2,
+           round(sqrt(CAST(n * (s_micro - 1000000) AS DOUBLE) / 1000000
+                      / (CAST(n AS DOUBLE) * (least(nr, nc) - 1))), 6)
+             AS cramers_v
+    FROM tot, s
+    """,
+    tags=("agg", "statistics", "effect-size"),
+)
+def q36v_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V — the bounded [0,1] effect size that q36p's chi-square
+    cells feed: chi2 localizes WHERE dependence lives, V answers "how
+    strong is it" in a sample-size-free unit (the number an experiment
+    review actually compares across tests).
+
+    The naive chi2 sum adds 35 per-cell doubles — ORDER-DEPENDENT and
+    therefore not hashable cross-engine. This uses the algebraic
+    identity chi2 = n * (sum over cells of o^2/(r*c)) - n with each
+    term a TRUNCATED INTEGER in micro-units ((o*o*10^6) // (r*c) —
+    every factor BIGINT-exact), so the sum is order-independent BIGINT
+    and both engines compute the identical statistic by construction;
+    the defined truncation contract costs < |cells| micro-units. V =
+    sqrt(chi2 / (n * (min(R,C) - 1))) assembles in one pinned double
+    expression.
+
+    Scale: one corpus hash agg bounded by |types| x |cohorts| output
+    cells; margins are |cells|-bounded re-aggregates (broadcast back);
+    o*o*10^6 needs o <= 3e6 per cell — past that, drop to kilo-units
+    or pre-scale, noted here as the overflow ceiling.
+    """
+    tune_for_oracle(spark)
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            (F.col("user_id") % 7).alias("cohort"),
+        )
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    marg_r = cells.groupBy("et").agg(F.sum("o").cast("long").alias("r"))
+    marg_c = cells.groupBy("cohort").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("et").cast("long").alias("nr"),
+        F.countDistinct("cohort").cast("long").alias("nc"),
+    )
+    s = (
+        cells.join(F.broadcast(marg_r), "et")
+        .join(F.broadcast(marg_c), "cohort")
+        .agg(
+            F.sum(F.expr("o * o * 1000000 div (r * c)"))
+            .cast("long")
+            .alias("s_micro")
+        )
+    )
+    chi2 = (F.col("n") * (F.col("s_micro") - 1000000)).cast("double") / 1000000
+    return tot.join(F.broadcast(s)).select(
+        "n",
+        F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2 / (F.col("n").cast("double") * (F.least("nr", "nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
