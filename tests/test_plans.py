@@ -922,6 +922,7 @@ def test_r9_stats_additions_stay_jvm_side(spark):
         "q44h_nelson_aalen",
         "q53f_lorenz_curve",
         "q47f_markov_stationary",
+        "q36v_cramers_v",
     ):
         plan = plan_of(spark, name)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
