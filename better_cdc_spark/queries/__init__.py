@@ -66,65 +66,73 @@ def query(
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified.
 #
-# Round-9 prefix (generated with tools/rotation.py): the 29 remaining
-# never-driver-verified entries (finishing the backlog -> 0), plus this
-# round's 9 additions, padded to 50 with the 12 LONGEST-unverified entries
-# (last green row r1/r2) so the gate also re-confirms the oldest rows
-# against today's code.
+# Round-10 prefix (generated with tools/rotation.py): leads with the 4
+# never-driver-verified round-9 closers plus the 4 LSH queries whose
+# oracles were promoted from rows-only to full value-hash AFTER their
+# last driver row (the driver last saw them as `no_oracle`; a fresh row
+# proves the promoted oracle in the driver's own ledger). Padded to 50
+# with the LONGEST-unverified entries (last green row r1/r2) so the gate
+# also re-confirms the oldest rows against today's code.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    "q97t_retrieval_eval",
-    "q98q_zipf_vocab",
-    "q98s_k_anonymity",
-    "q97s_random_projection_search",
-    "q96g_one_perm_minhash",
-    "q99ad_audio_resample",
-    "q99ab_qoi_decode",
-    "q98t_tokenizer_fertility",
-    "q95am_classifier_calibration",
-    "q98u_readability",
-    "q95an_cluster_canonicalize",
-    "q01e_avro_ingest",
-    "q94o_dataset_card",
-    "q99ae_exif_metadata",
-    "q94q_release_diff",
-    "q98v_mojibake_audit",
-    "q95ap_coreset_selection",
-    "q95aq_boilerplate_line_removal",
-    "q98w_langid_confusion",
-    "q98y_quality_gate_kappa",
-    "q97u_rrf_fusion",
-    "q98z_token_entropy",
-    "qm08_streaming_bitmap_index",
-    "qm07_incremental_matview",
-    "q80b_watermark_advisor",
-    "qm13_streaming_crdt_counters",
-    "qm14_delta_join_ivm",
-    "qm15_minmax_ivm_multiset",
-    "qm16_ivm_avg_var_moments",
-    # round-9 additions (full-oracle, pre-verified at sf0.01)
-    "q98ab_luhn_card_redaction",
-    "q98ac_html_extract",
-    "qm17_streaming_reservoir",
-    "q95ar_unimax_mixing",
-    "q94r_shard_manifest",
-    "qm18_streaming_quantile_histogram",
-    "q94s_license_filter",
-    "qc32_transactional_outbox",
-    "q36s_poisson_bootstrap_ci",
-    "q44g_kaplan_meier",
-    "q76c_rendezvous_hashing",
-    "q42i_ewma_control_chart",
-    "q96h_lsh_tuning_curve",
-    "q94u_packing_efficiency",
-    "q46f_rfm_segmentation",
-    "q47e_market_basket",
-    "q36t_mann_whitney_u",
-    "q36u_spearman_rho",
-    "q53e_theil_sen_slope",
-    "q42j_holt_linear_trend",
-    "q44h_nelson_aalen",
+    # never driver-verified (added after the r9 gate ran)
+    "q36v_cramers_v",
+    "q47f_markov_stationary",
+    "q53f_lorenz_curve",
+    "qm19_streaming_holt_trend",
+    # promoted rows-only -> full value-hash oracle since last driver row
+    "q96_minhash_lsh",
+    "q94d_curation_pipeline_lsh",
+    "q95aa_incremental_minhash_lsh",
+    "qm05_streaming_lsh_dedup",
+    # pads: oldest driver rows first (displaced by mid-round additions)
+    "q61_intersect",
+    "q62_except",
+    "q70_string_functions",
+    "q71_datetime_functions",
+    "q72_math_functions",
+    "q73_array_functions",
+    "q74_map_functions",
+    "q75_json_functions",
+    "qc02_typed_projection",
+    "qc03_dlq_routing",
+    "qc05_merge_apply",
+    "qc04_event_id_invariants",
+    "q01b_parquet_schema_merge",
+    "q05b_compaction",
+    "q05c_zorder_rewrite",
+    "q07_orc_roundtrip",
+    "q08_text_source",
+    "q09_csv_permissive",
+    "q10_projection",
+    "q12_case_when",
+    "q21b_full_outer_join",
+    "q23_anti_join",
+    "q24_cross_join",
+    "q26_theta_join",
+    "q28_interval_join",
+    "q31_distinct_agg",
+    "q32_approx_count_distinct",
+    "q33b_cube",
+    "q33c_grouping_sets",
+    "q35_collect_aggs",
+    "q36_stat_aggs",
+    "q36b_argminmax",
+    "q77b_fuzzy_blocked_match",
+    "q38_unpivot",
+    "q40b_distribution_windows",
+    "q41_lag_lead",
+    "q51_limit",
+    "q60_union",
+    "q01_parquet_scan",
+    "q02_csv_scan",
+    "q03_json_scan",
+    "q05_partitioned_sink",
+    "q11_predicate_filter",
+    "q20_inner_join",
+    "q21_left_outer_join",
+    "q22_semi_join",
 )
 
 def load_all() -> dict[str, QuerySpec]:

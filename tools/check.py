@@ -121,6 +121,15 @@ def main() -> int:
     con = duck_connect(sf_dir)
 
     names = only or list(registry)
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        # Report every unknown name up front and sweep the rest — a typo
+        # in one argv entry must not abort an otherwise-valid sweep.
+        print(f"UNKNOWN query names (skipped): {unknown}")
+        names = [n for n in names if n in registry]
+        if not names:
+            print("no valid query names left — nothing to check")
+            return 1
     if sample_n is not None:
         import random
 
@@ -177,8 +186,9 @@ def main() -> int:
     print(
         f"\n{len(names) - len(failed)}/{len(names)} ok "
         f"({len(no_oracle)} rows-only), failed: {failed or 'none'}"
+        + (f", unknown: {unknown}" if unknown else "")
     )
-    return 1 if failed else 0
+    return 1 if failed or unknown else 0
 
 
 if __name__ == "__main__":
