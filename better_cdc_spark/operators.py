@@ -379,3 +379,83 @@ def dedup_keep_first(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def blocked_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    part_cols: Sequence[str] = (),
+    n_blocks: int = 256,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Two-level partial+offset cumulative sum over a value frame.
+
+    For each row, the sum of ``value_col`` over all rows in the same
+    ``part_cols`` group with a strictly smaller ``order_col``
+    (``inclusive=True`` adds the row's own value) — WITHOUT running a
+    single-task WindowExec over the whole frame. The classic
+    ``sum().over(Window.partitionBy(g).orderBy(v))`` puts every row of
+    a group through ONE task; fine for small per-group frames, a
+    straggler at 100 TB when a group's distinct-value frame reaches
+    hundreds of millions of rows.
+
+    The two-level scan instead:
+
+    1. blocks rows by a monotonic range split of ``order_col``
+       (``blk = floor((v - min) / width)`` — order-preserving, so
+       block k's rows all precede block k+1's);
+    2. runs the within-block cumsum with ``blk`` IN the window
+       partition spec — parallel across ``groups x n_blocks`` tasks;
+    3. aggregates per-block totals (``groups x n_blocks`` rows, tiny),
+       scans THOSE for per-block offsets (the only group-wide window,
+       bounded by ``n_blocks`` rows per group, never frame-sized);
+    4. broadcast-joins offsets back: ``cumsum = within + offset``.
+
+    ``order_col`` must be integral (the range split does integer
+    arithmetic) and distinct within its group — the op targets
+    per-(group, value) aggregate frames (rank statistics, ECDFs,
+    Lorenz-style cumulative shares), where that holds by construction.
+    Skewed value distributions only unbalance block SIZES, never
+    correctness; ``n_blocks`` trades split granularity vs offset-frame
+    size.
+    """
+    parts = list(part_cols)
+    bounds = df.agg(
+        F.min(order_col).cast("long").alias("__lo"),
+        F.max(order_col).cast("long").alias("__hi"),
+    )
+    width = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / F.lit(n_blocks)).cast("long"),
+    )
+    blocked = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__blk", F.floor((F.col(order_col) - F.col("__lo")) / width))
+        .drop("__lo", "__hi")
+    )
+    upper = 0 if inclusive else -1
+    w_in = (
+        W.partitionBy(*parts, "__blk")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, upper)
+    )
+    within = blocked.withColumn(
+        "__within", F.coalesce(F.sum(value_col).over(w_in), F.lit(0)).cast("long")
+    )
+    w_off = W.partitionBy(*parts).orderBy("__blk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        blocked.groupBy(*parts, "__blk")
+        .agg(F.sum(value_col).cast("long").alias("__bt"))
+        .select(
+            *parts,
+            "__blk",
+            F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        )
+    )
+    return (
+        within.join(F.broadcast(offsets), parts + ["__blk"])
+        .withColumn(out_col, (F.col("__within") + F.col("__off")).cast("long"))
+        .drop("__blk", "__within", "__off")
+    )

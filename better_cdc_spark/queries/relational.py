@@ -6830,12 +6830,16 @@ def q36u_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression order, so both engines round identically; Pearson-on-
     ranks is invariant under the x -> 2x rank transform.
 
-    100 TB: the value-frame windows are per-group single-stage scans —
-    fine while distinct values per group stay in the millions; past
-    that the cumsum swaps for the two-level partial+offset scan. The
+    100 TB: the value-frame cumsums run through operators.blocked_cumsum
+    — the two-level partial+offset scan: within-block windows carry the
+    range-block id in their partition spec (parallel across groups x
+    blocks), and the only group-wide window scans the per-block TOTALS
+    frame (<= n_blocks rows per group, never value-frame-sized). The
     join-back shuffles on (group, value), co-partitioned with the
     aggregate that produced the frame.
     """
+    from better_cdc_spark.operators import blocked_cumsum
+
     tune_for_oracle(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rf"),
@@ -6844,19 +6848,12 @@ def q36u_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rank_frame(col: str):
-        w = W.partitionBy("rf").orderBy(col).rowsBetween(W.unboundedPreceding, -1)
-        return (
-            li.groupBy("rf", col)
-            .agg(F.count("*").cast("long").alias("c"))
-            .select(
-                "rf",
-                col,
-                "c",
-                F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("below"),
-            )
-            .select(
-                "rf", col, (2 * F.col("below") + F.col("c") + 1).alias(f"r{col}2")
-            )
+        pv = li.groupBy("rf", col).agg(F.count("*").cast("long").alias("c"))
+        cum = blocked_cumsum(
+            pv, order_col=col, value_col="c", out_col="below", part_cols=("rf",)
+        )
+        return cum.select(
+            "rf", col, (2 * F.col("below") + F.col("c") + 1).alias(f"r{col}2")
         )
 
     ranked = li.join(rank_frame("x"), ["rf", "x"]).join(rank_frame("y"), ["rf", "y"])

@@ -447,3 +447,58 @@ def test_lttb_downsample_optimality_invariant(spark):
                 - (px - int(sx[b + 1])) * (cy2 - py * 2)
             )
             assert got == max(areas), f"bucket {b}: {got} < {max(areas)}"
+
+
+def _classic_cumsum(rows, parts, inclusive):
+    # reference: per-group ordered prefix sum in plain python
+    out = {}
+    groups = {}
+    for g, v, c in rows:
+        groups.setdefault(g, []).append((v, c))
+    for g, vs in groups.items():
+        acc = 0
+        for v, c in sorted(vs):
+            out[(g, v)] = acc + (c if inclusive else 0)
+            acc += c
+    return out
+
+
+def test_blocked_cumsum_matches_classic_window(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        # distinct values per group, deliberately skewed + negative
+        vals = rng.sample(range(-500, 4000), 200)
+        rows += [(g, v, rng.randint(1, 9)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long, c long")
+    for inclusive in (False, True):
+        got = {
+            (r.g, r.v): r.below
+            for r in ops.blocked_cumsum(
+                df, "v", "c", "below", part_cols=("g",),
+                n_blocks=16, inclusive=inclusive,
+            ).collect()
+        }
+        assert got == _classic_cumsum(rows, ("g",), inclusive)
+
+
+def test_blocked_cumsum_degenerate_single_block(spark):
+    # all values inside one block width; n_blocks larger than the span
+    df = spark.createDataFrame(
+        [("x", 1, 5), ("x", 2, 7), ("x", 3, 11)], "g string, v long, c long"
+    )
+    got = {
+        r.v: r.below
+        for r in ops.blocked_cumsum(
+            df, "v", "c", "below", part_cols=("g",), n_blocks=1024
+        ).collect()
+    }
+    assert got == {1: 0, 2: 5, 3: 12}
+
+
+def test_blocked_cumsum_no_partition_cols(spark):
+    df = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "v long, c long")
+    got = {r.v: r.below for r in ops.blocked_cumsum(df, "v", "c", "below").collect()}
+    assert got == {10: 0, 20: 1, 30: 3}

@@ -944,10 +944,33 @@ def test_q47e_pair_join_is_keyed_on_order(spark):
 
 def test_q36u_ranks_join_back_not_fact_sort(spark):
     """Spearman's ranks come from the distinct-value frame joined back
-    to rows — the plan must contain keyed join-backs only (no unkeyed
-    join at all) and the value-frame cumsum windows."""
+    to rows — keyed join-backs plus the 1-row blocked_cumsum bounds
+    broadcasts (the only unkeyed joins), and value-frame cumsum
+    windows."""
     plan = plan_of(spark, "q36u_spearman_rho")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Join") >= 2  # x-rank and y-rank join-backs
+    # blocked_cumsum attaches a 1-row (min,max) bounds scalar; it shows
+    # up in both the within-block and offsets branches of each of the
+    # two rank frames — 4 sites, all 1-row broadcasts, the only BNLJ
+    # allowed.
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert plan.count("Join") - plan.count("BroadcastNestedLoopJoin") >= 2
     assert "Window" in plan  # the value-frame cumsums
+
+
+def test_q36u_value_frame_windows_are_blocked(spark):
+    """The blocked_cumsum pin (PLANS.md two-level partial+offset scan):
+    every window that scans a VALUE frame (orders by x/y) must carry
+    the range-block id in its partition spec — parallel across
+    groups x blocks, never a whole-group single-task scan. Group-only
+    partition specs may appear ONLY on the per-block-totals offsets
+    frame (ordered by __blk, <= n_blocks rows per group)."""
+    import re
+
+    plan = plan_of(spark, "q36u_spearman_rho")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the q36u plan"
+    for spec in specs:
+        if "__blk" in spec:
+            continue  # blocked within-frame scan or the offsets scan
+        raise AssertionError(f"unblocked group-wide window spec: {spec}")
