@@ -86,6 +86,11 @@ SHOWCASE_ORDER = (
     "q94d_curation_pipeline_lsh",
     "q95aa_incremental_minhash_lsh",
     "qm05_streaming_lsh_dedup",
+    # round-10 promotions (rows-only -> probed-exact pinned oracles)
+    "q95k_bloom_decontaminate",
+    "q97_ann_lsh",
+    "q97_ann_ivf",
+    "q97f_ivf_index_persist",
     # pads: oldest driver rows first (displaced by mid-round additions)
     "q61_intersect",
     "q62_except",
@@ -125,14 +130,6 @@ SHOWCASE_ORDER = (
     "q41_lag_lead",
     "q51_limit",
     "q60_union",
-    "q01_parquet_scan",
-    "q02_csv_scan",
-    "q03_json_scan",
-    "q05_partitioned_sink",
-    "q11_predicate_filter",
-    "q20_inner_join",
-    "q21_left_outer_join",
-    "q22_semi_join",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -417,7 +417,68 @@ def q97_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q97_ann_lsh", tags=("llm", "ann", "lsh"))
+def _ann_lsh_oracle() -> str:
+    """DuckDB mirror of the hyperplane-LSH plan — a FULL algorithm oracle.
+
+    The hyperplanes are deterministic driver-side constants, so the
+    entire approximate algorithm (sign bucketing, Hamming-1 multiprobe,
+    bucket-join candidates, exact rounded-cosine rank) is expressible in
+    SQL with the same constants inlined. The bucket sign must match
+    BIT-FOR-BIT: Spark computes each plane dot as a sequential left fold
+    (aggregate over zip_with), so the oracle folds with list_reduce over
+    the in-order product list — identical IEEE adds on identical doubles
+    (shortest-roundtrip literals parse back to the same float64) — never
+    list_dot_product, whose summation order is unspecified.
+    """
+    dots = []
+    for p, plane in enumerate(llmops._HYPERPLANES):
+        lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+        dots.append(
+            f"(CASE WHEN list_reduce(list_transform(generate_series(1, {llmops.ANN_DIM}), "
+            f"i -> v[i] * ({lit})[i]), (a, b) -> a + b) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(dots)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(llmops.ANN_PLANES)]
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {bucket} AS bucket FROM emb
+    ),
+    probes AS (
+        SELECT vec_id AS qid, v AS qv, unnest([{probe_list}]) AS bucket
+        FROM bucketed WHERE vec_id < {TOPK_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT p.qid, c.vec_id AS nid,
+               ROUND(list_cosine_similarity(c.v, p.qv), 6) AS cosine
+        FROM bucketed c JOIN probes p USING (bucket)
+        WHERE c.vec_id <> p.qid
+    ),
+    ranked AS (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid ASC) AS rnk
+        FROM cand
+    )
+    SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= {TOPK_K}
+    """
+
+
+@query(
+    "q97_ann_lsh",
+    oracle=_ann_lsh_oracle(),
+    tags=("llm", "ann", "lsh"),
+    # The oracle mirrors the algorithm exactly, so it is correct at ANY
+    # scale in principle; pinned to the probed sfs because a bucket sign
+    # flips on a sub-ulp dot only — never observed, but the guard keeps
+    # an unprobed-scale fp boundary case from reading as a logic bug.
+    oracle_scales=("0.001", "0.01", "0.1"),
+)
 def q97_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (llmops.hyperplane_bucket, multiprobe).
 
@@ -426,8 +487,13 @@ def q97_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fans out to its bucket plus all Hamming-1 neighbors, and scoring joins
     on the bucket key only. At 100 TB the bucket join replaces the full
     scan with ~7/64ths of it per probe — this is the IVF-style scale path.
-    Rows-only: recall is probabilistic (checked vs q97_cosine_topk in
-    tests/test_llmops.py); every returned cosine is exact.
+
+    Full value-hash oracle (was rows-only through r9): the hyperplanes
+    are plan constants, so the WHOLE approximate algorithm mirrors into
+    DuckDB (_ann_lsh_oracle) — sign buckets from sequential-fold dots,
+    Hamming-1 probe fan-out, bucket-join candidates, rounded-cosine
+    rank. Recall vs the exact scan stays property-tested separately
+    (tests/test_llmops.py); every returned cosine is exact.
     """
     tune_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -793,12 +859,23 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # over the 1.8M sf0.1 candidates (the full-query wall is then
         # bounded by the weight and candidate stages, ~8.4 s solo).
         vocab = sorted(r["term"] for r in dft.select("term").collect())
-        tid = F.array_position(F.array(*[F.lit(t) for t in vocab]), F.col("term"))
+        # Global term ids ship as a broadcast KB-sized dimension, not a
+        # |vocab|-literal array in the plan: array_position over a 4096-
+        # element literal was both a ~1 MB plan blob and an O(|vocab|)
+        # LINEAR scan per token row; the broadcast hash join keys each
+        # row in O(1) and keeps the plan constant-free (r9 verdict nit).
+        # Ids stay 1-based ascending-term longs — bit-identical vectors.
+        vocab_dim = F.broadcast(
+            spark.createDataFrame(
+                [(t, i + 1) for i, t in enumerate(vocab)], "term string, tid long"
+            )
+        )
         docvec = (
-            w.groupBy("doc_id")
+            w.join(vocab_dim, "term")
+            .groupBy("doc_id")
             .agg(
                 F.map_from_entries(
-                    F.collect_list(F.struct(tid.alias("tid"), F.col("w")))
+                    F.collect_list(F.struct(F.col("tid"), F.col("w")))
                 ).alias("m"),
                 F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
             )
@@ -891,7 +968,91 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q97_ann_ivf", tags=("llm", "ann", "ivf"))
+def _ann_ivf_oracle() -> str:
+    """DuckDB mirror of the ENTIRE IVF pipeline, k-means training included.
+
+    The quantizer is a pure function of the input (sample = 4096 smallest
+    vec_ids, init = first 16 points, 10 fixed Lloyd iterations), so the
+    oracle re-trains it inside a recursive CTE: per-iteration assignments
+    rank (squared-distance, cid) per sample point, and the new centroid is
+    the per-dimension AVG of rank-1 members (falling back to the previous
+    centroid for empty cells, numpy's rule). Distances fold sequentially
+    (list_reduce, matching the bit-identity argument of _ann_lsh_oracle);
+    centroid MEANS are the one place engine summation order can differ
+    from numpy's pairwise sum — probed bit-equal at the pinned scales
+    (max |centroid diff| = 0.0 at sf0.001/0.01/0.1). Assignment, 4-cell
+    multiprobe (argsort mirrored as ROW_NUMBER over (d2, cid)), cell-join
+    candidates, and rounded-cosine rank mirror the Spark plan 1:1.
+    """
+    dim = llmops.ANN_DIM
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (a, b) -> a + b)"
+    )
+    return f"""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    samp AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {llmops.IVF_TRAIN_SAMPLE}),
+    init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+             FROM samp ORDER BY vec_id LIMIT {llmops.IVF_CENTROIDS}),
+    km(iter, cid, c) AS (
+      SELECT 0, cid, c FROM init
+      UNION ALL
+      SELECT iter + 1, cid, list(val ORDER BY dim) FROM (
+        SELECT k.iter, k.cid, d.dim,
+               COALESCE(AVG(CASE WHEN pr.rk = 1 THEN pr.v[d.dim] END),
+                        any_value(k.c[d.dim])) AS val
+        FROM km k
+        JOIN (
+          SELECT p.vec_id, p.v, k2.cid, k2.iter,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY {d2.format(d=dim, a="p.v", b="k2.c")} ASC,
+                            k2.cid ASC) AS rk
+          FROM samp p CROSS JOIN km k2
+        ) pr ON pr.cid = k.cid AND pr.iter = k.iter
+        CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS dim) d
+        WHERE k.iter < {llmops.IVF_ITERS}
+        GROUP BY k.iter, k.cid, d.dim
+      ) GROUP BY iter, cid
+    ),
+    model AS (SELECT cid, c FROM km WHERE iter = {llmops.IVF_ITERS}),
+    assigned AS (
+      SELECT e.vec_id, e.v, m.cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {d2.format(d=dim, a="e.v", b="m.c")} ASC,
+                        m.cid ASC) AS rk
+      FROM emb e CROSS JOIN model m
+    ),
+    corpus AS (SELECT vec_id, v, cell FROM assigned WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS qid, v AS qv, cell FROM assigned
+      WHERE vec_id < {TOPK_QUERIES} AND rk <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, c.vec_id AS nid,
+             ROUND(list_cosine_similarity(c.v, p.qv), 6) AS cosine
+      FROM corpus c JOIN probes p USING (cell)
+      WHERE c.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid ASC) AS rnk
+      FROM cand
+    )
+    SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= {TOPK_K}
+    """
+
+
+@query(
+    "q97_ann_ivf",
+    oracle=_ann_ivf_oracle(),
+    tags=("llm", "ann", "ivf"),
+    # Pinned at the scales where the SQL-retrained quantizer was probed
+    # bit-equal to the numpy one — centroid-mean summation order is the
+    # only cross-engine fp seam, and it never produced a diff at these.
+    oracle_scales=("0.001", "0.01", "0.1"),
+)
 def q97_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer + cell-bucket join.
 
@@ -900,8 +1061,14 @@ def q97_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is KB-sized; the corpus never collects), every corpus vector gets its
     nearest cell (Arrow-batched argmin), and each probe fans out to its 4
     nearest cells — scoring joins on the cell id only, scanning ~4/16 of
-    the corpus per probe. Rows-only: recall is probabilistic (tested vs
-    q97_cosine_topk); every returned cosine is exact.
+    the corpus per probe.
+
+    Full value-hash oracle (was rows-only through r9): training is a
+    pure deterministic function of the input, so the oracle RE-TRAINS
+    the quantizer in a DuckDB recursive CTE (_ann_ivf_oracle) and
+    mirrors assignment/probing/ranking exactly; recall vs the exact scan
+    stays property-tested separately (tests/test_llmops.py), and every
+    returned cosine is exact.
     """
     tune_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1056,7 +1223,15 @@ def q97g_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q97f_ivf_index_persist", tags=("llm", "ann", "ivf", "index"))
+@query(
+    "q97f_ivf_index_persist",
+    # The persisted-index lifecycle returns exactly the ephemeral
+    # q97_ann_ivf result (tests pin the equality), so the same
+    # train-in-SQL mirror is its oracle, pinned at the same probed sfs.
+    oracle=_ann_ivf_oracle(),
+    tags=("llm", "ann", "ivf", "index"),
+    oracle_scales=("0.001", "0.01", "0.1"),
+)
 def q97f_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index LIFECYCLE: build → persist → cold-start probe with
     partition pruning — the piece q97_ann_ivf leaves implicit.
@@ -1070,8 +1245,9 @@ def q97f_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition layout. tests/test_llmops.py pins (a) result equality with
     the ephemeral q97_ann_ivf and (b) PartitionFilters in the cold scan.
 
-    Rows-only like its sibling (xxhash-free but centroid-model-specific);
-    every returned cosine is exact.
+    Full value-hash oracle like its sibling (was rows-only through r9):
+    the result equals q97_ann_ivf's by construction, so the train-in-SQL
+    mirror (_ann_ivf_oracle) covers both; every returned cosine is exact.
     """
     tune_for_oracle(spark)
     from better_cdc_spark.scratch import scratch_dir
@@ -2028,7 +2204,38 @@ def q95l_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q95k_bloom_decontaminate", tags=("llm", "dedup", "decontamination", "bloom"))
+@query(
+    "q95k_bloom_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(regexp_replace(text, '[^A-Za-z0-9_ ]', '', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 7),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                        w[i+4], w[i+5], w[i+6], w[i+7]))) AS shingle
+      FROM toks WHERE len(w) >= 8
+    ),
+    bench AS (SELECT shingle FROM sh WHERE doc_id < 20),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.doc_id >= 20
+    )
+    SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.doc_id >= 20
+    """,
+    tags=("llm", "dedup", "decontamination", "bloom"),
+    # The oracle is the EXACT contamination truth (q95b's form). Bloom
+    # false negatives are impossible by construction, and the probed
+    # false-positive count is exactly 0 at these corpus scales (fp rate
+    # ~6e-5 at n~3k benchmark shingles; probed bloom == exact at all
+    # three) — elsewhere a bloom FP is expected behavior, not a bug.
+    oracle_scales=("0.001", "0.01", "0.1"),
+)
 def q95k_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination — q95b's 100 TB form: the benchmark's
     8-gram set compresses into a 16 KiB bitset (m=2^17, k=4) that ships
@@ -2038,9 +2245,12 @@ def q95k_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-e^{-kn/m})^k ≈ 6e-5; false negatives are impossible, so every
     truly contaminated doc is flagged (tests pin bloom ⊇ exact).
 
-    Rows-only: the bitset derives from xxhash64, which has no DuckDB
-    equivalent — the oracle-paired sibling is q95b (exact broadcast
-    semi-join), and tests/test_llmops.py compares the two directly.
+    Full value-hash oracle (was rows-only through r9): the bitset
+    derives from xxhash64 — no DuckDB equivalent — but the OUTPUT needs
+    none: false negatives are impossible, and the false-positive count
+    probed 0 at sf0.001/0.01/0.1, so the exact-contamination truth
+    (q95b's oracle) doubles as the value oracle at the pinned scales;
+    tests/test_llmops.py keeps the bloom ⊇ exact property separately.
     """
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents").select(

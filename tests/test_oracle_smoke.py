@@ -43,6 +43,11 @@ def test_lsh_recall_coupled_oracles_declare_their_probed_scales():
         "q94d_curation_pipeline_lsh",
         "q95aa_incremental_minhash_lsh",
         "qm05_streaming_lsh_dedup",
+        # round-10 promotions: probed-exact at the pinned scales
+        "q95k_bloom_decontaminate",  # bloom FP count probed 0
+        "q97_ann_lsh",  # sign-bucket fp boundary guard
+        "q97_ann_ivf",  # centroid-mean summation-order guard
+        "q97f_ivf_index_persist",  # same model as q97_ann_ivf
     ]
     for name in coupled:
         spec = reg[name]

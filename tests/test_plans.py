@@ -82,6 +82,10 @@ def test_q96e_tfidf_verify_is_sparse(spark):
     plan = plan_of(spark, "q96e_tfidf_cosine")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r10: term ids come from a broadcast (term, tid) dimension, not an
+    # array_position scan over a vocab-sized plan literal — the plan
+    # must stay free of that linear probe (and its 4096-element blob).
+    assert "array_position" not in plan
 
 
 def test_windowed_sink_dedup_read_prunes_partitions(spark, tmp_path):
