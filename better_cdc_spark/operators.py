@@ -459,3 +459,84 @@ def blocked_cumsum(
         .withColumn(out_col, (F.col("__within") + F.col("__off")).cast("long"))
         .drop("__blk", "__within", "__off")
     )
+
+
+def blocked_row_number(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    out_col: str,
+    part_cols: Sequence[str] = (),
+    n_blocks: int = 256,
+    descending: bool = False,
+) -> DataFrame:
+    """Global (or per-group) 1-based row_number over the total order
+    (``order_col`` [``descending``], ``tiebreak_col`` asc) without a
+    single-task whole-frame sort.
+
+    The classic ``row_number().over(Window.orderBy(...))`` funnels every
+    row through ONE task. Here the rank decomposes exactly:
+
+        rank(row) = #rows with a strictly smaller order value
+                    + rank among the row's own value ties
+
+    The first term is :func:`blocked_cumsum` of per-value counts over
+    the distinct-value frame (fully parallel two-level scan); the
+    second is a window PARTITIONED BY the order value — as parallel as
+    the value distribution, bounded by the largest tie group, never the
+    frame. ``order_col`` must be integral (cumsum's range split).
+    """
+    parts = list(part_cols)
+    key = (-F.col(order_col)) if descending else F.col(order_col)
+    tmp = df.withColumn("__k", key.cast("long"))
+    pv = tmp.groupBy(*parts, "__k").agg(F.count("*").cast("long").alias("__c"))
+    cum = blocked_cumsum(
+        pv, "__k", "__c", "__below", part_cols=parts, n_blocks=n_blocks
+    )
+    w = W.partitionBy(*parts, "__k").orderBy(tiebreak_col)
+    return (
+        tmp.join(cum.select(*parts, "__k", "__below"), parts + ["__k"])
+        .withColumn(out_col, (F.col("__below") + F.row_number().over(w)).cast("long"))
+        .drop("__k", "__below", "__c")
+    )
+
+
+def blocked_ntile(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    n: int,
+    out_col: str,
+    n_blocks: int = 256,
+    descending: bool = False,
+) -> DataFrame:
+    """``ntile(n)`` over a GLOBAL total order without the global sort.
+
+    ntile is a closed-form function of the global row number: with N
+    rows, the first N % n tiles take ceil(N/n) rows and the rest take
+    floor(N/n) (front-first remainder — Spark's and DuckDB's shared
+    rule). Rank comes from :func:`blocked_row_number`; N attaches as a
+    1-row broadcast. The order (``order_col``, ``tiebreak_col``) must
+    be a total order (ntile on a tied, underspecified order is
+    nondeterministic in ANY engine — this op just makes that contract
+    explicit).
+    """
+    ranked = blocked_row_number(
+        df, order_col, tiebreak_col, "__r",
+        n_blocks=n_blocks, descending=descending,
+    )
+    tot = df.agg(F.count("*").cast("long").alias("__N"))
+    q = F.floor(F.col("__N") / n).cast("long")
+    rem = (F.col("__N") % n).cast("long")
+    big = q + 1  # rows per tile in the first (N % n) tiles
+    r = F.col("__r")
+    # exact integer ceil-divisions; longs stay < 2^53 so the double
+    # division underneath floor() is exact
+    bucket = F.when(r <= big * rem, F.floor((r + big - 1) / big)).otherwise(
+        rem + F.floor((r - big * rem + q - 1) / q)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(out_col, bucket.cast("long"))
+        .drop("__r", "__N")
+    )

@@ -6537,18 +6537,20 @@ def q46f_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = cust.join(F.broadcast(gmax)).withColumn(
         "recency_days", F.datediff("gmax", "last_order")
     )
-    scored = cust.select(
-        "monetary_cents",
-        F.ntile(5)
-        .over(W.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
-        .alias("m_score"),
+    # Quintiles via operators.blocked_ntile — closed-form tile from a
+    # blocked global rank, so no axis ever funnels the dim through a
+    # single-task NTILE sort (the r9 verdict's "two-level swap", now
+    # real code; ordering/tiebreak semantics identical to the NTILE
+    # windows this replaces).
+    from better_cdc_spark.operators import blocked_ntile
+
+    scored = blocked_ntile(cust, "recency_days", "o_custkey", 5, "r_score")
+    scored = blocked_ntile(
+        scored, "frequency", "o_custkey", 5, "f_score", descending=True
     )
+    scored = blocked_ntile(
+        scored, "monetary_cents", "o_custkey", 5, "m_score", descending=True
+    ).select("monetary_cents", "r_score", "f_score", "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("long").alias("n_customers"),
         F.round(
@@ -6709,8 +6711,10 @@ def q36t_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     value counts (ca, cb), U_A = sum(ca * (cb_below + cb_at/2)) — kept
     in HALF-UNITS (u2 = 2U) so every term is exact BIGINT. The tie
     correction sum((t^3 - t)) falls out of the same aggregate. The
-    only window runs over the DISTINCT-VALUE frame (3.3k rows here;
-    bounded by value cardinality, not corpus size at 100 TB), then one
+    only windows run over the DISTINCT-VALUE frame (3.3k rows here;
+    bounded by value cardinality, not corpus size at 100 TB) through
+    blocked_cumsum's two-level partial+offset scan — no single-task
+    whole-frame window even at extreme value cardinality — then one
     global fold. Variance assembles from BIGINT pieces in one pinned
     double expression (products cast-before-multiply to dodge both
     engines' 64-bit overflow); sqrt is IEEE-exact, z rounded at 6dp.
@@ -6728,11 +6732,15 @@ def q36t_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("long").alias("ca"),
         F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    cum = pv.select(
-        "ca",
-        "cb",
-        F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("long").alias("cb_below"),
+    # cb_below via the two-level partial+offset scan (operators.
+    # blocked_cumsum): the classic global cumsum window here is a
+    # single-task scan of the whole distinct-value frame; blocked, the
+    # wide windows carry the range-block id and only the <= n_blocks
+    # per-block totals ever see one task.
+    from better_cdc_spark.operators import blocked_cumsum
+
+    cum = blocked_cumsum(pv, order_col="v", value_col="cb", out_col="cb_below").select(
+        "ca", "cb", "cb_below"
     )
     t = F.col("ca") + F.col("cb")
     s = cum.agg(
@@ -7226,9 +7234,13 @@ def q53f_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
-    scored = cust.select(
-        "cents",
-        F.ntile(10).over(W.orderBy("cents", "o_custkey")).alias("decile"),
+    from better_cdc_spark.operators import blocked_ntile
+
+    # decile via blocked_ntile (closed-form tile over a blocked global
+    # rank) — same order/tiebreak as the NTILE window it replaces, no
+    # single-task dim sort (q46f discipline, r10 two-level swap)
+    scored = blocked_ntile(cust, "cents", "o_custkey", 10, "decile").select(
+        "cents", "decile"
     )
     dec = scored.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_customers"),

@@ -978,3 +978,27 @@ def test_q36u_value_frame_windows_are_blocked(spark):
         if "__blk" in spec:
             continue  # blocked within-frame scan or the offsets scan
         raise AssertionError(f"unblocked group-wide window spec: {spec}")
+
+
+@pytest.mark.parametrize(
+    "name", ["q46f_rfm_segmentation", "q53f_lorenz_curve", "q36t_mann_whitney_u"]
+)
+def test_exact_stats_windows_are_blocked_not_global(spark, name):
+    """r10 two-level swap: the exact-stats family's rank/NTILE/cumsum
+    sites run through blocked_cumsum / blocked_ntile — no NTILE window
+    remains, and every windowspecdefinition either carries the range
+    block id / a real partition key, or orders by __blk (the bounded
+    per-block-totals offsets frame) or a constant-bounded frame (q53f's
+    10-row decile cumsum)."""
+    import re
+
+    plan = plan_of(spark, name)
+    assert "ntile" not in plan.lower()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"expected window specs in {name}"
+    for spec in specs:
+        if "__blk" in spec or "__k" in spec:
+            continue  # blocked scan, offsets frame, or tie-group rank
+        if name == "q53f_lorenz_curve" and "decile" in spec:
+            continue  # 10-row curve cumsum — bounded by n_tiles
+        raise AssertionError(f"{name}: unblocked window spec: {spec}")
