@@ -91,6 +91,12 @@ SHOWCASE_ORDER = (
     "q97_ann_lsh",
     "q97_ann_ivf",
     "q97f_ivf_index_persist",
+    # round-10 additions (full-oracle, pre-verified dual-scale)
+    "q36w_kendall_tau",
+    "q32b_portable_hll",
+    "q42k_classical_decompose",
+    "q97v_int8_quantized_search",
+    "q53g_acf_correlogram",
     # pads: oldest driver rows first (displaced by mid-round additions)
     "q61_intersect",
     "q62_except",
@@ -125,11 +131,6 @@ SHOWCASE_ORDER = (
     "q36_stat_aggs",
     "q36b_argminmax",
     "q77b_fuzzy_blocked_match",
-    "q38_unpivot",
-    "q40b_distribution_windows",
-    "q41_lag_lead",
-    "q51_limit",
-    "q60_union",
 )
 
 def load_all() -> dict[str, QuerySpec]:

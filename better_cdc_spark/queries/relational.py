@@ -1230,6 +1230,121 @@ def q32_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q32b_portable_hll",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    h AS (
+      SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+               AS hv
+      FROM keys
+    ),
+    slots AS (
+      SELECT hv % 128 AS j, hv // 128 AS w FROM h
+    ),
+    regs AS (
+      SELECT j,
+             CAST(MAX(CASE WHEN w = 0 THEN 54
+                           ELSE 54 - length(bin(w)) END) AS BIGINT) AS m_j
+      FROM slots GROUP BY j
+    ),
+    sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(SUM(1::BIGINT << (54 - m_j)) AS BIGINT) AS s_present,
+             CAST(SUM((j + 1) * m_j) AS BIGINT) AS digest
+      FROM regs
+    ),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM keys)
+    SELECT 128 AS m,
+           128 - sk.n_present AS v_zero,
+           sk.s_present
+             + (128 - sk.n_present) * (1::BIGINT << 54) AS s_scaled,
+           sk.digest AS register_digest,
+           ex.n_exact,
+           round(0.715270493264::DOUBLE * 16384.0::DOUBLE
+                 * 18014398509481984.0::DOUBLE
+                 / CAST(sk.s_present
+                        + (128 - sk.n_present) * (1::BIGINT << 54)
+                        AS DOUBLE), 6) AS hll_estimate,
+           round((0.715270493264::DOUBLE * 16384.0::DOUBLE
+                  * 18014398509481984.0::DOUBLE
+                  / CAST(sk.s_present
+                         + (128 - sk.n_present) * (1::BIGINT << 54)
+                         AS DOUBLE) - ex.n_exact)
+                 / ex.n_exact, 6) AS rel_error
+    FROM sk, ex
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def q32b_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog — the approx-distinct family's missing full
+    oracle: q32/q36g ride engine-specific sketch bytes (rows-only by
+    necessity), so this query builds the SKETCH ITSELF from portable
+    primitives and the oracle reproduces it register-for-register.
+
+    Flajolet's HLL with m=128 registers (p=7): a cross-engine-exact
+    60-bit hash (md5 prefix via the conv/0x bridge), register j = h mod
+    m, rho = leading-zero rank of the remaining 53-bit word computed
+    from the MINIMAL BINARY STRING length (Spark conv(w,10,2), DuckDB
+    bin(w) — both unpadded, w=0 cased to the 54 cap; no log2 call, so
+    no transcendental seam). Registers are MAX-merged — a semilattice,
+    so the sketch partial-aggregates map-side and merges losslessly
+    across shards, the property that makes HLL THE 100 TB cardinality
+    operator. The indicator sum S = sum 2^(54-M_j) is kept as a SCALED
+    BIGINT (order-free integer sum, max 2^61) and divided once, and
+    alpha_m*m^2*2^54 assembles from pinned literals in one expression
+    order — the raw estimate is therefore bit-reproducible, and
+    register_digest pins the sketch itself, not just the estimate.
+
+    The linear-counting small-range branch (E <= 2.5m and V > 0) needs
+    ln(m/V) — V has only 129 possible values, so production pins a
+    129-literal table; at this query's cardinalities the branch is
+    never taken (asserted by v_zero = 0 here), which is what keeps the
+    raw estimate the contract. Estimated std error 1.04/sqrt(128) ~
+    9.2%; rel_error is emitted for the audit.
+    """
+    tune_for_oracle(spark)
+    keys = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    slots = keys.select(
+        (h % 128).alias("j"), F.floor(h / 128).cast("long").alias("w")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(54)).otherwise(
+        54 - F.length(F.conv(F.col("w"), 10, 2))
+    )
+    regs = slots.select("j", rho.cast("long").alias("rho")).groupBy("j").agg(
+        F.max("rho").alias("m_j")
+    )
+    sk = regs.agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - m_j AS INT))"))
+        .cast("long")
+        .alias("s_present"),
+        F.sum((F.col("j") + 1) * F.col("m_j")).cast("long").alias("digest"),
+    )
+    ex = keys.agg(F.count("*").cast("long").alias("n_exact"))
+    out = sk.crossJoin(F.broadcast(ex))
+    s_scaled = (
+        F.col("s_present")
+        + (128 - F.col("n_present")) * F.lit(18014398509481984).cast("long")
+    ).cast("long")
+    est = (
+        F.lit(0.715270493264) * F.lit(16384.0) * F.lit(18014398509481984.0)
+        / s_scaled.cast("double")
+    )
+    return out.select(
+        F.lit(128).cast("int").alias("m"),
+        (128 - F.col("n_present")).cast("long").alias("v_zero"),
+        s_scaled.alias("s_scaled"),
+        F.col("digest").alias("register_digest"),
+        "n_exact",
+        F.round(est, 6).alias("hll_estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
+    )
+
+
 @query("q36g_hll_sketch_union", tags=("agg", "approx", "sketch"))
 def q36g_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataSketches HLL build + MERGE (Spark 3.5 hll_sketch_agg /
@@ -6885,6 +7000,133 @@ def q36u_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q36w_kendall_tau",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS rf,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT rf, x, y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM li GROUP BY rf, x, y
+    ),
+    conc AS (
+      SELECT a.rf,
+             CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                           THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                           THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nd
+      FROM cells a JOIN cells b USING (rf)
+      GROUP BY a.rf
+    ),
+    xm AS (
+      SELECT rf, CAST(SUM(cx * (cx - 1) / 2) AS BIGINT) AS n1
+      FROM (SELECT rf, x, CAST(SUM(c) AS BIGINT) AS cx
+            FROM cells GROUP BY rf, x)
+      GROUP BY rf
+    ),
+    ym AS (
+      SELECT rf, CAST(SUM(cy * (cy - 1) / 2) AS BIGINT) AS n2
+      FROM (SELECT rf, y, CAST(SUM(c) AS BIGINT) AS cy
+            FROM cells GROUP BY rf, y)
+      GROUP BY rf
+    ),
+    tot AS (
+      SELECT rf, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY rf
+    )
+    SELECT tot.rf AS returnflag, tot.n,
+           conc.nc AS n_concordant, conc.nd AS n_discordant,
+           round((CAST(conc.nc AS DOUBLE) - CAST(conc.nd AS DOUBLE))
+                 / sqrt((CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2
+                         - CAST(xm.n1 AS DOUBLE))
+                        * (CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2
+                           - CAST(ym.n2 AS DOUBLE))), 6) AS kendall_tau_b
+    FROM tot
+    JOIN conc USING (rf) JOIN xm USING (rf) JOIN ym USING (rf)
+    ORDER BY returnflag
+    """,
+    tags=("agg", "statistics", "correlation"),
+)
+def q36w_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B per return flag (quantity vs discount) — the
+    third rank-correlation next to Pearson (q36) and Spearman (q36u):
+    a pure concordance probability, the most robust of the three and
+    the one with a direct probabilistic reading (P(concordant) -
+    P(discordant)).
+
+    The textbook form enumerates n(n-1)/2 row pairs — quadratic in the
+    FACT table. Concordance only depends on VALUES, so the algebra
+    lifts to the joint distribution: aggregate to per-(group, x, y)
+    cells, then count concordant/discordant pairs on a cells x cells
+    equi-join keyed on the group with the (>,>)/(>,<) residual — cost
+    |cells|^2 per group, where |cells| <= 50 quantities x 11 discount
+    ticks = 550 here, BOUNDED BY THE VALUE GRID, never the corpus (the
+    q36t/q36u value-frame discipline applied to a 2-D statistic). The
+    tie terms n1/n2 fall out of the cell margins; every count is exact
+    BIGINT and tau_b assembles in one pinned double expression
+    (factors cast before multiply), so round(.,6) is cross-engine
+    safe.
+
+    100 TB: one map-side-combinable fact aggregate (rf, x, y), then
+    all joins run on frames bounded by the value grid. A high-
+    cardinality axis first quantizes into ticks (documented dial, same
+    move as q36k's histogram bins).
+    """
+    tune_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
+    )
+    cells = li.groupBy("rf", "x", "y").agg(F.count("*").cast("long").alias("c"))
+    a = cells.select("rf", F.col("x").alias("xa"), F.col("y").alias("ya"),
+                     F.col("c").alias("ca"))
+    b = cells.select("rf", F.col("x").alias("xb"), F.col("y").alias("yb"),
+                     F.col("c").alias("cb"))
+    conc = (
+        a.join(b, "rf")
+        .groupBy("rf")
+        .agg(
+            F.sum(
+                F.when((F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
+                       F.col("ca") * F.col("cb")).otherwise(F.lit(0))
+            ).cast("long").alias("nc"),
+            F.sum(
+                F.when((F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
+                       F.col("ca") * F.col("cb")).otherwise(F.lit(0))
+            ).cast("long").alias("nd"),
+        )
+    )
+    xm = (
+        cells.groupBy("rf", "x").agg(F.sum("c").cast("long").alias("cx"))
+        .groupBy("rf")
+        .agg(F.sum(F.col("cx") * (F.col("cx") - 1) / 2).cast("long").alias("n1"))
+    )
+    ym = (
+        cells.groupBy("rf", "y").agg(F.sum("c").cast("long").alias("cy"))
+        .groupBy("rf")
+        .agg(F.sum(F.col("cy") * (F.col("cy") - 1) / 2).cast("long").alias("n2"))
+    )
+    tot = cells.groupBy("rf").agg(F.sum("c").cast("long").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n0 = d("n") * (F.col("n") - 1).cast("double") / 2
+    tau = (d("nc") - d("nd")) / F.sqrt((n0 - d("n1")) * (n0 - d("n2")))
+    return (
+        tot.join(conc, "rf").join(xm, "rf").join(ym, "rf")
+        .select(
+            F.col("rf").alias("returnflag"),
+            "n",
+            F.col("nc").alias("n_concordant"),
+            F.col("nd").alias("n_discordant"),
+            F.round(tau, 6).alias("kendall_tau_b"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@query(
     "q53e_theil_sen_slope",
     oracle="""
     WITH m AS (
@@ -7096,6 +7338,130 @@ def q42j_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q42k_classical_decompose",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT mi, x,
+             CAST(SUM(x) OVER (ORDER BY mi
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS w1,
+             CAST(SUM(x) OVER (ORDER BY mi
+               ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS w2,
+             COUNT(*) OVER (ORDER BY mi
+               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS c13,
+             CAST(MAX(mi) OVER () + 1 AS BIGINT) AS n
+      FROM m
+    ),
+    det AS (
+      SELECT mi, x, n, (n - 12) // 12 AS k,
+             w1 + w2 AS num24,
+             24 * x - (w1 + w2) AS det24,
+             mi % 12 AS moy
+      FROM w
+      WHERE c13 = 13 AND mi >= 6 AND mi < 6 + 12 * ((n - 12) // 12)
+    ),
+    seas AS (
+      SELECT moy, CAST(SUM(det24) AS BIGINT) AS s_m FROM det GROUP BY moy
+    ),
+    tot AS (SELECT CAST(SUM(det24) AS BIGINT) AS t FROM det)
+    SELECT det.mi,
+           det.x AS revenue_cents,
+           round(CAST(det.num24 AS DOUBLE) / 2400.0, 6) AS trend,
+           round(CAST(12 * seas.s_m - tot.t AS DOUBLE)
+                 / (CAST(12 * det.k AS DOUBLE) * 2400.0), 6) AS seasonal,
+           round(CAST(12 * det.k * det.det24 - (12 * seas.s_m - tot.t)
+                      AS DOUBLE)
+                 / (CAST(12 * det.k AS DOUBLE) * 2400.0), 6) AS remainder
+    FROM det JOIN seas USING (moy) CROSS JOIN tot
+    ORDER BY det.mi
+    """,
+    tags=("window", "timeseries", "decomposition"),
+)
+def q42k_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION of monthly revenue (the additive
+    trend + seasonal + remainder split behind every STL dashboard) —
+    completes the time-series family: q42j fits the trend recurrence,
+    q42h scores seasonality strength, THIS query separates the
+    components.
+
+    Exact-integer construction end to end: the centered 12-month moving
+    average for an even period is (x[t-6] + 2*sum(x[t-5..t+5]) +
+    x[t+6])/24, whose numerator is the SUM OF TWO 12-ROW SLIDING SUMS
+    (frames [-6,+5] and [-5,+6]) — exact BIGINT cents, one division at
+    the edge. Detrended values stay in 24ths-of-a-cent integers; the
+    window trims to FULL seasonal years (K = (n-12)//12 of them), so
+    every month-of-year has exactly K detrended points and the centered
+    seasonal component is the exact rational (12*s_m - T)/(12K) in the
+    same integer units — remainder likewise, so every output is ONE
+    pinned double division of exact BIGINTs and round(.,6) is
+    cross-engine safe. No transcendental, no float accumulation.
+
+    Scale shape: the only fact-sized op is the per-month cents fold
+    (map-side combinable); every window runs over the MONTH frame
+    (n~80 rows here, bounded by calendar span at any corpus size — the
+    q53f bounded-frame class), and the seasonal join keys on the
+    12-value month-of-year."""
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    w1 = W.orderBy("mi").rowsBetween(-6, 5)
+    w2 = W.orderBy("mi").rowsBetween(-5, 6)
+    w13 = W.orderBy("mi").rowsBetween(-6, 6)
+    wn = W.orderBy("mi").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wd = m.select(
+        "mi",
+        "x",
+        F.sum("x").over(w1).cast("long").alias("w1"),
+        F.sum("x").over(w2).cast("long").alias("w2"),
+        F.count("*").over(w13).alias("c13"),
+        (F.max("mi").over(wn) + 1).cast("long").alias("n"),
+    )
+    det = (
+        wd.filter(
+            (F.col("c13") == 13)
+            & (F.col("mi") >= 6)
+            & (F.col("mi") < 6 + 12 * F.floor((F.col("n") - 12) / 12))
+        )
+        .select(
+            "mi",
+            "x",
+            F.floor((F.col("n") - 12) / 12).cast("long").alias("k"),
+            (F.col("w1") + F.col("w2")).alias("num24"),
+            (24 * F.col("x") - (F.col("w1") + F.col("w2"))).alias("det24"),
+            (F.col("mi") % 12).alias("moy"),
+        )
+    )
+    seas = det.groupBy("moy").agg(F.sum("det24").cast("long").alias("s_m"))
+    tot = det.agg(F.sum("det24").cast("long").alias("t"))
+    out = det.join(seas, "moy").crossJoin(F.broadcast(tot))
+    denom = (12 * F.col("k")).cast("double") * F.lit(2400.0)
+    snum = (12 * F.col("s_m") - F.col("t")).cast("long")
+    return out.select(
+        "mi",
+        F.col("x").alias("revenue_cents"),
+        F.round(F.col("num24").cast("double") / 2400.0, 6).alias("trend"),
+        F.round(snum.cast("double") / denom, 6).alias("seasonal"),
+        F.round(
+            (12 * F.col("k") * F.col("det24") - snum).cast("double") / denom, 6
+        ).alias("remainder"),
+    ).orderBy("mi")
+
+
+@query(
     "q44h_nelson_aalen",
     oracle="""
     WITH subj AS (
@@ -7264,6 +7630,99 @@ def q53f_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q53g_acf_correlogram",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT b.mi - a.mi AS lag, a.x AS x, b.x AS y
+      FROM m a JOIN m b ON b.mi > a.mi AND b.mi - a.mi <= 12
+    ),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           round((CAST(n_pairs AS DOUBLE) * sxy
+                  - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n_pairs AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n_pairs AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS acf
+    FROM s ORDER BY lag
+    """,
+    tags=("agg", "statistics", "timeseries"),
+)
+def q53g_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION CORRELOGRAM of monthly revenue at lags 1..12 —
+    the model-identification plot q36r's single lag-1 number is a slice
+    of: a slow-decaying ACF says trend (difference first), a spike at
+    lag 12 says annual seasonality (q42k's decomposition applies), all
+    lags inside the noise band says don't fit anything.
+
+    Per-lag Pearson in the six-exact-sums computational form (the q36r
+    convention): the month series folds to exact KILOdollar integers
+    (cents summed exactly first, one integer division — deterministic
+    floor both engines), lagged pairs come from ONE self-equi-join of
+    the 80-row month frame against its +lag probe (explode of a 12-long
+    sequence, equi-join on the probed index, never a range-scan
+    product), and each lag's sums stay far inside BIGINT (x ~ 5e5 kilo-
+    dollars at sf0.1 -> sxx ~ 2e13). One pinned double assembly per
+    lag; IEEE sqrt is correctly rounded, so round(.,6) is cross-engine
+    safe.
+
+    Scale shape: the only fact-sized op is the per-month cents fold
+    (map-side combinable). Everything after runs on the months x lags
+    frame — bounded by calendar span, never corpus size.
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) div 100000").alias("x"))
+    )
+    a = m.select(
+        "mi",
+        F.col("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("lag"),
+    ).select("lag", "x", (F.col("mi") + F.col("lag")).alias("probe"))
+    b = m.select(F.col("mi").alias("probe"), F.col("x").alias("y"))
+    s = (
+        a.join(b, "probe")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nd = d("n_pairs")
+    acf = (nd * F.col("sxy") - d("sx") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - d("sx") * F.col("sx"))
+        * (nd * F.col("syy") - d("sy") * F.col("sy"))
+    )
+    return s.select("lag", "n_pairs", F.round(acf, 6).alias("acf")).orderBy("lag")
 
 
 @query(

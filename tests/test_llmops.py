@@ -596,3 +596,20 @@ def test_oph_signature_shape_and_densification(spark, docs):
     assert len(sig) == 64 and all(v is not None for v in sig)
     sig2 = llmops.oph_signatures(tiny, "doc_id").collect()[0]["sig"]
     assert sig == sig2
+
+
+def test_sq8_unit_sphere_recall_and_integer_exactness(spark):
+    """Unit-sphere int8 quantization: top-1 preserved exactly, top-10
+    recall near-perfect (measured 0.975/0.9875 at sf0.001/0.01 — the
+    per-dim affine variant scores ~6%, which is why the unit-sphere
+    form is THE code path), scores integral and symmetric-bounded."""
+    bf = REGISTRY["q97_cosine_topk"].fn(spark, SF_SMOKE).toPandas()
+    q8 = REGISTRY["q97v_int8_quantized_search"].fn(spark, SF_SMOKE).toPandas()
+    assert (q8.rnk <= 10).all()
+    truth = set(zip(bf.qid, bf.nid))
+    got = set(zip(q8.qid, q8.nid))
+    assert len(truth & got) / len(truth) >= 0.9
+    top1 = bf[bf.rnk == 1].merge(q8[q8.rnk == 1], on="qid", suffixes=("_bf", "_q8"))
+    assert (top1.nid_bf == top1.nid_q8).all()
+    # |q_d| <= 127 and 64 dims -> |dot| <= 64 * 127^2
+    assert (q8.q_dot.abs() <= 64 * 127 * 127).all()
