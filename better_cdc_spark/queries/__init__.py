@@ -97,6 +97,10 @@ SHOWCASE_ORDER = (
     "q42k_classical_decompose",
     "q97v_int8_quantized_search",
     "q53g_acf_correlogram",
+    "q36y_hodges_lehmann",
+    "q53h_mann_kendall_trend",
+    "q98ad_code_detection",
+    "qm20_streaming_hll_distinct",
     # pads: oldest driver rows first (displaced by mid-round additions)
     "q61_intersect",
     "q62_except",
@@ -127,10 +131,6 @@ SHOWCASE_ORDER = (
     "q32_approx_count_distinct",
     "q33b_cube",
     "q33c_grouping_sets",
-    "q35_collect_aggs",
-    "q36_stat_aggs",
-    "q36b_argminmax",
-    "q77b_fuzzy_blocked_match",
 )
 
 def load_all() -> dict[str, QuerySpec]:

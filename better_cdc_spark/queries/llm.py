@@ -12691,6 +12691,79 @@ def q98ab_luhn_card_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q98ad_code_detection",
+    oracle=r"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[{};()=<>\[\]]', '', 'g')) AS BIGINT) AS symbol_cnt,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(def|class|return|import|function|const|var|lambda|'
+                  || 'void|int|printf|include|public|static|null)\b'))
+                  AS BIGINT) AS kw_cnt,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT doc_id, n_chars, symbol_cnt, kw_cnt,
+           round(CAST(symbol_cnt AS DOUBLE) / n_chars
+                 + CAST(kw_cnt AS DOUBLE) / n_toks, 6) AS code_score,
+           (symbol_cnt * 20 >= n_chars AND kw_cnt * 20 >= n_toks)
+             AS is_code
+    FROM sig
+    """,
+    tags=("llm", "quality", "classification"),
+)
+def q98ad_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection — the corpus-routing gate a Stack-style
+    pipeline runs before tokenizer/quality decisions diverge (code
+    wants permissive symbol handling and license checks, prose wants
+    readability gates; misrouting either poisons both):
+    structural-symbol density ({};()=<>[] per char) and a keyword-hit
+    rate per whitespace token, combined into a score and a dual-
+    threshold decision (BOTH signals must fire — prose quoting one
+    code keyword or bracket-heavy math notation alone stays prose).
+
+    Integer counts from regexp_replace-difference and regexp_count on
+    the same \\b-anchored pattern in both engines; the two ratios are
+    single divisions of exact BIGINTs and the decision is INTEGER
+    cross-multiplication (symbol_cnt * 20 >= n_chars, i.e. >= 5%) so
+    the boolean carries no fp boundary at all. One narrow map, no
+    shuffle; at 100 TB this is a free rider on the q98 gate scan.
+    """
+    tune_for_oracle(spark)
+    kw = (
+        r"\b(def|class|return|import|function|const|var|lambda|"
+        r"void|int|printf|include|public|static|null)\b"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[{};()=<>\[\]]", ""))
+        ).cast("long").alias("symbol_cnt"),
+        F.regexp_count(F.lower("text"), F.lit(kw)).cast("long").alias("kw_cnt"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        "symbol_cnt",
+        "kw_cnt",
+        F.round(
+            F.col("symbol_cnt").cast("double") / F.col("n_chars")
+            + F.col("kw_cnt").cast("double") / F.col("n_toks"),
+            6,
+        ).alias("code_score"),
+        (
+            (F.col("symbol_cnt") * 20 >= F.col("n_chars"))
+            & (F.col("kw_cnt") * 20 >= F.col("n_toks"))
+        ).alias("is_code"),
+    )
+
+
+@query(
     "q98ac_html_extract",
     oracle="""
     WITH page AS (

@@ -7726,6 +7726,216 @@ def q53g_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q36y_hodges_lehmann",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    walsh AS (
+      SELECT a.mi AS i, b.mi AS j, a.x + b.x AS s2
+      FROM m a JOIN m b ON b.mi >= a.mi
+    ),
+    r AS (
+      SELECT s2, ROW_NUMBER() OVER (ORDER BY s2, i, j) AS rk,
+             COUNT(*) OVER () AS cnt
+      FROM walsh
+    ),
+    hl AS (
+      SELECT CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+             CAST(MAX(CASE WHEN rk = (cnt + 1) // 2 THEN s2 END) AS BIGINT)
+               AS lo2,
+             CAST(MAX(CASE WHEN rk = (cnt + 2) // 2 THEN s2 END) AS BIGINT)
+               AS hi2
+      FROM r
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+                  CAST(SUM(x) AS BIGINT) AS sx FROM m)
+    SELECT mm.n_months, hl.n_pairs,
+           round((CAST(hl.lo2 AS DOUBLE) + hl.hi2) / 400.0, 6)
+             AS hl_estimator,
+           round(CAST(mm.sx AS DOUBLE) / mm.n_months / 100.0, 6) AS mean
+    FROM hl, mm
+    """,
+    tags=("agg", "statistics", "robust"),
+)
+def q36y_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HODGES-LEHMANN pseudo-median of monthly revenue — the location
+    estimator dual to q53e's Theil-Sen slope (median of pairwise Walsh
+    AVERAGES instead of pairwise slopes): 29% breakdown point, ~0.96
+    efficiency under normality, the number a robust dashboard quotes
+    instead of the mean when months can be broken.
+
+    Walsh sums (x_i + x_j, i <= j) stay exact BIGINT cents (the /2
+    deferred to the single output division); the median of the 3240
+    sums is a DISCRETE two-rank selection (row_number with (s, i, j)
+    tiebreak — interpolation-free, so cross-engine bit-safe), averaged
+    via (lo + hi)/400.0 into dollars in one pinned division. The mean
+    rides along as the fragility contrast.
+
+    Scale shape: the only fact-sized op is the per-month cents fold;
+    the O(n^2) Walsh frame lives on the CALENDAR aggregate (80 rows ->
+    3240 pairs) — the q53e discipline verbatim.
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    a = m.select(F.col("mi").alias("i"), F.col("x").alias("xa"))
+    b = m.select(F.col("mi").alias("j"), F.col("x").alias("xb"))
+    walsh = a.join(b, F.col("j") >= F.col("i")).select(
+        "i", "j", (F.col("xa") + F.col("xb")).alias("s2")
+    )
+    w = W.orderBy("s2", "i", "j")
+    r = walsh.select(
+        "s2",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("cnt"),
+    )
+    hl = r.agg(
+        F.max("cnt").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rk") == F.floor((F.col("cnt") + 1) / 2), F.col("s2"))
+        ).cast("long").alias("lo2"),
+        F.max(
+            F.when(F.col("rk") == F.floor((F.col("cnt") + 2) / 2), F.col("s2"))
+        ).cast("long").alias("hi2"),
+    )
+    mm = m.agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    return hl.crossJoin(F.broadcast(mm)).select(
+        "n_months",
+        "n_pairs",
+        F.round((F.col("lo2").cast("double") + F.col("hi2")) / 400.0, 6).alias(
+            "hl_estimator"
+        ),
+        F.round(
+            F.col("sx").cast("double") / F.col("n_months") / 100.0, 6
+        ).alias("mean"),
+    )
+
+
+@query(
+    "q53h_mann_kendall_trend",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.mi % 12 AS moy,
+             CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+      FROM m a JOIN m b ON b.mi % 12 = a.mi % 12 AND b.mi > a.mi
+    ),
+    s AS (SELECT CAST(SUM(sg) AS BIGINT) AS s_stat FROM pairs),
+    seas AS (
+      SELECT mi % 12 AS moy, CAST(COUNT(*) AS BIGINT) AS nm
+      FROM m GROUP BY 1
+    ),
+    v AS (
+      SELECT CAST(SUM(nm * (nm - 1) * (2 * nm + 5)) AS BIGINT) AS v18
+      FROM seas
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM m)
+    SELECT mm.n_months, s.s_stat,
+           round(CAST(v.v18 AS DOUBLE) / 18.0, 6) AS var_s,
+           round((CAST(s.s_stat AS DOUBLE)
+                  - CASE WHEN s.s_stat > 0 THEN 1
+                         WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt(CAST(v.v18 AS DOUBLE) / 18.0), 6) AS z_score
+    FROM s, v, mm
+    """,
+    tags=("agg", "statistics", "timeseries", "robust"),
+)
+def q53h_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL MANN-KENDALL trend test on monthly revenue — the
+    nonparametric significance test that PAIRS with q53e's Theil-Sen
+    slope in practice (MK says WHETHER a monotone trend exists, the
+    Theil-Sen median says HOW STEEP): sign-based, so outlier months
+    cannot manufacture or hide a trend, and the seasonal form compares
+    only like months (Jan vs Jan), so annual cycles don't masquerade
+    as trend.
+
+    S = sum of sign(x_j - x_i) over same-season pairs — exact integer
+    from an equi-join of the month frame ON THE SEASON KEY (moy) with
+    the mi > mi residual; per-season counts give the no-ties variance
+    18*Var = sum n(n-1)(2n+5) as one BIGINT (revenue cents never tie
+    at these scales; the tie-corrected subtraction is the documented
+    extension). The continuity-corrected Z assembles in one pinned
+    expression; IEEE sqrt keeps round(.,6) cross-engine safe.
+
+    Scale shape: one map-side-combinable fact fold, then a
+    calendar-bounded season join (~250 pairs) — the q53e/q36y
+    discipline; seasons never touch the corpus again.
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .withColumn("moy", F.col("mi") % 12)
+    )
+    a = m.select("moy", F.col("mi").alias("ia"), F.col("x").alias("xa"))
+    b = m.select("moy", F.col("mi").alias("ib"), F.col("x").alias("xb"))
+    sg = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, "moy")
+        .filter(F.col("ib") > F.col("ia"))
+        .agg(F.sum(sg).cast("long").alias("s_stat"))
+    )
+    v = (
+        m.groupBy("moy")
+        .agg(F.count("*").cast("long").alias("nm"))
+        .agg(
+            F.sum(F.col("nm") * (F.col("nm") - 1) * (2 * F.col("nm") + 5))
+            .cast("long")
+            .alias("v18")
+        )
+    )
+    mm = m.agg(F.count("*").cast("long").alias("n_months"))
+    out = s.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(mm))
+    sd = F.col("s_stat").cast("double")
+    corr = (
+        F.when(F.col("s_stat") > 0, 1.0)
+        .when(F.col("s_stat") < 0, -1.0)
+        .otherwise(0.0)
+    )
+    var_s = F.col("v18").cast("double") / 18.0
+    return out.select(
+        "n_months",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round((sd - corr) / F.sqrt(var_s), 6).alias("z_score"),
+    )
+
+
+@query(
     "q47f_markov_stationary",
     oracle="""
     WITH pairs AS (

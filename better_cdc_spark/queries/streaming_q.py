@@ -2776,3 +2776,148 @@ def qm19_streaming_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b"), 6).alias("trend"),
         F.round(F.col("l") + F.col("b"), 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+@query(
+    "qm20_streaming_hll_distinct",
+    # the one-shot portable sketch (q32b's construction over user_id) IS
+    # the truth: registers are a MAX semilattice, so the incremental
+    # merge of per-epoch partials equals it bit-for-bit
+    oracle="""
+    WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+    h AS (
+      SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+               AS hv
+      FROM keys
+    ),
+    slots AS (SELECT hv % 128 AS j, hv // 128 AS w FROM h),
+    regs AS (
+      SELECT j,
+             CAST(MAX(CASE WHEN w = 0 THEN 54
+                           ELSE 54 - length(bin(w)) END) AS BIGINT) AS m_j
+      FROM slots GROUP BY j
+    ),
+    sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(SUM(1::BIGINT << (54 - m_j)) AS BIGINT) AS s_present,
+             CAST(SUM((j + 1) * m_j) AS BIGINT) AS digest
+      FROM regs
+    ),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM keys)
+    SELECT 128 AS m,
+           128 - sk.n_present AS v_zero,
+           sk.s_present
+             + (128 - sk.n_present) * (1::BIGINT << 54) AS s_scaled,
+           sk.digest AS register_digest,
+           ex.n_exact,
+           round(0.715270493264::DOUBLE * 16384.0::DOUBLE
+                 * 18014398509481984.0::DOUBLE
+                 / CAST(sk.s_present
+                        + (128 - sk.n_present) * (1::BIGINT << 54)
+                        AS DOUBLE), 6) AS hll_estimate
+    FROM sk, ex
+    """,
+    tags=("streaming", "sketch", "approx", "incremental", "merge"),
+)
+def qm20_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DISTINCT-COUNT via the portable HLL (q32b's sketch
+    maintained under event arrival) — the fourth member of the
+    semilattice streaming family: qm08 proved bit_or, qm13 MAX
+    counters, qm17 bottom-k; HLL registers are per-slot MAXes, so the
+    SAME discipline carries an approximate-cardinality sketch with a
+    FULL value-hash oracle (the one thing engine-native HLL state can
+    never have — q32/q36g stay rows-only precisely because their sketch
+    bytes are opaque; this one's registers are the contract).
+
+    Per epoch: batch rows hash to (register, rho) and fold to AT MOST
+    128 partial-MAX rows, appended to the partials dir — re-delivered
+    events and out-of-order batches are absorbed because MAX is
+    idempotent/commutative/associative (the arrival script scrambles
+    batches by a hash and re-delivers every 9th event to make that
+    concrete). Read-side merge: one 128-bounded groupBy-MAX, then
+    q32b's scaled-BIGINT assembly — estimate included, bit-reproducible.
+
+    100 TB: <=128 rows cross the wire per micro-batch regardless of
+    batch size (the map-side fold does all the work), merge cost is
+    O(epochs x 128), and the registers double as per-window sketches by
+    bucketing epochs — cardinality-over-time for free.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    arrivals = scratch_dir("qm20_arrivals")
+    for b in range(2):
+        ev.filter((F.col("event_id") * 7919) % 2 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+    ev.filter(F.col("event_id") % 9 == 0).coalesce(1).write.mode("append").parquet(
+        arrivals
+    )
+
+    partials = scratch_dir("qm20_partials")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rho = F.when(F.col("w") == 0, F.lit(54)).otherwise(
+        54 - F.length(F.conv(F.col("w"), 10, 2))
+    )
+
+    def sketch_step(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                (h % 128).alias("j"), F.floor(h / 128).cast("long").alias("w")
+            )
+            .select("j", rho.cast("long").alias("rho"))
+            .groupBy("j")
+            .agg(F.max("rho").alias("m_j"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(sketch_step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm20_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    regs = spark.read.parquet(partials).groupBy("j").agg(
+        F.max("m_j").cast("long").alias("m_j")
+    )
+    sk = regs.agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - m_j AS INT))"))
+        .cast("long")
+        .alias("s_present"),
+        F.sum((F.col("j") + 1) * F.col("m_j")).cast("long").alias("digest"),
+    )
+    ex = ev.select("user_id").distinct().agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    out = sk.crossJoin(F.broadcast(ex))
+    s_scaled = (
+        F.col("s_present")
+        + (128 - F.col("n_present")) * F.lit(18014398509481984).cast("long")
+    ).cast("long")
+    est = (
+        F.lit(0.715270493264) * F.lit(16384.0) * F.lit(18014398509481984.0)
+        / s_scaled.cast("double")
+    )
+    return out.select(
+        F.lit(128).cast("int").alias("m"),
+        (128 - F.col("n_present")).cast("long").alias("v_zero"),
+        s_scaled.alias("s_scaled"),
+        F.col("digest").alias("register_digest"),
+        "n_exact",
+        F.round(est, 6).alias("hll_estimate"),
+    )

@@ -493,6 +493,41 @@ def main() -> int:
           f"({wall_n:.2f}s vs {wall_w:.2f}s full-spread) — epoch IO is "
           f"O(matching buckets), not O(state)")
 
+    # ---- blocked_cumsum: two-level partial+offset scan vs the classic
+    # single-task whole-frame window (the r10 operators.py addition) ----
+    from pyspark.sql import Window as W
+
+    from better_cdc_spark.operators import blocked_cumsum
+
+    n_vals = 4_000_000
+    frame = (
+        spark.range(n_vals)
+        .select(
+            F.col("id").alias("v"),
+            (F.pmod(F.xxhash64("id"), F.lit(1000)) + 1).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def classic_cumsum():
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        return (
+            frame.select(F.coalesce(F.sum("c").over(w), F.lit(0)).alias("b"))
+            .agg(F.sum("b")).collect()[0][0]
+        )
+
+    def blocked():
+        return (
+            blocked_cumsum(frame, "v", "c", "b", n_blocks=256)
+            .agg(F.sum("b")).collect()[0][0]
+        )
+
+    s_classic = timed(f"classic global-window cumsum over {n_vals:,} distinct values", classic_cumsum, "rows")
+    s_blocked = timed(f"blocked_cumsum (256 range blocks) over {n_vals:,}", blocked, "rows")
+    assert s_classic == s_blocked, "blocked cumsum diverged from the classic window"
+    print("  blocked_cumsum: identical checksum; wide scan parallel across "
+          "blocks, only the 256-row totals frame single-task")
+
     return 0
 
 
