@@ -67,12 +67,15 @@ def query(
 # ROTATES each round to entries the external gate has not yet verified.
 #
 # Round-10 prefix (generated with tools/rotation.py): leads with the 4
-# never-driver-verified round-9 closers plus the 4 LSH queries whose
-# oracles were promoted from rows-only to full value-hash AFTER their
-# last driver row (the driver last saw them as `no_oracle`; a fresh row
-# proves the promoted oracle in the driver's own ledger). Padded to 50
-# with the LONGEST-unverified entries (last green row r1/r2) so the gate
-# also re-confirms the oldest rows against today's code.
+# never-driver-verified round-9 closers, the 4 LSH queries whose oracles
+# were promoted from rows-only to full value-hash AFTER their last
+# driver row (the driver last saw them as `no_oracle`; a fresh row
+# proves the promoted oracle in the driver's own ledger), the 4
+# round-10 promotions (q95k/q97_ann_lsh/q97_ann_ivf/q97f — probed-exact
+# pinned oracles), and the 10 round-10 additions (each pre-verified at
+# two or three scales before entering). Padded to 50 with the
+# LONGEST-unverified entries (last green row r1/r2) so the gate also
+# re-confirms the oldest rows against today's code.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
@@ -101,6 +104,7 @@ SHOWCASE_ORDER = (
     "q53h_mann_kendall_trend",
     "q98ad_code_detection",
     "qm20_streaming_hll_distinct",
+    "q47i_absorbing_hit_probability",
     # pads: oldest driver rows first (displaced by mid-round additions)
     "q61_intersect",
     "q62_except",
@@ -130,7 +134,6 @@ SHOWCASE_ORDER = (
     "q31_distinct_agg",
     "q32_approx_count_distinct",
     "q33b_cube",
-    "q33c_grouping_sets",
 )
 
 def load_all() -> dict[str, QuerySpec]:

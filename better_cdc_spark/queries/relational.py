@@ -8095,6 +8095,170 @@ def q47f_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q47i_absorbing_hit_probability",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), types AS (
+      SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type AS t FROM events)
+    ), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY src),
+    probs_f AS (
+      SELECT si.idx * kk.k + di.idx AS f, 1000000 * c // rt.tot AS p
+      FROM cnt
+      JOIN types si ON si.t = cnt.src
+      JOIN types di ON di.t = cnt.dst
+      JOIN rt ON rt.src = cnt.src, kk
+    ), grid AS (
+      SELECT unnest(range((SELECT k * k FROM kk))) AS f
+    ), mat AS (
+      SELECT array_agg(COALESCE(pf.p, 0)::BIGINT ORDER BY grid.f) AS m
+      FROM grid LEFT JOIN probs_f pf ON pf.f = grid.f
+    ), tg AS (SELECT idx AS g FROM types WHERE t = 'purchase'),
+    folded AS (
+      SELECT kk.k,
+             list_reduce(
+               list_concat(
+                 [list_transform(range(kk.k), x -> 0::BIGINT)],
+                 list_transform(range(30),
+                                x -> list_transform(range(kk.k),
+                                                    y -> 0::BIGINT))),
+               (acc, x) -> list_transform(range(kk.k), i ->
+                 m[(i * kk.k + tg.g + 1)::INTEGER]
+                 + list_reduce(
+                     list_transform(range(kk.k), j ->
+                       CASE WHEN j = tg.g THEN 0::BIGINT
+                            ELSE acc[(j + 1)::INTEGER]
+                                 * m[(i * kk.k + j + 1)::INTEGER]
+                                 // 1000000 END),
+                     (a, b) -> a + b))) AS v
+      FROM mat, kk, tg
+    )
+    SELECT types.t AS event_type, folded.k AS n_states,
+           v[(types.idx + 1)::INTEGER] AS hit30_micro
+    FROM folded, types ORDER BY event_type
+    """,
+    tags=("analytics", "markov", "iterative", "fold", "attribution"),
+)
+def q47i_absorbing_hit_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSORBING-MARKOV CONVERSION PROBABILITY — P(reach 'purchase'
+    within 30 transitions | current state), the forward-looking number
+    q47c's last-touch attribution and q47_funnel's stage gates cannot
+    give: make the conversion state absorbing and run the finite-
+    horizon absorption recurrence h <- P[:, tgt] + P[:, -tgt] h. The
+    horizon form needs NO matrix inverse (the textbook fundamental-
+    matrix (I-Q)^-1 does), converges monotonically from below, and at
+    H=30 is the practical "this journey will convert" score.
+
+    Same machinery as q47f verbatim: row-stochastic micro-unit matrix
+    collected to ONE row, 30 iterations as a nested truncated-integer
+    fold (K^2 multiplies per step, fixed j-order, truncation bleeds
+    monotonically downward — the defined contract), zero driver loops,
+    zero shuffles per iteration, full value-hash oracle.
+
+    Scale: fact-sized stages are the per-user lead() window and the
+    (src, dst) count; the fold is |states|^2-bounded in-row. The pair
+    (q47f stationary, q47i absorption) shows the in-plan iteration
+    pattern carries BOTH eigenvector-style and linear-system-style
+    chain analytics.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w_user).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cnt = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("long").alias("c"))
+    types = (
+        ev.select(F.col("event_type").alias("t"))
+        .distinct()
+        .select(
+            "t", (F.row_number().over(W.orderBy("t")) - 1).cast("long").alias("idx")
+        )
+    )
+    kk = types.agg(F.count("*").cast("long").alias("k"))
+    tg = types.filter(F.col("t") == "purchase").select(F.col("idx").alias("g"))
+    rt = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    si = types.select(F.col("t").alias("src"), F.col("idx").alias("i"))
+    di = types.select(F.col("t").alias("dst"), F.col("idx").alias("j"))
+    probs_f = (
+        cnt.join(F.broadcast(si), "src")
+        .join(F.broadcast(di), "dst")
+        .join(F.broadcast(rt), "src")
+        .join(F.broadcast(kk))
+        .select(
+            (F.col("i") * F.col("k") + F.col("j")).alias("f"),
+            F.expr("1000000 * c div tot").alias("p"),
+        )
+    )
+    mat = (
+        probs_f.join(F.broadcast(kk))
+        .join(F.broadcast(tg))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("f", "p"))).alias("mp"),
+            F.max("k").alias("k"),
+            F.max("g").alias("g"),
+        )
+    )
+    M = F.lit(1000000).cast("long")
+    kcol = F.col("k").cast("int")
+    gcol = F.col("g").cast("int")
+
+    def trunc_div(prod: F.Column) -> F.Column:
+        return ((prod - prod % M) / M).cast("long")
+
+    m = F.transform(
+        F.sequence(F.lit(0), (kcol * kcol - 1)),
+        lambda f: F.coalesce(
+            F.element_at(F.col("mp"), f.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    h0 = F.transform(
+        F.sequence(F.lit(0), kcol - 1), lambda _: F.lit(0).cast("long")
+    )
+    folded = mat.select(
+        F.col("k").alias("n_states"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(30)),
+            h0,
+            lambda acc, _: F.transform(
+                F.sequence(F.lit(0), kcol - 1),
+                lambda i: F.element_at(m, (i * kcol + gcol + 1))
+                + F.aggregate(
+                    F.sequence(F.lit(0), kcol - 1),
+                    F.lit(0).cast("long"),
+                    lambda s, j: s
+                    + F.when(j == gcol, F.lit(0).cast("long")).otherwise(
+                        trunc_div(
+                            F.element_at(acc, j + 1)
+                            * F.element_at(m, (i * kcol + j + 1))
+                        )
+                    ),
+                ),
+            ),
+        ).alias("v"),
+    )
+    return (
+        folded.join(F.broadcast(types))
+        .select(
+            F.col("t").alias("event_type"),
+            "n_states",
+            F.element_at("v", F.col("idx").cast("int") + 1).alias("hit30_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q36v_cramers_v",
     oracle="""
     WITH cells AS (
