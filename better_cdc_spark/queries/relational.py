@@ -6588,6 +6588,102 @@ def q42i_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q46g_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    firstm AS (
+      SELECT o_custkey, CAST(MIN(mi) AS BIGINT) AS cohort
+      FROM o GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM firstm GROUP BY cohort
+    ),
+    rev AS (
+      SELECT f.cohort, o.mi - f.cohort AS offset_mi,
+             CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+      FROM o JOIN firstm f USING (o_custkey)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, offset_mi,
+             CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY offset_mi
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM rev
+    )
+    SELECT c.cohort, c.offset_mi, s.n_customers,
+           round(CAST(c.cum_cents AS DOUBLE) / s.n_customers / 100.0, 6)
+             AS ltv_per_customer
+    FROM cum c JOIN sizes s USING (cohort)
+    ORDER BY c.cohort, c.offset_mi
+    """,
+    tags=("analytics", "cohort", "timeseries"),
+)
+def q46g_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE CURVES — cumulative revenue per customer by
+    acquisition cohort and age: the payback-period table q46's retention
+    triangle prices out (retention says WHO came back, LTV says what
+    coming back was WORTH; the two reports share the same first-touch
+    derivation).
+
+    One fact pass keys every order to its customer's first-order month
+    (groupBy-MIN + co-partitioned join back on o_custkey), folds to
+    exact integer cents per (cohort, age) cell, then the cumulative
+    curve is a window over the COHORT x AGE frame (<= 80 x 80 rows,
+    calendar-bounded — the q53f bounded-frame class, partitioned by
+    cohort so it never single-tasks). LTV divides two exact integers
+    once per output row; round(.,6) cross-engine safe.
+
+    100 TB: both fact-sized stages (first-order MIN, cell fold) are
+    map-side-combinable and share the customer-key shuffle; everything
+    after lives on the calendar grid.
+    """
+    tune_for_oracle(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("mi"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    firstm = o.groupBy("o_custkey").agg(F.min("mi").cast("long").alias("cohort"))
+    sizes = firstm.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+    rev = (
+        o.join(firstm, "o_custkey")
+        .groupBy("cohort", (F.col("mi") - F.col("cohort")).alias("offset_mi"))
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = W.partitionBy("cohort").orderBy("offset_mi").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = rev.select(
+        "cohort",
+        "offset_mi",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return (
+        cum.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "offset_mi",
+            "n_customers",
+            F.round(
+                F.col("cum_cents").cast("double") / F.col("n_customers") / 100.0,
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "offset_mi")
+    )
+
+
+@query(
     "q46f_rfm_segmentation",
     oracle="""
     WITH cust AS (
