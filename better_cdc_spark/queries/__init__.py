@@ -106,6 +106,7 @@ SHOWCASE_ORDER = (
     "qm20_streaming_hll_distinct",
     "q47i_absorbing_hit_probability",
     "q46g_cohort_ltv",
+    "q96i_simhash_portable",
     # pads: oldest driver rows first (displaced by mid-round additions)
     "q61_intersect",
     "q62_except",
@@ -133,7 +134,6 @@ SHOWCASE_ORDER = (
     "q26_theta_join",
     "q28_interval_join",
     "q31_distinct_agg",
-    "q32_approx_count_distinct",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -352,6 +352,249 @@ def q96_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmops.simhash_near_pairs(docs, "doc_id", max_hamming=8)
 
 
+_SIMHASH_PORTABLE_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    sums AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((h >> 0) & 1) AS BIGINT) AS b0,
+             CAST(SUM((h >> 1) & 1) AS BIGINT) AS b1,
+             CAST(SUM((h >> 2) & 1) AS BIGINT) AS b2,
+             CAST(SUM((h >> 3) & 1) AS BIGINT) AS b3,
+             CAST(SUM((h >> 4) & 1) AS BIGINT) AS b4,
+             CAST(SUM((h >> 5) & 1) AS BIGINT) AS b5,
+             CAST(SUM((h >> 6) & 1) AS BIGINT) AS b6,
+             CAST(SUM((h >> 7) & 1) AS BIGINT) AS b7,
+             CAST(SUM((h >> 8) & 1) AS BIGINT) AS b8,
+             CAST(SUM((h >> 9) & 1) AS BIGINT) AS b9,
+             CAST(SUM((h >> 10) & 1) AS BIGINT) AS b10,
+             CAST(SUM((h >> 11) & 1) AS BIGINT) AS b11,
+             CAST(SUM((h >> 12) & 1) AS BIGINT) AS b12,
+             CAST(SUM((h >> 13) & 1) AS BIGINT) AS b13,
+             CAST(SUM((h >> 14) & 1) AS BIGINT) AS b14,
+             CAST(SUM((h >> 15) & 1) AS BIGINT) AS b15,
+             CAST(SUM((h >> 16) & 1) AS BIGINT) AS b16,
+             CAST(SUM((h >> 17) & 1) AS BIGINT) AS b17,
+             CAST(SUM((h >> 18) & 1) AS BIGINT) AS b18,
+             CAST(SUM((h >> 19) & 1) AS BIGINT) AS b19,
+             CAST(SUM((h >> 20) & 1) AS BIGINT) AS b20,
+             CAST(SUM((h >> 21) & 1) AS BIGINT) AS b21,
+             CAST(SUM((h >> 22) & 1) AS BIGINT) AS b22,
+             CAST(SUM((h >> 23) & 1) AS BIGINT) AS b23,
+             CAST(SUM((h >> 24) & 1) AS BIGINT) AS b24,
+             CAST(SUM((h >> 25) & 1) AS BIGINT) AS b25,
+             CAST(SUM((h >> 26) & 1) AS BIGINT) AS b26,
+             CAST(SUM((h >> 27) & 1) AS BIGINT) AS b27,
+             CAST(SUM((h >> 28) & 1) AS BIGINT) AS b28,
+             CAST(SUM((h >> 29) & 1) AS BIGINT) AS b29,
+             CAST(SUM((h >> 30) & 1) AS BIGINT) AS b30,
+             CAST(SUM((h >> 31) & 1) AS BIGINT) AS b31,
+             CAST(SUM((h >> 32) & 1) AS BIGINT) AS b32,
+             CAST(SUM((h >> 33) & 1) AS BIGINT) AS b33,
+             CAST(SUM((h >> 34) & 1) AS BIGINT) AS b34,
+             CAST(SUM((h >> 35) & 1) AS BIGINT) AS b35,
+             CAST(SUM((h >> 36) & 1) AS BIGINT) AS b36,
+             CAST(SUM((h >> 37) & 1) AS BIGINT) AS b37,
+             CAST(SUM((h >> 38) & 1) AS BIGINT) AS b38,
+             CAST(SUM((h >> 39) & 1) AS BIGINT) AS b39,
+             CAST(SUM((h >> 40) & 1) AS BIGINT) AS b40,
+             CAST(SUM((h >> 41) & 1) AS BIGINT) AS b41,
+             CAST(SUM((h >> 42) & 1) AS BIGINT) AS b42,
+             CAST(SUM((h >> 43) & 1) AS BIGINT) AS b43,
+             CAST(SUM((h >> 44) & 1) AS BIGINT) AS b44,
+             CAST(SUM((h >> 45) & 1) AS BIGINT) AS b45,
+             CAST(SUM((h >> 46) & 1) AS BIGINT) AS b46,
+             CAST(SUM((h >> 47) & 1) AS BIGINT) AS b47,
+             CAST(SUM((h >> 48) & 1) AS BIGINT) AS b48,
+             CAST(SUM((h >> 49) & 1) AS BIGINT) AS b49,
+             CAST(SUM((h >> 50) & 1) AS BIGINT) AS b50,
+             CAST(SUM((h >> 51) & 1) AS BIGINT) AS b51,
+             CAST(SUM((h >> 52) & 1) AS BIGINT) AS b52,
+             CAST(SUM((h >> 53) & 1) AS BIGINT) AS b53,
+             CAST(SUM((h >> 54) & 1) AS BIGINT) AS b54,
+             CAST(SUM((h >> 55) & 1) AS BIGINT) AS b55,
+             CAST(SUM((h >> 56) & 1) AS BIGINT) AS b56,
+             CAST(SUM((h >> 57) & 1) AS BIGINT) AS b57,
+             CAST(SUM((h >> 58) & 1) AS BIGINT) AS b58,
+             CAST(SUM((h >> 59) & 1) AS BIGINT) AS b59
+      FROM tok GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             (CASE WHEN 2 * b0 > n THEN (1::BIGINT << 0) ELSE 0 END)
+               + (CASE WHEN 2 * b1 > n THEN (1::BIGINT << 1) ELSE 0 END)
+               + (CASE WHEN 2 * b2 > n THEN (1::BIGINT << 2) ELSE 0 END)
+               + (CASE WHEN 2 * b3 > n THEN (1::BIGINT << 3) ELSE 0 END)
+               + (CASE WHEN 2 * b4 > n THEN (1::BIGINT << 4) ELSE 0 END)
+               + (CASE WHEN 2 * b5 > n THEN (1::BIGINT << 5) ELSE 0 END)
+               + (CASE WHEN 2 * b6 > n THEN (1::BIGINT << 6) ELSE 0 END)
+               + (CASE WHEN 2 * b7 > n THEN (1::BIGINT << 7) ELSE 0 END)
+               + (CASE WHEN 2 * b8 > n THEN (1::BIGINT << 8) ELSE 0 END)
+               + (CASE WHEN 2 * b9 > n THEN (1::BIGINT << 9) ELSE 0 END)
+               + (CASE WHEN 2 * b10 > n THEN (1::BIGINT << 10) ELSE 0 END)
+               + (CASE WHEN 2 * b11 > n THEN (1::BIGINT << 11) ELSE 0 END)
+               + (CASE WHEN 2 * b12 > n THEN (1::BIGINT << 12) ELSE 0 END)
+               + (CASE WHEN 2 * b13 > n THEN (1::BIGINT << 13) ELSE 0 END)
+               + (CASE WHEN 2 * b14 > n THEN (1::BIGINT << 14) ELSE 0 END)
+               + (CASE WHEN 2 * b15 > n THEN (1::BIGINT << 15) ELSE 0 END)
+               + (CASE WHEN 2 * b16 > n THEN (1::BIGINT << 16) ELSE 0 END)
+               + (CASE WHEN 2 * b17 > n THEN (1::BIGINT << 17) ELSE 0 END)
+               + (CASE WHEN 2 * b18 > n THEN (1::BIGINT << 18) ELSE 0 END)
+               + (CASE WHEN 2 * b19 > n THEN (1::BIGINT << 19) ELSE 0 END)
+               + (CASE WHEN 2 * b20 > n THEN (1::BIGINT << 20) ELSE 0 END)
+               + (CASE WHEN 2 * b21 > n THEN (1::BIGINT << 21) ELSE 0 END)
+               + (CASE WHEN 2 * b22 > n THEN (1::BIGINT << 22) ELSE 0 END)
+               + (CASE WHEN 2 * b23 > n THEN (1::BIGINT << 23) ELSE 0 END)
+               + (CASE WHEN 2 * b24 > n THEN (1::BIGINT << 24) ELSE 0 END)
+               + (CASE WHEN 2 * b25 > n THEN (1::BIGINT << 25) ELSE 0 END)
+               + (CASE WHEN 2 * b26 > n THEN (1::BIGINT << 26) ELSE 0 END)
+               + (CASE WHEN 2 * b27 > n THEN (1::BIGINT << 27) ELSE 0 END)
+               + (CASE WHEN 2 * b28 > n THEN (1::BIGINT << 28) ELSE 0 END)
+               + (CASE WHEN 2 * b29 > n THEN (1::BIGINT << 29) ELSE 0 END)
+               + (CASE WHEN 2 * b30 > n THEN (1::BIGINT << 30) ELSE 0 END)
+               + (CASE WHEN 2 * b31 > n THEN (1::BIGINT << 31) ELSE 0 END)
+               + (CASE WHEN 2 * b32 > n THEN (1::BIGINT << 32) ELSE 0 END)
+               + (CASE WHEN 2 * b33 > n THEN (1::BIGINT << 33) ELSE 0 END)
+               + (CASE WHEN 2 * b34 > n THEN (1::BIGINT << 34) ELSE 0 END)
+               + (CASE WHEN 2 * b35 > n THEN (1::BIGINT << 35) ELSE 0 END)
+               + (CASE WHEN 2 * b36 > n THEN (1::BIGINT << 36) ELSE 0 END)
+               + (CASE WHEN 2 * b37 > n THEN (1::BIGINT << 37) ELSE 0 END)
+               + (CASE WHEN 2 * b38 > n THEN (1::BIGINT << 38) ELSE 0 END)
+               + (CASE WHEN 2 * b39 > n THEN (1::BIGINT << 39) ELSE 0 END)
+               + (CASE WHEN 2 * b40 > n THEN (1::BIGINT << 40) ELSE 0 END)
+               + (CASE WHEN 2 * b41 > n THEN (1::BIGINT << 41) ELSE 0 END)
+               + (CASE WHEN 2 * b42 > n THEN (1::BIGINT << 42) ELSE 0 END)
+               + (CASE WHEN 2 * b43 > n THEN (1::BIGINT << 43) ELSE 0 END)
+               + (CASE WHEN 2 * b44 > n THEN (1::BIGINT << 44) ELSE 0 END)
+               + (CASE WHEN 2 * b45 > n THEN (1::BIGINT << 45) ELSE 0 END)
+               + (CASE WHEN 2 * b46 > n THEN (1::BIGINT << 46) ELSE 0 END)
+               + (CASE WHEN 2 * b47 > n THEN (1::BIGINT << 47) ELSE 0 END)
+               + (CASE WHEN 2 * b48 > n THEN (1::BIGINT << 48) ELSE 0 END)
+               + (CASE WHEN 2 * b49 > n THEN (1::BIGINT << 49) ELSE 0 END)
+               + (CASE WHEN 2 * b50 > n THEN (1::BIGINT << 50) ELSE 0 END)
+               + (CASE WHEN 2 * b51 > n THEN (1::BIGINT << 51) ELSE 0 END)
+               + (CASE WHEN 2 * b52 > n THEN (1::BIGINT << 52) ELSE 0 END)
+               + (CASE WHEN 2 * b53 > n THEN (1::BIGINT << 53) ELSE 0 END)
+               + (CASE WHEN 2 * b54 > n THEN (1::BIGINT << 54) ELSE 0 END)
+               + (CASE WHEN 2 * b55 > n THEN (1::BIGINT << 55) ELSE 0 END)
+               + (CASE WHEN 2 * b56 > n THEN (1::BIGINT << 56) ELSE 0 END)
+               + (CASE WHEN 2 * b57 > n THEN (1::BIGINT << 57) ELSE 0 END)
+               + (CASE WHEN 2 * b58 > n THEN (1::BIGINT << 58) ELSE 0 END)
+               + (CASE WHEN 2 * b59 > n THEN (1::BIGINT << 59) ELSE 0 END) AS f
+      FROM sums
+    ),
+    blocked AS (
+      SELECT doc_id, f, q, (f >> (q * 15)) & 32767 AS key
+      FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) qs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+      FROM blocked a JOIN blocked b USING (q, key)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """
+
+@query(
+    "q96i_simhash_portable",
+    oracle=_SIMHASH_PORTABLE_ORACLE,
+    tags=("llm", "dedup", "simhash"),
+)
+def q96i_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE SimHash near-dup pairs — the full-oracle sibling of
+    q96_simhash: that query's pandas kernel hashes tokens with
+    fixed-key SipHash (pd.util.hash_array), which no SQL engine can
+    reproduce, so it is honestly rows-only forever. THIS variant keeps
+    the identical algorithm — per-token hash, per-bit majority vote,
+    16-bit-class block pigeonhole, exact popcount verify — but sources
+    the token hash from the md5-prefix bridge both engines compute
+    bit-identically, making the ENTIRE near-dup pair set a value-hash
+    contract (the q97_ann_lsh promotion move applied to SimHash).
+
+    60-bit fingerprints (conv's 15-hex ceiling): per-doc bit majorities
+    are 60 map-side-combinable integer SUM aggregates over the token
+    explode (exact BIGINT, no Python), the fingerprint assembles in-row,
+    and candidates join on four 15-bit blocks — Hamming <= 3 pigeonholes
+    at least one equal block, so the equi-join is EXACT for the emitted
+    threshold, never all-pairs (the q99q banding argument). Verification
+    is one xor + bit_count per candidate.
+
+    100 TB: same shape as q96_simhash's production path — the explode
+    and 60-sum agg shuffle on doc_id (combinable), the block self-join
+    keys on (block, key) with df-cappable hot blocks. The pandas-kernel
+    q96 stays the throughput champion (one Arrow pass, no explode);
+    this is the auditable twin.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    sums = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)))
+            .cast("long")
+            .alias(f"b{i}")
+            for i in range(60)
+        ],
+    )
+    fp_expr = None
+    for i in range(60):
+        term = F.when(
+            2 * F.col(f"b{i}") > F.col("n"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = sums.select("doc_id", fp_expr.alias("f")).localCheckpoint(eager=True)
+    blocked = fp.select(
+        "doc_id",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
+    ).select(
+        "doc_id",
+        "f",
+        "q",
+        # shiftright's numBits must be a literal in the Python API —
+        # the column-shift goes through SQL
+        F.expr("shiftright(f, CAST(q * 15 AS INT)) & 32767").alias("key"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"), "q", "key"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"), "q", "key"
+    )
+    return (
+        a.join(b, ["q", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q97 — similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -50,7 +50,8 @@ def test_q98_text_stats_is_shuffle_free(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q96_minhash_lsh", "q96_simhash", "q96_ngram_jaccard", "q94_curation_pipeline",
+    ["q96_minhash_lsh", "q96_simhash", "q96i_simhash_portable",
+     "q96_ngram_jaccard", "q94_curation_pipeline",
      "q98y_quality_gate_kappa"],
 )
 def test_similarity_kernels_never_plan_product_joins(spark, name):
