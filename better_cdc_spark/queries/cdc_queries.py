@@ -9,6 +9,8 @@ directly on `orders`.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -2626,6 +2628,133 @@ def qc29_wire_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("cents").alias("sum_cents"),
         F.sum("txid").alias("sum_txid"),
+    )
+
+
+@query(
+    "qc33_nats_wire_publish",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT "table" AS tbl, operation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN operation = 'DELETE' THEN 0
+                         ELSE CAST(total_cents AS BIGINT) END) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(txid) AS BIGINT) AS sum_txid
+    FROM envelope
+    WHERE txid % 10 = 0
+    GROUP BY tbl, operation
+    """,
+    tags=("cdc", "e2e", "nats", "network", "protocol"),
+)
+def qc33_nats_wire_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish leg over the REAL NATS client protocol, hash-checked
+    at the gate: normalized CDC envelopes serialize to JSON and go out
+    as HPUB frames with Nats-Msg-Id headers through
+    streaming/nats_wire.py against a real-protocol JetStream-ack
+    responder, under the full at-least-once gauntlet — scripted
+    transient PubAck errors (in-order retry), a stored-but-dropped ack
+    (timeout -> republish -> duplicate ack at the ORIGINAL sequence),
+    and then the ENTIRE epoch re-published (crash-before-checkpoint).
+    The consumer aggregates the broker's STORED stream — if msg-id
+    dedup, ordered retry, or the ack protocol mishandled anything, the
+    stored stream diverges from the source derivation and the hash
+    fails. qc29 proved the custom-JSON-wire composition; this is the
+    same contract on the actual NATS byte protocol (jetstream.go:99-125
+    publish, :337-340 msg-id), so the remaining deploy-time swap is a
+    TCP address.
+
+    The stream is sliced to txid % 10 = 0 (the socket leg is serial BY
+    PROTOCOL, like the reference's single publisher connection);
+    normalize, consumer decode, and the aggregate stay distributed.
+    """
+    import time as _time
+
+    from better_cdc_spark.streaming.nats_wire import (
+        FakeNatsServer,
+        NatsScript,
+        NatsWireTransport,
+    )
+    from better_cdc_spark.streaming.publish_retry import (
+        OrderedPublishEngine,
+        PublishItem,
+    )
+
+    tune_for_oracle(spark)
+    ev = _normalized(spark, sf_dir).filter(F.col("txid") % 10 == 0).select(
+        "event_id",
+        "subject",
+        "lsn",
+        "txid",
+        F.col("table").alias("tbl"),
+        "operation",
+        F.coalesce(
+            F.element_at(F.col("after"), "total_cents").cast("long"), F.lit(0)
+        ).alias("cents"),
+    )
+    pub_rows = ev.collect()  # bounded: the reference's per-batch publish model
+    pub_rows.sort(key=lambda r: (int(r["txid"]), r["event_id"]))
+    items = [
+        PublishItem(
+            subject=r["subject"],
+            event_id=r["event_id"],
+            payload=json.dumps(
+                {
+                    "event_id": r["event_id"],
+                    "tbl": r["tbl"],
+                    "operation": r["operation"],
+                    "txid": int(r["txid"]),
+                    "cents": int(r["cents"]),
+                },
+                separators=(",", ":"),
+            ).encode(),
+            position=r["lsn"],
+        )
+        for r in pub_rows
+    ]
+    script = NatsScript(
+        fail_first_n={r["event_id"]: 1 for i, r in enumerate(pub_rows) if i % 13 == 0},
+        drop_ack_first_n={
+            r["event_id"]: 1 for i, r in enumerate(pub_rows) if i % 499 == 1
+        },
+    )
+    engine = OrderedPublishEngine(
+        max_publish_retries=3,
+        publish_timeout_s=0.25,
+        sleep=lambda s: _time.sleep(min(s, 0.002)),
+    )
+    with FakeNatsServer(script) as srv:
+        with NatsWireTransport("127.0.0.1", srv.port) as tp:
+            result = engine.publish_with_retry(tp, items)
+            assert result.is_complete(), f"epoch 1: {result.first_error}"
+            # crash-before-checkpoint: the whole epoch redelivers
+            result2 = engine.publish_with_retry(tp, items)
+            assert result2.is_complete(), f"epoch 2: {result2.first_error}"
+        assert engine.retry_count >= 1, "fail-nth never fired"
+        dup_acked = [m for m in srv.messages if m["duplicate"]]
+        assert len(dup_acked) >= len(items), "epoch redelivery never deduped"
+        stored = [
+            (m["msg_id"], m["subject"], bytes(m["payload"]).decode())
+            for m in srv.messages
+            if not m["duplicate"]
+        ]
+
+    wire = spark.createDataFrame(
+        stored, "msg_id string, subject string, body string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    decoded = wire.select(
+        F.from_json(
+            "body",
+            "event_id string, tbl string, operation string, "
+            "txid long, cents long",
+        ).alias("r")
+    ).select("r.*")
+    return decoded.groupBy("tbl", "operation").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("operation") == "DELETE", 0).otherwise(F.col("cents"))
+        ).cast("long").alias("sum_cents"),
+        F.sum("txid").cast("long").alias("sum_txid"),
     )
 
 
