@@ -107,6 +107,8 @@ SHOWCASE_ORDER = (
     "q47i_absorbing_hit_probability",
     "q46g_cohort_ltv",
     "q96i_simhash_portable",
+    "q47j_removal_effect_attribution",
+    "q36z_anova_f",
     # pads: oldest driver rows first (displaced by mid-round additions)
     "q61_intersect",
     "q62_except",
@@ -132,8 +134,6 @@ SHOWCASE_ORDER = (
     "q23_anti_join",
     "q24_cross_join",
     "q26_theta_join",
-    "q28_interval_join",
-    "q31_distinct_agg",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -8032,6 +8032,89 @@ def q53h_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q36z_anova_f",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x
+      FROM events
+    ),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss,
+             CAST(SUM(x) * SUM(x) // COUNT(*) AS BIGINT) AS term
+      FROM v GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(ss) AS BIGINT) AS ss,
+             CAST(SUM(term) AS BIGINT) AS sumterm
+      FROM pg
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           sumterm - s * s // n AS ssb_int,
+           ss - sumterm AS ssw_int,
+           round((CAST(sumterm - s * s // n AS DOUBLE) / (k - 1))
+                 / (CAST(ss - sumterm AS DOUBLE) / (n - k)), 6) AS f_stat
+    FROM tot
+    """,
+    tags=("agg", "statistics",),
+)
+def q36z_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F across event types (does mean event value differ
+    by type?) — the k-group generalization completing the comparison
+    ladder: q36j Welch t (2 groups, unequal variance), q36t
+    Mann-Whitney (2 groups, rank-based), THIS (k groups, classical F).
+
+    Exactness by the q36v truncated-integer identity: values floor to
+    whole units, per-group s^2/n terms and the grand S^2/N truncate via
+    integer division — so SSB and SSW are DEFINED BIGINTs (truncation
+    is part of the statistic's contract, not fp drift; a naive double
+    term-sum over the group frame is not hashable because SSB is a
+    catastrophic cancellation of group-order-dependent ulps). One
+    pinned double expression finishes F; round(.,6) cross-engine safe.
+    Integer headroom: s^2 <= ~2e16 at sf0.1 (documented through ~sf1 at
+    this value range — the q42f overflow-note convention).
+
+    Scale: one map-side-combinable pass builds every moment; the group
+    frame (k rows) is the only post-agg state.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value")).cast("long").alias("x"),
+    )
+    pg = v.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+        F.expr("CAST(sum(x) * sum(x) div count(*) AS BIGINT)").alias("term"),
+    )
+    tot = pg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("ss").cast("long").alias("ss"),
+        F.sum("term").cast("long").alias("sumterm"),
+    )
+    ssb = F.col("sumterm") - F.expr("s * s div n")
+    ssw = F.col("ss") - F.col("sumterm")
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        ssb.cast("long").alias("ssb_int"),
+        ssw.cast("long").alias("ssw_int"),
+        F.round(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (ssw.cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
     "q47f_markov_stationary",
     oracle="""
     WITH pairs AS (
@@ -8349,6 +8432,276 @@ def q47i_absorbing_hit_probability(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("t").alias("event_type"),
             "n_states",
             F.element_at("v", F.col("idx").cast("int") + 1).alias("hit30_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q47j_removal_effect_attribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), types AS (
+      SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type AS t FROM events)
+    ), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY src),
+    probs_f AS (
+      SELECT si.idx * kk.k + di.idx AS f, 1000000 * c // rt.tot AS p
+      FROM cnt
+      JOIN types si ON si.t = cnt.src
+      JOIN types di ON di.t = cnt.dst
+      JOIN rt ON rt.src = cnt.src, kk
+    ), grid AS (
+      SELECT unnest(range((SELECT k * k FROM kk))) AS f
+    ), mat AS (
+      SELECT array_agg(COALESCE(pf.p, 0)::BIGINT ORDER BY grid.f) AS m
+      FROM grid LEFT JOIN probs_f pf ON pf.f = grid.f
+    ), tg AS (SELECT idx AS g FROM types WHERE t = 'purchase'),
+    firstev AS (
+      SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+      WHERE rn = 1 GROUP BY event_type
+    ), pi0 AS (
+      SELECT types.idx, COALESCE(1000000 * f.c
+               // (SELECT SUM(c) FROM firstev), 0)::BIGINT AS p0
+      FROM types LEFT JOIN firstev f ON f.t = types.t
+    ), pv AS (
+      SELECT array_agg(p0::BIGINT ORDER BY idx) AS pi FROM pi0
+    ), folds AS (
+      SELECT rem.idx AS rem, kk.k, tg.g,
+             list_reduce(
+               list_concat(
+                 [list_transform(range(kk.k), x -> 0::BIGINT)],
+                 list_transform(range(30),
+                                x -> list_transform(range(kk.k),
+                                                    y -> 0::BIGINT))),
+               (acc, x) -> list_transform(range(kk.k), i ->
+                 m[(i * kk.k + tg.g + 1)::INTEGER]
+                 + list_reduce(
+                     list_transform(range(kk.k), j ->
+                       CASE WHEN j = tg.g OR j = rem.idx THEN 0::BIGINT
+                            ELSE acc[(j + 1)::INTEGER]
+                                 * m[(i * kk.k + j + 1)::INTEGER]
+                                 // 1000000 END),
+                     (a, b) -> a + b))) AS h
+      FROM mat, kk, tg, types rem
+    ), conv AS (
+      SELECT rem, g,
+             CAST(list_reduce(
+               list_concat([0::BIGINT],
+                 list_transform(range(k), s ->
+                   CASE WHEN s = rem OR s = g THEN 0::BIGINT
+                        ELSE pi[(s + 1)::INTEGER] * h[(s + 1)::INTEGER]
+                             // 1000000 END)),
+               (a, b) -> a + b) AS BIGINT) AS cv
+      FROM folds, pv
+    ), base AS (SELECT cv AS cv0 FROM conv WHERE rem = g),
+    eff AS (
+      SELECT conv.rem, GREATEST(base.cv0 - conv.cv, 0) AS effect
+      FROM conv, base WHERE conv.rem <> conv.g
+    ), tot_eff AS (SELECT CAST(SUM(effect) AS BIGINT) AS te FROM eff)
+    SELECT types.t AS event_type,
+           base.cv0 AS conv_base_micro,
+           eff.effect AS removal_effect_micro,
+           CASE WHEN tot_eff.te = 0 THEN 0.0
+                ELSE round(CAST(eff.effect AS DOUBLE) / tot_eff.te, 6)
+           END AS credit
+    FROM eff
+    JOIN types ON types.idx = eff.rem, base, tot_eff
+    ORDER BY event_type
+    """,
+    tags=("analytics", "markov", "iterative", "fold", "attribution"),
+)
+def q47j_removal_effect_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven multi-touch
+    model (Anderl et al.'s Markov attribution): each channel's credit is
+    how much total conversion probability DISAPPEARS when journeys can
+    no longer pass through it, computed by re-running q47i's finite-
+    horizon absorption fold once per removed channel. Last-touch (q47c)
+    rewards whoever happened to be last; removal effect rewards causal
+    load-bearing — the canonical contrast.
+
+    One matrix collection serves ALL K folds: removed channels explode
+    over the one-row micro-unit matrix (the rem == target row zeroes
+    nothing extra and IS the baseline — the absorbing recurrence already
+    skips the target, so base and removals share one code path), the
+    initial-state distribution comes from per-user first events in the
+    same micro-units, and conversion = pi . h in one more truncated
+    fold. Effects are exact BIGINTs (GREATEST-0 clamped against
+    truncation bleed); credit is one division, round(.,6).
+
+    Scale: fact-sized stages are the per-user lead()/first-event
+    windows (user-partitioned); folds are (K+1) x K^2 x 30 in-row
+    integer multiplies — attribution for a 500-state taxonomy costs
+    ~4M multiplies in ONE task, zero shuffles per iteration.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w_user).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cnt = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("long").alias("c"))
+    types = (
+        ev.select(F.col("event_type").alias("t"))
+        .distinct()
+        .select(
+            "t", (F.row_number().over(W.orderBy("t")) - 1).cast("long").alias("idx")
+        )
+    )
+    kk = types.agg(F.count("*").cast("long").alias("k"))
+    tg = types.filter(F.col("t") == "purchase").select(F.col("idx").alias("g"))
+    rt = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    si = types.select(F.col("t").alias("src"), F.col("idx").alias("i"))
+    di = types.select(F.col("t").alias("dst"), F.col("idx").alias("j"))
+    probs_f = (
+        cnt.join(F.broadcast(si), "src")
+        .join(F.broadcast(di), "dst")
+        .join(F.broadcast(rt), "src")
+        .join(F.broadcast(kk))
+        .select(
+            (F.col("i") * F.col("k") + F.col("j")).alias("f"),
+            F.expr("1000000 * c div tot").alias("p"),
+        )
+    )
+    firstev = (
+        ev.select(
+            "event_type", F.row_number().over(w_user).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pi0 = (
+        types.join(
+            firstev.select(F.col("event_type").alias("t"), "c"), "t", "left"
+        )
+        .join(F.broadcast(firstev.agg(F.sum("c").cast("long").alias("tu"))))
+        .select(
+            "idx",
+            F.coalesce(F.expr("1000000 * c div tu"), F.lit(0))
+            .cast("long")
+            .alias("p0"),
+        )
+    )
+    pv = pi0.agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "p0"))).alias("pim")
+    )
+    mat = (
+        probs_f.join(F.broadcast(kk))
+        .join(F.broadcast(tg))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("f", "p"))).alias("mp"),
+            F.max("k").alias("k"),
+            F.max("g").alias("g"),
+        )
+        .crossJoin(F.broadcast(pv))
+    )
+    M = F.lit(1000000).cast("long")
+    kcol = F.col("k").cast("int")
+    gcol = F.col("g").cast("int")
+    remc = F.col("rem").cast("int")
+
+    def trunc_div(prod: F.Column) -> F.Column:
+        return ((prod - prod % M) / M).cast("long")
+
+    m = F.transform(
+        F.sequence(F.lit(0), (kcol * kcol - 1)),
+        lambda f: F.coalesce(
+            F.element_at(F.col("mp"), f.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    pi = F.transform(
+        F.sequence(F.lit(0), kcol - 1),
+        lambda s: F.coalesce(
+            F.element_at(F.col("pim"), s.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    h0 = F.transform(
+        F.sequence(F.lit(0), kcol - 1), lambda _: F.lit(0).cast("long")
+    )
+    per_rem = mat.select(
+        "mp", "k", "g", "pim",
+        F.explode(F.sequence(F.lit(0), kcol - 1)).alias("rem"),
+    )
+    folded = per_rem.select(
+        "k",
+        "g",
+        "rem",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(30)),
+            h0,
+            lambda acc, _: F.transform(
+                F.sequence(F.lit(0), kcol - 1),
+                lambda i: F.element_at(m, (i * kcol + gcol + 1))
+                + F.aggregate(
+                    F.sequence(F.lit(0), kcol - 1),
+                    F.lit(0).cast("long"),
+                    lambda s, j: s
+                    + F.when(
+                        (j == gcol) | (j == remc), F.lit(0).cast("long")
+                    ).otherwise(
+                        trunc_div(
+                            F.element_at(acc, j + 1)
+                            * F.element_at(m, (i * kcol + j + 1))
+                        )
+                    ),
+                ),
+            ),
+        ).alias("h"),
+        pi.alias("pi"),
+    )
+    conv = folded.select(
+        "k",
+        "g",
+        "rem",
+        F.aggregate(
+            F.sequence(F.lit(0), kcol - 1),
+            F.lit(0).cast("long"),
+            lambda s, i: s
+            + F.when((i == remc) | (i == gcol), F.lit(0).cast("long")).otherwise(
+                trunc_div(F.element_at("pi", i + 1) * F.element_at("h", i + 1))
+            ),
+        ).alias("cv"),
+    )
+    base = conv.filter(F.col("rem") == F.col("g")).select(
+        F.col("cv").alias("cv0")
+    )
+    eff = (
+        conv.filter(F.col("rem") != F.col("g"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "rem",
+            "cv0",
+            F.greatest(F.col("cv0") - F.col("cv"), F.lit(0).cast("long")).alias(
+                "effect"
+            ),
+        )
+    )
+    tot_eff = eff.agg(F.sum("effect").cast("long").alias("te"))
+    return (
+        eff.crossJoin(F.broadcast(tot_eff))
+        .join(F.broadcast(types.select(F.col("idx").alias("rem"), "t")), "rem")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("cv0").alias("conv_base_micro"),
+            F.col("effect").alias("removal_effect_micro"),
+            F.when(F.col("te") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("effect").cast("double") / F.col("te"), 6))
+            .alias("credit"),
         )
         .orderBy("event_type")
     )
