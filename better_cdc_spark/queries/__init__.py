@@ -109,6 +109,7 @@ SHOWCASE_ORDER = (
     "q96i_simhash_portable",
     "q47j_removal_effect_attribution",
     "q36z_anova_f",
+    "q44i_logrank_test",
     # pads: oldest driver rows first (displaced by mid-round additions)
     "q61_intersect",
     "q62_except",
@@ -133,7 +134,6 @@ SHOWCASE_ORDER = (
     "q21b_full_outer_join",
     "q23_anti_join",
     "q24_cross_join",
-    "q26_theta_join",
 )
 
 def load_all() -> dict[str, QuerySpec]:

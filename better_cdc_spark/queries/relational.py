@@ -8115,6 +8115,202 @@ def q36z_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q44i_logrank_test",
+    oracle="""
+    WITH subj AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(date_diff('second', MIN(ts), MAX(ts)) / 60.0)
+                  AS BIGINT) AS t_min,
+             CASE WHEN (array_agg(event_type ORDER BY ts, event_id))
+                       [COUNT(*)::INTEGER] = 'view'
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    deaths AS (
+      SELECT t_min AS t, arm, CAST(SUM(churned) AS BIGINT) AS d
+      FROM subj GROUP BY t_min, arm
+      HAVING SUM(churned) > 0
+    ),
+    grid AS (SELECT DISTINCT t FROM deaths),
+    ends AS (
+      SELECT arm, t_min AS t, CAST(COUNT(*) AS BIGINT) AS e
+      FROM subj GROUP BY arm, t_min
+    ),
+    padded AS (
+      SELECT arm, t, CAST(SUM(e) AS BIGINT) AS e FROM (
+        SELECT arm, t, e FROM ends
+        UNION ALL
+        SELECT a.arm, g.t, 0 FROM grid g
+        CROSS JOIN (SELECT DISTINCT arm FROM subj) a
+      ) GROUP BY arm, t
+    ),
+    risk AS (
+      SELECT arm, t,
+             CAST(SUM(e) OVER (PARTITION BY arm ORDER BY t DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+      FROM padded
+    ),
+    tbl AS (
+      SELECT g.t,
+             MAX(CASE WHEN r.arm = 0 THEN r.n END) AS n1,
+             MAX(CASE WHEN r.arm = 1 THEN r.n END) AS n2,
+             CAST(COALESCE(MAX(CASE WHEN d.arm = 0 THEN d.d END), 0)
+                  AS BIGINT) AS d1,
+             CAST(COALESCE(MAX(CASE WHEN d.arm = 1 THEN d.d END), 0)
+                  AS BIGINT) AS d2
+      FROM grid g
+      JOIN risk r ON r.t = g.t
+      LEFT JOIN deaths d ON d.t = g.t
+      GROUP BY g.t
+    ),
+    terms AS (
+      SELECT d1, d1 + d2 AS dt, n1, n2, n1 + n2 AS nt,
+             1000000 * (d1 + d2) * n1 // (n1 + n2) AS e1,
+             CASE WHEN n1 + n2 > 1 THEN
+               ((1000000 * (d1 + d2) * n1 // (n1 + n2)) * n2 // (n1 + n2))
+               * (n1 + n2 - d1 - d2) // (n1 + n2 - 1)
+             ELSE 0 END AS vterm
+      FROM tbl
+    ),
+    agg AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(dt - d1) AS BIGINT) AS o2,
+             CAST(SUM(e1) AS BIGINT) AS e1_micro,
+             CAST(SUM(vterm) AS BIGINT) AS v_micro
+      FROM terms
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM subj
+    )
+    SELECT arms.na AS n_arm_a, arms.nb AS n_arm_b,
+           agg.o1 AS observed_a, agg.o2 AS observed_b,
+           agg.e1_micro, agg.v_micro,
+           round((CAST(1000000 * agg.o1 - agg.e1_micro AS DOUBLE)
+                  * CAST(1000000 * agg.o1 - agg.e1_micro AS DOUBLE))
+                 / (1000000.0 * agg.v_micro), 6) AS chi2
+    FROM agg, arms
+    """,
+    tags=("timeseries", "statistics", "survival"),
+)
+def q44i_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST between two user arms — the significance test that
+    completes the survival toolkit (q44g KM curve shows the difference,
+    q44h NA shows the hazard, THIS says whether the difference is
+    real): at each death time, observed arm-A deaths vs the
+    hypergeometric expectation d_t*n1_t/n_t given the at-risk split,
+    chi-square on the summed deviations.
+
+    Same censoring contract as q44g (last event 'view' = censored).
+    E and V accumulate as STEPWISE-TRUNCATED micro-unit integers —
+    each division truncates before the next multiply, so every
+    intermediate stays far inside BIGINT (the largest is
+    ~1e12 * n_t) and both engines run the identical integer
+    recurrence; the chi-square is one pinned double expression over
+    three exact BIGINTs. At-risk counts per arm come from suffix sums
+    over the death-time grid PADDED with zero rows (so both arms have
+    a row at every grid time), never a correlated subquery.
+
+    Scale shape: one groupBy(user) subject pass (map-side combinable);
+    everything after is |death-times|-bounded. The arm split is
+    deterministic (user_id parity) so the test is a pure function of
+    the corpus.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_last = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    subj = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+                ) / 60.0
+            ).cast("long").alias("t_min"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("lt"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            "t_min",
+            F.when(F.col("lt") == "view", 0).otherwise(1).alias("churned"),
+        )
+    )
+    subj = subj.localCheckpoint(eager=True)  # three consumers below
+    deaths = (
+        subj.groupBy(F.col("t_min").alias("t"), "arm")
+        .agg(F.sum("churned").cast("long").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    grid = deaths.select("t").distinct()
+    ends = subj.groupBy("arm", F.col("t_min").alias("t")).agg(
+        F.count("*").cast("long").alias("e")
+    )
+    arms_dim = subj.select("arm").distinct()
+    padded = (
+        ends.unionByName(
+            grid.crossJoin(arms_dim).select("arm", "t", F.lit(0).cast("long").alias("e"))
+        )
+        .groupBy("arm", "t")
+        .agg(F.sum("e").cast("long").alias("e"))
+    )
+    w_suffix = W.partitionBy("arm").orderBy(F.col("t").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = padded.select(
+        "arm", "t", F.sum("e").over(w_suffix).cast("long").alias("n")
+    )
+    tbl = (
+        grid.join(risk, "t")
+        .join(deaths, ["t", "arm"], "left")
+        .groupBy("t")
+        .agg(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n2"),
+            F.coalesce(
+                F.max(F.when(F.col("arm") == 0, F.col("d"))), F.lit(0)
+            ).cast("long").alias("d1"),
+            F.coalesce(
+                F.max(F.when(F.col("arm") == 1, F.col("d"))), F.lit(0)
+            ).cast("long").alias("d2"),
+        )
+    )
+    dt = F.col("d1") + F.col("d2")
+    nt = F.col("n1") + F.col("n2")
+    e1 = F.expr("1000000 * (d1 + d2) * n1 div (n1 + n2)")
+    vterm = F.when(
+        nt > 1,
+        F.expr(
+            "((1000000 * (d1 + d2) * n1 div (n1 + n2)) * n2 div (n1 + n2)) "
+            "* (n1 + n2 - d1 - d2) div (n1 + n2 - 1)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = tbl.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(dt - F.col("d1")).cast("long").alias("o2"),
+        F.sum(e1).cast("long").alias("e1_micro"),
+        F.sum(vterm).cast("long").alias("v_micro"),
+    )
+    arms = subj.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    dev = (1000000 * F.col("o1") - F.col("e1_micro")).cast("double")
+    return agg.crossJoin(F.broadcast(arms)).select(
+        F.col("na").alias("n_arm_a"),
+        F.col("nb").alias("n_arm_b"),
+        F.col("o1").alias("observed_a"),
+        F.col("o2").alias("observed_b"),
+        "e1_micro",
+        "v_micro",
+        F.round(dev * dev / (1000000.0 * F.col("v_micro")), 6).alias("chi2"),
+    )
+
+
+@query(
     "q47f_markov_stationary",
     oracle="""
     WITH pairs AS (
