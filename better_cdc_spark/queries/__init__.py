@@ -66,74 +66,72 @@ def query(
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified.
 #
-# Round-10 prefix (generated with tools/rotation.py): leads with the 4
-# never-driver-verified round-9 closers, the 4 LSH queries whose oracles
-# were promoted from rows-only to full value-hash AFTER their last
-# driver row (the driver last saw them as `no_oracle`; a fresh row
-# proves the promoted oracle in the driver's own ledger), the 4
-# round-10 promotions (q95k/q97_ann_lsh/q97_ann_ivf/q97f — probed-exact
-# pinned oracles), and the 10 round-10 additions (each pre-verified at
-# two or three scales before entering). Padded to 50 with the
-# LONGEST-unverified entries (last green row r1/r2) so the gate also
-# re-confirms the oldest rows against today's code.
+# Round-11 prefix (generated with tools/rotation.py, which now tracks
+# changed-since-last-green source hashes in tools/rotation_state.json):
+# leads with the one never-driver-verified entry (qc33, added behind the
+# r10 prefix), then the 11 queries whose source was edited in round 10
+# AFTER their last driver row (judge re-verified all 11 green; a fresh
+# driver row retires the gate-lag permanently), then round-11 additions/
+# promotions, padded to 50 with the LONGEST-unverified entries so the
+# gate also re-confirms the oldest rows against today's code.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # never driver-verified (added after the r9 gate ran)
-    "q36v_cramers_v",
-    "q47f_markov_stationary",
-    "q53f_lorenz_curve",
-    "qm19_streaming_holt_trend",
-    # promoted rows-only -> full value-hash oracle since last driver row
-    "q96_minhash_lsh",
-    "q94d_curation_pipeline_lsh",
-    "q95aa_incremental_minhash_lsh",
-    "qm05_streaming_lsh_dedup",
-    # round-10 promotions (rows-only -> probed-exact pinned oracles)
-    "q95k_bloom_decontaminate",
-    "q97_ann_lsh",
-    "q97_ann_ivf",
-    "q97f_ivf_index_persist",
-    # round-10 additions (full-oracle, pre-verified dual-scale)
-    "q36w_kendall_tau",
-    "q32b_portable_hll",
-    "q42k_classical_decompose",
-    "q97v_int8_quantized_search",
-    "q53g_acf_correlogram",
-    "q36y_hodges_lehmann",
-    "q53h_mann_kendall_trend",
-    "q98ad_code_detection",
-    "qm20_streaming_hll_distinct",
-    "q47i_absorbing_hit_probability",
-    "q46g_cohort_ltv",
-    "q96i_simhash_portable",
-    "q47j_removal_effect_attribution",
-    "q36z_anova_f",
-    "q44i_logrank_test",
+    # never driver-verified (added behind the r10 gate prefix)
+    "qc33_nats_wire_publish",
+    # edited in r10 after their last driver row (judge-green; re-row them)
+    "q36t_mann_whitney_u",
+    "q36u_spearman_rho",
+    "q42i_ewma_control_chart",
+    "q42j_holt_linear_trend",
+    "q46f_rfm_segmentation",
+    "q95l_semantic_decontaminate",
+    "q96e_tfidf_cosine",
+    "q97_cosine_topk",
+    "q97g_range_search",
+    "q98ab_luhn_card_redaction",
+    "qc29_wire_e2e_pipeline",
+    # round-11 promotion: last promotable rows-only entry -> pinned oracle
+    "q97_ann_pq",
     # pads: oldest driver rows first (displaced by mid-round additions)
-    "q61_intersect",
-    "q62_except",
-    "q70_string_functions",
-    "q71_datetime_functions",
-    "q72_math_functions",
-    "q73_array_functions",
-    "q74_map_functions",
-    "q75_json_functions",
-    "qc02_typed_projection",
-    "qc03_dlq_routing",
-    "qc05_merge_apply",
-    "qc04_event_id_invariants",
-    "q01b_parquet_schema_merge",
-    "q05b_compaction",
-    "q05c_zorder_rewrite",
-    "q07_orc_roundtrip",
-    "q08_text_source",
-    "q09_csv_permissive",
-    "q10_projection",
-    "q12_case_when",
-    "q21b_full_outer_join",
-    "q23_anti_join",
-    "q24_cross_join",
+    "q26_theta_join",
+    "q28_interval_join",
+    "q31_distinct_agg",
+    "q32_approx_count_distinct",
+    "q33b_cube",
+    "q33c_grouping_sets",
+    "q35_collect_aggs",
+    "q36_stat_aggs",
+    "q36b_argminmax",
+    "q77b_fuzzy_blocked_match",
+    "q38_unpivot",
+    "q40b_distribution_windows",
+    "q41_lag_lead",
+    "q51_limit",
+    "q60_union",
+    "q01_parquet_scan",
+    "q02_csv_scan",
+    "q03_json_scan",
+    "q05_partitioned_sink",
+    "q11_predicate_filter",
+    "q20_inner_join",
+    "q21_left_outer_join",
+    "q22_semi_join",
+    "q25_broadcast_join",
+    "q25b_bucketed_join",
+    "q27_asof_join",
+    "q28b_interval_bucket_join",
+    "q29_skew_salted_join",
+    "q30_grouped_agg_tpch_q1",
+    "q33_rollup",
+    "q34_having",
+    "q37_pivot",
+    "qm01_merge_into",
+    "q40_ranking_windows",
+    "q42_frame_agg",
+    "q44_sessionize",
+    "q45_gapfill",
+    "q50_global_sort",
 )
 
 def load_all() -> dict[str, QuerySpec]:
