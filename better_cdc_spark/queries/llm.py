@@ -1636,7 +1636,132 @@ def q97v_int8_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q97_ann_pq", tags=("llm", "ann", "pq"))
+def _ann_pq_oracle() -> str:
+    """DuckDB mirror of the ENTIRE PQ pipeline, codebook training included.
+
+    Product quantization is m=8 INDEPENDENT k-means problems over 8-dim
+    subvectors, so the oracle is _ann_ivf_oracle's recursive-CTE k-means
+    with a `sub` column threaded through every stage: the sample
+    (2048 smallest vec_ids, numpy-identical first-16 init per subspace),
+    10 fixed Lloyd iterations with empty-cell carry-forward (COALESCE =
+    numpy's `if len(members)` rule), encoding (rank-1 by squared
+    distance, ties to the lowest code id = np.argmin's first-index
+    rule), the per-query ADC lookup table (LUT[q,sub,c] = dot of the
+    query subvector with codebook entry — an 8-term sequential
+    list_reduce fold, matching einsum's single-pass contraction), and
+    the approx score as the j-ascending sequential fold of the 8 LUT
+    gathers (matching the kernel's `for j: approx += lut[...]` loop).
+    Shortlist = top 4k by (approx DESC, nid ASC); re-rank = exact
+    rounded cosine, identical to the IVF oracle's proven pairing.
+
+    FP seams (centroid means, LUT dots at shortlist rank-4k boundaries)
+    are probed bit-equal at the pinned scales, same contract as
+    q97_ann_ivf/q97_ann_lsh.
+    """
+    dim, m, k = llmops.ANN_DIM, llmops.PQ_M, llmops.PQ_K
+    d = dim // m
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (a, b) -> a + b)"
+    )
+    return f"""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    samp AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {llmops.PQ_TRAIN_SAMPLE}),
+    ssamp AS (
+      SELECT s.vec_id, b.sub, s.v[b.sub * {d} + 1 : b.sub * {d} + {d}] AS sv
+      FROM samp s CROSS JOIN subs b
+    ),
+    init AS (
+      SELECT sub, rn - 1 AS cid, sv AS c FROM (
+        SELECT sub, sv,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM ssamp
+      ) WHERE rn <= {k}
+    ),
+    km(iter, sub, cid, c) AS (
+      SELECT 0, sub, cid, c FROM init
+      UNION ALL
+      SELECT iter + 1, sub, cid, list(val ORDER BY dim) FROM (
+        SELECT kk.iter, kk.sub, kk.cid, dd.dim,
+               COALESCE(AVG(CASE WHEN pr.rk = 1 THEN pr.sv[dd.dim] END),
+                        any_value(kk.c[dd.dim])) AS val
+        FROM km kk
+        JOIN (
+          SELECT p.vec_id, p.sub, p.sv, k2.cid, k2.iter,
+                 ROW_NUMBER() OVER (PARTITION BY p.sub, p.vec_id
+                   ORDER BY {d2.format(d=d, a="p.sv", b="k2.c")} ASC,
+                            k2.cid ASC) AS rk
+          FROM ssamp p JOIN km k2 ON k2.sub = p.sub
+        ) pr ON pr.sub = kk.sub AND pr.cid = kk.cid AND pr.iter = kk.iter
+        CROSS JOIN (SELECT unnest(generate_series(1, {d})) AS dim) dd
+        WHERE kk.iter < {llmops.PQ_ITERS}
+        GROUP BY kk.iter, kk.sub, kk.cid, dd.dim
+      ) GROUP BY iter, sub, cid
+    ),
+    model AS (SELECT sub, cid, c FROM km WHERE iter = {llmops.PQ_ITERS}),
+    scorp AS (
+      SELECT e.vec_id, b.sub, e.v[b.sub * {d} + 1 : b.sub * {d} + {d}] AS sv
+      FROM emb e CROSS JOIN subs b
+    ),
+    enc AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT s.vec_id, s.sub, mo.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {d2.format(d=d, a="s.sv", b="mo.c")} ASC,
+                          mo.cid ASC) AS rk
+        FROM scorp s JOIN model mo ON mo.sub = s.sub
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < {TOPK_QUERIES}),
+    lut AS (
+      SELECT q.qid, mo.sub, mo.cid,
+             list_reduce(list_transform(generate_series(1, {d}),
+               i -> q.qv[mo.sub * {d} + i] * mo.c[i]), (a, b) -> a + b) AS pdot
+      FROM q CROSS JOIN model mo
+    ),
+    adc AS (
+      SELECT l.qid, c.vec_id AS nid,
+             list_reduce(list(l.pdot ORDER BY l.sub), (a, b) -> a + b) AS approx
+      FROM enc c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+      WHERE c.vec_id <> l.qid
+      GROUP BY l.qid, c.vec_id
+    ),
+    shortlist AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY approx DESC, nid ASC) AS srnk
+        FROM adc
+      ) WHERE srnk <= {4 * TOPK_K}
+    ),
+    rerank AS (
+      SELECT s.qid, s.nid,
+             ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+      FROM shortlist s
+      JOIN emb e ON e.vec_id = s.nid
+      JOIN q ON q.qid = s.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid ASC) AS rnk
+      FROM rerank
+    )
+    SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= {TOPK_K}
+    """
+
+
+@query(
+    "q97_ann_pq",
+    oracle=_ann_pq_oracle(),
+    tags=("llm", "ann", "pq"),
+    # Pinned at the scales where the SQL-retrained codebooks + ADC
+    # shortlist were probed bit-equal to the numpy pipeline — centroid
+    # means and LUT-dot boundary ties are the only cross-engine fp seams.
+    oracle_scales=("0.001", "0.01", "0.1"),
+)
 def q97_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 4-bit/subspace codes + ADC scan + re-rank.
 
@@ -1646,8 +1771,13 @@ def q97_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asymmetric distance via per-query lookup tables inside a mapInPandas
     kernel — a narrow map, no shuffle), keeps a per-query shortlist, and
     re-ranks just the shortlist against the float vectors with the exact
-    cosine kernel. Rows-only: recall is probabilistic (tested vs
-    q97_cosine_topk in tests/test_llmops.py); returned cosines are exact.
+    cosine kernel.
+
+    Full value-hash oracle since r11 (was the last promotable rows-only
+    entry): training is a pure deterministic function of the input, so
+    _ann_pq_oracle re-trains all 8 subspace codebooks in one recursive
+    CTE and mirrors encode/ADC/shortlist/re-rank exactly. Recall vs the
+    exact scan stays property-tested in tests/test_llmops.py.
     """
     tune_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -48,6 +48,8 @@ def test_lsh_recall_coupled_oracles_declare_their_probed_scales():
         "q97_ann_lsh",  # sign-bucket fp boundary guard
         "q97_ann_ivf",  # centroid-mean summation-order guard
         "q97f_ivf_index_persist",  # same model as q97_ann_ivf
+        # round-11 promotion: probed-exact at the pinned scales
+        "q97_ann_pq",  # subspace centroid means + ADC shortlist boundary
     ]
     for name in coupled:
         spec = reg[name]
