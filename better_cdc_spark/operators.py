@@ -501,6 +501,61 @@ def blocked_row_number(
     )
 
 
+def blocked_ordered_cumsum(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    out_col: str,
+    part_cols: Sequence[str] = (),
+    n_blocks: int = 256,
+    descending: bool = False,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Cumulative sum of ``value_col`` over the TOTAL order
+    (``order_col`` [``descending``], ``tiebreak_col`` asc) without a
+    single-task whole-frame window — the running-total twin of
+    :func:`blocked_row_number` (Lorenz / Pareto curves, cumulative
+    revenue shares, crossing-rank reports).
+
+    Decomposes exactly like the rank:
+
+        cum(row) = sum(value) over rows with a strictly smaller order
+                   key + running sum within the row's own tie group
+
+    The first term is :func:`blocked_cumsum` of per-key value sums over
+    the distinct-key frame (two-level parallel scan); the second is a
+    window PARTITIONED BY the order key — bounded by the largest tie
+    group, never the frame. ``order_col`` must be integral.
+    """
+    parts = list(part_cols)
+    key = (-F.col(order_col)) if descending else F.col(order_col)
+    tmp = df.withColumn("__k", key.cast("long"))
+    pv = tmp.groupBy(*parts, "__k").agg(
+        F.sum(value_col).cast("long").alias("__vs")
+    )
+    below = blocked_cumsum(
+        pv, "__k", "__vs", "__below", part_cols=parts, n_blocks=n_blocks
+    )
+    upper = 0 if inclusive else -1
+    w_tie = (
+        W.partitionBy(*parts, "__k")
+        .orderBy(tiebreak_col)
+        .rowsBetween(W.unboundedPreceding, upper)
+    )
+    return (
+        tmp.join(below.select(*parts, "__k", "__below"), parts + ["__k"])
+        .withColumn(
+            out_col,
+            (
+                F.col("__below")
+                + F.coalesce(F.sum(value_col).over(w_tie), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("__k", "__below", "__vs")
+    )
+
+
 def blocked_ntile(
     df: DataFrame,
     order_col: str,

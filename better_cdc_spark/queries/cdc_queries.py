@@ -1614,9 +1614,16 @@ def qc20_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    key_pos = F.row_number().over(W.orderBy("id")) - 1
-    chunked = base.withColumn("chunk", (key_pos / 500).cast("long")).localCheckpoint(
-        eager=True
+    # Chunk assignment via the two-level blocked rank (id is a distinct
+    # integral key) — DBLog's key-order chunking without funnelling the
+    # whole snapshot through one window task.
+    from better_cdc_spark.operators import blocked_row_number
+
+    chunked = (
+        blocked_row_number(base, "id", "id", "__rn")
+        .withColumn("chunk", ((F.col("__rn") - 1) / 500).cast("long"))
+        .drop("__rn")
+        .localCheckpoint(eager=True)
     )
     events = base.filter(F.col("id") % 4 == 1).select(
         "id",

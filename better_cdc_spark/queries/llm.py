@@ -2863,24 +2863,28 @@ def q95d_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The batching step of pretraining data prep: documents (in a stable
     order) pack greedily into fixed-capacity token bins; a doc's bin is
-    floor(preceding-token-total / capacity), computed with one running-sum
-    window. The global window is the correctness reference — at 100 TB,
-    pack per shard instead (partition by shard id, same expression), which
-    keeps bins shard-local and the window shuffle bounded; cross-shard
-    bins don't exist by construction there.
+    floor(preceding-token-total / capacity) — an EXCLUSIVE prefix sum
+    over the doc order. Since r11 that prefix sum is
+    operators.blocked_cumsum's two-level partial+offset scan (doc_id is
+    a distinct integral order key), so the fact-sized frame never
+    funnels through a single window task; at 100 TB pack per shard with
+    the same expression (part_cols=[shard]) and bins stay shard-local.
     """
     tune_for_oracle(spark)
+    from better_cdc_spark.operators import blocked_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(
         F.expr(f"regexp_extract_all(text, '{llmops.BPE_ISH_RE}', 0)")
     ).cast("bigint")
     counted = docs.select("doc_id", n_tok.alias("n_tokens"))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = counted.withColumn("cum", F.sum("n_tokens").over(w).cast("bigint"))
+    packed = blocked_cumsum(
+        counted, "doc_id", "n_tokens", "cum_before", inclusive=False
+    )
     return packed.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.col("cum") - F.col("n_tokens")) / 2048).alias("bin_id"),
+        F.floor(F.col("cum_before") / 2048).alias("bin_id"),
     )
 
 
@@ -4384,14 +4388,23 @@ def q95o_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", term.cast("decimal(18,12)").alias("s"))
     )
-    agg = scored.groupBy("doc_id").agg(F.sum("s").alias("logw"))
-    wspec = W.orderBy(F.col("logw").desc(), "doc_id")
-    ranked = agg.select(
-        "doc_id",
-        "logw",
-        F.row_number().over(wspec).alias("rnk"),
-        F.count("*").over(W.partitionBy()).alias("n_docs"),
+    # Rank on exact pico-unit longs (s has scale 12, so s*1e12 is an
+    # integral decimal(32,12) → lossless long; the sum orders identically
+    # to the decimal logw) so operators.blocked_row_number's two-level
+    # scan replaces the doc-frame single-task window; the decimal logw
+    # still ships for the rounded output column.
+    from better_cdc_spark.operators import blocked_row_number
+
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("s").alias("logw"),
+        F.sum(
+            (F.col("s") * F.lit(10**12).cast("decimal(13,0)")).cast("long")
+        ).cast("long").alias("logw_mu"),
     )
+    n_docs = agg.agg(F.count("*").cast("long").alias("n_docs"))
+    ranked = blocked_row_number(
+        agg, "logw_mu", "doc_id", "rnk", descending=True
+    ).crossJoin(F.broadcast(n_docs))
     return ranked.select(
         "doc_id",
         F.round(F.col("logw").cast("double"), 6).alias("dsir_logw"),
@@ -4985,8 +4998,10 @@ def q97j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select("vec_id", cos("ev", "qv").alias("rel"), "ev")
     )
-    rk = F.row_number().over(W.orderBy(F.col("rel").desc(), "vec_id"))
-    cand = rel.withColumn("rk", rk).filter(F.col("rk") <= 12).drop("rk")
+    # Distributed top-12 (TakeOrderedAndProject prunes per partition) —
+    # the total order (rel desc, vec_id) makes the limit deterministic;
+    # never a global row_number window over the corpus frame.
+    cand = rel.orderBy(F.col("rel").desc(), "vec_id").limit(12)
     cand = cand.localCheckpoint(eager=True)  # 12 rows; reread by every round
     p1 = cand.orderBy(F.col("rel").desc(), "vec_id").limit(1)
     p1b = F.broadcast(p1.select(F.col("vec_id").alias("p1_id"), F.col("ev").alias("p1_ev")))

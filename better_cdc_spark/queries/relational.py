@@ -2033,20 +2033,33 @@ def q45_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global multi-key sort, materialized as a rank column.
 
-    Spark range-partitions for global sorts (sampling-based boundaries).
     The rank column makes sortedness visible to the order-insensitive
-    hash-compare. Scale note: a global row_number is a single-partition
-    window — fine for ranked exports, otherwise prefer per-partition
-    ordinals (zipWithIndex pattern) at 100 TB.
+    hash-compare. Since r11 the rank comes from
+    operators.blocked_row_number (two-level partial+offset scan), not a
+    single-task row_number window: the multi-key order (priority asc,
+    totalprice desc, orderkey asc) packs losslessly into one integral
+    key — priority's leading digit (the TPC-H priority grammar sorts by
+    it) in the high bits, descending cents as a complement in the low
+    32 (cents < 2^32 by the o_totalprice domain) — so the fact-sized
+    frame never funnels through one task at 100 TB.
     """
     tune_for_oracle(spark)
+    from better_cdc_spark.operators import blocked_row_number
+
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).cast("bigint").alias("global_rank"),
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    prio = F.substring("o_orderpriority", 1, 1).cast("long")
+    keyed = orders.withColumn(
+        "__sk", prio * F.lit(2**32).cast("long") + (F.lit(2**32 - 1).cast("long") - cents)
+    )
+    return (
+        blocked_row_number(keyed, "__sk", "o_orderkey", "global_rank")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.col("global_rank").cast("bigint").alias("global_rank"),
+        )
     )
 
 
@@ -5210,8 +5223,16 @@ def q29b_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_rows"),
         F.max("c").cast("long").alias("max_key_rows"),
     )
-    wr = W.orderBy(F.col("c").desc(), F.col("k"))
-    top = keyed.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= 10)
+    # Distributed top-k (TakeOrderedAndProject, per-partition pruned) —
+    # never a global row_number window over the key-dimension frame; the
+    # rank window then runs over exactly 10 rows.
+    top = (
+        keyed.orderBy(F.col("c").desc(), F.col("k"))
+        .limit(10)
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("k")))
+        )
+    )
     skew = F.col("c") * F.col("n_keys").cast("double") / F.col("n_rows")
     return top.crossJoin(F.broadcast(stats)).select(
         F.col("rk").cast("long").alias("rank"),
@@ -5388,13 +5409,19 @@ def q53c_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio-to-report gives each member's share; this gives the
     concentration summary leadership actually asks for.
 
-    The ranking window runs over the per-customer AGGREGATE (|keys|
-    rows), not orders; the single-partition window is bounded by
-    customer count — at true scale the same crossing rank comes from
-    q36m-style cumulative histogram refinement instead of a global
-    sort, same answer.
+    The ranking runs over the per-customer AGGREGATE (|keys| rows,
+    customer-dimension sized — grows with the corpus), so since r11
+    both the rank and the running total come from the blocked two-level
+    ops (operators.blocked_row_number / blocked_ordered_cumsum) and the
+    frame totals from a 1-row broadcast agg — no single-task window at
+    any scale.
     """
     tune_for_oracle(spark)
+    from better_cdc_spark.operators import (
+        blocked_ordered_cumsum,
+        blocked_row_number,
+    )
+
     per_cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -5404,14 +5431,15 @@ def q53c_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    wr = W.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(wr).alias("rk"),
-        F.sum("cents").over(wr.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_cents"),
-        F.sum("cents").over(W.partitionBy()).alias("total"),
-        F.count("*").over(W.partitionBy()).alias("n_cust"),
+    totals = per_cust.agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_cust"),
     )
+    ranked = blocked_ordered_cumsum(
+        blocked_row_number(per_cust, "cents", "o_custkey", "rk", descending=True),
+        "cents", "o_custkey", "cents", "cum_cents",
+        descending=True, inclusive=True,
+    ).crossJoin(F.broadcast(totals))
     marked = ranked.select(
         "rk", "n_cust", "total",
         F.when(
@@ -5762,11 +5790,16 @@ def q36q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     form |ca·nb − cb·na| (never a float ECDF), evaluated only at the
     last row of each tied value where both step functions have fully
     stepped — the tie convention that makes D well-defined and
-    engine-independent; one division at the end. One global ordered
-    walk — fine for a two-group test (the walk is the algorithm); a
-    per-key variant partitions it like q42f.
+    engine-independent; one division at the end. Since r11 the walk is
+    per-DISTINCT-value: ca/cb at a value's last tied row are exactly
+    the inclusive cumulative group counts over the distinct-value
+    frame, so the fact-sized single-task window becomes one hash agg
+    plus two operators.blocked_cumsum two-level scans (the oracle's
+    row-walk computes the identical maxima).
     """
     tune_for_oracle(spark)
+    from better_cdc_spark.operators import blocked_cumsum
+
     v = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "view"))
@@ -5780,18 +5813,14 @@ def q36q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).cast("long").alias("na"),
         F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).cast("long").alias("nb"),
     )
-    ww = W.orderBy("vm", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    walk = v.select(
-        "vm",
-        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).over(ww).alias("ca"),
-        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).over(ww).alias("cb"),
+    per_vm = v.groupBy("vm").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).cast("long").alias("av"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).cast("long").alias("bv"),
     )
-    steps = walk.withColumn(
-        "rk",
-        F.row_number().over(
-            W.partitionBy("vm").orderBy((F.col("ca") + F.col("cb")).desc())
-        ),
-    ).filter(F.col("rk") == 1)
+    steps = blocked_cumsum(
+        blocked_cumsum(per_vm, "vm", "av", "ca", inclusive=True),
+        "vm", "bv", "cb", inclusive=True,
+    )
     gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
     return (
         steps.crossJoin(F.broadcast(sizes))
@@ -5838,10 +5867,14 @@ def q53d_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The rank weighting Σ(i·xᵢ) is an exact BIGINT (i ≤ |customers|,
     cents sums bounded), so the two divisions produce bit-identical
-    doubles; ties rank deterministically by key. The window runs over
-    the |customers|-bounded per-key aggregate — never over orders.
+    doubles; ties rank deterministically by key. Since r11 the rank
+    comes from operators.blocked_row_number and the frame totals from a
+    1-row broadcast agg — the per-key aggregate is customer-dimension
+    sized (grows with the corpus), so no single-task window anywhere.
     """
     tune_for_oracle(spark)
+    from better_cdc_spark.operators import blocked_row_number
+
     per_cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -5851,13 +5884,13 @@ def q53d_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    wr = W.orderBy(F.col("cents"), F.col("o_custkey"))
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(wr).alias("i"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-        F.sum("cents").over(W.partitionBy()).alias("total"),
+    totals = per_cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
     )
+    ranked = blocked_row_number(
+        per_cust, "cents", "o_custkey", "i"
+    ).crossJoin(F.broadcast(totals))
     n = F.max("n").cast("long")
     total = F.max("total").cast("long")
     wsum = F.sum(F.col("i") * F.col("cents")).cast("long")

@@ -502,3 +502,53 @@ def test_blocked_cumsum_no_partition_cols(spark):
     df = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "v long, c long")
     got = {r.v: r.below for r in ops.blocked_cumsum(df, "v", "c", "below").collect()}
     assert got == {10: 0, 20: 1, 30: 3}
+
+
+def _classic_ordered_cumsum(rows, descending, inclusive):
+    # reference: running total over the (key [desc], tiebreak asc) order
+    order = sorted(rows, key=lambda r: (-r[0] if descending else r[0], r[1]))
+    out, acc = {}, 0
+    for k, tb, v in order:
+        out[(k, tb)] = acc + (v if inclusive else 0)
+        acc += v
+    return out
+
+
+def test_blocked_ordered_cumsum_matches_classic_window(spark):
+    import random
+
+    rng = random.Random(11)
+    # duplicate keys on purpose: tie groups of size 1-6 with varying values
+    rows = []
+    tb = 0
+    for k in rng.sample(range(-300, 900), 120):
+        for _ in range(rng.randint(1, 6)):
+            rows.append((k, tb, rng.randint(-5, 50)))
+            tb += 1
+    df = spark.createDataFrame(rows, "k long, tb long, v long")
+    for descending in (False, True):
+        for inclusive in (True, False):
+            got = {
+                (r.k, r.tb): r.cum
+                for r in ops.blocked_ordered_cumsum(
+                    df, "k", "tb", "v", "cum",
+                    n_blocks=8, descending=descending, inclusive=inclusive,
+                ).collect()
+            }
+            assert got == _classic_ordered_cumsum(rows, descending, inclusive)
+
+
+def test_blocked_ordered_cumsum_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 0, 10), ("a", 1, 1, 20), ("a", 2, 2, 5),
+         ("b", 1, 3, 7), ("b", 3, 4, 1)],
+        "g string, k long, tb long, v long",
+    )
+    got = {
+        (r.g, r.tb): r.cum
+        for r in ops.blocked_ordered_cumsum(
+            df, "k", "tb", "v", "cum", part_cols=("g",), n_blocks=4
+        ).collect()
+    }
+    assert got == {("a", 0): 10, ("a", 1): 30, ("a", 2): 35,
+                   ("b", 3): 7, ("b", 4): 8}
