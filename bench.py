@@ -188,6 +188,62 @@ def run_replay_sink_bench(
     }
 
 
+def run_blocked_window_bench(spark, sf_dir: str) -> dict:
+    """blocked_cumsum vs the classic single-task window, measured.
+
+    The r10 blocked ops carried correctness pins but no measured win;
+    this times the exact swap on a fact-shaped frame: the exclusive
+    prefix sum over lineitem expanded ×8 by a deterministic ordinal
+    (distinct integral keys, 4.8M rows at sf0.1 — big enough that the
+    classic form's ONE sort-and-scan task is the bottleneck; the
+    crossover sits above ~1M rows on this host, and a 100 TB frame is
+    four decades past it). The input materializes once (localCheckpoint)
+    so both forms time only the scan; the computed column is FORCED
+    through a filter (count() alone would prune the window away).
+    min-of-3 each; ratio < 1 = the two-level partial+offset scan wins.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.io import load_table
+    from better_cdc_spark.operators import blocked_cumsum
+
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber"))
+            .cast("long").alias("k0"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+        )
+        .select(F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"), "k0", "c")
+        .select((F.col("k0") * 8 + F.col("i")).cast("long").alias("v"), "c")
+        .localCheckpoint(eager=True)
+    )
+    n_frame = pv.count()
+
+    wcl = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    classic = pv.withColumn("below", F.coalesce(F.sum("c").over(wcl), F.lit(0)))
+    blocked = blocked_cumsum(pv, "v", "c", "below")
+
+    def best_of(df, reps: int = 3) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df.filter(F.col("below") >= 0).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_classic = best_of(classic)
+    t_blocked = best_of(blocked)
+    return {
+        "metric": "blocked_cumsum_vs_single_task_window",
+        "n_frame_rows": n_frame,
+        "classic_window_sec": round(t_classic, 3),
+        "blocked_sec": round(t_blocked, 3),
+        "ratio": round(t_blocked / max(t_classic, 1e-9), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -279,6 +335,9 @@ def main() -> None:
     # its pruned sink partitions and join per epoch. Reported per-epoch.
     replay_sink = run_replay_sink_bench(spark, sf_dir)
 
+    # Blocked-op microbench: the r10 two-level window swap, as data.
+    blocked_win = run_blocked_window_bench(spark, sf_dir)
+
     # mechanical 2x-envelope check vs the r1 baseline (shared queries only)
     vs_baseline = {
         n: round(times[n] / R1_BASELINE[n], 3) for n in times if n in R1_BASELINE
@@ -318,6 +377,7 @@ def main() -> None:
         "cdc_e2e": cdc_e2e,
         "streaming": streaming,
         "replay_sink": replay_sink,
+        "blocked_window": blocked_win,
         "vs_baseline": vs_baseline,
         "vs_r4": vs_r4,
         "vm_shift_median": round(med, 3),
@@ -342,6 +402,7 @@ def main() -> None:
         "cdc_e2e_ops_per_sec": cdc_e2e.get("value"),
         "streaming_events_per_sec": streaming.get("value"),
         "txlog_replay_ms_per_epoch": replay_sink.get("txlog_replay_ms_per_epoch"),
+        "blocked_vs_window_ratio": blocked_win.get("ratio"),
         "vs_baseline_max": max(vs_baseline.values(), default=None),
         "vs_r4_norm_max": max(vs_r4_norm.values(), default=None),
     }

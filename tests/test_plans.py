@@ -723,13 +723,24 @@ def test_q95aq_boilerplate_join_is_hash_no_products(spark):
 
 
 def test_q36q_ks_walk_is_single_ordered_pass(spark):
-    """The KS statistic's merged walk is ONE ordered pass plus the
-    tie-collapse window and a 1-row broadcast — no join of the two
-    samples against each other."""
+    """The KS statistic folds to per-distinct-value counts (one hash
+    agg) and two blocked cumulative scans — no join of the two samples
+    against each other, and no fact-sized single-task window: every
+    1-row attach (two blocked bounds + the sizes scalar) is a broadcast
+    nested-loop over ONE row, never a cartesian."""
+    import re
+
     plan = plan_of(spark, "q36q_ks_two_sample")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row sizes scalar
+    # every BNLJ here is a 1-row attach (blocked bounds / sizes scalar);
+    # the raw count is meaningless because the nested cumsum re-prints
+    # the inner scan's subtree, so pin the window structure instead:
+    # every cumsum window spec must carry the range-block id.
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected blocked cumsum windows in the q36q plan"
+    for spec in specs:
+        assert "__blk" in spec, f"unblocked window spec: {spec}"
 
 
 def test_q76b_ring_vnodes_broadcast(spark):
@@ -1003,3 +1014,40 @@ def test_exact_stats_windows_are_blocked_not_global(spark, name):
         if name == "q53f_lorenz_curve" and "decile" in spec:
             continue  # 10-row curve cumsum — bounded by n_tiles
         raise AssertionError(f"{name}: unblocked window spec: {spec}")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q50_global_sort",
+        "q95d_sequence_packing",
+        "q53c_pareto_report",
+        "q53d_gini_coefficient",
+        "q95o_dsir_resample",
+    ],
+)
+def test_r11_migrated_rank_cumsum_windows_are_blocked(spark, name):
+    """r11 global-window closure: the migrated rank/running-total sites
+    run entirely through the blocked two-level ops — every window spec
+    carries the range-block id (__blk) or the order-key tie group (__k);
+    no whole-frame single-task window survives in the plan."""
+    import re
+
+    plan = plan_of(spark, name)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"expected window specs in {name}"
+    for spec in specs:
+        if "__blk" in spec or "__k" in spec:
+            continue
+        raise AssertionError(f"{name}: unblocked window spec: {spec}")
+
+
+@pytest.mark.parametrize("name", ["q29b_skew_advisor", "q97j_mmr_rerank"])
+def test_r11_topk_sites_use_take_ordered(spark, name):
+    """r11 top-k migrations: global top-N selection must compile to
+    TakeOrderedAndProject (per-partition pruned distributed top-k),
+    never a global row_number window over the frame. q29b's one
+    remaining rank window runs over the 10 post-limit rows."""
+    plan = plan_of(spark, "q29b_skew_advisor" if name == "q29b_skew_advisor" else name)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
