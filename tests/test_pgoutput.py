@@ -230,3 +230,43 @@ def test_roundtrip_matches_wal2json_normalize(spark):
     assert ins1["name"] == "héllo ✓" and ins1["bio"] == ""
     ins2 = after["0/20:2:INSERT:public.users:0"]
     assert ins2["name"] is None and ins2["bio"] == "x"
+
+
+def test_pgoutput_wide_type_domain_text_cells(spark):
+    """Second capture set (wal2json_capture2 parity): pgoutput carries
+    every value as a 't' text cell, so the array-literal / interval /
+    bytea-hex / timestamptz domain must survive byte-for-byte —
+    including embedded quotes and commas inside array elements — and a
+    'u' TOAST cell on the SAME row must skip without shifting its
+    neighbours (cell decode is positional)."""
+    rel = RelationInfo(
+        relid=16600,
+        schema="public",
+        table="orders",
+        columns=("o_orderkey", "tags", "grace", "placed_at", "blob"),
+        column_oids=(20, 1009, 1186, 1184, 17),
+        key_flags=(1, 0, 0, 0, 0),
+    )
+    vals = [
+        ("t", b"21"),
+        ("t", b'{rush,"gift wrap","a,b"}'),
+        ("t", b"1 day 02:03:04.500000"),
+        ("t", b"2024-06-01 11:59:58.123456+00"),
+        ("u", None),  # TOASTed bytea unchanged: skipped, no shift
+    ]
+    msgs = [
+        (1, encode_relation(rel)),
+        (2, encode_begin("0/200", 0, 11)),
+        (3, encode_insert(rel.relid, vals)),
+        (4, encode_commit("0/200", 222_333)),
+    ]
+    img = _decode(spark, msgs).filter(F.col("action") == "I").collect()
+    assert len(img) == 1
+    cols = {c["name"]: c["value"] for c in img[0]["columns"]}
+    assert cols == {
+        "o_orderkey": "21",
+        "tags": '{rush,"gift wrap","a,b"}',
+        "grace": "1 day 02:03:04.500000",
+        "placed_at": "2024-06-01 11:59:58.123456+00",
+    }
+    assert "blob" not in cols  # 'u' skipped entirely, not nulled

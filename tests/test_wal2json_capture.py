@@ -269,3 +269,75 @@ def test_wal2json_null_timestamp_stays_null(spark):
     ]
     rows = parse_wal2json_frames(spark, frames).collect()
     assert rows[0]["timestamp"] is None
+
+
+def test_wal2json_second_capture_type_domain(spark):
+    """Second, COMMITTED capture (tests/data/wal2json_capture2.jsonl)
+    widening the decoded value domain per wal2json.go:182-221: array
+    literals (quoted elements, embedded commas, empty array), interval
+    text in both day-qualified and clock forms, bytea hex, a
+    timestamptz VALUE string, unchanged-TOAST column omission on
+    UPDATE (wal2json omits the column entirely — the image must not
+    invent a key), and commit/action timestamps across the remaining
+    format-ladder rungs ('T'-separated RFC3339 'Z' forms and
+    minute-offset '-05:30' forms). Same production path as capture 1:
+    socket replay with a scripted disconnect → parse → normalize."""
+    import os
+
+    capture_path = os.path.join(
+        os.path.dirname(__file__), "data", "wal2json_capture2.jsonl"
+    )
+    lines = open(capture_path, newline="").read().splitlines()
+    wal = [(7000 + i, line.encode()) for i, line in enumerate(lines)]
+    frames: list[tuple[int, str, str]] = []
+
+    def on_payload(frame):
+        frames.append(
+            (len(frames), lsn_to_str(frame.wal_start), frame.payload.decode())
+        )
+        return lsn_to_str(frame.wal_start)
+
+    with FakeWalServer(wal, disconnect_after={0: 3}) as srv:
+        loop = ReplicationLoop(
+            connect=lambda resume: connect_wire(
+                "127.0.0.1", srv.port,
+                start_replication_command("capture_slot2", resume),
+            ),
+            sleep=lambda s: None,
+            standby_timeout_s=5.0,
+        )
+        loop.run(on_payload)
+        assert loop.reconnects >= 1
+    assert len(frames) == len(lines)  # resume duplicated nothing
+
+    changelog = parse_wal2json_frames(spark, frames)
+    ev = normalize_changelog(
+        changelog, database="testdb", allowlist=["public.orders"]
+    ).orderBy("txid", "lsn").collect()
+
+    assert [(r["txid"], r["operation"]) for r in ev] == [
+        (901, "INSERT"), (901, "UPDATE"), (902, "DELETE")
+    ]  # audit_log filtered; B/C consumed
+    ins, upd, dele = ev
+
+    # PostgreSQL array literals survive byte-for-byte as their text form
+    assert ins["after"]["tags"] == '{rush,"gift wrap","a,b"}'
+    assert ins["after"]["weights"] == "{1,2,3}"
+    assert upd["after"]["weights"] == "{}"
+    # interval text in both spellings; bytea hex escape form
+    assert ins["after"]["grace"] == "1 day 02:03:04.500000"
+    assert upd["after"]["grace"] == "02:03:04"
+    assert ins["after"]["blob"] == "\\x48656c6c6f00ff"
+    # timestamptz VALUES pass through as text (they are column data,
+    # not protocol timestamps — the consumer parses them)
+    assert ins["after"]["placed_at"] == "2024-06-01 11:59:58.123456+00"
+    assert upd["after"]["placed_at"] == "2024-06-01 11:59:59-05:30"
+    # unchanged-TOAST omission: wal2json drops the column from the U
+    # image entirely; the envelope must not resurrect it as NULL
+    assert "blob" not in upd["after"]
+    # identity with an array member
+    assert dele["before"] == {"o_orderkey": "21", "tags": "{rush}"}
+    # commit stamps across the remaining ladder rungs, normalized to UTC
+    assert str(ins["commit_time"]) == "2024-06-01 12:00:00.999999"
+    assert str(dele["commit_time"]) == "2024-06-01 18:30:01"
+    assert all(r["subject"] == "cdc.testdb.public.orders" for r in ev)
