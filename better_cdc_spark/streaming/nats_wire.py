@@ -22,10 +22,15 @@ rides a real NATS header block, matching the reference's dedup contract
 
 With this, a live deployment swaps a TCP address, not a client library:
 point the transport at a real nats-server and every byte it sends is
-already protocol-valid. What a production rollout still ADDS (and only
-this) is operational client machinery — TLS/auth (CONNECT auth_token /
-nkey fields), reconnect-with-server-list, and flow-control flushing —
-the documented nats-py surface; no publish DECISION moves.
+already protocol-valid. Token/user auth is wire-real too (r11): when
+INFO advertises ``auth_required`` (or credentials are passed), CONNECT
+carries ``auth_token`` / ``user``+``pass`` per the documented client
+surface, and a server ``-ERR 'Authorization Violation'`` surfaces as a
+loud PublishError — the auth dialogue is byte-pinned in the tests.
+What a production rollout still ADDS (and only this) is the remaining
+operational client machinery — TLS transport wrap + nkey/JWT signing,
+reconnect-with-server-list, and flow-control flushing — the documented
+nats-py surface; no publish DECISION moves.
 
 `FakeNatsServer` is the recorded-capture counterpart: a real-protocol
 responder with the reference mock's failure scripts (transient PubAck
@@ -121,6 +126,9 @@ class NatsWireTransport:
         connect_timeout_s: float = 5.0,
         inbox_nuid: str | None = None,
         client_name: str = "better-cdc-spark",
+        auth_token: str | None = None,
+        user: str | None = None,
+        password: str | None = None,
     ) -> None:
         self.sock = socket.create_connection((host, port), timeout=connect_timeout_s)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
@@ -131,6 +139,8 @@ class NatsWireTransport:
         self.server_info = json.loads(info_line[5:])
         if not self.server_info.get("headers"):
             raise PublishError("server does not support headers (Nats-Msg-Id)")
+        if self.server_info.get("auth_required") and not (auth_token or user):
+            raise PublishError("server requires auth; no credentials configured")
         self.max_payload = int(self.server_info.get("max_payload", 1048576))
         connect = {
             "verbose": False,
@@ -142,11 +152,23 @@ class NatsWireTransport:
             "version": "0",
             "protocol": 1,
         }
+        # auth fields ride CONNECT per the documented client surface;
+        # keys appear ONLY when configured so the unauthenticated
+        # dialogue stays byte-identical to the pinned r10 trace
+        if auth_token is not None:
+            connect["auth_token"] = auth_token
+        if user is not None:
+            connect["user"] = user
+            connect["pass"] = password or ""
         self.sock.sendall(
             b"CONNECT " + json.dumps(connect, separators=(",", ":")).encode() + CRLF
             + b"PING" + CRLF
         )
         pong = self._rd.read_line()
+        if pong is not None and pong.startswith(b"-ERR"):
+            # verbose=false: the ONLY reply a rejecting server sends is
+            # -ERR before closing (e.g. 'Authorization Violation')
+            raise PublishError(f"server rejected CONNECT: {pong.decode()}")
         if pong != b"PONG":
             raise PublishError(f"expected PONG, got {pong!r}")
         self._nuid = inbox_nuid or hex(int(time.monotonic_ns()))[2:].upper()
@@ -292,6 +314,10 @@ class NatsScript:
     ack_delay_s: float = 0.0
     #: advertised max_payload (clients must reject bigger sends locally)
     max_payload: int = 1048576
+    #: when set, INFO advertises auth_required and any CONNECT whose
+    #: auth_token differs is answered -ERR 'Authorization Violation'
+    #: and the connection closed (the real server's reject dialogue)
+    require_auth_token: str | None = None
 
 
 class FakeNatsServer:
@@ -369,6 +395,8 @@ class FakeNatsServer:
             "version": "2.10.0", "proto": 1, "headers": True,
             "max_payload": self.script.max_payload, "jetstream": True,
         }
+        if self.script.require_auth_token is not None:
+            info["auth_required"] = True
         self._send(conn, b"INFO " + json.dumps(info, separators=(",", ":")).encode())
         rd = _LineReader(conn)
         try:
@@ -377,7 +405,17 @@ class FakeNatsServer:
                 if line is None:
                     return
                 self._log("C", line)
-                if line.startswith(b"CONNECT ") or line.startswith(b"SUB "):
+                if line.startswith(b"CONNECT "):
+                    if self.script.require_auth_token is not None:
+                        try:
+                            opts = json.loads(line[8:])
+                        except ValueError:
+                            opts = {}
+                        if opts.get("auth_token") != self.script.require_auth_token:
+                            self._send(conn, b"-ERR 'Authorization Violation'")
+                            return  # real server closes the connection
+                    continue
+                if line.startswith(b"SUB "):
                     continue
                 if line == b"PING":
                     self._send(conn, b"PONG")

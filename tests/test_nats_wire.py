@@ -32,6 +32,7 @@ from better_cdc_spark.streaming.publish_retry import (
     BadSubjectError,
     MaxPayloadError,
     OrderedPublishEngine,
+    PublishError,
     PublishItem,
 )
 
@@ -214,3 +215,62 @@ def test_wal2json_capture_pairs_with_nats_publish(spark):
         assert [m["msg_id"] for m in stored] == [r["event_id"] for r in ev]
         assert all(m["subject"] == "cdc.testdb.public.orders" for m in stored)
         assert validate_trace(srv.trace) == []
+
+
+def test_auth_token_dialogue_accepted_and_byte_pinned():
+    """Token auth on the documented client surface: INFO advertises
+    auth_required, CONNECT carries auth_token, publishes proceed. The
+    auth dialogue is pinned at byte level from the captured trace."""
+    items = _items(2)
+    script = NatsScript(require_auth_token="s3cr3t")
+    with FakeNatsServer(script) as srv:
+        with NatsWireTransport("127.0.0.1", srv.port, auth_token="s3cr3t") as tp:
+            result = _engine().publish_with_retry(tp, items)
+        assert result.is_complete()
+        assert [m["msg_id"] for m in srv.messages] == [i.event_id for i in items]
+        trace = list(srv.trace)
+    assert validate_trace(trace) == []
+    info_line = next(l for d, l in trace if d == "S" and l.startswith(b"INFO "))
+    assert json.loads(info_line[5:])["auth_required"] is True
+    connect_line = next(l for d, l in trace if d == "C" and l.startswith(b"CONNECT "))
+    opts = json.loads(connect_line[8:])
+    assert opts["auth_token"] == "s3cr3t"
+
+
+def test_auth_reject_is_loud_and_closes():
+    """Wrong/missing token: the server answers -ERR 'Authorization
+    Violation' and closes (verbose=false reject dialogue); the client
+    surfaces it as PublishError, never a silent hang. A client with no
+    credentials refuses locally on the advertised auth_required."""
+    script = NatsScript(require_auth_token="s3cr3t")
+    with FakeNatsServer(script) as srv:
+        with pytest.raises(PublishError, match="Authorization Violation"):
+            NatsWireTransport("127.0.0.1", srv.port, auth_token="wrong")
+        with pytest.raises(PublishError, match="no credentials"):
+            NatsWireTransport("127.0.0.1", srv.port)
+        reject = [l for d, l in srv.trace if d == "S" and l.startswith(b"-ERR")]
+    assert reject == [b"-ERR 'Authorization Violation'"]
+
+
+def test_user_pass_fields_ride_connect():
+    """user/pass CONNECT fields (the other documented auth form) are
+    emitted only when configured — the unauthenticated CONNECT stays
+    byte-identical to the pinned r10 trace."""
+    with FakeNatsServer() as srv:
+        with NatsWireTransport(
+            "127.0.0.1", srv.port, user="svc", password="pw"
+        ) as tp:
+            assert _engine().publish_with_retry(tp, _items(1)).is_complete()
+        connect_line = next(
+            l for d, l in srv.trace if d == "C" and l.startswith(b"CONNECT ")
+        )
+    opts = json.loads(connect_line[8:])
+    assert opts["user"] == "svc" and opts["pass"] == "pw"
+    # default-path CONNECT (no creds) carries NO auth keys at all
+    with FakeNatsServer() as srv2:
+        with NatsWireTransport("127.0.0.1", srv2.port) as tp:
+            assert _engine().publish_with_retry(tp, _items(1)).is_complete()
+        plain = next(
+            l for d, l in srv2.trace if d == "C" and l.startswith(b"CONNECT ")
+        )
+    assert not set(json.loads(plain[8:])) & {"auth_token", "user", "pass"}
