@@ -93,6 +93,17 @@ SHOWCASE_ORDER = (
     "qc29_wire_e2e_pipeline",
     # round-11 promotion: last promotable rows-only entry -> pinned oracle
     "q97_ann_pq",
+    # r11 global-window migrations (changed-unconfirmed per rotation.py's
+    # new source-hash detector; each re-verified dual-scale pre-gate)
+    "q50_global_sort",
+    "q29b_skew_advisor",
+    "q53c_pareto_report",
+    "q36q_ks_two_sample",
+    "q53d_gini_coefficient",
+    "qc20_incremental_snapshot",
+    "q95d_sequence_packing",
+    "q95o_dsir_resample",
+    "q97j_mmr_rerank",
     # pads: oldest driver rows first (displaced by mid-round additions)
     "q26_theta_join",
     "q28_interval_join",
@@ -122,16 +133,6 @@ SHOWCASE_ORDER = (
     "q27_asof_join",
     "q28b_interval_bucket_join",
     "q29_skew_salted_join",
-    "q30_grouped_agg_tpch_q1",
-    "q33_rollup",
-    "q34_having",
-    "q37_pivot",
-    "qm01_merge_into",
-    "q40_ranking_windows",
-    "q42_frame_agg",
-    "q44_sessionize",
-    "q45_gapfill",
-    "q50_global_sort",
 )
 
 def load_all() -> dict[str, QuerySpec]:
