@@ -9027,3 +9027,682 @@ def q36v_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q36aa_kruskal_wallis",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    cv AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY x
+    ),
+    cv2 AS (
+      SELECT x, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS BIGINT) AS cumb
+      FROM cv
+    ),
+    gv AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY g, x
+    ),
+    rg AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * (2 * cumb + cnt + 1)) AS BIGINT) AS r2
+      FROM gv JOIN cv2 USING (x) GROUP BY g
+    ),
+    rg2 AS (
+      SELECT g, n, r2,
+             CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0 * n) AS term
+      FROM rg
+    ),
+    ties AS (
+      SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3 FROM cv
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+             list_reduce(array_agg(term ORDER BY g), (a, b) -> a + b) AS s
+      FROM rg2
+    )
+    SELECT agg.k AS n_groups, agg.n AS n_rows, ties.tie3 AS tie3,
+           round(12.0 / (CAST(agg.n AS DOUBLE) * (agg.n + 1)) * agg.s
+                 - 3.0 * (agg.n + 1), 6) AS h_stat,
+           round((12.0 / (CAST(agg.n AS DOUBLE) * (agg.n + 1)) * agg.s
+                  - 3.0 * (agg.n + 1))
+                 / (1.0 - CAST(ties.tie3 AS DOUBLE)
+                    / (CAST(agg.n AS DOUBLE) * agg.n * agg.n - agg.n)),
+                 6) AS h_corrected
+    FROM agg, ties
+    """,
+    tags=("agg", "statistics"),
+)
+def q36aa_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H across event types — the rank-based k-group
+    test completing the comparison ladder begun by q36t Mann-Whitney
+    (2 groups, ranks) and q36z ANOVA F (k groups, means): k groups,
+    ranks, no normality assumption.
+
+    Exactness: values floor to a BOUNDED integer grid (~400 distinct,
+    value-domain-bounded — never fact-sized), so tied ranks come from
+    the grid histogram: the doubled average rank at value v is
+    2*cumb_v + cnt_v + 1 (an exact BIGINT — the q36t doubled-rank
+    convention), making each group's doubled rank-sum R2_g an exact
+    BIGINT. R2_g^2 overflows BIGINT at sf0.1, so the per-group term
+    R2^2/(4n) is ONE pinned double op sequence per group row and the
+    k terms sum via an ORDERED fold over the g-sorted group array
+    (both engines left-fold identical doubles in identical order —
+    the q42j fold discipline; a bare SUM() over doubles would be
+    partition-order-dependent). Tie correction sum(t^3 - t) stays
+    BIGINT (headroom: ~4e9 at sf0.1, ~4e12 at sf10).
+
+    Scale: two map-side-combinable histogram passes (value grid,
+    (group, value) grid); the only window runs over the ~400-row
+    value grid; the fold frame is k=|event_type| rows.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value")).cast("long").alias("x"),
+    )
+    cv = v.groupBy("x").agg(F.count("*").cast("long").alias("cnt"))
+    cv2 = cv.select(
+        "x",
+        "cnt",
+        (
+            F.sum("cnt").over(
+                W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("cnt")
+        )
+        .cast("long")
+        .alias("cumb"),
+    )
+    gv = v.groupBy("g", "x").agg(F.count("*").cast("long").alias("c"))
+    rg = (
+        gv.join(F.broadcast(cv2), "x")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                F.col("c") * (2 * F.col("cumb") + F.col("cnt") + 1)
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+        .select(
+            "g",
+            "n",
+            "r2",
+            (
+                F.col("r2").cast("double")
+                * F.col("r2").cast("double")
+                / (4.0 * F.col("n"))
+            ).alias("term"),
+        )
+    )
+    ties = cv.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie3")
+    )
+    agg = rg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("s"),
+    )
+    h = 12.0 / (F.col("n").cast("double") * (F.col("n") + 1)) * F.col(
+        "s"
+    ) - 3.0 * (F.col("n") + 1)
+    corr = 1.0 - F.col("tie3").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return agg.join(F.broadcast(ties)).select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        "tie3",
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_corrected"),
+    )
+
+
+@query(
+    "q36ab_wilcoxon_signed_rank",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                           THEN CAST(floor(value) AS BIGINT) END) AS BIGINT)
+               AS sv,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(floor(value) AS BIGINT) END) AS BIGINT)
+               AS sc
+      FROM events
+      WHERE event_type IN ('view', 'click')
+      GROUP BY user_id
+      HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+    ),
+    d AS (
+      SELECT sv - sc AS diff, abs(sv - sc) AS ad FROM pu WHERE sv <> sc
+    ),
+    grid AS (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cpos
+      FROM d GROUP BY ad
+    ),
+    grid2 AS (
+      SELECT ad, cnt, cpos,
+             CAST(SUM(cnt) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS BIGINT) AS cumb
+      FROM grid
+    ),
+    agg AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cpos * (2 * cumb + cnt + 1)) AS BIGINT) AS w2,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+      FROM grid2
+    )
+    SELECT n AS n_pairs, w2 AS w2_plus, tie3,
+           round((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2)
+                 / (2.0 * sqrt((CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1)
+                                - CAST(tie3 AS DOUBLE) / 2) / 24)),
+                 6) AS z_score
+    FROM agg
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ab_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK on paired per-user view-vs-click value
+    totals — the paired counterpart of q36t's Mann-Whitney (unpaired):
+    does the within-user difference distribution center at zero?
+
+    Pairing: per user, the floored-value totals of 'view' and 'click'
+    events (users lacking either type drop — standard complete-pairs
+    rule); zero differences drop per the classical procedure. Tied
+    |diff| ranks use the q36aa doubled-rank histogram identity on the
+    |diff| grid, so the doubled positive-rank sum W2+ and the tie term
+    are exact BIGINTs; the normal-approximation z (with tie-corrected
+    variance) is ONE pinned double expression over three BIGINTs.
+
+    Scale: one groupBy(user) pass (map-side combinable) then a
+    |diff|-grid histogram; the grid window is user-bounded (<= one row
+    per distinct |diff|, ~1.5k at sf0.1) — if the pair population
+    grew fact-sized the cumb would migrate to operators.blocked_
+    ordered_cumsum (the q50 pattern). n^3 headroom: ~3e9 at sf0.1.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.floor(F.col("value")).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("sv"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.floor(F.col("value")).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("sc"),
+        )
+        .where(F.col("sv").isNotNull() & F.col("sc").isNotNull())
+    )
+    d = pu.where(F.col("sv") != F.col("sc")).select(
+        (F.col("sv") - F.col("sc")).alias("diff"),
+        F.abs(F.col("sv") - F.col("sc")).alias("ad"),
+    )
+    grid = d.groupBy("ad").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cpos"),
+    )
+    grid2 = grid.select(
+        "ad",
+        "cnt",
+        "cpos",
+        (
+            F.sum("cnt").over(
+                W.orderBy("ad").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("cnt")
+        )
+        .cast("long")
+        .alias("cumb"),
+    )
+    agg = grid2.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cpos") * (2 * F.col("cumb") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    z = (F.col("w2").cast("double") - nd * (F.col("n") + 1) / 2) / (
+        2.0
+        * F.sqrt(
+            (
+                nd * (F.col("n") + 1) * (2 * F.col("n") + 1)
+                - F.col("tie3").cast("double") / 2
+            )
+            / 24
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.col("w2").alias("w2_plus"),
+        "tie3",
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@query(
+    "q36ac_brown_forsythe",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    gv AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY g, x
+    ),
+    gv2 AS (
+      SELECT g, x, c,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM gv
+    ),
+    gn AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM gv GROUP BY g
+    ),
+    med AS (
+      SELECT gv2.g,
+             CAST(MAX(CASE WHEN cum - c < (n + 1) // 2
+                            AND (n + 1) // 2 <= cum THEN x END)
+                  + MAX(CASE WHEN cum - c < (n + 2) // 2
+                              AND (n + 2) // 2 <= cum THEN x END)
+                  AS BIGINT) AS m2
+      FROM gv2 JOIN gn ON gv2.g = gn.g
+      GROUP BY gv2.g
+    ),
+    z AS (
+      SELECT v.g, abs(2 * v.x - med.m2) AS z
+      FROM v JOIN med ON v.g = med.g
+    ),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z) AS BIGINT) AS s,
+             CAST(SUM(z * z) AS BIGINT) AS ss,
+             CAST(SUM(z) * SUM(z) // COUNT(*) AS BIGINT) AS term
+      FROM z GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(ss) AS BIGINT) AS ss,
+             CAST(SUM(term) AS BIGINT) AS sumterm
+      FROM pg
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           sumterm - s * s // n AS ssb_int,
+           ss - sumterm AS ssw_int,
+           round((CAST(sumterm - s * s // n AS DOUBLE) / (k - 1))
+                 / (CAST(ss - sumterm AS DOUBLE) / (n - k)), 6) AS bf_stat
+    FROM tot
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ac_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE variance-homogeneity test (Levene's test with
+    median centers) across event types — the precondition check for
+    q36z's classical ANOVA: are the k group spreads equal?
+
+    Per-group medians come from the (group, value)-grid histogram
+    (value domain bounded ~400 — the q36aa grid), as DOUBLED order
+    statistics m2 = x_lo + x_hi (ranks (n+1)//2, (n+2)//2 located by
+    cumulative-count bracketing — the q36n discrete-order-stat
+    convention, never interpolated), so each deviation z = |2x - m2|
+    is an exact BIGINT in half-units. The F statistic on z reuses
+    q36z's truncated-integer identity verbatim: per-group s^2/n terms
+    truncate via integer division, SSB/SSW are DEFINED BIGINTs, one
+    pinned double finishes F. Headroom: z <= ~1960 half-units, so
+    ss <= ~4e11 at sf0.1 (~4e14 at sf100).
+
+    Scale: histogram passes are map-side combinable; the median
+    window partitions BY GROUP over the bounded value grid; the z
+    pass re-joins the k-row median dim broadcast.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value")).cast("long").alias("x"),
+    )
+    gv = v.groupBy("g", "x").agg(F.count("*").cast("long").alias("c"))
+    gv2 = gv.select(
+        "g",
+        "x",
+        "c",
+        F.sum("c")
+        .over(
+            W.partitionBy("g")
+            .orderBy("x")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    gn = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    med = (
+        gv2.join(F.broadcast(gn), "g")
+        .groupBy("g")
+        .agg(
+            (
+                F.max(
+                    F.when(
+                        (F.col("cum") - F.col("c") < lo)
+                        & (lo <= F.col("cum")),
+                        F.col("x"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        (F.col("cum") - F.col("c") < hi)
+                        & (hi <= F.col("cum")),
+                        F.col("x"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("m2")
+        )
+    )
+    z = v.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("x") - F.col("m2")).alias("z")
+    )
+    pg = z.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("ss"),
+        F.expr("CAST(sum(z) * sum(z) div count(*) AS BIGINT)").alias("term"),
+    )
+    tot = pg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("ss").cast("long").alias("ss"),
+        F.sum("term").cast("long").alias("sumterm"),
+    )
+    ssb = F.col("sumterm") - F.expr("s * s div n")
+    ssw = F.col("ss") - F.col("sumterm")
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        ssb.cast("long").alias("ssb_int"),
+        ssw.cast("long").alias("ssw_int"),
+        F.round(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (ssw.cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("bf_stat"),
+    )
+
+
+@query(
+    "q36ad_jarque_bera",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * x * x) AS BIGINT) AS s3,
+             CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+      FROM v
+    ),
+    m AS (
+      SELECT n, s1, s2,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+             CAST(s3 AS DOUBLE) / n
+               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n) AS m3,
+             CAST(s4 AS DOUBLE) / n
+               - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+               + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s2 AS DOUBLE) / n)
+               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               AS m4
+      FROM s
+    )
+    SELECT n AS n_rows, s1, s2,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS ex_kurtosis,
+           round(CAST(n AS DOUBLE) / 6
+                 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                    + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4),
+                 6) AS jb_stat
+    FROM m
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ad_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test on floored event values — the
+    moment-based normality screen (skewness and excess kurtosis jointly
+    zero?) that q36j/q36z implicitly assume; JB = n/6 (g1^2 + g2^4/4).
+
+    Raw power sums S1..S4 are exact BIGINTs (x <= 490 so x^4 <= 5.8e10;
+    sum <= 5.8e15 at sf0.1, <= 5.8e17 at sf10 — documented headroom,
+    the q42f overflow-note convention). Central moments m2..m4 then
+    assemble in ONE pinned double expression per moment from those
+    exact integers — a naive SUM((x-mean)^k) over doubles would be
+    partition-order-dependent and cancellation-prone; the raw-sum
+    route has a single deterministic op sequence both engines share.
+
+    Scale: one map-side-combinable pass; a single scalar row after.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value")).cast("long").alias("x")
+    )
+    s = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3 * mu * (F.col("s2").cast("double") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4 * mu * (F.col("s3").cast("double") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3
+    return s.select(
+        F.col("n").alias("n_rows"),
+        "s1",
+        "s2",
+        F.round(g1, 6).alias("skewness"),
+        F.round(g2, 6).alias("ex_kurtosis"),
+        F.round(
+            F.col("n").cast("double") / 6 * (g1 * g1 + g2 * g2 / 4), 6
+        ).alias("jb_stat"),
+    )
+
+
+@query(
+    "q36ae_durbin_watson",
+    oracle="""
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS sm,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * y) AS BIGINT) AS smy,
+             CAST(SUM(t * t) AS BIGINT) AS smm
+      FROM m
+    ),
+    co AS (
+      SELECT n, sm, sy, smy, smm,
+             n * smm - sm * sm AS dd,
+             n * smy - sm * sy AS bb,
+             sy * (n * smm - sm * sm) - (n * smy - sm * sy) * sm AS cc
+      FROM mom
+    ),
+    resid AS (
+      SELECT m.t,
+             (m.y * co.n * co.dd - co.cc - co.n * co.bb * m.t
+              + 1000000000000000) // 1000000 - 1000000000 AS f
+      FROM m, co
+    ),
+    lagged AS (
+      SELECT t, f,
+             lag(f) OVER (ORDER BY t) AS fp
+      FROM resid
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(CASE WHEN fp IS NOT NULL
+                           THEN (f - fp) * (f - fp) END) AS BIGINT) AS dsq,
+             CAST(SUM(f * f) AS BIGINT) AS e2
+      FROM lagged
+    )
+    SELECT n_months, dsq AS dsq_sum, e2 AS e2_sum,
+           round(CAST(dsq AS DOUBLE) / e2, 6) AS dw_stat
+    FROM agg
+    """,
+    tags=("agg", "statistics", "timeseries"),
+)
+def q36ae_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON autocorrelation test on the residuals of an OLS
+    linear fit to monthly order counts — the q53e trend fit's
+    diagnostic: are the fit's errors serially independent (DW ~ 2) or
+    momentum-laden (DW << 2)?
+
+    Exactness: the OLS fit is a RATIONAL function of integer moments,
+    so the residual numerator E_t = n*D*y_t - C - n*B*t (with
+    D = n*smm - sm^2, B = n*smy - sm*sy, C = sy*D - B*sm) is an exact
+    BIGINT per month (|E| <= ~1e12 at sf0.1). E^2 would overflow, so
+    the statistic is DEFINED on micro-truncated units
+    F_t = (E_t + 10^15) div 10^6 - 10^9 — the offset keeps the operand
+    positive so Spark's div and DuckDB's // agree on truncation
+    direction for negative residuals (both truncate toward zero;
+    offsetting sidesteps the sign edge entirely). Sum of squared
+    F-diffs and of F^2 stay BIGINT (<= ~1e13); DW is one pinned double
+    ratio.
+
+    Scale: month-grid frame (~80 rows, calendar-bounded — the q42k
+    documented-bounded window class) after one map-side-combinable
+    count pass.
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    mom = m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sm"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("smy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("smm"),
+    )
+    co = mom.select(
+        "n",
+        "sm",
+        "sy",
+        "smy",
+        "smm",
+        (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).alias("dd"),
+        (F.col("n") * F.col("smy") - F.col("sm") * F.col("sy")).alias("bb"),
+        (
+            F.col("sy")
+            * (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm"))
+            - (F.col("n") * F.col("smy") - F.col("sm") * F.col("sy"))
+            * F.col("sm")
+        ).alias("cc"),
+    )
+    resid = m.join(F.broadcast(co)).select(
+        "t",
+        F.expr(
+            "(y * n * dd - cc - n * bb * t + 1000000000000000)"
+            " div 1000000 - 1000000000"
+        ).alias("f"),
+    )
+    lagged = resid.select(
+        "t", "f", F.lag("f").over(W.orderBy("t")).alias("fp")
+    )
+    agg = lagged.agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum(
+            F.when(
+                F.col("fp").isNotNull(),
+                (F.col("f") - F.col("fp")) * (F.col("f") - F.col("fp")),
+            )
+        )
+        .cast("long")
+        .alias("dsq"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("e2"),
+    )
+    return agg.select(
+        "n_months",
+        F.col("dsq").alias("dsq_sum"),
+        F.col("e2").alias("e2_sum"),
+        F.round(F.col("dsq").cast("double") / F.col("e2"), 6).alias(
+            "dw_stat"
+        ),
+    )
