@@ -9706,3 +9706,694 @@ def q36ae_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dw_stat"
         ),
     )
+
+
+@query(
+    "q42l_holt_winters",
+    oracle="""
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT array_agg(CAST(cents AS DOUBLE) ORDER BY t) AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n FROM m
+    ),
+    seed AS (
+      SELECT ys, n,
+             list_reduce(list_slice(ys, 1, 12), (a, b) -> a + b) / 12 AS l0,
+             (list_reduce(list_slice(ys, 13, 24), (a, b) -> a + b)
+              - list_reduce(list_slice(ys, 1, 12), (a, b) -> a + b))
+             / 144 AS b0
+      FROM series
+    ),
+    acc0 AS (
+      SELECT ys, n,
+             list_concat([l0, b0],
+                         list_transform(list_slice(ys, 1, 12),
+                                        y -> y - l0)) AS a0
+      FROM seed
+    ),
+    folded AS (
+      SELECT n,
+             list_reduce(
+               list_concat([a0],
+                 list_transform(range(13, CAST(n AS INT) + 1),
+                                t -> [ys[t],
+                                      CAST((t - 1) % 12 AS DOUBLE)])),
+               (acc, x) -> list_concat(
+                 list_concat(
+                   [(x[1] - acc[CAST(x[2] AS INT) + 3]) / 2
+                      + (acc[1] + acc[2]) / 2,
+                    ((x[1] - acc[CAST(x[2] AS INT) + 3]) / 2
+                       + (acc[1] + acc[2]) / 2 - acc[1]) / 4
+                      + 3 * acc[2] / 4],
+                   list_slice(acc, 3, CAST(x[2] AS INT) + 2)),
+                 list_concat(
+                   [(x[1] - ((x[1] - acc[CAST(x[2] AS INT) + 3]) / 2
+                             + (acc[1] + acc[2]) / 2)) / 2
+                      + acc[CAST(x[2] AS INT) + 3] / 2],
+                   list_slice(acc, CAST(x[2] AS INT) + 4, 14)))) AS st
+      FROM acc0
+    )
+    SELECT CAST(u.i - 1 AS BIGINT) AS slot,
+           round(st[CAST(u.i AS INT) + 2], 6) AS seas,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + st[2] + st[CAST(n % 12 AS INT) + 3], 6)
+             AS forecast_next,
+           n AS n_months
+    FROM folded, (SELECT unnest(range(1, 13)) AS i) u
+    ORDER BY slot
+    """,
+    tags=("timeseries", "smoothing", "fold"),
+)
+def q42l_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive triple exponential smoothing (alpha=1/2,
+    beta=1/4, gamma=1/2, season m=12) over the monthly revenue series —
+    the seasonal completion of the smoothing ladder (q42d EWMA: level;
+    q42j Holt: level+trend; THIS: level+trend+12 seasonal states).
+
+    The recurrence is sequential with a 14-double state vector
+    [l, b, s_0..s_11], so it runs as ONE in-row fold over the
+    calendar-bounded month series (the q42j discipline: both engines
+    left-fold the identical IEEE op sequence on identical inputs —
+    monthly cent sums are exact BIGINTs cast once — so every
+    intermediate matches bit-for-bit; alpha/beta/gamma are dyadic).
+    The updated seasonal slot splices back via computed-index
+    slice/concat (both engines 1-based here). Seeds: l0 = first-year
+    mean, b0 = year-over-year mean step / 12, s_i = y_i - l0.
+
+    100 TB: the fact folds map-side to one cents row per month before
+    anything sequential happens; state is 14 doubles. Keyed variants
+    would distribute the fold per key (the qm19 streaming twin carries
+    the same state through applyInPandasWithState).
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    series = m.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("t", F.col("cents").cast("double").alias("y"))
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n"),
+    )
+    first12 = F.aggregate(
+        F.slice("ys", 1, 12), F.lit(0.0), lambda a, b: a + b
+    )
+    second12 = F.aggregate(
+        F.slice("ys", 13, 12), F.lit(0.0), lambda a, b: a + b
+    )
+    seed = series.select(
+        "ys",
+        "n",
+        (first12 / 12).alias("l0"),
+        ((second12 - first12) / 144).alias("b0"),
+    )
+    acc0 = seed.select(
+        "ys",
+        "n",
+        F.concat(
+            F.array(F.col("l0"), F.col("b0")),
+            F.transform(F.slice("ys", 1, 12), lambda y: y - F.col("l0")),
+        ).alias("a0"),
+    )
+
+    def step(acc, x):
+        i = F.element_at(x, 2).cast("int")
+        y = F.element_at(x, 1)
+        s_old = F.element_at(acc, i + 3)
+        l_old = F.element_at(acc, 1)
+        b_old = F.element_at(acc, 2)
+        l_new = (y - s_old) / 2 + (l_old + b_old) / 2
+        b_new = (l_new - l_old) / 4 + 3 * b_old / 4
+        s_new = (y - l_new) / 2 + s_old / 2
+        return F.concat(
+            F.concat(F.array(l_new, b_new), F.slice(acc, 3, i)),
+            F.concat(F.array(s_new), F.slice(acc, i + 4, 11 - i)),
+        )
+
+    folded = acc0.select(
+        "n",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(13), F.col("n").cast("int")),
+                lambda t: F.array(
+                    F.element_at("ys", t),
+                    ((t - 1) % 12).cast("double"),
+                ),
+            ),
+            F.col("a0"),
+            step,
+        ).alias("st"),
+    )
+    out = folded.select(
+        "n",
+        "st",
+        F.posexplode(F.slice("st", 3, 12)).alias("i0", "seas"),
+    )
+    return out.select(
+        F.col("i0").cast("long").alias("slot"),
+        F.round("seas", 6).alias("seas"),
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("trend"),
+        F.round(
+            F.element_at("st", 1)
+            + F.element_at("st", 2)
+            + F.element_at("st", (F.col("n") % 12).cast("int") + 3),
+            6,
+        ).alias("forecast_next"),
+        F.col("n").alias("n_months"),
+    ).orderBy("slot")
+
+
+@query(
+    "q42m_forecast_backtest",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS pri,
+             CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT c.pri,
+             abs(c.cents - s.cents) AS e_s,
+             abs(c.cents - n.cents) AS e_n,
+             2000000 * abs(c.cents - s.cents) // (c.cents + s.cents)
+               AS smape_s_micro
+      FROM m c
+      JOIN m s ON s.pri = c.pri AND s.t = c.t - 12
+      JOIN m n ON n.pri = c.pri AND n.t = c.t - 1
+    )
+    SELECT pri AS priority, CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(e_s) AS BIGINT) AS sae_snaive,
+           CAST(SUM(e_n) AS BIGINT) AS sae_naive,
+           CAST(SUM(smape_s_micro) AS BIGINT) AS smape_snaive_micro,
+           round(CAST(SUM(e_s) AS DOUBLE) / SUM(e_n), 6) AS rel_mae
+    FROM e GROUP BY pri ORDER BY pri
+    """,
+    tags=("timeseries", "forecast"),
+)
+def q42m_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST: seasonal-naive (y[t-12]) vs naive (y[t-1])
+    one-step forecasts of per-priority monthly revenue — the accuracy
+    yardstick that tells a planner whether the q42l seasonal machinery
+    earns its state (rel_mae < 1 means seasonality carries signal).
+
+    Forecast joins are EXACT month-offset self-joins (t-12, t-1), not
+    row-lags — the per-priority month grid has holes at small sf and a
+    row-lag would silently compare non-adjacent months. The eval set
+    is months where BOTH references exist (complete-case, same rows
+    both engines). Absolute errors are exact BIGINT cent sums; sMAPE
+    accumulates per-term micro-unit truncated integers (the q44i
+    stepwise-truncation contract — a double per-term sum would be
+    partition-order-dependent); rel_mae is one pinned double ratio.
+
+    Scale: the fact folds map-side to the (priority, month) frame
+    (calendar x taxonomy bounded); both self-joins are broadcast-sized.
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("pri", "t")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    c = m.alias("c")
+    s = m.alias("s")
+    n = m.alias("n")
+    e = (
+        c.join(
+            F.broadcast(s),
+            (F.col("s.pri") == F.col("c.pri"))
+            & (F.col("s.t") == F.col("c.t") - 12),
+        )
+        .join(
+            F.broadcast(n),
+            (F.col("n.pri") == F.col("c.pri"))
+            & (F.col("n.t") == F.col("c.t") - 1),
+        )
+        .select(
+            F.col("c.pri").alias("pri"),
+            F.abs(F.col("c.cents") - F.col("s.cents")).alias("e_s"),
+            F.abs(F.col("c.cents") - F.col("n.cents")).alias("e_n"),
+            F.expr(
+                "2000000 * abs(c.cents - s.cents) div (c.cents + s.cents)"
+            ).alias("smape_s_micro"),
+        )
+    )
+    return (
+        e.groupBy("pri")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum("e_s").cast("long").alias("sae_snaive"),
+            F.sum("e_n").cast("long").alias("sae_naive"),
+            F.sum("smape_s_micro").cast("long").alias("smape_snaive_micro"),
+            F.round(
+                F.sum("e_s").cast("double") / F.sum("e_n"), 6
+            ).alias("rel_mae"),
+        )
+        .select(
+            F.col("pri").alias("priority"),
+            "n_eval",
+            "sae_snaive",
+            "sae_naive",
+            "smape_snaive_micro",
+            "rel_mae",
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "q47k_shapley_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv,
+             CAST(COALESCE(SUM(DISTINCT
+               CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                               WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+               END), 0) AS BIGINT) AS mask
+      FROM events GROUP BY user_id
+    ),
+    cm AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM u WHERE conv = 1 GROUP BY mask
+    ),
+    coal AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS s),
+    v AS (
+      SELECT coal.s,
+             CAST(COALESCE(SUM(CASE WHEN (cm.mask & coal.s) = cm.mask
+                                    THEN cm.cnt END), 0) AS BIGINT) AS v
+      FROM coal LEFT JOIN cm ON TRUE GROUP BY coal.s
+    ),
+    ch AS (
+      SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                            ('error', CAST(2 AS BIGINT)),
+                            ('signup', CAST(4 AS BIGINT)),
+                            ('view', CAST(8 AS BIGINT))) t(channel, bit)
+    ),
+    terms AS (
+      SELECT ch.channel,
+             (CASE bit_count(lo.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                   WHEN 2 THEN 2 ELSE 6 END)
+             * (hi.v - lo.v) AS t24
+      FROM ch
+      JOIN v lo ON (lo.s & ch.bit) = 0
+      JOIN v hi ON hi.s = lo.s | ch.bit
+    )
+    SELECT channel, CAST(SUM(t24) AS BIGINT) AS phi24,
+           round(CAST(SUM(t24) AS DOUBLE) / 24, 6) AS phi
+    FROM terms GROUP BY channel ORDER BY channel
+    """,
+    tags=("attribution", "funnel"),
+)
+def q47k_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution — the game-theoretic upgrade
+    of q47c last-touch and q47j removal-effect: each channel's credit
+    is its average marginal contribution over all orderings of the
+    4-channel coalition, with v(S) = number of converting users whose
+    touched-channel set fits inside S.
+
+    The coalition lattice is 2^|channels| = 16 nodes (taxonomy-
+    bounded, the q47b class), so after ONE groupBy(user) pass that
+    bitmasks each converting user's channel set, everything is
+    16x16-bounded: v(S) sums user-mask counts under subset containment
+    (mask & S = mask — the ~-free form both engines share), and each
+    phi is a sum of weighted marginals with |S|!(c-|S|-1)! weights
+    {6,2,2,6} — EXACT in 1/24 units, so phi24 is a hash-stable BIGINT
+    and phi divides once at the end.
+
+    Scale: the fact collapses map-side to <=2^c mask-count rows; the
+    lattice join is constant-size regardless of corpus. Growing the
+    taxonomy to c channels costs 2^c lattice rows (c<=20 practical) —
+    never a second fact pass.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+        F.coalesce(F.sum_distinct(bit), F.lit(0)).cast("long").alias("mask"),
+    )
+    cm = (
+        u.where(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    coal = spark.range(0, 16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        coal.join(F.broadcast(cm))
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("mask").bitwiseAND(F.col("s"))
+                        == F.col("mask"),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit long",
+    )
+    lo = v.alias("lo")
+    hi = v.alias("hi")
+    w = (
+        F.when(F.bit_count(F.col("lo.s")) == 0, 6)
+        .when(F.bit_count(F.col("lo.s")) == 1, 2)
+        .when(F.bit_count(F.col("lo.s")) == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        ch.join(
+            F.broadcast(lo), F.col("lo.s").bitwiseAND(F.col("bit")) == 0
+        )
+        .join(
+            F.broadcast(hi),
+            F.col("hi.s") == F.col("lo.s").bitwiseOR(F.col("bit")),
+        )
+        .select(
+            "channel", (w * (F.col("hi.v") - F.col("lo.v"))).alias("t24")
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.sum("t24").cast("long").alias("phi24"),
+            F.round(F.sum("t24").cast("double") / 24, 6).alias("phi"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "q46h_bradley_terry",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    ty AS (
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+               AS ti
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    pairs AS (
+      SELECT ta.ti AS ia, tb.ti AS ib, a.sv AS va, b.sv AS vb
+      FROM s a JOIN s b ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+      JOIN ty ta ON ta.event_type = a.event_type
+      JOIN ty tb ON tb.event_type = b.event_type
+      WHERE a.sv <> b.sv
+    ),
+    w AS (
+      SELECT CASE WHEN va > vb THEN ia ELSE ib END AS wi,
+             CASE WHEN va > vb THEN ib ELSE ia END AS li,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM pairs GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ty),
+    grid AS (
+      SELECT i.ti AS i, j.ti AS j, CAST(COALESCE(w.w, 0) AS DOUBLE) AS wij
+      FROM ty i CROSS JOIN ty j LEFT JOIN w ON w.wi = i.ti AND w.li = j.ti
+    ),
+    flat AS (SELECT array_agg(wij ORDER BY i, j) AS wf FROM grid),
+    wins AS (
+      SELECT array_agg(tw ORDER BY i) AS wtot FROM (
+        SELECT i, CAST(SUM(wij) AS DOUBLE) AS tw FROM grid GROUP BY i) z
+    ),
+    folded AS (
+      SELECT list_reduce(
+        list_concat(
+          [list_transform(range(1, CAST(kk.k AS INT) + 1), z -> 1.0)],
+          list_transform(range(30), z -> [CAST(0 AS DOUBLE)])),
+        (pv, x) -> list_transform(
+          [list_transform(range(0, CAST(kk.k AS INT)), i ->
+             list_reduce(
+               list_transform(range(0, CAST(kk.k AS INT)), j ->
+                 CASE WHEN j = i
+                        OR wf[CAST(i * kk.k + j AS INT) + 1]
+                           + wf[CAST(j * kk.k + i AS INT) + 1] = 0
+                      THEN CAST(0 AS DOUBLE)
+                      ELSE (wf[CAST(i * kk.k + j AS INT) + 1]
+                            + wf[CAST(j * kk.k + i AS INT) + 1])
+                           / (pv[CAST(i AS INT) + 1]
+                              + pv[CAST(j AS INT) + 1])
+                 END),
+               (a, b) -> a + b))],
+          d -> list_transform(range(0, CAST(kk.k AS INT)), i ->
+            CASE WHEN d[CAST(i AS INT) + 1] = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE wtot[CAST(i AS INT) + 1] / d[CAST(i AS INT) + 1]
+            END))[1]) AS pf
+      FROM flat, wins, kk
+    ),
+    tot AS (
+      SELECT pf, list_reduce(pf, (a, b) -> a + b) AS s FROM folded
+    )
+    SELECT ty.event_type,
+           CAST(wins_i.tw AS BIGINT) AS wins,
+           round(tot.pf[CAST(ty.ti AS INT) + 1] / tot.s, 6) AS bt_score
+    FROM tot, ty
+    JOIN (SELECT i, CAST(SUM(wij) AS BIGINT) AS tw FROM grid GROUP BY i)
+      wins_i ON wins_i.i = ty.ti
+    ORDER BY ty.event_type
+    """,
+    tags=("statistics", "ranking", "fold"),
+)
+def q46h_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY preference-strength fit over event types — the
+    model behind preference-pair training data (q95ac builds pairs;
+    THIS recovers latent quality scores from pairwise outcomes): each
+    user's higher-valued type beats the lower in that user's matchup,
+    and 30 minorize-maximize iterations p_i <- W_i / sum_j
+    n_ij/(p_i+p_j) recover the maximum-likelihood strengths.
+
+    The win matrix is taxonomy-bounded (k^2 <= 25 cells) after one
+    groupBy(user, type) pass and a per-user k^2-bounded self-join, so
+    the MM iteration runs as an in-row fold over a 30-element dummy
+    sequence with a k-double state (the q47f power-iteration
+    discipline). The update is HOMOGENEOUS degree-1, so normalization
+    happens ONCE after the fold (identifiability only) — inside the
+    fold both engines execute one identical op sequence; a
+    singleton-list transform acts as the let-binding for the k
+    denominators. Degenerate zero-denominator rows pin to 0.0 rather
+    than propagate NaN (hash-stable guard).
+
+    Scale: fact -> (user, type) map-side; the per-user pair join keys
+    on user_id (distributes freely, <= k^2/2 output rows per user);
+    everything after the 25-cell grid is constant-size.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.floor(F.col("value")).cast("long"))
+        .cast("long")
+        .alias("sv")
+    )
+    ty = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.row_number().over(W.orderBy("event_type")) - 1)
+            .cast("long")
+            .alias("ti"),
+        )
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .join(
+            F.broadcast(ty.alias("ta")),
+            F.col("ta.event_type") == F.col("a.event_type"),
+        )
+        .join(
+            F.broadcast(ty.alias("tb")),
+            F.col("tb.event_type") == F.col("b.event_type"),
+        )
+        .where(F.col("a.sv") != F.col("b.sv"))
+        .select(
+            F.col("ta.ti").alias("ia"),
+            F.col("tb.ti").alias("ib"),
+            F.col("a.sv").alias("va"),
+            F.col("b.sv").alias("vb"),
+        )
+    )
+    w = (
+        pairs.select(
+            F.when(F.col("va") > F.col("vb"), F.col("ia"))
+            .otherwise(F.col("ib"))
+            .alias("wi"),
+            F.when(F.col("va") > F.col("vb"), F.col("ib"))
+            .otherwise(F.col("ia"))
+            .alias("li"),
+        )
+        .groupBy("wi", "li")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    grid = (
+        ty.alias("i")
+        .crossJoin(F.broadcast(ty.alias("j")))
+        .join(
+            F.broadcast(w),
+            (F.col("wi") == F.col("i.ti")) & (F.col("li") == F.col("j.ti")),
+            "left",
+        )
+        .select(
+            F.col("i.ti").alias("i"),
+            F.col("j.ti").alias("j"),
+            F.coalesce(F.col("w"), F.lit(0)).cast("double").alias("wij"),
+        )
+    )
+    kk = ty.agg(F.count("*").cast("long").alias("k"))
+    flat = grid.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "j", "wij"))),
+            lambda st: st["wij"],
+        ).alias("wf")
+    )
+    wins = (
+        grid.groupBy("i")
+        .agg(F.sum("wij").alias("tw"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tw"))),
+                lambda st: st["tw"],
+            ).alias("wtot")
+        )
+    )
+    one = flat.crossJoin(F.broadcast(wins)).crossJoin(F.broadcast(kk))
+
+    ki = F.col("k").cast("int")
+
+    def nij(i, j):
+        return F.element_at(
+            "wf", (i * F.col("k") + j).cast("int") + 1
+        ) + F.element_at("wf", (j * F.col("k") + i).cast("int") + 1)
+
+    def denoms(pv):
+        return F.transform(
+            F.sequence(F.lit(0), ki - 1),
+            lambda i: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), ki - 1),
+                    lambda j: F.when(
+                        (j == i) | (nij(i, j) == 0), F.lit(0.0)
+                    ).otherwise(
+                        nij(i, j)
+                        / (
+                            F.element_at(pv, i.cast("int") + 1)
+                            + F.element_at(pv, j.cast("int") + 1)
+                        )
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
+
+    def step(pv, x):
+        return F.element_at(
+            F.transform(
+                F.array(denoms(pv)),
+                lambda d: F.transform(
+                    F.sequence(F.lit(0), ki - 1),
+                    lambda i: F.when(
+                        F.element_at(d, i.cast("int") + 1) == 0, F.lit(0.0)
+                    ).otherwise(
+                        F.element_at("wtot", i.cast("int") + 1)
+                        / F.element_at(d, i.cast("int") + 1)
+                    ),
+                ),
+            ),
+            1,
+        )
+
+    folded = one.select(
+        "k",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(30)),
+            F.transform(F.sequence(F.lit(1), ki), lambda z: F.lit(1.0)),
+            step,
+        ).alias("pf"),
+    ).select(
+        "pf",
+        F.aggregate("pf", F.lit(0.0), lambda a, t: a + t).alias("s"),
+    )
+    wins_i = grid.groupBy("i").agg(F.sum("wij").cast("long").alias("tw"))
+    return (
+        ty.join(F.broadcast(wins_i), F.col("i") == F.col("ti"))
+        .crossJoin(F.broadcast(folded))
+        .select(
+            "event_type",
+            F.col("tw").alias("wins"),
+            F.round(
+                F.element_at("pf", F.col("ti").cast("int") + 1)
+                / F.col("s"),
+                6,
+            ).alias("bt_score"),
+        )
+        .orderBy("event_type")
+    )
