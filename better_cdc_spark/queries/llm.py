@@ -13877,3 +13877,229 @@ def q94u_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oversize"),
         )
     )
+
+
+_PCA_FOLD_EXPR = """
+aggregate(
+  sequence(1, 30),
+  transform(sequence(0, 63), z -> CAST(1000000 AS BIGINT)),
+  (v, it) ->
+    element_at(transform(
+      array(transform(sequence(0, 63), i ->
+        aggregate(transform(sequence(0, 63), j ->
+          element_at(md, i * 64 + j + 1) * element_at(v, j + 1)),
+          CAST(0 AS BIGINT), (a, b) -> a + b))),
+      u -> element_at(transform(
+        array(transform(u, t -> CASE WHEN t < 0 THEN -((-t) div 1000)
+                                     ELSE t div 1000 END)),
+        ud -> element_at(transform(
+          array(aggregate(transform(ud, t -> abs(t)),
+                CAST(0 AS BIGINT), (a, b) -> greatest(a, b))),
+          mx -> transform(sequence(0, 63), i ->
+            CASE WHEN mx = 0 THEN element_at(v, i + 1)
+                 WHEN element_at(ud, i + 1) < 0
+                   THEN -((-element_at(ud, i + 1)) * 1000000 div mx)
+                 ELSE element_at(ud, i + 1) * 1000000 div mx END)),
+          1)), 1)), 1)
+) AS v
+"""
+
+_PCA_NUM_EXPR = """
+aggregate(transform(sequence(0, 63), i ->
+  CAST(element_at(v, i + 1) AS DOUBLE)
+  * CAST(aggregate(transform(sequence(0, 63), j ->
+      element_at(md, i * 64 + j + 1) * element_at(v, j + 1)),
+      CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE)),
+  CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS num
+"""
+
+_PCA_DEN_EXPR = """
+aggregate(transform(v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+  CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS den
+"""
+
+
+@query(
+    "q97w_pca_power",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+               AS x
+      FROM embeddings
+    ),
+    gram AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+    ),
+    sums AS (SELECT i, CAST(SUM(x) AS BIGINT) AS s FROM q GROUP BY i),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    mflat AS (
+      SELECT array_agg((nn.n * gram.g - sa.s * sb.s + 1000000000000000)
+                       // 1000000 - 1000000000
+                       ORDER BY gram.i, gram.j) AS md
+      FROM gram, nn
+      JOIN sums sa ON sa.i = gram.i
+      JOIN sums sb ON sb.i = gram.j
+    ),
+    folded AS (
+      SELECT md, list_reduce(
+        list_concat(
+          [list_transform(range(0, 64), z -> CAST(1000000 AS BIGINT))],
+          list_transform(range(30), z -> [CAST(0 AS BIGINT)])),
+        (v, it) ->
+          list_transform(
+            [list_transform(range(0, 64), i ->
+               list_reduce(list_transform(range(0, 64), j ->
+                 md[CAST(i * 64 + j AS INT) + 1] * v[CAST(j AS INT) + 1]),
+                 (a, b) -> a + b))],
+            u -> list_transform(
+              [list_transform(u, t -> CASE WHEN t < 0
+                                           THEN -((-t) // 1000)
+                                           ELSE t // 1000 END)],
+              ud -> list_transform(
+                [list_reduce(list_transform(ud, t -> abs(t)),
+                             (a, b) -> greatest(a, b))],
+                mx -> list_transform(range(0, 64), i ->
+                  CASE WHEN mx = 0 THEN v[CAST(i AS INT) + 1]
+                       WHEN ud[CAST(i AS INT) + 1] < 0
+                         THEN -((-ud[CAST(i AS INT) + 1]) * 1000000 // mx)
+                       ELSE ud[CAST(i AS INT) + 1] * 1000000 // mx
+                  END))[1])[1])[1]) AS v
+      FROM mflat
+    ),
+    eig AS (
+      SELECT v,
+             list_reduce(list_transform(range(0, 64), i ->
+               CAST(v[CAST(i AS INT) + 1] AS DOUBLE)
+               * CAST(list_reduce(list_transform(range(0, 64), j ->
+                   md[CAST(i * 64 + j AS INT) + 1]
+                   * v[CAST(j AS INT) + 1]),
+                   (a, b) -> a + b) AS DOUBLE)),
+               (a, b) -> a + b) AS num,
+             list_reduce(list_transform(v, t -> CAST(t AS DOUBLE)
+                                               * CAST(t AS DOUBLE)),
+                         (a, b) -> a + b) AS den
+      FROM folded
+    )
+    SELECT CAST(u.i AS BIGINT) AS dim,
+           v[CAST(u.i AS INT) + 1] AS loading_micro,
+           round(num / den, 6) AS lambda_md,
+           nn.n AS n_vectors
+    FROM eig, nn, (SELECT unnest(range(0, 64)) AS i) u
+    ORDER BY dim
+    """,
+    tags=("similarity", "linear-algebra", "fold"),
+)
+def q97w_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by power
+    iteration on the centered integer scatter matrix — the dimension-
+    reduction primitive behind whitening, Matryoshka-style energy
+    audits (q97c) and SemDeDup-style cluster preprocessing (q96d).
+
+    Pipeline (all exact until the final Rayleigh quotient):
+    1. Quantize lanes to milli-units (floor(x*1000) — float32 widens
+       to float64 bit-exactly, floor is unambiguous; the q97r nano-
+       unit discipline).
+    2. Partial Gram per Arrow batch: a mapInPandas kernel emits each
+       batch's d x d integer X'X plus column sums and row count —
+       d^2 + d + 1 rows per batch, so THE PAYLOAD NEVER CROSSES AN
+       EXCHANGE and the shuffle is O(batches * d^2), not O(N * d).
+       Integer partials sum order-free to an exact global Gram. (The
+       DuckDB oracle builds the same Gram by unnest + self-join —
+       oracle-only plan shape, quadratic in d but exact.)
+    3. Centered scatter M = N*G - s*s' (exact BIGINT), truncated to
+       fold units via the offset-div trick (+1e15 // 1e6 - 1e9 —
+       positive operands, so Spark div == DuckDB //).
+    4. 30 power iterations as ONE in-row fold (q47f discipline):
+       integer matvec (<= ~5e14 at sf0.1, BIGINT-safe; documented to
+       ~sf0.2, then raise the step-3 unit), sign-safe renormalize to
+       micro-units via abs/sign decomposition, singleton-array
+       transforms as let-bindings for u/ud/max.
+    5. Rayleigh quotient v'Mv / v'v as ordered double folds over the
+       64-element state — one pinned op sequence both engines share.
+
+    Output: 64 rows (dim, loading in micro-units, shared eigenvalue
+    estimate in fold units). Deterministic all-ones start vector.
+    """
+    import pandas as pd
+
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gram_partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy())
+            xq = np.floor(x.astype(np.float64) * 1000.0).astype(np.int64)
+            d = xq.shape[1]
+            g = xq.T @ xq
+            ii, jj = np.meshgrid(
+                np.arange(d), np.arange(d), indexing="ij"
+            )
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "i": ii.ravel().astype("int32"),
+                            "j": jj.ravel().astype("int32"),
+                            "g": g.ravel(),
+                        }
+                    ),
+                    pd.DataFrame(
+                        {
+                            "i": np.arange(d, dtype="int32"),
+                            "j": np.full(d, -1, dtype="int32"),
+                            "g": xq.sum(axis=0),
+                        }
+                    ),
+                    pd.DataFrame({"i": [-1], "j": [-1], "g": [len(pdf)]}),
+                ]
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        gram_partial, "i int, j int, g long"
+    )
+    agg = parts.groupBy("i", "j").agg(F.sum("g").cast("long").alias("g"))
+    gsum = agg.where(F.col("j") >= 0)
+    ssum = agg.where((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("si"), F.col("g").alias("s")
+    )
+    ncnt = agg.where(F.col("i") == -1).select(F.col("g").alias("n"))
+    md_rows = (
+        gsum.join(F.broadcast(ssum.alias("sa")), F.col("sa.si") == F.col("i"))
+        .join(F.broadcast(ssum.alias("sb")), F.col("sb.si") == F.col("j"))
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "(n * g - sa.s * sb.s + 1000000000000000)"
+                " div 1000000 - 1000000000"
+            ).alias("val"),
+        )
+    )
+    one = md_rows.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "j", "val"))),
+            lambda st: st["val"],
+        ).alias("md")
+    ).crossJoin(F.broadcast(ncnt))
+    folded = one.select("md", "n", F.expr(_PCA_FOLD_EXPR))
+    eig = folded.select(
+        "v", "n", F.expr(_PCA_NUM_EXPR), F.expr(_PCA_DEN_EXPR)
+    )
+    out = eig.select(
+        "n",
+        "num",
+        "den",
+        F.posexplode("v").alias("dim0", "loading_micro"),
+    )
+    return out.select(
+        F.col("dim0").cast("long").alias("dim"),
+        "loading_micro",
+        F.round(F.col("num") / F.col("den"), 6).alias("lambda_md"),
+        F.col("n").alias("n_vectors"),
+    ).orderBy("dim")
