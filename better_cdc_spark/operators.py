@@ -595,3 +595,28 @@ def blocked_ntile(
         .withColumn(out_col, bucket.cast("long"))
         .drop("__r", "__N")
     )
+
+
+def hw_additive_step(acc: Column, x: Column) -> Column:
+    """One Holt-Winters additive smoothing step (alpha=1/2, beta=1/4,
+    gamma=1/2, season m=12) on a 14-double state array
+    ``[l, b, s_0..s_11]``; ``x`` is ``[y, slot]`` with slot in 0..11.
+
+    Shared by the batch fold (q42l) and its streaming twin (qm21) so
+    both execute the IDENTICAL IEEE op sequence — the equivalence that
+    lets the batch oracle hash-check the streaming result. The updated
+    seasonal slot splices back via computed-index slice/concat
+    (1-based, mirroring DuckDB's list_slice in the oracle).
+    """
+    i = F.element_at(x, 2).cast("int")
+    y = F.element_at(x, 1)
+    s_old = F.element_at(acc, i + 3)
+    l_old = F.element_at(acc, 1)
+    b_old = F.element_at(acc, 2)
+    l_new = (y - s_old) / 2 + (l_old + b_old) / 2
+    b_new = (l_new - l_old) / 4 + 3 * b_old / 4
+    s_new = (y - l_new) / 2 + s_old / 2
+    return F.concat(
+        F.concat(F.array(l_new, b_new), F.slice(acc, 3, i)),
+        F.concat(F.array(s_new), F.slice(acc, i + 4, 11 - i)),
+    )

@@ -9708,9 +9708,7 @@ def q36ae_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q42l_holt_winters",
-    oracle="""
+HW_ORACLE = """
     WITH m AS (
       SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
                   + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
@@ -9768,7 +9766,12 @@ def q36ae_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
            n AS n_months
     FROM folded, (SELECT unnest(range(1, 13)) AS i) u
     ORDER BY slot
-    """,
+    """
+
+
+@query(
+    "q42l_holt_winters",
+    oracle=HW_ORACLE,
     tags=("timeseries", "smoothing", "fold"),
 )
 def q42l_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9842,19 +9845,7 @@ def q42l_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("a0"),
     )
 
-    def step(acc, x):
-        i = F.element_at(x, 2).cast("int")
-        y = F.element_at(x, 1)
-        s_old = F.element_at(acc, i + 3)
-        l_old = F.element_at(acc, 1)
-        b_old = F.element_at(acc, 2)
-        l_new = (y - s_old) / 2 + (l_old + b_old) / 2
-        b_new = (l_new - l_old) / 4 + 3 * b_old / 4
-        s_new = (y - l_new) / 2 + s_old / 2
-        return F.concat(
-            F.concat(F.array(l_new, b_new), F.slice(acc, 3, i)),
-            F.concat(F.array(s_new), F.slice(acc, i + 4, 11 - i)),
-        )
+    from better_cdc_spark.operators import hw_additive_step as step
 
     folded = acc0.select(
         "n",
@@ -10396,4 +10387,195 @@ def q46h_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bt_score"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q36af_cochran_armitage",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+             CAST(SUM(s * r) AS BIGINT) AS sr,
+             CAST(SUM(s * n) AS BIGINT) AS sn,
+             CAST(SUM(s * s * n) AS BIGINT) AS ssn
+      FROM g
+    )
+    SELECT nn AS n_events, rr AS n_purchases,
+           nn * sr - rr * sn AS num_int,
+           round(CAST(nn * sr - rr * sn AS DOUBLE)
+                 / sqrt(CAST(rr AS DOUBLE) * (nn - rr) / nn
+                        * (CAST(nn AS DOUBLE) * ssn
+                           - CAST(sn AS DOUBLE) * sn)),
+                 6) AS z_trend
+    FROM tot
+    """,
+    tags=("agg", "statistics"),
+)
+def q36af_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE trend test: does the purchase share of daily
+    traffic TREND across the month? — the ordered-categories
+    counterpart of q36p's chi-square independence (which ignores
+    category order) on the 2 x |days| outcome table, scores = day
+    indexes.
+
+    All five moments (N, R, sum s*r, sum s*n, sum s^2*n) are exact
+    BIGINTs from one map-side-combinable day histogram (s <= 31, so
+    ssn <= ~1e8 at sf0.1, ~1e11 at sf100); the trend numerator
+    N*sum(sr) - R*sum(sn) is an exact BIGINT and z is ONE pinned
+    double expression (every factor cast to DOUBLE before multiplying
+    — the q36u overflow convention).
+
+    Scale: fact -> day frame map-side; everything after is
+    |days|-bounded.
+    """
+    tune_for_oracle(spark)
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.dayofmonth("ts").cast("long").alias("s"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("s") * F.col("r")).cast("long").alias("sr"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("long")
+        .alias("ssn"),
+    )
+    num = F.col("nn") * F.col("sr") - F.col("rr") * F.col("sn")
+    return tot.select(
+        F.col("nn").alias("n_events"),
+        F.col("rr").alias("n_purchases"),
+        num.alias("num_int"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(
+                F.col("rr").cast("double")
+                * (F.col("nn") - F.col("rr"))
+                / F.col("nn")
+                * (
+                    F.col("nn").cast("double") * F.col("ssn")
+                    - F.col("sn").cast("double") * F.col("sn")
+                )
+            ),
+            6,
+        ).alias("z_trend"),
+    )
+
+
+@query(
+    "q36ag_cohens_d",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM v GROUP BY g
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN g = 'view' THEN n END) AS n1,
+             MAX(CASE WHEN g = 'view' THEN s END) AS s1,
+             MAX(CASE WHEN g = 'view' THEN ss END) AS ss1,
+             MAX(CASE WHEN g = 'click' THEN n END) AS n2,
+             MAX(CASE WHEN g = 'click' THEN s END) AS s2,
+             MAX(CASE WHEN g = 'click' THEN ss END) AS ss2
+      FROM pg
+    )
+    SELECT n1, n2,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(ss1 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * s1 / n1)
+                         + (CAST(ss2 AS DOUBLE)
+                            - CAST(s2 AS DOUBLE) * s2 / n2))
+                        / (n1 + n2 - 2)),
+                 6) AS cohens_d,
+           round(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                  / sqrt(((CAST(ss1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * s1 / n1)
+                          + (CAST(ss2 AS DOUBLE)
+                             - CAST(s2 AS DOUBLE) * s2 / n2))
+                         / (n1 + n2 - 2)))
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+    FROM wide
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ag_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S D / HEDGES' G effect size between view and click values
+    — the magnitude companion to q36j's Welch t significance (a
+    p-value says real; d says HOW BIG, which is what a data-mixing
+    decision actually needs).
+
+    Pooled-SD d assembles from exact BIGINT moments (n, sum, sumsq per
+    group) in one pinned double expression; Hedges' small-sample
+    correction 1 - 3/(4N-9) is exact rational arithmetic in doubles.
+    The two-group pivot is a 2-row MAX-CASE fold, never a join.
+
+    Scale: one map-side-combinable pass; 2-row frame after.
+    """
+    tune_for_oracle(spark)
+    v = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value")).cast("long").alias("x"),
+        )
+    )
+    pg = v.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    wide = pg.agg(
+        F.max(F.when(F.col("g") == "view", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == "view", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("g") == "view", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("g") == "click", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g") == "click", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("g") == "click", F.col("ss"))).alias("ss2"),
+    )
+    mean_diff = F.col("s1").cast("double") / F.col("n1") - F.col(
+        "s2"
+    ).cast("double") / F.col("n2")
+    pooled = F.sqrt(
+        (
+            (
+                F.col("ss1").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+            )
+            + (
+                F.col("ss2").cast("double")
+                - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+            )
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = mean_diff / pooled
+    return wide.select(
+        "n1",
+        "n2",
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
+        ).alias("hedges_g"),
     )

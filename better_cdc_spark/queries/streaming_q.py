@@ -2921,3 +2921,199 @@ def qm20_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         F.round(est, 6).alias("hll_estimate"),
     )
+
+
+@query(
+    "qm21_streaming_holt_winters",
+    # the BATCH fold (q42l's full-series Holt-Winters) IS the oracle:
+    # epoch folds continue from the persisted 14-double state with the
+    # shared operators.hw_additive_step, so the final state is
+    # bit-identical to the one-shot batch run
+    oracle=relational.HW_ORACLE,
+    tags=("streaming", "timeseries", "fold"),
+)
+def qm21_streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HOLT-WINTERS — q42l's additive triple exponential
+    smoothing maintained incrementally: the seasonal extension of
+    qm19's RECURRENCE-state class. State per key is 14 doubles
+    [l, b, s_0..s_11] + bookkeeping — order-sensitive and
+    non-mergeable, so the same two exactly-once mechanisms apply:
+
+    1. Per-epoch state rows commit to the ACID txlog under (app_id,
+       txn_version=epoch); a replay of a completed epoch (re-delivered
+       verbatim below) recomputes deterministically and no-ops on the
+       token.
+    2. An in-order admission guard rejects any batch whose min month
+       does not follow the stored state's last month — a recurrence
+       cannot absorb late batches.
+
+    Epoch 0 seeds exactly as the batch fold (first-year mean level,
+    year-over-year trend, y_i - l0 seasonals — it must contain the
+    first 24 months); later epochs fold their month-sorted batch FROM
+    the prior state with the SAME operators.hw_additive_step the batch
+    query uses, so the final state is bit-identical to q42l's
+    one-shot fold and q42l's DuckDB oracle hash-checks this streaming
+    result — the strongest equivalence a streaming operator can claim.
+
+    Scale: per epoch one map-side-combinable (month) aggregate, one
+    14-double fold, one O(1) txlog append; no raw history retained.
+    The slot index is the GLOBAL month index mod 12, so epoch
+    boundaries never disturb seasonal alignment.
+    """
+    from better_cdc_spark.operators import hw_additive_step
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.sum("cents").cast("double").alias("y"))
+    )
+    epoch_of = (F.dense_rank().over(W.orderBy("t")) - 1)
+    staged = m.withColumn("arrival", (epoch_of / 32).cast("int"))
+    arrivals = scratch_dir("qm21_arrivals")
+    n_epochs = staged.agg(F.max("arrival")).collect()[0][0] + 1  # bounded scalar
+    for e in range(n_epochs):
+        staged.filter(F.col("arrival") == e).drop("arrival").coalesce(
+            1
+        ).write.mode("append").parquet(arrivals)
+
+    t = TxLogTable(spark, scratch_dir("qm21_txlog"))
+    epoch_files: dict[int, list[str]] = {}
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        epoch_files[e] = [
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        agg = batch_df.agg(
+            F.array_sort(F.collect_list(F.struct("t", "y"))).alias("tys"),
+            F.count("*").cast("long").alias("bn"),
+            F.min("t").cast("long").alias("min_t"),
+            F.max("t").cast("long").alias("max_t"),
+        )
+        if e > 0:
+            prior = (
+                t.read()
+                .filter(F.col("epoch") == e - 1)
+                .select(
+                    F.col("l").alias("p_l"),
+                    F.col("b").alias("p_b"),
+                    F.col("s").alias("p_s"),
+                    F.col("n_months").alias("p_n"),
+                    F.col("last_t").alias("p_last"),
+                )
+            )
+            joined = agg.crossJoin(F.broadcast(prior))
+            bad = joined.filter(F.col("min_t") <= F.col("p_last")).count()
+            if bad:
+                raise ValueError(
+                    f"qm21 epoch {e}: batch arrived out of order — "
+                    "a recurrence cannot absorb late months"
+                )
+            acc0 = F.concat(
+                F.array(F.col("p_l"), F.col("p_b")), F.col("p_s")
+            )
+            elems = F.transform(
+                F.col("tys"),
+                lambda s: F.array(
+                    s["y"], (s["t"] % 12).cast("double")
+                ),
+            )
+            n_new = F.col("p_n") + F.col("bn")
+            base = joined
+        else:
+            ys = F.transform(F.col("tys"), lambda s: s["y"])
+            first12 = F.aggregate(
+                F.slice(ys, 1, 12), F.lit(0.0), lambda a, b: a + b
+            )
+            second12 = F.aggregate(
+                F.slice(ys, 13, 12), F.lit(0.0), lambda a, b: a + b
+            )
+            l0 = first12 / 12
+            b0 = (second12 - first12) / 144
+            acc0 = F.concat(
+                F.array(l0, b0),
+                F.transform(F.slice(ys, 1, 12), lambda y: y - l0),
+            )
+            elems = F.transform(
+                F.slice(F.col("tys"), 13, F.size("tys") - 12),
+                lambda s: F.array(
+                    s["y"], (s["t"] % 12).cast("double")
+                ),
+            )
+            n_new = F.col("bn")
+            base = agg
+        st = F.aggregate(elems, acc0, hw_additive_step)
+        state = base.select(
+            F.element_at(st, 1).alias("l"),
+            F.element_at(st, 2).alias("b"),
+            F.slice(st, 3, 12).alias("s"),
+            n_new.cast("long").alias("n_months"),
+            F.col("max_t").alias("last_t"),
+            F.lit(e).cast("long").alias("epoch"),
+        )
+        t.append(state, app_id="qm21", txn_version=e)
+
+    q = (
+        spark.readStream.schema(staged.drop("arrival").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm21_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # checkpoint-recovery replay: epoch 0 re-delivered verbatim. The
+    # seed recompute is deterministic and the txn token no-ops the
+    # append — without it the recurrence would rewind to month 31.
+    replayed = spark.read.schema(staged.drop("arrival").schema).parquet(
+        *epoch_files[0]
+    )
+    step(replayed, 0)
+
+    final = (
+        t.read()
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("epoch").desc()))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    out = final.select(
+        "l",
+        "b",
+        "n_months",
+        F.element_at(
+            "s", (F.col("n_months") % 12).cast("int") + 1
+        ).alias("s_next"),
+        F.posexplode("s").alias("i0", "seas"),
+    )
+    return out.select(
+        F.col("i0").cast("long").alias("slot"),
+        F.round("seas", 6).alias("seas"),
+        F.round(F.col("l"), 6).alias("level"),
+        F.round(F.col("b"), 6).alias("trend"),
+        F.round(F.col("l") + F.col("b") + F.col("s_next"), 6).alias(
+            "forecast_next"
+        ),
+        F.col("n_months").alias("n_months"),
+    ).orderBy("slot")
