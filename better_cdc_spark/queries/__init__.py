@@ -66,35 +66,37 @@ def query(
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified.
 #
-# Round-11 prefix (generated with tools/rotation.py, which now tracks
-# changed-since-last-green source hashes in tools/rotation_state.json):
-# leads with the one never-driver-verified entry (qc33, added behind the
-# r10 prefix), then the 11 queries whose source was edited in round 10
-# AFTER their last driver row (judge re-verified all 11 green; a fresh
-# driver row retires the gate-lag permanently), then round-11 additions/
-# promotions, padded to 50 with the LONGEST-unverified entries so the
+# Round-11 prefix (regenerated mid-round with tools/rotation.py after
+# the session's 13 additions): never-driver-verified entries first
+# (the 13 new round-11 operators + qc33, which was added behind the
+# r10 prefix), then the 10 changed-since-last-green entries the
+# source-hash detector flags (r11 window migrations + oracle
+# promotions), padded to 50 with the LONGEST-unverified entries so the
 # gate also re-confirms the oldest rows against today's code.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # never driver-verified (added behind the r10 gate prefix)
+    # never driver-verified: round-11 additions (13 new operators:
+    # classical tests, Holt-Winters batch+streaming, forecast
+    # backtest, Bradley-Terry, Shapley, PCA power iteration) plus
+    # qc33 (added behind the r10 prefix; judge-green, needs its row)
     "qc33_nats_wire_publish",
-    # edited in r10 after their last driver row (judge-green; re-row them)
-    "q36t_mann_whitney_u",
-    "q36u_spearman_rho",
-    "q42i_ewma_control_chart",
-    "q42j_holt_linear_trend",
-    "q46f_rfm_segmentation",
-    "q95l_semantic_decontaminate",
-    "q96e_tfidf_cosine",
-    "q97_cosine_topk",
-    "q97g_range_search",
-    "q98ab_luhn_card_redaction",
-    "qc29_wire_e2e_pipeline",
-    # round-11 promotion: last promotable rows-only entry -> pinned oracle
+    "q36aa_kruskal_wallis",
+    "q36ab_wilcoxon_signed_rank",
+    "q36ac_brown_forsythe",
+    "q36ad_jarque_bera",
+    "q36ae_durbin_watson",
+    "q42l_holt_winters",
+    "q42m_forecast_backtest",
+    "q47k_shapley_attribution",
+    "q46h_bradley_terry",
+    "q36af_cochran_armitage",
+    "q36ag_cohens_d",
+    "q97w_pca_power",
+    "qm21_streaming_holt_winters",
+    # changed since last driver-green row (rotation.py source-hash
+    # detector): r11 window migrations + promoted oracles
     "q97_ann_pq",
-    # r11 global-window migrations (changed-unconfirmed per rotation.py's
-    # new source-hash detector; each re-verified dual-scale pre-gate)
     "q50_global_sort",
     "q29b_skew_advisor",
     "q53c_pareto_report",
@@ -104,7 +106,7 @@ SHOWCASE_ORDER = (
     "q95d_sequence_packing",
     "q95o_dsir_resample",
     "q97j_mmr_rerank",
-    # pads: oldest driver rows first (displaced by mid-round additions)
+    # pads: oldest driver rows first
     "q26_theta_join",
     "q28_interval_join",
     "q31_distinct_agg",
@@ -120,6 +122,7 @@ SHOWCASE_ORDER = (
     "q41_lag_lead",
     "q51_limit",
     "q60_union",
+    "q97_cosine_topk",
     "q01_parquet_scan",
     "q02_csv_scan",
     "q03_json_scan",
@@ -130,9 +133,6 @@ SHOWCASE_ORDER = (
     "q22_semi_join",
     "q25_broadcast_join",
     "q25b_bucketed_join",
-    "q27_asof_join",
-    "q28b_interval_bucket_join",
-    "q29_skew_salted_join",
 )
 
 def load_all() -> dict[str, QuerySpec]:
