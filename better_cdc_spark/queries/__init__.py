@@ -94,6 +94,9 @@ SHOWCASE_ORDER = (
     "q36ag_cohens_d",
     "q97w_pca_power",
     "qm21_streaming_holt_winters",
+    "q42n_kalman_filter",
+    "q95as_soft_dedup_weights",
+    "q97x_pca_project",
     # changed since last driver-green row (rotation.py source-hash
     # detector): r11 window migrations + promoted oracles
     "q97_ann_pq",
@@ -130,9 +133,6 @@ SHOWCASE_ORDER = (
     "q11_predicate_filter",
     "q20_inner_join",
     "q21_left_outer_join",
-    "q22_semi_join",
-    "q25_broadcast_join",
-    "q25b_bucketed_join",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -13919,9 +13919,7 @@ aggregate(transform(v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
 """
 
 
-@query(
-    "q97w_pca_power",
-    oracle="""
+_PCA_ORACLE_CTES = """
     WITH q AS (
       SELECT vec_id,
              generate_subscripts(embedding, 1) - 1 AS i,
@@ -13983,49 +13981,16 @@ aggregate(transform(v, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
                          (a, b) -> a + b) AS den
       FROM folded
     )
-    SELECT CAST(u.i AS BIGINT) AS dim,
-           v[CAST(u.i AS INT) + 1] AS loading_micro,
-           round(num / den, 6) AS lambda_md,
-           nn.n AS n_vectors
-    FROM eig, nn, (SELECT unnest(range(0, 64)) AS i) u
-    ORDER BY dim
-    """,
-    tags=("similarity", "linear-algebra", "fold"),
-)
-def q97w_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TOP PRINCIPAL COMPONENT of the embedding corpus by power
-    iteration on the centered integer scatter matrix — the dimension-
-    reduction primitive behind whitening, Matryoshka-style energy
-    audits (q97c) and SemDeDup-style cluster preprocessing (q96d).
+"""
 
-    Pipeline (all exact until the final Rayleigh quotient):
-    1. Quantize lanes to milli-units (floor(x*1000) — float32 widens
-       to float64 bit-exactly, floor is unambiguous; the q97r nano-
-       unit discipline).
-    2. Partial Gram per Arrow batch: a mapInPandas kernel emits each
-       batch's d x d integer X'X plus column sums and row count —
-       d^2 + d + 1 rows per batch, so THE PAYLOAD NEVER CROSSES AN
-       EXCHANGE and the shuffle is O(batches * d^2), not O(N * d).
-       Integer partials sum order-free to an exact global Gram. (The
-       DuckDB oracle builds the same Gram by unnest + self-join —
-       oracle-only plan shape, quadratic in d but exact.)
-    3. Centered scatter M = N*G - s*s' (exact BIGINT), truncated to
-       fold units via the offset-div trick (+1e15 // 1e6 - 1e9 —
-       positive operands, so Spark div == DuckDB //).
-    4. 30 power iterations as ONE in-row fold (q47f discipline):
-       integer matvec (<= ~5e14 at sf0.1, BIGINT-safe; documented to
-       ~sf0.2, then raise the step-3 unit), sign-safe renormalize to
-       micro-units via abs/sign decomposition, singleton-array
-       transforms as let-bindings for u/ud/max.
-    5. Rayleigh quotient v'Mv / v'v as ordered double folds over the
-       64-element state — one pinned op sequence both engines share.
 
-    Output: 64 rows (dim, loading in micro-units, shared eigenvalue
-    estimate in fold units). Deterministic all-ones start vector.
-    """
+def _pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q97w/q97x pipeline: one-row frame (md, n, v) holding the
+    truncated centered scatter (flat 4096 BIGINTs), the corpus count,
+    and the 30-iteration power-fold principal direction in micro-units
+    (see q97w's docstring for the full exactness argument)."""
     import pandas as pd
 
-    tune_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings")
 
     def gram_partial(batches):
@@ -14087,7 +14052,54 @@ def q97w_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda st: st["val"],
         ).alias("md")
     ).crossJoin(F.broadcast(ncnt))
-    folded = one.select("md", "n", F.expr(_PCA_FOLD_EXPR))
+    return one.select("md", "n", F.expr(_PCA_FOLD_EXPR))
+
+
+@query(
+    "q97w_pca_power",
+    oracle=_PCA_ORACLE_CTES + """
+    SELECT CAST(u.i AS BIGINT) AS dim,
+           v[CAST(u.i AS INT) + 1] AS loading_micro,
+           round(num / den, 6) AS lambda_md,
+           nn.n AS n_vectors
+    FROM eig, nn, (SELECT unnest(range(0, 64)) AS i) u
+    ORDER BY dim
+    """,
+    tags=("similarity", "linear-algebra", "fold"),
+)
+def q97w_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by power
+    iteration on the centered integer scatter matrix — the dimension-
+    reduction primitive behind whitening, Matryoshka-style energy
+    audits (q97c) and SemDeDup-style cluster preprocessing (q96d).
+
+    Pipeline (all exact until the final Rayleigh quotient):
+    1. Quantize lanes to milli-units (floor(x*1000) — float32 widens
+       to float64 bit-exactly, floor is unambiguous; the q97r nano-
+       unit discipline).
+    2. Partial Gram per Arrow batch: a mapInPandas kernel emits each
+       batch's d x d integer X'X plus column sums and row count —
+       d^2 + d + 1 rows per batch, so THE PAYLOAD NEVER CROSSES AN
+       EXCHANGE and the shuffle is O(batches * d^2), not O(N * d).
+       Integer partials sum order-free to an exact global Gram. (The
+       DuckDB oracle builds the same Gram by unnest + self-join —
+       oracle-only plan shape, quadratic in d but exact.)
+    3. Centered scatter M = N*G - s*s' (exact BIGINT), truncated to
+       fold units via the offset-div trick (+1e15 // 1e6 - 1e9 —
+       positive operands, so Spark div == DuckDB //).
+    4. 30 power iterations as ONE in-row fold (q47f discipline):
+       integer matvec (<= ~5e14 at sf0.1, BIGINT-safe; documented to
+       ~sf0.2, then raise the step-3 unit), sign-safe renormalize to
+       micro-units via abs/sign decomposition, singleton-array
+       transforms as let-bindings for u/ud/max.
+    5. Rayleigh quotient v'Mv / v'v as ordered double folds over the
+       64-element state — one pinned op sequence both engines share.
+
+    Output: 64 rows (dim, loading in micro-units, shared eigenvalue
+    estimate in fold units). Deterministic all-ones start vector.
+    """
+    tune_for_oracle(spark)
+    folded = _pca_top_component(spark, sf_dir)
     eig = folded.select(
         "v", "n", F.expr(_PCA_NUM_EXPR), F.expr(_PCA_DEN_EXPR)
     )
@@ -14103,3 +14115,180 @@ def q97w_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("num") / F.col("den"), 6).alias("lambda_md"),
         F.col("n").alias("n_vectors"),
     ).orderBy("dim")
+
+
+@query(
+    "q95as_soft_dedup_weights",
+    oracle="""
+    WITH c AS (
+      SELECT md5(text) AS h, source, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    cl AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY h
+    ),
+    w AS (
+      SELECT c.source, c.n_chars,
+             CAST(1000000 // cl.cnt AS BIGINT) AS w_micro
+      FROM c JOIN cl USING (h)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w_micro) AS BIGINT) AS weight_sum_micro,
+           CAST(SUM(n_chars * w_micro) AS BIGINT) AS eff_chars_micro,
+           round(CAST(SUM(n_chars * w_micro) AS DOUBLE)
+                 / SUM(n_chars * CAST(1000000 AS BIGINT)), 6)
+             AS retention_ratio
+    FROM w GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "mixing"),
+)
+def q95as_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT DEDUPLICATION: instead of dropping duplicate documents
+    (q95's hard dedup), DOWN-WEIGHT each copy by 1/cluster_size so the
+    corpus keeps its coverage while duplicated content contributes one
+    document's worth of training mass — the reweighting strategy
+    recent data-mixing work prefers over removal when duplicates
+    correlate with quality.
+
+    Weights are DEFINED micro-unit integers (1e6 // cluster_size —
+    truncation is the statistic's contract), so per-source effective
+    character mass sums exactly; retention_ratio (effective/raw) is
+    one pinned double ratio. Cluster identity is the md5 of the raw
+    text (cross-engine-identical hex).
+
+    Scale: one hash-groupBy builds cluster sizes map-side (the q95
+    pattern); the join back keys on the same hash, so at 100 TB it
+    co-partitions with the cluster pass — no second fact shuffle shape.
+    Per-source aggregation is map-side combinable.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        F.md5("text").alias("h"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    cl = c.groupBy("h").agg(F.count("*").cast("long").alias("cnt"))
+    w = c.join(cl, "h").select(
+        "source",
+        "n_chars",
+        F.expr("CAST(1000000 div cnt AS BIGINT)").alias("w_micro"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w_micro").cast("long").alias("weight_sum_micro"),
+            F.sum(F.col("n_chars") * F.col("w_micro"))
+            .cast("long")
+            .alias("eff_chars_micro"),
+            F.round(
+                F.sum(F.col("n_chars") * F.col("w_micro")).cast("double")
+                / F.sum(F.col("n_chars") * F.lit(1000000).cast("long")),
+                6,
+            ).alias("retention_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q97x_pca_project",
+    oracle=_PCA_ORACLE_CTES + """,
+    scores AS (
+      SELECT e.label,
+             e.vec_id,
+             list_reduce(list_transform(range(0, 64), i ->
+               CAST(floor(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                          * 1000) AS BIGINT)
+               * f.v[CAST(i AS INT) + 1]),
+               (a, b) -> a + b) AS score
+      FROM embeddings e, folded f
+    ),
+    ranked AS (
+      SELECT label, score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM scores
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           CAST(MIN(score) AS BIGINT) AS score_min,
+           CAST(MAX(score) AS BIGINT) AS score_max,
+           CAST(SUM(score) AS BIGINT) AS score_sum,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN score END)
+                + MAX(CASE WHEN rn = (n + 2) // 2 THEN score END)
+                AS BIGINT) AS score_med2
+    FROM ranked GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "linear-algebra"),
+)
+def q97x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROJECT every embedding onto the q97w principal direction and
+    report the per-label projection distribution — the drift/
+    separation readout a curation pipeline uses to see whether labels
+    separate along the corpus's dominant axis (and the first step of
+    PCA-whitened indexing).
+
+    Scores are EXACT BIGINTs: milli-quantized lanes times the
+    micro-unit principal direction, folded in index order in-row
+    (zip over the 64 lanes — no explode, no shuffle; <= 6.4e10 per
+    vector). Per-label medians are DOUBLED discrete order statistics
+    (the q36n convention). The principal direction reuses
+    _pca_top_component — one broadcast row against the vector scan.
+
+    Scale: the projection is a map-only pass over the embedding
+    column; the rank window partitions BY LABEL (distributes across
+    labels; within-label frames are corpus-sized — the documented
+    migration is blocked_row_number per label if a single label
+    dominates at 100 TB).
+    """
+    tune_for_oracle(spark)
+    folded = _pca_top_component(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = emb.crossJoin(F.broadcast(folded.select("v"))).select(
+        "label",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.transform(
+                    "embedding",
+                    lambda e: F.floor(e.cast("double") * 1000).cast(
+                        "long"
+                    ),
+                ),
+                "v",
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("score"),
+    )
+    ranked = scores.select(
+        "label",
+        "score",
+        F.row_number()
+        .over(W.partitionBy("label").orderBy("score", "vec_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("label")).alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.min("score").cast("long").alias("score_min"),
+            F.max("score").cast("long").alias("score_max"),
+            F.sum("score").cast("long").alias("score_sum"),
+            (
+                F.max(F.when(F.col("rn") == lo, F.col("score")))
+                + F.max(F.when(F.col("rn") == hi, F.col("score")))
+            )
+            .cast("long")
+            .alias("score_med2"),
+        )
+        .orderBy("label")
+    )

@@ -10579,3 +10579,173 @@ def q36ag_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
         ).alias("hedges_g"),
     )
+
+
+@query(
+    "q42n_kalman_filter",
+    oracle="""
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT array_agg(CAST(cents AS DOUBLE) / 100000000.0 ORDER BY t)
+               AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n FROM m
+    ),
+    folded AS (
+      SELECT n, list_reduce(
+        list_concat(
+          [[ys[1], ys[2] - ys[1], 100.0, 0.0, 25.0]],
+          list_transform(list_slice(ys, 3, CAST(n AS INT)), y -> [y])),
+        (acc, x) -> list_transform(
+          [[acc[1] + acc[2], acc[2],
+            acc[3] + 2 * acc[4] + acc[5] + 0.0625,
+            acc[4] + acc[5],
+            acc[5] + 0.0625]],
+          a -> list_transform(
+            [[a[3] / (a[3] + 4), a[4] / (a[3] + 4)]],
+            k -> [a[1] + k[1] * (x[1] - a[1]),
+                  a[2] + k[2] * (x[1] - a[1]),
+                  (1 - k[1]) * a[3],
+                  (1 - k[1]) * a[4],
+                  a[5] - k[2] * a[4]])[1])[1]) AS st
+      FROM series
+    )
+    SELECT n AS n_months,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS velocity,
+           round(st[3], 6) AS p_level,
+           round((st[3] + 2 * st[4] + st[5] + 0.0625)
+                 / (st[3] + 2 * st[4] + st[5] + 0.0625 + 4), 6)
+             AS gain_next,
+           round(st[1] + st[2], 6) AS forecast_next
+    FROM folded
+    """,
+    tags=("timeseries", "smoothing", "fold"),
+)
+def q42n_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER (constant-velocity model) over monthly revenue
+    — the probabilistic completion of the smoothing ladder: unlike
+    q42d/q42j/q42l's fixed smoothing weights, the gain ADAPTS to the
+    state covariance, and the posterior variance (p_level) quantifies
+    forecast confidence.
+
+    Model: state [level, velocity], F=[[1,1],[0,1]], process noise
+    Q=diag(1/16,1/16), observation H=[1,0], R=4 — all constants dyadic.
+    Each month folds predict (x1=l+v; P'=FPF'+Q, expanded to the three
+    symmetric entries) then update (K=P'H'/S with S=p11'+R; state +=
+    K*innovation; Joseph-free covariance update). The recurrence is
+    ONE in-row fold over the calendar-bounded month series with a
+    5-double state (the q42j discipline: identical IEEE op sequence on
+    identical inputs — the division by S is deterministic per step);
+    nested singleton-list transforms are the let-bindings for the
+    predicted covariance and the gain pair. Revenue scales to 1e6-cent
+    units so doubles stay O(100).
+
+    Scale: the fact folds map-side to one cents row per month;
+    state is 5 doubles regardless of history length. The streaming
+    twin would carry the same 5 doubles per key (qm19/qm21 class).
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    series = m.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t",
+                        (F.col("cents").cast("double") / 100000000.0).alias(
+                            "y"
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n"),
+    )
+    acc0 = F.array(
+        F.element_at("ys", 1),
+        F.element_at("ys", 2) - F.element_at("ys", 1),
+        F.lit(100.0),
+        F.lit(0.0),
+        F.lit(25.0),
+    )
+
+    def step(acc, x):
+        pred = F.array(
+            F.element_at(acc, 1) + F.element_at(acc, 2),
+            F.element_at(acc, 2),
+            F.element_at(acc, 3)
+            + 2 * F.element_at(acc, 4)
+            + F.element_at(acc, 5)
+            + 0.0625,
+            F.element_at(acc, 4) + F.element_at(acc, 5),
+            F.element_at(acc, 5) + 0.0625,
+        )
+
+        def upd(a):
+            gains = F.array(
+                F.element_at(a, 3) / (F.element_at(a, 3) + 4),
+                F.element_at(a, 4) / (F.element_at(a, 3) + 4),
+            )
+
+            def fin(k):
+                innov = x - F.element_at(a, 1)
+                return F.array(
+                    F.element_at(a, 1) + F.element_at(k, 1) * innov,
+                    F.element_at(a, 2) + F.element_at(k, 2) * innov,
+                    (1 - F.element_at(k, 1)) * F.element_at(a, 3),
+                    (1 - F.element_at(k, 1)) * F.element_at(a, 4),
+                    F.element_at(a, 5)
+                    - F.element_at(k, 2) * F.element_at(a, 4),
+                )
+
+            return F.element_at(F.transform(F.array(gains), fin), 1)
+
+        return F.element_at(F.transform(F.array(pred), upd), 1)
+
+    folded = series.select(
+        "n",
+        F.aggregate(
+            F.slice("ys", 3, F.col("n").cast("int") - 2),
+            acc0,
+            step,
+        ).alias("st"),
+    )
+    p_pred = (
+        F.element_at("st", 3)
+        + 2 * F.element_at("st", 4)
+        + F.element_at("st", 5)
+        + 0.0625
+    )
+    return folded.select(
+        F.col("n").alias("n_months"),
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("velocity"),
+        F.round(F.element_at("st", 3), 6).alias("p_level"),
+        F.round(p_pred / (p_pred + 4), 6).alias("gain_next"),
+        F.round(
+            F.element_at("st", 1) + F.element_at("st", 2), 6
+        ).alias("forecast_next"),
+    )

@@ -1051,3 +1051,40 @@ def test_r11_topk_sites_use_take_ordered(spark, name):
     plan = plan_of(spark, "q29b_skew_advisor" if name == "q29b_skew_advisor" else name)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q97w_pca_gram_partials_only_cross_one_exchange(spark):
+    """q97w's 100 TB claim: the vector payload never crosses an
+    exchange — only d^2-bounded integer Gram partials shuffle. The
+    plan must show the Arrow kernel (MapInPandas/FlatMapGroups shape)
+    feeding a hash aggregate, and the only BNLJ sites are the 1-row
+    count/md broadcasts; no cartesian product, no fact-sized sort."""
+    plan = plan_of(spark, "q97w_pca_power")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    # 1-row broadcasts: ncnt onto md_rows, ncnt onto `one`, fold row
+    # onto the final explode — all bounded; nothing else may BNLJ.
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    # Gram partials partially aggregate before the exchange
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
+
+
+def test_q47k_shapley_lattice_is_constant_size(spark):
+    """q47k folds the fact to mask counts map-side; every join after
+    is on the 16-node coalition lattice / 4-row channel dim. The plan
+    may contain broadcast joins but no shuffle-side fact join and no
+    cartesian product beyond the bounded lattice build."""
+    plan = plan_of(spark, "q47k_shapley_attribution")
+    assert "CartesianProduct" not in plan
+    # one map-side-combinable user aggregate feeds the mask histogram
+    assert "partial_" in plan
+
+
+def test_q42l_and_qm21_share_fold_no_fact_window(spark):
+    """Holt-Winters folds a calendar-bounded series: the only window
+    allowed is none at all — the month series assembles via
+    groupBy + collect, never a fact-ordered window or global sort of
+    the fact."""
+    plan = plan_of(spark, "q42l_holt_winters")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
