@@ -620,3 +620,47 @@ def hw_additive_step(acc: Column, x: Column) -> Column:
         F.concat(F.array(l_new, b_new), F.slice(acc, 3, i)),
         F.concat(F.array(s_new), F.slice(acc, i + 4, 11 - i)),
     )
+
+
+def kalman_cv_step(acc: Column, x: Column) -> Column:
+    """One constant-velocity Kalman predict+update step on a 5-double
+    state array ``[level, velocity, p11, p12, p22]``; ``x`` is the
+    scalar observation. Model constants are dyadic (Q=diag(1/16,1/16),
+    R=4) and the op sequence is pinned, so the batch fold (q42n) and
+    its streaming twin (qm22) produce bit-identical states — the same
+    shared-step equivalence hw_additive_step provides for q42l/qm21.
+    Nested singleton-array transforms act as let-bindings for the
+    predicted covariance and the gain pair.
+    """
+
+    pred = F.array(
+        F.element_at(acc, 1) + F.element_at(acc, 2),
+        F.element_at(acc, 2),
+        F.element_at(acc, 3)
+        + 2 * F.element_at(acc, 4)
+        + F.element_at(acc, 5)
+        + 0.0625,
+        F.element_at(acc, 4) + F.element_at(acc, 5),
+        F.element_at(acc, 5) + 0.0625,
+    )
+
+    def upd(a):
+        gains = F.array(
+            F.element_at(a, 3) / (F.element_at(a, 3) + 4),
+            F.element_at(a, 4) / (F.element_at(a, 3) + 4),
+        )
+
+        def fin(k):
+            innov = x - F.element_at(a, 1)
+            return F.array(
+                F.element_at(a, 1) + F.element_at(k, 1) * innov,
+                F.element_at(a, 2) + F.element_at(k, 2) * innov,
+                (1 - F.element_at(k, 1)) * F.element_at(a, 3),
+                (1 - F.element_at(k, 1)) * F.element_at(a, 4),
+                F.element_at(a, 5)
+                - F.element_at(k, 2) * F.element_at(a, 4),
+            )
+
+        return F.element_at(F.transform(F.array(gains), fin), 1)
+
+    return F.element_at(F.transform(F.array(pred), upd), 1)

@@ -97,6 +97,10 @@ SHOWCASE_ORDER = (
     "q42n_kalman_filter",
     "q95as_soft_dedup_weights",
     "q97x_pca_project",
+    "q36ah_runs_test",
+    "q53i_herfindahl_index",
+    "q47l_time_decay_attribution",
+    "qm22_streaming_kalman",
     # changed since last driver-green row (rotation.py source-hash
     # detector): r11 window migrations + promoted oracles
     "q97_ann_pq",
@@ -129,10 +133,6 @@ SHOWCASE_ORDER = (
     "q01_parquet_scan",
     "q02_csv_scan",
     "q03_json_scan",
-    "q05_partitioned_sink",
-    "q11_predicate_filter",
-    "q20_inner_join",
-    "q21_left_outer_join",
 )
 
 def load_all() -> dict[str, QuerySpec]:

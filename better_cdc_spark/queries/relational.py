@@ -10581,9 +10581,7 @@ def q36ag_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q42n_kalman_filter",
-    oracle="""
+KALMAN_ORACLE = """
     WITH m AS (
       SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
                   + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
@@ -10624,7 +10622,12 @@ def q36ag_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS gain_next,
            round(st[1] + st[2], 6) AS forecast_next
     FROM folded
-    """,
+    """
+
+
+@query(
+    "q42n_kalman_filter",
+    oracle=KALMAN_ORACLE,
     tags=("timeseries", "smoothing", "fold"),
 )
 def q42n_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10692,38 +10695,7 @@ def q42n_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(25.0),
     )
 
-    def step(acc, x):
-        pred = F.array(
-            F.element_at(acc, 1) + F.element_at(acc, 2),
-            F.element_at(acc, 2),
-            F.element_at(acc, 3)
-            + 2 * F.element_at(acc, 4)
-            + F.element_at(acc, 5)
-            + 0.0625,
-            F.element_at(acc, 4) + F.element_at(acc, 5),
-            F.element_at(acc, 5) + 0.0625,
-        )
-
-        def upd(a):
-            gains = F.array(
-                F.element_at(a, 3) / (F.element_at(a, 3) + 4),
-                F.element_at(a, 4) / (F.element_at(a, 3) + 4),
-            )
-
-            def fin(k):
-                innov = x - F.element_at(a, 1)
-                return F.array(
-                    F.element_at(a, 1) + F.element_at(k, 1) * innov,
-                    F.element_at(a, 2) + F.element_at(k, 2) * innov,
-                    (1 - F.element_at(k, 1)) * F.element_at(a, 3),
-                    (1 - F.element_at(k, 1)) * F.element_at(a, 4),
-                    F.element_at(a, 5)
-                    - F.element_at(k, 2) * F.element_at(a, 4),
-                )
-
-            return F.element_at(F.transform(F.array(gains), fin), 1)
-
-        return F.element_at(F.transform(F.array(pred), upd), 1)
+    from better_cdc_spark.operators import kalman_cv_step as step
 
     folded = series.select(
         "n",
@@ -10748,4 +10720,319 @@ def q42n_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.element_at("st", 1) + F.element_at("st", 2), 6
         ).alias("forecast_next"),
+    )
+
+
+@query(
+    "q36ah_runs_test",
+    oracle="""
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN y END)
+                  + MAX(CASE WHEN rn = (n + 2) // 2 THEN y END)
+                  AS BIGINT) AS m2
+      FROM (SELECT y, row_number() OVER (ORDER BY y, t) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM m) z
+    ),
+    s AS (
+      SELECT t, CASE WHEN 2 * y > m2 THEN 1 ELSE 0 END AS above
+      FROM m, med WHERE 2 * y <> m2
+    ),
+    runs AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY t) IS NULL
+                    OR lag(above) OVER (ORDER BY t) <> above
+                  THEN 1 ELSE 0 END AS starts
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(SUM(starts) AS BIGINT) AS r,
+             CAST(SUM(above) AS BIGINT) AS n1,
+             CAST(SUM(1 - above) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round((CAST(r AS DOUBLE)
+                  - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2) * (n1 + n2 - 1))),
+                 6) AS z_score
+    FROM agg
+    """,
+    tags=("agg", "statistics", "timeseries"),
+)
+def q36ah_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST on monthly order counts around their
+    median — the randomness screen that complements q36ae's
+    Durbin-Watson (DW measures lag-1 correlation of fit residuals;
+    runs counts sign-clustering of the raw series, catching
+    non-linear momentum DW misses).
+
+    The median is a DOUBLED discrete order statistic (q36n convention)
+    so above/below is an exact integer comparison 2y <> m2 (exact-
+    median months drop, the classical rule). Runs count as
+    start-of-run indicators via lag over the calendar-bounded month
+    grid; r, n1, n2 are exact BIGINTs and the normal-approximation z
+    is ONE pinned double expression.
+
+    Scale: the fact folds map-side to the month frame; every window
+    is month-grid-bounded (q42k documented-bounded class).
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    ranked = m.select(
+        "t",
+        "y",
+        F.row_number().over(W.orderBy("y", "t")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    med = ranked.agg(
+        (
+            F.max(F.when(F.col("rn") == lo, F.col("y")))
+            + F.max(F.when(F.col("rn") == hi, F.col("y")))
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    s = (
+        m.crossJoin(F.broadcast(med))
+        .where(2 * F.col("y") != F.col("m2"))
+        .select(
+            "t",
+            F.when(2 * F.col("y") > F.col("m2"), 1).otherwise(0).alias(
+                "above"
+            ),
+        )
+    )
+    runs = s.select(
+        "above",
+        F.when(
+            F.lag("above").over(W.orderBy("t")).isNull()
+            | (F.lag("above").over(W.orderBy("t")) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("starts"),
+    )
+    agg = runs.agg(
+        F.sum("starts").cast("long").alias("r"),
+        F.sum("above").cast("long").alias("n1"),
+        F.sum(1 - F.col("above")).cast("long").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    z = (
+        F.col("r").cast("double")
+        - (2.0 * n1 * n2 / (n1 + n2) + 1)
+    ) / F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (
+            (n1 + n2).cast("double")
+            * (n1 + n2)
+            * (n1 + n2 - 1)
+        )
+    )
+    return agg.select(
+        F.col("r").alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@query(
+    "q53i_herfindahl_index",
+    oracle="""
+    WITH s AS (
+      SELECT n_name,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM s),
+    sh AS (
+      SELECT n_name, cents,
+             1000000 * cents // total AS share_micro
+      FROM s, tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(share_micro * share_micro) AS BIGINT) AS hhi_pico,
+           round(CAST(SUM(share_micro * share_micro) AS DOUBLE) / 1e12,
+                 6) AS hhi,
+           round(1.0 / (CAST(SUM(share_micro * share_micro) AS DOUBLE)
+                        / 1e12), 6) AS effective_n
+    FROM sh
+    """,
+    tags=("agg", "statistics", "inequality"),
+)
+def q53i_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration index of revenue across
+    nations — the concentration summary completing the inequality
+    family (q53d Gini: dispersion; q53c Pareto: top-k mass; THIS:
+    sum-of-squared-shares and its reciprocal, the 'effective number
+    of markets' a mixing pipeline reads as effective source count).
+
+    Shares are DEFINED micro-unit integers (1e6*cents // total — the
+    q44i stepwise-truncation contract), so HHI in pico-units is an
+    exact BIGINT sum (<= 1e12) and both doubles divide once at the
+    end. The share frame is |nations|-bounded.
+
+    Scale: fact folds map-side through two broadcast dim joins to 25
+    nation rows; the total is a 1-row broadcast back.
+    """
+    tune_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    s = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100, 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = s.agg(F.sum("cents").cast("long").alias("total"))
+    sh = s.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        F.expr("1000000 * cents div total").alias("share_micro"),
+    )
+    hhi_pico = F.sum(F.col("share_micro") * F.col("share_micro")).cast(
+        "long"
+    )
+    return sh.agg(
+        F.count("*").cast("long").alias("n_nations"),
+        hhi_pico.alias("hhi_pico"),
+        F.round(hhi_pico.cast("double") / 1e12, 6).alias("hhi"),
+        F.round(1.0 / (hhi_pico.cast("double") / 1e12), 6).alias(
+            "effective_n"
+        ),
+    )
+
+
+@query(
+    "q47l_time_decay_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touch AS (
+      SELECT e.user_id, e.event_type,
+             CAST(1000000 AS BIGINT)
+               >> CAST(date_diff('day', CAST(e.ts AS DATE),
+                                 CAST(c.conv_ts AS DATE)) // 7 AS INT)
+               AS w_micro
+      FROM events e
+      JOIN conv c ON c.user_id = e.user_id
+      WHERE e.event_type <> 'purchase' AND e.ts < c.conv_ts
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(w_micro) AS BIGINT) AS credit_micro,
+           round(CAST(SUM(w_micro) AS DOUBLE)
+                 / (SELECT SUM(w_micro) FROM touch), 6) AS credit_share
+    FROM touch GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("attribution", "funnel"),
+)
+def q47l_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY ATTRIBUTION with a one-week half-life — the recency-
+    weighted member of the attribution family (q47c last-touch: all
+    credit to the final touch; q47k Shapley: order-free marginal
+    credit; THIS: exponentially more credit the closer a touch sits to
+    conversion).
+
+    The half-life decay is a POWER-OF-TWO shift, not a transcendental:
+    weight = 1e6 >> (days_before_conversion // 7), so every weight is
+    an exact BIGINT and credit sums are hash-stable — the engine-
+    portable way to express exponential decay (exp()/pow() would be
+    engine-rounding-dependent; the dyadic ladder is the statistic's
+    contract). Day distance uses DATE-granularity diffs (identical
+    integer on both engines); touches after conversion drop.
+
+    Scale: conversion times are one map-side-combinable pass; the
+    touch join keys on user_id (co-partitions with the conversion
+    frame); credit aggregation is taxonomy-bounded. The share divides
+    by a 1-row broadcast total.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touch = (
+        ev.alias("e")
+        .join(conv.alias("c"), "user_id")
+        .where(
+            (F.col("e.event_type") != "purchase")
+            & (F.col("e.ts") < F.col("c.conv_ts"))
+        )
+        .select(
+            F.col("e.event_type").alias("channel"),
+            F.expr(
+                "CAST(1000000 AS BIGINT) >> CAST("
+                "datediff(CAST(c.conv_ts AS DATE), CAST(e.ts AS DATE))"
+                " div 7 AS INT)"
+            ).alias("w_micro"),
+        )
+    )
+    tot = touch.agg(F.sum("w_micro").cast("long").alias("total"))
+    return (
+        touch.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("w_micro").cast("long").alias("credit_micro"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_touches",
+            "credit_micro",
+            F.round(
+                F.col("credit_micro").cast("double") / F.col("total"), 6
+            ).alias("credit_share"),
+        )
+        .orderBy("channel")
     )

@@ -3117,3 +3117,170 @@ def qm21_streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_months").alias("n_months"),
     ).orderBy("slot")
+
+
+@query(
+    "qm22_streaming_kalman",
+    # the BATCH fold (q42n's full-series Kalman) IS the oracle: epoch
+    # folds continue from the persisted 5-double state with the shared
+    # operators.kalman_cv_step, so the final state is bit-identical
+    oracle=relational.KALMAN_ORACLE,
+    tags=("streaming", "timeseries", "fold"),
+)
+def qm22_streaming_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KALMAN FILTER — q42n's constant-velocity filter
+    maintained incrementally: the fourth member of the RECURRENCE-
+    state streaming class (qm19 Holt, qm21 Holt-Winters, THIS), and
+    the one whose state includes a COVARIANCE that adapts the gain —
+    replay corruption would not just shift the estimate but silently
+    shrink the uncertainty, so the exactly-once machinery matters
+    doubly:
+
+    1. Per-epoch state rows commit under (app_id, txn_version=epoch);
+       the verbatim epoch-0 re-delivery below no-ops on the token.
+    2. The in-order admission guard rejects batches that do not follow
+       the stored last month.
+
+    Epoch 0 seeds exactly as the batch fold (l=y_1, v=y_2-y_1,
+    P=diag(100,25)); later epochs fold their month-sorted batch FROM
+    the prior state with the SAME operators.kalman_cv_step, so q42n's
+    DuckDB oracle hash-checks this streaming result bit-for-bit.
+
+    Scale: per epoch one map-side month aggregate, one 5-double fold,
+    one O(1) txlog append; no raw history retained.
+    """
+    from better_cdc_spark.operators import kalman_cv_step
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(
+            (F.sum("cents").cast("double") / 100000000.0).alias("y")
+        )
+    )
+    epoch_of = (F.dense_rank().over(W.orderBy("t")) - 1)
+    staged = m.withColumn("arrival", (epoch_of / 27).cast("int"))
+    arrivals = scratch_dir("qm22_arrivals")
+    n_epochs = staged.agg(F.max("arrival")).collect()[0][0] + 1  # bounded scalar
+    for e in range(n_epochs):
+        staged.filter(F.col("arrival") == e).drop("arrival").coalesce(
+            1
+        ).write.mode("append").parquet(arrivals)
+
+    t = TxLogTable(spark, scratch_dir("qm22_txlog"))
+    epoch_files: dict[int, list[str]] = {}
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        epoch_files[e] = [
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        agg = batch_df.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "y"))),
+                lambda s: s["y"],
+            ).alias("ys"),
+            F.count("*").cast("long").alias("bn"),
+            F.min("t").cast("long").alias("min_t"),
+            F.max("t").cast("long").alias("max_t"),
+        )
+        if e > 0:
+            prior = (
+                t.read()
+                .filter(F.col("epoch") == e - 1)
+                .select(
+                    F.col("st").alias("p_st"),
+                    F.col("n_months").alias("p_n"),
+                    F.col("last_t").alias("p_last"),
+                )
+            )
+            joined = agg.crossJoin(F.broadcast(prior))
+            bad = joined.filter(F.col("min_t") <= F.col("p_last")).count()
+            if bad:
+                raise ValueError(
+                    f"qm22 epoch {e}: batch arrived out of order — "
+                    "a recurrence cannot absorb late months"
+                )
+            acc0 = F.col("p_st")
+            elems = F.col("ys")
+            n_new = F.col("p_n") + F.col("bn")
+            base = joined
+        else:
+            acc0 = F.array(
+                F.element_at("ys", 1),
+                F.element_at("ys", 2) - F.element_at("ys", 1),
+                F.lit(100.0),
+                F.lit(0.0),
+                F.lit(25.0),
+            )
+            elems = F.slice("ys", 3, F.size("ys") - 2)
+            n_new = F.col("bn")
+            base = agg
+        st = F.aggregate(elems, acc0, kalman_cv_step)
+        state = base.select(
+            st.alias("st"),
+            n_new.cast("long").alias("n_months"),
+            F.col("max_t").alias("last_t"),
+            F.lit(e).cast("long").alias("epoch"),
+        )
+        t.append(state, app_id="qm22", txn_version=e)
+
+    q = (
+        spark.readStream.schema(staged.drop("arrival").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm22_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # checkpoint-recovery replay: epoch 0 verbatim; the token no-ops.
+    replayed = spark.read.schema(staged.drop("arrival").schema).parquet(
+        *epoch_files[0]
+    )
+    step(replayed, 0)
+
+    final = (
+        t.read()
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("epoch").desc()))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    p_pred = (
+        F.element_at("st", 3)
+        + 2 * F.element_at("st", 4)
+        + F.element_at("st", 5)
+        + 0.0625
+    )
+    return final.select(
+        F.col("n_months").alias("n_months"),
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("velocity"),
+        F.round(F.element_at("st", 3), 6).alias("p_level"),
+        F.round(p_pred / (p_pred + 4), 6).alias("gain_next"),
+        F.round(
+            F.element_at("st", 1) + F.element_at("st", 2), 6
+        ).alias("forecast_next"),
+    )
