@@ -101,6 +101,8 @@ SHOWCASE_ORDER = (
     "q53i_herfindahl_index",
     "q47l_time_decay_attribution",
     "qm22_streaming_kalman",
+    "q36ai_mcnemar",
+    "q36aj_cronbach_alpha",
     # changed since last driver-green row (rotation.py source-hash
     # detector): r11 window migrations + promoted oracles
     "q97_ann_pq",
@@ -130,8 +132,6 @@ SHOWCASE_ORDER = (
     "q51_limit",
     "q60_union",
     "q97_cosine_topk",
-    "q01_parquet_scan",
-    "q02_csv_scan",
     "q03_json_scan",
 )
 

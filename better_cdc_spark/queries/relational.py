@@ -11036,3 +11036,221 @@ def q47l_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q36ai_mcnemar",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, EXTRACT(day FROM ts) AS d,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                            AND EXTRACT(hour FROM ts) < 12
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                            AND EXTRACT(hour FROM ts) >= 12
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM events GROUP BY user_id, EXTRACT(day FROM ts)
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN f1 = 1 AND f2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN f1 = 0 AND f2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM u
+    )
+    SELECT n AS n_pairs, b AS n_lost, c AS n_gained,
+           round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+             AS chi2,
+           round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                 / (b + c), 6) AS chi2_cc
+    FROM agg
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ai_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST on paired binary conversion flags per
+    (user, day) — purchased in the MORNING vs the EVENING of the same
+    day — the paired-nominal member of the test battery: q36ab handles
+    paired CONTINUOUS differences, THIS handles paired BINARY
+    outcomes, asking whether the discordant flows balance. (The pair
+    unit is (user, day), not user: per-user flags saturate to all-ones
+    at every sf — the q36af degeneracy lesson.)
+
+    b and c (the discordant cells) are exact BIGINT counts from one
+    groupBy(user, day) pass; chi-square and its continuity-corrected
+    form are single pinned double expressions over (b - c)^2 integers.
+
+    Scale: one map-side-combinable pass; a scalar frame after.
+    """
+    tune_for_oracle(spark)
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.dayofmonth("ts").alias("d"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.hour("ts") < 12),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("f1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.hour("ts") >= 12),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("f2"),
+        )
+    )
+    agg = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("f1") == 1) & (F.col("f2") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("f1") == 0) & (F.col("f2") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    d = F.col("b") - F.col("c")
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.col("b").alias("n_lost"),
+        F.col("c").alias("n_gained"),
+        F.round(
+            (d * d).cast("double") / (F.col("b") + F.col("c")), 6
+        ).alias("chi2"),
+        F.round(
+            ((F.abs(d) - 1) * (F.abs(d) - 1)).cast("double")
+            / (F.col("b") + F.col("c")),
+            6,
+        ).alias("chi2_cc"),
+    )
+
+
+@query(
+    "q36aj_cronbach_alpha",
+    oracle="""
+    WITH sc AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+               THEN CAST(floor(value) AS BIGINT) END), 0) AS BIGINT) AS i1,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+               THEN CAST(floor(value) AS BIGINT) END), 0) AS BIGINT) AS i2,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value) AS BIGINT) END), 0) AS BIGINT) AS i3,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+               THEN CAST(floor(value) AS BIGINT) END), 0) AS BIGINT) AS i4,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+               THEN CAST(floor(value) AS BIGINT) END), 0) AS BIGINT) AS i5
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(i1) AS BIGINT) AS s1, CAST(SUM(i1*i1) AS BIGINT) AS q1,
+             CAST(SUM(i2) AS BIGINT) AS s2, CAST(SUM(i2*i2) AS BIGINT) AS q2,
+             CAST(SUM(i3) AS BIGINT) AS s3, CAST(SUM(i3*i3) AS BIGINT) AS q3,
+             CAST(SUM(i4) AS BIGINT) AS s4, CAST(SUM(i4*i4) AS BIGINT) AS q4,
+             CAST(SUM(i5) AS BIGINT) AS s5, CAST(SUM(i5*i5) AS BIGINT) AS q5,
+             CAST(SUM(i1+i2+i3+i4+i5) AS BIGINT) AS st,
+             CAST(SUM((i1+i2+i3+i4+i5)*(i1+i2+i3+i4+i5)) AS BIGINT) AS qt
+      FROM sc
+    ),
+    vv AS (
+      SELECT n,
+             (n*q1 - s1*s1) + (n*q2 - s2*s2) + (n*q3 - s3*s3)
+               + (n*q4 - s4*s4) + (n*q5 - s5*s5) AS vi,
+             n*qt - st*st AS vt
+      FROM mom
+    )
+    SELECT n AS n_users, CAST(5 AS BIGINT) AS k_items,
+           vi AS item_varnum, vt AS total_varnum,
+           round(5.0 / 4 * (1 - CAST(vi AS DOUBLE) / vt), 6) AS alpha
+    FROM vv
+    """,
+    tags=("agg", "statistics"),
+)
+def q36aj_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRONBACH'S ALPHA internal-consistency coefficient treating the
+    five event types as items and users as cases (zero-filled scores —
+    the complete-matrix convention) — the reliability readout a
+    quality-gate ensemble (q98y's kappa measures 2-rater agreement;
+    alpha measures k-item coherence) reads before trusting a composite
+    score.
+
+    Variance NUMERATORS n*sumsq - sum^2 are exact BIGINTs and the
+    n(n-1) denominators cancel between the item sum and the total, so
+    alpha = k/(k-1) * (1 - sum(Vi)/Vt) touches doubles exactly once.
+    Headroom: s^2 <= ~1e16 at sf0.1 (sf1 documented borderline — the
+    q42f overflow-note convention; scale scores to 1/10 units there).
+
+    Scale: ONE map-side-combinable groupBy(user) pass with in-row
+    conditional sums (no pivot join); a scalar frame after.
+    """
+    tune_for_oracle(spark)
+
+    def item(t):
+        return (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == t,
+                        F.floor(F.col("value")).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+        )
+
+    sc = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        item("click").alias("i1"),
+        item("error").alias("i2"),
+        item("purchase").alias("i3"),
+        item("signup").alias("i4"),
+        item("view").alias("i5"),
+    )
+    tot_expr = (
+        F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4") + F.col("i5")
+    )
+    mom = sc.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            c
+            for i in range(1, 6)
+            for c in (
+                F.sum(F.col(f"i{i}")).cast("long").alias(f"s{i}"),
+                F.sum(F.col(f"i{i}") * F.col(f"i{i}"))
+                .cast("long")
+                .alias(f"q{i}"),
+            )
+        ],
+        F.sum(tot_expr).cast("long").alias("st"),
+        F.sum(tot_expr * tot_expr).cast("long").alias("qt"),
+    )
+    vi = sum(
+        (
+            F.col("n") * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+            for i in range(2, 6)
+        ),
+        F.col("n") * F.col("q1") - F.col("s1") * F.col("s1"),
+    )
+    vt = F.col("n") * F.col("qt") - F.col("st") * F.col("st")
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.lit(5).cast("long").alias("k_items"),
+        vi.cast("long").alias("item_varnum"),
+        vt.cast("long").alias("total_varnum"),
+        F.round(
+            F.lit(5.0) / 4 * (1 - vi.cast("double") / vt), 6
+        ).alias("alpha"),
+    )
