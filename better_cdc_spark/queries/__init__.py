@@ -103,6 +103,8 @@ SHOWCASE_ORDER = (
     "qm22_streaming_kalman",
     "q36ai_mcnemar",
     "q36aj_cronbach_alpha",
+    "q98af_watermark_zscore",
+    "q94x_degree_assortativity",
     # changed since last driver-green row (rotation.py source-hash
     # detector): r11 window migrations + promoted oracles
     "q97_ann_pq",
@@ -116,7 +118,6 @@ SHOWCASE_ORDER = (
     "q95o_dsir_resample",
     "q97j_mmr_rerank",
     # pads: oldest driver rows first
-    "q26_theta_join",
     "q28_interval_join",
     "q31_distinct_agg",
     "q32_approx_count_distinct",
@@ -132,7 +133,6 @@ SHOWCASE_ORDER = (
     "q51_limit",
     "q60_union",
     "q97_cosine_topk",
-    "q03_json_scan",
 )
 
 def load_all() -> dict[str, QuerySpec]:

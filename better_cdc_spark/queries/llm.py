@@ -14292,3 +14292,221 @@ def q97x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q98af_watermark_zscore",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT doc_id, source,
+             CAST(len(w) - 1 AS BIGINT) AS n,
+             CAST(COALESCE(list_sum(list_transform(
+               range(2, CAST(len(w) AS INT) + 1),
+               i -> CASE WHEN substr(md5(concat(w[CAST(i AS INT) - 1],
+                                                ' ', w[CAST(i AS INT)])),
+                                1, 1) <= '7'
+                    THEN 1 ELSE 0 END)), 0) AS BIGINT) AS g
+      FROM ws WHERE len(w) >= 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(g) AS BIGINT) AS n_green,
+           round((2.0 * SUM(g) - SUM(n)) / sqrt(CAST(SUM(n) AS DOUBLE)),
+                 6) AS z_corpus,
+           CAST(SUM(CASE WHEN 2 * g > n
+                          AND (2 * g - n) * (2 * g - n) > 16 * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "quality", "provenance"),
+)
+def q98af_watermark_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM WATERMARK DETECTION sweep: the Kirchenbauer-style green-list
+    test over every document — for each bigram, hash(prev, word)
+    partitions the vocabulary in half ('green' = md5 first nibble
+    0-7); human text lands near 50% green, while text generated with a
+    green-biased sampler shows z >> 0. The synthetic-text-provenance
+    gate a 100 TB pretraining pipeline runs next to q98ad's code
+    detection and q98h's quality rules.
+
+    Green counts fold IN-ROW over each doc's word array (no bigram
+    explode — the only thing that leaves the row is (n, g)); the count
+    is an exact BIGINT, the corpus z is one pinned double, and the
+    per-doc flag z > 4 evaluates as the EXACT integer comparison
+    (2g - n)^2 > 16n (no per-doc double crosses engines). Docs under
+    two words drop.
+
+    Scale: map-only over documents, then a source-bounded aggregate —
+    the cheapest possible shape for a full-corpus provenance audit.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = (
+        docs.select(
+            "source",
+            F.split(F.lower("text"), " ").alias("w"),
+        )
+        .where(F.size("w") >= 2)
+        .select(
+            "source",
+            (F.size("w") - 1).cast("long").alias("n"),
+            F.expr(
+                "aggregate(sequence(2, size(w)), CAST(0 AS BIGINT),"
+                " (acc, i) -> acc + (CASE WHEN substring(md5(concat("
+                "element_at(w, i - 1), ' ', element_at(w, i))), 1, 1)"
+                " <= '7' THEN 1 ELSE 0 END))"
+            ).alias("g"),
+        )
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum("g").cast("long").alias("n_green"),
+            F.round(
+                (2.0 * F.sum("g") - F.sum("n"))
+                / F.sqrt(F.sum("n").cast("double")),
+                6,
+            ).alias("z_corpus"),
+            F.sum(
+                F.when(
+                    (2 * F.col("g") > F.col("n"))
+                    & (
+                        (2 * F.col("g") - F.col("n"))
+                        * (2 * F.col("g") - F.col("n"))
+                        > 16 * F.col("n")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("flagged_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q94x_degree_assortativity",
+    oracle="""
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + k.k) % nn.n AS dst
+      FROM documents, nn,
+           (SELECT unnest(range(1, 4)) AS k) k
+      WHERE k.k <= 1 + doc_id % 3
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT src AS node FROM edges
+        UNION ALL
+        SELECT dst AS node FROM edges
+      ) GROUP BY node
+    ),
+    pairs AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM edges
+      JOIN deg ds ON ds.node = edges.src
+      JOIN deg dd ON dd.node = edges.dst
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT m AS n_edges,
+           m * sxy - sx * sy AS cov_num,
+           round(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * (m * syy - sy * sy)), 6) AS assortativity
+    FROM mom
+    """,
+    tags=("llm", "graph", "statistics"),
+)
+def q94x_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the link graph — do well-linked
+    documents link to other well-linked documents? The mixing-pattern
+    summary that complements q94e's PageRank (node importance) and
+    q94g's triangle count (local clustering): positive r means hub
+    pages cite hubs (typical of SEO farms a curation pipeline
+    down-weights), negative means hub-and-spoke.
+
+    Variable-out-degree variant of the q94e link graph: doc ->
+    (id*7 + k) mod N for k = 1..(1 + id % 3). (q94e's constant k=1..3
+    graph has CONSTANT total degree — the mod-7 map is a bijection, so
+    every in-degree is exactly 3 and assortativity is undefined; the
+    id-dependent fan-out makes both degree marginals non-degenerate.)
+    The statistic uses TOTAL degree (in+out). Pearson r over the edge list's
+    (deg(src), deg(dst)) pairs assembles from six exact BIGINT moments
+    in one pinned double expression (every factor cast to DOUBLE
+    before multiplying — the q36u convention).
+
+    Scale: degrees are one map-side-combinable pass over 2|E| endpoint
+    rows; the two degree join-backs key on node id (co-partitioned);
+    the moment aggregate is map-side combinable. No driver-side state
+    beyond the bounded N scalar the q94e family already carries.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                        for k in (1, 2, 3)
+                    ]
+                ),
+                1,
+                (1 + F.col("doc_id") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    pairs = (
+        edges.join(
+            deg.alias("ds"), F.col("ds.node") == F.col("src")
+        )
+        .join(deg.alias("dd"), F.col("dd.node") == F.col("dst"))
+        .select(F.col("ds.d").alias("x"), F.col("dd.d").alias("y"))
+    )
+    mom = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    cov = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        F.col("m").alias("n_edges"),
+        cov.cast("long").alias("cov_num"),
+        F.round(
+            cov.cast("double")
+            / F.sqrt(
+                (
+                    F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
