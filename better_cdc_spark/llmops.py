@@ -1557,3 +1557,45 @@ def sniff_media(payload: bytes) -> dict:
             "duration_us": m["duration_us"], "detail": m["audio_bytes"],
         }
     raise ValueError(f"unroutable payload (magic {payload[:8]!r})")
+
+
+def int_gram_partials(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Arrow-batched partial integer Gram over a vector column (q97w's
+    kernel, shared with tools/scale_probe.py): each batch emits its
+    d x d X'X on milli-quantized lanes plus column sums (j = -1) and
+    row count (i = j = -1) — d^2 + d + 1 integer rows per batch, so
+    THE VECTOR PAYLOAD NEVER CROSSES AN EXCHANGE and partials sum
+    order-free to the exact global Gram (int64 matmul is exact).
+    """
+    import pandas as pd
+
+    def gram_partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[col].to_numpy())
+            xq = np.floor(x.astype(np.float64) * 1000.0).astype(np.int64)
+            d = xq.shape[1]
+            g = xq.T @ xq
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "i": ii.ravel().astype("int32"),
+                            "j": jj.ravel().astype("int32"),
+                            "g": g.ravel(),
+                        }
+                    ),
+                    pd.DataFrame(
+                        {
+                            "i": np.arange(d, dtype="int32"),
+                            "j": np.full(d, -1, dtype="int32"),
+                            "g": xq.sum(axis=0),
+                        }
+                    ),
+                    pd.DataFrame({"i": [-1], "j": [-1], "g": [len(pdf)]}),
+                ]
+            )
+
+    return df.select(col).mapInPandas(gram_partial, "i int, j int, g long")

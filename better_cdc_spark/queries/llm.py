@@ -13989,44 +13989,8 @@ def _pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated centered scatter (flat 4096 BIGINTs), the corpus count,
     and the 30-iteration power-fold principal direction in micro-units
     (see q97w's docstring for the full exactness argument)."""
-    import pandas as pd
-
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def gram_partial(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["embedding"].to_numpy())
-            xq = np.floor(x.astype(np.float64) * 1000.0).astype(np.int64)
-            d = xq.shape[1]
-            g = xq.T @ xq
-            ii, jj = np.meshgrid(
-                np.arange(d), np.arange(d), indexing="ij"
-            )
-            yield pd.concat(
-                [
-                    pd.DataFrame(
-                        {
-                            "i": ii.ravel().astype("int32"),
-                            "j": jj.ravel().astype("int32"),
-                            "g": g.ravel(),
-                        }
-                    ),
-                    pd.DataFrame(
-                        {
-                            "i": np.arange(d, dtype="int32"),
-                            "j": np.full(d, -1, dtype="int32"),
-                            "g": xq.sum(axis=0),
-                        }
-                    ),
-                    pd.DataFrame({"i": [-1], "j": [-1], "g": [len(pdf)]}),
-                ]
-            )
-
-    parts = emb.select("embedding").mapInPandas(
-        gram_partial, "i int, j int, g long"
-    )
+    parts = llmops.int_gram_partials(emb, "embedding")
     agg = parts.groupBy("i", "j").agg(F.sum("g").cast("long").alias("g"))
     gsum = agg.where(F.col("j") >= 0)
     ssum = agg.where((F.col("j") == -1) & (F.col("i") >= 0)).select(

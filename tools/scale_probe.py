@@ -159,6 +159,25 @@ def main() -> int:
 
     timed("pq adc scan", adc_count, unit="pair-scores")
 
+    # PCA Gram partials (q97w's kernel): on an amplified vector corpus the
+    # payload must never cross an exchange — the shuffle carries only
+    # d^2 + d + 1 integer rows per batch, so wall time is scan-bound and
+    # the aggregated frame is exactly d^2 + d + 1 rows regardless of N.
+    # localCheckpoint: the amplification crossJoin is corpus FABRICATION,
+    # not part of the probed plan — cut lineage so the assertion sees only
+    # the kernel + aggregate.
+    emb_mat = emb_big.withColumnRenamed("v", "embedding").localCheckpoint()
+    gram = llmops.int_gram_partials(emb_mat)
+    gagg = gram.groupBy("i", "j").agg(F.sum("g").alias("g"))
+    assert no_product_join(gagg), "gram aggregation must stay join-free"
+
+    def gram_count():
+        c = gagg.count()
+        assert c == 64 * 64 + 64 + 1, f"gram frame wrong size: {c}"
+        return n_copies * 2000  # vectors processed at sf0.1
+
+    timed("pca gram partials", gram_count, unit="vecs")
+
     # SemDeDup assignment: the literal-argmin projection must add ZERO
     # exchanges — the only shuffle in assign-then-count is the count's own
     # groupBy. (The Lloyd update's kxdim model exchange is probed by the
