@@ -664,3 +664,42 @@ def kalman_cv_step(acc: Column, x: Column) -> Column:
         return F.element_at(F.transform(F.array(gains), fin), 1)
 
     return F.element_at(F.transform(F.array(pred), upd), 1)
+
+
+def page_hinkley_step(acc: Column, x: Column) -> Column:
+    """One PAGE-HINKLEY drift-detection step on a 5-double state array
+    ``[t, sum, m, m_min, first_alarm_t]``; ``x`` is the scalar
+    observation. Constants are pinned (delta=0.0625 dyadic drift
+    allowance, lambda=2.0 alarm threshold); the cumulative deviation
+    m_t = sum(x_i - mean_i - delta) uses the RUNNING mean, so the
+    recurrence is order-sensitive and the op sequence is pinned for
+    the batch fold (q42o) / streaming twin (qm23) bit-equivalence the
+    hw_additive_step / kalman_cv_step pairs established. Singleton
+    transforms are the let-bindings for (t', sum') and m'.
+    """
+
+    pair = F.array(F.element_at(acc, 1) + 1, F.element_at(acc, 2) + x)
+
+    def upd(p):
+        t_new = F.element_at(p, 1)
+        s_new = F.element_at(p, 2)
+        m_expr = F.element_at(acc, 3) + x - s_new / t_new - 0.0625
+
+        def fin(mm):
+            m_new = F.element_at(mm, 1)
+            mmin_new = F.least(F.element_at(acc, 4), m_new)
+            return F.array(
+                t_new,
+                s_new,
+                m_new,
+                mmin_new,
+                F.when(
+                    (F.element_at(acc, 5) < 0)
+                    & (m_new - mmin_new > 2.0),
+                    t_new,
+                ).otherwise(F.element_at(acc, 5)),
+            )
+
+        return F.element_at(F.transform(F.array(F.array(m_expr)), fin), 1)
+
+    return F.element_at(F.transform(F.array(pair), upd), 1)

@@ -105,6 +105,10 @@ SHOWCASE_ORDER = (
     "q36aj_cronbach_alpha",
     "q98af_watermark_zscore",
     "q94x_degree_assortativity",
+    "q36ak_goodman_kruskal_gamma",
+    "q36al_cliffs_delta",
+    "q36am_point_biserial",
+    "q36an_ljung_box",
     # changed since last driver-green row (rotation.py source-hash
     # detector): r11 window migrations + promoted oracles
     "q97_ann_pq",
@@ -129,10 +133,6 @@ SHOWCASE_ORDER = (
     "q77b_fuzzy_blocked_match",
     "q38_unpivot",
     "q40b_distribution_windows",
-    "q41_lag_lead",
-    "q51_limit",
-    "q60_union",
-    "q97_cosine_topk",
 )
 
 def load_all() -> dict[str, QuerySpec]:

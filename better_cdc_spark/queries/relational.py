@@ -11254,3 +11254,504 @@ def q36aj_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(5.0) / 4 * (1 - vi.cast("double") / vt), 6
         ).alias("alpha"),
     )
+
+
+@query(
+    "q36ak_goodman_kruskal_gamma",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dx,
+             CAST(floor(value / 50) AS BIGINT) AS vy,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.vy > a.vy THEN a.o * b.o ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN b.vy < a.vy THEN a.o * b.o ELSE 0 END)
+                  AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN b.vy = a.vy THEN a.o * b.o ELSE 0 END)
+                  AS BIGINT) AS ty
+      FROM cells a JOIN cells b ON b.dx > a.dx
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT tot.n AS n_events, pairs.c AS n_concordant, pairs.d AS n_discordant,
+           pairs.ty AS n_tied_y_only,
+           round(CAST(pairs.c - pairs.d AS DOUBLE) / (pairs.c + pairs.d), 6)
+             AS gamma,
+           round(CAST(pairs.c - pairs.d AS DOUBLE)
+                 / (pairs.c + pairs.d + pairs.ty), 6) AS somers_d_yx
+    FROM pairs, tot
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ak_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOODMAN-KRUSKAL GAMMA (and Somers' d_yx) between day-of-week and
+    the value's 50-unit band — the ordinal-association pair completing
+    the ladder q36w tau-b sits on: gamma ignores ties entirely (the
+    optimist's tau), Somers' D penalizes ties on the DEPENDENT axis
+    only, the asymmetric form a dashboard quotes when Y is the outcome.
+
+    Exactness: both axes are BOUNDED grids (7 weekdays x ~12 value
+    bands), so concordant/discordant/tied-Y pair counts come from ONE
+    strict-x self-join of the <=84-row contingency frame — products of
+    cell counts, exact BIGINT end to end (C <= n^2/2 ~ 5e13 at sf10;
+    the fact is never pair-joined). Two pinned double divisions at the
+    end; no ordered fold needed because every pre-double term is
+    integer.
+
+    Scale: one map-side-combinable histogram pass over the fact; the
+    self-join runs on the broadcast-sized grid. The q36w/q36t grid
+    discipline verbatim.
+    """
+    tune_for_oracle(spark)
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.dayofweek("ts").cast("long").alias("dx"),
+            F.floor(F.col("value") / 50).cast("long").alias("vy"),
+        )
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    a = cells.select(
+        F.col("dx").alias("dxa"), F.col("vy").alias("vya"), F.col("o").alias("oa")
+    )
+    b = cells.select(
+        F.col("dx").alias("dxb"), F.col("vy").alias("vyb"), F.col("o").alias("ob")
+    )
+    pairs = a.join(F.broadcast(b), F.col("dxb") > F.col("dxa")).agg(
+        F.sum(
+            F.when(F.col("vyb") > F.col("vya"), F.col("oa") * F.col("ob")).otherwise(0)
+        ).cast("long").alias("c"),
+        F.sum(
+            F.when(F.col("vyb") < F.col("vya"), F.col("oa") * F.col("ob")).otherwise(0)
+        ).cast("long").alias("d"),
+        F.sum(
+            F.when(F.col("vyb") == F.col("vya"), F.col("oa") * F.col("ob")).otherwise(0)
+        ).cast("long").alias("ty"),
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    cd = F.col("c") - F.col("d")
+    return pairs.join(F.broadcast(tot)).select(
+        F.col("n").alias("n_events"),
+        F.col("c").alias("n_concordant"),
+        F.col("d").alias("n_discordant"),
+        F.col("ty").alias("n_tied_y_only"),
+        F.round(cd.cast("double") / (F.col("c") + F.col("d")), 6).alias("gamma"),
+        F.round(
+            cd.cast("double") / (F.col("c") + F.col("d") + F.col("ty")), 6
+        ).alias("somers_d_yx"),
+    )
+
+
+@query(
+    "q36al_cliffs_delta",
+    oracle="""
+    WITH h1 AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    h2 AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    dom AS (
+      SELECT CAST(SUM(CASE WHEN a.x > b.x THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS gt,
+             CAST(SUM(CASE WHEN a.x < b.x THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS lt
+      FROM h1 a JOIN h2 b ON TRUE
+    ),
+    ns AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM h1) AS n1,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM h2) AS n2
+    )
+    SELECT ns.n1, ns.n2, dom.gt AS n_gt, dom.lt AS n_lt,
+           round(CAST(dom.gt - dom.lt AS DOUBLE) / (ns.n1 * ns.n2), 6)
+             AS cliffs_delta,
+           CASE WHEN 1000 * abs(dom.gt - dom.lt) < 147 * ns.n1 * ns.n2
+                  THEN 'negligible'
+                WHEN 1000 * abs(dom.gt - dom.lt) < 330 * ns.n1 * ns.n2
+                  THEN 'small'
+                WHEN 1000 * abs(dom.gt - dom.lt) < 474 * ns.n1 * ns.n2
+                  THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM dom, ns
+    """,
+    tags=("agg", "statistics"),
+)
+def q36al_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA between click and view values — the ordinal effect
+    size that pairs with q36t's Mann-Whitney the way q36ag's Cohen's d
+    pairs with q36j's Welch t: U says "different", delta says "by how
+    much", assumption-free (delta = P(X>Y) - P(X<Y)).
+
+    Exactness: dominance counts come from the cross-join of the two
+    value-grid HISTOGRAMS (~400 x ~400 bounded cells, broadcast-sized
+    — the fact is never pair-joined), products of counts summed as
+    exact BIGINTs. The magnitude call (Romano thresholds .147/.33/.474)
+    is made on INTEGERS — 1000*|gt-lt| vs threshold*n1*n2 — so the
+    label can never flip on a last-ulp double divergence between
+    engines; the double delta is display-only, pinned once.
+
+    Scale: two map-side-combinable histogram passes; the dominance join
+    runs on broadcast grids. Grid-histogram discipline (q36t/q36aa).
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+
+    def hist(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.floor("value").cast("long").alias("x"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    h1 = hist("click").select(F.col("x").alias("x1"), F.col("c").alias("c1"))
+    h2 = hist("view").select(F.col("x").alias("x2"), F.col("c").alias("c2"))
+    dom = h1.join(F.broadcast(h2)).agg(
+        F.sum(
+            F.when(F.col("x1") > F.col("x2"), F.col("c1") * F.col("c2")).otherwise(0)
+        ).cast("long").alias("gt"),
+        F.sum(
+            F.when(F.col("x1") < F.col("x2"), F.col("c1") * F.col("c2")).otherwise(0)
+        ).cast("long").alias("lt"),
+    )
+    ns = h1.agg(F.sum("c1").cast("long").alias("n1")).join(
+        h2.agg(F.sum("c2").cast("long").alias("n2"))
+    )
+    ad = F.abs(F.col("gt") - F.col("lt")) * 1000
+    nn = F.col("n1") * F.col("n2")
+    return dom.join(F.broadcast(ns)).select(
+        "n1",
+        "n2",
+        F.col("gt").alias("n_gt"),
+        F.col("lt").alias("n_lt"),
+        F.round(
+            (F.col("gt") - F.col("lt")).cast("double") / nn, 6
+        ).alias("cliffs_delta"),
+        F.when(ad < 147 * nn, "negligible")
+        .when(ad < 330 * nn, "small")
+        .when(ad < 474 * nn, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@query(
+    "q36am_point_biserial",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+             CAST(floor(value) AS BIGINT) AS x
+      FROM events
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(b) AS BIGINT) AS n1,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(b * x) AS BIGINT) AS sbx
+      FROM v
+    )
+    SELECT n, n1, n - n1 AS n0,
+           round((CAST(n AS DOUBLE) * sbx - CAST(n1 AS DOUBLE) * sx)
+                 / sqrt(CAST(n1 AS DOUBLE) * (n - n1)
+                        * (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)), 6) AS r_pb
+    FROM mom
+    """,
+    tags=("agg", "statistics"),
+)
+def q36am_point_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-BISERIAL CORRELATION between the purchase indicator and
+    the event value — Pearson r specialized to a binary axis, the
+    discrimination coefficient an item-analysis pass computes per gate
+    (q98y's kappa asks "do raters agree"; r_pb asks "does this flag
+    track the score").
+
+    Exactness: with b in {0,1}, b^2 = b collapses the b-moments to n1,
+    so the whole statistic is five exact BIGINT sums in one pass:
+    r = (n*Sbx - n1*Sx) / sqrt(n1*n0*(n*Sxx - Sx^2)). One pinned
+    double assembly; IEEE sqrt is correctly rounded. Headroom:
+    n*Sxx ~ 3e15 at sf0.1, overflow past ~sf3 — scale x to decades
+    there (the q36ad raw-power-sum convention).
+
+    Scale: ONE map-side-combinable aggregate over the fact; a scalar
+    frame after. No join, no window, no shuffle beyond the final
+    1-row combine.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    mom = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("n1"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("b") * F.col("x")).cast("long").alias("sbx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sbx") - F.col("n1").cast("double") * F.col("sx")
+    den = F.sqrt(
+        F.col("n1").cast("double")
+        * (F.col("n") - F.col("n1"))
+        * (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+    )
+    return mom.select(
+        "n",
+        "n1",
+        (F.col("n") - F.col("n1")).cast("long").alias("n0"),
+        F.round(num / den, 6).alias("r_pb"),
+    )
+
+
+@query(
+    "q36an_ljung_box",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM m
+    ),
+    pairs AS (
+      SELECT b.mi - a.mi AS lag, CAST(COUNT(*) AS BIGINT) AS p,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+             CAST(SUM(a.x) AS BIGINT) AS ux, CAST(SUM(b.x) AS BIGINT) AS vy
+      FROM m a JOIN m b ON b.mi > a.mi AND b.mi - a.mi <= 12
+      GROUP BY 1
+    ),
+    rk AS (
+      SELECT lag,
+             CAST(tot.n * tot.n * pairs.sxy
+                  - tot.n * tot.s * (pairs.ux + pairs.vy)
+                  + pairs.p * tot.s * tot.s AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * tot.n * tot.sxx
+                - CAST(tot.n AS DOUBLE) * tot.s * tot.s) AS r,
+             pairs.p AS p
+      FROM pairs, tot
+    ),
+    terms AS (
+      SELECT list_reduce(
+               array_agg(r * r / p ORDER BY lag), (a, b) -> a + b) AS s
+      FROM rk
+    )
+    SELECT tot.n AS n_months, CAST(12 AS BIGINT) AS h_lags,
+           round(CAST(tot.n AS DOUBLE) * (tot.n + 2) * terms.s, 6) AS q_stat
+    FROM tot, terms
+    """,
+    tags=("agg", "statistics", "timeseries"),
+)
+def q36an_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU Q over the monthly-revenue ACF at lags
+    1..12 — the single-number whiteness test that reads q53g's whole
+    correlogram at once: a large Q says the residual series still has
+    structure (fit q42j/q42l before trusting forecasts), a small Q
+    says q36ae's DW verdict generalizes past lag 1.
+
+    Exactness: the n^2-scaled centered cross-moment at calendar lag k,
+    A_k = n^2*Sxy_k - n*S*(U_k+V_k) + p_k*S^2, is an exact BIGINT
+    (kilodollar month units, ~1.3e17 peak at sf0.1 — headroom to ~sf1;
+    re-unit beyond), as is the scaled denominator n^2*Sxx - n*S^2, so
+    each r_k touches doubles exactly once. Pair counts p_k (not n-k)
+    weight the terms, which equals the textbook statistic on the
+    complete month grid and degrades gracefully if a month were empty.
+    The 12 r_k^2/p_k terms sum via an ORDERED lag-sorted fold (the
+    q36aa/q42j fold discipline — a bare double SUM would be
+    partition-order-dependent).
+
+    Scale shape: one fact-sized map-side-combinable cents fold;
+    the lag self-join and fold run on the ~80-row calendar frame.
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) div 100000").alias("x"))
+    )
+    tot = m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    a = m.select(
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("lag"),
+        F.col("mi"),
+    ).select("lag", "x", (F.col("mi") + F.col("lag")).alias("probe"))
+    b = m.select(F.col("mi").alias("probe"), F.col("x").alias("y"))
+    pairs = (
+        a.join(b, "probe")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("p"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum("x").cast("long").alias("ux"),
+            F.sum("y").cast("long").alias("vy"),
+        )
+    )
+    rk = pairs.join(F.broadcast(tot)).select(
+        "lag",
+        "p",
+        (
+            (
+                F.col("n") * F.col("n") * F.col("sxy")
+                - F.col("n") * F.col("s") * (F.col("ux") + F.col("vy"))
+                + F.col("p") * F.col("s") * F.col("s")
+            ).cast("double")
+            / (
+                F.col("n").cast("double") * F.col("n") * F.col("sxx")
+                - F.col("n").cast("double") * F.col("s") * F.col("s")
+            )
+        ).alias("r"),
+    )
+    terms = rk.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("lag", (F.col("r") * F.col("r") / F.col("p")).alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("tsum")
+    )
+    return tot.join(F.broadcast(terms)).select(
+        F.col("n").alias("n_months"),
+        F.lit(12).cast("long").alias("h_lags"),
+        F.round(
+            F.col("n").cast("double") * (F.col("n") + 2) * F.col("tsum"), 6
+        ).alias("q_stat"),
+    )
+
+
+PAGE_HINKLEY_ORACLE = """
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT array_agg(CAST(cents AS DOUBLE) / 100000000.0 ORDER BY t)
+               AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n FROM m
+    ),
+    folded AS (
+      SELECT n, list_reduce(
+        list_concat([[0.0, 0.0, 0.0, 0.0, -1.0]],
+                    list_transform(ys, y -> [y])),
+        (acc, x) -> list_transform(
+          [[acc[1] + 1, acc[2] + x[1]]],
+          p -> list_transform(
+            [[acc[3] + x[1] - p[2] / p[1] - 0.0625]],
+            mm -> [p[1], p[2], mm[1], least(acc[4], mm[1]),
+                   CASE WHEN acc[5] < 0
+                         AND mm[1] - least(acc[4], mm[1]) > 2.0
+                        THEN p[1] ELSE acc[5] END])[1])[1]) AS st
+      FROM series
+    )
+    SELECT n AS n_months,
+           round(st[3] - st[4], 6) AS ph_stat,
+           round(st[3], 6) AS m_stat,
+           round(st[2] / st[1], 6) AS mean_level,
+           CAST(st[5] AS BIGINT) AS first_alarm_t
+    FROM folded
+    """
+
+
+@query(
+    "q42o_page_hinkley",
+    oracle=PAGE_HINKLEY_ORACLE,
+    tags=("timeseries", "changepoint", "fold"),
+)
+def q42o_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY drift detector over monthly revenue — the
+    sequential mean-shift test completing the changepoint shelf next
+    to q42f's CUSUM (CUSUM needs a reference mean up front; PH tracks
+    the RUNNING mean, which is what an online data-quality monitor
+    actually has) and q42i's EWMA control chart (a smoother, not a
+    test).
+
+    m_t = sum_i(x_i - mean_i - delta) accumulates deviations against
+    the running mean (delta=0.0625 dyadic drift allowance); the alarm
+    fires the first time m_t - min(m) exceeds lambda=2.0. The
+    recurrence is ONE in-row fold over the calendar-bounded month
+    series with a 5-double state [t, sum, m, m_min, first_alarm_t]
+    (operators.page_hinkley_step — shared with the qm23 streaming twin
+    for bit-equivalence; singleton-transform let-bindings pin the op
+    order, and the running-mean division is deterministic per step).
+    Revenue scales to 1e6-cent units so doubles stay O(100).
+
+    Scale: the fact folds map-side to one cents row per month; state
+    is 5 doubles regardless of history length.
+    """
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    series = m.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t",
+                        (
+                            F.col("cents").cast("double") / 100000000.0
+                        ).alias("y"),
+                    )
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n"),
+    )
+    from better_cdc_spark.operators import page_hinkley_step
+
+    acc0 = F.array(
+        F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(-1.0)
+    )
+    st = F.aggregate(F.col("ys"), acc0, page_hinkley_step)
+    return series.select(
+        F.col("n").alias("n_months"),
+        F.round(F.element_at(st, 3) - F.element_at(st, 4), 6).alias(
+            "ph_stat"
+        ),
+        F.round(F.element_at(st, 3), 6).alias("m_stat"),
+        F.round(
+            F.element_at(st, 2) / F.element_at(st, 1), 6
+        ).alias("mean_level"),
+        F.element_at(st, 5).cast("long").alias("first_alarm_t"),
+    )
