@@ -109,6 +109,14 @@ SHOWCASE_ORDER = (
     "q36al_cliffs_delta",
     "q36am_point_biserial",
     "q36an_ljung_box",
+    "q42o_page_hinkley",
+    "qm23_streaming_page_hinkley",
+    "q94y_hits",
+    "q94z_link_prediction",
+    "q97y_pca_deflation",
+    "q97z_cluster_quality",
+    "q95at_rho_filter",
+    "q97aa_hard_negative_mining",
     # changed since last driver-green row (rotation.py source-hash
     # detector): r11 window migrations + promoted oracles
     "q97_ann_pq",
@@ -125,14 +133,6 @@ SHOWCASE_ORDER = (
     "q28_interval_join",
     "q31_distinct_agg",
     "q32_approx_count_distinct",
-    "q33b_cube",
-    "q33c_grouping_sets",
-    "q35_collect_aggs",
-    "q36_stat_aggs",
-    "q36b_argminmax",
-    "q77b_fuzzy_blocked_match",
-    "q38_unpivot",
-    "q40b_distribution_windows",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -14474,3 +14474,954 @@ def q94x_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "q94y_hits",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+      WHERE t.k <= 1 + doc_id % 3
+    ),
+    a1 AS (SELECT nd.doc_id AS node,
+                  CAST(COALESCE(COUNT(e.src), 0) AS BIGINT) AS a
+           FROM nodes nd LEFT JOIN edges e ON e.dst = nd.doc_id
+           GROUP BY nd.doc_id),
+    h1 AS (SELECT nd.doc_id AS node,
+                  CAST(COALESCE(SUM(a1.a), 0) AS BIGINT) AS h
+           FROM nodes nd
+           LEFT JOIN edges e ON e.src = nd.doc_id
+           LEFT JOIN a1 ON a1.node = e.dst
+           GROUP BY nd.doc_id),
+    a2 AS (SELECT nd.doc_id AS node,
+                  CAST(COALESCE(SUM(h1.h), 0) AS BIGINT) AS a
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN h1 ON h1.node = e.src
+           GROUP BY nd.doc_id),
+    h2 AS (SELECT nd.doc_id AS node,
+                  CAST(COALESCE(SUM(a2.a), 0) AS BIGINT) AS h
+           FROM nodes nd
+           LEFT JOIN edges e ON e.src = nd.doc_id
+           LEFT JOIN a2 ON a2.node = e.dst
+           GROUP BY nd.doc_id),
+    mx AS (SELECT CAST(MAX(a) AS BIGINT) AS ma FROM a2),
+    mh AS (SELECT CAST(MAX(h) AS BIGINT) AS mb FROM h2)
+    SELECT a2.node AS doc_id, a2.a AS authority2, h2.h AS hub2,
+           round(CAST(a2.a AS DOUBLE) / (SELECT ma FROM mx), 6)
+             AS authority_norm,
+           round(CAST(h2.h AS DOUBLE) / (SELECT mb FROM mh), 6) AS hub_norm
+    FROM a2 JOIN h2 ON h2.node = a2.node
+    """,
+    tags=("llm", "graph", "iterative"),
+)
+def q94y_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (2 full mutual-reinforcement rounds)
+    on the variable-fan-out link graph — the bipartite-flavored
+    companion to q94e's PageRank: PageRank scores endorsement flow,
+    HITS separates "points at good pages" (hub) from "is pointed at by
+    good hubs" (authority), the split a crawl-frontier scheduler and a
+    link-spam filter each read one side of.
+
+    Same graph as q94x (doc -> (id*7+k) mod N, k=1..1+id%3 — the
+    q94e constant-degree graph would make every authority score equal).
+    EXACT INTEGER iteration: h0=1, a_i = sum of in-neighbor h_{i-1},
+    h_i = sum of out-neighbor a_i — no per-round normalization, so
+    every score is an exact BIGINT (growth <= (max_deg^2)^rounds,
+    ~O(1e3) here; headroom to dozens of rounds) and the cross-engine
+    hash cannot flake on double accumulation order. Normalization to
+    [0,1] happens ONCE at the end against the integer max — two pinned
+    divisions. Spark side is the q94e Pregel shape: per half-round one
+    contributions shuffle keyed on the receiving node, left-joined back
+    to the node set; lineage cut per round (localCheckpoint).
+
+    Scale: each half-round = one map-side-combinable groupBy on node
+    id over |E| rows; iterations sequential by nature. The integer-
+    score trick removes the one nondeterminism PageRank's double sums
+    tolerate (its 3-term sums survive 6dp rounding; HITS sums can be
+    larger, so exactness is structural, not statistical).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                        for k in (1, 2, 3)
+                    ]
+                ),
+                1,
+                (1 + F.col("doc_id") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    hubs = docs.select(F.col("doc_id").alias("node"), F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(2):
+        contrib_a = (
+            edges.join(hubs, edges.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum("h").cast("long").alias("ca"))
+        )
+        auth = (
+            docs.join(contrib_a, docs.doc_id == contrib_a.dst, "left")
+            .select(
+                F.col("doc_id").alias("node"),
+                F.coalesce("ca", F.lit(0)).cast("long").alias("a"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per half-round
+        )
+        contrib_h = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum("a").cast("long").alias("ch"))
+        )
+        hubs = (
+            docs.join(contrib_h, docs.doc_id == contrib_h.src, "left")
+            .select(
+                F.col("doc_id").alias("node"),
+                F.coalesce("ch", F.lit(0)).cast("long").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    mx = auth.agg(F.max("a").cast("long").alias("ma"))
+    mh = hubs.agg(F.max("h").cast("long").alias("mb"))
+    return (
+        auth.join(hubs, "node")
+        .join(F.broadcast(mx))
+        .join(F.broadcast(mh))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("a").alias("authority2"),
+            F.col("h").alias("hub2"),
+            F.round(F.col("a").cast("double") / F.col("ma"), 6).alias(
+                "authority_norm"
+            ),
+            F.round(F.col("h").cast("double") / F.col("mb"), 6).alias(
+                "hub_norm"
+            ),
+        )
+    )
+
+
+@query(
+    "q94z_link_prediction",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+      WHERE t.k <= 1 + doc_id % 3
+    ),
+    cand AS (
+      SELECT e1.src AS u, e2.src AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM edges e1 JOIN edges e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY e1.src, e2.src
+    ),
+    scored AS (
+      SELECT u, v, cn,
+             CAST(1 + u % 3 AS BIGINT) AS du,
+             CAST(1 + v % 3 AS BIGINT) AS dv,
+             CAST(1000000 * cn AS BIGINT)
+               // ((1 + u % 3) + (1 + v % 3) - cn) AS jm
+      FROM cand
+    ),
+    ranked AS (
+      SELECT u, v, cn, du, dv, jm,
+             ROW_NUMBER() OVER (ORDER BY jm DESC, u, v) AS rnk
+      FROM scored
+    )
+    SELECT rnk, u, v, cn, du, dv,
+           round(CAST(jm AS DOUBLE) / 1000000, 6) AS jaccard
+    FROM ranked WHERE rnk <= 20
+    """,
+    tags=("llm", "graph", "similarity"),
+)
+def q94z_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMON-NEIGHBOR LINK PREDICTION on the variable-fan-out link
+    graph: top-20 unlinked-candidate pairs by successor-set Jaccard —
+    the classic "who should cite whom" scorer, and structurally the
+    graph twin of the q96 dedup family's candidate generation (pairs
+    materialize ONLY through a shared neighbor, exactly as LSH pairs
+    materialize only through a shared band bucket — never all-pairs).
+
+    Candidates come from one self-equi-join of the edge list on the
+    shared successor w (u < v kills mirror duplicates); per shared-
+    neighbor fan-in is degree-bounded, so the candidate frame is
+    O(|E| * max_indeg), linear in the corpus. Out-degrees are
+    closed-form (1 + id % 3), so Jaccard needs no degree join-back;
+    the score is an exact MICRO-UNIT integer 1e6*cn div (du+dv-cn)
+    (deterministic floor division both engines — the q95as
+    convention), and the global top-20 ranks on (jm DESC, u, v) — a
+    total order on integers, so the cutoff can never flake. The
+    double jaccard column is display-only.
+
+    Scale: the dst-keyed self-join shuffles |E| rows once;
+    TakeOrderedAndProject handles the bounded top-k without a global
+    sort. 100 TB shape: identical to the LSH-band candidate join.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                        for k in (1, 2, 3)
+                    ]
+                ),
+                1,
+                (1 + F.col("doc_id") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    e1 = edges.select(F.col("src").alias("u"), "dst")
+    e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("dst2"))
+    cand = (
+        e1.join(e2, (F.col("dst") == F.col("dst2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    du = (1 + F.col("u") % 3).cast("long")
+    dv = (1 + F.col("v") % 3).cast("long")
+    scored = cand.select(
+        "u",
+        "v",
+        "cn",
+        du.alias("du"),
+        dv.alias("dv"),
+        F.expr("CAST(1000000 * cn AS BIGINT) div ((1 + u % 3) + (1 + v % 3) - cn)")
+        .cast("long")
+        .alias("jm"),
+    )
+    # distributed top-k (TakeOrderedAndProject), then rank the BOUNDED
+    # 20-row result — never a global rank window over the fact-scale
+    # candidate frame (the r11 window-classification discipline)
+    top = scored.orderBy(F.col("jm").desc(), "u", "v").limit(20)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("jm").desc(), "u", "v")),
+    )
+    return ranked.select(
+        "rnk",
+        "u",
+        "v",
+        "cn",
+        "du",
+        "dv",
+        F.round(F.col("jm").cast("double") / 1000000, 6).alias("jaccard"),
+    )
+
+
+def _let_s(x: str, name: str, body: str) -> str:
+    """Spark-SQL let-binding: evaluate ``x`` once, name it, use it in
+    ``body`` (the singleton-array transform idiom the PCA folds use)."""
+    return f"element_at(transform(array({x}), {name} -> {body}), 1)"
+
+
+def _let_d(x: str, name: str, body: str) -> str:
+    """DuckDB let-binding twin of :func:`_let_s`."""
+    return f"list_transform([{x}], {name} -> {body})[1]"
+
+
+def _pca2_step(spark_dialect: bool) -> str:
+    """One deflated-power-iteration step (see q97y docstring), emitted
+    for either engine from the same template so the op sequence —
+    including every abs/sign-decomposed truncating division — is
+    structurally identical by construction."""
+    if spark_dialect:
+        el = lambda arr, i: f"element_at({arr}, {i})"  # noqa: E731
+        dv, let = "div", _let_s
+    else:
+        el = lambda arr, i: f"{arr}[CAST({i} AS INT)]"  # noqa: E731
+        dv, let = "//", _let_d
+    rng = "sequence(0, 63)" if spark_dialect else "range(0, 64)"
+    agg = (
+        (lambda lst, z, f: f"aggregate({lst}, {z}, {f})")
+        if spark_dialect
+        else (lambda lst, z, f: f"list_reduce(list_concat([{z}], {lst}), {f})")
+    )
+    tr = "transform" if spark_dialect else "list_transform"
+    matvec = (
+        f"{tr}({rng}, i -> "
+        + agg(
+            f"{tr}({rng}, j -> {el('md', 'i * 64 + j + 1')} * {el('w', 'j + 1')})",
+            "CAST(0 AS BIGINT)",
+            "(a, b) -> a + b",
+        )
+        + ")"
+    )
+    ud_expr = (
+        f"{tr}(u, t -> CASE WHEN t < 0 THEN -((-t) {dv} 1000000)"
+        f" ELSE t {dv} 1000000 END)"
+    )
+    dt_expr = agg(
+        f"{tr}({rng}, i -> {el('ud', 'i + 1')} * {el('v', 'i + 1')})",
+        "CAST(0 AS BIGINT)",
+        "(a, b) -> a + b",
+    )
+    c_expr = (
+        f"CASE WHEN dt >= 0 THEN dt {dv} (vv {dv} 1000)"
+        f" ELSE -((-dt) {dv} (vv {dv} 1000)) END"
+    )
+    up_expr = (
+        f"{tr}({rng}, i -> {el('ud', 'i + 1')}"
+        f" - (CASE WHEN c * {el('v', 'i + 1')} >= 0"
+        f" THEN (c * {el('v', 'i + 1')}) {dv} 1000"
+        f" ELSE -((-(c * {el('v', 'i + 1')})) {dv} 1000) END))"
+    )
+    mx_expr = agg(
+        f"{tr}(up, t -> abs(t))", "CAST(0 AS BIGINT)", "(a, b) -> greatest(a, b)"
+    )
+    body = (
+        f"{tr}({rng}, i -> CASE WHEN mx = 0 THEN {el('w', 'i + 1')}"
+        f" WHEN {el('up', 'i + 1')} < 0"
+        f" THEN -((-{el('up', 'i + 1')}) * 1000000 {dv} mx)"
+        f" ELSE {el('up', 'i + 1')} * 1000000 {dv} mx END)"
+    )
+    step = let(
+        matvec,
+        "u",
+        let(
+            ud_expr,
+            "ud",
+            let(
+                dt_expr,
+                "dt",
+                let(c_expr, "c", let(up_expr, "up", let(mx_expr, "mx", body))),
+            ),
+        ),
+    )
+    return step
+
+
+_PCA2_SEED_S = (
+    "transform(sequence(0, 63), z -> CAST(CASE WHEN z % 2 = 0 THEN 1000000"
+    " ELSE -1000000 END AS BIGINT))"
+)
+_PCA2_SEED_D = (
+    "list_transform(range(0, 64), z -> CAST(CASE WHEN z % 2 = 0 THEN"
+    " 1000000 ELSE -1000000 END AS BIGINT))"
+)
+
+_PCA2_FOLD_EXPR = (
+    f"aggregate(sequence(1, 30), {_PCA2_SEED_S},"
+    f" (w, it) -> {_pca2_step(True)}) AS w2"
+)
+
+_PCA2_FOLD_DUCK = (
+    f"list_reduce(list_concat([{_PCA2_SEED_D}],"
+    f" list_transform(range(30), z -> [CAST(0 AS BIGINT)])),"
+    f" (w, it) -> {_pca2_step(False)}) AS w2"
+)
+
+_PCA2_NUM_EXPR = """
+aggregate(transform(sequence(0, 63), i ->
+  CAST(element_at(w2, i + 1) AS DOUBLE)
+  * CAST(aggregate(transform(sequence(0, 63), j ->
+      element_at(md, i * 64 + j + 1) * element_at(w2, j + 1)),
+      CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE)),
+  CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS num2
+"""
+
+_PCA2_DEN_EXPR = """
+aggregate(transform(w2, t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+  CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS den2
+"""
+
+_PCA2_ORTHO_EXPR = """
+aggregate(transform(sequence(0, 63), i ->
+  element_at(v, i + 1) * element_at(w2, i + 1)),
+  CAST(0 AS BIGINT), (a, b) -> a + b) AS dot12
+"""
+
+
+@query(
+    "q97y_pca_deflation",
+    oracle=_PCA_ORACLE_CTES + f"""
+    , vvc AS (
+      SELECT md, v,
+             list_reduce(list_transform(v, t -> t * t),
+                         (a, b) -> a + b) AS vv
+      FROM folded
+    ),
+    folded2 AS (
+      SELECT md, v, vv, {_PCA2_FOLD_DUCK}
+      FROM vvc
+    ),
+    eig2 AS (
+      SELECT v, w2,
+             list_reduce(list_transform(range(0, 64), i ->
+               CAST(w2[CAST(i AS INT) + 1] AS DOUBLE)
+               * CAST(list_reduce(list_transform(range(0, 64), j ->
+                   md[CAST(i * 64 + j AS INT) + 1]
+                   * w2[CAST(j AS INT) + 1]),
+                   (a, b) -> a + b) AS DOUBLE)),
+               (a, b) -> a + b) AS num2,
+             list_reduce(list_transform(w2, t -> CAST(t AS DOUBLE)
+                                               * CAST(t AS DOUBLE)),
+                         (a, b) -> a + b) AS den2,
+             list_reduce(list_transform(range(0, 64), i ->
+               v[CAST(i AS INT) + 1] * w2[CAST(i AS INT) + 1]),
+               (a, b) -> a + b) AS dot12
+      FROM folded2
+    )
+    SELECT CAST(u.i AS BIGINT) AS dim,
+           w2[CAST(u.i AS INT) + 1] AS loading2_micro,
+           round(num2 / den2, 6) AS lambda2_md,
+           CASE WHEN dot12 >= 0 THEN dot12 // 1000000
+                ELSE -((-dot12) // 1000000) END AS ortho_residual,
+           nn.n AS n_vectors
+    FROM eig2, nn, (SELECT unnest(range(0, 64)) AS i) u
+    ORDER BY dim
+    """,
+    tags=("similarity", "linear-algebra", "fold"),
+)
+def q97y_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND PRINCIPAL COMPONENT by DEFLATED power iteration — the
+    step that turns q97w's single direction into a basis (the 2-D
+    projection a corpus-drift dashboard or a SemDeDup visualization
+    actually plots), done without ever forming the deflated matrix.
+
+    Instead of materializing M - lambda v1 v1' (whose entries are
+    non-integer), each iteration projects the matvec onto v1's
+    orthogonal complement IN EXACT INTEGERS: u = M w (BIGINT, <=
+    6.4e16); ud = u div 1e6 (sign-safe trunc); c = (ud . v1) div
+    (v1.v1 div 1000) — the milli-scaled projection coefficient, every
+    operand BIGINT-safe by construction (dot <= 4.1e18); up_i = ud_i -
+    (c * v1_i) div 1000; renormalize to micro-units by max-abs. The
+    truncations are part of the operator's DEFINITION, executed by a
+    TEMPLATE-SHARED op sequence (_pca2_step emits both dialects from
+    one builder, so the engines cannot drift structurally; div == //
+    only after the abs/sign decomposition — the q97w discipline), so
+    the result is hash-exact regardless of convergence quality. The
+    alternating +/-1e6 seed avoids starting orthogonal-degenerate (an
+    all-ones seed can project to near-zero when v1 is nearly uniform).
+    Rayleigh quotient and the ortho_residual audit column (v1 . v2
+    div 1e6 — ~0 when deflation worked) are the only double / display
+    outputs.
+
+    Scale: reuses the q97w Gram (llmops.int_gram_partials — the
+    payload never crosses an exchange; shuffle is O(batches * d^2));
+    the deflation fold is one in-row expression on a 1-row frame.
+    Headroom: the BIGINT budget above holds to ~sf0.2 with the shared
+    step-3 fold unit; raise it past that (documented in q97w).
+    """
+    tune_for_oracle(spark)
+    folded = _pca_top_component(spark, sf_dir)
+    vvc = folded.select(
+        "md",
+        "n",
+        "v",
+        F.expr(
+            "aggregate(transform(v, t -> t * t), CAST(0 AS BIGINT),"
+            " (a, b) -> a + b)"
+        ).alias("vv"),
+    )
+    f2 = vvc.select("md", "n", "v", F.expr(_PCA2_FOLD_EXPR))
+    eig2 = f2.select(
+        "n",
+        "v",
+        "w2",
+        F.expr(_PCA2_NUM_EXPR),
+        F.expr(_PCA2_DEN_EXPR),
+        F.expr(_PCA2_ORTHO_EXPR),
+    )
+    out = eig2.select(
+        "n",
+        "num2",
+        "den2",
+        "dot12",
+        F.posexplode("w2").alias("dim0", "loading2_micro"),
+    )
+    return out.select(
+        F.col("dim0").cast("long").alias("dim"),
+        "loading2_micro",
+        F.round(F.col("num2") / F.col("den2"), 6).alias("lambda2_md"),
+        F.expr(
+            "CASE WHEN dot12 >= 0 THEN dot12 div 1000000"
+            " ELSE -((-dot12) div 1000000) END"
+        ).cast("long").alias("ortho_residual"),
+        F.col("n").alias("n_vectors"),
+    ).orderBy("dim")
+
+
+def _ivf_quality_oracle() -> str:
+    """DuckDB mirror of the q97z cluster-quality pipeline: re-trains the
+    IVF quantizer with the SAME recursive k-means CTE as
+    _ann_ivf_oracle (sample/init/Lloyd/tie rules verbatim — see that
+    docstring for the bit-identity argument), then computes nearest /
+    second-nearest distances per vector and folds silhouette and
+    Davies-Bouldin terms through MICRO-UNIT integers so every
+    fact-scale SUM crosses engines exactly."""
+    dim = llmops.ANN_DIM
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (a, b) -> a + b)"
+    )
+    return f"""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    samp AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {llmops.IVF_TRAIN_SAMPLE}),
+    init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+             FROM samp ORDER BY vec_id LIMIT {llmops.IVF_CENTROIDS}),
+    km(iter, cid, c) AS (
+      SELECT 0, cid, c FROM init
+      UNION ALL
+      SELECT iter + 1, cid, list(val ORDER BY dim) FROM (
+        SELECT k.iter, k.cid, d.dim,
+               COALESCE(AVG(CASE WHEN pr.rk = 1 THEN pr.v[d.dim] END),
+                        any_value(k.c[d.dim])) AS val
+        FROM km k
+        JOIN (
+          SELECT p.vec_id, p.v, k2.cid, k2.iter,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY {d2.format(d=dim, a="p.v", b="k2.c")} ASC,
+                            k2.cid ASC) AS rk
+          FROM samp p CROSS JOIN km k2
+        ) pr ON pr.cid = k.cid AND pr.iter = k.iter
+        CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS dim) d
+        WHERE k.iter < {llmops.IVF_ITERS}
+        GROUP BY k.iter, k.cid, d.dim
+      ) GROUP BY iter, cid
+    ),
+    model AS (SELECT cid, c FROM km WHERE iter = {llmops.IVF_ITERS}),
+    assigned AS (
+      SELECT e.vec_id, m.cid,
+             {d2.format(d=dim, a="e.v", b="m.c")} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {d2.format(d=dim, a="e.v", b="m.c")} ASC,
+                        m.cid ASC) AS rk
+      FROM emb e CROSS JOIN model m
+    ),
+    ab AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rk = 1 THEN cid END) AS cell,
+             MAX(CASE WHEN rk = 1 THEN d2 END) AS d2a,
+             MAX(CASE WHEN rk = 2 THEN d2 END) AS d2b
+      FROM assigned WHERE rk <= 2 GROUP BY vec_id
+    ),
+    pt AS (
+      SELECT cell,
+             CAST(floor(sqrt(d2a) * 1000000 + 0.5) AS BIGINT) AS a_micro,
+             CAST(floor((1 - sqrt(d2a) / sqrt(d2b)) * 1000000 + 0.5)
+                  AS BIGINT) AS s_micro
+      FROM ab
+    ),
+    cl AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(a_micro) AS BIGINT) AS disp_sum_micro,
+             CAST(SUM(s_micro) AS BIGINT) AS sil_sum_micro
+      FROM pt GROUP BY cell
+    ),
+    cd AS (
+      SELECT a.cid AS k, b.cid AS j,
+             sqrt({d2.format(d=dim, a="a.c", b="b.c")}) AS d
+      FROM model a JOIN model b ON a.cid <> b.cid
+    ),
+    rk2 AS (
+      SELECT cd.k AS cell,
+             CAST(floor(MAX(
+               (CAST(ca.disp_sum_micro AS DOUBLE) / ca.n_members
+                + CAST(cb.disp_sum_micro AS DOUBLE) / cb.n_members)
+               / 1000000.0 / cd.d) * 1000000 + 0.5) AS BIGINT) AS r_micro
+      FROM cd
+      JOIN cl ca ON ca.cell = cd.k
+      JOIN cl cb ON cb.cell = cd.j
+      GROUP BY cd.k
+    )
+    SELECT CAST(cl.cell AS BIGINT) AS cell, cl.n_members,
+           cl.disp_sum_micro, cl.sil_sum_micro,
+           round(CAST(cl.sil_sum_micro AS DOUBLE) / cl.n_members
+                 / 1000000.0, 6) AS sil_mean,
+           rk2.r_micro
+    FROM cl JOIN rk2 USING (cell)
+    ORDER BY cell
+    """
+
+
+@query(
+    "q97z_cluster_quality",
+    oracle=_ivf_quality_oracle(),
+    tags=("similarity", "clustering", "evaluation"),
+    # same pin as q97_ann_ivf: the SQL-retrained quantizer was probed
+    # bit-equal to the numpy one at exactly these scales
+    oracle_scales=("0.001", "0.01", "0.1"),
+)
+def q97z_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-QUALITY AUDIT of the IVF quantizer: per-cell simplified
+    silhouette and Davies-Bouldin terms — the readout that says whether
+    q97_ann_ivf's 16 cells (and by extension q96d's SemDeDup clusters)
+    actually separate the corpus or just slice it arbitrarily, BEFORE
+    anyone trusts cell-pruned recall numbers.
+
+    Simplified silhouette (centroid form — the O(N*k) variant that
+    scales where the O(N^2) pairwise silhouette cannot): per vector,
+    a = distance to own centroid, b = distance to SECOND-nearest
+    (rk=2 of the same (d2, cid) ranking the assigner uses), s = 1-a/b.
+    Davies-Bouldin: r_k = max_j (S_k+S_j)/d(c_k,c_j) on the 16x16
+    centroid frame, S_k = mean member-to-centroid distance.
+
+    Cross-engine exactness: distances fold SEQUENTIALLY over the 64
+    dims on both engines (the _ann_ivf_oracle bit-identity argument —
+    no numpy pairwise sums touch a hashed value); every fact-scale
+    aggregate crosses engines as MICRO-UNIT integers (floor(x*1e6+.5)
+    per row, then exact BIGINT sums — the q95w convention); the only
+    doubles are per-row (identical inputs, identical op order) or
+    display columns. Oracle re-trains k-means in the recursive CTE;
+    pinned at the probed-bit-equal scales like q97_ann_ivf.
+
+    Scale: one broadcast join of the KB-sized centroid frame against
+    the corpus (O(N*k) distance rows, map-side aggregated per cell);
+    the DB matrix is k^2 = 256 rows. No collect beyond the sanctioned
+    bounded training sample.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    C = llmops.train_ivf_centroids(emb)
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])],
+        "cid int, c array<double>",
+    )
+    d2_fold = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dist = emb.join(F.broadcast(cent)).select(
+        "vec_id", "cid", d2_fold.alias("d2")
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    ab = (
+        dist.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cid"))).alias("cell"),
+            F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d2a"),
+            F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2b"),
+        )
+    )
+    pt = ab.select(
+        "cell",
+        F.floor(F.sqrt("d2a") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("a_micro"),
+        F.floor(
+            (1 - F.sqrt("d2a") / F.sqrt("d2b")) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    cl = pt.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("a_micro").cast("long").alias("disp_sum_micro"),
+        F.sum("s_micro").cast("long").alias("sil_sum_micro"),
+    )
+    ca = cent.select(F.col("cid").alias("k"), F.col("c").alias("ck"))
+    cb = cent.select(F.col("cid").alias("j"), F.col("c").alias("cj"))
+    cd = ca.join(cb, F.col("k") != F.col("j")).select(
+        "k",
+        "j",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("ck", "cj", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ).alias("d"),
+    )
+    cla = cl.select(
+        F.col("cell").alias("k"),
+        F.col("n_members").alias("na"),
+        F.col("disp_sum_micro").alias("sa"),
+    )
+    clb = cl.select(
+        F.col("cell").alias("j"),
+        F.col("n_members").alias("nb"),
+        F.col("disp_sum_micro").alias("sb"),
+    )
+    rk2 = (
+        cd.join(F.broadcast(cla), "k")
+        .join(F.broadcast(clb), "j")
+        .groupBy("k")
+        .agg(
+            F.floor(
+                F.max(
+                    (
+                        F.col("sa").cast("double") / F.col("na")
+                        + F.col("sb").cast("double") / F.col("nb")
+                    )
+                    / 1000000.0
+                    / F.col("d")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("r_micro")
+        )
+        .select(F.col("k").alias("cell"), "r_micro")
+    )
+    return (
+        cl.join(rk2, "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_members",
+            "disp_sum_micro",
+            "sil_sum_micro",
+            F.round(
+                F.col("sil_sum_micro").cast("double")
+                / F.col("n_members")
+                / 1000000.0,
+                6,
+            ).alias("sil_mean"),
+            "r_micro",
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "q95at_rho_filter",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    fg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cg FROM words GROUP BY w),
+    fi AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ci FROM words
+           WHERE source IN ('src0', 'src1') GROUP BY w),
+    tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS tg,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM fg),
+    ti AS (SELECT CAST(COALESCE(SUM(ci), 0) AS BIGINT) AS tin FROM fi),
+    lp AS (
+      SELECT words.doc_id,
+             CAST(log10(CAST(COALESCE(fi.ci, 0) + 1 AS DOUBLE)
+                        / (ti.tin + tot.v))
+                  - log10(CAST(fg.cg + 1 AS DOUBLE) / (tot.tg + tot.v))
+               AS DECIMAL(18,12)) AS lp
+      FROM words JOIN fg USING (w) LEFT JOIN fi USING (w)
+      CROSS JOIN tot CROSS JOIN ti
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, SUM(lp) AS s
+      FROM lp GROUP BY doc_id
+    )
+    SELECT agg.doc_id, d.source, agg.n_words,
+           round(CAST(agg.s AS DOUBLE) / agg.n_words, 6) AS rho
+    FROM agg JOIN documents d USING (doc_id)
+    WHERE agg.s > 0
+    """,
+    tags=("llm", "quality", "mixing"),
+)
+def q95at_rho_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-FILTER domain selection: keep documents whose add-one-
+    smoothed unigram logprob under an IN-DOMAIN LM (sources src0/src1
+    as the seed domain) exceeds their logprob under the GENERAL corpus
+    LM — the Moore-Lewis cross-entropy-difference selection that sits
+    between q98b's absolute LM score (one model, no contrast) and
+    q95o's DSIR (hashed features, importance WEIGHTS): rho gives a
+    contrastive hard KEEP/DROP per document.
+
+    Both LMs share symmetric add-one smoothing over the GLOBAL vocab V
+    (p = (c+1)/(t+V)), so out-of-domain words contribute a well-defined
+    penalty instead of -inf. Per-word score log10(p_in) - log10(p_gen)
+    casts to DECIMAL(18,12) BEFORE the per-doc sum (the q98b
+    convention — double summation would be partial-aggregation-order
+    dependent), and the keep decision tests the EXACT decimal sum
+    against zero, so the selected set can never flake on accumulation
+    order. The displayed rho is the one double division.
+
+    Scale: one word-key shuffle builds both frequency tables (the
+    in-domain one is a filtered aggregate of the same pass); scoring
+    re-joins occurrences to frequencies (broadcast while the vocab
+    fits, shuffle otherwise — Catalyst's call); totals are 1-row
+    broadcast scalars. Identical shape to the CCNet-filter family.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    fg = words.groupBy("w").agg(F.count("*").cast("long").alias("cg"))
+    fi = (
+        words.filter(F.col("source").isin("src0", "src1"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("ci"))
+    )
+    tot = fg.agg(
+        F.sum("cg").cast("long").alias("tg"),
+        F.count("*").cast("long").alias("v"),
+    )
+    ti = fi.agg(F.coalesce(F.sum("ci"), F.lit(0)).cast("long").alias("tin"))
+    lp = (
+        words.join(fg, "w")
+        .join(fi, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ti))
+        .select(
+            "doc_id",
+            (
+                F.log10(
+                    (F.coalesce(F.col("ci"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tin") + F.col("v"))
+                )
+                - F.log10(
+                    (F.col("cg") + 1).cast("double")
+                    / (F.col("tg") + F.col("v"))
+                )
+            )
+            .cast("decimal(18,12)")
+            .alias("lp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("lp").alias("s"),
+    )
+    return (
+        agg.filter(F.col("s") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            F.round(
+                F.col("s").cast("double") / F.col("n_words"), 6
+            ).alias("rho"),
+        )
+    )
+
+
+@query(
+    "q97aa_hard_negative_mining",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel
+          FROM emb WHERE vec_id < {TOPK_QUERIES}),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label,
+             CAST(floor(ROUND(list_cosine_similarity(e.v, q.qv), 6)
+                        * 1000000 + 0.5) AS BIGINT) AS c_micro
+      FROM emb e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    pos AS (
+      SELECT qid, CAST(MAX(c_micro) AS BIGINT) AS p_micro
+      FROM scored WHERE label = qlabel GROUP BY qid
+    ),
+    negs AS (
+      SELECT s.qid, s.nid, s.label, s.c_micro, pos.p_micro,
+             ROW_NUMBER() OVER (PARTITION BY s.qid
+               ORDER BY s.c_micro DESC, s.nid ASC) AS rnk
+      FROM scored s JOIN pos USING (qid)
+      WHERE s.label <> s.qlabel AND s.c_micro >= pos.p_micro - 50000
+    )
+    SELECT qid, rnk, nid, CAST(label AS BIGINT) AS neg_label,
+           round(CAST(c_micro AS DOUBLE) / 1000000, 6) AS neg_cos,
+           p_micro - c_micro AS gap_micro
+    FROM negs WHERE rnk <= 5
+    """,
+    tags=("llm", "ann", "training"),
+)
+def q97aa_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: per probe, the
+    top different-label vectors scoring within a 0.05-cosine margin of
+    the best same-label positive — the batch that makes a retrieval /
+    embedding fine-tune actually learn (random negatives are too easy;
+    these are the confusable ones), and the operator that turns the
+    q97 ANN shelf from search infrastructure into a TRAINING-DATA
+    pipeline stage.
+
+    Decision arithmetic is INTEGER end to end: cosines round to 6dp
+    (the family's cross-engine rank convention) then become micro-unit
+    BIGINTs (floor(c*1e6+0.5) recovers the rounded value exactly); the
+    positive bar is an order-free integer MAX; the margin test
+    c >= p - 50000 and the (c_micro DESC, nid) ranking are pure
+    integer comparisons — no double ever decides membership or order.
+    gap_micro reports HOW hard each negative is (negative gap = ranks
+    above the true positive, the label-noise smell a curation pass
+    flags).
+
+    Scale: the probe side is tiny and broadcast; the corpus scans once
+    with an in-codegen sequential-fold cosine (q97_cosine_topk
+    discipline) and only margin-survivors reach the per-probe top-k
+    window. The exact-scan shape is the recall baseline; swapping the
+    scan for q97_ann_ivf's cell-pruned candidates is the documented
+    100 TB path.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v"), "label"
+    )
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cos = llmops.dot(F.col("v"), F.col("qv")) / (
+        llmops.l2_norm(F.col("v")) * llmops.l2_norm(F.col("qv"))
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            "label",
+            F.floor(F.round(cos, 6) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.max("c_micro").cast("long").alias("p_micro"))
+    )
+    negs = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .join(F.broadcast(pos), "qid")
+        .filter(F.col("c_micro") >= F.col("p_micro") - 50000)
+    )
+    w = W.partitionBy("qid").orderBy(F.col("c_micro").desc(), F.col("nid").asc())
+    return (
+        negs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            "rnk",
+            "nid",
+            F.col("label").cast("long").alias("neg_label"),
+            F.round(F.col("c_micro").cast("double") / 1000000, 6).alias(
+                "neg_cos"
+            ),
+            (F.col("p_micro") - F.col("c_micro")).cast("long").alias(
+                "gap_micro"
+            ),
+        )
+    )

@@ -3284,3 +3284,162 @@ def qm22_streaming_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("st", 1) + F.element_at("st", 2), 6
         ).alias("forecast_next"),
     )
+
+
+@query(
+    "qm23_streaming_page_hinkley",
+    # the BATCH fold (q42o's full-series Page-Hinkley) IS the oracle:
+    # epoch folds continue from the persisted 5-double state with the
+    # shared operators.page_hinkley_step, so the final state —
+    # including the running mean and the first-alarm position — is
+    # bit-identical to the batch result
+    oracle=relational.PAGE_HINKLEY_ORACLE,
+    tags=("streaming", "timeseries", "changepoint", "fold"),
+)
+def qm23_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PAGE-HINKLEY — q42o's drift detector maintained
+    incrementally: the fifth member of the RECURRENCE-state streaming
+    class (qm19 Holt, qm21 Holt-Winters, qm22 Kalman, THIS), and the
+    first whose state carries a DECISION (first_alarm_t): replay
+    corruption would not just perturb an estimate, it would re-fire or
+    suppress the alarm a monitor pages on, so exactly-once matters in
+    kind, not just degree:
+
+    1. Per-epoch state rows commit under (app_id, txn_version=epoch);
+       the verbatim epoch-0 re-delivery below no-ops on the token.
+    2. The in-order admission guard rejects batches that do not follow
+       the stored last month — a running-mean recurrence cannot absorb
+       late data.
+
+    Every epoch folds its month-sorted batch FROM the prior 5-double
+    state [t, sum, m, m_min, first_alarm_t] with the SAME
+    operators.page_hinkley_step as the batch query (no seeding special
+    case — the all-zero init is the true recurrence start), so q42o's
+    DuckDB oracle hash-checks this streaming result bit-for-bit.
+
+    Scale: per epoch one map-side month aggregate, one 5-double fold,
+    one O(1) txlog append; no raw history retained.
+    """
+    from better_cdc_spark.operators import page_hinkley_step
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg((F.sum("cents").cast("double") / 100000000.0).alias("y"))
+    )
+    epoch_of = (F.dense_rank().over(W.orderBy("t")) - 1)
+    staged = m.withColumn("arrival", (epoch_of / 27).cast("int"))
+    arrivals = scratch_dir("qm23_arrivals")
+    n_epochs = staged.agg(F.max("arrival")).collect()[0][0] + 1  # bounded scalar
+    for e in range(n_epochs):
+        staged.filter(F.col("arrival") == e).drop("arrival").coalesce(
+            1
+        ).write.mode("append").parquet(arrivals)
+
+    t = TxLogTable(spark, scratch_dir("qm23_txlog"))
+    epoch_files: dict[int, list[str]] = {}
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        epoch_files[e] = [
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        agg = batch_df.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "y"))),
+                lambda s: s["y"],
+            ).alias("ys"),
+            F.count("*").cast("long").alias("bn"),
+            F.min("t").cast("long").alias("min_t"),
+            F.max("t").cast("long").alias("max_t"),
+        )
+        if e > 0:
+            prior = (
+                t.read()
+                .filter(F.col("epoch") == e - 1)
+                .select(
+                    F.col("st").alias("p_st"),
+                    F.col("n_months").alias("p_n"),
+                    F.col("last_t").alias("p_last"),
+                )
+            )
+            joined = agg.crossJoin(F.broadcast(prior))
+            bad = joined.filter(F.col("min_t") <= F.col("p_last")).count()
+            if bad:
+                raise ValueError(
+                    f"qm23 epoch {e}: batch arrived out of order — "
+                    "a running-mean recurrence cannot absorb late months"
+                )
+            acc0 = F.col("p_st")
+            n_new = F.col("p_n") + F.col("bn")
+            base = joined
+        else:
+            acc0 = F.array(
+                F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(-1.0)
+            )
+            n_new = F.col("bn")
+            base = agg
+        st = F.aggregate(F.col("ys"), acc0, page_hinkley_step)
+        state = base.select(
+            st.alias("st"),
+            n_new.cast("long").alias("n_months"),
+            F.col("max_t").alias("last_t"),
+            F.lit(e).cast("long").alias("epoch"),
+        )
+        t.append(state, app_id="qm23", txn_version=e)
+
+    q = (
+        spark.readStream.schema(staged.drop("arrival").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm23_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # checkpoint-recovery replay: epoch 0 verbatim; the token no-ops —
+    # without it the alarm decision itself would rewind.
+    replayed = spark.read.schema(staged.drop("arrival").schema).parquet(
+        *epoch_files[0]
+    )
+    step(replayed, 0)
+
+    final = (
+        t.read()
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("epoch").desc()))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return final.select(
+        F.col("n_months").alias("n_months"),
+        F.round(
+            F.element_at("st", 3) - F.element_at("st", 4), 6
+        ).alias("ph_stat"),
+        F.round(F.element_at("st", 3), 6).alias("m_stat"),
+        F.round(
+            F.element_at("st", 2) / F.element_at("st", 1), 6
+        ).alias("mean_level"),
+        F.element_at("st", 5).cast("long").alias("first_alarm_t"),
+    )
