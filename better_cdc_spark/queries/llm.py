@@ -15136,7 +15136,7 @@ def q97z_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = cent.select(F.col("cid").alias("k"), F.col("c").alias("ck"))
     cb = cent.select(F.col("cid").alias("j"), F.col("c").alias("cj"))
-    cd = ca.join(cb, F.col("k") != F.col("j")).select(
+    cd = ca.join(F.broadcast(cb), F.col("k") != F.col("j")).select(
         "k",
         "j",
         F.sqrt(
@@ -15180,7 +15180,7 @@ def q97z_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("cell"), "r_micro")
     )
     return (
-        cl.join(rk2, "cell")
+        cl.join(F.broadcast(rk2), "cell")
         .select(
             F.col("cell").cast("long").alias("cell"),
             "n_members",

@@ -1088,3 +1088,64 @@ def test_q42l_and_qm21_share_fold_no_fact_window(spark):
     plan = plan_of(spark, "q42l_holt_winters")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_q94z_candidates_only_through_shared_successor(spark):
+    """Link-prediction pairs must materialize ONLY via the dst-keyed
+    edge self-join (the LSH-band shape) and the top-20 must be a
+    distributed TakeOrderedAndProject — no global rank window over the
+    fact-scale candidate frame, no product anywhere."""
+    plan = plan_of(spark, "q94z_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the only window ranks the bounded 20-row post-limit frame
+    assert plan.count("Window") <= 1
+
+
+def test_q94y_hits_rounds_are_keyed_joins(spark):
+    """Each HITS half-round is one node-keyed contributions join —
+    never a product; the two 1-row max frames are the only allowed
+    unkeyed broadcasts."""
+    plan = plan_of(spark, "q94y_hits")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # ma / mb scalars
+
+
+def test_q97z_centroid_side_is_broadcast(spark):
+    """Cluster-quality distances come from the KB-sized centroid frame
+    broadcast against the corpus (k=16 rows) plus 1-row/bounded scalar
+    attaches — the corpus itself must never be on the build side and
+    never in a product."""
+    plan = plan_of(spark, "q97z_cluster_quality")
+    assert "CartesianProduct" not in plan
+    # unkeyed joins: corpus x 16-centroid frame, the 16x16 centroid
+    # pair frame, and bounded cl attaches — all broadcast, all bounded
+    assert "SortMergeJoin" not in plan
+
+
+def test_q97aa_probe_side_is_broadcast(spark):
+    """Hard-negative mining scans the corpus once against the
+    broadcast 8-probe side (q97_cosine_topk discipline); the margin
+    filter and per-probe top-k are the only post-scan ops."""
+    plan = plan_of(spark, "q97aa_hard_negative_mining")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan  # per-qid top-k only
+
+
+def test_q95at_scoring_joins_are_word_keyed(spark):
+    """Rho-filter scoring re-joins occurrences to the two frequency
+    tables on the word key; the two 1-row totals are the only unkeyed
+    broadcasts."""
+    plan = plan_of(spark, "q95at_rho_filter")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # tot / ti scalars
+
+
+def test_q36al_dominance_join_is_bounded_broadcast(spark):
+    """Cliff's delta joins the two value-grid HISTOGRAMS (bounded by
+    the value domain, never fact-sized); the grid cross is broadcast
+    and the fact is only ever aggregated map-side."""
+    plan = plan_of(spark, "q36al_cliffs_delta")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
