@@ -117,6 +117,10 @@ SHOWCASE_ORDER = (
     "q97z_cluster_quality",
     "q95at_rho_filter",
     "q97aa_hard_negative_mining",
+    "q36ao_friedman_test",
+    "q53j_theil_index",
+    "q98ag_lexical_diversity",
+    "q42p_croston",
     # changed since last driver-green row (rotation.py source-hash
     # detector): r11 window migrations + promoted oracles
     "q97_ann_pq",
@@ -127,12 +131,7 @@ SHOWCASE_ORDER = (
     "q53d_gini_coefficient",
     "qc20_incremental_snapshot",
     "q95d_sequence_packing",
-    "q95o_dsir_resample",
     "q97j_mmr_rerank",
-    # pads: oldest driver rows first
-    "q28_interval_join",
-    "q31_distinct_agg",
-    "q32_approx_count_distinct",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -11755,3 +11755,427 @@ def q42o_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_level"),
         F.element_at(st, 5).cast("long").alias("first_alarm_t"),
     )
+
+
+@query(
+    "q36ao_friedman_test",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(dayofmonth(ts) AS BIGINT) AS d
+                  FROM events),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    cells AS (
+      SELECT g.d, g.t,
+             CAST(COALESCE(SUM(CAST(floor(e.value) AS BIGINT)), 0)
+                  AS BIGINT) AS s
+      FROM (SELECT d, t FROM days CROSS JOIN types) g
+      LEFT JOIN events e
+        ON CAST(dayofmonth(e.ts) AS BIGINT) = g.d AND e.event_type = g.t
+      GROUP BY g.d, g.t
+    ),
+    r2 AS (
+      SELECT a.d, a.t,
+             CAST(2 * SUM(CASE WHEN b.s < a.s THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN b.t <> a.t AND b.s = a.s
+                             THEN 1 ELSE 0 END) + 2 AS BIGINT) AS r2
+      FROM cells a JOIN cells b ON b.d = a.d
+      GROUP BY a.d, a.t, a.s
+    ),
+    rs AS (
+      SELECT t, CAST(SUM(r2) AS BIGINT) AS rt2 FROM r2 GROUP BY t
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(rt2 * rt2) AS BIGINT) AS sq
+      FROM rs
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days)
+    SELECT nb.n AS n_blocks, agg.k AS k_treatments,
+           (agg.k - 1) AS dof,
+           round(12.0 / (CAST(nb.n AS DOUBLE) * agg.k * (agg.k + 1))
+                 * (CAST(agg.sq AS DOUBLE) / 4.0)
+                 - 3.0 * nb.n * (agg.k + 1), 6) AS chi2
+    FROM agg, nb
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ao_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN TEST across event types blocked by day — the
+    repeated-measures rank test completing the k-group ladder: q36z
+    ANOVA assumes normal within-cell noise, q36aa Kruskal-Wallis
+    assumes independent groups; Friedman ranks WITHIN each day block,
+    so day-level shocks (weekend dips, deploy days) cancel instead of
+    inflating the error term.
+
+    Per-block tie-averaged DOUBLED ranks come from a day-keyed
+    self-join of the dense day x type cell frame (k^2 = 25 rows per
+    block — bounded): r2 = 2*#less + #eq_others + 2, an exact BIGINT
+    (the q36t doubled-rank convention), so each treatment's rank sum
+    and its square stay exact integers; chi2 = 12/(nk(k+1)) * (sum
+    R2^2)/4 - 3n(k+1) touches doubles once. The day x type grid is
+    DENSIFIED (cross join of two bounded distinct frames, zero-fill)
+    so a type missing on a day ranks last rather than vanishing.
+
+    Scale: one map-side-combinable fact pass to the ~150-cell frame;
+    ranking and the fold run entirely on bounded grids.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.col("event_type").alias("t"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    days = ev.select("d").distinct()
+    types = ev.select("t").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    raw = ev.groupBy("d", "t").agg(F.sum("x").cast("long").alias("sr"))
+    cells = (
+        grid.join(raw, ["d", "t"], "left")
+        .select("d", "t", F.coalesce("sr", F.lit(0)).cast("long").alias("s"))
+    )
+    b = cells.select(
+        F.col("d").alias("db"), F.col("t").alias("tb"), F.col("s").alias("sb")
+    )
+    r2 = (
+        cells.join(F.broadcast(b), F.col("db") == F.col("d"))
+        .groupBy("d", "t", "s")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("sb") < F.col("s"), 1).otherwise(0))
+                + F.sum(
+                    F.when(
+                        (F.col("tb") != F.col("t")) & (F.col("sb") == F.col("s")),
+                        1,
+                    ).otherwise(0)
+                )
+                + 2
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    rs = r2.groupBy("t").agg(F.sum("r2").cast("long").alias("rt2"))
+    agg = rs.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("rt2") * F.col("rt2")).cast("long").alias("sq"),
+    )
+    nb = days.agg(F.count("*").cast("long").alias("n"))
+    chi2 = 12.0 / (
+        F.col("n").cast("double") * F.col("k") * (F.col("k") + 1)
+    ) * (F.col("sq").cast("double") / 4.0) - 3.0 * F.col("n") * (
+        F.col("k") + 1
+    )
+    return agg.join(F.broadcast(nb)).select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+@query(
+    "q53j_theil_index",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS t
+      FROM cust
+    ),
+    terms AS (
+      SELECT CAST(floor(CAST(cents AS DOUBLE) * tot.n / tot.t
+                        * ln(CAST(cents AS DOUBLE) * tot.n / tot.t)
+                        * 1000000000 + 0.5) AS BIGINT) AS t_nano,
+             CAST(floor(ln(CAST(cents AS DOUBLE) * tot.n / tot.t)
+                        * 1000000000 + 0.5) AS BIGINT) AS l_nano
+      FROM cust, tot
+    ),
+    s AS (
+      SELECT CAST(SUM(t_nano) AS BIGINT) AS ts_nano,
+             CAST(SUM(l_nano) AS BIGINT) AS ls_nano
+      FROM terms
+    )
+    SELECT tot.n AS n_customers,
+           round(CAST(s.ts_nano AS DOUBLE) / tot.n / 1000000000.0, 6)
+             AS theil_t,
+           round(-CAST(s.ls_nano AS DOUBLE) / tot.n / 1000000000.0, 6)
+             AS mld,
+           round(1.0 - exp(CAST(s.ls_nano AS DOUBLE) / tot.n
+                           / 1000000000.0), 6) AS atkinson_1
+    FROM s, tot
+    """,
+    tags=("agg", "statistics", "inequality"),
+)
+def q53j_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T, MEAN LOG DEVIATION (Theil L) and ATKINSON(eps=1) over
+    per-customer revenue — the DECOMPOSABLE inequality indices
+    completing the concentration shelf (q53d Gini ranks, q53f Lorenz
+    plots, q53i HHI squares shares; Theil is the one that splits
+    exactly into within-group + between-group terms, which is why
+    mixing audits prefer it).
+
+    Per-customer ratio q = cents*n/T is a double built from three
+    exact BIGINTs (identical value both engines); q*ln(q) and ln(q)
+    truncate to NANO-unit integers per row (floor(x*1e9+0.5) — the
+    q95w summation convention), so the fact-scale sums are exact
+    BIGINT and accumulation order cannot flake the hash. Theil T =
+    sum(q ln q)/n, MLD = -sum(ln q)/n, Atkinson = 1 - exp(-MLD) —
+    three pinned display assemblies (ln/exp follow the q98b precedent:
+    same-libm, applied to bit-identical arguments).
+
+    Scale: one map-side-combinable customer fold, one nano-unit term
+    map, one 1-row combine. Headroom: t_nano <= ~5e10 per row, sums
+    <= 1e16 at sf10.
+    """
+    tune_for_oracle(spark)
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    q = F.col("cents").cast("double") * F.col("n") / F.col("t")
+    terms = cust.crossJoin(F.broadcast(tot)).select(
+        F.floor(q * F.log(q) * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("t_nano"),
+        F.floor(F.log(q) * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("l_nano"),
+    )
+    s = terms.agg(
+        F.sum("t_nano").cast("long").alias("ts_nano"),
+        F.sum("l_nano").cast("long").alias("ls_nano"),
+    )
+    return s.join(F.broadcast(tot)).select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            F.col("ts_nano").cast("double") / F.col("n") / 1000000000.0, 6
+        ).alias("theil_t"),
+        F.round(
+            -F.col("ls_nano").cast("double") / F.col("n") / 1000000000.0, 6
+        ).alias("mld"),
+        F.round(
+            1.0
+            - F.exp(
+                F.col("ls_nano").cast("double") / F.col("n") / 1000000000.0
+            ),
+            6,
+        ).alias("atkinson_1"),
+    )
+
+
+@query(
+    "q98ag_lexical_diversity",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY doc_id, w
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types, n_hapax,
+           CAST(1000000 * n_types // n_tokens AS BIGINT) AS ttr_micro,
+           CAST(1000000 * n_hapax // n_types AS BIGINT) AS hapax_micro,
+           round(CAST(n_types AS DOUBLE)
+                 / sqrt(CAST(n_tokens AS DOUBLE)), 6) AS guiraud
+    FROM per_doc
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q98ag_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY per document: type-token ratio, hapax-
+    legomenon share, and Guiraud's R — the vocabulary-richness gates
+    that catch what q98c's repetition detector and q98z's token
+    entropy each miss (a doc can have low bigram repetition yet a
+    tiny cycling vocabulary; TTR sees it immediately; hapax share
+    separates genuinely rich text from keyword-stuffed noise where
+    every word appears once).
+
+    TTR and hapax share are MICRO-UNIT integer divisions (1e6*a div b
+    — deterministic floor both engines); Guiraud's types/sqrt(tokens)
+    is the one display double (IEEE sqrt correctly rounded, round-6
+    safe). Counts are exact from a two-level (doc, word) -> doc
+    aggregation.
+
+    Scale: the token explode is the scan cost; both aggregations are
+    map-side combinable and key on doc_id (the second collapses the
+    first's frame). No join at all.
+    """
+    tune_for_oracle(spark)
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("CAST(1000000 * n_types div n_tokens AS BIGINT)").alias(
+            "ttr_micro"
+        ),
+        F.expr("CAST(1000000 * n_hapax div n_types AS BIGINT)").alias(
+            "hapax_micro"
+        ),
+        F.round(
+            F.col("n_types").cast("double")
+            / F.sqrt(F.col("n_tokens").cast("double")),
+            6,
+        ).alias("guiraud"),
+    )
+
+
+@query(
+    "q42p_croston",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(dayofmonth(ts) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS z
+      FROM events GROUP BY 1
+    ),
+    series AS (
+      SELECT array_agg(CAST(z AS DOUBLE) ORDER BY d) AS zs,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      FROM days
+    ),
+    folded AS (
+      SELECT n, nd, list_reduce(
+        list_concat([[0.0, 0.0, 1.0, 0.0]],
+                    list_transform(zs, z -> [z])),
+        (acc, x) -> CASE
+          WHEN x[1] = 0
+            THEN [acc[1], acc[2], acc[3] + 1, acc[4]]
+          WHEN acc[4] = 0
+            THEN [x[1], acc[3], 1.0, 1.0]
+          ELSE [acc[1] / 2 + x[1] / 2, acc[2] / 2 + acc[3] / 2, 1.0, 1.0]
+        END) AS st
+      FROM series
+    )
+    SELECT n AS n_days, nd AS n_demand_days,
+           round(st[1], 6) AS z_level,
+           round(st[2], 6) AS q_interval,
+           round(CASE WHEN st[2] = 0 THEN 0.0 ELSE st[1] / st[2] END, 6)
+             AS croston_forecast
+    FROM folded
+    """,
+    tags=("timeseries", "smoothing", "fold"),
+)
+def q42p_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for INTERMITTENT demand — the smoother the
+    rest of the q42 shelf cannot replace: on a series that is mostly
+    zeros (daily count of value>500 events), plain exponential
+    smoothing decays toward zero between demands and spikes on each
+    arrival; Croston smooths the nonzero demand SIZE and the
+    inter-demand INTERVAL separately (alpha=1/2 dyadic for both) and
+    forecasts their ratio.
+
+    The recurrence is ONE in-row fold over the day-calendar series
+    with a 4-double state [z_level, q_interval, periods_since, init]:
+    zero days only bump the interval counter; the first demand seeds
+    (z, psi); later demands fold both halves and reset the counter —
+    every branch is dyadic arithmetic on exact-integer-born doubles,
+    executed in one pinned op sequence per engine (the q42j/q42l fold
+    discipline; no division until the display forecast).
+
+    Scale: one map-side day fold over the fact; state is 4 doubles
+    regardless of history. A streaming twin would be the qm19/qm23
+    recurrence class (per-epoch txlog state, in-order admission).
+    """
+    tune_for_oracle(spark)
+    days = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.dayofmonth("ts").cast("long").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("value") > 500, 1).otherwise(0))
+            .cast("long")
+            .alias("z")
+        )
+    )
+    series = days.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("d", F.col("z").cast("double").alias("zd"))
+                )
+            ),
+            lambda s: s["zd"],
+        ).alias("zs"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("z") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nd"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                x == 0,
+                F.array(
+                    F.element_at(acc, 1),
+                    F.element_at(acc, 2),
+                    F.element_at(acc, 3) + 1,
+                    F.element_at(acc, 4),
+                ),
+            )
+            .when(
+                F.element_at(acc, 4) == 0,
+                F.array(
+                    x, F.element_at(acc, 3), F.lit(1.0), F.lit(1.0)
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.element_at(acc, 1) / 2 + x / 2,
+                    F.element_at(acc, 2) / 2 + F.element_at(acc, 3) / 2,
+                    F.lit(1.0),
+                    F.lit(1.0),
+                )
+            )
+        )
+
+    acc0 = F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0))
+    st = F.aggregate(F.col("zs"), acc0, step)
+    return series.select(
+        F.col("n").alias("n_days"),
+        F.col("nd").alias("n_demand_days"),
+        F.round(F.element_at(st, 1), 6).alias("z_level"),
+        F.round(F.element_at(st, 2), 6).alias("q_interval"),
+        F.round(
+            F.when(F.element_at(st, 2) == 0, F.lit(0.0)).otherwise(
+                F.element_at(st, 1) / F.element_at(st, 2)
+            ),
+            6,
+        ).alias("croston_forecast"),
+    )
