@@ -121,17 +121,18 @@ SHOWCASE_ORDER = (
     "q53j_theil_index",
     "q98ag_lexical_diversity",
     "q42p_croston",
+    "q36ap_grubbs_test",
+    "q47m_position_attribution",
+    "q94aa_kcore",
+    "q98ah_ngram_novelty",
     # changed since last driver-green row (rotation.py source-hash
-    # detector): r11 window migrations + promoted oracles
+    # detector): r11 window migrations + promoted oracles; the tail of
+    # this class (q53d, qc20, q95d, q95o, q97j) rolls to the r12 gate
     "q97_ann_pq",
     "q50_global_sort",
     "q29b_skew_advisor",
     "q53c_pareto_report",
     "q36q_ks_two_sample",
-    "q53d_gini_coefficient",
-    "qc20_incremental_snapshot",
-    "q95d_sequence_packing",
-    "q97j_mmr_rerank",
 )
 
 def load_all() -> dict[str, QuerySpec]:

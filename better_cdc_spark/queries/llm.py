@@ -15425,3 +15425,221 @@ def q97aa_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _kcore_oracle(k: int = 3, iters: int = 8) -> str:
+    """Unrolled k-core peel (the q94e unrolled-CTE idiom): a0 = all
+    nodes; a_{i+1} = nodes with >= k edges to a_i survivors on the
+    symmetrized self-loop-free q94x link graph."""
+    head = """
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+      WHERE t.k <= 1 + doc_id % 3
+    ),
+    und AS (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT u AS a, v AS b FROM und
+      UNION ALL
+      SELECT v AS a, u AS b FROM und
+    ),
+    a0 AS (SELECT doc_id AS node FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+    a{i + 1} AS (
+      SELECT p.node FROM a{i} p
+      JOIN adj ON adj.a = p.node
+      JOIN a{i} q ON q.node = adj.b
+      GROUP BY p.node HAVING COUNT(*) >= {k}
+    )""")
+    tail = f"""
+    SELECT p.node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM a{iters} p
+    JOIN adj ON adj.a = p.node
+    JOIN a{iters} q ON q.node = adj.b
+    GROUP BY p.node
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@query(
+    "q94aa_kcore",
+    oracle=_kcore_oracle(),
+    tags=("llm", "graph", "iterative"),
+)
+def q94aa_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-CORE DECOMPOSITION of the link graph (8 peel rounds) — the
+    structural-density filter completing the graph shelf: PageRank
+    (q94e) scores global importance, triangles (q94g) score local
+    closure; the k-core keeps the maximal subgraph where EVERY member
+    still has >= k surviving neighbors — the standard "dense
+    discussion kernel vs drive-by leaf pages" cut a crawl-curation
+    pass applies before link-based quality weighting.
+
+    Graph: the q94x variable-fan-out edges, SYMMETRIZED and self-loop-
+    free (k-core is an undirected notion; LEAST/GREATEST dedup kills
+    mirror duplicates). Peeling is exact integer degree counting —
+    each round one node-keyed join of the adjacency against the
+    survivor set, degrees >= 3 survive; 8 fixed rounds make the
+    result a pure deterministic function (convergence typically
+    arrives earlier; extra rounds are no-ops). Output: surviving
+    nodes with their final within-core degree — exact BIGINTs end to
+    end, nothing for accumulation order to flake.
+
+    Scale: per round one |E|-row equi-join keyed on node id + one
+    map-side-combinable degree count; lineage cut per round
+    (localCheckpoint — the q94e discipline). The classic distributed
+    peel; iterations are sequential by nature.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                        for k in (1, 2, 3)
+                    ]
+                ),
+                1,
+                (1 + F.col("doc_id") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=True)
+    alive = docs.select(F.col("doc_id").alias("node"))
+    for _ in range(8):
+        deg = (
+            alive.join(adj, alive.node == adj.a)
+            .join(
+                alive.select(F.col("node").alias("nb")),
+                F.col("b") == F.col("nb"),
+            )
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= 3)
+            .select("node")
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+    final = (
+        alive.join(adj, alive.node == adj.a)
+        .join(
+            alive.select(F.col("node").alias("nb")),
+            F.col("b") == F.col("nb"),
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+    return final.select(F.col("node").alias("doc_id"), "core_degree")
+
+
+@query(
+    "q98ah_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(text, '[^A-Za-z0-9_ ]',
+                                               '', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 7),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                        w[i+4], w[i+5], w[i+6], w[i+7])))
+               AS shingle
+      FROM toks WHERE len(w) >= 8
+    ),
+    freq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN freq.n_docs = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN freq USING (shingle)
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(1000000 * n_novel // n_shingles AS BIGINT) AS novelty_micro
+    FROM per_doc
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def q98ah_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-GRAM NOVELTY per document: the fraction of a doc's distinct
+    8-token shingles that appear in NO other document — the corpus-
+    level originality score dual to the dedup family (q95e chunk dedup
+    asks "is this span copied"; novelty asks "how much of this doc is
+    its own"), and the cheap proxy quality teams use to down-rank
+    template farms whose every page is 90% shared boilerplate.
+
+    Same tokenizer and shingle construction as q95b's decontamination
+    gate (punctuation-stripped, k=8, per-doc DISTINCT), so the two
+    gates are consistent by construction. A shingle's doc-frequency
+    comes from one shingle-key shuffle; novelty joins each doc-shingle
+    back to its frequency (the q98b frequency-join shape) and the
+    ratio is a MICRO-UNIT integer division — counts exact end to end.
+
+    Scale: the shingle explode is the scan cost; both aggregations are
+    map-side combinable; the frequency join keys on the shingle (the
+    LSH-band/content-bucket shuffle shape this module standardizes on).
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", llmops.PUNCT_RE, "")).alias("text"),
+    )
+    sh = (
+        docs.select("doc_id", llmops.tokens().alias("w"))
+        .select(
+            "doc_id",
+            F.explode(llmops.word_shingles("w", k=8)).alias("shingle"),
+        )
+        .distinct()
+    )
+    freq = sh.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("CAST(1000000 * n_novel div n_shingles AS BIGINT)").alias(
+            "novelty_micro"
+        ),
+    )

@@ -12179,3 +12179,191 @@ def q42p_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("croston_forecast"),
     )
+
+
+@query(
+    "q36ap_grubbs_test",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS t,
+             CAST(SUM(x * x) AS BIGINT) AS q,
+             CAST(MAX(x) AS BIGINT) AS mx,
+             CAST(MIN(x) AS BIGINT) AS mn
+      FROM v
+    ),
+    dev AS (
+      SELECT n, t, q, mx, mn,
+             greatest(abs(n * mx - t), abs(n * mn - t)) AS m
+      FROM mom
+    )
+    SELECT n, mx AS max_value, mn AS min_value,
+           CASE WHEN abs(n * mx - t) >= abs(n * mn - t)
+                THEN mx ELSE mn END AS suspect,
+           round(CAST(m AS DOUBLE) / n
+                 / sqrt((CAST(n AS DOUBLE) * q - CAST(t AS DOUBLE) * t)
+                        / (CAST(n AS DOUBLE) * (n - 1))), 6) AS g_stat
+    FROM dev
+    """,
+    tags=("agg", "statistics", "outliers"),
+)
+def q36ap_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS' maximum-studentized-deviation test on event values —
+    the parametric single-outlier screen beside q36l's MAD rule (MAD
+    flags a robust SET of outliers; Grubbs asks whether the single
+    most extreme point is too extreme for a normal sample, the
+    question a sensor-calibration audit asks).
+
+    The deviation |x - mean| maximizes at an ENDPOINT, so the max
+    studentized deviation needs only five exact BIGINT aggregates:
+    m = max(|n*max - T|, |n*min - T|) is the n-scaled deviation
+    (exact — no per-row double ever forms), and G = m/n / s with
+    s^2 = (nQ - T^2)/(n(n-1)) is ONE pinned double expression. The
+    suspect column reports WHICH endpoint, decided on the same exact
+    integers.
+
+    Scale: one map-side-combinable aggregate pass; a scalar frame
+    after. Headroom: n*Q ~ 3e15 at sf0.1 (the q36am budget).
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("x")
+    )
+    mom = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.max("x").cast("long").alias("mx"),
+        F.min("x").cast("long").alias("mn"),
+    )
+    dmax = F.abs(F.col("n") * F.col("mx") - F.col("t"))
+    dmin = F.abs(F.col("n") * F.col("mn") - F.col("t"))
+    m = F.greatest(dmax, dmin)
+    s = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("q")
+            - F.col("t").cast("double") * F.col("t")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return mom.select(
+        "n",
+        F.col("mx").alias("max_value"),
+        F.col("mn").alias("min_value"),
+        F.when(dmax >= dmin, F.col("mx"))
+        .otherwise(F.col("mn"))
+        .cast("long")
+        .alias("suspect"),
+        F.round(m.cast("double") / F.col("n") / s, 6).alias("g_stat"),
+    )
+
+
+@query(
+    "q47m_position_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS conv_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touch AS (
+      SELECT e.user_id, e.event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS nt
+      FROM events e JOIN conv c USING (user_id)
+      WHERE e.event_type <> 'purchase' AND e.ts < c.conv_ts
+    ),
+    w AS (
+      SELECT channel,
+             CASE WHEN nt = 1 THEN CAST(1000000 AS BIGINT)
+                  WHEN nt = 2 THEN CAST(500000 AS BIGINT)
+                  WHEN rn = 1 OR rn = nt THEN CAST(400000 AS BIGINT)
+                  ELSE CAST(200000 // (nt - 2) AS BIGINT) END AS w_micro
+      FROM touch
+    ),
+    agg AS (
+      SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(SUM(w_micro) AS BIGINT) AS credit_micro
+      FROM w GROUP BY channel
+    ),
+    tot AS (SELECT CAST(SUM(credit_micro) AS BIGINT) AS total FROM agg)
+    SELECT agg.channel, agg.n_touches, agg.credit_micro,
+           round(CAST(agg.credit_micro AS DOUBLE) / tot.total, 6) AS share
+    FROM agg, tot
+    """,
+    tags=("funnel", "attribution"),
+)
+def q47m_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-SHAPED (position-based) ATTRIBUTION: 40% of conversion credit
+    to the FIRST touch, 40% to the LAST, the middle 20% split evenly —
+    the position-aware member completing the attribution family (q47c
+    last-touch, q47l recency-decay, q47k order-free Shapley, q47j
+    counterfactual removal; U-shaped is the one marketing ops actually
+    deploys as a compromise between first- and last-touch bias).
+
+    Weights are DEFINED micro-unit integers: 1e6 (solo touch), 5e5
+    (pair), 4e5 endpoints + 2e5 div (n-2) middles — deterministic
+    floor division, so a journey's credits are exact BIGINTs (the
+    truncation remainder stays unassigned BY CONTRACT, mirroring
+    q95as). Journey positions rank on (ts, event_id) — a total order,
+    so first/last can never flake on timestamp ties.
+
+    Scale: conversions are one map-side pass; the touch join and the
+    position windows key on user_id (co-partitioned, bounded per-user
+    frames); credit aggregation is taxonomy-bounded with a 1-row
+    broadcast total.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = W.partitionBy("user_id")
+    touch = (
+        ev.alias("e")
+        .join(conv.alias("c"), "user_id")
+        .where(
+            (F.col("e.event_type") != "purchase")
+            & (F.col("e.ts") < F.col("c.conv_ts"))
+        )
+        .select(
+            F.col("user_id"),
+            F.col("e.event_type").alias("channel"),
+            F.col("e.ts").alias("ts"),
+            F.col("e.event_id").alias("event_id"),
+        )
+        .withColumn("rn", F.row_number().over(wu))
+        .withColumn("nt", F.count("*").over(wn))
+    )
+    w_micro = (
+        F.when(F.col("nt") == 1, F.lit(1000000))
+        .when(F.col("nt") == 2, F.lit(500000))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("nt")), F.lit(400000)
+        )
+        .otherwise(F.expr("CAST(200000 div (nt - 2) AS BIGINT)"))
+        .cast("long")
+    )
+    agg = (
+        touch.select("channel", w_micro.alias("w_micro"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("w_micro").cast("long").alias("credit_micro"),
+        )
+    )
+    tot = agg.agg(F.sum("credit_micro").cast("long").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_touches",
+        "credit_micro",
+        F.round(
+            F.col("credit_micro").cast("double") / F.col("total"), 6
+        ).alias("share"),
+    )

@@ -547,6 +547,56 @@ def main() -> int:
     print("  blocked_cumsum: identical checksum; wide scan parallel across "
           "blocks, only the 256-row totals frame single-task")
 
+    # --- q94z link-prediction candidate generation -------------------
+    # Candidates may materialize ONLY through a shared successor (the
+    # LSH-band-join shape): on an amplified N-node modular graph the
+    # pair frame must stay O(|E| * max_indeg) — linear in N — and the
+    # plan product-free.
+    n_nodes = n  # the amplified corpus size doubles as the node count
+    nodes = spark.range(n_nodes).select(F.col("id").alias("src"))
+    ledges = nodes.select(
+        "src",
+        F.explode(
+            F.slice(
+                F.array(*[(F.col("src") * 7 + F.lit(k)) % F.lit(n_nodes)
+                          for k in (1, 2, 3)]),
+                1,
+                (1 + F.col("src") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    ).localCheckpoint(eager=True)  # fabrication cut; probe the join only
+    le1 = ledges.select(F.col("src").alias("u"), "dst")
+    le2 = ledges.select(F.col("src").alias("v"), F.col("dst").alias("dst2"))
+    lcand = (
+        le1.join(le2, (F.col("dst") == F.col("dst2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    assert no_product_join(lcand), "link-pred candidates degenerated to a product"
+
+    def linkpred_all():
+        return lcand.count()
+
+    timed("link-pred candidates (shared-successor equi-join)",
+          linkpred_all, unit="pairs")
+
+    # --- q98ah shingle-frequency novelty join ------------------------
+    # The novelty join keys on the shingle (content-bucket shuffle);
+    # worst case here: ~90% of the amplified corpus shares every gram.
+    nov_sh = corpus_sh.distinct()
+    nov_freq = nov_sh.groupBy("shingle").agg(F.count("*").alias("nd"))
+    nov = nov_sh.join(nov_freq, "shingle").groupBy().agg(
+        F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("novel")
+    )
+    assert no_product_join(nov), "novelty join degenerated to a product"
+
+    def novelty_all():
+        nov.collect()
+        return n_sh
+
+    timed("ngram novelty (shingle-keyed frequency join)",
+          novelty_all, unit="shingles")
+
     return 0
 
 
