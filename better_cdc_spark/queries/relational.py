@@ -12367,3 +12367,286 @@ def q47m_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("credit_micro").cast("double") / F.col("total"), 6
         ).alias("share"),
     )
+
+
+@query(
+    "q36aq_bartlett_test",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM v GROUP BY g
+    ),
+    terms AS (
+      SELECT g, n,
+             (CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+             / (CAST(n AS DOUBLE) * (n - 1)) AS s2
+      FROM pg
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(n - 1) AS BIGINT) AS dof_w,
+             list_reduce(array_agg((n - 1) * ln(s2) ORDER BY g),
+                         (a, b) -> a + b) AS sum_ln,
+             list_reduce(array_agg((CAST(n AS DOUBLE) * q
+                                    - CAST(s AS DOUBLE) * s)
+                                   / (CAST(n AS DOUBLE) * (n - 1))
+                                   * (n - 1) ORDER BY g),
+                         (a, b) -> a + b) AS pooled_num,
+             list_reduce(array_agg(1.0 / (n - 1) ORDER BY g),
+                         (a, b) -> a + b) AS inv_sum
+      FROM terms JOIN pg USING (g, n)
+    )
+    SELECT k AS n_groups, nt AS n_rows,
+           round((dof_w * ln(pooled_num / dof_w) - sum_ln)
+                 / (1.0 + (inv_sum - 1.0 / dof_w) / (3.0 * (k - 1))), 6)
+             AS bartlett_chi2,
+           (k - 1) AS dof
+    FROM folded
+    """,
+    tags=("agg", "statistics"),
+)
+def q36aq_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT'S TEST of variance homogeneity across event types —
+    the parametric counterpart to q36ac's Brown-Forsythe (BF ranks
+    robustly around medians and shrugs at heavy tails; Bartlett is the
+    sharper instrument when normality holds, and the pairing tells you
+    WHICH assumption broke when they disagree).
+
+    Per-group variances come from exact BIGINT moments (n, S, Q per
+    group — one map-side pass); the k log terms (n_g-1)*ln(s_g^2), the
+    pooled numerator, and the 1/(n_g-1) correction sum each fold over
+    the g-SORTED group array (the q36aa ordered-fold discipline —
+    three folds, all on the k=5-row frame), so the only doubles are
+    per-group pinned expressions and ordered k-term sums. ln follows
+    the q98b same-libm precedent.
+
+    Scale: one map-side-combinable pass over the fact; everything
+    after runs on the k-row frame.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    pg = v.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    s2 = (
+        F.col("n").cast("double") * F.col("q")
+        - F.col("s").cast("double") * F.col("s")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+
+    def ordered_sum(term, alias):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", term.alias("t")))),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias(alias)
+
+    folded = pg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.col("n") - 1).cast("long").alias("dof_w"),
+        ordered_sum((F.col("n") - 1) * F.log(s2), "sum_ln"),
+        ordered_sum(s2 * (F.col("n") - 1), "pooled_num"),
+        ordered_sum(F.lit(1.0) / (F.col("n") - 1), "inv_sum"),
+    )
+    chi2 = (
+        F.col("dof_w") * F.log(F.col("pooled_num") / F.col("dof_w"))
+        - F.col("sum_ln")
+    ) / (
+        1.0
+        + (F.col("inv_sum") - 1.0 / F.col("dof_w")) / (3.0 * (F.col("k") - 1))
+    )
+    return folded.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        F.round(chi2, 6).alias("bartlett_chi2"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "q45e_cubic_spline",
+    oracle="""
+    WITH RECURSIVE
+    m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT array_agg(CAST(cents AS DOUBLE) / 100000000.0 ORDER BY t)
+               AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n FROM m
+    ),
+    r AS (
+      SELECT n, ys,
+             list_transform(range(1, CAST(n AS INT) - 1), j ->
+               6.0 * (ys[CAST(j AS INT)] - 2 * ys[CAST(j AS INT) + 1]
+                      + ys[CAST(j AS INT) + 2])) AS rr
+      FROM series
+    ),
+    fwd(j, c, d) AS (
+      SELECT 1, 1.0 / 4.0, r.rr[1] / 4.0 FROM r
+      UNION ALL
+      SELECT f.j + 1, 1.0 / (4.0 - f.c),
+             (r.rr[f.j + 1] - f.d) / (4.0 - f.c)
+      FROM fwd f, r WHERE f.j + 1 <= CAST(r.n AS INT) - 2
+    ),
+    bwd(j, mv) AS (
+      SELECT f.j, f.d - f.c * 0.0
+      FROM fwd f, r WHERE f.j = CAST(r.n AS INT) - 2
+      UNION ALL
+      SELECT b.j - 1, f.d - f.c * b.mv
+      FROM bwd b JOIN fwd f ON f.j = b.j - 1 WHERE b.j > 1
+    ),
+    marr AS (
+      SELECT list_concat(list_concat([0.0],
+               array_agg(mv ORDER BY j)), [0.0]) AS mm
+      FROM bwd
+    ),
+    grid AS (
+      SELECT unnest(range(1, (SELECT CAST(n AS INT) FROM series))) AS i
+    )
+    SELECT CAST(g.i AS BIGINT) - 1 AS interval_idx,
+           round(s.ys[CAST(g.i AS INT)], 6) AS y_left,
+           round(s.ys[CAST(g.i AS INT) + 1], 6) AS y_right,
+           round(marr.mm[CAST(g.i AS INT)], 6) AS m_left,
+           round(marr.mm[CAST(g.i AS INT) + 1], 6) AS m_right,
+           round((s.ys[CAST(g.i AS INT)] + s.ys[CAST(g.i AS INT) + 1]) / 2
+                 - (marr.mm[CAST(g.i AS INT)]
+                    + marr.mm[CAST(g.i AS INT) + 1]) / 16, 6)
+             AS spline_mid
+    FROM grid g, series s, marr
+    """,
+    tags=("timeseries", "interpolation", "fold"),
+)
+def q45e_cubic_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL CUBIC SPLINE interpolation of monthly revenue at the
+    month midpoints — the smooth member of the gapfill/interpolate
+    shelf (q45b LOCF is a step function, q45c linear has corner
+    kinks; the spline is C2-continuous, what a dashboard draws and a
+    downsampler resamples against).
+
+    The tridiagonal system M_{i-1} + 4M_i + M_{i+1} = 6(y_{i-1} -
+    2y_i + y_{i+1}) (natural boundaries M_0 = M_{n-1} = 0, unit
+    spacing on the complete month grid) solves by the THOMAS
+    ALGORITHM as two in-row folds: a forward sweep accumulating
+    (c'_j, d'_j) pairs — seeded with the (0,0) boundary sentinel so
+    the j=1 step needs no special case — and a backward substitution
+    seeded with M_{m+1} = 0 folding over the REVERSED coefficient
+    list. Both engines execute the identical pinned op sequence
+    (Spark array folds; DuckDB recursive CTEs over the same
+    recurrences — the km-CTE idiom), so every M_i is bit-identical
+    and the dyadic midpoint formula (y_i+y_{i+1})/2 -
+    (M_i+M_{i+1})/16 is hash-exact. Revenue scales to 1e6-cent units
+    so doubles stay O(100).
+
+    Scale: the fact folds map-side to one cents row per month; the
+    solve is O(n) on the calendar-bounded series with a state no
+    larger than the 2(n-2) sweep coefficients.
+    """
+    tune_for_oracle(spark)
+    mth = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    series = mth.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t",
+                        (
+                            F.col("cents").cast("double") / 100000000.0
+                        ).alias("y"),
+                    )
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n"),
+    )
+    ys = F.col("ys")
+    rr = F.transform(
+        F.sequence(F.lit(1), F.size(ys) - 2),
+        lambda j: 6.0
+        * (
+            F.element_at(ys, j)
+            - 2 * F.element_at(ys, j + 1)
+            + F.element_at(ys, j + 2)
+        ),
+    )
+
+    def fstep(acc, x):
+        last = F.element_at(acc, F.size(acc))
+        c_prev = F.element_at(last, 1)
+        d_prev = F.element_at(last, 2)
+        return F.concat(
+            acc,
+            F.array(
+                F.array(
+                    F.lit(1.0) / (F.lit(4.0) - c_prev),
+                    (x - d_prev) / (F.lit(4.0) - c_prev),
+                )
+            ),
+        )
+
+    cd = F.aggregate(
+        rr, F.array(F.array(F.lit(0.0), F.lit(0.0))), fstep
+    )
+    interior = F.slice(cd, 2, F.size(cd) - 1)
+
+    def bstep(macc, p):
+        mval = F.element_at(p, 2) - F.element_at(p, 1) * F.element_at(
+            macc, 1
+        )
+        return F.concat(F.array(mval), macc)
+
+    mm_tail = F.aggregate(F.reverse(interior), F.array(F.lit(0.0)), bstep)
+    mm = F.concat(F.array(F.lit(0.0)), mm_tail)
+    solved = series.select("ys", "n", mm.alias("mm"))
+    out = solved.select(
+        "ys",
+        "mm",
+        F.explode(F.sequence(F.lit(1), F.size("ys") - 1)).alias("i"),
+    )
+    yi = F.element_at(F.col("ys"), F.col("i"))
+    yi1 = F.element_at(F.col("ys"), F.col("i") + 1)
+    mi = F.element_at(F.col("mm"), F.col("i"))
+    mi1 = F.element_at(F.col("mm"), F.col("i") + 1)
+    return out.select(
+        (F.col("i").cast("long") - 1).alias("interval_idx"),
+        F.round(yi, 6).alias("y_left"),
+        F.round(yi1, 6).alias("y_right"),
+        F.round(mi, 6).alias("m_left"),
+        F.round(mi1, 6).alias("m_right"),
+        F.round((yi + yi1) / 2 - (mi + mi1) / 16, 6).alias("spline_mid"),
+    )
