@@ -703,3 +703,37 @@ def page_hinkley_step(acc: Column, x: Column) -> Column:
         return F.element_at(F.transform(F.array(F.array(m_expr)), fin), 1)
 
     return F.element_at(F.transform(F.array(pair), upd), 1)
+
+
+def croston_step(acc: Column, x: Column) -> Column:
+    """One CROSTON intermittent-demand step on a 4-double state array
+    ``[z_level, q_interval, periods_since, init]``; ``x`` is the
+    scalar demand. Dyadic alpha=1/2 on both the demand-size and the
+    inter-demand-interval smoothers; zero periods only bump the
+    counter; the first demand seeds. Shared by the batch fold (q42p)
+    and its streaming twin (qm24) so both execute the identical IEEE
+    op sequence — the hw_additive_step / kalman_cv_step /
+    page_hinkley_step equivalence contract."""
+    return (
+        F.when(
+            x == 0,
+            F.array(
+                F.element_at(acc, 1),
+                F.element_at(acc, 2),
+                F.element_at(acc, 3) + 1,
+                F.element_at(acc, 4),
+            ),
+        )
+        .when(
+            F.element_at(acc, 4) == 0,
+            F.array(x, F.element_at(acc, 3), F.lit(1.0), F.lit(1.0)),
+        )
+        .otherwise(
+            F.array(
+                F.element_at(acc, 1) / 2 + x / 2,
+                F.element_at(acc, 2) / 2 + F.element_at(acc, 3) / 2,
+                F.lit(1.0),
+                F.lit(1.0),
+            )
+        )
+    )

@@ -125,14 +125,15 @@ SHOWCASE_ORDER = (
     "q47m_position_attribution",
     "q94aa_kcore",
     "q98ah_ngram_novelty",
+    "q36aq_bartlett_test",
+    "q45e_cubic_spline",
+    "qm24_streaming_croston",
+    "q36ar_cochran_q",
     # changed since last driver-green row (rotation.py source-hash
-    # detector): r11 window migrations + promoted oracles; the tail of
-    # this class (q53d, qc20, q95d, q95o, q97j) rolls to the r12 gate
+    # detector): the r11 oracle promotion leads; the rest of the class
+    # (q50, q29b, q53c, q36q, q53d, qc20, q95d, q95o, q97j) rolls to
+    # the r12 gate
     "q97_ann_pq",
-    "q50_global_sort",
-    "q29b_skew_advisor",
-    "q53c_pareto_report",
-    "q36q_ks_two_sample",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -12055,9 +12055,7 @@ def q98ag_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q42p_croston",
-    oracle="""
+CROSTON_ORACLE = """
     WITH days AS (
       SELECT CAST(dayofmonth(ts) AS BIGINT) AS d,
              CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT)
@@ -12089,7 +12087,12 @@ def q98ag_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN st[2] = 0 THEN 0.0 ELSE st[1] / st[2] END, 6)
              AS croston_forecast
     FROM folded
-    """,
+    """
+
+
+@query(
+    "q42p_croston",
+    oracle=CROSTON_ORACLE,
     tags=("timeseries", "smoothing", "fold"),
 )
 def q42p_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12138,35 +12141,10 @@ def q42p_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nd"),
     )
 
-    def step(acc, x):
-        return (
-            F.when(
-                x == 0,
-                F.array(
-                    F.element_at(acc, 1),
-                    F.element_at(acc, 2),
-                    F.element_at(acc, 3) + 1,
-                    F.element_at(acc, 4),
-                ),
-            )
-            .when(
-                F.element_at(acc, 4) == 0,
-                F.array(
-                    x, F.element_at(acc, 3), F.lit(1.0), F.lit(1.0)
-                ),
-            )
-            .otherwise(
-                F.array(
-                    F.element_at(acc, 1) / 2 + x / 2,
-                    F.element_at(acc, 2) / 2 + F.element_at(acc, 3) / 2,
-                    F.lit(1.0),
-                    F.lit(1.0),
-                )
-            )
-        )
+    from better_cdc_spark.operators import croston_step
 
     acc0 = F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0))
-    st = F.aggregate(F.col("zs"), acc0, step)
+    st = F.aggregate(F.col("zs"), acc0, croston_step)
     return series.select(
         F.col("n").alias("n_days"),
         F.col("nd").alias("n_demand_days"),
@@ -12649,4 +12627,90 @@ def q45e_cubic_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mi, 6).alias("m_left"),
         F.round(mi1, 6).alias("m_right"),
         F.round((yi + yi1) / 2 - (mi + mi1) / 16, 6).alias("spline_mid"),
+    )
+
+
+@query(
+    "q36ar_cochran_q",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type,
+             CAST(MAX(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+      FROM events GROUP BY user_id, event_type
+    ),
+    rsum AS (
+      SELECT user_id, CAST(SUM(x) AS BIGINT) AS r FROM u GROUP BY user_id
+    ),
+    csum AS (
+      SELECT event_type, CAST(SUM(x) AS BIGINT) AS c FROM u
+      GROUP BY event_type
+    ),
+    mom AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rsum) AS n_users,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM csum) AS k,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM csum) AS grand,
+             (SELECT CAST(SUM(c * c) AS BIGINT) FROM csum) AS c2,
+             (SELECT CAST(SUM(r * r) AS BIGINT) FROM rsum) AS r2
+    )
+    SELECT n_users, k, grand AS n_successes,
+           (k - 1) AS dof,
+           round(CAST((k - 1) * (k * c2 - grand * grand) AS DOUBLE)
+                 / (k * grand - r2), 6) AS cochran_q
+    FROM mom
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ar_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q across the five event types as repeated binary
+    treatments per user (flag = "user produced a value>150 event of
+    this type" — thresholded so the per-user rows saturate at NEITHER
+    end, the q36ai/q36af degeneracy lesson) — the k-treatment
+    generalization of q36ai's McNemar, completing the paired-data
+    ladder: McNemar (2 treatments, binary), Friedman (k treatments,
+    ordinal), Cochran (k treatments, binary).
+
+    Q = (k-1)[k*sum(C_j^2) - G^2] / (k*G - sum(R_i^2)) is EXACT
+    INTEGER arithmetic until the single final division: column totals
+    C_j, row totals R_i, and the grand total G are BIGINT sums of a
+    0/1 matrix built by one (user, type) MAX pass. Nothing for
+    accumulation order to flake.
+
+    Scale: one map-side-combinable (user, type) aggregate over the
+    fact; the row/column margins are two more map-side folds; the
+    statistic assembles on a 1-row frame. Headroom: trivially exact
+    to any sf (counts only).
+    """
+    tune_for_oracle(spark)
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.when(F.col("value") > 150, 1).otherwise(0))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    rsum = u.groupBy("user_id").agg(F.sum("x").cast("long").alias("r"))
+    csum = u.groupBy("event_type").agg(F.sum("x").cast("long").alias("c"))
+    rmom = rsum.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("r2"),
+    )
+    cmom = csum.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("c").cast("long").alias("grand"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"),
+    )
+    mom = rmom.crossJoin(F.broadcast(cmom))
+    q = (
+        (F.col("k") - 1)
+        * (F.col("k") * F.col("c2") - F.col("grand") * F.col("grand"))
+    ).cast("double") / (F.col("k") * F.col("grand") - F.col("r2"))
+    return mom.select(
+        "n_users",
+        "k",
+        F.col("grand").alias("n_successes"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(q, 6).alias("cochran_q"),
     )

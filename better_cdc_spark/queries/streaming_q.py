@@ -3443,3 +3443,158 @@ def qm23_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_level"),
         F.element_at("st", 5).cast("long").alias("first_alarm_t"),
     )
+
+
+@query(
+    "qm24_streaming_croston",
+    # the BATCH fold (q42p's full-series Croston) IS the oracle: epoch
+    # folds continue from the persisted 4-double state with the shared
+    # operators.croston_step, so the final state is bit-identical
+    oracle=relational.CROSTON_ORACLE,
+    tags=("streaming", "timeseries", "fold"),
+)
+def qm24_streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CROSTON — q42p's intermittent-demand smoother
+    maintained incrementally: the sixth recurrence-state streaming
+    operator (qm19 Holt, qm21 Holt-Winters, qm22 Kalman, qm23
+    Page-Hinkley, THIS), and the one whose state is mostly IDLE — on
+    a sparse series most epochs only bump the interval counter, which
+    is exactly when replay corruption is least visible and the
+    exactly-once machinery earns its keep (a double-counted zero-run
+    silently doubles the forecast interval):
+
+    1. Per-epoch state rows commit under (app_id, txn_version=epoch);
+       the verbatim epoch-0 re-delivery below no-ops on the token.
+    2. The in-order admission guard rejects out-of-order day batches.
+
+    No seeding special case: the all-zero init IS the recurrence
+    start, so every epoch folds its day-sorted batch from the prior
+    state with the SAME operators.croston_step and q42p's DuckDB
+    oracle hash-checks the streaming result bit-for-bit.
+
+    Scale: per epoch one map-side day aggregate, one 4-double fold,
+    one O(1) txlog append; no raw history retained.
+    """
+    from better_cdc_spark.operators import croston_step
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    days = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.dayofmonth("ts").cast("long").alias("t"))
+        .agg(
+            F.sum(F.when(F.col("value") > 500, 1).otherwise(0))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    epoch_of = (F.dense_rank().over(W.orderBy("t")) - 1)
+    staged = days.withColumn("arrival", (epoch_of / 10).cast("int"))
+    arrivals = scratch_dir("qm24_arrivals")
+    n_epochs = staged.agg(F.max("arrival")).collect()[0][0] + 1  # bounded scalar
+    for e in range(n_epochs):
+        staged.filter(F.col("arrival") == e).drop("arrival").coalesce(
+            1
+        ).write.mode("append").parquet(arrivals)
+
+    t = TxLogTable(spark, scratch_dir("qm24_txlog"))
+    epoch_files: dict[int, list[str]] = {}
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        epoch_files[e] = [
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        agg = batch_df.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "y"))),
+                lambda s: s["y"],
+            ).alias("ys"),
+            F.count("*").cast("long").alias("bn"),
+            F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("bd"),
+            F.min("t").cast("long").alias("min_t"),
+            F.max("t").cast("long").alias("max_t"),
+        )
+        if e > 0:
+            prior = (
+                t.read()
+                .filter(F.col("epoch") == e - 1)
+                .select(
+                    F.col("st").alias("p_st"),
+                    F.col("n_days").alias("p_n"),
+                    F.col("n_demand").alias("p_d"),
+                    F.col("last_t").alias("p_last"),
+                )
+            )
+            joined = agg.crossJoin(F.broadcast(prior))
+            bad = joined.filter(F.col("min_t") <= F.col("p_last")).count()
+            if bad:
+                raise ValueError(
+                    f"qm24 epoch {e}: batch arrived out of order — "
+                    "an interval recurrence cannot absorb late days"
+                )
+            acc0 = F.col("p_st")
+            n_new = F.col("p_n") + F.col("bn")
+            d_new = F.col("p_d") + F.col("bd")
+            base = joined
+        else:
+            acc0 = F.array(
+                F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)
+            )
+            n_new = F.col("bn")
+            d_new = F.col("bd")
+            base = agg
+        st = F.aggregate(F.col("ys"), acc0, croston_step)
+        state = base.select(
+            st.alias("st"),
+            n_new.cast("long").alias("n_days"),
+            d_new.cast("long").alias("n_demand"),
+            F.col("max_t").alias("last_t"),
+            F.lit(e).cast("long").alias("epoch"),
+        )
+        t.append(state, app_id="qm24", txn_version=e)
+
+    q = (
+        spark.readStream.schema(staged.drop("arrival").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm24_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # checkpoint-recovery replay: epoch 0 verbatim; the token no-ops —
+    # without it the zero-run counter would double-count.
+    replayed = spark.read.schema(staged.drop("arrival").schema).parquet(
+        *epoch_files[0]
+    )
+    step(replayed, 0)
+
+    final = (
+        t.read()
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("epoch").desc()))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return final.select(
+        F.col("n_days").alias("n_days"),
+        F.col("n_demand").alias("n_demand_days"),
+        F.round(F.element_at("st", 1), 6).alias("z_level"),
+        F.round(F.element_at("st", 2), 6).alias("q_interval"),
+        F.round(
+            F.when(F.element_at("st", 2) == 0, F.lit(0.0)).otherwise(
+                F.element_at("st", 1) / F.element_at("st", 2)
+            ),
+            6,
+        ).alias("croston_forecast"),
+    )
