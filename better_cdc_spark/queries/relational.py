@@ -12714,3 +12714,166 @@ def q36ar_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).cast("long").alias("dof"),
         F.round(q, 6).alias("cochran_q"),
     )
+
+
+@query(
+    "q47n_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS s,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tr AS (
+      SELECT s, nxt, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM seq WHERE nxt IS NOT NULL GROUP BY s, nxt
+    ),
+    rowm AS (
+      SELECT s, CAST(SUM(nij) AS BIGINT) AS ni FROM tr GROUP BY s
+    ),
+    tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS nt FROM tr),
+    hcell AS (
+      SELECT tr.s, tr.nxt, rowm.ni,
+             -(CAST(tr.nij AS DOUBLE) / rowm.ni)
+             * log2(CAST(tr.nij AS DOUBLE) / rowm.ni) AS hterm
+      FROM tr JOIN rowm USING (s)
+    ),
+    hrow AS (
+      SELECT s, CAST(MAX(ni) AS BIGINT) AS ni,
+             list_reduce(array_agg(hterm ORDER BY nxt), (a, b) -> a + b)
+               AS h_state
+      FROM hcell GROUP BY s
+    )
+    SELECT hrow.s AS state, hrow.ni AS n_transitions,
+           round(hrow.h_state, 6) AS h_state,
+           round(CAST(hrow.ni AS DOUBLE) / tot.nt, 6) AS weight,
+           round(CAST(hrow.ni AS DOUBLE) / tot.nt * hrow.h_state, 6)
+             AS contribution
+    FROM hrow, tot
+    """,
+    tags=("funnel", "statistics", "markov"),
+)
+def q47n_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY RATE decomposition of the user-journey Markov chain —
+    per-state conditional entropies H(next | state) weighted by
+    empirical state mass, completing the Markov family (q44f estimates
+    the transition matrix, q47f its stationary vector, q47i absorbing
+    hits, q47j removal effects; entropy rate says how PREDICTABLE the
+    journey is, the number a sequence-model curriculum uses to rank
+    behavioral corpora).
+
+    Transition counts come from the q44f machinery (per-user LEAD on a
+    (ts, event_id) total order); everything after lives on the
+    taxonomy-bounded 5x5 grid: per-cell -p*log2(p) terms are pinned
+    doubles on exact-integer ratios, and each state's <=5 terms sum
+    via an ORDERED fold (q36aa discipline — log2 follows the q98b
+    same-libm precedent). Weights are exact-integer ratios.
+
+    Scale: the only fact-sized ops are the user-keyed LEAD window
+    (co-partitioned, bounded per-user frames) and one map-side count
+    to the grid.
+
+    Oracle note: both engines fold each state's cells in nxt order —
+    DuckDB via array_agg(... ORDER BY nxt), Spark by sorting the
+    collected (nxt, hterm) structs — so the <=5-term double sums are
+    order-pinned, never engine-arbitrary.
+    """
+    tune_for_oracle(spark)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    )
+    tr = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("s", "nxt")
+        .agg(F.count("*").cast("long").alias("nij"))
+    )
+    rowm = tr.groupBy("s").agg(F.sum("nij").cast("long").alias("ni"))
+    tot = tr.agg(F.sum("nij").cast("long").alias("nt"))
+    p = F.col("nij").cast("double") / F.col("ni")
+    hcell = tr.join(F.broadcast(rowm), "s").select(
+        "s", "ni", "nxt", (-p * F.log2(p)).alias("hterm")
+    )
+    hrow = hcell.groupBy("s").agg(
+        F.max("ni").cast("long").alias("ni"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("nxt", "hterm"))),
+                lambda st: st["hterm"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("h_state"),
+    )
+    return hrow.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("state"),
+        F.col("ni").alias("n_transitions"),
+        F.round(F.col("h_state"), 6).alias("h_state"),
+        F.round(F.col("ni").cast("double") / F.col("nt"), 6).alias("weight"),
+        F.round(
+            F.col("ni").cast("double") / F.col("nt") * F.col("h_state"), 6
+        ).alias("contribution"),
+    )
+
+
+@query(
+    "q05e_bloom_filter_sink",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l_quantity AS BIGINT) AS quantity,
+           CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    WHERE l_orderkey % 977 = 1
+    """,
+    tags=("sink", "parquet", "pushdown"),
+)
+def q05e_bloom_filter_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET BLOOM-FILTER sink + point-lookup readback: lineitem is
+    rewritten with a column bloom filter on l_orderkey and the result
+    of a selective key probe against the rewritten files must equal
+    the same probe on the original table — the layout feature that
+    makes needle-in-haystack lookups on a 100 TB fact table skip row
+    groups whose bloom filter excludes the key, without any index
+    service.
+
+    The bloom filter changes ONLY file layout, never content: the
+    oracle proves the rewrite round-trips by value (the q05b "pure
+    layout change" contract). The probe predicate (l_orderkey % 977 =
+    1 — a sparse key set) is applied on the READBACK so the scan
+    benefits from predicate pushdown + bloom row-group pruning;
+    tests/test_plans.py-style PushedFilters assertions are visible in
+    the readback plan. Writer knobs: parquet.bloom.filter.enabled per
+    column, small row groups so multiple groups exist to prune at
+    gate scale.
+
+    Scale: write is one pass; the probe reads only row groups whose
+    bloom admits the key — the point of the feature. Output columns
+    are cast to engine-neutral BIGINTs (cents for the price) so the
+    hash compares values, not parquet logical types.
+    """
+    tune_for_oracle(spark)
+    out = f"{tempfile.gettempdir()}/bcs_q05e_bloom"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    (
+        li.coalesce(4)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+        .option("parquet.block.size", str(1 * 1024 * 1024))
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("l_orderkey") % 977 == 1)
+    return back.select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_linenumber").cast("long"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice").cast("double") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
