@@ -15782,3 +15782,195 @@ def q94ac_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+@query(
+    "q94ae_rich_club",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+      WHERE t.k <= 1 + doc_id % 3
+    ),
+    und AS (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    ),
+    ks AS (SELECT unnest([2, 3, 4, 5, 6]) AS k),
+    club AS (
+      SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d >= ks.k
+    ),
+    nh AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_hubs FROM club GROUP BY k
+    ),
+    eh AS (
+      SELECT c1.k, CAST(COUNT(*) AS BIGINT) AS e_hub
+      FROM und
+      JOIN club c1 ON c1.node = und.u
+      JOIN club c2 ON c2.node = und.v AND c2.k = c1.k
+      GROUP BY c1.k
+    )
+    SELECT nh.k, nh.n_hubs,
+           CAST(COALESCE(eh.e_hub, 0) AS BIGINT) AS e_hub,
+           round(CAST(2 * COALESCE(eh.e_hub, 0) AS DOUBLE)
+                 / (nh.n_hubs * (nh.n_hubs - 1)), 6) AS phi
+    FROM nh LEFT JOIN eh USING (k)
+    """,
+    tags=("llm", "graph"),
+)
+def q94ae_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT phi(k) for k = 2..6 on the symmetrized
+    link graph — do high-degree documents preferentially link to each
+    other? The hub-density companion to q94x's assortativity (r is
+    one global mixing number; phi(k) profiles the elite subgraph at
+    every degree cutoff — the SEO-farm signature is a phi spike at
+    high k), computed the way a curation pipeline audits a link
+    cluster before weighting it.
+
+    For each cutoff k: club membership is a degree filter, E_club
+    counts edges with BOTH endpoints in the club (two node-keyed
+    joins against the bounded club frame), and phi = 2E/(N(N-1)) is
+    one pinned double division over exact BIGINTs. The k-grid rides
+    one explode — five club frames from one degree pass.
+
+    Scale: degrees are one pass over 2|E| endpoint rows; club joins
+    key on node id; everything else is a 5-row frame. Exact integer
+    counts end to end.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                        for k in (1, 2, 3)
+                    ]
+                ),
+                1,
+                (1 + F.col("doc_id") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    club = deg.select(
+        "node",
+        F.explode(F.sequence(F.lit(2), F.lit(6))).alias("k"),
+    ).filter(F.col("d") >= F.col("k")).select("k", "node")
+    nh = club.groupBy("k").agg(F.count("*").cast("long").alias("n_hubs"))
+    c1 = club.select(F.col("k"), F.col("node").alias("u"))
+    c2 = club.select(F.col("k").alias("k2"), F.col("node").alias("v2"))
+    eh = (
+        und.join(c1, "u")
+        .join(
+            c2,
+            (F.col("v") == F.col("v2")) & (F.col("k") == F.col("k2")),
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("e_hub"))
+    )
+    return (
+        nh.join(F.broadcast(eh), "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_hubs",
+            F.coalesce("e_hub", F.lit(0)).cast("long").alias("e_hub"),
+            F.round(
+                (2 * F.coalesce("e_hub", F.lit(0))).cast("double")
+                / (F.col("n_hubs") * (F.col("n_hubs") - 1)),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+@query(
+    "q98ai_simpson_diversity",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY doc_id, w
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, rep2,
+           round(CAST(rep2 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+             AS simpson_repeat,
+           round(1.0 - CAST(rep2 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+             AS gini_simpson
+    FROM per_doc WHERE n_tokens > 1
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q98ai_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON REPEAT-RATE / GINI-SIMPSON vocabulary diversity per
+    document — the no-logarithm counterpart to q98z's token entropy
+    (entropy weights rare words logarithmically; Simpson is the
+    probability two random tokens coincide, dominated by the head —
+    the pair the quality shelf wants BOTH of, since template spam
+    inflates Simpson long before it dents entropy), and unlike TTR
+    (q98ag) it is length-unbiased.
+
+    The repeat mass sum c*(c-1) is an EXACT BIGINT from the same
+    (doc, word) aggregation q98ag uses; both indices are single
+    pinned double divisions per doc. Nothing to flake.
+
+    Scale: token explode + two map-side-combinable doc-keyed
+    aggregations; no join.
+    """
+    tune_for_oracle(spark)
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("rep2"),
+    )
+    sr = F.col("rep2").cast("double") / (
+        F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1)
+    )
+    return per_doc.filter(F.col("n_tokens") > 1).select(
+        "doc_id",
+        "n_tokens",
+        "rep2",
+        F.round(sr, 6).alias("simpson_repeat"),
+        F.round(1.0 - sr, 6).alias("gini_simpson"),
+    )

@@ -12877,3 +12877,379 @@ def q05e_bloom_filter_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
+
+
+@query(
+    "q36as_ks_uniform",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    grid AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x
+    ),
+    cum AS (
+      SELECT x, CAST(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cm
+      FROM grid
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(x) AS BIGINT) AS mx
+      FROM grid
+    ),
+    dev AS (
+      SELECT cum.x,
+             abs(cum.cm * (tot.mx + 1) - tot.n * (cum.x + 1)) AS num
+      FROM cum, tot
+    ),
+    best AS (
+      SELECT x, num, ROW_NUMBER() OVER (ORDER BY num DESC, x ASC) AS rk
+      FROM dev
+    )
+    SELECT tot.n, tot.mx AS domain_max,
+           best.x AS d_at,
+           round(CAST(best.num AS DOUBLE) / (tot.n * (tot.mx + 1)), 6)
+             AS d_stat,
+           round(sqrt(CAST(tot.n AS DOUBLE))
+                 * (CAST(best.num AS DOUBLE) / (tot.n * (tot.mx + 1))), 6)
+             AS sqrt_n_d
+    FROM best, tot WHERE best.rk = 1
+    """,
+    tags=("agg", "statistics"),
+)
+def q36as_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SAMPLE KOLMOGOROV-SMIRNOV test of the floored event values
+    against the discrete uniform on {0..max} — the goodness-of-fit
+    member beside q36q's two-sample KS (q36q asks "same
+    distribution?"; this asks "THE distribution I assumed?" — the
+    sanity check a synthetic-data generator or a hash-partitioner
+    audit runs against its own uniformity claim).
+
+    The supremum deviation is located on EXACT INTEGERS: at grid
+    value v, |ECDF - F0| has common denominator n*(mx+1), so the
+    argmax ranks |cum_v*(mx+1) - n*(v+1)| — a BIGINT — with a
+    smallest-v tie-break; the displayed D and sqrt(n)*D are two
+    pinned double assemblies after the argmax is already decided.
+    The cumsum window runs over the ~400-row value grid (bounded by
+    the value domain, never fact-sized — the q36aa grid discipline).
+
+    Scale: one map-side-combinable histogram pass; everything after
+    lives on the grid frame. Headroom: cum*(mx+1) ~ 5e10 at sf10.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("x")
+    )
+    grid = v.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    cum = grid.select(
+        "x",
+        F.sum("c")
+        .over(W.orderBy("x").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cm"),
+    )
+    tot = grid.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.max("x").cast("long").alias("mx"),
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "n",
+        "mx",
+        F.abs(
+            F.col("cm") * (F.col("mx") + 1) - F.col("n") * (F.col("x") + 1)
+        )
+        .cast("long")
+        .alias("num"),
+    )
+    best = (
+        dev.orderBy(F.col("num").desc(), F.col("x").asc())
+        .limit(1)
+    )
+    d = F.col("num").cast("double") / (F.col("n") * (F.col("mx") + 1))
+    return best.select(
+        "n",
+        F.col("mx").alias("domain_max"),
+        F.col("x").alias("d_at"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(F.sqrt(F.col("n").cast("double")) * d, 6).alias("sqrt_n_d"),
+    )
+
+
+@query(
+    "q46j_engagement_histogram",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             CAST(COUNT(DISTINCT dayofmonth(ts)) AS BIGINT) AS active_days
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ud GROUP BY active_days
+    ),
+    tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt FROM hist)
+    SELECT h.active_days, h.n_users,
+           CAST(1000000 * h.n_users // tot.nt AS BIGINT) AS share_micro,
+           CAST(SUM(h.n_users) OVER (ORDER BY h.active_days DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_at_least,
+           round(CAST(h.active_days AS DOUBLE) * h.n_users / tot.nt, 6)
+             AS contribution_days
+    FROM hist h, tot
+    """,
+    tags=("retention", "engagement"),
+)
+def q46j_engagement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGAGEMENT-DEPTH HISTOGRAM (the L28-style power-user curve on
+    the 30-day window): users bucketed by active-day count, with the
+    at-least-N cumulative and each bucket's contribution to mean
+    active-days — the distribution shape behind q46e's single
+    stickiness number (two products with identical DAU/MAU can hide
+    opposite curves: a habit product's right hump vs a drive-by
+    product's left spike).
+
+    Counts are exact integers end to end (distinct days per user,
+    users per depth); shares are micro-unit integer divisions; the
+    only window is the at-least cumsum over the <=31-row depth grid.
+
+    Scale: one (user, day)-distinct aggregate (map-side combinable),
+    one depth histogram, a 31-row frame after. The q46 family shape.
+    """
+    tune_for_oracle(spark)
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.dayofmonth("ts"))
+            .cast("long")
+            .alias("active_days")
+        )
+    )
+    hist = ud.groupBy("active_days").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    tot = hist.agg(F.sum("n_users").cast("long").alias("nt"))
+    wc = W.orderBy(F.col("active_days").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "active_days",
+        "n_users",
+        F.expr("CAST(1000000 * n_users div nt AS BIGINT)").alias(
+            "share_micro"
+        ),
+        F.sum("n_users").over(wc).cast("long").alias("n_at_least"),
+        F.round(
+            F.col("active_days").cast("double")
+            * F.col("n_users")
+            / F.col("nt"),
+            6,
+        ).alias("contribution_days"),
+    )
+
+
+@query(
+    "q36at_jonckheere_terpstra",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS g,
+             CAST(floor(value) AS BIGINT) AS x
+      FROM events
+    ),
+    h AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY g, x
+    ),
+    pairs AS (
+      SELECT a.g AS gi, b.g AS gj,
+             CAST(SUM(CASE WHEN b.x > a.x THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS gt,
+             CAST(SUM(CASE WHEN b.x = a.x THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS ties
+      FROM h a JOIN h b ON b.g > a.g
+      GROUP BY a.g, b.g
+    ),
+    jt AS (
+      SELECT CAST(SUM(2 * gt + ties) AS BIGINT) AS jt2,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    ),
+    sizes AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g
+    ),
+    mom AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(n * n) AS BIGINT) AS sn2,
+             SUM(CAST(n AS DOUBLE) * n * (2 * n + 3)) AS sn23
+      FROM sizes
+    )
+    SELECT mom.nt AS n_rows, jt.n_pairs AS n_group_pairs,
+           jt.jt2 AS jt_doubled,
+           round((CAST(jt.jt2 AS DOUBLE) / 2
+                  - (CAST(mom.nt AS DOUBLE) * mom.nt - CAST(mom.sn2 AS DOUBLE))
+                    / 4)
+                 / sqrt((CAST(mom.nt AS DOUBLE) * mom.nt * (2 * mom.nt + 3)
+                         - mom.sn23)
+                        / 72), 6) AS z_approx
+    FROM jt, mom
+    """,
+    tags=("agg", "statistics"),
+)
+def q36at_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE-TERPSTRA ordered-alternative trend test: do event
+    values trend MONOTONICALLY across the week (Sunday..Saturday as
+    the a-priori group order)? Completing the k-group shelf's third
+    axis: q36aa Kruskal-Wallis detects ANY difference, q36af
+    Cochran-Armitage needs binary outcomes, JT is the rank test with
+    power against ordered shifts on a continuous response.
+
+    The doubled statistic 2*JT = sum over ordered group pairs of
+    (2*gt + ties) — Mann-Whitney dominance with the half-tie
+    convention in exact BIGINTs — comes from ONE strict-order
+    self-join of the (weekday, value) grid (the q36ak shape: products
+    of histogram counts, never a fact pair-join). The normal
+    approximation's mean n^2 - sum(n_i^2))/4 and no-tie variance
+    (n^2(2n+3) - sum(n_i^2(2n_i+3)))/72 assemble from group sizes
+    (sn23 sums integer-VALUED doubles on both engines — exact and
+    order-free below 2^53, documented to ~sf3; the z is display-level
+    by contract, the decided statistic jt_doubled stays exact).
+
+    Scale: one histogram pass; the pair join runs on the bounded
+    7 x ~400 grid.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.dayofweek("ts").cast("long").alias("g"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    h = v.groupBy("g", "x").agg(F.count("*").cast("long").alias("c"))
+    a = h.select(
+        F.col("g").alias("gi"), F.col("x").alias("xa"), F.col("c").alias("ca")
+    )
+    b = h.select(
+        F.col("g").alias("gj"), F.col("x").alias("xb"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("gj") > F.col("gi"))
+        .groupBy("gi", "gj")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), F.col("ca") * F.col("cb"))
+                .otherwise(0)
+            ).cast("long").alias("gt"),
+            F.sum(
+                F.when(F.col("xb") == F.col("xa"), F.col("ca") * F.col("cb"))
+                .otherwise(0)
+            ).cast("long").alias("ties"),
+        )
+    )
+    jt = pairs.agg(
+        F.sum(2 * F.col("gt") + F.col("ties")).cast("long").alias("jt2"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    sizes = h.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    mom = sizes.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+        F.sum(
+            F.col("n").cast("double") * F.col("n") * (2 * F.col("n") + 3)
+        ).alias("sn23"),
+    )
+    mean = (
+        F.col("nt").cast("double") * F.col("nt")
+        - F.col("sn2").cast("double")
+    ) / 4
+    var = (
+        F.col("nt").cast("double") * F.col("nt") * (2 * F.col("nt") + 3)
+        - F.col("sn23")
+    ) / 72
+    return jt.crossJoin(F.broadcast(mom)).select(
+        F.col("nt").alias("n_rows"),
+        F.col("n_pairs").alias("n_group_pairs"),
+        F.col("jt2").alias("jt_doubled"),
+        F.round(
+            (F.col("jt2").cast("double") / 2 - mean) / F.sqrt(var), 6
+        ).alias("z_approx"),
+    )
+
+
+@query(
+    "q44j_conversion_latency",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT user_id, MIN(ts) AS first_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    d AS (
+      SELECT CAST(date_diff('second', fv.first_view, fp.first_purchase)
+                  AS BIGINT) AS delay_s
+      FROM fv JOIN fp USING (user_id)
+      WHERE fp.first_purchase > fv.first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(delay_s) AS BIGINT) AS min_s,
+           round(quantile_cont(delay_s, 0.25), 6) AS p25_s,
+           round(quantile_cont(delay_s, 0.5), 6) AS median_s,
+           round(quantile_cont(delay_s, 0.75), 6) AS p75_s,
+           CAST(SUM(delay_s) AS BIGINT) AS total_s
+    FROM d
+    """,
+    tags=("sessionize", "funnel", "latency"),
+)
+def q44j_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEW-TO-PURCHASE CONVERSION LATENCY quartiles — the
+    time-to-event summary the funnel family lacked: q47 counts WHO
+    converts, q44g/q44i model IF/WHEN under censoring; this is the
+    operational latency readout (how long does conversion take for
+    those who DO convert) a growth dashboard tracks week over week.
+
+    Per-user delays are exact integer SECONDS (first purchase minus
+    first view, strictly positive); the quartiles use exact linear
+    interpolation at binary-exact fractions (.25/.5/.75 — even safer
+    than q36c's probed .9: position fractions are dyadic, and
+    integer-valued endpoints make every interpolated midpoint an
+    exact binary fraction, so the cross-engine hash is bit-safe).
+    min/total stay BIGINT.
+
+    Scale: two map-side-combinable first-event passes, one user-keyed
+    join (co-partitioned). Exact percentiles buffer the delay column
+    (user-bounded, never fact-bounded — the q36c honesty note); the
+    sketch path for trillion-user scale is q36f's approx quantiles.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    d = (
+        fv.join(fp, "user_id")
+        .where(F.col("first_purchase") > F.col("first_view"))
+        .select(
+            (
+                F.unix_timestamp("first_purchase")
+                - F.unix_timestamp("first_view")
+            )
+            .cast("long")
+            .alias("delay_s")
+        )
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.min("delay_s").cast("long").alias("min_s"),
+        F.round(F.percentile("delay_s", 0.25), 6).alias("p25_s"),
+        F.round(F.percentile("delay_s", 0.5), 6).alias("median_s"),
+        F.round(F.percentile("delay_s", 0.75), 6).alias("p75_s"),
+        F.sum("delay_s").cast("long").alias("total_s"),
+    )

@@ -1149,3 +1149,40 @@ def test_q36al_dominance_join_is_bounded_broadcast(spark):
     plan = plan_of(spark, "q36al_cliffs_delta")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q94aa_kcore_rounds_are_node_keyed(spark):
+    """Each peel round joins the adjacency to the survivor set on node
+    id — no product; localCheckpoint truncates lineage so the final
+    plan stays O(1) deep regardless of round count."""
+    plan = plan_of(spark, "q94aa_kcore")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q94ac_modularity_stays_integer_until_one_division(spark):
+    """Modularity's joins are the comm-keyed within/degree attaches
+    plus 1-row scalar broadcasts; no product, no fact-sized second
+    shuffle."""
+    plan = plan_of(spark, "q94ac_modularity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # m scalar attaches
+
+
+def test_q05e_bloom_readback_pushes_the_probe(spark):
+    """The key probe on the bloom-filtered rewrite must reach the
+    parquet scan as a pushed filter — the row-group pruning the
+    feature exists for."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = REGISTRY["q05e_bloom_filter_sink"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_orderkey" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_q45e_spline_is_fold_only(spark):
+    """The Thomas solve must be in-row folds on the 1-row series frame
+    — no join at all beyond the month aggregation."""
+    plan = plan_of(spark, "q45e_cubic_spline")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
