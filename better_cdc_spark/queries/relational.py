@@ -13253,3 +13253,207 @@ def q44j_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("delay_s", 0.75), 6).alias("p75_s"),
         F.sum("delay_s").cast("long").alias("total_s"),
     )
+
+
+@query(
+    "q36au_mood_median_test",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    grid AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM grid),
+    med AS (
+      SELECT CAST(MIN(x) AS BIGINT) AS m FROM (
+        SELECT x, SUM(c) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        FROM grid
+      ), tot WHERE cm * 2 >= tot.n
+    ),
+    cells AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN x > med.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(COUNT(*) AS BIGINT) AS ng
+      FROM v, med GROUP BY g
+    ),
+    marg AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS ta,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cells
+    ),
+    chi AS (
+      SELECT CAST(SUM(
+               (cells.ng * marg.ta - marg.n * cells.a)
+               * (cells.ng * marg.ta - marg.n * cells.a)
+               // (marg.ta * (marg.n - marg.ta) * cells.ng // 1000000)
+             ) AS BIGINT) AS s_micro
+      FROM cells, marg
+    )
+    SELECT marg.k AS n_groups, med.m AS grand_median, marg.n AS n_rows,
+           round(CAST(chi.s_micro AS DOUBLE) / 1000000.0, 6) AS chi2,
+           (marg.k - 1) AS dof
+    FROM chi, marg, med
+    """,
+    tags=("agg", "statistics"),
+)
+def q36au_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST across event types — the bluntest and most
+    outlier-proof of the k-group tests (q36aa ranks everything;
+    Mood's only asks which side of the GRAND median each observation
+    falls on — the test of choice when values are corrupt beyond
+    ranking but sign-vs-median survives).
+
+    The grand median is a discrete order statistic located by
+    cumulative-count bracketing on the bounded value grid (the q36ac
+    convention — no fact sort). The k x 2 chi-square collapses per
+    group to D_g^2 / (ta*tb*n_g/n^2-ish): contribution_g =
+    (n_g*ta - n*a_g)^2 / (ta*tb*n_g), computed in MICRO-UNITS by the
+    truncated-denominator trick D^2 div (denom div 1e6) — every
+    operand BIGINT-budgeted (D^2 <= 4e18 at sf0.1; re-unit beyond —
+    the q36ad headroom convention) and the identical integer op
+    sequence runs on both engines. The display chi2 is s_micro/1e6.
+
+    Scale: one histogram pass, one bounded-grid cumsum, one map-side
+    k x 2 fold; the statistic assembles on a 1-row frame.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    grid = v.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    tot = grid.agg(F.sum("c").cast("long").alias("n"))
+    cum = grid.select(
+        "x",
+        F.sum("c")
+        .over(W.orderBy("x").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cm"),
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cm") * 2 >= F.col("n"))
+        .agg(F.min("x").cast("long").alias("m"))
+    )
+    cells = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("x") > F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.count("*").cast("long").alias("ng"),
+        )
+    )
+    marg = cells.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("ng").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    terms = cells.crossJoin(F.broadcast(marg)).select(
+        F.expr(
+            "(ng * ta - n * a) * (ng * ta - n * a)"
+            " div (ta * (n - ta) * ng div 1000000)"
+        )
+        .cast("long")
+        .alias("t_micro"),
+    )
+    s = terms.agg(F.sum("t_micro").cast("long").alias("s_micro"))
+    return (
+        s.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("k").alias("n_groups"),
+            F.col("m").alias("grand_median"),
+            F.col("n").alias("n_rows"),
+            F.round(
+                F.col("s_micro").cast("double") / 1000000.0, 6
+            ).alias("chi2"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+        )
+    )
+
+
+@query(
+    "q42q_process_capability",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q,
+             CAST(SUM(CASE WHEN x < 50 OR x > 550 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_out
+      FROM v
+    )
+    SELECT n, n_out,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_x,
+           round(sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                      / (CAST(n AS DOUBLE) * (n - 1))), 6) AS sd,
+           round(500.0 / (6 * sqrt((CAST(n AS DOUBLE) * q
+                                    - CAST(s AS DOUBLE) * s)
+                                   / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+             AS cp,
+           round(least(550.0 - CAST(s AS DOUBLE) / n,
+                       CAST(s AS DOUBLE) / n - 50.0)
+                 / (3 * sqrt((CAST(n AS DOUBLE) * q
+                              - CAST(s AS DOUBLE) * s)
+                             / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS cpk
+    FROM mom
+    """,
+    tags=("timeseries", "statistics", "spc"),
+)
+def q42q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS CAPABILITY indices Cp / Cpk for event values against
+    the spec band [50, 550] — the STATIC judgment completing the SPC
+    pair with q42i's EWMA control chart (the chart asks "did the
+    process drift over time?"; capability asks "even in control, does
+    the process FIT the spec?" — a process can be perfectly stable
+    and still incapable).
+
+    Cp = (USL-LSL)/6s ignores centering; Cpk = min(USL-mean,
+    mean-LSL)/3s punishes it — both assemble from three exact BIGINT
+    moments (n, S, Q — one map-side pass) in single pinned double
+    expressions; the out-of-spec count rides the same pass as an
+    exact integer. Spec limits are contract literals on both engines.
+
+    Scale: one map-side-combinable aggregate; a scalar frame after.
+    Headroom: n*Q ~ 3e15 at sf0.1 (the q36am budget).
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("x")
+    )
+    mom = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.sum(
+            F.when((F.col("x") < 50) | (F.col("x") > 550), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_out"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("q")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return mom.select(
+        "n",
+        "n_out",
+        F.round(mean, 6).alias("mean_x"),
+        F.round(sd, 6).alias("sd"),
+        F.round(F.lit(500.0) / (6 * sd), 6).alias("cp"),
+        F.round(
+            F.least(F.lit(550.0) - mean, mean - F.lit(50.0)) / (3 * sd), 6
+        ).alias("cpk"),
+    )
