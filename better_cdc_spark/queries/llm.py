@@ -15974,3 +15974,68 @@ def q98ai_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sr, 6).alias("simpson_repeat"),
         F.round(1.0 - sr, 6).alias("gini_simpson"),
     )
+
+
+@query(
+    "q97ab_mips_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM emb
+          WHERE vec_id < {TOPK_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             ROUND(list_inner_product(e.v, q.qv), 6) AS ip
+      FROM emb e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, ip,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ip DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, nid, ip, rnk FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    tags=("llm", "ann", "mips"),
+)
+def q97ab_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM INNER-PRODUCT top-k — the retrieval objective the
+    cosine shelf does NOT answer when vectors carry meaningful norms
+    (recommendation scores, unnormalized two-tower outputs): ranking
+    by dot product disagrees with ranking by cosine whenever norms
+    vary, and a pipeline that silently substitutes one for the other
+    mis-retrieves its highest-energy items.
+
+    This is the exact-scan MIPS baseline (sequential-fold dot product
+    in codegen, rounded-rank with nid tie-break — the q97_cosine_topk
+    discipline minus the norm division). The documented sublinear
+    path is the Shrivastava-Li asymmetric reduction: augment corpus
+    vectors with sqrt(M^2 - |x|^2) and queries with 0, which makes
+    augmented-COSINE order equal inner-product order — at which point
+    q97_ann_lsh/q97_ann_ivf over the augmented space ARE the MIPS
+    index (the docstring is the contract; the reduction adds one
+    column map, no new operator shape).
+
+    Scale: broadcast 8-probe side against one corpus scan; per-query
+    top-k window over scan survivors.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", llmops.as_double_vec("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(llmops.dot(F.col("v"), F.col("qv")), 6).alias("ip"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("ip").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("qid", "nid", "ip", "rnk")
+    )

@@ -3598,3 +3598,172 @@ def qm24_streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("croston_forecast"),
     )
+
+
+@query(
+    "qm25_streaming_ks_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(value * 10) AS BIGINT) AS bucket,
+             CAST((event_id * 7919) % 3 AS BIGINT) AS slice
+      FROM events
+    ),
+    ref AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b
+      WHERE slice = 0 GROUP BY bucket
+    ),
+    cur AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b
+      WHERE slice <> 0 GROUP BY bucket
+    ),
+    grid AS (
+      SELECT bucket FROM ref UNION SELECT bucket FROM cur
+    ),
+    cums AS (
+      SELECT g.bucket,
+             CAST(SUM(COALESCE(r.c, 0)) OVER (ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cr,
+             CAST(SUM(COALESCE(u.c, 0)) OVER (ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc
+      FROM grid g
+      LEFT JOIN ref r USING (bucket) LEFT JOIN cur u USING (bucket)
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ref) AS nr,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM cur) AS nc
+    ),
+    dev AS (
+      SELECT cums.bucket,
+             abs(cums.cr * tot.nc - cums.cc * tot.nr) AS num
+      FROM cums, tot
+    ),
+    best AS (
+      SELECT bucket, num,
+             ROW_NUMBER() OVER (ORDER BY num DESC, bucket ASC) AS rk
+      FROM dev
+    )
+    SELECT tot.nr AS n_ref, tot.nc AS n_cur,
+           best.bucket AS d_at_bucket, best.num AS d_num,
+           round(CAST(best.num AS DOUBLE) / (tot.nr * tot.nc), 6) AS d_stat,
+           (best.num * 20 > tot.nr * tot.nc) AS drift_flag
+    FROM best, tot WHERE best.rk = 1
+    """,
+    tags=("streaming", "statistics", "monitoring"),
+)
+def qm25_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KS DRIFT MONITOR — the two-sample Kolmogorov-Smirnov
+    distance between a REFERENCE histogram (epoch 0, frozen) and the
+    accumulated live histogram (epochs 1+), the data-drift alarm an
+    ML-ops pipeline runs beside its feature store: q36q computes the
+    same statistic batch-side; this maintains it exactly-once as the
+    stream arrives.
+
+    Both histograms are ADDITIVE state (the qm18 lesson: SUM-monoid
+    counts are NOT idempotent), so every epoch's bucket partials
+    commit to the TxLogTable under (app_id, txn_version=epoch) and
+    the verbatim epoch-0 replay below no-ops on the token — without
+    it the reference itself would double-count and every subsequent
+    drift reading would be corrupt. The supremum is located on EXACT
+    INTEGERS (|cumR*nC - cumC*nR| over the shared bucket grid, the
+    q36as argmax discipline) and the 0.05 drift flag is an integer
+    comparison (num*20 vs nR*nC) — the ALARM can never flake on a
+    last-ulp divergence, only the display D is double.
+
+    Scale: per epoch one |buckets|-bounded partial appended O(1); the
+    KS evaluation runs over the bucket-bounded merged frame. The
+    histogram IS the state — no raw value retained.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bucketed = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 10).cast("long").alias("bucket"),
+    )
+    arrivals = scratch_dir("qm25_arrivals")
+    for b in range(3):
+        bucketed.filter((F.col("event_id") * 7919) % 3 == b).coalesce(
+            1
+        ).write.mode("append").parquet(arrivals)
+
+    t = TxLogTable(spark, scratch_dir("qm25_txlog"))
+    epoch_files: dict[int, list[str]] = {}
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        epoch_files[e] = [
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        partial = batch_df.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("n")
+        ).withColumn("is_ref", F.lit(e == 0))
+        t.append(partial, app_id="qm25", txn_version=e)
+
+    q = (
+        spark.readStream.schema(bucketed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm25_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # checkpoint-recovery replay: epoch 0 (the REFERENCE) re-delivered
+    # verbatim; the token no-ops — else the baseline itself inflates.
+    replayed = spark.read.schema(bucketed.schema).parquet(*epoch_files[0])
+    step(replayed, 0)
+
+    merged = t.read()
+    ref = (
+        merged.filter(F.col("is_ref"))
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("cref"))
+    )
+    cur = (
+        merged.filter(~F.col("is_ref"))
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("ccur"))
+    )
+    grid = ref.select("bucket").union(cur.select("bucket")).distinct()
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cums = (
+        grid.join(ref, "bucket", "left")
+        .join(cur, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce("cref", F.lit(0))).over(wb).cast("long").alias("cr"),
+            F.sum(F.coalesce("ccur", F.lit(0))).over(wb).cast("long").alias("cc"),
+        )
+    )
+    tot = ref.agg(F.sum("cref").cast("long").alias("nr")).crossJoin(
+        cur.agg(F.sum("ccur").cast("long").alias("nc"))
+    )
+    dev = cums.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "nr",
+        "nc",
+        F.abs(F.col("cr") * F.col("nc") - F.col("cc") * F.col("nr"))
+        .cast("long")
+        .alias("num"),
+    )
+    best = dev.orderBy(F.col("num").desc(), F.col("bucket").asc()).limit(1)
+    return best.select(
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cur"),
+        F.col("bucket").alias("d_at_bucket"),
+        F.col("num").alias("d_num"),
+        F.round(
+            F.col("num").cast("double") / (F.col("nr") * F.col("nc")), 6
+        ).alias("d_stat"),
+        (F.col("num") * 20 > F.col("nr") * F.col("nc")).alias("drift_flag"),
+    )
