@@ -520,3 +520,71 @@ def test_qm19_recurrence_state_is_order_sensitive_and_token_guarded(spark):
     naked.append(spark.createDataFrame(row, schema))
     naked.append(spark.createDataFrame(row, schema))
     assert naked.read().count() == 2  # untokened replay: ambiguous state
+
+
+def test_r11_twin_replay_corruption_modes_are_real(spark):
+    """Negative controls for the round-11 recurrence/additive twins —
+    each one's docstring claims a SPECIFIC corruption if a completed
+    epoch replays without the txn token; prove the corruption is real
+    (so the token is load-bearing, not ceremonial):
+
+    - qm23 Page-Hinkley: the state carries a DECISION; replaying a
+      quiet prefix shifts the running mean and moves/suppresses the
+      first-alarm index.
+    - qm24 Croston: replaying a zero-run epoch inflates the
+      inter-demand interval (the forecast denominator) silently.
+    - qm25 KS drift: double-counting the frozen reference histogram
+      changes the integer supremum numerator — the drift alarm input.
+    """
+
+    def ph_fold(xs, st=(0.0, 0.0, 0.0, 0.0, -1.0)):
+        t, s, m, mmin, alarm = st
+        for x in xs:
+            t += 1
+            s += x
+            m = m + x - s / t - 0.0625
+            mmin = min(mmin, m)
+            if alarm < 0 and m - mmin > 2.0:
+                alarm = t
+        return t, s, m, mmin, alarm
+
+    quiet, shifted = [1.0, 1.1, 0.9, 1.0], [3.5, 3.6, 3.4, 3.5]
+    clean = ph_fold(shifted, ph_fold(quiet))
+    corrupt = ph_fold(shifted, ph_fold(quiet, ph_fold(quiet)))
+    assert clean[4] != corrupt[4]  # the ALARM INDEX itself moved
+
+    def croston_fold(zs, st=(0.0, 0.0, 1.0, 0.0)):
+        z, q, psi, init = st
+        for x in zs:
+            if x == 0:
+                psi += 1
+            elif init == 0:
+                z, q, psi, init = x, psi, 1.0, 1.0
+            else:
+                z, q, psi = z / 2 + x / 2, q / 2 + psi / 2, 1.0
+        return z, q, psi, init
+
+    zero_run, demands = [0.0, 0.0, 0.0], [2.0, 0.0, 4.0]
+    clean_c = croston_fold(demands, croston_fold(zero_run))
+    corrupt_c = croston_fold(
+        demands, croston_fold(zero_run, croston_fold(zero_run))
+    )
+    assert corrupt_c[1] > clean_c[1]  # interval silently inflated
+
+    ref = {0: 10, 1: 5}
+    cur = {0: 9, 1: 9}
+    def ks_num(r, c):
+        nr, nc = sum(r.values()), sum(c.values())
+        best, cr, cc = 0, 0, 0
+        for b in sorted(set(r) | set(c)):
+            cr += r.get(b, 0)
+            cc += c.get(b, 0)
+            best = max(best, abs(cr * nc - cc * nr))
+        return best, nr, nc
+
+    clean_k = ks_num(ref, cur)
+    doubled = {k: 2 * v for k, v in ref.items()}
+    corrupt_k = ks_num(doubled, cur)
+    # same true distributions, but the doubled reference changes the
+    # exact integer numerator/denominator pair the alarm compares
+    assert (clean_k[0], clean_k[1]) != (corrupt_k[0], corrupt_k[1])
