@@ -13457,3 +13457,80 @@ def q42q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(550.0) - mean, mean - F.lit(50.0)) / (3 * sd), 6
         ).alias("cpk"),
     )
+
+
+@query(
+    "q44k_fano_dispersion",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(dayofmonth(ts) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS q
+      FROM days
+    )
+    SELECT n AS n_days, s AS n_events,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_per_day,
+           round((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                 / (CAST(n AS DOUBLE) * (n - 1))
+                 / (CAST(s AS DOUBLE) / n), 6) AS fano,
+           round((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                 / (CAST(n AS DOUBLE) * s) * n / (n - 1) * (n - 1), 6)
+             AS dispersion_chi2
+    FROM mom
+    """,
+    tags=("sessionize", "statistics", "timeseries"),
+)
+def q44k_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO FACTOR (variance-to-mean) of daily purchase counts plus
+    the index-of-dispersion chi-square — the Poisson-ness screen that
+    decides which model downstream applies: Fano ~ 1 says q36s's
+    Poisson bootstrap assumptions hold; >> 1 (overdispersion,
+    bursts/contagion) says negative-binomial and q44's burst-aware
+    sessionization; << 1 says rate-limited regularity.
+
+    Both statistics assemble from three exact BIGINT moments over the
+    calendar-bounded day frame in single pinned double expressions
+    (sample variance / mean; dispersion chi2 = (n-1)*s^2/mean, here
+    written as the same algebra both engines execute token-for-token).
+
+    Scale: one map-side-combinable day fold; a scalar frame after.
+    """
+    tune_for_oracle(spark)
+    days = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.dayofmonth("ts").cast("long").alias("d"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    mom = days.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    var = (
+        F.col("n").cast("double") * F.col("q")
+        - F.col("s").cast("double") * F.col("s")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    mean = F.col("s").cast("double") / F.col("n")
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_day"),
+        F.round(var / mean, 6).alias("fano"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("q")
+                - F.col("s").cast("double") * F.col("s")
+            )
+            / (F.col("n").cast("double") * F.col("s"))
+            * F.col("n")
+            / (F.col("n") - 1)
+            * (F.col("n") - 1),
+            6,
+        ).alias("dispersion_chi2"),
+    )
