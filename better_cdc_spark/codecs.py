@@ -3961,3 +3961,103 @@ def decode_exif(payload: bytes) -> dict:
 
     read_ifd(ifd_off)
     return out
+
+
+# ---------------------------------------------------------------------------
+# TGA — Truevision TARGA (24bpp true-color, types 2 uncompressed and 10
+# RLE). The textbook byte-oriented RLE: packets with a count byte whose
+# high bit selects run-vs-raw — the scanline analog of QOI's RUN op, and
+# the format legacy game/graphics corpora actually carry. TGA has no
+# leading magic; the v2 footer signature "TRUEVISION-XFILE." is the
+# sniffable anchor (per the published TGA 2.0 spec).
+# ---------------------------------------------------------------------------
+
+_TGA_FOOTER = b"\x00\x00\x00\x00\x00\x00\x00\x00TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(width: int, height: int, rgb: bytes, rle: bool = True) -> bytes:
+    """Top-down RGB raster → 24bpp TGA (type 10 RLE by default, type 2
+    raw otherwise), top-down storage (descriptor bit 5), v2 footer."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
+    header = struct.pack(
+        "<BBBHHBHHHHBB",
+        0, 0, 10 if rle else 2,
+        0, 0, 0,       # no color map
+        0, 0, width, height, 24, 0x20,  # top-down
+    )
+    pixels = [
+        bytes((rgb[i * 3 + 2], rgb[i * 3 + 1], rgb[i * 3]))  # BGR
+        for i in range(width * height)
+    ]
+    if not rle:
+        return header + b"".join(pixels) + _TGA_FOOTER
+    body = bytearray()
+    i, n = 0, len(pixels)
+    while i < n:
+        # greedy: measure the run at i (capped at 128)
+        run = 1
+        while i + run < n and run < 128 and pixels[i + run] == pixels[i]:
+            run += 1
+        if run >= 2:
+            body += bytes((0x80 | (run - 1),)) + pixels[i]
+            i += run
+            continue
+        # literal stretch: until the next >=2 run starts (capped at 128)
+        j = i + 1
+        while (
+            j < n and j - i < 128
+            and not (j + 1 < n and pixels[j + 1] == pixels[j])
+        ):
+            j += 1
+        body += bytes((j - i - 1,)) + b"".join(pixels[i:j])
+        i = j
+    return header + bytes(body) + _TGA_FOOTER
+
+
+def decode_tga(payload: bytes) -> dict:
+    """24bpp TGA (types 2 and 10) → {width, height, pixels} (top-down
+    RGB). Validates the v2 footer signature; color-mapped/other-depth
+    variants raise (the honest-seam convention)."""
+    if payload[-18:] != _TGA_FOOTER[-18:]:
+        raise ValueError("not a TGA v2 (no TRUEVISION-XFILE footer)")
+    (
+        id_len, cmap_type, image_type,
+        _cm_first, _cm_len, _cm_bpp,
+        _x0, _y0, width, height, bpp, desc,
+    ) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if cmap_type != 0 or image_type not in (2, 10) or bpp != 24:
+        raise ValueError(
+            f"unsupported TGA variant (cmap={cmap_type},"
+            f" type={image_type}, bpp={bpp}): 24bpp true-color only"
+        )
+    pos = 18 + id_len
+    npix = width * height
+    pix = bytearray()
+    if image_type == 2:
+        need = npix * 3
+        pix += payload[pos : pos + need]
+        if len(pix) != need:
+            raise ValueError("truncated TGA raster")
+    else:
+        while len(pix) < npix * 3:
+            hdr = payload[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                pix += payload[pos : pos + 3] * count
+                pos += 3
+            else:  # raw packet: count literal pixels
+                pix += payload[pos : pos + count * 3]
+                pos += count * 3
+        if len(pix) != npix * 3:
+            raise ValueError("TGA RLE stream overruns the raster")
+    top_down = bool(desc & 0x20)
+    out = bytearray(npix * 3)
+    for row in range(height):
+        y = row if top_down else height - 1 - row
+        line = pix[row * width * 3 : (row + 1) * width * 3]
+        for x in range(width):
+            b, g, r = line[x * 3 : x * 3 + 3]
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
+    return {"width": width, "height": height, "pixels": bytes(out)}

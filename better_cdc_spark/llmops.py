@@ -1507,6 +1507,14 @@ def sniff_media(payload: bytes) -> dict:
             "mime": "image/bmp", "width": m["width"], "height": m["height"],
             "duration_us": None, "detail": sum(m["pixels"]),
         }
+    if payload[-18:] == b"TRUEVISION-XFILE.\x00"[-18:]:
+        # TGA has no LEADING magic; the v2 footer signature is the
+        # published anchor (checked last-ish so prefix magics win)
+        m = codecs.decode_tga(payload)
+        return {
+            "mime": "image/tga", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["pixels"]),
+        }
     if payload[:4] == b"qoif":
         m = codecs.decode_qoi(payload)
         return {

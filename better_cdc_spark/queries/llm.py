@@ -16039,3 +16039,82 @@ def q97ab_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK_K)
         .select("qid", "nid", "ip", "rnk")
     )
+
+
+@query(
+    "q99af_tga_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(range(w * h * 3),
+                  i -> (doc_id * 31 + (i // 3 // 3) * 17 + (i % 3) * 11)
+                       % 256)) AS BIGINT) AS checksum
+    FROM p
+    """,
+    tags=("llm", "multimodal", "image", "tga"),
+)
+def q99af_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING TGA decode — Truevision TARGA type-10 RLE true-color
+    (codecs.encode_tga/decode_tga): count-byte packets whose high bit
+    selects run-vs-raw, BGR pixel order, top-down descriptor flag, v2
+    TRUEVISION-XFILE footer (TGA's only sniffable anchor — it has no
+    leading magic, which is exactly why it joins sniff_media as the
+    footer-dispatch case). TGA is what legacy game/graphics corpora
+    carry; this is the tenth executing container.
+
+    The synthetic fill repeats each pixel 3 times (q -> q div 3), so
+    every payload mixes RLE RUN packets with literal stretches — a
+    decoder that mis-parses either packet kind, drops the BGR swap,
+    or mis-handles the top-down flag hash-mismatches against the
+    closed-form byte-sum oracle (RLE is lossless, the q99aa BMP
+    contract). Bottom-up and type-2 raw paths are unit-tested.
+
+    Scale: narrow Arrow maps end-to-end, no shuffle — the per-payload
+    decode stage shape every codec in this family shares.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_tga
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                w, h = 4 + d % 5, 3 + d % 4
+                rgb = bytes(
+                    (d * 31 + (q // 3) * 17 + c * 11) % 256
+                    for q in range(w * h)
+                    for c in range(3)
+                )
+                payloads.append(encode_tga(w, h, rgb, rle=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = llmops.sniff_media(bytes(payload))
+                assert m["mime"] == "image/tga"
+                rows.append(
+                    (int(d), m["width"], m["height"],
+                     m["width"] * m["height"], m["detail"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "checksum"],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " checksum bigint",
+    )

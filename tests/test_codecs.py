@@ -1314,3 +1314,41 @@ class TestAdviceR7Regressions:
                   (1 << 21) - 1, 1 << 21):
             r = codecs._MSBBitReader(codecs._utf8_coded_number(n))
             assert codecs._read_coded_number(r) == n
+
+
+def test_tga_roundtrip_rle_raw_and_row_orders():
+    """TGA codec paths the registered query doesn't exercise: type-2
+    raw, the bottom-up (descriptor bit 5 clear) row order, and the
+    honest-seam rejections (bad footer, unsupported depth)."""
+    import struct
+
+    import pytest
+
+    from better_cdc_spark.codecs import decode_tga, encode_tga
+
+    for w, h in [(4, 3), (7, 5), (1, 1), (8, 2)]:
+        rgb = bytes(
+            ((w * h + (q // 3) * 17 + c * 11) % 256)
+            for q in range(w * h)
+            for c in range(3)
+        )
+        for rle in (True, False):
+            d = decode_tga(encode_tga(w, h, rgb, rle=rle))
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["pixels"] == rgb
+
+    # bottom-up: flip the descriptor and reorder rows; the decoded
+    # image must be identical
+    p = bytearray(encode_tga(4, 3, bytes(range(36)), rle=False))
+    p[17] = 0x00
+    raster = p[18 : 18 + 36]
+    rows = [raster[i * 12 : (i + 1) * 12] for i in range(3)]
+    p[18 : 18 + 36] = b"".join(reversed(rows))
+    assert decode_tga(bytes(p))["pixels"] == bytes(range(36))
+
+    with pytest.raises(ValueError, match="footer"):
+        decode_tga(b"\x00" * 64)
+    good = bytearray(encode_tga(2, 2, bytes(12), rle=False))
+    good[16] = 32  # claim 32bpp
+    with pytest.raises(ValueError, match="unsupported TGA"):
+        decode_tga(bytes(good))
