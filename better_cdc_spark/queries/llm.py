@@ -16118,3 +16118,91 @@ def q99af_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
         " checksum bigint",
     )
+
+
+@query(
+    "q98ak_doc_keywords",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf, df.df,
+             CAST(floor(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df)
+                        * 1000000000 + 0.5) AS BIGINT) AS score_nano
+      FROM tf JOIN df USING (w), nd
+    ),
+    ranked AS (
+      SELECT doc_id, w, tf, df, score_nano,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score_nano DESC, w ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, rnk, w AS term, tf, df, score_nano
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def q98ak_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT KEYWORDS: top-3 terms by TF-IDF — the document-
+    side dual of q98e's corpus vocabulary (corpus top-k says what the
+    COLLECTION is about; per-doc TF-IDF says what makes THIS document
+    different), and the summary a dataset card (q94o) or a topic-
+    drilldown UI shows per item.
+
+    Ranking is decided on NANO-UNIT INTEGERS: tf * ln(N/df) truncates
+    via floor(x*1e9+.5) per (doc, term) — both engines compute the
+    identical double from exact-integer ratios first (ln per the q98b
+    same-libm precedent), so the per-doc (score_nano DESC, term)
+    order is a total order on integers and the top-3 cutoff can never
+    flake on a last-ulp divergence (the q97l rounded-rank
+    discipline).
+
+    Scale: one word-key shuffle for df, one (doc, word) aggregation
+    for tf, a doc-keyed join-back, and a per-doc bounded top-k
+    window. The q98b frequency-join shape end to end.
+    """
+    tune_for_oracle(spark)
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("score_nano"),
+        )
+    )
+    wd = W.partitionBy("doc_id").orderBy(
+        F.col("score_nano").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", F.col("w").alias("term"), "tf", "df", "score_nano")
+    )

@@ -13534,3 +13534,135 @@ def q44k_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dispersion_chi2"),
     )
+
+
+@query(
+    "q47p_funnel_significance",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS s_buy,
+             CAST(user_id % 2 AS BIGINT) AS arm
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT 'view_to_click' AS step, arm,
+             CAST(SUM(s_view) AS BIGINT) AS n_in,
+             CAST(SUM(CASE WHEN s_view = 1 AND s_click = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      FROM u GROUP BY arm
+      UNION ALL
+      SELECT 'click_to_buy' AS step, arm,
+             CAST(SUM(s_click) AS BIGINT) AS n_in,
+             CAST(SUM(CASE WHEN s_click = 1 AND s_buy = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      FROM u GROUP BY arm
+    ),
+    wide AS (
+      SELECT step,
+             CAST(MAX(CASE WHEN arm = 0 THEN n_in END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN arm = 0 THEN n_out END) AS BIGINT) AS x1,
+             CAST(MAX(CASE WHEN arm = 1 THEN n_in END) AS BIGINT) AS n2,
+             CAST(MAX(CASE WHEN arm = 1 THEN n_out END) AS BIGINT) AS x2
+      FROM steps GROUP BY step
+    )
+    SELECT step, n1, x1, n2, x2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2, 6)
+           END AS rate_diff,
+           CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0
+                 AND x1 + x2 < n1 + n2 THEN
+             round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                   / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                          * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                          * (1.0 / n1 + 1.0 / n2)), 6)
+           END AS z_stat
+    FROM wide
+    """,
+    tags=("funnel", "statistics"),
+)
+def q47p_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST per funnel step between the even/odd user
+    arms — the decision layer the funnel family lacked: q47 counts
+    step conversion, q36ai/q36af test paired and trend hypotheses;
+    this is the A/B readout (is arm 0's view->click rate REALLY
+    different from arm 1's?) every experiment dashboard runs on funnel
+    data.
+
+    Per-arm step counts are exact integers from one (user) MAX pass
+    (step membership is reach-based: a user counts into a step's
+    denominator iff they reached its input stage); the pooled z
+    assembles in ONE pinned double expression per step. The 2x2 pivot
+    is a MAX-CASE fold, never a join (q36ag discipline).
+
+    Degenerate cells (an arm with zero step entrants at tiny scales,
+    or an all-or-nothing pooled rate) yield NULL statistics by
+    explicit guard on the exact integers — Spark's ANSI
+    divide-by-zero and DuckDB's silent inf would otherwise diverge.
+
+    Scale: one map-side-combinable user pass; everything after lives
+    on the 2-step x 2-arm frame.
+    """
+    tune_for_oracle(spark)
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "s_view"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("s_click"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("s_buy"),
+        )
+        .select(
+            "*", (F.col("user_id") % 2).cast("long").alias("arm")
+        )
+    )
+
+    def step_counts(name, in_col, out_col):
+        return u.groupBy("arm").agg(
+            F.lit(name).alias("step"),
+            F.sum(in_col).cast("long").alias("n_in"),
+            F.sum(
+                F.when((F.col(in_col) == 1) & (F.col(out_col) == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_out"),
+        )
+
+    steps = step_counts("view_to_click", "s_view", "s_click").unionByName(
+        step_counts("click_to_buy", "s_click", "s_buy")
+    )
+    wide = steps.groupBy("step").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_in"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_out"))).cast("long").alias("x1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_in"))).cast("long").alias("n2"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_out"))).cast("long").alias("x2"),
+    )
+    p1 = F.expr("CAST(x1 AS DOUBLE) / n1")
+    p2 = F.expr("CAST(x2 AS DOUBLE) / n2")
+    pp = F.expr("CAST(x1 + x2 AS DOUBLE) / (n1 + n2)")
+    both = (F.col("n1") > 0) & (F.col("n2") > 0)
+    nondegenerate = (
+        both
+        & (F.col("x1") + F.col("x2") > 0)
+        & (F.col("x1") + F.col("x2") < F.col("n1") + F.col("n2"))
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return wide.select(
+        "step",
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.when(both, F.round(p1 - p2, 6)).alias("rate_diff"),
+        F.when(nondegenerate, F.round(z, 6)).alias("z_stat"),
+    )
