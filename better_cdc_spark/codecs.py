@@ -4061,3 +4061,88 @@ def decode_tga(payload: bytes) -> dict:
             b, g, r = line[x * 3 : x * 3 + 3]
             out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
     return {"width": width, "height": height, "pixels": bytes(out)}
+
+
+# ---------------------------------------------------------------------------
+# PCX — ZSoft Paintbrush (24bpp, 3 color PLANES per scanline, RLE with
+# the top-two-bits run marker). The planar layout is the distinctive
+# decode hazard TGA/BMP don't have: each row arrives as R-plane bytes,
+# then G, then B, each independently RLE'd across the row (runs may
+# cross plane boundaries per the spec — encoder here never emits that,
+# decoder handles the plane-concatenated stream uniformly).
+# ---------------------------------------------------------------------------
+
+
+def encode_pcx(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB raster → 24bpp PCX (version 5, 8 bits/plane,
+    3 planes, RLE)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
+    bpl = width + (width & 1)  # bytes per plane line, even per spec
+    header = struct.pack(
+        "<BBBBHHHHHH48sBBHH58s",
+        0x0A, 5, 1, 8,
+        0, 0, width - 1, height - 1,
+        72, 72, b"\x00" * 48, 0, 3, bpl, 1, b"\x00" * 58,
+    )
+    body = bytearray()
+    for y in range(height):
+        for plane in range(3):
+            line = bytes(
+                rgb[(y * width + x) * 3 + plane] for x in range(width)
+            ) + b"\x00" * (bpl - width)
+            i = 0
+            while i < len(line):
+                run = 1
+                while (
+                    i + run < len(line) and run < 63
+                    and line[i + run] == line[i]
+                ):
+                    run += 1
+                v = line[i]
+                if run > 1 or (v & 0xC0) == 0xC0:
+                    body += bytes((0xC0 | run, v))
+                else:
+                    body += bytes((v,))
+                i += run
+    return header + bytes(body)
+
+
+def decode_pcx(payload: bytes) -> dict:
+    """24bpp 3-plane RLE PCX → {width, height, pixels} (top-down RGB).
+    Non-24bpp / unversioned variants raise (honest-seam convention)."""
+    if payload[0] != 0x0A:
+        raise ValueError("not a PCX (no 0x0A manufacturer byte)")
+    (
+        _mfg, version, encoding, bits,
+        x0, y0, x1, y1, _hdpi, _vdpi,
+    ) = struct.unpack_from("<BBBBHHHHHH", payload, 0)
+    nplanes = payload[65]
+    bpl = struct.unpack_from("<H", payload, 66)[0]
+    if version != 5 or encoding != 1 or bits != 8 or nplanes != 3:
+        raise ValueError(
+            f"unsupported PCX variant (v={version}, enc={encoding},"
+            f" bits={bits}, planes={nplanes}): 24bpp RLE only"
+        )
+    width, height = x1 - x0 + 1, y1 - y0 + 1
+    need = bpl * 3 * height
+    flat = bytearray()
+    pos = 128
+    while len(flat) < need:
+        b = payload[pos]
+        pos += 1
+        if (b & 0xC0) == 0xC0:
+            flat += bytes((payload[pos],)) * (b & 0x3F)
+            pos += 1
+        else:
+            flat += bytes((b,))
+    if len(flat) != need:
+        raise ValueError("PCX RLE stream overruns the raster")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        base = y * bpl * 3
+        for plane in range(3):
+            line = flat[base + plane * bpl : base + plane * bpl + width]
+            for x in range(width):
+                out[(y * width + x) * 3 + plane] = line[x]
+    return {"width": width, "height": height, "pixels": bytes(out)}

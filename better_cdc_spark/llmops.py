@@ -1507,6 +1507,12 @@ def sniff_media(payload: bytes) -> dict:
             "mime": "image/bmp", "width": m["width"], "height": m["height"],
             "duration_us": None, "detail": sum(m["pixels"]),
         }
+    if payload[:1] == b"\x0a" and len(payload) > 128 and payload[1] == 5:
+        m = codecs.decode_pcx(payload)
+        return {
+            "mime": "image/pcx", "width": m["width"], "height": m["height"],
+            "duration_us": None, "detail": sum(m["pixels"]),
+        }
     if payload[-18:] == b"TRUEVISION-XFILE.\x00"[-18:]:
         # TGA has no LEADING magic; the v2 footer signature is the
         # published anchor (checked last-ish so prefix magics win)

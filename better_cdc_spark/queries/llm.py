@@ -16206,3 +16206,81 @@ def q98ak_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "rnk", F.col("w").alias("term"), "tf", "df", "score_nano")
     )
+
+
+@query(
+    "q99ag_pcx_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 3 + doc_id % 7 AS w, 2 + doc_id % 5 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(range(w * h * 3),
+                  i -> (doc_id * 13 + (i // 3 // 2) * 29 + (i % 3) * 7)
+                       % 256)) AS BIGINT) AS checksum
+    FROM p
+    """,
+    tags=("llm", "multimodal", "image", "pcx"),
+)
+def q99ag_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING PCX decode — ZSoft Paintbrush 24bpp, the PLANAR
+    container (codecs.encode_pcx/decode_pcx): each scanline arrives as
+    an R plane, then G, then B, each RLE'd with the top-two-bits run
+    marker and high-valued literals escaped as runs of one — the
+    plane-interleave reconstruction is the decode hazard no other
+    container on the shelf exercises (TGA/BMP/QOI are all
+    pixel-interleaved). Eleventh executing container; joins
+    sniff_media on the 0x0A manufacturer byte + version 5.
+
+    The synthetic fill repeats pixels in pairs (q -> q div 2), so
+    every payload mixes run and literal packets in every plane;
+    width 3 + d%7 covers both odd widths (even bytes-per-line
+    padding, the spec's other trap) and even. RLE is lossless, so
+    the oracle is the closed-form byte sum (the q99aa contract).
+
+    Scale: narrow Arrow maps end-to-end, no shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_pcx
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                w, h = 3 + d % 7, 2 + d % 5
+                rgb = bytes(
+                    (d * 13 + (q // 2) * 29 + c * 7) % 256
+                    for q in range(w * h)
+                    for c in range(3)
+                )
+                payloads.append(encode_pcx(w, h, rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = llmops.sniff_media(bytes(payload))
+                assert m["mime"] == "image/pcx"
+                rows.append(
+                    (int(d), m["width"], m["height"],
+                     m["width"] * m["height"], m["detail"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "checksum"],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " checksum bigint",
+    )

@@ -1352,3 +1352,30 @@ def test_tga_roundtrip_rle_raw_and_row_orders():
     good[16] = 32  # claim 32bpp
     with pytest.raises(ValueError, match="unsupported TGA"):
         decode_tga(bytes(good))
+
+
+def test_pcx_roundtrip_padding_and_rejections():
+    """PCX paths beyond the registered query: odd-width even-byte
+    padding, the 0xC0-range literal escaped as a run of one, and the
+    honest-seam rejections."""
+    import pytest
+
+    from better_cdc_spark.codecs import decode_pcx, encode_pcx
+
+    for w, h in [(3, 2), (4, 3), (1, 1), (7, 4)]:
+        rgb = bytes(
+            ((w * 13 + (q // 2) * 29 + c * 7) % 256)
+            for q in range(w * h)
+            for c in range(3)
+        )
+        d = decode_pcx(encode_pcx(w, h, rgb))
+        assert (d["width"], d["height"], d["pixels"]) == (w, h, rgb)
+
+    assert decode_pcx(encode_pcx(1, 1, b"\xc5\xc5\xc5"))["pixels"] == b"\xc5\xc5\xc5"
+
+    with pytest.raises(ValueError, match="manufacturer"):
+        decode_pcx(b"\x00" * 200)
+    bad = bytearray(encode_pcx(2, 2, bytes(12)))
+    bad[65] = 1  # claim 1 plane
+    with pytest.raises(ValueError, match="unsupported PCX"):
+        decode_pcx(bytes(bad))
