@@ -4146,3 +4146,109 @@ def decode_pcx(payload: bytes) -> dict:
             for x in range(width):
                 out[(y * width + x) * 3 + plane] = line[x]
     return {"width": width, "height": height, "pixels": bytes(out)}
+
+
+# ---------------------------------------------------------------------------
+# AIFF — Apple/EA IFF audio (FORM/COMM/SSND chunks, BIG-endian PCM).
+# The distinctive parse hazard: COMM stores the sample rate as an
+# 80-bit IEEE 754 EXTENDED float (1 sign + 15 exponent + 64 explicit-
+# integer-bit mantissa) — no Python struct code exists for it, so both
+# sides of the pair implement the textbook conversion by hand.
+# ---------------------------------------------------------------------------
+
+
+def _f80_encode(rate: int) -> bytes:
+    """Positive integer sample rate → 80-bit extended float bytes."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    m = rate
+    e = 0
+    while m < (1 << 63):
+        m <<= 1
+        e -= 1
+    while m >= (1 << 64):
+        m >>= 1
+        e += 1
+    exponent = 16383 + 63 + e
+    return struct.pack(">HQ", exponent, m)
+
+
+def _f80_decode(b: bytes) -> int:
+    """80-bit extended float bytes → integer sample rate."""
+    exponent, mantissa = struct.unpack(">HQ", b[:10])
+    if exponent & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    e = exponent - 16383 - 63
+    return mantissa << e if e >= 0 else mantissa >> -e
+
+
+def encode_aiff(
+    samples: bytes, *, framerate: int = 8000, channels: int = 1,
+    sampwidth: int = 2,
+) -> bytes:
+    """Little-endian PCM sample bytes → AIFF (big-endian samples,
+    80-bit-float rate in COMM). ``samples`` arrive in the machine's
+    usual little-endian order; the encoder byte-swaps per frame word."""
+    if len(samples) % (channels * sampwidth):
+        raise ValueError("sample bytes not a whole number of frames")
+    n_frames = len(samples) // (channels * sampwidth)
+    if sampwidth == 1:
+        big = samples
+    else:
+        big = bytearray()
+        for i in range(0, len(samples), sampwidth):
+            big += samples[i : i + sampwidth][::-1]
+        big = bytes(big)
+    comm = struct.pack(">hLh", channels, n_frames, sampwidth * 8) + _f80_encode(
+        framerate
+    )
+    ssnd = struct.pack(">LL", 0, 0) + big
+    chunks = b"COMM" + struct.pack(">L", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    if len(ssnd) % 2:
+        chunks += b"\x00"  # IFF chunks pad to even length
+    return b"FORM" + struct.pack(">L", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """AIFF → {channels, sampwidth, framerate, n_frames, duration_us,
+    frames} with frames byte-swapped back to little-endian (the
+    decode_wav shape, so downstream audio stages are container-
+    agnostic). Compressed AIFC raises (honest-seam convention)."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF (no FORM/AIFF header)")
+    pos, end = 12, 8 + struct.unpack(">L", payload[4:8])[0]
+    comm = ssnd = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack(">L", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + clen + (clen & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    channels, n_frames, bits = struct.unpack(">hLh", comm[:8])
+    rate = _f80_decode(comm[8:18])
+    sampwidth = bits // 8
+    offset = struct.unpack(">L", ssnd[:4])[0]
+    big = ssnd[8 + offset : 8 + offset + n_frames * channels * sampwidth]
+    if len(big) != n_frames * channels * sampwidth:
+        raise ValueError("truncated AIFF sample data")
+    if sampwidth == 1:
+        frames = bytes(big)
+    else:
+        out = bytearray()
+        for i in range(0, len(big), sampwidth):
+            out += big[i : i + sampwidth][::-1]
+        frames = bytes(out)
+    return {
+        "channels": channels,
+        "sampwidth": sampwidth,
+        "framerate": rate,
+        "n_frames": n_frames,
+        "duration_us": n_frames * 1_000_000 // rate,
+        "frames": frames,
+    }

@@ -1070,6 +1070,12 @@ def decode_audio(payload: bytes) -> "object":
         from better_cdc_spark import codecs
 
         return codecs.decode_flac(payload)
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        m = codecs.decode_aiff(payload)
+        return {
+            "mime": "audio/aiff", "width": None, "height": None,
+            "duration_us": m["duration_us"], "detail": sum(m["frames"]),
+        }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from better_cdc_spark import codecs
 
@@ -1482,6 +1488,12 @@ def sniff_media(payload: bytes) -> dict:
         return {
             "mime": "image/png", "width": m["width"], "height": m["height"],
             "duration_us": None, "detail": sum(m["pixels"]),
+        }
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        m = codecs.decode_aiff(payload)
+        return {
+            "mime": "audio/aiff", "width": None, "height": None,
+            "duration_us": m["duration_us"], "detail": sum(m["frames"]),
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         m = codecs.decode_wav(payload)

@@ -16284,3 +16284,84 @@ def q99ag_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
         " checksum bigint",
     )
+
+
+@query(
+    "q99ah_aiff_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 20 + doc_id % 30 AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1000000 // (8000 + 100 * (doc_id % 5)) AS BIGINT)
+             AS duration_us,
+           CAST(list_sum(list_transform(range(n * 2),
+                  i -> (doc_id * 37 + i * 11) % 256)) AS BIGINT)
+             AS checksum
+    FROM p
+    """,
+    tags=("llm", "multimodal", "audio", "aiff"),
+)
+def q99ah_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING AIFF decode — the big-endian audio container
+    (codecs.encode_aiff/decode_aiff): FORM/COMM/SSND IFF chunks,
+    per-word byte-swapped PCM16, odd-chunk padding, and the parse
+    hazard that makes AIFF worth a dedicated cell — COMM carries the
+    sample rate as an 80-BIT IEEE EXTENDED FLOAT (no struct code
+    exists; both codec sides implement the 15-bit-exponent /
+    explicit-integer-bit conversion by hand). Twelfth executing
+    container; sniff_media dispatches on FORM/AIFF next to its RIFF
+    twins.
+
+    Per doc: a deterministic PCM16 ramp at a doc-varying rate
+    (8000 + 100*(d%5) — five distinct f80 encodings per corpus) —
+    the decoded little-endian byte sum and integer-floor duration are
+    closed-form, so a swap, rate, or chunk-walk bug hash-mismatches.
+
+    Scale: narrow Arrow maps end-to-end, no shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_aiff
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                n = 20 + d % 30
+                samples = bytes((d * 37 + i * 11) % 256 for i in range(n * 2))
+                payloads.append(
+                    encode_aiff(
+                        samples,
+                        framerate=8000 + 100 * (d % 5),
+                        channels=1,
+                        sampwidth=2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = llmops.sniff_media(bytes(payload))
+                assert m["mime"] == "audio/aiff"
+                rows.append((int(d), m["duration_us"], m["detail"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "duration_us", "checksum"]
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    decoded = payloads.mapInPandas(
+        decode, "doc_id bigint, duration_us bigint, checksum bigint"
+    )
+    return decoded.select(
+        "doc_id",
+        (20 + F.col("doc_id") % 30).cast("long").alias("n_frames"),
+        "duration_us",
+        "checksum",
+    )

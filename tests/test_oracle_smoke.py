@@ -50,6 +50,8 @@ def test_lsh_recall_coupled_oracles_declare_their_probed_scales():
         "q97f_ivf_index_persist",  # same model as q97_ann_ivf
         # round-11 promotion: probed-exact at the pinned scales
         "q97_ann_pq",  # subspace centroid means + ADC shortlist boundary
+        # round-11 session-2: same quantizer-retrain pin as q97_ann_ivf
+        "q97z_cluster_quality",  # k-means mirror + micro-unit rounding
     ]
     for name in coupled:
         spec = reg[name]
