@@ -1379,3 +1379,30 @@ def test_pcx_roundtrip_padding_and_rejections():
     bad[65] = 1  # claim 1 plane
     with pytest.raises(ValueError, match="unsupported PCX"):
         decode_pcx(bytes(bad))
+
+
+def test_aiff_f80_rates_and_rejections():
+    """AIFF paths beyond the registered query: exotic-but-exact f80
+    rates, 8-bit samples (no swap), stereo, and the loud rejections."""
+    import pytest
+
+    from better_cdc_spark.codecs import (
+        _f80_decode, _f80_encode, decode_aiff, encode_aiff,
+    )
+
+    for rate in (1, 7, 8000, 11025, 22050, 44100, 48000, 192000):
+        assert _f80_decode(_f80_encode(rate)) == rate
+
+    samples = bytes((i * 13 + 1) % 256 for i in range(34))
+    d = decode_aiff(encode_aiff(samples, framerate=22050, channels=1,
+                                sampwidth=1))
+    assert d["frames"] == samples and d["sampwidth"] == 1
+
+    stereo = bytes(range(40))
+    d2 = decode_aiff(encode_aiff(stereo, framerate=44100, channels=2,
+                                 sampwidth=2))
+    assert d2["frames"] == stereo and d2["channels"] == 2
+    assert d2["n_frames"] == 10
+
+    with pytest.raises(ValueError, match="FORM/AIFF"):
+        decode_aiff(b"RIFF" + b"\x00" * 40)
