@@ -13666,3 +13666,121 @@ def q47p_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(both, F.round(p1 - p2, 6)).alias("rate_diff"),
         F.when(nondegenerate, F.round(z, 6)).alias("z_stat"),
     )
+
+
+@query(
+    "q36av_robust_shape",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    grid AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x
+    ),
+    cum AS (
+      SELECT x, CAST(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cm
+      FROM grid
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM grid),
+    oct AS (
+      SELECT k.k,
+             CAST(MIN(cum.x) AS BIGINT) AS e
+      FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) k, cum, tot
+      WHERE cum.cm >= (tot.n * k.k + 7) // 8
+      GROUP BY k.k
+    ),
+    wide AS (
+      SELECT CAST(MAX(CASE WHEN k = 1 THEN e END) AS BIGINT) AS e1,
+             CAST(MAX(CASE WHEN k = 2 THEN e END) AS BIGINT) AS e2,
+             CAST(MAX(CASE WHEN k = 3 THEN e END) AS BIGINT) AS e3,
+             CAST(MAX(CASE WHEN k = 4 THEN e END) AS BIGINT) AS e4,
+             CAST(MAX(CASE WHEN k = 5 THEN e END) AS BIGINT) AS e5,
+             CAST(MAX(CASE WHEN k = 6 THEN e END) AS BIGINT) AS e6,
+             CAST(MAX(CASE WHEN k = 7 THEN e END) AS BIGINT) AS e7
+      FROM oct
+    )
+    SELECT tot.n, wide.e2 AS q1, wide.e4 AS q2, wide.e6 AS q3,
+           round(CAST(wide.e6 + wide.e2 - 2 * wide.e4 AS DOUBLE)
+                 / (wide.e6 - wide.e2), 6) AS bowley_skew,
+           round(CAST(wide.e6 - wide.e2 AS DOUBLE)
+                 / (wide.e6 + wide.e2), 6) AS quartile_dispersion,
+           round(CAST((wide.e7 - wide.e5) + (wide.e3 - wide.e1) AS DOUBLE)
+                 / (wide.e6 - wide.e2), 6) AS moors_kurtosis
+    FROM wide, tot
+    """,
+    tags=("agg", "statistics", "robust"),
+)
+def q36av_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST SHAPE STATISTICS — Bowley quartile skewness, the
+    quartile coefficient of dispersion, and Moors' octile kurtosis —
+    the quantile-based counterparts to q36ad's moment skewness/
+    kurtosis (Jarque-Bera's inputs explode under one wild value;
+    these have 25% breakdown and answer the same "is it asymmetric /
+    heavy-tailed?" questions on corrupt data).
+
+    All seven octiles are DISCRETE order statistics (smallest grid
+    value with cumulative count >= ceil(n*k/8), the integer ceil
+    (n*k+7) div 8 — selection on exact integers, no interpolation, so
+    cross-engine bit-safety is structural); the three statistics are
+    pinned double ratios of integer differences. The octile selection
+    joins the bounded cumulative grid against a 7-row target frame.
+
+    Scale: one histogram pass; cumsum and selection on the ~400-row
+    value grid (the q36aa grid discipline).
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.floor("value").cast("long").alias("x")
+    )
+    grid = v.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    cum = grid.select(
+        "x",
+        F.sum("c")
+        .over(W.orderBy("x").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cm"),
+    )
+    tot = grid.agg(F.sum("c").cast("long").alias("n"))
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    oct_sel = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(ks),
+            F.col("cm") >= F.expr("(n * k + 7) div 8"),
+        )
+        .groupBy("k")
+        .agg(F.min("x").cast("long").alias("e"))
+    )
+    wide = oct_sel.agg(
+        *[
+            F.max(F.when(F.col("k") == i, F.col("e")))
+            .cast("long")
+            .alias(f"e{i}")
+            for i in range(1, 8)
+        ]
+    )
+    return wide.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("e2").alias("q1"),
+        F.col("e4").alias("q2"),
+        F.col("e6").alias("q3"),
+        F.round(
+            (F.col("e6") + F.col("e2") - 2 * F.col("e4")).cast("double")
+            / (F.col("e6") - F.col("e2")),
+            6,
+        ).alias("bowley_skew"),
+        F.round(
+            (F.col("e6") - F.col("e2")).cast("double")
+            / (F.col("e6") + F.col("e2")),
+            6,
+        ).alias("quartile_dispersion"),
+        F.round(
+            (
+                (F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1"))
+            ).cast("double")
+            / (F.col("e6") - F.col("e2")),
+            6,
+        ).alias("moors_kurtosis"),
+    )
