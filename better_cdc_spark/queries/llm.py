@@ -16365,3 +16365,288 @@ def q99ah_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_us",
         "checksum",
     )
+
+
+@query(
+    "q94ak_clustering_coefficient",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+      WHERE t.k <= 1 + doc_id % 3
+    ),
+    und AS (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT u AS a, v AS b FROM und
+      UNION ALL
+      SELECT v AS a, u AS b FROM und
+    ),
+    deg AS (
+      SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a
+    ),
+    tri AS (
+      SELECT n1.a AS node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM adj n1 JOIN adj n2
+        ON n2.a = n1.a AND n2.b > n1.b
+      JOIN und e ON e.u = n1.b AND e.v = n2.b
+      GROUP BY n1.a
+    ),
+    pern AS (
+      SELECT deg.node, deg.d,
+             CAST(COALESCE(tri.t, 0) AS BIGINT) AS t,
+             deg.d * (deg.d - 1) / 2 AS wedges
+      FROM deg LEFT JOIN tri USING (node)
+      WHERE deg.d >= 2
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(CAST(1000000 * t // wedges AS BIGINT)) AS BIGINT)
+               AS cc_sum_micro,
+             CAST(SUM(t) AS BIGINT) AS closed_wedges,
+             CAST(SUM(wedges) AS BIGINT) AS total_wedges
+      FROM pern
+    )
+    SELECT n_nodes, closed_wedges, total_wedges,
+           round(CAST(cc_sum_micro AS DOUBLE) / n_nodes / 1000000.0, 6)
+             AS avg_clustering,
+           round(CAST(closed_wedges AS DOUBLE) / total_wedges, 6)
+             AS transitivity
+    FROM agg
+    """,
+    tags=("llm", "graph"),
+)
+def q94ak_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE LOCAL CLUSTERING COEFFICIENT and GLOBAL TRANSITIVITY of
+    the symmetrized link graph — the two numbers that famously
+    disagree (Watts-Strogatz averages per-node ratios, Newman ratios
+    the totals; hub-heavy graphs split them wide apart), which is
+    precisely the diagnostic pair: q94g's raw triangle count says how
+    much closure exists, these say how it's DISTRIBUTED.
+
+    Per-node triangles come from the wedge join (two adjacency hops
+    from the apex, b2 > b1 killing mirrors, closed by one edge
+    equi-join — degree-bounded fan-out, the q94z candidate shape);
+    per-node cc truncates to micro-units (1e6*t div wedges —
+    deterministic floor both engines) so the average is an exact
+    integer sum; transitivity is one pinned division of exact totals.
+
+    Scale: the wedge join is O(sum deg^2) — linear for bounded-degree
+    web graphs; everything aggregates map-side. Exact integers end to
+    end.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                        for k in (1, 2, 3)
+                    ]
+                ),
+                1,
+                (1 + F.col("doc_id") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    n1 = adj.select(F.col("a").alias("node"), F.col("b").alias("b1"))
+    n2 = adj.select(F.col("a").alias("node2"), F.col("b").alias("b2"))
+    tri = (
+        n1.join(
+            n2,
+            (F.col("node2") == F.col("node")) & (F.col("b2") > F.col("b1")),
+        )
+        .join(
+            und,
+            (F.col("u") == F.col("b1")) & (F.col("v") == F.col("b2")),
+            "left_semi",
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    pern = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.coalesce("t", F.lit(0)).cast("long").alias("t"),
+            (F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
+        )
+    )
+    agg = pern.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("CAST(1000000 * t div wedges AS BIGINT)"))
+        .cast("long")
+        .alias("cc_sum_micro"),
+        F.sum("t").cast("long").alias("closed_wedges"),
+        F.sum("wedges").cast("long").alias("total_wedges"),
+    )
+    return agg.select(
+        "n_nodes",
+        "closed_wedges",
+        "total_wedges",
+        F.round(
+            F.col("cc_sum_micro").cast("double")
+            / F.col("n_nodes")
+            / 1000000.0,
+            6,
+        ).alias("avg_clustering"),
+        F.round(
+            F.col("closed_wedges").cast("double") / F.col("total_wedges"), 6
+        ).alias("transitivity"),
+    )
+
+
+@query(
+    "q98am_js_divergence",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    f AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cq
+      FROM words GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(cq) AS BIGINT) AS nq
+      FROM f
+    ),
+    terms AS (
+      SELECT
+        CASE WHEN f.cp > 0 THEN
+          CAST(floor(CAST(f.cp AS DOUBLE) / tot.np
+                     * log2(2.0 * (CAST(f.cp AS DOUBLE) / tot.np)
+                            / (CAST(f.cp AS DOUBLE) / tot.np
+                               + CAST(f.cq AS DOUBLE) / tot.nq))
+                     * 1000000000 + 0.5) AS BIGINT)
+        ELSE 0 END AS tp_nano,
+        CASE WHEN f.cq > 0 THEN
+          CAST(floor(CAST(f.cq AS DOUBLE) / tot.nq
+                     * log2(2.0 * (CAST(f.cq AS DOUBLE) / tot.nq)
+                            / (CAST(f.cp AS DOUBLE) / tot.np
+                               + CAST(f.cq AS DOUBLE) / tot.nq))
+                     * 1000000000 + 0.5) AS BIGINT)
+        ELSE 0 END AS tq_nano
+      FROM f, tot
+    ),
+    s AS (
+      SELECT CAST(SUM(tp_nano) AS BIGINT) AS sp,
+             CAST(SUM(tq_nano) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM terms
+    )
+    SELECT tot.np AS n_tokens_p, tot.nq AS n_tokens_q, s.vocab,
+           round(CAST(s.sp AS DOUBLE) / 2e9, 6) AS kl_p_m_half,
+           round(CAST(s.sq AS DOUBLE) / 2e9, 6) AS kl_q_m_half,
+           round((CAST(s.sp AS DOUBLE) + s.sq) / 2e9, 6) AS js_divergence
+    FROM s, tot
+    """,
+    tags=("llm", "text", "mixing"),
+)
+def q98am_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON DIVERGENCE between the src0 and src1 unigram
+    distributions — the bounded, symmetric distribution distance a
+    mixing pipeline reads before blending corpora (q95at's rho scores
+    individual documents against two LMs; JS scores the CORPORA
+    against each other — near 0 bits says the split adds no
+    diversity, near 1 bit says genuinely different text), and the
+    batch-side twin of qm25's drift alarm for vocabulary rather than
+    value distributions.
+
+    JS = (KL(p||m) + KL(q||m))/2 with m the even mixture: per-word
+    terms p_w*log2(2p_w/(p_w+q_w)) are doubles on exact-integer
+    ratios, truncated to NANO-UNIT integers per word (the q53j
+    convention — log2 per the q98b same-libm precedent), so the
+    vocabulary-sized sums cross engines exactly. Zero-count sides
+    contribute zero by explicit guard (the 0*log0 limit), never NULL
+    poison.
+
+    Scale: one word-key shuffle with in-row conditional counts; the
+    term map and sums are map-side combinable. No join beyond the
+    1-row totals broadcast.
+    """
+    tune_for_oracle(spark)
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+    )
+    f = words.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("long")
+        .alias("cq"),
+    )
+    tot = f.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    p = F.col("cp").cast("double") / F.col("np")
+    q = F.col("cq").cast("double") / F.col("nq")
+    terms = f.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("cp") > 0,
+            F.floor(
+                p * F.log2(2.0 * p / (p + q)) * 1000000000 + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(0)
+        .alias("tp_nano"),
+        F.when(
+            F.col("cq") > 0,
+            F.floor(
+                q * F.log2(2.0 * q / (p + q)) * 1000000000 + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(0)
+        .alias("tq_nano"),
+    )
+    s = terms.agg(
+        F.sum("tp_nano").cast("long").alias("sp"),
+        F.sum("tq_nano").cast("long").alias("sq"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_tokens_p"),
+        F.col("nq").alias("n_tokens_q"),
+        "vocab",
+        F.round(F.col("sp").cast("double") / 2e9, 6).alias("kl_p_m_half"),
+        F.round(F.col("sq").cast("double") / 2e9, 6).alias("kl_q_m_half"),
+        F.round(
+            (F.col("sp").cast("double") + F.col("sq")) / 2e9, 6
+        ).alias("js_divergence"),
+    )
