@@ -13784,3 +13784,130 @@ def q36av_robust_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("moors_kurtosis"),
     )
+
+
+@query(
+    "q36aw_welch_anova",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x FROM events
+    ),
+    pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM v GROUP BY g
+    ),
+    wts AS (
+      SELECT g, n,
+             CAST(s AS DOUBLE) / n AS m,
+             CAST(n AS DOUBLE) * n * (n - 1)
+             / (CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s) AS w
+      FROM pg
+    ),
+    s1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(array_agg(w ORDER BY g), (a, b) -> a + b) AS sw,
+             list_reduce(array_agg(w * m ORDER BY g), (a, b) -> a + b)
+               AS swm
+      FROM wts
+    ),
+    s2 AS (
+      SELECT s1.k, s1.sw,
+             list_reduce(array_agg(
+               wts.w * (wts.m - s1.swm / s1.sw)
+                     * (wts.m - s1.swm / s1.sw) ORDER BY wts.g),
+               (a, b) -> a + b) AS a_num,
+             list_reduce(array_agg(
+               (1 - wts.w / s1.sw) * (1 - wts.w / s1.sw)
+               / (wts.n - 1) ORDER BY wts.g),
+               (a, b) -> a + b) AS lam
+      FROM wts, s1 GROUP BY s1.k, s1.sw
+    )
+    SELECT k AS n_groups,
+           round(a_num / (k - 1)
+                 / (1 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1) * lam),
+                 6) AS welch_f,
+           (k - 1) AS dof1,
+           round((CAST(k AS DOUBLE) * k - 1) / (3.0 * lam), 6) AS dof2
+    FROM s2
+    """,
+    tags=("agg", "statistics"),
+)
+def q36aw_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S HETEROSCEDASTIC ONE-WAY ANOVA across event types — the
+    k-group mean test that drops q36z's equal-variance assumption
+    (q36z's classic F inflates its error rate badly when group
+    variances differ with unequal n; Welch reweights by n/s^2 the way
+    its 2-group sibling q36j does), with the Welch-Satterthwaite
+    second degrees of freedom.
+
+    Per-group weights w = n/s^2 and means assemble from exact BIGINT
+    moments per group row; the three k-term sums (sum w, sum w*m,
+    then the centered quadratic and the lambda correction) run as
+    ORDERED g-sorted folds on the 5-row frame (the q36aa/q36aq fold
+    discipline — staged so the weighted grand mean is itself a ratio
+    of two ordered folds before the second pass consumes it in one
+    pinned expression shape both engines share).
+
+    Scale: one map-side-combinable pass over the fact; everything
+    after lives on the k-row frame.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    pg = v.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    w = (
+        F.col("n").cast("double") * F.col("n") * (F.col("n") - 1)
+        / (
+            F.col("n").cast("double") * F.col("q")
+            - F.col("s").cast("double") * F.col("s")
+        )
+    )
+    wts = pg.select("g", "n", m.alias("m"), w.alias("w"))
+
+    def osum(term, alias):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", term.alias("t")))),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias(alias)
+
+    s1 = wts.agg(
+        F.count("*").cast("long").alias("k"),
+        osum(F.col("w"), "sw"),
+        osum(F.col("w") * F.col("m"), "swm"),
+    )
+    joined = wts.crossJoin(F.broadcast(s1))
+    gm = F.col("swm") / F.col("sw")
+    s2 = joined.groupBy("k", "sw").agg(
+        osum(F.col("w") * (F.col("m") - gm) * (F.col("m") - gm), "a_num"),
+        osum(
+            (1 - F.col("w") / F.col("sw"))
+            * (1 - F.col("w") / F.col("sw"))
+            / (F.col("n") - 1),
+            "lam",
+        ),
+    )
+    kd = F.col("k").cast("double")
+    return s2.select(
+        F.col("k").alias("n_groups"),
+        F.round(
+            F.col("a_num")
+            / (F.col("k") - 1)
+            / (1 + 2.0 * (F.col("k") - 2) / (kd * F.col("k") - 1) * F.col("lam")),
+            6,
+        ).alias("welch_f"),
+        (F.col("k") - 1).cast("long").alias("dof1"),
+        F.round((kd * F.col("k") - 1) / (3.0 * F.col("lam")), 6).alias("dof2"),
+    )
