@@ -13911,3 +13911,147 @@ def q36aw_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).cast("long").alias("dof1"),
         F.round((kd * F.col("k") - 1) / (3.0 * F.col("lam")), 6).alias("dof2"),
     )
+
+
+@query(
+    "q42r_peak_detection",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT array_agg(x ORDER BY mi) AS ys,
+             array_agg(mi ORDER BY mi) AS mis,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM m
+    ),
+    idx AS (
+      SELECT s.ys, s.mis, s.n, unnest(range(2, CAST(s.n AS INT))) AS i
+      FROM series s
+    ),
+    peaks AS (
+      SELECT ys, mis, n, CAST(i AS INT) AS i
+      FROM idx
+      WHERE ys[CAST(i AS INT)] > ys[CAST(i AS INT) - 1]
+        AND ys[CAST(i AS INT)] > ys[CAST(i AS INT) + 1]
+    ),
+    prom AS (
+      SELECT mis[i] AS month_idx, ys[i] AS height_kd,
+             ys[i] - greatest(
+               list_min(list_transform(range(
+                 COALESCE(list_max(list_filter(range(1, i),
+                   h -> ys[CAST(h AS INT)] > ys[i])), 0) + 1, i),
+                 j -> ys[CAST(j AS INT)])),
+               list_min(list_transform(range(i + 1,
+                 COALESCE(list_min(list_filter(
+                   range(i + 1, CAST(n AS INT) + 1),
+                   h -> ys[CAST(h AS INT)] > ys[i])),
+                   CAST(n AS INT) + 1)),
+                 j -> ys[CAST(j AS INT)]))
+             ) AS prominence_kd
+      FROM peaks
+    )
+    SELECT CAST(month_idx AS BIGINT) AS month_idx,
+           CAST(height_kd AS BIGINT) AS height_kd,
+           CAST(prominence_kd AS BIGINT) AS prominence_kd
+    FROM prom WHERE prominence_kd > 0
+    """,
+    tags=("timeseries", "signal"),
+)
+def q42r_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK DETECTION WITH TOPOGRAPHIC PROMINENCE on monthly revenue —
+    the signal-processing primitive behind "which spikes matter":
+    q42f/q42o flag level SHIFTS; this ranks local maxima by how far
+    they rise above their surrounding terrain (a strict local max two
+    units above a plateau is noise; the same height above a deep
+    saddle is a real event), scipy.signal.find_peaks semantics made
+    engine-portable.
+
+    Spec (deterministic, integer-only): peaks are STRICT interior
+    local maxima of the exact kilodollar series; per side, the col
+    stretch runs to the nearest strictly-higher point (or the series
+    end if none), prominence = height - max(left stretch min, right
+    stretch min). The whole computation is bounded in-row index
+    arithmetic over the ~80-month array (O(n^2) worst case = 6400
+    integer ops — calendar-bounded, never fact-sized) executed as the
+    same sequence of MIN/MAX folds on both engines. No doubles
+    anywhere.
+
+    Scale: the fact folds map-side to one cents row per month;
+    everything else is in-row on the bounded series.
+    """
+    tune_for_oracle(spark)
+    mth = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) div 100000").alias("x"))
+    )
+    series = mth.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mi", "x"))), lambda s: s["x"]
+        ).alias("ys"),
+        F.sort_array(F.collect_list("mi")).alias("mis"),
+        F.count("*").cast("long").alias("n"),
+    )
+    idx = series.select(
+        "ys",
+        "mis",
+        "n",
+        F.explode(F.sequence(F.lit(2), F.col("n").cast("int") - 1)).alias("i"),
+    )
+    yi = F.element_at("ys", F.col("i"))
+    peaks = idx.filter(
+        (yi > F.element_at("ys", F.col("i") - 1))
+        & (yi > F.element_at("ys", F.col("i") + 1))
+    )
+    left_higher = F.coalesce(
+        F.aggregate(
+            F.filter(
+                F.sequence(F.lit(1), F.col("i") - 1),
+                lambda h: F.element_at("ys", h.cast("int")) > yi,
+            ),
+            F.lit(None).cast("int"),
+            lambda a, h: F.greatest(a, h.cast("int")),
+        ),
+        F.lit(0),
+    )
+    right_higher = F.coalesce(
+        F.aggregate(
+            F.filter(
+                F.sequence(F.col("i") + 1, F.col("n").cast("int")),
+                lambda h: F.element_at("ys", h.cast("int")) > yi,
+            ),
+            F.lit(None).cast("int"),
+            lambda a, h: F.least(a, h.cast("int")),
+        ),
+        F.col("n").cast("int") + 1,
+    )
+    left_min = F.array_min(
+        F.transform(
+            F.sequence(left_higher + 1, F.col("i") - 1),
+            lambda j: F.element_at("ys", j.cast("int")),
+        )
+    )
+    right_min = F.array_min(
+        F.transform(
+            F.sequence(F.col("i") + 1, right_higher - 1),
+            lambda j: F.element_at("ys", j.cast("int")),
+        )
+    )
+    prom = peaks.select(
+        F.element_at("mis", F.col("i")).cast("long").alias("month_idx"),
+        yi.cast("long").alias("height_kd"),
+        (yi - F.greatest(left_min, right_min)).cast("long").alias(
+            "prominence_kd"
+        ),
+    )
+    return prom.filter(F.col("prominence_kd") > 0)
