@@ -14055,3 +14055,123 @@ def q42r_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return prom.filter(F.col("prominence_kd") > 0)
+
+
+@query(
+    "q36ax_anderson_darling_2s",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value) AS BIGINT) AS x,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    grid AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(s1) AS BIGINT) AS c1
+      FROM v GROUP BY x
+    ),
+    cum AS (
+      SELECT x, c,
+             CAST(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS h,
+             CAST(SUM(c1) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS l
+      FROM grid
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS nt, CAST(SUM(c1) AS BIGINT) AS n1
+      FROM grid
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               CAST(cum.c AS DOUBLE)
+               * (CAST(tot.nt AS DOUBLE) * cum.l
+                  - CAST(tot.n1 AS DOUBLE) * cum.h)
+               * (CAST(tot.nt AS DOUBLE) * cum.l
+                  - CAST(tot.n1 AS DOUBLE) * cum.h)
+               / (CAST(cum.h AS DOUBLE) * (tot.nt - cum.h))
+               * 1000 + 0.5) AS BIGINT) AS t_milli
+      FROM cum, tot WHERE cum.h < tot.nt
+    ),
+    s AS (SELECT CAST(SUM(t_milli) AS BIGINT) AS sm FROM terms)
+    SELECT tot.n1, (tot.nt - tot.n1) AS n2, s.sm AS sum_milli,
+           round(CAST(s.sm AS DOUBLE) / 1000.0
+                 / (CAST(tot.n1 AS DOUBLE) * (tot.nt - tot.n1)), 6)
+             AS a2_stat
+    FROM s, tot
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ax_anderson_darling_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE ANDERSON-DARLING between click and view values — the
+    tail-weighted companion to q36q's KS (KS sees only the single
+    largest ECDF gap, which sits near the middle; AD integrates ALL
+    gaps with 1/(H(N-H)) weighting that amplifies the TAILS — the
+    region where quality-distribution differences actually live).
+
+    Tie-blocked Scholz-Stephens form on the bounded value grid: per
+    distinct value, D = N*L - n1*H is built from exact cumulative
+    integers; the weighted term c*D^2/(H*(N-H)) is ONE pinned double
+    on those integers, truncated to MILLI-units per grid row
+    (floor(t*1e3+.5) — each t <= ~1e7, the 400-row sum <= ~4e12, so
+    the grid-sized sum crosses engines exactly); the exact milli-unit
+    sum is itself an output column and the display statistic is one
+    pinned division. The last grid block (H = N)
+    drops on both engines by the same integer predicate.
+
+    Scale: one histogram pass; cumsums and terms on the ~400-row
+    value grid (the q36aa discipline).
+    """
+    tune_for_oracle(spark)
+    v = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.floor("value").cast("long").alias("x"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("s1"),
+        )
+    )
+    grid = v.groupBy("x").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("s1").cast("long").alias("c1"),
+    )
+    wc = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = grid.select(
+        "x",
+        "c",
+        F.sum("c").over(wc).cast("long").alias("h"),
+        F.sum("c1").over(wc).cast("long").alias("l"),
+    )
+    tot = grid.agg(
+        F.sum("c").cast("long").alias("nt"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    d = (
+        F.col("nt").cast("double") * F.col("l")
+        - F.col("n1").cast("double") * F.col("h")
+    )
+    t = (
+        F.col("c").cast("double")
+        * d
+        * d
+        / (F.col("h").cast("double") * (F.col("nt") - F.col("h")))
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("h") < F.col("nt"))
+        .select(
+            F.floor(t * 1000 + F.lit(0.5)).cast("long").alias("t_milli")
+        )
+    )
+    s = terms.agg(F.sum("t_milli").cast("long").alias("sm"))
+    base = F.col("sm").cast("double") / 1000.0 / (
+        F.col("n1").cast("double") * (F.col("nt") - F.col("n1"))
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        (F.col("nt") - F.col("n1")).cast("long").alias("n2"),
+        F.col("sm").alias("sum_milli"),
+        F.round(base, 6).alias("a2_stat"),
+    )
