@@ -4252,3 +4252,79 @@ def decode_aiff(payload: bytes) -> dict:
         "duration_us": n_frames * 1_000_000 // rate,
         "frames": frames,
     }
+
+
+# ---------------------------------------------------------------------------
+# ICO — Windows icon container (favicon.ico): an ICONDIR directory over
+# embedded BMP DIBs stored WITHOUT the BITMAPFILEHEADER, with doubled
+# biHeight covering the appended 1-bit AND transparency mask. The
+# container every web crawl actually collects millions of.
+# ---------------------------------------------------------------------------
+
+
+def encode_ico(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB raster → single-image 24bpp ICO (opaque AND mask)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
+    if width > 255 or height > 255:
+        raise ValueError("ICO images are at most 255x255")
+    stride = (width * 3 + 3) & ~3
+    xor = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up, like BMP
+        row = bytearray()
+        for x in range(width):
+            r, g, b = rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        xor += row
+    mask_stride = ((width + 31) // 32) * 4
+    and_mask = b"\x00" * (mask_stride * height)  # fully opaque
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height * 2, 1, 24, 0,
+        len(xor) + len(and_mask), 0, 0, 0, 0,
+    )
+    image = dib + bytes(xor) + and_mask
+    header = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack(
+        "<BBBBHHII", width % 256, height % 256, 0, 0, 1, 24,
+        len(image), 6 + 16,
+    )
+    return header + entry + image
+
+
+def decode_ico(payload: bytes) -> dict:
+    """Single-image 24bpp ICO → {width, height, pixels} (top-down RGB).
+
+    Parses the ICONDIR, follows the first entry's offset, reads the
+    doubled-height DIB, reconstructs the XOR raster, and skips the AND
+    mask. PNG-embedded and palettized entries raise (honest-seam)."""
+    if payload[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO (bad ICONDIR reserved/type)")
+    count = struct.unpack_from("<H", payload, 4)[0]
+    if count < 1:
+        raise ValueError("empty ICO directory")
+    size, off = struct.unpack_from("<II", payload, 6 + 8)
+    body = payload[off : off + size]
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        raise ValueError("PNG-embedded ICO entry: route to decode_png")
+    (
+        bi_size, width, height2, _planes, bitcount, compression,
+    ) = struct.unpack_from("<IiiHHI", body, 0)
+    if bi_size != 40 or bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported ICO DIB (size={bi_size}, bpp={bitcount},"
+            f" comp={compression}): 24bpp BI_RGB only"
+        )
+    height = height2 // 2
+    stride = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        y = height - 1 - row  # bottom-up
+        base = 40 + row * stride
+        line = body[base : base + width * 3]
+        if len(line) != width * 3:
+            raise ValueError("truncated ICO XOR raster")
+        for x in range(width):
+            b, g, r = line[x * 3 : x * 3 + 3]
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
+    return {"width": width, "height": height, "pixels": bytes(out)}

@@ -1519,6 +1519,13 @@ def sniff_media(payload: bytes) -> dict:
             "mime": "image/bmp", "width": m["width"], "height": m["height"],
             "duration_us": None, "detail": sum(m["pixels"]),
         }
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) > 22:
+        m = codecs.decode_ico(payload)
+        return {
+            "mime": "image/x-icon", "width": m["width"],
+            "height": m["height"],
+            "duration_us": None, "detail": sum(m["pixels"]),
+        }
     if payload[:1] == b"\x0a" and len(payload) > 128 and payload[1] == 5:
         m = codecs.decode_pcx(payload)
         return {

@@ -16650,3 +16650,76 @@ def q98am_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sp").cast("double") + F.col("sq")) / 2e9, 6
         ).alias("js_divergence"),
     )
+
+
+@query(
+    "q99ai_ico_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 13 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(range(w * h * 3),
+                  i -> (doc_id * 19 + i * 23) % 256)) AS BIGINT)
+             AS checksum
+    FROM p
+    """,
+    tags=("llm", "multimodal", "image", "ico"),
+)
+def q99ai_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING ICO decode — the favicon container
+    (codecs.encode_ico/decode_ico): ICONDIR directory walk, embedded
+    BMP DIB stored WITHOUT its file header, the doubled biHeight
+    convention covering the appended 1-bit AND mask, and bottom-up
+    XOR raster reconstruction — the header-within-header layout quirk
+    (plus the PNG-embedded entry seam, routed loudly) that makes ICO
+    its own decode cell rather than a BMP alias. Thirteenth executing
+    container; a web crawl carries one per site.
+
+    Square icons 4..16 px with a deterministic modular fill; lossless,
+    so the oracle is the closed-form byte sum (the q99aa contract) —
+    a directory-offset, doubled-height, stride, or BGR bug
+    hash-mismatches.
+
+    Scale: narrow Arrow maps end-to-end, no shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_ico
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                w = h = 4 + d % 13
+                rgb = bytes((d * 19 + i * 23) % 256 for i in range(w * h * 3))
+                payloads.append(encode_ico(w, h, rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = llmops.sniff_media(bytes(payload))
+                assert m["mime"] == "image/x-icon"
+                rows.append(
+                    (int(d), m["width"], m["height"],
+                     m["width"] * m["height"], m["detail"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "checksum"],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " checksum bigint",
+    )

@@ -1406,3 +1406,33 @@ def test_aiff_f80_rates_and_rejections():
 
     with pytest.raises(ValueError, match="FORM/AIFF"):
         decode_aiff(b"RIFF" + b"\x00" * 40)
+
+
+def test_ico_roundtrip_and_rejections():
+    """ICO paths beyond the registered query: odd mask strides, the
+    PNG-embedded-entry seam, and the header rejections."""
+    import pytest
+
+    from better_cdc_spark.codecs import PNG_SIG, decode_ico, encode_ico
+
+    for w, h in [(4, 3), (16, 16), (5, 7), (1, 1), (33, 2)]:
+        rgb = bytes(
+            ((w * h + q * 7 + c * 3) % 256)
+            for q in range(w * h)
+            for c in range(3)
+        )
+        d = decode_ico(encode_ico(w, h, rgb))
+        assert (d["width"], d["height"], d["pixels"]) == (w, h, rgb)
+
+    with pytest.raises(ValueError, match="ICONDIR"):
+        decode_ico(b"\x01\x00\x01\x00" + b"\x00" * 40)
+
+    # a PNG-embedded entry must route loudly, never mis-parse as a DIB
+    import struct
+
+    png_body = PNG_SIG + b"\x00" * 32
+    header = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack("<BBBBHHII", 16, 16, 0, 0, 1, 32,
+                        len(png_body), 22)
+    with pytest.raises(ValueError, match="PNG-embedded"):
+        decode_ico(header + entry + png_body)
