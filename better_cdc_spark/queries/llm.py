@@ -16723,3 +16723,61 @@ def q99ai_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, width bigint, height bigint, n_pixels bigint,"
         " checksum bigint",
     )
+
+
+@query(
+    "q52c_systematic_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ns AS BIGINT) AS stratum_size
+    FROM ranked WHERE rk % 10 = 1
+    """,
+    tags=("llm", "sampling"),
+)
+def q52c_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED SYSTEMATIC SAMPLE: every 10th document per source,
+    walking each stratum in (n_chars DESC, doc_id) order — the
+    sampling-family member with a property q52b's weighted draw and
+    q95_stratified_sample's hash buckets both lack: GUARANTEED
+    coverage of the whole size spectrum within every stratum (the
+    1st, 11th, 21st... largest documents), which is what an eyeball
+    QA pass or a labeling budget actually wants — no stratum x size
+    cell left unsampled.
+
+    Determinism is structural: the walk order is a total order on
+    integers (n_chars with doc_id tiebreak), the selection rk % 10 =
+    1 is integer arithmetic, and stratum_size rides along as the
+    design weight denominator (each sampled row represents ~10 of its
+    stratum).
+
+    Scale: one source-keyed partitioned window (co-partitioned,
+    stratum-bounded frames — never a global sort); selection is a
+    filter. The 100 TB shape of every per-group ranked operation in
+    this module.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    wsrc = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wcnt = W.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(wsrc).cast("long").alias("rk"),
+        F.count("*").over(wcnt).cast("long").alias("stratum_size"),
+    )
+    return ranked.filter(F.col("rk") % 10 == 1).select(
+        "source", "rk", "doc_id", "n_chars", "stratum_size"
+    )

@@ -14175,3 +14175,112 @@ def q36ax_anderson_darling_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sm").alias("sum_milli"),
         F.round(base, 6).alias("a2_stat"),
     )
+
+
+@query(
+    "q36ay_tost_equivalence",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(floor(value) AS BIGINT) AS x
+      FROM events
+    ),
+    pg AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM v GROUP BY arm
+    ),
+    wide AS (
+      SELECT CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN arm = 0 THEN s END) AS BIGINT) AS s1,
+             CAST(MAX(CASE WHEN arm = 0 THEN q END) AS BIGINT) AS q1,
+             CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n2,
+             CAST(MAX(CASE WHEN arm = 1 THEN s END) AS BIGINT) AS s2,
+             CAST(MAX(CASE WHEN arm = 1 THEN q END) AS BIGINT) AS q2
+      FROM pg
+    ),
+    stat AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS diff,
+             sqrt((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                  + (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                    / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))) AS se
+      FROM wide
+    )
+    SELECT n1, n2,
+           round(diff, 6) AS mean_diff,
+           round(se, 6) AS welch_se,
+           round((diff + 5.0) / se, 6) AS z_lower,
+           round((5.0 - diff) / se, 6) AS z_upper,
+           ((diff + 5.0) / se > 1.644854 AND (5.0 - diff) / se > 1.644854)
+             AS equivalent_5u
+    FROM stat
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ay_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE TEST (two one-sided Welch z) between the
+    even/odd user arms' event values with a +-5-unit margin — the
+    inference the rest of the testing shelf cannot make: q36j/q47p
+    can only FAIL to find a difference (absence of evidence); TOST
+    positively demonstrates the difference lies INSIDE the margin
+    (evidence of absence) — what an A/A validation or a
+    do-no-harm launch check actually needs.
+
+    Both one-sided statistics assemble from six exact BIGINT moments
+    (the q36ag MAX-CASE pivot, no join) in pinned double expressions;
+    the margin (5.0) and the 95% one-sided critical value (1.644854,
+    a 6dp literal — the pinned-constant convention, never an in-plan
+    quantile call) are contract literals on both engines, and the
+    equivalence verdict is the conjunction of two identically-pinned
+    comparisons.
+
+    Scale: one map-side-combinable pass; a 2-row pivot after.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    pg = v.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    wide = pg.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c)))
+            .cast("long")
+            .alias(f"{c}{a + 1}")
+            for a in (0, 1)
+            for c in ("n", "s", "q")
+        ]
+    )
+    diff = F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast(
+        "double"
+    ) / F.col("n2")
+    se = F.sqrt(
+        (
+            F.col("n1").cast("double") * F.col("q1")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / (F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1))
+        + (
+            F.col("n2").cast("double") * F.col("q2")
+            - F.col("s2").cast("double") * F.col("s2")
+        )
+        / (F.col("n2").cast("double") * F.col("n2") * (F.col("n2") - 1))
+    )
+    zl = (diff + 5.0) / se
+    zu = (5.0 - diff) / se
+    return wide.select(
+        "n1",
+        "n2",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(se, 6).alias("welch_se"),
+        F.round(zl, 6).alias("z_lower"),
+        F.round(zu, 6).alias("z_upper"),
+        ((zl > 1.644854) & (zu > 1.644854)).alias("equivalent_5u"),
+    )
