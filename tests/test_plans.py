@@ -1186,3 +1186,34 @@ def test_q45e_spline_is_fold_only(spark):
     plan = plan_of(spark, "q45e_cubic_spline")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q94ak_wedges_stay_keyed_joins(spark):
+    """The wedge join (two adjacency hops + edge closure) must remain
+    keyed equi-joins — degree-bounded fan-out, never a product."""
+    plan = plan_of(spark, "q94ak_clustering_coefficient")
+    assert "CartesianProduct" not in plan
+
+
+def test_q98am_divergence_is_word_keyed_single_pass(spark):
+    """JS divergence: one word-keyed aggregation with in-row
+    conditional counts; the only unkeyed join is the 1-row totals
+    broadcast."""
+    plan = plan_of(spark, "q98am_js_divergence")
+    assert "CartesianProduct" not in plan
+    # the 1-row totals frame attaches twice (term map + final select)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q52c_sampling_never_globally_sorts(spark):
+    """Systematic sampling ranks inside source-keyed partitioned
+    windows — no global sort, no ntile, no unkeyed join."""
+    plan = plan_of(spark, "q52c_systematic_sample")
+    assert "CartesianProduct" not in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        assert "source" in spec  # every window is stratum-partitioned
