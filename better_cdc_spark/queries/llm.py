@@ -16781,3 +16781,96 @@ def q52c_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") % 10 == 1).select(
         "source", "rk", "doc_id", "n_chars", "stratum_size"
     )
+
+
+@query(
+    "q94ao_reciprocity",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT DISTINCT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+      WHERE t.k <= 1 + doc_id % 3
+        AND doc_id <> (doc_id * 7 + t.k) % (SELECT n FROM cnt)
+    ),
+    recip AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mutual
+      FROM edges e
+      LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    )
+    SELECT m AS n_edges, mutual AS n_mutual,
+           CAST(1000000 * mutual // m AS BIGINT) AS reciprocity_micro,
+           round(CAST(mutual AS DOUBLE) / m, 6) AS reciprocity
+    FROM recip
+    """,
+    tags=("llm", "graph"),
+)
+def q94ao_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE RECIPROCITY of the DIRECTED link graph — the fraction of
+    links whose target links back, the one graph statistic on this
+    shelf that needs direction (q94aa/q94ac/q94ak all symmetrize
+    first): near-zero reciprocity is the citation/web pattern, high
+    reciprocity the social pattern, and a reciprocity SPIKE inside a
+    site cluster is the link-exchange-scheme smell a curation pass
+    flags before PageRank rewards it.
+
+    One self-equi-join of the deduplicated directed edge list on the
+    reversed key pair; counts exact, the micro-unit ratio a
+    deterministic floor division, the double display-only.
+
+    Scale: the reverse join keys on (src, dst) — co-partitioned
+    equi-join, |E| rows once. Exact integers end to end.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.slice(
+                    F.array(
+                        *[
+                            (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                            for k in (1, 2, 3)
+                        ]
+                    ),
+                    1,
+                    (1 + F.col("doc_id") % 3).cast("int"),
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = edges.select(
+        F.col("src").alias("rsrc"), F.col("dst").alias("rdst")
+    )
+    recip = (
+        edges.join(
+            rev,
+            (F.col("rsrc") == F.col("dst")) & (F.col("rdst") == F.col("src")),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum(F.when(F.col("rsrc").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("mutual"),
+        )
+    )
+    return recip.select(
+        F.col("m").alias("n_edges"),
+        F.col("mutual").alias("n_mutual"),
+        F.expr("CAST(1000000 * mutual div m AS BIGINT)").alias(
+            "reciprocity_micro"
+        ),
+        F.round(F.col("mutual").cast("double") / F.col("m"), 6).alias(
+            "reciprocity"
+        ),
+    )

@@ -14284,3 +14284,139 @@ def q36ay_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zu, 6).alias("z_upper"),
         ((zl > 1.644854) & (zu > 1.644854)).alias("equivalent_5u"),
     )
+
+
+@query(
+    "q46l_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST((dayofmonth(ts) - 1) // 7 AS BIGINT) AS wk
+      FROM events WHERE dayofmonth(ts) <= 28
+    ),
+    pairs AS (
+      SELECT w.wk,
+             CAST(COUNT(*) AS BIGINT) AS active,
+             CAST(SUM(CASE WHEN p.user_id IS NULL AND f.first_wk = w.wk
+                           THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             CAST(SUM(CASE WHEN p.user_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             CAST(SUM(CASE WHEN p.user_id IS NULL AND f.first_wk < w.wk
+                           THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+      FROM uw w
+      LEFT JOIN uw p ON p.user_id = w.user_id AND p.wk = w.wk - 1
+      JOIN (SELECT user_id, CAST(MIN(wk) AS BIGINT) AS first_wk
+            FROM uw GROUP BY user_id) f ON f.user_id = w.user_id
+      GROUP BY w.wk
+    ),
+    churn AS (
+      SELECT p.wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS churned
+      FROM uw p
+      LEFT JOIN uw n ON n.user_id = p.user_id AND n.wk = p.wk + 1
+      WHERE n.user_id IS NULL AND p.wk < 3
+      GROUP BY p.wk
+    )
+    SELECT pairs.wk, pairs.active, pairs.new_users, pairs.retained,
+           pairs.resurrected,
+           CAST(COALESCE(churn.churned, 0) AS BIGINT) AS churned,
+           CASE WHEN COALESCE(churn.churned, 0) > 0 THEN
+             round(CAST(pairs.new_users + pairs.resurrected AS DOUBLE)
+                   / churn.churned, 6)
+           END AS quick_ratio
+    FROM pairs LEFT JOIN churn USING (wk)
+    """,
+    tags=("retention", "engagement"),
+)
+def q46l_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY GROWTH ACCOUNTING — every active user classified as NEW
+    (first-ever week), RETAINED (active last week too) or RESURRECTED
+    (returning after a gap), with the week's CHURN (active last week,
+    gone this week) and the quick ratio (new+resurrected)/churned —
+    the decomposition that explains a flat active-user curve (q46b
+    counts actives; this says whether the pipeline is a leaky bucket
+    being refilled or genuine compounding).
+
+    Four complete weeks (days 1..28); states are exact set operations
+    expressed as user-keyed self-joins of the distinct (user, week)
+    frame against its one-week lag plus a first-week dim — every
+    count an exact integer; the quick ratio guards zero churn
+    explicitly (NULL, the q47p convention).
+
+    Scale: one map-side distinct pass; the lag joins key on
+    (user_id) with week predicates (co-partitioned); frames after are
+    4 rows.
+    """
+    tune_for_oracle(spark)
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.dayofmonth("ts") <= 28)
+        .select(
+            "user_id",
+            ((F.dayofmonth("ts") - 1) / 7).cast("long").alias("wk"),
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("wk").cast("long").alias("first_wk"))
+    prev = uw.select(
+        F.col("user_id").alias("pu"), (F.col("wk") + 1).alias("pw")
+    )
+    pairs = (
+        uw.join(
+            prev,
+            (F.col("pu") == F.col("user_id")) & (F.col("pw") == F.col("wk")),
+            "left",
+        )
+        .join(first, "user_id")
+        .groupBy("wk")
+        .agg(
+            F.count("*").cast("long").alias("active"),
+            F.sum(
+                F.when(
+                    F.col("pu").isNull() & (F.col("first_wk") == F.col("wk")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("new_users"),
+            F.sum(F.when(F.col("pu").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("retained"),
+            F.sum(
+                F.when(
+                    F.col("pu").isNull() & (F.col("first_wk") < F.col("wk")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("resurrected"),
+        )
+    )
+    nxt = uw.select(
+        F.col("user_id").alias("nu"), (F.col("wk") - 1).alias("nw")
+    )
+    churn = (
+        uw.filter(F.col("wk") < 3)
+        .join(
+            nxt,
+            (F.col("nu") == F.col("user_id")) & (F.col("nw") == F.col("wk")),
+            "left",
+        )
+        .filter(F.col("nu").isNull())
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count("*").cast("long").alias("churned"))
+    )
+    out = pairs.join(churn, "wk", "left").select(
+        "wk",
+        "active",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("churned") > 0,
+            F.round(
+                (F.col("new_users") + F.col("resurrected")).cast("double")
+                / F.col("churned"),
+                6,
+            ),
+        ).alias("quick_ratio"),
+    )
