@@ -16874,3 +16874,115 @@ def q94ao_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocity"
         ),
     )
+
+
+@query(
+    "q94ap_katz_centrality",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+      WHERE t.k <= 1 + doc_id % 3
+    ),
+    x0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS x FROM nodes),
+    x1 AS (SELECT nd.doc_id AS node,
+                  1000000 + CAST(COALESCE(SUM(p.x), 0) AS BIGINT) // 4 AS x
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN x0 p ON p.node = e.src
+           GROUP BY nd.doc_id),
+    x2 AS (SELECT nd.doc_id AS node,
+                  1000000 + CAST(COALESCE(SUM(p.x), 0) AS BIGINT) // 4 AS x
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN x1 p ON p.node = e.src
+           GROUP BY nd.doc_id),
+    x3 AS (SELECT nd.doc_id AS node,
+                  1000000 + CAST(COALESCE(SUM(p.x), 0) AS BIGINT) // 4 AS x
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN x2 p ON p.node = e.src
+           GROUP BY nd.doc_id),
+    x4 AS (SELECT nd.doc_id AS node,
+                  1000000 + CAST(COALESCE(SUM(p.x), 0) AS BIGINT) // 4 AS x
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.doc_id
+           LEFT JOIN x3 p ON p.node = e.src
+           GROUP BY nd.doc_id),
+    mx AS (SELECT CAST(MAX(x) AS BIGINT) AS m FROM x4)
+    SELECT x4.node AS doc_id, x4.x AS katz_micro,
+           round(CAST(x4.x AS DOUBLE) / mx.m, 6) AS katz_norm
+    FROM x4, mx
+    """,
+    tags=("llm", "graph", "iterative"),
+)
+def q94ap_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY (4 attenuated iterations, alpha = 1/4) on the
+    variable-fan-out link graph — the walk-counting member completing
+    the centrality trio: PageRank (q94e) normalizes by out-degree
+    (endorsement is SPLIT), HITS (q94y) separates roles; Katz counts
+    ALL inbound walks geometrically damped by length, so a page
+    reachable by many short paths scores high even when its endorsers
+    are profligate linkers — the variant link-spam analysis prefers
+    because it cannot be diluted away by adding outlinks.
+
+    EXACT INTEGER iteration in micro-units: x' = 1e6 + (sum of
+    in-neighbor x) div 4 — the dyadic alpha makes every state an
+    exact truncated BIGINT (the q94y integer-iteration discipline:
+    nothing for double accumulation order to flake; the truncation
+    IS the operator's definition). Convergence factor alpha*max_indeg
+    < 1 bounds the series; 4 unrolled oracle CTEs mirror 4 Spark
+    rounds exactly.
+
+    Scale: per round one node-keyed contributions join (the q94e
+    Pregel shape), lineage cut per round.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                        for k in (1, 2, 3)
+                    ]
+                ),
+                1,
+                (1 + F.col("doc_id") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    x = docs.select(
+        F.col("doc_id").alias("node"), F.lit(1000000).cast("long").alias("x")
+    )
+    for _ in range(4):
+        contrib = (
+            edges.join(x, edges.src == x.node)
+            .groupBy("dst")
+            .agg(F.sum("x").cast("long").alias("c"))
+        )
+        x = (
+            docs.join(contrib, docs.doc_id == contrib.dst, "left")
+            .select(
+                F.col("doc_id").alias("node"),
+                (
+                    F.lit(1000000)
+                    + F.expr("CAST(coalesce(c, 0) AS BIGINT) div 4")
+                )
+                .cast("long")
+                .alias("x"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+    mx = x.agg(F.max("x").cast("long").alias("m"))
+    return x.join(F.broadcast(mx)).select(
+        F.col("node").alias("doc_id"),
+        F.col("x").alias("katz_micro"),
+        F.round(F.col("x").cast("double") / F.col("m"), 6).alias("katz_norm"),
+    )

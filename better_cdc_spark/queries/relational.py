@@ -14420,3 +14420,77 @@ def q46l_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("quick_ratio"),
     )
+
+
+@query(
+    "q36az_matthews_correlation",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN value > 150 THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(SUM(a * b) AS BIGINT) AS tp,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS fp,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS fn,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS tn
+      FROM v
+    )
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM cells
+    """,
+    tags=("agg", "statistics", "evaluation"),
+)
+def q36az_matthews_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTHEWS CORRELATION COEFFICIENT (with F1 alongside) between
+    the value>150 flag and the purchase label — the
+    confusion-matrix summary that stays honest under class imbalance
+    (F1 ignores true negatives entirely; MCC is the full 2x2
+    correlation, the metric a classifier-gate evaluation should
+    actually optimize — and the binary specialization of q36v's
+    Cramer's V with a SIGN).
+
+    The whole confusion matrix is one map-side pass of products of
+    0/1 indicators (exact BIGINTs); MCC and F1 are single pinned
+    double expressions. Headroom: the 4-factor denominator product
+    stays under 2^53 integer-valued doubles to ~sf1; the q36at
+    convention documents the re-unit beyond.
+
+    Scale: one map-side-combinable aggregate; a scalar frame after.
+    """
+    tune_for_oracle(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("value") > 150, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+    )
+    cells = v.agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("tp"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("fn"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("tn"),
+    )
+    num = F.col("tp").cast("double") * F.col("tn") - F.col("fp").cast(
+        "double"
+    ) * F.col("fn")
+    den = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(num / den, 6).alias("mcc"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
