@@ -14494,3 +14494,297 @@ def q36az_matthews_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+def _slem_duck_step() -> str:
+    """DuckDB fold step for q47r: one deflated power iteration on the
+    micro-unit transition matrix. Emitted by a builder so the deeply
+    nested let-binding lists stay balanced by construction (the
+    _pca2_step lesson). Sign-safe truncation uses (x - x % 1e6) //
+    1e6 — dividend-signed %, so the floor division lands on an exact
+    multiple and equals Spark's `div` for BOTH signs."""
+    tm = (
+        "(u[(i + 1)::INTEGER] * m[(i * kk.k + j + 1)::INTEGER]"
+        " - (u[(i + 1)::INTEGER] * m[(i * kk.k + j + 1)::INTEGER])"
+        " % 1000000) // 1000000"
+    )
+    proj = (
+        "(sw * pi[(i + 1)::INTEGER]"
+        " - (sw * pi[(i + 1)::INTEGER]) % 1000000) // 1000000"
+    )
+    sw = (
+        "list_reduce(list_transform(range(kk.k),"
+        " z -> acc[(z + 1)::INTEGER]), (a, b) -> a + b)"
+    )
+    u = (
+        f"list_transform(range(kk.k), i -> acc[(i + 1)::INTEGER] - {proj})"
+    )
+    t = (
+        f"list_transform(range(kk.k), j -> list_reduce("
+        f"list_transform(range(kk.k), i -> {tm}), (a, b) -> a + b))"
+    )
+    mx = "list_reduce(list_transform(t, z -> abs(z)), (a, b) -> greatest(a, b))"
+    wnew = (
+        "list_concat(list_transform(range(kk.k), j ->"
+        " CASE WHEN t[(j + 1)::INTEGER] < 0"
+        " THEN -((-t[(j + 1)::INTEGER]) * 1000000 // mx)"
+        " ELSE t[(j + 1)::INTEGER] * 1000000 // mx END), [mx])"
+    )
+    return (
+        f"(acc, x) -> list_transform([{sw}], sw ->"
+        f" list_transform([{u}], u ->"
+        f" list_transform([{t}], t ->"
+        f" list_transform([{mx}], mx ->"
+        f" CASE WHEN mx = 0 THEN acc ELSE {wnew} END"
+        f")[1])[1])[1])[1]"
+    )
+
+
+@query(
+    "q47r_markov_slem",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), types AS (
+      SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type AS t FROM events)
+    ), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY src),
+    probs_f AS (
+      SELECT si.idx * kk.k + di.idx AS f, 1000000 * c // rt.tot AS p
+      FROM cnt
+      JOIN types si ON si.t = cnt.src
+      JOIN types di ON di.t = cnt.dst
+      JOIN rt ON rt.src = cnt.src, kk
+    ), grid AS (
+      SELECT unnest(range((SELECT k * k FROM kk))) AS f
+    ), mat AS (
+      SELECT array_agg(COALESCE(pf.p, 0)::BIGINT ORDER BY grid.f) AS m
+      FROM grid LEFT JOIN probs_f pf ON pf.f = grid.f
+    ), statf AS (
+      SELECT list_reduce(
+               list_concat(
+                 [list_transform(range(kk.k), x -> 1000000 // kk.k)],
+                 list_transform(range(30),
+                                x -> list_transform(range(kk.k),
+                                                    y -> 0::BIGINT))),
+               (acc, x) -> list_transform(range(kk.k), j ->
+                 list_reduce(
+                   list_transform(range(kk.k),
+                                  i -> acc[(i + 1)::INTEGER]
+                                       * m[(i * kk.k + j + 1)::INTEGER]
+                                       // 1000000),
+                   (a, b) -> a + b))) AS pi
+      FROM mat, kk
+    ), folded2 AS (
+      SELECT kk.k, list_reduce(
+               list_concat(
+                 [list_concat(list_transform(range(kk.k),
+                    z -> CASE WHEN z % 2 = 0 THEN 1000000::BIGINT
+                              ELSE (-1000000)::BIGINT END), [0::BIGINT])],
+                 list_transform(range(20),
+                                x -> list_transform(range(kk.k + 1),
+                                                    y -> 0::BIGINT))),
+               {_slem_duck_step()}) AS w
+      FROM mat, statf, kk
+    )
+    SELECT k AS n_states,
+           w[(k + 1)::INTEGER] AS slem_micro,
+           round(CAST(w[(k + 1)::INTEGER] AS DOUBLE) / 1000000.0, 6)
+             AS slem,
+           round(1.0 - CAST(w[(k + 1)::INTEGER] AS DOUBLE) / 1000000.0, 6)
+             AS spectral_gap
+    FROM folded2
+    """,
+    tags=("analytics", "markov", "iterative", "fold"),
+)
+def q47r_markov_slem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-LARGEST EIGENVALUE MODULUS (SLEM) of the journey
+    transition chain by DEFLATED power iteration — the spectral gap
+    that says HOW FAST q47f's stationary distribution is reached
+    (slem near 1 = slow mixing, users trapped in behavioral modes;
+    near 0 = one step forgets history), the number that calibrates
+    how much journey history a sequence model actually needs.
+
+    The dominant left pair of a row-stochastic chain is known
+    (pi, 1), so each iteration deflates exactly: u = w - (sum w)*pi
+    / 1e6, then u <- uP, renormalized by max-abs — ALL in truncated
+    micro-unit integers (the q47f truncmul discipline extended
+    sign-safe: both engines truncate toward zero via (x - x%1e6)/1e6,
+    which Spark's div and DuckDB's on-exact-multiple floor agree on
+    for BOTH signs). The 20-step fold carries [w_1..w_k, last_mx];
+    the final pre-normalization max IS the slem estimate in exact
+    micro-units. pi itself comes from the q47f fold inside the same
+    plan. Alternating seed avoids an orthogonal start.
+
+    Scale: fact-sized work is the per-user lead window and the
+    (src, dst) count; both folds run on the one-row K^2 frame.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w_user).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cnt = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("long").alias("c"))
+    types = (
+        ev.select(F.col("event_type").alias("t"))
+        .distinct()
+        .select(
+            "t",
+            (F.row_number().over(W.orderBy("t")) - 1).cast("long").alias("idx"),
+        )
+    )
+    kk = types.agg(F.count("*").cast("long").alias("k"))
+    rt = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    si = types.select(F.col("t").alias("src"), F.col("idx").alias("i"))
+    di = types.select(F.col("t").alias("dst"), F.col("idx").alias("j"))
+    probs_f = (
+        cnt.join(F.broadcast(si), "src")
+        .join(F.broadcast(di), "dst")
+        .join(F.broadcast(rt), "src")
+        .join(F.broadcast(kk))
+        .select(
+            (F.col("i") * F.col("k") + F.col("j")).alias("f"),
+            F.expr("1000000 * c div tot").alias("p"),
+        )
+    )
+    mat = probs_f.join(F.broadcast(kk)).agg(
+        F.map_from_entries(F.collect_list(F.struct("f", "p"))).alias("mp"),
+        F.max("k").alias("k"),
+    )
+    M = F.lit(1000000).cast("long")
+    kcol = F.col("k").cast("int")
+
+    def tdiv(prod):
+        return ((prod - prod % M) / M).cast("long")
+
+    m = F.transform(
+        F.sequence(F.lit(0), (kcol * kcol - 1)),
+        lambda f: F.coalesce(
+            F.element_at(F.col("mp"), f.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    v0 = F.transform(
+        F.sequence(F.lit(0), kcol - 1), lambda _: F.expr("1000000 div k")
+    )
+    pi_fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(30)),
+        v0,
+        lambda acc, _: F.transform(
+            F.sequence(F.lit(0), kcol - 1),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(0), kcol - 1),
+                F.lit(0).cast("long"),
+                lambda s, i: s
+                + (
+                    (
+                        (
+                            F.element_at(acc, i + 1)
+                            * F.element_at(m, (i * kcol + j + 1))
+                        )
+                        - (
+                            F.element_at(acc, i + 1)
+                            * F.element_at(m, (i * kcol + j + 1))
+                        )
+                        % M
+                    )
+                    / M
+                ).cast("long"),
+            ).cast("long"),
+        ),
+    )
+    base = mat.select("k", m.alias("m"), pi_fold.alias("pi"))
+
+    def let(x, f):
+        return F.element_at(F.transform(F.array(x), f), 1)
+
+    def step(acc, _):
+        sw_expr = F.aggregate(
+            F.sequence(F.lit(1), kcol),
+            F.lit(0).cast("long"),
+            lambda s, i: s + F.element_at(acc, i),
+        )
+
+        def with_sw(sw):
+            u_expr = F.transform(
+                F.sequence(F.lit(0), kcol - 1),
+                lambda i: F.element_at(acc, i + 1)
+                - tdiv(sw * F.element_at(F.col("pi"), i + 1)),
+            )
+
+            def with_u(u):
+                t_expr = F.transform(
+                    F.sequence(F.lit(0), kcol - 1),
+                    lambda j: F.aggregate(
+                        F.sequence(F.lit(0), kcol - 1),
+                        F.lit(0).cast("long"),
+                        lambda s, i: s
+                        + tdiv(
+                            F.element_at(u, i + 1)
+                            * F.element_at(F.col("m"), (i * kcol + j + 1))
+                        ),
+                    ),
+                )
+
+                def with_t(t):
+                    mx_expr = F.aggregate(
+                        F.transform(t, lambda z: F.abs(z)),
+                        F.lit(0).cast("long"),
+                        lambda a, b: F.greatest(a, b),
+                    )
+
+                    def with_mx(mx):
+                        def idiv(a):  # exact floor division a div mx, a >= 0
+                            return ((a - a % mx) / mx).cast("long")
+
+                        wnew = F.concat(
+                            F.transform(
+                                F.sequence(F.lit(0), kcol - 1),
+                                lambda j: F.when(
+                                    F.element_at(t, j + 1) < 0,
+                                    -idiv((-F.element_at(t, j + 1)) * M),
+                                ).otherwise(
+                                    idiv(F.element_at(t, j + 1) * M)
+                                ),
+                            ),
+                            F.array(mx),
+                        )
+                        return F.when(mx == 0, acc).otherwise(wnew)
+
+                    return let(mx_expr, with_mx)
+
+                return let(t_expr, with_t)
+
+            return let(u_expr, with_u)
+
+        return let(sw_expr, with_sw)
+
+    seed = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), kcol - 1),
+            lambda z: F.when(z % 2 == 0, M).otherwise(-M).cast("long"),
+        ),
+        F.array(F.lit(0).cast("long")),
+    )
+    folded2 = base.select(
+        F.col("k").alias("n_states"),
+        F.aggregate(F.sequence(F.lit(1), F.lit(20)), seed, step).alias("w"),
+    )
+    slem_micro = F.element_at("w", (F.col("n_states") + 1).cast("int"))
+    return folded2.select(
+        "n_states",
+        slem_micro.cast("long").alias("slem_micro"),
+        F.round(slem_micro.cast("double") / 1000000.0, 6).alias("slem"),
+        F.round(
+            1.0 - slem_micro.cast("double") / 1000000.0, 6
+        ).alias("spectral_gap"),
+    )
