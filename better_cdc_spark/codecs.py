@@ -4328,3 +4328,71 @@ def decode_ico(payload: bytes) -> dict:
             b, g, r = line[x * 3 : x * 3 + 3]
             out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
     return {"width": width, "height": height, "pixels": bytes(out)}
+
+
+# ---------------------------------------------------------------------------
+# AU — Sun/NeXT ".snd" audio (the ORIGINAL network audio container,
+# still what telephony archives carry): 24-byte big-endian header,
+# variable data offset (annotation field), and the G.711 mu-law
+# encoding this module already speaks — AU composes container parse
+# with companding rather than adding a new codec.
+# ---------------------------------------------------------------------------
+
+_AU_MULAW, _AU_PCM16 = 1, 3
+
+
+def encode_au(
+    samples: list[int] | bytes, *, framerate: int = 8000,
+    encoding: int = _AU_MULAW, annotation: bytes = b"",
+) -> bytes:
+    """int16 samples → .au (mu-law 8-bit or big-endian PCM16 mono)."""
+    ann = annotation + b"\x00" * ((4 - len(annotation) % 4) % 4)
+    if encoding == _AU_MULAW:
+        body = bytes(mulaw_encode(s) for s in samples)
+    elif encoding == _AU_PCM16:
+        body = b"".join(
+            struct.pack(">h", max(-32768, min(32767, int(s))))
+            for s in samples
+        )
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    offset = 24 + len(ann)
+    header = struct.pack(
+        ">4sIIIII", b".snd", offset, len(body), encoding, framerate, 1
+    )
+    return header + ann + body
+
+
+def decode_au(payload: bytes) -> dict:
+    """.au → {framerate, encoding, n_samples, duration_us, samples}
+    (int16 list; mu-law expanded through the shared G.711 table).
+    Unknown encodings raise (honest-seam convention)."""
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU file (no .snd magic)")
+    (_magic, offset, size, encoding, rate, channels) = struct.unpack(
+        ">4sIIIII", payload[:24]
+    )
+    if channels != 1 or encoding not in (_AU_MULAW, _AU_PCM16):
+        raise ValueError(
+            f"unsupported AU variant (enc={encoding}, ch={channels}):"
+            " mono mu-law/PCM16 only"
+        )
+    body = payload[offset : offset + size]
+    if len(body) != size:
+        raise ValueError("truncated AU data")
+    if encoding == _AU_MULAW:
+        samples = [mulaw_decode(b) for b in body]
+    else:
+        if size % 2:
+            raise ValueError("odd PCM16 AU data size")
+        samples = [
+            struct.unpack_from(">h", body, i)[0] for i in range(0, size, 2)
+        ]
+    n = len(samples)
+    return {
+        "framerate": rate,
+        "encoding": encoding,
+        "n_samples": n,
+        "duration_us": n * 1_000_000 // rate,
+        "samples": samples,
+    }

@@ -1070,6 +1070,13 @@ def decode_audio(payload: bytes) -> "object":
         from better_cdc_spark import codecs
 
         return codecs.decode_flac(payload)
+    if payload[:4] == b".snd":
+        m = codecs.decode_au(payload)
+        return {
+            "mime": "audio/basic", "width": None, "height": None,
+            "duration_us": m["duration_us"],
+            "detail": sum(m["samples"]),
+        }
     if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
         m = codecs.decode_aiff(payload)
         return {
@@ -1488,6 +1495,13 @@ def sniff_media(payload: bytes) -> dict:
         return {
             "mime": "image/png", "width": m["width"], "height": m["height"],
             "duration_us": None, "detail": sum(m["pixels"]),
+        }
+    if payload[:4] == b".snd":
+        m = codecs.decode_au(payload)
+        return {
+            "mime": "audio/basic", "width": None, "height": None,
+            "duration_us": m["duration_us"],
+            "detail": sum(m["samples"]),
         }
     if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
         m = codecs.decode_aiff(payload)

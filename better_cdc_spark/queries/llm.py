@@ -16986,3 +16986,126 @@ def q94ap_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("katz_micro"),
         F.round(F.col("x").cast("double") / F.col("m"), 6).alias("katz_norm"),
     )
+
+
+@query(
+    "q99aj_au_decode",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, t.k,
+             CASE WHEN (doc_id * 7 + t.k * 3) % 255 >= 127
+                  THEN (doc_id * 7 + t.k * 3) % 255 + 1
+                  ELSE (doc_id * 7 + t.k * 3) % 255 END AS byte
+      FROM documents, UNNEST(range(64)) AS t(k)
+      WHERE doc_id % 2 = 0
+    ),
+    mu AS (
+      SELECT doc_id, k,
+             CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END
+             * (((2 * ((255 - byte) % 16) + 33)
+                 * (1 << (((255 - byte) // 16) % 8)) - 33) * 4) AS v
+      FROM b
+    ),
+    mu_docs AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS encoding,
+             CAST(SUM(v * (k % 97 + 1)) AS BIGINT) AS checksum
+      FROM mu GROUP BY doc_id
+    ),
+    pcm_docs AS (
+      SELECT doc_id, CAST(3 AS BIGINT) AS encoding,
+             CAST(SUM(((doc_id * 997 + t.k * 31) % 65536 - 32768)
+                      * (t.k % 97 + 1)) AS BIGINT) AS checksum
+      FROM documents, UNNEST(range(64)) AS t(k)
+      WHERE doc_id % 2 = 1 GROUP BY doc_id
+    ),
+    both_docs AS (
+      SELECT * FROM mu_docs UNION ALL SELECT * FROM pcm_docs
+    )
+    SELECT doc_id, encoding,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(64 * 1000000 // 8000 AS BIGINT) AS duration_us,
+           checksum
+    FROM both_docs
+    """,
+    tags=("llm", "multimodal", "audio", "au"),
+)
+def q99aj_au_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTING Sun .au DECODE — the original network-audio container
+    (codecs.encode_au/decode_au): big-endian 24-byte header, a
+    VARIABLE data offset carrying an annotation field (the header
+    quirk: readers that assume offset 24 break on annotated files —
+    every synthesized payload here carries one), and G.711 mu-law
+    payload decode through the SAME companding tables q99m pins —
+    AU composes container parse with an existing codec rather than
+    inventing one. Fourteenth executing container; audio/basic in
+    sniff_media.
+
+    Even docs carry mu-law bytes drawn from the 255-code roundtrip
+    domain (the dual-zero code 0x7F is skipped — mulaw_encode
+    (mulaw_decode(0x7F)) lands on 0xFF, the one non-idempotent code),
+    so decoded samples equal the closed-form q99m expansion; odd docs
+    carry lossless big-endian PCM16. Weighted checksums catch
+    offset, endianness, and companding bugs alike.
+
+    Scale: narrow Arrow maps end-to-end, no shuffle.
+    """
+    import pandas as pd
+
+    from better_cdc_spark.codecs import encode_au, mulaw_decode
+
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in (int(x) for x in pdf["doc_id"]):
+                if d % 2 == 0:
+                    bs = []
+                    for i in range(64):
+                        x = (d * 7 + i * 3) % 255
+                        bs.append(x + 1 if x >= 127 else x)
+                    samples = [mulaw_decode(b) for b in bs]
+                    payloads.append(
+                        encode_au(samples, framerate=8000, encoding=1,
+                                  annotation=b"bcs")
+                    )
+                else:
+                    samples = [
+                        (d * 997 + i * 31) % 65536 - 32768 for i in range(64)
+                    ]
+                    payloads.append(
+                        encode_au(samples, framerate=8000, encoding=3,
+                                  annotation=b"bcs")
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        from better_cdc_spark.codecs import decode_au
+
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = llmops.sniff_media(bytes(payload))
+                assert m["mime"] == "audio/basic"
+                full = decode_au(bytes(payload))
+                checksum = sum(
+                    v * (k % 97 + 1)
+                    for k, v in enumerate(full["samples"])
+                )
+                rows.append(
+                    (int(d), full["encoding"], full["n_samples"],
+                     full["duration_us"], checksum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "encoding", "n_samples", "duration_us",
+                         "checksum"],
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        "doc_id bigint, encoding bigint, n_samples bigint,"
+        " duration_us bigint, checksum bigint",
+    )

@@ -14788,3 +14788,72 @@ def q47r_markov_slem(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - slem_micro.cast("double") / 1000000.0, 6
         ).alias("spectral_gap"),
     )
+
+
+@query(
+    "q53k_hoover_index",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS t
+      FROM cust
+    ),
+    dev AS (
+      SELECT CAST(SUM(abs(tot.n * cust.cents - tot.t)) AS BIGINT) AS sd
+      FROM cust, tot
+    )
+    SELECT tot.n AS n_customers, dev.sd AS abs_dev_scaled,
+           round(CAST(dev.sd AS DOUBLE) / (2.0 * tot.n * tot.t), 6)
+             AS hoover_index
+    FROM dev, tot
+    """,
+    tags=("agg", "statistics", "inequality"),
+)
+def q53k_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOOVER (Robin Hood) INDEX of per-customer revenue — the share
+    of total revenue that would have to move to equalize everyone,
+    the most LITERAL member of the inequality shelf (Gini ranks,
+    Theil logs, HHI squares; Hoover just answers "how much moves"),
+    and geometrically the maximum vertical gap of q53f's Lorenz
+    curve.
+
+    The numerator sum |n*x_i - T| is EXACT BIGINT end to end (the
+    n-scaled deviation trick — no per-row double, no rounding unit,
+    nothing ordered); the index is one pinned display division by
+    2nT. Headroom: n*x ~ 5e14 at sf0.1, ~5e18 at sf10.
+
+    Scale: one map-side customer fold, one map-side deviation fold
+    against the 1-row broadcast totals. The cheapest exact
+    inequality statistic this engine ships.
+    """
+    tune_for_oracle(spark)
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    dev = cust.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.abs(F.col("n") * F.col("cents") - F.col("t")))
+        .cast("long")
+        .alias("sd")
+    )
+    return dev.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_customers"),
+        F.col("sd").alias("abs_dev_scaled"),
+        F.round(
+            F.col("sd").cast("double") / (2.0 * F.col("n") * F.col("t")), 6
+        ).alias("hoover_index"),
+    )

@@ -1436,3 +1436,25 @@ def test_ico_roundtrip_and_rejections():
                         len(png_body), 22)
     with pytest.raises(ValueError, match="PNG-embedded"):
         decode_ico(header + entry + png_body)
+
+
+def test_au_roundtrips_and_rejections():
+    """AU paths beyond the registered query: PCM16 exactness,
+    annotation-shifted data offsets, and the loud rejections."""
+    import pytest
+
+    from better_cdc_spark.codecs import decode_au, encode_au
+
+    sam = [((i * 997 + 13) % 65536) - 32768 for i in range(50)]
+    for ann in (b"", b"x", b"meta"):
+        d = decode_au(encode_au(sam, encoding=3, framerate=11025,
+                                annotation=ann))
+        assert d["samples"] == sam and d["framerate"] == 11025
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_au(b"RIFF" + b"\x00" * 40)
+    import struct
+
+    bad = struct.pack(">4sIIIII", b".snd", 24, 4, 27, 8000, 1) + b"\x00" * 4
+    with pytest.raises(ValueError, match="unsupported AU"):
+        decode_au(bad)
