@@ -14422,9 +14422,7 @@ def q46l_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q36az_matthews_correlation",
-    oracle="""
+MCC_ORACLE = """
     WITH v AS (
       SELECT CASE WHEN value > 150 THEN 1 ELSE 0 END AS a,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
@@ -14443,7 +14441,12 @@ def q46l_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (tn + fp) * (tn + fn)), 6) AS mcc,
            round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
     FROM cells
-    """,
+    """
+
+
+@query(
+    "q36az_matthews_correlation",
+    oracle=MCC_ORACLE,
     tags=("agg", "statistics", "evaluation"),
 )
 def q36az_matthews_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:

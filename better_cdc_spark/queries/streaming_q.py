@@ -3767,3 +3767,110 @@ def qm25_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d_stat"),
         (F.col("num") * 20 > F.col("nr") * F.col("nc")).alias("drift_flag"),
     )
+
+
+@query(
+    "qm26_streaming_confusion_monitor",
+    # the BATCH confusion matrix (q36az's full-corpus cells) IS the
+    # oracle: additive 2x2 cells merged through the txlog token sum to
+    # exactly the batch counts, so MCC/F1 match bit-for-bit
+    oracle=relational.MCC_ORACLE,
+    tags=("streaming", "statistics", "monitoring", "evaluation"),
+)
+def qm26_streaming_confusion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CONFUSION-MATRIX MONITOR — q36az's MCC/F1 maintained
+    incrementally as predictions arrive: the model-quality sibling of
+    qm25's input-drift alarm (drift says the INPUTS moved; this says
+    the CLASSIFIER'S AGREEMENT moved), and the third member of the
+    ADDITIVE-state streaming class (qm18 histogram, qm25 KS): 2x2
+    cell counts are a SUM-monoid, not idempotent, so a re-delivered
+    epoch would silently inflate exactly the cells a quality gate
+    alerts on.
+
+    Every epoch's four partial cells commit under (app_id,
+    txn_version=epoch); the verbatim epoch-0 replay below no-ops on
+    the token. The merged cells equal the batch corpus counts
+    EXACTLY, so q36az's DuckDB oracle hash-checks the streaming
+    result including the derived MCC and F1 doubles (identical
+    pinned expressions on identical integers).
+
+    Scale: per epoch one map-side 4-cell fold appended O(1); the
+    readout is a scalar frame. The cells ARE the state.
+    """
+    from better_cdc_spark.scratch import scratch_dir
+    from better_cdc_spark.txlog import TxLogTable
+
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 150, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+    )
+    arrivals = scratch_dir("qm26_arrivals")
+    for e in range(3):
+        ev.filter((F.col("event_id") * 7919) % 3 == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    t = TxLogTable(spark, scratch_dir("qm26_txlog"))
+    epoch_files: dict[int, list[str]] = {}
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        epoch_files[e] = [
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        partial = batch_df.agg(
+            F.sum(F.col("a") * F.col("b")).cast("long").alias("tp"),
+            F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("fp"),
+            F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("fn"),
+            F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("tn"),
+        ).withColumn("epoch", F.lit(e).cast("long"))
+        t.append(partial, app_id="qm26", txn_version=e)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bcs_ck_qm26_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # checkpoint-recovery replay: epoch 0 verbatim; the token no-ops —
+    # an untokened double-append inflates exactly the alerted cells.
+    replayed = spark.read.schema(ev.schema).parquet(*epoch_files[0])
+    step(replayed, 0)
+
+    cells = t.read().agg(
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+        F.sum("tn").cast("long").alias("tn"),
+    )
+    num = F.col("tp").cast("double") * F.col("tn") - F.col("fp").cast(
+        "double"
+    ) * F.col("fn")
+    den = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(num / den, 6).alias("mcc"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
