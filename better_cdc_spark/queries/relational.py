@@ -14860,3 +14860,125 @@ def q53k_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sd").cast("double") / (2.0 * F.col("n") * F.col("t")), 6
         ).alias("hoover_index"),
     )
+
+
+@query(
+    "q44l_burstiness_memory",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(date_diff('second', ts, nxt) AS BIGINT) AS g,
+             LEAD(CAST(date_diff('second', ts, nxt) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts) AS g2
+      FROM seq WHERE nxt IS NOT NULL
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS s,
+             CAST(SUM(g * g) AS BIGINT) AS q
+      FROM gaps
+    ),
+    pair AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(g) AS BIGINT) AS sx, CAST(SUM(g2) AS BIGINT) AS sy,
+             CAST(SUM(g * g) AS BIGINT) AS sxx,
+             CAST(SUM(g2 * g2) AS BIGINT) AS syy,
+             CAST(SUM(g * g2) AS BIGINT) AS sxy
+      FROM gaps WHERE g2 IS NOT NULL
+    )
+    SELECT mom.n AS n_gaps, pair.np AS n_pairs,
+           round(CAST(mom.s AS DOUBLE) / mom.n, 6) AS mean_gap_s,
+           round((sqrt((CAST(mom.n AS DOUBLE) * mom.q
+                        - CAST(mom.s AS DOUBLE) * mom.s)
+                       / (CAST(mom.n AS DOUBLE) * (mom.n - 1)))
+                  - CAST(mom.s AS DOUBLE) / mom.n)
+                 / (sqrt((CAST(mom.n AS DOUBLE) * mom.q
+                          - CAST(mom.s AS DOUBLE) * mom.s)
+                         / (CAST(mom.n AS DOUBLE) * (mom.n - 1)))
+                    + CAST(mom.s AS DOUBLE) / mom.n), 6) AS burstiness,
+           round((CAST(pair.np AS DOUBLE) * pair.sxy
+                  - CAST(pair.sx AS DOUBLE) * pair.sy)
+                 / sqrt((CAST(pair.np AS DOUBLE) * pair.sxx
+                         - CAST(pair.sx AS DOUBLE) * pair.sx)
+                        * (CAST(pair.np AS DOUBLE) * pair.syy
+                           - CAST(pair.sy AS DOUBLE) * pair.sy)), 6)
+             AS memory_coeff
+    FROM mom, pair
+    """,
+    tags=("sessionize", "statistics", "timeseries"),
+)
+def q44l_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS and MEMORY of inter-event times (Goh-Barabasi) —
+    the two-coordinate fingerprint of human temporal dynamics: B =
+    (sigma-mu)/(sigma+mu) separates bursty (B>0) from regular (B<0)
+    from Poisson (B~0), M is the lag-1 correlation of CONSECUTIVE
+    gaps (trains of short gaps). Humans sit in the (B>0, M>0)
+    quadrant; schedulers and bots do not — which is what makes this
+    pair a bot-detection and traffic-synthesis audit, and the
+    per-process refinement of q44k's day-count Fano.
+
+    Gaps are exact integer SECONDS from the per-user (ts, event_id)
+    lead; consecutive-gap pairs ride a second user-keyed lead; both
+    statistics assemble from exact BIGINT moments (six sums for M,
+    the q36r Pearson convention — every factor cast to DOUBLE before
+    multiplying) in single pinned expressions.
+
+    Scale: two user-partitioned windows (co-partitioned, one shuffle)
+    and map-side moment folds; scalar frames after.
+    """
+    tune_for_oracle(spark)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.lead("ts").over(wu).alias("nxt")
+    )
+    wg = W.partitionBy("user_id").orderBy("ts")
+    gaps = (
+        seq.filter(F.col("nxt").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            (F.unix_timestamp("nxt") - F.unix_timestamp("ts"))
+            .cast("long")
+            .alias("g"),
+        )
+        .select("user_id", "ts", "g", F.lead("g").over(wg).alias("g2"))
+    )
+    mom = gaps.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("q"),
+    )
+    pair = gaps.filter(F.col("g2").isNotNull()).agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("g").cast("long").alias("sx"),
+        F.sum("g2").cast("long").alias("sy"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sxx"),
+        F.sum(F.col("g2") * F.col("g2")).cast("long").alias("syy"),
+        F.sum(F.col("g") * F.col("g2")).cast("long").alias("sxy"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("q")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    npd = F.col("np").cast("double")
+    mcoef = (npd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (npd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (npd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return mom.crossJoin(F.broadcast(pair)).select(
+        F.col("n").alias("n_gaps"),
+        F.col("np").alias("n_pairs"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+        F.round(mcoef, 6).alias("memory_coeff"),
+    )
