@@ -14982,3 +14982,204 @@ def q44l_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
         F.round(mcoef, 6).alias("memory_coeff"),
     )
+
+
+@query(
+    "q47s_absorbing_expected_steps",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), types AS (
+      SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type AS t FROM events)
+    ), kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY src),
+    probs_f AS (
+      SELECT si.idx * kk.k + di.idx AS f, 1000000 * c // rt.tot AS p
+      FROM cnt
+      JOIN types si ON si.t = cnt.src
+      JOIN types di ON di.t = cnt.dst
+      JOIN rt ON rt.src = cnt.src, kk
+    ), grid AS (
+      SELECT unnest(range((SELECT k * k FROM kk))) AS f
+    ), mat AS (
+      SELECT array_agg(COALESCE(pf.p, 0)::BIGINT ORDER BY grid.f) AS m
+      FROM grid LEFT JOIN probs_f pf ON pf.f = grid.f
+    ), tg AS (SELECT idx AS g FROM types WHERE t = 'purchase'),
+    folded AS (
+      SELECT kk.k,
+             list_reduce(
+               list_concat(
+                 [list_concat(
+                    list_transform(range(kk.k), i ->
+                      CASE WHEN i = tg.g THEN 0::BIGINT
+                           ELSE 1000000::BIGINT END),
+                    list_transform(range(kk.k), i ->
+                      CASE WHEN i = tg.g THEN 0::BIGINT
+                           ELSE 1000000::BIGINT END))],
+                 list_transform(range(29),
+                                x -> list_transform(range(2 * kk.k),
+                                                    y -> 0::BIGINT))),
+               (acc, x) -> list_transform([
+                 list_transform(range(kk.k), i ->
+                   list_reduce(
+                     list_transform(range(kk.k), j ->
+                       CASE WHEN j = tg.g THEN 0::BIGINT
+                            ELSE acc[(j + 1)::INTEGER]
+                                 * m[(i * kk.k + j + 1)::INTEGER]
+                                 // 1000000 END),
+                     (a, b) -> a + b))],
+                 s -> list_concat(s,
+                   list_transform(range(kk.k), i ->
+                     acc[(kk.k + i + 1)::INTEGER]
+                     + s[(i + 1)::INTEGER])))[1]) AS v
+      FROM mat, kk, tg
+    )
+    SELECT types.t AS event_type, folded.k AS n_states,
+           v[(folded.k + types.idx + 1)::INTEGER] AS esteps30_micro,
+           round(CAST(v[(folded.k + types.idx + 1)::INTEGER] AS DOUBLE)
+                 / 1000000.0, 6) AS esteps30
+    FROM folded, types ORDER BY event_type
+    """,
+    tags=("analytics", "markov", "iterative", "fold", "attribution"),
+)
+def q47s_absorbing_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED STEPS TO CONVERSION (30-step horizon) — the WHEN to
+    q47i's WHETHER: E[min(T, 30)] per starting state via the survival
+    accumulation E = sum_t P(T > t), computed by iterating transient
+    mass s <- Qs (Q = P with the absorbing column zeroed) and
+    accumulating — the finite-horizon form that needs no fundamental-
+    matrix inverse, monotone from below, and the journey-length prior
+    a sequence-model curriculum or a nurture-campaign scheduler
+    consumes next to the conversion probability.
+
+    q47f/q47i machinery verbatim: ONE-row micro-unit matrix, a
+    29-step nested truncated-integer fold whose state is the 2k array
+    [s_1..s_k, e_1..e_k] (survival mass + accumulated expectation,
+    seeded with the t=0 survival term), per-step singleton-list
+    let-binding for s' so the accumulation reads the same vector it
+    appends to. All values non-negative, so // equals div and the
+    truncation bleed is monotone — the defined contract.
+
+    Scale: fact-sized stages are the per-user lead window and the
+    (src, dst) count; the fold is |states|^2-bounded in-row.
+    """
+    tune_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w_user).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cnt = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("long").alias("c"))
+    types = (
+        ev.select(F.col("event_type").alias("t"))
+        .distinct()
+        .select(
+            "t",
+            (F.row_number().over(W.orderBy("t")) - 1).cast("long").alias("idx"),
+        )
+    )
+    kk = types.agg(F.count("*").cast("long").alias("k"))
+    tg = types.filter(F.col("t") == "purchase").select(F.col("idx").alias("g"))
+    rt = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    si = types.select(F.col("t").alias("src"), F.col("idx").alias("i"))
+    di = types.select(F.col("t").alias("dst"), F.col("idx").alias("j"))
+    probs_f = (
+        cnt.join(F.broadcast(si), "src")
+        .join(F.broadcast(di), "dst")
+        .join(F.broadcast(rt), "src")
+        .join(F.broadcast(kk))
+        .select(
+            (F.col("i") * F.col("k") + F.col("j")).alias("f"),
+            F.expr("1000000 * c div tot").alias("p"),
+        )
+    )
+    mat = (
+        probs_f.join(F.broadcast(kk))
+        .join(F.broadcast(tg))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("f", "p"))).alias("mp"),
+            F.max("k").alias("k"),
+            F.max("g").alias("g"),
+        )
+    )
+    M = F.lit(1000000).cast("long")
+    kcol = F.col("k").cast("int")
+    gcol = F.col("g").cast("int")
+    m = F.transform(
+        F.sequence(F.lit(0), (kcol * kcol - 1)),
+        lambda f: F.coalesce(
+            F.element_at(F.col("mp"), f.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    base = mat.select("k", "g", m.alias("m"))
+    s0 = F.transform(
+        F.sequence(F.lit(0), kcol - 1),
+        lambda i: F.when(i == gcol, F.lit(0)).otherwise(M).cast("long"),
+    )
+    seed = F.concat(s0, s0)
+
+    def let(x, f):
+        return F.element_at(F.transform(F.array(x), f), 1)
+
+    def tdiv(prod):
+        return ((prod - prod % M) / M).cast("long")
+
+    def step(acc, _):
+        s_expr = F.transform(
+            F.sequence(F.lit(0), kcol - 1),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), kcol - 1),
+                F.lit(0).cast("long"),
+                lambda a, j: a
+                + F.when(j == gcol, F.lit(0).cast("long")).otherwise(
+                    tdiv(
+                        F.element_at(acc, j + 1)
+                        * F.element_at(F.col("m"), (i * kcol + j + 1))
+                    )
+                ),
+            ),
+        )
+
+        def with_s(s):
+            return F.concat(
+                s,
+                F.transform(
+                    F.sequence(F.lit(0), kcol - 1),
+                    lambda i: F.element_at(acc, kcol + i + 1)
+                    + F.element_at(s, i + 1),
+                ),
+            )
+
+        return let(s_expr, with_s)
+
+    folded = base.select(
+        F.col("k").alias("n_states"),
+        F.aggregate(F.sequence(F.lit(1), F.lit(29)), seed, step).alias("v"),
+    )
+    return (
+        folded.join(F.broadcast(types))
+        .select(
+            F.col("t").alias("event_type"),
+            "n_states",
+            F.element_at(
+                "v", (F.col("n_states") + F.col("idx") + 1).cast("int")
+            ).alias("esteps30_micro"),
+            F.round(
+                F.element_at(
+                    "v", (F.col("n_states") + F.col("idx") + 1).cast("int")
+                ).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("esteps30"),
+        )
+        .orderBy("event_type")
+    )
