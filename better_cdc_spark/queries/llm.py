@@ -17109,3 +17109,118 @@ def q99aj_au_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, encoding bigint, n_samples bigint,"
         " duration_us bigint, checksum bigint",
     )
+
+
+@query(
+    "q97ad_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT label, (vec_id % 2)::BIGINT AS half,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e9)
+                  AS BIGINT) AS v_nano
+      FROM embeddings
+    ),
+    cg AS (
+      SELECT label, half, dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_nano) AS BIGINT) AS s
+      FROM dims GROUP BY label, half, dim
+    ),
+    wide AS (
+      SELECT label, dim,
+             MAX(CASE WHEN half = 0 THEN n END) AS n0,
+             MAX(CASE WHEN half = 0 THEN s END) AS s0,
+             MAX(CASE WHEN half = 1 THEN n END) AS n1,
+             MAX(CASE WHEN half = 1 THEN s END) AS s1
+      FROM cg GROUP BY label, dim
+    ),
+    terms AS (
+      SELECT label, dim, n0, n1,
+             (CAST(s0 AS DOUBLE) * n1 - CAST(s1 AS DOUBLE) * n0)
+             / (CAST(n0 AS DOUBLE) * n1) / 1e9 AS d
+      FROM wide
+    ),
+    agg AS (
+      SELECT label, CAST(MAX(n0) AS BIGINT) AS n_first,
+             CAST(MAX(n1) AS BIGINT) AS n_second,
+             list_reduce(array_agg(d * d ORDER BY dim),
+                         (a, b) -> a + b) AS ss
+      FROM terms GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS label, n_first, n_second,
+           round(sqrt(ss), 6) AS centroid_shift
+    FROM agg ORDER BY label
+    """,
+    tags=("similarity", "monitoring", "drift"),
+)
+def q97ad_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LABEL CENTROID DRIFT between the even and odd halves of the
+    embedding corpus — the label-conditional embedding drift monitor
+    (q95al tracks corpus drift at the document level, qm25 at the
+    value level; this asks whether each CLASS'S representation moved,
+    the check that catches an encoder update silently rotating one
+    label's cluster while global statistics stay flat).
+
+    Per-(label, half, dim) sums are exact nano-unit BIGINTs (the q97r
+    round(v*1e9) discipline — float32 widens bit-exactly, so the
+    order-free integer sums match); each dimension's mean difference
+    is ONE pinned double on four exact integers, and the 64 squared
+    terms fold in dim order (the q36aa ordered-fold discipline)
+    before the single sqrt.
+
+    Scale: one narrow posexplode into a (label, half, dim)-keyed
+    map-side agg — |labels| x 2 x 64 rows total; everything after is
+    bounded. The cheapest drift check you can run on a vector column.
+    """
+    tune_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("long").alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "half",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 1e9)
+        .cast("long")
+        .alias("v_nano"),
+    )
+    cg = dims.groupBy("label", "half", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_nano").cast("long").alias("s"),
+    )
+    wide = cg.groupBy("label", "dim").agg(
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("half") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("half") == 1, F.col("s"))).alias("s1"),
+    )
+    d = (
+        F.col("s0").cast("double") * F.col("n1")
+        - F.col("s1").cast("double") * F.col("n0")
+    ) / (F.col("n0").cast("double") * F.col("n1")) / 1e9
+    terms = wide.select("label", "dim", "n0", "n1", d.alias("d"))
+    agg = terms.groupBy("label").agg(
+        F.max("n0").cast("long").alias("n_first"),
+        F.max("n1").cast("long").alias("n_second"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("dim", (F.col("d") * F.col("d")).alias("dd"))
+                    )
+                ),
+                lambda st: st["dd"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("ss"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        "n_first",
+        "n_second",
+        F.round(F.sqrt("ss"), 6).alias("centroid_shift"),
+    ).orderBy("label")
