@@ -15183,3 +15183,73 @@ def q47s_absorbing_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q36ba_wilson_interval",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, x,
+           round(CAST(x AS DOUBLE) / n, 6) AS rate,
+           round((CAST(x AS DOUBLE) / n + 1.959964 * 1.959964 / (2 * n)
+                  - 1.959964 * sqrt((CAST(x AS DOUBLE) / n)
+                                    * (1 - CAST(x AS DOUBLE) / n) / n
+                                    + 1.959964 * 1.959964
+                                      / (4.0 * n * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_lo,
+           round((CAST(x AS DOUBLE) / n + 1.959964 * 1.959964 / (2 * n)
+                  + 1.959964 * sqrt((CAST(x AS DOUBLE) / n)
+                                    * (1 - CAST(x AS DOUBLE) / n) / n
+                                    + 1.959964 * 1.959964
+                                      / (4.0 * n * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
+    FROM cells
+    """,
+    tags=("agg", "statistics"),
+)
+def q36ba_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE INTERVAL for the value>150 rate per event type —
+    the binomial CI that behaves at the boundaries the Wald interval
+    famously botches (a zero-success cell gets a sensible nonzero
+    upper bound instead of [0, 0]), and the number every rate
+    dashboard should draw instead of rate +- 1.96*se.
+
+    Counts are exact integers per type; both bounds are single pinned
+    double expressions sharing the 1.959964 z literal (the 6dp
+    pinned-constant convention — never an in-plan quantile call).
+
+    Scale: one map-side-combinable pass; a 5-row frame after.
+    """
+    tune_for_oracle(spark)
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("value") > 150, 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    z = F.lit(1.959964)
+    p = F.col("x").cast("double") / F.col("n")
+    z2n = z * z / (2 * F.col("n"))
+    rad = z * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    den = 1 + z * z / F.col("n")
+    return cells.select(
+        "event_type",
+        "n",
+        "x",
+        F.round(p, 6).alias("rate"),
+        F.round((p + z2n - rad) / den, 6).alias("wilson_lo"),
+        F.round((p + z2n + rad) / den, 6).alias("wilson_hi"),
+    )
