@@ -15253,3 +15253,122 @@ def q36ba_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + z2n - rad) / den, 6).alias("wilson_lo"),
         F.round((p + z2n + rad) / den, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "q42s_garch_volatility",
+    oracle="""
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS t,
+             CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT array_agg(CAST(cents AS DOUBLE) / 100000000.0 ORDER BY t)
+               AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n FROM m
+    ),
+    rets AS (
+      SELECT n, list_transform(range(2, CAST(n AS INT) + 1),
+               i -> ys[CAST(i AS INT)] - ys[CAST(i AS INT) - 1]) AS rs
+      FROM series
+    ),
+    folded AS (
+      SELECT n, list_reduce(
+        list_concat([[1.0, 0.0]], list_transform(rs, r -> [r, 0.0])),
+        (acc, x) -> [1.0 + (x[1] * x[1]) / 4 + 5 * acc[1] / 8, x[1]]
+      ) AS st
+      FROM rets
+    )
+    SELECT n AS n_months,
+           round(st[1], 6) AS sigma2,
+           round(sqrt(st[1]), 6) AS sigma,
+           round(st[2], 6) AS last_return,
+           round(1.0 / (1.0 - 0.25 - 0.625), 6) AS unconditional_var
+    FROM folded
+    """,
+    tags=("timeseries", "volatility", "fold"),
+)
+def q42s_garch_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1)-LITE CONDITIONAL VOLATILITY of monthly revenue
+    changes — the volatility-CLUSTERING model the smoothing shelf
+    lacks: q42d's EWMA smooths the LEVEL, q42i charts its drift; this
+    tracks the VARIANCE of changes with persistence (sigma2' = omega
+    + alpha*r^2 + beta*sigma2), so a turbulent quarter keeps risk
+    elevated after the level recovers — the number a revenue-at-risk
+    or anomaly-threshold calculation actually wants.
+
+    All three parameters are DYADIC (omega=1 fold-unit, alpha=1/4,
+    beta=5/8; persistence 7/8 < 1, unconditional variance
+    omega/(1-alpha-beta) = 8), so every fold step is exact dyadic
+    double arithmetic in one pinned op sequence — the q42j/q42n
+    recurrence discipline, state [sigma2, last_r]. Returns are
+    month-over-month differences of the exact 1e6-cent series (no
+    logs — exactness over convention).
+
+    Scale: the fact folds map-side to one cents row per month; state
+    is 2 doubles. A streaming twin would join the qm19..qm24
+    recurrence class.
+    """
+    tune_for_oracle(spark)
+    mth = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("o_totalprice").cast("double") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    series = mth.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t",
+                        (
+                            F.col("cents").cast("double") / 100000000.0
+                        ).alias("y"),
+                    )
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n"),
+    )
+    rs = F.transform(
+        F.sequence(F.lit(2), F.col("n").cast("int")),
+        lambda i: F.element_at("ys", i) - F.element_at("ys", i - 1),
+    )
+
+    def step(acc, r):
+        return F.array(
+            F.lit(1.0)
+            + (r * r) / 4
+            + 5 * F.element_at(acc, 1) / 8,
+            r,
+        )
+
+    st = F.aggregate(
+        rs, F.array(F.lit(1.0), F.lit(0.0)), step
+    )
+    folded = series.select("n", st.alias("st"))
+    return folded.select(
+        F.col("n").alias("n_months"),
+        F.round(F.element_at("st", 1), 6).alias("sigma2"),
+        F.round(F.sqrt(F.element_at("st", 1)), 6).alias("sigma"),
+        F.round(F.element_at("st", 2), 6).alias("last_return"),
+        F.round(F.lit(1.0) / (1.0 - 0.25 - 0.625), 6).alias(
+            "unconditional_var"
+        ),
+    )
