@@ -15372,3 +15372,94 @@ def q42s_garch_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unconditional_var"
         ),
     )
+
+
+@query(
+    "q53l_palma_ratio",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM cust
+    ), dec AS (
+      SELECT decile, CAST(SUM(cents) AS BIGINT) AS dc
+      FROM scored GROUP BY decile
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN decile = 10 THEN dc ELSE 0 END) AS BIGINT)
+               AS top10,
+             CAST(SUM(CASE WHEN decile <= 4 THEN dc ELSE 0 END) AS BIGINT)
+               AS bottom40,
+             CAST(SUM(dc) AS BIGINT) AS t
+      FROM dec
+    )
+    SELECT top10 AS top10_cents, bottom40 AS bottom40_cents,
+           round(CAST(top10 AS DOUBLE) / t, 6) AS top10_share,
+           round(CAST(bottom40 AS DOUBLE) / t, 6) AS bottom40_share,
+           round(CAST(top10 AS DOUBLE) / bottom40, 6) AS palma_ratio
+    FROM agg
+    """,
+    tags=("analytics", "inequality"),
+)
+def q53l_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALMA RATIO of customer revenue — top-decile share over
+    bottom-four-decile share, the inequality scalar development
+    economics moved to when Gini proved insensitive exactly where
+    distributions actually change (the tails; the middle ~50% share
+    is empirically stable, which is the Palma observation) — and the
+    single number completing the shelf: Gini (ranks), Lorenz (the
+    curve), Theil (decomposable), Hoover (literal transfer), Palma
+    (tails head-to-head).
+
+    Deciles come from the q53f machinery: blocked_ntile over the
+    (cents, custkey) total order — no single-task dim sort (the r10
+    two-level swap) — and both tail masses are exact BIGINT sums over
+    the 10-row decile frame; two display shares and the ratio are the
+    only doubles.
+
+    Scale: one map-side customer fold; blocked ranking two-level
+    parallel; a 10-row frame after.
+    """
+    from better_cdc_spark.operators import blocked_ntile
+
+    tune_for_oracle(spark)
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    scored = blocked_ntile(
+        cust, "cents", "o_custkey", 10, "decile"
+    ).select("cents", "decile")
+    dec = scored.groupBy("decile").agg(
+        F.sum("cents").cast("long").alias("dc")
+    )
+    agg = dec.agg(
+        F.sum(F.when(F.col("decile") == 10, F.col("dc")).otherwise(0))
+        .cast("long")
+        .alias("top10"),
+        F.sum(F.when(F.col("decile") <= 4, F.col("dc")).otherwise(0))
+        .cast("long")
+        .alias("bottom40"),
+        F.sum("dc").cast("long").alias("t"),
+    )
+    return agg.select(
+        F.col("top10").alias("top10_cents"),
+        F.col("bottom40").alias("bottom40_cents"),
+        F.round(F.col("top10").cast("double") / F.col("t"), 6).alias(
+            "top10_share"
+        ),
+        F.round(F.col("bottom40").cast("double") / F.col("t"), 6).alias(
+            "bottom40_share"
+        ),
+        F.round(
+            F.col("top10").cast("double") / F.col("bottom40"), 6
+        ).alias("palma_ratio"),
+    )
