@@ -15463,3 +15463,161 @@ def q53l_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top10").cast("double") / F.col("bottom40"), 6
         ).alias("palma_ratio"),
     )
+
+
+@query(
+    "q36bb_poisson_rate_test",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x2
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT x1, x2,
+           round(CAST(x1 AS DOUBLE) / x2, 6) AS rate_ratio,
+           round((CAST(x1 AS DOUBLE) - CAST(x1 + x2 AS DOUBLE) / 2)
+                 / sqrt(CAST(x1 + x2 AS DOUBLE) / 4), 6) AS z_stat
+    FROM cells
+    """,
+    tags=("agg", "statistics"),
+)
+def q36bb_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE POISSON RATE TEST between the even/odd user arms'
+    purchase counts — the count-data member of the A/B shelf (q47p
+    compares conversion PROPORTIONS; this compares event RATES, the
+    right test when the outcome is "how many", not "whether"): the
+    classic CONDITIONAL reduction — given the total X = x1+x2, x1 is
+    Binomial(X, 1/2) under equal rates with equal exposure — makes
+    the statistic z = (x1 - X/2)/sqrt(X/4), two exact integers into
+    one pinned double expression.
+
+    Scale: one filtered map-side pass; a scalar frame after. The
+    cheapest rate test that exists.
+    """
+    tune_for_oracle(spark)
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("x1"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("x2"),
+        )
+    )
+    xt = (F.col("x1") + F.col("x2")).cast("double")
+    return cells.select(
+        "x1",
+        "x2",
+        F.round(F.col("x1").cast("double") / F.col("x2"), 6).alias(
+            "rate_ratio"
+        ),
+        F.round(
+            (F.col("x1").cast("double") - xt / 2) / F.sqrt(xt / 4), 6
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "q45g_quantile_normalization",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    gh AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY g, x
+    ),
+    gc AS (
+      SELECT g, x, c,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM gh
+    ),
+    gn AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM gh GROUP BY g),
+    ph AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x
+    ),
+    pc AS (
+      SELECT x, CAST(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pcum
+      FROM ph
+    ),
+    pn AS (SELECT CAST(SUM(c) AS BIGINT) AS np FROM ph),
+    mapped AS (
+      SELECT gc.g, gc.x, gc.c,
+             CAST(MIN(pc.x) AS BIGINT) AS mapped_x
+      FROM gc
+      JOIN gn USING (g) CROSS JOIN pn
+      JOIN pc ON pc.pcum * gn.ng >= gc.cum * pn.np
+      GROUP BY gc.g, gc.x, gc.c
+    )
+    SELECT g AS grp, x, c AS n_rows, mapped_x
+    FROM mapped
+    """,
+    tags=("interpolation", "calibration", "statistics"),
+)
+def q45g_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of click and view values onto the POOLED
+    distribution — the batch-effect corrector (microarray lineage, now
+    the standard cross-source score calibrator in data curation: two
+    quality scorers with different scales become comparable by mapping
+    each through its own ECDF into the shared one) — the CALIBRATION
+    member of the q45 family (LOCF/linear/spline interpolate in time;
+    this interpolates in distribution).
+
+    Every mapping is a DISCRETE order-statistic selection on exact
+    integers: value x in group g (cumulative cum of ng) maps to the
+    smallest pooled value whose cumulative satisfies pcum*ng >=
+    cum*np — integer cross-multiplication, no quantile interpolation,
+    no doubles anywhere. Both per-group and pooled cumsums run over
+    the bounded value grid (the q36aa discipline).
+
+    Scale: two histogram passes; the mapping join is grid x grid
+    bounded by the value domain. Output is the mapping TABLE (apply
+    = one broadcast join against the fact).
+    """
+    tune_for_oracle(spark)
+    v = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor("value").cast("long").alias("x"),
+        )
+    )
+    gh = v.groupBy("g", "x").agg(F.count("*").cast("long").alias("c"))
+    wg = W.partitionBy("g").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    gc = gh.select(
+        "g", "x", "c", F.sum("c").over(wg).cast("long").alias("cum")
+    )
+    gn = gh.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+    ph = v.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    wp = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    pc = ph.select(
+        F.col("x").alias("px"),
+        F.sum("c").over(wp).cast("long").alias("pcum"),
+    )
+    pn = ph.agg(F.sum("c").cast("long").alias("np"))
+    mapped = (
+        gc.join(F.broadcast(gn), "g")
+        .crossJoin(F.broadcast(pn))
+        .join(
+            F.broadcast(pc),
+            F.col("pcum") * F.col("ng") >= F.col("cum") * F.col("np"),
+        )
+        .groupBy("g", "x", "c")
+        .agg(F.min("px").cast("long").alias("mapped_x"))
+    )
+    return mapped.select(
+        F.col("g").alias("grp"),
+        "x",
+        F.col("c").alias("n_rows"),
+        "mapped_x",
+    )
