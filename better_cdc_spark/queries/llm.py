@@ -17224,3 +17224,148 @@ def q97ad_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_second",
         F.round(F.sqrt("ss"), 6).alias("centroid_shift"),
     ).orderBy("label")
+
+
+@query(
+    "q94aq_powerlaw_tail",
+    oracle="""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + t.k) % (SELECT n FROM cnt) AS dst
+      FROM nodes CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) t
+      WHERE t.k <= 1 + doc_id % 3
+    ),
+    und AS (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    ),
+    dh AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dh),
+    ccdf AS (
+      SELECT d, CAST(SUM(c) OVER (ORDER BY d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tail
+      FROM dh
+    ),
+    pts AS (
+      SELECT d, ln(CAST(d AS DOUBLE)) AS lx,
+             ln(CAST(tail AS DOUBLE) / nt.n) AS ly
+      FROM ccdf, nt WHERE d >= 1
+    ),
+    slopes AS (
+      SELECT a.d AS i, b.d AS j,
+             round((b.ly - a.ly) / (b.lx - a.lx), 9) AS s
+      FROM pts a JOIN pts b ON b.d > a.d AND a.d >= 2
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, i, j) AS rk,
+             COUNT(*) OVER () AS np
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_degrees,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           round(MAX(CASE WHEN rk = (np + 1) // 2 THEN s END), 6)
+             AS tail_slope,
+           round(-MAX(CASE WHEN rk = (np + 1) // 2 THEN s END), 6)
+             AS alpha_hat
+    FROM ranked
+    """,
+    tags=("llm", "graph", "statistics"),
+)
+def q94aq_powerlaw_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER-LAW TAIL SLOPE of the degree distribution — the Theil-Sen
+    median slope of the log-log CCDF (d >= 2, the standard cut above
+    the non-scaling head): the heavy-tail exponent a crawl audit
+    quotes before applying degree-based sampling corrections, fit the
+    ROBUST way (median of pairwise slopes, q53e's estimator applied
+    to the degree grid) rather than the famously-biased OLS-on-log-
+    histogram.
+
+    The degree grid is bounded (max total degree ~8 on this graph),
+    so the pairwise-slope frame is tiny; slopes round to 9dp before
+    the (s, i, j) median selection (the q97l rounded-rank discipline
+    — ln follows the q98b same-libm precedent; the DECIDED value is
+    a selection, not a sum). CCDF tails are exact integer suffix
+    sums over the degree grid.
+
+    Scale: degrees one pass over 2|E| rows; everything after lives
+    on the degree grid.
+    """
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded driver scalar: the modular edge rule needs N
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(k)) % F.lit(n)
+                        for k in (1, 2, 3)
+                    ]
+                ),
+                1,
+                (1 + F.col("doc_id") % 3).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dh = deg.groupBy("d").agg(F.count("*").cast("long").alias("c"))
+    nt = dh.agg(F.sum("c").cast("long").alias("n"))
+    wt = W.orderBy(F.col("d").desc()).rowsBetween(W.unboundedPreceding, 0)
+    ccdf = dh.select(
+        "d", F.sum("c").over(wt).cast("long").alias("tail")
+    )
+    pts = ccdf.crossJoin(F.broadcast(nt)).select(
+        "d",
+        F.log(F.col("d").cast("double")).alias("lx"),
+        F.log(F.col("tail").cast("double") / F.col("n")).alias("ly"),
+    )
+    a = pts.select(
+        F.col("d").alias("i"), F.col("lx").alias("lxa"), F.col("ly").alias("lya")
+    ).filter(F.col("i") >= 2)
+    b = pts.select(
+        F.col("d").alias("j"), F.col("lx").alias("lxb"), F.col("ly").alias("lyb")
+    )
+    slopes = a.join(F.broadcast(b), F.col("j") > F.col("i")).select(
+        "i",
+        "j",
+        F.round(
+            (F.col("lyb") - F.col("lya")) / (F.col("lxb") - F.col("lxa")), 9
+        ).alias("s"),
+    )
+    wr = W.orderBy("s", "i", "j")
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("np"),
+    )
+    npts = pts.agg(F.count("*").cast("long").alias("n_degrees"))
+    # integer median rank: rk == (np + 1) div 2
+    sel = ranked.filter(F.col("rk") == F.expr("(np + 1) div 2"))
+    return sel.crossJoin(F.broadcast(npts)).select(
+        "n_degrees",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(F.col("s"), 6).alias("tail_slope"),
+        F.round(-F.col("s"), 6).alias("alpha_hat"),
+    )

@@ -19,6 +19,8 @@ driver-side collects, pushdown-friendly filters.
 
 from __future__ import annotations
 
+import math
+
 import os
 import shutil
 import tempfile
@@ -15620,4 +15622,272 @@ def q45g_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.col("c").alias("n_rows"),
         "mapped_x",
+    )
+
+
+#: 12dp-pinned unit-circle tables for the 24 hour angles (the Benford
+#: pinned-constant convention: NEVER call cos/sin in-plan on either
+#: engine — shared literals make the weighted sums engine-identical).
+_COS24 = [1.0, 0.965925826289, 0.866025403784, 0.707106781187, 0.5, 0.258819045103, 0.0, -0.258819045103, -0.5, -0.707106781187, -0.866025403784, -0.965925826289, -1.0, -0.965925826289, -0.866025403784, -0.707106781187, -0.5, -0.258819045103, -0.0, 0.258819045103, 0.5, 0.707106781187, 0.866025403784, 0.965925826289]
+_SIN24 = [0.0, 0.258819045103, 0.5, 0.707106781187, 0.866025403784, 0.965925826289, 1.0, 0.965925826289, 0.866025403784, 0.707106781187, 0.5, 0.258819045103, 0.0, -0.258819045103, -0.5, -0.707106781187, -0.866025403784, -0.965925826289, -1.0, -0.965925826289, -0.866025403784, -0.707106781187, -0.5, -0.258819045103]
+
+
+@query(
+    "q44m_circular_hour_stats",
+    oracle="""
+    WITH hh AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    trig AS (
+      SELECT h, c,
+             CASE h WHEN 0 THEN 1.0 WHEN 1 THEN 0.965925826289 WHEN 2 THEN 0.866025403784 WHEN 3 THEN 0.707106781187 WHEN 4 THEN 0.5 WHEN 5 THEN 0.258819045103 WHEN 6 THEN 0.0 WHEN 7 THEN -0.258819045103 WHEN 8 THEN -0.5 WHEN 9 THEN -0.707106781187 WHEN 10 THEN -0.866025403784 WHEN 11 THEN -0.965925826289 WHEN 12 THEN -1.0 WHEN 13 THEN -0.965925826289 WHEN 14 THEN -0.866025403784 WHEN 15 THEN -0.707106781187 WHEN 16 THEN -0.5 WHEN 17 THEN -0.258819045103 WHEN 18 THEN -0.0 WHEN 19 THEN 0.258819045103 WHEN 20 THEN 0.5 WHEN 21 THEN 0.707106781187 WHEN 22 THEN 0.866025403784 WHEN 23 THEN 0.965925826289 END AS ch,
+             CASE h WHEN 0 THEN 0.0 WHEN 1 THEN 0.258819045103 WHEN 2 THEN 0.5 WHEN 3 THEN 0.707106781187 WHEN 4 THEN 0.866025403784 WHEN 5 THEN 0.965925826289 WHEN 6 THEN 1.0 WHEN 7 THEN 0.965925826289 WHEN 8 THEN 0.866025403784 WHEN 9 THEN 0.707106781187 WHEN 10 THEN 0.5 WHEN 11 THEN 0.258819045103 WHEN 12 THEN 0.0 WHEN 13 THEN -0.258819045103 WHEN 14 THEN -0.5 WHEN 15 THEN -0.707106781187 WHEN 16 THEN -0.866025403784 WHEN 17 THEN -0.965925826289 WHEN 18 THEN -1.0 WHEN 19 THEN -0.965925826289 WHEN 20 THEN -0.866025403784 WHEN 21 THEN -0.707106781187 WHEN 22 THEN -0.5 WHEN 23 THEN -0.258819045103 END AS sh
+      FROM hh
+    ),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             list_reduce(array_agg(c * ch ORDER BY h), (a, b) -> a + b)
+               AS cs,
+             list_reduce(array_agg(c * sh ORDER BY h), (a, b) -> a + b)
+               AS ss
+      FROM trig
+    )
+    SELECT n AS n_events,
+           round(cs, 6) AS cos_sum,
+           round(ss, 6) AS sin_sum,
+           round(sqrt(cs * cs + ss * ss) / n, 6) AS resultant_r,
+           round(1.0 - sqrt(cs * cs + ss * ss) / n, 6)
+             AS circular_variance,
+           round(atan2(ss, cs) * 12.0 / pi() + CASE WHEN atan2(ss, cs) < 0
+                 THEN 24.0 ELSE 0.0 END, 6) AS mean_hour
+    FROM agg
+    """,
+    tags=("sessionize", "statistics", "circular"),
+)
+def q44m_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCULAR STATISTICS of purchase time-of-day — mean direction,
+    resultant length R and circular variance of the hour angle: the
+    CORRECT way to average clock times (the linear mean of 23:00 and
+    01:00 is noon; the circular mean is midnight), the peak-hour
+    readout every ops dashboard computes wrongly with AVG(hour), and
+    the rhythm-strength signal (R near 1 = strongly peaked daily
+    cycle, near 0 = uniform).
+
+    The 24 hour angles use 12dp-PINNED cos/sin literal tables on both
+    engines (the Benford convention — no in-plan trig until the final
+    display atan2/sqrt on identical doubles); weighted sums fold in
+    h-order over the 24-row frame (the q36aa ordered-fold
+    discipline); counts are exact integers.
+
+    Scale: one map-side hour histogram; everything after is a 24-row
+    frame.
+    """
+    tune_for_oracle(spark)
+    hh = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.hour("ts").cast("long").alias("h"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cos_arr = F.array(*[F.lit(v) for v in _COS24])
+    sin_arr = F.array(*[F.lit(v) for v in _SIN24])
+    trig = hh.select(
+        "h",
+        "c",
+        F.element_at(cos_arr, (F.col("h") + 1).cast("int")).alias("ch"),
+        F.element_at(sin_arr, (F.col("h") + 1).cast("int")).alias("sh"),
+    )
+
+    def osum(term, alias):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", term.alias("t")))),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias(alias)
+
+    agg = trig.agg(
+        F.sum("c").cast("long").alias("n"),
+        osum(F.col("c") * F.col("ch"), "cs"),
+        osum(F.col("c") * F.col("sh"), "ss"),
+    )
+    r = F.sqrt(F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss")) / F.col(
+        "n"
+    )
+    ang = F.atan2(F.col("ss"), F.col("cs"))
+    return agg.select(
+        F.col("n").alias("n_events"),
+        F.round(F.col("cs"), 6).alias("cos_sum"),
+        F.round(F.col("ss"), 6).alias("sin_sum"),
+        F.round(r, 6).alias("resultant_r"),
+        F.round(1.0 - r, 6).alias("circular_variance"),
+        F.round(
+            ang * 12.0 / math.pi
+            + F.when(ang < 0, F.lit(24.0)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_hour"),
+    )
+
+
+@query(
+    "q36bc_cohens_h",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    wide AS (
+      SELECT CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x1,
+             CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n2,
+             CAST(MAX(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x2
+      FROM cells
+    )
+    SELECT n1, x1, n2, x2,
+           round(CAST(x1 AS DOUBLE) / n1, 6) AS p1,
+           round(CAST(x2 AS DOUBLE) / n2, 6) AS p2,
+           round(2 * asin(sqrt(CAST(x1 AS DOUBLE) / n1))
+                 - 2 * asin(sqrt(CAST(x2 AS DOUBLE) / n2)), 6) AS cohens_h
+    FROM wide
+    """,
+    tags=("agg", "statistics"),
+)
+def q36bc_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S H effect size for the click-rate difference between the
+    even/odd user arms — the arcsine-stabilized proportion effect
+    size that q47p's z cannot substitute for (z scales with sqrt(n):
+    any trivial difference becomes "significant" at corpus scale; h
+    is SAMPLE-SIZE-FREE, the number a practical-significance gate
+    thresholds — the proportion twin of q36ag's Cohen's d).
+
+    Counts exact from one MAX-CASE pivot pass; h = 2asin(sqrt(p1)) -
+    2asin(sqrt(p2)) is one pinned display expression (asin/sqrt on
+    identical doubles, the q98b same-libm precedent).
+
+    Scale: one map-side pass; a 2-row pivot after.
+    """
+    tune_for_oracle(spark)
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 2).cast("long").alias("arm"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    wide = cells.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c)))
+            .cast("long")
+            .alias(f"{c}{a + 1}")
+            for a in (0, 1)
+            for c in ("n", "x")
+        ]
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    return wide.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(
+            2 * F.asin(F.sqrt(p1)) - 2 * F.asin(F.sqrt(p2)), 6
+        ).alias("cohens_h"),
+    )
+
+
+@query(
+    "q47t_journey_shapes",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    shapes AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS shape
+      FROM seq WHERE rn <= 3 GROUP BY user_id
+    ),
+    hist AS (
+      SELECT shape, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM shapes GROUP BY shape
+    ),
+    tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt FROM hist),
+    ranked AS (
+      SELECT shape, n_users,
+             ROW_NUMBER() OVER (ORDER BY n_users DESC, shape ASC) AS rnk
+      FROM hist
+    )
+    SELECT rnk, shape, n_users,
+           CAST(1000000 * n_users // tot.nt AS BIGINT) AS share_micro
+    FROM ranked, tot WHERE rnk <= 10
+    """,
+    tags=("funnel", "paths"),
+)
+def q47t_journey_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOURNEY SHAPE HISTOGRAM: the top-10 opening three-event
+    sequences across users — the onboarding-funnel fingerprint (which
+    first impressions actually happen) that q47b's full path mining
+    drowns in combinatorics and q44f's one-step matrix cannot see
+    (a transition matrix forgets position; 'view>view>click' and
+    'click>view>view' are different products).
+
+    Shapes concatenate in (ts, event_id) total order (Spark
+    concat_ws over the rn-sorted collected structs mirrors DuckDB's
+    string_agg ORDER BY rn); counts exact; the top-10 ranks on
+    (n_users DESC, shape) — a total order, flake-free; shares are
+    micro-unit integer divisions.
+
+    Scale: one user-keyed window + map-side shape histogram; the
+    ranked frame is shape-taxonomy bounded (<= 5^3 = 125 rows).
+    """
+    tune_for_oracle(spark)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= 3)
+    )
+    shapes = seq.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda st: st["event_type"],
+            ),
+        ).alias("shape")
+    )
+    hist = shapes.groupBy("shape").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    tot = hist.agg(F.sum("n_users").cast("long").alias("nt"))
+    top = hist.orderBy(F.col("n_users").desc(), F.col("shape").asc()).limit(10)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("n_users").desc(), F.col("shape").asc())
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "shape",
+        "n_users",
+        F.expr("CAST(1000000 * n_users div nt AS BIGINT)").alias(
+            "share_micro"
+        ),
     )
