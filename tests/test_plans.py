@@ -1217,3 +1217,27 @@ def test_q52c_sampling_never_globally_sorts(spark):
     assert specs
     for spec in specs:
         assert "source" in spec  # every window is stratum-partitioned
+
+
+def test_q53l_palma_uses_blocked_ntile(spark):
+    """Palma's deciles must come from the blocked two-level ops — no
+    NTILE window, no single-task customer-dimension sort."""
+    plan = plan_of(spark, "q53l_palma_ratio")
+    assert "ntile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_q45g_normalization_is_grid_bounded(spark):
+    """Quantile normalization's mapping join runs grid x grid (value-
+    domain bounded) — the fact appears only in the two histogram
+    passes, and no product forms."""
+    plan = plan_of(spark, "q45g_quantile_normalization")
+    assert "CartesianProduct" not in plan
+
+
+def test_q44m_trig_is_pinned_literals(spark):
+    """Circular stats must never call cos/sin in-plan — the hour
+    angles come from the pinned literal arrays."""
+    plan = plan_of(spark, "q44m_circular_hour_stats")
+    assert "COS(" not in plan.upper().replace("ATAN2", "")
+    assert "SIN(" not in plan.upper().replace("ATAN2", "").replace("ASIN", "")
