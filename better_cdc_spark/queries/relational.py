@@ -15891,3 +15891,116 @@ def q47t_journey_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_micro"
         ),
     )
+
+
+@query(
+    "q42t_max_drawdown",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT array_agg(x ORDER BY mi) AS ys,
+             CAST(COUNT(*) AS BIGINT) AS n FROM m
+    ),
+    folded AS (
+      SELECT n, list_reduce(
+        list_concat([[ys[1], 0::BIGINT, ys[1], ys[1]]],
+                    list_transform(ys[2:], y -> [y, 0::BIGINT,
+                                                 0::BIGINT, 0::BIGINT])),
+        (acc, x) -> [
+          CASE WHEN x[1] > acc[1] THEN x[1] ELSE acc[1] END,
+          CASE WHEN (CASE WHEN x[1] > acc[1] THEN x[1] ELSE acc[1] END)
+                    - x[1] > acc[2]
+               THEN (CASE WHEN x[1] > acc[1] THEN x[1] ELSE acc[1] END)
+                    - x[1]
+               ELSE acc[2] END,
+          CASE WHEN (CASE WHEN x[1] > acc[1] THEN x[1] ELSE acc[1] END)
+                    - x[1] > acc[2]
+               THEN (CASE WHEN x[1] > acc[1] THEN x[1] ELSE acc[1] END)
+               ELSE acc[3] END,
+          CASE WHEN (CASE WHEN x[1] > acc[1] THEN x[1] ELSE acc[1] END)
+                    - x[1] > acc[2]
+               THEN x[1] ELSE acc[4] END
+        ]) AS st
+      FROM series
+    )
+    SELECT n AS n_months,
+           st[2] AS max_drawdown_kd,
+           st[3] AS peak_kd,
+           st[4] AS trough_kd,
+           round(CAST(st[2] AS DOUBLE) / st[3], 6) AS drawdown_frac
+    FROM folded
+    """,
+    tags=("timeseries", "fold"),
+)
+def q42t_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN of monthly revenue — the worst peak-to-trough
+    decline, with the peak and trough levels that produced it: the
+    risk number a revenue (or any KPI) review quotes that no variance
+    statistic captures (volatility is symmetric; drawdown is the
+    asymmetric pain — two series with equal sigma can have wildly
+    different worst declines).
+
+    ONE in-row fold over the exact kilodollar month series with a
+    4-BIGINT state [running_peak, max_dd, peak_at_max, trough_at_max]
+    — pure integer comparisons and subtractions, nothing for
+    accumulation order or rounding to flake (the argmax ties break
+    toward the EARLIEST occurrence on both engines because strict >
+    guards every update). The fraction is the single display double.
+
+    Scale: the fact folds map-side to one cents row per month; state
+    is 4 integers regardless of history.
+    """
+    tune_for_oracle(spark)
+    mth = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) div 100000").alias("x"))
+    )
+    series = mth.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mi", "x"))), lambda s: s["x"]
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+    def step(acc, x):
+        peak = F.greatest(F.element_at(acc, 1), x)
+        dd = peak - x
+        better = dd > F.element_at(acc, 2)
+        return F.array(
+            peak,
+            F.when(better, dd).otherwise(F.element_at(acc, 2)),
+            F.when(better, peak).otherwise(F.element_at(acc, 3)),
+            F.when(better, x).otherwise(F.element_at(acc, 4)),
+        )
+
+    acc0 = F.array(
+        F.element_at("ys", 1),
+        F.lit(0).cast("long"),
+        F.element_at("ys", 1),
+        F.element_at("ys", 1),
+    )
+    st = F.aggregate(
+        F.slice("ys", 2, F.size("ys") - 1), acc0, step
+    )
+    folded = series.select("n", st.alias("st"))
+    return folded.select(
+        F.col("n").alias("n_months"),
+        F.element_at("st", 2).cast("long").alias("max_drawdown_kd"),
+        F.element_at("st", 3).cast("long").alias("peak_kd"),
+        F.element_at("st", 4).cast("long").alias("trough_kd"),
+        F.round(
+            F.element_at("st", 2).cast("double") / F.element_at("st", 3), 6
+        ).alias("drawdown_frac"),
+    )
