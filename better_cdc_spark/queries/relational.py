@@ -16004,3 +16004,82 @@ def q42t_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("st", 2).cast("double") / F.element_at("st", 3), 6
         ).alias("drawdown_frac"),
     )
+
+
+@query(
+    "q42u_ulcer_index",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT mi, x,
+             CAST(MAX(x) OVER (ORDER BY mi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak
+      FROM m
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((peak - x) * (peak - x)) AS BIGINT) AS ssq,
+             CAST(SUM(CASE WHEN x < peak THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_underwater
+      FROM dd
+    )
+    SELECT n AS n_months, n_underwater, ssq AS dd_sumsq_kd,
+           round(sqrt(CAST(ssq AS DOUBLE) / n), 6) AS ulcer_index_kd
+    FROM agg
+    """,
+    tags=("timeseries",),
+)
+def q42u_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULCER INDEX of monthly revenue — the RMS of drawdowns from the
+    running peak: where q42t's max drawdown reports the single worst
+    decline, the ulcer index integrates DURATION (a long shallow
+    underwater stretch can hurt more than one sharp dip), the
+    risk-adjusted denominator the Martin ratio uses instead of sigma.
+
+    Per-month drawdowns come from a running-max window over the
+    calendar-bounded month frame (exact kilodollar integers);
+    squared-drawdown sums stay BIGINT; the index is one display
+    sqrt. The underwater-month count rides along exact.
+
+    Scale: the fact folds map-side to one cents row per month; the
+    window runs over the ~80-row calendar frame.
+    """
+    tune_for_oracle(spark)
+    mth = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mi"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("mi")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) div 100000").alias("x"))
+    )
+    wp = W.orderBy("mi").rowsBetween(W.unboundedPreceding, 0)
+    dd = mth.select(
+        "mi", "x", F.max("x").over(wp).cast("long").alias("peak")
+    )
+    agg = dd.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("peak") - F.col("x")) * (F.col("peak") - F.col("x")))
+        .cast("long")
+        .alias("ssq"),
+        F.sum(F.when(F.col("x") < F.col("peak"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_underwater"),
+    )
+    return agg.select(
+        F.col("n").alias("n_months"),
+        "n_underwater",
+        F.col("ssq").alias("dd_sumsq_kd"),
+        F.round(
+            F.sqrt(F.col("ssq").cast("double") / F.col("n")), 6
+        ).alias("ulcer_index_kd"),
+    )
