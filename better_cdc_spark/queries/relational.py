@@ -16083,3 +16083,188 @@ def q42u_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("ssq").cast("double") / F.col("n")), 6
         ).alias("ulcer_index_kd"),
     )
+
+
+@query(
+    "q46m_user_concentration",
+    oracle="""
+    WITH uc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id ASC) AS rk
+      FROM uc
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(c) AS BIGINT) AS ne
+      FROM uc
+    ),
+    tiers AS (SELECT unnest([1, 5, 10, 25]) AS pct),
+    agg AS (
+      SELECT tiers.pct,
+             CAST(SUM(CASE WHEN ranked.rk * 100 <= tot.nu * tiers.pct
+                           THEN ranked.c ELSE 0 END) AS BIGINT) AS tc,
+             CAST(SUM(CASE WHEN ranked.rk * 100 <= tot.nu * tiers.pct
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM ranked, tot, tiers GROUP BY tiers.pct
+    )
+    SELECT CAST(agg.pct AS BIGINT) AS top_pct, agg.tn AS n_users,
+           agg.tc AS n_events,
+           CAST(1000000 * agg.tc // tot.ne AS BIGINT) AS share_micro
+    FROM agg, tot ORDER BY top_pct
+    """,
+    tags=("retention", "engagement", "inequality"),
+)
+def q46m_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-USER ACTIVITY CONCENTRATION: the share of all events
+    produced by the top 1/5/10/25% most active users — the
+    engagement-side concentration ladder (q53c asks it of revenue;
+    whale-dependence of ACTIVITY is a different risk: a product whose
+    top 1% of users generate half the events dies differently than
+    one whose revenue does).
+
+    Tier membership is an integer cross-multiplication (rk*100 <=
+    nu*pct — no percentile rounding ambiguity), tier masses exact
+    BIGINTs, shares micro-unit divisions. The user ranking runs over
+    the user-dimension aggregate with a (c DESC, user_id) total
+    order.
+
+    Scale: one map-side user fold; the ranking is user-dimension
+    sized (the blocked ops are the documented migration if the user
+    dimension reaches fact scale); tiers are a 4-row broadcast.
+    """
+    tune_for_oracle(spark)
+    uc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ranked = uc.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("user_id").asc()))
+        .alias("rk"),
+    )
+    tot = uc.agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("c").cast("long").alias("ne"),
+    )
+    tiers = spark.createDataFrame([(1,), (5,), (10,), (25,)], "pct int")
+    agg = (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tiers))
+        .groupBy("pct")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk") * 100 <= F.col("nu") * F.col("pct"),
+                    F.col("c"),
+                ).otherwise(0)
+            ).cast("long").alias("tc"),
+            F.sum(
+                F.when(
+                    F.col("rk") * 100 <= F.col("nu") * F.col("pct"), 1
+                ).otherwise(0)
+            ).cast("long").alias("tn"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pct").cast("long").alias("top_pct"),
+            F.col("tn").alias("n_users"),
+            F.col("tc").alias("n_events"),
+            F.expr("CAST(1000000 * tc div ne AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+        .orderBy("top_pct")
+    )
+
+
+@query(
+    "q36bd_type_entropy",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events
+      GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM h),
+    terms AS (
+      SELECT h.event_type,
+             -(CAST(h.c AS DOUBLE) / tot.n)
+             * log2(CAST(h.c AS DOUBLE) / tot.n) AS t
+      FROM h, tot
+    ),
+    agg AS (
+      SELECT list_reduce(array_agg(t ORDER BY event_type),
+                         (a, b) -> a + b) AS hh
+      FROM terms
+    )
+    SELECT tot.n AS n_events, tot.k AS n_types,
+           round(agg.hh, 6) AS entropy_bits,
+           round(agg.hh + CAST(tot.k - 1 AS DOUBLE)
+                 / (2.0 * tot.n) / ln(2), 6) AS entropy_mm_bits,
+           round(agg.hh / log2(CAST(tot.k AS DOUBLE)), 6) AS evenness
+    FROM agg, tot
+    """,
+    tags=("agg", "statistics"),
+)
+def q36bd_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHANNON ENTROPY of the event-type mix with the MILLER-MADOW
+    bias correction and Pielou evenness — the category-mix summary a
+    mixing dashboard tracks (raw plug-in entropy is biased LOW by
+    ~(k-1)/2n; Miller-Madow adds the first-order correction — the
+    difference that matters when comparing entropy across sample
+    sizes), with evenness normalizing to [0,1] against the uniform
+    maximum.
+
+    Counts exact; the k per-type -p log2 p terms fold in type order
+    (q36aa discipline, log2 per the q98b same-libm precedent); the
+    correction and evenness are pinned display expressions.
+
+    Scale: one map-side pass; a k-row frame after.
+    """
+    tune_for_oracle(spark)
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = h.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = h.crossJoin(F.broadcast(tot)).select(
+        "event_type", (-p * F.log2(p)).alias("t")
+    )
+    agg = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "t"))
+                ),
+                lambda st: st["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("hh")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_types"),
+        F.round(F.col("hh"), 6).alias("entropy_bits"),
+        F.round(
+            F.col("hh")
+            + (F.col("k") - 1).cast("double")
+            / (2.0 * F.col("n"))
+            / math.log(2),
+            6,
+        ).alias("entropy_mm_bits"),
+        F.round(
+            F.col("hh") / F.log2(F.col("k").cast("double")), 6
+        ).alias("evenness"),
+    )
