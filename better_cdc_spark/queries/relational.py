@@ -16268,3 +16268,99 @@ def q36bd_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hh") / F.log2(F.col("k").cast("double")), 6
         ).alias("evenness"),
     )
+
+
+@query(
+    "q36be_pythagorean_means",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      FROM cust
+    ),
+    terms AS (
+      SELECT CAST(floor(ln(CAST(cents AS DOUBLE) / 100.0)
+                        * 1000000000 + 0.5) AS BIGINT) AS l_nano,
+             CAST(floor(1000000000000.0 / (CAST(cents AS DOUBLE) / 100.0)
+                        + 0.5) AS BIGINT) AS r_pico
+      FROM cust
+    ),
+    agg AS (
+      SELECT CAST(SUM(l_nano) AS BIGINT) AS ls,
+             CAST(SUM(r_pico) AS BIGINT) AS rs
+      FROM terms
+    )
+    SELECT tot.n AS n_customers,
+           round(CAST(tot.s AS DOUBLE) / tot.n / 100.0, 6) AS mean_usd,
+           round(exp(CAST(agg.ls AS DOUBLE) / tot.n / 1000000000.0), 6)
+             AS geomean_usd,
+           round(CAST(tot.n AS DOUBLE)
+                 / (CAST(agg.rs AS DOUBLE) / 1000000000000.0), 6)
+             AS harmean_usd
+    FROM agg, tot
+    """,
+    tags=("agg", "statistics"),
+)
+def q36be_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PYTHAGOREAN MEAN TRIO of per-customer revenue — arithmetic,
+    geometric, harmonic — whose ordering gap IS the skew diagnostic
+    (AM = GM = HM only for constant data; AM/GM is the multiplicative
+    dispersion a growth-rate summary needs, and the harmonic mean is
+    the only correct average of rates): the summary a revenue review
+    should quote instead of the mean alone.
+
+    The arithmetic mean is exact integers; per-customer ln and
+    reciprocal terms truncate to NANO/PICO units per row (the q53j
+    summation convention — fact-scale sums cross engines exactly;
+    ln/exp per the q98b same-libm precedent) so accumulation order
+    cannot flake either derived mean.
+
+    Scale: one map-side customer fold, one term map, one 1-row
+    combine.
+    """
+    tune_for_oracle(spark)
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    usd = F.col("cents").cast("double") / 100.0
+    terms = cust.select(
+        F.floor(F.log(usd) * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("l_nano"),
+        F.floor(F.lit(1000000000000.0) / usd + F.lit(0.5))
+        .cast("long")
+        .alias("r_pico"),
+    )
+    agg = terms.agg(
+        F.sum("l_nano").cast("long").alias("ls"),
+        F.sum("r_pico").cast("long").alias("rs"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            F.col("s").cast("double") / F.col("n") / 100.0, 6
+        ).alias("mean_usd"),
+        F.round(
+            F.exp(F.col("ls").cast("double") / F.col("n") / 1000000000.0), 6
+        ).alias("geomean_usd"),
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("rs").cast("double") / 1000000000000.0),
+            6,
+        ).alias("harmean_usd"),
+    )
