@@ -4040,14 +4040,21 @@ def decode_tga(payload: bytes) -> dict:
         if len(pix) != need:
             raise ValueError("truncated TGA raster")
     else:
+        end = len(payload) - len(_TGA_FOOTER)  # raster data stops at the footer
         while len(pix) < npix * 3:
+            if pos >= end:
+                raise ValueError("truncated TGA RLE stream")
             hdr = payload[pos]
             pos += 1
             count = (hdr & 0x7F) + 1
             if hdr & 0x80:  # run packet: one pixel repeated
+                if pos + 3 > end:
+                    raise ValueError("truncated TGA RLE stream")
                 pix += payload[pos : pos + 3] * count
                 pos += 3
             else:  # raw packet: count literal pixels
+                if pos + count * 3 > end:
+                    raise ValueError("truncated TGA RLE stream")
                 pix += payload[pos : pos + count * 3]
                 pos += count * 3
         if len(pix) != npix * 3:

@@ -1065,27 +1065,18 @@ def decode_audio(payload: bytes) -> "object":
     (codecs.decode_flac, q99p — fixed-prediction subset, CRC-verified)
     decode here in pure Python — dispatch on container magic + the fmt
     chunk's format tag; perceptual codecs (MP3, AAC, Opus) remain the
-    deploy-time seam."""
-    if payload[:4] == b"fLaC":
-        from better_cdc_spark import codecs
+    deploy-time seam. Every branch returns the raw decoder dict
+    (samples/frames + framerate + duration_us), never a sniff_media-style
+    summary — callers (q99j/q99p kernels) consume the waveform."""
+    from better_cdc_spark import codecs
 
+    if payload[:4] == b"fLaC":
         return codecs.decode_flac(payload)
     if payload[:4] == b".snd":
-        m = codecs.decode_au(payload)
-        return {
-            "mime": "audio/basic", "width": None, "height": None,
-            "duration_us": m["duration_us"],
-            "detail": sum(m["samples"]),
-        }
+        return codecs.decode_au(payload)
     if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
-        m = codecs.decode_aiff(payload)
-        return {
-            "mime": "audio/aiff", "width": None, "height": None,
-            "duration_us": m["duration_us"], "detail": sum(m["frames"]),
-        }
+        return codecs.decode_aiff(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        from better_cdc_spark import codecs
-
         idx = payload.find(b"fmt ")
         tag = struct.unpack_from("<H", payload, idx + 8)[0] if idx >= 0 else 1
         if tag == 0x11:

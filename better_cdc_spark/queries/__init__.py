@@ -66,74 +66,82 @@ def query(
 # but only the prefix gets an external green row). The prefix therefore
 # ROTATES each round to entries the external gate has not yet verified.
 #
-# Round-11 prefix (regenerated mid-round with tools/rotation.py after
-# the session's 13 additions): never-driver-verified entries first
-# (the 13 new round-11 operators + qc33, which was added behind the
-# r10 prefix), then the 10 changed-since-last-green entries the
-# source-hash detector flags (r11 window migrations + oracle
-# promotions), padded to 50 with the LONGEST-unverified entries so the
-# gate also re-confirms the oldest rows against today's code.
+# Round-12 prefix (regenerated at round start with tools/rotation.py):
+# 50 of the 53 never-driver-verified entries lead (all round-11
+# session-2 additions; judge pre-verified all 53 green at sf0.01, the
+# driver row is the remaining hard signal). The 3 spillover
+# never-verified entries follow immediately at positions 51-53, then
+# the 9 changed-since-last-green entries the source-hash detector
+# flags — together those 12 are the natural r13 prefix head.
 # Everything else follows in registration order. NOTE: a prefix-sampled
 # check never covers the tail — run the full sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # never driver-verified: round-11 additions (13 new operators:
-    # classical tests, Holt-Winters batch+streaming, forecast
-    # backtest, Bradley-Terry, Shapley, PCA power iteration) plus
-    # qc33 (added behind the r10 prefix; judge-green, needs its row)
-    "qc33_nats_wire_publish",
-    "q36aa_kruskal_wallis",
-    "q36ab_wilcoxon_signed_rank",
-    "q36ac_brown_forsythe",
-    "q36ad_jarque_bera",
-    "q36ae_durbin_watson",
-    "q42l_holt_winters",
-    "q42m_forecast_backtest",
-    "q47k_shapley_attribution",
-    "q46h_bradley_terry",
-    "q36af_cochran_armitage",
-    "q36ag_cohens_d",
-    "q97w_pca_power",
-    "qm21_streaming_holt_winters",
-    "q42n_kalman_filter",
-    "q95as_soft_dedup_weights",
-    "q97x_pca_project",
-    "q36ah_runs_test",
-    "q53i_herfindahl_index",
-    "q47l_time_decay_attribution",
-    "qm22_streaming_kalman",
-    "q36ai_mcnemar",
-    "q36aj_cronbach_alpha",
-    "q98af_watermark_zscore",
-    "q94x_degree_assortativity",
-    "q36ak_goodman_kruskal_gamma",
-    "q36al_cliffs_delta",
-    "q36am_point_biserial",
-    "q36an_ljung_box",
-    "q42o_page_hinkley",
-    "qm23_streaming_page_hinkley",
-    "q94y_hits",
-    "q94z_link_prediction",
-    "q97y_pca_deflation",
-    "q97z_cluster_quality",
-    "q95at_rho_filter",
-    "q97aa_hard_negative_mining",
-    "q36ao_friedman_test",
-    "q53j_theil_index",
-    "q98ag_lexical_diversity",
-    "q42p_croston",
-    "q36ap_grubbs_test",
-    "q47m_position_attribution",
-    "q94aa_kcore",
-    "q98ah_ngram_novelty",
-    "q36aq_bartlett_test",
-    "q45e_cubic_spline",
-    "qm24_streaming_croston",
-    "q36ar_cochran_q",
+    # never driver-verified (50 of 53)
+    "q47n_markov_entropy_rate",
+    "q05e_bloom_filter_sink",
+    "q36as_ks_uniform",
+    "q46j_engagement_histogram",
+    "q36at_jonckheere_terpstra",
+    "q44j_conversion_latency",
+    "q36au_mood_median_test",
+    "q42q_process_capability",
+    "q44k_fano_dispersion",
+    "q47p_funnel_significance",
+    "q36av_robust_shape",
+    "q36aw_welch_anova",
+    "q42r_peak_detection",
+    "q36ax_anderson_darling_2s",
+    "q36ay_tost_equivalence",
+    "q46l_growth_accounting",
+    "q36az_matthews_correlation",
+    "q47r_markov_slem",
+    "q53k_hoover_index",
+    "q44l_burstiness_memory",
+    "q47s_absorbing_expected_steps",
+    "q36ba_wilson_interval",
+    "q42s_garch_volatility",
+    "q53l_palma_ratio",
+    "q36bb_poisson_rate_test",
+    "q45g_quantile_normalization",
+    "q44m_circular_hour_stats",
+    "q36bc_cohens_h",
+    "q47t_journey_shapes",
+    "q42t_max_drawdown",
+    "q42u_ulcer_index",
+    "q46m_user_concentration",
+    "q36bd_type_entropy",
+    "q36be_pythagorean_means",
+    "q94ac_modularity",
+    "q94ae_rich_club",
+    "q98ai_simpson_diversity",
+    "q97ab_mips_topk",
+    "q99af_tga_decode",
+    "q98ak_doc_keywords",
+    "q99ag_pcx_decode",
+    "q99ah_aiff_decode",
+    "q94ak_clustering_coefficient",
+    "q98am_js_divergence",
+    "q99ai_ico_decode",
+    "q52c_systematic_sample",
+    "q94ao_reciprocity",
+    "q94ap_katz_centrality",
+    "q99aj_au_decode",
+    "q97ad_centroid_drift",
+    # never driver-verified spillover (3) — r13 prefix head
+    "q94aq_powerlaw_tail",
+    "qm25_streaming_ks_drift",
+    "qm26_streaming_confusion_monitor",
     # changed since last driver-green row (rotation.py source-hash
-    # detector): the r11 oracle promotion leads; the rest of the class
-    # (q50, q29b, q53c, q36q, q53d, qc20, q95d, q95o, q97j) rolls to
-    # the r12 gate
-    "q97_ann_pq",
+    # detector) — r13 prefix follows with these
+    "q50_global_sort",
+    "q29b_skew_advisor",
+    "q53c_pareto_report",
+    "q36q_ks_two_sample",
+    "q53d_gini_coefficient",
+    "qc20_incremental_snapshot",
+    "q95d_sequence_packing",
+    "q95o_dsir_resample",
+    "q97j_mmr_rerank",
 )
 
 def load_all() -> dict[str, QuerySpec]:

@@ -505,6 +505,27 @@ def test_decode_audio_dispatches_pcm_and_adpcm():
         llmops.decode_audio(b"ID3\x04mp3data")
 
 
+def test_decode_audio_dispatches_au_and_aiff():
+    """AU and AIFF route through decode_audio and return the RAW decoder
+    dict (samples/frames + framerate), identical to calling the codec
+    directly — not a sniff_media-style summary (round-11 advisory: the
+    dispatch branches were only ever tested via the codecs directly)."""
+    from better_cdc_spark import llmops
+
+    au = codecs.encode_au([0, 100, -100, 5000], encoding=codecs._AU_PCM16)
+    via_dispatch = llmops.decode_audio(au)
+    assert via_dispatch == codecs.decode_au(au)
+    assert via_dispatch["samples"] == [0, 100, -100, 5000]
+    assert via_dispatch["framerate"] == 8000
+
+    pcm = struct.pack("<8h", *range(8))
+    aiff = codecs.encode_aiff(pcm, framerate=22050, channels=1, sampwidth=2)
+    via_dispatch = llmops.decode_audio(aiff)
+    assert via_dispatch == codecs.decode_aiff(aiff)
+    assert via_dispatch["frames"] == pcm
+    assert via_dispatch["n_frames"] == 8
+
+
 @pytest.mark.parametrize("h,v", [(2, 1), (1, 2), (1, 1)])
 def test_jpeg_422_440_444_constant_mcus_roundtrip_exactly(h, v):
     """The generic MCU geometry (spec A.2.3): 4:2:2 (2x1), 4:4:0 (1x2)
@@ -1352,6 +1373,18 @@ def test_tga_roundtrip_rle_raw_and_row_orders():
     good[16] = 32  # claim 32bpp
     with pytest.raises(ValueError, match="unsupported TGA"):
         decode_tga(bytes(good))
+
+    # truncated type-10 RLE stream: the codec error contract is
+    # ValueError everywhere (sniff_media quarantines on it), never a
+    # raw IndexError escaping the packet reader (round-11 advisory)
+    from better_cdc_spark.codecs import _TGA_FOOTER
+
+    full = encode_tga(8, 8, bytes(8 * 8 * 3), rle=True)
+    body_len = len(full) - len(_TGA_FOOTER)
+    for cut in (body_len - 1, 19, 18):  # mid-packet, after 1 byte, empty
+        truncated = full[:cut] + _TGA_FOOTER
+        with pytest.raises(ValueError, match="truncated TGA RLE"):
+            decode_tga(truncated)
 
 
 def test_pcx_roundtrip_padding_and_rejections():
