@@ -57,9 +57,15 @@ class HealthServer:
         readiness: list[ReadinessCheck] | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        enable_debug: bool = False,
     ) -> None:
         self.listener = listener
         self.readiness: list[ReadinessCheck] = list(readiness or [])
+        # Opt-in profiling surface, mirroring the reference's optional
+        # pprof mount (internal/health/server.go:77-79: EnablePprof gates
+        # /debug/pprof/*). Off by default for the same reason: stack dumps
+        # leak internals and cost wall time; production opts in explicitly.
+        self.enable_debug = enable_debug
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -90,6 +96,8 @@ class HealthServer:
                         self._send(200, "ready")
                 elif self.path == "/metrics":
                     self._send(200, outer.render_metrics(), "text/plain; version=0.0.4")
+                elif self.path == "/debug/threads" and outer.enable_debug:
+                    self._send(200, outer.render_threads())
                 else:
                     self._send(404, "not found")
 
@@ -139,8 +147,30 @@ class HealthServer:
             kind = "counter" if name.endswith("_total") else "gauge"
             lines.append(f"# TYPE {pname} {kind}")
             lines.append(f"{pname} {value}")
+        # Latency histograms (reference SLO buckets, prometheus.go:134-139):
+        # full cumulative-bucket exposition so histogram_quantile works.
+        hists = getattr(self.listener, "histograms", None)
+        if callable(hists):
+            for name, (hist, help_text) in hists().items():
+                lines.extend(hist.prom_lines(name, help_text))
         p = getattr(self.listener, "last_progress", None)
         if p is not None:
             lines.append("# TYPE cdc_last_batch_id gauge")
             lines.append(f"cdc_last_batch_id {p.batchId}")
         return "\n".join(lines) + "\n"
+
+    def render_threads(self) -> str:
+        """Py-spy-style dump of every live Python thread's stack — the
+        /debug/pprof/goroutine analog for a Python driver. Driver-side
+        only, like the reference's pprof (executor stacks belong to the
+        cluster manager / Spark UI)."""
+        import sys
+        import threading as _threading
+        import traceback
+
+        names = {t.ident: t.name for t in _threading.enumerate()}
+        out: list[str] = []
+        for ident, frame in sorted(sys._current_frames().items()):
+            out.append(f"--- thread {ident} ({names.get(ident, '?')}) ---")
+            out.extend(s.rstrip() for s in traceback.format_stack(frame))
+        return "\n".join(out) + "\n"

@@ -87,3 +87,35 @@ def test_metrics_render_skips_none_and_names_counters():
     text = srv.render_metrics()
     assert "cdc_events_processed_total 7" in text
     assert "replication_lag" not in text
+
+
+def test_metrics_renders_histogram_buckets():
+    """The /metrics exposition carries the reference's SLO histograms
+    (prometheus.go:134-139): cumulative _bucket{le} lines, _sum, _count,
+    under the reference's exact metric names so the shipped dashboard's
+    histogram_quantile queries key one-to-one."""
+    listener = CDCMetricsListener()
+    listener.batch_latency_us.observe(750.0)       # lands in le="1000"
+    listener.batch_latency_us.observe(200000.0)    # lands in +Inf
+    listener.transform_latency_ns.observe(300.0, n=5)
+    with HealthServer(listener=listener) as srv:
+        _, text = _get(srv.port, "/metrics")
+    assert "# TYPE cdc_engine_batch_latency_microseconds histogram" in text
+    assert 'cdc_engine_batch_latency_microseconds_bucket{le="1000"} 1' in text
+    assert 'cdc_engine_batch_latency_microseconds_bucket{le="+Inf"} 2' in text
+    assert "cdc_engine_batch_latency_microseconds_count 2" in text
+    assert 'cdc_engine_transform_latency_nanoseconds_bucket{le="500"} 5' in text
+    assert "cdc_engine_transform_latency_nanoseconds_sum 1500.0" in text
+
+
+def test_debug_threads_is_opt_in():
+    """/debug/threads mirrors the reference's optional pprof mount
+    (server.go:77-79): 404 unless enable_debug, and when on it dumps
+    every live Python thread's stack (this request's handler thread is
+    guaranteed to appear)."""
+    with HealthServer() as srv:
+        assert _get(srv.port, "/debug/threads")[0] == 404
+    with HealthServer(enable_debug=True) as srv:
+        code, body = _get(srv.port, "/debug/threads")
+    assert code == 200
+    assert "--- thread" in body and "do_GET" in body
