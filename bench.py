@@ -100,6 +100,125 @@ R4_REFERENCE = {
     "q95p_dup_span_extract": 1.839,
 }
 
+# Drift CLASS of each reference-carrying headline query. Host drift is not
+# uniform across workload shapes (r8 and r11 both show the shuffle-bound
+# median moving one way while many-stage CPU-bound similarity jobs move
+# the other), so a single global median mis-normalizes whichever class it
+# wasn't computed from. Queries whose wall is dominated by exchanges /
+# sort-merge machinery are "shuffle"; queries dominated by per-row JVM or
+# Arrow compute across many narrow stages (hashing, regex, vector math,
+# candidate verification) are "cpu". Each query's envelope ratio is judged
+# against its OWN class median (plus the raw and global-median readings —
+# min() of all three, so the gate still never fakes a regression).
+DRIFT_CLASS = {
+    # shuffle-bound
+    "q30_grouped_agg_tpch_q1": "shuffle",
+    "q20_inner_join": "shuffle",
+    "q25_broadcast_join": "shuffle",
+    "q27_asof_join": "shuffle",
+    "qh05_local_supplier_volume": "shuffle",
+    "qh08_market_share": "shuffle",
+    "qh21_waiting_supplier": "shuffle",
+    "q40_ranking_windows": "shuffle",
+    "q52_topk_per_group": "shuffle",
+    "q34_having": "shuffle",
+    "q36_stat_aggs": "shuffle",
+    "qc01_cdc_normalize": "shuffle",
+    "q95_exact_dedup": "shuffle",
+    "q96_minhash_lsh": "shuffle",
+    # many-stage CPU-bound
+    "q97_cosine_topk": "cpu",
+    "q98_text_stats": "cpu",
+    "q94_curation_pipeline": "cpu",
+    "q94d_curation_pipeline_lsh": "cpu",
+    "q96d_semdedup": "cpu",
+    "q96e_tfidf_cosine": "cpu",
+    "q97h_bm25_topk": "cpu",
+    "q95p_dup_span_extract": "cpu",
+}
+
+# Anchors for the fixed per-class drift probes below, measured on the
+# round-12 host (min-of-3, solo session, sf0.1). Future rounds divide the
+# probe's fresh wall by its anchor to get a QUERY-INDEPENDENT per-class
+# shift estimate alongside the query-derived medians. PINNED: neither the
+# probe code nor these numbers may change once recorded, or the cross-round
+# comparison is broken.
+PROBE_ANCHOR = {"shuffle": 0.512, "cpu": 0.691}
+
+
+def run_class_probes(spark, sf_dir: str) -> dict:
+    """Fixed VM-drift probe pair — one per drift class. PINNED plans:
+    this code must never change across rounds (it is the measuring stick,
+    not the subject). Each probe is min-of-3 on a warm session.
+
+    - shuffle probe: lineitem groupBy(orderkey) partial-agg shuffle, join
+      to orders, second groupBy — two exchanges, trivial per-row compute.
+    - cpu probe: 3-gram shingles over documents.text, 8 salted xxhash64
+      lanes per shingle, min-reduce per doc, then a gram-frequency
+      self-semi-join — many narrow CPU-heavy stages, small shuffles
+      (the minhash/BM25 workload shape).
+    """
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+
+    def probe_shuffle():
+        per_order = li.groupBy("l_orderkey").agg(
+            F.sum("l_quantity").alias("qty"), F.count("*").alias("n")
+        )
+        return (
+            per_order.join(od, per_order.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("qty").alias("s"), F.sum("n").alias("c"))
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def probe_cpu():
+        toks = docs.select(
+            "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+        )
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("t") - F.lit(2), F.lit(1))
+                    ),
+                    lambda i: F.array_join(F.slice("t", i, F.lit(3)), " "),
+                )
+            ).alias("g"),
+        )
+        lanes = grams.select(
+            "doc_id",
+            "g",
+            *[
+                F.xxhash64(F.col("g"), F.lit(k)).alias(f"h{k}")
+                for k in range(8)
+            ],
+        )
+        sigs = lanes.groupBy("doc_id").agg(
+            *[F.min(f"h{k}").alias(f"m{k}") for k in range(8)]
+        )
+        hot = (
+            grams.groupBy("g").count().filter(F.col("count") > 1).select("g")
+        )
+        shared = grams.join(hot, "g", "left_semi").groupBy("doc_id").count()
+        return sigs.join(shared, "doc_id", "left")
+
+    out = {}
+    for cls, fn in (("shuffle", probe_shuffle), ("cpu", probe_cpu)):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().count()
+            best = min(best, time.perf_counter() - t0)
+        out[cls] = round(best, 3)
+    return out
+
 
 def run_replay_sink_bench(
     spark, sf_dir: str, n_epochs: int = 25, batch_rows_target: int = 2000
@@ -362,11 +481,34 @@ def main() -> None:
     # regression and still catches every real >2x one.)
     med = statistics.median(vs_baseline.values()) if vs_baseline else 1.0
     vs_r4_norm = {n: round(r / max(med, 1e-9), 3) for n, r in vs_r4.items()}
+
+    # Per-CLASS medians (r11 verdict: drift is class-shaped — the global
+    # median is computed from the 14 shuffle-dominated r1 queries and
+    # over-penalizes the CPU class when the host drifts them apart). Each
+    # query is judged against the median of ITS drift class; the envelope
+    # takes min(raw, global-normalized, class-normalized) — still never
+    # fakes a regression, still catches any >2x no drift story explains.
+    all_ratios = {**vs_baseline, **vs_r4}
+    med_class: dict[str, float] = {}
+    for cls in ("shuffle", "cpu"):
+        vals = [r for n, r in all_ratios.items() if DRIFT_CLASS.get(n) == cls]
+        med_class[cls] = statistics.median(vals) if vals else med
+    vs_class_norm = {
+        n: round(r / max(med_class.get(DRIFT_CLASS.get(n, ""), med), 1e-9), 3)
+        for n, r in all_ratios.items()
+    }
     envelope_ok = all(
-        min(r, r / max(med, 1e-9)) <= 2.0 for r in vs_baseline.values()
-    ) and all(
-        min(vs_r4[n], vs_r4_norm[n]) <= 2.0 for n in vs_r4
+        min(r, r / max(med, 1e-9), vs_class_norm[n]) <= 2.0
+        for n, r in all_ratios.items()
     )
+
+    # Query-independent drift evidence: the pinned probe pair. shift =
+    # fresh wall / r12 anchor, one per class.
+    probe_walls = run_class_probes(spark, sf_dir)
+    probe_shift = {
+        cls: round(probe_walls[cls] / PROBE_ANCHOR[cls], 3)
+        for cls in probe_walls
+    }
 
     full = {
         "metric": "headline_queries_total_wall",
@@ -382,6 +524,10 @@ def main() -> None:
         "vs_r4": vs_r4,
         "vm_shift_median": round(med, 3),
         "vs_r4_norm": vs_r4_norm,
+        "vm_shift_class": {c: round(v, 3) for c, v in med_class.items()},
+        "vs_class_norm": vs_class_norm,
+        "probe_walls": probe_walls,
+        "probe_shift": probe_shift,
         "envelope_ok": envelope_ok,
     }
     # Full diagnostics go to a file + an early stdout line; the FINAL stdout
@@ -399,6 +545,11 @@ def main() -> None:
         "sf": sf,
         "envelope_ok": envelope_ok,
         "vm_shift_median": round(med, 3),
+        "vm_shift_shuffle": round(med_class["shuffle"], 3),
+        "vm_shift_cpu": round(med_class["cpu"], 3),
+        "probe_shift_shuffle": probe_shift.get("shuffle"),
+        "probe_shift_cpu": probe_shift.get("cpu"),
+        "vs_class_norm_max": max(vs_class_norm.values(), default=None),
         "cdc_e2e_ops_per_sec": cdc_e2e.get("value"),
         "streaming_events_per_sec": streaming.get("value"),
         "txlog_replay_ms_per_epoch": replay_sink.get("txlog_replay_ms_per_epoch"),
