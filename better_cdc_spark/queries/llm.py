@@ -956,8 +956,21 @@ TFIDF_PREFIX = 2
 #: GetMapValue is a linear scan, so the sparse fold costs
 #: O(|shared|·(|a|+|b|)) per pair). Above it, the sparse path IS the
 #: plan: real corpora have 1e6+ vocabularies where densification is the
-#: scale-killer round 4 removed.
+#: scale-killer round 4 removed. This cap is a BACKSTOP; the live gate
+#: is cost-based (dense iff |vocab| ≤ TFIDF_DENSE_COST_FACTOR × avg
+#: terms/doc): per-pair cost is O(|vocab|) dense vs O(|a|+|b|) sparse,
+#: so an absolute cap alone mis-picks dense whenever the vocabulary
+#: outgrows the documents (r12 sf1 probe: 279-term vocab over 31-term
+#: docs ran 9× more multiply-adds per pair than the sparse fold).
 TFIDF_DENSE_VOCAB_MAX = 4096
+TFIDF_DENSE_COST_FACTOR = 2.0
+#: candidate pre-verify prune: per-doc band norms over
+#: hash(term) % TFIDF_UB_BANDS groups give the Cauchy-Schwarz upper
+#: bound dot(a,b) ≤ Σ_g ‖a_g‖·‖b_g‖ — SOUND (never below the true dot),
+#: so filtering UB < τ·‖a‖·‖b‖ is result-identical while letting ~97%
+#: of candidates (p50 cosine 0.68 vs τ 0.95 on this corpus) skip the
+#: full fold AND the heavy-payload join behind it.
+TFIDF_UB_BANDS = 16
 
 
 @query(
@@ -1023,6 +1036,15 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys on prefix terms (bounded per doc), the verify joins key on
     doc ids — shuffled hash joins on content keys, AQE splits hot terms;
     production adds a df-cap on prefix terms like cap_shingle_df.
+    Before the verify, a SOUND band-norm prune (Cauchy-Schwarz over
+    {TFIDF_UB_BANDS} hash(term)-bands: dot ≤ Σ_g ‖a_g‖·‖b_g‖, so
+    UB < τ·‖a‖·‖b‖ can never discard a true pair) drops ~97% of
+    candidates via a broadcast join of per-doc band norms — the heavy
+    (map/vector) payloads only ever join against survivors. The
+    dense/sparse representation gate is COST-based (|vocab| vs avg doc
+    terms), not an absolute vocab cap: the r12 sf1 probe caught the
+    dense fold running 9× more multiply-adds per pair than sparse once
+    the corpus vocabulary outgrew the per-doc term count.
     Cross-engine fp: the Spark fold sums doubles in deterministic
     sorted-term order while the oracle sums exact DECIMAL products
     (order-free); they diverge ≲1e-13, far below the half-up 4dp round
@@ -1090,7 +1112,45 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle sums exact decimals — the ≲1e-13 divergence is far below
     # the half-up 4dp round, same exposure class as the norms.
     n_vocab = int(dft.count())  # bounded action: |vocab|, an aggregate row count
-    if n_vocab <= TFIDF_DENSE_VOCAB_MAX:
+    # cost-based representation gate: dense pays O(|vocab|) per pair,
+    # sparse pays O(|a|+|b|) ≈ 2×avg-terms — pick the cheaper fold
+    avg_terms = w.count() / max(n, 1.0)  # w is checkpointed; count is cheap
+    # band norms for the sound Cauchy-Schwarz pre-verify prune: band by
+    # a hash of the TERM (engine-side only — the prune is result-
+    # identical, so the oracle never sees it)
+    band_col = F.pmod(F.xxhash64("term"), F.lit(TFIDF_UB_BANDS))
+    band_norm_aggs = [
+        F.sqrt(
+            F.sum(F.when(band_col == g, F.col("w") * F.col("w")).otherwise(0.0))
+        ).alias(f"_bn{g}")
+        for g in range(TFIDF_UB_BANDS)
+    ]
+
+    def prune_candidates(cand_df, docsum):
+        """cand (da, db) → survivors of UB ≥ τ·na·nb. docsum carries only
+        (doc_id, bn: array<double>, nrm) — a few hundred bytes per doc, so
+        both joins broadcast and no heavy payload moves for pruned pairs."""
+        ub = F.aggregate(
+            F.zip_with("bna", "bnb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        la = docsum.select(
+            F.col("doc_id").alias("da"), F.col("bn").alias("bna"),
+            F.col("nrm").alias("_na"),
+        )
+        lb = docsum.select(
+            F.col("doc_id").alias("db"), F.col("bn").alias("bnb"),
+            F.col("nrm").alias("_nb"),
+        )
+        return (
+            cand_df.join(F.broadcast(la), "da")
+            .join(F.broadcast(lb), "db")
+            .filter(ub >= F.lit(TFIDF_TAU) * F.col("_na") * F.col("_nb"))
+            .select("da", "db")
+        )
+
+    if n_vocab <= min(TFIDF_DENSE_VOCAB_MAX, TFIDF_DENSE_COST_FACTOR * avg_terms):
         # Dense fast path (r8): the vocabulary fits in-row, so each doc
         # carries a |vocab|-length weight vector indexed by a GLOBAL
         # term id (ascending term order — the multiply-add therefore
@@ -1121,6 +1181,7 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.collect_list(F.struct(F.col("tid"), F.col("w")))
                 ).alias("m"),
                 F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
+                *band_norm_aggs,
             )
             .select(
                 "doc_id",
@@ -1129,9 +1190,13 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
                 ).alias("v"),
                 "nrm",
+                F.array(
+                    *[F.col(f"_bn{g}") for g in range(TFIDF_UB_BANDS)]
+                ).alias("bn"),
             )
             .localCheckpoint(eager=True)
         )
+        cand = prune_candidates(cand, docvec.select("doc_id", "bn", "nrm"))
         a_side = docvec.select(
             F.col("doc_id").alias("da"), F.col("v").alias("va"),
             F.col("nrm").alias("na"),
@@ -1174,9 +1239,15 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m"),
             F.sort_array(F.collect_list("term")).alias("ks"),
             F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
+            *band_norm_aggs,
         )
+        .withColumn(
+            "bn", F.array(*[F.col(f"_bn{g}") for g in range(TFIDF_UB_BANDS)])
+        )
+        .drop(*[f"_bn{g}" for g in range(TFIDF_UB_BANDS)])
         .localCheckpoint(eager=True)
     )
+    cand = prune_candidates(cand, docvec.select("doc_id", "bn", "nrm"))
     a_side = docvec.select(
         F.col("doc_id").alias("da"), F.col("m").alias("ma"),
         F.col("ks").alias("ka"), F.col("nrm").alias("na"),
