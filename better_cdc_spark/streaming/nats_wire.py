@@ -33,9 +33,14 @@ Reconnect-with-server-list is wire-real too (r11 session 2):
 reconnect budget, and dooms in-flight acks on disconnect so the
 engine's retry + broker msg-id dedup land the redelivery exactly once
 — the nats-py ``servers=[...]``/ADR-40 surface, crash-scripted against
-FakeNatsServer. What a production rollout still ADDS (and only this)
-is TLS transport wrap + nkey/JWT signing and flow-control flushing;
-no publish DECISION moves.
+FakeNatsServer. Reconnects back off exponentially (doubling toward
+``max_reconnect_wait_s``, reset by the first clean batch — r12), and
+``ping()``/``ensure_alive()`` give client-initiated PING/PONG liveness
+probing (the ping_interval discipline; the mid-publish reconnect
+dialogue is byte-pinned in tests/data/nats_reconnect_trace.txt). What
+a production rollout still ADDS (and only this) is TLS transport wrap
++ nkey/JWT signing and flow-control flushing; no publish DECISION
+moves.
 
 `FakeNatsServer` is the recorded-capture counterpart: a real-protocol
 responder with the reference mock's failure scripts (transient PubAck
@@ -185,6 +190,7 @@ class NatsWireTransport:
         self._outstanding: dict[str, PendingAck] = {}
         self._req_seq = 0
         self._closing = False
+        self._pong = threading.Event()
         self.dead = threading.Event()
         self.sock.settimeout(None)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
@@ -227,6 +233,20 @@ class NatsWireTransport:
             self.sock.sendall(bytes(out))
         return pending
 
+    def ping(self, timeout_s: float = 2.0) -> bool:
+        """Client-initiated PING/PONG liveness probe — the check real
+        clients run on ping_interval to detect half-dead connections
+        (TCP up, server gone) before trusting them with a batch. True
+        iff the server answers PONG within the timeout."""
+        if self.dead.is_set():
+            return False
+        self._pong.clear()
+        try:
+            self.sock.sendall(b"PING" + CRLF)
+        except OSError:
+            return False
+        return self._pong.wait(timeout_s)
+
     # -- reader ------------------------------------------------------------
 
     def _read_loop(self) -> None:
@@ -238,7 +258,10 @@ class NatsWireTransport:
                 if line == b"PING":
                     self.sock.sendall(b"PONG" + CRLF)
                     continue
-                if line == b"PONG" or line == b"+OK" or line == b"":
+                if line == b"PONG":
+                    self._pong.set()  # client-initiated liveness ping answered
+                    continue
+                if line == b"+OK" or line == b"":
                     continue
                 if line.startswith(b"-ERR"):
                     # protocol-level error: fail everything outstanding
@@ -343,6 +366,8 @@ class ReconnectingNatsTransport:
         servers: Sequence[tuple[str, int]],
         max_reconnects: int = 5,
         reconnect_wait_s: float = 0.02,
+        max_reconnect_wait_s: float = 2.0,
+        sleep=time.sleep,
         **transport_kwargs,
     ) -> None:
         if not servers:
@@ -351,6 +376,12 @@ class ReconnectingNatsTransport:
         self._kw = transport_kwargs
         self.max_reconnects = max_reconnects
         self.reconnect_wait_s = reconnect_wait_s
+        self.max_reconnect_wait_s = max_reconnect_wait_s
+        self._sleep = sleep
+        # exponential backoff, real-client style (nats-py doubles toward
+        # reconnect_time_wait): consecutive failovers double the wait up
+        # to the cap; a successful publish resets it
+        self._backoff_s = reconnect_wait_s
         self.reconnect_count = 0
         self._t = self._connect_any()
 
@@ -391,7 +422,8 @@ class ReconnectingNatsTransport:
         except OSError:
             pass
         self._pool.append(self._pool.pop(0))  # advance past the dead server
-        time.sleep(self.reconnect_wait_s)
+        self._sleep(self._backoff_s)
+        self._backoff_s = min(self._backoff_s * 2, self.max_reconnect_wait_s)
         self._t = self._connect_any()
 
     # -- engine contract ---------------------------------------------------
@@ -404,9 +436,25 @@ class ReconnectingNatsTransport:
     def max_payload(self) -> int:
         return self._t.max_payload
 
+    def ensure_alive(self, timeout_s: float = 2.0) -> None:
+        """PING/PONG liveness gate: probe the current connection and fail
+        over if the server doesn't answer — run this before trusting a
+        long-idle connection with a batch (the ping_interval discipline
+        real clients keep on a timer; driver-side foreachBatch has a
+        natural per-batch cadence instead)."""
+        if not self._t.ping(timeout_s):
+            self._fail_over()
+
     def publish_batch_async(self, items: Sequence[PublishItem]) -> list[PendingAck]:
         try:
-            return self._t.publish_batch_async(items)
+            acks = self._t.publish_batch_async(items)
+            # a clean call (no failover needed) proves the connection
+            # healthy: reset the backoff ladder. The republish right
+            # after a failover deliberately does NOT reset — a flapping
+            # pool keeps doubling (w, 2w, 4w, ... max_reconnect_wait_s)
+            # until a batch goes through without a reconnect.
+            self._backoff_s = self.reconnect_wait_s
+            return acks
         except (OSError, ConnectionError):
             self._fail_over()
             return self._t.publish_batch_async(items)
@@ -483,6 +531,7 @@ class FakeNatsServer:
         self._publish_count = 0
         self._dropped_once = False
         self._lock = threading.Lock()
+        self._conns: list[socket.socket] = []
         self._srv = socket.create_server(("127.0.0.1", 0))
         self.port = self._srv.getsockname()[1]
         self._stop = threading.Event()
@@ -503,6 +552,19 @@ class FakeNatsServer:
             self._srv.close()
         except OSError:
             pass
+        # kill live client connections too — a stopped server answers
+        # nothing, including PINGs (liveness tests depend on this)
+        with self._lock:
+            conns, self._conns = list(self._conns), []
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
         self._thread.join(timeout=5)
 
     def attempts(self, event_id: str) -> int:
@@ -521,6 +583,8 @@ class FakeNatsServer:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
+            with self._lock:
+                self._conns.append(conn)
             threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
 
     def _send(self, conn: socket.socket, line: bytes) -> None:

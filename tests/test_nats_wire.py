@@ -381,3 +381,108 @@ def test_reconnect_budget_exhaustion_is_loud():
         tp.reconnect_count = tp.max_reconnects
         with pytest.raises(PublishError, match="budget exhausted"):
             tp._fail_over()
+
+
+def _reconnect_capture_scenario() -> tuple[list[tuple[str, bytes]], object]:
+    """Deterministic mid-publish reconnect dialogue, committed as
+    tests/data/nats_reconnect_trace.txt: three events, the server
+    stores the second then hard-drops the connection; the transport
+    reconnects (same server, fixed inbox nuid) and the engine's
+    redelivery shows Nats-Msg-Id dedup doing its job — the stored
+    event is re-acked "duplicate":true at the ORIGINAL sequence, the
+    lost one stores fresh. Backoff sleep is injected as a no-op so the
+    capture is timing-free."""
+    items = _items(3)
+    from better_cdc_spark.streaming.nats_wire import ReconnectingNatsTransport
+
+    with FakeNatsServer(
+        NatsScript(drop_conn_once_after=1, store_before_drop=True)
+    ) as srv:
+        addr = ("127.0.0.1", srv.port)
+        with ReconnectingNatsTransport(
+            [addr, addr], sleep=lambda s: None, inbox_nuid="RECONCAP"
+        ) as tp:
+            res = _engine().publish_with_retry(tp, items)
+        return list(srv.trace), (res, tp, srv)
+
+
+RECONNECT_FIXTURE = "tests/data/nats_reconnect_trace.txt"
+
+
+def test_mid_publish_reconnect_trace_is_byte_pinned():
+    """The full mid-publish reconnect dialogue — first CONNECT, the
+    publish that gets the connection dropped, the second CONNECT, and
+    the dedup'd redelivery — pinned byte-for-byte (the round-11
+    verdict's remaining NATS resilience ask)."""
+    trace, (res, tp, srv) = _reconnect_capture_scenario()
+    assert res.succeeded == 3 and res.failed == 0
+    assert tp.reconnect_count == 1
+    assert validate_trace(trace) == []
+    # exactly one duplicate ack, at the original stored sequence
+    dup = [m for m in srv.messages if m["duplicate"]]
+    orig = [m for m in srv.messages if not m["duplicate"]]
+    assert len(dup) == 1 and dup[0]["seq"] == next(
+        m["seq"] for m in orig if m["msg_id"] == dup[0]["msg_id"]
+    )
+    assert sorted(m["msg_id"] for m in orig) == sorted(
+        i.event_id for i in _items(3)
+    )
+    got = "\n".join(f"{d}|{line.decode(errors='replace')}" for d, line in trace)
+    with open(RECONNECT_FIXTURE, encoding="utf-8", newline="") as fh:
+        want = fh.read().rstrip("\n")
+    assert got == want, "reconnect dialogue drifted from the committed capture"
+
+
+def test_ping_liveness_and_ensure_alive_failover():
+    """Client-initiated PING/PONG liveness: ping() is True on a healthy
+    connection, False once the server is gone, and ensure_alive() fails
+    over to the next pool member instead of trusting a dead socket with
+    a batch."""
+    from better_cdc_spark.streaming.nats_wire import ReconnectingNatsTransport
+
+    with FakeNatsServer() as s1:
+        with NatsWireTransport("127.0.0.1", s1.port) as tp:
+            assert tp.ping(timeout_s=2.0) is True
+        assert tp.ping(timeout_s=0.2) is False  # closed: no PONG ever
+
+    with FakeNatsServer() as sa, FakeNatsServer() as sb:
+        tp2 = ReconnectingNatsTransport(
+            [("127.0.0.1", sa.port), ("127.0.0.1", sb.port)],
+            sleep=lambda s: None,
+        )
+        tp2.ensure_alive()  # healthy: no failover
+        assert tp2.reconnect_count == 0
+        sa.stop()
+        tp2.ensure_alive(timeout_s=0.5)  # dead server: must fail over
+        assert tp2.reconnect_count == 1
+        res = _engine().publish_with_retry(tp2, _items(2))
+        assert res.succeeded == 2
+        assert [m["msg_id"] for m in sb.messages] == [
+            i.event_id for i in _items(2)
+        ]
+        tp2.close()
+
+
+def test_reconnect_backoff_doubles_until_clean_batch():
+    """Exponential backoff: consecutive failovers double the wait up to
+    max_reconnect_wait_s; the first batch that needs no failover resets
+    the ladder."""
+    from better_cdc_spark.streaming.nats_wire import ReconnectingNatsTransport
+
+    waits: list[float] = []
+    with FakeNatsServer() as srv:
+        addr = ("127.0.0.1", srv.port)
+        tp = ReconnectingNatsTransport(
+            [addr, addr],
+            reconnect_wait_s=0.01,
+            max_reconnect_wait_s=0.05,
+            sleep=waits.append,
+            max_reconnects=10,
+        )
+        for _ in range(4):
+            tp._fail_over()
+        assert waits == [0.01, 0.02, 0.04, 0.05]  # doubling, then capped
+        res = _engine().publish_with_retry(tp, _items(1))  # clean batch
+        assert res.succeeded == 1
+        assert tp._backoff_s == tp.reconnect_wait_s  # ladder reset
+        tp.close()
