@@ -1128,8 +1128,12 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def prune_candidates(cand_df, docsum):
         """cand (da, db) → survivors of UB ≥ τ·na·nb. docsum carries only
-        (doc_id, bn: array<double>, nrm) — a few hundred bytes per doc, so
-        both joins broadcast and no heavy payload moves for pruned pairs."""
+        (doc_id, bn: array<double>, nrm) — ~150 bytes per doc, so AQE
+        broadcasts it at every corpus size where that fits and falls back
+        to a doc-id hash join beyond (docsum is O(n_docs): FORCING
+        broadcast here would be the 100 TB hazard, so the hint is
+        deliberately absent). Either way no heavy payload moves for
+        pruned pairs."""
         ub = F.aggregate(
             F.zip_with("bna", "bnb", lambda x, y: x * y),
             F.lit(0.0),
@@ -1144,8 +1148,8 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("_nb"),
         )
         return (
-            cand_df.join(F.broadcast(la), "da")
-            .join(F.broadcast(lb), "db")
+            cand_df.join(la, "da")
+            .join(lb, "db")
             .filter(ub >= F.lit(TFIDF_TAU) * F.col("_na") * F.col("_nb"))
             .select("da", "db")
         )
