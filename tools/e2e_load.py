@@ -128,10 +128,24 @@ def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
         # through the commit path (files admitted oldest-mtime-first, so
         # each epoch still holds a contiguous ingest range)
     )
-    t0 = time.perf_counter()
-    pipe.run_available()
-    dt = time.perf_counter() - t0
-    n_events = pipe.sink().count()
+    # R21 SLO histograms ride the same run: the listener folds each
+    # micro-batch's progress into the reference's latency buckets, so the
+    # load rig reports real p50/p99 batch latency alongside ops/sec
+    # (prometheus.go:134-139; callbacks are async — poll briefly).
+    from better_cdc_spark.metrics import CDCMetricsListener
+
+    listener = CDCMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        t0 = time.perf_counter()
+        pipe.run_available()
+        dt = time.perf_counter() - t0
+        n_events = pipe.sink().count()
+        deadline = time.time() + 5.0
+        while listener.batches_total < n_batches and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(listener)
     return {
         "metric": "cdc_e2e_ops_per_sec",
         "value": round(n_ops / dt, 1),
@@ -140,6 +154,16 @@ def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
         "n_batches": n_batches,
         "wall_sec": round(dt, 2),
         "sink_events": n_events,
+        # measured micro-batch walls from the listener; the SLO
+        # histogram's p50/p99 clamp at the reference's top bucket
+        # (100 ms) because Spark micro-batches at this scale run in
+        # SECONDS — the bucket layout is reference parity, the ms
+        # figures below are the informative per-batch numbers here
+        "batch_duration_ms_avg": round(
+            listener.total_batch_duration_ms / max(listener.batches_total, 1), 1
+        ),
+        "batch_duration_ms_last": listener.last_batch_duration_ms,
+        "batch_latency_us_p99": listener.batch_latency_us.quantile(0.99),
     }
 
 
