@@ -1,0 +1,47 @@
+"""Bench plumbing the driver runs per-round: drift probes + sf1 probe.
+
+bench.py's per-class drift probes and the sf1 scaling probe execute only
+inside the driver's bench run, so a wiring break would surface as a
+missing BENCH block instead of a red test. These smoke the pieces at
+sf0.001 (seconds, not the sf0.1 minutes the real bench pays).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import bench
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_class_probes_return_positive_walls(spark):
+    walls = bench.run_class_probes(spark, SF_DIR)
+    assert set(walls) == {"shuffle", "cpu"}
+    assert all(isinstance(v, float) and v > 0 for v in walls.values())
+
+
+def test_drift_class_covers_every_reference_query():
+    """Every query with an r1/r4 reference must have a drift class, or
+    the class-median normalization silently falls back to the global
+    median for it."""
+    referenced = set(bench.R1_BASELINE) | set(bench.R4_REFERENCE)
+    missing = referenced - set(bench.DRIFT_CLASS)
+    assert not missing, f"reference queries without a drift class: {missing}"
+    assert set(bench.DRIFT_CLASS.values()) == {"shuffle", "cpu"}
+    assert set(bench.PROBE_ANCHOR) == {"shuffle", "cpu"}
+
+
+def test_sf1_scaling_fabricates_and_measures(spark):
+    """The sf1 probe fabricates the amplified corpus and produces a
+    wall + rows + exponent row per probed query (one fast query here;
+    the real run probes all of SF1_QUERIES at sf0.1)."""
+    res = bench.run_sf1_scaling(spark, SF_DIR, {"q97h_bm25_topk": 1.0})
+    assert res["amplification"] == 10
+    row = res["queries"]["q97h_bm25_topk"]
+    assert row["sf1_sec"] > 0 and row["rows_sf1"] >= row["rows_sf01"] > 0
+    assert "exponent" in row and "rows_ratio" in row
+    # the other probed queries were skipped: no base time supplied
+    assert set(res["queries"]) == {"q97h_bm25_topk"}
+    for name in bench.SF1_QUERIES:
+        assert name in bench.HEADLINE, f"{name} probed but not a headline query"
