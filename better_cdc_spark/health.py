@@ -98,6 +98,9 @@ class HealthServer:
                     self._send(200, outer.render_metrics(), "text/plain; version=0.0.4")
                 elif self.path == "/debug/threads" and outer.enable_debug:
                     self._send(200, outer.render_threads())
+                elif self.path == "/debug/heap" and outer.enable_debug:
+                    code, body = outer.render_heap()
+                    self._send(code, body)
                 else:
                     self._send(404, "not found")
 
@@ -174,3 +177,24 @@ class HealthServer:
             out.append(f"--- thread {ident} ({names.get(ident, '?')}) ---")
             out.extend(s.rstrip() for s in traceback.format_stack(frame))
         return "\n".join(out) + "\n"
+
+    def render_heap(self, top_n: int = 25) -> tuple[int, str]:
+        """Driver-heap top allocations — the /debug/pprof/heap analog.
+        tracemalloc must already be tracing (start the process with
+        PYTHONTRACEMALLOC=1 or call tracemalloc.start(); tracing costs
+        memory+time, so the server never turns it on behind the
+        operator's back): 409 with the hint otherwise."""
+        import tracemalloc
+
+        if not tracemalloc.is_tracing():
+            return 409, (
+                "tracemalloc not tracing; start the driver with "
+                "PYTHONTRACEMALLOC=1 (or call tracemalloc.start()) to "
+                "enable heap profiling\n"
+            )
+        snap = tracemalloc.take_snapshot()
+        stats = snap.statistics("lineno")[:top_n]
+        total_kib = sum(s.size for s in snap.statistics("filename")) / 1024
+        out = [f"# driver heap: {total_kib:.0f} KiB traced, top {top_n} by line"]
+        out.extend(str(s) for s in stats)
+        return 200, "\n".join(out) + "\n"

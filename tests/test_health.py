@@ -119,3 +119,28 @@ def test_debug_threads_is_opt_in():
         code, body = _get(srv.port, "/debug/threads")
     assert code == 200
     assert "--- thread" in body and "do_GET" in body
+
+
+def test_debug_heap_opt_in_and_tracing_gate():
+    """/debug/heap mirrors the pprof heap profile: 404 unless
+    enable_debug; 409 with a hint when tracemalloc isn't tracing (the
+    server never enables tracing behind the operator's back); top
+    allocation lines when it is."""
+    import tracemalloc
+
+    with HealthServer() as srv:
+        assert _get(srv.port, "/debug/heap")[0] == 404
+    with HealthServer(enable_debug=True) as srv:
+        was_tracing = tracemalloc.is_tracing()
+        if not was_tracing:
+            code, body = _get(srv.port, "/debug/heap")
+            assert code == 409 and "tracemalloc" in body
+        tracemalloc.start()
+        try:
+            code, body = _get(srv.port, "/debug/heap")
+            assert code == 200
+            assert body.startswith("# driver heap:")
+            assert ".py:" in body  # at least one file:line allocation row
+        finally:
+            if not was_tracing:
+                tracemalloc.stop()
