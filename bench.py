@@ -372,6 +372,8 @@ SF1_QUERIES = (
     "q99q_ahash_near_dup",
     "q97h_bm25_topk",
     "q95p_dup_span_extract",
+    "q96d_semdedup",
+    "q94d_curation_pipeline_lsh",
 )
 
 
@@ -444,6 +446,31 @@ def run_sf1_scaling(spark, sf_dir: str, base_times: dict[str, float]) -> dict:
     )
     amplified.repartition(32).write.mode("overwrite").parquet(
         f"{sf1_dir}/documents.parquet"
+    )
+    # embeddings, same constant-density scheme (q96d/q94d read them):
+    # copy 1 is an exact dup, copies 2-9 perturb one copy-dependent
+    # dimension so cross-copy cosine leaves near-dup range
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_amp = (
+        emb.crossJoin(spark.range(n_copies).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+            F.when(F.col("copy") <= 1, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: F.when(
+                        i == F.col("copy") % 64,
+                        x + (F.lit(0.5) + F.col("copy") * 0.125).cast("float"),
+                    ).otherwise(x),
+                )
+            )
+            .alias("embedding"),
+            "label",
+        )
+    )
+    emb_amp.repartition(32).write.mode("overwrite").parquet(
+        f"{sf1_dir}/embeddings.parquet"
     )
 
     out: dict[str, dict] = {}
