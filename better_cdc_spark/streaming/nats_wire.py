@@ -37,10 +37,16 @@ FakeNatsServer. Reconnects back off exponentially (doubling toward
 ``max_reconnect_wait_s``, reset by the first clean batch — r12), and
 ``ping()``/``ensure_alive()`` give client-initiated PING/PONG liveness
 probing (the ping_interval discipline; the mid-publish reconnect
-dialogue is byte-pinned in tests/data/nats_reconnect_trace.txt). What
-a production rollout still ADDS (and only this) is TLS transport wrap
-+ nkey/JWT signing and flow-control flushing; no publish DECISION
-moves.
+dialogue is byte-pinned in tests/data/nats_reconnect_trace.txt). TLS
+transport wrap is wire-real too (r12): when INFO advertises
+``tls_required`` (or a CA is configured) the client upgrades the SAME
+connection before CONNECT — the documented STARTTLS-style protocol
+order — with full chain verification against the configured CA
+bundle, exercised against a TLS-wrapped FakeNatsServer. What a
+production rollout still ADDS (and only this) is nkey/JWT signing;
+flow-control flushing is a non-issue by construction (each batch goes
+out in one synchronous sendall — there is no client-side buffer to
+flush). No publish DECISION moves.
 
 `FakeNatsServer` is the recorded-capture counterpart: a real-protocol
 responder with the reference mock's failure scripts (transient PubAck
@@ -139,6 +145,7 @@ class NatsWireTransport:
         auth_token: str | None = None,
         user: str | None = None,
         password: str | None = None,
+        tls_ca: str | None = None,
     ) -> None:
         self.sock = socket.create_connection((host, port), timeout=connect_timeout_s)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
@@ -147,6 +154,25 @@ class NatsWireTransport:
         if info_line is None or not info_line.startswith(b"INFO "):
             raise PublishError(f"expected INFO, got {info_line!r}")
         self.server_info = json.loads(info_line[5:])
+        # TLS upgrade happens exactly where the NATS protocol puts it:
+        # INFO travels in plaintext; when the server advertises
+        # tls_required (or the caller configured a CA), the client wraps
+        # the SAME connection before CONNECT — the documented
+        # STARTTLS-style order every real client follows.
+        if self.server_info.get("tls_required") or tls_ca is not None:
+            if tls_ca is None:
+                raise PublishError(
+                    "server requires TLS; no CA bundle configured (tls_ca)"
+                )
+            if self._rd.buf:
+                raise PublishError(
+                    "protocol violation: bytes after INFO before TLS handshake"
+                )
+            import ssl
+
+            ctx = ssl.create_default_context(cafile=tls_ca)
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
+            self._rd = _LineReader(self.sock)
         if not self.server_info.get("headers"):
             raise PublishError("server does not support headers (Nats-Msg-Id)")
         if self.server_info.get("auth_required") and not (auth_token or user):
@@ -506,6 +532,11 @@ class NatsScript:
     #: cluster topology discovery, exactly as a real nats-server
     #: gossips its peers
     connect_urls: list[str] = field(default_factory=list)
+    #: when set (paths to a PEM cert + key), INFO advertises
+    #: tls_required and the server wraps each connection in TLS right
+    #: after sending INFO — the real server's STARTTLS-style upgrade
+    tls_cert: str | None = None
+    tls_key: str | None = None
 
 
 class FakeNatsServer:
@@ -605,7 +636,23 @@ class FakeNatsServer:
             info["auth_required"] = True
         if self.script.connect_urls:
             info["connect_urls"] = list(self.script.connect_urls)
+        if self.script.tls_cert is not None:
+            info["tls_required"] = True
         self._send(conn, b"INFO " + json.dumps(info, separators=(",", ":")).encode())
+        if self.script.tls_cert is not None:
+            # STARTTLS-style upgrade after plaintext INFO (real server
+            # order); the trace keeps logging DECRYPTED protocol lines,
+            # so the pinned-dialogue checks are transport-independent
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(self.script.tls_cert, self.script.tls_key)
+            try:
+                conn = ctx.wrap_socket(conn, server_side=True)
+            except (ssl.SSLError, OSError):
+                return  # handshake refused/failed: connection over
+            with self._lock:
+                self._conns.append(conn)  # so stop() kills the TLS wrapper too
         rd = _LineReader(conn)
         try:
             while True:

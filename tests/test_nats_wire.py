@@ -486,3 +486,73 @@ def test_reconnect_backoff_doubles_until_clean_batch():
         assert res.succeeded == 1
         assert tp._backoff_s == tp.reconnect_wait_s  # ladder reset
         tp.close()
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed cert with SAN IP:127.0.0.1 (openssl CLI, per-module)."""
+    import subprocess
+
+    d = tmp_path_factory.mktemp("nats_tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", key, "-out", cert, "-days", "1", "-nodes",
+            "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+def test_tls_upgrade_publish_roundtrip_and_dedup(tls_cert):
+    """TLS transport wrap on the documented protocol order: plaintext
+    INFO advertising tls_required, client wraps the SAME connection
+    before CONNECT, full publish + epoch redelivery dedup over the
+    encrypted channel. The server trace logs decrypted protocol lines,
+    so validate_trace still applies."""
+    cert, key = tls_cert
+    items = _items(3)
+    with FakeNatsServer(NatsScript(tls_cert=cert, tls_key=key)) as srv:
+        with NatsWireTransport("127.0.0.1", srv.port, tls_ca=cert) as tp:
+            assert tp.server_info.get("tls_required") is True
+            assert _engine().publish_with_retry(tp, items).is_complete()
+            assert _engine().publish_with_retry(tp, items).is_complete()
+        stored = [m for m in srv.messages if not m["duplicate"]]
+        assert [m["msg_id"] for m in stored] == [i.event_id for i in items]
+        assert len([m for m in srv.messages if m["duplicate"]]) == 3
+        assert validate_trace(srv.trace) == []
+
+
+def test_tls_required_without_ca_is_loud(tls_cert):
+    """A server requiring TLS must never be spoken to in plaintext: the
+    client fails loud when no CA bundle is configured."""
+    cert, key = tls_cert
+    with FakeNatsServer(NatsScript(tls_cert=cert, tls_key=key)) as srv:
+        with pytest.raises(PublishError, match="requires TLS"):
+            NatsWireTransport("127.0.0.1", srv.port)
+
+
+def test_tls_verification_rejects_untrusted_cert(tls_cert, tmp_path):
+    """The client verifies the server chain: a CA bundle that did not
+    sign the server cert must abort the handshake (no silent
+    trust-on-first-use)."""
+    import ssl as _ssl
+    import subprocess
+
+    cert, key = tls_cert
+    other = str(tmp_path / "other.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", str(tmp_path / "other_key.pem"), "-out", other,
+            "-days", "1", "-nodes", "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True, capture_output=True,
+    )
+    with FakeNatsServer(NatsScript(tls_cert=cert, tls_key=key)) as srv:
+        with pytest.raises(_ssl.SSLError):
+            NatsWireTransport("127.0.0.1", srv.port, tls_ca=other)
