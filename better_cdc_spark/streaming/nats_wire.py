@@ -42,11 +42,15 @@ transport wrap is wire-real too (r12): when INFO advertises
 ``tls_required`` (or a CA is configured) the client upgrades the SAME
 connection before CONNECT — the documented STARTTLS-style protocol
 order — with full chain verification against the configured CA
-bundle, exercised against a TLS-wrapped FakeNatsServer. What a
-production rollout still ADDS (and only this) is nkey/JWT signing;
-flow-control flushing is a non-issue by construction (each batch goes
-out in one synchronous sendall — there is no client-side buffer to
-flush). No publish DECISION moves.
+bundle, exercised against a TLS-wrapped FakeNatsServer. nkey/JWT
+signing is wire-real too (r12, ADR-14): the client decodes the 'SU...'
+Ed25519 seed (nats-io/nkeys Base32+CRC16 encoding), signs the INFO
+nonce, and CONNECT carries nkey+sig (or jwt+sig in decentralized-auth
+mode) — verified server-side in FakeNatsServer with the same decode
+path real servers run. Every deploy seam on this transport is now
+closed; flow-control flushing is a non-issue by construction (each
+batch goes out in one synchronous sendall — there is no client-side
+buffer to flush). No publish DECISION moves.
 
 `FakeNatsServer` is the recorded-capture counterpart: a real-protocol
 responder with the reference mock's failure scripts (transient PubAck
@@ -90,6 +94,121 @@ def _valid_subject(subject: str) -> bool:
         return False
     toks = subject.split(".")
     return all(t and t not in ("*", ">") for t in toks)
+
+
+# ---------------------------------------------------------------------------
+# nkey auth (public protocol: NATS ADR-14; encoding per nats-io/nkeys).
+# A user nkey is an Ed25519 keypair; the SEED string ("SU...") is Base32
+# (RFC 4648, no padding) over [2 packed prefix bytes | 32-byte seed |
+# CRC16-CCITT/XMODEM little-endian], the PUBLIC key ("U...") the same
+# over [1 prefix byte | 32-byte public key | crc]. Auth dialogue: INFO
+# carries a nonce; the client signs the RAW nonce bytes and sends
+# CONNECT {"nkey": "<public>", "sig": "<base64url, unpadded>"} (plus
+# "jwt" in decentralized-auth deployments). Ed25519 comes from the
+# cryptography package, gated behind an import-try.
+# ---------------------------------------------------------------------------
+
+_NKEY_PREFIX_SEED = 18 << 3  # 'S'
+_NKEY_PREFIX_USER = 20 << 3  # 'U'
+
+
+def _crc16(data: bytes) -> int:
+    """CRC16-CCITT/XMODEM (poly 0x1021, init 0) — the nkeys checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+def _b32_nopad(data: bytes) -> str:
+    import base64
+
+    return base64.b32encode(data).decode().rstrip("=")
+
+
+def _b32_decode(s: str) -> bytes:
+    import base64
+
+    return base64.b32decode(s + "=" * ((8 - len(s) % 8) % 8))
+
+
+def nkey_encode_public(raw_public: bytes) -> str:
+    """32 raw Ed25519 public bytes → 'U...' public user nkey string."""
+    body = bytes([_NKEY_PREFIX_USER]) + raw_public
+    crc = _crc16(body)
+    return _b32_nopad(body + bytes([crc & 0xFF, crc >> 8]))
+
+
+def nkey_decode_seed(seed: str) -> bytes:
+    """'SU...' seed string → 32 raw Ed25519 seed bytes (CRC-verified)."""
+    raw = _b32_decode(seed)
+    body, crc_bytes = raw[:-2], raw[-2:]
+    if _crc16(body) != crc_bytes[0] | (crc_bytes[1] << 8):
+        raise ValueError("nkey seed checksum mismatch")
+    b1, b2 = body[0], body[1]
+    if b1 & 0xF8 != _NKEY_PREFIX_SEED or ((b1 & 0x07) << 5) | (b2 >> 3) != _NKEY_PREFIX_USER:
+        raise ValueError("not a user seed nkey (want 'SU...')")
+    return body[2:34]
+
+
+def nkey_encode_seed(raw_seed: bytes) -> str:
+    """32 raw Ed25519 seed bytes → 'SU...' seed string (test fixtures)."""
+    b1 = _NKEY_PREFIX_SEED | (_NKEY_PREFIX_USER >> 5)
+    b2 = (_NKEY_PREFIX_USER & 0x1F) << 3
+    body = bytes([b1, b2]) + raw_seed
+    crc = _crc16(body)
+    return _b32_nopad(body + bytes([crc & 0xFF, crc >> 8]))
+
+
+def nkey_sign_nonce(seed: str, nonce: str) -> tuple[str, str]:
+    """(public nkey, base64url-unpadded signature) over the raw nonce
+    bytes — the CONNECT auth fields. Requires the cryptography package
+    (import-gated: environments without it keep token/user auth)."""
+    try:
+        from cryptography.hazmat.primitives.asymmetric.ed25519 import (
+            Ed25519PrivateKey,
+        )
+        from cryptography.hazmat.primitives.serialization import (
+            Encoding, PublicFormat,
+        )
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise PublishError(f"nkey auth requires the cryptography package: {exc}")
+    import base64
+
+    key = Ed25519PrivateKey.from_private_bytes(nkey_decode_seed(seed))
+    pub_raw = key.public_key().public_bytes(Encoding.Raw, PublicFormat.Raw)
+    sig = key.sign(nonce.encode())
+    return (
+        nkey_encode_public(pub_raw),
+        base64.urlsafe_b64encode(sig).decode().rstrip("="),
+    )
+
+
+def nkey_verify(public_nkey: str, nonce: str, sig_b64url: str) -> bool:
+    """Server-side check: does sig verify over nonce under the public
+    nkey? (FakeNatsServer's verifier; same decode path real servers run.)"""
+    try:
+        from cryptography.hazmat.primitives.asymmetric.ed25519 import (
+            Ed25519PublicKey,
+        )
+    except ImportError:  # pragma: no cover - env-dependent
+        return False
+    import base64
+
+    raw = _b32_decode(public_nkey)
+    body, crc_bytes = raw[:-2], raw[-2:]
+    if _crc16(body) != crc_bytes[0] | (crc_bytes[1] << 8):
+        return False
+    if body[0] != _NKEY_PREFIX_USER:
+        return False
+    sig = base64.urlsafe_b64decode(sig_b64url + "=" * ((4 - len(sig_b64url) % 4) % 4))
+    try:
+        Ed25519PublicKey.from_public_bytes(body[1:33]).verify(sig, nonce.encode())
+        return True
+    except Exception:
+        return False
 
 
 class _LineReader:
@@ -146,6 +265,8 @@ class NatsWireTransport:
         user: str | None = None,
         password: str | None = None,
         tls_ca: str | None = None,
+        nkey_seed: str | None = None,
+        user_jwt: str | None = None,
     ) -> None:
         self.sock = socket.create_connection((host, port), timeout=connect_timeout_s)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
@@ -175,7 +296,9 @@ class NatsWireTransport:
             self._rd = _LineReader(self.sock)
         if not self.server_info.get("headers"):
             raise PublishError("server does not support headers (Nats-Msg-Id)")
-        if self.server_info.get("auth_required") and not (auth_token or user):
+        if self.server_info.get("auth_required") and not (
+            auth_token or user or nkey_seed
+        ):
             raise PublishError("server requires auth; no credentials configured")
         self.max_payload = int(self.server_info.get("max_payload", 1048576))
         connect = {
@@ -196,6 +319,20 @@ class NatsWireTransport:
         if user is not None:
             connect["user"] = user
             connect["pass"] = password or ""
+        if nkey_seed is not None:
+            # ADR-14: sign the INFO nonce with the user's Ed25519 seed;
+            # CONNECT carries the public nkey + base64url signature (and
+            # the user JWT instead of the bare nkey in decentralized-auth
+            # deployments — the jwt rides alongside the same signature)
+            nonce = self.server_info.get("nonce")
+            if not nonce:
+                raise PublishError("nkey auth configured but INFO has no nonce")
+            pub, sig = nkey_sign_nonce(nkey_seed, nonce)
+            connect["sig"] = sig
+            if user_jwt is not None:
+                connect["jwt"] = user_jwt
+            else:
+                connect["nkey"] = pub
         self.sock.sendall(
             b"CONNECT " + json.dumps(connect, separators=(",", ":")).encode() + CRLF
             + b"PING" + CRLF
@@ -537,6 +674,15 @@ class NatsScript:
     #: after sending INFO — the real server's STARTTLS-style upgrade
     tls_cert: str | None = None
     tls_key: str | None = None
+    #: when set (a public user nkey "U..."), INFO advertises
+    #: auth_required + a nonce and CONNECT must carry a valid Ed25519
+    #: signature over it from that key (bare nkey mode, or jwt mode
+    #: when expected_jwt is also set — then CONNECT carries jwt+sig)
+    require_nkey: str | None = None
+    expected_jwt: str | None = None
+    #: the INFO nonce (fixed default keeps dialogues deterministic —
+    #: Ed25519 signatures are deterministic, so traces pin byte-exact)
+    nonce: str = "FAKE_NONCE_01"
 
 
 class FakeNatsServer:
@@ -634,6 +780,9 @@ class FakeNatsServer:
         }
         if self.script.require_auth_token is not None:
             info["auth_required"] = True
+        if self.script.require_nkey is not None:
+            info["auth_required"] = True
+            info["nonce"] = self.script.nonce
         if self.script.connect_urls:
             info["connect_urls"] = list(self.script.connect_urls)
         if self.script.tls_cert is not None:
@@ -661,12 +810,30 @@ class FakeNatsServer:
                     return
                 self._log("C", line)
                 if line.startswith(b"CONNECT "):
-                    if self.script.require_auth_token is not None:
+                    if (
+                        self.script.require_auth_token is not None
+                        or self.script.require_nkey is not None
+                    ):
                         try:
                             opts = json.loads(line[8:])
                         except ValueError:
                             opts = {}
-                        if opts.get("auth_token") != self.script.require_auth_token:
+                        ok = True
+                        if self.script.require_auth_token is not None:
+                            ok = opts.get("auth_token") == self.script.require_auth_token
+                        if self.script.require_nkey is not None:
+                            sig = opts.get("sig", "")
+                            if self.script.expected_jwt is not None:
+                                # decentralized-auth mode: jwt + sig, no
+                                # bare nkey field; sig still verifies
+                                # against the user key the jwt embeds
+                                ok = opts.get("jwt") == self.script.expected_jwt
+                            else:
+                                ok = opts.get("nkey") == self.script.require_nkey
+                            ok = ok and nkey_verify(
+                                self.script.require_nkey, self.script.nonce, sig
+                            )
+                        if not ok:
                             self._send(conn, b"-ERR 'Authorization Violation'")
                             return  # real server closes the connection
                     continue

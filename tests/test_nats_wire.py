@@ -556,3 +556,82 @@ def test_tls_verification_rejects_untrusted_cert(tls_cert, tmp_path):
     with FakeNatsServer(NatsScript(tls_cert=cert, tls_key=key)) as srv:
         with pytest.raises(_ssl.SSLError):
             NatsWireTransport("127.0.0.1", srv.port, tls_ca=other)
+
+
+SEED_RAW = bytes(range(32))  # deterministic test keypair
+
+
+def test_nkey_encoding_roundtrip_and_crc():
+    """nkeys encoding (nats-io/nkeys): seed 'SU...' <-> raw bytes with
+    CRC16-CCITT verification; corrupted checksum and wrong-prefix
+    strings are rejected."""
+    from better_cdc_spark.streaming.nats_wire import (
+        nkey_decode_seed, nkey_encode_public, nkey_encode_seed,
+    )
+
+    seed = nkey_encode_seed(SEED_RAW)
+    assert seed.startswith("SU")
+    assert nkey_decode_seed(seed) == SEED_RAW
+    corrupt = seed[:-1] + ("A" if seed[-1] != "A" else "B")
+    with pytest.raises(ValueError, match="checksum"):
+        nkey_decode_seed(corrupt)
+    pub = nkey_encode_public(SEED_RAW)  # any 32 bytes encode
+    assert pub.startswith("U")
+
+
+def test_nkey_auth_dialogue_accepted_and_wrong_key_rejected():
+    """ADR-14 nonce auth: INFO advertises a nonce, CONNECT carries the
+    public nkey + Ed25519 signature over the raw nonce bytes; a signer
+    with the wrong key is refused with the real server's -ERR."""
+    from better_cdc_spark.streaming.nats_wire import (
+        nkey_encode_seed, nkey_sign_nonce,
+    )
+
+    seed = nkey_encode_seed(SEED_RAW)
+    pub, _ = nkey_sign_nonce(seed, "x")
+    items = _items(2)
+    with FakeNatsServer(NatsScript(require_nkey=pub)) as srv:
+        with NatsWireTransport("127.0.0.1", srv.port, nkey_seed=seed) as tp:
+            assert _engine().publish_with_retry(tp, items).is_complete()
+        assert [m["msg_id"] for m in srv.messages] == [i.event_id for i in items]
+        connect_line = next(
+            l for d, l in srv.trace if d == "C" and l.startswith(b"CONNECT ")
+        )
+        opts = json.loads(connect_line[8:])
+        assert opts["nkey"] == pub and opts["sig"] and "=" not in opts["sig"]
+
+    wrong_seed = nkey_encode_seed(bytes(range(1, 33)))
+    with FakeNatsServer(NatsScript(require_nkey=pub)) as srv:
+        with pytest.raises(PublishError, match="Authorization Violation"):
+            NatsWireTransport("127.0.0.1", srv.port, nkey_seed=wrong_seed)
+
+    # no credentials at all against an nkey server: refused locally
+    with FakeNatsServer(NatsScript(require_nkey=pub)) as srv:
+        with pytest.raises(PublishError, match="requires auth"):
+            NatsWireTransport("127.0.0.1", srv.port)
+
+
+def test_jwt_mode_rides_connect_with_nkey_signature():
+    """Decentralized-auth deployments: CONNECT carries the user JWT plus
+    the same nonce signature (no bare nkey field) — the documented
+    client surface for creds files."""
+    from better_cdc_spark.streaming.nats_wire import (
+        nkey_encode_seed, nkey_sign_nonce,
+    )
+
+    seed = nkey_encode_seed(SEED_RAW)
+    pub, _ = nkey_sign_nonce(seed, "x")
+    jwt = "eyJ0eXAiOiJKV1QifQ.fake-user-claims.sig"
+    items = _items(1)
+    with FakeNatsServer(
+        NatsScript(require_nkey=pub, expected_jwt=jwt)
+    ) as srv:
+        with NatsWireTransport(
+            "127.0.0.1", srv.port, nkey_seed=seed, user_jwt=jwt
+        ) as tp:
+            assert _engine().publish_with_retry(tp, items).is_complete()
+        connect_line = next(
+            l for d, l in srv.trace if d == "C" and l.startswith(b"CONNECT ")
+        )
+        opts = json.loads(connect_line[8:])
+        assert opts["jwt"] == jwt and "nkey" not in opts and opts["sig"]
