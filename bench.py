@@ -609,12 +609,15 @@ def main() -> None:
     blocked_win = run_blocked_window_bench(spark, sf_dir)
 
     # Empirical scaling exponents at the sf1.0-equivalent corpus (opt out
-    # with SPARK_GRAFT_SF1_SCALING=0 for quick local iterations).
-    sf1_scaling = (
-        run_sf1_scaling(spark, sf_dir, times)
-        if os.environ.get("SPARK_GRAFT_SF1_SCALING", "1") != "0"
-        else {}
-    )
+    # with SPARK_GRAFT_SF1_SCALING=0 for quick local iterations). A probe
+    # failure (e.g. /tmp pressure on the fabricated corpus) must degrade
+    # to a missing block, never take down the whole BENCH artifact.
+    sf1_scaling: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1_SCALING", "1") != "0":
+        try:
+            sf1_scaling = run_sf1_scaling(spark, sf_dir, times)
+        except Exception as exc:  # noqa: BLE001 - diagnostics-only path
+            sf1_scaling = {"error": f"{type(exc).__name__}: {exc}"}
 
     # mechanical 2x-envelope check vs the r1 baseline (shared queries only)
     vs_baseline = {
