@@ -96,13 +96,38 @@ def test_snapshot_refreshes_only_on_new_green_round(tmp_path, monkeypatch):
 
 def test_committed_state_file_covers_every_driver_verified_entry():
     """The real tools/rotation_state.json must track the full green set —
-    a missing entry silently downgrades edits on it to legacy-pad class."""
+    a missing entry silently downgrades edits on it to legacy-pad class.
+
+    Scope (round-12 verdict #1): the driver writes CORRECTNESS_r{N}.json
+    AFTER the session's final snapshot commit, so rows whose only green
+    rounds post-date the snapshot's own recorded round are "pending next
+    snapshot" — reported, never a failure. Only an entry the snapshot
+    COULD have covered (green in some round <= its recorded round) may
+    fail this test."""
     assert os.path.exists(rotation.STATE_PATH), "run rotation.py --snapshot"
     state = rotation.load_state()
     from better_cdc_spark.queries import load_all
 
     reg = load_all()
-    last_seen = rotation.last_green_rounds()
-    green = {q for q in reg if q in last_seen}
+    rounds = rotation.green_rounds_by_query()
+    snap_round = rotation.snapshot_round(state)
+    green = {q for q in reg if q in rounds}
     missing = green - set(state)
-    assert not missing, f"state lacks {sorted(missing)[:5]}..."
+    stale = sorted(q for q in missing if min(rounds[q]) <= snap_round)
+    pending = sorted(q for q in missing if min(rounds[q]) > snap_round)
+    if pending:  # informational: next round's snapshot will absorb these
+        print(f"snapshot refresh due for {len(pending)} post-snapshot rows: "
+              f"{pending[:5]}...")
+    assert not stale, f"state lacks pre-snapshot entries {stale[:5]}..."
+
+
+def test_pending_rows_newer_than_snapshot_do_not_fail(tmp_path, monkeypatch):
+    """Synthetic pin of the scoping rule: a query green ONLY in a round
+    newer than the snapshot's max recorded round is pending, not stale."""
+    state = {"q_old": {"green_round": 7, "src_hash": "h"}}
+    assert rotation.snapshot_round(state) == 7
+    rounds = {"q_old": [5, 7], "q_new_post_snap": [8], "q_forgot": [6]}
+    missing = {"q_new_post_snap", "q_forgot"}
+    stale = [q for q in missing if min(rounds[q]) <= 7]
+    pending = [q for q in missing if min(rounds[q]) > 7]
+    assert stale == ["q_forgot"] and pending == ["q_new_post_snap"]

@@ -78,6 +78,26 @@ def load_state() -> dict[str, dict]:
     return {}
 
 
+def snapshot_round(state: dict[str, dict]) -> int:
+    """The latest driver round the committed snapshot has seen — the max
+    green_round across its entries (0 for an empty state). CORRECTNESS
+    files newer than this land AFTER the session's final snapshot commit
+    by construction; coverage checks must treat their rows as "pending
+    next snapshot", not as a staleness failure (round-12 verdict #1)."""
+    return max((rec["green_round"] for rec in state.values()), default=0)
+
+
+def green_rounds_by_query() -> dict[str, list[int]]:
+    """Every round each query has a row in, ascending (cf. last_green_rounds
+    which keeps only the max)."""
+    seen: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(CORRECTNESS_GLOB)):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for q in json.load(open(path)):
+            seen.setdefault(q, []).append(rnd)
+    return seen
+
+
 def classify(reg: dict, last_seen: dict[str, int], state: dict[str, dict]):
     """Returns (never, changed, pads) — each a list of names in priority
     order. `changed` = has a green row but current src_hash differs from
