@@ -67,72 +67,21 @@ def query(
 # ROTATES each round to entries the external gate has not yet verified.
 #
 # Round-12 prefix (regenerated at round start with tools/rotation.py):
-# 50 of the 53 never-driver-verified entries lead (all round-11
-# session-2 additions; judge pre-verified all 53 green at sf0.01, the
-# driver row is the remaining hard signal). The 3 spillover
-# never-verified entries follow immediately at positions 51-53, then
-# the 9 changed-since-last-green entries the source-hash detector
-# flags — together those 12 are the natural r13 prefix head.
-# Everything else follows in registration order. NOTE: a prefix-sampled
-# check never covers the tail — run the full sweep for complete coverage.
+# Round-13 gate prefix: the 3 spillover never-verified entries lead,
+# then the 10 changed-since-last-green entries the source-hash detector
+# flags (incl. the r12 q96e rewrite) — after this gate every
+# oracle-paired registry entry has a driver row. Positions 14-50 are
+# pads, oldest driver rows first (r2/r3 era), so the gate keeps
+# re-confirming the longest-unverified entries against current code.
+# NOTE: a prefix-sampled check never covers the tail — run the full
+# sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # never driver-verified (50 of 53)
-    "q47n_markov_entropy_rate",
-    "q05e_bloom_filter_sink",
-    "q36as_ks_uniform",
-    "q46j_engagement_histogram",
-    "q36at_jonckheere_terpstra",
-    "q44j_conversion_latency",
-    "q36au_mood_median_test",
-    "q42q_process_capability",
-    "q44k_fano_dispersion",
-    "q47p_funnel_significance",
-    "q36av_robust_shape",
-    "q36aw_welch_anova",
-    "q42r_peak_detection",
-    "q36ax_anderson_darling_2s",
-    "q36ay_tost_equivalence",
-    "q46l_growth_accounting",
-    "q36az_matthews_correlation",
-    "q47r_markov_slem",
-    "q53k_hoover_index",
-    "q44l_burstiness_memory",
-    "q47s_absorbing_expected_steps",
-    "q36ba_wilson_interval",
-    "q42s_garch_volatility",
-    "q53l_palma_ratio",
-    "q36bb_poisson_rate_test",
-    "q45g_quantile_normalization",
-    "q44m_circular_hour_stats",
-    "q36bc_cohens_h",
-    "q47t_journey_shapes",
-    "q42t_max_drawdown",
-    "q42u_ulcer_index",
-    "q46m_user_concentration",
-    "q36bd_type_entropy",
-    "q36be_pythagorean_means",
-    "q94ac_modularity",
-    "q94ae_rich_club",
-    "q98ai_simpson_diversity",
-    "q97ab_mips_topk",
-    "q99af_tga_decode",
-    "q98ak_doc_keywords",
-    "q99ag_pcx_decode",
-    "q99ah_aiff_decode",
-    "q94ak_clustering_coefficient",
-    "q98am_js_divergence",
-    "q99ai_ico_decode",
-    "q52c_systematic_sample",
-    "q94ao_reciprocity",
-    "q94ap_katz_centrality",
-    "q99aj_au_decode",
-    "q97ad_centroid_drift",
-    # never driver-verified spillover (3) — r13 prefix head
+    # never driver-verified (3) — gate head
     "q94aq_powerlaw_tail",
     "qm25_streaming_ks_drift",
     "qm26_streaming_confusion_monitor",
     # changed since last driver-green row (rotation.py source-hash
-    # detector) — r13 prefix follows with these
+    # detector)
     "q50_global_sort",
     "q29b_skew_advisor",
     "q53c_pareto_report",
@@ -142,6 +91,45 @@ SHOWCASE_ORDER = (
     "q95d_sequence_packing",
     "q95o_dsir_resample",
     "q97j_mmr_rerank",
+    "q96e_tfidf_cosine",
+    # pads: oldest driver rows first
+    "q26_theta_join",
+    "q28_interval_join",
+    "q31_distinct_agg",
+    "q32_approx_count_distinct",
+    "q33b_cube",
+    "q33c_grouping_sets",
+    "q35_collect_aggs",
+    "q36_stat_aggs",
+    "q36b_argminmax",
+    "q77b_fuzzy_blocked_match",
+    "q38_unpivot",
+    "q40b_distribution_windows",
+    "q41_lag_lead",
+    "q51_limit",
+    "q60_union",
+    "q01_parquet_scan",
+    "q02_csv_scan",
+    "q03_json_scan",
+    "q05_partitioned_sink",
+    "q11_predicate_filter",
+    "q20_inner_join",
+    "q21_left_outer_join",
+    "q22_semi_join",
+    "q25_broadcast_join",
+    "q25b_bucketed_join",
+    "q27_asof_join",
+    "q28b_interval_bucket_join",
+    "q29_skew_salted_join",
+    "q30_grouped_agg_tpch_q1",
+    "q33_rollup",
+    "q34_having",
+    "q37_pivot",
+    "qm01_merge_into",
+    "q40_ranking_windows",
+    "q42_frame_agg",
+    "q44_sessionize",
+    "q45_gapfill",
 )
 
 def load_all() -> dict[str, QuerySpec]:
