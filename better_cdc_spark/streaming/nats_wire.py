@@ -144,6 +144,8 @@ def nkey_encode_public(raw_public: bytes) -> str:
 def nkey_decode_seed(seed: str) -> bytes:
     """'SU...' seed string → 32 raw Ed25519 seed bytes (CRC-verified)."""
     raw = _b32_decode(seed)
+    if len(raw) != 36:  # 2 prefix + 32 seed + 2 CRC
+        raise ValueError("not a user seed nkey (want 'SU...', 36 decoded bytes)")
     body, crc_bytes = raw[:-2], raw[-2:]
     if _crc16(body) != crc_bytes[0] | (crc_bytes[1] << 8):
         raise ValueError("nkey seed checksum mismatch")
@@ -353,7 +355,13 @@ class NatsWireTransport:
         self._outstanding: dict[str, PendingAck] = {}
         self._req_seq = 0
         self._closing = False
-        self._pong = threading.Event()
+        # PONG accounting is a matched pair of counters, not a bare Event:
+        # a stale PONG still in flight from a timed-out ping must not
+        # satisfy the NEXT ping one probe late (each wait requires the
+        # pong count to catch up to its own ping's sequence number).
+        self._pong_cv = threading.Condition()
+        self._pings_sent = 0
+        self._pongs_rcvd = 0
         self.dead = threading.Event()
         self.sock.settimeout(None)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
@@ -403,12 +411,17 @@ class NatsWireTransport:
         iff the server answers PONG within the timeout."""
         if self.dead.is_set():
             return False
-        self._pong.clear()
+        with self._pong_cv:
+            self._pings_sent += 1
+            want = self._pings_sent
         try:
             self.sock.sendall(b"PING" + CRLF)
         except OSError:
             return False
-        return self._pong.wait(timeout_s)
+        with self._pong_cv:
+            return self._pong_cv.wait_for(
+                lambda: self._pongs_rcvd >= want, timeout=timeout_s
+            )
 
     # -- reader ------------------------------------------------------------
 
@@ -422,7 +435,9 @@ class NatsWireTransport:
                     self.sock.sendall(b"PONG" + CRLF)
                     continue
                 if line == b"PONG":
-                    self._pong.set()  # client-initiated liveness ping answered
+                    with self._pong_cv:  # answer to a client-initiated ping
+                        self._pongs_rcvd += 1
+                        self._pong_cv.notify_all()
                     continue
                 if line == b"+OK" or line == b"":
                     continue
@@ -822,14 +837,18 @@ class FakeNatsServer:
                         if self.script.require_auth_token is not None:
                             ok = opts.get("auth_token") == self.script.require_auth_token
                         if self.script.require_nkey is not None:
+                            # accumulate onto the token check: when BOTH
+                            # auth requirements are configured, both must
+                            # hold (a valid nkey sig must not launder an
+                            # invalid token)
                             sig = opts.get("sig", "")
                             if self.script.expected_jwt is not None:
                                 # decentralized-auth mode: jwt + sig, no
                                 # bare nkey field; sig still verifies
                                 # against the user key the jwt embeds
-                                ok = opts.get("jwt") == self.script.expected_jwt
+                                ok = ok and opts.get("jwt") == self.script.expected_jwt
                             else:
-                                ok = opts.get("nkey") == self.script.require_nkey
+                                ok = ok and opts.get("nkey") == self.script.require_nkey
                             ok = ok and nkey_verify(
                                 self.script.require_nkey, self.script.nonce, sig
                             )

@@ -635,3 +635,42 @@ def test_jwt_mode_rides_connect_with_nkey_signature():
         )
         opts = json.loads(connect_line[8:])
         assert opts["jwt"] == jwt and "nkey" not in opts and opts["sig"]
+
+
+def test_token_and_nkey_both_required_bad_token_rejected():
+    """When the server requires BOTH a token and an nkey signature, a
+    valid signature must not launder an invalid token (r12 advisory:
+    the nkey branch used to overwrite the token check's result)."""
+    from better_cdc_spark.streaming.nats_wire import (
+        nkey_encode_seed, nkey_sign_nonce,
+    )
+
+    seed = nkey_encode_seed(SEED_RAW)
+    pub, _ = nkey_sign_nonce(seed, "x")
+    script = NatsScript(require_auth_token="s3cr3t", require_nkey=pub)
+    with FakeNatsServer(script) as srv:
+        with pytest.raises(PublishError, match="Authorization Violation"):
+            NatsWireTransport(
+                "127.0.0.1", srv.port, nkey_seed=seed, auth_token="wrong"
+            )
+    # both valid -> accepted
+    with FakeNatsServer(script) as srv:
+        items = _items(1)
+        with NatsWireTransport(
+            "127.0.0.1", srv.port, nkey_seed=seed, auth_token="s3cr3t"
+        ) as tp:
+            assert _engine().publish_with_retry(tp, items).is_complete()
+
+
+def test_nkey_decode_seed_short_body_is_clear_error():
+    """A short Base32 string with a valid CRC must fail with the typed
+    'not a user seed nkey' error, not a downstream crypto ValueError
+    from slicing fewer than 32 seed bytes."""
+    from better_cdc_spark.streaming import nats_wire as nw
+
+    body = bytes([nw._NKEY_PREFIX_SEED | (nw._NKEY_PREFIX_USER >> 5),
+                  (nw._NKEY_PREFIX_USER & 0x1F) << 3]) + bytes(16)
+    crc = nw._crc16(body)
+    short = nw._b32_nopad(body + bytes([crc & 0xFF, crc >> 8]))
+    with pytest.raises(ValueError, match="not a user seed nkey"):
+        nw.nkey_decode_seed(short)
