@@ -101,6 +101,20 @@ class HealthServer:
                 elif self.path == "/debug/heap" and outer.enable_debug:
                     code, body = outer.render_heap()
                     self._send(code, body)
+                elif (
+                    self.path.split("?", 1)[0] == "/debug/profile"
+                    and outer.enable_debug
+                ):
+                    from urllib.parse import parse_qs, urlsplit
+
+                    qs = parse_qs(urlsplit(self.path).query)
+                    try:
+                        seconds = float(qs.get("seconds", ["2"])[0])
+                    except ValueError:
+                        self._send(400, "seconds must be a number")
+                        return
+                    code, body = outer.render_profile(seconds)
+                    self._send(code, body)
                 else:
                     self._send(404, "not found")
 
@@ -197,4 +211,57 @@ class HealthServer:
         total_kib = sum(s.size for s in snap.statistics("filename")) / 1024
         out = [f"# driver heap: {total_kib:.0f} KiB traced, top {top_n} by line"]
         out.extend(str(s) for s in stats)
+        return 200, "\n".join(out) + "\n"
+
+    def render_profile(
+        self, seconds: float = 2.0, hz: int = 100, top_n: int = 50
+    ) -> tuple[int, str]:
+        """Time-sampled CPU profile of the driver's Python threads — the
+        /debug/pprof/profile?seconds=N analog (reference
+        internal/health/server.go:77-79), py-spy-shaped: repeated
+        sys._current_frames() walks aggregated into flamegraph-collapsed
+        stacks ("file:func;file:func ..." bottom→top) with sample counts.
+        Pure stdlib, no tracing hooks installed — cost is the sampling
+        loop itself, bounded by the 30 s cap. The sampling (handler)
+        thread excludes itself."""
+        import os
+        import sys
+        import threading as _threading
+        import time
+
+        if not (seconds == seconds and seconds > 0):  # NaN or non-positive
+            return 400, "seconds must be positive\n"
+        seconds = min(seconds, 30.0)  # bound the handler's walltime
+        interval = 1.0 / max(1, min(hz, 500))
+        me = _threading.get_ident()
+        counts: dict[str, int] = {}
+        samples = 0
+        deadline = time.monotonic() + seconds
+        while True:
+            names = {t.ident: t.name for t in _threading.enumerate()}
+            for ident, frame in sys._current_frames().items():
+                if ident == me:
+                    continue
+                stack: list[str] = []
+                f = frame
+                while f is not None:
+                    co = f.f_code
+                    stack.append(
+                        f"{os.path.basename(co.co_filename)}:{co.co_name}"
+                    )
+                    f = f.f_back
+                key = (
+                    names.get(ident, "?") + ";" + ";".join(reversed(stack))
+                )
+                counts[key] = counts.get(key, 0) + 1
+            samples += 1
+            if time.monotonic() >= deadline:
+                break
+            time.sleep(interval)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        out = [
+            f"# cpu profile: {samples} samples over {seconds:g}s "
+            f"(collapsed stacks: '<thread>;<file:func>;...' sample-count)"
+        ]
+        out.extend(f"{stack} {n}" for stack, n in top)
         return 200, "\n".join(out) + "\n"

@@ -144,3 +144,45 @@ def test_debug_heap_opt_in_and_tracing_gate():
         finally:
             if not was_tracing:
                 tracemalloc.stop()
+
+
+def test_debug_profile_opt_in_shape_and_bad_seconds():
+    """/debug/profile?seconds=N mirrors /debug/pprof/profile
+    (server.go:77-79): 404 unless enable_debug; when on, a short
+    time-sampled run returns the collapsed-stack exposition — a header
+    line with the sample count, then '<thread>;<file:func>;... N' rows
+    (a busy worker thread is guaranteed to appear). Non-numeric and
+    non-positive seconds are 400."""
+    import threading
+    import time
+
+    with HealthServer() as srv:
+        assert _get(srv.port, "/debug/profile?seconds=0.2")[0] == 404
+
+    stop = threading.Event()
+
+    def spin() -> None:  # a stack the sampler must catch
+        while not stop.is_set():
+            sum(range(1000))
+
+    t = threading.Thread(target=spin, name="bcs-spin", daemon=True)
+    t.start()
+    try:
+        with HealthServer(enable_debug=True) as srv:
+            code, body = _get(srv.port, "/debug/profile?seconds=0.3")
+            assert code == 200
+            lines = body.splitlines()
+            assert lines[0].startswith("# cpu profile:")
+            n_samples = int(lines[0].split()[3])
+            assert n_samples >= 1
+            assert any(
+                line.startswith("bcs-spin;") and ":spin" in line
+                for line in lines[1:]
+            )
+            # every data row ends with an integer sample count
+            assert all(l.rsplit(" ", 1)[1].isdigit() for l in lines[1:])
+            assert _get(srv.port, "/debug/profile?seconds=abc")[0] == 400
+            assert _get(srv.port, "/debug/profile?seconds=-1")[0] == 400
+    finally:
+        stop.set()
+        t.join(timeout=2)
