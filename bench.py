@@ -392,9 +392,22 @@ def run_sf1_scaling(spark, sf_dir: str, base_times: dict[str, float]) -> dict:
     already warm from the headline min-of-3; at 10x data the one-time
     plan cost is noise) — treat exponents as ±0.1, not three decimals.
     """
+    import shutil
+    import tempfile
+
+    sf1_dir = tempfile.mkdtemp(prefix="bcs_sf1_")
+    try:
+        return _run_sf1_scaling_at(spark, sf_dir, base_times, sf1_dir)
+    finally:
+        # the ~10x amplified corpus is hundreds of MB — never leak it into
+        # /tmp, even when the probe dies mid-write
+        shutil.rmtree(sf1_dir, ignore_errors=True)
+
+
+def _run_sf1_scaling_at(spark, sf_dir: str, base_times: dict[str, float],
+                        sf1_dir: str) -> dict:
     import gc
     import math
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -408,7 +421,6 @@ def run_sf1_scaling(spark, sf_dir: str, base_times: dict[str, float]) -> dict:
 
     registry = load_all()
     docs = load_table(spark, sf_dir, "documents")
-    sf1_dir = tempfile.mkdtemp(prefix="bcs_sf1_")
     n_copies = 10
     # Constant dup DENSITY, like a real bigger corpus: copy 0 is the
     # original, copy 1 an exact dup (10% exact-dup rate), copies 2-9
@@ -659,8 +671,12 @@ def main() -> None:
         n: round(r / max(med_class.get(DRIFT_CLASS.get(n, ""), med), 1e-9), 3)
         for n, r in all_ratios.items()
     }
+    # Two-term gate: the normalized min catches per-query regressions no
+    # drift story explains; the RAW absolute cap (4x) backstops the case
+    # where a correlated real regression across most of one ~8-query class
+    # shifts that class median and would otherwise normalize itself away.
     envelope_ok = all(
-        min(r, r / max(med, 1e-9), vs_class_norm[n]) <= 2.0
+        min(r, r / max(med, 1e-9), vs_class_norm[n]) <= 2.0 and r <= 4.0
         for n, r in all_ratios.items()
     )
 
