@@ -377,6 +377,64 @@ SF1_QUERIES = (
 )
 
 
+def _q99q_banded_linear(spark, sf_dir: str):
+    """q99q's engine path with CONSTANT cluster size under amplification.
+
+    q99q's fixture has 160 distinct images at every corpus size, so its
+    dup clusters — and true output — grow quadratically under the 10x
+    amplification and the wall exponent tracks the output, not the plan.
+    This twin runs the identical operators (PPM synth -> decode -> aHash
+    -> localCheckpoint -> banded self-equi-join -> hamming verify) but
+    adds the amplification copy (doc_id // 1_000_000; always 0 on the
+    unamplified corpus, where the plan degenerates to q99q exactly) to
+    the band join key, so clusters stay within-copy and the true pair
+    count grows LINEARLY — the exponent measures the engine."""
+    from pyspark.sql import functions as F
+
+    from better_cdc_spark.io import load_table
+    from better_cdc_spark.queries.llm import _ahash_band_hashes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = (
+        _ahash_band_hashes(docs)
+        .select(
+            "doc_id", "b0", "b1", "b2", "b3",
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
+        )
+        .withColumn("cp", (F.col("doc_id") / 1_000_000).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    left, right = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    return (
+        left.join(
+            right,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.cp") == F.col("b.cp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+# Probe-only twins (NOT registry entries — the feature freeze holds):
+# name -> plan callable; base wall is timed in-probe since these never
+# appear in the headline set.
+SF1_EXTRA_PROBES = {
+    "q99q_banded_linear": _q99q_banded_linear,
+}
+
+
 def run_sf1_scaling(spark, sf_dir: str, base_times: dict[str, float]) -> dict:
     """Empirical scaling exponents for the headline similarity queries.
 
@@ -485,17 +543,24 @@ def _run_sf1_scaling_at(spark, sf_dir: str, base_times: dict[str, float],
         f"{sf1_dir}/embeddings.parquet"
     )
 
+    probes = [
+        (name, registry[name].fn, base_times[name])
+        for name in SF1_QUERIES
+        if name in registry and name in base_times
+    ]
+    probes += [(name, fn, None) for name, fn in SF1_EXTRA_PROBES.items()]
     out: dict[str, dict] = {}
-    for name in SF1_QUERIES:
-        if name not in registry or name not in base_times:
-            continue
-        rows_base = registry[name].fn(spark, sf_dir).count()  # untimed
+    for name, fn, base_t in probes:
         t0 = time.perf_counter()
-        rows_sf1 = registry[name].fn(spark, sf1_dir).count()
+        rows_base = fn(spark, sf_dir).count()  # timed only for extras
+        if base_t is None:  # probe-only twin: no headline wall to reuse
+            base_t = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        rows_sf1 = fn(spark, sf1_dir).count()
         wall = time.perf_counter() - t0
-        ratio = wall / max(base_times[name], 1e-9)
+        ratio = wall / max(base_t, 1e-9)
         out[name] = {
-            "sf01_sec": base_times[name],
+            "sf01_sec": base_t,
             "sf1_sec": round(wall, 3),
             "ratio": round(ratio, 2),
             "exponent": round(math.log10(max(ratio, 1e-9)), 2),
@@ -505,8 +570,8 @@ def _run_sf1_scaling_at(spark, sf_dir: str, base_times: dict[str, float],
             # size, so its dup clusters — and true output — grow
             # quadratically by construction), the wall exponent tracks
             # the output, not a plan defect. The engine-side banded join
-            # at CONSTANT cluster size is probed separately in
-            # tools/scale_probe.py (measured ~linear).
+            # at CONSTANT cluster size is probed by the q99q_banded_linear
+            # twin right here (plus tools/scale_probe.py).
             "rows_sf01": rows_base,
             "rows_sf1": rows_sf1,
             "rows_ratio": round(rows_sf1 / max(rows_base, 1), 2),

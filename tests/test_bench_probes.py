@@ -41,7 +41,15 @@ def test_sf1_scaling_fabricates_and_measures(spark):
     row = res["queries"]["q97h_bm25_topk"]
     assert row["sf1_sec"] > 0 and row["rows_sf1"] >= row["rows_sf01"] > 0
     assert "exponent" in row and "rows_ratio" in row
-    # the other probed queries were skipped: no base time supplied
-    assert set(res["queries"]) == {"q97h_bm25_topk"}
+    # the other registry queries were skipped (no base time supplied);
+    # extra probe-only twins always run and time their own base
+    assert set(res["queries"]) == {"q97h_bm25_topk", "q99q_banded_linear"}
+    lin = res["queries"]["q99q_banded_linear"]
+    assert lin["sf01_sec"] > 0 and lin["sf1_sec"] > 0
+    # constant cluster size: true pair count grows ~linearly (10x data
+    # -> ~10x rows), NOT quadratically like q99q's 160-image fixture
+    assert lin["rows_ratio"] <= 15, lin
     for name in bench.SF1_QUERIES:
         assert name in bench.HEADLINE, f"{name} probed but not a headline query"
+    for name in bench.SF1_EXTRA_PROBES:
+        assert name not in bench.HEADLINE  # probe-only, not a headline entry
