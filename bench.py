@@ -435,6 +435,30 @@ SF1_EXTRA_PROBES = {
 }
 
 
+# One-time 10x-scale e2e measurement (r12 verdict item 7): the per-round
+# cdc_e2e block stays at 300k ops for cross-round comparability; this
+# pinned block records the rig run SOLO at 1M ops — 10x the usual run
+# length — showing the streaming/publish path holds (indeed improves, as
+# fixed startup amortizes) its throughput at a bigger run. Peak RSS
+# sampled at 1 Hz over the whole run (JVM = Spark local[32] driver).
+# Reproduce: PYTHONPATH=. python tools/e2e_load.py 1000000 4
+E2E_SCALE_1M = {
+    "metric": "cdc_e2e_ops_per_sec",
+    "value": 46932.6,
+    "unit": "ops/sec",
+    "n_ops": 1_000_000,
+    "n_batches": 4,
+    "wall_sec": 21.31,
+    "sink_events": 1_000_000,
+    "batch_duration_ms_avg": 5183.5,
+    "batch_duration_ms_last": 7769.0,
+    "peak_jvm_rss_mib": 8152,
+    "peak_python_rss_mib": 139,
+    "measured_round": 13,
+    "solo": True,
+}
+
+
 def run_sf1_scaling(spark, sf_dir: str, base_times: dict[str, float]) -> dict:
     """Empirical scaling exponents for the headline similarity queries.
 
@@ -764,6 +788,7 @@ def main() -> None:
         "probe_walls": probe_walls,
         "probe_shift": probe_shift,
         "sf1_scaling": sf1_scaling,
+        "e2e_scale_1m": E2E_SCALE_1M,
         "envelope_ok": envelope_ok,
     }
     # Full diagnostics go to a file + an early stdout line; the FINAL stdout
@@ -791,6 +816,8 @@ def main() -> None:
             default=None,
         ),
         "cdc_e2e_ops_per_sec": cdc_e2e.get("value"),
+        "e2e_1m_ops_per_sec": E2E_SCALE_1M["value"],
+        "e2e_1m_peak_jvm_rss_mib": E2E_SCALE_1M["peak_jvm_rss_mib"],
         "streaming_events_per_sec": streaming.get("value"),
         "txlog_replay_ms_per_epoch": replay_sink.get("txlog_replay_ms_per_epoch"),
         "blocked_vs_window_ratio": blocked_win.get("ratio"),
