@@ -167,12 +167,72 @@ def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
     }
 
 
+def _rss_sampler(stop_event, out: dict) -> None:
+    """1 Hz peak-RSS sampling of this python driver and its Spark JVM
+    child (local-mode: the JVM is the 'driver' that holds executor
+    threads), so a scale run reports memory alongside ops/sec. Reads
+    /proc — Linux-only; silently absent elsewhere."""
+    import os
+    import threading  # noqa: F401  (documents the daemon-thread contract)
+
+    me = os.getpid()
+
+    def rss_kib(pid: int) -> int:
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return 0
+
+    def jvm_child() -> int:
+        try:
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{pid}/stat") as f:
+                        parts = f.read().split()
+                    if parts[1] == "(java)" and int(parts[3]) == me:
+                        return int(pid)
+                except (OSError, IndexError, ValueError):
+                    continue
+        except OSError:
+            pass
+        return 0
+
+    jvm = 0
+    while not stop_event.wait(1.0):
+        out["peak_python_rss_mib"] = max(
+            out.get("peak_python_rss_mib", 0), rss_kib(me) // 1024
+        )
+        jvm = jvm or jvm_child()
+        if jvm:
+            out["peak_jvm_rss_mib"] = max(
+                out.get("peak_jvm_rss_mib", 0), rss_kib(jvm) // 1024
+            )
+
+
 def main() -> int:
+    import threading
+
     n_ops = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     spark = get_spark("e2e-load", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(run_load(spark, n_ops, n_batches)))
+    rss: dict = {}
+    stop = threading.Event()
+    sampler = threading.Thread(target=_rss_sampler, args=(stop, rss), daemon=True)
+    sampler.start()
+    try:
+        result = run_load(spark, n_ops, n_batches)
+    finally:
+        stop.set()
+        sampler.join(timeout=3)
+    result.update(rss)
+    print(json.dumps(result))
     return 0
 
 
