@@ -47,6 +47,16 @@ class EngineConfig:
     # Transport stream subject filters (NATS wildcard grammar: '*' one
     # token, '>' tail). Empty = "{subject_prefix}.>" (config.go:192-197).
     stream_subjects: tuple[str, ...] = field(default_factory=tuple)
+    # Health/metrics HTTP bind, "host:port" or ":port" for all interfaces
+    # (HEALTH_ADDR; config.go:26,90 default ":8080" — the address
+    # monitoring/prometheus/prometheus.yml scrapes)
+    health_addr: str = ":8080"
+
+    def health_host_port(self) -> tuple[str, int]:
+        """Split health_addr for HealthServer(host=..., port=...); a bare
+        ':port' binds all interfaces like Go's net.Listen."""
+        host, _, port = self.health_addr.rpartition(":")
+        return (host or "0.0.0.0", int(port))
 
     def validate(self) -> "EngineConfig":
         if not self.database or not _TOKEN_RE.match(self.database):
@@ -74,6 +84,13 @@ class EngineConfig:
         # but do not collide with data subjects (config.go:188-234). With
         # subjects "{prefix}.{db}.{schema}.{table}", disjointness reduces to
         # distinct first tokens.
+        # port 0 allowed: ephemeral bind, same as Go's net.Listen(":0")
+        if not re.fullmatch(r"[\w.\-]*:\d{1,5}", self.health_addr) or not (
+            0 <= int(self.health_addr.rpartition(":")[2]) < 65536
+        ):
+            raise ConfigError(
+                f"health_addr must be host:port or :port, got {self.health_addr!r}"
+            )
         if self.dlq_subject_prefix == self.subject_prefix:
             raise ConfigError(
                 "dlq_subject_prefix must differ from subject_prefix "
@@ -173,6 +190,7 @@ def load(env: dict[str, str] | None = None) -> EngineConfig:
             stream_subjects=tuple(
                 s.strip() for s in get("STREAM_SUBJECTS", "").split(",") if s.strip()
             ),
+            health_addr=get("HEALTH_ADDR", ":8080"),
         )
     except ValueError as exc:  # int()/float() parse failures
         raise ConfigError(f"malformed numeric env var: {exc}") from exc

@@ -43,11 +43,33 @@ def test_env_overrides():
         ({"DATABASE_NAME": "bad.name"}, "database"),
         ({"SUBJECT_PREFIX": "cdc", "DLQ_SUBJECT_PREFIX": "cdc"}, "differ"),
         ({"DLQ_SUBJECT_PREFIX": "has space"}, "dlq_subject_prefix"),
+        ({"HEALTH_ADDR": "8080"}, "health_addr"),
+        ({"HEALTH_ADDR": "host:99999"}, "health_addr"),
+        ({"HEALTH_ADDR": "host:"}, "health_addr"),
     ],
 )
 def test_invalid_configs_rejected(env, frag):
     with pytest.raises(ConfigError, match=frag):
         load(env=env)
+
+
+def test_health_addr_parses_and_drives_server():
+    """HEALTH_ADDR (config.go:26,90; default ':8080') rides EngineConfig:
+    host:port splits for HealthServer, a bare ':port' binds all
+    interfaces, and a real server comes up on the parsed pair."""
+    import urllib.request
+
+    from better_cdc_spark.health import HealthServer
+
+    assert load(env={}).health_addr == ":8080"
+    assert load(env={}).health_host_port() == ("0.0.0.0", 8080)
+    cfg = load(env={"HEALTH_ADDR": "127.0.0.1:0"})  # ephemeral for the test
+    host, port = cfg.health_host_port()
+    with HealthServer(host=host, port=port) as srv:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/health", timeout=5
+        ) as r:
+            assert r.read() == b"ok"
 
 
 def test_with_overrides_revalidates():
