@@ -603,6 +603,47 @@ def _run_sf1_scaling_at(spark, sf_dir: str, base_times: dict[str, float],
     return {"n_docs_sf1": 50000, "amplification": n_copies, "queries": out}
 
 
+def build_compact_line(full: dict) -> str:
+    """The FINAL stdout line, distilled from the full diagnostics dict:
+    the driver's tail window is 2000 bytes (r7's 2.5 KB line got its head
+    clipped -> parsed: null), so this must stay under it — pinned by
+    tests/test_bench_probes.py against the committed artifact."""
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "envelope_ok": full["envelope_ok"],
+        "vm_shift_median": full["vm_shift_median"],
+        "vm_shift_shuffle": full["vm_shift_class"].get("shuffle"),
+        "vm_shift_cpu": full["vm_shift_class"].get("cpu"),
+        "probe_shift_shuffle": full["probe_shift"].get("shuffle"),
+        "probe_shift_cpu": full["probe_shift"].get("cpu"),
+        "vs_class_norm_max": max(full["vs_class_norm"].values(), default=None),
+        "sf1_exponent_max": max(
+            (q["exponent"]
+             for q in full["sf1_scaling"].get("queries", {}).values()),
+            default=None,
+        ),
+        "cdc_e2e_ops_per_sec": full["cdc_e2e"].get("value"),
+        "e2e_1m_ops_per_sec": full["e2e_scale_1m"]["value"],
+        "e2e_1m_peak_jvm_rss_mib": full["e2e_scale_1m"]["peak_jvm_rss_mib"],
+        "streaming_events_per_sec": full["streaming"].get("value"),
+        "txlog_replay_ms_per_epoch": full["replay_sink"].get(
+            "txlog_replay_ms_per_epoch"
+        ),
+        "blocked_vs_window_ratio": full["blocked_window"].get("ratio"),
+        "vs_baseline_max": max(full["vs_baseline"].values(), default=None),
+        "vs_r4_norm_max": max(full["vs_r4_norm"].values(), default=None),
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: drop per-query detail before clipping
+        compact["queries"] = {"_see": "bench_full_latest.json"}
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -798,36 +839,7 @@ def main() -> None:
                            "bench_full_latest.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-        "envelope_ok": envelope_ok,
-        "vm_shift_median": round(med, 3),
-        "vm_shift_shuffle": round(med_class["shuffle"], 3),
-        "vm_shift_cpu": round(med_class["cpu"], 3),
-        "probe_shift_shuffle": probe_shift.get("shuffle"),
-        "probe_shift_cpu": probe_shift.get("cpu"),
-        "vs_class_norm_max": max(vs_class_norm.values(), default=None),
-        "sf1_exponent_max": max(
-            (q["exponent"] for q in sf1_scaling.get("queries", {}).values()),
-            default=None,
-        ),
-        "cdc_e2e_ops_per_sec": cdc_e2e.get("value"),
-        "e2e_1m_ops_per_sec": E2E_SCALE_1M["value"],
-        "e2e_1m_peak_jvm_rss_mib": E2E_SCALE_1M["peak_jvm_rss_mib"],
-        "streaming_events_per_sec": streaming.get("value"),
-        "txlog_replay_ms_per_epoch": replay_sink.get("txlog_replay_ms_per_epoch"),
-        "blocked_vs_window_ratio": blocked_win.get("ratio"),
-        "vs_baseline_max": max(vs_baseline.values(), default=None),
-        "vs_r4_norm_max": max(vs_r4_norm.values(), default=None),
-    }
-    line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: drop per-query detail before clipping
-        compact["queries"] = {"_see": "bench_full_latest.json"}
-        line = json.dumps(compact)
+    line = build_compact_line(full)
     print(line)
 
 

@@ -53,3 +53,24 @@ def test_sf1_scaling_fabricates_and_measures(spark):
         assert name in bench.HEADLINE, f"{name} probed but not a headline query"
     for name in bench.SF1_EXTRA_PROBES:
         assert name not in bench.HEADLINE  # probe-only, not a headline entry
+
+
+def test_compact_line_fits_driver_tail_window():
+    """The driver parses bench's LAST stdout line from a 2000-byte tail;
+    build_compact_line must stay under that against the committed full
+    artifact (and degrade by dropping per-query detail, never clipping)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_full_latest.json")
+    full = json.load(open(path))
+    line = bench.build_compact_line(full)
+    assert len(line) < 2000, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert "e2e_1m_ops_per_sec" in parsed and "sf1_exponent_max" in parsed
+    # degradation path: an absurdly wide queries dict still fits
+    wide = dict(full, queries={f"q{i:03d}_padpadpad": 1.234 for i in range(200)})
+    line2 = bench.build_compact_line(wide)
+    assert len(line2) < 2000
+    assert json.loads(line2)["queries"] == {"_see": "bench_full_latest.json"}
