@@ -1241,3 +1241,18 @@ def test_q44m_trig_is_pinned_literals(spark):
     plan = plan_of(spark, "q44m_circular_hour_stats")
     assert "COS(" not in plan.upper().replace("ATAN2", "")
     assert "SIN(" not in plan.upper().replace("ATAN2", "").replace("ASIN", "")
+
+
+def test_q94aq_powerlaw_pairwise_lives_on_degree_grid(spark):
+    """q94aq's Theil-Sen slope needs pairwise products — they must stay
+    on the bounded degree grid (every product/BNLJ side broadcast), and
+    the only fact-width work is the one edge pass into the degree agg."""
+    plan = plan_of(spark, "q94aq_powerlaw_tail")
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        # each BNLJ consumes a broadcast exchange (grid-bounded side)
+        assert "BroadcastExchange" in frag.rsplit("BroadcastNestedLoopJoin", 1)[-1] \
+            or "BroadcastExchange" in plan
+    # no fact-side sort-merge join: the heavy table never joins at width
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
