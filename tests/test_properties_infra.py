@@ -29,19 +29,22 @@ def test_nkey_seed_roundtrip_any_32_bytes(raw):
 
 
 @given(raw=seeds32, pos=st.integers(0, 57))
-def test_nkey_single_char_corruption_never_decodes_silently(raw, pos):
-    """Flipping any one Base32 character must raise (CRC16-CCITT has
-    guaranteed distance >= 2 for single-symbol corruption) — never
-    return different bytes as if valid."""
-    import pytest
-
+def test_nkey_single_char_corruption_never_decodes_different_bytes(raw, pos):
+    """Flipping one Base32 character either raises (CRC16-CCITT detects
+    any <=5-bit burst inside the payload) or decodes to the SAME seed —
+    the final symbol carries 2 padding bits the decoder drops, so a flip
+    confined to them is byte-identical and legitimately valid. What must
+    NEVER happen: different bytes accepted as a valid seed."""
     seed = nkey_encode_seed(raw)
     pos = min(pos, len(seed) - 1)
     alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
     repl = next(c for c in alphabet if c != seed[pos])
     corrupt = seed[:pos] + repl + seed[pos + 1 :]
-    with pytest.raises(ValueError):
-        nkey_decode_seed(corrupt)
+    try:
+        decoded = nkey_decode_seed(corrupt)
+    except ValueError:
+        return  # detected — the common case
+    assert decoded == raw  # padding-bit flip: same payload, same CRC region
 
 
 @given(
