@@ -92,10 +92,23 @@ def synthetic_ops(spark: SparkSession, n_ops: int):
 
 def run_load(spark: SparkSession, n_ops: int, n_batches: int = 4) -> dict:
     """Drive the full pipeline over the reference op mix; return the metric
-    row (shared by the CLI below and bench.py's cdc_e2e entry)."""
+    row (shared by the CLI below and bench.py's cdc_e2e entry). The
+    synthetic WAL + sink dirs are removed on the way out — at 1M ops the
+    source alone is ~200 MB, and per-bench leaks had accumulated ~1 GB
+    in /tmp (round-13 cleanup, same advisory class as the sf1 probe)."""
     src = tempfile.mkdtemp(prefix="bcs_e2e_src_")
     work = tempfile.mkdtemp(prefix="bcs_e2e_work_")
     shutil.rmtree(src, ignore_errors=True)
+    try:
+        return _run_load_at(spark, n_ops, n_batches, src, work)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _run_load_at(
+    spark: SparkSession, n_ops: int, n_batches: int, src: str, work: str
+) -> dict:
     # Range-partition on the ingest ordinal: the wal2json contract is an
     # ORDERED stream (a tx's data rows precede its commit marker), so each
     # micro-batch's files must hold contiguous ingest_seq ranges — a plain

@@ -63,10 +63,30 @@ def timed(label: str, action, unit: str = "docs"):
 
 
 def main() -> int:
+    """Thin wrapper: every mkdtemp the probe makes is rmtree'd on the way
+    out (the amplified corpus is hundreds of MB — same /tmp-leak advisory
+    class as bench.py's sf1 probe, fixed round 13)."""
+    import shutil
+
+    dirs: list[str] = []
+
+    def probe_tmpdir(prefix: str) -> str:
+        d = tempfile.mkdtemp(prefix=prefix)
+        dirs.append(d)
+        return d
+
+    try:
+        return _probe(probe_tmpdir)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _probe(probe_tmpdir) -> int:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     spark = get_spark("scale-probe", cpus=32)
     corpus = amplified_corpus(spark, n_copies)
-    path = tempfile.mkdtemp(prefix="bcs_scale_") + "/corpus"
+    path = probe_tmpdir("bcs_scale_") + "/corpus"
     corpus.repartition(32).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
     n = docs.count()
@@ -468,7 +488,7 @@ def main() -> int:
     # a batch whose keys span 2 buckets vs one spanning all 16 — the
     # executed scan must touch exactly |batch buckets| hive partitions.
     NB = 16
-    state_dir = tempfile.mkdtemp(prefix="bcs_probe_qm14_") + "/state_b"
+    state_dir = probe_tmpdir("bcs_probe_qm14_") + "/state_b"
     big_state = spark.range(200_000 * max(1, n_copies // 20)).select(
         F.col("id").alias("custkey"),
         F.concat(F.lit("seg"), F.pmod(F.col("id"), F.lit(5))).alias("seg"),

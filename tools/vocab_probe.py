@@ -84,21 +84,28 @@ def synth_corpus(spark: SparkSession, vocab: int):
 
 
 def run_once(spark: SparkSession, vocab: int) -> dict:
+    import shutil
+
     from better_cdc_spark.queries import load_all
 
     registry = load_all()
     sf_dir = tempfile.mkdtemp(prefix=f"bcs_vocab_{vocab}_")
-    synth_corpus(spark, vocab).coalesce(8).write.parquet(f"{sf_dir}/documents.parquet")
-    fn = registry["q96e_tfidf_cosine"].fn
+    try:
+        synth_corpus(spark, vocab).coalesce(8).write.parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+        fn = registry["q96e_tfidf_cosine"].fn
 
-    wall, pairs, sw = float("inf"), 0, 0
-    for _ in range(2):  # min-of-2: first run pays plan compilation
-        sw0 = shuffle_write_bytes(spark)
-        t0 = time.perf_counter()
-        pairs = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        if dt < wall:
-            wall, sw = dt, shuffle_write_bytes(spark) - sw0
+        wall, pairs, sw = float("inf"), 0, 0
+        for _ in range(2):  # min-of-2: first run pays plan compilation
+            sw0 = shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            pairs = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if dt < wall:
+                wall, sw = dt, shuffle_write_bytes(spark) - sw0
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
     n_docs = N_BASE * COPIES
     return {
         "vocab": vocab,
