@@ -575,10 +575,20 @@ def _run_sf1_scaling_at(spark, sf_dir: str, base_times: dict[str, float],
     probes += [(name, fn, None) for name, fn in SF1_EXTRA_PROBES.items()]
     out: dict[str, dict] = {}
     for name, fn, base_t in probes:
-        t0 = time.perf_counter()
-        rows_base = fn(spark, sf_dir).count()  # timed only for extras
-        if base_t is None:  # probe-only twin: no headline wall to reuse
-            base_t = round(time.perf_counter() - t0, 3)
+        rows_base = fn(spark, sf_dir).count()
+        if base_t is None:
+            # Probe-only twin: no headline wall to reuse. The run above
+            # was warmup (plan compilation); time min-of-2 warm runs so
+            # the twin's base matches the warm min-of-N convention of the
+            # registry headline walls its ratio divides by — a cold base
+            # would inflate base_t and deflate ratio/exponent in
+            # sf1_exponent_max's favor.
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows_base = fn(spark, sf_dir).count()
+                walls.append(time.perf_counter() - t0)
+            base_t = round(min(walls), 3)
         t0 = time.perf_counter()
         rows_sf1 = fn(spark, sf1_dir).count()
         wall = time.perf_counter() - t0
@@ -627,8 +637,12 @@ def build_compact_line(full: dict) -> str:
             default=None,
         ),
         "cdc_e2e_ops_per_sec": full["cdc_e2e"].get("value"),
-        "e2e_1m_ops_per_sec": full["e2e_scale_1m"]["value"],
-        "e2e_1m_peak_jvm_rss_mib": full["e2e_scale_1m"]["peak_jvm_rss_mib"],
+        # "pinned_r13" in the key: a one-time SOLO measurement re-emitted
+        # verbatim each round (see E2E_SCALE_1M), NOT a live per-run
+        # number — a later 1M-scale regression will not move it.
+        "e2e_1m_pinned_r13_ops_per_sec": full["e2e_scale_1m"]["value"],
+        "e2e_1m_pinned_r13_peak_jvm_rss_mib":
+            full["e2e_scale_1m"]["peak_jvm_rss_mib"],
         "streaming_events_per_sec": full["streaming"].get("value"),
         "txlog_replay_ms_per_epoch": full["replay_sink"].get(
             "txlog_replay_ms_per_epoch"

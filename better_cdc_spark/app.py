@@ -82,7 +82,15 @@ class EngineApp:
         try:
             if self.query is not None:
                 self.query.stop()
-                self.query.awaitTermination()
+                try:
+                    self.query.awaitTermination()
+                except Exception:
+                    # A stream that died with an error re-raises its
+                    # StreamingQueryException here; shutdown must not —
+                    # the failure already propagated from the run loop
+                    # (or is readable via query.exception()), and raising
+                    # out of stop() would mask it in --once mode.
+                    pass
         finally:
             self.health.stop()
             try:

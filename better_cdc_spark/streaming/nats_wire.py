@@ -417,6 +417,11 @@ class NatsWireTransport:
         try:
             self.sock.sendall(b"PING" + CRLF)
         except OSError:
+            # The PING never reached the wire: roll the sequence back so
+            # later pings don't wait on a pong the server was never asked
+            # for (which would time out even on a recovered socket).
+            with self._pong_cv:
+                self._pings_sent -= 1
             return False
         with self._pong_cv:
             return self._pong_cv.wait_for(

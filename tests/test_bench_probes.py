@@ -68,7 +68,8 @@ def test_compact_line_fits_driver_tail_window():
     assert len(line) < 2000, len(line)
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_wall"
-    assert "e2e_1m_ops_per_sec" in parsed and "sf1_exponent_max" in parsed
+    assert "e2e_1m_pinned_r13_ops_per_sec" in parsed
+    assert "sf1_exponent_max" in parsed
     # degradation path: an absurdly wide queries dict still fits
     wide = dict(full, queries={f"q{i:03d}_padpadpad": 1.234 for i in range(200)})
     line2 = bench.build_compact_line(wide)

@@ -128,3 +128,30 @@ def test_dlq_cover_validation():
     EngineConfig(stream_subjects=("cdc.>", "dlq.>")).validate()
     # policy != dlq → no DLQ covering requirement
     EngineConfig(failure_policy="crash", stream_subjects=("cdc.>",)).validate()
+
+
+def test_env_example_in_sync():
+    """`.env.example` documents EXACTLY the env vars the engine reads —
+    the set scraped from config.py's load() and session.py (verdict r13
+    item 3: the committed env reference must not rot as config grows)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    example = root / ".env.example"
+    assert example.exists(), ".env.example missing at repo root"
+    documented = set(
+        re.findall(r"(?m)^([A-Z][A-Z0-9_]*)=", example.read_text())
+    )
+
+    code_vars: set[str] = set()
+    for rel in ("better_cdc_spark/config.py", "better_cdc_spark/session.py"):
+        src = (root / rel).read_text()
+        # load()'s get("NAME", default) and os.environ.get("NAME", ...)
+        code_vars |= set(re.findall(r'\bget\(\s*"([A-Z][A-Z0-9_]*)"', src))
+
+    assert code_vars, "env-var scrape found nothing — pattern rotted?"
+    missing = code_vars - documented
+    stale = documented - code_vars
+    assert not missing, f".env.example missing vars read by code: {sorted(missing)}"
+    assert not stale, f".env.example documents vars no code reads: {sorted(stale)}"
