@@ -13,7 +13,7 @@ SF_SMOKE ?= /root/testdata/sf0.001
 SF_ORACLE ?= /root/testdata/sf0.01
 export PYTHONPATH := $(CURDIR)
 
-.PHONY: lint entry-smoke test-smoke test check-prefix check-full bench-smoke bench ci-smoke ci-full
+.PHONY: lint entry-smoke pkg-smoke test-smoke test check-prefix check-full bench-smoke bench ci-smoke ci-full
 
 ## lint: ruff when installed (CI installs it); stdlib syntax gate otherwise
 lint:
@@ -32,6 +32,11 @@ entry-smoke:
 	qs, osql = e.queries(), e.oracle_sql(); \
 	assert set(osql) <= set(qs); \
 	print('entry ok:', len(qs), 'queries,', len(osql), 'oracles')"
+
+## pkg-smoke: fresh-venv `pip install .` + installed console script drains
+## a synthetic corpus (reference build.yml parity; ~3 min)
+pkg-smoke:
+	$(PYTHON) tools/pkg_smoke.py
 
 ## test-smoke: fast non-Spark-heavy suite slice (~1-2 min)
 test-smoke:
