@@ -76,60 +76,61 @@ def query(
 # NOTE: a prefix-sampled check never covers the tail — run the full
 # sweep for complete coverage.
 SHOWCASE_ORDER = (
-    # never driver-verified (3) — gate head
-    "q94aq_powerlaw_tail",
-    "qm25_streaming_ks_drift",
-    "qm26_streaming_confusion_monitor",
-    # changed since last driver-green row (rotation.py source-hash
-    # detector)
-    "q50_global_sort",
-    "q29b_skew_advisor",
-    "q53c_pareto_report",
-    "q36q_ks_two_sample",
-    "q53d_gini_coefficient",
-    "qc20_incremental_snapshot",
-    "q95d_sequence_packing",
-    "q95o_dsir_resample",
-    "q97j_mmr_rerank",
-    "q96e_tfidf_cosine",
-    # pads: oldest driver rows first
-    "q26_theta_join",
-    "q28_interval_join",
-    "q31_distinct_agg",
-    "q32_approx_count_distinct",
-    "q33b_cube",
-    "q33c_grouping_sets",
-    "q35_collect_aggs",
-    "q36_stat_aggs",
-    "q36b_argminmax",
-    "q77b_fuzzy_blocked_match",
-    "q38_unpivot",
-    "q40b_distribution_windows",
-    "q41_lag_lead",
-    "q51_limit",
-    "q60_union",
-    "q01_parquet_scan",
-    "q02_csv_scan",
-    "q03_json_scan",
-    "q05_partitioned_sink",
-    "q11_predicate_filter",
-    "q20_inner_join",
-    "q21_left_outer_join",
-    "q22_semi_join",
-    "q25_broadcast_join",
-    "q25b_bucketed_join",
-    "q27_asof_join",
-    "q28b_interval_bucket_join",
-    "q29_skew_salted_join",
-    "q30_grouped_agg_tpch_q1",
-    "q33_rollup",
-    "q34_having",
-    "q37_pivot",
-    "qm01_merge_into",
-    "q40_ranking_windows",
-    "q42_frame_agg",
-    "q44_sessionize",
-    "q45_gapfill",
+    # r14 gate: changed-unconfirmed leads (the staged q95p hashed-gram
+    # candidate stage, r13 verdict item 4)
+    "q95p_dup_span_extract",
+    # re-verification pads: the 49 oldest driver-green rows (r3-r4 era —
+    # r13 verdict item 6: with the backlog at zero, the gate's value is
+    # re-verification age; tools/rotation.py --prefix 50 order)
+    "q52_topk_per_group",
+    "q63_exists_subquery",
+    "q76_hash_functions",
+    "q42b_time_range_frame",
+    "q36c_exact_median",
+    "q75b_variant_semistructured",
+    "q21c_right_outer_join",
+    "q05d_jsonl_sink",
+    "q46_cohort_retention",
+    "q47_funnel",
+    "q45c_linear_interpolate",
+    "qh03_shipping_priority",
+    "qh05_local_supplier_volume",
+    "qh17_small_qty_revenue",
+    "qh19_discounted_revenue",
+    "qh21_waiting_supplier",
+    "qc01_cdc_normalize",
+    "q43_seq_in_tx",
+    "qc07_snapshot_at",
+    "qc09_python_datasource",
+    "q95_exact_dedup",
+    "q97_cosine_topk",
+    "q96_embedding_neardup",
+    "q95e_chunk_dedup",
+    "q94c_training_export",
+    "q81_tumbling_window",
+    "q87_foreachbatch_idempotent_sink",
+    "q27b_asof_forward_tolerance",
+    "q67_recursive_cte",
+    "q44c_ohlc_downsample",
+    "q42c_rolling_median",
+    "q68_lateral_topk",
+    "q36i_mode_agg",
+    "q46b_rolling_active_users",
+    "q42d_ewma",
+    "q46c_rolling_wau_hll",
+    "q36j_welch_t_test",
+    "q53_ratio_to_report",
+    "q33e_group_by_all",
+    "q27c_asof_nearest",
+    "qc10_pgoutput_decode",
+    "qc13_snapshot_handoff",
+    "qc14_streaming_scd2",
+    "qc15_toast_fill",
+    "qc17_dlq_replay",
+    "qc18_data_quality_audit",
+    "q96d_semdedup",
+    "q96f_edit_distance_dedup",
+    "q94g_triangle_count",
 )
 
 def load_all() -> dict[str, QuerySpec]:

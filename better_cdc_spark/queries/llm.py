@@ -4790,12 +4790,20 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     own document; both sides then surface one merged span covering the
     excerpt.
 
-    Scale shape: gram duplication is ONE content-key groupBy (the exact
-    chunk-dedup shuffle of q95e — at 100 TB the key becomes xxhash64(g)
-    to shrink shuffle rows); hit positions re-use the per-doc
-    partitioning for the island windows, so span merging adds NO new
-    exchange after the dup-gram join; interval-merge state is one
-    running MAX — O(1) per row. All-integer output, nothing to flake.
+    Scale shape (r14, the form the r13 docstring promised at 100 TB):
+    candidate detection shuffles xxhash64 LONGS computed straight off the
+    8-word tuple (the gram string is never even allocated in the hot
+    mapper) — the widest stage (every stride-1 gram of the corpus, twice:
+    dup-count groupBy + hit join) carries 8-byte keys instead of ~50-byte
+    8-word strings. Gram
+    STRINGS are then re-derived narrowly at candidate positions only and
+    re-verified exactly (countDistinct docs >= 2 on the string itself),
+    so a hash collision can produce only a discarded candidate, never a
+    wrong span — output stays byte-identical to the all-string plan and
+    the string-exact oracle pins it. String shuffle volume drops from
+    O(all grams) to O(duplicate-candidate grams); hit positions re-use
+    the per-doc partitioning for the island windows; interval-merge
+    state is one running MAX — O(1) per row. All-integer output.
     """
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4806,24 +4814,63 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(extract)
     wdf = corpus.select("doc_id", wexpr.alias("words"))
-    gram_arr = F.when(
+    # candidate stage: hash the 8-WORD TUPLE in the mapper — neither the
+    # gram string (never allocated here; ~20% of the old mapper CPU) nor
+    # any string key enters the two corpus-wide shuffles. Words contain
+    # no spaces (split on " "), so string-equal grams are tuple-equal and
+    # therefore hash-equal: no true duplicate can be missed; a hash
+    # collision only adds a candidate the exact verify below discards.
+    def _gh_at(i):
+        return F.xxhash64(*[F.element_at("words", i + k) for k in range(8)])
+
+    gh_arr = F.when(
         F.size("words") >= 8,
-        F.transform(
-            F.sequence(F.lit(1), F.size("words") - 7),
-            lambda i: F.concat_ws(" ", F.slice("words", i, 8)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = wdf.select("doc_id", F.posexplode(gram_arr).alias("pos0", "g")).select(
-        "doc_id", (F.col("pos0") + 1).alias("i"), "g"
-    )
-    dupg = (
-        grams.groupBy("g")
+        F.transform(F.sequence(F.lit(1), F.size("words") - 7), _gh_at),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams_h = wdf.select(
+        "doc_id", F.posexplode(gh_arr).alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
+    dup_gh = (
+        grams_h.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("gh")
     )
-    hits = grams.join(dupg, "g").select(
-        "doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e")
+    cand = grams_h.join(dup_gh, "gh").select("doc_id", "i")
+    # exact-verify stage: rebuild the gram string ONLY at candidate
+    # positions (doc_id-keyed join back to the narrow words derivation)
+    # and re-check document support on the exact string, eliminating
+    # hash-collision false candidates
+    cand_pos = cand.groupBy("doc_id").agg(F.collect_list("i").alias("poss"))
+    cand_grams = (
+        wdf.join(cand_pos, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "poss",
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(" ", F.slice("words", i, 8)).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.i").alias("i"), F.col("pg.g").alias("g"))
+    )
+    hits = (
+        cand_grams.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.collect_list(F.struct("doc_id", "i")).alias("poss"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select(F.explode("poss").alias("p"))
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.i").alias("s"),
+            (F.col("p.i") + 7).alias("e"),
+        )
     )
     prev_max_e = F.max("e").over(
         W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)

@@ -358,20 +358,25 @@ def test_q44c_ohlc_is_single_agg_no_window(spark):
 
 
 def test_q95p_span_windows_share_one_doc_exchange(spark):
-    """Span merging (two island windows + two per-doc aggregates) must
-    reuse ONE doc_id partitioning after the dup-gram join — the
-    gaps-and-islands stages add no exchanges of their own."""
+    """r14 shape: corpus-wide shuffles carry xxhash64 LONGS (gh), gram
+    strings shuffle only in the candidate-verify stage, and span merging
+    (two island windows + two per-doc aggregates) reuses ONE doc_id
+    partitioning — the gaps-and-islands stages add no exchanges of their
+    own. Exactly TWO doc_id exchanges total: the candidate-position
+    join-back (verify stage) and the shared island/span partitioning."""
     import re
 
     plan = plan_of(spark, "q95p_dup_span_extract")
     assert "CartesianProduct" not in plan
-    # ONE single-key doc_id exchange serves both island windows AND both
-    # grouped aggs (hashpartitioning(doc_id) satisfies
-    # ClusteredDistribution(doc_id, isl)); a second doc_id-family
-    # exchange means a stage stopped reusing the partitioning
     doc_exchanges = re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\)", plan)
-    assert len(doc_exchanges) == 1, f"expected 1 doc_id exchange: {doc_exchanges}"
+    assert len(doc_exchanges) == 2, f"expected 2 doc_id exchanges: {doc_exchanges}"
+    # islands/span aggs share hashpartitioning(doc_id) — never (doc_id, isl)
     assert not re.search(r"hashpartitioning\(doc_id#\d+L?, isl", plan)
+    # the candidate stage really is hashed: a gh long-key exchange exists,
+    # and the string-key (g) exchanges appear only downstream of the
+    # candidate filter (the verify stage), never for the full gram table
+    assert re.search(r"Exchange hashpartitioning\(gh#\d+L", plan)
+    assert re.search(r"Exchange hashpartitioning\(g#\d+,", plan)
 
 
 def test_q97h_bm25_query_side_broadcasts_corpus_never_bnlj(spark):
