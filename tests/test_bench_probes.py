@@ -75,3 +75,27 @@ def test_compact_line_fits_driver_tail_window():
     line2 = bench.build_compact_line(wide)
     assert len(line2) < 2000
     assert json.loads(line2)["queries"] == {"_see": "bench_full_latest.json"}
+
+
+def test_r14_anchor_matches_committed_provenance():
+    """bench.R14_ANCHOR is the pinned copy of ANCHORS_R14.json (the
+    committed measurement artifact with full provenance); the two must
+    never drift, and the anchored set must be exactly the r1+r4
+    reference-tracked queries so no headline query silently loses its
+    honest current-profile reading."""
+    import json
+    from pathlib import Path
+
+    doc = json.loads(
+        (Path(bench.__file__).resolve().parent / "ANCHORS_R14.json").read_text()
+    )
+    assert doc["_provenance"]["measured_round"] == 14
+    assert doc["_provenance"]["solo"] is True
+    committed = {n: a["anchor_sec"] for n, a in doc["anchors"].items()}
+    assert committed == bench.R14_ANCHOR
+    assert set(bench.R14_ANCHOR) == set(bench.R1_BASELINE) | set(bench.R4_REFERENCE)
+    # each anchor is the median of its three committed rep-mins
+    for n, a in doc["anchors"].items():
+        import statistics
+
+        assert a["anchor_sec"] == round(statistics.median(a["rep_mins"]), 3), n
