@@ -478,6 +478,33 @@ SF1_EXTRA_PROBES = {
 # fixed startup amortizes) its throughput at a bigger run. Peak RSS
 # sampled at 1 Hz over the whole run (JVM = Spark local[32] driver).
 # Reproduce: PYTHONPATH=. python tools/e2e_load.py 1000000 4
+# Companion pinned measurement (r13 verdict item 5): the SAME 1M-op corpus
+# through the COMMITTED entrypoint — `python -m better_cdc_spark SRC
+# --once` in its own process, streaming listener + health surface attached
+# (tools/app_load.py; knobs passed as env vars through EngineConfig the
+# way an operator would). Drain wall is the app's own logged
+# processAllAvailable segment, the same segment the rig times. Result:
+# the composed service holds the rig's throughput — 47.3k vs 46.9k ops/s,
+# +0.7%. Peak JVM RSS reads higher than the rig's run (14.5 vs 8.2 GiB)
+# purely as GC high-water timing in the same 32g heap, not a leak: the
+# sink holds exactly 1M events and the python driver stays at 139 MiB.
+# Reproduce: PYTHONPATH=. python tools/app_load.py 1000000 4  (SOLO)
+APP_SCALE_1M = {
+    "metric": "cdc_app_ops_per_sec",
+    "value": 47259.0,
+    "unit": "ops/sec",
+    "n_ops": 1_000_000,
+    "n_batches": 4,
+    "wall_sec": 21.16,
+    "process_wall_sec": 30.82,
+    "sink_events": 1_000_000,
+    "peak_jvm_rss_mib": 14456,
+    "peak_python_rss_mib": 139,
+    "vs_rig_ratio": 1.007,  # 47259.0 / 46932.6 (E2E_SCALE_1M)
+    "measured_round": 14,
+    "solo": True,
+}
+
 E2E_SCALE_1M = {
     "metric": "cdc_e2e_ops_per_sec",
     "value": 46932.6,
@@ -691,6 +718,11 @@ def build_compact_line(full: dict) -> str:
         "e2e_1m_pinned_r13_ops_per_sec": full["e2e_scale_1m"]["value"],
         "e2e_1m_pinned_r13_peak_jvm_rss_mib":
             full["e2e_scale_1m"]["peak_jvm_rss_mib"],
+        # the composed entrypoint at the same 1M scale (tools/app_load.py)
+        "app_1m_pinned_r14_ops_per_sec":
+            full.get("app_scale_1m", {}).get("value"),
+        "app_1m_pinned_r14_vs_rig":
+            full.get("app_scale_1m", {}).get("vs_rig_ratio"),
         "streaming_events_per_sec": full["streaming"].get("value"),
         "txlog_replay_ms_per_epoch": full["replay_sink"].get(
             "txlog_replay_ms_per_epoch"
@@ -911,6 +943,7 @@ def main() -> None:
         "probe_shift": probe_shift,
         "sf1_scaling": sf1_scaling,
         "e2e_scale_1m": E2E_SCALE_1M,
+        "app_scale_1m": APP_SCALE_1M,
         "envelope_ok": envelope_ok,
     }
     # Full diagnostics go to a file + an early stdout line; the FINAL stdout

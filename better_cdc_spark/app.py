@@ -30,6 +30,7 @@ import signal
 import sys
 import tempfile
 import threading
+import time
 
 from better_cdc_spark import config as config_mod
 from better_cdc_spark.health import HealthServer, stream_readiness
@@ -146,9 +147,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.once:
         try:
+            t0 = time.perf_counter()
             app.process_available()
+            drain_s = time.perf_counter() - t0
             n = app.pipeline.sink().count()
-            log.info("drained source; sink holds %d events", n)
+            # drain_sec covers processAllAvailable only (the comparable to
+            # tools/e2e_load.py's run_available wall); tools/app_load.py
+            # parses this line for the app-mode ops/sec benchmark
+            log.info("drained source in %.2fs; sink holds %d events",
+                     drain_s, n)
         finally:
             app.stop()
         return 0
