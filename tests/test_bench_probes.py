@@ -69,6 +69,11 @@ def test_compact_line_fits_driver_tail_window():
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_wall"
     assert "e2e_1m_pinned_r13_ops_per_sec" in parsed
+    # app-mode 1M pin (tools/app_load.py): must ride along with the rig pin
+    # and carry its vs-rig ratio so the compact line proves the composed
+    # entrypoint holds rig throughput
+    assert parsed["app_1m_pinned_r14_ops_per_sec"] == bench.APP_SCALE_1M["value"]
+    assert parsed["app_1m_pinned_r14_vs_rig"] == bench.APP_SCALE_1M["vs_rig_ratio"]
     assert "sf1_exponent_max" in parsed
     # degradation path: an absurdly wide queries dict still fits
     wide = dict(full, queries={f"q{i:03d}_padpadpad": 1.234 for i in range(200)})
