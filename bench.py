@@ -695,8 +695,10 @@ def build_compact_line(full: dict) -> str:
         "probe_shift_cpu": full["probe_shift"].get("cpu"),
         "vs_class_norm_max": max(full["vs_class_norm"].values(), default=None),
         # honest current-profile drift reading (R14_ANCHOR provenance);
-        # .get(): pre-r14 artifacts (the committed test fixture) lack it
-        "anchor_round": 14,
+        # .get(): pre-r14 artifacts (the committed test fixture) lack it —
+        # and then anchor_round must be None too, not a claim that r14
+        # anchoring ran on a dict that carries no anchor readings
+        "anchor_round": 14 if full.get("vs_anchor_r14") else None,
         "vs_anchor_max": max(
             full.get("vs_anchor_r14", {}).values(), default=None
         ),

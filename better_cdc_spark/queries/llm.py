@@ -4795,8 +4795,8 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-word tuple (the gram string is never even allocated in the hot
     mapper) — the widest stage (every stride-1 gram of the corpus, twice:
     dup-count groupBy + hit join) carries 8-byte keys instead of ~50-byte
-    8-word strings. Gram
-    STRINGS are then re-derived narrowly at candidate positions only and
+    8-word strings. Gram strings
+    are then re-derived narrowly at candidate positions only and
     re-verified exactly (countDistinct docs >= 2 on the string itself),
     so a hash collision can produce only a discarded candidate, never a
     wrong span — output stays byte-identical to the all-string plan and
@@ -4858,19 +4858,18 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("pg.i").alias("i"), F.col("pg.g").alias("g"))
     )
-    hits = (
+    # verified dup grams stream back as a JOIN (the pre-hash plan's shape):
+    # a boilerplate gram shared by millions of docs must never become one
+    # collect_list buffer on a single executor — countDistinct partials
+    # merge map-side and the join carries only candidate-sized traffic
+    dup_g = (
         cand_grams.groupBy("g")
-        .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.collect_list(F.struct("doc_id", "i")).alias("poss"),
-        )
+        .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select(F.explode("poss").alias("p"))
-        .select(
-            F.col("p.doc_id").alias("doc_id"),
-            F.col("p.i").alias("s"),
-            (F.col("p.i") + 7).alias("e"),
-        )
+        .select("g")
+    )
+    hits = cand_grams.join(dup_g, "g").select(
+        "doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e")
     )
     prev_max_e = F.max("e").over(
         W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)

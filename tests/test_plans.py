@@ -362,14 +362,26 @@ def test_q95p_span_windows_share_one_doc_exchange(spark):
     strings shuffle only in the candidate-verify stage, and span merging
     (two island windows + two per-doc aggregates) reuses ONE doc_id
     partitioning — the gaps-and-islands stages add no exchanges of their
-    own. Exactly TWO doc_id exchanges total: the candidate-position
-    join-back (verify stage) and the shared island/span partitioning."""
+    own. Exactly THREE doc_id exchanges total: the island/span
+    partitioning plus the candidate-position join-back computed once per
+    verify consumer (the exact dup-count groupBy AND the hits join — the
+    same two-consumer flow the pre-hash full-corpus form had, kept as a
+    streaming join rather than a single collect_list aggregation whose
+    per-gram buffer is unbounded on a boilerplate gram). All three are
+    candidate-sized or per-doc; the corpus-wide exchanges stay gh-keyed."""
     import re
 
     plan = plan_of(spark, "q95p_dup_span_extract")
     assert "CartesianProduct" not in plan
+    # the hot-key-robustness pin itself: the verify stage must never
+    # funnel per-GRAM occurrence lists into one aggregation buffer (a
+    # boilerplate gram shared by millions of docs = one unbounded row).
+    # The per-DOC collect_list (cand_pos) is fine — bounded by doc length.
+    assert not re.search(
+        r"keys=\[g#\d+[^\]]*\], functions=\[[^\]]*collect_list", plan
+    ), "per-gram collect_list buffer reintroduced"
     doc_exchanges = re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\)", plan)
-    assert len(doc_exchanges) == 2, f"expected 2 doc_id exchanges: {doc_exchanges}"
+    assert len(doc_exchanges) == 3, f"expected 3 doc_id exchanges: {doc_exchanges}"
     # islands/span aggs share hashpartitioning(doc_id) — never (doc_id, isl)
     assert not re.search(r"hashpartitioning\(doc_id#\d+L?, isl", plan)
     # the candidate stage really is hashed: a gh long-key exchange exists,

@@ -122,6 +122,13 @@ def main() -> int:
         sampler.start()
         try:
             out, _ = proc.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            # kill the app (and its JVM) BEFORE the tmp cleanup below —
+            # otherwise rmtree deletes src/work under a live stream and
+            # an orphaned 32g-heap JVM keeps squatting on the bench host
+            proc.kill()
+            proc.communicate()
+            raise
         finally:
             stop.set()
             sampler.join(timeout=3)

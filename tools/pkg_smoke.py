@@ -40,7 +40,7 @@ def _ensure_wheel(venv_py: str) -> None:
     subprocess.run(
         [venv_py, "-m", "pip", "install", "-q", "--no-index",
          str(candidates[-1])],
-        check=True,
+        check=True, timeout=120,
     )
 
 
@@ -50,17 +50,20 @@ def main() -> int:
         venv = tmp / "venv"
         # --system-site-packages: pyspark/pyarrow come from the host env
         # (no network in the sandbox); the PACKAGE still installs fresh.
+        # every subprocess is bounded: this runs as a CI rung (make
+        # pkg-smoke), and an unbounded pip/venv/Spark hang would burn the
+        # whole runner allotment with no diagnostic
         subprocess.run(
             [sys.executable, "-m", "venv", "--system-site-packages",
              str(venv)],
-            check=True,
+            check=True, timeout=120,
         )
         venv_py = str(venv / "bin" / "python")
         _ensure_wheel(venv_py)
         subprocess.run(
             [venv_py, "-m", "pip", "install", "-q", "--no-build-isolation",
              "--no-index", str(REPO)],
-            check=True,
+            check=True, timeout=300,
         )
 
         src = tmp / "src"
@@ -77,6 +80,7 @@ def main() -> int:
              "stamp_ordered_mtimes(sys.argv[2])\n",
              str(REPO), str(src), str(N_OPS)],
             env={**os.environ, "PYTHONPATH": str(REPO)},
+            timeout=600,
         )
         if gen.returncode != 0:
             return gen.returncode

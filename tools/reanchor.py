@@ -30,32 +30,15 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-# The anchor-tracked set: every headline query with an r1 baseline or r4
-# first-appearance reference (bench.py R1_BASELINE + R4_REFERENCE keys).
-ANCHORED = [
-    "q30_grouped_agg_tpch_q1",
-    "q20_inner_join",
-    "q25_broadcast_join",
-    "q27_asof_join",
-    "q40_ranking_windows",
-    "q52_topk_per_group",
-    "q34_having",
-    "q36_stat_aggs",
-    "qc01_cdc_normalize",
-    "q95_exact_dedup",
-    "q96_minhash_lsh",
-    "q97_cosine_topk",
-    "q98_text_stats",
-    "q94_curation_pipeline",
-    "qh05_local_supplier_volume",
-    "qh08_market_share",
-    "qh21_waiting_supplier",
-    "q94d_curation_pipeline_lsh",
-    "q96d_semdedup",
-    "q96e_tfidf_cosine",
-    "q97h_bm25_topk",
-    "q95p_dup_span_extract",
-]
+# The anchor-tracked set, derived from bench.py's reference dicts (NOT a
+# hand-copy): a future round that adds a headline query to R1_BASELINE /
+# R4_REFERENCE is automatically measured on the next reanchor run, and
+# test_r14_anchor_matches_committed_provenance keeps the committed JSON
+# honest against the same source of truth.
+sys.path.insert(0, str(REPO))
+import bench  # noqa: E402
+
+ANCHORED = sorted(set(bench.R1_BASELINE) | set(bench.R4_REFERENCE))
 
 _REP_SNIPPET = r"""
 import json, sys, time
