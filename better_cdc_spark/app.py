@@ -168,15 +168,21 @@ def main(argv: list[str] | None = None) -> int:
 
     signal.signal(signal.SIGINT, _on_signal)
     signal.signal(signal.SIGTERM, _on_signal)
+    clean = False
     try:
         while not stop_evt.wait(1.0):
             if not app.query.isActive:
                 exc = app.query.exception()
                 log.error("stream terminated: %s", exc)
                 return 1
+        clean = True
     finally:
         app.stop()
-        log.info("clean shutdown")
+        # only the signal-initiated path is a clean shutdown — logging it
+        # on the stream-failure return would contradict the exit code and
+        # mask the failure from log-based monitoring
+        if clean:
+            log.info("clean shutdown")
     return 0
 
 

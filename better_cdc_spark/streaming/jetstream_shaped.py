@@ -37,6 +37,7 @@ from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from better_cdc_spark.cdc.serialize import marshal_cdc_event
 from better_cdc_spark.config import subject_filters_cover
@@ -201,13 +202,20 @@ class JetStreamShapedSink:
         buckets = [
             r[0] for r in records.select("commit_bucket").distinct().collect()
         ]
+        # ONLY a missing store reads as empty (first publish); any other
+        # failure re-raises — substituting an empty frame on a transient
+        # FS error or corrupt footer would silently disable msg-id dedup
+        # and re-store every replayed message (the same invisible-data-
+        # hazard contract as CDCStreamPipeline._read_or_empty).
         try:
             existing = (
                 self.spark.read.parquet(self.msgs_dir)
                 .filter(F.col("commit_bucket").isin(buckets))
                 .select("msg_id")
             )
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             existing = records.select("msg_id").limit(0)
         fresh = records.join(existing, "msg_id", "left_anti").localCheckpoint(
             eager=True

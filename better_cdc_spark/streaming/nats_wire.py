@@ -89,8 +89,10 @@ INBOX_SID = "1"
 def _valid_subject(subject: str) -> bool:
     """NATS subject grammar (publish side): dot-separated non-empty
     tokens, no whitespace; `*`/`>` are subscribe-side wildcards and are
-    invalid in a published subject."""
-    if not subject or " " in subject or "\t" in subject:
+    invalid in a published subject. ALL whitespace is rejected (as real
+    clients do) — CR/LF in particular would be spliced verbatim into the
+    HPUB control line, a protocol frame injection."""
+    if not subject or any(c.isspace() for c in subject):
         return False
     toks = subject.split(".")
     return all(t and t not in ("*", ">") for t in toks)
@@ -352,6 +354,12 @@ class NatsWireTransport:
             f"SUB {self._inbox_prefix}.* {INBOX_SID}".encode() + CRLF
         )
         self._lock = threading.Lock()
+        # Socket WRITE lock: sendall is not atomic across threads (it loops
+        # over partial sends), and the reader thread answers server PINGs
+        # on the same socket the driver thread batch-publishes on — an
+        # unlocked PONG could splice itself mid-HPUB-frame and desync the
+        # length-prefixed protocol stream.
+        self._wr_lock = threading.Lock()
         self._outstanding: dict[str, PendingAck] = {}
         self._req_seq = 0
         self._closing = False
@@ -401,7 +409,8 @@ class NatsWireTransport:
                 + hdr + item.payload + CRLF
             )
         if out:
-            self.sock.sendall(bytes(out))
+            with self._wr_lock:
+                self.sock.sendall(bytes(out))
         return pending
 
     def ping(self, timeout_s: float = 2.0) -> bool:
@@ -415,7 +424,8 @@ class NatsWireTransport:
             self._pings_sent += 1
             want = self._pings_sent
         try:
-            self.sock.sendall(b"PING" + CRLF)
+            with self._wr_lock:
+                self.sock.sendall(b"PING" + CRLF)
         except OSError:
             # The PING never reached the wire: roll the sequence back so
             # later pings don't wait on a pong the server was never asked
@@ -437,7 +447,8 @@ class NatsWireTransport:
                 if line is None:
                     return
                 if line == b"PING":
-                    self.sock.sendall(b"PONG" + CRLF)
+                    with self._wr_lock:
+                        self.sock.sendall(b"PONG" + CRLF)
                     continue
                 if line == b"PONG":
                     with self._pong_cv:  # answer to a client-initiated ping
@@ -484,6 +495,19 @@ class NatsWireTransport:
                 for p in doomed:
                     p.err = err
                     p.resolved = True
+
+    def forget(self, pending) -> None:
+        """Drop outstanding registrations for acks the engine abandoned
+        (publish timeout → republish under a NEW reply token). A broker
+        that lost the ack will never answer the old token; without this
+        the registry grows without bound on a long-lived connection with
+        occasional ack loss."""
+        doomed = {id(p) for p in pending}
+        with self._lock:
+            for k in [
+                k for k, v in self._outstanding.items() if id(v) in doomed
+            ]:
+                del self._outstanding[k]
 
     def _on_pub_ack(self, inbox_subject: str, body: bytes) -> None:
         with self._lock:
@@ -565,7 +589,14 @@ class ReconnectingNatsTransport:
         # reconnect_time_wait): consecutive failovers double the wait up
         # to the cap; a successful publish resets it
         self._backoff_s = reconnect_wait_s
+        #: lifetime telemetry (how many failovers this transport ever did)
         self.reconnect_count = 0
+        #: the BUDGET counter: consecutive failovers within one outage
+        #: streak, reset by the first clean batch — like nats-py's
+        #: max_reconnect_attempts, which bounds attempts per outage, a
+        #: long-lived stream must not hard-fail on its (N+1)th transient
+        #: broker restart spread over weeks
+        self._consecutive_reconnects = 0
         self._t = self._connect_any()
 
     # -- dialing -----------------------------------------------------------
@@ -595,10 +626,11 @@ class ReconnectingNatsTransport:
                 self._pool.append(entry)
 
     def _fail_over(self) -> None:
-        if self.reconnect_count >= self.max_reconnects:
+        if self._consecutive_reconnects >= self.max_reconnects:
             raise PublishError(
                 f"NATS reconnect budget exhausted ({self.max_reconnects})"
             )
+        self._consecutive_reconnects += 1
         self.reconnect_count += 1
         try:
             self._t.close()
@@ -632,15 +664,20 @@ class ReconnectingNatsTransport:
         try:
             acks = self._t.publish_batch_async(items)
             # a clean call (no failover needed) proves the connection
-            # healthy: reset the backoff ladder. The republish right
-            # after a failover deliberately does NOT reset — a flapping
-            # pool keeps doubling (w, 2w, 4w, ... max_reconnect_wait_s)
-            # until a batch goes through without a reconnect.
+            # healthy: reset the backoff ladder AND the outage-streak
+            # budget. The republish right after a failover deliberately
+            # does NOT reset — a flapping pool keeps doubling (w, 2w,
+            # 4w, ... max_reconnect_wait_s) and burning budget until a
+            # batch goes through without a reconnect.
             self._backoff_s = self.reconnect_wait_s
+            self._consecutive_reconnects = 0
             return acks
         except (OSError, ConnectionError):
             self._fail_over()
             return self._t.publish_batch_async(items)
+
+    def forget(self, pending) -> None:
+        self._t.forget(pending)
 
     def close(self) -> None:
         self._t.close()

@@ -154,8 +154,18 @@ class CDCStreamPipeline:
         out.sort()
         return out
 
-    def _read_pending(self, like: DataFrame) -> DataFrame:
-        epochs = self._pending_epoch_dirs()
+    def _read_pending(self, like: DataFrame, epoch_id: int) -> DataFrame:
+        """Latest complete snapshot STRICTLY OLDER than this epoch.
+
+        Never epochs[-1] unconditionally: if this epoch already ran once
+        and crashed after its own _write_pending but before the streaming
+        checkpoint committed, its snapshot (epoch=epoch_id) is on disk —
+        reading it would feed the replay its own OUTPUT, dropping the
+        carried-over rows of transactions that committed in this very
+        batch. Their re-run seq_in_tx window would then re-number from 0
+        and mint DIFFERENT event_ids, defeating the sink dedup.
+        """
+        epochs = [e for e in self._pending_epoch_dirs() if e[0] < epoch_id]
         if not epochs:
             return like.limit(0)
         return self.spark.read.schema(like.schema).parquet(epochs[-1][1])
@@ -169,6 +179,13 @@ class CDCStreamPipeline:
         deterministic (file source + checkpoint) and the carry-over dedup
         makes the recomputed content identical, so rewriting would only
         reopen the delete-then-write crash window.
+
+        Pruning lags ONE epoch (delete < epoch_id - 1, not < epoch_id):
+        snapshot N-1 is the INPUT a replay of epoch N reads, and epoch N
+        can replay until its streaming checkpoint commits — which is only
+        guaranteed once epoch N+1 is running. Deleting N-1 here would make
+        the crash-between-pending-write-and-commit replay read snapshot N
+        instead (see _read_pending).
         """
         sc = self.spark.sparkContext
         jvm = sc._jvm
@@ -178,7 +195,7 @@ class CDCStreamPipeline:
         if not fs.exists(Path(target, "_SUCCESS")):
             df.write.mode("overwrite").parquet(target)
         for epoch, path in self._pending_epoch_dirs():
-            if epoch < epoch_id:
+            if epoch < epoch_id - 1:
                 fs.delete(Path(path), True)
 
     # -- the batch processor --------------------------------------------
@@ -220,7 +237,7 @@ class CDCStreamPipeline:
         # double-counted and row_number would mint DIFFERENT event_ids for
         # them, defeating the sink's event_id dedup. Also hardens against
         # at-least-once source replays.
-        pending = self._read_pending(batch_df)
+        pending = self._read_pending(batch_df, epoch_id)
         work = (
             batch_df.unionByName(pending)
             .dropDuplicates(["ingest_seq"])
@@ -268,8 +285,16 @@ class CDCStreamPipeline:
             self._read_sink_raw(envelope)
             .filter(F.col("commit_bucket").isin(buckets))
             # row-group skip inside the day partitions: parquet min/max
-            # stats on timestamp bound the read to the batch's span
-            .filter(F.col("timestamp").between(span["ts_lo"], span["ts_hi"]))
+            # stats on timestamp bound the read to the batch's span.
+            # isNull keeps bucket -1 rows in scope: BETWEEN on a NULL
+            # timestamp is NULL, which would silently drop the earlier
+            # copy of a null-ts event from the dedup scan (and, for an
+            # all-null batch where lo/hi are themselves None, disable
+            # dedup for the whole batch)
+            .filter(
+                F.col("timestamp").between(span["ts_lo"], span["ts_hi"])
+                | F.col("timestamp").isNull()
+            )
             .select("event_id")
             if buckets
             else envelope.select("event_id").limit(0)
@@ -329,5 +354,10 @@ class CDCStreamPipeline:
         return self._read_or_empty(self.sink_dir, empty).drop("commit_bucket")
 
     def pending(self) -> DataFrame:
-        """Current in-flight (uncommitted) changelog rows."""
-        return self._read_pending(self.spark.createDataFrame([], CHANGE_LOG_SCHEMA))
+        """Current in-flight (uncommitted) changelog rows (the LATEST
+        complete snapshot — observability view, not the replay input)."""
+        like = self.spark.createDataFrame([], CHANGE_LOG_SCHEMA)
+        epochs = self._pending_epoch_dirs()
+        if not epochs:
+            return like.limit(0)
+        return self.spark.read.schema(like.schema).parquet(epochs[-1][1])

@@ -180,6 +180,21 @@ class OrderedPublishEngine:
 
     # -- ack waiting (WaitForAcks, jetstream.go/waitforacks_test.go) -----
 
+    @staticmethod
+    def _abandon_unresolved(transport, pending: Sequence[PendingAck]) -> None:
+        """Release transport-side tracking of acks the engine gave up on.
+
+        Optional protocol hook: transports that keep a token→PendingAck
+        registry (NATS reply inboxes, socket request ids) implement
+        ``forget``; without it, every timed-out ack's registration lives
+        until disconnect while retries add fresh tokens."""
+        unresolved = [p for p in pending if not p.resolved]
+        if not unresolved:
+            return
+        forget = getattr(transport, "forget", None)
+        if forget is not None:
+            forget(unresolved)
+
     def wait_for_acks(
         self, pending: Sequence[PendingAck], timeout_s: float
     ) -> tuple[int, int, BaseException | None]:
@@ -246,6 +261,10 @@ class OrderedPublishEngine:
                     succeeded[idx] = True
                     last_error = None
                     break
+                # the retry republishes under a fresh ack handle — tell the
+                # transport to stop tracking the abandoned one (unbounded
+                # registry growth otherwise; see Transport.forget)
+                self._abandon_unresolved(transport, pending)
                 last_error = err or PublishError(
                     f"publish item {idx} was not acknowledged"
                 )
@@ -297,6 +316,7 @@ class OrderedPublishEngine:
             _ok, _resolved, wait_err = self.wait_for_acks(
                 pending, self.publish_timeout_s
             )
+            self._abandon_unresolved(transport, pending)
             still_failed = []
             for i, p in zip(remaining, pending):
                 if p.resolved and p.acked and p.err is None:

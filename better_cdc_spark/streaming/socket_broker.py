@@ -123,6 +123,18 @@ class SocketPublishTransport:
             pending.append(p)
         return pending
 
+    def forget(self, pending) -> None:
+        """Drop registrations for acks the engine abandoned on timeout —
+        the broker may never answer those request tokens, and each retry
+        registers a new one (same unbounded-growth hazard as the NATS
+        transport's reply-token registry)."""
+        doomed = {id(p) for p in pending}
+        with self._lock:
+            for k in [
+                k for k, v in self._outstanding.items() if id(v) in doomed
+            ]:
+                del self._outstanding[k]
+
     def _read_loop(self) -> None:
         try:
             while True:

@@ -284,6 +284,7 @@ class TxLogTable:
         app_id: str | None = None,
         txn_version: int | None = None,
         data_change: bool = True,
+        basis: "Snapshot | None" = None,
     ) -> int:
         """Atomic delete+write: remove every live file whose ROWS ALL
         match nothing the new state needs (caller passes a predicate on
@@ -300,8 +301,17 @@ class TxLogTable:
         commit added NEW files the predicate matches — removing those
         would silently destroy rows `df` never saw (the add-vs-rewrite
         conflict real formats detect). The caller re-derives and
-        retries."""
-        basis = self.snapshot()
+        retries.
+
+        basis: the snapshot `df` was DERIVED from. Callers that read and
+        materialize before calling replace (optimize's localCheckpoint
+        can take minutes on a big table) MUST pass the snapshot they
+        read — defaulting to self.snapshot() here would slide the basis
+        forward past any commit that landed during materialization,
+        making check (b) vacuously pass and silently deleting that
+        commit's rows."""
+        if basis is None:
+            basis = self.snapshot()
         if app_id is not None and basis.txns.get(app_id, -1) >= (txn_version or 0):
             return basis.version  # replayed commit: no-op, nothing staged
         removes = [p for p in basis.files if remove_pred(p)]
@@ -498,12 +508,19 @@ class TxLogTable:
         swap them in ONE commit (remove all + add compacted). Readers
         never see a torn state; time travel to pre-optimize versions
         still resolves because vacuum only collects files unreachable
-        from EVERY log version. Returns the new version."""
-        current = self.read().coalesce(target_files)
+        from EVERY log version. Returns the new version.
+
+        The basis is PINNED to the snapshot actually read: a commit that
+        lands while localCheckpoint materializes the table (minutes on a
+        big table) must surface as CommitConflict, not vanish in the
+        remove-everything commit."""
+        snap = self.snapshot()
+        current = self.read(version=snap.version).coalesce(target_files)
         return self.replace(
             current.localCheckpoint(eager=True),
             remove_pred=lambda p: True,
             data_change=False,
+            basis=snap,
         )
 
     def vacuum(self, min_age_s: float = 3600.0) -> int:

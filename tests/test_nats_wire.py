@@ -292,6 +292,9 @@ def test_failover_to_second_server_republishes_lost_items():
             res = _engine().publish_with_retry(tp, _items(5))
         assert res.succeeded == 5 and res.failed == 0
         assert tp.reconnect_count == 1
+        # the clean post-failover batch reset the outage-streak budget:
+        # lifetime telemetry keeps counting, the budget does not
+        assert tp._consecutive_reconnects == 0
         ids1 = [m["msg_id"] for m in s1.messages if not m["duplicate"]]
         ids2 = [m["msg_id"] for m in s2.messages if not m["duplicate"]]
         # the crash lost item 2 on s1; everything from the crash point
@@ -378,7 +381,9 @@ def test_reconnect_budget_exhaustion_is_loud():
                 break
         with pytest.raises(PublishError, match="reachable"):
             tp._fail_over()
-        tp.reconnect_count = tp.max_reconnects
+        # the budget bounds CONSECUTIVE failovers within one outage
+        # streak (reset by a clean batch), not lifetime reconnects
+        tp._consecutive_reconnects = tp.max_reconnects
         with pytest.raises(PublishError, match="budget exhausted"):
             tp._fail_over()
 
@@ -674,3 +679,25 @@ def test_nkey_decode_seed_short_body_is_clear_error():
     short = nw._b32_nopad(body + bytes([crc & 0xFF, crc >> 8]))
     with pytest.raises(ValueError, match="not a user seed nkey"):
         nw.nkey_decode_seed(short)
+
+
+def test_abandoned_ack_tokens_are_forgotten_not_leaked():
+    """A dropped ack times out and the engine republishes under a NEW
+    reply token; the abandoned token's registry entry must be released
+    (engine → Transport.forget), or a long-lived connection with
+    occasional ack loss grows _outstanding without bound (r14 review)."""
+    items = _items(1)
+    script = NatsScript(drop_ack_first_n={items[0].event_id: 1})
+    with FakeNatsServer(script) as srv:
+        with NatsWireTransport("127.0.0.1", srv.port) as tp:
+            result = _engine(timeout_s=0.3).publish_with_retry(tp, items)
+            assert result.is_complete()
+            # retry's own token resolves and pops on ack; the timed-out
+            # first token must have been forgotten, not left dangling
+            assert tp._outstanding == {}
+    # CRLF injection is rejected locally like all whitespace (subject is
+    # spliced verbatim into the HPUB control line)
+    from better_cdc_spark.streaming.nats_wire import _valid_subject
+
+    assert not _valid_subject("cdc.x\r\nPING")
+    assert not _valid_subject("cdc.x\ny")

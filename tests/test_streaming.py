@@ -588,3 +588,43 @@ def test_r11_twin_replay_corruption_modes_are_real(spark):
     # same true distributions, but the doubled reference changes the
     # exact integer numerator/denominator pair the alarm compares
     assert (clean_k[0], clean_k[1]) != (corrupt_k[0], corrupt_k[1])
+
+
+def test_replay_of_commit_epoch_reuses_prior_pending_snapshot(spark, tmp_path):
+    """Crash between _write_pending(N) and the epoch-N checkpoint commit
+    (r14 review): the replay of epoch N must read pending snapshot N-1
+    (its INPUT), not its own output snapshot N. Reading N would drop the
+    carried-over rows of transactions that committed in batch N, so the
+    replayed seq_in_tx window re-numbers from 0 and mints DIFFERENT
+    event_ids the sink dedup cannot collapse — a duplicate delivery."""
+    pipe = CDCStreamPipeline(spark, str(tmp_path / "nosrc"), str(tmp_path / "work"))
+    b1 = [
+        _marker(1, "0/F0", "B", 700),
+        _data_row(2, "0/F0", "I", 700, table="users", cols=_cols(1)),
+    ]
+    b2 = [
+        # different table than b1's row: the straddling tx's second row
+        # would otherwise collide into the first row's event_id on replay
+        # and mask the bug
+        _data_row(3, "0/F0", "I", 700, table="orders", cols=_cols(2)),
+        _marker(4, "0/F0", "C", 700, TS),
+    ]
+    pipe._process_batch(_batch_df(spark, b1), epoch_id=0)
+    pipe._process_batch(_batch_df(spark, b2), epoch_id=1)
+    want = [
+        "0/F0:700:INSERT:public.orders:1",
+        "0/F0:700:INSERT:public.users:0",
+    ]
+    assert sorted(r[0] for r in pipe.sink().select("event_id").collect()) == want
+    # pending_0 must still exist: it is the replay input for epoch 1
+    assert [e for e, _ in pipe._pending_epoch_dirs()] == [0, 1]
+
+    # post-crash replay of the commit epoch
+    pipe._process_batch(_batch_df(spark, b2), epoch_id=1)
+    assert sorted(r[0] for r in pipe.sink().select("event_id").collect()) == want
+
+    # the NEXT epoch prunes the now-safe snapshot 0 and keeps 1
+    pipe._process_batch(
+        _batch_df(spark, [_marker(5, "0/F1", "C", 701, TS)]), epoch_id=2
+    )
+    assert [e for e, _ in pipe._pending_epoch_dirs()] == [1, 2]

@@ -492,3 +492,28 @@ def test_commit_loop_bounded_under_perpetual_races(spark, table, monkeypatch):
     with pytest.raises(CommitConflict, match="replace lost 5"):
         table.replace(df_of(spark, 3), remove_pred=lambda p: False)
     assert attempts["n"] == 5
+
+
+def test_optimize_pins_basis_to_the_snapshot_it_read(spark, table):
+    """The optimize data-loss race (r14 review): a commit landing AFTER
+    read()+localCheckpoint but BEFORE replace() takes its basis used to
+    be in basis.files (passing both conflict checks) while its rows were
+    absent from the materialized df — remove_pred=True then deleted it
+    silently. With the basis pinned to the snapshot actually read, the
+    concurrent append must surface as CommitConflict and its rows must
+    survive."""
+    table.append(df_of(spark, 1, 2))
+    snap = table.snapshot()
+    df = table.read(version=snap.version).coalesce(1).localCheckpoint()
+    # concurrent append lands during the (long) materialization window
+    table.append(df_of(spark, 60))
+    with pytest.raises(CommitConflict, match="added files"):
+        table.replace(
+            df, remove_pred=lambda p: True, data_change=False, basis=snap
+        )
+    assert 60 in ids(table.read())
+    # the caller re-derives against the new snapshot and succeeds
+    v = table.optimize()
+    assert sorted(ids(table.read())) == [1, 2, 60]
+    assert len(table.snapshot().files) == 1
+    assert v == table.snapshot().version
