@@ -202,11 +202,17 @@ class JetStreamShapedSink:
         buckets = [
             r[0] for r in records.select("commit_bucket").distinct().collect()
         ]
-        # ONLY a missing store reads as empty (first publish); any other
-        # failure re-raises — substituting an empty frame on a transient
-        # FS error or corrupt footer would silently disable msg-id dedup
-        # and re-store every replayed message (the same invisible-data-
-        # hazard contract as CDCStreamPipeline._read_or_empty).
+        # ONLY a provably empty store reads as empty; any other failure
+        # re-raises — substituting an empty frame on a transient FS error
+        # or corrupt footer would silently disable msg-id dedup and
+        # re-store every replayed message (the same invisible-data-
+        # hazard contract as CDCStreamPipeline._read_or_empty). "Empty"
+        # has two shapes: the path does not exist (first publish), or it
+        # exists with NO committed data files — a crash during the FIRST
+        # store's write leaves only an uncommitted _temporary dir, which
+        # the reader hides, so schema inference raises
+        # UNABLE_TO_INFER_SCHEMA on every replay and would otherwise wedge
+        # recovery permanently.
         try:
             existing = (
                 self.spark.read.parquet(self.msgs_dir)
@@ -214,7 +220,12 @@ class JetStreamShapedSink:
                 .select("msg_id")
             )
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            msg = str(e)
+            if (
+                "PATH_NOT_FOUND" not in msg
+                and "Path does not exist" not in msg
+                and "UNABLE_TO_INFER_SCHEMA" not in msg
+            ):
                 raise
             existing = records.select("msg_id").limit(0)
         fresh = records.join(existing, "msg_id", "left_anti").localCheckpoint(

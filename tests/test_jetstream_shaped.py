@@ -73,6 +73,23 @@ def test_publish_dedups_msg_id_within_window(spark, tmp_path, envelope):
     assert b'"event_id"' in row["payload"].encode() if isinstance(row["payload"], str) else b'"event_id"' in row["payload"]
 
 
+def test_publish_recovers_when_first_write_crashed_before_commit(
+    spark, tmp_path, envelope
+):
+    """Crash-window replay: a kill during the FIRST store's parquet write
+    leaves msgs_dir existing but with no committed data files (only an
+    uncommitted _temporary dir, which the reader hides). Schema inference
+    then raises UNABLE_TO_INFER_SCHEMA — which must read as an EMPTY
+    store (nothing was committed), not wedge every subsequent replay."""
+    import os
+
+    sink = JetStreamShapedSink(spark, str(tmp_path), CFG).ensure_stream()
+    os.makedirs(os.path.join(sink.msgs_dir, "_temporary"), exist_ok=True)
+    n_events = envelope.count()
+    assert sink.publish(envelope) == n_events
+    assert sink.messages().count() == n_events
+
+
 def test_publish_rejects_uncovered_subject(spark, tmp_path, envelope):
     narrow = StreamConfig(subjects=("cdc.testdb.public.orders",))
     sink = JetStreamShapedSink(spark, str(tmp_path), narrow).ensure_stream()
