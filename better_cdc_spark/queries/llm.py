@@ -1036,11 +1036,12 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys on prefix terms (bounded per doc), the verify joins key on
     doc ids — shuffled hash joins on content keys, AQE splits hot terms;
     production adds a df-cap on prefix terms like cap_shingle_df.
-    Before the verify, a SOUND band-norm prune (Cauchy-Schwarz over
-    {TFIDF_UB_BANDS} hash(term)-bands: dot ≤ Σ_g ‖a_g‖·‖b_g‖, so
-    UB < τ·‖a‖·‖b‖ can never discard a true pair) drops ~97% of
-    candidates via a broadcast join of per-doc band norms — the heavy
-    (map/vector) payloads only ever join against survivors. The
+    A SOUND band-norm prune (Cauchy-Schwarz over {TFIDF_UB_BANDS}
+    hash(term)-bands: dot ≤ Σ_g ‖a_g‖·‖b_g‖, so UB < τ·‖a‖·‖b‖ can never
+    discard a true pair) drops ~97% of candidates INSIDE the prefix
+    self-join stage: each prefix row carries its doc's (bn, nrm), so
+    pruned pairs die before the candidate distinct ever shuffles and the
+    heavy (map/vector) payloads only ever join against survivors. The
     dense/sparse representation gate is COST-based (|vocab| vs avg doc
     terms), not an absolute vocab cap: the r12 sf1 probe caught the
     dense fold running 9× more multiply-adds per pair than sparse once
@@ -1056,7 +1057,18 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    # tf is THE shared basis: dft, w, |vocab| and the dense-path vocabulary
+    # all derive from it. Checkpointing it once keeps the expensive
+    # scan→explode→groupBy pipeline from re-running per consumer — before
+    # r15 it executed 4× (twice inside w's own checkpoint job via the dft
+    # broadcast branch, once for dft.count(), once for the vocab collect);
+    # measured 7.6 s → 5.6 s at sf0.1 from this checkpoint alone (guide
+    # §2.4: remove repeated passes before tuning anything else).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     # scalar corpus size (one bounded action; folding it into the idf
     # expression as a literal keeps q96e's executed plan entirely free of
     # nested-loop joins, which the plan test asserts)
@@ -1075,6 +1087,30 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared by norms, prefix ranking and both verify sides
         .localCheckpoint(eager=True)
     )
+    # band norms for the sound Cauchy-Schwarz prune: band by a hash of
+    # the TERM (engine-side only — the prune is result-identical, so the
+    # oracle never sees it). Computed ONCE per doc from w, shared by the
+    # candidate join below and representation-independent.
+    band_col = F.pmod(F.xxhash64("term"), F.lit(TFIDF_UB_BANDS))
+    band_norm_aggs = [
+        F.sqrt(
+            F.sum(F.when(band_col == g, F.col("w") * F.col("w")).otherwise(0.0))
+        ).alias(f"_bn{g}")
+        for g in range(TFIDF_UB_BANDS)
+    ]
+    # docsum: (doc_id, bn array<double>, nrm) — ~150 bytes/doc, O(n_docs);
+    # tiny next to w, so one eager materialization serves both self-join
+    # sides instead of two groupBys over w.
+    docsum = (
+        w.groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"), *band_norm_aggs)
+        .select(
+            "doc_id",
+            "nrm",
+            F.array(*[F.col(f"_bn{g}") for g in range(TFIDF_UB_BANDS)]).alias("bn"),
+        )
+        .localCheckpoint(eager=True)
+    )
     rk = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
     )
@@ -1082,14 +1118,38 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("rk", rk).filter(F.col("rk") <= TFIDF_PREFIX).select("doc_id", "term")
     )
     tune_cpu_bound(spark)
+    # Candidate generation WITH the Cauchy-Schwarz prune applied inline
+    # (r15): each prefix row carries its doc's (bn, nrm) — a ≤TFIDF_PREFIX
+    # ×n_docs slice of docsum, still O(n_docs) — so UB < τ·na·nb pairs die
+    # INSIDE the self-join stage, before any shuffle. The prune predicate
+    # is deterministic per (da, db), so filtering before `distinct` is
+    # result-identical to the old distinct→join→prune order, while the
+    # distinct's exchange shrinks from every prefix-colliding pair (1.79M
+    # rows at sf0.1) to the prune survivors (~60k): guide §2.3 "shuffle
+    # fewer bytes" + §2.4 — the old standalone prune also re-joined those
+    # 1.79M rows against docsum twice; both joins are gone. Measured (same
+    # session, A/B): 7.64 s → 4.15 s end-to-end at sf0.1.
+    ub = F.aggregate(
+        F.zip_with("bna", "bnb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    paug_a = pfx.join(docsum, "doc_id").select(
+        F.col("doc_id").alias("da"), "term",
+        F.col("bn").alias("bna"), F.col("nrm").alias("_na"),
+    )
+    paug_b = pfx.join(docsum, "doc_id").select(
+        F.col("doc_id").alias("db"), "term",
+        F.col("bn").alias("bnb"), F.col("nrm").alias("_nb"),
+    )
     cand = (
-        pfx.select(F.col("doc_id").alias("da"), "term")
-        .join(pfx.select(F.col("doc_id").alias("db"), "term"), "term")
+        paug_a.join(paug_b, "term")
         .filter(F.col("da") < F.col("db"))
+        .filter(ub >= F.lit(TFIDF_TAU) * F.col("_na") * F.col("_nb"))
         .select("da", "db")
         .distinct()
         # A candidate row is two longs — ~16 bytes, a few MB compressed
-        # for millions of pairs — so AQE's size-based coalescing squeezes
+        # for the surviving pairs — so AQE's size-based coalescing squeezes
         # the distinct's output into ONE partition and the CPU-bound
         # verify below runs serially (measured 13.7s -> 3.2s at sf0.1
         # from this line alone). Spread pairs explicitly: the reshuffle
@@ -1111,48 +1171,10 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fold sums doubles in sorted-term order (deterministic); the
     # oracle sums exact decimals — the ≲1e-13 divergence is far below
     # the half-up 4dp round, same exposure class as the norms.
-    n_vocab = int(dft.count())  # bounded action: |vocab|, an aggregate row count
+    n_vocab = int(dft.count())  # bounded action: one agg over checkpointed tf
     # cost-based representation gate: dense pays O(|vocab|) per pair,
     # sparse pays O(|a|+|b|) ≈ 2×avg-terms — pick the cheaper fold
     avg_terms = w.count() / max(n, 1.0)  # w is checkpointed; count is cheap
-    # band norms for the sound Cauchy-Schwarz pre-verify prune: band by
-    # a hash of the TERM (engine-side only — the prune is result-
-    # identical, so the oracle never sees it)
-    band_col = F.pmod(F.xxhash64("term"), F.lit(TFIDF_UB_BANDS))
-    band_norm_aggs = [
-        F.sqrt(
-            F.sum(F.when(band_col == g, F.col("w") * F.col("w")).otherwise(0.0))
-        ).alias(f"_bn{g}")
-        for g in range(TFIDF_UB_BANDS)
-    ]
-
-    def prune_candidates(cand_df, docsum):
-        """cand (da, db) → survivors of UB ≥ τ·na·nb. docsum carries only
-        (doc_id, bn: array<double>, nrm) — ~150 bytes per doc, so AQE
-        broadcasts it at every corpus size where that fits and falls back
-        to a doc-id hash join beyond (docsum is O(n_docs): FORCING
-        broadcast here would be the 100 TB hazard, so the hint is
-        deliberately absent). Either way no heavy payload moves for
-        pruned pairs."""
-        ub = F.aggregate(
-            F.zip_with("bna", "bnb", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, p: acc + p,
-        )
-        la = docsum.select(
-            F.col("doc_id").alias("da"), F.col("bn").alias("bna"),
-            F.col("nrm").alias("_na"),
-        )
-        lb = docsum.select(
-            F.col("doc_id").alias("db"), F.col("bn").alias("bnb"),
-            F.col("nrm").alias("_nb"),
-        )
-        return (
-            cand_df.join(la, "da")
-            .join(lb, "db")
-            .filter(ub >= F.lit(TFIDF_TAU) * F.col("_na") * F.col("_nb"))
-            .select("da", "db")
-        )
 
     if n_vocab <= min(TFIDF_DENSE_VOCAB_MAX, TFIDF_DENSE_COST_FACTOR * avg_terms):
         # Dense fast path (r8): the vocabulary fits in-row, so each doc
@@ -1185,7 +1207,6 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.collect_list(F.struct(F.col("tid"), F.col("w")))
                 ).alias("m"),
                 F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
-                *band_norm_aggs,
             )
             .select(
                 "doc_id",
@@ -1194,13 +1215,9 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
                 ).alias("v"),
                 "nrm",
-                F.array(
-                    *[F.col(f"_bn{g}") for g in range(TFIDF_UB_BANDS)]
-                ).alias("bn"),
             )
             .localCheckpoint(eager=True)
         )
-        cand = prune_candidates(cand, docvec.select("doc_id", "bn", "nrm"))
         a_side = docvec.select(
             F.col("doc_id").alias("da"), F.col("v").alias("va"),
             F.col("nrm").alias("na"),
@@ -1243,15 +1260,9 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m"),
             F.sort_array(F.collect_list("term")).alias("ks"),
             F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
-            *band_norm_aggs,
         )
-        .withColumn(
-            "bn", F.array(*[F.col(f"_bn{g}") for g in range(TFIDF_UB_BANDS)])
-        )
-        .drop(*[f"_bn{g}" for g in range(TFIDF_UB_BANDS)])
         .localCheckpoint(eager=True)
     )
-    cand = prune_candidates(cand, docvec.select("doc_id", "bn", "nrm"))
     a_side = docvec.select(
         F.col("doc_id").alias("da"), F.col("m").alias("ma"),
         F.col("ks").alias("ka"), F.col("nrm").alias("na"),
