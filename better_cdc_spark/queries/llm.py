@@ -8547,8 +8547,10 @@ def q99q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the self-join shuffles on (band_idx, band_value) — bucket
     size is bounded by the near-dup cluster size exactly like LSH band
-    buckets; no all-pairs anywhere. The distinct collapses multi-band
-    matches before the (cheap) hamming verify on carried bands.
+    buckets; no all-pairs anywhere. Multi-band matches collapse via a
+    first-matching-band predicate inside the join stage (bands j < k
+    must differ), so no distinct ever shuffles the output-sized pair
+    set; the hamming verify runs on carried bands.
     """
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -8567,6 +8569,30 @@ def q99q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
         for k in range(4)
     )
+    # Cross-band dedup as a FIRST-MATCHING-BAND predicate instead of a
+    # distinct (r15, guide §2.4): a pair matching on several bands used to
+    # emit one row per matching band and rely on a `.distinct()` — a full
+    # exchange+agg of the (output-sized, 1.26M rows at sf0.1) pair set.
+    # Emitting a pair only at its LOWEST matching band k (all bands j < k
+    # must differ; the b0..b3 columns are already carried on both sides)
+    # yields exactly one row per qualifying pair inside the join stage —
+    # the dedup shuffle is gone and the result set is identical (measured
+    # join stage 3.3-5.6 s → 1.0-1.8 s at sf0.1, same session).
+    first_band = (
+        (F.col("a.k") == 0)
+        | ((F.col("a.k") == 1) & (F.col("a.b0") != F.col("b.b0")))
+        | (
+            (F.col("a.k") == 2)
+            & (F.col("a.b0") != F.col("b.b0"))
+            & (F.col("a.b1") != F.col("b.b1"))
+        )
+        | (
+            (F.col("a.k") == 3)
+            & (F.col("a.b0") != F.col("b.b0"))
+            & (F.col("a.b1") != F.col("b.b1"))
+            & (F.col("a.b2") != F.col("b.b2"))
+        )
+    )
     return (
         left.join(
             right,
@@ -8574,13 +8600,13 @@ def q99q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_band)
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
             hamming.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .distinct()
     )
 
 
