@@ -4801,11 +4801,12 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     own document; both sides then surface one merged span covering the
     excerpt.
 
-    Scale shape (r14, the form the r13 docstring promised at 100 TB):
+    Scale shape (r14/r15, the form the r13 docstring promised at 100 TB):
     candidate detection shuffles xxhash64 LONGS computed straight off the
     8-word tuple (the gram string is never even allocated in the hot
-    mapper) — the widest stage (every stride-1 gram of the corpus, twice:
-    dup-count groupBy + hit join) carries 8-byte keys instead of ~50-byte
+    mapper) — the widest stage (every stride-1 gram of the corpus, ONCE:
+    the dup-support flag is a min!=max window over gh, not an agg joined
+    back) carries 8-byte keys instead of ~50-byte
     8-word strings. Gram strings
     are then re-derived narrowly at candidate positions only and
     re-verified exactly (countDistinct docs >= 2 on the string itself),
@@ -4841,13 +4842,23 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_h = wdf.select(
         "doc_id", F.posexplode(gh_arr).alias("pos0", "gh")
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
-    dup_gh = (
-        grams_h.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
+    # "shared by >=2 distinct docs" as a per-partition window flag
+    # (min(doc_id) != max(doc_id) over gh) instead of a count-distinct
+    # agg joined back: the corpus-wide gram table shuffles ONCE on gh,
+    # not twice (agg exchange + join exchange) — guide §2.4, the
+    # window-shares-the-exchange rule. Hot boilerplate grams concentrate
+    # their positions in one window partition, but the per-row work is an
+    # O(1) min/max carry (the old plan's join probe side concentrated the
+    # same rows on the same key); production corpora additionally cap
+    # gram df (the cap_shingle_df discipline). Same-session A/B at
+    # sf0.1: 3.5-4.5 s → 2.2-3.1 s, results byte-identical.
+    wgh = W.partitionBy("gh")
+    cand = (
+        grams_h.withColumn("_mn", F.min("doc_id").over(wgh))
+        .withColumn("_mx", F.max("doc_id").over(wgh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "i")
     )
-    cand = grams_h.join(dup_gh, "gh").select("doc_id", "i")
     # exact-verify stage: rebuild the gram string ONLY at candidate
     # positions (doc_id-keyed join back to the narrow words derivation)
     # and re-check document support on the exact string, eliminating
@@ -4869,18 +4880,17 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("pg.i").alias("i"), F.col("pg.g").alias("g"))
     )
-    # verified dup grams stream back as a JOIN (the pre-hash plan's shape):
-    # a boilerplate gram shared by millions of docs must never become one
-    # collect_list buffer on a single executor — countDistinct partials
-    # merge map-side and the join carries only candidate-sized traffic
-    dup_g = (
-        cand_grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-    )
-    hits = cand_grams.join(dup_g, "g").select(
-        "doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e")
+    # exact-verify support check, same window-flag shape as the hash
+    # stage: candidate grams shuffle once on the string key; no
+    # per-gram buffer ever materializes (min/max are O(1) carries, so a
+    # boilerplate gram can never become one collect_list blob — the
+    # r14 81daaf0 invariant holds)
+    wg = W.partitionBy("g")
+    hits = (
+        cand_grams.withColumn("_mn", F.min("doc_id").over(wg))
+        .withColumn("_mx", F.max("doc_id").over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e"))
     )
     prev_max_e = F.max("e").over(
         W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)
@@ -5739,14 +5749,16 @@ def q95u_dup_span_extract_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.transform(gram_arr, lambda g: F.xxhash64(g))).alias("pos0", "gh"),
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
-    dupg = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
-    )
-    hits = grams.join(dupg, "gh").select(
-        "doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e")
+    # dup-support flag as ONE window pass over gh (min != max ⟺ ≥2
+    # distinct docs) instead of a count-distinct agg joined back — the
+    # gram table shuffles once, not twice (see q95p's note on hot-gram
+    # concentration; per-row window work is an O(1) min/max carry)
+    wgh = W.partitionBy("gh")
+    hits = (
+        grams.withColumn("_mn", F.min("doc_id").over(wgh))
+        .withColumn("_mx", F.max("doc_id").over(wgh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e"))
     )
     prev_max_e = F.max("e").over(
         W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)

@@ -358,17 +358,18 @@ def test_q44c_ohlc_is_single_agg_no_window(spark):
 
 
 def test_q95p_span_windows_share_one_doc_exchange(spark):
-    """r14 shape: corpus-wide shuffles carry xxhash64 LONGS (gh), gram
+    """r15 shape: corpus-wide shuffles carry xxhash64 LONGS (gh), gram
     strings shuffle only in the candidate-verify stage, and span merging
     (two island windows + two per-doc aggregates) reuses ONE doc_id
     partitioning — the gaps-and-islands stages add no exchanges of their
-    own. Exactly THREE doc_id exchanges total: the island/span
-    partitioning plus the candidate-position join-back computed once per
-    verify consumer (the exact dup-count groupBy AND the hits join — the
-    same two-consumer flow the pre-hash full-corpus form had, kept as a
-    streaming join rather than a single collect_list aggregation whose
-    per-gram buffer is unbounded on a boilerplate gram). All three are
-    candidate-sized or per-doc; the corpus-wide exchanges stay gh-keyed."""
+    own. Exactly TWO doc_id exchanges total: the island/span partitioning
+    plus the candidate-position join-back, now computed ONCE — the
+    dup-support checks are min!=max window flags over the gram key, so
+    the gram tables shuffle once each (r14's agg-plus-join-back shape
+    shuffled the verify derivation per consumer, three doc exchanges).
+    Both are candidate-sized or per-doc; corpus-wide exchanges stay
+    gh-keyed, and no per-gram aggregation buffer exists anywhere (the
+    window's min/max is an O(1) carry)."""
     import re
 
     plan = plan_of(spark, "q95p_dup_span_extract")
@@ -381,7 +382,7 @@ def test_q95p_span_windows_share_one_doc_exchange(spark):
         r"keys=\[g#\d+[^\]]*\], functions=\[[^\]]*collect_list", plan
     ), "per-gram collect_list buffer reintroduced"
     doc_exchanges = re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\)", plan)
-    assert len(doc_exchanges) == 3, f"expected 3 doc_id exchanges: {doc_exchanges}"
+    assert len(doc_exchanges) == 2, f"expected 2 doc_id exchanges: {doc_exchanges}"
     # islands/span aggs share hashpartitioning(doc_id) — never (doc_id, isl)
     assert not re.search(r"hashpartitioning\(doc_id#\d+L?, isl", plan)
     # the candidate stage really is hashed: a gh long-key exchange exists,
