@@ -8816,8 +8816,18 @@ def q94k_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    shards = docs.select((F.col("doc_id") / 8).cast("long").alias("shard_id")) \
+    # Spread shard ids across cores before the Python tar stages (r15):
+    # the distinct's output is a few KB, so AQE's size-based coalescing
+    # funnels EVERY shard onto one partition and the tar synth+parse —
+    # the query's whole CPU cost — runs serially (the q96e candidate-
+    # spread pathology: bytes are the wrong proxy for Python-heavy
+    # stages). Shards are the parallelism unit at deploy scale too.
+    # Measured 2.8-3.9 s → 1.4-2.9 s at sf0.1, same session.
+    shards = (
+        docs.select((F.col("doc_id") / 8).cast("long").alias("shard_id"))
         .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     all_keys = docs  # oracle domain: every doc_id is a sample key
 
     def synth(batches):
