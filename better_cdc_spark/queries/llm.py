@@ -8520,6 +8520,29 @@ def _ahash_band_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
+def _ahash_first_band() -> F.Column:
+    """Lowest-matching-band predicate over an aliased banded self-join
+    (sides `a`/`b`, band index `k`, bands b0..b3 carried on both): true
+    exactly once per qualifying pair — at the smallest k where the bands
+    agree — so a post-join `.distinct()` over the output-sized pair set
+    becomes unnecessary (guide §2.4; shared by q99q and q99v)."""
+    return (
+        (F.col("a.k") == 0)
+        | ((F.col("a.k") == 1) & (F.col("a.b0") != F.col("b.b0")))
+        | (
+            (F.col("a.k") == 2)
+            & (F.col("a.b0") != F.col("b.b0"))
+            & (F.col("a.b1") != F.col("b.b1"))
+        )
+        | (
+            (F.col("a.k") == 3)
+            & (F.col("a.b0") != F.col("b.b0"))
+            & (F.col("a.b1") != F.col("b.b1"))
+            & (F.col("a.b2") != F.col("b.b2"))
+        )
+    )
+
+
 @query(
     "q99q_ahash_near_dup",
     oracle="""
@@ -8608,21 +8631,7 @@ def q99q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields exactly one row per qualifying pair inside the join stage —
     # the dedup shuffle is gone and the result set is identical (measured
     # join stage 3.3-5.6 s → 1.0-1.8 s at sf0.1, same session).
-    first_band = (
-        (F.col("a.k") == 0)
-        | ((F.col("a.k") == 1) & (F.col("a.b0") != F.col("b.b0")))
-        | (
-            (F.col("a.k") == 2)
-            & (F.col("a.b0") != F.col("b.b0"))
-            & (F.col("a.b1") != F.col("b.b1"))
-        )
-        | (
-            (F.col("a.k") == 3)
-            & (F.col("a.b0") != F.col("b.b0"))
-            & (F.col("a.b1") != F.col("b.b1"))
-            & (F.col("a.b2") != F.col("b.b2"))
-        )
-    )
+    first_band = _ahash_first_band()
     return (
         left.join(
             right,
@@ -9758,13 +9767,16 @@ def q99v_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # first-matching-band emit (see _ahash_first_band/q99q): unique
+        # pairs by construction — no distinct exchange over the
+        # output-sized pair set before the checkpoint
+        .filter(_ahash_first_band())
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
             hamming.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .distinct()
         .localCheckpoint(eager=True)
     )
     involved = (
