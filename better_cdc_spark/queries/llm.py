@@ -1098,17 +1098,18 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"_bn{g}")
         for g in range(TFIDF_UB_BANDS)
     ]
-    # docsum: (doc_id, bn array<double>, nrm) — ~150 bytes/doc, O(n_docs);
+    # docsum: (doc_id, _bn0.._bn15, nrm) — ~150 bytes/doc, O(n_docs);
     # tiny next to w, so one eager materialization serves both self-join
-    # sides instead of two groupBys over w.
+    # sides instead of two groupBys over w. The band norms stay SCALAR
+    # columns (not an array): the per-pair UB below is then an unrolled
+    # codegen'd multiply-add chain instead of an interpreted
+    # zip_with+aggregate over a freshly allocated 16-element array per
+    # candidate pair (higher-order lambdas evaluate outside whole-stage
+    # codegen — the minhash_signatures lesson; measured 6.7 s → 4.4 s
+    # end-to-end at sf0.1, same session, on the 1.79M-pair stage).
     docsum = (
         w.groupBy("doc_id")
         .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"), *band_norm_aggs)
-        .select(
-            "doc_id",
-            "nrm",
-            F.array(*[F.col(f"_bn{g}") for g in range(TFIDF_UB_BANDS)]).alias("bn"),
-        )
         .localCheckpoint(eager=True)
     )
     rk = F.row_number().over(
@@ -1129,18 +1130,20 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fewer bytes" + §2.4 — the old standalone prune also re-joined those
     # 1.79M rows against docsum twice; both joins are gone. Measured (same
     # session, A/B): 7.64 s → 4.15 s end-to-end at sf0.1.
-    ub = F.aggregate(
-        F.zip_with("bna", "bnb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, p: acc + p,
-    )
+    # UB = Σ_g ‖a_g‖·‖b_g‖ as a FIXED-ORDER (g = 0..15) unrolled add chain
+    # — bit-identical to the old left-fold aggregate, fully codegen'd
+    ub = F.lit(0.0)
+    for g in range(TFIDF_UB_BANDS):
+        ub = ub + F.col(f"_a{g}") * F.col(f"_b{g}")
     paug_a = pfx.join(docsum, "doc_id").select(
         F.col("doc_id").alias("da"), "term",
-        F.col("bn").alias("bna"), F.col("nrm").alias("_na"),
+        *[F.col(f"_bn{g}").alias(f"_a{g}") for g in range(TFIDF_UB_BANDS)],
+        F.col("nrm").alias("_na"),
     )
     paug_b = pfx.join(docsum, "doc_id").select(
         F.col("doc_id").alias("db"), "term",
-        F.col("bn").alias("bnb"), F.col("nrm").alias("_nb"),
+        *[F.col(f"_bn{g}").alias(f"_b{g}") for g in range(TFIDF_UB_BANDS)],
+        F.col("nrm").alias("_nb"),
     )
     cand = (
         paug_a.join(paug_b, "term")
