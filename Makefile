@@ -13,7 +13,7 @@ SF_SMOKE ?= /root/testdata/sf0.001
 SF_ORACLE ?= /root/testdata/sf0.01
 export PYTHONPATH := $(CURDIR)
 
-.PHONY: lint entry-smoke pkg-smoke test-smoke test check-prefix check-full bench-smoke bench ci-smoke ci-full
+.PHONY: lint entry-smoke pkg-smoke test-smoke test test-full check-prefix check-full bench-smoke bench ci-smoke ci-full
 
 ## lint: ruff when installed (CI installs it); stdlib syntax gate otherwise
 lint:
@@ -44,9 +44,14 @@ test-smoke:
 	  tests/test_dashboard.py tests/test_metrics.py tests/test_config.py \
 	  tests/test_logging_setup.py tests/test_plans.py
 
-## test: the full pytest suite (~20+ min, sf0.001 fixtures)
+## test: the DEFAULT (driver-verify) tier — correctness-critical pins
+## (<10 min solo; pyproject addopts deselect `slow`)
 test:
 	$(PYTHON) -m pytest tests/ -x -q
+
+## test-full: the complete suite incl. `slow` (~30-40 min, sf0.001 fixtures)
+test-full:
+	$(PYTHON) -m pytest tests/ -x -q -m ""
 
 ## check-prefix: the driver's correctness gate slice (first ~50 registry
 ## entries vs the DuckDB oracle at sf0.01; ~90 s warm)
@@ -69,4 +74,4 @@ bench:
 ci-smoke: lint entry-smoke test-smoke check-prefix bench-smoke
 
 ## ci-full: the endgame rung — everything, full registry sweep, full suite
-ci-full: lint entry-smoke test check-full bench
+ci-full: lint entry-smoke test-full check-full bench

@@ -32,6 +32,7 @@ def test_drift_class_covers_every_reference_query():
     assert set(bench.PROBE_ANCHOR) == {"shuffle", "cpu"}
 
 
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_sf1_scaling_fabricates_and_measures(spark):
     """The sf1 probe fabricates the amplified corpus and produces a
     wall + rows + exponent row per probed query (one fast query here;

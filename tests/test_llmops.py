@@ -467,6 +467,7 @@ def test_resize_ppm_nearest_upscale_duplicates_pixels():
     assert row.resized_checksum == expect
 
 
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_incremental_lsh_equals_one_shot_candidates(spark, docs):
     """q95aa's across-batches discovery: every unordered pair has exactly
     one discovery event (later batch probes an index holding the earlier

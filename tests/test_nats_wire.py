@@ -252,6 +252,7 @@ def test_auth_reject_is_loud_and_closes():
     assert reject == [b"-ERR 'Authorization Violation'"]
 
 
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_user_pass_fields_ride_connect():
     """user/pass CONNECT fields (the other documented auth form) are
     emitted only when configured — the unauthenticated CONNECT stays
@@ -276,6 +277,7 @@ def test_user_pass_fields_ride_connect():
     assert not set(json.loads(plain[8:])) & {"auth_token", "user", "pass"}
 
 
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_failover_to_second_server_republishes_lost_items():
     """Broker crash mid-batch (clean loss: nothing stored): the
     transport rotates to the next server in the pool and the engine's
@@ -336,6 +338,7 @@ def test_reconnect_same_server_dedups_stored_but_unacked_publish():
         assert dup[0]["seq"] == orig["seq"]
 
 
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_connect_urls_gossip_extends_the_pool():
     """Cluster topology discovery: the pool starts with ONLY the
     doomed server, whose INFO gossips the healthy peer via
@@ -438,6 +441,7 @@ def test_mid_publish_reconnect_trace_is_byte_pinned():
     assert got == want, "reconnect dialogue drifted from the committed capture"
 
 
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_ping_liveness_and_ensure_alive_failover():
     """Client-initiated PING/PONG liveness: ping() is True on a healthy
     connection, False once the server is gone, and ensure_alive() fails
@@ -584,6 +588,7 @@ def test_nkey_encoding_roundtrip_and_crc():
     assert pub.startswith("U")
 
 
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_nkey_auth_dialogue_accepted_and_wrong_key_rejected():
     """ADR-14 nonce auth: INFO advertises a nonce, CONNECT carries the
     public nkey + Ed25519 signature over the raw nonce bytes; a signer
@@ -642,6 +647,7 @@ def test_jwt_mode_rides_connect_with_nkey_signature():
         assert opts["jwt"] == jwt and "nkey" not in opts and opts["sig"]
 
 
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_token_and_nkey_both_required_bad_token_rejected():
     """When the server requires BOTH a token and an nkey signature, a
     valid signature must not launder an invalid token (r12 advisory:

@@ -14,8 +14,22 @@ from tools.check import compare
 
 REGISTRY = load_all()
 
+# Default-tier slice (r16): the driver's correctness gate hashes the
+# SHOWCASE_ORDER prefix and the bench times HEADLINE — those oracle pins
+# must run on every default `pytest tests/`. The remaining ~430 registry
+# oracles stay in the suite under the `slow` marker (run via
+# `make test-full`; the sf0.01 equivalent sweep is `make check-full`).
+from bench import HEADLINE  # noqa: E402
+from better_cdc_spark.queries import SHOWCASE_ORDER  # noqa: E402
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+_FAST = set(SHOWCASE_ORDER) | set(HEADLINE)
+_PARAMS = [
+    name if name in _FAST else pytest.param(name, marks=pytest.mark.slow)
+    for name in sorted(REGISTRY)
+]
+
+
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle(name, spark, duck):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, SF_SMOKE)

@@ -193,6 +193,7 @@ interval_lists = st.lists(
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ls=interval_lists, rs=interval_lists)
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_interval_bucket_join_agrees_with_naive(spark, ls, rs):
     """Cell decomposition finds exactly the naive overlap pairs, for any
     interval layout (spans much longer and much shorter than the cell)."""
@@ -350,6 +351,7 @@ funnel_events = st.lists(
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=funnel_events)
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_funnel_stages_agree_with_python_fold(spark, rows):
     """q47's stage gating: per-user first-touch MINs with >= gates equal a
     sequential reference fold over random event streams."""
@@ -399,6 +401,7 @@ op_streams = st.lists(
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(stream=op_streams, cuts=st.lists(st.integers(1, 23), max_size=4))
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_scd2_increment_law_random_streams(spark, stream, cuts):
     """For ANY op stream and ANY batch partitioning of it, folding the
     batches through scd2_apply_increment equals scd2_history of the whole
@@ -497,6 +500,7 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(
 @given(left_rows=event_lists, right_rows=event_lists)
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # full-tier: `make test-full` (r16 two-tier split)
 def test_asof_nearest_agrees_with_pandas(spark, left_rows, right_rows):
     """direction='nearest' must match pandas merge_asof row for row —
     including distance TIES (integer timestamps make exact ties common),
