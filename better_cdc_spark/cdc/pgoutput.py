@@ -64,6 +64,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from better_cdc_spark.session import ckpt
+
 from better_cdc_spark.schemas import CHANGE_LOG_SCHEMA
 
 PG_EPOCH_US = 946_684_800_000_000  # 2000-01-01 UTC in unix microseconds
@@ -402,7 +404,7 @@ def decode_pgoutput(
     decoded = chunked.groupBy("__chunk").applyInPandas(
         _decode_chunk_fn(registry), schema=_DECODE_SCHEMA
     )
-    decoded = decoded.localCheckpoint(eager=True)
+    decoded = decoded.transform(ckpt)
 
     # Per-chunk last-Begin summary → prefix scan on the driver (one row
     # per chunk) → the incoming tx context for each later chunk.

@@ -24,7 +24,7 @@ from better_cdc_spark.cdc.dlq import route_failures
 from better_cdc_spark.cdc.normalize import typed_projection
 from better_cdc_spark.io import load_table
 from better_cdc_spark.queries import query
-from better_cdc_spark.session import tune_for_oracle
+from better_cdc_spark.session import ckpt, tune_for_oracle
 
 ALLOWLIST = ["public.orders", "public.accounts"]
 
@@ -670,7 +670,7 @@ def qc11_jetstream_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         _normalized(spark, sf_dir)
         .withColumn("timestamp", F.timestamp_seconds(F.lit(1700000000) + F.col("txid")))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     sink = JetStreamShapedSink(
         spark,
@@ -954,7 +954,7 @@ def qc14_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist = spark_.createDataFrame([], out_schema)
         new_hist = scd2_apply_increment(
             hist, batch_df, keys="id", order_col="commit_seq"
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         new_hist.write.mode("overwrite").parquet(hist_dir)
 
     q = (
@@ -1501,7 +1501,7 @@ def qm03_txlog_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents") + F.when(F.col("id") % 5 == 0, 1).otherwise(0),
     )
     # one atomic commit replaces every live file with the upserted state
-    t.replace(upserted.localCheckpoint(eager=True), remove_pred=lambda p: True)
+    t.replace(upserted.transform(ckpt), remove_pred=lambda p: True)
 
     def agg(df, tag):
         return df.groupBy("status").agg(
@@ -1623,7 +1623,7 @@ def qc20_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_row_number(base, "id", "id", "__rn")
         .withColumn("chunk", ((F.col("__rn") - 1) / 500).cast("long"))
         .drop("__rn")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     events = base.filter(F.col("id") % 4 == 1).select(
         "id",
@@ -1650,7 +1650,7 @@ def qc20_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("seq") <= w_hi)
             ).alias("superseded"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     emitted = snap_read.filter(~F.col("superseded")).select(
         "id", F.col("status").alias("s_status"), F.col("cents").alias("s_cents")
@@ -2116,7 +2116,7 @@ def qm10_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.col("cents") + F.when(F.col("id") % 5 == 0, 100).otherwise(0),
     )
-    t.replace(updated.localCheckpoint(eager=True), remove_pred=lambda p: True)  # v3
+    t.replace(updated.transform(ckpt), remove_pred=lambda p: True)  # v3
     t.append(base.filter(F.col("id") % 3 == 2))            # v4
     return t.change_feed(v_from=-1).select(
         "id", "status", "cents",
@@ -2254,7 +2254,7 @@ def qm11_cdf_downstream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.col("cents") + F.when(F.col("id") % 5 == 0, 100).otherwise(0),
     )
-    t.replace(updated.localCheckpoint(eager=True), remove_pred=lambda p: True)  # v4
+    t.replace(updated.transform(ckpt), remove_pred=lambda p: True)  # v4
 
     partials = scratch_dir("qm11_partials")
     synced_from = -1

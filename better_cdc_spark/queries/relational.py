@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from better_cdc_spark.io import load_table
 from better_cdc_spark.queries import query
-from better_cdc_spark.session import tune_for_oracle
+from better_cdc_spark.session import ckpt, tune_for_oracle
 
 
 def dec(c: str | F.Column) -> F.Column:
@@ -8274,7 +8274,7 @@ def q44i_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lt") == "view", 0).otherwise(1).alias("churned"),
         )
     )
-    subj = subj.localCheckpoint(eager=True)  # three consumers below
+    subj = subj.transform(ckpt)  # three consumers below
     deaths = (
         subj.groupBy(F.col("t_min").alias("t"), "arm")
         .agg(F.sum("churned").cast("long").alias("d"))

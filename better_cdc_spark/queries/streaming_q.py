@@ -24,7 +24,7 @@ from better_cdc_spark.queries import query
 from better_cdc_spark.queries import relational
 from better_cdc_spark.queries.llm import _EXACT_JACCARD_ORACLE, _append_index_rows
 from better_cdc_spark.queries.relational import _d, dec
-from better_cdc_spark.session import tune_for_oracle
+from better_cdc_spark.session import ckpt, tune_for_oracle
 from better_cdc_spark.streaming.core import events_stream, run_to_memory
 from better_cdc_spark.streaming.stateful import stateful_user_agg
 
@@ -391,7 +391,7 @@ def q87b_windowed_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         b = batch_df.withColumn(
             "commit_bucket",
             F.floor(F.unix_timestamp("ts") / F.lit(window_s)).cast("long"),
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         # Bounded driver collect: the ONE micro-batch's day set + ts span.
         span = b.agg(
             F.collect_set("commit_bucket").alias("bks"),
@@ -1195,7 +1195,7 @@ def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     def lsh_step(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = llmops.lsh_band_rows(batch_df).localCheckpoint(eager=True)
+        rows = llmops.lsh_band_rows(batch_df).transform(ckpt)
         cands = None
         if os.path.isdir(index_dir) and any(
             f for f in os.listdir(index_dir) if not f.startswith("_")
@@ -1253,11 +1253,9 @@ def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(_open_cost_key, _prev)
 
-    streamed = spark.read.parquet(cand_dir).localCheckpoint(eager=True)
+    streamed = spark.read.parquet(cand_dir).transform(ckpt)
     # the theorem, asserted: streamed discovery == one-shot candidates
-    one_shot = llmops.minhash_candidate_pairs(docs, "doc_id").localCheckpoint(
-        eager=True
-    )
+    one_shot = llmops.minhash_candidate_pairs(docs, "doc_id").transform(ckpt)
     n_stream, n_one = streamed.count(), one_shot.count()
     n_common = streamed.join(one_shot, ["doc_a", "doc_b"]).count()
     if not (n_stream == n_one == n_common):
@@ -1272,7 +1270,7 @@ def qm05_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     postings = llmops.shingle_postings(
         docs.join(involved, "doc_id", "left_semi")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     verified = llmops.jaccard_for_pairs(postings, streamed, materialize=False)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
@@ -1361,7 +1359,7 @@ def qm06_streaming_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(
                 "pb", F.col("k") * n_buckets + F.pmod(F.col("bv"), n_buckets)
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
 
         def canon(joined):
@@ -2031,10 +2029,10 @@ def qm14_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         da = batch_df.filter(F.col("side") == "A").select(
             "okey", "custkey", "cents", F.col("dm").alias("dma"),
             kb.alias("kb"),
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         db = batch_df.filter(F.col("side") == "B").select(
             "custkey", "seg", F.col("dm").alias("dmb"), kb.alias("kb"),
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         # bounded collect: ≤ NB bucket ids per side per batch
         a_kbs = [r["kb"] for r in da.select("kb").distinct().collect()]
         b_kbs = [r["kb"] for r in db.select("kb").distinct().collect()]

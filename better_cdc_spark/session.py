@@ -39,6 +39,33 @@ def get_spark(app_name: str = "better_cdc_spark", cpus: int | None = None) -> Sp
     return spark
 
 
+def ckpt(df):
+    """The engine's materialization point (use as ``df.transform(ckpt)``).
+
+    Local/harness mode (default): ``localCheckpoint(eager=True)`` — blocks
+    persist to executor-local storage, the cheapest way to cut lineage and
+    pay for a twice-consumed subtree exactly once (guide §5). Its known
+    limit: blocks die with their executor, so on a REAL cluster a lost
+    executor kills every query holding one.
+
+    Cluster mode (``BCS_RELIABLE_CKPT=1``): ``DataFrame.checkpoint`` to the
+    fault-tolerant checkpoint dir (``BCS_CKPT_DIR``, default
+    ``/tmp/bcs_reliable_ckpt``; point it at HDFS/object storage on a real
+    deployment) — same plan-truncation semantics, recomputable-free
+    recovery after executor death. The env is read per call so tests cover
+    both branches in one process; the flag flips the storage contract only,
+    never results.
+    """
+    if os.environ.get("BCS_RELIABLE_CKPT", "0") == "1":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get("BCS_CKPT_DIR", "/tmp/bcs_reliable_ckpt")
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 # AQE's post-shuffle coalescing targets this many bytes per partition —
 # right for byte-bound operators, far too coarse for similarity joins that
 # burn CPU per row (string compares, popcounts): a 64 MB target collapses a

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from better_cdc_spark.session import ckpt
+
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """The schema the file-stream source must declare: whatever a batch scan
     of events.parquet yields (ts arrives as raw nano-long or TIMESTAMP
@@ -137,7 +139,7 @@ def run_to_memory(
     # table. localCheckpoint blocks, by contrast, are released by the
     # ContextCleaner once the returned frame is garbage collected.
     spark = sdf.sparkSession
-    out = spark.table(name).localCheckpoint(eager=True)
+    out = spark.table(name).transform(ckpt)
     spark.catalog.dropTempView(name)
     return out
 

@@ -56,6 +56,8 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from better_cdc_spark.session import ckpt
+
 from pyspark.sql import types as T
 
 from better_cdc_spark.cdc.normalize import normalize_changelog
@@ -206,7 +208,7 @@ class CDCStreamPipeline:
         # downstream consumer reads the checkpointed data, so the observe()
         # metrics node fires exactly once per batch and the source is never
         # re-scanned.
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(ckpt)
         # Decode-error policy (reference: decode failures are FATAL —
         # wal2json.go:69-74, asserted by wal2json_test.go:14 — or routed to
         # quarantine under policy=dlq). Corrupt JSON lines are captured by
@@ -241,7 +243,7 @@ class CDCStreamPipeline:
         work = (
             batch_df.unionByName(pending)
             .dropDuplicates(["ingest_seq"])
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
 
         # Commit markers visible so far (this batch + carried-over ones).
@@ -274,7 +276,7 @@ class CDCStreamPipeline:
                 ),
                 F.lit(-1),
             ).cast("long"),
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         span = envelope.agg(
             F.collect_set("commit_bucket").alias("buckets"),
             F.min("timestamp").alias("ts_lo"),

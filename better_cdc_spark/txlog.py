@@ -45,6 +45,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from better_cdc_spark.session import ckpt
+
 
 class CommitConflict(RuntimeError):
     """A concurrent commit invalidated this transaction (removed file
@@ -517,7 +519,7 @@ class TxLogTable:
         snap = self.snapshot()
         current = self.read(version=snap.version).coalesce(target_files)
         return self.replace(
-            current.localCheckpoint(eager=True),
+            current.transform(ckpt),
             remove_pred=lambda p: True,
             data_change=False,
             basis=snap,
