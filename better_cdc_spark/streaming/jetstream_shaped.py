@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
+from better_cdc_spark.session import ckpt
+
 from better_cdc_spark.cdc.serialize import marshal_cdc_event
 from better_cdc_spark.config import subject_filters_cover
 
@@ -183,7 +185,7 @@ class JetStreamShapedSink:
                 .cast("long")
                 .alias("commit_bucket"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
 
         # Subject covering: every distinct subject must match a filter.
@@ -227,10 +229,17 @@ class JetStreamShapedSink:
                 and "UNABLE_TO_INFER_SCHEMA" not in msg
             ):
                 raise
+            # Don't trust the error-message substring alone (r15 ADVICE):
+            # UNABLE_TO_INFER_SCHEMA is only a first-publish signature when
+            # the store truly holds NO committed data files. Verify by
+            # listing (excluding _temporary/_SUCCESS/hidden entries); any
+            # committed file present means the reader failed for some
+            # OTHER reason — re-raise rather than silently disabling
+            # msg-id dedup and re-storing every replayed message.
+            if "UNABLE_TO_INFER_SCHEMA" in msg and self._has_committed_files():
+                raise
             existing = records.select("msg_id").limit(0)
-        fresh = records.join(existing, "msg_id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        fresh = records.join(existing, "msg_id", "left_anti").transform(ckpt)
         n = fresh.count()
         if n:
             # Backfills spanning many buckets: one writer set per bucket,
@@ -242,6 +251,34 @@ class JetStreamShapedSink:
                 self.msgs_dir
             )
         return n
+
+    def _has_committed_files(self) -> bool:
+        """True iff the msg store holds any COMMITTED data file.
+
+        Committed = any file outside hidden/_-prefixed entries (the
+        reader's own visibility rule: _temporary spill dirs, _SUCCESS
+        markers and dotfiles are invisible to it). Hadoop FileSystem API,
+        so the same check runs against HDFS/object stores on a cluster
+        (the _pending_epoch_dirs precedent).
+        """
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.msgs_dir)
+        fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return False
+        stack = [root]
+        while stack:
+            for st in fs.listStatus(stack.pop()):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                else:
+                    return True
+        return False
 
     def messages(self) -> DataFrame:
         """All stored messages (consumer-side view)."""

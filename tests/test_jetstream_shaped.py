@@ -90,6 +90,33 @@ def test_publish_recovers_when_first_write_crashed_before_commit(
     assert sink.messages().count() == n_events
 
 
+def test_empty_store_classifier_requires_no_committed_files(
+    spark, tmp_path, envelope
+):
+    """r16 (from r15 ADVICE): UNABLE_TO_INFER_SCHEMA is only trusted as a
+    first-publish signature when the store verifiably holds NO committed
+    data file. _has_committed_files is that verifier: hidden/_ entries
+    (the reader's own visibility rule) never count, any real file does —
+    so a store whose parquet files survive some other read failure
+    re-raises instead of silently disabling msg-id dedup."""
+    import os
+
+    sink = JetStreamShapedSink(spark, str(tmp_path), CFG).ensure_stream()
+    # missing dir -> no committed files
+    assert not sink._has_committed_files()
+    # only invisible entries (_temporary spill, _SUCCESS, dotfile) -> still none
+    os.makedirs(os.path.join(sink.msgs_dir, "_temporary", "0"), exist_ok=True)
+    open(os.path.join(sink.msgs_dir, "_SUCCESS"), "w").close()
+    open(os.path.join(sink.msgs_dir, ".hidden"), "w").close()
+    assert not sink._has_committed_files()
+    # a committed data file (even nested in a partition dir) flips it
+    part = os.path.join(sink.msgs_dir, "commit_bucket=1")
+    os.makedirs(part, exist_ok=True)
+    with open(os.path.join(part, "part-00000.parquet"), "w") as f:
+        f.write("x")
+    assert sink._has_committed_files()
+
+
 def test_publish_rejects_uncovered_subject(spark, tmp_path, envelope):
     narrow = StreamConfig(subjects=("cdc.testdb.public.orders",))
     sink = JetStreamShapedSink(spark, str(tmp_path), narrow).ensure_stream()
