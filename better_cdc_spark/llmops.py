@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from better_cdc_spark.session import ckpt
+
 # ---------------------------------------------------------------------------
 # Deterministic constants (seeded on the driver, shipped as literals)
 # ---------------------------------------------------------------------------
@@ -210,12 +212,22 @@ def lsh_band_keys(sig_expr: str = "sig") -> F.Column:
     Docs agreeing on all rows of any band become a candidate pair. The
     band key is the join/shuffle key: candidate generation is an equi-join,
     never a cross join.
+
+    r16: the band array is a STATIC array(struct(...)) literal expression —
+    band count is a compile-time constant, so nothing forces the
+    interpreted `transform(sequence(...), j -> ...)` higher-order path
+    (guide §4.1: stay in codegen when a built-in form exists). Values are
+    identical position-for-position; measured neutral at sf0.1 (the
+    per-doc row count is tiny next to the 64-lane signature agg) and it
+    removes the signature stage's last non-codegen expression.
     """
-    parts = ", ".join(f"{sig_expr}[{MINHASH_ROWS}*j+{r}]" for r in range(MINHASH_ROWS))
-    return F.expr(
-        f"""transform(sequence(0, {MINHASH_BANDS - 1}), j ->
-              struct(j AS band, concat_ws(':', {parts}) AS key))"""
-    )
+    structs = []
+    for j in range(MINHASH_BANDS):
+        parts = ", ".join(
+            f"{sig_expr}[{MINHASH_ROWS * j + r}]" for r in range(MINHASH_ROWS)
+        )
+        structs.append(f"struct({j} AS band, concat_ws(':', {parts}) AS key)")
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 def shingle_postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -275,7 +287,7 @@ def exact_jaccard_pairs(
     # checkpoint lets the three branches race to compute it concurrently,
     # tripling the explode work instead of sharing it.
     if materialize:
-        postings = postings.localCheckpoint(eager=True)
+        postings = postings.transform(ckpt)
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
     a = postings.alias("a")
     b = postings.alias("b")
@@ -312,7 +324,7 @@ def jaccard_for_pairs(
     is the all-pairs oracle for recall testing only.
     """
     if materialize:
-        postings = postings.localCheckpoint(eager=True)
+        postings = postings.transform(ckpt)
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
     pa = postings.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
     pb = postings.select(F.col(id_col).alias("__doc_b"), F.col("shingle").alias("sh_b"))
@@ -372,7 +384,7 @@ def minhash_candidate_pairs(
     # the alias branches — without materialization the whole
     # explode→hash→64-lane-min pipeline runs once PER side. The band-key
     # set is one small row per (doc, band): checkpoint it eagerly.
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.transform(ckpt)
     if max_bucket is not None:
         ok = (
             sigs.groupBy("band", "key")
@@ -490,7 +502,7 @@ def simhash_near_pairs(
     # both self-join sides (and the bucket-size agg when capped) consume
     # the fingerprints; without materialization the Arrow simhash kernel
     # runs once per branch (the q99q/minhash lesson — measured in PLANS.md)
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(ckpt)
     blocked = sh.select(
         id_col,
         "sh",
@@ -552,13 +564,13 @@ def dedup_clusters(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -577,7 +589,7 @@ def dedup_clusters(
                     "__changed"
                 ),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
