@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from better_cdc_spark import llmops
 from better_cdc_spark.io import load_table
 from better_cdc_spark.queries import query
-from better_cdc_spark.session import tune_cpu_bound, tune_for_oracle
+from better_cdc_spark.session import ckpt, tune_cpu_bound, tune_for_oracle
 
 #: target rows per parquet file for incremental-index appends — at the
 #: index row width here (~40 B) this is a few tens of MB per file, the
@@ -275,7 +275,7 @@ def q95m_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings feed three branches (both join sides + sizes): materialize
     # once instead of re-running the union + shingle explode per branch —
     # the same policy exact_jaccard_pairs applies
-    postings = llmops.shingle_postings(corpus, "doc_id").localCheckpoint(eager=True)
+    postings = llmops.shingle_postings(corpus, "doc_id").transform(ckpt)
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = postings.select(F.col("doc_id").alias("contained_id"), "shingle")
     b = postings.select(F.col("doc_id").alias("container_id"), "shingle")
@@ -328,7 +328,7 @@ def q96_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1: ~0.5s better than re-deriving postings; the cpu-bound advisory
     # knob HURTS here — the band join is cheap per row, so extra partitions
     # are pure task overhead.)
-    postings = llmops.shingle_postings(docs, "doc_id").localCheckpoint(eager=True)
+    postings = llmops.shingle_postings(docs, "doc_id").transform(ckpt)
     cands = llmops.minhash_candidate_pairs(None, "doc_id", postings=postings)
     # Verify ONLY the candidates (work ∝ Σ|shingles| over candidate pairs)
     # — never the all-pairs oracle, which exists for recall testing.
@@ -561,7 +561,7 @@ def q96i_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1 << i).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         fp_expr = term if fp_expr is None else fp_expr + term
-    fp = sums.select("doc_id", fp_expr.alias("f")).localCheckpoint(eager=True)
+    fp = sums.select("doc_id", fp_expr.alias("f")).transform(ckpt)
     blocked = fp.select(
         "doc_id",
         "f",
@@ -919,7 +919,7 @@ def q96d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # one materialization shared by seeds, 3 assignment passes and the
         # pair join — without it the union+normalize would recompute 6×
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     seeds = [r["u"] for r in unit.orderBy("vec_id").limit(SEMDEDUP_K).collect()]
     cents = llmops.lloyd_centroids(unit, seeds, iters=SEMDEDUP_ITERS, vec_col="u")
@@ -1067,7 +1067,7 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     # scalar corpus size (one bounded action; folding it into the idf
     # expression as a literal keeps q96e's executed plan entirely free of
@@ -1085,7 +1085,7 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         # shared by norms, prefix ranking and both verify sides
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     # band norms for the sound Cauchy-Schwarz prune: band by a hash of
     # the TERM (engine-side only — the prune is result-identical, so the
@@ -1110,7 +1110,7 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docsum = (
         w.groupBy("doc_id")
         .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"), *band_norm_aggs)
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     rk = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
@@ -1131,7 +1131,14 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.79M rows against docsum twice; both joins are gone. Measured (same
     # session, A/B): 7.64 s → 4.15 s end-to-end at sf0.1.
     # UB = Σ_g ‖a_g‖·‖b_g‖ as a FIXED-ORDER (g = 0..15) unrolled add chain
-    # — bit-identical to the old left-fold aggregate, fully codegen'd
+    # — bit-identical to the old left-fold aggregate, fully codegen'd.
+    # Byte-inflation tradeoff (r15 ADVICE): carrying the 17 doubles
+    # (~140 B) per prefix row inflates the term-keyed self-join's shuffle
+    # ~5-10× vs bare (doc_id, term); it wins because pruned pairs then
+    # skip the candidate distinct AND the heavy-payload verify joins.
+    # If prefix-term skew ever outgrows the prune rate the tradeoff
+    # inverts — the guard is the df-cap on prefix terms the docstring
+    # already calls for at production scale (cap_shingle_df discipline).
     ub = F.lit(0.0)
     for g in range(TFIDF_UB_BANDS):
         ub = ub + F.col(f"_a{g}") * F.col(f"_b{g}")
@@ -1219,7 +1226,7 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("v"),
                 "nrm",
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
         a_side = docvec.select(
             F.col("doc_id").alias("da"), F.col("v").alias("va"),
@@ -1264,7 +1271,7 @@ def q96e_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("term")).alias("ks"),
             F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     a_side = docvec.select(
         F.col("doc_id").alias("da"), F.col("m").alias("ma"),
@@ -1605,7 +1612,7 @@ def q97f_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 llmops.ivf_probe_cells(centroids, n_probe=4)(F.col("v"))
             ).alias("cell"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     pruned = idx.filter(F.col("cell").isin(probe_cells))
@@ -2325,9 +2332,7 @@ def q94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization stops the quality-gate + md5-dedup join subtree
     # from executing twice (r15; the same persisted-intermediate
     # discipline as the postings index, which is larger than this).
-    kept = quality.join(exact_kept.select("doc_id"), "doc_id").localCheckpoint(
-        eager=True
-    )
+    kept = quality.join(exact_kept.select("doc_id"), "doc_id").transform(ckpt)
 
     postings = llmops.shingle_postings(kept, "doc_id")
     near = llmops.exact_jaccard_pairs(postings, "doc_id", threshold=0.6)
@@ -2378,11 +2383,9 @@ def q94d_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialization of the exact-dedup survivors serves the shingle
     # explode AND the final anti-join (see q94's note; measured 2.8 s →
     # 2.5 s at sf0.1 here)
-    kept = quality.join(exact_kept.select("doc_id"), "doc_id").localCheckpoint(
-        eager=True
-    )
+    kept = quality.join(exact_kept.select("doc_id"), "doc_id").transform(ckpt)
 
-    postings = llmops.shingle_postings(kept, "doc_id").localCheckpoint(eager=True)
+    postings = llmops.shingle_postings(kept, "doc_id").transform(ckpt)
     cands = llmops.minhash_candidate_pairs(None, "doc_id", postings=postings)
     verified = llmops.jaccard_for_pairs(postings, cands, "doc_id", materialize=False)
     near = verified.filter(F.col("jaccard") >= 0.6)
@@ -2528,7 +2531,7 @@ def q94b_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.join(exact_kept.select("doc_id"), "doc_id")
         .withColumn("nv", F.transform("ev", lambda x: x / llmops.l2_norm(F.col("ev"))))
         .drop("ev")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     a = survivors.select(F.col("doc_id").alias("lo_id"), F.col("nv").alias("lo_nv"))
     shadowed = (
@@ -3115,7 +3118,7 @@ def q94g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -4012,7 +4015,7 @@ def q94e_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("node"),
                 (F.lit(0.15 / n) + 0.85 * F.coalesce("c", F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per iteration
+            .transform(ckpt)  # truncate lineage per iteration
         )
     return ranks.select(
         F.col("node").alias("doc_id"),
@@ -4214,7 +4217,7 @@ def q97t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid int, w string",
     )
     dl, stats, tf, dfreq = llmops.bm25_postings(docs, qterms)
-    tf = tf.localCheckpoint(eager=True)  # feeds BOTH the ranker and the qrels
+    tf = tf.transform(ckpt)  # feeds BOTH the ranker and the qrels
     scored = (
         tf.join(F.broadcast(qterms), "w")
         .join(F.broadcast(dfreq), "w")
@@ -4858,14 +4861,21 @@ def q95p_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
     # "shared by >=2 distinct docs" as a per-partition window flag
     # (min(doc_id) != max(doc_id) over gh) instead of a count-distinct
-    # agg joined back: the corpus-wide gram table shuffles ONCE on gh,
-    # not twice (agg exchange + join exchange) — guide §2.4, the
-    # window-shares-the-exchange rule. Hot boilerplate grams concentrate
-    # their positions in one window partition, but the per-row work is an
-    # O(1) min/max carry (the old plan's join probe side concentrated the
-    # same rows on the same key); production corpora additionally cap
-    # gram df (the cap_shingle_df discipline). Same-session A/B at
-    # sf0.1: 3.5-4.5 s → 2.2-3.1 s, results byte-identical.
+    # agg joined back: the corpus-wide gram table shuffles ONCE on gh
+    # and the explode pipeline evaluates once — guide §2.4. Skew
+    # tradeoff, stated honestly (r15 ADVICE): the min/max AGGREGATION
+    # state is O(1), but WindowExec buffers each gh-group's rows in a
+    # spillable UnsafeRowArray before emitting, so one pathologically
+    # hot boilerplate gram = one large (spillable, slow, never-OOM)
+    # group buffer on one task. The bounded-state alternative — eager-
+    # checkpoint grams, map-side-combined groupBy(gh).agg(min,max),
+    # semi-join back — was A/B'd at BOTH scales (r16): sf0.1 window
+    # 1.09-1.42 s vs agg+join 1.37-1.67 s; 10x-amplified corpus window
+    # 3.1-4.2 s vs 3.9-8.2 s. The window form wins wherever gram df is
+    # bounded (every measured corpus; a df-cap guard would change
+    # results and is out of bounds for this oracle); flip to the
+    # agg+semi-join shape if a production corpus ever concentrates one
+    # gram past the spill threshold.
     wgh = W.partitionBy("gh")
     cand = (
         grams_h.withColumn("_mn", F.min("doc_id").over(wgh))
@@ -5158,7 +5168,7 @@ def q97j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the total order (rel desc, vec_id) makes the limit deterministic;
     # never a global row_number window over the corpus frame.
     cand = rel.orderBy(F.col("rel").desc(), "vec_id").limit(12)
-    cand = cand.localCheckpoint(eager=True)  # 12 rows; reread by every round
+    cand = cand.transform(ckpt)  # 12 rows; reread by every round
     p1 = cand.orderBy(F.col("rel").desc(), "vec_id").limit(1)
     p1b = F.broadcast(p1.select(F.col("vec_id").alias("p1_id"), F.col("ev").alias("p1_ev")))
     s2 = (
@@ -5765,8 +5775,12 @@ def q95u_dup_span_extract_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
     # dup-support flag as ONE window pass over gh (min != max ⟺ ≥2
     # distinct docs) instead of a count-distinct agg joined back — the
-    # gram table shuffles once, not twice (see q95p's note on hot-gram
-    # concentration; per-row window work is an O(1) min/max carry)
+    # gram table shuffles once and the explode evaluates once. Skew
+    # caveat: WindowExec buffers each gh group (spillable) even though
+    # the min/max carry is O(1) — see q95p's stated tradeoff + the r16
+    # two-scale A/B (window 1.09/3.08 s vs agg+semi-join 1.37/4.12 s at
+    # sf0.1 / 10x); the bounded-state agg+semi-join shape is the
+    # documented fallback for a pathologically hot gram.
     wgh = W.partitionBy("gh")
     hits = (
         grams.withColumn("_mn", F.min("doc_id").over(wgh))
@@ -5999,7 +6013,7 @@ def q95w_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*")
             ).alias("loss"),
         )
-        .localCheckpoint(eager=True)  # corpus pass happens exactly once
+        .transform(ckpt)  # corpus pass happens exactly once
     )
     every = W.partitionBy(F.lit(1)).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
@@ -6283,7 +6297,7 @@ def q95y_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x2"),
             F.when(F.col("n_chars") > 300, 1.0).otherwise(0.0).alias("y"),
         )
-        .localCheckpoint(eager=True)  # features derive once
+        .transform(ckpt)  # features derive once
     )
     n = float(feat.count())
     w = (0.0, 0.0, 0.0)
@@ -6826,7 +6840,7 @@ def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         for b in range(n_batches):
             batch_docs = docs.filter(F.col("doc_id") % n_batches == b)
-            rows = llmops.lsh_band_rows(batch_docs).localCheckpoint(eager=True)
+            rows = llmops.lsh_band_rows(batch_docs).transform(ckpt)
             cands = None
             if b > 0:
                 # bounded collect: ≤ 16 bands × LSH_INDEX_BUCKETS values
@@ -6862,7 +6876,7 @@ def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
                 .select(F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"))
                 .distinct()  # a pair may collide on several bands WITHIN the step
                 .withColumn("found_in_batch", F.lit(b))
-                .localCheckpoint(eager=True)  # pin BEFORE the index grows
+                .transform(ckpt)  # pin BEFORE the index grows
             )
             discovered.append(cands)
             _append_index_rows(rows, index_dir, rows.count())
@@ -6878,7 +6892,7 @@ def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     all_cands = discovered[0]
     for c in discovered[1:]:
         all_cands = all_cands.unionByName(c)
-    all_cands = all_cands.localCheckpoint(eager=True)
+    all_cands = all_cands.transform(ckpt)
     involved = (
         all_cands.select(F.col("doc_a").alias("doc_id"))
         .union(all_cands.select("doc_b"))
@@ -6887,7 +6901,7 @@ def q95aa_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     # verification postings: INVOLVED docs only — O(candidates)
     postings = llmops.shingle_postings(
         docs.join(involved, "doc_id", "left_semi")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     verified = llmops.jaccard_for_pairs(
         postings, all_cands.select("doc_a", "doc_b"), materialize=False
     )
@@ -7348,9 +7362,7 @@ def q97m_binary_quantize_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(sequence(0, 31), 0L,"
         " (acc, i) -> acc + IF(v[i + 32] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L))"
     )
-    sig = emb.select("vec_id", lo.alias("lo"), hi.alias("hi")).localCheckpoint(
-        eager=True
-    )
+    sig = emb.select("vec_id", lo.alias("lo"), hi.alias("hi")).transform(ckpt)
     q = sig.filter(F.col("vec_id") < TOPK_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
     )
@@ -8305,7 +8317,7 @@ def q98l_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = words.withColumn(
         "w", F.concat(F.lit("||"), F.expr("regexp_replace(word, '(.)', '$1||')"))
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     toks = "split(btrim(w, '|'), '\\\\|\\\\|')"
     for _ in range(BPE_MERGES):
         pairs = (
@@ -8618,7 +8630,7 @@ def q99q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     left = bands.alias("a")
     right = bands.alias("b")
     hamming = sum(
@@ -9404,7 +9416,7 @@ def q99u_incremental_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn(
                     "pb", F.col("k") * n_buckets + F.pmod(F.col("bv"), n_buckets)
                 )
-                .localCheckpoint(eager=True)
+                .transform(ckpt)
             )
             def canon(joined):
                 return joined.select(
@@ -9442,7 +9454,7 @@ def q99u_incremental_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pairs.filter(F.col("hamming") <= 3)
                 .distinct()  # multi-band collisions within the step
                 .withColumn("found_in_batch", F.lit(b).cast("long"))
-                .localCheckpoint(eager=True)  # pin BEFORE the index grows
+                .transform(ckpt)  # pin BEFORE the index grows
             )
             discovered.append(cands)
             _append_index_rows(rows, index_dir, rows.count())
@@ -9632,7 +9644,7 @@ def q94l_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unmaterialized, the explode+distinct shuffle runs once each
         # (measured 2.1s -> 1.9s warm at sf0.1 — modest, the join
         # dominates here; the checkpoint also bounds lineage)
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     per_src = sh.groupBy("source").agg(F.count("*").alias("n_grams"))
     shared = (
@@ -9757,7 +9769,7 @@ def q99v_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"),
-    ).localCheckpoint(eager=True)  # both self-join sides (q99q lesson)
+    ).transform(ckpt)  # both self-join sides (q99q lesson)
     hamming = sum(
         F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
         for k in range(4)
@@ -9780,7 +9792,7 @@ def q99v_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     involved = (
         pairs.select(F.col("d1").alias("doc_id"))
@@ -9903,7 +9915,7 @@ def q95ai_index_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc with doc_id % 7 == 3 (arrival batch = doc_id % 3)
     tombstones = docs.filter(
         (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 3 < 2)
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     discovered = []
     _open_cost_key = "spark.sql.files.openCostInBytes"
     _prev = spark.conf.get(_open_cost_key, None)
@@ -9921,7 +9933,7 @@ def q95ai_index_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn(
                     "pb", F.col("k") * n_buckets + F.pmod(F.col("bv"), n_buckets)
                 )
-                .localCheckpoint(eager=True)
+                .transform(ckpt)
             )
 
             def canon(joined):
@@ -9960,7 +9972,7 @@ def q95ai_index_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             discovered.append(
                 pairs.filter(F.col("hamming") <= 3)
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(ckpt)
             )
             _append_index_rows(rows, index_dir, rows.count())
     finally:
@@ -10142,7 +10154,7 @@ def qc23_cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstones = (
         docs.filter(updated | deleted)
         .select("doc_id", F.lit(1).alias("ver"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     hamming = sum(
         F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
@@ -10160,7 +10172,7 @@ def qc23_cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(
                 "pb", F.col("k") * n_buckets + F.pmod(F.col("bv"), n_buckets)
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
 
     def canon(joined):
@@ -10225,7 +10237,7 @@ def qc23_cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             discovered.append(
                 pairs.filter(F.col("hamming") <= 3)
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(ckpt)
             )
             _append_index_rows(rows, index_dir, rows.count())
     finally:
@@ -11079,11 +11091,19 @@ def q94m_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(settled, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
+        # r16 (guide §2.4/§5, VERDICT item 7): `settled` is a union of
+        # ALREADY-checkpointed frontiers (+ the narrow seed scan), so its
+        # per-round checkpoint only re-materialized materialized blocks —
+        # a pure job-overhead tax. Keeping the union lazy halves the
+        # per-round materialization jobs (8 → 4); union depth stays
+        # bounded by the constant round count. Two-scale same-session
+        # A/B: sf0.1 1.67/1.11 s → 1.19/1.02 s; 10x corpus neutral
+        # (2.45/2.15 → 2.39/2.19 s). Results byte-identical.
         settled = settled.union(
             frontier.select("node", F.lit(depth).cast("long").alias("dist"))
-        ).localCheckpoint(eager=True)
+        )
     return settled.select(F.col("node").alias("doc_id"), "dist")
 
 
@@ -11526,12 +11546,12 @@ def q96g_one_perm_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    postings = llmops.shingle_postings(docs, "doc_id").localCheckpoint(eager=True)
+    postings = llmops.shingle_postings(docs, "doc_id").transform(ckpt)
     sigs = (
         llmops.oph_signatures(None, "doc_id", postings=postings)
         .select("doc_id", F.explode(llmops.lsh_band_keys("sig")).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .localCheckpoint(eager=True)  # both self-join sides reuse it
+        .transform(ckpt)  # both self-join sides reuse it
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     cands = (
@@ -12046,7 +12066,7 @@ def q95an_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    postings = llmops.shingle_postings(docs, "doc_id").localCheckpoint(eager=True)
+    postings = llmops.shingle_postings(docs, "doc_id").transform(ckpt)
     pairs = llmops.exact_jaccard_pairs(postings, "doc_id", JACCARD_THRESHOLD)
     clusters = llmops.dedup_clusters(pairs.select("doc_a", "doc_b"))
     clustered = (
@@ -12577,7 +12597,7 @@ def q95ap_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
         ).alias("qv"),
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
 
     def dist_to(vec: list[int]):
         lits = ", ".join(f"{int(v)}L" for v in vec)
@@ -12587,9 +12607,7 @@ def q95ap_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     seed = q.filter(F.col("vec_id") == 0).collect()[0]["qv"]  # fixed seed
-    d = q.select("vec_id", "qv", dist_to(seed).alias("md")).localCheckpoint(
-        eager=True
-    )
+    d = q.select("vec_id", "qv", dist_to(seed).alias("md")).transform(ckpt)
     out = []
     for r in range(1, k + 1):
         best = d.orderBy(F.col("md").desc(), F.col("vec_id")).limit(1).collect()[0]
@@ -12598,7 +12616,7 @@ def q95ap_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = d.select(
                 "vec_id", "qv",
                 F.least(F.col("md"), dist_to(best["qv"])).alias("md"),
-            ).localCheckpoint(eager=True)
+            ).transform(ckpt)
     return spark.createDataFrame(
         out, "round int, vec_id bigint, d_scaled bigint"
     ).repartition(1)
@@ -13900,7 +13918,7 @@ def q96h_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(nearmiss)
-    postings = llmops.shingle_postings(corpus, "doc_id").localCheckpoint(eager=True)
+    postings = llmops.shingle_postings(corpus, "doc_id").transform(ckpt)
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
@@ -14790,7 +14808,7 @@ def q94y_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("node"),
                 F.coalesce("ca", F.lit(0)).cast("long").alias("a"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per half-round
+            .transform(ckpt)  # truncate lineage per half-round
         )
         contrib_h = (
             edges.join(auth, edges.dst == auth.node)
@@ -14803,7 +14821,7 @@ def q94y_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("node"),
                 F.coalesce("ch", F.lit(0)).cast("long").alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
     mx = auth.agg(F.max("a").cast("long").alias("ma"))
     mh = hubs.agg(F.max("h").cast("long").alias("mb"))
@@ -15739,7 +15757,7 @@ def q94aa_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     alive = docs.select(F.col("doc_id").alias("node"))
     for _ in range(8):
         deg = (
@@ -15754,7 +15772,7 @@ def q94aa_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive = (
             deg.filter(F.col("deg") >= 3)
             .select("node")
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            .transform(ckpt)  # truncate lineage per round
         )
     final = (
         alive.join(adj, alive.node == adj.a)
@@ -15951,7 +15969,7 @@ def q94ac_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     mtot = und.agg(F.count("*").cast("long").alias("m"))
     deg = (
@@ -16083,7 +16101,7 @@ def q94ae_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -16678,7 +16696,7 @@ def q94ak_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -17059,7 +17077,7 @@ def q94ao_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     rev = edges.select(
         F.col("src").alias("rsrc"), F.col("dst").alias("rdst")
@@ -17191,7 +17209,7 @@ def q94ap_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("x"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            .transform(ckpt)  # truncate lineage per round
         )
     mx = x.agg(F.max("x").cast("long").alias("m"))
     return x.join(F.broadcast(mx)).select(

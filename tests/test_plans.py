@@ -368,8 +368,11 @@ def test_q95p_span_windows_share_one_doc_exchange(spark):
     the gram tables shuffle once each (r14's agg-plus-join-back shape
     shuffled the verify derivation per consumer, three doc exchanges).
     Both are candidate-sized or per-doc; corpus-wide exchanges stay
-    gh-keyed, and no per-gram aggregation buffer exists anywhere (the
-    window's min/max is an O(1) carry)."""
+    gh-keyed. (Precision, r15 ADVICE: the window's min/max AGGREGATION
+    state is O(1) but WindowExec still buffers each gh group's rows —
+    spillable — before emitting; the collect_list assertion below pins
+    only that no per-gram LIST ever accumulates. The hot-gram tradeoff
+    and its measured two-scale A/B live at the q95p source comment.)"""
     import re
 
     plan = plan_of(spark, "q95p_dup_span_extract")
