@@ -796,8 +796,19 @@ def main() -> None:
                 out.append(n)
         return out
 
+    # Retime audit trail (r16, from r15 ADVICE): the violator re-time is
+    # asymmetric by design (only >2x readings get extra samples), so the
+    # artifact records every query's PRE-retime wall and how many retime
+    # passes touched it — the retime's effect on the headline numbers is
+    # then fully auditable across rounds.
+    retime_log: dict[str, dict] = {}
+
     def _retime(names: list[str]) -> None:
         for name in names:
+            entry = retime_log.setdefault(
+                name, {"pre_retime_sec": times[name], "n_retime_passes": 0}
+            )
+            entry["n_retime_passes"] += 1
             best = times[name]
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -958,6 +969,7 @@ def main() -> None:
         "vs_anchor_class_norm": vs_anchor_class_norm,
         "probe_walls": probe_walls,
         "probe_shift": probe_shift,
+        "retime": retime_log,
         "sf1_scaling": sf1_scaling,
         "e2e_scale_1m": E2E_SCALE_1M,
         "app_scale_1m": APP_SCALE_1M,
