@@ -410,6 +410,9 @@ SF1_QUERIES = (
     "q95p_dup_span_extract",
     "q96d_semdedup",
     "q94d_curation_pipeline_lsh",
+    # r16: the composed curation flow joins the sf1 probe family so every
+    # query in the VERDICT heavy list has a scale point where cores matter
+    "q94_curation_pipeline",
 )
 
 

@@ -650,9 +650,153 @@ def exp_q97dot(spark, sf_dir):
         _time("q97_new(unrolled_dot)", new, spark, sf_dir)
 
 
+# --------------------------------------------------------------------------
+# "spread": single-row-group scans serialize every CPU-heavy narrow
+# pipeline (explode/hash/shingle + map-side partial agg) into ONE task —
+# /root/testdata/sf*/:  every table is one file with one row group.
+# Candidate fix (guide §2.5 unsplittable input): repartition the tiny base
+# rows right after the scan so the explode work uses every core.
+# --------------------------------------------------------------------------
+
+def _spread(df):
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def q95u_spread(spark, sf_dir):
+    tune_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wexpr = F.filter(F.split("text", " "), lambda x: x != "")
+    extract = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(wexpr, 21, 40)).alias("text"),
+    )
+    corpus = _spread(docs.unionByName(extract))
+    wdf = corpus.select("doc_id", wexpr.alias("words"))
+    gram_arr = F.when(
+        F.size("words") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 7),
+            lambda i: F.concat_ws(" ", F.slice("words", i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = wdf.select(
+        "doc_id",
+        F.posexplode(F.transform(gram_arr, lambda g: F.xxhash64(g))).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
+    wgh = W.partitionBy("gh")
+    hits = (
+        grams.withColumn("_mn", F.min("doc_id").over(wgh))
+        .withColumn("_mx", F.max("doc_id").over(wgh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", F.col("i").alias("s"), (F.col("i") + 7).alias("e"))
+    )
+    return _q95_tail(hits)
+
+
+def exp_q95u_spread(spark, sf_dir):
+    _identical(q95u_old(spark, sf_dir), q95u_spread(spark, sf_dir))
+    for _ in range(2):
+        _time("q95u_old(1task_scan)", q95u_old, spark, sf_dir)
+        _time("q95u_spread", q95u_spread, spark, sf_dir)
+
+
+def _q96_form_spread(spark, sf_dir):
+    tune_for_oracle(spark)
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    postings = llmops.shingle_postings(docs, "doc_id").localCheckpoint(eager=True)
+    band_expr = llmops.lsh_band_keys("sig")
+    sigs = (
+        llmops.minhash_signatures(None, "doc_id", postings=postings)
+        .select("doc_id", F.explode(band_expr).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .localCheckpoint(eager=True)
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = llmops.jaccard_for_pairs(postings, cands, "doc_id", materialize=False)
+    from better_cdc_spark.queries.llm import JACCARD_THRESHOLD
+
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def exp_q96_spread(spark, sf_dir):
+    old = lambda s, d: _q96_form(s, d, True)  # noqa: E731  (current in-tree shape)
+    _identical(old(spark, sf_dir), _q96_form_spread(spark, sf_dir))
+    for _ in range(2):
+        _time("q96_old(1task_scan)", old, spark, sf_dir)
+        _time("q96_spread", _q96_form_spread, spark, sf_dir)
+
+
+def _q97h_form_spread(spark, sf_dir):
+    tune_for_oracle(spark)
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    qterms = spark.createDataFrame(
+        [(1, "table"), (1, "scan"), (2, "join"), (2, "hash"),
+         (3, "window"), (3, "agg")],
+        "qid int, w string",
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+        F.sum("dl").alias("t"),
+    )
+    tf = (
+        words.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            llmops.bm25_term_score().cast("decimal(18,10)").alias("s"),
+        )
+    )
+    agg = scored.groupBy("qid", "doc_id").agg(F.sum("s").alias("score"))
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    )
+    return (
+        agg.select("qid", "doc_id", "score", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "rnk", "doc_id",
+                F.round(F.col("score").cast("double"), 6).alias("bm25"))
+    )
+
+
+def exp_q97h_spread(spark, sf_dir):
+    old = lambda s, d: _q97h_form(s, d, False)  # noqa: E731
+    _identical(old(spark, sf_dir), _q97h_form_spread(spark, sf_dir))
+    for _ in range(2):
+        _time("q97h_old(1task_scan)", old, spark, sf_dir)
+        _time("q97h_spread", _q97h_form_spread, spark, sf_dir)
+
+
 EXPS = {
     "q95u": exp_q95u,
     "q95p": exp_q95p,
+    "q95u_spread": exp_q95u_spread,
+    "q96_spread": exp_q96_spread,
+    "q97h_spread": exp_q97h_spread,
     "q96d": exp_q96d,
     "q96": exp_q96,
     "q97h": exp_q97h,
