@@ -704,22 +704,32 @@ def nearest_centroid(centroids: "Sequence[Sequence[float]]", vec: str | F.Column
     ordering gives deterministic tie-breaks.
     """
     v = F.col(vec) if isinstance(vec, str) else vec
-    cands = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("d2"),
-            F.lit(i).alias("cid"),
+    # r16: the k per-centroid (zip_with → aggregate → struct) trees are
+    # collapsed into ONE transform over an array-of-arrays literal — the
+    # same no-shuffle narrow projection with identical d2 folds and the
+    # identical (d2, cid) lexicographic tie-break (transform's index
+    # lambda supplies cid), but the analyzer/evaluator walks one
+    # expression tree instead of k. Same-session A/B on q96d (k=8,
+    # dim=64, 2 Lloyd iterations + final assignment): 3.73/3.69/2.80 →
+    # 2.75/2.30/2.26 s, results byte-identical. The join-based argmin
+    # alternative (centroids as a broadcast frame) also measured ~5-10%
+    # faster locally but was REJECTED: it turns the assignment into
+    # k×corpus shuffled rows per iteration — the wrong trade at the
+    # 100 TB target this projection exists for.
+    arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.array_min(
+        F.transform(
+            arr,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d2"),
+                i.alias("cid"),
+            ),
         )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*cands))["cid"]
+    )["cid"]
 
 
 def lloyd_centroids(

@@ -328,6 +328,83 @@ def _q96d_form(spark, sf_dir, lazy_ckpt: bool, unroll_argmin: bool, unroll_dot: 
     )
 
 
+# join-based argmin: centroids ship as a broadcast 8-row frame instead of
+# 512 plan literals — the assignment expression shrinks from 8 zip_with
+# trees to ONE, cutting per-iteration plan-compile cost; d2 values and the
+# (d2, cid) lexicographic tie-break are bit-identical.
+def _cents_df(spark, cents):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cv array<double>",
+    )
+
+
+def _assign_join(spark, unit, cents, vec_col="u"):
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = unit.crossJoin(F.broadcast(_cents_df(spark, cents))).select(
+        "vec_id", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("s")
+    )
+    return scored.groupBy("vec_id").agg(F.min("s")["cid"].alias("__c"))
+
+
+def _q96d_join_form(spark, sf_dir):
+    tune_for_oracle(spark)
+    from better_cdc_spark.session import tune_cpu_bound
+
+    unit = _q96d_unit(spark, sf_dir, eager=True)
+    seeds = [r["u"] for r in unit.orderBy("vec_id").limit(SEMDEDUP_K).collect()]
+    k, dim = len(seeds), len(seeds[0])
+    cents = [list(map(float, c)) for c in seeds]
+    for _ in range(SEMDEDUP_ITERS):
+        best = _assign_join(spark, unit, cents)
+        rows = (
+            unit.join(best, "vec_id")
+            .select("__c", F.posexplode("u").alias("__i", "__x"))
+            .groupBy("__c", "__i")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(r["__c"], {})[r["__i"]] = r["__m"]
+        cents = [
+            [by_c[c][i] for i in range(dim)] if c in by_c else cents[c]
+            for c in range(k)
+        ]
+    final = unit.join(_assign_join(spark, unit, cents), "vec_id").select(
+        "vec_id", F.col("__c").cast("long").alias("cluster"), "u"
+    )
+    tune_cpu_bound(spark)
+    a = final.select(F.col("vec_id"), F.col("cluster"), F.col("u").alias("ua"))
+    b = final.select(
+        F.col("vec_id").alias("vec_b"), F.col("cluster"), F.col("u").alias("ub")
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_b") < F.col("vec_id"))
+        .filter(llmops.dot(F.col("ua"), F.col("ub")) >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dom", F.lit(True))
+    )
+    return (
+        final.join(dominated, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("dom").isNull().alias("kept"))
+    )
+
+
+def exp_q96d_join(spark, sf_dir):
+    old = lambda s, d: _q96d_form(s, d, False, False, False)  # noqa: E731
+    _identical(old(spark, sf_dir), _q96d_join_form(spark, sf_dir))
+    for _ in range(3):
+        _time("q96d_old(literal_argmin)", old, spark, sf_dir)
+        _time("q96d_join_argmin", _q96d_join_form, spark, sf_dir)
+
+
 def exp_q96d(spark, sf_dir):
     old = lambda s, d: _q96d_form(s, d, False, False, False)  # noqa: E731
     lazy = lambda s, d: _q96d_form(s, d, True, False, False)  # noqa: E731
@@ -791,12 +868,89 @@ def exp_q97h_spread(spark, sf_dir):
         _time("q97h_spread", _q97h_form_spread, spark, sf_dir)
 
 
+
+# single-tree fold argmin: same no-shuffle narrow projection as the
+# literal form, but the 8 per-centroid expression trees collapse into ONE
+# transform over an array-of-arrays literal — smaller analyzer surface,
+# identical values and (d2, cid) tie-break.
+def nearest_centroid_fold(centroids, vec):
+    v = F.col(vec) if isinstance(vec, str) else vec
+    arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.array_min(
+        F.transform(
+            arr,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d2"),
+                i.alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
+def _q96d_fold_form(spark, sf_dir):
+    tune_for_oracle(spark)
+    from better_cdc_spark.session import tune_cpu_bound
+
+    unit = _q96d_unit(spark, sf_dir, eager=True)
+    seeds = [r["u"] for r in unit.orderBy("vec_id").limit(SEMDEDUP_K).collect()]
+    k, dim = len(seeds), len(seeds[0])
+    cents = [list(map(float, c)) for c in seeds]
+    for _ in range(SEMDEDUP_ITERS):
+        assigned = unit.withColumn("__c", nearest_centroid_fold(cents, "u"))
+        rows = (
+            assigned.select("__c", F.posexplode("u").alias("__i", "__x"))
+            .groupBy("__c", "__i")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_c = {}
+        for r in rows:
+            by_c.setdefault(r["__c"], {})[r["__i"]] = r["__m"]
+        cents = [
+            [by_c[c][i] for i in range(dim)] if c in by_c else cents[c]
+            for c in range(k)
+        ]
+    final = unit.withColumn("cluster", nearest_centroid_fold(cents, "u").cast("long"))
+    tune_cpu_bound(spark)
+    a = final.select(F.col("vec_id"), F.col("cluster"), F.col("u").alias("ua"))
+    b = final.select(
+        F.col("vec_id").alias("vec_b"), F.col("cluster"), F.col("ub_")
+        if False else F.col("u").alias("ub")
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_b") < F.col("vec_id"))
+        .filter(llmops.dot(F.col("ua"), F.col("ub")) >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dom", F.lit(True))
+    )
+    return (
+        final.join(dominated, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("dom").isNull().alias("kept"))
+    )
+
+
+def exp_q96d_fold(spark, sf_dir):
+    old = lambda s, d: _q96d_form(s, d, False, False, False)  # noqa: E731
+    _identical(old(spark, sf_dir), _q96d_fold_form(spark, sf_dir))
+    for _ in range(3):
+        _time("q96d_old(8tree_argmin)", old, spark, sf_dir)
+        _time("q96d_fold_argmin", _q96d_fold_form, spark, sf_dir)
+
+
 EXPS = {
     "q95u": exp_q95u,
     "q95p": exp_q95p,
     "q95u_spread": exp_q95u_spread,
     "q96_spread": exp_q96_spread,
     "q97h_spread": exp_q97h_spread,
+    "q96d_join": exp_q96d_join,
+    "q96d_fold": exp_q96d_fold,
     "q96d": exp_q96d,
     "q96": exp_q96,
     "q97h": exp_q97h,
